@@ -1,0 +1,441 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.etl._
+
+/** Core ETL operator queries (SURVEY.md §2 #2–#18), each paired with a
+  * DuckDB oracle over the same parquet tables.
+  *
+  * Oracle-safety conventions (SURVEY.md §6):
+  *  - raw columns pass through untouched (bit-identical in parquet);
+  *  - computed aggregates are `round(…, s)` then cast to decimal so
+  *    both engines canonicalize to the same scale;
+  *  - every query ends in a deterministic total ORDER BY;
+  *  - aliases are identical on both sides.
+  */
+object CoreQueries {
+
+  private def dec(c: Column, s: Int = 2): Column =
+    round(c, s).cast(DecimalType(38, s))
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** #2: filter + projection — Catalyst pushes both into the scan. */
+  def q01FilterProject: Q = (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+              col("l_shipdate") <  lit("1997-01-01").cast(TimestampType) &&
+              col("l_discount").between(0.05, 0.07) &&
+              col("l_quantity") < 24)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+              col("l_shipdate").cast(DateType).as("ship_date"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val q01Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice,
+      |       CAST(l_shipdate AS DATE) AS ship_date
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** #3: grouped aggregation (TPC-H Q1 shape) — partial agg map-side,
+    * single shuffle on the two grouping keys. */
+  def q02AggPricing: Q = (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast(TimestampType))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dec(sum("l_quantity")).as("sum_qty"),
+        dec(sum("l_extendedprice")).as("sum_base_price"),
+        dec(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+        dec(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
+        dec(sum("l_discount")).as("sum_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q02Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(ROUND(SUM(l_quantity), 2) AS DECIMAL(38,2)) AS sum_qty,
+      |       CAST(ROUND(SUM(l_extendedprice), 2) AS DECIMAL(38,2)) AS sum_base_price,
+      |       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DECIMAL(38,2)) AS sum_disc_price,
+      |       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS DECIMAL(38,2)) AS sum_charge,
+      |       CAST(ROUND(SUM(l_discount), 2) AS DECIMAL(38,2)) AS sum_disc,
+      |       COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** #4: multi-way join enrichment — dims broadcast, fact shuffles
+    * once on the customer key. */
+  def q03JoinEnrich: Q = (spark, dir) => {
+    val orders = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val nat = broadcast(Tables.nation(spark, dir))
+    val reg = broadcast(Tables.region(spark, dir))
+    orders
+      .join(cust, orders("o_custkey") === cust("c_custkey"))
+      .join(nat, cust("c_nationkey") === nat("n_nationkey"))
+      .join(reg, nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_orders"), dec(sum("o_totalprice")).as("total_rev"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val q03Sql: String =
+    """SELECT r_name, n_name, COUNT(*) AS n_orders,
+      |       CAST(ROUND(SUM(o_totalprice), 2) AS DECIMAL(38,2)) AS total_rev
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** #5: drop/prune columns — the scan's ReadSchema shrinks to match. */
+  def q04DropColumns: Q = (spark, dir) =>
+    Cleaning.dropColumns(
+        Tables.lineitem(spark, dir),
+        Seq("l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+            "l_linestatus", "l_shipdate", "l_comment"))
+      .filter(col("l_orderkey") <= 500)
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val q04Sql: String =
+    """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity
+      |FROM lineitem
+      |WHERE l_orderkey <= 500
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** #6: null/empty standardization with a sentinel. */
+  def q05NullStandardize: Q = (spark, dir) =>
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        Cleaning.standardize(nullif(col("o_orderstatus"), lit("P")), "N/A").as("status_std"),
+        Cleaning.standardize(nullif(col("o_orderpriority"), lit("4-NOT SPECIFIED")), "N/A").as("priority_std"))
+      .orderBy("o_orderkey")
+
+  val q05Sql: String =
+    """SELECT o_orderkey,
+      |       COALESCE(NULLIF(NULLIF(o_orderstatus, 'P'), ''), 'N/A') AS status_std,
+      |       COALESCE(NULLIF(NULLIF(o_orderpriority, '4-NOT SPECIFIED'), ''), 'N/A') AS priority_std
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** #7: reference text normalization over the documents corpus. */
+  def q06NormalizeText: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+              TextNorm.normalizeText(col("text")).as("text_norm"),
+              TextNorm.normalizeKey(col("source")).as("source_key"))
+      .orderBy("doc_id")
+
+  val q06Sql: String =
+    """SELECT doc_id,
+      |       regexp_replace(regexp_replace(trim(lower(text)), '\s*(feat\.|featuring|ft\.|&|and)\s*', ';', 'g'), '\s+', ' ', 'g') AS text_norm,
+      |       trim(lower(source)) AS source_key
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** #8: dedup keep-top-per-key (most expensive line per part). */
+  def q07DedupTopPerKey: Q = (spark, dir) =>
+    Dedup.topPerKey(
+        Tables.lineitem(spark, dir),
+        Seq("l_partkey"),
+        Seq(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc))
+      .select("l_partkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy("l_partkey")
+
+  val q07Sql: String =
+    """SELECT l_partkey, l_orderkey, l_linenumber, l_extendedprice
+      |FROM (
+      |  SELECT l_partkey, l_orderkey, l_linenumber, l_extendedprice,
+      |         ROW_NUMBER() OVER (PARTITION BY l_partkey
+      |                            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+      |  FROM lineitem) t
+      |WHERE rn = 1
+      |ORDER BY l_partkey""".stripMargin
+
+  /** #9: join-based imputation with fallback — left join + coalesce
+    * instead of the reference's driver-side iterrows write-back. */
+  def q08ImputeJoin: Q = (spark, dir) => {
+    val cust = Tables.customer(spark, dir)
+      .withColumn("seg_missing", nullif(col("c_mktsegment"), lit("BUILDING")))
+    Impute.fromLookup(
+        cust, broadcast(Tables.nation(spark, dir)),
+        keyCol = "c_nationkey", lookupKey = "n_nationkey",
+        targetCol = "seg_missing", valueCol = "n_name",
+        fallback = Some("Unknown"))
+      .select(col("c_custkey"), col("seg_missing").as("seg_filled"))
+      .orderBy("c_custkey")
+  }
+
+  val q08Sql: String =
+    """SELECT c_custkey,
+      |       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), n_name, 'Unknown') AS seg_filled
+      |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY c_custkey""".stripMargin
+
+  /** #10: split + unionByName (pd.concat analog), then aggregate. */
+  def q09UnionConcat: Q = (spark, dir) => {
+    val orders = Tables.orders(spark, dir)
+    val high = orders.filter(col("o_totalprice") > 100000).withColumn("split", lit("high"))
+    val low = orders.filter(col("o_totalprice") <= 100000).withColumn("split", lit("low"))
+    Merge.unionSplits(Seq(high, low))
+      .groupBy("split", "o_orderstatus")
+      .agg(count(lit(1)).as("n"), dec(sum("o_totalprice")).as("total"))
+      .orderBy("split", "o_orderstatus")
+  }
+
+  val q09Sql: String =
+    """SELECT split, o_orderstatus, COUNT(*) AS n,
+      |       CAST(ROUND(SUM(o_totalprice), 2) AS DECIMAL(38,2)) AS total
+      |FROM (
+      |  SELECT o_orderstatus, o_totalprice, 'high' AS split FROM orders WHERE o_totalprice > 100000
+      |  UNION ALL
+      |  SELECT o_orderstatus, o_totalprice, 'low' AS split FROM orders WHERE o_totalprice <= 100000) u
+      |GROUP BY split, o_orderstatus
+      |ORDER BY split, o_orderstatus""".stripMargin
+
+  /** #11: type casts, boolean mapping, safe parses (events table). */
+  def q10TypeCasts: Q = (spark, dir) =>
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        col("ts").cast(DateType).as("event_date"),
+        round(col("value") * 100, 0).cast(LongType).as("value_cents"),
+        col("event_type").isin("purchase", "signup").as("is_conversion"),
+        regexp_extract(col("props"), """(\d+)""", 1).cast(LongType).as("k_val"))
+      .orderBy("event_id")
+
+  val q10Sql: String =
+    """SELECT event_id,
+      |       CAST(ts AS DATE) AS event_date,
+      |       CAST(ROUND(value * 100, 0) AS BIGINT) AS value_cents,
+      |       event_type IN ('purchase', 'signup') AS is_conversion,
+      |       CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT) AS k_val
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  /** #12: conditional masked update (when/otherwise). */
+  def q11ConditionalUpdate: Q = (spark, dir) =>
+    Impute.conditionalCopy(
+        Tables.part(spark, dir),
+        col("p_type") === "PROMO" && col("p_size") > 25,
+        "p_brand", lit("Brand#PREMIUM"))
+      .select(col("p_partkey"), col("p_brand").as("brand_updated"))
+      .orderBy("p_partkey")
+
+  val q11Sql: String =
+    """SELECT p_partkey,
+      |       CASE WHEN p_type = 'PROMO' AND p_size > 25
+      |            THEN 'Brand#PREMIUM' ELSE p_brand END AS brand_updated
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
+  /** #13: window functions — rank + running total per customer. */
+  def q12WindowRank: Q = (spark, dir) => {
+    val byPrice = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val byDate = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        rank().over(byPrice).as("price_rank"),
+        dec(sum("o_totalprice").over(byDate)).as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q12Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |       RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+      |       CAST(ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DECIMAL(38,2)) AS running_total
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** #14: pivot with pre-listed values (single pass, no value scan). */
+  private val EventTypes = Seq("click", "view", "purchase", "signup", "error")
+
+  def q13PivotAgg: Q = (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0, EventTypes)
+      .orderBy("user_id")
+
+  val q13Sql: String =
+    """SELECT user_id,
+      |       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      |       COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+      |       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |       COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |       COUNT(*) FILTER (WHERE event_type = 'error') AS error
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** #15: tumbling time-window aggregation (batch analog of the
+    * streaming pipeline; same plan shape as the watermark path). */
+  def q14TimeWindowAgg: Q = (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dec(sum("value")).as("total_value"))
+      .select(col("w.start").as("hour_ts"), col("event_type"), col("n_events"), col("total_value"))
+      .orderBy("hour_ts", "event_type")
+
+  val q14Sql: String =
+    """SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+      |       COUNT(*) AS n_events,
+      |       CAST(ROUND(SUM(value), 2) AS DECIMAL(38,2)) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour_ts, event_type""".stripMargin
+
+  /** #16: rollup with ALL sentinel rows.
+    *
+    * The rollup stage goes through SQL-string resolution: `rollup()`'s
+    * Expand duplicates join-side attrs, which false-positives Spark's
+    * ambiguous-self-join check when the grouping columns are
+    * referenced as Dataset columns (dataset-id tags survive aliasing).
+    * SQL text resolves by name, sidestepping the tag, and plans to the
+    * identical Expand + Aggregate.
+    */
+  def q15Rollup: Q = (spark, dir) => {
+    val cust = Tables.customer(spark, dir)
+    val nat = broadcast(Tables.nation(spark, dir))
+    val reg = broadcast(Tables.region(spark, dir))
+    cust
+      .join(nat, cust("c_nationkey") === nat("n_nationkey"))
+      .join(reg, nat("n_regionkey") === reg("r_regionkey"))
+      .select(col("r_name").as("rname"), col("n_name").as("nname"), col("c_acctbal"))
+      .createOrReplaceTempView("graft_q15_src")
+    spark.sql(
+      """SELECT COALESCE(rname, 'ALL') AS r_name_g,
+        |       COALESCE(nname, 'ALL') AS n_name_g,
+        |       COUNT(*) AS n_cust,
+        |       CAST(ROUND(SUM(c_acctbal), 2) AS DECIMAL(38,2)) AS acctbal
+        |FROM graft_q15_src
+        |GROUP BY ROLLUP(rname, nname)
+        |ORDER BY r_name_g, n_name_g""".stripMargin)
+  }
+
+  val q15Sql: String =
+    """SELECT COALESCE(r_name, 'ALL') AS r_name_g,
+      |       COALESCE(n_name, 'ALL') AS n_name_g,
+      |       COUNT(*) AS n_cust,
+      |       CAST(ROUND(SUM(c_acctbal), 2) AS DECIMAL(38,2)) AS acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY r_name_g, n_name_g""".stripMargin
+
+  /** #17: two-stage flexible join — exact name match against a catalog
+    * subset, prefix (first-token) fallback, then priority coalesce.
+    * Mirrors the reference's exact-then-partial artist/track matching
+    * without any driver-side loop. */
+  def q16FlexJoin: Q = (spark, dir) => {
+    val part = Tables.part(spark, dir)
+    val catalogSrc = part.filter(col("p_size") > 25)
+    val exactCat = Dedup.topPerKey(catalogSrc, Seq("p_name"),
+        Seq(col("p_retailprice").desc, col("p_partkey").asc))
+      .select(col("p_name").as("cat_name"), col("p_partkey").as("cid"))
+    val fuzzyCat = Dedup.topPerKey(
+        catalogSrc.withColumn("fw", TextNorm.firstToken(col("p_name"))),
+        Seq("fw"), Seq(col("p_retailprice").desc, col("p_partkey").asc))
+      .select(col("fw").as("cat_fw"), col("p_partkey").as("cid"))
+    val requests = part.select(col("p_partkey"), col("p_name"),
+      TextNorm.firstToken(col("p_name")).as("fw"))
+    val joined = Merge.twoStageJoin(
+      requests, exactCat, ("p_name", "cat_name"), fuzzyCat, ("fw", "cat_fw"))
+    joined
+      .select(col("p_partkey"),
+              coalesce(col("cid_exact"), col("cid_fuzzy"), lit(-1L)).as("canonical_id"),
+              when(col("cid_exact").isNotNull, "exact")
+                .when(col("cid_fuzzy").isNotNull, "prefix")
+                .otherwise("none").as("match_kind"))
+      .orderBy("p_partkey")
+  }
+
+  val q16Sql: String =
+    """WITH catalog AS (SELECT * FROM part WHERE p_size > 25),
+      |exact_cat AS (
+      |  SELECT p_name AS cat_name, p_partkey AS cid FROM (
+      |    SELECT p_name, p_partkey,
+      |           ROW_NUMBER() OVER (PARTITION BY p_name ORDER BY p_retailprice DESC, p_partkey) AS rn
+      |    FROM catalog) t WHERE rn = 1),
+      |fuzzy_cat AS (
+      |  SELECT fw AS cat_fw, cid FROM (
+      |    SELECT regexp_extract(p_name, '^(\S+)', 1) AS fw, p_partkey AS cid,
+      |           ROW_NUMBER() OVER (PARTITION BY regexp_extract(p_name, '^(\S+)', 1)
+      |                              ORDER BY p_retailprice DESC, p_partkey) AS rn
+      |    FROM catalog) t WHERE rn = 1)
+      |SELECT p.p_partkey,
+      |       COALESCE(e.cid, f.cid, -1) AS canonical_id,
+      |       CASE WHEN e.cid IS NOT NULL THEN 'exact'
+      |            WHEN f.cid IS NOT NULL THEN 'prefix'
+      |            ELSE 'none' END AS match_kind
+      |FROM part p
+      |LEFT JOIN exact_cat e ON p.p_name = e.cat_name
+      |LEFT JOIN fuzzy_cat f ON regexp_extract(p.p_name, '^(\S+)', 1) = f.cat_fw
+      |ORDER BY p.p_partkey""".stripMargin
+
+  /** #18: flagship — the whole reference DAG re-expressed on the
+    * documents corpus: normalize → fingerprint → dedup-top-per-key →
+    * mode-imputation via broadcast lookup → split/union → quality →
+    * final aggregate. See also [[graft.etl.Pipeline]]. */
+  def q17EtlPipeline: Q = (spark, dir) =>
+    Pipeline.run(Tables.documents(spark, dir))
+
+  val q17Sql: String = Pipeline.oracleSql
+
+  val queries: Seq[(String, Q)] = Seq(
+    "q01_filter_project" -> q01FilterProject,
+    "q02_agg_pricing" -> q02AggPricing,
+    "q03_join_enrich" -> q03JoinEnrich,
+    "q04_drop_columns" -> q04DropColumns,
+    "q05_null_standardize" -> q05NullStandardize,
+    "q06_normalize_text" -> q06NormalizeText,
+    "q07_dedup_top_per_key" -> q07DedupTopPerKey,
+    "q08_impute_join" -> q08ImputeJoin,
+    "q09_union_concat" -> q09UnionConcat,
+    "q10_type_casts" -> q10TypeCasts,
+    "q11_conditional_update" -> q11ConditionalUpdate,
+    "q12_window_rank" -> q12WindowRank,
+    "q13_pivot_agg" -> q13PivotAgg,
+    "q14_time_window_agg" -> q14TimeWindowAgg,
+    "q15_rollup" -> q15Rollup,
+    "q16_flex_join" -> q16FlexJoin,
+    "q17_etl_pipeline" -> q17EtlPipeline)
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q01_filter_project" -> q01Sql,
+    "q02_agg_pricing" -> q02Sql,
+    "q03_join_enrich" -> q03Sql,
+    "q04_drop_columns" -> q04Sql,
+    "q05_null_standardize" -> q05Sql,
+    "q06_normalize_text" -> q06Sql,
+    "q07_dedup_top_per_key" -> q07Sql,
+    "q08_impute_join" -> q08Sql,
+    "q09_union_concat" -> q09Sql,
+    "q10_type_casts" -> q10Sql,
+    "q11_conditional_update" -> q11Sql,
+    "q12_window_rank" -> q12Sql,
+    "q13_pivot_agg" -> q13Sql,
+    "q14_time_window_agg" -> q14Sql,
+    "q15_rollup" -> q15Sql,
+    "q16_flex_join" -> q16Sql,
+    "q17_etl_pipeline" -> q17Sql)
+}
