@@ -1,0 +1,298 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{MinHash, SimHash}
+import graft.etl.TextNorm
+import graft.functions.VectorFunctions._
+import graft.multimodal.Binary
+import graft.sim.Ann
+import graft.text.TextFunctions._
+
+/** LLM-training-data pipeline queries (SURVEY.md §2 #21–#32).
+  *
+  * d02/d03/s02 are hash-family-specific (no cross-engine SQL oracle —
+  * rows-only check + ScalaTest specs); everything else is
+  * DuckDB-checkable with integer/exact outputs.
+  */
+object LlmQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val MinHashK = 64
+  private val MinHashBands = 16
+  private val MinHashSeed = 0x5eedL
+
+  private def normedDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("text_norm", TextNorm.normalizeText(col("text")))
+
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    normedDocs(spark, dir)
+      .withColumn("sh", MinHash.shingleHashes(col("text_norm"), 3))
+
+  /** #21: exact dedup — group on a digest of the full text so the
+    * shuffle key is 16 bytes, not the document body. */
+  def d01DedupExact: Q = (spark, dir) =>
+    etl.Dedup.exactGroups(Tables.documents(spark, dir), md5(col("text")), col("doc_id"))
+      .orderBy("dup_key")
+
+  val d01Sql: String =
+    """SELECT md5(text) AS dup_key, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+      |FROM documents GROUP BY 1 ORDER BY dup_key""".stripMargin
+
+  /** #22: MinHash+LSH near-dup candidates, signature-verified
+    * (estimated jaccard ≥ 0.7). Rows-only oracle. */
+  def d02MinHashLsh: Q = (spark, dir) => {
+    // repartition barrier: candidate generation + both verification
+    // joins reuse one materialized signature exchange
+    val sigs = shingled(spark, dir)
+      .select(col("doc_id"), MinHash.signature(col("sh"), MinHashK, MinHashSeed).as("sig"))
+      .repartition(col("doc_id"))
+    val cand = MinHash.candidatePairs(sigs, "doc_id", "sig", MinHashBands, MinHashK)
+    val s1 = sigs.toDF("id1", "sig1")
+    val s2 = sigs.toDF("id2", "sig2")
+    cand.join(s1, "id1").join(s2, "id2")
+      .withColumn("matches", MinHash.sigMatches(col("sig1"), col("sig2")))
+      .filter(col("matches") * 10 >= MinHashK * 7)
+      .select("id1", "id2", "matches")
+      .orderBy("id1", "id2")
+  }
+
+  /** #23: SimHash near-dup (hamming ≤ 3 over 64-bit signatures,
+    * complete via 4-band pigeonhole). Rows-only oracle. */
+  def d03SimHash: Q = (spark, dir) => {
+    val sigs = shingled(spark, dir)
+      .select(col("doc_id"), SimHash.simhash(col("sh")).as("sig"))
+    SimHash.nearDupPairs(sigs, "doc_id", "sig", nBands = 4, maxHamming = 3)
+      .orderBy("id1", "id2")
+  }
+
+  /** #24: exact n-gram Jaccard within (lang, length-band) blocks.
+    * Integer (intersection, union) outputs + integer threshold
+    * compare (inter·2 ≥ union ⇔ J ≥ 0.5) — no float ambiguity. */
+  def d04NgramJaccard: Q = (spark, dir) => {
+    // shingle sets as 64-bit fingerprints (1:1 with the oracle's
+    // string shingles — each is a hash of the same contiguous byte
+    // range), so |∩| and |∪| are identical while the pair-join
+    // compares longs instead of building strings through interpreted
+    // lambdas. Barrier → sets materialize once.
+    val withSet = normedDocs(spark, dir)
+      .select(col("doc_id"), col("lang"), expr("n_chars DIV 50").as("blk"),
+        array_distinct(MinHash.shingleHashes(col("text_norm"), 3)).as("s"))
+      .repartition(col("doc_id"))
+    val a = withSet.toDF("doc_id1", "lang1", "blk1", "s1")
+    val b = withSet.toDF("doc_id2", "lang2", "blk2", "s2")
+    a.join(b,
+        col("lang1") === col("lang2") && col("blk1") === col("blk2") &&
+        col("doc_id1") < col("doc_id2"))
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+      .withColumn("uni", (size(col("s1")) + size(col("s2"))).cast("long") - col("inter"))
+      .filter(col("inter") > 0 && col("inter") * 2 >= col("uni"))
+      .select("doc_id1", "doc_id2", "inter", "uni")
+      .orderBy("doc_id1", "doc_id2")
+  }
+
+  val d04Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, n_chars,
+      |         string_split(regexp_replace(regexp_replace(trim(lower(text)), '\s*(feat\.|featuring|ft\.|&|and)\s*', ';', 'g'), '\s+', ' ', 'g'), ' ') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, lang, n_chars // 50 AS blk,
+      |         CASE WHEN len(w) >= 3
+      |              THEN list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |              ELSE list_distinct([array_to_string(w, ' ')]) END AS s
+      |  FROM toks)
+      |SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+      |       CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+      |       CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT) AS uni
+      |FROM sh a JOIN sh b
+      |  ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.s, b.s)) > 0
+      |  AND len(list_intersect(a.s, b.s)) * 2 >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+      |ORDER BY doc_id1, doc_id2""".stripMargin
+
+  /** #25: embedding cosine near-dup within label blocks. τ = 0.44 is
+    * chosen inside a measured gap of the same-label cosine
+    * distribution (…0.4124 ↔ 0.4720…), so engine float noise (~1e-15)
+    * cannot flip membership. */
+  def d05EmbedNearDup: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val a = e.toDF("id1", "label1", "v1", "nrm1")
+    val b = e.toDF("id2", "label2", "v2", "nrm2")
+    a.join(b, col("label1") === col("label2") && col("id1") < col("id2"))
+      .filter(cosinePrenormed(dot(col("v1"), col("v2")), col("nrm1"), col("nrm2")) >= 0.44)
+      .select(col("id1"), col("id2"), col("label1").as("label"))
+      .orderBy("id1", "id2")
+  }
+
+  val d05Sql: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT a.vec_id AS id1, b.vec_id AS id2, a.label AS label
+      |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.v, b.v) >= 0.44
+      |ORDER BY id1, id2""".stripMargin
+
+  /** #26: brute-force cosine top-k ANN (8 query vectors × corpus). */
+  def s01AnnBruteForce: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
+    Ann.bruteForceTopK(e, e.filter(col("id") < 8), k = 10)
+      .orderBy("qid", "rank")
+  }
+
+  val s01Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT qid, vec_id AS neighbor_id,
+      |         ROW_NUMBER() OVER (PARTITION BY qid
+      |                            ORDER BY list_cosine_similarity(qv, v) DESC, vec_id) AS rank
+      |  FROM q CROSS JOIN e WHERE vec_id <> qid)
+      |SELECT qid, rank, neighbor_id FROM scored WHERE rank <= 10
+      |ORDER BY qid, rank""".stripMargin
+
+  /** #27: LSH-bucketed ANN (scale path; recall-bounded). Rows-only. */
+  def s02AnnLsh: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
+    Ann.lshTopK(e, e.filter(col("id") < 8), k = 10, nBits = 6, dim = 64, seed = 7L)
+      .orderBy("qid", "rank")
+  }
+
+  /** #28: language ID via marker-word scores. */
+  def t01LangId: Q = (spark, dir) => {
+    val scored = Tables.documents(spark, dir)
+      .select(Seq(col("doc_id"), col("lang")) ++ langScores(col("text")): _*)
+    val scores = LangMarkers.map { case (l, _) => col(s"s_$l") }
+    scored
+      .withColumn("pred_lang", predictedLang(scores))
+      .withColumn("lang_match", col("pred_lang") === col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val t01Sql: String =
+    """WITH s AS (
+      |  SELECT doc_id, lang,
+      |         CAST(len(regexp_extract_all(text, '\b(the|of|with|for)\b')) AS BIGINT) AS s_en,
+      |         CAST(len(regexp_extract_all(text, '\b(el|la|de|los|que)\b')) AS BIGINT) AS s_es,
+      |         CAST(len(regexp_extract_all(text, '\b(le|les|des|et|un)\b')) AS BIGINT) AS s_fr,
+      |         CAST(len(regexp_extract_all(text, '\b(der|die|und|das|ein)\b')) AS BIGINT) AS s_de
+      |  FROM documents),
+      |p AS (
+      |  SELECT *,
+      |         CASE WHEN s_en = 0 AND s_es = 0 AND s_fr = 0 AND s_de = 0 THEN 'und'
+      |              WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+      |              WHEN s_es >= s_en AND s_es >= s_fr AND s_es >= s_de THEN 'es'
+      |              WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+      |              WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+      |              ELSE 'und' END AS pred_lang
+      |  FROM s)
+      |SELECT doc_id, lang, s_en, s_es, s_fr, s_de, pred_lang,
+      |       pred_lang = lang AS lang_match
+      |FROM p ORDER BY doc_id""".stripMargin
+
+  /** #29: quality scoring — integer components and score. */
+  def t02QualityScore: Q = (spark, dir) =>
+    normedDocs(spark, dir)
+      .select(
+        col("doc_id"),
+        wordTokenCount(col("text_norm")).as("n_tok"),
+        stopwordCount(col("text_norm")).as("n_stop"),
+        length(col("text")).cast("long").as("n_chars_raw"))
+      .withColumn("score_milli", qualityScoreMilli(col("n_tok"), col("n_stop")))
+      .orderBy("doc_id")
+
+  val t02Sql: String =
+    """WITH n AS (
+      |  SELECT doc_id, length(text) AS n_chars_raw,
+      |         regexp_replace(regexp_replace(trim(lower(text)), '\s*(feat\.|featuring|ft\.|&|and)\s*', ';', 'g'), '\s+', ' ', 'g') AS text_norm
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, CAST(n_chars_raw AS BIGINT) AS n_chars_raw,
+      |         CAST(len(regexp_extract_all(text_norm, '[a-z0-9]+')) AS BIGINT) AS n_tok,
+      |         CAST(len(regexp_extract_all(text_norm, '\b(the|a|of|in)\b')) AS BIGINT) AS n_stop
+      |  FROM n)
+      |SELECT doc_id, n_tok, n_stop, n_chars_raw,
+      |       CAST(LEAST(100, n_tok) * 10 + LEAST(100, n_stop) * 5 AS BIGINT) AS score_milli
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  /** #30: token counting (whitespace + word-regex + chars). */
+  def t03TokenCount: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        whitespaceTokenCount(col("text")).as("n_ws"),
+        wordTokenCount(col("text")).as("n_word"),
+        length(col("text")).cast("long").as("n_len"),
+        col("n_chars"))
+      .orderBy("doc_id")
+
+  val t03Sql: String =
+    """SELECT doc_id,
+      |       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws,
+      |       CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_word,
+      |       CAST(length(text) AS BIGINT) AS n_len,
+      |       n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** #31: document fingerprint (md5 of the canonical normalized form;
+    * the codegen'd Fingerprint64 expression is the no-oracle scale
+    * variant, spec-tested + used inside MinHash). */
+  def t04Fingerprint: Q = (spark, dir) =>
+    normedDocs(spark, dir)
+      .select(col("doc_id"), md5(col("text_norm")).as("fp_md5"))
+      .orderBy("doc_id")
+
+  val t04Sql: String =
+    """SELECT doc_id,
+      |       md5(regexp_replace(regexp_replace(trim(lower(text)), '\s*(feat\.|featuring|ft\.|&|and)\s*', ';', 'g'), '\s+', ' ', 'g')) AS fp_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** #32: multimodal binary plumbing with stubbed decode. */
+  def m01MultimodalMeta: Q = (spark, dir) => {
+    val withPayload = Tables.documents(spark, dir)
+      .withColumn("payload", Binary.payloadOf(col("text")))
+    withPayload
+      .select(col("doc_id") +: Binary.stubMetaColumns(col("payload")): _*)
+      .orderBy("doc_id")
+  }
+
+  val m01Sql: String =
+    """SELECT doc_id,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+      |       CAST((octet_length(encode(text)) * 3) % 480 AS BIGINT) AS height,
+      |       CAST(3 AS BIGINT) AS channels
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Seq[(String, Q)] = Seq(
+    "d01_dedup_exact" -> d01DedupExact,
+    "d02_minhash_lsh" -> d02MinHashLsh,
+    "d03_simhash" -> d03SimHash,
+    "d04_ngram_jaccard" -> d04NgramJaccard,
+    "d05_embed_neardup" -> d05EmbedNearDup,
+    "s01_ann_bruteforce" -> s01AnnBruteForce,
+    "s02_ann_lsh" -> s02AnnLsh,
+    "t01_lang_id" -> t01LangId,
+    "t02_quality_score" -> t02QualityScore,
+    "t03_token_count" -> t03TokenCount,
+    "t04_fingerprint" -> t04Fingerprint,
+    "m01_multimodal_meta" -> m01MultimodalMeta)
+
+  /** d02/d03/s02 intentionally absent (rows-only check). */
+  val oracles: Seq[(String, String)] = Seq(
+    "d01_dedup_exact" -> d01Sql,
+    "d04_ngram_jaccard" -> d04Sql,
+    "d05_embed_neardup" -> d05Sql,
+    "s01_ann_bruteforce" -> s01Sql,
+    "t01_lang_id" -> t01Sql,
+    "t02_quality_score" -> t02Sql,
+    "t03_token_count" -> t03Sql,
+    "t04_fingerprint" -> t04Sql,
+    "m01_multimodal_meta" -> m01Sql)
+}

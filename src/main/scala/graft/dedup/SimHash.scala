@@ -1,0 +1,103 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SimHash near-duplicate detection (SURVEY.md §2 #23).
+  *
+  * Each document folds its shingle hashes into a single 64-bit
+  * signature (bit j = sign of Σ ±1 over shingles); near-dups have
+  * small Hamming distance. Candidate generation uses the pigeonhole
+  * principle: split the signature into `nBands` chunks — any pair
+  * within Hamming distance `nBands - 1` shares at least one exact
+  * chunk, so an equi-join on (chunk index, chunk value) finds all
+  * such pairs without O(n²) comparison. Verification is
+  * `bit_count(sig1 ^ sig2)`, codegen'd.
+  */
+object SimHash {
+
+  case class SimHash64(child: Expression)
+      extends UnaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint>, got ${other.catalogString}")
+    }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash64"
+
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(SimHash.simhashOf(input.asInstanceOf[ArrayData]))
+
+    /** Full codegen via a static helper — keeps the surrounding
+      * projection in whole-stage codegen (see MinHashSignature). */
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.dedup.SimHash.simhashOf($c)")
+
+    override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+      copy(child = newChild)
+  }
+
+  /** Hot loop; referenced from generated code — keep public/static. */
+  def simhashOf(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val counts = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val v = arr.getLong(j)
+      var b = 0
+      while (b < 64) {
+        if (((v >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  def simhash(shingleHashes: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(shingleHashes)))
+
+  /** Near-dup pairs with Hamming distance ≤ maxHamming, via chunk
+    * banding (guaranteed complete for maxHamming ≤ nBands - 1). */
+  def nearDupPairs(sigs: DataFrame, idCol: String, sigCol: String,
+                   nBands: Int, maxHamming: Int): DataFrame = {
+    val width = 64 / nBands
+    val mask = (1L << width) - 1
+    // materialization barrier: both self-join sides canonicalize to
+    // the same exchange, so ReuseExchange computes the signatures
+    // exactly once instead of once per side
+    val mat = sigs.repartition(col(idCol))
+    val chunkArr = array((0 until nBands).map(j =>
+      shiftrightunsigned(col(sigCol), j * width).bitwiseAND(lit(mask))): _*)
+    val chunks = mat.select(
+        col(idCol), col(sigCol),
+        posexplode(chunkArr).as(Seq("chunk", "cv")))
+    val c1 = chunks.toDF("id1", "sig1", "chunk1", "cv1")
+    val c2 = chunks.toDF("id2", "sig2", "chunk2", "cv2")
+    c1.join(c2,
+        col("chunk1") === col("chunk2") && col("cv1") === col("cv2") &&
+        col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        expr("bit_count(sig1 ^ sig2)").cast(LongType).as("hamming"))
+      // hamming filter BEFORE distinct: bit_count is codegen'd and
+      // discards the (potentially huge) far-pair candidate mass
+      // before the distinct's shuffle — on saturated-signature
+      // corpora this is a >10× difference
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+}

@@ -1,0 +1,75 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (SURVEY.md §2 #26–27).
+  *
+  * Brute force is the baseline: the (small) query set broadcasts and
+  * every corpus partition scores locally — one pass over the corpus,
+  * no shuffle of vectors, then a top-k window shuffled only on the
+  * tiny (query, score) pairs.
+  *
+  * The scale path buckets the corpus by random-hyperplane signs
+  * (seeded, deterministic): each query only scores its own bucket —
+  * corpus-partition-local compare, recall traded for a ~2^bits
+  * speedup. (Multi-probe = union over neighboring buckets; add probes
+  * rather than shrinking bits to tune recall.)
+  */
+object Ann {
+
+  /** Exact top-k by cosine for each query vector.
+    * `queries`/`corpus`: (id, vec: array<double>) with `vec` already
+    * cast via [[VectorFunctions.toDouble]]. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
+      .withColumn("cnrm", norm(col("cvec")))
+    val q = queries.select(col("id").as("qid"), col("vec").as("qvec"))
+      .withColumn("qnrm", norm(col("qvec")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("qid"))
+      .withColumn("sim", cosinePrenormed(dot(col("qvec"), col("cvec")), col("qnrm"), col("cnrm")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+  }
+
+  /** Deterministic random hyperplanes: `nBits` × `dim`, seeded. */
+  def hyperplanes(nBits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bucket id of a vector under the given hyperplanes (binary
+    * fold: bucket = Σ bit_i · 2^i via acc·2 + bit). */
+  def bucketId(vec: org.apache.spark.sql.Column, planes: Seq[Seq[Double]]): org.apache.spark.sql.Column = {
+    val planesLit = typedlit(planes)
+    aggregate(
+      sequence(lit(0), lit(planes.size - 1)),
+      lit(0L),
+      (acc, i) => acc * 2 + when(dot(vec, element_at(planesLit, i + 1)) > 0, 1L).otherwise(0L))
+  }
+
+  /** LSH-bucketed ANN: score only within the query's bucket. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nBits: Int, dim: Int, seed: Long): DataFrame = {
+    val planes = hyperplanes(nBits, dim, seed)
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
+      .withColumn("bkt", bucketId(col("cvec"), planes))
+      .withColumn("cnrm", norm(col("cvec")))
+    val q = queries.select(col("id").as("qid"), col("vec").as("qvec"))
+      .withColumn("qbkt", bucketId(col("qvec"), planes))
+      .withColumn("qnrm", norm(col("qvec")))
+    val scored = c.join(broadcast(q), col("bkt") === col("qbkt") && col("neighbor_id") =!= col("qid"))
+      .withColumn("sim", cosinePrenormed(dot(col("qvec"), col("cvec")), col("qnrm"), col("cnrm")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions._
+import graft.sim.Ann
+
+class AnnSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def emb = Tables.embeddings(spark, TestSpark.Sf)
+    .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
+
+  test("brute-force top-k returns k ranked neighbors per query") {
+    val r = Ann.bruteForceTopK(emb, emb.filter(col("id") < 4), k = 5)
+      .groupBy("qid").agg(count(lit(1)).as("n"), max("rank").as("mx"))
+      .as[(Long, Long, Long)].collect()
+    assert(r.length == 4 && r.forall(t => t._2 == 5 && t._3 == 5))
+  }
+
+  test("brute-force rank-1 neighbor is the true nearest (vs local compute)") {
+    val vecs = emb.as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val top1 = Ann.bruteForceTopK(emb, emb.filter(col("id") === 0), k = 1)
+      .select("neighbor_id").as[Long].head()
+    val expected = vecs.removed(0L).maxBy { case (_, v) => cos(vecs(0L), v) }._1
+    assert(top1 == expected)
+  }
+
+  test("LSH ANN results are true neighbors from the same bucket (subset sanity)") {
+    val brute = Ann.bruteForceTopK(emb, emb.filter(col("id") < 8), k = 10)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    // 16 buckets on a 500-vector corpus → ~30 candidates per query
+    val lsh = Ann.lshTopK(emb, emb.filter(col("id") < 8), k = 10, nBits = 4, dim = 64, seed = 7L)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(lsh.nonEmpty)
+    // recall is bounded but must be nonzero on a 500-vector corpus
+    assert(lsh.intersect(brute).nonEmpty)
+  }
+
+  test("bucketId is deterministic across evaluations") {
+    val planes = Ann.hyperplanes(8, 64, 7L)
+    val a = emb.select(Ann.bucketId(col("vec"), planes)).as[Long].collect()
+    val b = emb.select(Ann.bucketId(col("vec"), planes)).as[Long].collect()
+    assert(a.toSeq == b.toSeq && a.toSet.size > 1)
+  }
+}

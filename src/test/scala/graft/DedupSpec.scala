@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.{MinHash, SimHash}
+import graft.etl.TextNorm
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** doc pairs with exact-jaccard ≥ 0.5 at sf0.001 — ground truth from
+    * the d04 oracle-checked query (planted near-duplicates). */
+  private lazy val groundTruth: Set[(Long, Long)] =
+    LlmQueries.d04NgramJaccard(spark, TestSpark.Sf)
+      .select("doc_id1", "doc_id2").as[(Long, Long)].collect().toSet
+
+  /** the strongly-similar subset (jaccard ≥ 0.9) — what simhash at
+    * hamming ≤ 3 is designed to catch. */
+  private lazy val strongTruth: Set[(Long, Long)] =
+    LlmQueries.d04NgramJaccard(spark, TestSpark.Sf)
+      .filter(col("inter") * 10 >= col("uni") * 9)
+      .select("doc_id1", "doc_id2").as[(Long, Long)].collect().toSet
+
+  private def sigs = {
+    val docs = Tables.documents(spark, TestSpark.Sf)
+      .withColumn("text_norm", TextNorm.normalizeText(col("text")))
+      .withColumn("sh", MinHash.shingleHashes(col("text_norm"), 3))
+    docs.select(col("doc_id"), MinHash.signature(col("sh"), 64, 0x5eedL).as("sig"),
+      SimHash.simhash(col("sh")).as("ssig"))
+  }
+
+  test("MinHash signature is deterministic and k-long") {
+    val two = sigs.limit(1).select("sig").as[Seq[Long]].collect()
+    val again = sigs.limit(1).select("sig").as[Seq[Long]].collect()
+    assert(two.head.length == 64 && two.head == again.head)
+  }
+
+  test("MinHash+LSH finds the planted near-duplicates (high recall)") {
+    assert(groundTruth.nonEmpty, "expected planted near-dups in testdata")
+    val found = LlmQueries.d02MinHashLsh(spark, TestSpark.Sf)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val recall = groundTruth.count(found).toDouble / groundTruth.size
+    assert(recall >= 0.9, s"recall $recall; truth=$groundTruth found=$found")
+  }
+
+  test("SimHash banding is complete: banded pairs == brute-force pairs at hamming ≤ 3") {
+    val pairs = SimHash.nearDupPairs(sigs.select("doc_id", "ssig"), "doc_id", "ssig", 4, 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.nonEmpty)
+    assert(strongTruth.nonEmpty)
+    // pigeonhole guarantee: any pair at hamming ≤ nBands-1 shares a
+    // chunk, so the banded join must find EXACTLY the brute-force set.
+    // (statistical recall of jaccard-0.9 pairs at ham ≤ 3 is a property
+    // of simhash itself, not of this implementation — on this
+    // low-margin word-salad corpus it is ~50%; minhash covers the rest)
+    val all = sigs.select("doc_id", "ssig").as[(Long, Long)].collect()
+    val brute = (for {
+      (i1, s1) <- all; (i2, s2) <- all if i1 < i2
+      if java.lang.Long.bitCount(s1 ^ s2) <= 3
+    } yield (i1, i2)).toSet
+    assert(pairs == brute, s"banded=$pairs brute=$brute")
+  }
+
+  test("exactGroups groups duplicate values") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "t")
+    val r = etl.Dedup.exactGroups(df, md5(col("t")), col("id"))
+      .orderBy("keep_id").select("keep_id", "n_dups").as[(Long, Long)].collect()
+    assert(r.toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, IntegerType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl._
+
+class EtlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("TextNorm.normalizeText mirrors the reference semantics") {
+    val df = Seq(
+      "  Drake feat. Rihanna  ",
+      "Simon & Garfunkel",
+      "Hall and Oates",
+      "The   Band" // 'and' inside a word is replaced too — faithful to reference
+    ).toDF("s").select(TextNorm.normalizeText($"s").as("n"))
+    assert(df.as[String].collect().toSeq == Seq(
+      "drake;rihanna", "simon;garfunkel", "hall;oates", "the b;"))
+  }
+
+  test("TextNorm.firstToken extracts the prefix word") {
+    val r = Seq("cold widget", "bolt").toDF("s")
+      .select(TextNorm.firstToken($"s")).as[String].collect()
+    assert(r.toSeq == Seq("cold", "bolt"))
+  }
+
+  test("Cleaning.standardize maps empty and null to sentinel") {
+    val r = Seq(Some(""), None, Some("x")).toDF("s")
+      .select(Cleaning.standardize($"s")).as[String].collect()
+    assert(r.toSeq == Seq("N/A", "N/A", "x"))
+  }
+
+  test("Cleaning.parseBool maps true/false strings, else null") {
+    val r = Seq("True", " false ", "yes").toDF("s")
+      .select(Cleaning.parseBool($"s")).collect().map(r => Option(r.get(0)))
+    assert(r.toSeq == Seq(Some(true), Some(false), None))
+  }
+
+  test("Cleaning.safeCast coerces bad values to null (to_datetime errors=coerce)") {
+    val r = Seq("2024-01-01", "not a date").toDF("s")
+      .select(Cleaning.safeCast($"s", DateType)).collect()
+    assert(r(0).get(0) != null && r(1).get(0) == null)
+  }
+
+  test("Dedup.topPerKey keeps exactly the top row per key, deterministically") {
+    val df = Seq((1, "a", 10), (1, "b", 20), (2, "c", 5), (1, "d", 20)).toDF("k", "v", "pop")
+    val r = Dedup.topPerKey(df, Seq("k"), Seq($"pop".desc, $"v".asc))
+      .orderBy("k").as[(Int, String, Int)].collect()
+    assert(r.toSeq == Seq((1, "b", 20), (2, "c", 5))) // ties break on v
+  }
+
+  test("Impute.fromLookup fills nulls from lookup with fallback") {
+    val df = Seq((1, None: Option[String]), (2, Some("kept")), (3, None)).toDF("id", "v")
+    val lk = Seq((1, "looked")).toDF("lid", "lv")
+    val r = Impute.fromLookup(df, lk, "id", "lid", "v", "lv", Some("Unknown"))
+      .orderBy("id").select("v").as[String].collect()
+    assert(r.toSeq == Seq("looked", "kept", "Unknown"))
+  }
+
+  test("Merge.unionSplits is pd.concat by name") {
+    val a = Seq((1, "x")).toDF("id", "v")
+    val b = Seq(("y", 2)).toDF("v", "id") // shuffled column order
+    val r = Merge.unionSplits(Seq(a, b)).orderBy("id").as[(Int, String)].collect()
+    assert(r.toSeq == Seq((1, "x"), (2, "y")))
+  }
+
+  test("flagship pipeline produces per-source aggregates") {
+    val out = Pipeline.run(Tables.documents(spark, TestSpark.Sf)).collect()
+    assert(out.length > 10)
+    assert(out.map(_.getAs[Long]("n_docs")).sum == 500L)
+  }
+}

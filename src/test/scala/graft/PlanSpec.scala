@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the properties that make these operators
+  * hold at 100 TB (pushdown, pruning, broadcast, partial aggregation)
+  * are checked structurally, not just by result. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.Sf
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01 pushes filters and prunes columns into the parquet scan") {
+    val p = planOf("q01_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull(l_shipdate)") || p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    // pruned read schema: none of the dropped columns appear in ReadSchema
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_tax"), readSchema)
+  }
+
+  test("q03 broadcasts the dimension tables") {
+    val p = planOf("q03_join_enrich")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q02 does partial (map-side) aggregation") {
+    val p = planOf("q02_agg_pricing")
+    // two HashAggregates with a partial_* pass before the exchange
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q07 dedup is a single shuffle on the dedup key, not a global sort") {
+    val p = planOf("q07_dedup_top_per_key")
+    assert(p.contains("hashpartitioning(l_partkey"), p)
+  }
+
+  test("d01 shuffles the 16-byte digest, not document text") {
+    val p = planOf("d01_dedup_exact")
+    assert(p.contains("md5"), p)
+    // exchange happens on the digest (aliased `_groupingexpression` by
+    // Catalyst), never on the text column
+    val exchangeLine = p.linesIterator.find(_.contains("Exchange hashpartitioning")).getOrElse("")
+    assert(exchangeLine.contains("_groupingexpression") || exchangeLine.contains("dup_key"), p)
+    assert(!exchangeLine.contains("text#"), p)
+  }
+
+  test("s01 broadcasts the query set (no corpus shuffle for scoring)") {
+    val p = planOf("s01_ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStream
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming windowed agg matches the batch q14 shape and values") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+
+    val query = EventStream.windowedAgg(events)
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:10:00"), "click", 1.0),
+        (ts("2024-01-01 00:20:00"), "click", 2.0),
+        (ts("2024-01-01 00:30:00"), "view", 5.0),
+        (ts("2024-01-01 01:10:00"), "click", 4.0))
+      query.processAllAvailable()
+
+      val out = spark.table("win_agg")
+        .orderBy("hour_ts", "event_type")
+        .select($"hour_ts".cast("string"), $"event_type", $"n_events", $"total_value")
+        .as[(String, String, Long, Double)].collect().toSeq
+      assert(out == Seq(
+        ("2024-01-01 00:00:00", "click", 2L, 3.0),
+        ("2024-01-01 00:00:00", "view", 1L, 5.0),
+        ("2024-01-01 01:00:00", "click", 1L, 4.0)))
+
+      // batch parity: same function over a batch frame gives same rows
+      val batch = EventStream.windowedAgg(
+        Seq(
+          (ts("2024-01-01 00:10:00"), "click", 1.0),
+          (ts("2024-01-01 00:20:00"), "click", 2.0),
+          (ts("2024-01-01 00:30:00"), "view", 5.0),
+          (ts("2024-01-01 01:10:00"), "click", 4.0)).toDF("ts", "event_type", "value"))
+        .orderBy("hour_ts", "event_type")
+        .select($"hour_ts".cast("string"), $"event_type", $"n_events", $"total_value")
+        .as[(String, String, Long, Double)].collect().toSeq
+      assert(batch == out)
+    } finally query.stop()
+  }
+
+  test("late events beyond the watermark are dropped (append mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val query = EventStream.windowedAgg(events, watermark = "30 minutes")
+      .writeStream.format("memory").queryName("late_agg")
+      .outputMode("append").start()
+    try {
+      input.addData((ts("2024-01-01 00:10:00"), "click", 1.0))
+      query.processAllAvailable()
+      // advance event time far past the first window + watermark
+      input.addData((ts("2024-01-01 03:00:00"), "click", 1.0))
+      query.processAllAvailable()
+      // this event is older than the watermark → must be dropped
+      input.addData((ts("2024-01-01 00:15:00"), "click", 100.0))
+      query.processAllAvailable()
+      input.addData((ts("2024-01-01 05:00:00"), "click", 1.0))
+      query.processAllAvailable()
+
+      val firstWindow = spark.table("late_agg")
+        .filter($"hour_ts" === ts("2024-01-01 00:00:00"))
+        .select("n_events").as[Long].collect()
+      assert(firstWindow.toSeq == Seq(1L), "late event must not be counted")
+    } finally query.stop()
+  }
+}
