@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Analytics extensions beyond the reference surface (eda.ipynb-style
+  * summaries + the temporal operators a production events pipeline
+  * needs). All oracle rules of SURVEY.md §6 apply.
+  */
+object AnalyticsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: Column, s: Int = 2): Column =
+    round(c, s).cast(DecimalType(38, s))
+
+  /** #34: describe/summary statistics (eda.ipynb `df.describe()`).
+    * min/max pass through raw; mean/std rounded to decimal. */
+  def q18DescribeStats: Q = (spark, dir) =>
+    Tables.lineitem(spark, dir).agg(
+      count(lit(1)).as("n"),
+      min("l_quantity").as("min_qty"),
+      max("l_quantity").as("max_qty"),
+      dec(avg("l_quantity"), 4).as("mean_qty"),
+      dec(stddev_samp("l_quantity"), 4).as("std_qty"),
+      min("l_extendedprice").as("min_price"),
+      max("l_extendedprice").as("max_price"),
+      dec(avg("l_extendedprice"), 2).as("mean_price"),
+      dec(stddev_samp("l_extendedprice"), 2).as("std_price"))
+
+  val q18Sql: String =
+    """SELECT COUNT(*) AS n,
+      |       MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+      |       CAST(ROUND(AVG(l_quantity), 4) AS DECIMAL(38,4)) AS mean_qty,
+      |       CAST(ROUND(STDDEV_SAMP(l_quantity), 4) AS DECIMAL(38,4)) AS std_qty,
+      |       MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+      |       CAST(ROUND(AVG(l_extendedprice), 2) AS DECIMAL(38,2)) AS mean_price,
+      |       CAST(ROUND(STDDEV_SAMP(l_extendedprice), 2) AS DECIMAL(38,2)) AS std_price
+      |FROM lineitem""".stripMargin
+
+  /** #35: as-of join — for each purchase, the nearest prior view by
+    * the same user. Implemented as union + ordered window (one shuffle
+    * on user_id) instead of a range join: at 100 TB a range join
+    * explodes to |purchases|×|views| per user, while this is a single
+    * sort within each user partition. */
+  def q19AsofJoin: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), lit(0).as("kind"), lit(null).cast(LongType).as("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("kind"), col("event_id"))
+    // at equal ts the view sorts first (kind 0 < 1) — matches ASOF's
+    // inclusive `v.ts <= p.ts`
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("kind").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(purchases)
+      .withColumn("prev_view_ts",
+        last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(
+        col("event_id"), col("user_id"),
+        date_trunc("second", col("ts")).cast(TimestampType).as("purchase_s"),
+        date_trunc("second", col("prev_view_ts")).cast(TimestampType).as("prev_view_s"))
+      .orderBy("event_id")
+  }
+
+  val q19Sql: String =
+    """WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+      |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id,
+      |       CAST(date_trunc('second', p.ts) AS TIMESTAMP) AS purchase_s,
+      |       CAST(date_trunc('second', v.ts) AS TIMESTAMP) AS prev_view_s
+      |FROM p ASOF LEFT JOIN v
+      |  ON p.user_id = v.user_id AND v.ts <= p.ts
+      |ORDER BY event_id""".stripMargin
+
+  /** #36: sessionization — 30-minute-gap sessions per user via
+    * lag + cumulative break count (single shuffle on user_id). */
+  def q20Sessionize: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val cum = Window.partitionBy("user_id").orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("is_break",
+        when(col("prev_ts").isNull ||
+             unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("is_break").over(cum))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_trunc("second", min("ts")).cast(TimestampType).as("session_start"),
+        date_trunc("second", max("ts")).cast(TimestampType).as("session_end"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val q20Sql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS is_break
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts,
+      |         CAST(SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM g)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |       CAST(date_trunc('second', MIN(ts)) AS TIMESTAMP) AS session_start,
+      |       CAST(date_trunc('second', MAX(ts)) AS TIMESTAMP) AS session_end
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  /** #37: exact distinct counting per group (the approx_count_distinct
+    * HLL variant is spec-benchmarked; exact is the oracle-checkable
+    * form). */
+  def q21DistinctCount: Q = (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  val q21Sql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val queries: Seq[(String, Q)] = Seq(
+    "q18_describe_stats" -> q18DescribeStats,
+    "q19_asof_join" -> q19AsofJoin,
+    "q20_sessionize" -> q20Sessionize,
+    "q21_distinct_count" -> q21DistinctCount)
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q18_describe_stats" -> q18Sql,
+    "q19_asof_join" -> q19Sql,
+    "q20_sessionize" -> q20Sql,
+    "q21_distinct_count" -> q21Sql)
+}

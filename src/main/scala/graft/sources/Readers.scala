@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source readers mirroring the reference's extract stage
+  * (dags/etl_grammy_spotify.py:38-67: CSV file + SQL table).
+  *
+  * Always pass an explicit schema for CSV at scale: schema inference
+  * is a full extra pass over the data. Parquet/JDBC carry their own
+  * schemas.
+  */
+object Readers {
+
+  /** CSV with explicit schema — no inference pass, malformed rows
+    * dropped to a corrupt-record column rather than failing the job
+    * (PERMISSIVE, the `errors="coerce"` analog). */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+          header: Boolean = true, sep: String = ","): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", header.toString)
+      .option("sep", sep)
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** JDBC reader builder (the `pd.read_sql` analog). `numPartitions` +
+    * bound columns give parallel partitioned reads — a single-threaded
+    * JDBC scan is the #1 ingest bottleneck at scale. No database ships
+    * in this environment, so this builder is spec-tested structurally
+    * and documented as the production path. */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           partitionColumn: Option[(String, Long, Long, Int)] = None,
+           props: Map[String, String] = Map.empty): DataFrameReader = {
+    val base = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+    val withPart = partitionColumn match {
+      case Some((colName, lower, upper, n)) => base
+        .option("partitionColumn", colName)
+        .option("lowerBound", lower.toString)
+        .option("upperBound", upper.toString)
+        .option("numPartitions", n.toString)
+      case None => base
+    }
+    props.foldLeft(withPart) { case (r, (k, v)) => r.option(k, v) }
+  }
+}

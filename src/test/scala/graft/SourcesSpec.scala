@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.Skew
+import graft.sources.{Readers, Writers}
+
+class SourcesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("csv round-trip with explicit schema") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    val df = Seq((1L, "a,b", 1.5), (2L, "plain", 2.5)).toDF("id", "s", "v")
+    Writers.csv(df, s"$dir/out")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType),
+      StructField("v", DoubleType)))
+    val back = Readers.csv(spark, s"$dir/out", schema)
+      .orderBy("id").as[(Long, String, Double)].collect()
+    assert(back.toSeq == Seq((1L, "a,b", 1.5), (2L, "plain", 2.5)))
+  }
+
+  test("partitioned parquet writes partition directories and prunes on read") {
+    val dir = Files.createTempDirectory("graft_pq").toString
+    val df = Tables.orders(spark, TestSpark.Sf)
+    Writers.parquet(df, s"$dir/out", partitionBy = Seq("o_orderstatus"))
+    assert(new java.io.File(s"$dir/out").list().exists(_.startsWith("o_orderstatus=")))
+    val pruned = Readers.parquet(spark, s"$dir/out").filter(col("o_orderstatus") === "F")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"), plan)
+    assert(pruned.count() == df.filter(col("o_orderstatus") === "F").count())
+  }
+
+  test("jdbc reader/writer builders carry partitioning and batching options") {
+    val r = Readers.jdbc(spark, "jdbc:mysql://host:3306/db", "grammy",
+      partitionColumn = Some(("id", 0L, 1000L, 8)))
+    // builder is structural only (no DB here): firing it must fail on
+    // the missing driver, not on option plumbing
+    val err = intercept[Exception](r.load())
+    assert(err.getMessage != null)
+    val w = Writers.jdbc(Seq((1, "x")).toDF("id", "s"), "jdbc:mysql://h/db", "t")
+    val err2 = intercept[Exception](w.save())
+    assert(err2.getMessage != null)
+  }
+
+  test("salted join distributes a skewed key and preserves results") {
+    val facts = Seq.tabulate(1000)(i => (if (i % 10 == 0) "hot" else s"k$i", i))
+      .toDF("key", "v")
+    val dims = Seq(("hot", "H"), ("k1", "A")).toDF("key", "name")
+    val plain = facts.join(dims, Seq("key")).agg(sum("v")).as[Long].head()
+    val salted = Skew.saltedJoin(facts, dims, "key", nSalts = 8)
+      .agg(sum("v")).as[Long].head()
+    val saltedDet = Skew.saltedJoinBy(facts, dims, "key", col("v"), nSalts = 8)
+      .agg(sum("v")).as[Long].head()
+    assert(salted == plain && saltedDet == plain)
+  }
+
+  test("custom expressions are SQL-callable after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT fingerprint64('abc') AS f, simhash64(shingle_fingerprints('a b c d')) AS s")
+      .as[(Long, Long)].head()
+    def fnv(s: String): Long = {
+      var h = 0xcbf29ce484222325L
+      s.getBytes("UTF-8").foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+      h
+    }
+    assert(r._1 == fnv("abc"))
+  }
+}
