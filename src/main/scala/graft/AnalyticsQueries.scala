@@ -130,15 +130,68 @@ object AnalyticsQueries {
     """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** #40: data profiling (eda.ipynb `nunique()` + empty-string counts
+    * + full-row duplicate count) in one pass over orders. */
+  def q22Profile: Q = (spark, dir) =>
+    Tables.orders(spark, dir).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority")).as("n_distinct_rows"),
+      countDistinct("o_custkey").as("nunique_cust"),
+      countDistinct("o_orderstatus").as("nunique_status"),
+      countDistinct("o_orderpriority").as("nunique_priority"),
+      sum(when(col("o_orderstatus") === "", 1L).otherwise(0L)).as("empty_status"))
+
+  val q22Sql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |       COUNT(DISTINCT (o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)) AS n_distinct_rows,
+      |       COUNT(DISTINCT o_custkey) AS nunique_cust,
+      |       COUNT(DISTINCT o_orderstatus) AS nunique_status,
+      |       COUNT(DISTINCT o_orderpriority) AS nunique_priority,
+      |       CAST(SUM(CASE WHEN o_orderstatus = '' THEN 1 ELSE 0 END) AS BIGINT) AS empty_status
+      |FROM orders""".stripMargin
+
+  /** #41: histogram binning (eda.ipynb histplot) — fixed-width bins
+    * as integer bin ids, exact in both engines. */
+  def q23Histogram: Q = (spark, dir) =>
+    Tables.orders(spark, dir)
+      .select(floor(col("o_totalprice") / 20000).cast(LongType).as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bin")
+
+  val q23Sql: String =
+    """SELECT CAST(FLOOR(o_totalprice / 20000) AS BIGINT) AS bin, COUNT(*) AS n
+      |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin
+
+  /** #42: top-N value_counts (eda.ipynb `value_counts().head(10)`) —
+    * global top-10 brands by frequency, deterministic tiebreak. */
+  def q24TopBrands: Q = (spark, dir) =>
+    Tables.part(spark, dir)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("p_brand").asc)
+      .limit(10)
+
+  val q24Sql: String =
+    """SELECT p_brand, COUNT(*) AS n FROM part
+      |GROUP BY p_brand ORDER BY n DESC, p_brand ASC LIMIT 10""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q18_describe_stats" -> q18DescribeStats,
     "q19_asof_join" -> q19AsofJoin,
     "q20_sessionize" -> q20Sessionize,
-    "q21_distinct_count" -> q21DistinctCount)
+    "q21_distinct_count" -> q21DistinctCount,
+    "q22_profile" -> q22Profile,
+    "q23_histogram" -> q23Histogram,
+    "q24_top_brands" -> q24TopBrands)
 
   val oracles: Seq[(String, String)] = Seq(
     "q18_describe_stats" -> q18Sql,
     "q19_asof_join" -> q19Sql,
     "q20_sessionize" -> q20Sql,
-    "q21_distinct_count" -> q21Sql)
+    "q21_distinct_count" -> q21Sql,
+    "q22_profile" -> q22Sql,
+    "q23_histogram" -> q23Sql,
+    "q24_top_brands" -> q24Sql)
 }

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions.{window => timeWindow, _}
+import org.apache.spark.sql.streaming.GroupStateTimeout
 
 /** Structured Streaming events pipeline (SURVEY.md §2 #33): the
   * streaming twin of `q14_time_window_agg`.
@@ -28,7 +29,27 @@ object EventStream {
               col("n_events"), col("total_value"))
   }
 
-  /** Per-user running conversion counts via arbitrary stateful
-    * processing would use `mapGroupsWithState`; the windowed-agg path
-    * above covers the reference's scheduled-batch semantics. */
+  /** Per-user running totals via arbitrary stateful processing
+    * (`mapGroupsWithState`): state is one [[UserAgg]] per user —
+    * bounded by the user population, not the stream length — and
+    * lives in the state store, checkpointed per batch. */
+  def runningUserAgg(events: DataFrame): Dataset[UserRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserAgg, UserRunning](GroupStateTimeout.NoTimeout) {
+        (uid, rows, state) =>
+          val prev = state.getOption.getOrElse(UserAgg(0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          rows.foreach { case (_, v) => n += 1; total += v }
+          val next = UserAgg(n, total)
+          state.update(next)
+          UserRunning(uid, n, total)
+      }
+  }
 }
+
+case class UserAgg(n: Long, total: Double)
+case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
