@@ -82,15 +82,16 @@ object LlmQueries {
       .select(col("doc_id"), col("lang"), expr("n_chars DIV 50").as("blk"),
         array_distinct(MinHash.shingleHashes(col("text_norm"), 3)).as("s"))
       .repartition(col("doc_id"))
-    val a = withSet.toDF("doc_id1", "lang1", "blk1", "s1")
-    val b = withSet.toDF("doc_id2", "lang2", "blk2", "s2")
-    a.join(b,
-        col("lang1") === col("lang2") && col("blk1") === col("blk2") &&
-        col("doc_id1") < col("doc_id2"))
+    // triangle blocking on top of the (lang, length-band) equality keys:
+    // ~40 natural blocks alone cap parallelism at 40 reducers at scale
+    sim.PairBlocks.selfJoinPairs(withSet, "doc_id", Seq("lang", "blk"), Seq("s"), nBlocks = 4)
       .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
       .withColumn("uni", (size(col("s1")) + size(col("s2"))).cast("long") - col("inter"))
       .filter(col("inter") > 0 && col("inter") * 2 >= col("uni"))
-      .select("doc_id1", "doc_id2", "inter", "uni")
+      .select(
+        least(col("doc_id1"), col("doc_id2")).as("doc_id1"),
+        greatest(col("doc_id1"), col("doc_id2")).as("doc_id2"),
+        col("inter"), col("uni"))
       .orderBy("doc_id1", "doc_id2")
   }
 
@@ -122,11 +123,14 @@ object LlmQueries {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val a = e.toDF("id1", "label1", "v1", "nrm1")
-    val b = e.toDF("id2", "label2", "v2", "nrm2")
-    a.join(b, col("label1") === col("label2") && col("id1") < col("id2"))
+    // triangle-blocked self-join: 10 labels alone would shuffle into 10
+    // reducers; 8 hash blocks fan the pair work over 10 × 36 partitions
+    sim.PairBlocks.selfJoinPairs(e, "vec_id", Seq("label"), Seq("v", "nrm"), nBlocks = 8)
       .filter(cosinePrenormed(dot(col("v1"), col("v2")), col("nrm1"), col("nrm2")) >= 0.44)
-      .select(col("id1"), col("id2"), col("label1").as("label"))
+      .select(
+        least(col("vec_id1"), col("vec_id2")).as("id1"),
+        greatest(col("vec_id1"), col("vec_id2")).as("id2"),
+        col("label"))
       .orderBy("id1", "id2")
   }
 
