@@ -168,6 +168,15 @@ object LlmQueries {
       .orderBy("qid", "rank")
   }
 
+  /** #27b: IVF ANN — k-means coarse quantizer, 3-of-8 cells probed.
+    * Rows-only (k-means is iterative float math; no SQL oracle). */
+  def s03AnnIvf: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
+    Ann.ivfTopK(e, e.filter(col("id") < 8), k = 10, nCells = 8, nProbe = 3, seed = 42L)
+      .orderBy("qid", "rank")
+  }
+
   /** #28: language ID via marker-word scores. */
   def t01LangId: Q = (spark, dir) => {
     val scored = Tables.documents(spark, dir)
@@ -282,6 +291,7 @@ object LlmQueries {
     "d05_embed_neardup" -> d05EmbedNearDup,
     "s01_ann_bruteforce" -> s01AnnBruteForce,
     "s02_ann_lsh" -> s02AnnLsh,
+    "s03_ann_ivf" -> s03AnnIvf,
     "t01_lang_id" -> t01LangId,
     "t02_quality_score" -> t02QualityScore,
     "t03_token_count" -> t03TokenCount,

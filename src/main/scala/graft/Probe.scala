@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Scratch main for plan experiments (not part of the library API). */
 object Probe {
@@ -11,25 +10,20 @@ object Probe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
-
-    val docs = Tables.documents(spark, dir)
-    println("docs: " + docs.count())
-
-    import graft.dedup.{MinHash, SimHash}
-    import graft.etl.TextNorm
-    def sigs = docs
-      .withColumn("text_norm", TextNorm.normalizeText(col("text")))
-      .withColumn("sh", MinHash.shingleHashes(col("text_norm"), 3))
-      .select(col("doc_id"), SimHash.simhash(col("sh")).as("ssig"))
-    var t0 = System.nanoTime()
-    println("d03 nocache rows: " + SimHash.nearDupPairs(sigs, "doc_id", "ssig", 4, 3).count())
-    println("d03 nocache sec: " + (System.nanoTime() - t0) / 1e9)
-    t0 = System.nanoTime()
-    println("d03 barrier rows: " + SimHash.nearDupPairs(sigs.repartition(32), "doc_id", "ssig", 4, 3).count())
-    println("d03 barrier sec: " + (System.nanoTime() - t0) / 1e9)
+    val dir = "/root/testdata/sf0.001"
+    for (name <- Seq("q07_dedup_top_per_key", "q17_etl_pipeline", "q19_asof_join", "d02_minhash_lsh")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      val nExchanges = plan.linesIterator.count(_.contains("Exchange "))
+      val wgl = plan.contains("WindowGroupLimit")
+      val bc = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+      println(s"=== $name: exchanges=$nExchanges windowGroupLimit=$wgl broadcastJoins=$bc")
+      plan.linesIterator.filter(l => l.contains("Exchange") || l.contains("Join") || l.contains("Window"))
+        .foreach(l => println("   " + l.trim.take(150)))
+    }
     spark.stop()
   }
 }

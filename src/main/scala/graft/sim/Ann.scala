@@ -55,6 +55,49 @@ object Ann {
       (acc, i) => acc * 2 + when(dot(vec, element_at(planesLit, i + 1)) > 0, 1L).otherwise(0L))
   }
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions
+    * the corpus into `nCells` cells; each query scores only the
+    * `nProbe` nearest cells. Unlike sign-LSH the cells adapt to the
+    * data distribution, which keeps recall stable on clustered
+    * embeddings. Training happens once (seeded, deterministic) and the
+    * cell assignment is a broadcast of `nCells` centroids — the corpus
+    * is scanned once, never shuffled on vectors. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int, nProbe: Int, seed: Long): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val featured = corpus.withColumn("features", array_to_vector(col("vec")))
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
+      .fit(featured)
+    val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
+
+    def nearestCells(vec: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
+      // distance ranking over the (small, literal) centroid set:
+      // sort cell ids by squared distance, take n
+      val cLit = typedlit(centroids)
+      val dists = transform(sequence(lit(0), lit(nCells - 1)), i =>
+        struct(
+          aggregate(zip_with(vec, element_at(cLit, i + 1), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, x) => a + x).as("d"),
+          i.as("cell")))
+      slice(transform(array_sort(dists), s => s.getField("cell")), 1, n)
+    }
+
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
+      .withColumn("cell", element_at(nearestCells(col("cvec"), 1), 1))
+      .withColumn("cnrm", norm(col("cvec")))
+    val q = queries.select(col("id").as("qid"), col("vec").as("qvec"))
+      .withColumn("cell", explode(nearestCells(col("qvec"), nProbe)))
+      .withColumn("qnrm", norm(col("qvec")))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("qid"))
+      .withColumn("sim", cosinePrenormed(dot(col("qvec"), col("cvec")), col("qnrm"), col("cnrm")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+  }
+
   /** LSH-bucketed ANN: score only within the query's bucket. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nBits: Int, dim: Int, seed: Long): DataFrame = {

@@ -43,6 +43,17 @@ class AnnSpec extends AnyFunSuite {
     assert(lsh.intersect(brute).nonEmpty)
   }
 
+  test("IVF ANN recalls most true neighbors with multi-probe") {
+    val brute = Ann.bruteForceTopK(emb, emb.filter(col("id") < 8), k = 10)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Ann.ivfTopK(emb, emb.filter(col("id") < 8), k = 10,
+      nCells = 8, nProbe = 3, seed = 42L)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty)
+    val recall = brute.count(ivf).toDouble / brute.size
+    assert(recall >= 0.3, s"recall $recall") // 3/8 cells probed
+  }
+
   test("bucketId is deterministic across evaluations") {
     val planes = Ann.hyperplanes(8, 64, 7L)
     val a = emb.select(Ann.bucketId(col("vec"), planes)).as[Long].collect()

@@ -54,4 +54,15 @@ class PlanSpec extends AnyFunSuite {
     val p = planOf("s01_ann_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q07 rank-filter optimizes to WindowGroupLimit (no full per-group sort spill)") {
+    val p = planOf("q07_dedup_top_per_key")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q19 as-of join is a single hash shuffle on user_id") {
+    val p = planOf("q19_asof_join")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, p)
+  }
 }
