@@ -177,6 +177,32 @@ object AnalyticsQueries {
     """SELECT p_brand, COUNT(*) AS n FROM part
       |GROUP BY p_brand ORDER BY n DESC, p_brand ASC LIMIT 10""".stripMargin
 
+  /** #43: substring-containment join — the reference's
+    * `artists_norm.str.contains(artist)` match
+    * (dags/etl_grammy_spotify.py:230-239) as a broadcast
+    * nested-loop join with a `contains` predicate. Correct only
+    * because the keyword side is small (broadcastable); the plan
+    * never shuffles the fact side. */
+  def q25ContainsJoin: Q = (spark, dir) => {
+    val part = Tables.part(spark, dir)
+    val keywords = part
+      .select(etl.TextNorm.firstToken(col("p_name")).as("kw"))
+      .distinct()
+      .filter(length(col("kw")) >= 4)
+    part.join(broadcast(keywords), col("p_name").contains(col("kw")))
+      .groupBy("kw")
+      .agg(count(lit(1)).as("n_parts"), min("p_partkey").as("first_part"))
+      .orderBy("kw")
+  }
+
+  val q25Sql: String =
+    """WITH kw AS (
+      |  SELECT DISTINCT regexp_extract(p_name, '^(\S+)', 1) AS kw FROM part),
+      |k AS (SELECT kw FROM kw WHERE length(kw) >= 4)
+      |SELECT k.kw, COUNT(*) AS n_parts, MIN(p.p_partkey) AS first_part
+      |FROM part p JOIN k ON contains(p.p_name, k.kw)
+      |GROUP BY k.kw ORDER BY k.kw""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q18_describe_stats" -> q18DescribeStats,
     "q19_asof_join" -> q19AsofJoin,
@@ -184,7 +210,8 @@ object AnalyticsQueries {
     "q21_distinct_count" -> q21DistinctCount,
     "q22_profile" -> q22Profile,
     "q23_histogram" -> q23Histogram,
-    "q24_top_brands" -> q24TopBrands)
+    "q24_top_brands" -> q24TopBrands,
+    "q25_contains_join" -> q25ContainsJoin)
 
   val oracles: Seq[(String, String)] = Seq(
     "q18_describe_stats" -> q18Sql,
@@ -193,5 +220,6 @@ object AnalyticsQueries {
     "q21_distinct_count" -> q21Sql,
     "q22_profile" -> q22Sql,
     "q23_histogram" -> q23Sql,
-    "q24_top_brands" -> q24Sql)
+    "q24_top_brands" -> q24Sql,
+    "q25_contains_join" -> q25Sql)
 }
