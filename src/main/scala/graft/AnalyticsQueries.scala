@@ -203,6 +203,73 @@ object AnalyticsQueries {
       |FROM part p JOIN k ON contains(p.p_name, k.kw)
       |GROUP BY k.kw ORDER BY k.kw""".stripMargin
 
+  /** #44: frame-window moving average — 3-day trailing mean of exact
+    * integer daily totals per event type. */
+  def q26MovingAvg: Q = (spark, dir) => {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("ts").cast(DateType).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast(LongType)).as("cents"))
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-2, 0)
+    daily
+      .withColumn("mavg_cents", dec(avg("cents").over(w), 2))
+      .orderBy("event_type", "day")
+  }
+
+  val q26Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, day, cents,
+      |       CAST(ROUND(AVG(cents) OVER (PARTITION BY event_type ORDER BY day
+      |            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DECIMAL(38,2)) AS mavg_cents
+      |FROM daily ORDER BY event_type, day""".stripMargin
+
+  /** #45: JSON extraction from the events props payload. */
+  def q27JsonExtract: Q = (spark, dir) =>
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k_path"),
+        from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+          .getField("k").as("k_struct"))
+      .orderBy("event_id")
+
+  val q27Sql: String =
+    """SELECT event_id,
+      |       CAST(props::JSON->>'k' AS BIGINT) AS k_path,
+      |       CAST(props::JSON->>'k' AS BIGINT) AS k_struct
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** #46: semi/anti joins — active vs inactive customers per segment
+    * (EXISTS / NOT EXISTS without materializing the join product). */
+  def q28AntiSemi: Q = (spark, dir) => {
+    val cust = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir)
+    val active = cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment").as("seg")).agg(count(lit(1)).as("n_active"))
+    val inactive = cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment").as("seg")).agg(count(lit(1)).as("n_inactive"))
+    active.join(inactive, Seq("seg"), "full_outer")
+      .select(col("seg"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_inactive"), lit(0L)).as("n_inactive"))
+      .orderBy("seg")
+  }
+
+  val q28Sql: String =
+    """WITH s AS (
+      |  SELECT c_mktsegment AS seg, COUNT(*) AS n_active FROM customer c
+      |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  GROUP BY 1),
+      |a AS (
+      |  SELECT c_mktsegment AS seg, COUNT(*) AS n_inactive FROM customer c
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  GROUP BY 1)
+      |SELECT seg, COALESCE(n_active, 0) AS n_active, COALESCE(n_inactive, 0) AS n_inactive
+      |FROM s FULL JOIN a USING (seg)
+      |ORDER BY seg""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q18_describe_stats" -> q18DescribeStats,
     "q19_asof_join" -> q19AsofJoin,
@@ -211,7 +278,10 @@ object AnalyticsQueries {
     "q22_profile" -> q22Profile,
     "q23_histogram" -> q23Histogram,
     "q24_top_brands" -> q24TopBrands,
-    "q25_contains_join" -> q25ContainsJoin)
+    "q25_contains_join" -> q25ContainsJoin,
+    "q26_moving_avg" -> q26MovingAvg,
+    "q27_json_extract" -> q27JsonExtract,
+    "q28_anti_semi" -> q28AntiSemi)
 
   val oracles: Seq[(String, String)] = Seq(
     "q18_describe_stats" -> q18Sql,
@@ -221,5 +291,8 @@ object AnalyticsQueries {
     "q22_profile" -> q22Sql,
     "q23_histogram" -> q23Sql,
     "q24_top_brands" -> q24Sql,
-    "q25_contains_join" -> q25Sql)
+    "q25_contains_join" -> q25Sql,
+    "q26_moving_avg" -> q26Sql,
+    "q27_json_extract" -> q27Sql,
+    "q28_anti_semi" -> q28Sql)
 }
