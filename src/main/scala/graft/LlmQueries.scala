@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.dedup.{MinHash, SimHash}
+import graft.dedup.{ConnectedComponents, MinHash, SimHash}
 import graft.etl.TextNorm
 import graft.functions.VectorFunctions._
 import graft.multimodal.Binary
@@ -114,6 +114,41 @@ object LlmQueries {
       |WHERE len(list_intersect(a.s, b.s)) > 0
       |  AND len(list_intersect(a.s, b.s)) * 2 >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
       |ORDER BY doc_id1, doc_id2""".stripMargin
+
+  /** #24b: dedup clusters — connected components over the jaccard
+    * near-dup pair graph; every document in a cluster maps to its
+    * canonical (min-id) representative. */
+  def d06DedupClusters: Q = (spark, dir) => {
+    val edges = d04NgramJaccard(spark, dir).select("doc_id1", "doc_id2")
+    ConnectedComponents.run(edges, idCols = ("doc_id1", "doc_id2"))
+      .orderBy("id")
+  }
+
+  val d06Sql: String =
+    """WITH RECURSIVE
+      |toks AS (
+      |  SELECT doc_id, lang, n_chars,
+      |         string_split(regexp_replace(regexp_replace(trim(lower(text)), '\s*(feat\.|featuring|ft\.|&|and)\s*', ';', 'g'), '\s+', ' ', 'g'), ' ') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, lang, n_chars // 50 AS blk,
+      |         CASE WHEN len(w) >= 3
+      |              THEN list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |              ELSE list_distinct([array_to_string(w, ' ')]) END AS s
+      |  FROM toks),
+      |p AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM sh a JOIN sh b
+      |    ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.s, b.s)) > 0
+      |    AND len(list_intersect(a.s, b.s)) * 2 >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+      |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+      |n AS (SELECT a AS id FROM e UNION SELECT b FROM e),
+      |r(id, reach) AS (
+      |  SELECT id, id FROM n
+      |  UNION
+      |  SELECT r.id, e.b FROM r JOIN e ON r.reach = e.a)
+      |SELECT id, MIN(reach) AS comp FROM r GROUP BY id ORDER BY id""".stripMargin
 
   /** #25: embedding cosine near-dup within label blocks. τ = 0.44 is
     * chosen inside a measured gap of the same-label cosine
@@ -289,6 +324,7 @@ object LlmQueries {
     "d03_simhash" -> d03SimHash,
     "d04_ngram_jaccard" -> d04NgramJaccard,
     "d05_embed_neardup" -> d05EmbedNearDup,
+    "d06_dedup_clusters" -> d06DedupClusters,
     "s01_ann_bruteforce" -> s01AnnBruteForce,
     "s02_ann_lsh" -> s02AnnLsh,
     "s03_ann_ivf" -> s03AnnIvf,
@@ -303,6 +339,7 @@ object LlmQueries {
     "d01_dedup_exact" -> d01Sql,
     "d04_ngram_jaccard" -> d04Sql,
     "d05_embed_neardup" -> d05Sql,
+    "d06_dedup_clusters" -> d06Sql,
     "s01_ann_bruteforce" -> s01Sql,
     "t01_lang_id" -> t01Sql,
     "t02_quality_score" -> t02Sql,

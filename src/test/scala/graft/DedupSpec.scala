@@ -63,6 +63,22 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == brute, s"banded=$pairs brute=$brute")
   }
 
+  test("connected components merges transitive near-dup chains") {
+    import graft.dedup.ConnectedComponents
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 9L)).toDF("id1", "id2")
+    val comps = ConnectedComponents.run(edges)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(comps == Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L), (9L, 9L)))
+  }
+
+  test("connected components handles a long chain within maxIter") {
+    import graft.dedup.ConnectedComponents
+    val chain = (0L until 20L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("id1", "id2")
+    val comps = ConnectedComponents.run(chain, maxIter = 25)
+      .agg(countDistinct("comp"), count(lit(1))).as[(Long, Long)].head()
+    assert(comps == ((1L, 20L)))
+  }
+
   test("exactGroups groups duplicate values") {
     val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "t")
     val r = etl.Dedup.exactGroups(df, md5(col("t")), col("id"))
