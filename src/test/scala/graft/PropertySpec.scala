@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.TextNorm
+import graft.functions.{Fingerprint64, ShingleFingerprints}
+
+/** Property-based invariants for the text/hash primitives (raw
+  * scalacheck generators, sampled; scalatestplus bridge not in the
+  * offline cache). */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val asciiText: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 3 -> Gen.const(' '),
+      1 -> Gen.oneOf('&', '.', ','))).map(_.mkString)
+
+  private def samples(g: Gen[String], n: Int): Seq[String] =
+    Iterator.continually(g.sample).flatten.take(n).toSeq
+
+  test("normalizeText is idempotent") {
+    val texts = samples(asciiText, 300)
+    val df = texts.toDF("s")
+    val once = df.select(TextNorm.normalizeText($"s").as("n"))
+    val twice = once.select(TextNorm.normalizeText($"n"))
+    assert(once.as[String].collect().toSeq == twice.as[String].collect().toSeq)
+  }
+
+  test("normalizeText output has no double spaces, no edge spaces, no uppercase") {
+    val out = samples(asciiText, 300).toDF("s")
+      .select(TextNorm.normalizeText($"s")).as[String].collect()
+    out.foreach { n =>
+      assert(!n.contains("  ") && n == n.trim && n == n.toLowerCase)
+    }
+  }
+
+  test("ShingleFingerprints yields max(1, tokens - n + 1) fingerprints on normalized text") {
+    val rows = samples(asciiText, 300).toDF("s")
+      .select(TextNorm.normalizeText($"s").as("n"))
+      .filter(length($"n") > 0)
+      .select($"n", ShingleFingerprints.shingleFingerprints($"n", 3).as("fp"))
+      .as[(String, Seq[Long])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, fp) =>
+      val tokens = n.split(' ').length
+      assert(fp.length == math.max(1, tokens - 3 + 1), s"text='$n'")
+    }
+  }
+
+  test("Fingerprint64 equals reference FNV-1a for arbitrary strings (codegen path)") {
+    def fnv(s: String): Long = {
+      var h = 0xcbf29ce484222325L
+      s.getBytes("UTF-8").foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+      h
+    }
+    val got = samples(Gen.asciiPrintableStr, 300).toDF("s")
+      .select($"s", Fingerprint64.fingerprint64($"s")).as[(String, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (s, h) => assert(h == fnv(s)) }
+  }
+}
