@@ -270,6 +270,35 @@ object AnalyticsQueries {
       |FROM s FULL JOIN a USING (seg)
       |ORDER BY seg""".stripMargin
 
+  /** #47: exact percentiles per group (linear interpolation — same
+    * definition as DuckDB's quantile_cont). */
+  def q29Percentiles: Q = (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        dec(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50_price"),
+        dec(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"),
+        dec(expr("percentile(l_quantity, 0.5)"), 2).as("p50_qty"))
+      .orderBy("l_returnflag")
+
+  val q29Sql: String =
+    """SELECT l_returnflag,
+      |       CAST(ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS DECIMAL(38,2)) AS p50_price,
+      |       CAST(ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS DECIMAL(38,2)) AS p90_price,
+      |       CAST(ROUND(quantile_cont(l_quantity, 0.5), 2) AS DECIMAL(38,2)) AS p50_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** #48: Pearson correlation matrix entries (eda.ipynb-style). */
+  def q30Correlation: Q = (spark, dir) =>
+    Tables.lineitem(spark, dir).agg(
+      dec(corr("l_quantity", "l_extendedprice"), 4).as("corr_qty_price"),
+      dec(corr("l_discount", "l_tax"), 4).as("corr_disc_tax"))
+
+  val q30Sql: String =
+    """SELECT CAST(ROUND(corr(l_quantity, l_extendedprice), 4) AS DECIMAL(38,4)) AS corr_qty_price,
+      |       CAST(ROUND(corr(l_discount, l_tax), 4) AS DECIMAL(38,4)) AS corr_disc_tax
+      |FROM lineitem""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q18_describe_stats" -> q18DescribeStats,
     "q19_asof_join" -> q19AsofJoin,
@@ -281,7 +310,9 @@ object AnalyticsQueries {
     "q25_contains_join" -> q25ContainsJoin,
     "q26_moving_avg" -> q26MovingAvg,
     "q27_json_extract" -> q27JsonExtract,
-    "q28_anti_semi" -> q28AntiSemi)
+    "q28_anti_semi" -> q28AntiSemi,
+    "q29_percentiles" -> q29Percentiles,
+    "q30_correlation" -> q30Correlation)
 
   val oracles: Seq[(String, String)] = Seq(
     "q18_describe_stats" -> q18Sql,
@@ -294,5 +325,7 @@ object AnalyticsQueries {
     "q25_contains_join" -> q25Sql,
     "q26_moving_avg" -> q26Sql,
     "q27_json_extract" -> q27Sql,
-    "q28_anti_semi" -> q28Sql)
+    "q28_anti_semi" -> q28Sql,
+    "q29_percentiles" -> q29Sql,
+    "q30_correlation" -> q30Sql)
 }

@@ -53,3 +53,14 @@ object EventStream {
 
 case class UserAgg(n: Long, total: Double)
 case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+/** Stream-static enrichment: every micro-batch joins against a
+  * (periodically reloadable) dimension table. The static side plans
+  * as a broadcast per micro-batch — no stream-side shuffle. */
+object StreamEnrich {
+  def withDimension(stream: DataFrame, dim: DataFrame,
+                    streamKey: String, dimKey: String): DataFrame =
+    stream.join(
+      org.apache.spark.sql.functions.broadcast(dim),
+      stream(streamKey) === dim(dimKey), "left")
+}

@@ -54,6 +54,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("stream-static join enriches each micro-batch from a dimension table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("uid", "tier")
+    val input = MemoryStream[(Long, Double)]
+    val stream = input.toDF().toDF("user_id", "value")
+    val query = graft.streaming.StreamEnrich.withDimension(stream, dim, "user_id", "uid")
+      .select($"user_id", $"tier", $"value")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      input.addData((1L, 10.0), (3L, 7.0))
+      query.processAllAvailable()
+      val out = spark.table("enriched").orderBy("user_id")
+        .as[(Long, Option[String], Double)].collect().toSeq
+      assert(out == Seq((1L, Some("gold"), 10.0), (3L, None, 7.0)))
+    } finally query.stop()
+  }
+
   test("late events beyond the watermark are dropped (append mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
