@@ -271,21 +271,25 @@ object AnalyticsQueries {
       |ORDER BY seg""".stripMargin
 
   /** #47: exact percentiles per group (linear interpolation — same
-    * definition as DuckDB's quantile_cont). */
+    * definition as DuckDB's quantile_cont). Outputs are integer
+    * milli-units: interpolated quantiles of 2-decimal data have at
+    * most 3 decimals, so ×1000 is exact — decimal rounding is NOT
+    * (the median of cent-valued prices lands on a .xx5 midpoint half
+    * the time, where Spark and DuckDB round differently). */
   def q29Percentiles: Q = (spark, dir) =>
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
       .agg(
-        dec(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50_price"),
-        dec(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"),
-        dec(expr("percentile(l_quantity, 0.5)"), 2).as("p50_qty"))
+        round(expr("percentile(l_extendedprice, 0.5)") * 1000, 0).cast(LongType).as("p50_price_milli"),
+        round(expr("percentile(l_extendedprice, 0.9)") * 1000, 0).cast(LongType).as("p90_price_milli"),
+        round(expr("percentile(l_quantity, 0.5)") * 1000, 0).cast(LongType).as("p50_qty_milli"))
       .orderBy("l_returnflag")
 
   val q29Sql: String =
     """SELECT l_returnflag,
-      |       CAST(ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS DECIMAL(38,2)) AS p50_price,
-      |       CAST(ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS DECIMAL(38,2)) AS p90_price,
-      |       CAST(ROUND(quantile_cont(l_quantity, 0.5), 2) AS DECIMAL(38,2)) AS p50_qty
+      |       CAST(ROUND(quantile_cont(l_extendedprice, 0.5) * 1000, 0) AS BIGINT) AS p50_price_milli,
+      |       CAST(ROUND(quantile_cont(l_extendedprice, 0.9) * 1000, 0) AS BIGINT) AS p90_price_milli,
+      |       CAST(ROUND(quantile_cont(l_quantity, 0.5) * 1000, 0) AS BIGINT) AS p50_qty_milli
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** #48: Pearson correlation matrix entries (eda.ipynb-style). */
