@@ -301,6 +301,25 @@ object LlmQueries {
       |       md5(regexp_replace(regexp_replace(trim(lower(text)), '\s*(feat\.|featuring|ft\.|&|and)\s*', ';', 'g'), '\s+', ' ', 'g')) AS fp_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** #30b: corpus word count — explode normalized tokens, global
+    * top-20 by frequency (map-side partial agg keeps the shuffle at
+    * one row per distinct token per partition). */
+  def t05WordCount: Q = (spark, dir) =>
+    normedDocs(spark, dir)
+      .select(explode(split(col("text_norm"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(20)
+
+  val t05Sql: String =
+    """SELECT token, COUNT(*) AS n FROM (
+      |  SELECT unnest(string_split(regexp_replace(regexp_replace(trim(lower(text)), '\s*(feat\.|featuring|ft\.|&|and)\s*', ';', 'g'), '\s+', ' ', 'g'), ' ')) AS token
+      |  FROM documents) t
+      |WHERE length(token) > 0
+      |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin
+
   /** #32: multimodal binary plumbing with stubbed decode. */
   def m01MultimodalMeta: Q = (spark, dir) => {
     val withPayload = Tables.documents(spark, dir)
@@ -332,6 +351,7 @@ object LlmQueries {
     "t02_quality_score" -> t02QualityScore,
     "t03_token_count" -> t03TokenCount,
     "t04_fingerprint" -> t04Fingerprint,
+    "t05_word_count" -> t05WordCount,
     "m01_multimodal_meta" -> m01MultimodalMeta)
 
   /** d02/d03/s02 intentionally absent (rows-only check). */
@@ -345,5 +365,6 @@ object LlmQueries {
     "t02_quality_score" -> t02Sql,
     "t03_token_count" -> t03Sql,
     "t04_fingerprint" -> t04Sql,
+    "t05_word_count" -> t05Sql,
     "m01_multimodal_meta" -> m01Sql)
 }
