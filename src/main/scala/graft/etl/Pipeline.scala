@@ -2,7 +2,6 @@ package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Flagship composed pipeline — the reference DAG's transform_data
   * (dags/etl_grammy_spotify.py:76-297) re-expressed Spark-first over
