@@ -54,6 +54,35 @@ class FunctionsSpec extends AnyFunSuite {
     assert(fp == fnv(text))
   }
 
+  test("HeavyHitters sketch surfaces every true heavy hitter with bounded counters") {
+    import graft.etl.TextNorm
+    import graft.functions.HeavyHitters
+    val tokens = Tables.documents(spark, TestSpark.Sf)
+      .select(explode(split(TextNorm.normalizeText($"text"), " ")).as("token"))
+      .filter(length($"token") > 0)
+
+    val n = tokens.count()
+    val capacity = 64
+    // the frequency guarantee holds for the FULL summary; a top-k
+    // slice can drop true hitters below overestimated counters
+    val sketch = tokens.as[String]
+      .select(new HeavyHitters(capacity, capacity).toColumn)
+      .head()
+
+    val exact = tokens.groupBy("token").count()
+      .orderBy($"count".desc, $"token".asc)
+      .as[(String, Long)].collect()
+
+    // SpaceSaving guarantee: true frequency > n/capacity ⇒ in sketch
+    val sketched = sketch.map(_._1).toSet
+    exact.filter(_._2 > n / capacity).foreach { case (tok, c) =>
+      assert(sketched.contains(tok), s"missing heavy hitter $tok ($c > ${n / capacity})")
+    }
+    // counts only overestimate
+    val exactMap = exact.toMap
+    sketch.foreach { case (tok, c) => assert(c >= exactMap.getOrElse(tok, 0L)) }
+  }
+
   test("vector dot/norm/cosine are exact on known vectors") {
     val df = Seq((Seq(1.0, 2.0, 2.0), Seq(2.0, 0.0, 0.0))).toDF("a", "b")
     val Array(d, na, c) = df.select(
