@@ -35,6 +35,13 @@ object ConnectedComponents {
       .withColumn("comp", col("id"))
       .localCheckpoint()
 
+    // convergence check: labels only ever decrease, so Σcomp is
+    // strictly decreasing until the fixpoint — one cheap aggregate per
+    // round instead of a join + count
+    def checksum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum("comp")).head().getLong(0)
+
+    var prevSum = checksum(comp)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -43,12 +50,10 @@ object ConnectedComponents {
       val next = viaNeighbor.union(comp.select("id", "comp"))
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint()
-      val nChanged = next
-        .join(comp.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev"))
-        .count()
+      val nextSum = checksum(next)
       comp = next
-      converged = nChanged == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       iter += 1
     }
     require(converged, s"connected components did not converge in $maxIter rounds")
