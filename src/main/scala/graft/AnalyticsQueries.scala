@@ -303,6 +303,72 @@ object AnalyticsQueries {
       |       CAST(ROUND(corr(l_discount, l_tax), 4) AS DECIMAL(38,4)) AS corr_disc_tax
       |FROM lineitem""".stripMargin
 
+  /** #49: cube — all grouping-set combinations (rollup's superset);
+    * SQL-string route for the same ambiguous-self-join reason as q15. */
+  def q31Cube: Q = (spark, dir) => {
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus").as("st"), col("o_orderpriority").as("pri"), col("o_totalprice"))
+      .createOrReplaceTempView("graft_q31_src")
+    spark.sql(
+      """SELECT COALESCE(st, 'ALL') AS st_g, COALESCE(pri, 'ALL') AS pri_g,
+        |       COUNT(*) AS n,
+        |       CAST(ROUND(SUM(o_totalprice), 2) AS DECIMAL(38,2)) AS total
+        |FROM graft_q31_src
+        |GROUP BY CUBE(st, pri)
+        |ORDER BY st_g, pri_g""".stripMargin)
+  }
+
+  val q31Sql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS st_g,
+      |       COALESCE(o_orderpriority, 'ALL') AS pri_g,
+      |       COUNT(*) AS n,
+      |       CAST(ROUND(SUM(o_totalprice), 2) AS DECIMAL(38,2)) AS total
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY st_g, pri_g""".stripMargin
+
+  /** #50: edit-distance fuzzy matching — name pairs within Levenshtein
+    * ≤ 4, blocked by name length band (|len diff| > 4 can never be ≤ 4,
+    * so banding by length//3 loses nothing the threshold would keep
+    * within one band; semantics are banded, like d04). */
+  def q32EditDistance: Q = (spark, dir) => {
+    val names = Tables.part(spark, dir).select(col("p_name")).distinct()
+      .withColumn("lb", (length(col("p_name")) / 3).cast(LongType))
+    val a = names.toDF("n1", "lb1")
+    val b = names.toDF("n2", "lb2")
+    a.join(b, col("lb1") === col("lb2") && col("n1") < col("n2"))
+      .withColumn("dist", levenshtein(col("n1"), col("n2")).cast(LongType))
+      .filter(col("dist") <= 4)
+      .select("n1", "n2", "dist")
+      .orderBy("n1", "n2")
+  }
+
+  val q32Sql: String =
+    """WITH names AS (
+      |  SELECT DISTINCT p_name, CAST(length(p_name) // 3 AS BIGINT) AS lb FROM part)
+      |SELECT a.p_name AS n1, b.p_name AS n2,
+      |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      |FROM names a JOIN names b ON a.lb = b.lb AND a.p_name < b.p_name
+      |WHERE levenshtein(a.p_name, b.p_name) <= 4
+      |ORDER BY n1, n2""".stripMargin
+
+  /** #51: deterministic array collection — per-user sorted distinct
+    * event types (collect_set order is nondeterministic; sort_array
+    * canonicalizes). */
+  def q33CollectSorted: Q = (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        array_join(sort_array(collect_set(col("event_type"))), ",").as("types"),
+        count(lit(1)).as("n"))
+      .orderBy("user_id")
+
+  val q33Sql: String =
+    """SELECT user_id,
+      |       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+      |       COUNT(*) AS n
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q18_describe_stats" -> q18DescribeStats,
     "q19_asof_join" -> q19AsofJoin,
@@ -316,7 +382,10 @@ object AnalyticsQueries {
     "q27_json_extract" -> q27JsonExtract,
     "q28_anti_semi" -> q28AntiSemi,
     "q29_percentiles" -> q29Percentiles,
-    "q30_correlation" -> q30Correlation)
+    "q30_correlation" -> q30Correlation,
+    "q31_cube" -> q31Cube,
+    "q32_edit_distance" -> q32EditDistance,
+    "q33_collect_sorted" -> q33CollectSorted)
 
   val oracles: Seq[(String, String)] = Seq(
     "q18_describe_stats" -> q18Sql,
@@ -331,5 +400,8 @@ object AnalyticsQueries {
     "q27_json_extract" -> q27Sql,
     "q28_anti_semi" -> q28Sql,
     "q29_percentiles" -> q29Sql,
-    "q30_correlation" -> q30Sql)
+    "q30_correlation" -> q30Sql,
+    "q31_cube" -> q31Sql,
+    "q32_edit_distance" -> q32Sql,
+    "q33_collect_sorted" -> q33Sql)
 }
