@@ -17,28 +17,54 @@ object AnalyticsQueries {
     round(c, s).cast(DecimalType(38, s))
 
   /** #34: describe/summary statistics (eda.ipynb `df.describe()`).
-    * min/max pass through raw; mean/std rounded to decimal. */
-  def q18DescribeStats: Q = (spark, dir) =>
-    Tables.lineitem(spark, dir).agg(
-      count(lit(1)).as("n"),
-      min("l_quantity").as("min_qty"),
-      max("l_quantity").as("max_qty"),
-      dec(avg("l_quantity"), 4).as("mean_qty"),
-      dec(stddev_samp("l_quantity"), 4).as("std_qty"),
-      min("l_extendedprice").as("min_price"),
-      max("l_extendedprice").as("max_price"),
-      dec(avg("l_extendedprice"), 2).as("mean_price"),
-      dec(stddev_samp("l_extendedprice"), 2).as("std_price"))
+    * min/max pass through raw. mean/std are derived from EXACT decimal
+    * sums (x and x² cast to decimal per row — exact for 2-decimal
+    * inputs), then one identically-written double formula on both
+    * engines: the inputs are bit-identical, IEEE /, *, - and sqrt are
+    * correctly rounded, so the rounded outputs are deterministic —
+    * unlike `round(AVG(double))`, whose partition-merge-order jitter
+    * can flip a rounding boundary between runs. */
+  def q18DescribeStats: Q = (spark, dir) => {
+    def d2(c: Column) = c.cast(DecimalType(18, 2))
+    def d4(c: Column) = c.cast(DecimalType(18, 4))
+    val qty = col("l_quantity"); val price = col("l_extendedprice")
+    Tables.lineitem(spark, dir)
+      .agg(
+        count(lit(1)).as("n"),
+        min(qty).as("min_qty"), max(qty).as("max_qty"),
+        min(price).as("min_price"), max(price).as("max_price"),
+        sum(d2(qty)).cast(DoubleType).as("s_qty"),
+        sum(d4(qty * qty)).cast(DoubleType).as("ss_qty"),
+        sum(d2(price)).cast(DoubleType).as("s_price"),
+        sum(d4(price * price)).cast(DoubleType).as("ss_price"))
+      .select(
+        col("n"), col("min_qty"), col("max_qty"),
+        round(col("s_qty") / col("n"), 4).cast(DecimalType(38, 4)).as("mean_qty"),
+        round(sqrt((col("ss_qty") - col("s_qty") * col("s_qty") / col("n")) / (col("n") - 1)), 4)
+          .cast(DecimalType(38, 4)).as("std_qty"),
+        col("min_price"), col("max_price"),
+        round(col("s_price") / col("n"), 2).cast(DecimalType(38, 2)).as("mean_price"),
+        round(sqrt((col("ss_price") - col("s_price") * col("s_price") / col("n")) / (col("n") - 1)), 2)
+          .cast(DecimalType(38, 2)).as("std_price"))
+  }
 
   val q18Sql: String =
-    """SELECT COUNT(*) AS n,
-      |       MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
-      |       CAST(ROUND(AVG(l_quantity), 4) AS DECIMAL(38,4)) AS mean_qty,
-      |       CAST(ROUND(STDDEV_SAMP(l_quantity), 4) AS DECIMAL(38,4)) AS std_qty,
-      |       MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
-      |       CAST(ROUND(AVG(l_extendedprice), 2) AS DECIMAL(38,2)) AS mean_price,
-      |       CAST(ROUND(STDDEV_SAMP(l_extendedprice), 2) AS DECIMAL(38,2)) AS std_price
-      |FROM lineitem""".stripMargin
+    """WITH a AS (
+      |  SELECT COUNT(*) AS n,
+      |         MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+      |         MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+      |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s_qty,
+      |         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS ss_qty,
+      |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_price,
+      |         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS ss_price
+      |  FROM lineitem)
+      |SELECT n, min_qty, max_qty,
+      |       CAST(ROUND(s_qty / n, 4) AS DECIMAL(38,4)) AS mean_qty,
+      |       CAST(ROUND(SQRT((ss_qty - s_qty * s_qty / n) / (n - 1)), 4) AS DECIMAL(38,4)) AS std_qty,
+      |       min_price, max_price,
+      |       CAST(ROUND(s_price / n, 2) AS DECIMAL(38,2)) AS mean_price,
+      |       CAST(ROUND(SQRT((ss_price - s_price * s_price / n) / (n - 1)), 2) AS DECIMAL(38,2)) AS std_price
+      |FROM a""".stripMargin
 
   /** #35: as-of join — for each purchase, the nearest prior view by
     * the same user. Implemented as union + ordered window (one shuffle
@@ -204,14 +230,20 @@ object AnalyticsQueries {
       |GROUP BY k.kw ORDER BY k.kw""".stripMargin
 
   /** #44: frame-window moving average — 3-day trailing mean of exact
-    * integer daily totals per event type. */
+    * integer daily totals per event type. Output is integer
+    * milli-cents: `sum*1000/n` with n ∈ {1,2,3} is exact for n=1,2 and
+    * never lands on a .5 midpoint for n=3 (2m = 3(2k+1) has no integer
+    * solution), so ROUND of the shared IEEE quotient is identical on
+    * both engines — unlike round-1's `round(AVG(cents),2)`, a double
+    * average that flipped at rounding boundaries. */
   def q26MovingAvg: Q = (spark, dir) => {
     val daily = Tables.events(spark, dir)
       .groupBy(col("event_type"), col("ts").cast(DateType).as("day"))
       .agg(sum(round(col("value") * 100, 0).cast(LongType)).as("cents"))
     val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-2, 0)
     daily
-      .withColumn("mavg_cents", dec(avg("cents").over(w), 2))
+      .withColumn("mavg_milli",
+        round(sum("cents").over(w) * lit(1000.0) / count(lit(1)).over(w), 0).cast(LongType))
       .orderBy("event_type", "day")
   }
 
@@ -221,9 +253,11 @@ object AnalyticsQueries {
       |         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
       |  FROM events GROUP BY 1, 2)
       |SELECT event_type, day, cents,
-      |       CAST(ROUND(AVG(cents) OVER (PARTITION BY event_type ORDER BY day
-      |            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DECIMAL(38,2)) AS mavg_cents
-      |FROM daily ORDER BY event_type, day""".stripMargin
+      |       CAST(ROUND(SUM(cents) OVER w * 1000.0 / COUNT(*) OVER w, 0) AS BIGINT) AS mavg_milli
+      |FROM daily
+      |WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_type, day""".stripMargin
 
   /** #45: JSON extraction from the events props payload. */
   def q27JsonExtract: Q = (spark, dir) =>
@@ -292,16 +326,53 @@ object AnalyticsQueries {
       |       CAST(ROUND(quantile_cont(l_quantity, 0.5) * 1000, 0) AS BIGINT) AS p50_qty_milli
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
-  /** #48: Pearson correlation matrix entries (eda.ipynb-style). */
-  def q30Correlation: Q = (spark, dir) =>
-    Tables.lineitem(spark, dir).agg(
-      dec(corr("l_quantity", "l_extendedprice"), 4).as("corr_qty_price"),
-      dec(corr("l_discount", "l_tax"), 4).as("corr_disc_tax"))
+  /** #48: Pearson correlation matrix entries (eda.ipynb-style),
+    * derived from exact decimal sums + one identically-written double
+    * formula on both engines (same determinism argument as q18 —
+    * built-in `corr` merges co-moments in partition order, which
+    * jitters the last ulps run to run). */
+  def q30Correlation: Q = (spark, dir) => {
+    def d2(c: Column) = c.cast(DecimalType(18, 2))
+    def d4(c: Column) = c.cast(DecimalType(18, 4))
+    def corrCols(x: Column, y: Column, tag: String): Seq[Column] = Seq(
+      sum(d2(x)).cast(DoubleType).as(s"sx_$tag"),
+      sum(d2(y)).cast(DoubleType).as(s"sy_$tag"),
+      sum(d4(x * x)).cast(DoubleType).as(s"sxx_$tag"),
+      sum(d4(y * y)).cast(DoubleType).as(s"syy_$tag"),
+      sum(d4(x * y)).cast(DoubleType).as(s"sxy_$tag"))
+    def corrOf(tag: String): Column = {
+      val (sx, sy, sxx, syy, sxy) =
+        (col(s"sx_$tag"), col(s"sy_$tag"), col(s"sxx_$tag"), col(s"syy_$tag"), col(s"sxy_$tag"))
+      val n = col("n")
+      round((n * sxy - sx * sy) /
+        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 4).cast(DecimalType(38, 4))
+    }
+    val aggs = corrCols(col("l_quantity"), col("l_extendedprice"), "qp") ++
+      corrCols(col("l_discount"), col("l_tax"), "dt")
+    Tables.lineitem(spark, dir)
+      .agg(count(lit(1)).cast(DoubleType).as("n"), aggs: _*)
+      .select(corrOf("qp").as("corr_qty_price"), corrOf("dt").as("corr_disc_tax"))
+  }
 
   val q30Sql: String =
-    """SELECT CAST(ROUND(corr(l_quantity, l_extendedprice), 4) AS DECIMAL(38,4)) AS corr_qty_price,
-      |       CAST(ROUND(corr(l_discount, l_tax), 4) AS DECIMAL(38,4)) AS corr_disc_tax
-      |FROM lineitem""".stripMargin
+    """WITH a AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx_qp,
+      |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy_qp,
+      |         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx_qp,
+      |         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS syy_qp,
+      |         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sxy_qp,
+      |         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sx_dt,
+      |         CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sy_dt,
+      |         CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sxx_dt,
+      |         CAST(SUM(CAST(l_tax * l_tax AS DECIMAL(18,4))) AS DOUBLE) AS syy_dt,
+      |         CAST(SUM(CAST(l_discount * l_tax AS DECIMAL(18,4))) AS DOUBLE) AS sxy_dt
+      |  FROM lineitem)
+      |SELECT CAST(ROUND((n * sxy_qp - sx_qp * sy_qp) /
+      |         (SQRT(n * sxx_qp - sx_qp * sx_qp) * SQRT(n * syy_qp - sy_qp * sy_qp)), 4) AS DECIMAL(38,4)) AS corr_qty_price,
+      |       CAST(ROUND((n * sxy_dt - sx_dt * sy_dt) /
+      |         (SQRT(n * sxx_dt - sx_dt * sx_dt) * SQRT(n * syy_dt - sy_dt * sy_dt)), 4) AS DECIMAL(38,4)) AS corr_disc_tax
+      |FROM a""".stripMargin
 
   /** #49: cube — all grouping-set combinations (rollup's superset);
     * SQL-string route for the same ambiguous-self-join reason as q15. */
@@ -312,7 +383,7 @@ object AnalyticsQueries {
     spark.sql(
       """SELECT COALESCE(st, 'ALL') AS st_g, COALESCE(pri, 'ALL') AS pri_g,
         |       COUNT(*) AS n,
-        |       CAST(ROUND(SUM(o_totalprice), 2) AS DECIMAL(38,2)) AS total
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
         |FROM graft_q31_src
         |GROUP BY CUBE(st, pri)
         |ORDER BY st_g, pri_g""".stripMargin)
@@ -322,7 +393,7 @@ object AnalyticsQueries {
     """SELECT COALESCE(o_orderstatus, 'ALL') AS st_g,
       |       COALESCE(o_orderpriority, 'ALL') AS pri_g,
       |       COUNT(*) AS n,
-      |       CAST(ROUND(SUM(o_totalprice), 2) AS DECIMAL(38,2)) AS total
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
       |FROM orders
       |GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY st_g, pri_g""".stripMargin

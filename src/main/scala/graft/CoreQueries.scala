@@ -22,6 +22,16 @@ object CoreQueries {
   private def dec(c: Column, s: Int = 2): Column =
     round(c, s).cast(DecimalType(38, s))
 
+  /** Order-independent monetary sum: cast the summand to decimal BEFORE
+    * aggregating. The testdata's monetary doubles are each the nearest
+    * double to a 2-decimal value, so the per-row cast is exact on both
+    * engines, and decimal addition is associative — the sum no longer
+    * depends on partition merge order (round-1's 8 hash failures were
+    * `round(SUM(double))` flipping at rounding boundaries). Products of
+    * 2-decimal values are exact at scale 4 (two factors) / 6 (three). */
+  private def decSum(c: Column, s: Int = 2): Column =
+    sum(c.cast(DecimalType(18, s))).cast(DecimalType(38, s))
+
   type Q = (SparkSession, String) => DataFrame
 
   /** #2: filter + projection — Catalyst pushes both into the scan. */
@@ -52,21 +62,21 @@ object CoreQueries {
       .filter(col("l_shipdate") <= lit("2000-12-01").cast(TimestampType))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        dec(sum("l_quantity")).as("sum_qty"),
-        dec(sum("l_extendedprice")).as("sum_base_price"),
-        dec(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
-        dec(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
-        dec(sum("l_discount")).as("sum_disc"),
+        decSum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_base_price"),
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+        decSum(col("l_discount")).as("sum_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
   val q02Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |       CAST(ROUND(SUM(l_quantity), 2) AS DECIMAL(38,2)) AS sum_qty,
-      |       CAST(ROUND(SUM(l_extendedprice), 2) AS DECIMAL(38,2)) AS sum_base_price,
-      |       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DECIMAL(38,2)) AS sum_disc_price,
-      |       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS DECIMAL(38,2)) AS sum_charge,
-      |       CAST(ROUND(SUM(l_discount), 2) AS DECIMAL(38,2)) AS sum_disc,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+      |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+      |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
+      |       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_disc,
       |       COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -85,13 +95,13 @@ object CoreQueries {
       .join(nat, cust("c_nationkey") === nat("n_nationkey"))
       .join(reg, nat("n_regionkey") === reg("r_regionkey"))
       .groupBy("r_name", "n_name")
-      .agg(count(lit(1)).as("n_orders"), dec(sum("o_totalprice")).as("total_rev"))
+      .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice")).as("total_rev"))
       .orderBy("r_name", "n_name")
   }
 
   val q03Sql: String =
     """SELECT r_name, n_name, COUNT(*) AS n_orders,
-      |       CAST(ROUND(SUM(o_totalprice), 2) AS DECIMAL(38,2)) AS total_rev
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_rev
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
@@ -191,13 +201,13 @@ object CoreQueries {
     val low = orders.filter(col("o_totalprice") <= 100000).withColumn("split", lit("low"))
     Merge.unionSplits(Seq(high, low))
       .groupBy("split", "o_orderstatus")
-      .agg(count(lit(1)).as("n"), dec(sum("o_totalprice")).as("total"))
+      .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("total"))
       .orderBy("split", "o_orderstatus")
   }
 
   val q09Sql: String =
     """SELECT split, o_orderstatus, COUNT(*) AS n,
-      |       CAST(ROUND(SUM(o_totalprice), 2) AS DECIMAL(38,2)) AS total
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
       |FROM (
       |  SELECT o_orderstatus, o_totalprice, 'high' AS split FROM orders WHERE o_totalprice > 100000
       |  UNION ALL
@@ -252,15 +262,16 @@ object CoreQueries {
       .select(
         col("o_custkey"), col("o_orderkey"),
         rank().over(byPrice).as("price_rank"),
-        dec(sum("o_totalprice").over(byDate)).as("running_total"))
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(byDate)
+          .cast(DecimalType(38, 2)).as("running_total"))
       .orderBy("o_custkey", "o_orderkey")
   }
 
   val q12Sql: String =
     """SELECT o_custkey, o_orderkey,
       |       RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
-      |       CAST(ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DECIMAL(38,2)) AS running_total
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_total
       |FROM orders
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
@@ -291,14 +302,14 @@ object CoreQueries {
   def q14TimeWindowAgg: Q = (spark, dir) =>
     Tables.events(spark, dir)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), dec(sum("value")).as("total_value"))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("total_value"))
       .select(col("w.start").as("hour_ts"), col("event_type"), col("n_events"), col("total_value"))
       .orderBy("hour_ts", "event_type")
 
   val q14Sql: String =
     """SELECT date_trunc('hour', ts) AS hour_ts, event_type,
       |       COUNT(*) AS n_events,
-      |       CAST(ROUND(SUM(value), 2) AS DECIMAL(38,2)) AS total_value
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY hour_ts, event_type""".stripMargin
@@ -325,7 +336,7 @@ object CoreQueries {
       """SELECT COALESCE(rname, 'ALL') AS r_name_g,
         |       COALESCE(nname, 'ALL') AS n_name_g,
         |       COUNT(*) AS n_cust,
-        |       CAST(ROUND(SUM(c_acctbal), 2) AS DECIMAL(38,2)) AS acctbal
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS acctbal
         |FROM graft_q15_src
         |GROUP BY ROLLUP(rname, nname)
         |ORDER BY r_name_g, n_name_g""".stripMargin)
@@ -335,7 +346,7 @@ object CoreQueries {
     """SELECT COALESCE(r_name, 'ALL') AS r_name_g,
       |       COALESCE(n_name, 'ALL') AS n_name_g,
       |       COUNT(*) AS n_cust,
-      |       CAST(ROUND(SUM(c_acctbal), 2) AS DECIMAL(38,2)) AS acctbal
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS acctbal
       |FROM customer
       |JOIN nation ON c_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey
