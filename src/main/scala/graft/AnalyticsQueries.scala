@@ -398,16 +398,26 @@ object AnalyticsQueries {
       |GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY st_g, pri_g""".stripMargin
 
-  /** #50: edit-distance fuzzy matching — name pairs within Levenshtein
-    * ≤ 4, blocked by name length band (|len diff| > 4 can never be ≤ 4,
-    * so banding by length//3 loses nothing the threshold would keep
-    * within one band; semantics are banded, like d04). */
+  /** #50: edit-distance fuzzy matching — ALL name pairs within
+    * Levenshtein ≤ 4 (exact semantics, no banding loss). Blocking:
+    * levenshtein ≥ |len diff|, so a true pair's lengths differ by ≤ 4;
+    * with bands of width 5 (`length/5`) the partner is always in the
+    * same or an adjacent band. One side probes {lb−1, lb, lb+1}, the
+    * other keeps its own band — each true pair meets exactly once
+    * (probe = partner's fixed band), nothing is missed, and the join
+    * stays band-local instead of all-pairs. Round 1 banded both sides
+    * by `length/3` and silently dropped cross-band pairs (len 11 vs 13,
+    * dist 2 → different bands → never compared). */
   def q32EditDistance: Q = (spark, dir) => {
     val names = Tables.part(spark, dir).select(col("p_name")).distinct()
-      .withColumn("lb", (length(col("p_name")) / 3).cast(LongType))
-    val a = names.toDF("n1", "lb1")
-    val b = names.toDF("n2", "lb2")
-    a.join(b, col("lb1") === col("lb2") && col("n1") < col("n2"))
+      .withColumn("len", length(col("p_name")).cast(LongType))
+      .withColumn("lb", (col("len") / 5).cast(LongType))
+    val a = names.select(col("p_name").as("n1"), col("len").as("len1"),
+        explode(array(col("lb") - 1, col("lb"), col("lb") + 1)).as("pb"))
+    val b = names.select(col("p_name").as("n2"), col("len").as("len2"),
+        col("lb").as("lb2"))
+    a.join(b, col("pb") === col("lb2") && col("n1") < col("n2") &&
+              abs(col("len1") - col("len2")) <= 4)
       .withColumn("dist", levenshtein(col("n1"), col("n2")).cast(LongType))
       .filter(col("dist") <= 4)
       .select("n1", "n2", "dist")
@@ -415,11 +425,12 @@ object AnalyticsQueries {
   }
 
   val q32Sql: String =
-    """WITH names AS (
-      |  SELECT DISTINCT p_name, CAST(length(p_name) // 3 AS BIGINT) AS lb FROM part)
+    """WITH names AS (SELECT DISTINCT p_name FROM part)
       |SELECT a.p_name AS n1, b.p_name AS n2,
       |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
-      |FROM names a JOIN names b ON a.lb = b.lb AND a.p_name < b.p_name
+      |FROM names a JOIN names b
+      |  ON a.p_name < b.p_name
+      | AND abs(length(a.p_name) - length(b.p_name)) <= 4
       |WHERE levenshtein(a.p_name, b.p_name) <= 4
       |ORDER BY n1, n2""".stripMargin
 

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.dedup.{ConnectedComponents, MinHash, SimHash}
+import graft.dedup.{ConnectedComponents, MinHash, SetSimJoin, SimHash}
 import graft.etl.TextNorm
 import graft.functions.VectorFunctions._
 import graft.multimodal.Binary
@@ -69,39 +69,37 @@ object LlmQueries {
       .orderBy("id1", "id2")
   }
 
-  /** #24: exact n-gram Jaccard within (lang, length-band) blocks.
+  /** #24: exact n-gram Jaccard ≥ 0.5 over the WHOLE corpus — no
+    * blocking loss. Candidates come from the lossless prefix filter
+    * ([[graft.dedup.SetSimJoin]]): every qualifying pair shares a
+    * rare-first prefix token, so the join is candidate-linear instead
+    * of block-quadratic (round 1 compared all pairs inside
+    * (lang, length-band) blocks — Θ(Σ block²), the bench's slowest
+    * query, and a scale-killer at unbounded block population).
     * Integer (intersection, union) outputs + integer threshold
     * compare (inter·2 ≥ union ⇔ J ≥ 0.5) — no float ambiguity. */
   def d04NgramJaccard: Q = (spark, dir) => {
     // shingle sets as 64-bit fingerprints (1:1 with the oracle's
     // string shingles — each is a hash of the same contiguous byte
-    // range), so |∩| and |∪| are identical while the pair-join
-    // compares longs instead of building strings through interpreted
-    // lambdas. Barrier → sets materialize once.
+    // range), so |∩| and |∪| are identical while all joins compare
+    // longs instead of building strings through interpreted lambdas.
     val withSet = normedDocs(spark, dir)
-      .select(col("doc_id"), col("lang"), expr("n_chars DIV 50").as("blk"),
+      .select(col("doc_id"),
         array_distinct(MinHash.shingleHashes(col("text_norm"), 3)).as("s"))
       .repartition(col("doc_id"))
-    // triangle blocking on top of the (lang, length-band) equality keys:
-    // ~40 natural blocks alone cap parallelism at 40 reducers at scale
-    sim.PairBlocks.selfJoinPairs(withSet, "doc_id", Seq("lang", "blk"), Seq("s"), nBlocks = 4)
-      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
-      .withColumn("uni", (size(col("s1")) + size(col("s2"))).cast("long") - col("inter"))
-      .filter(col("inter") > 0 && col("inter") * 2 >= col("uni"))
-      .select(
-        least(col("doc_id1"), col("doc_id2")).as("doc_id1"),
-        greatest(col("doc_id1"), col("doc_id2")).as("doc_id2"),
-        col("inter"), col("uni"))
+    SetSimJoin.jaccardSelfJoin(withSet, "doc_id", "s", tauNum = 1, tauDen = 2)
+      .select(col("id1").as("doc_id1"), col("id2").as("doc_id2"),
+              col("inter"), col("uni"))
       .orderBy("doc_id1", "doc_id2")
   }
 
   val d04Sql: String =
     """WITH toks AS (
-      |  SELECT doc_id, lang, n_chars,
+      |  SELECT doc_id,
       |         string_split(regexp_replace(regexp_replace(trim(lower(text)), '\s*(feat\.|featuring|ft\.|&|and)\s*', ';', 'g'), '\s+', ' ', 'g'), ' ') AS w
       |  FROM documents),
       |sh AS (
-      |  SELECT doc_id, lang, n_chars // 50 AS blk,
+      |  SELECT doc_id,
       |         CASE WHEN len(w) >= 3
       |              THEN list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
       |              ELSE list_distinct([array_to_string(w, ' ')]) END AS s
@@ -110,7 +108,8 @@ object LlmQueries {
       |       CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
       |       CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT) AS uni
       |FROM sh a JOIN sh b
-      |  ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+      |  ON a.doc_id < b.doc_id
+      | AND len(b.s) <= 2 * len(a.s) AND len(a.s) <= 2 * len(b.s)
       |WHERE len(list_intersect(a.s, b.s)) > 0
       |  AND len(list_intersect(a.s, b.s)) * 2 >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
       |ORDER BY doc_id1, doc_id2""".stripMargin
@@ -127,11 +126,11 @@ object LlmQueries {
   val d06Sql: String =
     """WITH RECURSIVE
       |toks AS (
-      |  SELECT doc_id, lang, n_chars,
+      |  SELECT doc_id,
       |         string_split(regexp_replace(regexp_replace(trim(lower(text)), '\s*(feat\.|featuring|ft\.|&|and)\s*', ';', 'g'), '\s+', ' ', 'g'), ' ') AS w
       |  FROM documents),
       |sh AS (
-      |  SELECT doc_id, lang, n_chars // 50 AS blk,
+      |  SELECT doc_id,
       |         CASE WHEN len(w) >= 3
       |              THEN list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
       |              ELSE list_distinct([array_to_string(w, ' ')]) END AS s
@@ -139,7 +138,8 @@ object LlmQueries {
       |p AS (
       |  SELECT a.doc_id AS a, b.doc_id AS b
       |  FROM sh a JOIN sh b
-      |    ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+      |    ON a.doc_id < b.doc_id
+      |   AND len(b.s) <= 2 * len(a.s) AND len(a.s) <= 2 * len(b.s)
       |  WHERE len(list_intersect(a.s, b.s)) > 0
       |    AND len(list_intersect(a.s, b.s)) * 2 >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
       |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),

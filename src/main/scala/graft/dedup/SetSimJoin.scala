@@ -1,0 +1,82 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Exact set-similarity self-join via prefix filtering (the
+  * AllPairs/PPJoin family: Bayardo et al. WWW'07, Xiao et al. WWW'08)
+  * — finds ALL pairs with Jaccard ≥ τ without an all-pairs or
+  * block-quadratic compare.
+  *
+  * Principle: order all tokens by a global total order (ascending
+  * document frequency, ties by token value). For a set of size n, any
+  * partner with J ≥ τ must share one of the set's first
+  * n − ⌈τ·n⌉ + 1 tokens in that order (the "prefix"): a qualifying
+  * pair overlaps in i ≥ ⌈τ·n⌉ tokens, and the smallest common token
+  * sits at position ≤ n − i + 1 in both sets. So joining on prefix
+  * tokens alone generates every qualifying pair — the filter is
+  * LOSSLESS, unlike MinHash-LSH banding (probabilistic recall) or
+  * fixed length-band blocking (round-1 d04, which confined pairs to
+  * same-band and was Θ(Σ block²) in the corpus).
+  *
+  * Scale shape: rare-token-first ordering means prefix tokens are the
+  * least frequent — candidate buckets stay small even when the corpus
+  * has huge common-shingle classes. Work is Θ(Σ_token df_prefix(token)²)
+  * which the frequency ordering minimizes; every stage is a linear
+  * shuffle (explode → count → window → join). The length filter
+  * (max size ≤ min size / τ) prunes candidates before verification.
+  */
+object SetSimJoin {
+
+  /** All unordered pairs (id1 < id2) with |∩|·(1+τnum/τden)… — concretely
+    * Jaccard ≥ τnum/τden, compared in exact integer arithmetic:
+    * J = i/(n1+n2−i) ≥ τnum/τden  ⇔  i·(τden+τnum) ≥ τnum·(n1+n2).
+    *
+    * Input: `df` with an id column and a column `setCol` of
+    * `array<bigint>` DISTINCT token fingerprints.
+    * Output: (id1, id2, inter, uni) for qualifying pairs.
+    */
+  def jaccardSelfJoin(df: DataFrame, idCol: String, setCol: String,
+                      tauNum: Int, tauDen: Int): DataFrame = {
+    val sets = df.select(col(idCol).as("sid"), col(setCol).as("s"))
+      .withColumn("sz", size(col("s")).cast(LongType))
+
+    // token → document frequency: the global order key (df asc, token
+    // asc). One linear shuffle on token.
+    val toks = sets.select(col("sid"), col("sz"), explode(col("s")).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+
+    // rank tokens within each set by (df, tok); keep the prefix of
+    // length n − ⌈τ·n⌉ + 1. ⌈τn⌉ = (n·τnum + τden − 1) DIV τden.
+    val byRarity = Window.partitionBy("sid").orderBy(col("df").asc, col("tok").asc)
+    // ⌈τn⌉ via floor((n·num + den − 1) / den); `/` on columns is double
+    // division, exact here (sz ≪ 2^52).
+    val prefixLen = col("sz") - floor((col("sz") * tauNum + tauDen - 1) / tauDen)
+      .cast(LongType) + 1
+    val prefixes = toks.join(freq, "tok")
+      .withColumn("pos", row_number().over(byRarity))
+      .filter(col("pos") <= prefixLen)
+      .select(col("sid"), col("sz"), col("tok"))
+
+    // candidates: any shared prefix token; length filter τ·max ≤ min.
+    val a = prefixes.toDF("id1", "sz1", "tok")
+    val b = prefixes.toDF("id2", "sz2", "tok")
+    val cand = a.join(b,
+        a("tok") === b("tok") && col("id1") < col("id2") &&
+        greatest(col("sz1"), col("sz2")) * tauNum <=
+          least(col("sz1"), col("sz2")) * tauDen)
+      .select("id1", "id2")
+      .distinct()
+
+    // exact verification on candidates only.
+    val s1 = sets.select(col("sid").as("id1"), col("s").as("s1"))
+    val s2 = sets.select(col("sid").as("id2"), col("s").as("s2"))
+    cand.join(s1, "id1").join(s2, "id2")
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast(LongType))
+      .withColumn("uni", (size(col("s1")) + size(col("s2"))).cast(LongType) - col("inter"))
+      .filter(col("inter") > 0 && col("inter") * (tauDen + tauNum) >= (col("uni") + col("inter")) * tauNum)
+      .select("id1", "id2", "inter", "uni")
+  }
+}

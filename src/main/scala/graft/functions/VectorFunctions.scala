@@ -3,10 +3,12 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `array<float>` embedding columns using built-in
-  * higher-order functions (`zip_with` + `aggregate`) — no UDF, fully
+/** Vector math over `array<float>` embedding columns — no UDF, fully
   * Catalyst-visible, accumulation in double in strict index order so
-  * results are deterministic across partitionings.
+  * results are deterministic across partitionings. The dot product is
+  * a codegen'd [[DotProduct]] expression (one tight JVM loop per row);
+  * the earlier `zip_with` + `aggregate` lambda version was interpreted
+  * per element and dominated every similarity hot path.
   */
 object VectorFunctions {
 
@@ -14,8 +16,7 @@ object VectorFunctions {
     * accumulation. */
   def toDouble(v: Column): Column = v.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = DotProduct.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

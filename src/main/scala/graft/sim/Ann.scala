@@ -45,15 +45,14 @@ object Ann {
     Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bucket id of a vector under the given hyperplanes (binary
-    * fold: bucket = Σ bit_i · 2^i via acc·2 + bit). */
-  def bucketId(vec: org.apache.spark.sql.Column, planes: Seq[Seq[Double]]): org.apache.spark.sql.Column = {
-    val planesLit = typedlit(planes)
-    aggregate(
-      sequence(lit(0), lit(planes.size - 1)),
-      lit(0L),
-      (acc, i) => acc * 2 + when(dot(vec, element_at(planesLit, i + 1)) > 0, 1L).otherwise(0L))
-  }
+  /** Sign-bucket id of a vector under the given hyperplanes. Unrolled
+    * driver-side over the (small, literal) plane set — nBits codegen'd
+    * dot products per row instead of an interpreted `aggregate` lambda
+    * re-dispatching per plane. bucket = Σ bit_i · 2^i via acc·2 + bit. */
+  def bucketId(vec: org.apache.spark.sql.Column, planes: Seq[Seq[Double]]): org.apache.spark.sql.Column =
+    planes.foldLeft(lit(0L): org.apache.spark.sql.Column) { (acc, p) =>
+      acc * 2 + when(dot(vec, typedlit(p)) > 0, 1L).otherwise(0L)
+    }
 
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions
     * the corpus into `nCells` cells; each query scores only the
@@ -63,23 +62,35 @@ object Ann {
     * cell assignment is a broadcast of `nCells` centroids — the corpus
     * is scanned once, never shuffled on vectors. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCells: Int, nProbe: Int, seed: Long): DataFrame = {
+              nCells: Int, nProbe: Int, seed: Long,
+              fitSampleCap: Long = 100000L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val featured = corpus.withColumn("features", array_to_vector(col("vec")))
+    // Fit the coarse quantizer on a deterministic hash-sample capped at
+    // `fitSampleCap` rows: KMeans cost is a full corpus scan PER
+    // ITERATION (10 here), and centroid quality converges long before
+    // the sample covers the corpus — at 100 TB the fit would otherwise
+    // dominate the query. The hash filter keeps the sample stable
+    // across partitionings (no `limit`/`sample` nondeterminism).
+    val n = corpus.count()
+    val sampled =
+      if (n <= fitSampleCap) corpus
+      else corpus.filter(pmod(xxhash64(col("id")), lit(n / fitSampleCap + 1)) === 0)
+    val featured = sampled.withColumn("features", array_to_vector(col("vec")))
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
       .fit(featured)
     val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
 
     def nearestCells(vec: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
-      // distance ranking over the (small, literal) centroid set:
-      // sort cell ids by squared distance, take n
-      val cLit = typedlit(centroids)
-      val dists = transform(sequence(lit(0), lit(nCells - 1)), i =>
-        struct(
-          aggregate(zip_with(vec, element_at(cLit, i + 1), (x, y) => (x - y) * (x - y)),
-            lit(0.0), (a, x) => a + x).as("d"),
-          i.as("cell")))
+      // Rank cells by ||c||² − 2·v·c (= squared distance minus the
+      // per-row constant ||v||², so the ordering is identical) —
+      // unrolled over the literal centroid set so each term is a
+      // codegen'd DotProduct, not an interpreted zip_with lambda.
+      val dists = array(centroids.zipWithIndex.map { case (cvec, i) =>
+        val cNormSq = cvec.map(x => x * x).sum
+        struct((lit(cNormSq) - lit(2.0) * dot(vec, typedlit(cvec))).as("d"),
+               lit(i).as("cell"))
+      }: _*)
       slice(transform(array_sort(dists), s => s.getField("cell")), 1, n)
     }
 

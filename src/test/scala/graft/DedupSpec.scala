@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.dedup.{MinHash, SimHash}
+import graft.dedup.{MinHash, SetSimJoin, SimHash}
 import graft.etl.TextNorm
 
 class DedupSpec extends AnyFunSuite {
@@ -71,12 +71,31 @@ class DedupSpec extends AnyFunSuite {
     assert(comps == Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L), (9L, 9L)))
   }
 
-  test("connected components handles a long chain within maxIter") {
+  test("connected components converges on a 200-node path graph (O(log n) rounds)") {
     import graft.dedup.ConnectedComponents
-    val chain = (0L until 20L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("id1", "id2")
-    val comps = ConnectedComponents.run(chain, maxIter = 25)
-      .agg(countDistinct("comp"), count(lit(1))).as[(Long, Long)].head()
-    assert(comps == ((1L, 20L)))
+    val chain = (0L until 200L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("id1", "id2")
+    val comps = ConnectedComponents.run(chain)
+      .agg(countDistinct("comp"), count(lit(1)), min("comp"), max("comp"))
+      .as[(Long, Long, Long, Long)].head()
+    // diameter 199 ≫ the round budget of plain label propagation; the
+    // large-star/small-star alternation collapses it logarithmically
+    assert(comps == ((1L, 200L, 0L, 0L)))
+  }
+
+  test("prefix-filtered jaccard self-join equals brute force (lossless)") {
+    val docs = Tables.documents(spark, TestSpark.Sf)
+      .withColumn("text_norm", TextNorm.normalizeText(col("text")))
+      .select(col("doc_id"),
+        array_distinct(MinHash.shingleHashes(col("text_norm"), 3)).as("s"))
+    val fast = SetSimJoin.jaccardSelfJoin(docs, "doc_id", "s", tauNum = 1, tauDen = 2)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val all = docs.as[(Long, Seq[Long])].collect()
+    val brute = (for {
+      (i1, s1) <- all; (i2, s2) <- all if i1 < i2
+      inter = s1.toSet.intersect(s2.toSet).size
+      if inter > 0 && inter * 2 >= s1.size + s2.size - inter
+    } yield (i1, i2)).toSet
+    assert(fast == brute, s"fast=$fast brute=$brute")
   }
 
   test("exactGroups groups duplicate values") {
