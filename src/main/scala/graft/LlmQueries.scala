@@ -176,6 +176,22 @@ object LlmQueries {
       |WHERE list_cosine_similarity(a.v, b.v) >= 0.44
       |ORDER BY id1, id2""".stripMargin
 
+  /** #25b: the scale path for d05 — multi-table sign-LSH candidates +
+    * exact cosine verification, global (no label blocking). Precision
+    * is exact; recall is the per-pair 1−(1−p^nBits)^nTables bound,
+    * asserted ≥0.9 against the exact pair set in AnnSpec. Rows-only
+    * (candidate generation is hash-family-specific). At τ as low as
+    * 0.44 LSH pruning is weak by nature (p per plane ≈ 0.65) — the
+    * parameters here trade candidate volume for recall; production
+    * near-dup thresholds (≥0.8) prune far harder. */
+  def d07EmbedNearDupLsh: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
+    Ann.lshNearDupPairs(e, "id", "vec", tau = 0.44, nBits = 4, nTables = 24,
+        dim = 64, seed = 0xd07L)
+      .orderBy("id1", "id2")
+  }
+
   /** #26: brute-force cosine top-k ANN (8 query vectors × corpus). */
   def s01AnnBruteForce: Q = (spark, dir) => {
     val e = Tables.embeddings(spark, dir)
@@ -344,6 +360,7 @@ object LlmQueries {
     "d04_ngram_jaccard" -> d04NgramJaccard,
     "d05_embed_neardup" -> d05EmbedNearDup,
     "d06_dedup_clusters" -> d06DedupClusters,
+    "d07_embed_neardup_lsh" -> d07EmbedNearDupLsh,
     "s01_ann_bruteforce" -> s01AnnBruteForce,
     "s02_ann_lsh" -> s02AnnLsh,
     "s03_ann_ivf" -> s03AnnIvf,
@@ -354,7 +371,8 @@ object LlmQueries {
     "t05_word_count" -> t05WordCount,
     "m01_multimodal_meta" -> m01MultimodalMeta)
 
-  /** d02/d03/s02 intentionally absent (rows-only check). */
+  /** d02/d03/d07/s02 intentionally absent (rows-only check; each
+    * carries a quantified recall spec instead). */
   val oracles: Seq[(String, String)] = Seq(
     "d01_dedup_exact" -> d01Sql,
     "d04_ngram_jaccard" -> d04Sql,

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.etl.Skew
+import graft.functions.HeavyHitters
+import graft.sources.Bucketing
+
+/** Scale-technique queries (SURVEY.md §2 #38, #44, #52) — operators
+  * whose POINT is the execution strategy (sketching, salting,
+  * bucketing), oracle-checked by choosing inputs where the strategy's
+  * result provably equals the exact answer:
+  *
+  *  - q34: SpaceSaving with capacity ≫ the distinct-key count does no
+  *    evictions, so the sketch IS the exact top-k.
+  *  - q35: a salted join is result-identical to the plain join by
+  *    construction (salt only spreads the shuffle).
+  *  - q36: a bucketed co-located join is result-identical to the plain
+  *    join (bucketing only removes the exchange).
+  */
+object ScaleQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def decSum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 2))).cast(DecimalType(38, 2))
+
+  /** #52: heavy hitters — SpaceSaving top-10 brands. The brand domain
+    * is small and fixed (TPC-H: 25), so capacity 1000 guarantees zero
+    * evictions and exact counts at every scale factor; on an unbounded
+    * domain the same aggregator keeps the n/capacity guarantee with
+    * sketch-sized shuffle instead of a full groupBy. */
+  def q34HeavyHitters: Q = (spark, dir) => {
+    import spark.implicits._
+    val hh = new HeavyHitters(capacity = 1000, k = 10).toColumn.name("hh")
+    Tables.part(spark, dir)
+      .select(col("p_brand")).as[String]
+      .select(hh)
+      .toDF("hh")
+      .select(explode(col("hh")).as("kv"))
+      .select(col("kv._1").as("brand"), col("kv._2").as("n"))
+      .orderBy(col("n").desc, col("brand").asc)
+  }
+
+  val q34Sql: String =
+    """SELECT p_brand AS brand, COUNT(*) AS n
+      |FROM part GROUP BY p_brand
+      |ORDER BY n DESC, brand LIMIT 10""".stripMargin
+
+  /** #38: skew-salted join — the orders side explodes 8×, the
+    * lineitem side salts deterministically from its unique
+    * (orderkey, linenumber) id, so the shuffle spreads any hot order
+    * key over 8 reducers while the joined rows (and therefore the
+    * aggregate) are exactly the plain join's. */
+  def q35SaltedJoin: Q = (spark, dir) => {
+    val facts = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_linenumber"), col("l_extendedprice"))
+    val dims = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("okey"), col("o_orderstatus"))
+    Skew.saltedJoinBy(facts, dims, "okey",
+        saltSource = concat_ws("#", col("okey"), col("l_linenumber")), nSalts = 8)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_lines"), decSum(col("l_extendedprice")).as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
+  val q35Sql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_lines,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  /** #44: bucketed co-located join — both sides written bucketed +
+    * sorted by the join key, so the join itself needs no exchange and
+    * no sort (each task zips matching bucket files). The write is part
+    * of the query on purpose: bucketing pays one shuffle once to
+    * delete it from every future join. */
+  def q36BucketedJoin: Q = (spark, dir) => {
+    Bucketing.writeBucketed(
+      Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity"),
+      "graft_b_lineitem", "l_orderkey", nBuckets = 8)
+    Bucketing.writeBucketed(
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+      "graft_b_orders", "l_orderkey", nBuckets = 8)
+    Bucketing.table(spark, "graft_b_lineitem")
+      .join(Bucketing.table(spark, "graft_b_orders"), "l_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"), decSum(col("l_quantity")).as("qty"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q36Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_lines,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  val queries: Seq[(String, Q)] = Seq(
+    "q34_heavy_hitters" -> q34HeavyHitters,
+    "q35_salted_join" -> q35SaltedJoin,
+    "q36_bucketed_join" -> q36BucketedJoin)
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q34_heavy_hitters" -> q34Sql,
+    "q35_salted_join" -> q35Sql,
+    "q36_bucketed_join" -> q36Sql)
+}

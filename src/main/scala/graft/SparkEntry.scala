@@ -7,9 +7,11 @@ object SparkEntry {
     CoreQueries.q17EtlPipeline(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (CoreQueries.queries ++ LlmQueries.queries ++ AnalyticsQueries.queries).toMap
+    (CoreQueries.queries ++ LlmQueries.queries ++ AnalyticsQueries.queries ++
+     ScaleQueries.queries).toMap
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    (CoreQueries.oracles ++ LlmQueries.oracles ++ AnalyticsQueries.oracles).toMap
+    (CoreQueries.oracles ++ LlmQueries.oracles ++ AnalyticsQueries.oracles ++
+     ScaleQueries.oracles).toMap
 }

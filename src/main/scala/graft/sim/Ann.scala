@@ -109,17 +109,65 @@ object Ann {
       .select(col("qid"), col("rank").cast("long").as("rank"), col("neighbor_id"))
   }
 
-  /** LSH-bucketed ANN: score only within the query's bucket. */
+  /** Multi-table sign-LSH near-duplicate pairs — the scale path for a
+    * cosine-threshold self-join (d05's exact per-label all-pairs is
+    * quadratic in label population). Candidates = pairs sharing a
+    * bucket in ANY of `nTables` independent hyperplane tables; exact
+    * cosine verification then keeps only pairs ≥ `tau`, so precision
+    * is exact and only recall is probabilistic:
+    * 1 − (1 − p^nBits)^nTables with p = 1 − θ/π per hyperplane.
+    * Work is Θ(Σ bucket²) per table over 16-byte (id, bucket) rows —
+    * vectors are never shuffled; verification re-joins them by id.
+    */
+  def lshNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
+                      tau: Double, nBits: Int, nTables: Int, dim: Int,
+                      seed: Long): DataFrame = {
+    val v = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .repartition(col("id")) // barrier → one materialization, reused 3×
+    val bkts = v.select(col("id"), explode(array((0 until nTables).map { t =>
+        struct(lit(t).as("tbl"),
+               bucketId(col("v"), hyperplanes(nBits, dim, seed + 31L * t)).as("bkt"))
+      }: _*)).as("tb"))
+      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val cand = bkts.toDF("id1", "tbl1", "bkt1")
+      .join(bkts.toDF("id2", "tbl2", "bkt2"),
+        col("tbl1") === col("tbl2") && col("bkt1") === col("bkt2") &&
+        col("id1") < col("id2"))
+      .select("id1", "id2")
+      .distinct()
+    cand
+      .join(v.select(col("id").as("id1"), col("v").as("v1"), col("nrm").as("nrm1")), "id1")
+      .join(v.select(col("id").as("id2"), col("v").as("v2"), col("nrm").as("nrm2")), "id2")
+      .filter(cosinePrenormed(dot(col("v1"), col("v2")), col("nrm1"), col("nrm2")) >= tau)
+      .select("id1", "id2")
+  }
+
+  /** LSH-bucketed ANN: score only corpus vectors sharing a bucket
+    * with the query in at least one of `nTables` independent
+    * hyperplane tables. One table's recall on near-orthogonal
+    * embeddings is poor (~0.1 at nBits=4 — a true neighbor at cos 0.4
+    * agrees with the query on all 4 signs only 16% of the time);
+    * OR-ing tables compounds it to 1 − (1−p^nBits)^nTables while
+    * candidate volume stays ≈ nTables · n/2^nBits per query. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nBits: Int, dim: Int, seed: Long): DataFrame = {
-    val planes = hyperplanes(nBits, dim, seed)
+              nBits: Int, dim: Int, seed: Long, nTables: Int = 8): DataFrame = {
+    def bkts(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("id").as(idAs), explode(array((0 until nTables).map { t =>
+          struct(lit(t).as("tbl"),
+                 bucketId(col("vec"), hyperplanes(nBits, dim, seed + 31L * t)).as("bkt"))
+        }: _*)).as("tb"))
+        .select(col(idAs), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val cand = bkts(corpus, "neighbor_id")
+      .join(broadcast(bkts(queries, "qid")), Seq("tbl", "bkt"))
+      .filter(col("neighbor_id") =!= col("qid"))
+      .select("qid", "neighbor_id")
+      .distinct()
     val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
-      .withColumn("bkt", bucketId(col("cvec"), planes))
       .withColumn("cnrm", norm(col("cvec")))
     val q = queries.select(col("id").as("qid"), col("vec").as("qvec"))
-      .withColumn("qbkt", bucketId(col("qvec"), planes))
       .withColumn("qnrm", norm(col("qvec")))
-    val scored = c.join(broadcast(q), col("bkt") === col("qbkt") && col("neighbor_id") =!= col("qid"))
+    val scored = cand.join(c, "neighbor_id").join(broadcast(q), "qid")
       .withColumn("sim", cosinePrenormed(dot(col("qvec"), col("cvec")), col("qnrm"), col("cnrm")))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -16,6 +16,17 @@ object Bucketing {
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     nBuckets: Int, sorted: Boolean = true,
                     mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val spark = df.sparkSession
+    if (mode == SaveMode.Overwrite) {
+      // a previous session's managed-table directory survives in the
+      // warehouse while the (in-memory) catalog entry does not;
+      // saveAsTable then refuses the non-empty location — drop both
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(wh, true)
+    }
     val w = df.write.mode(mode).bucketBy(nBuckets, bucketCol)
     (if (sorted) w.sortBy(bucketCol) else w).saveAsTable(table)
   }

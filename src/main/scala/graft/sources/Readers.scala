@@ -32,9 +32,9 @@ object Readers {
 
   /** JDBC reader builder (the `pd.read_sql` analog). `numPartitions` +
     * bound columns give parallel partitioned reads — a single-threaded
-    * JDBC scan is the #1 ingest bottleneck at scale. No database ships
-    * in this environment, so this builder is spec-tested structurally
-    * and documented as the production path. */
+    * JDBC scan is the #1 ingest bottleneck at scale. Fired end-to-end
+    * against embedded Derby in SourcesSpec (the one JDBC engine on the
+    * classpath); the same options drive MySQL/Postgres in production. */
   def jdbc(spark: SparkSession, url: String, table: String,
            partitionColumn: Option[(String, Long, Long, Int)] = None,
            props: Map[String, String] = Map.empty): DataFrameReader = {

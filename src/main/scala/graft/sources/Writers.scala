@@ -1,9 +1,11 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SaveMode}
 
 /** Sinks mirroring the reference's load stage
-  * (dags/etl_grammy_spotify.py:305-379: CSV file + `to_sql` replace).
+  * (dags/etl_grammy_spotify.py:305-379: CSV file + `to_sql` replace,
+  * plus the cloud-storage artifact upload at :330-357).
   */
 object Writers {
 
@@ -22,10 +24,31 @@ object Writers {
   def csv(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).option("header", "true").csv(path)
 
-  /** JDBC writer builder (`to_sql(if_exists="replace")` analog).
-    * Returned unfired: no database in this environment. Batched
-    * inserts + `truncate` (instead of drop/create) are the options
-    * that matter under load. */
+  /** Publish a final artifact to any Hadoop-FS URI with
+    * all-or-nothing overwrite — the public-knowledge analog of the
+    * reference's Drive upload (dags/etl_grammy_spotify.py:330-357):
+    * write to a hidden sibling temp dir, then rename over the target.
+    * Rename is atomic on HDFS/POSIX, so a concurrent reader sees the
+    * old artifact or the new one, never a half-written directory (on
+    * object stores rename degrades to copy — front with a manifest or
+    * a versioned prefix there). Idempotent: re-publishing replaces. */
+  def publish(df: DataFrame, uri: String, format: String = "parquet"): Unit = {
+    val target = new Path(uri)
+    val fs = target.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val tmp = new Path(target.getParent, s".${target.getName}.inprogress")
+    fs.delete(tmp, true)
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", "true") // no-op for parquet, header for csv
+      .format(format).save(tmp.toString)
+    fs.delete(target, true)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"publish: rename $tmp -> $target failed")
+  }
+
+  /** JDBC writer builder (`to_sql(if_exists="replace")` analog),
+    * fired against embedded Derby in SourcesSpec. Batched inserts +
+    * `truncate` (instead of drop/create) are the options that matter
+    * under load. */
   def jdbc(df: DataFrame, url: String, table: String,
            props: Map[String, String] = Map.empty): DataFrameWriter[Row] = {
     val base = df.write.format("jdbc")

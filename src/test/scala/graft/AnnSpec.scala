@@ -32,15 +32,35 @@ class AnnSpec extends AnyFunSuite {
     assert(top1 == expected)
   }
 
-  test("LSH ANN results are true neighbors from the same bucket (subset sanity)") {
+  test("LSH ANN recall@10 vs brute force is quantified") {
     val brute = Ann.bruteForceTopK(emb, emb.filter(col("id") < 8), k = 10)
       .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
     // 16 buckets on a 500-vector corpus → ~30 candidates per query
     val lsh = Ann.lshTopK(emb, emb.filter(col("id") < 8), k = 10, nBits = 4, dim = 64, seed = 7L)
       .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(lsh.nonEmpty)
-    // recall is bounded but must be nonzero on a 500-vector corpus
-    assert(lsh.intersect(brute).nonEmpty)
+    val recall = brute.count(lsh).toDouble / brute.size
+    // 8-table OR'd sign-LSH: a true neighbor at cos 0.4 shares a
+    // bucket in ≥1 table with p ≈ 1 − (1 − 0.63^4)^8 ≈ 0.75; pin a
+    // floor under the empirical value with this seed so a regression
+    // in bucketing or scoring fails loudly
+    assert(recall >= 0.5, s"recall@10 $recall")
+  }
+
+  test("multi-table LSH near-dup pairs: exact precision, quantified recall") {
+    val truth = emb.toDF("id1v", "v1").join(emb.toDF("id2v", "v2"),
+        col("id1v") < col("id2v"))
+      .filter(cosinePrenormed(dot(col("v1"), col("v2")),
+        sqrt(dot(col("v1"), col("v1"))), sqrt(dot(col("v2"), col("v2")))) >= 0.44)
+      .select(col("id1v"), col("id2v")).as[(Long, Long)].collect().toSet
+    val found = LlmQueries.d07EmbedNearDupLsh(spark, TestSpark.Sf)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty)
+    // every emitted pair is cosine-verified → found ⊆ truth always
+    assert(found.subsetOf(truth), s"false positives: ${found.diff(truth)}")
+    val recall = truth.count(found).toDouble / truth.size
+    // deterministic seed; per-pair miss ≈ (1 − p^4)^24 ≈ 1% at τ=0.44
+    assert(recall >= 0.9, s"recall $recall truth=${truth.size} found=${found.size}")
   }
 
   test("IVF ANN recalls most true neighbors with multi-probe") {

@@ -49,6 +49,48 @@ class SourcesSpec extends AnyFunSuite {
     assert(err2.getMessage != null)
   }
 
+  test("jdbc round-trip against embedded Derby (write, partitioned read)") {
+    // Derby ships in /opt/spark/jars — the one real JDBC engine here;
+    // mirrors the reference's MySQL extract/load
+    // (dags/etl_grammy_spotify.py:55-67, :370-376)
+    val dir = Files.createTempDirectory("graft_derby").toString
+    val url = s"jdbc:derby:$dir/db;create=true"
+    val derby = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val df = Seq((1L, "alpha", 10.5), (2L, "beta", 20.25), (3L, "gamma", 30.0))
+      .toDF("id", "name", "score")
+    // Spark's default dialect maps StringType to TEXT, which Derby
+    // lacks — column types must be explicit (same for MySQL LONGTEXT
+    // tuning in production)
+    Writers.jdbc(df, url, "artists",
+        props = derby + ("createTableColumnTypes" ->
+          "id BIGINT, name VARCHAR(64), score DOUBLE"))
+      .save()
+    val back = Readers.jdbc(spark, url, "artists",
+        partitionColumn = Some(("id", 0L, 4L, 2)), props = derby)
+      .load()
+    assert(back.rdd.getNumPartitions == 2, "bounded read should split into 2 partitions")
+    assert(back.orderBy("id").as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "alpha", 10.5), (2L, "beta", 20.25), (3L, "gamma", 30.0)))
+    // overwrite (truncate) path: the `to_sql(if_exists="replace")` analog
+    Writers.jdbc(df.filter(col("id") <= 2), url, "artists",
+        props = derby + ("createTableColumnTypes" ->
+          "id BIGINT, name VARCHAR(64), score DOUBLE"))
+      .save()
+    assert(Readers.jdbc(spark, url, "artists", props = derby).load().count() == 2)
+  }
+
+  test("publish replaces the target atomically and is idempotent") {
+    val dir = Files.createTempDirectory("graft_pub").toString
+    val uri = s"$dir/artifact"
+    Writers.publish(Seq((1L, "v1")).toDF("id", "tag"), uri, format = "csv")
+    Writers.publish(Seq((2L, "v2"), (3L, "v2")).toDF("id", "tag"), uri, format = "csv")
+    val schema = StructType(Seq(StructField("id", LongType), StructField("tag", StringType)))
+    val back = Readers.csv(spark, uri, schema).orderBy("id").as[(Long, String)].collect()
+    assert(back.toSeq == Seq((2L, "v2"), (3L, "v2")), "second publish must fully replace the first")
+    assert(!new java.io.File(dir).list().exists(_.contains("inprogress")),
+      "no temp dirs left behind")
+  }
+
   test("salted join distributes a skewed key and preserves results") {
     val facts = Seq.tabulate(1000)(i => (if (i % 10 == 0) "hot" else s"k$i", i))
       .toDF("key", "v")
