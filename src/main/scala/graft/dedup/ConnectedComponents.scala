@@ -54,23 +54,28 @@ object ConnectedComponents {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
+    // per-group minima come from a window over ONE hash exchange
+    // instead of a groupBy + self-join pair (which costs two extra
+    // shuffles per round — the rounds are small, the fixed shuffle
+    // cost per round is what dominates)
     def largeStar(e: DataFrame): DataFrame = {
       val nbrs = e.select(col("u").as("node"), col("v").as("nbr"))
         .union(e.select(col("v").as("node"), col("u").as("nbr")))
-      val mins = nbrs.groupBy("node").agg(min("nbr").as("mn"))
-      nbrs.join(mins, "node")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("node")
+      nbrs.withColumn("mn", min("nbr").over(w))
         .filter(col("nbr") > col("node"))
         .select(col("nbr").as("u"), least(col("mn"), col("node")).as("v"))
-        .distinct()
+      // duplicates tolerated: smallStar's window min ignores them and
+      // its final distinct removes them — no extra shuffle here
     }
 
     def smallStar(e: DataFrame): DataFrame = {
       // e rows (u, v) already mean "v is a smaller neighbor of u"
-      val mins = e.groupBy("u").agg(min("v").as("m"))
-      val moved = e.join(mins, "u")
-        .filter(col("v") =!= col("m"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("u")
+      val withM = e.withColumn("m", min("v").over(w))
+      val moved = withM.filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
-      moved.union(mins.select(col("u"), col("m").as("v"))).distinct()
+      moved.union(withM.select(col("u"), col("m").as("v"))).distinct()
     }
 
     var prev = digest(e)

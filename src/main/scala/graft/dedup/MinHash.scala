@@ -106,16 +106,53 @@ object MinHash {
   def signature(shingleHashes: Column, k: Int, seed: Long): Column =
     Bridge.column(MinHashSignature(Bridge.expression(shingleHashes), k, seed))
 
-  /** One 64-bit hash per band of `r = k / nBands` signature rows.
-    * Rotate-xor fold — bitwise ops only, so it stays legal under ANSI
-    * mode (Spark 4 default), which rejects overflowing multiplies. */
-  def bandHashes(sig: Column, nBands: Int, k: Int): Column = {
-    val r = k / nBands
-    transform(
-      sequence(lit(0), lit(nBands - 1)),
-      j => aggregate(slice(sig, j * r + 1, lit(r)), lit(1125899906842597L),
-        (acc, x) =>
-          shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)).bitwiseXOR(x)))
+  /** One 64-bit hash per band of `r = k / nBands` signature rows —
+    * rotate-xor fold in a single codegen'd pass ([[BandHashesExpr]]).
+    * The earlier `transform(sequence…, aggregate(slice…))` computed
+    * the same values but was interpreted per element (nBands·r lambda
+    * dispatches and slice allocations per row). */
+  def bandHashes(sig: Column, nBands: Int, k: Int): Column =
+    Bridge.column(BandHashesExpr(Bridge.expression(sig), nBands))
+
+  case class BandHashesExpr(child: Expression, nBands: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint>, got ${other.catalogString}")
+    }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "band_hashes"
+
+    def compute(sig: ArrayData): GenericArrayData = {
+      val k = sig.numElements()
+      val r = k / nBands
+      val out = new Array[Long](nBands)
+      var j = 0
+      while (j < nBands) {
+        var acc = 1125899906842597L
+        var i = j * r
+        val end = i + r
+        while (i < end) {
+          acc = (java.lang.Long.rotateLeft(acc, 5)) ^ sig.getLong(i)
+          i += 1
+        }
+        out(j) = acc
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("bandHashes", this, classOf[BandHashesExpr].getName)
+      defineCodeGen(ctx, ev, c => s"$self.compute($c)")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): BandHashesExpr =
+      copy(child = newChild)
   }
 
   /** Candidate near-dup pairs: equal band hash in any band. */
@@ -135,9 +172,47 @@ object MinHash {
       .distinct()
   }
 
-  /** Signature-overlap count (k·estimated-jaccard) for verification. */
+  /** Signature-overlap count (k·estimated-jaccard) for verification —
+    * codegen'd single pass; runs once per CANDIDATE PAIR, so the
+    * interpreted `zip_with`+`aggregate` version sat directly on the
+    * LSH join's hot path. */
   def sigMatches(sig1: Column, sig2: Column): Column =
-    aggregate(
-      zip_with(sig1, sig2, (x, y) => when(x === y, 1L).otherwise(0L)),
-      lit(0L), (acc, x) => acc + x)
+    Bridge.column(SigMatchCount(Bridge.expression(sig1), Bridge.expression(sig2)))
+
+  case class SigMatchCount(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (a, b) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two array<bigint> inputs, got " +
+          s"${a.catalogString} and ${b.catalogString}")
+      }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "sig_match_count"
+
+    def compute(a: ArrayData, b: ArrayData): Long = {
+      val n = math.min(a.numElements(), b.numElements())
+      var c = 0L
+      var i = 0
+      while (i < n) {
+        if (a.getLong(i) == b.getLong(i)) c += 1
+        i += 1
+      }
+      c
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("sigMatch", this, classOf[SigMatchCount].getName)
+      defineCodeGen(ctx, ev, (a, b) => s"$self.compute($a, $b)")
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): SigMatchCount =
+      copy(left = newLeft, right = newRight)
+  }
 }

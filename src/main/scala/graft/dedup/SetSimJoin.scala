@@ -58,15 +58,23 @@ object SetSimJoin {
     val prefixes = toks.join(freq, "tok")
       .withColumn("pos", row_number().over(byRarity))
       .filter(col("pos") <= prefixLen)
-      .select(col("sid"), col("sz"), col("tok"))
+      .select(col("sid"), col("sz"), col("tok"), col("pos"))
 
-    // candidates: any shared prefix token; length filter τ·max ≤ min.
-    val a = prefixes.toDF("id1", "sz1", "tok")
-    val b = prefixes.toDF("id2", "sz2", "tok")
+    // candidates: shared prefix token + two sound pre-verification
+    // prunes — length filter (τ·max ≤ min), and PPJoin's positional
+    // filter: matching at rarity-positions (p1, p2) caps the possible
+    // overlap at 1 + min(sz1−p1, sz2−p2), which must reach the
+    // τ-required overlap α = ⌈τ/(1+τ)·(sz1+sz2)⌉. On corpora with
+    // heavy shared-shingle mass this kills most of what the prefix
+    // filter alone lets through, BEFORE the dedup shuffle.
+    val a = prefixes.toDF("id1", "sz1", "tok", "pos1")
+    val b = prefixes.toDF("id2", "sz2", "tok", "pos2")
     val cand = a.join(b,
         a("tok") === b("tok") && col("id1") < col("id2") &&
         greatest(col("sz1"), col("sz2")) * tauNum <=
-          least(col("sz1"), col("sz2")) * tauDen)
+          least(col("sz1"), col("sz2")) * tauDen &&
+        (lit(1) + least(col("sz1") - col("pos1"), col("sz2") - col("pos2"))) *
+          (tauDen + tauNum) >= (col("sz1") + col("sz2")) * tauNum)
       .select("id1", "id2")
       .distinct()
 

@@ -1,0 +1,44 @@
+package graft.etl
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Staged checkpoints for multi-hour pipelines — the restart story the
+  * reference gets from Airflow task boundaries (extract → transform →
+  * load with persisted intermediates, dags/etl_grammy_spotify.py:28-35),
+  * without an orchestrator.
+  *
+  * A stage materializes its DataFrame to parquet exactly once per
+  * (root, name): if a prior run already committed the stage (Spark's
+  * `_SUCCESS` marker present), the build closure is skipped entirely
+  * and the stage is served from disk. A killed 100 TB run therefore
+  * resumes at the first uncommitted stage instead of hour zero — and a
+  * half-written directory (no `_SUCCESS`) is rebuilt, never trusted.
+  *
+  * Within one job, staging also acts as a lineage barrier: downstream
+  * branches re-read the parquet instead of recomputing the plan (the
+  * durable cousin of `localCheckpoint`).
+  */
+object Stages {
+
+  /** Serve `name` from `root` if committed, else build → write → read
+    * back. The returned frame always reads from the materialized
+    * parquet, so every consumer shares one copy of the work. */
+  def stage(spark: SparkSession, root: String, name: String)
+           (build: => DataFrame): DataFrame = {
+    val dir = new Path(root, name)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(dir, "_SUCCESS"))) {
+      fs.delete(dir, true) // stale partial output from a killed run
+      build.write.parquet(dir.toString)
+    }
+    spark.read.parquet(dir.toString)
+  }
+
+  /** Drop a committed stage so the next run rebuilds it (e.g. after a
+    * code change that invalidates the intermediate). */
+  def invalidate(spark: SparkSession, root: String, name: String): Unit = {
+    val dir = new Path(root, name)
+    dir.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(dir, true)
+  }
+}

@@ -77,7 +77,11 @@ object Ann {
       if (n <= fitSampleCap) corpus
       else corpus.filter(pmod(xxhash64(col("id")), lit(n / fitSampleCap + 1)) === 0)
     val featured = sampled.withColumn("features", array_to_vector(col("vec")))
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
+    // a coarse quantizer only needs rough cell boundaries — 5
+    // iterations is ample (recall is governed by nProbe, not by
+    // centroid polish), and each iteration is a full pass over the fit
+    // sample
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
       .fit(featured)
     val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
 

@@ -67,6 +67,22 @@ class EtlSpec extends AnyFunSuite {
     assert(r.toSeq == Seq((1, "x"), (2, "y")))
   }
 
+  test("Stages: build runs once, restart resumes from committed output, partial output is rebuilt") {
+    val root = java.nio.file.Files.createTempDirectory("graft_stages").toString
+    var builds = 0
+    def built = Stages.stage(spark, root, "s1") { builds += 1; Seq((1L, "a"), (2L, "b")).toDF("id", "v") }
+    assert(built.count() == 2 && builds == 1)
+    // simulated restart: stage is committed → closure must not run
+    assert(Stages.stage(spark, root, "s1") { builds += 1; Seq((9L, "x")).toDF("id", "v") }.count() == 2)
+    assert(builds == 1)
+    // simulated kill mid-write: no _SUCCESS → stage must rebuild
+    new java.io.File(s"$root/s1/_SUCCESS").delete()
+    assert(Stages.stage(spark, root, "s1") { builds += 1; Seq((9L, "x")).toDF("id", "v") }.count() == 1)
+    assert(builds == 2)
+    Stages.invalidate(spark, root, "s1")
+    assert(!new java.io.File(s"$root/s1").exists())
+  }
+
   test("flagship pipeline produces per-source aggregates") {
     val out = Pipeline.run(Tables.documents(spark, TestSpark.Sf)).collect()
     assert(out.length > 10)
