@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.dedup.{MinHash, SimHash}
-import graft.functions.{Fingerprint64, ShingleFingerprints}
+import graft.functions.{DotProduct, Fingerprint64, ShingleFingerprints}
 
 /** SQL registration for graft's custom Catalyst expressions, so
   * `spark.sql("SELECT fingerprint64(text) …")` works alongside the
@@ -28,6 +28,11 @@ object GraftFunctions {
     "simhash64" -> { exprs => SimHash.SimHash64(exprs.head) },
     "minhash_signature" -> { exprs =>
       MinHash.MinHashSignature(exprs.head, 64, 0x5eedL)
+    },
+    "dot_product" -> { exprs => DotProduct(exprs(0), exprs(1)) },
+    "band_hashes" -> { exprs => MinHash.BandHashesExpr(exprs.head, 16) },
+    "sig_match_count" -> { exprs =>
+      MinHash.SigMatchCount(exprs(0), exprs(1))
     })
 
   def register(spark: SparkSession): Unit =

@@ -65,4 +65,27 @@ class PlanSpec extends AnyFunSuite {
     val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(hashEx == 1, p)
   }
+
+  test("d04 prefix-filter join has no cartesian/nested-loop product") {
+    val p = planOf("d04_ngram_jaccard")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q36 bucketed join plans without an exchange on the join key") {
+    // materialize the bucketed tables once, then check the join plan
+    SparkEntry.queries("q36_bucketed_join")(spark, sf).collect()
+    val joined = sources.Bucketing.table(spark, "graft_b_lineitem")
+      .join(sources.Bucketing.table(spark, "graft_b_orders"), "l_orderkey")
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("similarity hot paths carry no interpreted higher-order lambdas") {
+    for (q <- Seq("s01_ann_bruteforce", "d05_embed_neardup", "d02_minhash_lsh")) {
+      val p = planOf(q)
+      assert(!p.contains("lambdafunction"), s"$q plan still has a lambda:\n$p")
+    }
+  }
 }

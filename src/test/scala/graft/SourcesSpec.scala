@@ -108,6 +108,12 @@ class SourcesSpec extends AnyFunSuite {
     val r = spark.sql(
       "SELECT fingerprint64('abc') AS f, simhash64(shingle_fingerprints('a b c d')) AS s")
       .as[(Long, Long)].head()
+    val v = spark.sql(
+      """SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |       sig_match_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS m,
+        |       size(band_hashes(minhash_signature(shingle_fingerprints('a b c d e')))) AS nb
+        |""".stripMargin).as[(Double, Long, Int)].head()
+    assert(v == ((11.0, 2L, 16)))
     def fnv(s: String): Long = {
       var h = 0xcbf29ce484222325L
       s.getBytes("UTF-8").foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
