@@ -37,7 +37,12 @@ object ConnectedComponents {
     */
   def run(edges: DataFrame, idCols: (String, String) = ("id1", "id2"),
           maxIter: Int = 64): DataFrame = {
+    // checkpoint the incoming edge list ONCE: `ids`, the canonical
+    // edge set and the final join all derive from it, and upstream
+    // edge generation (e.g. d04's whole similarity pipeline) is far
+    // too expensive to re-run per consumer
     val raw = edges.select(col(idCols._1).as("a"), col(idCols._2).as("b"))
+      .localCheckpoint()
     val ids = raw.select(col("a").as("id"))
       .union(raw.select(col("b").as("id")))
       .distinct()
@@ -82,7 +87,9 @@ object ConnectedComponents {
     var iter = 0
     var converged = e.isEmpty
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      // lazy checkpoint: the digest aggregate is the action that
+      // materializes it — one Spark job per round, not two
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       val d = digest(next)
       e = next
       converged = d == prev
