@@ -29,6 +29,19 @@ object EventStream {
               col("n_events"), col("total_value"))
   }
 
+  /** Streaming exact dedup — drop re-deliveries of the same record
+    * (same key columns) arriving within the watermark horizon: the
+    * streaming-ingest twin of d01's batch dedup, for at-least-once
+    * sources that replay documents. `dropDuplicatesWithinWatermark`
+    * keeps one digest per key only until event time passes the
+    * watermark, so state is bounded by the unique-key arrival rate ×
+    * horizon — never by stream length. Dedup on a digest column
+    * (e.g. `md5(text)`), not the payload, so state rows stay small. */
+  def dedupStream(records: DataFrame, keyCols: Seq[String],
+                  tsCol: String = "ts", watermark: String = "2 hours"): DataFrame =
+    records.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Per-user running totals via arbitrary stateful processing
     * (`mapGroupsWithState`): state is one [[UserAgg]] per user —
     * bounded by the user population, not the stream length — and

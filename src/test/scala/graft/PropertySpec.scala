@@ -51,6 +51,24 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("SetSimJoin equals brute force on random set families (multiple thresholds)") {
+    val setGen: Gen[Seq[Long]] =
+      Gen.chooseNum(1, 25).flatMap(n => Gen.listOfN(n, Gen.chooseNum(0L, 60L)).map(_.distinct))
+    val fams = Iterator.continually(setGen.sample).flatten.take(60).toSeq
+    val df = fams.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    for ((num, den) <- Seq((1, 2), (7, 10), (9, 10))) {
+      val fast = graft.dedup.SetSimJoin.jaccardSelfJoin(df, "id", "s", num, den)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      val local = fams.map(_.toSet).zipWithIndex
+      val brute = (for {
+        (s1, i1) <- local; (s2, i2) <- local if i1 < i2
+        inter = s1.intersect(s2).size
+        if inter > 0 && inter * (den + num) >= (s1.size + s2.size) * num
+      } yield (i1.toLong, i2.toLong)).toSet
+      assert(fast == brute, s"tau=$num/$den fast=$fast brute=$brute")
+    }
+  }
+
   test("Fingerprint64 equals reference FNV-1a for arbitrary strings (codegen path)") {
     def fnv(s: String): Long = {
       var h = 0xcbf29ce484222325L

@@ -74,6 +74,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming dedup drops same-digest re-deliveries across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Timestamp, String)]
+    val docs = input.toDF().toDF("ts", "text")
+      .withColumn("digest", md5(col("text")))
+    val query = EventStream.dedupStream(docs, Seq("digest"), watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:10:00"), "doc A"),
+        (ts("2024-01-01 00:11:00"), "doc A"), // same batch duplicate
+        (ts("2024-01-01 00:12:00"), "doc B"))
+      query.processAllAvailable()
+      input.addData((ts("2024-01-01 00:40:00"), "doc A")) // replay, within watermark
+      query.processAllAvailable()
+      val texts = spark.table("dedup_stream").select("text").as[String].collect().sorted
+      assert(texts.toSeq == Seq("doc A", "doc B"))
+    } finally query.stop()
+  }
+
   test("late events beyond the watermark are dropped (append mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
