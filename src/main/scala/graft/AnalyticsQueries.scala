@@ -104,7 +104,8 @@ object AnalyticsQueries {
 
   /** #36: sessionization — 30-minute-gap sessions per user via
     * lag + cumulative break count (single shuffle on user_id). */
-  def q20Sessionize: Q = (spark, dir) => {
+  /** Session table shared by q20 (output) and q37 (interval side). */
+  private def sessionsOf(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val byUser = Window.partitionBy("user_id").orderBy("ts")
     val cum = Window.partitionBy("user_id").orderBy("ts")
@@ -120,8 +121,10 @@ object AnalyticsQueries {
         count(lit(1)).as("n_events"),
         date_trunc("second", min("ts")).cast(TimestampType).as("session_start"),
         date_trunc("second", max("ts")).cast(TimestampType).as("session_end"))
-      .orderBy("user_id", "session_id")
   }
+
+  def q20Sessionize: Q = (spark, dir) =>
+    sessionsOf(spark, dir).orderBy("user_id", "session_id")
 
   val q20Sql: String =
     """WITH g AS (
@@ -451,6 +454,64 @@ object AnalyticsQueries {
       |       COUNT(*) AS n
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** #59: point-in-interval range join with NO equi-key — each
+    * (≥3-event) session counts purchase events from OTHER users
+    * inside its [start, end] window. A naive plan is a cartesian
+    * product; here each interval explodes over the hour buckets it
+    * covers and each point carries its single hour bucket, so the
+    * match becomes an equi-join on the bucket + an exact BETWEEN
+    * filter. Lossless (a contained point's bucket is always among the
+    * interval's buckets) and each (session, point) pair meets exactly
+    * once (the point has ONE bucket). Work is Θ(points + Σ bucket
+    * co-occupancy) — the standard bin-blocked range join. */
+  def q37RangeJoin: Q = (spark, dir) => {
+    val sess = sessionsOf(spark, dir).filter(col("n_events") >= 3)
+    val pts = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+              date_trunc("second", col("ts")).cast(TimestampType).as("pts"))
+      .withColumn("bin", date_trunc("hour", col("pts")))
+    val binned = sess.withColumn("bin",
+      explode(sequence(date_trunc("hour", col("session_start")),
+                       date_trunc("hour", col("session_end")),
+                       expr("INTERVAL 1 HOUR"))))
+    binned.join(pts,
+        binned("bin") === pts("bin") &&
+        col("pts").between(col("session_start"), col("session_end")) &&
+        col("p_user") =!= binned("user_id"), "left")
+      .groupBy("user_id", "session_id", "session_start")
+      .agg(count(col("pts")).as("n_other_purchases"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val q37Sql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS is_break
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts,
+      |         CAST(SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM g),
+      |sess AS (
+      |  SELECT user_id, session_id, COUNT(*) AS n_events,
+      |         CAST(date_trunc('second', MIN(ts)) AS TIMESTAMP) AS session_start,
+      |         CAST(date_trunc('second', MAX(ts)) AS TIMESTAMP) AS session_end
+      |  FROM s GROUP BY user_id, session_id HAVING COUNT(*) >= 3),
+      |p AS (
+      |  SELECT user_id AS p_user, CAST(date_trunc('second', ts) AS TIMESTAMP) AS pts
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT sess.user_id, sess.session_id, sess.session_start,
+      |       COUNT(p.pts) AS n_other_purchases
+      |FROM sess LEFT JOIN p
+      |  ON p.pts BETWEEN sess.session_start AND sess.session_end
+      | AND p.p_user <> sess.user_id
+      |GROUP BY sess.user_id, sess.session_id, sess.session_start
+      |ORDER BY user_id, session_id""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q18_describe_stats" -> q18DescribeStats,
     "q19_asof_join" -> q19AsofJoin,
@@ -467,9 +528,11 @@ object AnalyticsQueries {
     "q30_correlation" -> q30Correlation,
     "q31_cube" -> q31Cube,
     "q32_edit_distance" -> q32EditDistance,
-    "q33_collect_sorted" -> q33CollectSorted)
+    "q33_collect_sorted" -> q33CollectSorted,
+    "q37_range_join" -> q37RangeJoin)
 
   val oracles: Seq[(String, String)] = Seq(
+    "q37_range_join" -> q37Sql,
     "q18_describe_stats" -> q18Sql,
     "q19_asof_join" -> q19Sql,
     "q20_sessionize" -> q20Sql,

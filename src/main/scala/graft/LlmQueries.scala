@@ -150,7 +150,10 @@ object LlmQueries {
       |  SELECT r.id, e.b FROM r JOIN e ON r.reach = e.a)
       |SELECT id, MIN(reach) AS comp FROM r GROUP BY id ORDER BY id""".stripMargin
 
-  /** #25: embedding cosine near-dup within label blocks. τ = 0.44 is
+  /** #25: embedding cosine near-dup within label blocks — the EXACT
+    * variant (all pairs per label; quadratic in label population, so
+    * oracle-checkable). [[d07EmbedNearDupLsh]] is the scale path:
+    * LSH candidates + exact verification, recall-bounded. τ = 0.44 is
     * chosen inside a measured gap of the same-label cosine
     * distribution (…0.4124 ↔ 0.4720…), so engine float noise (~1e-15)
     * cannot flip membership. */

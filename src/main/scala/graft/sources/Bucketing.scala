@@ -27,7 +27,12 @@ object Bucketing {
       val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(wh, true)
     }
-    val w = df.write.mode(mode).bucketBy(nBuckets, bucketCol)
+    // co-partition the write with the bucket layout: without this,
+    // EVERY input task writes a file per bucket it sees (tasks ×
+    // nBuckets small files); with it, each task owns one bucket →
+    // nBuckets files total and an already-clustered sort
+    val w = df.repartition(nBuckets, org.apache.spark.sql.functions.col(bucketCol))
+      .write.mode(mode).bucketBy(nBuckets, bucketCol)
     (if (sorted) w.sortBy(bucketCol) else w).saveAsTable(table)
   }
 
