@@ -339,6 +339,74 @@ object LlmQueries {
       |WHERE length(token) > 0
       |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin
 
+  /** #30c: within-document repetition stats — the Gopher/Dolma-style
+    * boilerplate signal (a doc whose most-frequent bigram dominates is
+    * template/spam). Bigrams are hashed shingle fingerprints (n=2,
+    * codegen'd, count-identical to string bigrams barring 2⁻⁶⁴
+    * collisions); integer outputs, integer-division ratio. */
+  def t06Repetition: Q = (spark, dir) => {
+    val docs = normedDocs(spark, dir)
+    val bi = docs
+      .filter(size(split(col("text_norm"), " ")) >= 2)
+      .select(col("doc_id"), explode(MinHash.shingleHashes(col("text_norm"), 2)).as("bg"))
+    val stats = bi.groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(max("cnt").as("max_rep"), sum("cnt").as("n_bigrams"))
+    docs.select(col("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("max_rep"), lit(0L)).as("max_rep"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+             col("max_rep") * 1000 / col("n_bigrams")).otherwise(0L)
+          .cast("long").as("rep_milli"))
+      .orderBy("doc_id")
+  }
+
+  val t06Sql: String =
+    """WITH n AS (
+      |  SELECT doc_id,
+      |         regexp_replace(regexp_replace(trim(lower(text)), '\s*(feat\.|featuring|ft\.|&|and)\s*', ';', 'g'), '\s+', ' ', 'g') AS tn
+      |  FROM documents),
+      |t AS (SELECT doc_id, string_split(tn, ' ') AS w FROM n),
+      |b AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+      |  FROM t WHERE len(w) >= 2),
+      |c AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+      |s AS (SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS max_rep,
+      |             CAST(SUM(cnt) AS BIGINT) AS n_bigrams FROM c GROUP BY 1)
+      |SELECT d.doc_id,
+      |       COALESCE(n_bigrams, 0) AS n_bigrams,
+      |       COALESCE(max_rep, 0) AS max_rep,
+      |       CASE WHEN COALESCE(n_bigrams, 0) > 0
+      |            THEN CAST(max_rep * 1000 // n_bigrams AS BIGINT) ELSE 0 END AS rep_milli
+      |FROM documents d LEFT JOIN s USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** #30d: PII-style redaction — mask email-shaped spans then long
+    * digit runs (the order matters: emails contain digits). Patterns
+    * stay in the Java-regex ∩ RE2 common subset so both engines
+    * rewrite identically; span counts are taken on the raw text. */
+  def t07Redact: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"), "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
+          "[0-9]{3,}", "<NUM>").as("redacted"),
+        size(expr("regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+')")).cast("long").as("n_email"),
+        size(expr("regexp_extract_all(text, '[0-9]{3,}')")).cast("long").as("n_num"))
+      .orderBy("doc_id")
+
+  val t07Sql: String =
+    """SELECT doc_id,
+      |       regexp_replace(regexp_replace(text, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+      |                      '[0-9]{3,}', '<NUM>', 'g') AS redacted,
+      |       CAST(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+')) AS BIGINT) AS n_email,
+      |       CAST(len(regexp_extract_all(text, '[0-9]{3,}')) AS BIGINT) AS n_num
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** #32: multimodal binary plumbing with stubbed decode. */
   def m01MultimodalMeta: Q = (spark, dir) => {
     val withPayload = Tables.documents(spark, dir)
@@ -372,6 +440,8 @@ object LlmQueries {
     "t03_token_count" -> t03TokenCount,
     "t04_fingerprint" -> t04Fingerprint,
     "t05_word_count" -> t05WordCount,
+    "t06_repetition" -> t06Repetition,
+    "t07_redact" -> t07Redact,
     "m01_multimodal_meta" -> m01MultimodalMeta)
 
   /** d02/d03/d07/s02 intentionally absent (rows-only check; each
@@ -387,5 +457,7 @@ object LlmQueries {
     "t03_token_count" -> t03Sql,
     "t04_fingerprint" -> t04Sql,
     "t05_word_count" -> t05Sql,
+    "t06_repetition" -> t06Sql,
+    "t07_redact" -> t07Sql,
     "m01_multimodal_meta" -> m01Sql)
 }
