@@ -150,7 +150,7 @@ object CoreQueries {
 
   val q06Sql: String =
     """SELECT doc_id,
-      |       regexp_replace(regexp_replace(trim(lower(text)), '\s*(feat\.|featuring|ft\.|&|and)\s*', ';', 'g'), '\s+', ' ', 'g') AS text_norm,
+      |       regexp_replace(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]*(feat\.|featuring|ft\.|&|and)[ \t\n\x0b\f\r]*', ';', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g') AS text_norm,
       |       trim(lower(source)) AS source_key
       |FROM documents
       |ORDER BY doc_id""".stripMargin

@@ -96,7 +96,7 @@ object LlmQueries {
   val d04Sql: String =
     """WITH toks AS (
       |  SELECT doc_id,
-      |         string_split(regexp_replace(regexp_replace(trim(lower(text)), '\s*(feat\.|featuring|ft\.|&|and)\s*', ';', 'g'), '\s+', ' ', 'g'), ' ') AS w
+      |         string_split(regexp_replace(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]*(feat\.|featuring|ft\.|&|and)[ \t\n\x0b\f\r]*', ';', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ') AS w
       |  FROM documents),
       |sh AS (
       |  SELECT doc_id,
@@ -127,7 +127,7 @@ object LlmQueries {
     """WITH RECURSIVE
       |toks AS (
       |  SELECT doc_id,
-      |         string_split(regexp_replace(regexp_replace(trim(lower(text)), '\s*(feat\.|featuring|ft\.|&|and)\s*', ';', 'g'), '\s+', ' ', 'g'), ' ') AS w
+      |         string_split(regexp_replace(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]*(feat\.|featuring|ft\.|&|and)[ \t\n\x0b\f\r]*', ';', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ') AS w
       |  FROM documents),
       |sh AS (
       |  SELECT doc_id,
@@ -277,7 +277,7 @@ object LlmQueries {
   val t02Sql: String =
     """WITH n AS (
       |  SELECT doc_id, length(text) AS n_chars_raw,
-      |         regexp_replace(regexp_replace(trim(lower(text)), '\s*(feat\.|featuring|ft\.|&|and)\s*', ';', 'g'), '\s+', ' ', 'g') AS text_norm
+      |         regexp_replace(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]*(feat\.|featuring|ft\.|&|and)[ \t\n\x0b\f\r]*', ';', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g') AS text_norm
       |  FROM documents),
       |c AS (
       |  SELECT doc_id, CAST(n_chars_raw AS BIGINT) AS n_chars_raw,
@@ -301,7 +301,7 @@ object LlmQueries {
 
   val t03Sql: String =
     """SELECT doc_id,
-      |       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws,
+      |       CAST(len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS BIGINT) AS n_ws,
       |       CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_word,
       |       CAST(length(text) AS BIGINT) AS n_len,
       |       n_chars
@@ -317,7 +317,7 @@ object LlmQueries {
 
   val t04Sql: String =
     """SELECT doc_id,
-      |       md5(regexp_replace(regexp_replace(trim(lower(text)), '\s*(feat\.|featuring|ft\.|&|and)\s*', ';', 'g'), '\s+', ' ', 'g')) AS fp_md5
+      |       md5(regexp_replace(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]*(feat\.|featuring|ft\.|&|and)[ \t\n\x0b\f\r]*', ';', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS fp_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** #30b: corpus word count — explode normalized tokens, global
@@ -334,7 +334,7 @@ object LlmQueries {
 
   val t05Sql: String =
     """SELECT token, COUNT(*) AS n FROM (
-      |  SELECT unnest(string_split(regexp_replace(regexp_replace(trim(lower(text)), '\s*(feat\.|featuring|ft\.|&|and)\s*', ';', 'g'), '\s+', ' ', 'g'), ' ')) AS token
+      |  SELECT unnest(string_split(regexp_replace(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]*(feat\.|featuring|ft\.|&|and)[ \t\n\x0b\f\r]*', ';', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')) AS token
       |  FROM documents) t
       |WHERE length(token) > 0
       |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin
@@ -367,7 +367,7 @@ object LlmQueries {
   val t06Sql: String =
     """WITH n AS (
       |  SELECT doc_id,
-      |         regexp_replace(regexp_replace(trim(lower(text)), '\s*(feat\.|featuring|ft\.|&|and)\s*', ';', 'g'), '\s+', ' ', 'g') AS tn
+      |         regexp_replace(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]*(feat\.|featuring|ft\.|&|and)[ \t\n\x0b\f\r]*', ';', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g') AS tn
       |  FROM documents),
       |t AS (SELECT doc_id, string_split(tn, ' ') AS w FROM n),
       |b AS (
@@ -387,23 +387,26 @@ object LlmQueries {
   /** #30d: PII-style redaction — mask email-shaped spans then long
     * digit runs (the order matters: emails contain digits). Patterns
     * stay in the Java-regex ∩ RE2 common subset so both engines
-    * rewrite identically; span counts are taken on the raw text. */
+    * rewrite identically; span counts are taken on the raw text.
+    * Spark's `regexp_extract_all` needs an explicit group index 0 —
+    * the default is group 1, which THROWS at runtime on any match of
+    * a zero-group pattern (latent on a corpus with no matches). */
   def t07Redact: Q = (spark, dir) =>
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
         regexp_replace(
-          regexp_replace(col("text"), "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
+          regexp_replace(col("text"), "[A-Za-z0-9.]+@[A-Za-z0-9.]+", "<EMAIL>"),
           "[0-9]{3,}", "<NUM>").as("redacted"),
-        size(expr("regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+')")).cast("long").as("n_email"),
-        size(expr("regexp_extract_all(text, '[0-9]{3,}')")).cast("long").as("n_num"))
+        matchCount(col("text"), "[A-Za-z0-9.]+@[A-Za-z0-9.]+").as("n_email"),
+        matchCount(col("text"), "[0-9]{3,}").as("n_num"))
       .orderBy("doc_id")
 
   val t07Sql: String =
     """SELECT doc_id,
-      |       regexp_replace(regexp_replace(text, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+      |       regexp_replace(regexp_replace(text, '[A-Za-z0-9.]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
       |                      '[0-9]{3,}', '<NUM>', 'g') AS redacted,
-      |       CAST(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+')) AS BIGINT) AS n_email,
+      |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9.]+@[A-Za-z0-9.]+')) AS BIGINT) AS n_email,
       |       CAST(len(regexp_extract_all(text, '[0-9]{3,}')) AS BIGINT) AS n_num
       |FROM documents ORDER BY doc_id""".stripMargin
 

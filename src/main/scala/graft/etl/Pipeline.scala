@@ -70,7 +70,7 @@ object Pipeline {
   val oracleSql: String =
     """WITH norm AS (
       |  SELECT doc_id, lang, source, n_chars,
-      |         regexp_replace(regexp_replace(trim(lower(text)), '\s*(feat\.|featuring|ft\.|&|and)\s*', ';', 'g'), '\s+', ' ', 'g') AS text_norm
+      |         regexp_replace(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]*(feat\.|featuring|ft\.|&|and)[ \t\n\x0b\f\r]*', ';', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g') AS text_norm
       |  FROM documents WHERE length(text) > 0),
       |fp AS (SELECT *, md5(text_norm) AS fp FROM norm),
       |dedup AS (

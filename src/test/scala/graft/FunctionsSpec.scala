@@ -90,4 +90,29 @@ class FunctionsSpec extends AnyFunSuite {
       .flatMap(t => Array(t._1, t._2, t._3))
     assert(d == 2.0 && na == 3.0 && math.abs(c - 2.0 / 6.0) < 1e-15)
   }
+
+  test("t07 redaction masks emails and digit runs on matching text (group-0 extract path)") {
+    val docs = Seq(
+      (1L, "contact Bob123@Mail.example or call 5551234 now"),
+      (2L, "no pii here"),
+      (3L, "codes 111 22 3333")).toDF("doc_id", "text")
+    // same projection as t07Redact, driven by a literal frame so the
+    // MATCHING path executes (the synthetic corpus has zero matches,
+    // which let a group-index crash ship latent in round 2)
+    import graft.text.TextFunctions.matchCount
+    val out = docs.select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"), "[A-Za-z0-9.]+@[A-Za-z0-9.]+", "<EMAIL>"),
+          "[0-9]{3,}", "<NUM>").as("redacted"),
+        matchCount(col("text"), "[A-Za-z0-9.]+@[A-Za-z0-9.]+").as("n_email"),
+        matchCount(col("text"), "[0-9]{3,}").as("n_num"))
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    // n_num counts RAW-text digit runs, so the '123' inside the email
+    // counts too (both engines agree — counts precede masking)
+    assert(out == Seq(
+      (1L, "contact <EMAIL> or call <NUM> now", 1L, 2L),
+      (2L, "no pii here", 0L, 0L),
+      (3L, "codes <NUM> 22 <NUM>", 0L, 2L)))
+  }
 }
