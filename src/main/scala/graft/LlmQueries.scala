@@ -161,6 +161,9 @@ object LlmQueries {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
+      // zero-norm guard: Spark orders NaN above every real value, so a
+      // zero vector's NaN cosine would pass ≥ τ (DuckDB's NaN doesn't)
+      .filter(col("nrm") > 0)
     // triangle-blocked self-join: 10 labels alone would shuffle into 10
     // reducers; 8 hash blocks fan the pair work over 10 × 36 partitions
     sim.PairBlocks.selfJoinPairs(e, "vec_id", Seq("label"), Seq("v", "nrm"), nBlocks = 8)

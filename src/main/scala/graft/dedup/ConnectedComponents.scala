@@ -59,28 +59,32 @@ object ConnectedComponents {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
-    // per-group minima come from a window over ONE hash exchange
-    // instead of a groupBy + self-join pair (which costs two extra
-    // shuffles per round — the rounds are small, the fixed shuffle
-    // cost per round is what dominates)
+    // Per-node minima via groupBy + join back, NOT a window: a star
+    // root's degree ≈ its component size, and Window.partitionBy
+    // funnels that whole edge list into ONE task (unsplittable
+    // straggler on a giant boilerplate cluster). groupBy(min) does
+    // map-side partial aggregation — skew-immune — and the join back
+    // is a sort-merge join AQE can skew-split. Two more shuffles per
+    // round than a window; rounds are O(log² n), so the constant is
+    // bounded and every stage stays splittable.
     def largeStar(e: DataFrame): DataFrame = {
       val nbrs = e.select(col("u").as("node"), col("v").as("nbr"))
         .union(e.select(col("v").as("node"), col("u").as("nbr")))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("node")
-      nbrs.withColumn("mn", min("nbr").over(w))
+      val mins = nbrs.groupBy("node").agg(min("nbr").as("mn"))
+      nbrs.join(mins, "node")
         .filter(col("nbr") > col("node"))
         .select(col("nbr").as("u"), least(col("mn"), col("node")).as("v"))
-      // duplicates tolerated: smallStar's window min ignores them and
-      // its final distinct removes them — no extra shuffle here
+      // duplicates tolerated: smallStar's min ignores them and its
+      // final distinct removes them — no extra shuffle here
     }
 
     def smallStar(e: DataFrame): DataFrame = {
       // e rows (u, v) already mean "v is a smaller neighbor of u"
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("u")
-      val withM = e.withColumn("m", min("v").over(w))
-      val moved = withM.filter(col("v") =!= col("m"))
+      val mins = e.groupBy("u").agg(min("v").as("m"))
+      val moved = e.join(mins, "u")
+        .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
-      moved.union(withM.select(col("u"), col("m").as("v"))).distinct()
+      moved.union(mins.select(col("u"), col("m").as("v"))).distinct()
     }
 
     var prev = digest(e)

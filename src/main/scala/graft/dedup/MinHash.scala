@@ -111,8 +111,12 @@ object MinHash {
     * The earlier `transform(sequence…, aggregate(slice…))` computed
     * the same values but was interpreted per element (nBands·r lambda
     * dispatches and slice allocations per row). */
-  def bandHashes(sig: Column, nBands: Int, k: Int): Column =
+  def bandHashes(sig: Column, nBands: Int, k: Int): Column = {
+    require(k % nBands == 0,
+      s"bandHashes: nBands=$nBands must divide k=$k (trailing signature " +
+      "rows would silently drop from every band, weakening LSH recall)")
     Bridge.column(BandHashesExpr(Bridge.expression(sig), nBands))
+  }
 
   case class BandHashesExpr(child: Expression, nBands: Int)
       extends UnaryExpression {
@@ -126,6 +130,8 @@ object MinHash {
 
     def compute(sig: ArrayData): GenericArrayData = {
       val k = sig.numElements()
+      require(k % nBands == 0,
+        s"band_hashes: signature length $k not divisible by $nBands bands")
       val r = k / nBands
       val out = new Array[Long](nBands)
       var j = 0

@@ -49,7 +49,12 @@ case class DotProduct(left: Expression, right: Expression)
 
   /** Hot loop shared by interpreted eval and generated code. */
   def compute(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // fail loudly on dimension mismatch — silently truncating would
+    // mask a wrong `dim` in LSH hyperplanes or a mixed-width corpus
+    // as quietly degraded recall
+    require(n == b.numElements(),
+      s"dot_product: mismatched vector lengths $n vs ${b.numElements()}")
     var acc = 0.0
     var i = 0
     if (isFloat) {

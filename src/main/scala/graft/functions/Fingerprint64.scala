@@ -46,10 +46,17 @@ object Fingerprint64 {
   private final val Prime = 0x100000001b3L
 
   /** Referenced from generated code — must stay public + static. */
-  def hashBytes(bytes: Array[Byte], seed: Long): Long = {
+  def hashBytes(bytes: Array[Byte], seed: Long): Long =
+    hashRange(bytes, 0, bytes.length, seed)
+
+  /** Range variant — the single FNV-1a implementation; ShingleFingerprints
+    * hashes each shingle's contiguous byte range through this, so the
+    * "shingle fingerprint == fingerprint of the shingle string" 1:1
+    * correspondence d04 relies on can never silently diverge. */
+  def hashRange(bytes: Array[Byte], from: Int, until: Int, seed: Long): Long = {
     var h = seed
-    var i = 0
-    while (i < bytes.length) {
+    var i = from
+    while (i < until) {
       h ^= (bytes(i) & 0xffL)
       h *= Prime
       i += 1

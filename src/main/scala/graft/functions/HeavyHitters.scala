@@ -31,7 +31,10 @@ class HeavyHitters(capacity: Int, k: Int)
       case Some(c) => b.update(item, c + by)
       case None if b.size < capacity => b.update(item, by)
       case None =>
-        val (minItem, minCount) = b.minBy(_._2)
+        // deterministic eviction: ties on the minimum count break by
+        // item value, never by HashMap iteration order (which varies
+        // across JVMs/runs and would make the sketch nondeterministic)
+        val (minItem, minCount) = b.minBy { case (it, c) => (c, it) }
         b.remove(minItem)
         b.update(item, minCount + by)
     }

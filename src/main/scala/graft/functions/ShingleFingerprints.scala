@@ -63,14 +63,8 @@ case class ShingleFingerprints(child: Expression, n: Int, seed: Long)
     while (k < out.length) {
       val from = starts(k)
       val until = starts(k + n) - 1 // exclude trailing separator
-      var h = seed
-      var j = from
-      while (j < until) {
-        h ^= (bytes(j) & 0xffL)
-        h *= 0x100000001b3L
-        j += 1
-      }
-      out(k) = ShingleFingerprints.fmix64(h)
+      out(k) = ShingleFingerprints.fmix64(
+        Fingerprint64.hashRange(bytes, from, until, seed))
       k += 1
     }
     new GenericArrayData(out)

@@ -26,10 +26,16 @@ object Ann {
     * `queries`/`corpus`: (id, vec: array<double>) with `vec` already
     * cast via [[VectorFunctions.toDouble]]. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    // zero-norm vectors (failed/padded embeddings) have no direction:
+    // their cosine is 0/0 = NaN, and Spark's NaN orders ABOVE every
+    // real value, which would rank them as the #1 neighbor everywhere
+    // — exclude them on both sides (same guard in all ANN variants)
     val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
       .withColumn("cnrm", norm(col("cvec")))
+      .filter(col("cnrm") > 0)
     val q = queries.select(col("id").as("qid"), col("vec").as("qvec"))
       .withColumn("qnrm", norm(col("qvec")))
+      .filter(col("qnrm") > 0)
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("qid"))
       .withColumn("sim", cosinePrenormed(dot(col("qvec"), col("cvec")), col("qnrm"), col("cnrm")))
@@ -72,11 +78,19 @@ object Ann {
     // the sample covers the corpus — at 100 TB the fit would otherwise
     // dominate the query. The hash filter keeps the sample stable
     // across partitionings (no `limit`/`sample` nondeterminism).
-    val n = corpus.count()
+    val live = corpus.withColumn("nrm0", norm(col("vec"))).filter(col("nrm0") > 0)
+    val n = live.count()
     val sampled =
-      if (n <= fitSampleCap) corpus
-      else corpus.filter(pmod(xxhash64(col("id")), lit(n / fitSampleCap + 1)) === 0)
-    val featured = sampled.withColumn("features", array_to_vector(col("vec")))
+      if (n <= fitSampleCap) live
+      else live.filter(pmod(xxhash64(col("id")), lit(n / fitSampleCap + 1)) === 0)
+    // ranking is by COSINE, so the quantizer must live on the unit
+    // sphere: fit on L2-normalized vectors (Euclidean distance between
+    // unit vectors is a monotone function of cosine). Quantizing raw
+    // magnitudes instead puts a vector 10x its query's length in a far
+    // cell even at cosine 1.0, and recall collapses.
+    val featured = new org.apache.spark.ml.feature.Normalizer()
+      .setInputCol("f0").setOutputCol("features").setP(2.0)
+      .transform(sampled.withColumn("f0", array_to_vector(col("vec"))))
     // a coarse quantizer only needs rough cell boundaries — 5
     // iterations is ample (recall is governed by nProbe, not by
     // centroid polish), and each iteration is a full pass over the fit
@@ -85,25 +99,38 @@ object Ann {
       .fit(featured)
     val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
 
-    def nearestCells(vec: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
-      // Rank cells by ||c||² − 2·v·c (= squared distance minus the
-      // per-row constant ||v||², so the ordering is identical) —
-      // unrolled over the literal centroid set so each term is a
-      // codegen'd DotProduct, not an interpreted zip_with lambda.
-      val dists = array(centroids.zipWithIndex.map { case (cvec, i) =>
+    // Distance of the UNIT vector v/‖v‖ to centroid cᵢ, minus the
+    // per-row constant 1: dᵢ = ‖cᵢ‖² − 2·(v·cᵢ)/‖v‖ — cosine-consistent
+    // quantization, unrolled over the literal centroid set so each
+    // term is a codegen'd DotProduct, not an interpreted lambda.
+    def cellDists(vec: org.apache.spark.sql.Column,
+                  nrm: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+      centroids.zipWithIndex.map { case (cvec, i) =>
         val cNormSq = cvec.map(x => x * x).sum
-        struct((lit(cNormSq) - lit(2.0) * dot(vec, typedlit(cvec))).as("d"),
+        struct((lit(cNormSq) - lit(2.0) * dot(vec, typedlit(cvec)) / nrm).as("d"),
                lit(i).as("cell"))
-      }: _*)
-      slice(transform(array_sort(dists), s => s.getField("cell")), 1, n)
-    }
+      }
 
-    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
-      .withColumn("cell", element_at(nearestCells(col("cvec"), 1), 1))
-      .withColumn("cnrm", norm(col("cvec")))
+    // corpus side needs only the argmin cell: a codegen'd least() fold
+    // over (d, cell) structs — no array materialization, no sort
+    def nearestCell(vec: org.apache.spark.sql.Column,
+                    nrm: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      least(cellDists(vec, nrm): _*).getField("cell")
+
+    // query side probes the nProbe nearest cells (tiny frame — the
+    // interpreted sort runs once per query row, not per corpus row)
+    def nearestCells(vec: org.apache.spark.sql.Column,
+                     nrm: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+      slice(transform(array_sort(array(cellDists(vec, nrm): _*)),
+        s => s.getField("cell")), 1, n)
+
+    val c = live.select(col("id").as("neighbor_id"), col("vec").as("cvec"),
+        col("nrm0").as("cnrm"))
+      .withColumn("cell", nearestCell(col("cvec"), col("cnrm")))
     val q = queries.select(col("id").as("qid"), col("vec").as("qvec"))
-      .withColumn("cell", explode(nearestCells(col("qvec"), nProbe)))
       .withColumn("qnrm", norm(col("qvec")))
+      .filter(col("qnrm") > 0)
+      .withColumn("cell", explode(nearestCells(col("qvec"), col("qnrm"), nProbe)))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("qid"))
       .withColumn("sim", cosinePrenormed(dot(col("qvec"), col("cvec")), col("qnrm"), col("cnrm")))
@@ -128,6 +155,7 @@ object Ann {
                       seed: Long): DataFrame = {
     val v = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
+      .filter(col("nrm") > 0) // zero-norm → NaN cosine → NaN ≥ τ is TRUE in Spark
       .repartition(col("id")) // barrier → one materialization, reused 3×
     val bkts = v.select(col("id"), explode(array((0 until nTables).map { t =>
         struct(lit(t).as("tbl"),
@@ -156,21 +184,32 @@ object Ann {
     * candidate volume stays ≈ nTables · n/2^nBits per query. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nBits: Int, dim: Int, seed: Long, nTables: Int = 8): DataFrame = {
+    // barrier: bucket generation AND scoring read the same
+    // materialized corpus exchange instead of re-running the upstream
+    // scan/projection twice (ReuseExchange); zero-norm rows excluded —
+    // NaN cosine would rank first under Spark's NaN-greatest ordering
+    val cp = corpus.select(col("id"), col("vec"))
+      .withColumn("nrm", norm(col("vec")))
+      .filter(col("nrm") > 0)
+      .repartition(col("id"))
+    val qp = queries.select(col("id"), col("vec"))
+      .withColumn("nrm", norm(col("vec")))
+      .filter(col("nrm") > 0)
     def bkts(df: DataFrame, idAs: String): DataFrame =
       df.select(col("id").as(idAs), explode(array((0 until nTables).map { t =>
           struct(lit(t).as("tbl"),
                  bucketId(col("vec"), hyperplanes(nBits, dim, seed + 31L * t)).as("bkt"))
         }: _*)).as("tb"))
         .select(col(idAs), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
-    val cand = bkts(corpus, "neighbor_id")
-      .join(broadcast(bkts(queries, "qid")), Seq("tbl", "bkt"))
+    val cand = bkts(cp, "neighbor_id")
+      .join(broadcast(bkts(qp, "qid")), Seq("tbl", "bkt"))
       .filter(col("neighbor_id") =!= col("qid"))
       .select("qid", "neighbor_id")
       .distinct()
-    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
-      .withColumn("cnrm", norm(col("cvec")))
-    val q = queries.select(col("id").as("qid"), col("vec").as("qvec"))
-      .withColumn("qnrm", norm(col("qvec")))
+    val c = cp.select(col("id").as("neighbor_id"), col("vec").as("cvec"),
+      col("nrm").as("cnrm"))
+    val q = qp.select(col("id").as("qid"), col("vec").as("qvec"),
+      col("nrm").as("qnrm"))
     val scored = cand.join(c, "neighbor_id").join(broadcast(q), "qid")
       .withColumn("sim", cosinePrenormed(dot(col("qvec"), col("cvec")), col("qnrm"), col("cnrm")))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("neighbor_id").asc)
