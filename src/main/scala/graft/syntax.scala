@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.dedup.{ConnectedComponents, SetSimJoin}
+import graft.etl.{Cleaning, Dedup, Impute, Skew, TextNorm}
+import graft.sources.Writers
+
+/** Fluent façade over the operator library, so a pipeline reads as a
+  * chain instead of nested object calls:
+  *
+  * {{{
+  * import graft.syntax._
+  * docs.normalizeText("text", "text_norm")
+  *     .dedupTopPerKey(Seq("fp"), Seq(col("score").desc))
+  *     .publishTo("hdfs://out/corpus")
+  * }}}
+  *
+  * Every method delegates to the tested operator objects — this layer
+  * adds no logic, only the ergonomics a user migrating from the
+  * reference's imperative pandas steps expects.
+  */
+object syntax {
+
+  implicit class GraftDataFrameOps(private val df: DataFrame) extends AnyVal {
+
+    /** Reference text normalization into a new column. */
+    def normalizeText(from: String, to: String): DataFrame =
+      df.withColumn(to, TextNorm.normalizeText(df(from)))
+
+    /** Null/empty standardization with a sentinel (Cleaning.standardize). */
+    def standardizeNulls(colName: String, sentinel: String): DataFrame =
+      df.withColumn(colName, Cleaning.standardize(df(colName), sentinel))
+
+    def dropColumnsSafe(names: Seq[String]): DataFrame =
+      Cleaning.dropColumns(df, names)
+
+    /** Keep the top row per key under the given ordering. */
+    def dedupTopPerKey(keys: Seq[String], order: Seq[Column]): DataFrame =
+      Dedup.topPerKey(df, keys, order)
+
+    /** Exact duplicate groups keyed on a digest column. */
+    def dedupExactGroups(digest: Column, id: Column): DataFrame =
+      Dedup.exactGroups(df, digest, id)
+
+    /** Impute a column from a broadcastable lookup with fallback. */
+    def imputeFrom(lookup: DataFrame, keyCol: String, lookupKey: String,
+                   targetCol: String, valueCol: String,
+                   fallback: Option[String] = None): DataFrame =
+      Impute.fromLookup(df, lookup, keyCol, lookupKey, targetCol, valueCol, fallback)
+
+    /** Skew-safe equi-join against a non-broadcastable dimension. */
+    def saltedJoinWith(dims: DataFrame, key: String, saltSource: Column,
+                       nSalts: Int = 8): DataFrame =
+      Skew.saltedJoinBy(df, dims, key, saltSource, nSalts)
+
+    /** Exact Jaccard self-join (lossless prefix+positional filtering).
+      * `setCol` must hold distinct `array<bigint>` token fingerprints. */
+    def jaccardSelfJoin(idCol: String, setCol: String,
+                        tauNum: Int, tauDen: Int): DataFrame =
+      SetSimJoin.jaccardSelfJoin(df, idCol, setCol, tauNum, tauDen)
+
+    /** Connected components over this edge list → (id, comp). */
+    def connectedComponents(idCols: (String, String) = ("id1", "id2")): DataFrame =
+      ConnectedComponents.run(df, idCols)
+
+    /** All-or-nothing artifact publish (temp dir + atomic rename). */
+    def publishTo(uri: String, format: String = "parquet"): Unit =
+      Writers.publish(df, uri, format)
+  }
+}

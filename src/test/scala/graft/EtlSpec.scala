@@ -88,4 +88,18 @@ class EtlSpec extends AnyFunSuite {
     assert(out.length > 10)
     assert(out.map(_.getAs[Long]("n_docs")).sum == 500L)
   }
+
+  test("fluent syntax façade chains operators end-to-end") {
+    import graft.syntax._
+    val out = Seq(
+        (1L, "  The  Cat "), (2L, "the cat"), (3L, "a dog"))
+      .toDF("id", "text")
+      .normalizeText("text", "text_norm")
+      .dedupTopPerKey(Seq("text_norm"), Seq(col("id").asc))
+      .orderBy("id").select("id", "text_norm").as[(Long, String)].collect()
+    assert(out.toSeq == Seq((1L, "the cat"), (3L, "a dog")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_syntax").toString
+    Seq((1L, "x")).toDF("id", "v").publishTo(s"$dir/a", format = "parquet")
+    assert(spark.read.parquet(s"$dir/a").count() == 1)
+  }
 }
