@@ -370,7 +370,8 @@ object CoreQueries {
     val requests = part.select(col("p_partkey"), col("p_name"),
       TextNorm.firstToken(col("p_name")).as("fw"))
     val joined = Merge.twoStageJoin(
-      requests, exactCat, ("p_name", "cat_name"), fuzzyCat, ("fw", "cat_fw"))
+      requests, broadcast(exactCat), ("p_name", "cat_name"),
+      broadcast(fuzzyCat), ("fw", "cat_fw"))
     joined
       .select(col("p_partkey"),
               coalesce(col("cid_exact"), col("cid_fuzzy"), lit(-1L)).as("canonical_id"),

@@ -23,6 +23,14 @@ object Merge {
     * `exactCatalog` / `fuzzyCatalog` must be 1-row-per-key with
     * columns (`key`, payload...). Payload columns are suffixed
     * `_exact` / `_fuzzy`; callers coalesce by priority.
+    *
+    * No broadcast hint here: the CALLER knows whether a catalog is
+    * dimension-sized (wrap it in `broadcast(...)`) or fact-sized (let
+    * the planner pick sort-merge). A forced hint is honored past
+    * `autoBroadcastJoinThreshold` and would OOM the driver on a
+    * catalog that grows with the data. Catalog key columns are
+    * dropped BY REFERENCE so a request column with the same name
+    * survives.
     */
   def twoStageJoin(
       requests: DataFrame,
@@ -35,9 +43,9 @@ object Merge {
     val fc = fuzzyCatalog.columns.foldLeft(fuzzyCatalog)((d, c) =>
       if (c == fuzzyKey._2) d else d.withColumnRenamed(c, s"${c}_fuzzy"))
     requests
-      .join(broadcast(ec), requests(exactKey._1) === ec(exactKey._2), "left")
-      .drop(exactKey._2)
-      .join(broadcast(fc), requests(fuzzyKey._1) === fc(fuzzyKey._2), "left")
-      .drop(fuzzyKey._2)
+      .join(ec, requests(exactKey._1) === ec(exactKey._2), "left")
+      .drop(ec(exactKey._2))
+      .join(fc, requests(fuzzyKey._1) === fc(fuzzyKey._2), "left")
+      .drop(fc(fuzzyKey._2))
   }
 }

@@ -49,8 +49,8 @@ object Pipeline {
     //    is an integer 0-100 (capped token count) so aggregates stay
     //    exact — no float-rounding ambiguity at any scale.
     val scored = imputed.withColumn("quality_pct",
-        least(lit(100),
-          size(regexp_extract_all(col("text_norm"), lit("[a-z0-9]+"), lit(0)))).cast("long"))
+        least(lit(100L),
+          graft.text.TextFunctions.wordTokenCount(col("text_norm"))))
       .withColumn("split",
         when(col("lang_final") === "en", "en").otherwise("other"))
     val en = scored.filter(col("split") === "en")

@@ -13,11 +13,23 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Only fact-preserving join types are sound: an unmatched DIM row
+    * exists `nSalts` times (once per salt), so right/full outer joins
+    * would emit it `nSalts` times instead of once. */
+  private val SoundJoinTypes =
+    Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
+
+  private def checkJoinType(joinType: String): Unit =
+    require(SoundJoinTypes(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin: '$joinType' would duplicate unmatched dim rows nSalts times; " +
+      "only inner/left/semi/anti joins are sound with an exploded dim side")
+
   /** Salted equi-join: `facts ⋈ dims` on `key`, with `dims` exploded
     * `nSalts`×. Use only when `dims` is too big to broadcast and the
     * key histogram is known-skewed. */
   def saltedJoin(facts: DataFrame, dims: DataFrame, key: String,
                  nSalts: Int, joinType: String = "inner"): DataFrame = {
+    checkJoinType(joinType)
     val salted = facts.withColumn("__salt",
       (rand(seed = 42) * nSalts).cast("int"))
     val exploded = dims.withColumn("__salt",
@@ -31,6 +43,7 @@ object Skew {
   def saltedJoinBy(facts: DataFrame, dims: DataFrame, key: String,
                    saltSource: Column, nSalts: Int,
                    joinType: String = "inner"): DataFrame = {
+    checkJoinType(joinType)
     val salted = facts.withColumn("__salt", pmod(xxhash64(saltSource), lit(nSalts)).cast("int"))
     val exploded = dims.withColumn("__salt",
       explode(array((0 until nSalts).map(lit): _*)))

@@ -24,11 +24,15 @@ object Binary {
     def decode(payload: Array[Byte]): MediaMeta
   }
 
-  /** Deterministic fake decode — STUB for the real codec. */
+  /** Deterministic fake decode — STUB for the real codec. Long
+    * arithmetic throughout: `(n * 3)` in Int wraps negative past
+    * ~715 MB payloads and would diverge from [[stubMetaColumns]]'
+    * long-typed math. */
   object StubDecoder extends MediaDecoder {
     override def decode(payload: Array[Byte]): MediaMeta = {
-      val n = payload.length
-      MediaMeta(width = n % 640, height = (n * 3) % 480, channels = 3, nBytes = n.toLong)
+      val n = payload.length.toLong
+      MediaMeta(width = (n % 640).toInt, height = ((n * 3) % 480).toInt,
+        channels = 3, nBytes = n)
     }
   }
 

@@ -20,10 +20,17 @@ object Bucketing {
     if (mode == SaveMode.Overwrite) {
       // a previous session's managed-table directory survives in the
       // warehouse while the (in-memory) catalog entry does not;
-      // saveAsTable then refuses the non-empty location — drop both
-      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      // saveAsTable then refuses the non-empty location — drop both.
+      // Quote each identifier PART (backticking "db.tbl" whole would
+      // target a table literally named "db.tbl"), and mirror the
+      // warehouse layout (<db>.db/<table> for qualified names).
+      val parts = table.split('.')
+      spark.sql(s"DROP TABLE IF EXISTS ${parts.map(p => s"`$p`").mkString(".")}")
+      val rel =
+        if (parts.length == 2) s"${parts(0).toLowerCase}.db/${parts(1).toLowerCase}"
+        else table.toLowerCase
       val wh = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+        spark.conf.get("spark.sql.warehouse.dir"), rel)
       val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(wh, true)
     }

@@ -12,9 +12,11 @@ import org.apache.spark.sql.types.StructType
   */
 object Readers {
 
-  /** CSV with explicit schema — no inference pass, malformed rows
-    * dropped to a corrupt-record column rather than failing the job
-    * (PERMISSIVE, the `errors="coerce"` analog). */
+  /** CSV with explicit schema — no inference pass; malformed rows
+    * yield nulls instead of failing the job (PERMISSIVE, the
+    * `errors="coerce"` analog). To RETAIN the raw text of bad rows,
+    * include a `StructField("_corrupt_record", StringType)` in the
+    * schema — the option below routes the original line there. */
   def csv(spark: SparkSession, path: String, schema: StructType,
           header: Boolean = true, sep: String = ","): DataFrame =
     spark.read
@@ -22,6 +24,7 @@ object Readers {
       .option("header", header.toString)
       .option("sep", sep)
       .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
       .csv(path)
 
   def parquet(spark: SparkSession, path: String): DataFrame =

@@ -24,25 +24,34 @@ object Writers {
   def csv(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).option("header", "true").csv(path)
 
-  /** Publish a final artifact to any Hadoop-FS URI with
-    * all-or-nothing overwrite — the public-knowledge analog of the
-    * reference's Drive upload (dags/etl_grammy_spotify.py:330-357):
-    * write to a hidden sibling temp dir, then rename over the target.
-    * Rename is atomic on HDFS/POSIX, so a concurrent reader sees the
-    * old artifact or the new one, never a half-written directory (on
-    * object stores rename degrades to copy — front with a manifest or
-    * a versioned prefix there). Idempotent: re-publishing replaces. */
+  /** Publish a final artifact to any Hadoop-FS URI with no-loss
+    * replace — the public-knowledge analog of the reference's Drive
+    * upload (dags/etl_grammy_spotify.py:330-357): write to a hidden
+    * sibling temp dir, move the old artifact aside, rename the new
+    * one in, drop the old. Each rename is atomic on HDFS/POSIX, and
+    * the PREVIOUS artifact is never deleted before the new one is in
+    * place: a crash mid-publish leaves it recoverable under
+    * `.name.previous` (readers may see the path briefly absent, never
+    * a half-written or lost artifact — HDFS cannot atomically replace
+    * a non-empty directory in one rename; on object stores front this
+    * with a manifest/versioned prefix). Idempotent: re-publishing
+    * replaces. */
   def publish(df: DataFrame, uri: String, format: String = "parquet"): Unit = {
     val target = new Path(uri)
     val fs = target.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     val tmp = new Path(target.getParent, s".${target.getName}.inprogress")
+    val prev = new Path(target.getParent, s".${target.getName}.previous")
     fs.delete(tmp, true)
     df.write.mode(SaveMode.Overwrite)
       .option("header", "true") // no-op for parquet, header for csv
       .format(format).save(tmp.toString)
-    fs.delete(target, true)
+    fs.delete(prev, true)
+    if (fs.exists(target) && !fs.rename(target, prev))
+      throw new java.io.IOException(s"publish: rename $target -> $prev failed")
     if (!fs.rename(tmp, target))
-      throw new java.io.IOException(s"publish: rename $tmp -> $target failed")
+      throw new java.io.IOException(
+        s"publish: rename $tmp -> $target failed (previous artifact at $prev)")
+    fs.delete(prev, true)
   }
 
   /** JDBC writer builder (`to_sql(if_exists="replace")` analog),

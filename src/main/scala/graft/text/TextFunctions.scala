@@ -49,7 +49,7 @@ object TextFunctions {
 
   def stopwordCount(text: Column): Column = matchCount(text, """\b(the|a|of|in)\b""")
 
-  /** Integer quality score in [0, 2000]: capped length component +
+  /** Integer quality score in [0, 1500]: capped length component +
     * stopword component. Deterministic, exact, aggregation-safe. */
   def qualityScoreMilli(nTokens: Column, nStopwords: Column): Column =
     (least(lit(100L), nTokens) * 10L + least(lit(100L), nStopwords) * 5L).cast("long")
