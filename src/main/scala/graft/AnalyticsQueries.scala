@@ -13,9 +13,6 @@ object AnalyticsQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def dec(c: Column, s: Int = 2): Column =
-    round(c, s).cast(DecimalType(38, s))
-
   /** #34: describe/summary statistics (eda.ipynb `df.describe()`).
     * min/max pass through raw. mean/std are derived from EXACT decimal
     * sums (x and x² cast to decimal per row — exact for 2-decimal
@@ -164,8 +161,12 @@ object AnalyticsQueries {
   def q22Profile: Q = (spark, dir) =>
     Tables.orders(spark, dir).agg(
       count(lit(1)).as("n_rows"),
-      countDistinct(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority")).as("n_distinct_rows"),
+      // distinct over a STRUCT, not bare columns: multi-arg
+      // countDistinct drops any row containing a NULL, while DuckDB's
+      // COUNT(DISTINCT (tuple)) counts null-bearing tuples — the
+      // struct (never null itself) matches the tuple semantics
+      countDistinct(struct(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))).as("n_distinct_rows"),
       countDistinct("o_custkey").as("nunique_cust"),
       countDistinct("o_orderstatus").as("nunique_status"),
       countDistinct("o_orderpriority").as("nunique_priority"),
@@ -232,8 +233,12 @@ object AnalyticsQueries {
       |FROM part p JOIN k ON contains(p.p_name, k.kw)
       |GROUP BY k.kw ORDER BY k.kw""".stripMargin
 
-  /** #44: frame-window moving average — 3-day trailing mean of exact
-    * integer daily totals per event type. Output is integer
+  /** #44: frame-window moving average — trailing mean over the last
+    * THREE ROWS of the per-day totals (ROWS BETWEEN 2 PRECEDING), i.e.
+    * the last three days-WITH-DATA per event type: across a calendar
+    * gap the frame reaches further back than three days (a RANGE
+    * frame or calendar-spine join would pin it to calendar days; both
+    * engines use the identical ROWS frame here). Output is integer
     * milli-cents: `sum*1000/n` with n ∈ {1,2,3} is exact for n=1,2 and
     * never lands on a .5 midpoint for n=3 (2m = 3(2k+1) has no integer
     * solution), so ROUND of the shared IEEE quotient is identical on

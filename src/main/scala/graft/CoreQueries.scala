@@ -19,9 +19,6 @@ import graft.etl._
   */
 object CoreQueries {
 
-  private def dec(c: Column, s: Int = 2): Column =
-    round(c, s).cast(DecimalType(38, s))
-
   /** Order-independent monetary sum: cast the summand to decimal BEFORE
     * aggregating. The testdata's monetary doubles are each the nearest
     * double to a 2-decimal value, so the per-row cast is exact on both

@@ -162,7 +162,10 @@ object LlmQueries {
       .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
       // zero-norm guard: Spark orders NaN above every real value, so a
-      // zero vector's NaN cosine would pass ≥ τ (DuckDB's NaN doesn't)
+      // zero vector's NaN cosine would pass ≥ τ. (The oracle stays
+      // consistent for a different reason: DuckDB's
+      // list_cosine_similarity returns −1.0 for zero vectors — its NaN
+      // would ALSO compare greater, so never rely on that.)
       .filter(col("nrm") > 0)
     // triangle-blocked self-join: 10 labels alone would shuffle into 10
     // reducers; 8 hash blocks fan the pair work over 10 × 36 partitions
@@ -207,7 +210,8 @@ object LlmQueries {
   }
 
   val s01Sql: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |           WHERE len(list_filter(embedding, x -> x <> 0)) > 0),
       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
       |scored AS (
       |  SELECT qid, vec_id AS neighbor_id,

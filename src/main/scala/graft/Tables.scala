@@ -20,14 +20,17 @@ object Tables {
 
   /** `events.ts` is parquet TIMESTAMP(NANOS); Spark's TimestampType is
     * microseconds. With `spark.sql.legacy.parquet.nanosAsLong=true` the
-    * column arrives as a long of epoch-nanos — convert with integer
-    * division (no double round-trip: epoch-nanos exceed 2^53).
+    * column arrives as a long of epoch-nanos — convert with FLOOR
+    * integer division (no double round-trip: epoch-nanos exceed 2^53,
+    * and `DIV` alone truncates toward zero, which would round pre-1970
+    * sub-microsecond values the wrong way).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = apply(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        raw.withColumn("ts", timestamp_micros(
+          expr("ts DIV 1000 - CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END")))
       case _ => raw
     }
   }
