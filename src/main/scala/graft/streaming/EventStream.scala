@@ -29,6 +29,23 @@ object EventStream {
               col("n_events"), col("total_value"))
   }
 
+  /** Session-window aggregation — the streaming twin of batch
+    * sessionization (q20): Spark's native `session_window` merges
+    * events into gap-bounded sessions per user, with the watermark
+    * closing (and emitting) sessions once event time passes the gap.
+    * State is O(open sessions), not stream length. Works on batch
+    * frames too (same plan, no watermark). */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "2 hours"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    withWm
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+              col("sw.end").as("session_end"), col("n_events"))
+  }
+
   /** Streaming exact dedup — drop re-deliveries of the same record
     * (same key columns) arriving within the watermark horizon: the
     * streaming-ingest twin of d01's batch dedup, for at-least-once

@@ -74,6 +74,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("session_window merges gap-bounded events and closes sessions at the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "user_id")
+    val query = EventStream.sessionAgg(events, gap = "30 minutes", watermark = "1 hour")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:00"), 1L),
+        (ts("2024-01-01 00:10:00"), 1L),  // same session (10 min gap)
+        (ts("2024-01-01 01:00:00"), 1L))  // 50 min gap → new session
+      query.processAllAvailable()
+      // advance the watermark far enough to close both sessions
+      input.addData((ts("2024-01-01 05:00:00"), 2L))
+      query.processAllAvailable()
+      val out = spark.table("sessions")
+        .filter($"user_id" === 1L).orderBy("session_start")
+        .select($"session_start".cast("string"), $"n_events")
+        .as[(String, Long)].collect().toSeq
+      assert(out == Seq(
+        ("2024-01-01 00:00:00", 2L),
+        ("2024-01-01 01:00:00", 1L)))
+    } finally query.stop()
+  }
+
   test("streaming dedup drops same-digest re-deliveries across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
