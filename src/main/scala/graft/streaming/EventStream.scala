@@ -84,6 +84,42 @@ object EventStream {
 case class UserAgg(n: Long, total: Double)
 case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 
+/** Idempotent external sink via `foreachBatch`: each micro-batch is
+  * stamped with its batch id and replaces any previous rows of that
+  * id before inserting (delete + append inside one batch function).
+  * On restart-after-crash, Structured Streaming REPLAYS the last
+  * uncommitted batch with the SAME id — the delete makes the replay
+  * overwrite, not duplicate: effectively-once delivery to any sink
+  * that can delete by predicate (JDBC here, exercised against
+  * embedded Derby in StreamingSpec).
+  */
+object StreamSink {
+
+  /** Attach an idempotent JDBC sink to `df.writeStream`. The target
+    * table must exist with a BIGINT `batch_id` column (created on
+    * first use by the caller — Spark's JDBC writer can't ALTER). */
+  def jdbcForeachBatch(url: String, table: String,
+                       props: Map[String, String]): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val jprops = new java.util.Properties()
+      props.foreach { case (k, v) => jprops.setProperty(k, v) }
+      val conn = java.sql.DriverManager.getConnection(url, jprops)
+      try {
+        val st = conn.prepareStatement(s"DELETE FROM $table WHERE batch_id = ?")
+        st.setLong(1, batchId)
+        st.executeUpdate()
+        st.close()
+      } finally conn.close()
+      batch.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .options(props)
+        .save()
+    }
+}
+
 /** Stream-static enrichment: every micro-batch joins against a
   * (periodically reloadable) dimension table. The static side plans
   * as a broadcast per micro-batch — no stream-side shuffle. */

@@ -125,6 +125,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("foreachBatch JDBC sink is idempotent under batch replay (Derby)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_derby").toString
+    val url = s"jdbc:derby:$dir/db;create=true"
+    // create the target table up front (batch_id column included)
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().executeUpdate(
+      "CREATE TABLE sink (user_id BIGINT, v DOUBLE, batch_id BIGINT)")
+    conn.close()
+
+    val writeBatch = graft.streaming.StreamSink.jdbcForeachBatch(
+      url, "sink", Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+
+    val input = MemoryStream[(Long, Double)]
+    val stream = input.toDF().toDF("user_id", "v")
+    val query = stream.writeStream.foreachBatch(writeBatch).outputMode("append").start()
+    try {
+      input.addData((1L, 1.5), (2L, 2.5))
+      query.processAllAvailable()
+      input.addData((3L, 3.5))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    // simulate the crash-replay of batch 1: same id, same data → the
+    // delete-by-batch-id makes the rerun overwrite, not duplicate
+    writeBatch(Seq((3L, 3.5)).toDF("user_id", "v"), 1L)
+
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "sink")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .load()
+      .orderBy("user_id").select("user_id", "v").as[(Long, Double)].collect().toSeq
+    assert(back == Seq((1L, 1.5), (2L, 2.5), (3L, 3.5)), s"got $back")
+  }
+
   test("late events beyond the watermark are dropped (append mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
