@@ -517,6 +517,39 @@ object AnalyticsQueries {
       |GROUP BY sess.user_id, sess.session_id, sess.session_start
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** #63: supplier roster rollout — the one testdata table no other
+    * query touches: supplier ⋈ nation ⋈ region (both dims broadcast),
+    * per-nation counts + exact decimal balances + name extremes. */
+  def q38SupplierStats: Q = (spark, dir) => {
+    val sup = Tables.supplier(spark, dir)
+    val nat = broadcast(Tables.nation(spark, dir))
+    val reg = broadcast(Tables.region(spark, dir))
+    sup
+      .join(nat, sup("s_nationkey") === nat("n_nationkey"))
+      .join(reg, nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        sum(col("s_acctbal").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total_bal"),
+        sum(when(col("s_acctbal") < 0, 1L).otherwise(0L)).as("n_negative"),
+        min("s_name").as("first_name"),
+        max("s_name").as("last_name"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val q38Sql: String =
+    """SELECT r_name, n_name,
+      |       COUNT(*) AS n_suppliers,
+      |       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_bal,
+      |       CAST(SUM(CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+      |       MIN(s_name) AS first_name,
+      |       MAX(s_name) AS last_name
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q18_describe_stats" -> q18DescribeStats,
     "q19_asof_join" -> q19AsofJoin,
@@ -534,10 +567,12 @@ object AnalyticsQueries {
     "q31_cube" -> q31Cube,
     "q32_edit_distance" -> q32EditDistance,
     "q33_collect_sorted" -> q33CollectSorted,
-    "q37_range_join" -> q37RangeJoin)
+    "q37_range_join" -> q37RangeJoin,
+    "q38_supplier_stats" -> q38SupplierStats)
 
   val oracles: Seq[(String, String)] = Seq(
     "q37_range_join" -> q37Sql,
+    "q38_supplier_stats" -> q38Sql,
     "q18_describe_stats" -> q18Sql,
     "q19_asof_join" -> q19Sql,
     "q20_sessionize" -> q20Sql,

@@ -49,6 +49,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(err2.getMessage != null)
   }
 
+  test("json reader honors the explicit schema (no inference pass)") {
+    val dir = Files.createTempDirectory("graft_json").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.json"),
+      """{"id": 1, "name": "x", "score": 1.5}
+        |{"id": 2, "name": "y"}
+        |{"id": "not-a-number", "name": "bad"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val back = Readers.json(spark, dir, schema)
+      .orderBy(asc_nulls_last("id"))
+      .as[(Option[Long], Option[String], Option[Double])].collect().toSeq
+    // missing field → null; unparseable field → null for THAT field
+    // only, parseable siblings survive (PERMISSIVE)
+    assert(back == Seq(
+      (Some(1L), Some("x"), Some(1.5)),
+      (Some(2L), Some("y"), None),
+      (None, Some("bad"), None)))
+  }
+
   test("jdbc round-trip against embedded Derby (write, partitioned read)") {
     // Derby ships in /opt/spark/jars — the one real JDBC engine here;
     // mirrors the reference's MySQL extract/load
