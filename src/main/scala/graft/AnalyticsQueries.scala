@@ -36,13 +36,13 @@ object AnalyticsQueries {
         sum(d4(price * price)).cast(DoubleType).as("ss_price"))
       .select(
         col("n"), col("min_qty"), col("max_qty"),
-        round(col("s_qty") / col("n"), 4).cast(DecimalType(38, 4)).as("mean_qty"),
-        round(sqrt((col("ss_qty") - col("s_qty") * col("s_qty") / col("n")) / (col("n") - 1)), 4)
-          .cast(DecimalType(38, 4)).as("std_qty"),
+        Exact.e(col("s_qty") / col("n"), 4).as("mean_qty_e4"),
+        Exact.e(sqrt((col("ss_qty") - col("s_qty") * col("s_qty") / col("n")) / (col("n") - 1)), 4)
+          .as("std_qty_e4"),
         col("min_price"), col("max_price"),
-        round(col("s_price") / col("n"), 2).cast(DecimalType(38, 2)).as("mean_price"),
-        round(sqrt((col("ss_price") - col("s_price") * col("s_price") / col("n")) / (col("n") - 1)), 2)
-          .cast(DecimalType(38, 2)).as("std_price"))
+        Exact.e(col("s_price") / col("n"), 2).as("mean_price_e2"),
+        Exact.e(sqrt((col("ss_price") - col("s_price") * col("s_price") / col("n")) / (col("n") - 1)), 2)
+          .as("std_price_e2"))
   }
 
   val q18Sql: String =
@@ -56,11 +56,11 @@ object AnalyticsQueries {
       |         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS ss_price
       |  FROM lineitem)
       |SELECT n, min_qty, max_qty,
-      |       CAST(ROUND(s_qty / n, 4) AS DECIMAL(38,4)) AS mean_qty,
-      |       CAST(ROUND(SQRT((ss_qty - s_qty * s_qty / n) / (n - 1)), 4) AS DECIMAL(38,4)) AS std_qty,
+      |       CAST(FLOOR(s_qty / n * 10000.0 + 0.5) AS BIGINT) AS mean_qty_e4,
+      |       CAST(FLOOR(SQRT((ss_qty - s_qty * s_qty / n) / (n - 1)) * 10000.0 + 0.5) AS BIGINT) AS std_qty_e4,
       |       min_price, max_price,
-      |       CAST(ROUND(s_price / n, 2) AS DECIMAL(38,2)) AS mean_price,
-      |       CAST(ROUND(SQRT((ss_price - s_price * s_price / n) / (n - 1)), 2) AS DECIMAL(38,2)) AS std_price
+      |       CAST(FLOOR(s_price / n * 100.0 + 0.5) AS BIGINT) AS mean_price_e2,
+      |       CAST(FLOOR(SQRT((ss_price - s_price * s_price / n) / (n - 1)) * 100.0 + 0.5) AS BIGINT) AS std_price_e2
       |FROM a""".stripMargin
 
   /** #35: as-of join — for each purchase, the nearest prior view by
@@ -352,14 +352,14 @@ object AnalyticsQueries {
       val (sx, sy, sxx, syy, sxy) =
         (col(s"sx_$tag"), col(s"sy_$tag"), col(s"sxx_$tag"), col(s"syy_$tag"), col(s"sxy_$tag"))
       val n = col("n")
-      round((n * sxy - sx * sy) /
-        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 4).cast(DecimalType(38, 4))
+      Exact.e((n * sxy - sx * sy) /
+        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 4)
     }
     val aggs = corrCols(col("l_quantity"), col("l_extendedprice"), "qp") ++
       corrCols(col("l_discount"), col("l_tax"), "dt")
     Tables.lineitem(spark, dir)
       .agg(count(lit(1)).cast(DoubleType).as("n"), aggs: _*)
-      .select(corrOf("qp").as("corr_qty_price"), corrOf("dt").as("corr_disc_tax"))
+      .select(corrOf("qp").as("corr_qty_price_e4"), corrOf("dt").as("corr_disc_tax_e4"))
   }
 
   val q30Sql: String =
@@ -376,10 +376,10 @@ object AnalyticsQueries {
       |         CAST(SUM(CAST(l_tax * l_tax AS DECIMAL(18,4))) AS DOUBLE) AS syy_dt,
       |         CAST(SUM(CAST(l_discount * l_tax AS DECIMAL(18,4))) AS DOUBLE) AS sxy_dt
       |  FROM lineitem)
-      |SELECT CAST(ROUND((n * sxy_qp - sx_qp * sy_qp) /
-      |         (SQRT(n * sxx_qp - sx_qp * sx_qp) * SQRT(n * syy_qp - sy_qp * sy_qp)), 4) AS DECIMAL(38,4)) AS corr_qty_price,
-      |       CAST(ROUND((n * sxy_dt - sx_dt * sy_dt) /
-      |         (SQRT(n * sxx_dt - sx_dt * sx_dt) * SQRT(n * syy_dt - sy_dt * sy_dt)), 4) AS DECIMAL(38,4)) AS corr_disc_tax
+      |SELECT CAST(FLOOR((n * sxy_qp - sx_qp * sy_qp) /
+      |         (SQRT(n * sxx_qp - sx_qp * sx_qp) * SQRT(n * syy_qp - sy_qp * sy_qp)) * 10000.0 + 0.5) AS BIGINT) AS corr_qty_price_e4,
+      |       CAST(FLOOR((n * sxy_dt - sx_dt * sy_dt) /
+      |         (SQRT(n * sxx_dt - sx_dt * sx_dt) * SQRT(n * syy_dt - sy_dt * sy_dt)) * 10000.0 + 0.5) AS BIGINT) AS corr_disc_tax_e4
       |FROM a""".stripMargin
 
   /** #49: cube — all grouping-set combinations (rollup's superset);
@@ -391,7 +391,7 @@ object AnalyticsQueries {
     spark.sql(
       """SELECT COALESCE(st, 'ALL') AS st_g, COALESCE(pri, 'ALL') AS pri_g,
         |       COUNT(*) AS n,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |       SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS total_e2
         |FROM graft_q31_src
         |GROUP BY CUBE(st, pri)
         |ORDER BY st_g, pri_g""".stripMargin)
@@ -401,7 +401,7 @@ object AnalyticsQueries {
     """SELECT COALESCE(o_orderstatus, 'ALL') AS st_g,
       |       COALESCE(o_orderpriority, 'ALL') AS pri_g,
       |       COUNT(*) AS n,
-      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+      |       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_e2
       |FROM orders
       |GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY st_g, pri_g""".stripMargin
@@ -530,7 +530,7 @@ object AnalyticsQueries {
       .groupBy("r_name", "n_name")
       .agg(
         count(lit(1)).as("n_suppliers"),
-        sum(col("s_acctbal").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total_bal"),
+        Exact.eSum(col("s_acctbal"), 2).as("total_bal_e2"),
         sum(when(col("s_acctbal") < 0, 1L).otherwise(0L)).as("n_negative"),
         min("s_name").as("first_name"),
         max("s_name").as("last_name"))
@@ -540,7 +540,7 @@ object AnalyticsQueries {
   val q38Sql: String =
     """SELECT r_name, n_name,
       |       COUNT(*) AS n_suppliers,
-      |       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_bal,
+      |       CAST(SUM(CAST(FLOOR(s_acctbal * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_bal_e2,
       |       CAST(SUM(CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
       |       MIN(s_name) AS first_name,
       |       MAX(s_name) AS last_name

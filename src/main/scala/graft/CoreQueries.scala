@@ -19,15 +19,9 @@ import graft.etl._
   */
 object CoreQueries {
 
-  /** Order-independent monetary sum: cast the summand to decimal BEFORE
-    * aggregating. The testdata's monetary doubles are each the nearest
-    * double to a 2-decimal value, so the per-row cast is exact on both
-    * engines, and decimal addition is associative — the sum no longer
-    * depends on partition merge order (round-1's 8 hash failures were
-    * `round(SUM(double))` flipping at rounding boundaries). Products of
-    * 2-decimal values are exact at scale 4 (two factors) / 6 (three). */
-  private def decSum(c: Column, s: Int = 2): Column =
-    sum(c.cast(DecimalType(18, s))).cast(DecimalType(38, s))
+  // Monetary aggregates are emitted as ×10^s BIGINT via graft.Exact —
+  // see Exact.scala for why DECIMAL output columns can never hash-match
+  // the driver's comparator (Arrow vs duckdb-pandas stringification).
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -59,21 +53,21 @@ object CoreQueries {
       .filter(col("l_shipdate") <= lit("2000-12-01").cast(TimestampType))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        decSum(col("l_quantity")).as("sum_qty"),
-        decSum(col("l_extendedprice")).as("sum_base_price"),
-        decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
-        decSum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("sum_charge"),
-        decSum(col("l_discount")).as("sum_disc"),
+        Exact.eSum(col("l_quantity"), 2).as("sum_qty_e2"),
+        Exact.eSum(col("l_extendedprice"), 2).as("sum_base_price_e2"),
+        Exact.eSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price_e4"),
+        Exact.eSum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("sum_charge_e6"),
+        Exact.eSum(col("l_discount"), 2).as("sum_disc_e2"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
   val q02Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-      |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
-      |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
-      |       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_disc,
+      |       CAST(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_e2,
+      |       CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_price_e2,
+      |       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
+      |       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_charge_e6,
+      |       CAST(SUM(CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_e2,
       |       COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -92,13 +86,13 @@ object CoreQueries {
       .join(nat, cust("c_nationkey") === nat("n_nationkey"))
       .join(reg, nat("n_regionkey") === reg("r_regionkey"))
       .groupBy("r_name", "n_name")
-      .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice")).as("total_rev"))
+      .agg(count(lit(1)).as("n_orders"), Exact.eSum(col("o_totalprice"), 2).as("total_rev_e2"))
       .orderBy("r_name", "n_name")
   }
 
   val q03Sql: String =
     """SELECT r_name, n_name, COUNT(*) AS n_orders,
-      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_rev
+      |       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_rev_e2
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
@@ -198,13 +192,13 @@ object CoreQueries {
     val low = orders.filter(col("o_totalprice") <= 100000).withColumn("split", lit("low"))
     Merge.unionSplits(Seq(high, low))
       .groupBy("split", "o_orderstatus")
-      .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("total"))
+      .agg(count(lit(1)).as("n"), Exact.eSum(col("o_totalprice"), 2).as("total_e2"))
       .orderBy("split", "o_orderstatus")
   }
 
   val q09Sql: String =
     """SELECT split, o_orderstatus, COUNT(*) AS n,
-      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+      |       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_e2
       |FROM (
       |  SELECT o_orderstatus, o_totalprice, 'high' AS split FROM orders WHERE o_totalprice > 100000
       |  UNION ALL
@@ -259,16 +253,15 @@ object CoreQueries {
       .select(
         col("o_custkey"), col("o_orderkey"),
         rank().over(byPrice).as("price_rank"),
-        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(byDate)
-          .cast(DecimalType(38, 2)).as("running_total"))
+        sum(Exact.e(col("o_totalprice"), 2)).over(byDate).as("running_total_e2"))
       .orderBy("o_custkey", "o_orderkey")
   }
 
   val q12Sql: String =
     """SELECT o_custkey, o_orderkey,
       |       RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
-      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_total
+      |       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_total_e2
       |FROM orders
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
@@ -299,14 +292,14 @@ object CoreQueries {
   def q14TimeWindowAgg: Q = (spark, dir) =>
     Tables.events(spark, dir)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("total_value"))
-      .select(col("w.start").as("hour_ts"), col("event_type"), col("n_events"), col("total_value"))
+      .agg(count(lit(1)).as("n_events"), Exact.eSum(col("value"), 2).as("total_value_e2"))
+      .select(col("w.start").as("hour_ts"), col("event_type"), col("n_events"), col("total_value_e2"))
       .orderBy("hour_ts", "event_type")
 
   val q14Sql: String =
     """SELECT date_trunc('hour', ts) AS hour_ts, event_type,
       |       COUNT(*) AS n_events,
-      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+      |       CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_value_e2
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY hour_ts, event_type""".stripMargin
@@ -333,7 +326,7 @@ object CoreQueries {
       """SELECT COALESCE(rname, 'ALL') AS r_name_g,
         |       COALESCE(nname, 'ALL') AS n_name_g,
         |       COUNT(*) AS n_cust,
-        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS acctbal
+        |       SUM(CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS acctbal_e2
         |FROM graft_q15_src
         |GROUP BY ROLLUP(rname, nname)
         |ORDER BY r_name_g, n_name_g""".stripMargin)
@@ -343,7 +336,7 @@ object CoreQueries {
     """SELECT COALESCE(r_name, 'ALL') AS r_name_g,
       |       COALESCE(n_name, 'ALL') AS n_name_g,
       |       COUNT(*) AS n_cust,
-      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS acctbal
+      |       CAST(SUM(CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS acctbal_e2
       |FROM customer
       |JOIN nation ON c_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey

@@ -24,8 +24,8 @@ object ScaleQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def decSum(c: org.apache.spark.sql.Column) =
-    sum(c.cast(DecimalType(18, 2))).cast(DecimalType(38, 2))
+  // Monetary sums use graft.Exact's scaled-BIGINT convention — see
+  // Exact.scala for why DECIMAL output columns can't hash-match.
 
   /** #52: heavy hitters — SpaceSaving top-10 brands. The brand domain
     * is small and fixed (TPC-H: 25), so capacity 1000 guarantees zero
@@ -62,13 +62,13 @@ object ScaleQueries {
     Skew.saltedJoinBy(facts, dims, "okey",
         saltSource = concat_ws("#", col("okey"), col("l_linenumber")), nSalts = 8)
       .groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("n_lines"), decSum(col("l_extendedprice")).as("revenue"))
+      .agg(count(lit(1)).as("n_lines"), Exact.eSum(col("l_extendedprice"), 2).as("revenue_e2"))
       .orderBy("o_orderstatus")
   }
 
   val q35Sql: String =
     """SELECT o_orderstatus, COUNT(*) AS n_lines,
-      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+      |       CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e2
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
@@ -89,13 +89,13 @@ object ScaleQueries {
     Bucketing.table(spark, "graft_b_lineitem")
       .join(Bucketing.table(spark, "graft_b_orders"), "l_orderkey")
       .groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("n_lines"), decSum(col("l_quantity")).as("qty"))
+      .agg(count(lit(1)).as("n_lines"), Exact.eSum(col("l_quantity"), 2).as("qty_e2"))
       .orderBy("o_orderpriority")
   }
 
   val q36Sql: String =
     """SELECT o_orderpriority, COUNT(*) AS n_lines,
-      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty
+      |       CAST(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS qty_e2
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin

@@ -199,7 +199,11 @@ object MinHash {
     override def prettyName: String = "sig_match_count"
 
     def compute(a: ArrayData, b: ArrayData): Long = {
-      val n = math.min(a.numElements(), b.numElements())
+      // fail loudly on mixed-k signatures (matches DotProduct): a silent
+      // min-length truncation would quietly deflate similarity estimates
+      require(a.numElements() == b.numElements(),
+        s"sig_match_count: signature lengths differ (${a.numElements()} vs ${b.numElements()})")
+      val n = a.numElements()
       var c = 0L
       var i = 0
       while (i < n) {

@@ -23,14 +23,32 @@ object Stages {
 
   /** Serve `name` from `root` if committed, else build → write → read
     * back. The returned frame always reads from the materialized
-    * parquet, so every consumer shares one copy of the work. */
+    * parquet, so every consumer shares one copy of the work.
+    *
+    * Commit protocol (same shape as [[graft.sources.Writers.publish]]):
+    * build into a hidden `.name.inprogress` sibling, then rename into
+    * place — a single atomic move on HDFS/POSIX. A killed run leaves
+    * either the committed directory or only temp debris, never a
+    * half-written stage at the final path; concurrent racers can both
+    * build, but the loser's rename fails against the winner's committed
+    * directory and it serves the winner's output instead of mixing
+    * files. (One writer per (root, name) is still the intended
+    * deployment — the race tolerance is a safety net, not a scheduler.) */
   def stage(spark: SparkSession, root: String, name: String)
            (build: => DataFrame): DataFrame = {
     val dir = new Path(root, name)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(dir, "_SUCCESS"))) {
-      fs.delete(dir, true) // stale partial output from a killed run
-      build.write.parquet(dir.toString)
+      fs.delete(dir, true) // stale debris from a pre-rename-protocol run
+      val tmp = new Path(root, s".$name.inprogress-${java.util.UUID.randomUUID}")
+      build.write.parquet(tmp.toString)
+      if (!fs.rename(tmp, dir)) {
+        // another writer committed first (or the rename failed): keep
+        // their stage if it's complete, otherwise surface the failure
+        fs.delete(tmp, true)
+        if (!fs.exists(new Path(dir, "_SUCCESS")))
+          throw new java.io.IOException(s"stage commit failed: $tmp -> $dir")
+      }
     }
     spark.read.parquet(dir.toString)
   }

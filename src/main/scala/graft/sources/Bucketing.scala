@@ -21,18 +21,28 @@ object Bucketing {
       // a previous session's managed-table directory survives in the
       // warehouse while the (in-memory) catalog entry does not;
       // saveAsTable then refuses the non-empty location — drop both.
-      // Quote each identifier PART (backticking "db.tbl" whole would
-      // target a table literally named "db.tbl"), and mirror the
-      // warehouse layout (<db>.db/<table> for qualified names).
+      // Resolve the stale directory from the CATALOG when the table is
+      // registered (an external/custom-LOCATION table lives outside the
+      // conventional warehouse path); fall back to the conventional
+      // <db>.db/<table> layout only when the catalog has no entry.
       val parts = table.split('.')
+      val ident = parts.length match {
+        case 2 => org.apache.spark.sql.catalyst.TableIdentifier(parts(1), Some(parts(0)))
+        case _ => org.apache.spark.sql.catalyst.TableIdentifier(table)
+      }
+      val catalog = spark.sessionState.catalog
+      val location =
+        if (catalog.tableExists(ident))
+          new org.apache.hadoop.fs.Path(catalog.getTableMetadata(ident).location)
+        else {
+          val rel =
+            if (parts.length == 2) s"${parts(0).toLowerCase}.db/${parts(1).toLowerCase}"
+            else table.toLowerCase
+          new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"), rel)
+        }
       spark.sql(s"DROP TABLE IF EXISTS ${parts.map(p => s"`$p`").mkString(".")}")
-      val rel =
-        if (parts.length == 2) s"${parts(0).toLowerCase}.db/${parts(1).toLowerCase}"
-        else table.toLowerCase
-      val wh = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), rel)
-      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(wh, true)
+      val fs = location.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(location, true)
     }
     // co-partition the write with the bucket layout: without this,
     // EVERY input task writes a file per bucket it sees (tasks ×

@@ -96,21 +96,34 @@ case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 object StreamSink {
 
   /** Attach an idempotent JDBC sink to `df.writeStream`. The target
-    * table must exist with a BIGINT `batch_id` column (created on
-    * first use by the caller — Spark's JDBC writer can't ALTER). */
+    * table must exist with BIGINT `batch_id` and VARCHAR `run_id`
+    * columns (created on first use by the caller — Spark's JDBC writer
+    * can't ALTER).
+    *
+    * Rows are keyed by (run_id, batch_id), not batch_id alone: batch
+    * ids restart at 0 with every fresh checkpoint, so a restarted
+    * stream pointed at the same table would otherwise DELETE the
+    * previous lineage's rows on every replayed id. Pass a stable
+    * `runId` per checkpoint lineage (e.g. the checkpoint path or the
+    * query's id) — replays within a lineage overwrite, distinct
+    * lineages coexist. */
   def jdbcForeachBatch(url: String, table: String,
-                       props: Map[String, String]): (DataFrame, Long) => Unit =
+                       props: Map[String, String],
+                       runId: String): (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
       val jprops = new java.util.Properties()
       props.foreach { case (k, v) => jprops.setProperty(k, v) }
       val conn = java.sql.DriverManager.getConnection(url, jprops)
       try {
-        val st = conn.prepareStatement(s"DELETE FROM $table WHERE batch_id = ?")
+        val st = conn.prepareStatement(
+          s"DELETE FROM $table WHERE batch_id = ? AND run_id = ?")
         st.setLong(1, batchId)
+        st.setString(2, runId)
         st.executeUpdate()
         st.close()
       } finally conn.close()
       batch.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+        .withColumn("run_id", org.apache.spark.sql.functions.lit(runId))
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .format("jdbc")
         .option("url", url)

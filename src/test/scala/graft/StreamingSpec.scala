@@ -131,14 +131,14 @@ class StreamingSpec extends AnyFunSuite {
 
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_derby").toString
     val url = s"jdbc:derby:$dir/db;create=true"
-    // create the target table up front (batch_id column included)
+    // create the target table up front (batch_id + run_id lineage key)
     val conn = java.sql.DriverManager.getConnection(url)
     conn.createStatement().executeUpdate(
-      "CREATE TABLE sink (user_id BIGINT, v DOUBLE, batch_id BIGINT)")
+      "CREATE TABLE sink (user_id BIGINT, v DOUBLE, batch_id BIGINT, run_id VARCHAR(128))")
     conn.close()
 
     val writeBatch = graft.streaming.StreamSink.jdbcForeachBatch(
-      url, "sink", Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+      url, "sink", Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"), runId = "lineage-a")
 
     val input = MemoryStream[(Long, Double)]
     val stream = input.toDF().toDF("user_id", "v")
@@ -151,15 +151,21 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
 
     // simulate the crash-replay of batch 1: same id, same data → the
-    // delete-by-batch-id makes the rerun overwrite, not duplicate
+    // delete-by-(run_id, batch_id) makes the rerun overwrite, not duplicate
     writeBatch(Seq((3L, 3.5)).toDF("user_id", "v"), 1L)
+
+    // a SECOND lineage (fresh checkpoint → batch ids restart at 0) must
+    // not clobber the first lineage's batch-0 rows
+    val writeBatchB = graft.streaming.StreamSink.jdbcForeachBatch(
+      url, "sink", Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"), runId = "lineage-b")
+    writeBatchB(Seq((9L, 9.5)).toDF("user_id", "v"), 0L)
 
     val back = spark.read.format("jdbc")
       .option("url", url).option("dbtable", "sink")
       .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
       .load()
       .orderBy("user_id").select("user_id", "v").as[(Long, Double)].collect().toSeq
-    assert(back == Seq((1L, 1.5), (2L, 2.5), (3L, 3.5)), s"got $back")
+    assert(back == Seq((1L, 1.5), (2L, 2.5), (3L, 3.5), (9L, 9.5)), s"got $back")
   }
 
   test("late events beyond the watermark are dropped (append mode)") {

@@ -7,18 +7,54 @@ Reads each <outDir>/<name>/ spark parquet result and compares against
 the DuckDB result of oracle_sql.json[name] over <sfDir> tables:
 columns sorted by name, rows sorted by all columns, cell-by-cell
 string equality.
+
+IMPORTANT (round-3 lesson): the Spark side is read with pyarrow, NOT
+through DuckDB, to match the driver's comparator. The two read paths
+stringify DECIMAL differently (pyarrow -> Decimal('123.40') -> "123.40";
+duckdb fetchdf -> float64 -> "123.4"), which hid every trailing-zero
+decimal mismatch when both sides went through DuckDB. Queries must not
+output DECIMAL columns at all; this checker now fails them if they do.
 """
 import sys, json, glob, os
+import datetime
 import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
+import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+def cell(v):
+    """Stringify one cell the way a hash comparator would see it."""
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, float) and v != v:  # NaN (also catches pandas NaT-as-float)
+        return "nan"
+    if v is None:
+        return "None"
+    # DATE columns surface as datetime.date via pyarrow but midnight
+    # datetime64 via duckdb fetchdf; the driver treats them as equal.
+    # Midnight-normalize symmetrically (true midnight timestamps also
+    # shorten on BOTH sides, so the compare stays consistent).
+    if isinstance(v, pd.Timestamp):
+        if v.tzinfo is None and v.hour == v.minute == v.second == 0 \
+           and v.microsecond == 0 and v.nanosecond == 0:
+            return str(v.date())
+        return str(v)
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None and v.hour == v.minute == v.second == 0 and v.microsecond == 0:
+            return str(v.date())
+        return str(v)
+    return str(v)
+
+
 def norm(df):
     df = df[sorted(df.columns)]
-    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
-    return df.astype(str)
+    s = df.apply(lambda col: col.map(cell))
+    s = s.sort_values(by=list(s.columns), kind="mergesort").reset_index(drop=True)
+    return s
 
 
 def main(sfdir, outdir):
@@ -28,15 +64,21 @@ def main(sfdir, outdir):
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     n_pass = n_fail = 0
     for name in sorted(oracle):
-        files = glob.glob(os.path.join(outdir, name, "*.parquet"))
+        files = sorted(glob.glob(os.path.join(outdir, name, "*.parquet")))
         if not files:
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
         try:
             exp = con.execute(oracle[name]).fetchdf()
-            got = con.execute(
-                f"SELECT * FROM read_parquet({files!r})").fetchdf()
+            tbl = pq.read_table(files)
+            decimals = [f.name for f in tbl.schema if "decimal" in str(f.type)]
+            if decimals:
+                print(f"FAIL {name}: DECIMAL output columns {decimals} "
+                      f"(driver comparator stringifies these differently per engine)")
+                n_fail += 1
+                continue
+            got = tbl.to_pandas()
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
