@@ -22,18 +22,26 @@ object AnalyticsQueries {
     * unlike `round(AVG(double))`, whose partition-merge-order jitter
     * can flip a rounding boundary between runs. */
   def q18DescribeStats: Q = (spark, dir) => {
-    def d2(c: Column) = c.cast(DecimalType(18, 2))
-    def d4(c: Column) = c.cast(DecimalType(18, 4))
+    // scaled-long sums, not decimal accumulators (6× slower, measured):
+    // per-row floor(x·10^s + 0.5) is bit-identical on both engines, and
+    // the long sum is order-independent. Scales bound the accumulator:
+    // price² at scale 0 peaks ~1.2e10/row → < 2^63 through ~sf100.
     val qty = col("l_quantity"); val price = col("l_extendedprice")
     Tables.lineitem(spark, dir)
       .agg(
         count(lit(1)).as("n"),
         min(qty).as("min_qty"), max(qty).as("max_qty"),
         min(price).as("min_price"), max(price).as("max_price"),
-        sum(d2(qty)).cast(DoubleType).as("s_qty"),
-        sum(d4(qty * qty)).cast(DoubleType).as("ss_qty"),
-        sum(d2(price)).cast(DoubleType).as("s_price"),
-        sum(d4(price * price)).cast(DoubleType).as("ss_price"))
+        Exact.eSum(qty, 2).as("s_qty_e2"),
+        Exact.eSum(qty * qty, 4).as("ss_qty_e4"),
+        Exact.eSum(price, 2).as("s_price_e2"),
+        Exact.eSum(price * price, 0).as("ss_price_e0"))
+      .select(
+        col("n"), col("min_qty"), col("max_qty"), col("min_price"), col("max_price"),
+        (col("s_qty_e2").cast(DoubleType) / lit(100.0)).as("s_qty"),
+        (col("ss_qty_e4").cast(DoubleType) / lit(10000.0)).as("ss_qty"),
+        (col("s_price_e2").cast(DoubleType) / lit(100.0)).as("s_price"),
+        col("ss_price_e0").cast(DoubleType).as("ss_price"))
       .select(
         col("n"), col("min_qty"), col("max_qty"),
         Exact.e(col("s_qty") / col("n"), 4).as("mean_qty_e4"),
@@ -46,15 +54,22 @@ object AnalyticsQueries {
   }
 
   val q18Sql: String =
-    """WITH a AS (
+    """WITH a0 AS (
       |  SELECT COUNT(*) AS n,
       |         MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
       |         MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
-      |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s_qty,
-      |         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS ss_qty,
-      |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_price,
-      |         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS ss_price
-      |  FROM lineitem)
+      |         CAST(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS s_qty_e2,
+      |         CAST(SUM(CAST(FLOOR(l_quantity * l_quantity * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS ss_qty_e4,
+      |         CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS s_price_e2,
+      |         CAST(SUM(CAST(FLOOR(l_extendedprice * l_extendedprice + 0.5) AS BIGINT)) AS BIGINT) AS ss_price_e0
+      |  FROM lineitem),
+      |a AS (
+      |  SELECT n, min_qty, max_qty, min_price, max_price,
+      |         CAST(s_qty_e2 AS DOUBLE) / 100.0 AS s_qty,
+      |         CAST(ss_qty_e4 AS DOUBLE) / 10000.0 AS ss_qty,
+      |         CAST(s_price_e2 AS DOUBLE) / 100.0 AS s_price,
+      |         CAST(ss_price_e0 AS DOUBLE) AS ss_price
+      |  FROM a0)
       |SELECT n, min_qty, max_qty,
       |       CAST(FLOOR(s_qty / n * 10000.0 + 0.5) AS BIGINT) AS mean_qty_e4,
       |       CAST(FLOOR(SQRT((ss_qty - s_qty * s_qty / n) / (n - 1)) * 10000.0 + 0.5) AS BIGINT) AS std_qty_e4,
@@ -335,19 +350,34 @@ object AnalyticsQueries {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** #48: Pearson correlation matrix entries (eda.ipynb-style),
-    * derived from exact decimal sums + one identically-written double
-    * formula on both engines (same determinism argument as q18 —
-    * built-in `corr` merges co-moments in partition order, which
-    * jitters the last ulps run to run). */
+    * derived from exact scaled-long sums + one identically-written
+    * double formula on both engines (same determinism argument as q18
+    * — built-in `corr` merges co-moments in partition order, which
+    * jitters the last ulps run to run; decimal accumulators are
+    * order-independent too but measured 6× slower than long sums).
+    * Per-term scales bound each accumulator far under 2^63: price² at
+    * scale 0 (~1.2e10/row), small dt products at scale 6 (~1e4/row). */
   def q30Correlation: Q = (spark, dir) => {
-    def d2(c: Column) = c.cast(DecimalType(18, 2))
-    def d4(c: Column) = c.cast(DecimalType(18, 4))
-    def corrCols(x: Column, y: Column, tag: String): Seq[Column] = Seq(
-      sum(d2(x)).cast(DoubleType).as(s"sx_$tag"),
-      sum(d2(y)).cast(DoubleType).as(s"sy_$tag"),
-      sum(d4(x * x)).cast(DoubleType).as(s"sxx_$tag"),
-      sum(d4(y * y)).cast(DoubleType).as(s"syy_$tag"),
-      sum(d4(x * y)).cast(DoubleType).as(s"sxy_$tag"))
+    case class Sc(sx: Int, sy: Int, sxx: Int, syy: Int, sxy: Int)
+    val scales = Map("qp" -> Sc(2, 2, 4, 0, 2), "dt" -> Sc(2, 2, 6, 6, 6))
+    def corrCols(x: Column, y: Column, tag: String): Seq[Column] = {
+      val s = scales(tag)
+      Seq(
+        Exact.eSum(x, s.sx).as(s"sx_${tag}_e"),
+        Exact.eSum(y, s.sy).as(s"sy_${tag}_e"),
+        Exact.eSum(x * x, s.sxx).as(s"sxx_${tag}_e"),
+        Exact.eSum(y * y, s.syy).as(s"syy_${tag}_e"),
+        Exact.eSum(x * y, s.sxy).as(s"sxy_${tag}_e"))
+    }
+    def unscale(name: String, s: Int): Column =
+      (if (s == 0) col(name + "_e").cast(DoubleType)
+       else col(name + "_e").cast(DoubleType) / lit(math.pow(10, s))).as(name)
+    def derived(tag: String): Seq[Column] = {
+      val s = scales(tag)
+      Seq(unscale(s"sx_$tag", s.sx), unscale(s"sy_$tag", s.sy),
+          unscale(s"sxx_$tag", s.sxx), unscale(s"syy_$tag", s.syy),
+          unscale(s"sxy_$tag", s.sxy))
+    }
     def corrOf(tag: String): Column = {
       val (sx, sy, sxx, syy, sxy) =
         (col(s"sx_$tag"), col(s"sy_$tag"), col(s"sxx_$tag"), col(s"syy_$tag"), col(s"sxy_$tag"))
@@ -359,23 +389,37 @@ object AnalyticsQueries {
       corrCols(col("l_discount"), col("l_tax"), "dt")
     Tables.lineitem(spark, dir)
       .agg(count(lit(1)).cast(DoubleType).as("n"), aggs: _*)
+      .select(col("n") +: (derived("qp") ++ derived("dt")): _*)
       .select(corrOf("qp").as("corr_qty_price_e4"), corrOf("dt").as("corr_disc_tax_e4"))
   }
 
   val q30Sql: String =
-    """WITH a AS (
+    """WITH a0 AS (
       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-      |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx_qp,
-      |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy_qp,
-      |         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx_qp,
-      |         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS syy_qp,
-      |         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sxy_qp,
-      |         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sx_dt,
-      |         CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sy_dt,
-      |         CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sxx_dt,
-      |         CAST(SUM(CAST(l_tax * l_tax AS DECIMAL(18,4))) AS DOUBLE) AS syy_dt,
-      |         CAST(SUM(CAST(l_discount * l_tax AS DECIMAL(18,4))) AS DOUBLE) AS sxy_dt
-      |  FROM lineitem)
+      |         CAST(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sx_qp_e,
+      |         CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sy_qp_e,
+      |         CAST(SUM(CAST(FLOOR(l_quantity * l_quantity * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sxx_qp_e,
+      |         CAST(SUM(CAST(FLOOR(l_extendedprice * l_extendedprice + 0.5) AS BIGINT)) AS BIGINT) AS syy_qp_e,
+      |         CAST(SUM(CAST(FLOOR(l_quantity * l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sxy_qp_e,
+      |         CAST(SUM(CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sx_dt_e,
+      |         CAST(SUM(CAST(FLOOR(l_tax * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sy_dt_e,
+      |         CAST(SUM(CAST(FLOOR(l_discount * l_discount * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sxx_dt_e,
+      |         CAST(SUM(CAST(FLOOR(l_tax * l_tax * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS syy_dt_e,
+      |         CAST(SUM(CAST(FLOOR(l_discount * l_tax * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sxy_dt_e
+      |  FROM lineitem),
+      |a AS (
+      |  SELECT n,
+      |         CAST(sx_qp_e AS DOUBLE) / 100.0 AS sx_qp,
+      |         CAST(sy_qp_e AS DOUBLE) / 100.0 AS sy_qp,
+      |         CAST(sxx_qp_e AS DOUBLE) / 10000.0 AS sxx_qp,
+      |         CAST(syy_qp_e AS DOUBLE) AS syy_qp,
+      |         CAST(sxy_qp_e AS DOUBLE) / 100.0 AS sxy_qp,
+      |         CAST(sx_dt_e AS DOUBLE) / 100.0 AS sx_dt,
+      |         CAST(sy_dt_e AS DOUBLE) / 100.0 AS sy_dt,
+      |         CAST(sxx_dt_e AS DOUBLE) / 1000000.0 AS sxx_dt,
+      |         CAST(syy_dt_e AS DOUBLE) / 1000000.0 AS syy_dt,
+      |         CAST(sxy_dt_e AS DOUBLE) / 1000000.0 AS sxy_dt
+      |  FROM a0)
       |SELECT CAST(FLOOR((n * sxy_qp - sx_qp * sy_qp) /
       |         (SQRT(n * sxx_qp - sx_qp * sx_qp) * SQRT(n * syy_qp - sy_qp * sy_qp)) * 10000.0 + 0.5) AS BIGINT) AS corr_qty_price_e4,
       |       CAST(FLOOR((n * sxy_dt - sx_dt * sy_dt) /

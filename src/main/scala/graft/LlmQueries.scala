@@ -24,7 +24,7 @@ object LlmQueries {
   private val MinHashBands = 16
   private val MinHashSeed = 0x5eedL
 
-  private def normedDocs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def normedDocs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("text_norm", TextNorm.normalizeText(col("text")))
 

@@ -13,17 +13,14 @@ object Probe {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.001"
-    for (name <- Seq("q07_dedup_top_per_key", "q17_etl_pipeline", "q19_asof_join", "d02_minhash_lsh")) {
-      val df = SparkEntry.queries(name)(spark, dir)
-      val plan = df.queryExecution.executedPlan.toString
-      val nExchanges = plan.linesIterator.count(_.contains("Exchange "))
-      val wgl = plan.contains("WindowGroupLimit")
-      val bc = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
-      println(s"=== $name: exchanges=$nExchanges windowGroupLimit=$wgl broadcastJoins=$bc")
-      plan.linesIterator.filter(l => l.contains("Exchange") || l.contains("Join") || l.contains("Window"))
-        .foreach(l => println("   " + l.trim.take(150)))
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    def time[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
+    time("warmup") { Tables.lineitem(spark, dir).count() }
+    for (name <- Seq("q30_correlation", "q18_describe_stats"))
+      time(name) { SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count() }
     spark.stop()
   }
 }
