@@ -450,6 +450,35 @@ object AnalyticsQueries {
       |GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY st_g, pri_g""".stripMargin
 
+  /** #68 (q39): grouping sets — the third grouping construct beyond
+    * rollup (q15) and cube (q31): exactly the per-status, per-priority
+    * and grand-total slices, WITHOUT the (status, priority) cross
+    * cells a cube would also compute. Plans to one Expand + Aggregate
+    * (3× row replication instead of cube's 4×). Same SQL-string route
+    * as q15/q31 (GROUPING SETS has no stable DataFrame-API spelling). */
+  def q39GroupingSets: Q = (spark, dir) => {
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus").as("st"), col("o_orderpriority").as("pri"),
+        col("o_totalprice"))
+      .createOrReplaceTempView("graft_q39_src")
+    spark.sql(
+      """SELECT COALESCE(st, 'ALL') AS st_g, COALESCE(pri, 'ALL') AS pri_g,
+        |       COUNT(*) AS n,
+        |       SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS total_e2
+        |FROM graft_q39_src
+        |GROUP BY GROUPING SETS ((st), (pri), ())
+        |ORDER BY st_g, pri_g""".stripMargin)
+  }
+
+  val q39Sql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS st_g,
+      |       COALESCE(o_orderpriority, 'ALL') AS pri_g,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_e2
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY st_g, pri_g""".stripMargin
+
   /** #50: edit-distance fuzzy matching — ALL name pairs within
     * Levenshtein ≤ 4 (exact semantics, no banding loss). Blocking:
     * levenshtein ≥ |len diff|, so a true pair's lengths differ by ≤ 4;
@@ -612,11 +641,13 @@ object AnalyticsQueries {
     "q32_edit_distance" -> q32EditDistance,
     "q33_collect_sorted" -> q33CollectSorted,
     "q37_range_join" -> q37RangeJoin,
-    "q38_supplier_stats" -> q38SupplierStats)
+    "q38_supplier_stats" -> q38SupplierStats,
+    "q39_grouping_sets" -> q39GroupingSets)
 
   val oracles: Seq[(String, String)] = Seq(
     "q37_range_join" -> q37Sql,
     "q38_supplier_stats" -> q38Sql,
+    "q39_grouping_sets" -> q39Sql,
     "q18_describe_stats" -> q18Sql,
     "q19_asof_join" -> q19Sql,
     "q20_sessionize" -> q20Sql,

@@ -8,10 +8,10 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (CoreQueries.queries ++ LlmQueries.queries ++ AnalyticsQueries.queries ++
-     ScaleQueries.queries).toMap
+     ScaleQueries.queries ++ TrainingDataQueries.queries).toMap
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     (CoreQueries.oracles ++ LlmQueries.oracles ++ AnalyticsQueries.oracles ++
-     ScaleQueries.oracles).toMap
+     ScaleQueries.oracles ++ TrainingDataQueries.oracles).toMap
 }

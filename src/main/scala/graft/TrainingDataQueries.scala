@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.dedup.MinHash
+import graft.etl.TextNorm
+
+/** Training-data pipeline operators beyond dedup/similarity: the
+  * chunk/split/select/leakage steps an LLM corpus build runs between
+  * "cleaned documents" and "tokenizer input".
+  *
+  * All outputs are integers/strings (never DECIMAL — see [[Exact]]),
+  * and every stage is a linear shuffle: these run unchanged at 100 TB.
+  */
+object TrainingDataQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic hash bucket in [0, n): first 8 hex digits of
+    * md5(decimal string of the id). Content-independent, stable across
+    * engines, runs and cluster layouts — the property a train/test
+    * split must have so re-ingesting a document can never flip its
+    * split (md5 text is identical in Spark and DuckDB;
+    * `conv(hex,16,10)` ≡ DuckDB `('0x'||hex)::BIGINT`). */
+  private[graft] def hashBucket(id: Column, n: Int): Column =
+    conv(substring(md5(id.cast(StringType).cast(BinaryType)), 1, 8), 16, 10)
+      .cast(LongType) % n
+
+  private val BucketSql =
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10"
+
+  /** #64 (t08): deterministic train/valid/test split — 80/10/10 by
+    * id-hash bucket. Pure projection: no shuffle at all, each executor
+    * labels its rows locally. */
+  def t08HashSplit: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), hashBucket(col("doc_id"), 10).as("bucket"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "valid")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+
+  val t08Sql: String =
+    s"""SELECT doc_id, bucket,
+       |       CASE WHEN bucket < 8 THEN 'train'
+       |            WHEN bucket = 8 THEN 'valid'
+       |            ELSE 'test' END AS split
+       |FROM (SELECT doc_id, $BucketSql AS bucket FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  private val ChunkLen = 32
+  private val ChunkStride = 24 // 8-token overlap between neighbors
+
+  /** #65 (d08): sliding-window chunking — 32-token chunks every 24
+    * tokens (8-token overlap), the standard shape for packing long
+    * documents into a fixed context window without losing sentences at
+    * chunk borders. `sequence` + `explode` + `slice` are all
+    * codegen'd builtins; chunk count is ⌈(n−len)/stride⌉+1 so the
+    * final partial chunk is kept. One narrow explode, no shuffle. */
+  def d08Chunk: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        (greatest(ceil((size(col("w")) - lit(ChunkLen)).cast(DoubleType) / ChunkStride)
+           .cast(LongType), lit(0L)) + 1L).as("nc"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0L), col("nc") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("w"), (col("chunk_id") * ChunkStride + 1).cast(IntegerType), lit(ChunkLen)).as("cw"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("cw")).cast(LongType).as("n_tok"),
+        concat_ws(" ", col("cw")).as("chunk"))
+      .orderBy("doc_id", "chunk_id")
+
+  val d08Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |n AS (
+       |  SELECT doc_id, w,
+       |         GREATEST(CAST(CEIL((len(w) - $ChunkLen) / $ChunkStride.0) AS BIGINT), 0) + 1 AS nc
+       |  FROM toks),
+       |c AS (
+       |  SELECT doc_id, w, unnest(range(nc)) AS chunk_id FROM n)
+       |SELECT doc_id, chunk_id,
+       |       CAST(len(w[chunk_id * $ChunkStride + 1 : chunk_id * $ChunkStride + $ChunkLen]) AS BIGINT) AS n_tok,
+       |       array_to_string(w[chunk_id * $ChunkStride + 1 : chunk_id * $ChunkStride + $ChunkLen], ' ') AS chunk
+       |FROM c
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** #66 (t09): salient terms per document — top-3 terms ranked by
+    * (term frequency desc, document frequency asc, term asc): the
+    * integer-exact core of tf-idf (a float idf = ln(N/df) ranks
+    * identically to df asc within a document, without ln()'s
+    * cross-engine last-ulp risk). Two linear shuffles — (doc, term)
+    * then (term) — and a per-doc top-k window (WindowGroupLimit keeps
+    * only 3 rows per doc pre-shuffle). */
+  def t09SalientTerms: Q = (spark, dir) => {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(df, "term")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("doc_id", "rnk", "term", "tf", "df")
+      .orderBy("doc_id", "rnk")
+  }
+
+  val t09Sql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf2 AS (
+      |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM tf GROUP BY doc_id, term),
+      |dfreq AS (
+      |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf2 GROUP BY term),
+      |ranked AS (
+      |  SELECT doc_id, term, tf, df,
+      |         ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                            ORDER BY tf DESC, df ASC, term ASC) AS rnk
+      |  FROM tf2 JOIN dfreq USING (term))
+      |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf, df
+      |FROM ranked WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin
+
+  /** #67 (d09): train→test contamination — pairs of (test doc, train
+    * doc) sharing at least one 5-gram, with the count of distinct
+    * shared 5-grams. The leakage audit every eval set needs before a
+    * training run. Same split as t08 (buckets 0–7 train, 9 test);
+    * 5-gram sets as 64-bit fingerprints, so the equi-join shuffles
+    * (gram, id) longs — corpus-linear, never doc×doc. */
+  def d09Contamination: Q = (spark, dir) => {
+    val grams = Tables.documents(spark, dir)
+      .withColumn("text_norm", TextNorm.normalizeText(col("text")))
+      .select(col("doc_id"),
+        hashBucket(col("doc_id"), 10).as("bucket"),
+        explode(array_distinct(MinHash.shingleHashes(col("text_norm"), 5))).as("g"))
+    val train = grams.filter(col("bucket") <= 7)
+      .select(col("doc_id").as("train_id"), col("g"))
+    val test = grams.filter(col("bucket") === 9)
+      .select(col("doc_id").as("test_id"), col("g"))
+    test.join(train, "g")
+      .groupBy("test_id", "train_id")
+      .agg(count(lit(1)).as("n_shared")) // grams are distinct per doc → count = |∩|
+      .orderBy("test_id", "train_id")
+  }
+
+  val d09Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         string_split(regexp_replace(regexp_replace(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]*(feat\\.|featuring|ft\\.|&|and)[ \\t\\n\\x0b\\f\\r]*', ';', 'g'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS w
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(w) >= 5
+       |              THEN list_distinct(list_transform(range(1, len(w) - 3), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))
+       |              ELSE list_distinct([array_to_string(w, ' ')]) END AS s
+       |  FROM toks),
+       |b AS (
+       |  SELECT doc_id, s, $BucketSql AS bucket FROM sh),
+       |tr AS (SELECT doc_id AS train_id, unnest(s) AS g FROM b WHERE bucket <= 7),
+       |te AS (SELECT doc_id AS test_id,  unnest(s) AS g FROM b WHERE bucket = 9)
+       |SELECT test_id, train_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+       |FROM te JOIN tr USING (g)
+       |GROUP BY test_id, train_id
+       |ORDER BY test_id, train_id""".stripMargin
+
+  val queries: Seq[(String, Q)] = Seq(
+    "t08_hash_split" -> t08HashSplit,
+    "d08_chunk" -> d08Chunk,
+    "t09_salient_terms" -> t09SalientTerms,
+    "d09_contamination" -> d09Contamination)
+
+  val oracles: Seq[(String, String)] = Seq(
+    "t08_hash_split" -> t08Sql,
+    "d08_chunk" -> d08Sql,
+    "t09_salient_terms" -> t09Sql,
+    "d09_contamination" -> d09Sql)
+}
