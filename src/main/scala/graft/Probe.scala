@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Scratch main for plan experiments (not part of the library API). */
 object Probe {
@@ -18,9 +19,29 @@ object Probe {
       val t0 = System.nanoTime(); val r = f
       println(f"[probe] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    time("warmup") { Tables.lineitem(spark, dir).count() }
-    for (name <- Seq("q30_correlation", "q18_describe_stats"))
-      time(name) { SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count() }
+    val docs = Tables.documents(spark, dir)
+    time("docs scan") { docs.count() }
+    time("docs scan again") { docs.count() }
+    time("normalize only") {
+      docs.withColumn("t", graft.etl.TextNorm.normalizeText(col("text")))
+        .select(sum(length(col("t")))).queryExecution.toRdd.count()
+    }
+    time("shingle k=3") {
+      docs.withColumn("t", graft.etl.TextNorm.normalizeText(col("text")))
+        .withColumn("sh", graft.dedup.MinHash.shingleHashes(col("t"), 3))
+        .select(sum(size(col("sh")))).queryExecution.toRdd.count()
+    }
+    time("shingle+distinct") {
+      docs.withColumn("t", graft.etl.TextNorm.normalizeText(col("text")))
+        .withColumn("sh", array_distinct(graft.dedup.MinHash.shingleHashes(col("t"), 3)))
+        .select(sum(size(col("sh")))).queryExecution.toRdd.count()
+    }
+    time("minhash sig k=64") {
+      docs.withColumn("t", graft.etl.TextNorm.normalizeText(col("text")))
+        .withColumn("sh", graft.dedup.MinHash.shingleHashes(col("t"), 3))
+        .withColumn("sig", graft.dedup.MinHash.signature(col("sh"), 64, 0x5eedL))
+        .select(sum(size(col("sig")))).queryExecution.toRdd.count()
+    }
     spark.stop()
   }
 }

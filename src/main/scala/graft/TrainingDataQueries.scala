@@ -172,15 +172,178 @@ object TrainingDataQueries {
        |GROUP BY test_id, train_id
        |ORDER BY test_id, train_id""".stripMargin
 
+  private val BinTokens = 512
+
+  /** #69 (d10): pack chunks into ~512-token context windows — each
+    * source's chunks, in (doc_id, chunk_id) order, are assigned to the
+    * bin containing their cumulative start offset. One window shuffle
+    * on source, integer outputs. This is offset binning, not
+    * first-fit-decreasing: bins can overshoot by at most one chunk
+    * (≤ 32 tokens ≈ 6%), in exchange for a closed-form windowed plan —
+    * exact greedy packing is a sequential recurrence that would need a
+    * per-group iterator at 100 TB. Partition key note: `source` is the
+    * pack-locality unit; at real scale pack by (source, day) or a
+    * hash-salted source so one giant source can't serialize a task. */
+  def d10Pack: Q = (spark, dir) => {
+    val chunks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("source"), col("w"),
+        (greatest(ceil((size(col("w")) - lit(ChunkLen)).cast(DoubleType) / ChunkStride)
+           .cast(LongType), lit(0L)) + 1L).as("nc"))
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0L), col("nc") - 1)).as("chunk_id"),
+        col("w"))
+      .select(col("doc_id"), col("source"), col("chunk_id"),
+        size(slice(col("w"), (col("chunk_id") * ChunkStride + 1).cast(IntegerType),
+          lit(ChunkLen))).cast(LongType).as("n_tok"))
+    val w = Window.partitionBy("source").orderBy("doc_id", "chunk_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks
+      .withColumn("cum", sum("n_tok").over(w))
+      .select(col("source"), col("doc_id"), col("chunk_id"), col("n_tok"),
+        ((col("cum") - col("n_tok")) / BinTokens).cast(LongType).as("bin_id"))
+      .orderBy("source", "doc_id", "chunk_id")
+  }
+
+  val d10Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+       |n AS (
+       |  SELECT doc_id, source, w,
+       |         GREATEST(CAST(CEIL((len(w) - $ChunkLen) / $ChunkStride.0) AS BIGINT), 0) + 1 AS nc
+       |  FROM toks),
+       |c AS (
+       |  SELECT doc_id, source, w, unnest(range(nc)) AS chunk_id FROM n),
+       |sized AS (
+       |  SELECT doc_id, source, chunk_id,
+       |         CAST(len(w[chunk_id * $ChunkStride + 1 : chunk_id * $ChunkStride + $ChunkLen]) AS BIGINT) AS n_tok
+       |  FROM c),
+       |cums AS (
+       |  SELECT source, doc_id, chunk_id, n_tok,
+       |         CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id, chunk_id
+       |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM sized)
+       |SELECT source, doc_id, chunk_id, n_tok,
+       |       CAST(FLOOR((cum - n_tok) / $BinTokens.0) AS BIGINT) AS bin_id
+       |FROM cums
+       |ORDER BY source, doc_id, chunk_id""".stripMargin
+
+  /** #70 (t10): stratified sampling — a fixed-size, deterministic
+    * per-language sample: rank docs within each language by
+    * (md5(id), id) and keep the first 20. Hash order makes the sample
+    * content-independent and stable under corpus growth near the
+    * boundary only (a new doc displaces at most one sampled doc in its
+    * own stratum). One window shuffle on lang; `WindowGroupLimit`
+    * keeps 20 rows per stratum before the exchange. */
+  def t10StratifiedSample: Q = (spark, dir) => {
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast(StringType).cast(BinaryType)).asc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select(col("lang"), col("rn").cast(LongType).as("rn"), col("doc_id"))
+      .orderBy("lang", "rn")
+  }
+
+  val t10Sql: String =
+    """SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id
+      |FROM (SELECT doc_id, lang,
+      |             ROW_NUMBER() OVER (PARTITION BY lang
+      |                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |      FROM documents)
+      |WHERE rn <= 20
+      |ORDER BY lang, rn""".stripMargin
+
+  private val VocabK = 25
+
+  /** #71 (t11): out-of-vocabulary rate — per-document token count and
+    * how many of those tokens fall outside the corpus's top-25
+    * vocabulary (by total count, ties by term). The tokenizer-coverage
+    * audit run before committing to a vocab. Linear shuffles on
+    * (doc, term) and (term); the vocabulary is tiny by construction,
+    * so the anti-join broadcasts. */
+  def t11OovRate: Q = (spark, dir) => {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy("term").agg(sum("tf").as("n"))
+      .orderBy(col("n").desc, col("term").asc).limit(VocabK)
+      .select("term")
+    tf.join(broadcast(vocab), Seq("term"), "left_anti")
+      .groupBy("doc_id").agg(sum("tf").as("n_oov"))
+      .join(tf.groupBy("doc_id").agg(sum("tf").as("n_tok")), Seq("doc_id"), "right_outer")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .orderBy("doc_id")
+  }
+
+  val t11Sql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+       |  GROUP BY doc_id, term),
+       |vocab AS (
+       |  SELECT term FROM (
+       |    SELECT term, CAST(SUM(tf) AS BIGINT) AS n FROM tf GROUP BY term)
+       |  ORDER BY n DESC, term ASC LIMIT $VocabK),
+       |oov AS (
+       |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_oov
+       |  FROM tf WHERE term NOT IN (SELECT term FROM vocab)
+       |  GROUP BY doc_id),
+       |tot AS (
+       |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok FROM tf GROUP BY doc_id)
+       |SELECT doc_id, n_tok, COALESCE(n_oov, 0) AS n_oov
+       |FROM tot LEFT JOIN oov USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** #72 (t12): length-outlier trimming — flag documents whose length
+    * sits outside their language's [p05, p95] band (exact interpolated
+    * percentiles, integer milli outputs as in q29). The standard
+    * too-short/too-long corpus filter, with per-stratum bands so a
+    * verbose language doesn't set the bar for a terse one. Percentile
+    * agg per lang (20 groups) broadcasts back onto the scan. */
+  def t12LengthOutliers: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    val bands = docs.groupBy("lang").agg(
+      Exact.e(expr("percentile(n_chars, 0.05)"), 3).as("lo_milli"),
+      Exact.e(expr("percentile(n_chars, 0.95)"), 3).as("hi_milli"))
+    docs.join(broadcast(bands), "lang")
+      .filter(col("n_chars") * 1000 < col("lo_milli") ||
+              col("n_chars") * 1000 > col("hi_milli"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("lo_milli"), col("hi_milli"))
+      .orderBy("doc_id")
+  }
+
+  val t12Sql: String =
+    """WITH bands AS (
+      |  SELECT lang,
+      |         CAST(FLOOR(quantile_cont(n_chars, 0.05) * 1000.0 + 0.5) AS BIGINT) AS lo_milli,
+      |         CAST(FLOOR(quantile_cont(n_chars, 0.95) * 1000.0 + 0.5) AS BIGINT) AS hi_milli
+      |  FROM documents GROUP BY lang)
+      |SELECT doc_id, lang, n_chars, lo_milli, hi_milli
+      |FROM documents JOIN bands USING (lang)
+      |WHERE n_chars * 1000 < lo_milli OR n_chars * 1000 > hi_milli
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "t08_hash_split" -> t08HashSplit,
     "d08_chunk" -> d08Chunk,
     "t09_salient_terms" -> t09SalientTerms,
-    "d09_contamination" -> d09Contamination)
+    "d09_contamination" -> d09Contamination,
+    "d10_pack" -> d10Pack,
+    "t10_stratified_sample" -> t10StratifiedSample,
+    "t11_oov_rate" -> t11OovRate,
+    "t12_length_outliers" -> t12LengthOutliers)
 
   val oracles: Seq[(String, String)] = Seq(
     "t08_hash_split" -> t08Sql,
     "d08_chunk" -> d08Sql,
     "t09_salient_terms" -> t09Sql,
-    "d09_contamination" -> d09Sql)
+    "d09_contamination" -> d09Sql,
+    "d10_pack" -> d10Sql,
+    "t10_stratified_sample" -> t10Sql,
+    "t11_oov_rate" -> t11Sql,
+    "t12_length_outliers" -> t12Sql)
 }

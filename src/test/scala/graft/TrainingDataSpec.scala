@@ -101,4 +101,64 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       plan.take(800))
   }
+
+  test("d10 bins are contiguous per source and overshoot by at most one chunk") {
+    val rows = TrainingDataQueries.d10Pack(spark, TestSpark.Sf)
+      .select(col("source"), col("doc_id"), col("chunk_id"), col("n_tok"), col("bin_id"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    for ((_, rs) <- rows.groupBy(_._1)) {
+      val ordered = rs.sortBy(r => (r._2, r._3))
+      // bin ids start at 0 and never decrease or skip along pack order
+      val bins = ordered.map(_._5)
+      assert(bins.head == 0L)
+      bins.zip(bins.tail).foreach { case (a, b) => assert(b == a || b == a + 1, s"$a -> $b") }
+      // offset binning: chunk starts advance by <= 32 tokens, so every
+      // non-final bin's fill sits in [512-31, 512+31]
+      val perBin = ordered.groupBy(_._5).view.mapValues(_.map(_._4).sum).toMap
+      perBin.toSeq.sortBy(_._1).dropRight(1).foreach { case (b, t) =>
+        assert(t >= 512 - 31, s"bin $b: $t tokens")
+      }
+      perBin.values.foreach(t => assert(t < 512 + 32))
+    }
+  }
+
+  test("t10 sample takes exactly 20 docs per language, deterministically") {
+    val s1 = TrainingDataQueries.t10StratifiedSample(spark, TestSpark.Sf)
+      .as[(String, Long, Long)].collect()
+    val s2 = TrainingDataQueries.t10StratifiedSample(spark, TestSpark.Sf)
+      .as[(String, Long, Long)].collect()
+    assert(s1.toSeq == s2.toSeq)
+    val perLang = s1.groupBy(_._1).view.mapValues(_.length).toMap
+    val langSizes = Tables.documents(spark, TestSpark.Sf)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    for ((lang, n) <- perLang) assert(n == math.min(20L, langSizes(lang)))
+  }
+
+  test("t11 oov counts are consistent: 0 <= n_oov <= n_tok, and vocab terms cover the corpus majority") {
+    val r = TrainingDataQueries.t11OovRate(spark, TestSpark.Sf)
+      .as[(Long, Long, Long)].collect()
+    assert(r.forall { case (_, tok, oov) => oov >= 0 && oov <= tok })
+    val (tot, oov) = (r.map(_._2).sum.toDouble, r.map(_._3).sum.toDouble)
+    // top-25 vocab of a ~30-word synthetic corpus covers most tokens
+    assert(oov / tot < 0.5, s"oov share ${oov / tot}")
+  }
+
+  test("t12 flags exactly the docs outside their language's [p05, p95] band") {
+    val flagged = TrainingDataQueries.t12LengthOutliers(spark, TestSpark.Sf)
+      .select("doc_id").as[Long].collect().toSet
+    // cross-check one language locally
+    val docs = Tables.documents(spark, TestSpark.Sf)
+      .filter(col("lang") === "en").select("doc_id", "n_chars")
+      .as[(Long, Long)].collect()
+    val xs = docs.map(_._2.toDouble).sorted
+    def q(p: Double): Double = {
+      val pos = p * (xs.length - 1)
+      val lo = math.floor(pos).toInt; val hi = math.ceil(pos).toInt
+      xs(lo) + (pos - lo) * (xs(hi) - xs(lo))
+    }
+    val (lo, hi) = (q(0.05), q(0.95))
+    val expect = docs.filter { case (_, n) => n < lo || n > hi }.map(_._1).toSet
+    val enFlagged = flagged.intersect(docs.map(_._1).toSet)
+    assert(enFlagged == expect, s"diff ${enFlagged.diff(expect)} / ${expect.diff(enFlagged)}")
+  }
 }
