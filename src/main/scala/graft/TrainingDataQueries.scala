@@ -327,6 +327,63 @@ object TrainingDataQueries {
       |WHERE n_chars * 1000 < lo_milli OR n_chars * 1000 > hi_milli
       |ORDER BY doc_id""".stripMargin
 
+  /** #73 (d11): flagship corpus pipeline — the training-data twin of
+    * q17's ETL flagship, composing the library's own stages in one
+    * Catalyst plan: exact dedup (keep min id per md5(text), 16-byte
+    * shuffle key) → train split (t08 buckets 0–7, pure projection) →
+    * 32/24 chunking (d08, narrow explode) → per-source corpus report.
+    * Catalyst optimizes across all four stages: the md5 window and the
+    * chunk explode share one scan, and only (source, n_tok) survive
+    * into the final aggregate. */
+  def d11CorpusPipeline: Q = (spark, dir) => {
+    val deduped = graft.etl.Dedup.topPerKey(
+        Tables.documents(spark, dir).withColumn("dup_key", md5(col("text"))),
+        Seq("dup_key"), Seq(col("doc_id").asc))
+      .drop("dup_key")
+    val train = deduped.filter(hashBucket(col("doc_id"), 10) < 8)
+    train
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("source"), col("w"),
+        (greatest(ceil((size(col("w")) - lit(ChunkLen)).cast(DoubleType) / ChunkStride)
+           .cast(LongType), lit(0L)) + 1L).as("nc"))
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0L), col("nc") - 1)).as("chunk_id"), col("w"))
+      .select(col("doc_id"), col("source"),
+        size(slice(col("w"), (col("chunk_id") * ChunkStride + 1).cast(IntegerType),
+          lit(ChunkLen))).cast(LongType).as("n_tok"))
+      .groupBy("source")
+      .agg(
+        countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum("n_tok").as("n_tok_total"))
+      .orderBy("source")
+  }
+
+  val d11Sql: String =
+    s"""WITH dd AS (
+       |  SELECT doc_id, source, text FROM (
+       |    SELECT doc_id, source, text,
+       |           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |    FROM documents)
+       |  WHERE rn = 1),
+       |tr AS (
+       |  SELECT doc_id, source, text FROM dd WHERE $BucketSql < 8),
+       |toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM tr),
+       |n AS (
+       |  SELECT doc_id, source, w,
+       |         GREATEST(CAST(CEIL((len(w) - $ChunkLen) / $ChunkStride.0) AS BIGINT), 0) + 1 AS nc
+       |  FROM toks),
+       |c AS (SELECT doc_id, source, w, unnest(range(nc)) AS chunk_id FROM n),
+       |sized AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(w[chunk_id * $ChunkStride + 1 : chunk_id * $ChunkStride + $ChunkLen]) AS BIGINT) AS n_tok
+       |  FROM c)
+       |SELECT source,
+       |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |       CAST(SUM(n_tok) AS BIGINT) AS n_tok_total
+       |FROM sized GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "t08_hash_split" -> t08HashSplit,
     "d08_chunk" -> d08Chunk,
@@ -335,7 +392,8 @@ object TrainingDataQueries {
     "d10_pack" -> d10Pack,
     "t10_stratified_sample" -> t10StratifiedSample,
     "t11_oov_rate" -> t11OovRate,
-    "t12_length_outliers" -> t12LengthOutliers)
+    "t12_length_outliers" -> t12LengthOutliers,
+    "d11_corpus_pipeline" -> d11CorpusPipeline)
 
   val oracles: Seq[(String, String)] = Seq(
     "t08_hash_split" -> t08Sql,
@@ -345,5 +403,6 @@ object TrainingDataQueries {
     "d10_pack" -> d10Sql,
     "t10_stratified_sample" -> t10Sql,
     "t11_oov_rate" -> t11Sql,
-    "t12_length_outliers" -> t12Sql)
+    "t12_length_outliers" -> t12Sql,
+    "d11_corpus_pipeline" -> d11Sql)
 }

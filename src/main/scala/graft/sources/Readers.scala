@@ -30,6 +30,24 @@ object Readers {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC — the other columnar format Spark ships natively; same
+    * pushdown/pruning behavior as parquet (PushedFilters + ReadSchema
+    * reach the scan). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Raw-file ingestion for multimodal corpora: each file becomes one
+    * row (path, modificationTime, length, content BINARY) — the
+    * entry point that feeds `multimodal.Binary`'s typed-metadata +
+    * opaque-bytes model. `pathGlobFilter` prunes by extension at the
+    * listing, BEFORE any byte is read; at 100 TB pair this with a
+    * manifest-driven file list instead of a directory walk. */
+  def binaryFiles(spark: SparkSession, path: String,
+                  globFilter: Option[String] = None): DataFrame = {
+    val base = spark.read.format("binaryFile")
+    globFilter.fold(base)(g => base.option("pathGlobFilter", g)).load(path)
+  }
+
   def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 

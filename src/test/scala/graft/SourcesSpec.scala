@@ -37,6 +37,30 @@ class SourcesSpec extends AnyFunSuite {
     assert(pruned.count() == df.filter(col("o_orderstatus") === "F").count())
   }
 
+  test("orc round-trip preserves values and pushes filters to the scan") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val df = Seq((1L, "x", 1.5), (2L, "y", 2.5), (3L, "z", 3.5)).toDF("id", "s", "v")
+    df.write.mode(SaveMode.Overwrite).orc(s"$dir/out")
+    val back = Readers.orc(spark, s"$dir/out").filter(col("id") > 1)
+    assert(back.orderBy("id").as[(Long, String, Double)].collect().toSeq ==
+      Seq((2L, "y", 2.5), (3L, "z", 3.5)))
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)]"), scan.take(600))
+  }
+
+  test("binaryFile ingestion yields (path, length, content) rows, glob-pruned at listing") {
+    val dir = Files.createTempDirectory("graft_bin").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.img"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.img"), Array[Byte](4, 5))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "skip.txt"), Array[Byte](9))
+    val rows = Readers.binaryFiles(spark, dir, Some("*.img"))
+      .select(col("path"), col("length"), col("content"))
+      .collect()
+      .map(r => (r.getString(0).split('/').last, r.getLong(1), r.getAs[Array[Byte]](2).toSeq))
+      .sortBy(_._1)
+    assert(rows.toSeq == Seq(("a.img", 3L, Seq[Byte](1, 2, 3)), ("b.img", 2L, Seq[Byte](4, 5))))
+  }
+
   test("jdbc reader/writer builders carry partitioning and batching options") {
     val r = Readers.jdbc(spark, "jdbc:mysql://host:3306/db", "grammy",
       partitionColumn = Some(("id", 0L, 1000L, 8)))
