@@ -41,7 +41,4 @@ object Exact {
 
   /** Order-independent scaled-integer sum of a double column. */
   def eSum(c: Column, s: Int): Column = sum(e(c, s))
-
-  /** SQL-side literal for 10^s matching [[e]]'s text, e.g. "100.0". */
-  def sqlPow(s: Int): String = pow10(s).toLong.toString + ".0"
 }

@@ -238,6 +238,33 @@ object LlmQueries {
       .orderBy("qid", "rank")
   }
 
+  /** #75 (s04): symmetric int8 quantization of the embedding corpus —
+    * vector-store prep (4× smaller vectors before ANN serving). Codes
+    * and scale are engine-exact IEEE expressions ([[graft.functions
+    * .QuantizeInt8]], codegen'd — `transform` lambdas never are), so
+    * the whole projection stays in WholeStageCodegen and the query is
+    * a pure scan+project: no shuffle at any corpus size. */
+  def s04QuantizeInt8: Q = (spark, dir) =>
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        Exact.e(graft.functions.QuantizeInt8.absMax(col("embedding")) / 127.0, 9)
+          .as("scale_e9"),
+        graft.functions.QuantizeInt8.quantizeInt8(col("embedding")).as("q"))
+      .orderBy("vec_id")
+
+  val s04Sql: String =
+    """WITH a AS (
+      |  SELECT vec_id, embedding,
+      |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+      |  FROM embeddings)
+      |SELECT vec_id,
+      |       CAST(FLOOR(amax / 127.0 * 1000000000.0 + 0.5) AS BIGINT) AS scale_e9,
+      |       CASE WHEN amax > 0
+      |            THEN list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS INTEGER))
+      |            ELSE list_transform(embedding, x -> 0) END AS q
+      |FROM a
+      |ORDER BY vec_id""".stripMargin
+
   /** #28: language ID via marker-word scores. */
   def t01LangId: Q = (spark, dir) => {
     val scored = Tables.documents(spark, dir)
@@ -445,6 +472,7 @@ object LlmQueries {
     "s01_ann_bruteforce" -> s01AnnBruteForce,
     "s02_ann_lsh" -> s02AnnLsh,
     "s03_ann_ivf" -> s03AnnIvf,
+    "s04_quantize_int8" -> s04QuantizeInt8,
     "t01_lang_id" -> t01LangId,
     "t02_quality_score" -> t02QualityScore,
     "t03_token_count" -> t03TokenCount,
@@ -457,6 +485,7 @@ object LlmQueries {
   /** d02/d03/d07/s02 intentionally absent (rows-only check; each
     * carries a quantified recall spec instead). */
   val oracles: Seq[(String, String)] = Seq(
+    "s04_quantize_int8" -> s04Sql,
     "d01_dedup_exact" -> d01Sql,
     "d04_ngram_jaccard" -> d04Sql,
     "d05_embed_neardup" -> d05Sql,

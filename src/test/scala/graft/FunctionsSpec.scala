@@ -91,6 +91,43 @@ class FunctionsSpec extends AnyFunSuite {
     assert(d == 2.0 && na == 3.0 && math.abs(c - 2.0 / 6.0) < 1e-15)
   }
 
+  test("int8 quantization: known codes, zero-vector safety, bounded round-trip error") {
+    import graft.functions.QuantizeInt8.{absMax, quantizeInt8}
+    val df = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Seq(-2.0f, 2.0f, 1.0f, -1.0f))).toDF("id", "v")
+    val out = df.select($"id", absMax($"v").as("amax"), quantizeInt8($"v").as("q"))
+      .orderBy("id").as[(Long, Double, Seq[Int])].collect().toSeq
+    assert(out(0) == ((1L, 1.0, Seq(127, -63, 32, 0)))) // floor(-63.5+0.5) = -63
+    assert(out(1) == ((2L, 0.0, Seq(0, 0, 0, 0))))
+    assert(out(2) == ((3L, 2.0, Seq(-127, 127, 64, -63))))
+    // round-trip: |x - q*amax/127| <= amax/254 (half a quantization step)
+    val v = Seq(0.83f, -0.31f, 0.07f, 0.66f)
+    val (amax, q) = Seq((0L, v)).toDF("id", "v")
+      .select(absMax($"v"), quantizeInt8($"v")).as[(Double, Seq[Int])].head()
+    v.zip(q).foreach { case (x, qi) =>
+      assert(math.abs(x - qi * amax / 127.0) <= amax / 254.0 + 1e-9)
+    }
+  }
+
+  test("int8 quantization runs inside whole-stage codegen over the embeddings scan") {
+    val df = Tables.embeddings(spark, TestSpark.Sf)
+      .select(graft.functions.QuantizeInt8.quantizeInt8(col("embedding")).as("q"))
+    val plan = df.queryExecution.executedPlan.toString
+    // codegen renders as "*(n)" operator prefixes in the plan string
+    assert(plan.contains("*(1) Project"), plan.take(500))
+    assert(df.count() == 500)
+  }
+
+  test("vec_abs_max / vec_quantize_int8 are SQL-callable after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT vec_abs_max(array(3.0D, -4.0D)) AS m, vec_quantize_int8(array(3.0D, -4.0D)) AS q")
+      .as[(Double, Seq[Int])].head()
+    assert(r == ((4.0, Seq(95, -127)))) // floor(3*127/4+0.5)=floor(95.75)=95
+  }
+
   test("t07 redaction masks emails and digit runs on matching text (group-0 extract path)") {
     val docs = Seq(
       (1L, "contact Bob123@Mail.example or call 5551234 now"),

@@ -54,6 +54,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("heavy-hitters sketch aggregates incrementally over a stream (complete mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    // the same mergeable SpaceSaving aggregator q34 uses in batch:
+    // streaming update folds new rows into the per-group sketch state
+    val hh = new graft.functions.HeavyHitters(capacity = 100, k = 3).toColumn.name("top")
+    val input = MemoryStream[String]
+    val query = input.toDS()
+      .groupByKey(_ => 0) // single global sketch
+      .agg(hh)
+      .writeStream.format("memory").queryName("hh_stream").outputMode("complete").start()
+    try {
+      input.addData("a", "b", "a", "c")
+      query.processAllAvailable()
+      input.addData("b", "a", "d")
+      query.processAllAvailable()
+      val top = spark.table("hh_stream")
+        .select(explode($"top").as("kv")).select($"kv._1", $"kv._2")
+        .as[(String, Long)].collect().toSeq
+      // capacity >> domain: the sketch is exact — a:3, b:2, then c/d tie -> c
+      assert(top == Seq(("a", 3L), ("b", 2L), ("c", 1L)), top)
+    } finally query.stop()
+  }
+
   test("stream-static join enriches each micro-batch from a dimension table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
