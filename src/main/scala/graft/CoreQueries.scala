@@ -403,6 +403,104 @@ object CoreQueries {
 
   val q17Sql: String = Pipeline.oracleSql
 
+  /** #77 (q40): upsert / MERGE analog — apply a change set to a
+    * dimension snapshot in one pass: matched keys take the update's
+    * values, unmatched updates insert, untouched rows pass through.
+    * The incremental twin of the reference's `to_sql(if_exists=
+    * "replace")` full rewrite: a full-outer join on the key + per-
+    * column coalesce — one shuffle on the key (or zero with #44's
+    * bucketed tables), instead of rewriting the whole dimension.
+    * The change set is derived deterministically from the same table
+    * so the oracle can replay it: every 10th customer re-segments to
+    * 'UPDATED', every 17th arrives as a brand-new key. */
+  def q40Upsert: Q = (spark, dir) => {
+    val tgt = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val updates = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), col("c_name"), lit("UPDATED").as("c_mktsegment"))
+      .unionByName(
+        Tables.customer(spark, dir)
+          .filter(col("c_custkey") % 17 === 0)
+          .select((col("c_custkey") + 10000000L).as("c_custkey"),
+            col("c_name"), lit("NEW").as("c_mktsegment")))
+    val u = updates.select(col("c_custkey").as("k"),
+      col("c_name").as("u_name"), col("c_mktsegment").as("u_seg"))
+    tgt.join(u, tgt("c_custkey") === u("k"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("k")).as("c_custkey"),
+        coalesce(col("u_name"), col("c_name")).as("c_name"),
+        coalesce(col("u_seg"), col("c_mktsegment")).as("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  val q40Sql: String =
+    """WITH u AS (
+      |  SELECT c_custkey AS k, c_name AS u_name, 'UPDATED' AS u_seg
+      |  FROM customer WHERE c_custkey % 10 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000 AS k, c_name AS u_name, 'NEW' AS u_seg
+      |  FROM customer WHERE c_custkey % 17 = 0)
+      |SELECT COALESCE(c_custkey, k) AS c_custkey,
+      |       COALESCE(u_name, c_name) AS c_name,
+      |       COALESCE(u_seg, c_mktsegment) AS c_mktsegment
+      |FROM customer FULL JOIN u ON c_custkey = k
+      |ORDER BY c_custkey""".stripMargin
+
+  /** #78 (q41): SCD2 validity intervals — collapse each customer's
+    * order-status history into change periods (gaps-and-islands):
+    * lag → change flag → cumulative island id → per-island bounds,
+    * with `valid_to` = the next island's start (NULL while current).
+    * Two windows over ONE shuffle on o_custkey — Spark reuses the
+    * (o_custkey, sort) exchange for lag, cumsum and lead. */
+  def q41Scd2: Q = (spark, dir) => {
+    val byCust = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val cum = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byIsland = Window.partitionBy("o_custkey").orderBy("island")
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"), col("o_orderdate"))
+      .withColumn("chg",
+        when(lag("o_orderstatus", 1).over(byCust).isNull ||
+             lag("o_orderstatus", 1).over(byCust) =!= col("o_orderstatus"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum("chg").over(cum))
+      .groupBy("o_custkey", "island")
+      .agg(
+        // every row in an island shares the status; min() = that status,
+        // and stays deterministic where first() would not be
+        min("o_orderstatus").as("status"),
+        count(lit(1)).as("n_orders"),
+        date_trunc("second", min("o_orderdate")).cast(TimestampType).as("valid_from"))
+      .withColumn("valid_to", lead("valid_from", 1).over(byIsland))
+      .select("o_custkey", "island", "status", "n_orders", "valid_from", "valid_to")
+      .orderBy("o_custkey", "island")
+  }
+
+  val q41Sql: String =
+    """WITH g AS (
+      |  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+      |         CASE WHEN lag(o_orderstatus) OVER w IS NULL
+      |                OR lag(o_orderstatus) OVER w <> o_orderstatus
+      |              THEN 1 ELSE 0 END AS chg
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |i AS (
+      |  SELECT o_custkey, o_orderstatus, o_orderdate,
+      |         CAST(SUM(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+      |  FROM g),
+      |s AS (
+      |  SELECT o_custkey, island,
+      |         MIN(o_orderstatus) AS status,
+      |         CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |         CAST(date_trunc('second', MIN(o_orderdate)) AS TIMESTAMP) AS valid_from
+      |  FROM i GROUP BY o_custkey, island)
+      |SELECT o_custkey, island, status, n_orders, valid_from,
+      |       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY island) AS valid_to
+      |FROM s
+      |ORDER BY o_custkey, island""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q01_filter_project" -> q01FilterProject,
     "q02_agg_pricing" -> q02AggPricing,
@@ -420,7 +518,9 @@ object CoreQueries {
     "q14_time_window_agg" -> q14TimeWindowAgg,
     "q15_rollup" -> q15Rollup,
     "q16_flex_join" -> q16FlexJoin,
-    "q17_etl_pipeline" -> q17EtlPipeline)
+    "q17_etl_pipeline" -> q17EtlPipeline,
+    "q40_upsert" -> q40Upsert,
+    "q41_scd2" -> q41Scd2)
 
   val oracles: Seq[(String, String)] = Seq(
     "q01_filter_project" -> q01Sql,
@@ -439,5 +539,7 @@ object CoreQueries {
     "q14_time_window_agg" -> q14Sql,
     "q15_rollup" -> q15Sql,
     "q16_flex_join" -> q16Sql,
-    "q17_etl_pipeline" -> q17Sql)
+    "q17_etl_pipeline" -> q17Sql,
+    "q40_upsert" -> q40Sql,
+    "q41_scd2" -> q41Sql)
 }

@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Scratch main for plan experiments (not part of the library API). */
 object Probe {
@@ -14,33 +13,13 @@ object Probe {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    def time[A](tag: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[probe] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-    }
-    val docs = Tables.documents(spark, dir)
-    time("docs scan") { docs.count() }
-    time("docs scan again") { docs.count() }
-    time("normalize only") {
-      docs.withColumn("t", graft.etl.TextNorm.normalizeText(col("text")))
-        .select(sum(length(col("t")))).queryExecution.toRdd.count()
-    }
-    time("shingle k=3") {
-      docs.withColumn("t", graft.etl.TextNorm.normalizeText(col("text")))
-        .withColumn("sh", graft.dedup.MinHash.shingleHashes(col("t"), 3))
-        .select(sum(size(col("sh")))).queryExecution.toRdd.count()
-    }
-    time("shingle+distinct") {
-      docs.withColumn("t", graft.etl.TextNorm.normalizeText(col("text")))
-        .withColumn("sh", array_distinct(graft.dedup.MinHash.shingleHashes(col("t"), 3)))
-        .select(sum(size(col("sh")))).queryExecution.toRdd.count()
-    }
-    time("minhash sig k=64") {
-      docs.withColumn("t", graft.etl.TextNorm.normalizeText(col("text")))
-        .withColumn("sh", graft.dedup.MinHash.shingleHashes(col("t"), 3))
-        .withColumn("sig", graft.dedup.MinHash.signature(col("sh"), 64, 0x5eedL))
-        .select(sum(size(col("sig")))).queryExecution.toRdd.count()
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    for (name <- Seq("q41_scd2", "q40_upsert")) {
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+      val nEx = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      println(s"[probe] $name hash exchanges: $nEx")
+      plan.linesIterator.filter(l => l.contains("Exchange") || l.contains("Window"))
+        .foreach(l => println("   " + l.trim.take(120)))
     }
     spark.stop()
   }
