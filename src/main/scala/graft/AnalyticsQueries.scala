@@ -371,7 +371,7 @@ object AnalyticsQueries {
     }
     def unscale(name: String, s: Int): Column =
       (if (s == 0) col(name + "_e").cast(DoubleType)
-       else col(name + "_e").cast(DoubleType) / lit(math.pow(10, s))).as(name)
+       else col(name + "_e").cast(DoubleType) / lit(Exact.pow10(s))).as(name)
     def derived(tag: String): Seq[Column] = {
       val s = scales(tag)
       Seq(unscale(s"sx_$tag", s.sx), unscale(s"sy_$tag", s.sy),

@@ -34,7 +34,15 @@ import org.apache.spark.sql.functions._
   */
 object Exact {
 
-  private def pow10(s: Int): Double = math.pow(10, s) // exact for s <= 15
+  // exact literals, not Math.pow: pow's contract allows 1 ulp of error,
+  // and the DuckDB mirrors are written against exact decimal literals —
+  // any slack here would shift every scaled sum at once
+  private val Pow10: Array[Double] = Array(
+    1.0, 10.0, 100.0, 1000.0, 10000.0, 100000.0, 1000000.0, 10000000.0,
+    100000000.0, 1000000000.0, 10000000000.0, 100000000000.0,
+    1000000000000.0, 10000000000000.0, 100000000000000.0, 1000000000000000.0)
+
+  private[graft] def pow10(s: Int): Double = Pow10(s)
 
   /** `floor(c * 10^s + 0.5)` as BIGINT — deterministic scaled integer. */
   def e(c: Column, s: Int): Column = floor(c * lit(pow10(s)) + lit(0.5))

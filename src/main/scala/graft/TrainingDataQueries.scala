@@ -55,6 +55,23 @@ object TrainingDataQueries {
   private val ChunkLen = 32
   private val ChunkStride = 24 // 8-token overlap between neighbors
 
+  /** Sliding-window chunks of `text` (split on single spaces): emits
+    * `carry` columns + (chunk_id, cw array<string>). ONE definition of
+    * the chunk-count formula shared by d08/d10/d11, so packing and
+    * corpus stats can never disagree with the chunker they compose. */
+  private def chunked(docs: DataFrame, carry: Seq[String]): DataFrame = {
+    val cols = carry.map(col)
+    docs
+      .select(cols :+ split(col("text"), " ").as("w"): _*)
+      .select(cols ++ Seq(col("w"),
+        (greatest(ceil((size(col("w")) - lit(ChunkLen)).cast(DoubleType) / ChunkStride)
+           .cast(LongType), lit(0L)) + 1L).as("nc")): _*)
+      .select(cols ++ Seq(explode(sequence(lit(0L), col("nc") - 1)).as("chunk_id"), col("w")): _*)
+      .select(cols ++ Seq(col("chunk_id"),
+        slice(col("w"), (col("chunk_id") * ChunkStride + 1).cast(IntegerType), lit(ChunkLen))
+          .as("cw")): _*)
+  }
+
   /** #65 (d08): sliding-window chunking — 32-token chunks every 24
     * tokens (8-token overlap), the standard shape for packing long
     * documents into a fixed context window without losing sentences at
@@ -62,15 +79,7 @@ object TrainingDataQueries {
     * codegen'd builtins; chunk count is ⌈(n−len)/stride⌉+1 so the
     * final partial chunk is kept. One narrow explode, no shuffle. */
   def d08Chunk: Q = (spark, dir) =>
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), col("w"),
-        (greatest(ceil((size(col("w")) - lit(ChunkLen)).cast(DoubleType) / ChunkStride)
-           .cast(LongType), lit(0L)) + 1L).as("nc"))
-      .select(col("doc_id"), col("w"),
-        explode(sequence(lit(0L), col("nc") - 1)).as("chunk_id"))
-      .select(col("doc_id"), col("chunk_id"),
-        slice(col("w"), (col("chunk_id") * ChunkStride + 1).cast(IntegerType), lit(ChunkLen)).as("cw"))
+    chunked(Tables.documents(spark, dir), Seq("doc_id"))
       .select(col("doc_id"), col("chunk_id"),
         size(col("cw")).cast(LongType).as("n_tok"),
         concat_ws(" ", col("cw")).as("chunk"))
@@ -185,17 +194,9 @@ object TrainingDataQueries {
     * pack-locality unit; at real scale pack by (source, day) or a
     * hash-salted source so one giant source can't serialize a task. */
   def d10Pack: Q = (spark, dir) => {
-    val chunks = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), col("source"), col("w"),
-        (greatest(ceil((size(col("w")) - lit(ChunkLen)).cast(DoubleType) / ChunkStride)
-           .cast(LongType), lit(0L)) + 1L).as("nc"))
-      .select(col("doc_id"), col("source"),
-        explode(sequence(lit(0L), col("nc") - 1)).as("chunk_id"),
-        col("w"))
+    val chunks = chunked(Tables.documents(spark, dir), Seq("doc_id", "source"))
       .select(col("doc_id"), col("source"), col("chunk_id"),
-        size(slice(col("w"), (col("chunk_id") * ChunkStride + 1).cast(IntegerType),
-          lit(ChunkLen))).cast(LongType).as("n_tok"))
+        size(col("cw")).cast(LongType).as("n_tok"))
     val w = Window.partitionBy("source").orderBy("doc_id", "chunk_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     chunks
@@ -304,6 +305,12 @@ object TrainingDataQueries {
     * verbose language doesn't set the bar for a terse one. Percentile
     * agg per lang (20 groups) broadcasts back onto the scan. */
   def t12LengthOutliers: Q = (spark, dir) => {
+    // Cross-engine interpolation safety: Spark's percentile and DuckDB's
+    // quantile_cont use differently-shaped formulas (last-ulp slack),
+    // but with p ∈ {.05, .95} over integer data the interpolation
+    // fraction is a near-multiple of 0.05, so x·1000 + 0.5 sits ~0.5
+    // from every floor boundary — ulp noise cannot flip the output
+    // (same argument keeps q29's milli quantiles stable).
     val docs = Tables.documents(spark, dir)
     val bands = docs.groupBy("lang").agg(
       Exact.e(expr("percentile(n_chars, 0.05)"), 3).as("lo_milli"),
@@ -341,16 +348,9 @@ object TrainingDataQueries {
         Seq("dup_key"), Seq(col("doc_id").asc))
       .drop("dup_key")
     val train = deduped.filter(hashBucket(col("doc_id"), 10) < 8)
-    train
-      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), col("source"), col("w"),
-        (greatest(ceil((size(col("w")) - lit(ChunkLen)).cast(DoubleType) / ChunkStride)
-           .cast(LongType), lit(0L)) + 1L).as("nc"))
+    chunked(train, Seq("doc_id", "source"))
       .select(col("doc_id"), col("source"),
-        explode(sequence(lit(0L), col("nc") - 1)).as("chunk_id"), col("w"))
-      .select(col("doc_id"), col("source"),
-        size(slice(col("w"), (col("chunk_id") * ChunkStride + 1).cast(IntegerType),
-          lit(ChunkLen))).cast(LongType).as("n_tok"))
+        size(col("cw")).cast(LongType).as("n_tok"))
       .groupBy("source")
       .agg(
         countDistinct("doc_id").as("n_docs"),

@@ -52,6 +52,9 @@ object QuantizeInt8 {
       var m = 0.0
       var i = 0
       while (i < n) {
+        // fail loudly on null elements (ArrayData would silently read
+        // garbage/0.0) — matches sig_match_count/dot_product behavior
+        require(!a.isNullAt(i), s"$prettyName: null element at index $i")
         val v = math.abs(if (isFloat) a.getFloat(i).toDouble else a.getDouble(i))
         if (v > m) m = v
         i += 1
@@ -89,6 +92,7 @@ object QuantizeInt8 {
       var amax = 0.0
       var i = 0
       while (i < n) {
+        require(!a.isNullAt(i), s"$prettyName: null element at index $i")
         val v = math.abs(if (isFloat) a.getFloat(i).toDouble else a.getDouble(i))
         if (v > amax) amax = v
         i += 1

@@ -30,9 +30,11 @@ def cell(v):
     """Stringify one cell the way a hash comparator would see it."""
     if isinstance(v, np.ndarray):
         v = v.tolist()
-    if isinstance(v, float) and v != v:  # NaN (also catches pandas NaT-as-float)
+    if isinstance(v, float) and v != v:  # NaN
         return "nan"
-    if v is None:
+    if v is None or v is pd.NaT:
+        # a NULL date/timestamp surfaces as None via pyarrow but NaT via
+        # duckdb's pandas bridge — same token on both sides
         return "None"
     # DATE columns surface as datetime.date via pyarrow but midnight
     # datetime64 via duckdb fetchdf; the driver treats them as equal.
