@@ -479,6 +479,40 @@ object AnalyticsQueries {
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       |ORDER BY st_g, pri_g""".stripMargin
 
+  /** #79 (q42): time-series resample — hourly event counts on a dense
+    * calendar spine with zero-fill, so downstream models see every
+    * (hour, type) cell even when nothing happened. The spine explodes
+    * from a single min/max row (`sequence` of hours), crosses the tiny
+    * distinct-type set (broadcast), and left-joins the q14-style
+    * grouped counts: one aggregation shuffle total; the spine side
+    * never shuffles at any data size. */
+  def q42Resample: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+      .select(date_trunc("hour", col("ts")).cast(TimestampType).as("h"), col("event_type"))
+    val counts = ev.groupBy("h", "event_type").agg(count(lit(1)).as("n"))
+    val spine = ev.agg(min("h").as("h0"), max("h").as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+    val types = ev.select("event_type").distinct()
+    spine.crossJoin(broadcast(types))
+      .join(counts, Seq("h", "event_type"), "left")
+      .select(col("h").as("hour_ts"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("hour_ts", "event_type")
+  }
+
+  val q42Sql: String =
+    """WITH ev AS (
+      |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type FROM events),
+      |counts AS (
+      |  SELECT h, event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY h, event_type),
+      |spine AS (
+      |  SELECT unnest(generate_series(MIN(h), MAX(h), INTERVAL 1 HOUR)) AS h FROM ev),
+      |typ AS (SELECT DISTINCT event_type FROM ev)
+      |SELECT spine.h AS hour_ts, typ.event_type AS event_type, COALESCE(counts.n, 0) AS n
+      |FROM spine CROSS JOIN typ
+      |LEFT JOIN counts ON counts.h = spine.h AND counts.event_type = typ.event_type
+      |ORDER BY hour_ts, typ.event_type""".stripMargin
+
   /** #50: edit-distance fuzzy matching — ALL name pairs within
     * Levenshtein ≤ 4 (exact semantics, no banding loss). Blocking:
     * levenshtein ≥ |len diff|, so a true pair's lengths differ by ≤ 4;
@@ -642,12 +676,14 @@ object AnalyticsQueries {
     "q33_collect_sorted" -> q33CollectSorted,
     "q37_range_join" -> q37RangeJoin,
     "q38_supplier_stats" -> q38SupplierStats,
-    "q39_grouping_sets" -> q39GroupingSets)
+    "q39_grouping_sets" -> q39GroupingSets,
+    "q42_resample" -> q42Resample)
 
   val oracles: Seq[(String, String)] = Seq(
     "q37_range_join" -> q37Sql,
     "q38_supplier_stats" -> q38Sql,
     "q39_grouping_sets" -> q39Sql,
+    "q42_resample" -> q42Sql,
     "q18_describe_stats" -> q18Sql,
     "q19_asof_join" -> q19Sql,
     "q20_sessionize" -> q20Sql,

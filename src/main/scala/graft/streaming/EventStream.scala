@@ -142,4 +142,30 @@ object StreamEnrich {
     stream.join(
       org.apache.spark.sql.functions.broadcast(dim),
       stream(streamKey) === dim(dimKey), "left")
+
+  /** Stream-STREAM inner join: each purchase pairs with the same
+    * user's views from the preceding `windowMinutes`. Both sides carry
+    * a watermark and the join condition bounds `view_ts` relative to
+    * `purchase_ts` from BOTH directions — the two things Structured
+    * Streaming needs to know when a buffered view can never match
+    * again and evict it, keeping join state bounded by
+    * (watermark + window), not by stream length. The streaming twin
+    * of q19's as-of join (which keeps only the nearest view; this
+    * keeps all in-window pairs as they become available). */
+  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame,
+                       watermark: String = "1 hour",
+                       windowMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val v = views.withWatermark("ts", watermark)
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id"))
+    p.join(v, expr(
+      s"""p_user = v_user
+         |AND view_ts <= purchase_ts
+         |AND view_ts >= purchase_ts - INTERVAL $windowMinutes MINUTES""".stripMargin))
+      .select(col("event_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("view_ts"))
+  }
 }

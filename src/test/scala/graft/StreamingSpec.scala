@@ -54,6 +54,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("stream-stream join pairs purchases with same-user views inside the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val views = MemoryStream[(Timestamp, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Long)]
+    val joined = graft.streaming.StreamEnrich.viewPurchaseJoin(
+      views.toDF().toDF("ts", "user_id"),
+      purchases.toDF().toDF("ts", "user_id", "event_id"),
+      watermark = "1 hour", windowMinutes = 30)
+    val query = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      views.addData(
+        (ts("2024-01-01 00:00:00"), 1L),  // in-window for the 00:20 purchase
+        (ts("2024-01-01 00:10:00"), 1L),  // in-window
+        (ts("2024-01-01 00:10:00"), 2L),  // other user
+        (ts("2024-01-01 01:00:00"), 1L))  // AFTER the purchase -> excluded
+      purchases.addData((ts("2024-01-01 00:20:00"), 1L, 100L))
+      query.processAllAvailable()
+      val out = spark.table("ss_join")
+        .select($"event_id", $"user_id", $"view_ts".cast("string"))
+        .as[(Long, Long, String)].collect().toSeq.sorted
+      assert(out == Seq(
+        (100L, 1L, "2024-01-01 00:00:00"),
+        (100L, 1L, "2024-01-01 00:10:00")))
+      // ran as the stateful streaming join (symmetric hash), not a
+      // batch join: the query reports join state operators
+      assert(query.recentProgress.exists(p =>
+        p.stateOperators.exists(_.operatorName.toLowerCase.contains("join"))),
+        query.recentProgress.map(_.stateOperators.map(_.operatorName).mkString(",")).mkString(";"))
+    } finally query.stop()
+  }
+
   test("heavy-hitters sketch aggregates incrementally over a stream (complete mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
