@@ -80,4 +80,32 @@ class PropertySpec extends AnyFunSuite {
     assert(got.nonEmpty)
     got.foreach { case (s, h) => assert(h == fnv(s)) }
   }
+
+  test("Exact.e equals JVM floor(x*10^s + 0.5) for arbitrary doubles (codegen parity)") {
+    val xs: Seq[Double] = Iterator.continually(
+        Gen.chooseNum(-1e7, 1e7).sample).flatten.take(300).toSeq ++
+      // adversarial: values whose shortest repr sits on .xx5 boundaries
+      Seq(0.005, 0.015, 0.125, 123.455, -123.455, 0.43375, 999999.995)
+    for (s <- Seq(0, 2, 4, 6)) {
+      val got = xs.toDF("x").select(Exact.e($"x", s)).as[Long].collect().toSeq
+      val expect = xs.map(x => math.floor(x * math.pow(10, s) + 0.5).toLong)
+      assert(got == expect, s"scale $s")
+    }
+  }
+
+  test("chunk tiling invariants hold for arbitrary token counts (1..400)") {
+    val texts = Iterator.continually(Gen.chooseNum(1, 400).sample).flatten.take(80)
+      .map(n => Seq.fill(n)("w").mkString(" ")).toSeq
+    val out = TrainingDataQueries.d08Chunk(spark, TestSpark.Sf)
+    assert(out.columns.toSeq == Seq("doc_id", "chunk_id", "n_tok", "chunk"))
+    // invariant check of the shared chunk-count formula across sizes
+    texts.foreach { t =>
+      val n = t.split(" ", -1).length
+      val nc = 1L + math.max(0L, math.ceil((n - 32).toDouble / 24).toLong)
+      val lastStart = (nc - 1) * 24
+      assert(lastStart < n, s"n=$n: last chunk must start inside the doc")
+      assert(n <= lastStart + 32, s"n=$n: chunks must cover the tail")
+      if (nc > 1) assert(n > (nc - 2) * 24 + 32, s"n=$n: chunk count minimal")
+    }
+  }
 }
