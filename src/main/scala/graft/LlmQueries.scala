@@ -255,7 +255,9 @@ object LlmQueries {
   val s04Sql: String =
     """WITH a AS (
       |  SELECT vec_id, embedding,
-      |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+      |         -- COALESCE: list_max([]) is NULL in DuckDB, but AbsMax
+      |         -- returns 0.0 for an empty vector on the Spark side
+      |         COALESCE(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 0.0) AS amax
       |  FROM embeddings)
       |SELECT vec_id,
       |       CAST(FLOOR(amax / 127.0 * 1000000000.0 + 0.5) AS BIGINT) AS scale_e9,

@@ -6,7 +6,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.dedup.MinHash
-import graft.etl.TextNorm
 
 /** Training-data pipeline operators beyond dedup/similarity: the
   * chunk/split/select/leakage steps an LLM corpus build runs between
@@ -59,7 +58,7 @@ object TrainingDataQueries {
     * `carry` columns + (chunk_id, cw array<string>). ONE definition of
     * the chunk-count formula shared by d08/d10/d11, so packing and
     * corpus stats can never disagree with the chunker they compose. */
-  private def chunked(docs: DataFrame, carry: Seq[String]): DataFrame = {
+  private[graft] def chunked(docs: DataFrame, carry: Seq[String]): DataFrame = {
     val cols = carry.map(col)
     docs
       .select(cols :+ split(col("text"), " ").as("w"): _*)
@@ -146,8 +145,8 @@ object TrainingDataQueries {
     * 5-gram sets as 64-bit fingerprints, so the equi-join shuffles
     * (gram, id) longs — corpus-linear, never doc×doc. */
   def d09Contamination: Q = (spark, dir) => {
-    val grams = Tables.documents(spark, dir)
-      .withColumn("text_norm", TextNorm.normalizeText(col("text")))
+    // one normalization recipe for the whole d-family (LlmQueries owns it)
+    val grams = LlmQueries.normedDocs(spark, dir)
       .select(col("doc_id"),
         hashBucket(col("doc_id"), 10).as("bucket"),
         explode(array_distinct(MinHash.shingleHashes(col("text_norm"), 5))).as("g"))

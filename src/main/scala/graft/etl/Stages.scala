@@ -40,19 +40,25 @@ object Stages {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(dir, "_SUCCESS"))) {
       fs.delete(dir, true) // stale debris from a pre-rename-protocol run
-      // also sweep temp dirs abandoned by killed mid-build runs — they
-      // would otherwise accumulate in root forever
-      fs.globStatus(new Path(root, s".$name.inprogress-*")) match {
-        case null => ()
-        case stale => stale.foreach(st => fs.delete(st.getPath, true))
-      }
       val tmp = new Path(root, s".$name.inprogress-${java.util.UUID.randomUUID}")
       build.write.parquet(tmp.toString)
       // rename only while the target is absent: Hadoop rename ONTO an
       // existing directory does not fail — it nests tmp inside it (and
       // reports success), which would silently duplicate the stage
-      val committed = !fs.exists(dir) && fs.rename(tmp, dir)
-      if (!committed) {
+      var committed = !fs.exists(dir) && fs.rename(tmp, dir)
+      if (committed && fs.exists(new Path(dir, tmp.getName))) {
+        // lost the exists→rename race: a winner committed in between and
+        // our rename nested tmp inside their stage — undo and defer
+        fs.delete(new Path(dir, tmp.getName), true)
+        committed = false
+      }
+      if (committed) {
+        // winner sweeps temp dirs abandoned by killed runs (our own is
+        // gone via the rename; sweeping BEFORE building would delete a
+        // concurrent racer's live build dir out from under its writer)
+        Option(fs.globStatus(new Path(root, s".$name.inprogress-*")))
+          .foreach(_.foreach(st => fs.delete(st.getPath, true)))
+      } else {
         // another writer committed first (or the rename failed): keep
         // their stage if it's complete, otherwise surface the failure
         fs.delete(tmp, true)

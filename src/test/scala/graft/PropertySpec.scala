@@ -94,18 +94,24 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("chunk tiling invariants hold for arbitrary token counts (1..400)") {
-    val texts = Iterator.continually(Gen.chooseNum(1, 400).sample).flatten.take(80)
-      .map(n => Seq.fill(n)("w").mkString(" ")).toSeq
-    val out = TrainingDataQueries.d08Chunk(spark, TestSpark.Sf)
-    assert(out.columns.toSeq == Seq("doc_id", "chunk_id", "n_tok", "chunk"))
-    // invariant check of the shared chunk-count formula across sizes
-    texts.foreach { t =>
-      val n = t.split(" ", -1).length
-      val nc = 1L + math.max(0L, math.ceil((n - 32).toDouble / 24).toLong)
-      val lastStart = (nc - 1) * 24
-      assert(lastStart < n, s"n=$n: last chunk must start inside the doc")
-      assert(n <= lastStart + 32, s"n=$n: chunks must cover the tail")
-      if (nc > 1) assert(n > (nc - 2) * 24 + 32, s"n=$n: chunk count minimal")
+    // distinct-token texts so chunk content can be checked positionally
+    val sizes = Iterator.continually(Gen.chooseNum(1, 400).sample).flatten
+      .take(60).toSeq ++ Seq(1, 31, 32, 33, 55, 56, 57, 80, 81) // stride edges
+    val docs = sizes.distinct.map(n =>
+      (n.toLong, (0 until n).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val out = TrainingDataQueries.chunked(docs, Seq("doc_id"))
+      .select($"doc_id", $"chunk_id", $"cw")
+      .as[(Long, Long, Seq[String])].collect()
+      .groupBy(_._1)
+    for (n <- sizes.distinct.map(_.toLong)) {
+      val cs = out(n).sortBy(_._2)
+      val expectNc = 1L + math.max(0L, math.ceil((n - 32).toDouble / 24).toLong)
+      assert(cs.length == expectNc, s"n=$n")
+      cs.foreach { case (_, cid, cw) =>
+        // chunk cid holds exactly tokens [cid*24, min(cid*24+32, n))
+        val expect = (cid * 24 until math.min(cid * 24 + 32, n)).map(i => s"t$i")
+        assert(cw == expect, s"n=$n chunk=$cid")
+      }
     }
   }
 }
