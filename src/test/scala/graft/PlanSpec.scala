@@ -83,9 +83,34 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("similarity hot paths carry no interpreted higher-order lambdas") {
-    for (q <- Seq("s01_ann_bruteforce", "d05_embed_neardup", "d02_minhash_lsh")) {
+    for (q <- Seq("s01_ann_bruteforce", "d05_embed_neardup", "d02_minhash_lsh",
+                  "s04_quantize_int8")) {
       val p = planOf(q)
       assert(!p.contains("lambdafunction"), s"$q plan still has a lambda:\n$p")
     }
+  }
+
+  test("t08 hash split and d08 chunking plan without any join/aggregate exchange") {
+    for (q <- Seq("t08_hash_split", "d08_chunk")) {
+      val p = planOf(q)
+      assert(!p.contains("HashAggregate") && !p.contains("Join"),
+        s"$q should be projection/explode only:\n${p.take(800)}")
+    }
+  }
+
+  test("q42 resample broadcasts the type set and the spine never hash-shuffles") {
+    val p = planOf("q42_resample")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("q41 SCD2 runs all windows and the island aggregate on one hash exchange") {
+    val p = planOf("q41_scd2")
+    val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n == 1, s"expected exactly 1 hash exchange, got $n:\n${p.take(1200)}")
+  }
+
+  test("d09 contamination joins on gram fingerprints without a cartesian product") {
+    val p = planOf("d09_contamination")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 }
