@@ -100,13 +100,42 @@ object ScaleQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** #81 (q43): incremental aggregation — merge per-partition partial
+    * aggregates instead of rescanning history. The two halves stand in
+    * for "yesterday's persisted rollup" + "today's new partition";
+    * counts and scaled-integer sums are algebraic, so re-aggregating
+    * the partials is EXACTLY the direct aggregate over the union — the
+    * oracle asserts that identity. At 100 TB this is the difference
+    * between an O(day) nightly update and an O(history) rescan; the
+    * same property is why Spark's map-side partial aggregation works. */
+  def q43IncrementalAgg: Q = (spark, dir) => {
+    def half(parity: Int): DataFrame =
+      Tables.orders(spark, dir)
+        .filter(col("o_orderkey") % 2 === parity)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), Exact.eSum(col("o_totalprice"), 2).as("total_e2"))
+    half(0).unionByName(half(1))
+      .groupBy("o_orderstatus")
+      .agg(sum("n").as("n"), sum("total_e2").as("total_e2"))
+      .orderBy("o_orderstatus")
+  }
+
+  val q43Sql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_e2
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q34_heavy_hitters" -> q34HeavyHitters,
     "q35_salted_join" -> q35SaltedJoin,
-    "q36_bucketed_join" -> q36BucketedJoin)
+    "q36_bucketed_join" -> q36BucketedJoin,
+    "q43_incremental_agg" -> q43IncrementalAgg)
 
   val oracles: Seq[(String, String)] = Seq(
     "q34_heavy_hitters" -> q34Sql,
     "q35_salted_join" -> q35Sql,
-    "q36_bucketed_join" -> q36Sql)
+    "q36_bucketed_join" -> q36Sql,
+    "q43_incremental_agg" -> q43Sql)
 }
