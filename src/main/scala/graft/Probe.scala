@@ -13,14 +13,13 @@ object Probe {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    for (name <- Seq("q41_scd2", "q40_upsert")) {
-      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
-      val nEx = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
-      println(s"[probe] $name hash exchanges: $nEx")
-      plan.linesIterator.filter(l => l.contains("Exchange") || l.contains("Window"))
-        .foreach(l => println("   " + l.trim.take(120)))
-    }
+    // driver-contract smoke: entry() must return rows on sf0.001
+    val n = SparkEntry.entry(spark).count()
+    println(s"[probe] entry rows: $n")
+    require(n > 0, "entry must return rows")
+    println(s"[probe] queries: ${SparkEntry.queries.size}, oracles: ${SparkEntry.oracleSql.size}")
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    require(missing.isEmpty, s"oracles without queries: $missing")
     spark.stop()
   }
 }
