@@ -54,6 +54,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("corpus chunking runs unchanged on a stream (stateless projection + explode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    // the SAME chunked() used by batch d08/d10/d11 — stateless, so it
+    // attaches to a readStream frame with no watermark or output-mode
+    // constraints: documents chunk as they arrive
+    val input = MemoryStream[(Long, String)]
+    val chunks = TrainingDataQueries.chunked(
+        input.toDF().toDF("doc_id", "text"), Seq("doc_id"))
+      .select($"doc_id", $"chunk_id", size($"cw").as("n_tok"))
+    val query = chunks.writeStream.format("memory").queryName("stream_chunks")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, (0 until 40).map(i => s"a$i").mkString(" ")))  // 40 tokens -> 2 chunks
+      input.addData((2L, "short doc"))                                  // 2 tokens -> 1 chunk
+      query.processAllAvailable()
+      val out = spark.table("stream_chunks")
+        .as[(Long, Long, Int)].collect().toSeq.sorted
+      assert(out == Seq((1L, 0L, 32), (1L, 1L, 16), (2L, 0L, 2)), out)
+    } finally query.stop()
+  }
+
   test("stream-stream join pairs purchases with same-user views inside the window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
