@@ -243,13 +243,20 @@ object LlmQueries {
     * and scale are engine-exact IEEE expressions ([[graft.functions
     * .QuantizeInt8]], codegen'd — `transform` lambdas never are), so
     * the whole projection stays in WholeStageCodegen and the query is
-    * a pure scan+project: no shuffle at any corpus size. */
+    * a pure scan+project: no shuffle at any corpus size.
+    *
+    * Output rule (see Exact.scala scaladoc): NEVER emit raw
+    * array/struct columns — the driver comparator sorts raw cells and
+    * pandas dies on unhashable ndarray. Codes are therefore serialized
+    * to a comma-joined string on BOTH engines (same pattern as q33). */
   def s04QuantizeInt8: Q = (spark, dir) =>
     Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         Exact.e(graft.functions.QuantizeInt8.absMax(col("embedding")) / 127.0, 9)
           .as("scale_e9"),
-        graft.functions.QuantizeInt8.quantizeInt8(col("embedding")).as("q"))
+        array_join(
+          graft.functions.QuantizeInt8.quantizeInt8(col("embedding")).cast("array<string>"),
+          ",").as("q"))
       .orderBy("vec_id")
 
   val s04Sql: String =
@@ -261,9 +268,10 @@ object LlmQueries {
       |  FROM embeddings)
       |SELECT vec_id,
       |       CAST(FLOOR(amax / 127.0 * 1000000000.0 + 0.5) AS BIGINT) AS scale_e9,
-      |       CASE WHEN amax > 0
-      |            THEN list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS INTEGER))
-      |            ELSE list_transform(embedding, x -> 0) END AS q
+      |       array_to_string(
+      |         CASE WHEN amax > 0
+      |              THEN list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS INTEGER))
+      |              ELSE list_transform(embedding, x -> 0) END, ',') AS q
       |FROM a
       |ORDER BY vec_id""".stripMargin
 

@@ -80,6 +80,19 @@ def main(sfdir, outdir):
                       f"(driver comparator stringifies these differently per engine)")
                 n_fail += 1
                 continue
+            # Driver-faithfulness (round-4 lesson): the driver sorts RAW
+            # frames — pandas sort_values crashes on unhashable ndarray
+            # cells — while this checker stringifies cells before sorting.
+            # An array-typed output therefore passes here but kills the
+            # driver (exactly how s04 shipped red in round 3). Fail loudly.
+            nested = [f.name for f in tbl.schema
+                      if any(k in str(f.type) for k in ("list", "struct", "map"))]
+            if nested:
+                print(f"FAIL {name}: array/struct/map output columns {nested} "
+                      f"(driver comparator sorts raw cells; pandas dies on these "
+                      f"— serialize via array_join/concat_ws on both engines)")
+                n_fail += 1
+                continue
             got = tbl.to_pandas()
         except Exception as e:
             print(f"FAIL {name}: {e}")
