@@ -333,14 +333,23 @@ object AnalyticsQueries {
     * most 3 decimals, so ×1000 is exact — decimal rounding is NOT
     * (the median of cent-valued prices lands on a .xx5 midpoint half
     * the time, where Spark and DuckDB round differently). */
-  def q29Percentiles: Q = (spark, dir) =>
-    Tables.lineitem(spark, dir)
-      .groupBy("l_returnflag")
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)") * 1000, 0).cast(LongType).as("p50_price_milli"),
-        round(expr("percentile(l_extendedprice, 0.9)") * 1000, 0).cast(LongType).as("p90_price_milli"),
-        round(expr("percentile(l_quantity, 0.5)") * 1000, 0).cast(LongType).as("p50_qty_milli"))
-      .orderBy("l_returnflag")
+  def q29Percentiles: Q = (spark, dir) => {
+    // Scale note (round 4): Spark's exact `percentile` buffers every
+    // value of a group on one reducer — unsplittable at 100× lineitem.
+    // ExactPercentile is the histogram path: groupBy(group, cents) →
+    // domain-bounded distinct-value window → rank pick. Identical
+    // output (integer-exact on this 2-decimal domain), every stage
+    // splittable.
+    import graft.functions.ExactPercentile, ExactPercentile.Pct
+    val li = Tables.lineitem(spark, dir)
+    val price = ExactPercentile.quantiles(li, Seq("l_returnflag"),
+      col("l_extendedprice"), valPow = 2, outPow = 3,
+      Seq(Pct("p50_price_milli", 50, 100), Pct("p90_price_milli", 90, 100)))
+    val qty = ExactPercentile.quantiles(li, Seq("l_returnflag"),
+      col("l_quantity"), valPow = 2, outPow = 3,
+      Seq(Pct("p50_qty_milli", 50, 100)))
+    price.join(qty, "l_returnflag").orderBy("l_returnflag")
+  }
 
   val q29Sql: String =
     """SELECT l_returnflag,

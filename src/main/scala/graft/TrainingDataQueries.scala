@@ -304,16 +304,15 @@ object TrainingDataQueries {
     * verbose language doesn't set the bar for a terse one. Percentile
     * agg per lang (20 groups) broadcasts back onto the scan. */
   def t12LengthOutliers: Q = (spark, dir) => {
-    // Cross-engine interpolation safety: Spark's percentile and DuckDB's
-    // quantile_cont use differently-shaped formulas (last-ulp slack),
-    // but with p ∈ {.05, .95} over integer data the interpolation
-    // fraction is a near-multiple of 0.05, so x·1000 + 0.5 sits ~0.5
-    // from every floor boundary — ulp noise cannot flip the output
-    // (same argument keeps q29's milli quantiles stable).
+    // Round 4: exact `percentile` (one in-memory buffer per group)
+    // replaced with the splittable histogram path — see
+    // [[graft.functions.ExactPercentile]]. Integer-exact, so the
+    // quantile_cont oracle is unchanged.
+    import graft.functions.ExactPercentile, ExactPercentile.Pct
     val docs = Tables.documents(spark, dir)
-    val bands = docs.groupBy("lang").agg(
-      Exact.e(expr("percentile(n_chars, 0.05)"), 3).as("lo_milli"),
-      Exact.e(expr("percentile(n_chars, 0.95)"), 3).as("hi_milli"))
+    val bands = ExactPercentile.quantiles(docs, Seq("lang"),
+      col("n_chars"), valPow = 0, outPow = 3,
+      Seq(Pct("lo_milli", 5, 100), Pct("hi_milli", 95, 100)))
     docs.join(broadcast(bands), "lang")
       .filter(col("n_chars") * 1000 < col("lo_milli") ||
               col("n_chars") * 1000 > col("hi_milli"))

@@ -152,4 +152,47 @@ class FunctionsSpec extends AnyFunSuite {
       (2L, "no pii here", 0L, 0L),
       (3L, "codes <NUM> 22 <NUM>", 0L, 2L)))
   }
+
+  test("ExactPercentile matches Spark's buffering percentile on real data") {
+    import graft.functions.ExactPercentile, ExactPercentile.Pct
+    val li = Tables.lineitem(spark, TestSpark.Sf)
+    val got = ExactPercentile.quantiles(li, Seq("l_returnflag"),
+        col("l_extendedprice"), valPow = 2, outPow = 3,
+        // p05 over cent data is NOT milli-exact (frac 0.05 × odd cent
+        // diff → half-milli) — the require rejects it; p10 is exact
+        Seq(Pct("p50", 50, 100), Pct("p90", 90, 100), Pct("p10", 10, 100)))
+      .orderBy("l_returnflag")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val ref = li.groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)") * 1000, 0).cast("long").as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)") * 1000, 0).cast("long").as("p90"),
+        round(expr("percentile(l_extendedprice, 0.1)") * 1000, 0).cast("long").as("p10"))
+      .orderBy("l_returnflag")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == ref)
+  }
+
+  test("ExactPercentile handles edge shapes: 1-row group, uniform values, exact-rank hit") {
+    import graft.functions.ExactPercentile, ExactPercentile.Pct
+    val df = Seq(
+      ("a", 5.0),                              // single row: every quantile = 5
+      ("b", 1.0), ("b", 1.0), ("b", 1.0),      // uniform
+      ("c", 1.0), ("c", 2.0), ("c", 3.0)       // p50 lands exactly on 2
+    ).toDF("g", "x")
+    val got = ExactPercentile.quantiles(df, Seq("g"), col("x"), 0, 3,
+        Seq(Pct("p50", 50, 100), Pct("p90", 90, 100)))
+      .orderBy("g").as[(String, Long, Long)].collect().toSeq
+    // c's p90: h = 2*0.9 = 1.8 → 2 + 0.8*(3-2) = 2.8
+    assert(got == Seq(("a", 5000L, 5000L), ("b", 1000L, 1000L), ("c", 2000L, 2800L)))
+  }
+
+  test("ExactPercentile rejects a (p, scale) pair whose fraction is not exact") {
+    import graft.functions.ExactPercentile, ExactPercentile.Pct
+    val df = Seq(("a", 1.0)).toDF("g", "x")
+    // p = 1/3 at output scale 10^3: rem/den·mul is never integral
+    assertThrows[IllegalArgumentException] {
+      ExactPercentile.quantiles(df, Seq("g"), col("x"), 0, 3, Seq(Pct("p33", 1, 3)))
+    }
+  }
 }

@@ -109,6 +109,18 @@ class PlanSpec extends AnyFunSuite {
     assert(n == 1, s"expected exactly 1 hash exchange, got $n:\n${p.take(1200)}")
   }
 
+  test("q29/t12 percentiles plan without the buffering Percentile aggregate") {
+    // Spark's exact `percentile` materializes every group value in one
+    // reducer's memory — the histogram path must keep it out of the plan
+    for (q <- Seq("q29_percentiles", "t12_length_outliers")) {
+      val p = planOf(q)
+      assert(!p.toLowerCase.contains("percentile"),
+        s"$q still uses the buffering percentile aggregate:\n${p.take(800)}")
+      assert(p.contains("partial_count") || p.contains("partial_sum"),
+        s"$q histogram stage should partial-aggregate:\n${p.take(800)}")
+    }
+  }
+
   test("d09 contamination joins on gram fingerprints without a cartesian product") {
     val p = planOf("d09_contamination")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(800))
