@@ -196,8 +196,16 @@ object LlmQueries {
   def d07EmbedNearDupLsh: Q = (spark, dir) => {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
-    Ann.lshNearDupPairs(e, "id", "vec", tau = 0.44, nBits = 4, nTables = 24,
-        dim = 64, seed = 0xd07L)
+    // round 4: parameters are corpus-derived — occupancy-constant
+    // bucket width + recall-driven table count, so the candidate stage
+    // stays O(n·occ·nTables) instead of the quadratic n²/2^nBits a
+    // fixed width degrades to (see Ann.lshNearDupPairsAuto). Recall
+    // target 0.95: the per-pair bound is taken AT τ, where agreement
+    // is weakest — pairs above τ recall strictly better, so the
+    // spec's ≥0.9 floor holds with margin at half the table count a
+    // 0.99 target needs (T grows ~log(1−R)⁻¹: 62 → 40 at sf0.1).
+    Ann.lshNearDupPairsAuto(e, "id", "vec", tau = 0.44, dim = 64, seed = 0xd07L,
+        recall = 0.95)
       .orderBy("id1", "id2")
   }
 

@@ -140,6 +140,55 @@ object Ann {
       .select(col("qid"), col("rank").cast("long").as("rank"), col("neighbor_id"))
   }
 
+  /** Sign agreement probability of one random hyperplane for a pair at
+    * cosine exactly `tau`: p = 1 − θ/π (Goemans–Williamson). */
+  def planeAgreement(tau: Double): Double = 1.0 - math.acos(tau) / math.Pi
+
+  /** Occupancy-scaled hash width: buckets grow with the corpus so the
+    * EXPECTED bucket population stays ≈ `occupancy`, which keeps the
+    * per-table candidate volume Θ(n · occupancy) — linear in n —
+    * instead of the Θ(n²/2^nBits) a FIXED width degrades to. This is
+    * the difference between an LSH join that survives a 1000× corpus
+    * and one that silently goes quadratic. */
+  def bitsForOccupancy(n: Long, occupancy: Long = 32L,
+                       minBits: Int = 4, maxBits: Int = 28): Int = {
+    val buckets = math.max(1.0, n.toDouble / occupancy.toDouble)
+    math.min(maxBits, math.max(minBits, math.ceil(math.log(buckets) / math.log(2.0)).toInt))
+  }
+
+  /** OR-table count for per-pair recall ≥ `recall` at threshold `tau`
+    * with `nBits`-wide tables: 1 − (1 − p^nBits)^T ≥ R. Grows as
+    * (1/p)^nBits — at a loose τ (weak per-plane agreement) recall is
+    * expensive by nature; production near-dup thresholds (τ ≥ 0.8,
+    * p ≥ 0.79) keep this modest. `maxTables` is a fail-loud guard
+    * against configurations whose table count itself would dominate. */
+  def tablesForRecall(tau: Double, nBits: Int, recall: Double = 0.99,
+                      maxTables: Int = 256): Int = {
+    val pBucket = math.pow(planeAgreement(tau), nBits.toDouble)
+    val t = math.ceil(math.log1p(-recall) / math.log1p(-pBucket)).toInt
+    require(t <= maxTables,
+      f"recall $recall%.2f at tau $tau%.2f needs $t OR-tables (> $maxTables): " +
+        "raise tau, lower the recall target, or lower occupancy")
+    math.max(1, t)
+  }
+
+  /** Candidate stage of the near-dup join, exposed for the
+    * volume-bound spec: distinct pairs sharing a bucket in ≥1 table. */
+  private[graft] def lshCandidates(v: DataFrame, nBits: Int, nTables: Int,
+                                   dim: Int, seed: Long): DataFrame = {
+    val bkts = v.select(col("id"), explode(array((0 until nTables).map { t =>
+        struct(lit(t).as("tbl"),
+               bucketId(col("v"), hyperplanes(nBits, dim, seed + 31L * t)).as("bkt"))
+      }: _*)).as("tb"))
+      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    bkts.toDF("id1", "tbl1", "bkt1")
+      .join(bkts.toDF("id2", "tbl2", "bkt2"),
+        col("tbl1") === col("tbl2") && col("bkt1") === col("bkt2") &&
+        col("id1") < col("id2"))
+      .select("id1", "id2")
+      .distinct()
+  }
+
   /** Multi-table sign-LSH near-duplicate pairs — the scale path for a
     * cosine-threshold self-join (d05's exact per-label all-pairs is
     * quadratic in label population). Candidates = pairs sharing a
@@ -149,6 +198,8 @@ object Ann {
     * 1 − (1 − p^nBits)^nTables with p = 1 − θ/π per hyperplane.
     * Work is Θ(Σ bucket²) per table over 16-byte (id, bucket) rows —
     * vectors are never shuffled; verification re-joins them by id.
+    * Prefer [[lshNearDupPairsAuto]], which sizes both parameters from
+    * the corpus instead of shipping fixed ones.
     */
   def lshNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
                       tau: Double, nBits: Int, nTables: Int, dim: Int,
@@ -157,22 +208,28 @@ object Ann {
       .withColumn("nrm", norm(col("v")))
       .filter(col("nrm") > 0) // zero-norm → NaN cosine → NaN ≥ τ is TRUE in Spark
       .repartition(col("id")) // barrier → one materialization, reused 3×
-    val bkts = v.select(col("id"), explode(array((0 until nTables).map { t =>
-        struct(lit(t).as("tbl"),
-               bucketId(col("v"), hyperplanes(nBits, dim, seed + 31L * t)).as("bkt"))
-      }: _*)).as("tb"))
-      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
-    val cand = bkts.toDF("id1", "tbl1", "bkt1")
-      .join(bkts.toDF("id2", "tbl2", "bkt2"),
-        col("tbl1") === col("tbl2") && col("bkt1") === col("bkt2") &&
-        col("id1") < col("id2"))
-      .select("id1", "id2")
-      .distinct()
-    cand
+    lshCandidates(v, nBits, nTables, dim, seed)
       .join(v.select(col("id").as("id1"), col("v").as("v1"), col("nrm").as("nrm1")), "id1")
       .join(v.select(col("id").as("id2"), col("v").as("v2"), col("nrm").as("nrm2")), "id2")
       .filter(cosinePrenormed(dot(col("v1"), col("v2")), col("nrm1"), col("nrm2")) >= tau)
       .select("id1", "id2")
+  }
+
+  /** [[lshNearDupPairs]] with corpus-derived parameters (round-4 fix:
+    * a FIXED nBits makes bucket population n/2^nBits, so the candidate
+    * stage is quadratic in the corpus no matter how cheap each compare
+    * is). nBits holds expected bucket occupancy constant
+    * ([[bitsForOccupancy]]); nTables then buys the recall target back
+    * at that width ([[tablesForRecall]]). Total candidate volume is
+    * O(n · occupancy · nTables). One count() job sizes the corpus —
+    * same pattern as the IVF fit-sample cap. */
+  def lshNearDupPairsAuto(vecs: DataFrame, idCol: String, vecCol: String,
+                          tau: Double, dim: Int, seed: Long,
+                          occupancy: Long = 32L, recall: Double = 0.99): DataFrame = {
+    val n = vecs.count()
+    val nBits = bitsForOccupancy(n, occupancy)
+    val nTables = tablesForRecall(tau, nBits, recall)
+    lshNearDupPairs(vecs, idCol, vecCol, tau, nBits, nTables, dim, seed)
   }
 
   /** LSH-bucketed ANN: score only corpus vectors sharing a bucket

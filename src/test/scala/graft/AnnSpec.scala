@@ -74,6 +74,50 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall $recall") // 3/8 cells probed
   }
 
+  test("LSH near-dup candidate volume stays O(n · nTables) across corpus sizes") {
+    // The round-3 scale-killer: FIXED nBits ⇒ bucket population n/2^b ⇒
+    // Σ bucket² quadratic in n. Occupancy-scaled bits must keep the
+    // per-(row·table) candidate rate roughly constant as the corpus
+    // grows. Two real corpora: 500 vectors (sf0.001) and 2000 (sf0.1).
+    def candRate(sf: String): (Long, Double) = {
+      val e = Tables.embeddings(spark, sf)
+        .select(col("vec_id").as("id"), toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+        .filter(col("nrm") > 0)
+      val n = e.count()
+      val bits = Ann.bitsForOccupancy(n)
+      val tables = Ann.tablesForRecall(0.44, bits, 0.99)
+      val cands = Ann.lshCandidates(e, bits, tables, dim = 64, seed = 0xd07L).count()
+      (n, cands.toDouble / (n.toDouble * tables))
+    }
+    val (n1, r1) = candRate("/root/testdata/sf0.001")
+    val (n2, r2) = candRate("/root/testdata/sf0.1")
+    assert(n2 > n1)
+    // distinct() de-dups across tables, and real embeddings cluster, so
+    // the rate is not exactly flat — but a quadratic path would scale it
+    // by ~n2/n1 (4×). Allow 2× slack; also pin an absolute ceiling of
+    // one occupancy's worth of candidates per (row, table).
+    assert(r2 <= r1 * 2.0, s"candidate rate grew superlinearly: $r1 -> $r2")
+    assert(r1 <= 32.0 && r2 <= 32.0, s"rates $r1 / $r2 exceed occupancy bound")
+  }
+
+  test("occupancy/recall parameter derivations are sane and monotone") {
+    assert(Ann.bitsForOccupancy(500) == 4)        // floor at minBits
+    assert(Ann.bitsForOccupancy(2000) == 6)
+    assert(Ann.bitsForOccupancy(1L << 40) == 28)  // capped
+    assert(Ann.bitsForOccupancy(64000, 32) == 11)
+    // recall-0.99 at τ=0.44 over 4-bit tables is the round-3 hand
+    // config (24–25 tables) — the derivation reproduces it
+    val t4 = Ann.tablesForRecall(0.44, 4, 0.99)
+    assert(t4 >= 24 && t4 <= 26, s"t4=$t4")
+    // tighter τ prunes harder per plane → fewer tables at equal width
+    assert(Ann.tablesForRecall(0.8, 4, 0.99) < t4)
+    // a config whose table count explodes must fail loudly, not ship
+    assertThrows[IllegalArgumentException] {
+      Ann.tablesForRecall(0.44, 28, 0.99)
+    }
+  }
+
   test("bucketId is deterministic across evaluations") {
     val planes = Ann.hyperplanes(8, 64, 7L)
     val a = emb.select(Ann.bucketId(col("vec"), planes)).as[Long].collect()
