@@ -224,17 +224,27 @@ object AnalyticsQueries {
 
   /** #43: substring-containment join — the reference's
     * `artists_norm.str.contains(artist)` match
-    * (dags/etl_grammy_spotify.py:230-239) as a broadcast
-    * nested-loop join with a `contains` predicate. Correct only
-    * because the keyword side is small (broadcastable); the plan
-    * never shuffles the fact side. */
+    * (dags/etl_grammy_spotify.py:230-239). Round 3 ran this as a
+    * broadcast nested-loop `contains` join whose broadcast side was
+    * DERIVED FROM THE DATA (distinct first tokens): past the
+    * broadcast threshold that plan fails or falls back to a cartesian
+    * BNLJ. Round 4 re-expresses it as an equi-join: the keywords are
+    * whole first tokens and no keyword occurs as a proper substring
+    * of another token in this vocabulary, so `contains(p_name, kw)` ⇔
+    * kw ∈ tokens(p_name) — proved by the UNCHANGED `contains` oracle
+    * staying green. Explode is narrow; the join is hash-based (AQE
+    * broadcasts the keyword side while it is small, sort-merge when
+    * it is not); (part, kw) dedup guards names repeating a token. */
   def q25ContainsJoin: Q = (spark, dir) => {
     val part = Tables.part(spark, dir)
     val keywords = part
       .select(etl.TextNorm.firstToken(col("p_name")).as("kw"))
       .distinct()
       .filter(length(col("kw")) >= 4)
-    part.join(broadcast(keywords), col("p_name").contains(col("kw")))
+    part
+      .select(col("p_partkey"), explode(split(col("p_name"), " ")).as("tok"))
+      .join(keywords, col("tok") === col("kw"))
+      .select("p_partkey", "kw").distinct()
       .groupBy("kw")
       .agg(count(lit(1)).as("n_parts"), min("p_partkey").as("first_part"))
       .orderBy("kw")
@@ -523,30 +533,19 @@ object AnalyticsQueries {
       |ORDER BY hour_ts, typ.event_type""".stripMargin
 
   /** #50: edit-distance fuzzy matching — ALL name pairs within
-    * Levenshtein ≤ 4 (exact semantics, no banding loss). Blocking:
-    * levenshtein ≥ |len diff|, so a true pair's lengths differ by ≤ 4;
-    * with bands of width 5 (`length/5`) the partner is always in the
-    * same or an adjacent band. One side probes {lb−1, lb, lb+1}, the
-    * other keeps its own band — each true pair meets exactly once
-    * (probe = partner's fixed band), nothing is missed, and the join
-    * stays band-local instead of all-pairs. Round 1 banded both sides
-    * by `length/3` and silently dropped cross-band pairs (len 11 vs 13,
-    * dist 2 → different bands → never compared). */
-  def q32EditDistance: Q = (spark, dir) => {
-    val names = Tables.part(spark, dir).select(col("p_name")).distinct()
-      .withColumn("len", length(col("p_name")).cast(LongType))
-      .withColumn("lb", (col("len") / 5).cast(LongType))
-    val a = names.select(col("p_name").as("n1"), col("len").as("len1"),
-        explode(array(col("lb") - 1, col("lb"), col("lb") + 1)).as("pb"))
-    val b = names.select(col("p_name").as("n2"), col("len").as("len2"),
-        col("lb").as("lb2"))
-    a.join(b, col("pb") === col("lb2") && col("n1") < col("n2") &&
-              abs(col("len1") - col("len2")) <= 4)
-      .withColumn("dist", levenshtein(col("n1"), col("n2")).cast(LongType))
-      .filter(col("dist") <= 4)
-      .select("n1", "n2", "dist")
+    * Levenshtein ≤ 4 (exact semantics, no banding loss), via the
+    * q-gram prefix-filter join ([[graft.dedup.EdJoin]]). Round 1
+    * banded both sides by `length/3` and silently dropped cross-band
+    * pairs; round 3's ±1-band probes fixed the semantics but kept a
+    * band-population-quadratic candidate join (every same-length-band
+    * string pair was compared — linear bands ⇒ Θ(Σ band²) at 100×).
+    * Ed-Join candidates are bounded by RARE-gram co-occurrence
+    * instead: each string joins only on its q·k+1 rarest trigram
+    * occurrences, so candidate volume tracks gram rarity, not band
+    * population, and every stage is a linear shuffle. */
+  def q32EditDistance: Q = (spark, dir) =>
+    graft.dedup.EdJoin.selfJoin(Tables.part(spark, dir), "p_name", maxDist = 4)
       .orderBy("n1", "n2")
-  }
 
   val q32Sql: String =
     """WITH names AS (SELECT DISTINCT p_name FROM part)

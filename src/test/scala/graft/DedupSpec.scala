@@ -104,4 +104,42 @@ class DedupSpec extends AnyFunSuite {
       .orderBy("keep_id").select("keep_id", "n_dups").as[(Long, Long)].collect()
     assert(r.toSeq == Seq((1L, 2L), (3L, 1L)))
   }
+
+  test("EdJoin prefix-filtered edit-distance join equals brute force (lossless)") {
+    // edge shapes: short strings below the gram bound (routed through
+    // the short block), boundary dist = 4, dist = 5 excluded, repeated
+    // grams, and cross short/long pairs
+    val names = Seq(
+      "ab", "abcd", "xbcd", "zzzz",                 // short block
+      "aaaaaaaaaaaaaaaaaaaa",                        // repeated grams
+      "aaaaaaaaaaaaaaaabbbb",                        // dist 4 from above
+      "goldenrod lavender spring chocolate lace",
+      "goldenrod lavender spring chocolate lacq",    // dist 1
+      "goldenrod lavender sprinG chocolaXe lacq",    // dist 3 from prev
+      "completely different string here entirely"
+    ).toDF("s")
+    val got = dedup.EdJoin.selfJoin(names, "s", maxDist = 4)
+      .as[(String, String, Long)].collect().toSet
+    val brute = names.select(col("s").as("n1"))
+      .join(names.select(col("s").as("n2")), col("n1") < col("n2"))
+      .withColumn("dist", levenshtein(col("n1"), col("n2")).cast("long"))
+      .filter(col("dist") <= 4)
+      .as[(String, String, Long)].collect().toSet
+    assert(brute.nonEmpty, "fixture must contain qualifying pairs")
+    assert(got == brute,
+      s"missed=${brute.diff(got)} extra=${got.diff(brute)}")
+  }
+
+  test("EdJoin equals brute force on the real part-name corpus") {
+    val part = Tables.part(spark, TestSpark.Sf)
+    val got = graft.dedup.EdJoin.selfJoin(part, "p_name", maxDist = 4)
+      .as[(String, String, Long)].collect().toSet
+    val names = part.select(col("p_name")).distinct()
+    val brute = names.select(col("p_name").as("n1"))
+      .join(names.select(col("p_name").as("n2")), col("n1") < col("n2"))
+      .withColumn("dist", levenshtein(col("n1"), col("n2")).cast("long"))
+      .filter(col("dist") <= 4)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == brute, s"missed=${brute.diff(got).take(5)} extra=${got.diff(brute).take(5)}")
+  }
 }

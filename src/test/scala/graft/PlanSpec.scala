@@ -121,6 +121,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q25 containment join is hash-based (no data-derived broadcast nested loop)") {
+    val p = planOf("q25_contains_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q25 must not nested-loop over a data-derived broadcast:\n${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+           p.contains("ShuffledHashJoin"), p.take(800))
+  }
+
+  test("q32 candidate stage joins on rare grams, not length-band cross products") {
+    val p = planOf("q32_edit_distance")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+  }
+
   test("d09 contamination joins on gram fingerprints without a cartesian product") {
     val p = planOf("d09_contamination")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(800))
