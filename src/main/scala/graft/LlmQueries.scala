@@ -160,21 +160,12 @@ object LlmQueries {
   def d05EmbedNearDup: Q = (spark, dir) => {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
-      // zero-norm guard: Spark orders NaN above every real value, so a
-      // zero vector's NaN cosine would pass ≥ τ. (The oracle stays
-      // consistent for a different reason: DuckDB's
-      // list_cosine_similarity returns −1.0 for zero vectors — its NaN
-      // would ALSO compare greater, so never rely on that.)
-      .filter(col("nrm") > 0)
-    // triangle-blocked self-join: 10 labels alone would shuffle into 10
-    // reducers; 8 hash blocks fan the pair work over 10 × 36 partitions
-    sim.PairBlocks.selfJoinPairs(e, "vec_id", Seq("label"), Seq("v", "nrm"), nBlocks = 8)
-      .filter(cosinePrenormed(dot(col("v1"), col("v2")), col("nrm1"), col("nrm2")) >= 0.44)
-      .select(
-        least(col("vec_id1"), col("vec_id2")).as("id1"),
-        greatest(col("vec_id1"), col("vec_id2")).as("id2"),
-        col("label"))
+    // round 4: routed through the library façade's EXPLICIT escape
+    // hatch — graft.sim.NearDup defaults to the LSH scale path, so no
+    // caller reaches this quadratic-per-block plan by accident; this
+    // query keeps it as the oracle-checkable twin of d07.
+    sim.NearDup.pairs(e, "vec_id", "v", tau = 0.44, dim = 64,
+        exact = true, blockCols = Seq("label"))
       .orderBy("id1", "id2")
   }
 
@@ -204,8 +195,8 @@ object LlmQueries {
     // is weakest — pairs above τ recall strictly better, so the
     // spec's ≥0.9 floor holds with margin at half the table count a
     // 0.99 target needs (T grows ~log(1−R)⁻¹: 62 → 40 at sf0.1).
-    Ann.lshNearDupPairsAuto(e, "id", "vec", tau = 0.44, dim = 64, seed = 0xd07L,
-        recall = 0.95)
+    // NearDup.pairs is the library façade; its DEFAULT is this path.
+    sim.NearDup.pairs(e, "id", "vec", tau = 0.44, dim = 64, seed = 0xd07L)
       .orderBy("id1", "id2")
   }
 

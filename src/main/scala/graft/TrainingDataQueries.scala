@@ -28,8 +28,10 @@ object TrainingDataQueries {
     conv(substring(md5(id.cast(StringType).cast(BinaryType)), 1, 8), 16, 10)
       .cast(LongType) % n
 
-  private val BucketSql =
-    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10"
+  private def bucketSql(n: Int): String =
+    s"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % $n"
+
+  private val BucketSql = bucketSql(10)
 
   /** #64 (t08): deterministic train/valid/test split — 80/10/10 by
     * id-hash bucket. Pure projection: no shuffle at all, each executor
@@ -182,25 +184,37 @@ object TrainingDataQueries {
 
   private val BinTokens = 512
 
+  /** Sub-source pack streams per source: one giant source must not
+    * serialize into a single window task, so the pack key is
+    * (source, sub) with sub a DETERMINISTIC doc-id hash bucket — a
+    * doc's chunks all share its sub, so within-doc chunk contiguity
+    * is preserved, and the salt is content-independent (same value on
+    * both engines, stable under re-ingest). At real scale size this
+    * to corpus/source volume (or use (source, day) when a natural
+    * sub-key exists). */
+  private val PackSubStreams = 16
+
   /** #69 (d10): pack chunks into ~512-token context windows — each
-    * source's chunks, in (doc_id, chunk_id) order, are assigned to the
-    * bin containing their cumulative start offset. One window shuffle
-    * on source, integer outputs. This is offset binning, not
-    * first-fit-decreasing: bins can overshoot by at most one chunk
-    * (≤ 32 tokens ≈ 6%), in exchange for a closed-form windowed plan —
-    * exact greedy packing is a sequential recurrence that would need a
-    * per-group iterator at 100 TB. Partition key note: `source` is the
-    * pack-locality unit; at real scale pack by (source, day) or a
-    * hash-salted source so one giant source can't serialize a task. */
+    * (source, sub)-stream's chunks, in (doc_id, chunk_id) order, are
+    * assigned to the bin containing their cumulative start offset.
+    * One window shuffle on the pack key, integer outputs. This is
+    * offset binning, not first-fit-decreasing: bins can overshoot by
+    * at most one chunk (≤ 32 tokens ≈ 6%), in exchange for a
+    * closed-form windowed plan — exact greedy packing is a sequential
+    * recurrence that would need a per-group iterator at 100 TB.
+    * Round 4: the window key gained the `sub` hash bucket (see
+    * [[PackSubStreams]]) so the biggest source splits into 16
+    * independent, individually-splittable pack streams. */
   def d10Pack: Q = (spark, dir) => {
     val chunks = chunked(Tables.documents(spark, dir), Seq("doc_id", "source"))
       .select(col("doc_id"), col("source"), col("chunk_id"),
         size(col("cw")).cast(LongType).as("n_tok"))
-    val w = Window.partitionBy("source").orderBy("doc_id", "chunk_id")
+      .withColumn("sub", hashBucket(col("doc_id"), PackSubStreams))
+    val w = Window.partitionBy("source", "sub").orderBy("doc_id", "chunk_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     chunks
       .withColumn("cum", sum("n_tok").over(w))
-      .select(col("source"), col("doc_id"), col("chunk_id"), col("n_tok"),
+      .select(col("source"), col("sub"), col("doc_id"), col("chunk_id"), col("n_tok"),
         ((col("cum") - col("n_tok")) / BinTokens).cast(LongType).as("bin_id"))
       .orderBy("source", "doc_id", "chunk_id")
   }
@@ -215,15 +229,15 @@ object TrainingDataQueries {
        |c AS (
        |  SELECT doc_id, source, w, unnest(range(nc)) AS chunk_id FROM n),
        |sized AS (
-       |  SELECT doc_id, source, chunk_id,
+       |  SELECT doc_id, source, chunk_id, ${bucketSql(PackSubStreams)} AS sub,
        |         CAST(len(w[chunk_id * $ChunkStride + 1 : chunk_id * $ChunkStride + $ChunkLen]) AS BIGINT) AS n_tok
        |  FROM c),
        |cums AS (
-       |  SELECT source, doc_id, chunk_id, n_tok,
-       |         CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id, chunk_id
+       |  SELECT source, sub, doc_id, chunk_id, n_tok,
+       |         CAST(SUM(n_tok) OVER (PARTITION BY source, sub ORDER BY doc_id, chunk_id
        |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
        |  FROM sized)
-       |SELECT source, doc_id, chunk_id, n_tok,
+       |SELECT source, sub, doc_id, chunk_id, n_tok,
        |       CAST(FLOOR((cum - n_tok) / $BinTokens.0) AS BIGINT) AS bin_id
        |FROM cums
        |ORDER BY source, doc_id, chunk_id""".stripMargin

@@ -135,6 +135,17 @@ class PlanSpec extends AnyFunSuite {
       p.take(800))
   }
 
+  test("d10 pack window partitions on (source, sub), not source alone") {
+    // one giant source must split into PackSubStreams independent pack
+    // streams — the window exchange key proves it structurally
+    val p = planOf("d10_pack")
+    val ex = p.linesIterator
+      .find(l => l.contains("Exchange hashpartitioning") && l.contains("source"))
+      .getOrElse("")
+    assert(ex.contains("sub"),
+      s"pack window key must include the sub-source bucket:\n$ex")
+  }
+
   test("d09 contamination joins on gram fingerprints without a cartesian product") {
     val p = planOf("d09_contamination")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(800))

@@ -102,9 +102,10 @@ class TrainingDataSpec extends AnyFunSuite {
       plan.take(800))
   }
 
-  test("d10 bins are contiguous per source and overshoot by at most one chunk") {
+  test("d10 bins are contiguous per (source, sub) stream and overshoot by at most one chunk") {
     val rows = TrainingDataQueries.d10Pack(spark, TestSpark.Sf)
-      .select(col("source"), col("doc_id"), col("chunk_id"), col("n_tok"), col("bin_id"))
+      .select(concat_ws("/", col("source"), col("sub")).as("stream"),
+        col("doc_id"), col("chunk_id"), col("n_tok"), col("bin_id"))
       .as[(String, Long, Long, Long, Long)].collect()
     for ((_, rs) <- rows.groupBy(_._1)) {
       val ordered = rs.sortBy(r => (r._2, r._3))
