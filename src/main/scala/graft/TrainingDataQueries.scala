@@ -162,6 +162,15 @@ object TrainingDataQueries {
       .orderBy("test_id", "train_id")
   }
 
+  /** Oracle-equivalence assumption (documented per ADVICE r3): the
+    * Spark side joins 64-bit gram FINGERPRINTS while this oracle joins
+    * the literal gram strings — the comparison is exact only while no
+    * two distinct grams collide. With G distinct 5-grams the collision
+    * probability is ≈ G²/2⁶⁵ (≈ 10⁻¹⁰ at the gate's ~10⁵ grams); a
+    * collision would surface as an n_shared hash mismatch, not a
+    * silent wrong answer. At the 100 TB path fingerprints are the
+    * design choice (8-byte shuffle keys); a string-gram join is the
+    * byte-exact fallback if a gate-scale corpus ever trips this. */
   val d09Sql: String =
     s"""WITH toks AS (
        |  SELECT doc_id,

@@ -34,36 +34,63 @@ object Stages {
     * directory and it serves the winner's output instead of mixing
     * files. (One writer per (root, name) is still the intended
     * deployment — the race tolerance is a safety net, not a scheduler.) */
+  /** Abandoned temp dirs younger than this are left alone by the
+    * winner's sweep: a CONCURRENT racer's build dir is live and
+    * actively written — deleting it would fail the racer's parquet
+    * job with task errors instead of the documented "loser serves the
+    * winner's output". Debris from genuinely killed runs ages past
+    * this and gets cleaned by the next winner. */
+  private val SweepMinAgeMs: Long = 24L * 60 * 60 * 1000
+
   def stage(spark: SparkSession, root: String, name: String)
            (build: => DataFrame): DataFrame = {
     val dir = new Path(root, name)
+    val success = new Path(dir, "_SUCCESS")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(dir, "_SUCCESS"))) {
-      fs.delete(dir, true) // stale debris from a pre-rename-protocol run
+    if (!fs.exists(success)) {
+      // stale half-written debris from a pre-rename-protocol run:
+      // re-check the commit marker immediately before deleting so the
+      // window in which a racer's just-committed stage could be hit
+      // is as small as the filesystem allows (one writer per
+      // (root, name) is the intended deployment; races are tolerated,
+      // not scheduled)
+      if (fs.exists(dir) && !fs.exists(success)) fs.delete(dir, true)
       val tmp = new Path(root, s".$name.inprogress-${java.util.UUID.randomUUID}")
-      build.write.parquet(tmp.toString)
-      // rename only while the target is absent: Hadoop rename ONTO an
-      // existing directory does not fail — it nests tmp inside it (and
-      // reports success), which would silently duplicate the stage
-      var committed = !fs.exists(dir) && fs.rename(tmp, dir)
-      if (committed && fs.exists(new Path(dir, tmp.getName))) {
-        // lost the exists→rename race: a winner committed in between and
-        // our rename nested tmp inside their stage — undo and defer
-        fs.delete(new Path(dir, tmp.getName), true)
-        committed = false
-      }
-      if (committed) {
-        // winner sweeps temp dirs abandoned by killed runs (our own is
-        // gone via the rename; sweeping BEFORE building would delete a
-        // concurrent racer's live build dir out from under its writer)
-        Option(fs.globStatus(new Path(root, s".$name.inprogress-*")))
-          .foreach(_.foreach(st => fs.delete(st.getPath, true)))
-      } else {
-        // another writer committed first (or the rename failed): keep
-        // their stage if it's complete, otherwise surface the failure
-        fs.delete(tmp, true)
-        if (!fs.exists(new Path(dir, "_SUCCESS")))
-          throw new java.io.IOException(s"stage commit failed: $tmp -> $dir")
+      try {
+        build.write.parquet(tmp.toString)
+        // rename only while the target is absent: Hadoop rename ONTO an
+        // existing directory does not fail — it nests tmp inside it (and
+        // reports success), which would silently duplicate the stage
+        var committed = !fs.exists(dir) && fs.rename(tmp, dir)
+        if (committed && fs.exists(new Path(dir, tmp.getName))) {
+          // lost the exists→rename race: a winner committed in between and
+          // our rename nested tmp inside their stage — undo and defer
+          fs.delete(new Path(dir, tmp.getName), true)
+          committed = false
+        }
+        if (committed) {
+          // winner sweeps temp dirs abandoned by KILLED runs — never a
+          // concurrent racer's live build (age gate, see SweepMinAgeMs;
+          // our own tmp is already gone via the rename)
+          val cutoff = System.currentTimeMillis() - SweepMinAgeMs
+          Option(fs.globStatus(new Path(root, s".$name.inprogress-*")))
+            .foreach(_.filter(_.getModificationTime < cutoff)
+              .foreach(st => fs.delete(st.getPath, true)))
+        } else {
+          // another writer committed first (or the rename failed): keep
+          // their stage if it's complete, otherwise surface the failure
+          fs.delete(tmp, true)
+          if (!fs.exists(success))
+            throw new java.io.IOException(s"stage commit failed: $tmp -> $dir")
+        }
+      } catch {
+        case e: Exception =>
+          // the build itself can die because an (old-protocol) winner
+          // swept our live tmp — if a committed stage exists by now,
+          // serving it IS the documented loser behavior; otherwise the
+          // failure is real
+          fs.delete(tmp, true)
+          if (!fs.exists(success)) throw e
       }
     }
     spark.read.parquet(dir.toString)
