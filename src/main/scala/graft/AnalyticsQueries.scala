@@ -361,6 +361,24 @@ object AnalyticsQueries {
     price.join(qty, "l_returnflag").orderBy("l_returnflag")
   }
 
+  /** #85 (q44): APPROXIMATE percentiles — the tolerance-permitting
+    * twin of q29 for interactive/streaming use: `approx_percentile`
+    * is a mergeable bounded-memory sketch (rank error ≤ n/accuracy),
+    * so it aggregates in one partial-merge pass with no per-group
+    * buffering at all — cheaper than even the histogram path when a
+    * ±0.01%-rank answer suffices. Rows-only (the sketch is
+    * engine-specific; no cross-engine oracle). FunctionsSpec pins the
+    * approx values inside the exact p45–p55 / p85–p95 bands. */
+  def q44ApproxPercentiles: Q = (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        (expr("approx_percentile(l_extendedprice, 0.5, 10000)") * 1000)
+          .cast(LongType).as("p50_price_milli_approx"),
+        (expr("approx_percentile(l_extendedprice, 0.9, 10000)") * 1000)
+          .cast(LongType).as("p90_price_milli_approx"))
+      .orderBy("l_returnflag")
+
   val q29Sql: String =
     """SELECT l_returnflag,
       |       CAST(ROUND(quantile_cont(l_extendedprice, 0.5) * 1000, 0) AS BIGINT) AS p50_price_milli,
@@ -685,7 +703,8 @@ object AnalyticsQueries {
     "q37_range_join" -> q37RangeJoin,
     "q38_supplier_stats" -> q38SupplierStats,
     "q39_grouping_sets" -> q39GroupingSets,
-    "q42_resample" -> q42Resample)
+    "q42_resample" -> q42Resample,
+    "q44_approx_percentiles" -> q44ApproxPercentiles)
 
   val oracles: Seq[(String, String)] = Seq(
     "q37_range_join" -> q37Sql,

@@ -274,6 +274,19 @@ object LlmQueries {
       |FROM a
       |ORDER BY vec_id""".stripMargin
 
+  /** #83 (s05): int8-quantized two-stage ANN — the serving consumer
+    * of s04's quantization: score the corpus from 4×-smaller int8
+    * codes (codegen'd integer dot kernel), keep 3k candidates per
+    * query, exact-rerank only those from the float store. Rows-only
+    * (the approximate cut is quantization-specific); AnnSpec asserts
+    * recall@10 ≥ 0.9 vs the exact s01 baseline. */
+  def s05AnnInt8Rerank: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
+    Ann.int8RerankTopK(e, e.filter(col("id") < 8), k = 10)
+      .orderBy("qid", "rank")
+  }
+
   /** #28: language ID via marker-word scores. */
   def t01LangId: Q = (spark, dir) => {
     val scored = Tables.documents(spark, dir)
@@ -482,6 +495,7 @@ object LlmQueries {
     "s02_ann_lsh" -> s02AnnLsh,
     "s03_ann_ivf" -> s03AnnIvf,
     "s04_quantize_int8" -> s04QuantizeInt8,
+    "s05_ann_int8_rerank" -> s05AnnInt8Rerank,
     "t01_lang_id" -> t01LangId,
     "t02_quality_score" -> t02QualityScore,
     "t03_token_count" -> t03TokenCount,

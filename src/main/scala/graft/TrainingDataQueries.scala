@@ -355,6 +355,49 @@ object TrainingDataQueries {
       |WHERE n_chars * 1000 < lo_milli OR n_chars * 1000 > hi_milli
       |ORDER BY doc_id""".stripMargin
 
+  /** #84 (t13): per-source boilerplate n-gram detection — the
+    * CCNet/Dolma-style template detector: word bigrams whose DOCUMENT
+    * frequency within a source exceeds 15% are navigation chrome /
+    * footer / template text, not content, and are removal candidates
+    * before training. Pipeline: per-doc DISTINCT bigrams (narrow
+    * explode + one dedup shuffle) → (source, gram) doc counts (linear,
+    * partial-agg) → broadcast join of tiny per-source doc totals →
+    * integer threshold compare. Every stage is corpus-linear; the
+    * gram domain, not the corpus, bounds the aggregate. */
+  def t13Boilerplate: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+    val bigrams = toks
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1), size(col("w")) - 1)).as("i"), col("w"))
+      .select(col("doc_id"), col("source"),
+        concat_ws(" ", slice(col("w"), col("i"), lit(2))).as("gram"))
+      .distinct() // document frequency, not occurrence count
+    val srcDocs = docs.groupBy("source")
+      .agg(countDistinct("doc_id").as("n_docs"))
+    bigrams.groupBy("source", "gram").agg(count(lit(1)).as("df"))
+      .join(broadcast(srcDocs), "source")
+      .filter(col("df") * 100 >= col("n_docs") * 15)
+      .select(col("source"), col("gram"), col("df"), col("n_docs"))
+      .orderBy("source", "gram")
+  }
+
+  val t13Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+      |bg AS (
+      |  SELECT DISTINCT doc_id, source,
+      |         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram
+      |  FROM toks WHERE len(w) >= 2),
+      |srcn AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs FROM documents GROUP BY 1),
+      |dfreq AS (SELECT source, gram, CAST(COUNT(*) AS BIGINT) AS df FROM bg GROUP BY 1, 2)
+      |SELECT d.source, gram, df, CAST(n_docs AS BIGINT) AS n_docs
+      |FROM dfreq d JOIN srcn USING (source)
+      |WHERE df * 100 >= n_docs * 15
+      |ORDER BY source, gram""".stripMargin
+
   /** #73 (d11): flagship corpus pipeline — the training-data twin of
     * q17's ETL flagship, composing the library's own stages in one
     * Catalyst plan: exact dedup (keep min id per md5(text), 16-byte
@@ -414,9 +457,11 @@ object TrainingDataQueries {
     "t10_stratified_sample" -> t10StratifiedSample,
     "t11_oov_rate" -> t11OovRate,
     "t12_length_outliers" -> t12LengthOutliers,
+    "t13_boilerplate" -> t13Boilerplate,
     "d11_corpus_pipeline" -> d11CorpusPipeline)
 
   val oracles: Seq[(String, String)] = Seq(
+    "t13_boilerplate" -> t13Sql,
     "t08_hash_split" -> t08Sql,
     "d08_chunk" -> d08Sql,
     "t09_salient_terms" -> t09Sql,

@@ -189,6 +189,53 @@ object Ann {
       .distinct()
   }
 
+  /** Int8-quantized two-stage ANN: score the WHOLE corpus from its
+    * int8 codes (4× smaller than floats — at 100 TB the scan, shuffle
+    * and cache all shrink 4×), keep the top k·candMult per query by
+    * approximate cosine, then re-fetch ONLY those candidates' float
+    * vectors by id for the exact rerank. The approximate score
+    * `dotInt(qc, qq)·sc·sq / (‖c‖·‖q‖)` uses the codegen'd integer
+    * kernel ([[graft.functions.DotProductInt]]); per-component int8
+    * error is ≤ 0.4% of amax, so with a 3× candidate buffer the true
+    * top-k survives the approximate cut (recall spec in AnnSpec).
+    * This is the serving-shape pattern for a vector store built with
+    * s04's quantization. */
+  def int8RerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     candMult: Int = 3): DataFrame = {
+    import graft.functions.DotProductInt.dotInt
+    import graft.functions.QuantizeInt8.{absMax, quantizeInt8}
+    // the int8 "store": codes + scale + norm — no float vectors here
+    def store(df: DataFrame, idAs: String, pre: String): DataFrame =
+      df.withColumn("nrm0", norm(col("vec")))
+        .filter(col("nrm0") > 0)
+        .select(col("id").as(idAs),
+          quantizeInt8(col("vec")).as(s"${pre}q"),
+          (absMax(col("vec")) / 127.0).as(s"${pre}s"),
+          col("nrm0").as(s"${pre}nrm"))
+    val c = store(corpus, "neighbor_id", "c")
+    val q = store(queries, "qid", "q")
+    val approx = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("qid"))
+      .withColumn("asim",
+        dotInt(col("cq"), col("qq")).cast("double") * col("cs") * col("qs") /
+          (col("cnrm") * col("qnrm")))
+    val wa = Window.partitionBy("qid").orderBy(col("asim").desc, col("neighbor_id").asc)
+    val cand = approx.withColumn("ar", row_number().over(wa))
+      .filter(col("ar") <= k * candMult)
+      .select("qid", "neighbor_id")
+    // exact rerank: float vectors fetched for surviving candidates only
+    val cf = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
+      .withColumn("cnrm", norm(col("cvec"))).filter(col("cnrm") > 0)
+    val qf = queries.select(col("id").as("qid"), col("vec").as("qvec"))
+      .withColumn("qnrm", norm(col("qvec"))).filter(col("qnrm") > 0)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("neighbor_id").asc)
+    cand.join(cf, "neighbor_id").join(broadcast(qf), "qid")
+      .withColumn("sim", cosinePrenormed(dot(col("qvec"), col("cvec")), col("qnrm"), col("cnrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+  }
+
   /** Multi-table sign-LSH near-duplicate pairs — the scale path for a
     * cosine-threshold self-join (d05's exact per-label all-pairs is
     * quadratic in label population). Candidates = pairs sharing a

@@ -63,6 +63,18 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall truth=${truth.size} found=${found.size}")
   }
 
+  test("int8-rerank ANN recall@10 vs exact brute force") {
+    val brute = Ann.bruteForceTopK(emb, emb.filter(col("id") < 8), k = 10)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rr = Ann.int8RerankTopK(emb, emb.filter(col("id") < 8), k = 10)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(rr.nonEmpty)
+    val recall = brute.count(rr).toDouble / brute.size
+    // per-component int8 error ≤ 0.4% of amax; a 3× candidate buffer
+    // absorbs approximate-rank inversions near the top-k boundary
+    assert(recall >= 0.9, s"recall@10 $recall")
+  }
+
   test("IVF ANN recalls most true neighbors with multi-probe") {
     val brute = Ann.bruteForceTopK(emb, emb.filter(col("id") < 8), k = 10)
       .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet

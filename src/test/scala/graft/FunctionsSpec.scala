@@ -187,6 +187,40 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == Seq(("a", 5000L, 5000L), ("b", 1000L, 1000L), ("c", 2000L, 2800L)))
   }
 
+  test("DotProductInt matches a local integer dot product and stays codegen'd") {
+    import graft.functions.DotProductInt.dotInt
+    val df = Seq((Seq(1, -2, 3), Seq(4, 5, -6)), (Seq(127, 127), Seq(127, 127)))
+      .toDF("a", "b")
+    val got = df.select(dotInt($"a", $"b")).as[Long].collect().toSeq
+    assert(got == Seq(1L * 4 - 2 * 5 - 3 * 6, 2L * 127 * 127))
+    // length mismatch fails loudly, not silently truncates
+    assertThrows[Exception] {
+      Seq((Seq(1, 2), Seq(1))).toDF("a", "b").select(dotInt($"a", $"b")).collect()
+    }
+  }
+
+  test("q44 approximate percentiles land inside exact rank-error bands") {
+    import graft.functions.ExactPercentile, ExactPercentile.Pct
+    val sf = TestSpark.Sf
+    val approx = AnalyticsQueries.q44ApproxPercentiles(TestSpark.spark, sf)
+      .as[(String, Long, Long)].collect()
+      .map { case (f, p50, p90) => f -> (p50, p90) }.toMap
+    // exact bands at ±5 rank points, outPow=4 (p45/p55/p85/p95 are not
+    // all milli-exact over cent data, but are at 10^4)
+    val bands = ExactPercentile.quantiles(
+        Tables.lineitem(TestSpark.spark, sf), Seq("l_returnflag"),
+        col("l_extendedprice"), valPow = 2, outPow = 4,
+        Seq(Pct("p45", 45, 100), Pct("p55", 55, 100),
+            Pct("p85", 85, 100), Pct("p95", 95, 100)))
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(bands.nonEmpty)
+    for ((f, p45, p55, p85, p95) <- bands) {
+      val (a50, a90) = approx(f)
+      assert(a50 * 10 >= p45 && a50 * 10 <= p55, s"$f p50 $a50 outside [$p45, $p55]/10")
+      assert(a90 * 10 >= p85 && a90 * 10 <= p95, s"$f p90 $a90 outside [$p85, $p95]/10")
+    }
+  }
+
   test("ExactPercentile rejects a (p, scale) pair whose fraction is not exact") {
     import graft.functions.ExactPercentile, ExactPercentile.Pct
     val df = Seq(("a", 1.0)).toDF("g", "x")
