@@ -73,7 +73,13 @@ object ExactPercentile {
     }
 
     val grp = groupCols.map(col)
+    // percentile/quantile_cont semantics IGNORE nulls — a null value
+    // must not occupy a rank (it would sort first in the cum window
+    // and shift every quantile); a group whose values are ALL null
+    // simply vanishes (no histogram rows), which callers joining the
+    // result back must treat as "no band", not "band [0,0]"
     val counts = df
+      .filter(value.isNotNull)
       .groupBy(grp :+ Exact.e(value, valPow).as("v"): _*)
       .agg(count(lit(1)).as("cnt"))
     // running + total counts share one hash-partition on the group key;

@@ -221,6 +221,18 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("ExactPercentile ignores nulls like percentile/quantile_cont") {
+    import graft.functions.ExactPercentile, ExactPercentile.Pct
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
+                 ("b", None)).toDF("g", "x")
+    val got = ExactPercentile.quantiles(df, Seq("g"), col("x"), 0, 3,
+        Seq(Pct("p50", 50, 100)))
+      .orderBy("g").as[(String, Long)].collect().toSeq
+    // a's nulls don't occupy ranks (median of {1,3} = 2); all-null b
+    // vanishes — the same rows Spark's percentile-over-groupBy keeps
+    assert(got == Seq(("a", 2000L)))
+  }
+
   test("ExactPercentile rejects a (p, scale) pair whose fraction is not exact") {
     import graft.functions.ExactPercentile, ExactPercentile.Pct
     val df = Seq(("a", 1.0)).toDF("g", "x")

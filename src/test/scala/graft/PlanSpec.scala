@@ -84,7 +84,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("similarity hot paths carry no interpreted higher-order lambdas") {
     for (q <- Seq("s01_ann_bruteforce", "d05_embed_neardup", "d02_minhash_lsh",
-                  "s04_quantize_int8")) {
+                  "s04_quantize_int8", "s05_ann_int8_rerank")) {
       val p = planOf(q)
       assert(!p.contains("lambdafunction"), s"$q plan still has a lambda:\n$p")
     }
