@@ -29,6 +29,30 @@ object EventStream {
               col("n_events"), col("total_value"))
   }
 
+  /** Streaming percentiles — the streaming member of the percentile
+    * family (exact histogram = q29, approximate batch = q44):
+    * `approx_percentile` is a MERGEABLE bounded-memory sketch, so it
+    * composes with a watermarked tumbling window the same way
+    * count/sum do — per-window state is one sketch of fixed
+    * `accuracy`, evicted when the watermark closes the window. An
+    * exact streaming percentile would buffer every value per window;
+    * this is the shape that runs forever. Works on batch frames too
+    * (same plan, no watermark). */
+  def windowedQuantiles(events: DataFrame, watermark: String = "2 hours",
+                        windowLen: String = "1 hour",
+                        accuracy: Int = 1000): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    withWm
+      .groupBy(timeWindow(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(
+        expr(s"approx_percentile(value, 0.5, $accuracy)").as("p50_value"),
+        expr(s"approx_percentile(value, 0.9, $accuracy)").as("p90_value"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("hour_ts"), col("event_type"),
+              col("p50_value"), col("p90_value"), col("n_events"))
+  }
+
   /** Session-window aggregation — the streaming twin of batch
     * sessionization (q20): Spark's native `session_window` merges
     * events into gap-bounded sessions per user, with the watermark

@@ -54,6 +54,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming windowed quantiles: mergeable sketch per window, batch parity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val rows = Seq(
+      (ts("2024-01-01 00:10:00"), "click", 1.0),
+      (ts("2024-01-01 00:20:00"), "click", 3.0),
+      (ts("2024-01-01 00:30:00"), "click", 100.0),
+      (ts("2024-01-01 01:10:00"), "view", 7.0))
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val query = EventStream.windowedQuantiles(input.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("win_q")
+      .outputMode("complete").start()
+    try {
+      // two micro-batches: the per-window sketch must MERGE across them
+      input.addData(rows.take(2): _*)
+      query.processAllAvailable()
+      input.addData(rows.drop(2): _*)
+      query.processAllAvailable()
+      val out = spark.table("win_q")
+        .orderBy("hour_ts", "event_type")
+        .select($"hour_ts".cast("string"), $"event_type", $"p50_value", $"n_events")
+        .as[(String, String, Double, Long)].collect().toSeq
+      // approx_percentile at accuracy 1000 over 3 values is exact: the
+      // median of {1, 3, 100} is 3 — a mean-like aggregate would be ~35
+      assert(out == Seq(
+        ("2024-01-01 00:00:00", "click", 3.0, 3L),
+        ("2024-01-01 01:00:00", "view", 7.0, 1L)), out)
+      // batch parity: same function over the same rows as a batch frame
+      val batch = EventStream.windowedQuantiles(rows.toDF("ts", "event_type", "value"))
+        .orderBy("hour_ts", "event_type")
+        .select($"hour_ts".cast("string"), $"event_type", $"p50_value", $"n_events")
+        .as[(String, String, Double, Long)].collect().toSeq
+      assert(batch == out)
+    } finally query.stop()
+  }
+
   test("corpus chunking runs unchanged on a stream (stateless projection + explode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
