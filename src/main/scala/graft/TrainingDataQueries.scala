@@ -448,7 +448,69 @@ object TrainingDataQueries {
        |       CAST(SUM(n_tok) AS BIGINT) AS n_tok_total
        |FROM sized GROUP BY source ORDER BY source""".stripMargin
 
+  /** Per-source mixture weights for d12 — the Dolma/GPT-3-style data
+    * mixing config: upsample high-quality sources by an integer epoch
+    * count plus a fractional hash-gated extra epoch, downsample noisy
+    * ones below 1.0. Weights are ×10 integers so the fractional gate
+    * is exact integer arithmetic on both engines. */
+  private val MixWeightsE1: Map[String, Int] =
+    Map("src0" -> 30, "src1" -> 25, "src2" -> 20, "src3" -> 15,
+        "src19" -> 5).withDefaultValue(10)
+
+  /** #87 (d12): weighted corpus mixture — emit each document
+    * `floor(w)` times plus one extra epoch for docs whose id-hash
+    * falls under the fractional part (deterministic, so the mixture
+    * is reproducible and a re-ingested doc keeps its epochs), with a
+    * content-independent `order_key` for the global training-order
+    * shuffle. The standard mixing step between "cleaned corpus" and
+    * "tokenizer input". Pure projection + bounded explode (≤ ⌈w⌉
+    * rows/doc) — no shuffle until the training-order sort, which is a
+    * range partition on uniformly-distributed hashes (splittable;
+    * here materialized via ORDER BY for the oracle's total order). */
+  def d12Mixture: Q = (spark, dir) => {
+    val wCol = MixWeightsE1.foldLeft(lit(10): Column) { case (acc, (s, w)) =>
+      when(col("source") === s, lit(w)).otherwise(acc)
+    }
+    // epochs = w10 div 10; extra epoch iff hash-bucket(doc) < w10 mod 10
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), wCol.cast(LongType).as("w10"))
+      .withColumn("full_epochs", (col("w10") / 10).cast(LongType))
+      .withColumn("extra",
+        (hashBucket(col("doc_id"), 10) < col("w10") % 10).cast(LongType))
+      .withColumn("n_epochs", col("full_epochs") + col("extra"))
+      .filter(col("n_epochs") > 0)
+    docs
+      .select(col("doc_id"), col("source"), col("w10"),
+        explode(sequence(lit(1L), col("n_epochs"))).as("epoch"))
+      .withColumn("order_key",
+        md5(concat_ws(":", col("epoch"), col("doc_id"))))
+      .orderBy("order_key", "doc_id")
+  }
+
+  val d12Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, source,
+      |         CASE source WHEN 'src0' THEN 30 WHEN 'src1' THEN 25
+      |              WHEN 'src2' THEN 20 WHEN 'src3' THEN 15
+      |              WHEN 'src19' THEN 5 ELSE 10 END AS w10
+      |  FROM documents),
+      |e AS (
+      |  SELECT doc_id, source, w10,
+      |         w10 // 10
+      |           + CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < w10 % 10
+      |                  THEN 1 ELSE 0 END AS n_epochs
+      |  FROM w),
+      |x AS (
+      |  SELECT doc_id, source, CAST(w10 AS BIGINT) AS w10,
+      |         CAST(unnest(range(1, n_epochs + 1)) AS BIGINT) AS epoch
+      |  FROM e WHERE n_epochs > 0)
+      |SELECT doc_id, source, w10, epoch,
+      |       md5(epoch || ':' || doc_id) AS order_key
+      |FROM x
+      |ORDER BY order_key, doc_id""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "d12_mixture" -> d12Mixture,
     "t08_hash_split" -> t08HashSplit,
     "d08_chunk" -> d08Chunk,
     "t09_salient_terms" -> t09SalientTerms,
@@ -461,6 +523,7 @@ object TrainingDataQueries {
     "d11_corpus_pipeline" -> d11CorpusPipeline)
 
   val oracles: Seq[(String, String)] = Seq(
+    "d12_mixture" -> d12Sql,
     "t13_boilerplate" -> t13Sql,
     "t08_hash_split" -> t08Sql,
     "d08_chunk" -> d08Sql,

@@ -123,6 +123,35 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("d12 mixture: per-doc epoch counts realize the source weights, deterministically") {
+    val rows = TrainingDataQueries.d12Mixture(spark, TestSpark.Sf)
+      .groupBy("source", "doc_id").agg(count(lit(1)).as("n"), max("w10").as("w10"))
+      .as[(String, Long, Long, Long)].collect()
+    for ((src, _, n, w10) <- rows) {
+      val full = w10 / 10
+      // every doc gets floor(w) epochs, plus at most one fractional epoch
+      assert(n == full || n == full + 1, s"$src: $n epochs at weight $w10")
+    }
+    // fractional gate hits ~(w10 mod 10)/10 of each source's TOTAL doc
+    // population (0-epoch docs are absent from the output, so the rate
+    // must be measured against the documents table, not emitted rows) —
+    // and is deterministic (hash of id, not random)
+    val srcTotals = Tables.documents(spark, TestSpark.Sf)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    val bySrc = rows.groupBy(_._1)
+    for ((src, rs) <- bySrc if rs.head._4 % 10 != 0) {
+      val frac = rs.count(r => r._3 == r._4 / 10 + 1).toDouble / srcTotals(src)
+      val want = (rs.head._4 % 10).toDouble / 10
+      assert(math.abs(frac - want) < 0.25, s"$src extra-epoch rate $frac, want ~$want")
+    }
+    // docs from a weight-0.5 source appear at most once; weight-3 thrice
+    val r2 = TrainingDataQueries.d12Mixture(spark, TestSpark.Sf)
+      .groupBy("source", "doc_id").agg(count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect()
+    assert(r2.filter(_._1 == "src0").forall(_._3 == 3L))
+    assert(r2.filter(_._1 == "src19").forall(_._3 == 1L)) // 0-epoch docs don't appear
+  }
+
   test("t10 sample takes exactly 20 docs per language, deterministically") {
     val s1 = TrainingDataQueries.t10StratifiedSample(spark, TestSpark.Sf)
       .as[(String, Long, Long)].collect()
