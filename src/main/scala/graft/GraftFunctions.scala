@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.dedup.{MinHash, SimHash}
-import graft.functions.{DotProduct, Fingerprint64, QuantizeInt8, ShingleFingerprints}
+import graft.functions.{DotProduct, DotProductInt, Fingerprint64, QuantizeInt8, ShingleFingerprints}
 
 /** SQL registration for graft's custom Catalyst expressions, so
   * `spark.sql("SELECT fingerprint64(text) …")` works alongside the
@@ -30,6 +30,7 @@ object GraftFunctions {
       MinHash.MinHashSignature(exprs.head, 64, 0x5eedL)
     },
     "dot_product" -> { exprs => DotProduct(exprs(0), exprs(1)) },
+    "dot_product_int" -> { exprs => DotProductInt(exprs(0), exprs(1)) },
     "vec_abs_max" -> { exprs => QuantizeInt8.AbsMax(exprs.head) },
     "vec_quantize_int8" -> { exprs => QuantizeInt8.Quantize(exprs.head) },
     "band_hashes" -> { exprs => MinHash.BandHashesExpr(exprs.head, 16) },

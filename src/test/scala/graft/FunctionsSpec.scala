@@ -120,12 +120,15 @@ class FunctionsSpec extends AnyFunSuite {
     assert(df.count() == 500)
   }
 
-  test("vec_abs_max / vec_quantize_int8 are SQL-callable after registration") {
+  test("vec_abs_max / vec_quantize_int8 / dot_product_int are SQL-callable after registration") {
     GraftFunctions.register(spark)
     val r = spark.sql(
       "SELECT vec_abs_max(array(3.0D, -4.0D)) AS m, vec_quantize_int8(array(3.0D, -4.0D)) AS q")
       .as[(Double, Seq[Int])].head()
     assert(r == ((4.0, Seq(95, -127)))) // floor(3*127/4+0.5)=floor(95.75)=95
+    val d = spark.sql("SELECT dot_product_int(array(1, -2), array(3, 4)) AS d")
+      .as[Long].head()
+    assert(d == 1L * 3 - 2 * 4)
   }
 
   test("t07 redaction masks emails and digit runs on matching text (group-0 extract path)") {

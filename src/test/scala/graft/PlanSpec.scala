@@ -135,6 +135,24 @@ class PlanSpec extends AnyFunSuite {
       p.take(800))
   }
 
+  test("q29 histogram scans read only the needed columns (pruned ReadSchema)") {
+    val p = planOf("q29_percentiles")
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.nonEmpty, p.take(400))
+    // two histogram pipelines: each scan reads its group + value column,
+    // never the 14-column lineitem width
+    for (s <- schemas) {
+      assert(!s.contains("l_comment") && !s.contains("l_shipdate") &&
+             !s.contains("l_orderkey"), s)
+    }
+  }
+
+  test("d12 mixture plans as projection + explode with no join or aggregate") {
+    val p = planOf("d12_mixture")
+    assert(!p.contains("HashAggregate") && !p.contains("Join"),
+      s"mixture should be projection/explode only:\n${p.take(800)}")
+  }
+
   test("d10 pack window partitions on (source, sub), not source alone") {
     // one giant source must split into PackSubStreams independent pack
     // streams — the window exchange key proves it structurally
