@@ -61,11 +61,15 @@ object LlmQueries {
   }
 
   /** #23: SimHash near-dup (hamming ≤ 3 over 64-bit signatures,
-    * complete via 4-band pigeonhole). Rows-only oracle. */
+    * pigeonhole-complete). Rows-only oracle. Round 4: uses the
+    * Manku-style blocked tables (6 blocks, C(6,3)=20 tables keyed on
+    * ~32 bits) instead of 4×16-bit banding — same output (DedupSpec
+    * proves equality), but bucket population divides by 2¹⁶, which
+    * keeps the candidate join linear at web-scale corpora. */
   def d03SimHash: Q = (spark, dir) => {
     val sigs = shingled(spark, dir)
       .select(col("doc_id"), SimHash.simhash(col("sh")).as("sig"))
-    SimHash.nearDupPairs(sigs, "doc_id", "sig", nBands = 4, maxHamming = 3)
+    SimHash.nearDupPairsBlocked(sigs, "doc_id", "sig", nBlocks = 6, maxHamming = 3)
       .orderBy("id1", "id2")
   }
 

@@ -100,4 +100,61 @@ object SimHash {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Block widths covering all 64 bits: the first (64 mod nBlocks)
+    * blocks carry one extra bit. */
+  private def blockWidths(nBlocks: Int): Seq[Int] = {
+    val base = 64 / nBlocks
+    val extra = 64 % nBlocks
+    Seq.tabulate(nBlocks)(j => if (j < extra) base + 1 else base)
+  }
+
+  /** Candidate pairs of the blocked scheme, exposed for the volume
+    * spec: one table per (nBlocks − maxHamming)-subset of blocks,
+    * keyed on the concatenation of those blocks' bits. */
+  private[graft] def blockedCandidates(sigs: DataFrame, idCol: String,
+                                       sigCol: String, nBlocks: Int,
+                                       maxHamming: Int): DataFrame = {
+    require(nBlocks > maxHamming && nBlocks <= 16)
+    val widths = blockWidths(nBlocks)
+    val offsets = widths.scanLeft(0)(_ + _)
+    def block(j: Int): Column =
+      shiftrightunsigned(col(sigCol), offsets(j)).bitwiseAND(lit((1L << widths(j)) - 1))
+    val subsets = (0 until nBlocks).combinations(nBlocks - maxHamming).toSeq
+    // keep maxHamming·(width+1) bits free: the widest key is
+    // (nBlocks − maxHamming) blocks ≤ 64 − maxHamming·⌊64/nBlocks⌋ bits
+    val keyed = sigs.select(
+      col(idCol), col(sigCol),
+      posexplode(array(subsets.map { s =>
+        s.foldLeft(lit(0L): Column)((acc, j) => shiftleft(acc, widths(j)).bitwiseOR(block(j)))
+      }: _*)).as(Seq("tbl", "key")))
+    val k1 = keyed.toDF("id1", "sig1", "tbl1", "key1")
+    val k2 = keyed.toDF("id2", "sig2", "tbl2", "key2")
+    k1.join(k2,
+      col("tbl1") === col("tbl2") && col("key1") === col("key2") &&
+      col("id1") < col("id2"))
+  }
+
+  /** Scale variant of [[nearDupPairs]] (Manku et al., WWW'07 §3): the
+    * simple banding is the nBlocks = maxHamming + 1 special case, and
+    * its bucket key is only 64/nBands bits — 16 bits at the standard
+    * 4/3 config, so bucket population is n/2¹⁶ and the per-band
+    * candidate join goes quadratic long before web scale. Splitting
+    * into nBlocks > maxHamming + 1 blocks and joining once per
+    * (nBlocks − maxHamming)-subset widens the key to ~64·(1 −
+    * maxHamming/nBlocks) bits: at 6/3 that is ~32 bits — bucket
+    * population divides by 2¹⁶ — for C(6,3) = 20 tables instead
+    * of 4. Completeness is the same pigeonhole: ≤ maxHamming flipped
+    * bits touch ≤ maxHamming blocks, so some kept subset is entirely
+    * clean. Precision is exact either way (bit_count verification);
+    * DedupSpec asserts output equality with the banded path. */
+  def nearDupPairsBlocked(sigs: DataFrame, idCol: String, sigCol: String,
+                          nBlocks: Int = 6, maxHamming: Int = 3): DataFrame = {
+    val mat = sigs.repartition(col(idCol))
+    blockedCandidates(mat, idCol, sigCol, nBlocks, maxHamming)
+      .select(col("id1"), col("id2"),
+        expr("bit_count(sig1 ^ sig2)").cast(LongType).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

@@ -105,6 +105,37 @@ class DedupSpec extends AnyFunSuite {
     assert(r.toSeq == Seq((1L, 2L), (3L, 1L)))
   }
 
+  test("blocked SimHash tables find the same pairs as simple banding, fewer candidates") {
+    import graft.dedup.{MinHash, SimHash}
+    val sigs = LlmQueries.normedDocs(spark, TestSpark.Sf)
+      .select(col("doc_id"),
+        SimHash.simhash(MinHash.shingleHashes(col("text_norm"), 3)).as("sig"))
+    val banded = SimHash.nearDupPairs(sigs, "doc_id", "sig", nBands = 4, maxHamming = 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val blocked = SimHash.nearDupPairsBlocked(sigs, "doc_id", "sig",
+        nBlocks = 6, maxHamming = 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // both schemes are pigeonhole-complete at hamming <= 3 and verify
+    // exactly -> identical output
+    assert(blocked == banded,
+      s"missed=${banded.diff(blocked)} extra=${blocked.diff(banded)}")
+    // the widened keys (~32 vs 16 bits) must not surface MORE DISTINCT
+    // candidate pairs: random 16-bit collisions vanish at 32 bits, and
+    // random-collision mass (Σ n²/2^keybits per table) is what turns
+    // the banded scheme quadratic at corpus scale. (Row multiplicity
+    // runs the other way on a toy corpus — a hamming-0 pair matches
+    // all 20 subsets but only 4 bands — so distinct pairs, which is
+    // also what the verification stage pays for after the hamming
+    // filter, is the meaningful meter. nBlocks = maxHamming + 1
+    // reproduces the banded keys exactly.)
+    val nBlocked = SimHash.blockedCandidates(sigs, "doc_id", "sig", 6, 3)
+      .select("id1", "id2").distinct().count()
+    val nBanded = SimHash.blockedCandidates(sigs, "doc_id", "sig", 4, 3)
+      .select("id1", "id2").distinct().count()
+    assert(nBlocked <= nBanded,
+      s"blocked distinct candidates $nBlocked > banded $nBanded")
+  }
+
   test("EdJoin prefix-filtered edit-distance join equals brute force (lossless)") {
     // edge shapes: short strings below the gram bound (routed through
     // the short block), boundary dist = 4, dist = 5 excluded, repeated
