@@ -224,20 +224,24 @@ object LlmQueries {
       |SELECT qid, rank, neighbor_id FROM scored WHERE rank <= 10
       |ORDER BY qid, rank""".stripMargin
 
-  /** #27: LSH-bucketed ANN (scale path; recall-bounded). Rows-only. */
+  /** #27: LSH-bucketed ANN (scale path; recall-bounded). Rows-only.
+    * Round 4: corpus-derived parameters (occupancy-constant bits,
+    * recall-0.75 tables at the cos-0.5 target) — a fixed width stops
+    * pruning once the corpus outgrows 2^nBits·occupancy. */
   def s02AnnLsh: Q = (spark, dir) => {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
-    Ann.lshTopK(e, e.filter(col("id") < 8), k = 10, nBits = 6, dim = 64, seed = 7L)
+    Ann.lshTopKAuto(e, e.filter(col("id") < 8), k = 10, dim = 64, seed = 7L)
       .orderBy("qid", "rank")
   }
 
-  /** #27b: IVF ANN — k-means coarse quantizer, 3-of-8 cells probed.
-    * Rows-only (k-means is iterative float math; no SQL oracle). */
+  /** #27b: IVF ANN — k-means coarse quantizer, √n cells, constant
+    * probe fraction. Rows-only (k-means is iterative float math; no
+    * SQL oracle). */
   def s03AnnIvf: Q = (spark, dir) => {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
-    Ann.ivfTopK(e, e.filter(col("id") < 8), k = 10, nCells = 8, nProbe = 3, seed = 42L)
+    Ann.ivfTopKAuto(e, e.filter(col("id") < 8), k = 10, seed = 42L)
       .orderBy("qid", "rank")
   }
 

@@ -279,13 +279,45 @@ object Ann {
     lshNearDupPairs(vecs, idCol, vecCol, tau, nBits, nTables, dim, seed)
   }
 
+  /** [[lshTopK]] with corpus-derived parameters — same rationale as
+    * [[lshNearDupPairsAuto]]: fixed nBits caps the corpus at
+    * 2^nBits·occupancy before per-query candidates stop shrinking.
+    * Top-k has no crisp threshold, so `tauTarget` states the cosine
+    * at which the recall bound is taken (neighbors ABOVE it recall
+    * better; the k-th neighbor's similarity is the honest choice). */
+  def lshTopKAuto(corpus: DataFrame, queries: DataFrame, k: Int,
+                  dim: Int, seed: Long, tauTarget: Double = 0.5,
+                  occupancy: Long = 32L, recall: Double = 0.75): DataFrame = {
+    val n = corpus.count()
+    val nBits = bitsForOccupancy(n, occupancy)
+    val nTables = tablesForRecall(tauTarget, nBits, recall)
+    lshTopK(corpus, queries, k, nBits, dim, seed, nTables)
+  }
+
+  /** [[ivfTopK]] with corpus-derived sizing: nCells ≈ √n (cell count
+    * and cell population balance, the standard IVF/FAISS shape) and
+    * nProbe ≈ √nCells — a constant probe FRACTION would scan Θ(n)
+    * per query like brute force; √nCells probes make per-query work
+    * ≈ n/√nCells = n^(3/4), and because the quantizer is
+    * data-adaptive a query's true neighbors concentrate in its
+    * nearest cells, which is what keeps recall up as coverage
+    * shrinks (recall spec pins it). */
+  def ivfTopKAuto(corpus: DataFrame, queries: DataFrame, k: Int,
+                  seed: Long): DataFrame = {
+    val n = corpus.count()
+    val nCells = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val nProbe = math.max(3, math.ceil(math.sqrt(nCells.toDouble)).toInt)
+    ivfTopK(corpus, queries, k, nCells, nProbe, seed)
+  }
+
   /** LSH-bucketed ANN: score only corpus vectors sharing a bucket
     * with the query in at least one of `nTables` independent
     * hyperplane tables. One table's recall on near-orthogonal
     * embeddings is poor (~0.1 at nBits=4 — a true neighbor at cos 0.4
     * agrees with the query on all 4 signs only 16% of the time);
     * OR-ing tables compounds it to 1 − (1−p^nBits)^nTables while
-    * candidate volume stays ≈ nTables · n/2^nBits per query. */
+    * candidate volume stays ≈ nTables · n/2^nBits per query.
+    * Prefer [[lshTopKAuto]]. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nBits: Int, dim: Int, seed: Long, nTables: Int = 8): DataFrame = {
     // barrier: bucket generation AND scoring read the same

@@ -86,6 +86,22 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall $recall") // 3/8 cells probed
   }
 
+  test("auto-parameterized s02/s03 query paths keep quantified recall vs s01") {
+    val brute = LlmQueries.s01AnnBruteForce(spark, TestSpark.Sf)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = LlmQueries.s02AnnLsh(spark, TestSpark.Sf)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = LlmQueries.s03AnnIvf(spark, TestSpark.Sf)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(lsh.nonEmpty && ivf.nonEmpty)
+    // derived configs at n=500: LSH 4 bits / 7 tables (bound ≈ 0.7 at
+    // cos 0.5), IVF 23 cells / 9 probed (fraction 0.39)
+    val rLsh = brute.count(lsh).toDouble / brute.size
+    val rIvf = brute.count(ivf).toDouble / brute.size
+    assert(rLsh >= 0.4, s"s02 recall@10 $rLsh")
+    assert(rIvf >= 0.3, s"s03 recall@10 $rIvf")
+  }
+
   test("LSH near-dup candidate volume stays O(n · nTables) across corpus sizes") {
     // The round-3 scale-killer: FIXED nBits ⇒ bucket population n/2^b ⇒
     // Σ bucket² quadratic in n. Occupancy-scaled bits must keep the
