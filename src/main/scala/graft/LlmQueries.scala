@@ -295,6 +295,18 @@ object LlmQueries {
       .orderBy("qid", "rank")
   }
 
+  /** #89 (s06): product-quantization ANN — the compression notch past
+    * s05: 8 codebook codes per vector (8 bytes vs 512 of raw doubles),
+    * corpus scored by ADC table lookups alone, exact rerank over the
+    * surviving 8k candidates. Rows-only (codebooks are iterative float
+    * math); AnnSpec asserts recall@10 vs the exact s01 baseline. */
+  def s06AnnPq: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
+    Ann.pqTopK(e, e.filter(col("id") < 8), k = 10, seed = 11L)
+      .orderBy("qid", "rank")
+  }
+
   /** #28: language ID via marker-word scores. */
   def t01LangId: Q = (spark, dir) => {
     val scored = Tables.documents(spark, dir)
@@ -504,6 +516,7 @@ object LlmQueries {
     "s03_ann_ivf" -> s03AnnIvf,
     "s04_quantize_int8" -> s04QuantizeInt8,
     "s05_ann_int8_rerank" -> s05AnnInt8Rerank,
+    "s06_ann_pq" -> s06AnnPq,
     "t01_lang_id" -> t01LangId,
     "t02_quality_score" -> t02QualityScore,
     "t03_token_count" -> t03TokenCount,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 
 import graft.etl.Skew
-import graft.functions.HeavyHitters
+import graft.functions.{BloomFilter, HeavyHitters}
 import graft.sources.Bucketing
 
 /** Scale-technique queries (SURVEY.md §2 #38, #44, #52) — operators
@@ -127,15 +127,50 @@ object ScaleQueries {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** #88 (q45): bloom-filter runtime pre-join — the big (fact) side is
+    * pre-filtered by a bit-set sketch of the SELECTIVE dimension's join
+    * keys before it reaches the shuffle, the explicit form of AQE's
+    * InjectRuntimeFilter semi-join reduction. Bloom filters have false
+    * positives only, and the real equi-join that follows removes them —
+    * so the result provably equals the plain join (the oracle asserts
+    * exactly that identity, same trick as q35/q36). At 100 TB the win
+    * is the fact shuffle shrinking by the dimension predicate's
+    * selectivity (~20% here) with the probe codegen'd into the scan
+    * stage; the two build-side actions (count + sketch) touch only the
+    * small filtered dimension. */
+  def q45BloomPrejoin: Q = (spark, dir) => {
+    val dims = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("okey"), col("o_orderdate"))
+    val nKeys = math.max(1L, dims.count())
+    val bf = BloomFilter.buildLong(dims, "okey", expectedKeys = nKeys, fpp = 0.01)
+    val facts = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_extendedprice"))
+      .filter(BloomFilter.mightContain(col("okey"), bf))
+    facts.join(dims, "okey")
+      .groupBy(year(col("o_orderdate")).cast("long").as("oyear"))
+      .agg(count(lit(1)).as("n_lines"), Exact.eSum(col("l_extendedprice"), 2).as("revenue_e2"))
+      .orderBy("oyear")
+  }
+
+  val q45Sql: String =
+    """SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS oyear, COUNT(*) AS n_lines,
+      |       CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e2
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q34_heavy_hitters" -> q34HeavyHitters,
     "q35_salted_join" -> q35SaltedJoin,
     "q36_bucketed_join" -> q36BucketedJoin,
-    "q43_incremental_agg" -> q43IncrementalAgg)
+    "q43_incremental_agg" -> q43IncrementalAgg,
+    "q45_bloom_prejoin" -> q45BloomPrejoin)
 
   val oracles: Seq[(String, String)] = Seq(
     "q34_heavy_hitters" -> q34Sql,
     "q35_salted_join" -> q35Sql,
     "q36_bucketed_join" -> q36Sql,
-    "q43_incremental_agg" -> q43Sql)
+    "q43_incremental_agg" -> q43Sql,
+    "q45_bloom_prejoin" -> q45Sql)
 }

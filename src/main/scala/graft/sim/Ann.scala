@@ -236,6 +236,61 @@ object Ann {
       .select(col("qid"), col("rank").cast("long").as("rank"), col("neighbor_id"))
   }
 
+  /** Product-quantization two-stage ANN (SURVEY.md §2 #89): corpus
+    * vectors compress to `m` codebook codes (8 bytes/vector at the
+    * defaults — the 100 TB float corpus becomes ~1.6 TB of codes), the
+    * whole corpus is scored by ADC table lookups (`m` lookups per row,
+    * no float vector touched), and only the top `k·candMult` per query
+    * are re-fetched by id for an exact cosine rerank — the same
+    * two-stage serving shape as [[int8RerankTopK]], one compression
+    * notch further (int8 scales per-component; PQ quantizes whole
+    * subspaces). Codebooks fit on a bounded deterministic hash-sample
+    * ([[graft.functions.ProductQuantizer.fit]]); precision of the final
+    * ranking is exact, only candidate recall is approximate (spec'd in
+    * AnnSpec vs brute force). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, seed: Long,
+             m: Int = 8, ksub: Int = 16, candMult: Int = 8,
+             fitSampleCap: Long = 8192L): DataFrame = {
+    import graft.functions.ProductQuantizer._
+    val live = corpus.withColumn("nrm", norm(col("vec"))).filter(col("nrm") > 0)
+    val n = live.count()
+    val sampled =
+      if (n <= fitSampleCap) live
+      else live.filter(pmod(xxhash64(col("id")), lit(n / fitSampleCap + 1)) === 0)
+    // bounded driver round-trip: ≤ cap·dim doubles of FIT SAMPLE (not
+    // corpus) — the codebook analog of the IVF fit cap / bloom sketch
+    val samples = sampled.select(col("vec"), col("nrm"))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Double](0); val nr = r.getDouble(1)
+        v.map(_ / nr).toArray
+      }
+    val cb = fit(samples, m, ksub, seed)
+    val c = live.select(col("id").as("neighbor_id"),
+      pqEncode(col("vec"), col("nrm"), cb).as("codes"))
+    val q = queries.withColumn("qnrm", norm(col("vec")))
+      .filter(col("qnrm") > 0)
+      .select(col("id").as("qid"), pqLut(col("vec"), col("qnrm"), cb).as("lut"))
+    val wa = Window.partitionBy("qid").orderBy(col("asim").desc, col("neighbor_id").asc)
+    val cand = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("qid"))
+      .withColumn("asim", pqAdc(col("lut"), col("codes"), ksub))
+      .withColumn("ar", row_number().over(wa))
+      .filter(col("ar") <= k * candMult)
+      .select("qid", "neighbor_id")
+    // exact rerank over survivors only — float vectors fetched by id
+    val cf = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
+      .withColumn("cnrm", norm(col("cvec"))).filter(col("cnrm") > 0)
+    val qf = queries.select(col("id").as("qid"), col("vec").as("qvec"))
+      .withColumn("qnrm", norm(col("qvec"))).filter(col("qnrm") > 0)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("neighbor_id").asc)
+    cand.join(cf, "neighbor_id").join(broadcast(qf), "qid")
+      .withColumn("sim", cosinePrenormed(dot(col("qvec"), col("cvec")), col("qnrm"), col("cnrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+  }
+
   /** Multi-table sign-LSH near-duplicate pairs — the scale path for a
     * cosine-threshold self-join (d05's exact per-label all-pairs is
     * quadratic in label population). Candidates = pairs sharing a

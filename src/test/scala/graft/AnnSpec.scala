@@ -86,6 +86,19 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall $recall") // 3/8 cells probed
   }
 
+  test("PQ ANN (s06) recall@10 vs brute force is quantified") {
+    val brute = LlmQueries.s01AnnBruteForce(spark, TestSpark.Sf)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = LlmQueries.s06AnnPq(spark, TestSpark.Sf)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(pq.nonEmpty)
+    // 16 centroids per 8-dim subspace is a coarse quantizer; the 8×
+    // candidate buffer + exact rerank restores most of the true top-10
+    val recall = brute.count(pq).toDouble / brute.size
+    info(s"s06 recall@10 = $recall")
+    assert(recall >= 0.5, s"s06 recall@10 $recall")
+  }
+
   test("auto-parameterized s02/s03 query paths keep quantified recall vs s01") {
     val brute = LlmQueries.s01AnnBruteForce(spark, TestSpark.Sf)
       .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
