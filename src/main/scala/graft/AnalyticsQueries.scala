@@ -379,6 +379,23 @@ object AnalyticsQueries {
           .cast(LongType).as("p90_price_milli_approx"))
       .orderBy("l_returnflag")
 
+  /** #92 (q46): APPROXIMATE distinct counting — the mergeable-sketch
+    * twin of q21, the same relationship q44 bears to q29: HLL++
+    * (`approx_count_distinct`) keeps one fixed-size register set per
+    * group, merged map-side, so the shuffle carries sketches instead
+    * of the full user-id domain — at 100 TB an exact countDistinct's
+    * expand+re-shuffle of every (group, user) pair is the cost being
+    * deleted. Rows-only (register layout is engine-specific);
+    * FunctionsSpec pins each approximation inside the ±3·rsd band of
+    * the exact count. */
+  def q46ApproxDistinct: Q = (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("n_users_approx"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
   val q29Sql: String =
     """SELECT l_returnflag,
       |       CAST(ROUND(quantile_cont(l_extendedprice, 0.5) * 1000, 0) AS BIGINT) AS p50_price_milli,
@@ -704,7 +721,8 @@ object AnalyticsQueries {
     "q38_supplier_stats" -> q38SupplierStats,
     "q39_grouping_sets" -> q39GroupingSets,
     "q42_resample" -> q42Resample,
-    "q44_approx_percentiles" -> q44ApproxPercentiles)
+    "q44_approx_percentiles" -> q44ApproxPercentiles,
+    "q46_approx_distinct" -> q46ApproxDistinct)
 
   val oracles: Seq[(String, String)] = Seq(
     "q37_range_join" -> q37Sql,

@@ -204,6 +204,20 @@ object LlmQueries {
       .orderBy("id1", "id2")
   }
 
+  /** #90 (d13): semantic dedup, SemDeDup-style — coarse k-means cells
+    * + within-cell near-dup drop (smaller id wins). Θ(n·occupancy)
+    * pair generation vs d05's per-label quadratic; recall vs the
+    * exact global pair set is quantified in AnnSpec (boundary-split
+    * pairs are the approximation). Rows-only (cluster assignment is
+    * iterative float math). Same τ = 0.44 as d05/d07. */
+  def d13SemDedup: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    sim.SemDeDup.dedupFlags(e, "vec_id", "v", tau = 0.44, seed = 0xd13L)
+      .select(col("id").as("vec_id"), col("kept"))
+      .orderBy("vec_id")
+  }
+
   /** #26: brute-force cosine top-k ANN (8 query vectors × corpus). */
   def s01AnnBruteForce: Q = (spark, dir) => {
     val e = Tables.embeddings(spark, dir)
@@ -511,6 +525,7 @@ object LlmQueries {
     "d05_embed_neardup" -> d05EmbedNearDup,
     "d06_dedup_clusters" -> d06DedupClusters,
     "d07_embed_neardup_lsh" -> d07EmbedNearDupLsh,
+    "d13_semdedup" -> d13SemDedup,
     "s01_ann_bruteforce" -> s01AnnBruteForce,
     "s02_ann_lsh" -> s02AnnLsh,
     "s03_ann_ivf" -> s03AnnIvf,

@@ -60,6 +60,26 @@ object BloomFilter {
     (words(i >>> 6) & (1L << (i & 63))) != 0L
   }
 
+  /** Mutating insert into a raw word array (numBits = words.length·64,
+    * power of two) — the streaming state-store path, where the words
+    * live inside a `GroupState` rather than a built [[Filter]]. */
+  def insert(words: Array[Long], key: Long, numHashes: Int): Unit = {
+    val numBits = words.length << 6
+    var i = 0
+    while (i < numHashes) { setBit(words, position(key, i, numBits)); i += 1 }
+  }
+
+  /** Membership probe against a raw word array. */
+  def contains(words: Array[Long], key: Long, numHashes: Int): Boolean = {
+    val numBits = words.length << 6
+    var i = 0
+    while (i < numHashes) {
+      if (!getBit(words, position(key, i, numBits))) return false
+      i += 1
+    }
+    true
+  }
+
   /** i-th probe position for `key` in a `numBits`-bit (power-of-two)
     * filter. */
   def position(key: Long, i: Int, numBits: Int): Long = {
@@ -75,8 +95,7 @@ object BloomFilter {
     require(Integer.bitCount(numBits) == 1, s"numBits must be a power of two, got $numBits")
     override def zero: Array[Long] = new Array[Long](numBits >>> 6)
     override def reduce(b: Array[Long], key: Long): Array[Long] = {
-      var i = 0
-      while (i < numHashes) { setBit(b, position(key, i, numBits)); i += 1 }
+      BloomFilter.insert(b, key, numHashes)
       b
     }
     override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
@@ -93,14 +112,7 @@ object BloomFilter {
     * [[mightContain]] — false negatives are impossible. */
   final case class Filter(words: Array[Long], numHashes: Int) {
     def numBits: Int = words.length << 6
-    def contains(key: Long): Boolean = {
-      var i = 0
-      while (i < numHashes) {
-        if (!getBit(words, position(key, i, numBits))) return false
-        i += 1
-      }
-      true
-    }
+    def contains(key: Long): Boolean = BloomFilter.contains(words, key, numHashes)
   }
 
   /** Build a filter over a single long key column. One driver-side

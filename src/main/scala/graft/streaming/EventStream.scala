@@ -83,6 +83,50 @@ object EventStream {
     records.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming bloom dedup (SURVEY.md §2 #91) — bounded-state
+    * UNBOUNDED-HISTORY dedup, the complement of [[dedupStream]]:
+    * `dropDuplicatesWithinWatermark` forgets keys once the watermark
+    * passes (re-deliveries beyond the horizon slip through), while
+    * this keeps a bloom filter PER KEY-HASH BUCKET in the state store
+    * — total state is exactly nBuckets × bucketBits bits FOREVER,
+    * independent of how many keys the stream has seen. The trade is
+    * bloom semantics: a false positive drops a genuinely-new record
+    * with probability ≈ fpp at saturation (never emits a duplicate),
+    * which is the right direction for corpus ingest (d01's batch
+    * exact dedup catches stragglers downstream); size buckets for
+    * the expected unique-key volume.
+    *
+    * Buckets shard the keyspace so state rows stay small (one
+    * `array<long>` per bucket, merged per micro-batch) and the
+    * stateful operator parallelizes across the cluster. */
+  def bloomDedupStream[T](records: Dataset[T], key: T => Long,
+                          nBuckets: Int = 64, bucketBits: Int = 1 << 17,
+                          numHashes: Int = 5)
+                         (implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
+    import graft.functions.BloomFilter
+    val spark = records.sparkSession
+    import spark.implicits._
+    require(Integer.bitCount(nBuckets) == 1 && Integer.bitCount(bucketBits) == 1,
+      s"nBuckets/bucketBits must be powers of two, got $nBuckets/$bucketBits")
+    records
+      .groupByKey(t => BloomFilter.fmix64(key(t)) & (nBuckets - 1).toLong)
+      .flatMapGroupsWithState[Array[Long], T](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (_, rows, state) =>
+        val words = state.getOption.getOrElse(new Array[Long](bucketBits >>> 6))
+        // materialize before updating state: the returned iterator is
+        // consumed after this function returns
+        val fresh = rows.filter { t =>
+          val k = key(t)
+          val isNew = !BloomFilter.contains(words, k, numHashes)
+          if (isNew) BloomFilter.insert(words, k, numHashes)
+          isNew
+        }.toVector
+        state.update(words)
+        fresh.iterator
+      }
+  }
+
   /** Per-user running totals via arbitrary stateful processing
     * (`mapGroupsWithState`): state is one [[UserAgg]] per user —
     * bounded by the user population, not the stream length — and

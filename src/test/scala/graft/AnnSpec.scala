@@ -99,6 +99,43 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"s06 recall@10 $recall")
   }
 
+  test("SemDeDup (d13): kept set is pairwise non-dup per cell; drop recall quantified") {
+    val tau = 0.44
+    val flags = graft.sim.SemDeDup
+      .dedupFlags(emb.select(col("id").as("vec_id"), col("vec").as("v")),
+        "vec_id", "v", tau = tau, seed = 0xd13L)
+      .as[(Long, Seq[Long], Boolean)].collect()
+    val vecs = emb.as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    // invariant (exact, by construction): two kept vectors
+    // co-clustered in ANY table are never near-duplicates
+    val keptRows = flags.filter(_._3)
+    val nTables = flags.head._2.length
+    for {
+      t <- 0 until nTables
+      (cell, rows) <- keptRows.groupBy(_._2(t))
+      Array(x, y) <- rows.map(_._1).sorted.combinations(2)
+    } assert(cos(vecs(x), vecs(y)) < tau, s"kept near-dup pair ($x,$y) in table $t cell $cell")
+    // approximation (quantified): how many exact global near-dup pairs
+    // were visible (co-clustered in ≥1 table)? Boundary-split pairs
+    // are the miss; OR-ing tables compounds per-table recall.
+    val cellsOf = flags.map(f => f._1 -> f._2).toMap
+    val ids = vecs.keys.toSeq.sorted
+    val truePairs = for {
+      i <- ids; j <- ids if i < j && cos(vecs(i), vecs(j)) >= tau
+    } yield (i, j)
+    assert(truePairs.nonEmpty)
+    val seen = truePairs.count { case (i, j) =>
+      cellsOf(i).zip(cellsOf(j)).exists { case (a, b) => a == b }
+    }
+    val recall = seen.toDouble / truePairs.size
+    info(s"d13 co-cluster pair recall = $recall (${truePairs.size} true pairs)")
+    assert(recall >= 0.5, s"co-cluster recall $recall")
+  }
+
   test("auto-parameterized s02/s03 query paths keep quantified recall vs s01") {
     val brute = LlmQueries.s01AnnBruteForce(spark, TestSpark.Sf)
       .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet

@@ -224,6 +224,22 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("q46 approximate distinct counts land inside the ±3·rsd band of exact") {
+    val sf = TestSpark.Sf
+    val approx = AnalyticsQueries.q46ApproxDistinct(TestSpark.spark, sf)
+      .as[(String, Long, Long)].collect()
+      .map { case (t, nUsers, _) => t -> nUsers }.toMap
+    val exact = AnalyticsQueries.q21DistinctCount(TestSpark.spark, sf)
+      .as[(String, Long, Long)].collect()
+      .map { case (t, nUsers, _) => t -> nUsers }.toMap
+    assert(exact.nonEmpty && approx.keySet == exact.keySet)
+    for ((t, n) <- exact) {
+      val a = approx(t)
+      val tol = math.max(1.0, 3 * 0.02 * n)
+      assert(math.abs(a - n) <= tol, s"$t approx $a vs exact $n (tol $tol)")
+    }
+  }
+
   test("ExactPercentile ignores nulls like percentile/quantile_cont") {
     import graft.functions.ExactPercentile, ExactPercentile.Pct
     val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)),

@@ -115,6 +115,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("bloom dedup stream: duplicates dropped across batches, state stays bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val input = MemoryStream[(Long, String)]
+    val deduped = graft.streaming.EventStream.bloomDedupStream[(Long, String)](
+      input.toDS(), key = _._1, nBuckets = 8, bucketBits = 1 << 14)
+    val query = deduped.toDF().toDF("k", "payload")
+      .writeStream.format("memory").queryName("bloom_dedup")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "a"), (2L, "b"), (1L, "a-dup-same-batch"))
+      query.processAllAvailable()
+      // re-deliveries in a LATER micro-batch — the watermark-free case
+      // dropDuplicatesWithinWatermark cannot cover forever
+      input.addData((1L, "a-dup-later"), (2L, "b-dup-later"), (3L, "c"))
+      query.processAllAvailable()
+      val out = spark.table("bloom_dedup").as[(Long, String)].collect().toSeq.sorted
+      assert(out.map(_._1) == Seq(1L, 2L, 3L), out)
+      // first delivery wins (the same-batch duplicate was dropped too)
+      assert(out == Seq((1L, "a"), (2L, "b"), (3L, "c")), out)
+      // the stateful operator ran with one state row per touched bucket
+      // (≤ nBuckets forever, regardless of keys seen)
+      val rows = query.recentProgress.flatMap(_.stateOperators)
+        .filter(_.operatorName.toLowerCase.contains("flatmapgroupswithstate"))
+        .map(_.numRowsTotal)
+      assert(rows.nonEmpty && rows.max <= 8, rows.toSeq)
+    } finally query.stop()
+  }
+
   test("stream-stream join pairs purchases with same-user views inside the window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
