@@ -398,6 +398,65 @@ object TrainingDataQueries {
       |WHERE df * 100 >= n_docs * 15
       |ORDER BY source, gram""".stripMargin
 
+  /** #93 (t14): self-trained bigram LM quality score — the CCNet move
+    * (Wenzek et al. 2020 score docs with a KenLM model; here the model
+    * IS the corpus's own bigram table, so the operator is closed over
+    * its input). Per position, the conditional probability
+    * cnt(prev,cur)/cnt(prev) is kept as an INTEGER-scaled term
+    * `(10⁶·cb) div cp` — exact on both engines (pure bigint ops; a
+    * float log-likelihood would drift in the last ulp across libm
+    * implementations and break the hash gate), summed per doc.
+    * Low-scoring docs are the incoherent tail — the same ranking a
+    * log-space score gives at equal smoothing. Everything is
+    * corpus-linear: one bigram stream (explode), counts partially
+    * aggregated, prefix totals derived FROM the bigram counts (no
+    * second corpus pass), and the score join shuffles (prev, cur)
+    * pairs — hot bigrams are AQE skew-join territory, never a
+    * cross product. */
+  def t14LmScore: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    val bi = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2) // sequence(1,0) would run DESCENDING
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("w")) - 1)).as("i"), col("w"))
+      .select(col("doc_id"),
+        element_at(col("w"), col("i")).as("prev"),
+        element_at(col("w"), col("i") + 1).as("cur"))
+    val bigramCnt = bi.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
+    val prefixCnt = bigramCnt.groupBy("prev").agg(sum("cb").as("cp"))
+    val scored = bi
+      .join(bigramCnt, Seq("prev", "cur"))
+      .join(prefixCnt, Seq("prev"))
+      .withColumn("t_e6", expr("(1000000 * cb) div cp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("t_e6").as("lm_score_e6"))
+    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_score_e6"), lit(0L)).as("lm_score_e6"))
+      .orderBy("doc_id")
+  }
+
+  val t14Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |b AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, len(w)), i -> w[i])) AS prev,
+      |         unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS cur
+      |  FROM t WHERE len(w) >= 2),
+      |bc AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS cb FROM b GROUP BY 1, 2),
+      |pc AS (SELECT prev, CAST(SUM(cb) AS BIGINT) AS cp FROM bc GROUP BY 1),
+      |s AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nb,
+      |         CAST(SUM((1000000 * cb) // cp) AS BIGINT) AS sc
+      |  FROM b JOIN bc USING (prev, cur) JOIN pc USING (prev)
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(COALESCE(nb, 0) AS BIGINT) AS n_bigrams,
+      |       CAST(COALESCE(sc, 0) AS BIGINT) AS lm_score_e6
+      |FROM documents d LEFT JOIN s USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** #73 (d11): flagship corpus pipeline — the training-data twin of
     * q17's ETL flagship, composing the library's own stages in one
     * Catalyst plan: exact dedup (keep min id per md5(text), 16-byte
@@ -520,11 +579,13 @@ object TrainingDataQueries {
     "t11_oov_rate" -> t11OovRate,
     "t12_length_outliers" -> t12LengthOutliers,
     "t13_boilerplate" -> t13Boilerplate,
+    "t14_lm_score" -> t14LmScore,
     "d11_corpus_pipeline" -> d11CorpusPipeline)
 
   val oracles: Seq[(String, String)] = Seq(
     "d12_mixture" -> d12Sql,
     "t13_boilerplate" -> t13Sql,
+    "t14_lm_score" -> t14Sql,
     "t08_hash_split" -> t08Sql,
     "d08_chunk" -> d08Sql,
     "t09_salient_terms" -> t09Sql,

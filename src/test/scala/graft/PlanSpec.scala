@@ -168,4 +168,30 @@ class PlanSpec extends AnyFunSuite {
     val p = planOf("d09_contamination")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
+
+  test("q45 bloom probe filters the fact scan BEFORE the join") {
+    val p = planOf("q45_bloom_prejoin")
+    // the codegen'd probe must sit in a Filter below the join, next to
+    // the lineitem scan — that placement is the entire shuffle saving
+    val joinLine = p.linesIterator.indexWhere(_.contains("Join"))
+    val probeLine = p.linesIterator.indexWhere(_.contains("bloom_might_contain"))
+    assert(probeLine >= 0, s"no bloom probe in plan:\n${p.take(800)}")
+    assert(joinLine >= 0 && probeLine > joinLine,
+      s"probe (line $probeLine) must be BELOW the join (line $joinLine):\n${p.take(1500)}")
+  }
+
+  test("new similarity kernels (s06 PQ, d13 SemDeDup) carry no interpreted lambdas") {
+    for (q <- Seq("s06_ann_pq", "d13_semdedup")) {
+      val p = planOf(q)
+      assert(!p.contains("lambdafunction"), s"$q plan still has a lambda:\n$p")
+    }
+  }
+
+  test("q46 HLL distinct partial-aggregates map-side (sketch, not domain, shuffles)") {
+    val p = planOf("q46_approx_distinct")
+    assert(p.contains("partial_approx_count_distinct"),
+      s"q46 must merge HLL sketches map-side:\n${p.take(800)}")
+    // the exact q21 plan, by contrast, must EXPAND the key domain
+    assert(!p.contains("Expand"), s"q46 should not expand the distinct domain:\n${p.take(800)}")
+  }
 }

@@ -123,6 +123,25 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("t14 LM score matches a local reference computation") {
+    val docs = Tables.documents(spark, TestSpark.Sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def bigramsOf(t: String): Seq[(String, String)] = {
+      val w = t.split(" ", -1)
+      if (w.length >= 2) w.sliding(2).map(a => (a(0), a(1))).toSeq else Seq.empty
+    }
+    val cb = docs.flatMap(d => bigramsOf(d._2))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val cp = cb.groupBy(_._1._1).map { case (p, m) => p -> m.values.sum }
+    val expected = docs.map { case (id, t) =>
+      val bs = bigramsOf(t)
+      (id, bs.size.toLong, bs.map(b => 1000000L * cb(b) / cp(b._1)).sum)
+    }.sortBy(_._1).toSeq
+    val got = TrainingDataQueries.t14LmScore(spark, TestSpark.Sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
   test("d12 mixture: per-doc epoch counts realize the source weights, deterministically") {
     val rows = TrainingDataQueries.d12Mixture(spark, TestSpark.Sf)
       .groupBy("source", "doc_id").agg(count(lit(1)).as("n"), max("w10").as("w10"))
