@@ -101,36 +101,22 @@ object Ann {
 
     // Distance of the UNIT vector v/‖v‖ to centroid cᵢ, minus the
     // per-row constant 1: dᵢ = ‖cᵢ‖² − 2·(v·cᵢ)/‖v‖ — cosine-consistent
-    // quantization, unrolled over the literal centroid set so each
-    // term is a codegen'd DotProduct, not an interpreted lambda.
-    def cellDists(vec: org.apache.spark.sql.Column,
-                  nrm: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
-      centroids.zipWithIndex.map { case (cvec, i) =>
-        val cNormSq = cvec.map(x => x * x).sum
-        struct((lit(cNormSq) - lit(2.0) * dot(vec, typedlit(cvec)) / nrm).as("d"),
-               lit(i).as("cell"))
-      }
-
-    // corpus side needs only the argmin cell: a codegen'd least() fold
-    // over (d, cell) structs — no array materialization, no sort
-    def nearestCell(vec: org.apache.spark.sql.Column,
-                    nrm: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      least(cellDists(vec, nrm): _*).getField("cell")
-
-    // query side probes the nProbe nearest cells (tiny frame — the
-    // interpreted sort runs once per query row, not per corpus row)
-    def nearestCells(vec: org.apache.spark.sql.Column,
-                     nrm: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
-      slice(transform(array_sort(array(cellDists(vec, nrm): _*)),
-        s => s.getField("cell")), 1, n)
-
+    // quantization. One codegen'd CentroidCells kernel (centroid
+    // matrix as a reference object) replaces the unrolled
+    // least()/array_sort struct fold, whose generated code grew with
+    // the √n-derived cell count (see CentroidCells scaladoc); the
+    // corpus side takes element 1 (the argmin cell), the query side
+    // explodes the nProbe nearest.
+    import graft.functions.CentroidCells.centroidCells
     val c = live.select(col("id").as("neighbor_id"), col("vec").as("cvec"),
         col("nrm0").as("cnrm"))
-      .withColumn("cell", nearestCell(col("cvec"), col("cnrm")))
+      .withColumn("cell",
+        element_at(centroidCells(col("cvec"), col("cnrm"), centroids, 1), 1))
     val q = queries.select(col("id").as("qid"), col("vec").as("qvec"))
       .withColumn("qnrm", norm(col("qvec")))
       .filter(col("qnrm") > 0)
-      .withColumn("cell", explode(nearestCells(col("qvec"), col("qnrm"), nProbe)))
+      .withColumn("cell",
+        explode(centroidCells(col("qvec"), col("qnrm"), centroids, nProbe)))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("qid"))
       .withColumn("sim", cosinePrenormed(dot(col("qvec"), col("cvec")), col("qnrm"), col("cnrm")))
@@ -172,15 +158,29 @@ object Ann {
     math.max(1, t)
   }
 
+  /** All `nTables` hyperplane sets, seeded per table exactly as the
+    * unrolled path did (seed + 31·t). */
+  private def tablePlanes(nBits: Int, nTables: Int, dim: Int,
+                          seed: Long): Seq[Seq[Seq[Double]]] =
+    (0 until nTables).map(t => hyperplanes(nBits, dim, seed + 31L * t))
+
+  /** (id, tbl, bkt) rows via ONE [[graft.functions.SignBuckets]] call
+    * + posexplode. Output is bit-identical to folding [[bucketId]] per
+    * table (same sequential dot, same `> 0`, same 2·acc+bit fold) —
+    * the change is generated-CODE size: the unrolled form emitted
+    * O(tables·bits·dim) Java that janino compiled for seconds per
+    * query at d07's derived 40-table config. */
+  private def tableBuckets(df: DataFrame, vecCol: String, idAs: String,
+                           planes: Seq[Seq[Seq[Double]]]): DataFrame =
+    df.select(col("id").as(idAs),
+      posexplode(graft.functions.SignBuckets.signBuckets(col(vecCol), planes))
+        .as(Seq("tbl", "bkt")))
+
   /** Candidate stage of the near-dup join, exposed for the
     * volume-bound spec: distinct pairs sharing a bucket in ≥1 table. */
   private[graft] def lshCandidates(v: DataFrame, nBits: Int, nTables: Int,
                                    dim: Int, seed: Long): DataFrame = {
-    val bkts = v.select(col("id"), explode(array((0 until nTables).map { t =>
-        struct(lit(t).as("tbl"),
-               bucketId(col("v"), hyperplanes(nBits, dim, seed + 31L * t)).as("bkt"))
-      }: _*)).as("tb"))
-      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val bkts = tableBuckets(v, "v", "id", tablePlanes(nBits, nTables, dim, seed))
     bkts.toDF("id1", "tbl1", "bkt1")
       .join(bkts.toDF("id2", "tbl2", "bkt2"),
         col("tbl1") === col("tbl2") && col("bkt1") === col("bkt2") &&
@@ -386,14 +386,9 @@ object Ann {
     val qp = queries.select(col("id"), col("vec"))
       .withColumn("nrm", norm(col("vec")))
       .filter(col("nrm") > 0)
-    def bkts(df: DataFrame, idAs: String): DataFrame =
-      df.select(col("id").as(idAs), explode(array((0 until nTables).map { t =>
-          struct(lit(t).as("tbl"),
-                 bucketId(col("vec"), hyperplanes(nBits, dim, seed + 31L * t)).as("bkt"))
-        }: _*)).as("tb"))
-        .select(col(idAs), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
-    val cand = bkts(cp, "neighbor_id")
-      .join(broadcast(bkts(qp, "qid")), Seq("tbl", "bkt"))
+    val planes = tablePlanes(nBits, nTables, dim, seed)
+    val cand = tableBuckets(cp, "vec", "neighbor_id", planes)
+      .join(broadcast(tableBuckets(qp, "vec", "qid", planes)), Seq("tbl", "bkt"))
       .filter(col("neighbor_id") =!= col("qid"))
       .select("qid", "neighbor_id")
       .distinct()
