@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 
 import graft.dedup.{ConnectedComponents, SetSimJoin}
 import graft.etl.{Cleaning, Dedup, Impute, Skew, TextNorm}
+import graft.functions.BloomFilter
+import graft.sim.{NearDup, SemDeDup}
 import graft.sources.Writers
 
 /** Fluent façade over the operator library, so a pipeline reads as a
@@ -67,5 +69,29 @@ object syntax {
     /** All-or-nothing artifact publish (temp dir + atomic rename). */
     def publishTo(uri: String, format: String = "parquet"): Unit =
       Writers.publish(df, uri, format)
+
+    /** Embedding near-duplicate pairs — defaults to the LSH scale path
+      * (corpus-derived parameters); `exact = true` for the all-pairs
+      * oracle twin. */
+    def nearDupPairs(idCol: String, vecCol: String, tau: Double, dim: Int,
+                     seed: Long = 0L, exact: Boolean = false,
+                     blockCols: Seq[String] = Nil): DataFrame =
+      NearDup.pairs(df, idCol, vecCol, tau, dim, seed = seed, exact = exact,
+        blockCols = blockCols)
+
+    /** SemDeDup keep/drop flags over an embedding column. */
+    def semDedupFlags(idCol: String, vecCol: String, tau: Double,
+                      seed: Long): DataFrame =
+      SemDeDup.dedupFlags(df, idCol, vecCol, tau, seed)
+
+    /** Bloom runtime pre-filter: keep only rows whose `keyCol` might
+      * be in `dimKeys` — the semi-join reduction before a selective
+      * join (false positives only; follow with the real join). */
+    def bloomPrefilterBy(dimKeys: DataFrame, dimKeyCol: String,
+                         keyCol: String, expectedKeys: Long,
+                         fpp: Double = 0.01): DataFrame = {
+      val bf = BloomFilter.buildLong(dimKeys, dimKeyCol, expectedKeys, fpp)
+      df.filter(BloomFilter.mightContain(df(keyCol), bf))
+    }
   }
 }

@@ -102,4 +102,22 @@ class EtlSpec extends AnyFunSuite {
     Seq((1L, "x")).toDF("id", "v").publishTo(s"$dir/a", format = "parquet")
     assert(spark.read.parquet(s"$dir/a").count() == 1)
   }
+
+  test("fluent façade exposes the round-4 similarity/filter operators") {
+    import graft.syntax._
+    // bloom pre-filter: keeps all matching keys, prunes the rest
+    val facts = spark.range(0, 1000).toDF("k")
+    val dims = spark.range(0, 50).toDF("dk")
+    val kept = facts.bloomPrefilterBy(dims, "dk", "k", expectedKeys = 50)
+    assert(kept.count() >= 50 && kept.count() < 1000)
+    // semDedup flags + nearDup exact pairs run through the façade
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+      .select(col("vec_id"), graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+    val flags = emb.semDedupFlags("vec_id", "v", tau = 0.44, seed = 1L)
+    assert(flags.count() == emb.count())
+    val pairs = emb.withColumn("label", lit(1))
+      .nearDupPairs("vec_id", "v", tau = 0.44, dim = 64, exact = true,
+        blockCols = Seq("label"))
+    assert(pairs.columns.toSeq.take(2) == Seq("id1", "id2"))
+  }
 }
