@@ -204,6 +204,17 @@ object LlmQueries {
       .orderBy("id1", "id2")
   }
 
+  /** #94 (s07): IVF-PQ ANN — the IVFADC composition production vector
+    * stores run: coarse cells narrow each query to √nCells probes, PQ
+    * codes of the RESIDUAL score what remains, exact rerank on the
+    * survivors. Rows-only; AnnSpec asserts recall@10 vs s01. */
+  def s07AnnIvfPq: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
+    Ann.ivfPqTopK(e, e.filter(col("id") < 8), k = 10, seed = 17L)
+      .orderBy("qid", "rank")
+  }
+
   /** #90 (d13): semantic dedup, SemDeDup-style — coarse k-means cells
     * + within-cell near-dup drop (smaller id wins). Θ(n·occupancy)
     * pair generation vs d05's per-label quadratic; recall vs the
@@ -532,6 +543,7 @@ object LlmQueries {
     "s04_quantize_int8" -> s04QuantizeInt8,
     "s05_ann_int8_rerank" -> s05AnnInt8Rerank,
     "s06_ann_pq" -> s06AnnPq,
+    "s07_ann_ivfpq" -> s07AnnIvfPq,
     "t01_lang_id" -> t01LangId,
     "t02_quality_score" -> t02QualityScore,
     "t03_token_count" -> t03TokenCount,

@@ -189,6 +189,96 @@ object Ann {
       .distinct()
   }
 
+  /** Exact-rerank tail shared by every two-stage ANN path: fetch the
+    * survivors' float vectors by id (cand is (qid, neighbor_id) only —
+    * the approximate stage never shuffles vectors), exact cosine,
+    * final top-k. Precision of the ranking is exact; only candidate
+    * recall is approximate. */
+  private def exactRerank(cand: DataFrame, corpus: DataFrame,
+                          queries: DataFrame, k: Int): DataFrame = {
+    val cf = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
+      .withColumn("cnrm", norm(col("cvec"))).filter(col("cnrm") > 0)
+    val qf = queries.select(col("id").as("qid"), col("vec").as("qvec"))
+      .withColumn("qnrm", norm(col("qvec"))).filter(col("qnrm") > 0)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("neighbor_id").asc)
+    cand.join(cf, "neighbor_id").join(broadcast(qf), "qid")
+      .withColumn("sim", cosinePrenormed(dot(col("qvec"), col("cvec")), col("qnrm"), col("cnrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+  }
+
+  /** IVF-PQ ANN (SURVEY.md §2 #94) — the IVFADC composition (Jégou
+    * et al. 2011 §IV) that production vector stores run: a coarse
+    * quantizer narrows each query to `nProbe` cells (IVF, #27b), and
+    * within them vectors are scored from PQ codes of their RESIDUAL
+    * `v/‖v‖ − centroid(cell)` (#89's machinery on the residual
+    * space, where the same code budget quantizes far finer because
+    * the coarse quantizer already absorbed the corpus structure).
+    * Approximate score = q·centroid(cell) + Σ_m lut(code_m) — base
+    * term once per (query, cell), fine term m lookups per row, no
+    * float vector touched until the exact rerank. At 10⁹ vectors
+    * this is n^(3/4)-ish probe work over 8-byte codes: both the
+    * IVF coverage saving and the PQ bandwidth saving compound. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int, seed: Long,
+                m: Int = 8, ksub: Int = 16, candMult: Int = 8,
+                fitSampleCap: Long = 8192L): DataFrame = {
+    import graft.functions.{CentroidCells, ProductQuantizer, ResidualPq}
+    import ProductQuantizer.{fit, pqAdc, pqLut}
+    val live = corpus.withColumn("nrm", norm(col("vec"))).filter(col("nrm") > 0)
+    val n = live.count()
+    val nCells = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val nProbe = math.max(3, math.ceil(math.sqrt(nCells.toDouble)).toInt)
+    val sampled =
+      if (n <= fitSampleCap) live
+      else live.filter(pmod(xxhash64(col("id")), lit(n / fitSampleCap + 1)) === 0)
+    val samples = sampled.select(col("vec"), col("nrm")).collect()
+      .map { r => val v = r.getSeq[Double](0); val nr = r.getDouble(1); v.map(_ / nr).toArray }
+    val coarse = fit(samples, m = 1, ksub = nCells, seed).cent(0)
+    // residual fit sample: same unit vectors, coarse part subtracted
+    def cellOf(v: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < coarse.length) {
+        var d = 0.0; var i = 0
+        while (i < v.length) { val t = v(i) - coarse(c)(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    val residuals = samples.map { v =>
+      val ctr = coarse(cellOf(v))
+      Array.tabulate(v.length)(i => v(i) - ctr(i))
+    }
+    val pqCb = fit(residuals, m, ksub, seed ^ 0x5f3759df)
+    val coarseSeq: Seq[Seq[Double]] = coarse.map(_.toSeq).toSeq
+
+    val c = live
+      .withColumn("cell",
+        element_at(CentroidCells.centroidCells(col("vec"), col("nrm"), coarseSeq, 1), 1))
+      .select(col("id").as("neighbor_id"), col("cell"),
+        ResidualPq.residualEncode(col("vec"), col("nrm"), col("cell"), coarseSeq, pqCb)
+          .as("codes"))
+    val q = queries.withColumn("qnrm", norm(col("vec")))
+      .filter(col("qnrm") > 0)
+      .select(col("id").as("qid"), col("vec").as("qvec"), col("qnrm"))
+      .withColumn("cell",
+        explode(CentroidCells.centroidCells(col("qvec"), col("qnrm"), coarseSeq, nProbe)))
+      .withColumn("base",
+        ResidualPq.centroidDot(col("qvec"), col("qnrm"), col("cell"), coarseSeq))
+      .withColumn("lut", pqLut(col("qvec"), col("qnrm"), pqCb))
+      .select("qid", "cell", "base", "lut")
+    val wa = Window.partitionBy("qid").orderBy(col("asim").desc, col("neighbor_id").asc)
+    val cand = c.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("qid"))
+      .withColumn("asim", col("base") + pqAdc(col("lut"), col("codes"), ksub))
+      .withColumn("ar", row_number().over(wa))
+      .filter(col("ar") <= k * candMult)
+      .select("qid", "neighbor_id")
+    exactRerank(cand, corpus, queries, k)
+  }
+
   /** Int8-quantized two-stage ANN: score the WHOLE corpus from its
     * int8 codes (4× smaller than floats — at 100 TB the scan, shuffle
     * and cache all shrink 4×), keep the top k·candMult per query by
@@ -223,17 +313,7 @@ object Ann {
     val cand = approx.withColumn("ar", row_number().over(wa))
       .filter(col("ar") <= k * candMult)
       .select("qid", "neighbor_id")
-    // exact rerank: float vectors fetched for surviving candidates only
-    val cf = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
-      .withColumn("cnrm", norm(col("cvec"))).filter(col("cnrm") > 0)
-    val qf = queries.select(col("id").as("qid"), col("vec").as("qvec"))
-      .withColumn("qnrm", norm(col("qvec"))).filter(col("qnrm") > 0)
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("neighbor_id").asc)
-    cand.join(cf, "neighbor_id").join(broadcast(qf), "qid")
-      .withColumn("sim", cosinePrenormed(dot(col("qvec"), col("cvec")), col("qnrm"), col("cnrm")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+    exactRerank(cand, corpus, queries, k)
   }
 
   /** Product-quantization two-stage ANN (SURVEY.md §2 #89): corpus
@@ -278,17 +358,7 @@ object Ann {
       .withColumn("ar", row_number().over(wa))
       .filter(col("ar") <= k * candMult)
       .select("qid", "neighbor_id")
-    // exact rerank over survivors only — float vectors fetched by id
-    val cf = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
-      .withColumn("cnrm", norm(col("cvec"))).filter(col("cnrm") > 0)
-    val qf = queries.select(col("id").as("qid"), col("vec").as("qvec"))
-      .withColumn("qnrm", norm(col("qvec"))).filter(col("qnrm") > 0)
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("neighbor_id").asc)
-    cand.join(cf, "neighbor_id").join(broadcast(qf), "qid")
-      .withColumn("sim", cosinePrenormed(dot(col("qvec"), col("cvec")), col("qnrm"), col("cnrm")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+    exactRerank(cand, corpus, queries, k)
   }
 
   /** Multi-table sign-LSH near-duplicate pairs — the scale path for a

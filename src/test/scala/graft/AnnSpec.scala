@@ -99,6 +99,19 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"s06 recall@10 $recall")
   }
 
+  test("IVF-PQ ANN (s07) recall@10 vs brute force is quantified") {
+    val brute = LlmQueries.s01AnnBruteForce(spark, TestSpark.Sf)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfpq = LlmQueries.s07AnnIvfPq(spark, TestSpark.Sf)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivfpq.nonEmpty)
+    // compounded approximation (IVF coverage × residual-PQ ordering):
+    // the floor is below s03/s06 alone by construction
+    val recall = brute.count(ivfpq).toDouble / brute.size
+    info(s"s07 recall@10 = $recall")
+    assert(recall >= 0.3, s"s07 recall@10 $recall")
+  }
+
   test("SemDeDup (d13): kept set is pairwise non-dup per cell; drop recall quantified") {
     val tau = 0.44
     val flags = graft.sim.SemDeDup
