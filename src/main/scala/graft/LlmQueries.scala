@@ -528,6 +528,33 @@ object LlmQueries {
       |       CAST(3 AS BIGINT) AS channels
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** #95 (m02): frame sampling over binary media — one row per
+    * sampled frame, lengths from the stub codec's deterministic
+    * windowing (real plumbing, stubbed decode — same contract as
+    * m01). The Dataset-level `flatMap` sampler and this column-level
+    * plan compute provably identical frames (MultimodalSpec parity
+    * test); a narrow explode, no shuffle at any corpus size. */
+  def m02FrameSample: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .withColumn("payload", Binary.payloadOf(col("text")))
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+      .withColumn("n_frames", Binary.frameCount(col("payload")))
+      .select(col("doc_id"), col("n_bytes"), col("n_frames"),
+        explode(sequence(lit(1L), col("n_frames"))).as("frame_id"))
+      .withColumn("frame_len",
+        when(col("frame_id") < col("n_frames"), expr("n_bytes div n_frames"))
+          .otherwise(col("n_bytes") - (col("n_frames") - 1) * expr("n_bytes div n_frames")))
+      .select("doc_id", "frame_id", "frame_len")
+      .orderBy("doc_id", "frame_id")
+
+  val m02Sql: String =
+    """WITH t AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
+      |f AS (SELECT doc_id, n, 1 + (n % 4) AS k FROM t),
+      |e AS (SELECT doc_id, n, k, unnest(range(1, k + 1)) AS frame_id FROM f)
+      |SELECT doc_id, frame_id,
+      |       CASE WHEN frame_id < k THEN n // k ELSE n - (k - 1) * (n // k) END AS frame_len
+      |FROM e ORDER BY doc_id, frame_id""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "d01_dedup_exact" -> d01DedupExact,
     "d02_minhash_lsh" -> d02MinHashLsh,
@@ -551,7 +578,8 @@ object LlmQueries {
     "t05_word_count" -> t05WordCount,
     "t06_repetition" -> t06Repetition,
     "t07_redact" -> t07Redact,
-    "m01_multimodal_meta" -> m01MultimodalMeta)
+    "m01_multimodal_meta" -> m01MultimodalMeta,
+    "m02_frame_sample" -> m02FrameSample)
 
   /** d02/d03/d07/s02 intentionally absent (rows-only check; each
     * carries a quantified recall spec instead). */
@@ -569,5 +597,6 @@ object LlmQueries {
     "t05_word_count" -> t05Sql,
     "t06_repetition" -> t06Sql,
     "t07_redact" -> t07Sql,
-    "m01_multimodal_meta" -> m01Sql)
+    "m01_multimodal_meta" -> m01Sql,
+    "m02_frame_sample" -> m02Sql)
 }

@@ -57,4 +57,84 @@ object Binary {
   def decodePartitions[T](ds: Dataset[(Long, Array[Byte])], decoder: MediaDecoder)(
       implicit enc: Encoder[(Long, MediaMeta)]): Dataset[(Long, MediaMeta)] =
     ds.mapPartitions(_.map { case (id, payload) => (id, decoder.decode(payload)) })
+
+  /** Feature-extraction contract: payload → fixed-width embedding
+    * (the step that feeds the s01–s07 ANN family). */
+  trait FeatureExtractor extends Serializable {
+    def dim: Int
+    def features(payload: Array[Byte]): Array[Float]
+  }
+
+  /** Deterministic stub features: fmix64-style mixing of (byte-sum,
+    * lane) → [0,1) floats. Reproducible across runs/partitionings;
+    * a production extractor (CLIP, wav2vec, …) swaps in unchanged. */
+  class StubFeatureExtractor(val dim: Int = 8) extends FeatureExtractor {
+    private def mix(x0: Long): Long = {
+      var x = x0
+      x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+      x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+      x ^= x >>> 33; x
+    }
+    override def features(payload: Array[Byte]): Array[Float] = {
+      var sum = 0L
+      var i = 0
+      while (i < payload.length) { sum += payload(i) & 0xffL; i += 1 }
+      Array.tabulate(dim) { lane =>
+        ((mix(sum * 31L + lane) >>> 11).toDouble / (1L << 53).toDouble).toFloat
+      }
+    }
+  }
+
+  /** Partition-preserving batch feature extraction — same
+    * `mapPartitions` shape as [[decodePartitions]]; the output column
+    * is `array<float>`, exactly the embeddings-table schema the ANN
+    * operators consume. */
+  def extractFeaturesPartitions(ds: Dataset[(Long, Array[Byte])],
+                                extractor: FeatureExtractor)(
+      implicit enc: Encoder[(Long, Array[Float])]): Dataset[(Long, Array[Float])] =
+    ds.mapPartitions(_.map { case (id, p) => (id, extractor.features(p)) })
+
+  /** Resize: target dims clamp the metadata and bound the payload
+    * budget (`w·h·channels` bytes). The stub truncates bytes — a real
+    * codec re-encodes — but the column shapes and the budget
+    * arithmetic are the production ones. */
+  def resizeStub(payload: Array[Byte], w: Int, h: Int, channels: Int = 3): Array[Byte] = {
+    val budget = w.toLong * h * channels
+    if (payload.length <= budget) payload
+    else java.util.Arrays.copyOf(payload, budget.toInt)
+  }
+
+  /** Frame sampling contract: one payload (video) → k frame payloads. */
+  trait FrameSampler extends Serializable {
+    def sample(payload: Array[Byte]): Seq[Array[Byte]]
+  }
+
+  /** Codegen'd frame count of the stub sampler: k = 1 + n%4. */
+  def frameCount(payload: Column): Column =
+    lit(1L) + length(payload).cast("long") % 4
+
+  /** Deterministic stub frames: k = 1 + n%4 contiguous byte windows of
+    * n/k bytes, the last absorbing the remainder — the SAME lengths
+    * the column-level math in the oracle-checked m02 query computes
+    * ([[frameCount]] + integer division), so the Dataset plumbing and
+    * the driver-gated query stay provably in sync (MultimodalSpec
+    * asserts the parity). */
+  object StubFrameSampler extends FrameSampler {
+    override def sample(payload: Array[Byte]): Seq[Array[Byte]] = {
+      val n = payload.length
+      val k = 1 + (n % 4)
+      val step = n / k
+      (0 until k).map { i =>
+        java.util.Arrays.copyOfRange(payload, i * step, if (i == k - 1) n else (i + 1) * step)
+      }
+    }
+  }
+
+  /** One row per sampled frame via `flatMap` — partition-preserving
+    * explode, no shuffle; frames land beside their doc id. */
+  def sampleFramesPartitions(ds: Dataset[(Long, Array[Byte])], sampler: FrameSampler)(
+      implicit enc: Encoder[(Long, Int, Array[Byte])]): Dataset[(Long, Int, Array[Byte])] =
+    ds.flatMap { case (id, p) =>
+      sampler.sample(p).zipWithIndex.map { case (f, i) => (id, i + 1, f) }
+    }
 }

@@ -31,4 +31,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(exprMeta.forall { case (_, n, w, h, c) =>
       w == n % 640 && h == (n * 3) % 480 && c == 3L })
   }
+
+  test("frame sampler (flatMap plumbing) and m02 column plan compute identical frames") {
+    val ds = Tables.documents(spark, TestSpark.Sf).limit(100)
+      .withColumn("payload", Binary.payloadOf(col("text")))
+      .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+    val sampled = Binary.sampleFramesPartitions(ds, Binary.StubFrameSampler)
+      .collect()
+      .map { case (id, fid, frame) => (id, fid.toLong, frame.length.toLong) }
+      .sortBy(t => (t._1, t._2)).toSeq
+    val columnPlan = LlmQueries.m02FrameSample(spark, TestSpark.Sf)
+      .filter(col("doc_id").isin(sampled.map(_._1).distinct: _*))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(sampled == columnPlan)
+    // frames tile the payload exactly: per-doc lengths sum to n_bytes
+    val bytesByDoc = ds.collect().map { case (id, p) => id -> p.length.toLong }.toMap
+    sampled.groupBy(_._1).foreach { case (id, fs) =>
+      assert(fs.map(_._3).sum == bytesByDoc(id), s"doc $id frame lengths don't tile")
+    }
+  }
+
+  test("stub feature extraction yields deterministic fixed-width unit-range vectors") {
+    val ds = Tables.documents(spark, TestSpark.Sf).limit(50)
+      .withColumn("payload", Binary.payloadOf(col("text")))
+      .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+    val ex = new Binary.StubFeatureExtractor(8)
+    val a = Binary.extractFeaturesPartitions(ds, ex).collect().sortBy(_._1)
+    val b = Binary.extractFeaturesPartitions(ds.repartition(7), ex).collect().sortBy(_._1)
+    assert(a.map(_._1).toSeq == b.map(_._1).toSeq)
+    assert(a.zip(b).forall { case ((_, x), (_, y)) => x.toSeq == y.toSeq })
+    assert(a.forall { case (_, f) => f.length == 8 && f.forall(v => v >= 0f && v < 1f) })
+  }
+
+  test("resize stub honors the w*h*channels byte budget and is a no-op under it") {
+    val big = Array.fill[Byte](100)(7)
+    val resized = Binary.resizeStub(big, w = 4, h = 4, channels = 3) // budget 48
+    assert(resized.length == 48 && resized.toSeq == big.take(48).toSeq)
+    assert(Binary.resizeStub(big, 10, 10).toSeq == big.toSeq) // budget 300 >= 100
+  }
 }
