@@ -222,16 +222,22 @@ object Ann {
     * IVF coverage saving and the PQ bandwidth saving compound. */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int, seed: Long,
                 m: Int = 8, ksub: Int = 16, candMult: Int = 8,
-                fitSampleCap: Long = 8192L): DataFrame = {
+                fitSampleCap: Long = 8192L, maxCells: Int = 2048): DataFrame = {
     import graft.functions.{CentroidCells, ProductQuantizer, ResidualPq}
     import ProductQuantizer.{fit, pqAdc, pqLut}
     val live = corpus.withColumn("nrm", norm(col("vec"))).filter(col("nrm") > 0)
     val n = live.count()
-    val nCells = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+    // √n cells, clamped so the driver Lloyd fit stays bounded (≥ 8
+    // sample points per centroid; past the clamp, probe coverage
+    // grows as nProbe/maxCells of the corpus — swap the coarse fit
+    // for distributed ml.KMeans (the s03 path) to push further)
+    val nCells = math.min(maxCells,
+      math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt))
     val nProbe = math.max(3, math.ceil(math.sqrt(nCells.toDouble)).toInt)
+    val cap = math.max(fitSampleCap, nCells.toLong * 8)
     val sampled =
-      if (n <= fitSampleCap) live
-      else live.filter(pmod(xxhash64(col("id")), lit(n / fitSampleCap + 1)) === 0)
+      if (n <= cap) live
+      else live.filter(pmod(xxhash64(col("id")), lit(n / cap + 1)) === 0)
     val samples = sampled.select(col("vec"), col("nrm")).collect()
       .map { r => val v = r.getSeq[Double](0); val nr = r.getDouble(1); v.map(_ / nr).toArray }
     val coarse = fit(samples, m = 1, ksub = nCells, seed).cent(0)

@@ -42,18 +42,31 @@ object SemDeDup {
 
   /** Per-vector decision: (id, cells array<long> — one cell per
     * table, exposed for the spec's invariant check — kept boolean);
-    * one row per non-zero-norm input vector. */
+    * one row per non-zero-norm input vector.
+    *
+    * `maxCells` bounds the driver Lloyd fit (cost = samples · cells ·
+    * dim per iteration). Below n = occupancy·maxCells the cell count
+    * tracks the corpus and within-cell work is Θ(n·occupancy);
+    * beyond it occupancy grows as n/maxCells and the candidate stage
+    * is Θ(n²/maxCells·nTables) — the SemDeDup paper's own regime
+    * (they run a FIXED ~100k clusters and brute-force within each on
+    * GPUs). To push maxCells past driver-Lloyd range, swap the fit
+    * for distributed `ml.KMeans` (the s03 path); everything
+    * downstream is unchanged. The fit sample scales with the cell
+    * count (≥ 8 points per centroid) and stays corpus-independent. */
   def dedupFlags(vecs: DataFrame, idCol: String, vecCol: String,
                  tau: Double, seed: Long, occupancy: Long = 32L,
-                 nTables: Int = 4, fitSampleCap: Long = 8192L): DataFrame = {
+                 nTables: Int = 4, fitSampleCap: Long = 8192L,
+                 maxCells: Int = 1024): DataFrame = {
     val live = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
       .filter(col("nrm") > 0)
     val n = live.count()
-    val nCells = math.max(8, (n / occupancy).toInt)
+    val nCells = math.min(maxCells, math.max(8, (n / occupancy).toInt))
+    val cap = math.max(fitSampleCap, nCells.toLong * 8)
     val sampled =
-      if (n <= fitSampleCap) live
-      else live.filter(pmod(xxhash64(col("id")), lit(n / fitSampleCap + 1)) === 0)
+      if (n <= cap) live
+      else live.filter(pmod(xxhash64(col("id")), lit(n / cap + 1)) === 0)
     // bounded driver round-trip: the FIT SAMPLE only (cap × dim
     // doubles), never the corpus — same pattern as the IVF fit cap
     val samples = sampled.select(col("v"), col("nrm")).collect()
