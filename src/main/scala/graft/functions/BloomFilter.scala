@@ -62,30 +62,30 @@ object BloomFilter {
 
   /** Mutating insert into a raw word array (numBits = words.length·64,
     * power of two) — the streaming state-store path, where the words
-    * live inside a `GroupState` rather than a built [[Filter]]. */
+    * live inside a `GroupState` rather than a built [[Filter]].
+    * h1/h2 are hoisted once per key (the probe loop is the scan-stage
+    * hot path — recomputing two fmix64 per probe doubles the work). */
   def insert(words: Array[Long], key: Long, numHashes: Int): Unit = {
     val numBits = words.length << 6
+    val mask = (numBits - 1).toLong
+    val h1 = fmix64(key)
+    val h2 = fmix64(key + 0x9e3779b97f4a7c15L) | 1L
     var i = 0
-    while (i < numHashes) { setBit(words, position(key, i, numBits)); i += 1 }
+    while (i < numHashes) { setBit(words, (h1 + i.toLong * h2) & mask); i += 1 }
   }
 
   /** Membership probe against a raw word array. */
   def contains(words: Array[Long], key: Long, numHashes: Int): Boolean = {
     val numBits = words.length << 6
+    val mask = (numBits - 1).toLong
+    val h1 = fmix64(key)
+    val h2 = fmix64(key + 0x9e3779b97f4a7c15L) | 1L
     var i = 0
     while (i < numHashes) {
-      if (!getBit(words, position(key, i, numBits))) return false
+      if (!getBit(words, (h1 + i.toLong * h2) & mask)) return false
       i += 1
     }
     true
-  }
-
-  /** i-th probe position for `key` in a `numBits`-bit (power-of-two)
-    * filter. */
-  def position(key: Long, i: Int, numBits: Int): Long = {
-    val h1 = fmix64(key)
-    val h2 = fmix64(key + 0x9e3779b97f4a7c15L) | 1L // odd → full period
-    (h1 + i.toLong * h2) & (numBits - 1).toLong
   }
 
   /** Mergeable bit-set aggregator: map-side partials OR together, so
@@ -124,7 +124,10 @@ object BloomFilter {
     val spark = keys.sparkSession
     import spark.implicits._
     val agg = new Agg(numBits, numHashes)
-    val words = keys.select(keyCol).as[Long].select(agg.toColumn.name("bf")).head()
+    // null keys can never equi-join match — drop them rather than
+    // letting the non-nullable Long decode fail the build
+    val words = keys.select(keyCol).na.drop(Seq(keyCol))
+      .as[Long].select(agg.toColumn.name("bf")).head()
     Filter(words, numHashes)
   }
 

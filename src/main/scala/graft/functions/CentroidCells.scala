@@ -62,6 +62,12 @@ case class CentroidCells(left: Expression, right: Expression,
       }
       c += 1
     }
+    // all-NaN distances (a NaN vector component passes the SQL
+    // `nrm > 0` guard — Spark orders NaN above every real) never beat
+    // the +Inf initializer; map the -1 sentinels to cell 0 rather
+    // than letting a caller index coarse(-1)
+    var j = 0
+    while (j < k) { if (bestC(j) < 0) bestC(j) = 0; j += 1 }
     new GenericArrayData(bestC.take(k))
   }
 

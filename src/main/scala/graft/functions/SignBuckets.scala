@@ -49,7 +49,10 @@ case class SignBuckets(child: Expression, planes: Array[Array[Array[Double]]])
         var d = 0.0
         var i = 0
         while (i < n) { d += vec.getDouble(i) * p(i); i += 1 }
-        acc = acc * 2 + (if (d > 0) 1L else 0L)
+        // NaN → bit 1, matching the replaced SQL `when(dot > 0, …)`
+        // (Spark orders NaN above every real, so its `NaN > 0` is
+        // true while the JVM's is false)
+        acc = acc * 2 + (if (d > 0 || java.lang.Double.isNaN(d)) 1L else 0L)
         b += 1
       }
       out(t) = acc

@@ -69,18 +69,13 @@ object Binary {
     * lane) → [0,1) floats. Reproducible across runs/partitionings;
     * a production extractor (CLIP, wav2vec, …) swaps in unchanged. */
   class StubFeatureExtractor(val dim: Int = 8) extends FeatureExtractor {
-    private def mix(x0: Long): Long = {
-      var x = x0
-      x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
-      x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
-      x ^= x >>> 33; x
-    }
     override def features(payload: Array[Byte]): Array[Float] = {
+      import graft.functions.BloomFilter.fmix64 // the library's one mixer
       var sum = 0L
       var i = 0
       while (i < payload.length) { sum += payload(i) & 0xffL; i += 1 }
       Array.tabulate(dim) { lane =>
-        ((mix(sum * 31L + lane) >>> 11).toDouble / (1L << 53).toDouble).toFloat
+        ((fmix64(sum * 31L + lane) >>> 11).toDouble / (1L << 53).toDouble).toFloat
       }
     }
   }

@@ -69,7 +69,8 @@ object Ann {
     * is scanned once, never shuffled on vectors. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCells: Int, nProbe: Int, seed: Long,
-              fitSampleCap: Long = 100000L): DataFrame = {
+              fitSampleCap: Long = 100000L,
+              corpusCount: Long = -1L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     // Fit the coarse quantizer on a deterministic hash-sample capped at
@@ -79,7 +80,10 @@ object Ann {
     // dominate the query. The hash filter keeps the sample stable
     // across partitionings (no `limit`/`sample` nondeterminism).
     val live = corpus.withColumn("nrm0", norm(col("vec"))).filter(col("nrm0") > 0)
-    val n = live.count()
+    // a caller that already sized the corpus (ivfTopKAuto) passes its
+    // count in — zero-norm rows are rare enough that the sampling-cap
+    // arithmetic doesn't care, and it saves a second full-scan job
+    val n = if (corpusCount >= 0) corpusCount else live.count()
     val sampled =
       if (n <= fitSampleCap) live
       else live.filter(pmod(xxhash64(col("id")), lit(n / fitSampleCap + 1)) === 0)
@@ -238,7 +242,8 @@ object Ann {
     val sampled =
       if (n <= cap) live
       else live.filter(pmod(xxhash64(col("id")), lit(n / cap + 1)) === 0)
-    val samples = sampled.select(col("vec"), col("nrm")).collect()
+    // orderBy(id): partitioning-independent codebooks (see pqTopK)
+    val samples = sampled.orderBy("id").select(col("vec"), col("nrm")).collect()
       .map { r => val v = r.getSeq[Double](0); val nr = r.getDouble(1); v.map(_ / nr).toArray }
     val coarse = fit(samples, m = 1, ksub = nCells, seed).cent(0)
     // residual fit sample: same unit vectors, coarse part subtracted
@@ -344,8 +349,11 @@ object Ann {
       if (n <= fitSampleCap) live
       else live.filter(pmod(xxhash64(col("id")), lit(n / fitSampleCap + 1)) === 0)
     // bounded driver round-trip: ≤ cap·dim doubles of FIT SAMPLE (not
-    // corpus) — the codebook analog of the IVF fit cap / bloom sketch
-    val samples = sampled.select(col("vec"), col("nrm"))
+    // corpus) — the codebook analog of the IVF fit cap / bloom
+    // sketch. orderBy(id): the Lloyd fit is order-sensitive, so an
+    // unsorted collect would tie the codebooks to physical
+    // partitioning and break the determinism claim.
+    val samples = sampled.orderBy("id").select(col("vec"), col("nrm"))
       .collect()
       .map { r =>
         val v = r.getSeq[Double](0); val nr = r.getDouble(1)
@@ -438,7 +446,7 @@ object Ann {
     val n = corpus.count()
     val nCells = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
     val nProbe = math.max(3, math.ceil(math.sqrt(nCells.toDouble)).toInt)
-    ivfTopK(corpus, queries, k, nCells, nProbe, seed)
+    ivfTopK(corpus, queries, k, nCells, nProbe, seed, corpusCount = n)
   }
 
   /** LSH-bucketed ANN: score only corpus vectors sharing a bucket

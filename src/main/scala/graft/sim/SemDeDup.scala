@@ -68,8 +68,12 @@ object SemDeDup {
       if (n <= cap) live
       else live.filter(pmod(xxhash64(col("id")), lit(n / cap + 1)) === 0)
     // bounded driver round-trip: the FIT SAMPLE only (cap × dim
-    // doubles), never the corpus — same pattern as the IVF fit cap
-    val samples = sampled.select(col("v"), col("nrm")).collect()
+    // doubles), never the corpus — same pattern as the IVF fit cap.
+    // orderBy(id) first: the Lloyd fit is order-sensitive (seeded
+    // shuffle init + array-order accumulation), so an unsorted
+    // collect would make the codebooks depend on physical
+    // partitioning, breaking the determinism claim
+    val samples = sampled.orderBy("id").select(col("v"), col("nrm")).collect()
       .map { r => val v = r.getSeq[Double](0); val nr = r.getDouble(1); v.map(_ / nr).toArray }
     val books = (0 until nTables).map { t =>
       ProductQuantizer.fit(samples, m = 1, ksub = nCells, seed + 1000003L * t)
@@ -82,13 +86,22 @@ object SemDeDup {
       }: _*))
       .repartition(col("id"))
     // (id, tbl, cell) exploded — identical candidate shape to the
-    // sign-LSH tables; the join key (tbl, cell) keeps tables disjoint
-    def tableCells(idAs: String, vAs: String, nrmAs: String): DataFrame =
-      assigned.select(col("id").as(idAs), col("v").as(vAs), col("nrm").as(nrmAs),
-          posexplode(col("cells")).as(Seq("tbl", "cell")))
-    val dropped = tableCells("id1", "v1", "nrm1")
-      .join(tableCells("id2", "v2", "nrm2"), Seq("tbl", "cell"))
-      .filter(col("id1") < col("id2"))
+    // sign-LSH tables; the join key (tbl, cell) keeps tables
+    // disjoint. Candidates carry IDS ONLY (16-byte rows): shuffling
+    // vectors through the self-join would move 2·nTables copies of
+    // every embedding — the cost lshNearDupPairs documents avoiding.
+    // Vectors re-join by id AFTER the multi-table distinct, so each
+    // surviving pair is cosine-verified exactly once.
+    val cells = assigned.select(col("id"), posexplode(col("cells")).as(Seq("tbl", "cell")))
+    val cand = cells.toDF("id1", "tbl", "cell")
+      .join(cells.toDF("id2", "tbl2", "cell2"),
+        col("tbl") === col("tbl2") && col("cell") === col("cell2") &&
+        col("id1") < col("id2"))
+      .select("id1", "id2")
+      .distinct()
+    val dropped = cand
+      .join(assigned.select(col("id").as("id1"), col("v").as("v1"), col("nrm").as("nrm1")), "id1")
+      .join(assigned.select(col("id").as("id2"), col("v").as("v2"), col("nrm").as("nrm2")), "id2")
       .filter(cosinePrenormed(dot(col("v1"), col("v2")), col("nrm1"), col("nrm2")) >= tau)
       .select(col("id2").as("id"))
       .distinct()

@@ -108,8 +108,12 @@ object EventStream {
     import spark.implicits._
     require(Integer.bitCount(nBuckets) == 1 && Integer.bitCount(bucketBits) == 1,
       s"nBuckets/bucketBits must be powers of two, got $nBuckets/$bucketBits")
+    // bucket from the HIGH hash bits: probe 0 of the in-bucket bloom
+    // is fmix64(key)'s LOW bits, so bucketing on those same low bits
+    // would collapse probe-0 entropy to bucketBits/nBuckets slots and
+    // inflate the false-positive rate ~an order of magnitude
     records
-      .groupByKey(t => BloomFilter.fmix64(key(t)) & (nBuckets - 1).toLong)
+      .groupByKey(t => (BloomFilter.fmix64(key(t)) >>> 32) & (nBuckets - 1).toLong)
       .flatMapGroupsWithState[Array[Long], T](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout) { (_, rows, state) =>
