@@ -160,17 +160,48 @@ object ScaleQueries {
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** #96 (q47): z-order (Morton) layout key — `OPTIMIZE ZORDER BY`'s
+    * core: price and order-date quantize to 16 bits each and
+    * interleave into one bigint sort key, under which rows close in
+    * BOTH dimensions are close in file order. Writing
+    * range-partitioned by this key concentrates any 2-D box
+    * predicate's rows into few files (ZOrderSpec measures the file
+    * count against a 1-D key layout) — the property min/max file
+    * skipping needs at 100 TB. The z-value itself is pure bigint
+    * shift/mask arithmetic, oracle-checked term for term. */
+  def q47ZOrder: Q = (spark, dir) =>
+    Tables.orders(spark, dir)
+      .withColumn("price_q",
+        least(lit(65535L), floor(col("o_totalprice") / 10).cast("long")))
+      .withColumn("date_q",
+        greatest(lit(0L), datediff(col("o_orderdate"), lit("1992-01-01")).cast("long")))
+      .select(col("o_orderkey"),
+        graft.functions.ZOrder.zvalue16(col("price_q"), col("date_q")).as("zvalue"))
+      .orderBy("o_orderkey")
+
+  val q47Sql: String =
+    s"""SELECT o_orderkey,
+       |       CAST(${graft.functions.ZOrder.zvalueSql("pq", "dq")} AS BIGINT) AS zvalue
+       |FROM (
+       |  SELECT o_orderkey,
+       |         LEAST(65535, CAST(FLOOR(o_totalprice / 10) AS BIGINT)) AS pq,
+       |         GREATEST(0, datediff('day', DATE '1992-01-01', o_orderdate)) AS dq
+       |  FROM orders)
+       |ORDER BY o_orderkey""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q34_heavy_hitters" -> q34HeavyHitters,
     "q35_salted_join" -> q35SaltedJoin,
     "q36_bucketed_join" -> q36BucketedJoin,
     "q43_incremental_agg" -> q43IncrementalAgg,
-    "q45_bloom_prejoin" -> q45BloomPrejoin)
+    "q45_bloom_prejoin" -> q45BloomPrejoin,
+    "q47_zorder" -> q47ZOrder)
 
   val oracles: Seq[(String, String)] = Seq(
     "q34_heavy_hitters" -> q34Sql,
     "q35_salted_join" -> q35Sql,
     "q36_bucketed_join" -> q36Sql,
     "q43_incremental_agg" -> q43Sql,
-    "q45_bloom_prejoin" -> q45Sql)
+    "q45_bloom_prejoin" -> q45Sql,
+    "q47_zorder" -> q47Sql)
 }
