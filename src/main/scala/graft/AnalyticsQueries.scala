@@ -403,6 +403,78 @@ object AnalyticsQueries {
       |       CAST(ROUND(quantile_cont(l_quantity, 0.5) * 1000, 0) AS BIGINT) AS p50_qty_milli
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** #97 (q48): funnel analysis — per user, the first `view`, the
+    * first `click` strictly after it, the first `purchase` strictly
+    * after that. The ordered-event conversion query every product
+    * analytics stack runs; three stage-wise min-aggregates + joins
+    * (each a linear shuffle on user_id — never a window over the
+    * whole event history, so one hyperactive user can't serialize a
+    * task). Unconverted stages surface as NULL (left joins), so the
+    * row count is the stage-1 population. */
+  def q48Funnel: Q = (spark, dir) => {
+    val e = Tables.events(spark, dir).select("user_id", "event_type", "ts")
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("v_raw"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("v_raw"))
+      .groupBy("user_id").agg(min("ts").as("c_raw"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("c_raw"))
+      .groupBy("user_id").agg(min("ts").as("p_raw"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"),
+        date_trunc("second", col("v_raw")).cast(TimestampType).as("view_ts"),
+        date_trunc("second", col("c_raw")).cast(TimestampType).as("click_ts"),
+        date_trunc("second", col("p_raw")).cast(TimestampType).as("purchase_ts"))
+      .orderBy("user_id")
+  }
+
+  val q48Sql: String =
+    """WITH v AS (SELECT user_id, MIN(ts) AS v_raw FROM events WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, MIN(e.ts) AS c_raw
+      |      FROM events e JOIN v USING (user_id)
+      |      WHERE e.event_type = 'click' AND e.ts > v_raw GROUP BY 1),
+      |p AS (SELECT e.user_id, MIN(e.ts) AS p_raw
+      |      FROM events e JOIN c USING (user_id)
+      |      WHERE e.event_type = 'purchase' AND e.ts > c_raw GROUP BY 1)
+      |SELECT v.user_id,
+      |       CAST(date_trunc('second', v_raw) AS TIMESTAMP) AS view_ts,
+      |       CAST(date_trunc('second', c_raw) AS TIMESTAMP) AS click_ts,
+      |       CAST(date_trunc('second', p_raw) AS TIMESTAMP) AS purchase_ts
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |       LEFT JOIN p ON v.user_id = p.user_id
+      |ORDER BY 1""".stripMargin
+
+  /** #98 (q49): cohort retention — users grouped by first-activity
+    * week, distinct-user counts per (cohort, week offset). Two linear
+    * aggregations: the distinct (user, week) activity matrix is
+    * corpus-bounded (users × weeks), and the cohort join broadcasts
+    * nothing data-derived. ISO Monday weeks on both engines. */
+  def q49CohortRetention: Q = (spark, dir) => {
+    val act = Tables.events(spark, dir)
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("wk"))
+      .distinct()
+    val cohort = act.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    act.join(cohort, "user_id")
+      // both Mondays ⇒ the day gap is an exact multiple of 7
+      .withColumn("week_offset", expr("CAST(datediff(wk, cohort_wk) DIV 7 AS BIGINT)"))
+      .groupBy("cohort_wk", "week_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_wk", "week_offset")
+  }
+
+  val q49Sql: String =
+    """WITH a AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+      |f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM a GROUP BY 1)
+      |SELECT cohort_wk,
+      |       CAST(datediff('day', cohort_wk, wk) // 7 AS BIGINT) AS week_offset,
+      |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM a JOIN f USING (user_id)
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   /** #48: Pearson correlation matrix entries (eda.ipynb-style),
     * derived from exact scaled-long sums + one identically-written
     * double formula on both engines (same determinism argument as q18
@@ -722,13 +794,17 @@ object AnalyticsQueries {
     "q39_grouping_sets" -> q39GroupingSets,
     "q42_resample" -> q42Resample,
     "q44_approx_percentiles" -> q44ApproxPercentiles,
-    "q46_approx_distinct" -> q46ApproxDistinct)
+    "q46_approx_distinct" -> q46ApproxDistinct,
+    "q48_funnel" -> q48Funnel,
+    "q49_cohort_retention" -> q49CohortRetention)
 
   val oracles: Seq[(String, String)] = Seq(
     "q37_range_join" -> q37Sql,
     "q38_supplier_stats" -> q38Sql,
     "q39_grouping_sets" -> q39Sql,
     "q42_resample" -> q42Sql,
+    "q48_funnel" -> q48Sql,
+    "q49_cohort_retention" -> q49Sql,
     "q18_describe_stats" -> q18Sql,
     "q19_asof_join" -> q19Sql,
     "q20_sessionize" -> q20Sql,

@@ -240,6 +240,37 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("q48 funnel stages are strictly ordered and monotonically shrinking") {
+    val rows = AnalyticsQueries.q48Funnel(TestSpark.spark, TestSpark.Sf)
+      .select(col("user_id"), col("view_ts").cast("long"),
+        col("click_ts").cast("long"), col("purchase_ts").cast("long"))
+      .as[(Long, Option[Long], Option[Long], Option[Long])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, v, c, p) =>
+      assert(v.nonEmpty, s"user $u row exists without a view stage")
+      // a later stage implies the earlier one, in order (second
+      // truncation can collapse ties, so >= not >)
+      if (c.nonEmpty) assert(c.get >= v.get, s"user $u click before view")
+      if (p.nonEmpty) assert(c.nonEmpty && p.get >= c.get, s"user $u purchase out of order")
+    }
+    val n = rows.length
+    assert(rows.count(_._3.nonEmpty) <= n && rows.count(_._4.nonEmpty) <= rows.count(_._3.nonEmpty))
+  }
+
+  test("q49 cohort retention: offset 0 equals cohort size, later offsets never exceed it") {
+    val rows = AnalyticsQueries.q49CohortRetention(TestSpark.spark, TestSpark.Sf)
+      .as[(java.sql.Date, Long, Long)].collect()
+      .groupBy(_._1.toString)
+    assert(rows.nonEmpty)
+    rows.foreach { case (cohort, rs) =>
+      val byOffset = rs.map(r => r._2 -> r._3).toMap
+      assert(byOffset.contains(0L), s"cohort $cohort missing offset 0")
+      byOffset.foreach { case (off, nU) =>
+        assert(nU <= byOffset(0L), s"cohort $cohort offset $off retention $nU exceeds cohort size")
+      }
+    }
+  }
+
   test("ExactPercentile ignores nulls like percentile/quantile_cont") {
     import graft.functions.ExactPercentile, ExactPercentile.Pct
     val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
