@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.dedup.{MinHash, SimHash}
-import graft.functions.{DotProduct, DotProductInt, Fingerprint64, QuantizeInt8, ShingleFingerprints}
+import graft.functions.{DotProduct, DotProductInt, Fingerprint64, InterleaveBits16, QuantizeInt8, ShingleFingerprints}
 
 /** SQL registration for graft's custom Catalyst expressions, so
   * `spark.sql("SELECT fingerprint64(text) …")` works alongside the
@@ -36,7 +36,8 @@ object GraftFunctions {
     "band_hashes" -> { exprs => MinHash.BandHashesExpr(exprs.head, 16) },
     "sig_match_count" -> { exprs =>
       MinHash.SigMatchCount(exprs(0), exprs(1))
-    })
+    },
+    "interleave_bits16" -> { exprs => InterleaveBits16(exprs(0), exprs(1)) })
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

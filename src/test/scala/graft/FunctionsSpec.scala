@@ -129,6 +129,9 @@ class FunctionsSpec extends AnyFunSuite {
     val d = spark.sql("SELECT dot_product_int(array(1, -2), array(3, 4)) AS d")
       .as[Long].head()
     assert(d == 1L * 3 - 2 * 4)
+    // z-order interleave: a=0b11 -> even bits, b=0b01 -> odd bits
+    val z = spark.sql("SELECT interleave_bits16(3L, 1L) AS z").as[Long].head()
+    assert(z == 7L) // bits: a0->0, b0->1, a1->2 = 0b111
   }
 
   test("t07 redaction masks emails and digit runs on matching text (group-0 extract path)") {
