@@ -234,7 +234,16 @@ object AnalyticsQueries {
     * kw ∈ tokens(p_name) — proved by the UNCHANGED `contains` oracle
     * staying green. Explode is narrow; the join is hash-based (AQE
     * broadcasts the keyword side while it is small, sort-merge when
-    * it is not); (part, kw) dedup guards names repeating a token. */
+    * it is not); (part, kw) dedup guards names repeating a token.
+    *
+    * The ⇔ rests on a VOCABULARY property, not a law: no ≥4-char
+    * first token may occur as a proper substring of a different
+    * distinct token (true of TPC-H part names; "rose" inside
+    * "rosewood" would break it). [[q25AssumptionViolations]] checks
+    * the property on the actual data — production callers on a new
+    * vocabulary run it once per vocabulary refresh (cost: two tiny
+    * DISTINCT token sets, vocab-sized not corpus-sized) and fall back
+    * to a contains join for any violating keywords it reports. */
   def q25ContainsJoin: Q = (spark, dir) => {
     val part = Tables.part(spark, dir)
     val keywords = part
@@ -248,6 +257,29 @@ object AnalyticsQueries {
       .groupBy("kw")
       .agg(count(lit(1)).as("n_parts"), min("p_partkey").as("first_part"))
       .orderBy("kw")
+  }
+
+  /** Runtime check for the q25 rewrite's vocabulary assumption:
+    * returns every (kw, tok) where a keyword is a proper substring of
+    * a DIFFERENT distinct token — exactly the cases where the token
+    * equi-join would miss a `contains` match. Empty result ⇒ the
+    * rewrite is lossless on this vocabulary. Both sides are DISTINCT
+    * token sets (bounded by the vocabulary, not the corpus), and the
+    * keyword side is broadcast, so the containment cross-check never
+    * touches corpus-scale data. PlanSpec pins it empty on the test
+    * vocabulary. */
+  def q25AssumptionViolations(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+    val tokens = part
+      .select(explode(split(col("p_name"), " ")).as("tok"))
+      .distinct()
+    val keywords = part
+      .select(etl.TextNorm.firstToken(col("p_name")).as("kw"))
+      .distinct()
+      .filter(length(col("kw")) >= 4)
+    tokens.join(broadcast(keywords),
+        col("tok").contains(col("kw")) && col("tok") =!= col("kw"))
+      .select(col("kw"), col("tok"))
   }
 
   val q25Sql: String =
@@ -358,7 +390,16 @@ object AnalyticsQueries {
     val qty = ExactPercentile.quantiles(li, Seq("l_returnflag"),
       col("l_quantity"), valPow = 2, outPow = 3,
       Seq(Pct("p50_qty_milli", 50, 100)))
-    price.join(qty, "l_returnflag").orderBy("l_returnflag")
+    // Left-join both quantile frames onto the distinct-group spine:
+    // ExactPercentile drops a group whose measure is ALL NULL, but
+    // quantile_cont keeps it with a NULL quantile — an inner join here
+    // would make such a group vanish entirely. No-op on TPC-H (no
+    // NULLs); the spine costs one partial-agg distinct over 3 groups.
+    val groups = li.select("l_returnflag").distinct()
+    groups
+      .join(price, Seq("l_returnflag"), "left")
+      .join(qty, Seq("l_returnflag"), "left")
+      .orderBy("l_returnflag")
   }
 
   /** #85 (q44): APPROXIMATE percentiles — the tolerance-permitting

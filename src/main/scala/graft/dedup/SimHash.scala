@@ -72,17 +72,24 @@ object SimHash {
     Bridge.column(SimHash64(Bridge.expression(shingleHashes)))
 
   /** Near-dup pairs with Hamming distance ≤ maxHamming, via chunk
-    * banding (guaranteed complete for maxHamming ≤ nBands - 1). */
+    * banding (guaranteed complete for maxHamming ≤ nBands - 1). Bands
+    * partition ALL 64 bits — when nBands does not divide 64 the first
+    * (64 mod nBands) bands carry one extra bit (same scheme as
+    * [[blockWidths]]), so no signature bit is ever left out of every
+    * chunk key and the pigeonhole guarantee holds for any nBands. */
   def nearDupPairs(sigs: DataFrame, idCol: String, sigCol: String,
                    nBands: Int, maxHamming: Int): DataFrame = {
-    val width = 64 / nBands
-    val mask = (1L << width) - 1
+    require(nBands >= 1 && nBands <= 64, s"nBands must be in [1, 64], got $nBands")
+    val widths = blockWidths(nBands)
+    val offsets = widths.scanLeft(0)(_ + _)
     // materialization barrier: both self-join sides canonicalize to
     // the same exchange, so ReuseExchange computes the signatures
     // exactly once instead of once per side
     val mat = sigs.repartition(col(idCol))
-    val chunkArr = array((0 until nBands).map(j =>
-      shiftrightunsigned(col(sigCol), j * width).bitwiseAND(lit(mask))): _*)
+    val chunkArr = array((0 until nBands).map { j =>
+      val mask = if (widths(j) == 64) -1L else (1L << widths(j)) - 1
+      shiftrightunsigned(col(sigCol), offsets(j)).bitwiseAND(lit(mask))
+    }: _*)
     val chunks = mat.select(
         col(idCol), col(sigCol),
         posexplode(chunkArr).as(Seq("chunk", "cv")))

@@ -71,8 +71,19 @@ object Stages {
         if (committed) {
           // winner sweeps temp dirs abandoned by KILLED runs — never a
           // concurrent racer's live build (age gate, see SweepMinAgeMs;
-          // our own tmp is already gone via the rename)
-          val cutoff = System.currentTimeMillis() - SweepMinAgeMs
+          // our own tmp is already gone via the rename). "Now" comes
+          // from the FILESYSTEM's clock (mtime of a freshly-touched
+          // marker), not the driver's: on object stores or skewed
+          // hosts, System.currentTimeMillis() would silently shrink
+          // the 24h margin and could sweep a live racer's tmp.
+          val clockMarker = new Path(root,
+            s".$name.sweepclock-${java.util.UUID.randomUUID}")
+          val fsNow =
+            try {
+              fs.create(clockMarker, true).close()
+              fs.getFileStatus(clockMarker).getModificationTime
+            } finally fs.delete(clockMarker, false)
+          val cutoff = fsNow - SweepMinAgeMs
           Option(fs.globStatus(new Path(root, s".$name.inprogress-*")))
             .foreach(_.filter(_.getModificationTime < cutoff)
               .foreach(st => fs.delete(st.getPath, true)))

@@ -45,9 +45,21 @@ object BloomFilter {
     require(expectedKeys > 0 && fpp > 0 && fpp < 1, s"bad bloom sizing ($expectedKeys, $fpp)")
     val ln2 = math.log(2.0)
     val mBits = math.max(64.0, -expectedKeys.toDouble * math.log(fpp) / (ln2 * ln2))
-    val pow2 = math.min(1L << 30, java.lang.Long.highestOneBit(math.ceil(mBits).toLong * 2 - 1))
+    val uncapped = java.lang.Long.highestOneBit(math.ceil(mBits).toLong * 2 - 1)
+    val pow2 = math.min(1L << 30, uncapped)
     val k = math.max(1, math.round(pow2.toDouble / expectedKeys.toDouble * ln2).toInt)
-    (pow2.toInt, math.min(16, k))
+    val kCapped = math.min(16, k)
+    if (uncapped > (1L << 30)) {
+      // the fpp contract is NOT met past the cap: harmless where a real
+      // join removes false positives (q45), but a caller that DROPS on
+      // membership (bloom-dedup streams) must know the realized rate
+      val realized = math.pow(
+        1.0 - math.exp(-kCapped.toDouble * expectedKeys.toDouble / pow2.toDouble), kCapped.toDouble)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        f"bloom sizing capped at 2^30 bits: $expectedKeys%d keys at requested fpp=$fpp%g " +
+        f"need $uncapped%d bits; realized fpp ≈ $realized%.4f")
+    }
+    (pow2.toInt, kCapped)
   }
 
   private def setBit(words: Array[Long], idx: Long): Unit = {

@@ -61,6 +61,16 @@ class DedupSpec extends AnyFunSuite {
       if java.lang.Long.bitCount(s1 ^ s2) <= 3
     } yield (i1, i2)).toSet
     assert(pairs == brute, s"banded=$pairs brute=$brute")
+
+    // non-dividing nBands (64 % 5 ≠ 0): remainder-bit bands must still
+    // cover all 64 bits, so completeness holds for hamming ≤ 4 too
+    val brute4 = (for {
+      (i1, s1) <- all; (i2, s2) <- all if i1 < i2
+      if java.lang.Long.bitCount(s1 ^ s2) <= 4
+    } yield (i1, i2)).toSet
+    val pairs5 = SimHash.nearDupPairs(sigs.select("doc_id", "ssig"), "doc_id", "ssig", 5, 4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs5 == brute4, s"nBands=5 banded=$pairs5 brute=$brute4")
   }
 
   test("connected components merges transitive near-dup chains") {

@@ -129,6 +129,14 @@ class PlanSpec extends AnyFunSuite {
            p.contains("ShuffledHashJoin"), p.take(800))
   }
 
+  test("q25 vocabulary assumption holds on the test data (rewrite is lossless)") {
+    // the token equi-join ⇔ contains rewrite requires that no keyword
+    // is a proper substring of a different distinct token; the guard
+    // query returns the violations and must be empty here
+    val v = AnalyticsQueries.q25AssumptionViolations(spark, sf)
+    assert(v.isEmpty, v.collect().take(5).mkString("; "))
+  }
+
   test("q32 candidate stage joins on rare grams, not length-band cross products") {
     val p = planOf("q32_edit_distance")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
