@@ -813,7 +813,215 @@ object AnalyticsQueries {
       |GROUP BY r_name, n_name
       |ORDER BY r_name, n_name""".stripMargin
 
+  /** #94 (q50): window distribution statistics — ntile quartiles,
+    * percent_rank, cume_dist per market segment, the standard
+    * rank-normalization step before stratified policies (credit bands,
+    * per-stratum thresholds). The compound ORDER BY (acctbal, custkey)
+    * is tie-free, so rank fractions are exact rationals; ×1000 through
+    * the shared IEEE double path rounds identically on both engines
+    * (same convention as q26). One hash exchange on the segment;
+    * WindowExec streams each partition. */
+  def q50WindowStats: Q = (spark, dir) => {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey"), col("c_mktsegment").as("seg"),
+        round(col("c_acctbal") * 100, 0).cast(LongType).as("bal_cents"),
+        ntile(4).over(w).cast(LongType).as("quartile"),
+        floor(percent_rank().over(w) * 1000 + lit(0.5)).cast(LongType).as("pr_milli"),
+        floor(cume_dist().over(w) * 1000 + lit(0.5)).cast(LongType).as("cd_milli"))
+      .orderBy("c_custkey")
+  }
+
+  val q50Sql: String =
+    """SELECT c_custkey, c_mktsegment AS seg,
+      |       CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_cents,
+      |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |       CAST(FLOOR(percent_rank() OVER w * 1000 + 0.5) AS BIGINT) AS pr_milli,
+      |       CAST(FLOOR(cume_dist() OVER w * 1000 + 0.5) AS BIGINT) AS cd_milli
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** #95 (q51): interval sweep-line — peak concurrent in-transit
+    * shipments per supplier. Each returned lineitem occupies
+    * [shipdate, shipdate+7d); the sweep turns intervals into ±1
+    * boundary events and a running sum, the classic O(n log n)
+    * overlap-counting algorithm (vs the quadratic interval self-join).
+    * The running sum partitions by supplier — no global sort, every
+    * partition an independent streamed window; both window passes and
+    * the final aggregate share ONE hash exchange. Boundary order is
+    * total (day, delta DESC, orderkey, linenumber), so a start on the
+    * day another interval ends counts as overlapping, and RANGE vs
+    * ROWS framing cannot differ. */
+  def q51IntervalSweep: Q = (spark, dir) => {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").cast(DateType).as("d0"))
+    val starts = li.select(col("l_suppkey"), col("d0").as("day"),
+      lit(1L).as("delta"), col("l_orderkey"), col("l_linenumber"))
+    val ends = li.select(col("l_suppkey"), date_add(col("d0"), 7).as("day"),
+      lit(-1L).as("delta"), col("l_orderkey"), col("l_linenumber"))
+    val sweep = Window.partitionBy("l_suppkey")
+      .orderBy(col("day").asc, col("delta").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy("l_suppkey")
+    starts.union(ends)
+      .withColumn("active", sum("delta").over(sweep))
+      .withColumn("peak", max("active").over(whole))
+      .filter(col("active") === col("peak"))
+      .groupBy("l_suppkey")
+      .agg(max("active").as("peak"), min("day").as("first_peak_day"))
+      .orderBy("l_suppkey")
+  }
+
+  val q51Sql: String =
+    """WITH li AS (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS d0
+      |  FROM lineitem WHERE l_returnflag = 'R'),
+      |ev AS (
+      |  SELECT l_suppkey, d0 AS day, 1 AS delta, l_orderkey, l_linenumber FROM li
+      |  UNION ALL
+      |  SELECT l_suppkey, d0 + 7 AS day, -1 AS delta, l_orderkey, l_linenumber FROM li),
+      |sw AS (
+      |  SELECT l_suppkey, day,
+      |         SUM(delta) OVER (PARTITION BY l_suppkey
+      |                          ORDER BY day ASC, delta DESC, l_orderkey ASC, l_linenumber ASC
+      |                          ROWS UNBOUNDED PRECEDING) AS active
+      |  FROM ev),
+      |pk AS (SELECT l_suppkey, day, active,
+      |              MAX(active) OVER (PARTITION BY l_suppkey) AS peak FROM sw)
+      |SELECT l_suppkey, CAST(MAX(active) AS BIGINT) AS peak, MIN(day) AS first_peak_day
+      |FROM pk WHERE active = peak
+      |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
+
+  /** #96 (q52): exponentially-weighted moving average — per event
+    * type's daily revenue, weights 8:4:2:1 over the current + 3
+    * preceding days-with-data (the finite-memory EWMA; an infinite
+    * alpha-recursion is not expressible as a frame and its doubles
+    * drift cross-engine). Integer numerator/denominator, one shared
+    * IEEE division, half-up rounding — exact on both engines (q26's
+    * convention). Same single-exchange window shape as q26. */
+  def q52Ewma: Q = (spark, dir) => {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("ts").cast(DateType).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast(LongType)).as("cents"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val (c1, c2, c3) = (lag("cents", 1).over(w), lag("cents", 2).over(w),
+      lag("cents", 3).over(w))
+    val num = col("cents") * 8 + coalesce(c1, lit(0L)) * 4 +
+      coalesce(c2, lit(0L)) * 2 + coalesce(c3, lit(0L))
+    val den = lit(8) + when(c1.isNotNull, 4).otherwise(0) +
+      when(c2.isNotNull, 2).otherwise(0) + when(c3.isNotNull, 1).otherwise(0)
+    daily
+      .withColumn("ewma_milli",
+        floor(num * lit(1000.0) / den + lit(0.5)).cast(LongType))
+      .orderBy("event_type", "day")
+  }
+
+  val q52Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |l AS (
+      |  SELECT event_type, day, cents,
+      |         lag(cents, 1) OVER w AS c1, lag(cents, 2) OVER w AS c2,
+      |         lag(cents, 3) OVER w AS c3
+      |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day))
+      |SELECT event_type, day, cents,
+      |       CAST(FLOOR((cents * 8 + COALESCE(c1, 0) * 4 + COALESCE(c2, 0) * 2
+      |                   + COALESCE(c3, 0)) * 1000.0
+      |                  / (8 + CASE WHEN c1 IS NULL THEN 0 ELSE 4 END
+      |                       + CASE WHEN c2 IS NULL THEN 0 ELSE 2 END
+      |                       + CASE WHEN c3 IS NULL THEN 0 ELSE 1 END) + 0.5) AS BIGINT)
+      |         AS ewma_milli
+      |FROM l ORDER BY event_type, day""".stripMargin
+
+  /** #97 (q53): co-occurrence mining (market-basket) — brand pairs
+    * appearing in the same order, with a support threshold. The same
+    * shape as word co-occurrence over documents: per-basket DISTINCT
+    * items (bounded basket size ⇒ the per-basket pair expansion is
+    * O(k²) with k ≤ 7, corpus-linear overall), self-join on the basket
+    * key, count pairs. The dimension join is broadcast; the pair join
+    * shuffles on orderkey once; AQE skew-handles hot baskets. */
+  def q53CoOccurrence: Q = (spark, dir) => {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
+    val part = Tables.part(spark, dir).select("p_partkey", "p_brand")
+    val ob = li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+      .distinct()
+    val a = ob.toDF("ok", "b1")
+    val b = ob.toDF("ok", "b2")
+    a.join(b, "ok").filter(col("b1") < col("b2"))
+      .groupBy("b1", "b2").agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 10)
+      .orderBy("b1", "b2")
+  }
+
+  val q53Sql: String =
+    """WITH ob AS (
+      |  SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+      |SELECT a.brand AS b1, b.brand AS b2, CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 10
+      |ORDER BY b1, b2""".stripMargin
+
+  /** #98 (q54): anomaly flagging — days whose revenue sits more than
+    * 2 population standard deviations from their event type's mean
+    * (2σ — this near-uniform synthetic daily series has no 3σ days,
+    * and an always-empty flag set would be a vacuous oracle).
+    * The z² > 4 test is done ENTIRELY in integers:
+    * (x·n − s)² > 4·(n·ss − s²) multiplies the definition through by
+    * n², so no mean, no sqrt, no float — exact on both engines
+    * (decimal(38) here, HUGEINT in the oracle; the squares overflow
+    * int64 past ~sf1). Two passes over the tiny (type, day) aggregate,
+    * both on one hash exchange; the corpus is touched once. */
+  def q54Anomaly: Q = (spark, dir) => {
+    val dec = DataTypes.createDecimalType(38, 0)
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("ts").cast(DateType).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast(LongType)).as("cents"))
+    val w = Window.partitionBy("event_type")
+    val dev = (col("cents") * col("n") - col("s")).cast(dec)
+    val spread = col("n").cast(dec) * col("ss").cast(dec) -
+      col("s").cast(dec) * col("s").cast(dec)
+    daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum("cents").over(w))
+      .withColumn("ss", sum(col("cents") * col("cents")).over(w))
+      .filter(dev * dev > lit(4).cast(dec) * spread)
+      .select(col("event_type"), col("day"), col("cents"))
+      .orderBy("event_type", "day")
+  }
+
+  val q54Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, day, cents,
+      |         COUNT(*) OVER w AS n, SUM(cents) OVER w AS s,
+      |         SUM(cents * cents) OVER w AS ss
+      |  FROM daily WINDOW w AS (PARTITION BY event_type))
+      |SELECT event_type, day, cents
+      |FROM st
+      |WHERE CAST(cents * n - s AS HUGEINT) * CAST(cents * n - s AS HUGEINT)
+      |      > 4 * (CAST(n AS HUGEINT) * CAST(ss AS HUGEINT)
+      |             - CAST(s AS HUGEINT) * CAST(s AS HUGEINT))
+      |ORDER BY event_type, day""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q50_window_stats" -> q50WindowStats,
+    "q51_interval_sweep" -> q51IntervalSweep,
+    "q52_ewma" -> q52Ewma,
+    "q53_cooccurrence" -> q53CoOccurrence,
+    "q54_anomaly" -> q54Anomaly,
     "q18_describe_stats" -> q18DescribeStats,
     "q19_asof_join" -> q19AsofJoin,
     "q20_sessionize" -> q20Sessionize,
@@ -840,6 +1048,11 @@ object AnalyticsQueries {
     "q49_cohort_retention" -> q49CohortRetention)
 
   val oracles: Seq[(String, String)] = Seq(
+    "q50_window_stats" -> q50Sql,
+    "q51_interval_sweep" -> q51Sql,
+    "q52_ewma" -> q52Sql,
+    "q53_cooccurrence" -> q53Sql,
+    "q54_anomaly" -> q54Sql,
     "q37_range_join" -> q37Sql,
     "q38_supplier_stats" -> q38Sql,
     "q39_grouping_sets" -> q39Sql,

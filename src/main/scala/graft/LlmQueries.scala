@@ -555,7 +555,63 @@ object LlmQueries {
       |       CASE WHEN frame_id < k THEN n // k ELSE n - (k - 1) * (n // k) END AS frame_len
       |FROM e ORDER BY doc_id, frame_id""".stripMargin
 
+  /** #100 (d14): PageRank over the near-dup similarity graph —
+    * centrality-based canonical ranking: within a dup cluster the
+    * highest-ranked doc is the one most corroborated by its
+    * neighborhood (the deterministic tie-break d06's min-id rule
+    * lacks), and the same operator ranks domains in a link graph for
+    * CommonCrawl-style quality weighting. Fixed 5 iterations of
+    * integer-scaled mass propagation (see [[graft.graph.PageRank]]) —
+    * exact on both engines, so unlike float PageRank it IS
+    * oracle-checkable: the DuckDB twin unrolls the same five
+    * iterations over the same integer recurrence. */
+  def d14Pagerank: Q = (spark, dir) => {
+    val edges = d04NgramJaccard(spark, dir).select("doc_id1", "doc_id2")
+    graph.PageRank.run(edges, "doc_id1", "doc_id2", iterations = 5)
+      .orderBy("id")
+  }
+
+  val d14Sql: String = {
+    val head =
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]*(feat\.|featuring|ft\.|&|and)[ \t\n\x0b\f\r]*', ';', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(w) >= 3
+        |              THEN list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |              ELSE list_distinct([array_to_string(w, ' ')]) END AS s
+        |  FROM toks),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b
+        |    ON a.doc_id < b.doc_id
+        |   AND len(b.s) <= 2 * len(a.s) AND len(a.s) <= 2 * len(b.s)
+        |  WHERE len(list_intersect(a.s, b.s)) > 0
+        |    AND len(list_intersect(a.s, b.s)) * 2 >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+        |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        |deg AS (SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+        |cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM deg),
+        |r0 AS (SELECT id, d, (1000000000000 // nn) AS r FROM deg CROSS JOIN cnt),
+        |""".stripMargin
+    def iter(i: Int): String = {
+      val prev = s"r${i - 1}"
+      s"""r$i AS (
+         |  SELECT d0.id, d0.d,
+         |         (15 * (1000000000000 // nn)) // 100
+         |         + (85 * COALESCE(t.s, 0)) // 100 AS r
+         |  FROM deg d0 CROSS JOIN cnt LEFT JOIN (
+         |    SELECT e.b AS id, SUM($prev.r // $prev.d) AS s
+         |    FROM e JOIN $prev ON e.a = $prev.id
+         |    GROUP BY 1) t ON d0.id = t.id)""".stripMargin
+    }
+    head + (1 to 5).map(iter).mkString(",\n") +
+      "\nSELECT id, CAST(r AS BIGINT) AS rank_e12 FROM r5 ORDER BY id"
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "d14_pagerank" -> d14Pagerank,
     "d01_dedup_exact" -> d01DedupExact,
     "d02_minhash_lsh" -> d02MinHashLsh,
     "d03_simhash" -> d03SimHash,
@@ -584,6 +640,7 @@ object LlmQueries {
   /** d02/d03/d07/s02 intentionally absent (rows-only check; each
     * carries a quantified recall spec instead). */
   val oracles: Seq[(String, String)] = Seq(
+    "d14_pagerank" -> d14Sql,
     "s04_quantize_int8" -> s04Sql,
     "d01_dedup_exact" -> d01Sql,
     "d04_ngram_jaccard" -> d04Sql,

@@ -568,7 +568,57 @@ object TrainingDataQueries {
       |FROM x
       |ORDER BY order_key, doc_id""".stripMargin
 
+  /** #99 (t15): collocation mining — bigrams whose corpus frequency
+    * exceeds what their unigram frequencies predict under independence
+    * (lift = P(xy)/(P(x)·P(y)), the exponential of PMI). The standard
+    * multi-word-expression signal when building tokenizer vocabularies
+    * and merge lists. The score is kept as the INTEGER
+    * (c_xy·N·1000) div (c_x·c_y) — same rank order as PMI (log is
+    * monotone) with zero cross-engine float risk (t14's convention).
+    * One bigram stream, two linear partial-aggregated counts, two
+    * joins on the (small) gram domain, 1-row total broadcast. */
+  def t15Collocations: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(split(col("text"), " ").as("w"))
+    val bi = toks
+      .filter(size(col("w")) >= 2)
+      .select(explode(sequence(lit(1), size(col("w")) - 1)).as("i"), col("w"))
+      .select(element_at(col("w"), col("i")).as("x"),
+        element_at(col("w"), col("i") + 1).as("y"))
+    val pairCnt = bi.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+    val uni = toks.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum("c").as("n_tok"))
+    pairCnt
+      .join(uni.toDF("x", "c_x"), "x")
+      .join(uni.toDF("y", "c_y"), "y")
+      .crossJoin(broadcast(total))
+      .filter(col("c_xy") >= 5)
+      .select(col("x"), col("y"), col("c_xy"),
+        expr("(c_xy * n_tok * 1000) div (c_x * c_y)").as("lift_milli"))
+      .orderBy("x", "y")
+  }
+
+  val t15Sql: String =
+    """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+      |b AS (
+      |  SELECT unnest(list_transform(range(1, len(w)), i -> w[i])) AS x,
+      |         unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS y
+      |  FROM t WHERE len(w) >= 2),
+      |bc AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c_xy FROM b GROUP BY 1, 2),
+      |u AS (SELECT unnest(w) AS tok, 1 AS one FROM t),
+      |uc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY 1),
+      |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM uc)
+      |SELECT x, y, c_xy,
+      |       CAST((c_xy * n_tok * 1000) // (ux.c * uy.c) AS BIGINT) AS lift_milli
+      |FROM bc JOIN uc ux ON bc.x = ux.tok
+      |        JOIN uc uy ON bc.y = uy.tok
+      |        CROSS JOIN n
+      |WHERE c_xy >= 5
+      |ORDER BY x, y""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "t15_collocations" -> t15Collocations,
     "d12_mixture" -> d12Mixture,
     "t08_hash_split" -> t08HashSplit,
     "d08_chunk" -> d08Chunk,
@@ -583,6 +633,7 @@ object TrainingDataQueries {
     "d11_corpus_pipeline" -> d11CorpusPipeline)
 
   val oracles: Seq[(String, String)] = Seq(
+    "t15_collocations" -> t15Sql,
     "d12_mixture" -> d12Sql,
     "t13_boilerplate" -> t13Sql,
     "t14_lm_score" -> t14Sql,

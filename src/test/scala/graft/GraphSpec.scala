@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.PageRank
+
+/** PageRank: the distributed integer recurrence must match an
+  * in-memory reference power iteration exactly (same floor-division
+  * ops), and the structural properties of PageRank must hold. */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Scale = 1000000000000L
+
+  /** Reference: the same integer recurrence, single-threaded. */
+  private def reference(edges: Seq[(Long, Long)], iterations: Int): Map[Long, Long] = {
+    val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val deg = sym.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val n = deg.size.toLong
+    var r = deg.keys.map(_ -> Scale / n).toMap
+    val base = (15L * (Scale / n)) / 100L
+    for (_ <- 1 to iterations) {
+      val in = sym.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / deg(src) }.sum
+      }
+      r = r.map { case (id, _) => id -> (base + (85L * in.getOrElse(id, 0L)) / 100L) }
+    }
+    r
+  }
+
+  test("PageRank matches the reference recurrence on a path + star graph") {
+    // path 1-2-3 plus star 10-{11,12,13}: centers 2 and 10 must lead
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L), (10L, 13L))
+    for (iters <- Seq(1, 5)) {
+      val got = PageRank.run(edges.toDF("s", "t"), "s", "t", iterations = iters)
+        .as[(Long, Long)].collect().toMap
+      assert(got == reference(edges, iters), s"iters=$iters")
+    }
+  }
+
+  test("PageRank structural properties: centrality ordering and mass bound") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L), (10L, 13L))
+    val r = PageRank.run(edges.toDF("s", "t"), "s", "t")
+      .as[(Long, Long)].collect().toMap
+    assert(r(2L) > r(1L) && r(2L) > r(3L), s"path center must lead: $r")
+    assert(r(10L) > r(11L), s"star center must lead: $r")
+    assert(r(1L) == r(3L) && r(11L) == r(12L) && r(12L) == r(13L),
+      s"symmetric nodes must tie exactly: $r")
+    val total = r.values.sum
+    // floor leakage only ever shrinks mass, and by < 1 ulp per
+    // division: iterations × (N + 2) divisions at most
+    assert(total <= Scale && total > Scale - 1000L, s"mass $total")
+  }
+
+  test("PageRank on a regular graph is uniform (exact fixed point)") {
+    // triangle: every node degree 2 — rank must stay exactly uniform
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val r = PageRank.run(edges.toDF("s", "t"), "s", "t")
+      .as[(Long, Long)].collect().toMap
+    assert(r.values.toSet.size == 1, s"regular graph must be uniform: $r")
+  }
+}

@@ -129,6 +129,25 @@ class PlanSpec extends AnyFunSuite {
            p.contains("ShuffledHashJoin"), p.take(800))
   }
 
+  test("q51 interval sweep runs both windows and the aggregate on one hash exchange") {
+    val p = planOf("q51_interval_sweep")
+    val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n == 1, s"expected exactly 1 hash exchange, got $n:\n${p.take(1200)}")
+  }
+
+  test("q53 co-occurrence broadcasts the dimension and never cross-products") {
+    val p = planOf("q53_cooccurrence")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+  }
+
+  test("t15 collocation counts partial-aggregate before their exchanges") {
+    val p = planOf("t15_collocations")
+    assert(p.contains("partial_count"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("q25 vocabulary assumption holds on the test data (rewrite is lossless)") {
     // the token equi-join ⇔ contains rewrite requires that no keyword
     // is a proper substring of a different distinct token; the guard
