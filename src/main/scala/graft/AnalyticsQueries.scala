@@ -813,7 +813,7 @@ object AnalyticsQueries {
       |GROUP BY r_name, n_name
       |ORDER BY r_name, n_name""".stripMargin
 
-  /** #94 (q50): window distribution statistics — ntile quartiles,
+  /** #99 (q50): window distribution statistics — ntile quartiles,
     * percent_rank, cume_dist per market segment, the standard
     * rank-normalization step before stratified policies (credit bands,
     * per-stratum thresholds). The compound ORDER BY (acctbal, custkey)
@@ -844,7 +844,7 @@ object AnalyticsQueries {
       |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
       |ORDER BY c_custkey""".stripMargin
 
-  /** #95 (q51): interval sweep-line — peak concurrent in-transit
+  /** #100 (q51): interval sweep-line — peak concurrent in-transit
     * shipments per supplier. Each returned lineitem occupies
     * [shipdate, shipdate+7d); the sweep turns intervals into ±1
     * boundary events and a running sum, the classic O(n log n)
@@ -898,7 +898,7 @@ object AnalyticsQueries {
       |FROM pk WHERE active = peak
       |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
 
-  /** #96 (q52): exponentially-weighted moving average — per event
+  /** #101 (q52): exponentially-weighted moving average — per event
     * type's daily revenue, weights 8:4:2:1 over the current + 3
     * preceding days-with-data (the finite-memory EWMA; an infinite
     * alpha-recursion is not expressible as a frame and its doubles
@@ -941,7 +941,7 @@ object AnalyticsQueries {
       |         AS ewma_milli
       |FROM l ORDER BY event_type, day""".stripMargin
 
-  /** #97 (q53): co-occurrence mining (market-basket) — brand pairs
+  /** #102 (q53): co-occurrence mining (market-basket) — brand pairs
     * appearing in the same order, with a support threshold. The same
     * shape as word co-occurrence over documents: per-basket DISTINCT
     * items (bounded basket size ⇒ the per-basket pair expansion is
@@ -971,7 +971,7 @@ object AnalyticsQueries {
       |GROUP BY 1, 2 HAVING COUNT(*) >= 10
       |ORDER BY b1, b2""".stripMargin
 
-  /** #98 (q54): anomaly flagging — days whose revenue sits more than
+  /** #103 (q54): anomaly flagging — days whose revenue sits more than
     * 2 population standard deviations from their event type's mean
     * (2σ — this near-uniform synthetic daily series has no 3σ days,
     * and an always-empty flag set would be a vacuous oracle).

@@ -555,7 +555,7 @@ object LlmQueries {
       |       CASE WHEN frame_id < k THEN n // k ELSE n - (k - 1) * (n // k) END AS frame_len
       |FROM e ORDER BY doc_id, frame_id""".stripMargin
 
-  /** #100 (d14): PageRank over the near-dup similarity graph —
+  /** #105 (d14): PageRank over the near-dup similarity graph —
     * centrality-based canonical ranking: within a dup cluster the
     * highest-ranked doc is the one most corroborated by its
     * neighborhood (the deterministic tie-break d06's min-id rule

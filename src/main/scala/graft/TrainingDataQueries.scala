@@ -568,7 +568,7 @@ object TrainingDataQueries {
       |FROM x
       |ORDER BY order_key, doc_id""".stripMargin
 
-  /** #99 (t15): collocation mining — bigrams whose corpus frequency
+  /** #104 (t15): collocation mining — bigrams whose corpus frequency
     * exceeds what their unigram frequencies predict under independence
     * (lift = P(xy)/(P(x)·P(y)), the exponential of PMI). The standard
     * multi-word-expression signal when building tokenizer vocabularies
