@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SaveMode}
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Sinks mirroring the reference's load stage
   * (dags/etl_grammy_spotify.py:305-379: CSV file + `to_sql` replace,
@@ -52,6 +53,57 @@ object Writers {
       throw new java.io.IOException(
         s"publish: rename $tmp -> $target failed (previous artifact at $prev)")
     fs.delete(prev, true)
+  }
+
+  /** Small-file compaction — the OPTIMIZE analog for plain parquet
+    * tables. Streaming sinks and fine-grained partitioned writes
+    * accumulate files far below the scan sweet spot; at 100 TB the
+    * scan's task count and the listing cost are proportional to FILE
+    * COUNT, so periodic compaction to ~targetFileBytes files is table
+    * maintenance, not an optimization. The table is read, coalesced
+    * to ⌈bytes/target⌉ output partitions, fully materialized into a
+    * hidden sibling dir, and swapped in via the same no-loss rename
+    * protocol as [[publish]] — readers never observe a half-compacted
+    * table, and the previous layout survives at `.name.previous`
+    * until the swap completes. With `partitionBy`, rows are
+    * hash-distributed on the partition columns so each partition dir
+    * compacts to one file per value (sizes then follow value skew —
+    * split hot partitions upstream). Returns (filesBefore,
+    * filesAfter) for maintenance-job observability. */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024,
+              partitionBy: Seq[String] = Nil): (Int, Int) = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: Path): Seq[FileStatus] = {
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
+      while (it.hasNext) {
+        val st = it.next()
+        val n = st.getPath.getName
+        if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) buf += st
+      }
+      buf.toSeq
+    }
+    val before = dataFiles(target)
+    val nOut = math.max(1,
+      math.ceil(before.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
+    val df0 = spark.read.parquet(path)
+    val df = if (partitionBy.nonEmpty) df0.repartition(nOut, partitionBy.map(col): _*)
+             else df0.repartition(nOut)
+    val tmp = new Path(target.getParent, s".${target.getName}.compact-inprogress")
+    val prev = new Path(target.getParent, s".${target.getName}.previous")
+    fs.delete(tmp, true)
+    parquet(df, tmp.toString, partitionBy) // materialized BEFORE any rename
+    fs.delete(prev, true)
+    if (fs.exists(target) && !fs.rename(target, prev))
+      throw new java.io.IOException(s"compact: rename $target -> $prev failed")
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(
+        s"compact: rename $tmp -> $target failed (previous layout at $prev)")
+    fs.delete(prev, true)
+    (before.size, dataFiles(target).size)
   }
 
   /** JDBC writer builder (`to_sql(if_exists="replace")` analog),

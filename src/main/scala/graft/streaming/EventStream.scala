@@ -131,6 +131,43 @@ object EventStream {
       }
   }
 
+  /** Streaming anomaly flags — the streaming twin of q54's integer z²
+    * test: per event type the state is three integers (n, Σx, Σx²) of
+    * all PRIOR events, and each arriving event is tested prequentially
+    * against them — (x·n − s)² > 4·(n·ss − s²), the 2σ rule with no
+    * mean, no sqrt, no float (BigInt for the transient squares; the
+    * STORED sums stay Long, exact while n·x² < 2⁶³ ≈ 9·10⁸ events per
+    * type at cent scale — past that, shard the key or rebase).
+    * Test-then-fold means a flag depends only on history, never on the
+    * event itself inflating its own baseline, and a `warmup` floor
+    * keeps early noisy variance from flagging everything. State is
+    * O(event types) — three longs each — forever. */
+  def anomalyStream(events: DataFrame, warmup: Long = 30): Dataset[AnomalyFlag] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .selectExpr("event_id", "event_type",
+        "cast(round(value * 100, 0) as bigint) as cents")
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[TypeStats, AnomalyFlag](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (et, rows, state) =>
+        var st = state.getOption.getOrElse(TypeStats(0L, 0L, 0L))
+        val out = Vector.newBuilder[AnomalyFlag]
+        rows.foreach { case (id, _, x) =>
+          if (st.n >= warmup) {
+            val dev = BigInt(x) * st.n - st.s
+            val spread = BigInt(st.n) * st.ss - BigInt(st.s) * st.s
+            if (dev * dev > spread * 4) out += AnomalyFlag(id, et, x)
+          }
+          st = TypeStats(st.n + 1, st.s + x, st.ss + x * x)
+        }
+        state.update(st)
+        out.result().iterator
+      }
+  }
+
   /** Per-user running totals via arbitrary stateful processing
     * (`mapGroupsWithState`): state is one [[UserAgg]] per user —
     * bounded by the user population, not the stream length — and
@@ -155,6 +192,8 @@ object EventStream {
 
 case class UserAgg(n: Long, total: Double)
 case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+case class TypeStats(n: Long, s: Long, ss: Long)
+case class AnomalyFlag(event_id: Long, event_type: String, cents: Long)
 
 /** Idempotent external sink via `foreachBatch`: each micro-batch is
   * stamped with its batch id and replaces any previous rows of that

@@ -37,6 +37,39 @@ class SourcesSpec extends AnyFunSuite {
     assert(pruned.count() == df.filter(col("o_orderstatus") === "F").count())
   }
 
+  test("compact collapses a many-small-file table without changing its rows") {
+    val dir = Files.createTempDirectory("graft_compact").toString
+    val df = Tables.part(spark, TestSpark.Sf)
+    df.repartition(64).write.parquet(s"$dir/t")
+    val filesBefore = new java.io.File(s"$dir/t").list().count(_.endsWith(".parquet"))
+    assert(filesBefore == 64, s"setup expected 64 files, got $filesBefore")
+    val (before, after) = Writers.compact(spark, s"$dir/t", targetFileBytes = 1L << 30)
+    assert(before == 64 && after == 1, s"($before, $after)")
+    // content identical, previous layout swept
+    val back = spark.read.parquet(s"$dir/t")
+    assert(back.count() == df.count())
+    assert(back.agg(sum("p_partkey")).as[Long].head() ==
+      df.agg(sum("p_partkey")).as[Long].head())
+    assert(!new java.io.File(s"$dir/.t.previous").exists())
+    assert(!new java.io.File(s"$dir/.t.compact-inprogress").exists())
+  }
+
+  test("compact preserves partition directories and compacts within each") {
+    val dir = Files.createTempDirectory("graft_compact_p").toString
+    val df = Tables.orders(spark, TestSpark.Sf)
+    df.repartition(16).write.partitionBy("o_orderstatus").parquet(s"$dir/t")
+    val statusDirs = new java.io.File(s"$dir/t").list().filter(_.startsWith("o_orderstatus="))
+    val beforePerDir = new java.io.File(s"$dir/t/${statusDirs.head}")
+      .list().count(_.endsWith(".parquet"))
+    assert(beforePerDir > 1, s"setup expected multiple files per partition, got $beforePerDir")
+    val (_, after) = Writers.compact(spark, s"$dir/t", targetFileBytes = 1L << 30,
+      partitionBy = Seq("o_orderstatus"))
+    val dirsAfter = new java.io.File(s"$dir/t").list().filter(_.startsWith("o_orderstatus="))
+    assert(dirsAfter.sorted.toSeq == statusDirs.sorted.toSeq, "partition layout must survive")
+    assert(after == dirsAfter.length, s"expected 1 file per partition dir, got $after total")
+    assert(spark.read.parquet(s"$dir/t").count() == df.count())
+  }
+
   test("orc round-trip preserves values and pushes filters to the scan") {
     val dir = Files.createTempDirectory("graft_orc").toString
     val df = Seq((1L, "x", 1.5), (2L, "y", 2.5), (3L, "z", 3.5)).toDF("id", "s", "v")

@@ -146,6 +146,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("anomaly stream flags 2-sigma outliers against per-type history only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "event_type", "value")
+    val query = graft.streaming.EventStream.anomalyStream(events, warmup = 30)
+      .toDF().writeStream.format("memory").queryName("anomaly")
+      .outputMode("append").start()
+    try {
+      // batch 1: 40 identical baseline values — inside warmup nothing
+      // may flag, and identical values build a zero-variance history
+      input.addData((1L to 40L).map(i =>
+        (i, ts("2024-01-01 00:00:00"), "click", 10.0)): _*)
+      query.processAllAvailable()
+      assert(spark.table("anomaly").count() == 0)
+      // batch 2: one outlier among more baseline values — with zero
+      // variance the z² test flags ANY deviation and only deviations,
+      // so the assertion is order-independent within the batch
+      input.addData(
+        (41L, ts("2024-01-01 01:00:00"), "click", 10.0),
+        (42L, ts("2024-01-01 01:00:00"), "click", 1000.0),
+        (43L, ts("2024-01-01 01:00:00"), "click", 10.0))
+      query.processAllAvailable()
+      val flagged = spark.table("anomaly")
+        .as[(Long, String, Long)].collect().toSeq
+      assert(flagged == Seq((42L, "click", 100000L)), flagged)
+      // an unwarmed type never flags, however extreme
+      input.addData((44L, ts("2024-01-01 02:00:00"), "view", 99999.0))
+      query.processAllAvailable()
+      assert(spark.table("anomaly").count() == 1)
+    } finally query.stop()
+  }
+
   test("stream-stream join pairs purchases with same-user views inside the window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
