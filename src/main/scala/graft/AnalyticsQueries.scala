@@ -816,33 +816,90 @@ object AnalyticsQueries {
   /** #99 (q50): window distribution statistics — ntile quartiles,
     * percent_rank, cume_dist per market segment, the standard
     * rank-normalization step before stratified policies (credit bands,
-    * per-stratum thresholds). The compound ORDER BY (acctbal, custkey)
-    * is tie-free, so rank fractions are exact rationals; ×1000 through
-    * the shared IEEE double path rounds identically on both engines
-    * (same convention as q26). One hash exchange on the segment;
-    * WindowExec streams each partition. */
+    * per-stratum thresholds).
+    *
+    * NOT a rank window over the segment: `c_mktsegment` has 5 values,
+    * and `ntile/percent_rank` over `partitionBy(segment)` buffer-sorts
+    * a fifth of the table in ONE task — at 100× the query serializes
+    * regardless of cluster size. Instead the rank of each row is
+    * DERIVED from a count-by-value histogram (ExactPercentile's
+    * regime):
+    *
+    *   1. `row_number` within (seg, bal_cents) ordered by custkey —
+    *      a HIGH-cardinality partition key, every task tiny.
+    *   2. histogram `groupBy(seg, bal_cents) → cnt`, cumulative count
+    *      of SMALLER values per segment. The only per-segment window
+    *      runs over the histogram, whose size is bounded by the
+    *      distinct VALUE DOMAIN (≤1.1M cent values), not row count.
+    *   3. global rank r = cum_before + row_number; n per segment is a
+    *      5-row broadcast. ntile/percent_rank/cume_dist are then pure
+    *      integer arithmetic in r and n: the order-by (acctbal,
+    *      custkey) is tie-free, so percent_rank = (r−1)/(n−1),
+    *      cume_dist = r/n, and ntile(4) is the first-buckets-larger
+    *      split. Half-up ×1000 via the exact-rational identity
+    *      floor(a/b + ½) = (2a+b) div 2b — no float anywhere, both
+    *      engines bit-identical (stronger than the previous shared
+    *      IEEE path). */
   def q50WindowStats: Q = (spark, dir) => {
-    val w = Window.partitionBy("c_mktsegment")
-      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
-    Tables.customer(spark, dir)
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+        round(col("c_acctbal") * 100, 0).cast(LongType).as("bal_cents"))
+    val wv = Window.partitionBy("seg", "bal_cents").orderBy("c_custkey")
+    val rn = base.withColumn("rn", row_number().over(wv).cast(LongType))
+    val hist = base.groupBy("seg", "bal_cents").agg(count(lit(1)).as("cnt"))
+    val wh = Window.partitionBy("seg").orderBy("bal_cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.select(col("seg"), col("bal_cents"),
+      coalesce(sum("cnt").over(wh), lit(0L)).as("cum_before"))
+    val tot = hist.groupBy("seg").agg(sum("cnt").as("n"))
+    rn.join(cum, Seq("seg", "bal_cents"))
+      .join(broadcast(tot), Seq("seg"))
+      .withColumn("r", col("cum_before") + col("rn"))
       .select(
-        col("c_custkey"), col("c_mktsegment").as("seg"),
-        round(col("c_acctbal") * 100, 0).cast(LongType).as("bal_cents"),
-        ntile(4).over(w).cast(LongType).as("quartile"),
-        floor(percent_rank().over(w) * 1000 + lit(0.5)).cast(LongType).as("pr_milli"),
-        floor(cume_dist().over(w) * 1000 + lit(0.5)).cast(LongType).as("cd_milli"))
+        col("c_custkey"), col("seg"), col("bal_cents"),
+        expr("""CASE WHEN r <= (n % 4) * ((n div 4) + 1)
+               |     THEN (r + (n div 4)) div ((n div 4) + 1)
+               |     ELSE (n % 4) + (r - (n % 4) * ((n div 4) + 1) + (n div 4) - 1)
+               |                    div (n div 4)
+               |END""".stripMargin).cast(LongType).as("quartile"),
+        expr("CASE WHEN n = 1 THEN 0L ELSE (2 * (r - 1) * 1000 + (n - 1)) div (2 * (n - 1)) END")
+          .cast(LongType).as("pr_milli"),
+        expr("(2 * r * 1000 + n) div (2 * n)").cast(LongType).as("cd_milli"))
       .orderBy("c_custkey")
   }
 
   val q50Sql: String =
-    """SELECT c_custkey, c_mktsegment AS seg,
-      |       CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_cents,
-      |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-      |       CAST(FLOOR(percent_rank() OVER w * 1000 + 0.5) AS BIGINT) AS pr_milli,
-      |       CAST(FLOOR(cume_dist() OVER w * 1000 + 0.5) AS BIGINT) AS cd_milli
-      |FROM customer
-      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
-      |ORDER BY c_custkey""".stripMargin
+    """WITH base AS (
+      |  SELECT c_custkey, c_mktsegment AS seg,
+      |         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+      |  FROM customer),
+      |rn AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY seg, bal_cents
+      |                                    ORDER BY c_custkey) AS BIGINT) AS rn
+      |  FROM base),
+      |hist AS (SELECT seg, bal_cents, COUNT(*) AS cnt FROM base GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT seg, bal_cents,
+      |         CAST(COALESCE(SUM(cnt) OVER (PARTITION BY seg ORDER BY bal_cents
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |           AS cum_before
+      |  FROM hist),
+      |tot AS (SELECT seg, CAST(SUM(cnt) AS BIGINT) AS n FROM hist GROUP BY 1),
+      |ranked AS (
+      |  SELECT rn.c_custkey, rn.seg, rn.bal_cents,
+      |         cum.cum_before + rn.rn AS r, tot.n
+      |  FROM rn JOIN cum USING (seg, bal_cents) JOIN tot USING (seg))
+      |SELECT c_custkey, seg, bal_cents,
+      |       CAST(CASE WHEN r <= (n % 4) * ((n // 4) + 1)
+      |                 THEN (r + (n // 4)) // ((n // 4) + 1)
+      |                 ELSE (n % 4) + (r - (n % 4) * ((n // 4) + 1) + (n // 4) - 1)
+      |                                // (n // 4)
+      |            END AS BIGINT) AS quartile,
+      |       CAST(CASE WHEN n = 1 THEN 0
+      |                 ELSE (2 * (r - 1) * 1000 + (n - 1)) // (2 * (n - 1))
+      |            END AS BIGINT) AS pr_milli,
+      |       CAST((2 * r * 1000 + n) // (2 * n) AS BIGINT) AS cd_milli
+      |FROM ranked ORDER BY c_custkey""".stripMargin
 
   /** #100 (q51): interval sweep-line — peak concurrent in-transit
     * shipments per supplier. Each returned lineitem occupies
@@ -905,8 +962,13 @@ object AnalyticsQueries {
     * drift cross-engine). Integer numerator/denominator, one shared
     * IEEE division, half-up rounding — exact on both engines (q26's
     * convention). Same single-exchange window shape as q26. */
-  def q52Ewma: Q = (spark, dir) => {
-    val daily = Tables.events(spark, dir)
+  def q52Ewma: Q = (spark, dir) => ewmaDaily(Tables.events(spark, dir))
+
+  /** The batch EWMA plan, shared with the spec's streaming-parity
+    * check ([[graft.streaming.EventStream.ewmaStream]] must emit
+    * bit-identical rows for closed days). */
+  def ewmaDaily(events: DataFrame): DataFrame = {
+    val daily = events
       .groupBy(col("event_type"), col("ts").cast(DateType).as("day"))
       .agg(sum(round(col("value") * 100, 0).cast(LongType)).as("cents"))
     val w = Window.partitionBy("event_type").orderBy("day")
@@ -943,20 +1005,22 @@ object AnalyticsQueries {
 
   /** #102 (q53): co-occurrence mining (market-basket) — brand pairs
     * appearing in the same order, with a support threshold. The same
-    * shape as word co-occurrence over documents: per-basket DISTINCT
-    * items (bounded basket size ⇒ the per-basket pair expansion is
-    * O(k²) with k ≤ 7, corpus-linear overall), self-join on the basket
-    * key, count pairs. The dimension join is broadcast; the pair join
-    * shuffles on orderkey once; AQE skew-handles hot baskets. */
+    * shape as word co-occurrence over documents. The pair expansion
+    * goes through [[graft.etl.CoOccur.pairs]], which caps each basket
+    * at 64 distinct items BEFORE the self-join — without the cap one
+    * hot basket (a stopword-heavy document at k ≈ 10⁵) emits k² pairs
+    * on a single join key, which AQE cannot split. TPC-H baskets are
+    * k ≤ 7, so the cap is invisible here (the oracle carries the
+    * identical row_number truncation — a no-op both sides), but the
+    * operator stays corpus-linear on ANY distribution. The dimension
+    * join is broadcast; the pair join shuffles on orderkey once. */
   def q53CoOccurrence: Q = (spark, dir) => {
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
     val part = Tables.part(spark, dir).select("p_partkey", "p_brand")
     val ob = li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
       .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
-      .distinct()
-    val a = ob.toDF("ok", "b1")
-    val b = ob.toDF("ok", "b2")
-    a.join(b, "ok").filter(col("b1") < col("b2"))
+    graft.etl.CoOccur.pairs(ob, "ok", "brand", maxItems = 64)
+      .select(col("a").as("b1"), col("b").as("b2"))
       .groupBy("b1", "b2").agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= 10)
       .orderBy("b1", "b2")
@@ -965,9 +1029,14 @@ object AnalyticsQueries {
   val q53Sql: String =
     """WITH ob AS (
       |  SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
-      |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |capped AS (
+      |  SELECT ok, brand FROM (
+      |    SELECT ok, brand,
+      |           row_number() OVER (PARTITION BY ok ORDER BY brand) AS rn
+      |    FROM ob) WHERE rn <= 64)
       |SELECT a.brand AS b1, b.brand AS b2, CAST(COUNT(*) AS BIGINT) AS n_orders
-      |FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+      |FROM capped a JOIN capped b ON a.ok = b.ok AND a.brand < b.brand
       |GROUP BY 1, 2 HAVING COUNT(*) >= 10
       |ORDER BY b1, b2""".stripMargin
 

@@ -27,7 +27,11 @@ object Bench {
     // and a projection-only query degenerates to a parquet row count.
     // a failed query must not read as a ~0 s performance win: report
     // it on stderr and as -1 in the JSON so regressions are visible
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional name filter (local iteration: `runMain graft.Bench q53_cooccurrence`)
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
@@ -39,7 +43,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // the driver captures only a stdout tail (BENCH_r04/r05 lost ~1/3 of
+    // per-query timings to truncation) — persist the complete artifact
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] bench_out.json: $e") }
     spark.stop()
   }
 }

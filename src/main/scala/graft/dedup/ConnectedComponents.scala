@@ -33,26 +33,31 @@ object ConnectedComponents {
 
   /** @param edges DataFrame with two id columns (an undirected edge
     *              list; self-loops and duplicates tolerated)
+    * @param checkpointDir when set, iterations go through RELIABLE
+    *              `df.checkpoint()` into this directory and survive
+    *              executor loss; default `localCheckpoint` stores
+    *              blocks on executors (fast, but a lost executor
+    *              kills the job — fine for local runs only)
     * @return (id, comp) — comp is the min id reachable from id
     */
   def run(edges: DataFrame, idCols: (String, String) = ("id1", "id2"),
-          maxIter: Int = 64): DataFrame = {
+          maxIter: Int = 64, checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame, eager: Boolean = true): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager) else df.localCheckpoint(eager)
     // checkpoint the incoming edge list ONCE: `ids`, the canonical
     // edge set and the final join all derive from it, and upstream
     // edge generation (e.g. d04's whole similarity pipeline) is far
     // too expensive to re-run per consumer
-    val raw = edges.select(col(idCols._1).as("a"), col(idCols._2).as("b"))
-      .localCheckpoint()
-    val ids = raw.select(col("a").as("id"))
+    val raw = cut(edges.select(col(idCols._1).as("a"), col(idCols._2).as("b")))
+    val ids = cut(raw.select(col("a").as("id"))
       .union(raw.select(col("b").as("id")))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
 
     // canonical (u, v) pairs with v < u; self-loops tracked via `ids`
-    var e = raw.filter(col("a") =!= col("b"))
+    var e = cut(raw.filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
 
     def digest(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
@@ -93,7 +98,7 @@ object ConnectedComponents {
     while (!converged && iter < maxIter) {
       // lazy checkpoint: the digest aggregate is the action that
       // materializes it — one Spark job per round, not two
-      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      val next = cut(smallStar(largeStar(e)), eager = false)
       val d = digest(next)
       e = next
       converged = d == prev

@@ -32,24 +32,38 @@ import org.apache.spark.sql.functions._
   * lineage regime as [[graft.dedup.ConnectedComponents]]. Iterations
   * are a fixed budget (default 5), not a convergence loop — the
   * driver never inspects data.
+  *
+  * Checkpoint durability: `localCheckpoint` stores blocks on
+  * executors — fast, but one lost executor truncates an
+  * unrecoverable lineage and fails the job. On a real cluster pass
+  * `checkpointDir` (HDFS/object-store URI): iterations then go
+  * through RELIABLE `df.checkpoint()`, which survives executor loss.
+  * Local runs default to `localCheckpoint` (no dir needed, no HDFS
+  * round-trip per iteration).
   */
 object PageRank {
 
   /** @param edges undirected pairs (each listed once); symmetrized and
     *              deduplicated here
+    * @param checkpointDir when set, use reliable `checkpoint()` into
+    *              this directory (executor-loss-tolerant) instead of
+    *              `localCheckpoint`
     * @return (id, rank_e12) — rank scaled by `scale`, summing to ≤
     *         `scale` (floor leakage only)
     */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
-          iterations: Int = 5, scale: Long = 1000000000000L): DataFrame = {
+          iterations: Int = 5, scale: Long = 1000000000000L,
+          checkpointDir: Option[String] = None): DataFrame = {
     require(iterations >= 1 && iterations <= 64, s"iterations in [1,64], got $iterations")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame, eager: Boolean): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager) else df.localCheckpoint(eager)
     // symmetrize once; checkpoint so all iterations reuse one
     // materialization instead of recomputing the (possibly expensive)
     // upstream edge query per step
-    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val sym = cut(edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
-      .distinct()
-      .localCheckpoint()
+      .distinct(), eager = true)
     val deg = sym.groupBy("a").agg(count(lit(1)).as("d"))
     val cnt = deg.agg(count(lit(1)).as("nn"))
     // rank frame carries (id, d, nn, r): degree and N ride along so no
@@ -62,11 +76,11 @@ object PageRank {
         .select(col("id"), expr("r div d").as("c"))
         .join(sym, col("id") === col("a"))
         .groupBy(col("b")).agg(sum("c").as("s"))
-      rank = rank.join(contrib, rank("id") === contrib("b"), "left")
+      rank = cut(rank.join(contrib, rank("id") === contrib("b"), "left")
         .select(rank("id"), rank("d"), rank("nn"),
           (expr(s"(15 * ($scale div nn)) div 100") +
-           expr("(85 * coalesce(s, cast(0 as bigint))) div 100")).as("r"))
-        .localCheckpoint(false)
+           expr("(85 * coalesce(s, cast(0 as bigint))) div 100")).as("r")),
+        eager = false)
     }
     rank.select(col("id"), col("r").as("rank_e12"))
   }

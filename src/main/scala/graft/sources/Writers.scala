@@ -106,6 +106,126 @@ object Writers {
     (before.size, dataFiles(target).size)
   }
 
+  /** Size-aware small-file compaction — rewrites ONLY the small-file
+    * tail. [[compact]] rewrites every byte of the table; at 100 TB a
+    * maintenance pass that rewrites 100 TB to fix 1% small files is
+    * not runnable. This variant walks each leaf directory (per
+    * partition dir for partitioned tables), merges just the data
+    * files smaller than `minFileBytes` into ~`targetFileBytes` peers,
+    * and leaves every large file untouched — bytes rewritten are
+    * proportional to the small-file TAIL, not the table.
+    *
+    * Swap protocol (per directory, no table-root rename — the
+    * whole-table-missing window of [[compact]]'s swap does not exist
+    * here):
+    *   1. merged output of the small files is fully materialized into
+    *      a hidden sibling dir;
+    *   2. a `_graft_compaction_pending` marker listing the doomed
+    *      originals is written into the live dir (underscore-prefixed
+    *      → invisible to readers);
+    *   3. merged files move in (rename; part-file names are
+    *      job-unique);
+    *   4. originals are deleted, then the marker.
+    * A crash never loses rows: before step 3 the originals are
+    * intact (tmp dir is garbage); between 3 and 4 the rows exist
+    * twice and the marker records exactly which originals are
+    * redundant — the next `compactSmallFiles` run (or
+    * [[finishPendingCompaction]]) completes the deletion first.
+    * Readers racing step 3–4 can transiently see duplicated rows
+    * (bounded by the small tail); strict readers should snapshot via
+    * [[publish]] or schedule compaction in a maintenance window —
+    * plain parquet directories have no atomic multi-file commit
+    * (that's a table format's transaction log).
+    *
+    * @return (filesRewritten, filesCreated) across all directories
+    */
+  def compactSmallFiles(spark: SparkSession, path: String,
+                        minFileBytes: Long,
+                        targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(minFileBytes > 0, s"minFileBytes must be positive: $minFileBytes")
+    require(targetFileBytes >= minFileBytes,
+      s"targetFileBytes $targetFileBytes < minFileBytes $minFileBytes")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    finishPendingCompaction(spark, path)
+    // leaf dirs = parents of data files (partition dirs, or the root)
+    val byDir = {
+      val it = fs.listFiles(root, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
+      while (it.hasNext) {
+        val st = it.next()
+        val n = st.getPath.getName
+        if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) buf += st
+      }
+      buf.toSeq.groupBy(_.getPath.getParent)
+    }
+    var rewritten = 0; var created = 0
+    byDir.foreach { case (dir, files) =>
+      val smalls = files.filter(_.getLen < minFileBytes)
+      if (smalls.size >= 2) { // one small file alone has no merge peer
+        val smallBytes = smalls.map(_.getLen).sum
+        val nOut = math.max(1, math.ceil(smallBytes.toDouble / targetFileBytes).toInt)
+        val tmp = new Path(dir.getParent, s".${dir.getName}.compact-small-inprogress")
+        fs.delete(tmp, true)
+        // coalesce, not repartition: merging needs no shuffle
+        spark.read.parquet(smalls.map(_.getPath.toString): _*)
+          .coalesce(nOut)
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        val merged = fs.listStatus(tmp).filter { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+        val marker = new Path(dir, "_graft_compaction_pending")
+        val out = fs.create(marker, true)
+        out.write(smalls.map(_.getPath.getName).mkString("\n").getBytes("UTF-8"))
+        out.close()
+        merged.foreach { st =>
+          if (!fs.rename(st.getPath, new Path(dir, st.getPath.getName)))
+            throw new java.io.IOException(
+              s"compactSmallFiles: rename ${st.getPath} into $dir failed")
+        }
+        smalls.foreach(st => fs.delete(st.getPath, false))
+        fs.delete(marker, false)
+        fs.delete(tmp, true)
+        rewritten += smalls.size
+        created += merged.length
+      }
+    }
+    (rewritten, created)
+  }
+
+  /** Complete any compaction swap interrupted between its merge-in
+    * and delete-originals steps: for every `_graft_compaction_pending`
+    * marker under `path`, delete the listed originals that still
+    * exist, then the marker. Idempotent; called automatically at the
+    * start of [[compactSmallFiles]]. */
+  def finishPendingCompaction(spark: SparkSession, path: String): Int = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val markers = {
+      val it = fs.listFiles(root, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName == "_graft_compaction_pending")
+          buf += st.getPath
+      }
+      buf.toSeq
+    }
+    markers.foreach { m =>
+      val in = fs.open(m)
+      val names = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+                  finally in.close()
+      names.filter(_.nonEmpty).foreach { n =>
+        val doomed = new Path(m.getParent, n)
+        if (fs.exists(doomed)) fs.delete(doomed, false)
+      }
+      fs.delete(m, false)
+    }
+    markers.size
+  }
+
   /** JDBC writer builder (`to_sql(if_exists="replace")` analog),
     * fired against embedded Derby in SourcesSpec. Batched inserts +
     * `truncate` (instead of drop/create) are the options that matter

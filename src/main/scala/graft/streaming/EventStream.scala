@@ -168,6 +168,70 @@ object EventStream {
       }
   }
 
+  /** Streaming EWMA — the streaming twin of q52's finite-memory
+    * exponentially-weighted moving average (weights 8:4:2:1 over the
+    * current + 3 preceding days-with-data, same integer numerator /
+    * denominator and the same shared-IEEE rounding step, so a closed
+    * day's row is BIT-IDENTICAL to the batch q52 row).
+    *
+    * Day-closing protocol (a hand-rolled watermark in day units,
+    * because the EWMA recurrence needs days closed IN ORDER, which a
+    * windowed aggregate + downstream stateful op chain does not
+    * guarantee): per event type the state holds
+    *   - accumulating cents for OPEN days (≤ latenessDays + 1 entries),
+    *   - the last 3 CLOSED daily totals (the finite memory),
+    *   - the highest closed day.
+    * An event at day d > (max seen − latenessDays) accumulates; a day
+    * closes — emitting its (cents, ewma_milli) — once events arrive
+    * latenessDays past it; events for already-closed days are dropped
+    * (the same late-data contract as a watermark). State is O(event
+    * types × (latenessDays + 4)) longs, forever. */
+  def ewmaStream(events: DataFrame, latenessDays: Int = 1): Dataset[EwmaOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(latenessDays >= 0, s"latenessDays must be >= 0: $latenessDays")
+    events
+      .selectExpr("event_type",
+        "datediff(cast(ts as date), to_date('1970-01-01')) as day",
+        "cast(round(value * 100, 0) as bigint) as cents")
+      .as[(String, Int, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (et, rows, state) =>
+        var st = state.getOption.getOrElse(EwmaState(Int.MinValue, Map.empty, Nil))
+        var maxSeen = st.open.keysIterator.foldLeft(Int.MinValue)(math.max)
+        rows.foreach { case (_, d, x) =>
+          if (d > st.closedThrough) { // not late
+            st = st.copy(open = st.open.updated(d, st.open.getOrElse(d, 0L) + x))
+            if (d > maxSeen) maxSeen = d
+          }
+        }
+        val out = Vector.newBuilder[EwmaOut]
+        if (maxSeen > Int.MinValue) {
+          val horizon = maxSeen - latenessDays // days < horizon are final
+          st.open.keys.toSeq.sorted.foreach { d =>
+            if (d < horizon) {
+              val cents = st.open(d)
+              val (c1, c2, c3) = (st.closed.lift(0), st.closed.lift(1), st.closed.lift(2))
+              val num = cents * 8 + c1.getOrElse(0L) * 4 + c2.getOrElse(0L) * 2 +
+                c3.getOrElse(0L)
+              val den = 8 + (if (c1.isDefined) 4 else 0) +
+                (if (c2.isDefined) 2 else 0) + (if (c3.isDefined) 1 else 0)
+              // q52's exact rounding path: long→double, ×1000.0, /den, +0.5, floor
+              val ewma = math.floor(num.toDouble * 1000.0 / den + 0.5).toLong
+              out += EwmaOut(et,
+                java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d.toLong)),
+                cents, ewma)
+              st = EwmaState(d, st.open - d, (cents :: st.closed).take(3))
+            }
+          }
+        }
+        state.update(st)
+        out.result().iterator
+      }
+  }
+
   /** Per-user running totals via arbitrary stateful processing
     * (`mapGroupsWithState`): state is one [[UserAgg]] per user —
     * bounded by the user population, not the stream length — and
@@ -193,6 +257,8 @@ object EventStream {
 case class UserAgg(n: Long, total: Double)
 case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 case class TypeStats(n: Long, s: Long, ss: Long)
+case class EwmaState(closedThrough: Int, open: Map[Int, Long], closed: List[Long])
+case class EwmaOut(event_type: String, day: java.sql.Date, cents: Long, ewma_milli: Long)
 case class AnomalyFlag(event_id: Long, event_type: String, cents: Long)
 
 /** Idempotent external sink via `foreachBatch`: each micro-batch is

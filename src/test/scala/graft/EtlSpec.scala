@@ -103,6 +103,28 @@ class EtlSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/a").count() == 1)
   }
 
+  test("CoOccur.pairs bounds an adversarial giant basket (no k² explosion)") {
+    val k = 64
+    // one hot basket with 10_000 distinct items (the stopword-heavy
+    // document shape) + two normal baskets
+    val giant = (1 to 10000).map(i => (1L, f"item_$i%05d"))
+    val normal = Seq((2L, "a"), (2L, "b"), (2L, "c"), (3L, "x"), (3L, "y"),
+      (3L, "x")) // dup item in basket 3 must not double-count
+    val pairs = CoOccur.pairs((giant ++ normal).toDF("ok", "item"), "ok", "item",
+      maxItems = k).cache()
+    try {
+      // per-basket candidate volume is ≤ k(k-1)/2 whatever the basket size
+      val perBasket = pairs.groupBy("basket").count()
+        .as[(Long, Long)].collect().toMap
+      assert(perBasket(1L) == k.toLong * (k - 1) / 2, s"giant: ${perBasket(1L)}")
+      assert(perBasket(2L) == 3 && perBasket(3L) == 1, s"$perBasket")
+      // the cap keeps the FIRST k items in sort order — deterministic
+      val keptMax = pairs.filter($"basket" === 1L).agg(max("b")).as[String].head()
+      assert(keptMax == f"item_${k}%05d", s"kept through $keptMax")
+      assert(pairs.count() == k.toLong * (k - 1) / 2 + 4)
+    } finally pairs.unpersist()
+  }
+
   test("fluent façade exposes the round-4 similarity/filter operators") {
     import graft.syntax._
     // bloom pre-filter: keeps all matching keys, prunes the rest

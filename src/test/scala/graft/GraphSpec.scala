@@ -52,6 +52,23 @@ class GraphSpec extends AnyFunSuite {
     assert(total <= Scale && total > Scale - 1000L, s"mass $total")
   }
 
+  test("PageRank through a reliable checkpoint dir is identical to localCheckpoint") {
+    // on a cluster, localCheckpoint blocks die with their executor;
+    // checkpointDir switches every lineage cut to reliable
+    // df.checkpoint() — result must be bit-identical either way
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L), (10L, 13L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_pr_ckpt").toString
+    val reliable = PageRank.run(edges.toDF("s", "t"), "s", "t",
+      checkpointDir = Some(dir)).as[(Long, Long)].collect().toMap
+    val local = PageRank.run(edges.toDF("s", "t"), "s", "t")
+      .as[(Long, Long)].collect().toMap
+    assert(reliable == local, s"reliable=$reliable local=$local")
+    // the reliable checkpoint must actually have landed on the filesystem
+    def anyFile(f: java.io.File): Boolean =
+      f.isFile || Option(f.listFiles).exists(_.exists(anyFile))
+    assert(anyFile(new java.io.File(dir)), "no checkpoint data written")
+  }
+
   test("PageRank on a regular graph is uniform (exact fixed point)") {
     // triangle: every node degree 2 — rank must stay exactly uniform
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L))

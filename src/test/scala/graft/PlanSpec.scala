@@ -221,4 +221,63 @@ class PlanSpec extends AnyFunSuite {
     // the exact q21 plan, by contrast, must EXPAND the key domain
     assert(!p.contains("Expand"), s"q46 should not expand the distinct domain:\n${p.take(800)}")
   }
+
+  test("q50 derives ranks from the histogram — no rank window over the segment") {
+    val p = planOf("q50_window_stats")
+    for (fn <- Seq("ntile", "percent_rank", "cume_dist"))
+      assert(!p.contains(fn), s"q50 must not use $fn (unsplittable over 5 segments):\n$p")
+  }
+
+  /** The guard that catches the whole q50 class: a rank-family window
+    * function (`ntile/percent_rank/cume_dist/rank/dense_rank/
+    * row_number`) whose partition key has FEW distinct values over
+    * MANY input rows buffer-sorts rows/nDist per task — at 100× the
+    * query serializes no matter the cluster. Every `SparkEntry`
+    * query's optimized plan is swept; each rank window's partition-key
+    * cardinality is MEASURED against its window input. Windows over
+    * domain-bounded frames (histograms, daily aggregates) pass the
+    * rows/nDist ratio; unsplittable rank windows over raw tables
+    * fail. */
+  test("no rank-family window partitions a low-cardinality key over a large input (full sweep)") {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.graft.{Bridge, TestBridge}
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      // row_number + `rank <= k` filters plan as WindowGroupLimit: only
+      // the top k rows per group survive into the window sort, so the
+      // per-task cost is bounded by k, not the partition — exempt
+      // (s06/s07's per-query ANN top-k: the key is the QUERY SET, small
+      // only in test data; per-key input is capped by candidate
+      // generation and the group limit)
+      val hasGroupLimit =
+        df.queryExecution.executedPlan.toString.contains("WindowGroupLimit")
+      df.queryExecution.optimizedPlan.foreach {
+        case w: LWindow =>
+          val fns = w.windowExpressions.flatMap(_.collect {
+            case e @ (_: NTile | _: PercentRank | _: CumeDist | _: Rank |
+                      _: DenseRank | _: RowNumber) => e
+          })
+          val rankFamily =
+            fns.exists(!_.isInstanceOf[RowNumber]) ||
+            (fns.exists(_.isInstanceOf[RowNumber]) && !hasGroupLimit)
+          if (rankFamily) {
+            val child = TestBridge.ofRows(spark, w.child)
+            val nRows = child.count()
+            val nDist =
+              if (w.partitionSpec.isEmpty) 1L
+              else child.select(w.partitionSpec.map(Bridge.column): _*)
+                .distinct().count()
+            // thresholds are sf0.001-calibrated: a genuine low-card key
+            // (segment=5, flag=3) over a raw table trips rows ≥ 64·dist;
+            // high-card keys and small aggregate frames both pass
+            if (nDist <= 8 && nRows >= 64 * math.max(1L, nDist))
+              offenders += s"$name: rank window over $nDist-value key, $nRows input rows"
+          }
+        case _ => ()
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 }

@@ -70,6 +70,58 @@ class SourcesSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/t").count() == df.count())
   }
 
+  test("compactSmallFiles merges only the small tail; large files untouched byte-for-byte") {
+    val dir = Files.createTempDirectory("graft_compact_sz").toString
+    val big = Tables.lineitem(spark, TestSpark.Sf).select("l_orderkey", "l_partkey")
+    big.coalesce(1).write.parquet(s"$dir/t") // one large file
+    val small = Tables.part(spark, TestSpark.Sf).select(
+      col("p_partkey").as("l_orderkey"), col("p_partkey").as("l_partkey"))
+    small.repartition(8).write.mode(SaveMode.Append).parquet(s"$dir/t") // 8 small peers
+    val tdir = new java.io.File(s"$dir/t")
+    def dataFiles() = tdir.listFiles.filter(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val beforeFiles = dataFiles()
+    val largest = beforeFiles.maxBy(_.length)
+    val (largeName, largeLen, largeMod) = (largest.getName, largest.length, largest.lastModified)
+    val expectRows = spark.read.parquet(s"$dir/t").count()
+    val expectSum = spark.read.parquet(s"$dir/t").agg(sum("l_partkey")).as[Long].head()
+
+    // threshold sits between the small peers and the large file
+    val (rewritten, created) = Writers.compactSmallFiles(spark, s"$dir/t",
+      minFileBytes = largeLen, targetFileBytes = 1L << 30)
+    assert(rewritten == 8 && created == 1, s"($rewritten, $created)")
+    // the large file survived IN PLACE — same name, bytes, mtime
+    val after = dataFiles()
+    val survivor = after.find(_.getName == largeName)
+    assert(survivor.isDefined, "large file must not be rewritten")
+    assert(survivor.get.length == largeLen && survivor.get.lastModified == largeMod)
+    assert(after.length == 2, s"expected large + 1 merged, got ${after.map(_.getName).toSeq}")
+    // rows identical, no marker/tmp debris
+    assert(spark.read.parquet(s"$dir/t").count() == expectRows)
+    assert(spark.read.parquet(s"$dir/t").agg(sum("l_partkey")).as[Long].head() == expectSum)
+    assert(!new java.io.File(s"$dir/t/_graft_compaction_pending").exists())
+    assert(!new java.io.File(s"$dir/.t.compact-small-inprogress").exists())
+  }
+
+  test("compactSmallFiles completes an interrupted swap (pending marker) first") {
+    val dir = Files.createTempDirectory("graft_compact_rec").toString
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+    df.repartition(3).write.parquet(s"$dir/t")
+    val tdir = new java.io.File(s"$dir/t")
+    val victims = tdir.listFiles.filter(_.getName.endsWith(".parquet")).take(1)
+    // simulate a crash between merge-in and delete-originals: the
+    // marker lists a file whose rows already exist in merged output.
+    // Here we fake it minimally — marker lists one real file; recovery
+    // must delete it and the marker, leaving the rest untouched.
+    val marker = new java.io.File(s"$dir/t/_graft_compaction_pending")
+    java.nio.file.Files.write(marker.toPath, victims.map(_.getName).mkString("\n").getBytes)
+    val n = Writers.finishPendingCompaction(spark, s"$dir/t")
+    assert(n == 1, s"one marker expected, got $n")
+    assert(!marker.exists, "marker must be removed")
+    assert(victims.forall(!_.exists), "listed originals must be deleted")
+    assert(spark.read.parquet(s"$dir/t").count() == 2)
+  }
+
   test("orc round-trip preserves values and pushes filters to the scan") {
     val dir = Files.createTempDirectory("graft_orc").toString
     val df = Seq((1L, "x", 1.5), (2L, "y", 2.5), (3L, "z", 3.5)).toDF("id", "s", "v")

@@ -383,4 +383,50 @@ class StreamingSpec extends AnyFunSuite {
       assert(firstWindow.toSeq == Seq(1L), "late event must not be counted")
     } finally query.stop()
   }
+
+  test("EWMA stream: closed days are bit-identical to batch q52 rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val query = EventStream.ewmaStream(events, latenessDays = 1)
+      .toDF().writeStream.format("memory").queryName("ewma_stream")
+      .outputMode("append").start()
+    // five days, two types, multiple events per day, out-of-order
+    // WITHIN each day (the lateness horizon tolerates 1 day)
+    val fed = Seq(
+      (ts("2024-01-01 09:00:00"), "click", 10.00),
+      (ts("2024-01-01 03:00:00"), "click", 2.50),
+      (ts("2024-01-02 12:00:00"), "click", 7.25),
+      (ts("2024-01-02 01:00:00"), "view", 1.00),
+      (ts("2024-01-03 08:00:00"), "click", 4.75),
+      (ts("2024-01-03 09:00:00"), "view", 3.00),
+      (ts("2024-01-04 10:00:00"), "click", 9.00),  // day 3 NOT yet closed (lateness 1)
+      (ts("2024-01-05 11:00:00"), "click", 1.00),  // closes day 3 for click
+      (ts("2024-01-05 11:00:00"), "view", 2.00))
+    try {
+      fed.grouped(3).foreach { batch =>
+        input.addData(batch: _*)
+        query.processAllAvailable()
+      }
+      val streamed = spark.table("ewma_stream")
+        .select($"event_type", $"day".cast("string"), $"cents", $"ewma_milli")
+        .as[(String, String, Long, Long)].collect().toSeq.sorted
+      // batch q52 plan over the same events, restricted to the days the
+      // stream has closed (maxSeen 01-05, lateness 1 → horizon 01-04
+      // exclusive → both types closed through 01-03)
+      val batchRows = AnalyticsQueries.ewmaDaily(fed.toDF("ts", "event_type", "value"))
+        .filter($"day" <= "2024-01-03")
+        .select($"event_type", $"day".cast("string"), $"cents", $"ewma_milli")
+        .as[(String, String, Long, Long)].collect().toSeq.sorted
+      assert(batchRows.nonEmpty && streamed == batchRows,
+        s"streamed=$streamed batch=$batchRows")
+      // a straggler for an already-closed day is dropped, not re-emitted
+      input.addData((ts("2024-01-02 23:00:00"), "click", 500.0))
+      query.processAllAvailable()
+      val after = spark.table("ewma_stream").count()
+      assert(after == streamed.size.toLong, "closed-day straggler must be dropped")
+    } finally query.stop()
+  }
 }
