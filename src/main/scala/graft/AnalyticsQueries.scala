@@ -844,27 +844,17 @@ object AnalyticsQueries {
     val base = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment").as("seg"),
         round(col("c_acctbal") * 100, 0).cast(LongType).as("bal_cents"))
-    val wv = Window.partitionBy("seg", "bal_cents").orderBy("c_custkey")
-    val rn = base.withColumn("rn", row_number().over(wv).cast(LongType))
-    val hist = base.groupBy("seg", "bal_cents").agg(count(lit(1)).as("cnt"))
-    val wh = Window.partitionBy("seg").orderBy("bal_cents")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val cum = hist.select(col("seg"), col("bal_cents"),
-      coalesce(sum("cnt").over(wh), lit(0L)).as("cum_before"))
-    val tot = hist.groupBy("seg").agg(sum("cnt").as("n"))
-    rn.join(cum, Seq("seg", "bal_cents"))
-      .join(broadcast(tot), Seq("seg"))
-      .withColumn("r", col("cum_before") + col("rn"))
+    graft.functions.HistogramRank
+      .withRank(base, Seq("seg"), "bal_cents", Seq("c_custkey"))
       .select(
         col("c_custkey"), col("seg"), col("bal_cents"),
-        expr("""CASE WHEN r <= (n % 4) * ((n div 4) + 1)
-               |     THEN (r + (n div 4)) div ((n div 4) + 1)
-               |     ELSE (n % 4) + (r - (n % 4) * ((n div 4) + 1) + (n div 4) - 1)
-               |                    div (n div 4)
-               |END""".stripMargin).cast(LongType).as("quartile"),
-        expr("CASE WHEN n = 1 THEN 0L ELSE (2 * (r - 1) * 1000 + (n - 1)) div (2 * (n - 1)) END")
+        expr(graft.functions.HistogramRank.ntileExpr(4))
+          .cast(LongType).as("quartile"),
+        expr("CASE WHEN n = 1 THEN 0L ELSE " +
+          graft.functions.HistogramRank.milliExpr("r - 1", "n - 1") + " END")
           .cast(LongType).as("pr_milli"),
-        expr("(2 * r * 1000 + n) div (2 * n)").cast(LongType).as("cd_milli"))
+        expr(graft.functions.HistogramRank.milliExpr("r", "n"))
+          .cast(LongType).as("cd_milli"))
       .orderBy("c_custkey")
   }
 
@@ -1085,12 +1075,163 @@ object AnalyticsQueries {
       |             - CAST(s AS HUGEINT) * CAST(s AS HUGEINT))
       |ORDER BY event_type, day""".stripMargin
 
+  /** #109 (q55): quantile binning — assign each row its within-group
+    * price decile and aggregate per bin (the feature-engineering
+    * "bucketize by quantile" step: equal-population bands for
+    * stratified policies, monotone binning for models). Built on
+    * [[graft.functions.HistogramRank]] — the same scale-safe histogram
+    * rank path as q50, NOT `ntile(10)` over the 3-value returnflag
+    * (l_returnflag × ~n rows would buffer-sort a third of lineitem in
+    * one task). The (orderkey, linenumber) tie-break is the lineitem
+    * PK, so ranks are tie-free and the decile assignment is exact
+    * integer arithmetic on both engines. */
+  def q55QuantileBins: Q = (spark, dir) => {
+    val base = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 100, 0).cast(LongType).as("price_cents"),
+        col("l_orderkey"), col("l_linenumber"))
+    graft.functions.HistogramRank
+      .withRank(base, Seq("flag"), "price_cents", Seq("l_orderkey", "l_linenumber"))
+      .withColumn("decile",
+        expr(graft.functions.HistogramRank.ntileExpr(10)).cast(LongType))
+      .groupBy("flag", "decile")
+      .agg(count(lit(1)).as("n_rows"), sum("price_cents").as("sum_cents"),
+        min("price_cents").as("min_cents"), max("price_cents").as("max_cents"))
+      .orderBy("flag", "decile")
+  }
+
+  val q55Sql: String =
+    """WITH base AS (
+      |  SELECT l_returnflag AS flag,
+      |         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS price_cents,
+      |         l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |rn AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY flag, price_cents
+      |                 ORDER BY l_orderkey, l_linenumber) AS BIGINT) AS rn
+      |  FROM base),
+      |hist AS (SELECT flag, price_cents, COUNT(*) AS cnt FROM base GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT flag, price_cents,
+      |         CAST(COALESCE(SUM(cnt) OVER (PARTITION BY flag ORDER BY price_cents
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |           AS cum_before
+      |  FROM hist),
+      |tot AS (SELECT flag, CAST(SUM(cnt) AS BIGINT) AS n FROM hist GROUP BY 1),
+      |ranked AS (
+      |  SELECT rn.flag, rn.price_cents, cum.cum_before + rn.rn AS r, tot.n
+      |  FROM rn JOIN cum USING (flag, price_cents) JOIN tot USING (flag)),
+      |dec AS (
+      |  SELECT flag, price_cents,
+      |         CASE WHEN r <= (n % 10) * ((n // 10) + 1)
+      |              THEN (r + (n // 10)) // ((n // 10) + 1)
+      |              ELSE (n % 10) + (r - (n % 10) * ((n // 10) + 1) + (n // 10) - 1)
+      |                              // (n // 10)
+      |         END AS decile
+      |  FROM ranked)
+      |SELECT flag, CAST(decile AS BIGINT) AS decile,
+      |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(price_cents) AS BIGINT) AS sum_cents,
+      |       CAST(MIN(price_cents) AS BIGINT) AS min_cents,
+      |       CAST(MAX(price_cents) AS BIGINT) AS max_cents
+      |FROM dec GROUP BY 1, 2 ORDER BY flag, decile""".stripMargin
+
+  /** #112 (q56): gap-fill by linear interpolation — the time-series
+    * repair step between resampling (q42's zero-fill is wrong for
+    * level-like series) and modeling: missing days get the straight
+    * line between their nearest known neighbors, edges hold the
+    * nearest known value. The series is daily revenue from high-value
+    * events (cents > 20000), deliberately sparse so gaps exist at
+    * every SF.
+    *
+    * Interpolation is EXACT integer arithmetic: for a gap day d
+    * between known (dp, prev) and (dn, next), the weighted average
+    * (prev·(dn−d) + next·(d−dp)) / (dn−dp) is rounded half-up via
+    * (2a+b) div 2b — all terms nonnegative (cents ≥ 0), so Spark
+    * `div` and DuckDB `//` agree. Scale shape: the only windows run
+    * over the DAILY aggregate (≤ types × days rows — domain-bounded,
+    * q52's regime), the raw table is touched once by the grouped sum;
+    * the spine explodes from a 1-row min/max and crosses the tiny
+    * broadcast type set (q42's regime). */
+  def q56GapFill: Q = (spark, dir) => {
+    val f = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts").cast(DateType).as("day"),
+        round(col("value") * 100, 0).cast(LongType).as("cents"))
+      .filter(col("cents") > 20000)
+    val daily = f.groupBy("event_type", "day").agg(sum("cents").as("cents"))
+    val spine = f.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("day"))
+    val types = f.select("event_type").distinct()
+    val grid = spine.crossJoin(broadcast(types))
+      .join(daily, Seq("event_type", "day"), "left")
+    val wf = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wb = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(0, Window.unboundedFollowing)
+    val known = when(col("cents").isNotNull, col("day"))
+    grid
+      .withColumn("pd", last(known, ignoreNulls = true).over(wf))
+      .withColumn("pc", last("cents", ignoreNulls = true).over(wf))
+      .withColumn("nd", first(known, ignoreNulls = true).over(wb))
+      .withColumn("nc", first("cents", ignoreNulls = true).over(wb))
+      .withColumn("filled_cents",
+        when(col("cents").isNotNull, col("cents"))
+          .when(col("pd").isNull, col("nc"))
+          .when(col("nd").isNull, col("pc"))
+          .otherwise(expr(
+            """(2 * (pc * datediff(nd, day) + nc * datediff(day, pd))
+              |   + datediff(nd, pd)) div (2 * datediff(nd, pd))""".stripMargin)))
+      .withColumn("is_gap", col("cents").isNull)
+      .select("event_type", "day", "filled_cents", "is_gap")
+      .orderBy("event_type", "day")
+  }
+
+  val q56Sql: String =
+    """WITH f AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events WHERE CAST(ROUND(value * 100, 0) AS BIGINT) > 20000),
+      |daily AS (
+      |  SELECT event_type, day, CAST(SUM(cents) AS BIGINT) AS cents
+      |  FROM f GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT UNNEST(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY))::DATE AS day
+      |  FROM f),
+      |grid AS (
+      |  SELECT t.event_type, s.day, d.cents
+      |  FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM f) t
+      |  LEFT JOIN daily d USING (event_type, day)),
+      |nb AS (
+      |  SELECT event_type, day, cents,
+      |         last_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+      |           OVER wf AS pd,
+      |         last_value(cents IGNORE NULLS) OVER wf AS pc,
+      |         first_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+      |           OVER wb AS nd,
+      |         first_value(cents IGNORE NULLS) OVER wb AS nc
+      |  FROM grid
+      |  WINDOW wf AS (PARTITION BY event_type ORDER BY day
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wb AS (PARTITION BY event_type ORDER BY day
+      |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT event_type, day,
+      |       CAST(CASE WHEN cents IS NOT NULL THEN cents
+      |                 WHEN pd IS NULL THEN nc
+      |                 WHEN nd IS NULL THEN pc
+      |                 ELSE (2 * (pc * datediff('day', day, nd) + nc * datediff('day', pd, day))
+      |                       + datediff('day', pd, nd)) // (2 * datediff('day', pd, nd))
+      |            END AS BIGINT) AS filled_cents,
+      |       cents IS NULL AS is_gap
+      |FROM nb ORDER BY event_type, day""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q50_window_stats" -> q50WindowStats,
     "q51_interval_sweep" -> q51IntervalSweep,
     "q52_ewma" -> q52Ewma,
     "q53_cooccurrence" -> q53CoOccurrence,
     "q54_anomaly" -> q54Anomaly,
+    "q55_quantile_bins" -> q55QuantileBins,
+    "q56_gap_fill" -> q56GapFill,
     "q18_describe_stats" -> q18DescribeStats,
     "q19_asof_join" -> q19AsofJoin,
     "q20_sessionize" -> q20Sessionize,
@@ -1122,6 +1263,8 @@ object AnalyticsQueries {
     "q52_ewma" -> q52Sql,
     "q53_cooccurrence" -> q53Sql,
     "q54_anomaly" -> q54Sql,
+    "q55_quantile_bins" -> q55Sql,
+    "q56_gap_fill" -> q56Sql,
     "q37_range_join" -> q37Sql,
     "q38_supplier_stats" -> q38Sql,
     "q39_grouping_sets" -> q39Sql,

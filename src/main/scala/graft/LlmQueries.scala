@@ -610,8 +610,75 @@ object LlmQueries {
       "\nSELECT id, CAST(r AS BIGINT) AS rank_e12 FROM r5 ORDER BY id"
   }
 
+  /** #110 (d15): canonical-representative selection — the step AFTER
+    * clustering in a dedup pipeline: each near-dup cluster keeps ONE
+    * document, and "which one" should be the most corroborated, not
+    * the arbitrary min id. Composes d04's exact similarity pairs +
+    * d06's connected components + per-doc pair degree, then an argmax
+    * per cluster via a min-of-struct aggregate ((−degree, id) — NO
+    * rank window, map-side combinable, skew-immune like CC's groupBy
+    * regime). Tie-break: higher degree wins, then smaller doc id —
+    * deterministic and integer-exact, so the DuckDB oracle composes
+    * the same recursive-CTE components + degree count. */
+  def d15CanonicalPick: Q = (spark, dir) => {
+    val pairs = d04NgramJaccard(spark, dir)
+      .select("doc_id1", "doc_id2").localCheckpoint()
+    val comps = ConnectedComponents.run(pairs, idCols = ("doc_id1", "doc_id2"))
+    val deg = pairs.select(col("doc_id1").as("id"))
+      .union(pairs.select(col("doc_id2").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    comps.join(deg, "id")
+      .groupBy("comp")
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        min(struct((lit(0L) - col("degree")).as("nd"), col("id").as("cid")))
+          .as("pick"))
+      .select(col("comp"), col("pick.cid").as("canonical_id"),
+        (lit(0L) - col("pick.nd")).as("canonical_degree"),
+        col("cluster_size"))
+      .orderBy("comp")
+  }
+
+  val d15Sql: String =
+    """WITH RECURSIVE
+      |toks AS (
+      |  SELECT doc_id,
+      |         string_split(regexp_replace(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]*(feat\.|featuring|ft\.|&|and)[ \t\n\x0b\f\r]*', ';', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(w) >= 3
+      |              THEN list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |              ELSE list_distinct([array_to_string(w, ' ')]) END AS s
+      |  FROM toks),
+      |p AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM sh a JOIN sh b
+      |    ON a.doc_id < b.doc_id
+      |   AND len(b.s) <= 2 * len(a.s) AND len(a.s) <= 2 * len(b.s)
+      |  WHERE len(list_intersect(a.s, b.s)) > 0
+      |    AND len(list_intersect(a.s, b.s)) * 2 >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+      |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+      |n AS (SELECT a AS id FROM e UNION SELECT b FROM e),
+      |r(id, reach) AS (
+      |  SELECT id, id FROM n
+      |  UNION
+      |  SELECT r.id, e.b FROM r JOIN e ON r.reach = e.a),
+      |comp AS (SELECT id, MIN(reach) AS comp FROM r GROUP BY id),
+      |deg AS (SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS degree FROM e GROUP BY 1),
+      |m AS (SELECT comp.comp, comp.id, deg.degree FROM comp JOIN deg USING (id)),
+      |ranked AS (
+      |  SELECT comp, id, degree,
+      |         row_number() OVER (PARTITION BY comp ORDER BY degree DESC, id) AS rn
+      |  FROM m),
+      |sz AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM m GROUP BY 1)
+      |SELECT rk.comp, rk.id AS canonical_id,
+      |       CAST(rk.degree AS BIGINT) AS canonical_degree, sz.cluster_size
+      |FROM ranked rk JOIN sz USING (comp) WHERE rn = 1 ORDER BY comp""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "d14_pagerank" -> d14Pagerank,
+    "d15_canonical_pick" -> d15CanonicalPick,
     "d01_dedup_exact" -> d01DedupExact,
     "d02_minhash_lsh" -> d02MinHashLsh,
     "d03_simhash" -> d03SimHash,
@@ -641,6 +708,7 @@ object LlmQueries {
     * carries a quantified recall spec instead). */
   val oracles: Seq[(String, String)] = Seq(
     "d14_pagerank" -> d14Sql,
+    "d15_canonical_pick" -> d15Sql,
     "s04_quantize_int8" -> s04Sql,
     "d01_dedup_exact" -> d01Sql,
     "d04_ngram_jaccard" -> d04Sql,

@@ -617,7 +617,56 @@ object TrainingDataQueries {
       |WHERE c_xy >= 5
       |ORDER BY x, y""".stripMargin
 
+  /** #111 (t16): readability / complexity metrics — the filter signal
+    * a corpus-quality pass ranks documents by (short choppy boilerplate
+    * vs long-winded run-ons both stand out): sentence count, word
+    * count, average word length, long-word ratio. All single-pass
+    * codegen'd regex counts over the document — no tokenize-explode,
+    * no shuffle except the final sort — and all ratios are half-up
+    * ×1000 integers via the exact-rational identity (no float), so the
+    * DuckDB mirror is textually parallel. Word = lowercase alnum run
+    * (t03's convention); sentence = a [.!?] run. */
+  def t16Readability: Q = (spark, dir) => {
+    import graft.text.TextFunctions.matchCount
+    val lo = lower(col("text"))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        matchCount(col("text"), """[.!?]+""").as("n_sent"),
+        matchCount(lo, """[a-z0-9]+""").as("n_word"),
+        length(regexp_replace(lo, """[^a-z0-9]""", "")).cast(LongType)
+          .as("n_word_chars"),
+        matchCount(lo, """[a-z0-9]{7,}""").as("n_long"))
+      .withColumn("avg_word_len_milli",
+        expr("CASE WHEN n_word = 0 THEN 0L ELSE " +
+          "(2 * n_word_chars * 1000 + n_word) div (2 * n_word) END"))
+      .withColumn("long_ratio_milli",
+        expr("CASE WHEN n_word = 0 THEN 0L ELSE " +
+          "(2 * n_long * 1000 + n_word) div (2 * n_word) END"))
+      .orderBy("doc_id")
+  }
+
+  val t16Sql: String =
+    """SELECT doc_id,
+      |       CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sent,
+      |       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_word,
+      |       CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT)
+      |         AS n_word_chars,
+      |       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]{7,}')) AS BIGINT) AS n_long,
+      |       CAST(CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) = 0 THEN 0
+      |                 ELSE (2 * length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) * 1000
+      |                       + len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+      |                      // (2 * len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+      |            END AS BIGINT) AS avg_word_len_milli,
+      |       CAST(CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) = 0 THEN 0
+      |                 ELSE (2 * len(regexp_extract_all(lower(text), '[a-z0-9]{7,}')) * 1000
+      |                       + len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+      |                      // (2 * len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+      |            END AS BIGINT) AS long_ratio_milli
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "t16_readability" -> t16Readability,
     "t15_collocations" -> t15Collocations,
     "d12_mixture" -> d12Mixture,
     "t08_hash_split" -> t08HashSplit,
@@ -633,6 +682,7 @@ object TrainingDataQueries {
     "d11_corpus_pipeline" -> d11CorpusPipeline)
 
   val oracles: Seq[(String, String)] = Seq(
+    "t16_readability" -> t16Sql,
     "t15_collocations" -> t15Sql,
     "d12_mixture" -> d12Sql,
     "t13_boilerplate" -> t13Sql,

@@ -183,4 +183,31 @@ class DedupSpec extends AnyFunSuite {
       .as[(String, String, Long)].collect().toSet
     assert(got == brute, s"missed=${brute.diff(got).take(5)} extra=${got.diff(brute).take(5)}")
   }
+
+  test("d15 canonical pick: one max-degree min-id representative per cluster, sizes exact") {
+    val picks = LlmQueries.d15CanonicalPick(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long)].collect()
+    // recompute components + degrees locally from the exact pair set
+    val pairs = groundTruth
+    val adj = pairs.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val degree = adj.view.mapValues(_.size.toLong).toMap
+    var comp = Map.empty[Long, Long]
+    for (root <- adj.keys.toSeq.sorted if !comp.contains(root)) {
+      var frontier = Set(root)
+      while (frontier.nonEmpty) {
+        comp ++= frontier.iterator.map(_ -> root)
+        frontier = frontier.flatMap(adj).diff(comp.keySet)
+      }
+    }
+    val clusters = comp.groupBy(_._2).values.map(_.keySet).toSeq
+    val expect = clusters.map { members =>
+      val canon = members.toSeq.sortBy(id => (-degree(id), id)).head
+      (members.min, canon, degree(canon), members.size.toLong)
+    }.toSet
+    // comp labels: CC labels each cluster by its min id, matching `members.min`
+    assert(picks.toSet == expect,
+      s"got=${picks.toSet.diff(expect).take(3)} want=${expect.diff(picks.toSet).take(3)}")
+    assert(picks.map(_._1).distinct.length == picks.length, "one pick per cluster")
+  }
 }

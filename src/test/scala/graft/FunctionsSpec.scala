@@ -294,4 +294,47 @@ class FunctionsSpec extends AnyFunSuite {
       ExactPercentile.quantiles(df, Seq("g"), col("x"), 0, 3, Seq(Pct("p33", 1, 3)))
     }
   }
+
+  test("HistogramRank reproduces ntile/percent_rank/cume_dist exactly (all group sizes)") {
+    import graft.functions.HistogramRank
+    import org.apache.spark.sql.expressions.Window
+    // group sizes 1..13 with heavy value ties — covers n < k, n = 1,
+    // remainder buckets, and the tie-break path
+    val rows = for {
+      g <- 1 to 13; i <- 1 to g
+    } yield (s"g$g", (i % 4).toLong, i.toLong)
+    val df = rows.toDF("g", "v", "id")
+    val got = HistogramRank.withRank(df, Seq("g"), "v", Seq("id"))
+      .select(col("g"), col("id"),
+        expr(HistogramRank.ntileExpr(4)).as("q"),
+        expr("CASE WHEN n = 1 THEN 0L ELSE " +
+          HistogramRank.milliExpr("r - 1", "n - 1") + " END").as("pr"),
+        expr(HistogramRank.milliExpr("r", "n")).as("cd"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val w = Window.partitionBy("g").orderBy("v", "id")
+    val want = df.select(col("g"), col("id"),
+        ntile(4).over(w).cast("long").as("q"),
+        floor(percent_rank().over(w) * 1000 + lit(0.5)).cast("long").as("pr"),
+        floor(cume_dist().over(w) * 1000 + lit(0.5)).cast("long").as("cd"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("q55 deciles are equal-population (±1), exhaustive, and value-monotone per flag") {
+    val bins = AnalyticsQueries.q55QuantileBins(spark, TestSpark.Sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val rowsPerFlag = Tables.lineitem(spark, TestSpark.Sf)
+      .groupBy("l_returnflag").count().as[(String, Long)].collect().toMap
+    bins.foreach { case (flag, ds) =>
+      assert(ds.map(_._2).toSeq == (1L to 10L), s"$flag deciles present")
+      assert(ds.map(_._3).sum == rowsPerFlag(flag), s"$flag exhaustive")
+      // equal population: first buckets at most one row larger (ntile semantics)
+      assert(ds.map(_._3).max - ds.map(_._3).min <= 1, s"$flag balance")
+      // decile d's max price never exceeds decile d+1's min price
+      ds.sliding(2).foreach { case Array(a, b) =>
+        assert(a._6 <= b._5, s"$flag monotone ${a._2}->${b._2}")
+      }
+    }
+  }
 }

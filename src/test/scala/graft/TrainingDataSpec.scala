@@ -210,4 +210,24 @@ class TrainingDataSpec extends AnyFunSuite {
     val enFlagged = flagged.intersect(docs.map(_._1).toSet)
     assert(enFlagged == expect, s"diff ${enFlagged.diff(expect)} / ${expect.diff(enFlagged)}")
   }
+
+  test("t16 readability metrics match a local regex recomputation on every doc") {
+    val got = TrainingDataQueries.t16Readability(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    val texts = Tables.documents(spark, TestSpark.Sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    def half(a: Long, b: Long): Long = if (b == 0) 0L else (2 * a * 1000 + b) / (2 * b)
+    got.foreach { case (id, nSent, nWord, nChars, nLong, avgMilli, longMilli) =>
+      val t = texts(id); val lo = t.toLowerCase
+      val sent = """[.!?]+""".r.findAllIn(t).length.toLong
+      val words = """[a-z0-9]+""".r.findAllIn(lo).toSeq
+      val chars = words.map(_.length.toLong).sum
+      val longs = """[a-z0-9]{7,}""".r.findAllIn(lo).length.toLong
+      assert((nSent, nWord, nChars, nLong) == ((sent, words.length.toLong, chars, longs)),
+        s"doc $id counts")
+      assert(avgMilli == half(chars, words.length.toLong), s"doc $id avg")
+      assert(longMilli == half(longs, words.length.toLong), s"doc $id ratio")
+    }
+    assert(got.length == texts.size)
+  }
 }
