@@ -1139,90 +1139,73 @@ object AnalyticsQueries {
   /** #112 (q56): gap-fill by linear interpolation — the time-series
     * repair step between resampling (q42's zero-fill is wrong for
     * level-like series) and modeling: missing days get the straight
-    * line between their nearest known neighbors, edges hold the
-    * nearest known value. The series is daily revenue from high-value
-    * events (cents > 20000), deliberately sparse so gaps exist at
-    * every SF.
+    * line between their nearest known neighbors. The series is daily
+    * revenue from high-value events (cents > 20000), deliberately
+    * sparse so gaps exist at every SF. Each type's series is filled
+    * between ITS first and last observed day (no values invented
+    * before a series starts or after it ends).
     *
-    * Interpolation is EXACT integer arithmetic: for a gap day d
-    * between known (dp, prev) and (dn, next), the weighted average
-    * (prev·(dn−d) + next·(d−dp)) / (dn−dp) is rounded half-up via
-    * (2a+b) div 2b — all terms nonnegative (cents ≥ 0), so Spark
-    * `div` and DuckDB `//` agree. Scale shape: the only windows run
-    * over the DAILY aggregate (≤ types × days rows — domain-bounded,
-    * q52's regime), the raw table is touched once by the grouped sum;
-    * the spine explodes from a 1-row min/max and crosses the tiny
-    * broadcast type set (q42's regime). */
+    * One pass, no self-join, no spine join: lead() pairs each known
+    * day with its next known day, then a per-row sequence() explode
+    * bridges the gap densely, interpolating at exact integer
+    * arithmetic — (prev·(dn−d) + next·(d−dp)) / (dn−dp) rounded
+    * half-up via (2a+b) div 2b, all terms nonnegative, so Spark `div`
+    * and DuckDB `//` agree. Scale shape: the raw table is scanned
+    * ONCE into the grouped daily aggregate; the single window (lead)
+    * runs over the DOMAIN-BOUNDED daily frame (≤ types × days rows —
+    * q52's regime); the explode fans out at most one row per calendar
+    * day per gap. Contrast the textbook dense-spine + forward/backward
+    * window shape: that needs the corpus scanned once per spine
+    * consumer (Catalyst prunes the three daily subplans differently,
+    * so their exchanges never canonicalize equal and AQE cannot reuse
+    * them) — measured 3 scans; this shape needs one. */
   def q56GapFill: Q = (spark, dir) => {
-    val f = Tables.events(spark, dir)
+    val daily = Tables.events(spark, dir)
       .select(col("event_type"), col("ts").cast(DateType).as("day"),
         round(col("value") * 100, 0).cast(LongType).as("cents"))
       .filter(col("cents") > 20000)
-    val daily = f.groupBy("event_type", "day").agg(sum("cents").as("cents"))
-    val spine = f.agg(min("day").as("d0"), max("day").as("d1"))
-      .select(explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("day"))
-    val types = f.select("event_type").distinct()
-    val grid = spine.crossJoin(broadcast(types))
-      .join(daily, Seq("event_type", "day"), "left")
-    val wf = Window.partitionBy("event_type").orderBy("day")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val wb = Window.partitionBy("event_type").orderBy("day")
-      .rowsBetween(0, Window.unboundedFollowing)
-    val known = when(col("cents").isNotNull, col("day"))
-    grid
-      .withColumn("pd", last(known, ignoreNulls = true).over(wf))
-      .withColumn("pc", last("cents", ignoreNulls = true).over(wf))
-      .withColumn("nd", first(known, ignoreNulls = true).over(wb))
-      .withColumn("nc", first("cents", ignoreNulls = true).over(wb))
+      .groupBy("event_type", "day").agg(sum("cents").as("cents"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    daily
+      .withColumn("nd", lead("day", 1).over(w))
+      .withColumn("nc", lead("cents", 1).over(w))
+      .select(col("event_type"), col("day").as("d0"), col("cents"),
+        col("nd"), col("nc"),
+        explode(sequence(col("day"),
+          coalesce(date_sub(col("nd"), 1), col("day")))).as("fill_day"))
       .withColumn("filled_cents",
-        when(col("cents").isNotNull, col("cents"))
-          .when(col("pd").isNull, col("nc"))
-          .when(col("nd").isNull, col("pc"))
+        when(col("fill_day") === col("d0"), col("cents"))
           .otherwise(expr(
-            """(2 * (pc * datediff(nd, day) + nc * datediff(day, pd))
-              |   + datediff(nd, pd)) div (2 * datediff(nd, pd))""".stripMargin)))
-      .withColumn("is_gap", col("cents").isNull)
-      .select("event_type", "day", "filled_cents", "is_gap")
+            """(2 * (cents * datediff(nd, fill_day) + nc * datediff(fill_day, d0))
+              |   + datediff(nd, d0)) div (2 * datediff(nd, d0))""".stripMargin)))
+      .select(col("event_type"), col("fill_day").as("day"),
+        col("filled_cents"), (col("fill_day") =!= col("d0")).as("is_gap"))
       .orderBy("event_type", "day")
   }
 
   val q56Sql: String =
-    """WITH f AS (
+    """WITH daily AS (
       |  SELECT event_type, CAST(ts AS DATE) AS day,
-      |         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
-      |  FROM events WHERE CAST(ROUND(value * 100, 0) AS BIGINT) > 20000),
-      |daily AS (
-      |  SELECT event_type, day, CAST(SUM(cents) AS BIGINT) AS cents
-      |  FROM f GROUP BY 1, 2),
-      |spine AS (
-      |  SELECT UNNEST(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY))::DATE AS day
-      |  FROM f),
-      |grid AS (
-      |  SELECT t.event_type, s.day, d.cents
-      |  FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM f) t
-      |  LEFT JOIN daily d USING (event_type, day)),
+      |         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events WHERE CAST(ROUND(value * 100, 0) AS BIGINT) > 20000
+      |  GROUP BY 1, 2),
       |nb AS (
-      |  SELECT event_type, day, cents,
-      |         last_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
-      |           OVER wf AS pd,
-      |         last_value(cents IGNORE NULLS) OVER wf AS pc,
-      |         first_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
-      |           OVER wb AS nd,
-      |         first_value(cents IGNORE NULLS) OVER wb AS nc
-      |  FROM grid
-      |  WINDOW wf AS (PARTITION BY event_type ORDER BY day
-      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-      |         wb AS (PARTITION BY event_type ORDER BY day
-      |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
-      |SELECT event_type, day,
-      |       CAST(CASE WHEN cents IS NOT NULL THEN cents
-      |                 WHEN pd IS NULL THEN nc
-      |                 WHEN nd IS NULL THEN pc
-      |                 ELSE (2 * (pc * datediff('day', day, nd) + nc * datediff('day', pd, day))
-      |                       + datediff('day', pd, nd)) // (2 * datediff('day', pd, nd))
+      |  SELECT event_type, day AS d0, cents,
+      |         lead(day) OVER w AS nd, lead(cents) OVER w AS nc
+      |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      |fill AS (
+      |  SELECT event_type, d0, cents, nd, nc,
+      |         UNNEST(generate_series(d0, COALESCE(nd - 1, d0), INTERVAL 1 DAY))::DATE
+      |           AS fill_day
+      |  FROM nb)
+      |SELECT event_type, fill_day AS day,
+      |       CAST(CASE WHEN fill_day = d0 THEN cents
+      |                 ELSE (2 * (cents * datediff('day', fill_day, nd)
+      |                            + nc * datediff('day', d0, fill_day))
+      |                       + datediff('day', d0, nd)) // (2 * datediff('day', d0, nd))
       |            END AS BIGINT) AS filled_cents,
-      |       cents IS NULL AS is_gap
-      |FROM nb ORDER BY event_type, day""".stripMargin
+      |       fill_day <> d0 AS is_gap
+      |FROM fill ORDER BY event_type, day""".stripMargin
 
   val queries: Seq[(String, Q)] = Seq(
     "q50_window_stats" -> q50WindowStats,

@@ -332,6 +332,84 @@ object LlmQueries {
       .orderBy("qid", "rank")
   }
 
+  /** Query terms for s08 — mid-frequency corpus vocabulary, fixed so
+    * the oracle is deterministic. */
+  private val Bm25Terms = Seq("vector", "stream", "hash")
+
+  /** #114 (s08): BM25-weighted keyword retrieval — the lexical half of
+    * a retrieval stack (the ANN family s01–s07 is the dense half):
+    * score every document against a fixed term set and keep the top 20.
+    *
+    * The score is the BM25 shape with k1 = 6/5, b = 3/4 folded into
+    * ONE integer division per term:
+    * tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)) with avgdl = S/N becomes
+    * 44·S·tf / (20·S·tf + 6·S + 18·N·dl), and idf is t09's integer
+    * lift (N·1000 div df) — each term's component rises with tf and
+    * falls with df and dl exactly like BM25's (the lift replaces the
+    * log-idf curve, t09's convention), and everything is integer, so
+    * zero cross-engine float risk.
+    * Products route through decimal(38)/HUGEINT (S·tf·idf overflows
+    * int64 at web scale; q54's convention).
+    *
+    * Scale shape: terms are LITERALS, so tf/dl are per-row codegen'd
+    * regex counts — no tokenize-explode, no per-term shuffle; corpus
+    * stats (N, S, df per term) are ONE tiny aggregate row broadcast
+    * back; the top-k is a TakeOrderedAndProject (per-partition heap +
+    * driver merge of k rows), never a global sort. */
+  def s08Bm25: Q = (spark, dir) => {
+    val lo = lower(col("text"))
+    val docs = Tables.documents(spark, dir).select(
+      col("doc_id") +:
+        matchCount(lo, """[a-z0-9]+""").as("dl") +:
+        Bm25Terms.zipWithIndex.map { case (t, i) =>
+          matchCount(lo, "\\b" + t + "\\b").as(s"tf$i")
+        }: _*)
+    val statCols = sum("dl").as("s") +: Bm25Terms.indices.map(i =>
+      sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = docs.agg(count(lit(1)).as("nn"), statCols: _*)
+    val termScore = Bm25Terms.indices.map { i =>
+      s"""CASE WHEN tf$i > 0 THEN
+         |  ((nn * 1000 div df$i) * 44 * CAST(s AS DECIMAL(38,0)) * tf$i)
+         |  div (20 * CAST(s AS DECIMAL(38,0)) * tf$i
+         |       + 6 * CAST(s AS DECIMAL(38,0))
+         |       + 18 * CAST(nn AS DECIMAL(38,0)) * dl)
+         |ELSE 0L END""".stripMargin
+    }.mkString("(", " + ", ")")
+    docs.crossJoin(broadcast(stats))
+      .filter(Bm25Terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+      .withColumn("score_milli", expr(termScore))
+      .select("doc_id", "score_milli")
+      .orderBy(col("score_milli").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val s08Sql: String = {
+    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"""         CAST(len(regexp_extract_all(lower(text), '\\b$t\\b')) AS BIGINT) AS tf$i"""
+    }.mkString(",\n")
+    val dfCols = Bm25Terms.indices.map(i =>
+      s"              CAST(COUNT(*) FILTER (tf$i > 0) AS BIGINT) AS df$i").mkString(",\n")
+    val score = Bm25Terms.indices.map { i =>
+      s"""CASE WHEN tf$i > 0 THEN
+         |  ((nn * 1000 // df$i) * 44 * CAST(s AS HUGEINT) * tf$i)
+         |  // (20 * CAST(s AS HUGEINT) * tf$i + 6 * CAST(s AS HUGEINT)
+         |      + 18 * CAST(nn AS HUGEINT) * dl)
+         |ELSE 0 END""".stripMargin
+    }.mkString("(", " + ", ")")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS dl,
+       |$tfCols
+       |  FROM documents),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn, CAST(SUM(dl) AS BIGINT) AS s,
+       |$dfCols
+       |       FROM d)
+       |SELECT doc_id, CAST($score AS BIGINT) AS score_milli
+       |FROM d CROSS JOIN st
+       |WHERE ${Bm25Terms.indices.map(i => s"tf$i > 0").mkString(" OR ")}
+       |ORDER BY score_milli DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   /** #28: language ID via marker-word scores. */
   def t01LangId: Q = (spark, dir) => {
     val scored = Tables.documents(spark, dir)
@@ -639,9 +717,11 @@ object LlmQueries {
       .orderBy("comp")
   }
 
-  val d15Sql: String =
-    """WITH RECURSIVE
-      |toks AS (
+  /** The d04 exact-jaccard pair computation as DuckDB CTE text —
+    * shared oracle prefix for every operator composing on the
+    * similarity graph (d15, d16). Produces `p(a, b)` with a < b. */
+  private val d04PairCtes: String =
+    """toks AS (
       |  SELECT doc_id,
       |         string_split(regexp_replace(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]*(feat\.|featuring|ft\.|&|and)[ \t\n\x0b\f\r]*', ';', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ') AS w
       |  FROM documents),
@@ -657,8 +737,11 @@ object LlmQueries {
       |    ON a.doc_id < b.doc_id
       |   AND len(b.s) <= 2 * len(a.s) AND len(a.s) <= 2 * len(b.s)
       |  WHERE len(list_intersect(a.s, b.s)) > 0
-      |    AND len(list_intersect(a.s, b.s)) * 2 >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
-      |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+      |    AND len(list_intersect(a.s, b.s)) * 2 >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))""".stripMargin
+
+  val d15Sql: String =
+    "WITH RECURSIVE\n" + d04PairCtes + ",\n" +
+    """e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
       |n AS (SELECT a AS id FROM e UNION SELECT b FROM e),
       |r(id, reach) AS (
       |  SELECT id, id FROM n
@@ -676,9 +759,66 @@ object LlmQueries {
       |       CAST(rk.degree AS BIGINT) AS canonical_degree, sz.cluster_size
       |FROM ranked rk JOIN sz USING (comp) WHERE rn = 1 ORDER BY comp""".stripMargin
 
+  /** #113 (d16): triangle counting on the similarity graph — the
+    * cluster-cohesion signal a dedup audit reads (a clique-ish cluster
+    * is one template family; a path-ish one is chained drift and needs
+    * a second look). Per-doc triangle participation counts on d04's
+    * exact-jaccard pairs.
+    *
+    * Scale shape is the standard degree-ordered enumeration (Suri &
+    * Vassilvitskii, WWW'11): orient every edge from its lower
+    * (degree, id) endpoint to the higher, so each triangle is
+    * enumerated EXACTLY once from its apex, and the out-degree of any
+    * node is O(√m) on any graph — the wedge join's intermediate is
+    * O(m^1.5) worst-case instead of Σdeg² (which one hub node blows
+    * up quadratically). Both joins shuffle on doc ids; counts are
+    * map-side combinable. The orientation tuple-compare is exact
+    * integer, so the DuckDB oracle mirrors it term for term. */
+  def d16Triangles: Q = (spark, dir) => {
+    val pairs = d04NgramJaccard(spark, dir)
+      .select(col("doc_id1").as("u"), col("doc_id2").as("v")).localCheckpoint()
+    val deg = pairs.select(col("u").as("id"))
+      .union(pairs.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("dg"))
+    val du = deg.select(col("id").as("u"), col("dg").as("du"))
+    val dv = deg.select(col("id").as("v"), col("dg").as("dv"))
+    val fwd = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val e = pairs.join(du, "u").join(dv, "v")
+      .select(when(fwd, col("u")).otherwise(col("v")).as("a"),
+        when(fwd, col("v")).otherwise(col("u")).as("b"))
+    val tri = e.toDF("a", "b")
+      .join(e.toDF("b", "c"), "b")
+      .join(e.toDF("a", "c"), Seq("a", "c"))
+    tri.select(col("a").as("id"))
+      .union(tri.select(col("b")))
+      .union(tri.select(col("c")))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+      .orderBy("id")
+  }
+
+  val d16Sql: String =
+    "WITH " + d04PairCtes + ",\n" +
+    """deg AS (
+      |  SELECT id, CAST(COUNT(*) AS BIGINT) AS dg
+      |  FROM (SELECT a AS id FROM p UNION ALL SELECT b FROM p) GROUP BY 1),
+      |o AS (
+      |  SELECT CASE WHEN (da.dg, p.a) < (db.dg, p.b) THEN p.a ELSE p.b END AS a,
+      |         CASE WHEN (da.dg, p.a) < (db.dg, p.b) THEN p.b ELSE p.a END AS b
+      |  FROM p JOIN deg da ON p.a = da.id JOIN deg db ON p.b = db.id),
+      |tri AS (
+      |  SELECT e1.a, e1.b, e2.b AS c
+      |  FROM o e1 JOIN o e2 ON e1.b = e2.a
+      |  JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b)
+      |SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tri
+      |FROM (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+      |      UNION ALL SELECT c FROM tri)
+      |GROUP BY id ORDER BY id""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "d14_pagerank" -> d14Pagerank,
     "d15_canonical_pick" -> d15CanonicalPick,
+    "d16_triangles" -> d16Triangles,
+    "s08_bm25" -> s08Bm25,
     "d01_dedup_exact" -> d01DedupExact,
     "d02_minhash_lsh" -> d02MinHashLsh,
     "d03_simhash" -> d03SimHash,
@@ -709,6 +849,8 @@ object LlmQueries {
   val oracles: Seq[(String, String)] = Seq(
     "d14_pagerank" -> d14Sql,
     "d15_canonical_pick" -> d15Sql,
+    "d16_triangles" -> d16Sql,
+    "s08_bm25" -> s08Sql,
     "s04_quantize_int8" -> s04Sql,
     "d01_dedup_exact" -> d01Sql,
     "d04_ngram_jaccard" -> d04Sql,

@@ -215,4 +215,30 @@ class AnnSpec extends AnyFunSuite {
     val b = emb.select(Ann.bucketId(col("vec"), planes)).as[Long].collect()
     assert(a.toSeq == b.toSeq && a.toSet.size > 1)
   }
+
+  test("s08 BM25 top-20 matches a local integer recomputation, ranked and term-matched") {
+    val got = LlmQueries.s08Bm25(spark, TestSpark.Sf)
+      .as[(Long, Long)].collect().toSeq
+    val terms = Seq("vector", "stream", "hash")
+    val docs = Tables.documents(spark, TestSpark.Sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        val lo = t.toLowerCase
+        val dl = """[a-z0-9]+""".r.findAllIn(lo).length.toLong
+        val tfs = terms.map(w => ("""\b""" + w + """\b""").r.findAllIn(lo).length.toLong)
+        (id, dl, tfs)
+      }
+    val nn = docs.length.toLong
+    val s = docs.map(_._2).sum
+    val dfs = terms.indices.map(i => docs.count(_._3(i) > 0).toLong)
+    val expect = docs.flatMap { case (id, dl, tfs) =>
+      val score = terms.indices.map { i =>
+        if (tfs(i) == 0) BigInt(0)
+        else BigInt(nn * 1000 / dfs(i)) * 44 * s * tfs(i) /
+          (BigInt(20) * s * tfs(i) + BigInt(6) * s + BigInt(18) * nn * dl)
+      }.map(_.toLong).sum
+      if (tfs.exists(_ > 0)) Some((id, score)) else None
+    }.sortBy { case (id, sc) => (-sc, id) }.take(20)
+    assert(got == expect.toSeq, s"got=${got.take(3)} want=${expect.take(3)}")
+  }
 }

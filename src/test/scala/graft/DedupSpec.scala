@@ -210,4 +210,20 @@ class DedupSpec extends AnyFunSuite {
       s"got=${picks.toSet.diff(expect).take(3)} want=${expect.diff(picks.toSet).take(3)}")
     assert(picks.map(_._1).distinct.length == picks.length, "one pick per cluster")
   }
+
+  test("d16 per-doc triangle counts equal brute-force enumeration") {
+    val got = LlmQueries.d16Triangles(spark, TestSpark.Sf)
+      .as[(Long, Long)].collect().toMap
+    val edges = groundTruth
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val has = edges ++ edges.map(e => (e._2, e._1))
+    val expect = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      Seq(a, b, c) <- nodes.combinations(3)
+      if has((a, b)) && has((b, c)) && has((a, c))
+      n <- Seq(a, b, c)
+    } expect(n) += 1
+    assert(got == expect.toMap.filter(_._2 > 0),
+      s"got=${got.toSeq.sorted.take(5)} want=${expect.toSeq.sorted.take(5)}")
+  }
 }

@@ -337,4 +337,32 @@ class FunctionsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q56 gap-fill: dense first→last coverage per type, gaps bounded by their neighbors") {
+    val byType = AnalyticsQueries.q56GapFill(spark, TestSpark.Sf)
+      .as[(String, java.sql.Date, Long, Boolean)].collect()
+      .groupBy(_._1).values
+    assert(byType.nonEmpty)
+    var sawGap = false
+    byType.foreach { series =>
+      val s = series.sortBy(_._2.getTime)
+      // dense calendar: every consecutive output day is exactly 1 apart
+      s.sliding(2).foreach { case Array(a, b) =>
+        assert(b._2.toLocalDate == a._2.toLocalDate.plusDays(1),
+          s"hole between ${a._2} and ${b._2}")
+      }
+      // first and last days of a series are always known, never invented
+      assert(!s.head._4 && !s.last._4, "series must start and end on known days")
+      val knownIdx = s.zipWithIndex.filter(!_._1._4).map(_._2)
+      s.zipWithIndex.filter(_._1._4).foreach { case ((_, _, v, _), i) =>
+        sawGap = true
+        val p = knownIdx.filter(_ < i).max
+        val n = knownIdx.filter(_ > i).min
+        val (pv, nv) = (s(p)._3, s(n)._3)
+        assert(v >= math.min(pv, nv) && v <= math.max(pv, nv),
+          s"interpolated $v outside [$pv, $nv]")
+      }
+    }
+    assert(sawGap, "the series must actually contain gaps at this SF")
+  }
 }

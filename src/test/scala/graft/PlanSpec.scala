@@ -280,4 +280,24 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  test("q56 scans the events table once, joins nothing, and windows only the daily frame") {
+    val p = planOf("q56_gap_fill")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("events"))
+    assert(scans == 1, s"expected 1 events scan, got $scans:\n${p.take(1500)}")
+    assert(!p.contains("Join"), s"lead+explode gap-fill must not join:\n${p.take(1500)}")
+  }
+
+  test("s08 top-k is TakeOrderedAndProject with no explode and no global sort") {
+    val p = planOf("s08_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("Generate explode"), s"s08 must not tokenize-explode:\n${p.take(800)}")
+  }
+
+  test("d16 triangle joins are hash joins on ids, never cartesian") {
+    val p = planOf("d16_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+  }
 }
