@@ -232,6 +232,70 @@ object EventStream {
       }
   }
 
+  /** Streaming interval sweep — the streaming twin of q51's batch
+    * sweep-line: intervals `[startDay, endDay)` arrive per key and the
+    * operator emits, for every closed BOUNDARY day (a day where some
+    * interval starts or ends), the day's intraday peak concurrency
+    * (`active_peak` — after that day's starts, before its ends; the
+    * supremum the batch sweep's ordered rows reach within the day) and
+    * its end-of-day level (`active_end`). Between boundary days
+    * concurrency is constant, so this series determines the whole
+    * step function — per-key `max(active_peak)` and its first day are
+    * exactly batch q51's (peak, first_peak_day), which the spec pins.
+    *
+    * Day-closing protocol is [[ewmaStream]]'s hand-rolled day-granular
+    * watermark: a day closes once an interval STARTS `latenessDays`
+    * past it; intervals starting at or before the closed frontier are
+    * dropped (the late-data contract). State per key: the frontier,
+    * one running count, and pending start/end deltas — O(max interval
+    * length + lateness) entries, never stream length. */
+  def intervalSweepStream(intervals: DataFrame,
+                          latenessDays: Int = 1): Dataset[SweepOut] = {
+    val spark = intervals.sparkSession
+    import spark.implicits._
+    require(latenessDays >= 0, s"latenessDays must be >= 0: $latenessDays")
+    intervals
+      .selectExpr("key",
+        "datediff(start_day, to_date('1970-01-01')) as s",
+        "datediff(end_day, to_date('1970-01-01')) as e")
+      .as[(Long, Int, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SweepState, SweepOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (key, rows, state) =>
+        var st = state.getOption.getOrElse(
+          SweepState(Int.MinValue, 0L, Map.empty, Map.empty))
+        var maxStart = Int.MinValue
+        rows.foreach { case (_, s, e) =>
+          require(e > s, s"interval must be non-empty: [$s, $e)")
+          if (s > st.closedThrough) { // not late
+            st = st.copy(
+              starts = st.starts.updated(s, st.starts.getOrElse(s, 0L) + 1),
+              ends = st.ends.updated(e, st.ends.getOrElse(e, 0L) + 1))
+            if (s > maxStart) maxStart = s
+          }
+        }
+        val out = Vector.newBuilder[SweepOut]
+        if (maxStart > Int.MinValue) {
+          val horizon = maxStart - latenessDays // days < horizon are final
+          (st.starts.keySet ++ st.ends.keySet)
+            .filter(d => d < horizon && d > st.closedThrough)
+            .toSeq.sorted.foreach { d =>
+              val peak = st.cur + st.starts.getOrElse(d, 0L)
+              val end = peak - st.ends.getOrElse(d, 0L)
+              out += SweepOut(key,
+                java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d.toLong)),
+                peak, end)
+              st = SweepState(d, end, st.starts - d, st.ends - d)
+            }
+          if (horizon - 1 > st.closedThrough)
+            st = st.copy(closedThrough = horizon - 1)
+        }
+        state.update(st)
+        out.result().iterator
+      }
+  }
+
   /** Per-user running totals via arbitrary stateful processing
     * (`mapGroupsWithState`): state is one [[UserAgg]] per user —
     * bounded by the user population, not the stream length — and
@@ -259,6 +323,10 @@ case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 case class TypeStats(n: Long, s: Long, ss: Long)
 case class EwmaState(closedThrough: Int, open: Map[Int, Long], closed: List[Long])
 case class EwmaOut(event_type: String, day: java.sql.Date, cents: Long, ewma_milli: Long)
+case class SweepState(closedThrough: Int, cur: Long,
+                      starts: Map[Int, Long], ends: Map[Int, Long])
+case class SweepOut(key: Long, day: java.sql.Date,
+                    active_peak: Long, active_end: Long)
 case class AnomalyFlag(event_id: Long, event_type: String, cents: Long)
 
 /** Idempotent external sink via `foreachBatch`: each micro-batch is

@@ -429,4 +429,52 @@ class StreamingSpec extends AnyFunSuite {
       assert(after == streamed.size.toLong, "closed-day straggler must be dropped")
     } finally query.stop()
   }
+
+  test("interval sweep stream: per-key peaks match batch q51 exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // the same interval derivation as batch q51: R-flag lineitems,
+    // [shipdate, shipdate + 7) per supplier
+    val intervals = Tables.lineitem(spark, TestSpark.Sf)
+      .filter($"l_returnflag" === "R")
+      .select($"l_suppkey".as("key"), $"l_shipdate".cast("date").as("start_day"),
+        date_add($"l_shipdate".cast("date"), 7).as("end_day"))
+      .as[(Long, java.sql.Date, java.sql.Date)].collect()
+      .sortBy(_._2.getTime) // realistic arrival: by start day
+    val keys = intervals.map(_._1).distinct
+
+    val input = MemoryStream[(Long, java.sql.Date, java.sql.Date)]
+    val df = input.toDF().toDF("key", "start_day", "end_day")
+    val query = EventStream.intervalSweepStream(df, latenessDays = 1)
+      .toDF().writeStream.format("memory").queryName("sweep_stream")
+      .outputMode("append").start()
+    try {
+      intervals.grouped(math.max(1, intervals.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toSeq: _*)
+        query.processAllAvailable()
+      }
+      // a far-future sentinel interval per key closes every real day
+      val flush = java.sql.Date.valueOf("2030-01-01")
+      val flushEnd = java.sql.Date.valueOf("2030-01-08")
+      input.addData(keys.map(k => (k, flush, flushEnd)).toSeq: _*)
+      query.processAllAvailable()
+
+      val streamed = spark.table("sweep_stream")
+        .filter($"day" < "2029-01-01") // sentinel days never emit, belt & braces
+        .select($"key", $"day", $"active_peak")
+        .as[(Long, java.sql.Date, Long)].collect()
+      val streamPeaks = streamed.groupBy(_._1).map { case (k, rows) =>
+        val peak = rows.map(_._3).max
+        val first = rows.filter(_._3 == peak).map(_._2.toLocalDate).min(
+          Ordering.by((d: java.time.LocalDate) => d.toEpochDay))
+        k -> ((peak, first.toString))
+      }
+      val batch = AnalyticsQueries.q51IntervalSweep(spark, TestSpark.Sf)
+        .as[(Long, Long, java.sql.Date)].collect()
+        .map { case (k, p, d) => k -> ((p, d.toString)) }.toMap
+      assert(streamPeaks == batch,
+        s"diff=${(streamPeaks.toSet -- batch.toSet).take(3)} / ${(batch.toSet -- streamPeaks.toSet).take(3)}")
+    } finally query.stop()
+  }
 }
