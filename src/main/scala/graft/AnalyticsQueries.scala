@@ -1207,6 +1207,58 @@ object AnalyticsQueries {
       |       fill_day <> d0 AS is_gap
       |FROM fill ORDER BY event_type, day""".stripMargin
 
+  /** #116 (q57): percentile winsorization — clip each group's values
+    * into its own [p05, p95] band and report the damage (clip counts,
+    * sums before/after): the outlier-taming step a feature pipeline
+    * runs before normalization, and the aggregate complement of t12's
+    * outlier FLAGGING. Bands come from [[graft.functions.ExactPercentile]]
+    * (histogram path — no buffering percentile aggregate, q29's
+    * regime) at output scale 10⁴ so the 1/20 and 19/20 fractions are
+    * exact integers; values join the 3-row band frame broadcast, so
+    * the corpus sees two aggregate-only passes (one histogram, one
+    * clip-sum) and no wide shuffle. Sums stay int64 through ~sf100
+    * (6·10¹⁷ < 2⁶³); past that, lift to decimal like q54. */
+  def q57Winsorize: Q = (spark, dir) => {
+    import graft.functions.ExactPercentile, ExactPercentile.Pct
+    val li = Tables.lineitem(spark, dir)
+    val bands = ExactPercentile.quantiles(li, Seq("l_returnflag"),
+      col("l_extendedprice"), valPow = 2, outPow = 4,
+      Seq(Pct("lo_e4", 1, 20), Pct("hi_e4", 19, 20)))
+    li.select(col("l_returnflag"),
+        (round(col("l_extendedprice") * 100, 0).cast(LongType) * 100).as("v_e4"))
+      .join(broadcast(bands), "l_returnflag")
+      .withColumn("w_e4", greatest(col("lo_e4"), least(col("hi_e4"), col("v_e4"))))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v_e4") < col("lo_e4"), 1L).otherwise(0L)).as("n_clip_low"),
+        sum(when(col("v_e4") > col("hi_e4"), 1L).otherwise(0L)).as("n_clip_high"),
+        sum("v_e4").as("sum_raw_e4"),
+        sum("w_e4").as("sum_wins_e4"),
+        min("lo_e4").as("lo_e4"), min("hi_e4").as("hi_e4"))
+      .orderBy("l_returnflag")
+  }
+
+  val q57Sql: String =
+    """WITH bands AS (
+      |  SELECT l_returnflag,
+      |         CAST(ROUND(quantile_cont(l_extendedprice, 0.05) * 10000, 0) AS BIGINT) AS lo_e4,
+      |         CAST(ROUND(quantile_cont(l_extendedprice, 0.95) * 10000, 0) AS BIGINT) AS hi_e4
+      |  FROM lineitem GROUP BY 1),
+      |v AS (
+      |  SELECT l.l_returnflag,
+      |         CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT) * 100 AS v_e4,
+      |         b.lo_e4, b.hi_e4
+      |  FROM lineitem l JOIN bands b USING (l_returnflag))
+      |SELECT l_returnflag,
+      |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(COUNT(*) FILTER (v_e4 < lo_e4) AS BIGINT) AS n_clip_low,
+      |       CAST(COUNT(*) FILTER (v_e4 > hi_e4) AS BIGINT) AS n_clip_high,
+      |       CAST(SUM(v_e4) AS BIGINT) AS sum_raw_e4,
+      |       CAST(SUM(GREATEST(lo_e4, LEAST(hi_e4, v_e4))) AS BIGINT) AS sum_wins_e4,
+      |       CAST(MIN(lo_e4) AS BIGINT) AS lo_e4,
+      |       CAST(MIN(hi_e4) AS BIGINT) AS hi_e4
+      |FROM v GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q50_window_stats" -> q50WindowStats,
     "q51_interval_sweep" -> q51IntervalSweep,
@@ -1215,6 +1267,7 @@ object AnalyticsQueries {
     "q54_anomaly" -> q54Anomaly,
     "q55_quantile_bins" -> q55QuantileBins,
     "q56_gap_fill" -> q56GapFill,
+    "q57_winsorize" -> q57Winsorize,
     "q18_describe_stats" -> q18DescribeStats,
     "q19_asof_join" -> q19AsofJoin,
     "q20_sessionize" -> q20Sessionize,
@@ -1248,6 +1301,7 @@ object AnalyticsQueries {
     "q54_anomaly" -> q54Sql,
     "q55_quantile_bins" -> q55Sql,
     "q56_gap_fill" -> q56Sql,
+    "q57_winsorize" -> q57Sql,
     "q37_range_join" -> q37Sql,
     "q38_supplier_stats" -> q38Sql,
     "q39_grouping_sets" -> q39Sql,

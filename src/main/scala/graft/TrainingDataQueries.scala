@@ -665,7 +665,55 @@ object TrainingDataQueries {
       |            END AS BIGINT) AS long_ratio_milli
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** #117 (t17): inverted index construction — term → (document
+    * frequency, capped posting list), the retrieval-side artifact a
+    * corpus build publishes next to the corpus itself (s08's BM25
+    * scores precompute from exactly these statistics). `df` is exact
+    * over all documents; the posting list keeps only the FIRST 16 doc
+    * ids in sorted order — the cap is applied by a WindowGroupLimit
+    * (row_number ≤ 16 over the HIGH-cardinality term key) BEFORE
+    * `collect_list`, so no reducer ever materializes a stopword's
+    * full O(corpus) posting row; terms below df 5 are dropped as
+    * non-discriminative. Both aggregations key on `term` — one
+    * partitioning serves the df count, the cap window, and the list
+    * collection. */
+  def t17InvertedIndex: Q = (spark, dir) => {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z0-9]+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+    val dfreq = tok.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 5)
+    val w = Window.partitionBy("term").orderBy("doc_id")
+    val postings = tok
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 16)
+      .groupBy("term")
+      .agg(concat_ws(",", sort_array(collect_list("doc_id"))).as("postings_csv"))
+    dfreq.join(postings, "term")
+      .select("term", "df", "postings_csv")
+      .orderBy("term")
+  }
+
+  val t17Sql: String =
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |  FROM documents),
+      |idx AS (
+      |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+      |  FROM tok GROUP BY 1 HAVING COUNT(*) >= 5),
+      |cap AS (
+      |  SELECT term, doc_id FROM (
+      |    SELECT term, doc_id,
+      |           row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+      |    FROM tok) WHERE rn <= 16)
+      |SELECT i.term, i.df,
+      |       array_to_string(list_sort(list(c.doc_id)), ',') AS postings_csv
+      |FROM idx i JOIN cap c USING (term)
+      |GROUP BY i.term, i.df ORDER BY term""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "t17_inverted_index" -> t17InvertedIndex,
     "t16_readability" -> t16Readability,
     "t15_collocations" -> t15Collocations,
     "d12_mixture" -> d12Mixture,
@@ -682,6 +730,7 @@ object TrainingDataQueries {
     "d11_corpus_pipeline" -> d11CorpusPipeline)
 
   val oracles: Seq[(String, String)] = Seq(
+    "t17_inverted_index" -> t17Sql,
     "t16_readability" -> t16Sql,
     "t15_collocations" -> t15Sql,
     "d12_mixture" -> d12Sql,

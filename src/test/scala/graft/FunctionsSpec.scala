@@ -365,4 +365,23 @@ class FunctionsSpec extends AnyFunSuite {
     }
     assert(sawGap, "the series must actually contain gaps at this SF")
   }
+
+  test("q57 winsorization: clip counts and sums are exactly consistent with the bands") {
+    val out = AnalyticsQueries.q57Winsorize(spark, TestSpark.Sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    val vals = Tables.lineitem(spark, TestSpark.Sf)
+      .select(col("l_returnflag"),
+        (round(col("l_extendedprice") * 100, 0).cast("long") * 100).as("v"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    assert(out.nonEmpty)
+    out.foreach { case (flag, n, nLo, nHi, sumRaw, sumWins, lo, hi) =>
+      val vs = vals(flag).map(_._2)
+      assert(lo < hi, s"$flag band degenerate")
+      assert(n == vs.length && sumRaw == vs.sum, s"$flag raw side")
+      assert(nLo == vs.count(_ < lo) && nHi == vs.count(_ > hi), s"$flag clip counts")
+      assert(sumWins == vs.map(v => math.max(lo, math.min(hi, v))).sum, s"$flag clipped sum")
+      // p05/p95 bands must actually clip roughly 5% each side (ties aside)
+      assert(nLo > 0 && nHi > 0 && nLo <= n / 10 && nHi <= n / 10, s"$flag clip volume")
+    }
+  }
 }

@@ -230,4 +230,19 @@ class TrainingDataSpec extends AnyFunSuite {
     }
     assert(got.length == texts.size)
   }
+
+  test("t17 inverted index: exact df, first-16 sorted postings, df >= 5 only") {
+    val got = TrainingDataQueries.t17InvertedIndex(spark, TestSpark.Sf)
+      .as[(String, Long, String)].collect()
+    val docs = Tables.documents(spark, TestSpark.Sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val full = docs.flatMap { case (id, t) =>
+      """[a-z0-9]+""".r.findAllIn(t.toLowerCase).toSet.map((w: String) => (w, id))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val expect = full.collect { case (term, ids) if ids.length >= 5 =>
+      (term, ids.length.toLong, ids.take(16).mkString(","))
+    }.toSet
+    assert(got.toSet == expect,
+      s"missing=${expect.diff(got.toSet).take(3)} extra=${got.toSet.diff(expect).take(3)}")
+  }
 }
