@@ -712,7 +712,85 @@ object TrainingDataQueries {
       |FROM idx i JOIN cap c USING (term)
       |GROUP BY i.term, i.df ORDER BY term""".stripMargin
 
+  /** #118 (t18): BPE merge learning — the first 5 merge rules of a
+    * byte-pair-encoding tokenizer, learned distributed (Sennrich et
+    * al., ACL'16 — the algorithm behind GPT/Llama tokenizers). Each
+    * iteration: count every adjacent symbol pair across the
+    * word-frequency table (overlapping counts, standard BPE), pick the
+    * most frequent pair (ties: lexicographically smallest — exact,
+    * deterministic), and merge its occurrences greedily left-to-right
+    * in every word.
+    *
+    * Symbols are anchored as `<sym>` so a literal `replace` of
+    * `<a><b>` → `<ab>` can never match across symbol boundaries, and
+    * left-to-right non-overlapping `replace` IS the BPE greedy merge —
+    * both engines' replace() agree, so the DuckDB oracle unrolls the
+    * same 5 iterations and hash-matches (d14's regime).
+    *
+    * Scale shape: the corpus collapses ONCE into the word-frequency
+    * table (vocab-sized, not corpus-sized); each iteration is a
+    * pair-explode + partial-agged count over the vocab, a 1-ROW argmax
+    * (TakeOrdered), and a broadcast-join + narrow replace — 5 linear
+    * vocab passes, no driver-side data loop (the argmax row rejoins as
+    * a broadcast, never a collect). */
+  def t18BpeMerges: Q = (spark, dir) => {
+    val nMerges = 5
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+    var syms = words.select(
+      regexp_replace(col("word"), "(.)", "<$1>").as("sym"), col("wc"))
+    val pairsOf =
+      """CASE WHEN size(t) < 2 THEN array()
+        |ELSE transform(sequence(0, size(t) - 2),
+        |               i -> concat('<', t[i], '><', t[i + 1], '>')) END""".stripMargin
+    var merges = Vector.empty[DataFrame]
+    for (i <- 1 to nMerges) {
+      val best = syms
+        .withColumn("t", split(expr("substring(sym, 2, length(sym) - 2)"), "><"))
+        .select(col("wc"), explode(expr(pairsOf)).as("pat"))
+        .groupBy("pat").agg(sum("wc").as("c"))
+        .orderBy(col("c").desc, col("pat").asc).limit(1)
+      merges :+= best.select(lit(i.toLong).as("merge_no"),
+        col("pat").as("merge_pat"), col("c").as("pair_count"))
+      syms = syms.crossJoin(broadcast(best))
+        .withColumn("sym", expr("replace(sym, pat, replace(pat, '><', ''))"))
+        .select("sym", "wc")
+    }
+    merges.reduce(_ unionAll _).orderBy("merge_no")
+  }
+
+  val t18Sql: String = {
+    def iter(i: Int): String = {
+      val prev = s"s${i - 1}"
+      s"""p$i AS (
+         |  SELECT pat, CAST(SUM(wc) AS BIGINT) AS c FROM (
+         |    SELECT wc, unnest(list_transform(range(1, len(t)),
+         |                      i -> '<' || t[i] || '><' || t[i+1] || '>')) AS pat
+         |    FROM (SELECT wc, string_split(sym[2:len(sym)-1], '><') AS t FROM $prev))
+         |  GROUP BY 1),
+         |b$i AS (SELECT pat, c FROM p$i ORDER BY c DESC, pat LIMIT 1),
+         |s$i AS (
+         |  SELECT replace(sym, (SELECT pat FROM b$i),
+         |                 replace((SELECT pat FROM b$i), '><', '')) AS sym, wc
+         |  FROM $prev)""".stripMargin
+    }
+    """WITH w AS (
+      |  SELECT word, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+      |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      |    FROM documents)
+      |  GROUP BY 1),
+      |s0 AS (SELECT regexp_replace(word, '(.)', '<\1>', 'g') AS sym, wc FROM w),
+      |""".stripMargin +
+      (1 to 5).map(iter).mkString(",\n") + "\n" +
+      (1 to 5).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS merge_no, pat AS merge_pat, c AS pair_count FROM b$i")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY merge_no")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "t18_bpe_merges" -> t18BpeMerges,
     "t17_inverted_index" -> t17InvertedIndex,
     "t16_readability" -> t16Readability,
     "t15_collocations" -> t15Collocations,
@@ -730,6 +808,7 @@ object TrainingDataQueries {
     "d11_corpus_pipeline" -> d11CorpusPipeline)
 
   val oracles: Seq[(String, String)] = Seq(
+    "t18_bpe_merges" -> t18Sql,
     "t17_inverted_index" -> t17Sql,
     "t16_readability" -> t16Sql,
     "t15_collocations" -> t15Sql,

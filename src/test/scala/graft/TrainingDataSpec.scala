@@ -245,4 +245,41 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got.toSet == expect,
       s"missing=${expect.diff(got.toSet).take(3)} extra=${got.toSet.diff(expect).take(3)}")
   }
+
+  test("t18 learns the same merges as a sequential reference BPE") {
+    val got = TrainingDataQueries.t18BpeMerges(spark, TestSpark.Sf)
+      .as[(Long, String, Long)].collect().toSeq
+    // independent sequential BPE over the same word-frequency table
+    val wc = Tables.documents(spark, TestSpark.Sf)
+      .select("text").as[String].collect()
+      .flatMap(t => """[a-z0-9]+""".r.findAllIn(t.toLowerCase))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    var vocab: Map[Vector[String], Long] =
+      wc.map { case (w, c) => w.map(_.toString).toVector -> c }
+    val expect = (1 to 5).map { i =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      vocab.foreach { case (syms, c) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) += c
+          case _ =>
+        }
+      }
+      val ((a, b), c) = counts.minBy { case ((x, y), n) => (-n, s"<$x><$y>") }
+      def merge(syms: Vector[String]): Vector[String] = {
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+            out += (a + b); j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        out.result()
+      }
+      vocab = vocab.groupBy { case (s, _) => merge(s) }.view
+        .mapValues(_.values.sum).toMap
+      (i.toLong, s"<$a><$b>", c)
+    }
+    assert(got == expect, s"got=$got want=$expect")
+  }
 }
