@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.dedup.{ConnectedComponents, MinHash, SetSimJoin, SimHash}
@@ -408,6 +409,58 @@ object LlmQueries {
        |FROM d CROSS JOIN st
        |WHERE ${Bm25Terms.indices.map(i => s"tf$i > 0").mkString(" OR ")}
        |ORDER BY score_milli DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  /** #119 (s09): hybrid retrieval — BM25 lexical candidates reranked
+    * by exact embedding cosine, the standard two-stage stack (cheap
+    * lexical recall, expensive dense precision, here stage-2-exact
+    * because the candidate set is tiny). Stage 1 is [[s08Bm25]]'s
+    * top-20; stage 2 joins their embeddings (`vec_id` = `doc_id`,
+    * the driver testdata's alignment) and reranks against the fixed
+    * query document's vector (doc 0, which also anchors s01's query
+    * set).
+    *
+    * Scale shape: the 20-row candidate frame BROADCASTS into a hash
+    * join against the embeddings table — the corpus-sized side never
+    * shuffles; the rerank sorts 20 rows. Output is rank + the integer
+    * BM25 score (float cosine ORDERS the rows — s01's convention —
+    * but never appears as a value). */
+  def s09HybridRerank: Q = (spark, dir) => {
+    val cands = s08Bm25(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+      .withColumn("nrm", norm(col("vec"))).filter(col("nrm") > 0)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("vec").as("qvec"), col("nrm").as("qnrm"))
+    emb.join(broadcast(cands), emb("vec_id") === cands("doc_id"))
+      .crossJoin(broadcast(qv))
+      .filter(col("doc_id") =!= 0)
+      .withColumn("sim",
+        cosinePrenormed(dot(col("qvec"), col("vec")), col("qnrm"), col("nrm")))
+      .orderBy(col("sim").desc, col("doc_id").asc)
+      .limit(10)
+      .select(
+        (row_number().over(Window.orderBy(col("sim").desc, col("doc_id").asc)))
+          .cast("long").as("rank"),
+        col("doc_id"), col("score_milli").as("bm25_milli"))
+      .orderBy("rank")
+  }
+
+  val s09Sql: String = {
+    val cands = s08Sql.replace("ORDER BY score_milli DESC, doc_id LIMIT 20",
+      "ORDER BY score_milli DESC, doc_id LIMIT 20)")
+    "WITH cands AS (" + cands + """,
+      |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |        WHERE len(list_filter(embedding, x -> x <> 0)) > 0),
+      |qv AS (SELECT v AS qvec FROM emb WHERE vec_id = 0),
+      |scored AS (
+      |  SELECT c.doc_id, c.score_milli,
+      |         row_number() OVER (ORDER BY list_cosine_similarity(qv.qvec, e.v) DESC,
+      |                            c.doc_id) AS rank
+      |  FROM cands c JOIN emb e ON e.vec_id = c.doc_id CROSS JOIN qv
+      |  WHERE c.doc_id <> 0)
+      |SELECT CAST(rank AS BIGINT) AS rank, doc_id, score_milli AS bm25_milli
+      |FROM scored WHERE rank <= 10 ORDER BY rank""".stripMargin
   }
 
   /** #28: language ID via marker-word scores. */
@@ -819,6 +872,7 @@ object LlmQueries {
     "d15_canonical_pick" -> d15CanonicalPick,
     "d16_triangles" -> d16Triangles,
     "s08_bm25" -> s08Bm25,
+    "s09_hybrid_rerank" -> s09HybridRerank,
     "d01_dedup_exact" -> d01DedupExact,
     "d02_minhash_lsh" -> d02MinHashLsh,
     "d03_simhash" -> d03SimHash,
@@ -851,6 +905,7 @@ object LlmQueries {
     "d15_canonical_pick" -> d15Sql,
     "d16_triangles" -> d16Sql,
     "s08_bm25" -> s08Sql,
+    "s09_hybrid_rerank" -> s09Sql,
     "s04_quantize_int8" -> s04Sql,
     "d01_dedup_exact" -> d01Sql,
     "d04_ngram_jaccard" -> d04Sql,

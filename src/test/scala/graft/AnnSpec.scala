@@ -241,4 +241,25 @@ class AnnSpec extends AnyFunSuite {
     }.sortBy { case (id, sc) => (-sc, id) }.take(20)
     assert(got == expect.toSeq, s"got=${got.take(3)} want=${expect.take(3)}")
   }
+
+  test("s09 reranks exactly the s08 candidates by true cosine to the query doc") {
+    val got = LlmQueries.s09HybridRerank(spark, TestSpark.Sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val cands = LlmQueries.s08Bm25(spark, TestSpark.Sf)
+      .as[(Long, Long)].collect().toMap
+    val vecs = Tables.embeddings(spark, TestSpark.Sf)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.lazyZip(b).map(_ * _).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val q = vecs(0L)
+    val expect = cands.keySet.filter(_ != 0L)
+      .filter(id => vecs(id).exists(_ != 0))
+      .toSeq.map(id => (id, cos(q, vecs(id))))
+      .sortBy { case (id, s) => (-s, id) }.take(10).zipWithIndex
+      .map { case ((id, _), i) => (i + 1L, id, cands(id)) }
+    assert(got == expect, s"got=${got.take(3)} want=${expect.take(3)}")
+  }
 }
