@@ -1259,6 +1259,62 @@ object AnalyticsQueries {
       |       CAST(MIN(hi_e4) AS BIGINT) AS hi_e4
       |FROM v GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 
+  /** #121 (q58): distribution-drift audit — per event type, compare
+    * the value distribution of the CURRENT window (days 16+) against
+    * the REFERENCE window (days 1–15) as total-variation distance over
+    * 10 fixed value buckets: TV_milli = Σ_b |1000·o_ref,b div N_ref −
+    * 1000·o_cur,b div N_cur| — the monitoring gate an ML pipeline
+    * runs before trusting a new data slice. TV on integer
+    * milli-proportions (not χ²: its (o·N)² cross-terms overflow even
+    * decimal(38) once windows pass ~10⁸ rows; TV's per-bucket division
+    * normalizes FIRST, so counts of any magnitude fit int64) — exact
+    * and deterministic on both engines. Shape: one scan → tiny
+    * (type, window, bucket) aggregate → per-type fold on one hash
+    * exchange; the drift frame is domain-bounded. */
+  def q58Drift: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (datediff(col("ts").cast(DateType), lit("2024-01-01").cast(DateType)) < 15)
+          .as("is_ref"),
+        least(lit(9L), expr(
+          "cast(round(value * 100, 0) as bigint) div 5000")).as("bucket"))
+    val counts = ev.groupBy("event_type", "bucket")
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("o_ref"),
+        sum(when(col("is_ref"), 0L).otherwise(1L)).as("o_cur"))
+    val w = Window.partitionBy("event_type")
+    counts
+      .withColumn("n_ref", sum("o_ref").over(w))
+      .withColumn("n_cur", sum("o_cur").over(w))
+      .groupBy("event_type")
+      .agg(min("n_ref").as("n_ref"), min("n_cur").as("n_cur"),
+        sum(abs(expr("1000 * o_ref div n_ref") - expr("1000 * o_cur div n_cur")))
+          .as("tv_milli"))
+      .orderBy("event_type")
+  }
+
+  val q58Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 15 AS is_ref,
+      |         LEAST(9, CAST(ROUND(value * 100, 0) AS BIGINT) // 5000) AS bucket
+      |  FROM events),
+      |c AS (
+      |  SELECT event_type, bucket,
+      |         CAST(COUNT(*) FILTER (is_ref) AS BIGINT) AS o_ref,
+      |         CAST(COUNT(*) FILTER (NOT is_ref) AS BIGINT) AS o_cur
+      |  FROM ev GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type, bucket, o_ref, o_cur,
+      |         SUM(o_ref) OVER (PARTITION BY event_type) AS n_ref,
+      |         SUM(o_cur) OVER (PARTITION BY event_type) AS n_cur
+      |  FROM c)
+      |SELECT event_type,
+      |       CAST(MIN(n_ref) AS BIGINT) AS n_ref,
+      |       CAST(MIN(n_cur) AS BIGINT) AS n_cur,
+      |       CAST(SUM(ABS(1000 * o_ref // n_ref - 1000 * o_cur // n_cur)) AS BIGINT)
+      |         AS tv_milli
+      |FROM t GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q50_window_stats" -> q50WindowStats,
     "q51_interval_sweep" -> q51IntervalSweep,
@@ -1268,6 +1324,7 @@ object AnalyticsQueries {
     "q55_quantile_bins" -> q55QuantileBins,
     "q56_gap_fill" -> q56GapFill,
     "q57_winsorize" -> q57Winsorize,
+    "q58_drift" -> q58Drift,
     "q18_describe_stats" -> q18DescribeStats,
     "q19_asof_join" -> q19AsofJoin,
     "q20_sessionize" -> q20Sessionize,
@@ -1302,6 +1359,7 @@ object AnalyticsQueries {
     "q55_quantile_bins" -> q55Sql,
     "q56_gap_fill" -> q56Sql,
     "q57_winsorize" -> q57Sql,
+    "q58_drift" -> q58Sql,
     "q37_range_join" -> q37Sql,
     "q38_supplier_stats" -> q38Sql,
     "q39_grouping_sets" -> q39Sql,

@@ -384,4 +384,26 @@ class FunctionsSpec extends AnyFunSuite {
       assert(nLo > 0 && nHi > 0 && nLo <= n / 10 && nHi <= n / 10, s"$flag clip volume")
     }
   }
+
+  test("q58 drift TV distance matches a local recomputation and is bounded by [0, 2000]") {
+    val got = AnalyticsQueries.q58Drift(spark, TestSpark.Sf)
+      .as[(String, Long, Long, Long)].collect()
+    val ev = Tables.events(spark, TestSpark.Sf)
+      .selectExpr("event_type",
+        "datediff(cast(ts as date), date'2024-01-01') < 15 as is_ref",
+        "least(9L, cast(round(value * 100, 0) as bigint) div 5000) as bucket")
+      .as[(String, Boolean, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (et, nRef, nCur, tv) =>
+      val rows = ev.filter(_._1 == et)
+      val (ref, cur) = rows.partition(_._2)
+      assert(nRef == ref.length && nCur == cur.length, s"$et window sizes")
+      val expect = (0L to 9L).map { b =>
+        math.abs(1000 * ref.count(_._3 == b) / math.max(1, nRef) -
+          1000 * cur.count(_._3 == b) / math.max(1, nCur))
+      }.sum
+      assert(tv == expect, s"$et tv $tv != $expect")
+      assert(tv >= 0 && tv <= 2000, s"$et tv out of range")
+    }
+  }
 }
