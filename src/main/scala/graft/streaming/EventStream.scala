@@ -296,6 +296,74 @@ object EventStream {
       }
   }
 
+  /** Streaming drift monitor — the streaming twin of q58's
+    * total-variation drift audit: per event type, the first `refDays`
+    * CLOSED days freeze into the reference histogram (10 fixed value
+    * buckets, q58's rule: min(9, cents div 5000)); every later closed
+    * day emits its TV distance vs that reference —
+    * TV_milli = Σ_b |1000·ref_b div N_ref − 1000·day_b div N_day| —
+    * the live "is today's data still shaped like the data we trust"
+    * gate. Same day-closing protocol as [[ewmaStream]] (days close IN
+    * ORDER behind a lateness horizon; stragglers for closed days are
+    * dropped). State per type: 10 reference longs + a bounded map of
+    * open-day histograms — O((latenessDays + 1) × 10) forever. TV on
+    * integer milli-proportions, so any count magnitude stays exact
+    * (q58's overflow argument). */
+  def driftStream(events: DataFrame, refDays: Int = 15,
+                  latenessDays: Int = 1): Dataset[DriftOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(refDays >= 1, s"refDays must be >= 1: $refDays")
+    events
+      .selectExpr("event_type",
+        "datediff(cast(ts as date), to_date('1970-01-01')) as day",
+        "least(9L, cast(round(value * 100, 0) as bigint) div 5000) as bucket")
+      .as[(String, Int, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[DriftState, DriftOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (et, rows, state) =>
+        var st = state.getOption.getOrElse(
+          DriftState(Int.MinValue, 0, Vector.fill(10)(0L), Map.empty))
+        var maxSeen = st.open.keysIterator.foldLeft(Int.MinValue)(math.max)
+        rows.foreach { case (_, d, b) =>
+          if (d > st.closedThrough) {
+            val h = st.open.getOrElse(d, Vector.fill(10)(0L))
+            st = st.copy(open = st.open.updated(d, h.updated(b.toInt, h(b.toInt) + 1)))
+            if (d > maxSeen) maxSeen = d
+          }
+        }
+        val out = Vector.newBuilder[DriftOut]
+        if (maxSeen > Int.MinValue) {
+          val horizon = maxSeen - latenessDays
+          st.open.keys.toSeq.sorted.foreach { d =>
+            if (d < horizon) {
+              val h = st.open(d)
+              if (st.refClosed < refDays) {
+                st = st.copy(closedThrough = d, open = st.open - d,
+                  refClosed = st.refClosed + 1,
+                  ref = st.ref.lazyZip(h).map(_ + _))
+              } else {
+                val nRef = st.ref.sum
+                val nDay = h.sum
+                val tv = (0 until 10).map(b =>
+                  math.abs(1000 * st.ref(b) / math.max(1L, nRef) -
+                    1000 * h(b) / math.max(1L, nDay))).sum
+                out += DriftOut(et,
+                  java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d.toLong)),
+                  nDay, tv)
+                st = st.copy(closedThrough = d, open = st.open - d)
+              }
+            }
+          }
+          if (horizon - 1 > st.closedThrough)
+            st = st.copy(closedThrough = horizon - 1)
+        }
+        state.update(st)
+        out.result().iterator
+      }
+  }
+
   /** Per-user running totals via arbitrary stateful processing
     * (`mapGroupsWithState`): state is one [[UserAgg]] per user —
     * bounded by the user population, not the stream length — and
@@ -327,6 +395,10 @@ case class SweepState(closedThrough: Int, cur: Long,
                       starts: Map[Int, Long], ends: Map[Int, Long])
 case class SweepOut(key: Long, day: java.sql.Date,
                     active_peak: Long, active_end: Long)
+case class DriftState(closedThrough: Int, refClosed: Int,
+                      ref: Vector[Long], open: Map[Int, Vector[Long]])
+case class DriftOut(event_type: String, day: java.sql.Date,
+                    n_day: Long, tv_milli: Long)
 case class AnomalyFlag(event_id: Long, event_type: String, cents: Long)
 
 /** Idempotent external sink via `foreachBatch`: each micro-batch is

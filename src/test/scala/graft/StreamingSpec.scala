@@ -477,4 +477,55 @@ class StreamingSpec extends AnyFunSuite {
         s"diff=${(streamPeaks.toSet -- batch.toSet).take(3)} / ${(batch.toSet -- streamPeaks.toSet).take(3)}")
     } finally query.stop()
   }
+
+  test("drift stream: per-day TV vs the frozen reference matches a local recomputation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val fed = Tables.events(spark, TestSpark.Sf)
+      .select($"ts", $"event_type", $"value")
+      .as[(Timestamp, String, Double)].collect().sortBy(_._1.getTime)
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val query = EventStream.driftStream(events, refDays = 10, latenessDays = 1)
+      .toDF().writeStream.format("memory").queryName("drift_stream")
+      .outputMode("append").start()
+    try {
+      fed.grouped(math.max(1, fed.length / 4 + 1)).foreach { chunk =>
+        input.addData(chunk.toSeq: _*)
+        query.processAllAvailable()
+      }
+      // flush: one far-future event per type closes every real day
+      val flush = Timestamp.valueOf("2030-01-01 00:00:00")
+      input.addData(fed.map(_._2).distinct.map(t => (flush, t, 1.0)).toSeq: _*)
+      query.processAllAvailable()
+
+      val streamed = spark.table("drift_stream")
+        .filter($"day" < "2029-01-01")
+        .select($"event_type", $"day".cast("string"), $"n_day", $"tv_milli")
+        .as[(String, String, Long, Long)].collect().toSet
+      // local recomputation of the same protocol
+      def bucket(v: Double): Int =
+        math.min(9L, math.round(v * 100) / 5000L).toInt
+      val expect = fed.groupBy(_._2).flatMap { case (et, rows) =>
+        val byDay = rows.groupBy(r => r._1.toLocalDateTime.toLocalDate)
+          .toSeq.sortBy(_._1.toEpochDay)
+        val (refD, curD) = byDay.splitAt(10)
+        val ref = Array.fill(10)(0L)
+        refD.foreach(_._2.foreach(r => ref(bucket(r._3)) += 1))
+        val nRef = ref.sum
+        curD.map { case (day, rs) =>
+          val h = Array.fill(10)(0L)
+          rs.foreach(r => h(bucket(r._3)) += 1)
+          val nDay = h.sum
+          val tv = (0 until 10).map(b =>
+            math.abs(1000 * ref(b) / nRef - 1000 * h(b) / nDay)).sum
+          (et, day.toString, nDay, tv)
+        }
+      }.toSet
+      assert(streamed == expect,
+        s"extra=${streamed.diff(expect).take(3)} missing=${expect.diff(streamed).take(3)}")
+      assert(streamed.nonEmpty)
+    } finally query.stop()
+  }
 }
