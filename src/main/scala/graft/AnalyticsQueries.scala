@@ -1315,6 +1315,57 @@ object AnalyticsQueries {
       |         AS tv_milli
       |FROM t GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** #123 (q59): session transition mining — the Markov view of user
+    * behavior: within each q20-rule session (30-min gap), count
+    * adjacent event-type transitions x→y across all sessions, keeping
+    * transitions with support ≥ 20. The "what do users do next"
+    * input to both UX funnels and next-event models. Events order by
+    * (ts, event_id) so ties are deterministic; all windows partition
+    * on the HIGH-cardinality user key; transition counts partial-agg
+    * before their exchange. */
+  def q59Transitions: Q = (spark, dir) => {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select("user_id", "ts", "event_id", "event_type")
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("is_break",
+        when(col("prev_ts").isNull ||
+             unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("is_break").over(cum))
+      .withColumn("next_type", lead("event_type", 1).over(
+        Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 20)
+      .orderBy("from_type", "to_type")
+  }
+
+  val q59Sql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS is_break
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM g),
+      |t AS (
+      |  SELECT event_type AS from_type,
+      |         lead(event_type) OVER (PARTITION BY user_id, session_id
+      |                                ORDER BY ts, event_id) AS to_type
+      |  FROM s)
+      |SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM t WHERE to_type IS NOT NULL
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 20
+      |ORDER BY from_type, to_type""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q50_window_stats" -> q50WindowStats,
     "q51_interval_sweep" -> q51IntervalSweep,
@@ -1325,6 +1376,7 @@ object AnalyticsQueries {
     "q56_gap_fill" -> q56GapFill,
     "q57_winsorize" -> q57Winsorize,
     "q58_drift" -> q58Drift,
+    "q59_transitions" -> q59Transitions,
     "q18_describe_stats" -> q18DescribeStats,
     "q19_asof_join" -> q19AsofJoin,
     "q20_sessionize" -> q20Sessionize,
@@ -1360,6 +1412,7 @@ object AnalyticsQueries {
     "q56_gap_fill" -> q56Sql,
     "q57_winsorize" -> q57Sql,
     "q58_drift" -> q58Sql,
+    "q59_transitions" -> q59Sql,
     "q37_range_join" -> q37Sql,
     "q38_supplier_stats" -> q38Sql,
     "q39_grouping_sets" -> q39Sql,

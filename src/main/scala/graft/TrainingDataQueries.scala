@@ -789,7 +789,65 @@ object TrainingDataQueries {
         .mkString("", "\nUNION ALL\n", "\nORDER BY merge_no")
   }
 
+  /** #124 (t19): corpus report card — the per-source health rollup a
+    * corpus build publishes with every ingest batch: document count,
+    * token volume, exact-duplicate incidence (d01's digest rule,
+    * counted corpus-wide so cross-source duplication shows up in both
+    * sources), dominant language (deterministic argmax: most docs,
+    * then lexicographically first), and mean tokens per doc (half-up
+    * ×1000 integer). One corpus scan; the digest self-join shuffles on
+    * the HIGH-cardinality md5 key; everything else partial-aggregates
+    * on `source`; the argmax is a min-of-struct (no rank window). */
+  def t19CorpusReport: Q = (spark, dir) => {
+    import graft.text.TextFunctions.matchCount
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("lang"),
+        matchCount(lower(col("text")), """[a-z0-9]+""").as("toks"),
+        md5(col("text")).as("dig"))
+    val dupes = docs.groupBy("dig").agg(count(lit(1)).as("dn"))
+    val flagged = docs.join(dupes, "dig")
+    val topLang = flagged.groupBy("source", "lang").agg(count(lit(1)).as("ln"))
+      .groupBy("source")
+      .agg(min(struct((lit(0L) - col("ln")).as("nl"), col("lang").as("l"))).as("p"))
+      .select(col("source"), col("p.l").as("top_lang"))
+    flagged.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("toks").as("n_tokens"),
+        sum(when(col("dn") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        expr("(2 * sum(toks) * 1000 + count(1)) div (2 * count(1))")
+          .as("avg_tokens_milli"))
+      .join(topLang, "source")
+      .orderBy("source")
+  }
+
+  val t19Sql: String =
+    """WITH d AS (
+      |  SELECT source, lang,
+      |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS toks,
+      |         md5(text) AS dig
+      |  FROM documents),
+      |dup AS (SELECT dig, COUNT(*) AS dn FROM d GROUP BY 1),
+      |f AS (SELECT d.*, dup.dn FROM d JOIN dup USING (dig)),
+      |tl AS (
+      |  SELECT source AS tsource, lang AS top_lang,
+      |         row_number() OVER (PARTITION BY source
+      |                            ORDER BY COUNT(*) DESC, lang) AS rn
+      |  FROM f GROUP BY source, lang),
+      |agg AS (
+      |  SELECT source,
+      |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST(SUM(toks) AS BIGINT) AS n_tokens,
+      |         CAST(COUNT(*) FILTER (dn > 1) AS BIGINT) AS n_dup_docs,
+      |         CAST((2 * SUM(toks) * 1000 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+      |           AS avg_tokens_milli
+      |  FROM f GROUP BY 1)
+      |SELECT agg.source, agg.n_docs, agg.n_tokens, agg.n_dup_docs,
+      |       agg.avg_tokens_milli, tl.top_lang
+      |FROM agg JOIN tl ON agg.source = tl.tsource AND tl.rn = 1
+      |ORDER BY agg.source""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "t19_corpus_report" -> t19CorpusReport,
     "t18_bpe_merges" -> t18BpeMerges,
     "t17_inverted_index" -> t17InvertedIndex,
     "t16_readability" -> t16Readability,
@@ -808,6 +866,7 @@ object TrainingDataQueries {
     "d11_corpus_pipeline" -> d11CorpusPipeline)
 
   val oracles: Seq[(String, String)] = Seq(
+    "t19_corpus_report" -> t19Sql,
     "t18_bpe_merges" -> t18Sql,
     "t17_inverted_index" -> t17Sql,
     "t16_readability" -> t16Sql,

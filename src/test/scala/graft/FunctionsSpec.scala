@@ -406,4 +406,25 @@ class FunctionsSpec extends AnyFunSuite {
       assert(tv >= 0 && tv <= 2000, s"$et tv out of range")
     }
   }
+
+  test("q59 transition counts match a local sessionize-and-pair recomputation") {
+    val got = AnalyticsQueries.q59Transitions(spark, TestSpark.Sf)
+      .as[(String, String, Long)].collect().toSet
+    val ev = Tables.events(spark, TestSpark.Sf)
+      .select("user_id", "ts", "event_id", "event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)].collect()
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    ev.groupBy(_._1).values.foreach { rows =>
+      val s = rows.sortBy(r => (r._2.getTime, r._3))
+      s.sliding(2).foreach {
+        case Array(a, b) if b._2.getTime - a._2.getTime <= 1800L * 1000 =>
+          counts((a._4, b._4)) += 1
+        case _ =>
+      }
+    }
+    val expect = counts.collect { case ((x, y), n) if n >= 20 => (x, y, n) }.toSet
+    assert(got == expect,
+      s"extra=${got.diff(expect).take(3)} missing=${expect.diff(got).take(3)}")
+  }
 }

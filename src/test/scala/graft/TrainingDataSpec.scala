@@ -282,4 +282,23 @@ class TrainingDataSpec extends AnyFunSuite {
     }
     assert(got == expect, s"got=$got want=$expect")
   }
+
+  test("t19 corpus report matches a local per-source recomputation") {
+    val got = TrainingDataQueries.t19CorpusReport(spark, TestSpark.Sf)
+      .as[(String, Long, Long, Long, Long, String)].collect().toSet
+    val docs = Tables.documents(spark, TestSpark.Sf)
+      .select("source", "lang", "text").as[(String, String, String)].collect()
+    val digCount = docs.groupBy(_._3).view.mapValues(_.length).toMap
+    val expect = docs.groupBy(_._1).map { case (src, rows) =>
+      val toks = rows.map(r => """[a-z0-9]+""".r.findAllIn(r._3.toLowerCase).length.toLong)
+      val n = rows.length.toLong
+      val nTok = toks.sum
+      val topLang = rows.groupBy(_._2).view.mapValues(_.length).toSeq
+        .sortBy { case (l, c) => (-c, l) }.head._1
+      (src, n, nTok, rows.count(r => digCount(r._3) > 1).toLong,
+        (2 * nTok * 1000 + n) / (2 * n), topLang)
+    }.toSet
+    assert(got == expect,
+      s"extra=${got.diff(expect).take(2)} missing=${expect.diff(got).take(2)}")
+  }
 }
