@@ -1320,9 +1320,14 @@ object AnalyticsQueries {
     * adjacent event-type transitions x→y across all sessions, keeping
     * transitions with support ≥ 20. The "what do users do next"
     * input to both UX funnels and next-event models. Events order by
-    * (ts, event_id) so ties are deterministic; all windows partition
-    * on the HIGH-cardinality user key; transition counts partial-agg
-    * before their exchange. */
+    * (ts, event_id) so ties are deterministic. All THREE windows
+    * (break flag, session id, lead) partition on the bare
+    * HIGH-cardinality user key with one shared sort — ONE exchange
+    * total (PlanSpec-pinned): the session boundary is enforced by
+    * comparing lead(session_id) instead of re-partitioning on
+    * (user, session), which would buy a second exchange for nothing
+    * — a gap row's lead pair is simply filtered out. Transition
+    * counts partial-agg before their exchange. */
   def q59Transitions: Q = (spark, dir) => {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1334,9 +1339,10 @@ object AnalyticsQueries {
              unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
           .otherwise(0L))
       .withColumn("session_id", sum("is_break").over(cum))
-      .withColumn("next_type", lead("event_type", 1).over(
-        Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")))
-      .filter(col("next_type").isNotNull)
+      .withColumn("next_type", lead("event_type", 1).over(byUser))
+      .withColumn("next_session", lead("session_id", 1).over(byUser))
+      .filter(col("next_type").isNotNull &&
+        col("next_session") === col("session_id"))
       .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= 20)

@@ -300,4 +300,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(1200))
   }
+
+  test("q59 runs all three session windows on one user-key exchange") {
+    val p = planOf("q59_transitions")
+    val n = p.linesIterator.count(l => l.contains("Exchange hashpartitioning")
+      && l.contains("user_id"))
+    assert(n == 1, s"expected 1 user exchange, got $n:\n${p.take(1500)}")
+  }
 }
