@@ -881,27 +881,22 @@ object LlmQueries {
     * because both engines can evaluate it declaratively (ascii +
     * substring inside a higher-order filter), keeping the oracle
     * exact; a production deployment swaps a wider rolling window into
-    * the same pipeline. Chunk digests then flow through the SAME
+    * the same pipeline. Chunking + fingerprinting is ONE pass over
+    * the UTF-8 bytes through the codegen'd
+    * [[graft.functions.CdcChunks]] expression (a lambda
+    * filter/transform/md5 composition is never codegen'd — the
+    * round-2 shingle lesson); the oracle keeps the identical boundary
+    * rule with md5-per-chunk at character level, equal on this ASCII
+    * corpus because digesting is a bijection on chunk CONTENT on
+    * either side. Chunk digests then flow through the SAME
     * capped pair expansion as q53 ([[graft.etl.CoOccur]], ≤64 docs
     * per digest — a boilerplate chunk cannot explode the join), and
     * pairs sharing ≥3 chunks surface. All stages linear in corpus
-    * size; the per-doc lambda work is O(n_chars). */
+    * size. */
   def d17CdcChunkDedup: Q = (spark, dir) => {
+    import graft.functions.CdcChunks.cdcChunks
     val chunks = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"),
-        length(col("text")).cast("long").as("n"))
-      .withColumn("cuts", expr(
-        """CASE WHEN n < 2 THEN array()
-          |ELSE filter(sequence(1L, n - 1),
-          |  i -> (ascii(substring(text, cast(i as int), 1)) * 31
-          |        + ascii(substring(text, cast(i + 1 as int), 1))) % 16 = 0)
-          |END""".stripMargin))
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(cuts) + 1), j -> md5(substring(text,
-          |  cast(CASE WHEN j = 1 THEN 1L ELSE element_at(cuts, j - 1) + 1 END as int),
-          |  cast((CASE WHEN j = size(cuts) + 1 THEN n ELSE element_at(cuts, j) END)
-          |       - (CASE WHEN j = 1 THEN 0L ELSE element_at(cuts, j - 1) END) as int))))"""
-          .stripMargin)).as("fp"))
+      .select(col("doc_id"), explode(cdcChunks(col("text"))).as("fp"))
     CoOccur.pairs(chunks, "fp", "doc_id")
       .select(col("a").as("doc_id1"), col("b").as("doc_id2"))
       .groupBy("doc_id1", "doc_id2").agg(count(lit(1)).as("n_shared"))
