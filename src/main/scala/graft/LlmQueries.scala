@@ -686,6 +686,41 @@ object LlmQueries {
       |       CASE WHEN frame_id < k THEN n // k ELSE n - (k - 1) * (n // k) END AS frame_len
       |FROM e ORDER BY doc_id, frame_id""".stripMargin
 
+  /** #125 (m03): perceptual near-dup for media payloads — the media
+    * analog of d03: fingerprint each payload with a signature that
+    * SURVIVES local edits, then find near-identical media by
+    * signature similarity. The features are the payload's
+    * content-defined chunk fingerprints ([[graft.functions.CdcChunks]]
+    * at modulus 4, ~4-byte chunks — an insertion perturbs only the
+    * chunks it touches, so the chunk SET stays ~97% identical; the
+    * role DCT coefficients play in a real image pHash), and the
+    * signature + retrieval are d02's MinHash machinery (64-perm
+    * signature, 16-band LSH buckets, signature-verified est. jaccard
+    * ≥ 0.7 — bucketed, never all-pairs). The decode step is stubbed
+    * per the m01/m02
+    * convention: the payload is the document's UTF-8 bytes (ASCII ⇒
+    * byte == char for the chunker); a production deployment feeds
+    * decoded pixel/PCM bytes through the identical pipeline.
+    * Rows-only in the gate (hash-family op); MultimodalSpec pins
+    * recall against the d04 ground truth and the edit-survival
+    * property. */
+  def m03PerceptualNearDup: Q = (spark, dir) => {
+    import graft.functions.CdcChunks.cdcChunks
+    val sigs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        MinHash.signature(array_distinct(cdcChunks(col("text"), modulus = 4)),
+          MinHashK, MinHashSeed).as("sig"))
+      .repartition(col("doc_id"))
+    val cand = MinHash.candidatePairs(sigs, "doc_id", "sig", MinHashBands, MinHashK)
+    val s1 = sigs.toDF("id1", "sig1")
+    val s2 = sigs.toDF("id2", "sig2")
+    cand.join(s1, "id1").join(s2, "id2")
+      .withColumn("matches", MinHash.sigMatches(col("sig1"), col("sig2")))
+      .filter(col("matches") * 10 >= MinHashK * 7)
+      .select("id1", "id2", "matches")
+      .orderBy("id1", "id2")
+  }
+
   /** #105 (d14): PageRank over the near-dup similarity graph —
     * centrality-based canonical ranking: within a dup cluster the
     * highest-ranked doc is the one most corroborated by its
@@ -964,7 +999,8 @@ object LlmQueries {
     "t06_repetition" -> t06Repetition,
     "t07_redact" -> t07Redact,
     "m01_multimodal_meta" -> m01MultimodalMeta,
-    "m02_frame_sample" -> m02FrameSample)
+    "m02_frame_sample" -> m02FrameSample,
+    "m03_perceptual_neardup" -> m03PerceptualNearDup)
 
   /** d02/d03/d07/s02 intentionally absent (rows-only check; each
     * carries a quantified recall spec instead). */

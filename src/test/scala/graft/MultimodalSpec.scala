@@ -69,4 +69,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(resized.length == 48 && resized.toSeq == big.take(48).toSeq)
     assert(Binary.resizeStub(big, 10, 10).toSeq == big.toSeq) // budget 300 >= 100
   }
+
+  test("m03 perceptual near-dup finds the strongly-similar payloads (measured recall)") {
+    import org.apache.spark.sql.functions._
+    val got = LlmQueries.m03PerceptualNearDup(spark, TestSpark.Sf)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // strong ground truth: exact jaccard >= 0.9 pairs from the oracled d04
+    val strong = LlmQueries.d04NgramJaccard(spark, TestSpark.Sf)
+      .filter(col("inter") * 10 >= col("uni") * 9)
+      .select("doc_id1", "doc_id2").as[(Long, Long)].collect().toSet
+    assert(strong.nonEmpty)
+    val hit = strong.count(got)
+    println(s"[m03] recall ${hit}/${strong.size}")
+    assert(hit * 10 >= strong.size * 9, s"recall ${hit}/${strong.size} below 0.9")
+  }
+
+  test("m03 signature survives a local edit (the perceptual property)") {
+    import graft.functions.CdcChunks.cdcChunks
+    import org.apache.spark.sql.functions._
+    import graft.dedup.MinHash
+    val texts = Tables.documents(spark, TestSpark.Sf)
+      .orderBy("doc_id").limit(20).select("text").as[String].collect()
+    val edited = texts.map(t =>
+      t.substring(0, t.length / 2) + " spliced " + t.substring(t.length / 2))
+    val all = (texts ++ edited).toSeq.toDF("text")
+      .select(MinHash.signature(array_distinct(cdcChunks(col("text"), modulus = 4)),
+        64, 0x5eedL).as("sig"))
+      .as[Seq[Long]].collect()
+    val (orig, ed) = all.splitAt(texts.length)
+    val matches = orig.zip(ed).map { case (a, b) =>
+      a.zip(b).count { case (x, y) => x == y } }
+    println(s"[m03] edit sig matches/64: min ${matches.min}, avg ${matches.sum / matches.length}")
+    // a ~1.6% splice leaves the chunk set ~97% identical, so the
+    // estimated-jaccard signature agreement stays far above the 0.7
+    // retrieval threshold (random pairs agree on ~0 of 64)
+    assert(matches.min * 10 >= 64 * 8, s"min matches ${matches.min}")
+  }
 }
