@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame}
 
 import graft.dedup.{ConnectedComponents, SetSimJoin}
-import graft.etl.{Cleaning, Dedup, Impute, Skew, TextNorm}
-import graft.functions.BloomFilter
+import graft.etl.{Cleaning, CoOccur, Dedup, Impute, Skew, TextNorm}
+import graft.functions.{BloomFilter, CdcChunks, HistogramRank}
 import graft.sim.{NearDup, SemDeDup}
 import graft.sources.Writers
 
@@ -93,5 +93,25 @@ object syntax {
       val bf = BloomFilter.buildLong(dimKeys, dimKeyCol, expectedKeys, fpp)
       df.filter(BloomFilter.mightContain(df(keyCol), bf))
     }
+
+    /** Bounded co-occurrence pairs: unordered item pairs (a < b) per
+      * basket, each basket capped at `maxItems` distinct items before
+      * the self-join (corpus-linear on any distribution). */
+    def coOccurrencePairs(basketCol: String, itemCol: String,
+                          maxItems: Int = 64): DataFrame =
+      CoOccur.pairs(df, basketCol, itemCol, maxItems)
+
+    /** Tie-free per-group rank `r` and group size `n` derived from a
+      * count-by-value histogram — the scale-safe replacement for
+      * rank-family windows over low-cardinality partition keys. */
+    def histogramRank(group: Seq[String], value: String,
+                      ties: Seq[String]): DataFrame =
+      HistogramRank.withRank(df, group, value, ties)
+
+    /** Content-defined chunk fingerprints of a string column (one
+      * codegen'd byte pass; edit-robust chunk identities). */
+    def cdcChunkFingerprints(textCol: String, outCol: String,
+                             modulus: Int = 16): DataFrame =
+      df.withColumn(outCol, CdcChunks.cdcChunks(df(textCol), modulus))
   }
 }

@@ -142,4 +142,22 @@ class EtlSpec extends AnyFunSuite {
         blockCols = Seq("label"))
     assert(pairs.columns.toSeq.take(2) == Seq("id1", "id2"))
   }
+
+  test("fluent façade exposes the round-6 kernels (coOccurrence/histogramRank/cdcChunks)") {
+    import graft.syntax._
+    val baskets = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "a"), (2L, "b"))
+      .toDF("ok", "item")
+    val co = baskets.coOccurrencePairs("ok", "item")
+      .select("a", "b").as[(String, String)].collect()
+    assert(co.count(_ == ("a", "b")) == 2 && co.length == 4)
+    val ranked = Seq(("g", 1L, 10L), ("g", 2L, 20L), ("g", 3L, 30L))
+      .toDF("g", "v", "id")
+      .histogramRank(Seq("g"), "v", Seq("id"))
+      .select("id", "r", "n").as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(ranked.map(t => (t._2, t._3)).toSeq == Seq((1L, 3L), (2L, 3L), (3L, 3L)))
+    val fps = Seq((1L, "hello world of chunks")).toDF("id", "text")
+      .cdcChunkFingerprints("text", "fp")
+      .select("fp").as[Seq[Long]].head()
+    assert(fps.nonEmpty)
+  }
 }
