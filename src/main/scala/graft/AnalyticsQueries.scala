@@ -1372,6 +1372,281 @@ object AnalyticsQueries {
       |GROUP BY 1, 2 HAVING COUNT(*) >= 20
       |ORDER BY from_type, to_type""".stripMargin
 
+  /** #126 (q60): data-quality expectation suite — the declarative
+    * validation gate an ingest pipeline runs before publishing a slice
+    * (the Deequ idea: Schelter et al., VLDB'18 "Automating Large-Scale
+    * Data Quality Verification"). Nine rules across three tables —
+    * key uniqueness, not-null, value range, referential integrity,
+    * cross-table consistency — each reported as
+    * (rule, n_checked, n_violations). Shape: ONE aggregate pass per
+    * table folds every row-level rule into conditional sums
+    * (map-side combinable; adding rules adds columns, not scans);
+    * uniqueness rides the same pass as a partial-distinct count; each
+    * referential rule is one left join carrying BOTH its fk check and
+    * any cross-table row rule (lineitem's fk + ship-after-order share
+    * one join). The report itself is a 9-row stack of 1-row
+    * aggregates — driver-sized, not data-sized. */
+  def q60DqChecks: Q = (spark, dir) => {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val ordersAgg = o.agg(
+      count(lit(1)).as("n"),
+      count_distinct(col("o_orderkey")).as("n_key"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v_null"),
+      sum(when(col("o_totalprice").isNull || col("o_totalprice") <= 0.0, 1L)
+        .otherwise(0L)).as("v_price"))
+      .select(expr(
+        """stack(3,
+          |  'orders.orderkey_unique',      n, n - n_key,
+          |  'orders.custkey_not_null',     n, v_null,
+          |  'orders.totalprice_positive',  n, v_price)
+          |  as (rule, n_checked, n_violations)""".stripMargin))
+    val custAgg = c.agg(
+      count(lit(1)).as("n"),
+      count_distinct(col("c_custkey")).as("n_key"),
+      sum(when(col("c_acctbal").isNull ||
+        col("c_acctbal") < -1000.0 || col("c_acctbal") > 10000.0, 1L)
+        .otherwise(0L)).as("v_bal"))
+      .select(expr(
+        """stack(2,
+          |  'customer.custkey_unique', n, n - n_key,
+          |  'customer.acctbal_range',  n, v_bal)
+          |  as (rule, n_checked, n_violations)""".stripMargin))
+    val liAgg = l.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("l_quantity").isNull ||
+        col("l_quantity") < 1.0 || col("l_quantity") > 50.0, 1L)
+        .otherwise(0L)).as("v_qty"))
+      .select(expr(
+        """stack(1, 'lineitem.quantity_range', n, v_qty)
+          |  as (rule, n_checked, n_violations)""".stripMargin))
+    val fkCust = o.select("o_custkey")
+      .join(c.select("c_custkey"),
+        col("o_custkey") === col("c_custkey"), "left")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("v"))
+      .select(expr(
+        """stack(1, 'orders.fk_customer', n, v)
+          |  as (rule, n_checked, n_violations)""".stripMargin))
+    val fkShip = l.select("l_orderkey", "l_shipdate")
+      .join(o.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("v_fk"),
+        sum(when(col("o_orderkey").isNotNull &&
+          col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L)).as("v_ship"))
+      .select(expr(
+        """stack(2,
+          |  'lineitem.fk_orders',        n,        v_fk,
+          |  'lineitem.ship_after_order', n - v_fk, v_ship)
+          |  as (rule, n_checked, n_violations)""".stripMargin))
+    ordersAgg.unionAll(custAgg).unionAll(liAgg).unionAll(fkCust)
+      .unionAll(fkShip)
+      .orderBy("rule")
+  }
+
+  val q60Sql: String =
+    """WITH oa AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS nk,
+      |         CAST(COUNT(*) FILTER (o_custkey IS NULL) AS BIGINT) AS vnull,
+      |         CAST(COUNT(*) FILTER (o_totalprice IS NULL OR o_totalprice <= 0)
+      |              AS BIGINT) AS vprice
+      |  FROM orders),
+      |ca AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS nk,
+      |         CAST(COUNT(*) FILTER (c_acctbal IS NULL OR c_acctbal < -1000
+      |              OR c_acctbal > 10000) AS BIGINT) AS vbal
+      |  FROM customer),
+      |la AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(COUNT(*) FILTER (l_quantity IS NULL OR l_quantity < 1
+      |              OR l_quantity > 50) AS BIGINT) AS vqty
+      |  FROM lineitem),
+      |f1 AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(COUNT(*) FILTER (c.c_custkey IS NULL) AS BIGINT) AS v
+      |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+      |f2 AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(COUNT(*) FILTER (o.o_orderkey IS NULL) AS BIGINT) AS vfk,
+      |         CAST(COUNT(*) FILTER (o.o_orderkey IS NOT NULL
+      |              AND l.l_shipdate < o.o_orderdate) AS BIGINT) AS vship
+      |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      |SELECT * FROM (
+      |  SELECT 'orders.orderkey_unique' AS rule, n AS n_checked,
+      |         n - nk AS n_violations FROM oa
+      |  UNION ALL SELECT 'orders.custkey_not_null', n, vnull FROM oa
+      |  UNION ALL SELECT 'orders.totalprice_positive', n, vprice FROM oa
+      |  UNION ALL SELECT 'customer.custkey_unique', n, n - nk FROM ca
+      |  UNION ALL SELECT 'customer.acctbal_range', n, vbal FROM ca
+      |  UNION ALL SELECT 'lineitem.quantity_range', n, vqty FROM la
+      |  UNION ALL SELECT 'orders.fk_customer', n, v FROM f1
+      |  UNION ALL SELECT 'lineitem.fk_orders', n, vfk FROM f2
+      |  UNION ALL SELECT 'lineitem.ship_after_order', n - vfk, vship FROM f2
+      |) ORDER BY rule""".stripMargin
+
+  /** #127 (q61): per-group trend estimation — ordinary-least-squares
+    * slope + intercept of monthly revenue per market segment, the
+    * "is this segment growing" primitive behind forecasting and
+    * anomaly baselines. Exactness: y is the exact monthly cents sum
+    * (Exact.eSum), x the month index; the OLS closed form
+    * (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) is evaluated entirely in
+    * decimal(38,0) integers (DuckDB side: HUGEINT — bigint products
+    * overflow at 100-TB monthly totals), rounded half-away-from-zero
+    * at ×1000 via sign·(2000·|num| + den) div (2·den) — `div` on
+    * nonnegative operands truncates identically on both engines
+    * (ORACLE.md Rule 4; negative operands would NOT: Spark truncates
+    * toward zero, DuckDB floors). Shape: orders⋈customer shuffles
+    * once on custkey, collapses immediately to the domain-bounded
+    * (segment, month) frame via a partial-agged sum; the regression
+    * itself runs on ≤ |segments|·|months| rows — driver-sized. */
+  def q61TrendSlope: Q = (spark, dir) => {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val d38 = DecimalType(38, 0)
+    val monthly = o.join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("c_mktsegment"),
+        ((year(col("o_orderdate")) - 1992) * 12 + month(col("o_orderdate")) - 1)
+          .cast(LongType).as("x"),
+        Exact.e(col("o_totalprice"), 2).as("cents"))
+      .groupBy("c_mktsegment", "x")
+      .agg(sum("cents").as("y"))
+    monthly
+      .select(col("c_mktsegment"), col("x").cast(d38).as("x"),
+        col("y").cast(d38).as("y"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_months"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("nm",
+        col("n_months").cast(d38) * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den",
+        col("n_months").cast(d38) * col("sxx") - col("sx") * col("sx"))
+      .withColumn("ni", col("sy") * col("sxx") - col("sx") * col("sxy"))
+      .select(col("c_mktsegment"), col("n_months"),
+        when(col("nm") >= 0,
+          expr("(2000 * nm + den) div (2 * den)"))
+          .otherwise(-expr("(2000 * -nm + den) div (2 * den)"))
+          .as("slope_e3"),
+        when(col("ni") >= 0,
+          expr("(2000 * ni + den) div (2 * den)"))
+          .otherwise(-expr("(2000 * -ni + den) div (2 * den)"))
+          .as("intercept_e3"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q61Sql: String =
+    """WITH m AS (
+      |  SELECT c_mktsegment,
+      |         CAST((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1
+      |              AS HUGEINT) AS x,
+      |         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+      |              AS HUGEINT) AS y
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |s AS (
+      |  SELECT c_mktsegment, CAST(COUNT(*) AS HUGEINT) AS n,
+      |         SUM(x) AS sx, SUM(y) AS sy,
+      |         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      |  FROM m GROUP BY 1),
+      |f AS (
+      |  SELECT c_mktsegment, n,
+      |         n * sxy - sx * sy AS nm,
+      |         n * sxx - sx * sx AS den,
+      |         sy * sxx - sx * sxy AS ni
+      |  FROM s)
+      |SELECT c_mktsegment, CAST(n AS BIGINT) AS n_months,
+      |       CAST(CASE WHEN nm >= 0 THEN (2000 * nm + den) // (2 * den)
+      |            ELSE -((2000 * (-nm) + den) // (2 * den)) END AS BIGINT)
+      |         AS slope_e3,
+      |       CAST(CASE WHEN ni >= 0 THEN (2000 * ni + den) // (2 * den)
+      |            ELSE -((2000 * (-ni) + den) // (2 * den)) END AS BIGINT)
+      |         AS intercept_e3
+      |FROM f ORDER BY c_mktsegment""".stripMargin
+
+  /** #128 (q62): join-key skew audit — the pre-flight report that
+    * sizes q35's salting factor and decides broadcast-vs-shuffle
+    * before a 100-TB join is launched: per candidate key, row count,
+    * distinct keys, the heaviest key's absolute count and ppm share,
+    * and how many keys (and rows) sit above 10× the mean key
+    * frequency. Shape: per key ONE map-side-combinable groupBy to the
+    * per-key count frame; the 1-row total then BROADCASTS back over
+    * that (already aggregated) frame for the hot-key test — the raw
+    * table is scanned once per audited key and nothing data-sized
+    * ever sits in one task. The hot test multiplies in decimal(38):
+    * cnt·n_keys overflows int64 once both pass ~10^10 (HUGEINT on
+    * the DuckDB side). */
+  def q62SkewAudit: Q = (spark, dir) => {
+    val d38 = DecimalType(38, 0)
+    def audit(df: DataFrame, keyCol: String, label: String): DataFrame = {
+      val counts = df.groupBy(col(keyCol).as("k"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = counts.agg(sum("cnt").as("n_rows"),
+        count(lit(1)).as("n_keys"), max("cnt").as("max_cnt"))
+      val hot = col("cnt").cast(d38) * col("n_keys").cast(d38) >
+        lit(10).cast(d38) * col("n_rows").cast(d38)
+      counts.crossJoin(broadcast(tot))
+        .agg(min("n_rows").as("n_rows"), min("n_keys").as("n_keys"),
+          min("max_cnt").as("max_cnt"),
+          sum(when(hot, 1L).otherwise(0L)).as("hot_keys"),
+          sum(when(hot, col("cnt")).otherwise(0L)).as("hot_rows"))
+        .select(lit(label).as("key_name"), col("n_rows"), col("n_keys"),
+          col("max_cnt"),
+          expr("1000000 * max_cnt div n_rows").as("top1_ppm"),
+          col("hot_keys"), col("hot_rows"))
+    }
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    audit(o, "o_custkey", "orders.o_custkey")
+      .unionAll(audit(l, "l_partkey", "lineitem.l_partkey"))
+      .unionAll(audit(l, "l_suppkey", "lineitem.l_suppkey"))
+      .orderBy("key_name")
+  }
+
+  val q62Sql: String =
+    """WITH
+      |ca AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+      |       FROM orders GROUP BY 1),
+      |pa AS (SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+      |       FROM lineitem GROUP BY 1),
+      |sa AS (SELECT l_suppkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+      |       FROM lineitem GROUP BY 1),
+      |r AS (
+      |  SELECT 'orders.o_custkey' AS key_name,
+      |         CAST(SUM(cnt) AS BIGINT) AS n_rows,
+      |         CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |         CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+      |         CAST(COUNT(*) FILTER (CAST(cnt AS HUGEINT) * (SELECT COUNT(*) FROM ca)
+      |              > 10 * (SELECT CAST(SUM(cnt) AS HUGEINT) FROM ca)) AS BIGINT) AS hot_keys,
+      |         CAST(COALESCE(SUM(cnt) FILTER (CAST(cnt AS HUGEINT) * (SELECT COUNT(*) FROM ca)
+      |              > 10 * (SELECT CAST(SUM(cnt) AS HUGEINT) FROM ca)), 0) AS BIGINT) AS hot_rows
+      |  FROM ca
+      |  UNION ALL
+      |  SELECT 'lineitem.l_partkey',
+      |         CAST(SUM(cnt) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+      |         CAST(MAX(cnt) AS BIGINT),
+      |         CAST(COUNT(*) FILTER (CAST(cnt AS HUGEINT) * (SELECT COUNT(*) FROM pa)
+      |              > 10 * (SELECT CAST(SUM(cnt) AS HUGEINT) FROM pa)) AS BIGINT),
+      |         CAST(COALESCE(SUM(cnt) FILTER (CAST(cnt AS HUGEINT) * (SELECT COUNT(*) FROM pa)
+      |              > 10 * (SELECT CAST(SUM(cnt) AS HUGEINT) FROM pa)), 0) AS BIGINT)
+      |  FROM pa
+      |  UNION ALL
+      |  SELECT 'lineitem.l_suppkey',
+      |         CAST(SUM(cnt) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+      |         CAST(MAX(cnt) AS BIGINT),
+      |         CAST(COUNT(*) FILTER (CAST(cnt AS HUGEINT) * (SELECT COUNT(*) FROM sa)
+      |              > 10 * (SELECT CAST(SUM(cnt) AS HUGEINT) FROM sa)) AS BIGINT),
+      |         CAST(COALESCE(SUM(cnt) FILTER (CAST(cnt AS HUGEINT) * (SELECT COUNT(*) FROM sa)
+      |              > 10 * (SELECT CAST(SUM(cnt) AS HUGEINT) FROM sa)), 0) AS BIGINT)
+      |  FROM sa)
+      |SELECT key_name, n_rows, n_keys, max_cnt,
+      |       1000000 * max_cnt // n_rows AS top1_ppm, hot_keys, hot_rows
+      |FROM r ORDER BY key_name""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q50_window_stats" -> q50WindowStats,
     "q51_interval_sweep" -> q51IntervalSweep,
@@ -1383,6 +1658,9 @@ object AnalyticsQueries {
     "q57_winsorize" -> q57Winsorize,
     "q58_drift" -> q58Drift,
     "q59_transitions" -> q59Transitions,
+    "q60_dq_checks" -> q60DqChecks,
+    "q61_trend_slope" -> q61TrendSlope,
+    "q62_skew_audit" -> q62SkewAudit,
     "q18_describe_stats" -> q18DescribeStats,
     "q19_asof_join" -> q19AsofJoin,
     "q20_sessionize" -> q20Sessionize,
@@ -1419,6 +1697,9 @@ object AnalyticsQueries {
     "q57_winsorize" -> q57Sql,
     "q58_drift" -> q58Sql,
     "q59_transitions" -> q59Sql,
+    "q60_dq_checks" -> q60Sql,
+    "q61_trend_slope" -> q61Sql,
+    "q62_skew_audit" -> q62Sql,
     "q37_range_join" -> q37Sql,
     "q38_supplier_stats" -> q38Sql,
     "q39_grouping_sets" -> q39Sql,

@@ -427,4 +427,63 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == expect,
       s"extra=${got.diff(expect).take(3)} missing=${expect.diff(got).take(3)}")
   }
+
+  test("q60 dq report carries all nine rules and matches direct recomputation") {
+    val got = AnalyticsQueries.q60DqChecks(spark, TestSpark.Sf)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.size == 9)
+    val o = Tables.orders(spark, TestSpark.Sf)
+    val c = Tables.customer(spark, TestSpark.Sf)
+    val nOrders = o.count()
+    assert(got("orders.orderkey_unique") ==
+      (nOrders, nOrders - o.select("o_orderkey").distinct().count()))
+    assert(got("orders.custkey_not_null") ==
+      (nOrders, o.filter(col("o_custkey").isNull).count()))
+    val fkViol = o.join(c, o("o_custkey") === c("c_custkey"), "left_anti").count()
+    assert(got("orders.fk_customer") == (nOrders, fkViol))
+    // every rule row checks at least one row and violations never exceed it
+    got.values.foreach { case (n, v) => assert(n > 0 && v >= 0 && v <= n) }
+  }
+
+  test("q61 OLS slope/intercept match an exact BigInt recomputation per segment") {
+    val got = AnalyticsQueries.q61TrendSlope(spark, TestSpark.Sf)
+      .as[(String, Long, Long, Long)].collect()
+    val monthly = Tables.orders(spark, TestSpark.Sf)
+      .join(Tables.customer(spark, TestSpark.Sf), col("o_custkey") === col("c_custkey"))
+      .selectExpr("c_mktsegment",
+        "cast((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 as bigint) as x",
+        "cast(floor(o_totalprice * 100 + 0.5) as bigint) as cents")
+      .groupBy("c_mktsegment", "x").agg(sum("cents").as("y"))
+      .as[(String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (seg, nM, slope, icept) =>
+      val rows = monthly.filter(_._1 == seg).map(r => (BigInt(r._2), BigInt(r._3)))
+      assert(nM == rows.length)
+      val n = BigInt(rows.length)
+      val sx = rows.map(_._1).sum; val sy = rows.map(_._2).sum
+      val sxy = rows.map(r => r._1 * r._2).sum
+      val sxx = rows.map(r => r._1 * r._1).sum
+      val den = n * sxx - sx * sx
+      def halfAway(num: BigInt): BigInt =
+        if (num >= 0) (2000 * num + den) / (2 * den)
+        else -((2000 * -num + den) / (2 * den))
+      assert(BigInt(slope) == halfAway(n * sxy - sx * sy), seg)
+      assert(BigInt(icept) == halfAway(sy * sxx - sx * sxy), seg)
+    }
+  }
+
+  test("q62 skew audit agrees with per-key count recomputation") {
+    val got = AnalyticsQueries.q62SkewAudit(spark, TestSpark.Sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(
+      "orders.o_custkey", "lineitem.l_partkey", "lineitem.l_suppkey"))
+    val counts = Tables.orders(spark, TestSpark.Sf)
+      .groupBy("o_custkey").count().as[(Long, Long)].collect().map(_._2)
+    val (_, nRows, nKeys, maxCnt, top1, hotKeys, hotRows) = got("orders.o_custkey")
+    assert(nRows == counts.sum && nKeys == counts.length && maxCnt == counts.max)
+    assert(top1 == 1000000L * counts.max / counts.sum)
+    val hot = counts.filter(c => BigInt(c) * counts.length > BigInt(10) * counts.sum)
+    assert(hotKeys == hot.length && hotRows == hot.sum)
+  }
 }
