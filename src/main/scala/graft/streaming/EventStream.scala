@@ -364,6 +364,63 @@ object EventStream {
       }
   }
 
+  /** Streaming session transitions — the streaming twin of q59's
+    * Markov next-event mining: per user, adjacent event-type pairs
+    * within a 30-minute-gap session, emitted as the events become
+    * FINAL. The same hand-rolled lateness horizon as [[ewmaStream]],
+    * but at event (microsecond) granularity: an event closes once a
+    * same-user event arrives `latenessMinutes` past it; closed events
+    * replay in the batch plan's exact (ts, event_id) order, each
+    * pairing with the previously closed event when the gap is within
+    * the session rule — so the emitted pair multiset over any closed
+    * prefix equals batch q59's pre-support counts (spec-pinned).
+    * Events at or before the last closed timestamp are dropped (the
+    * late-data contract). State per user: the closed frontier, one
+    * (ts, type) carry, and the open-event buffer — O(events inside
+    * the lateness window), never stream length. */
+  def transitionsStream(events: DataFrame,
+                        latenessMinutes: Int = 60): Dataset[TransitionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(latenessMinutes >= 0, s"latenessMinutes must be >= 0: $latenessMinutes")
+    val lateUs = latenessMinutes.toLong * 60L * 1000000L
+    val gapUs = 1800L * 1000000L // q20/q59's 30-minute session rule
+    events
+      .selectExpr("user_id", "unix_micros(ts) as ts_us", "event_id", "event_type")
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TransState, TransitionOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (uid, rows, state) =>
+        var st = state.getOption.getOrElse(
+          TransState(Long.MinValue, Long.MinValue, "", Nil))
+        var pending = st.pending.toVector
+        var maxSeen = pending.iterator.map(_._1)
+          .foldLeft(Long.MinValue)(math.max)
+        rows.foreach { case (_, ts, id, et) =>
+          if (ts > st.closedThrough) { // not late
+            pending :+= ((ts, id, et))
+            if (ts > maxSeen) maxSeen = ts
+          }
+        }
+        val out = Vector.newBuilder[TransitionOut]
+        var (lastTs, lastType) = (st.lastTs, st.lastType)
+        var closedThrough = st.closedThrough
+        if (maxSeen > Long.MinValue) {
+          val horizon = maxSeen - lateUs // events < horizon are final
+          val (close, keep) = pending.partition(_._1 < horizon)
+          close.sortBy(e => (e._1, e._2)).foreach { case (ts, _, et) =>
+            if (lastTs > Long.MinValue && ts - lastTs <= gapUs)
+              out += TransitionOut(uid, lastType, et)
+            lastTs = ts; lastType = et; closedThrough = ts
+          }
+          pending = keep
+        }
+        state.update(TransState(closedThrough, lastTs, lastType, pending))
+        out.result().iterator
+      }
+  }
+
   /** Per-user running totals via arbitrary stateful processing
     * (`mapGroupsWithState`): state is one [[UserAgg]] per user —
     * bounded by the user population, not the stream length — and
@@ -400,6 +457,9 @@ case class DriftState(closedThrough: Int, refClosed: Int,
 case class DriftOut(event_type: String, day: java.sql.Date,
                     n_day: Long, tv_milli: Long)
 case class AnomalyFlag(event_id: Long, event_type: String, cents: Long)
+case class TransState(closedThrough: Long, lastTs: Long, lastType: String,
+                      pending: Seq[(Long, Long, String)])
+case class TransitionOut(user_id: Long, from_type: String, to_type: String)
 
 /** Idempotent external sink via `foreachBatch`: each micro-batch is
   * stamped with its batch id and replaces any previous rows of that

@@ -528,4 +528,50 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.nonEmpty)
     } finally query.stop()
   }
+
+  test("transitions stream: closed-prefix pairs match the batch session rule") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def micros(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    // real events in global ts order so each user's events arrive in order
+    val ev = Tables.events(spark, TestSpark.Sf)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .as[(Long, Timestamp, Long, String)].collect()
+      .sortBy(r => (micros(r._2), r._3)).take(600)
+    val input = MemoryStream[(Long, Timestamp, Long, String)]
+    val events = input.toDF().toDF("user_id", "ts", "event_id", "event_type")
+    val query = EventStream.transitionsStream(events, latenessMinutes = 60)
+      .toDF().writeStream.format("memory").queryName("trans_stream")
+      .outputMode("append").start()
+    try {
+      ev.grouped(200).foreach { b => input.addData(b: _*); query.processAllAvailable() }
+      val got = spark.table("trans_stream")
+        .groupBy("user_id", "from_type", "to_type").count()
+        .as[(Long, String, String, Long)].collect().toSet
+      // each user's closed prefix: events more than latenessMinutes
+      // before that user's max seen ts; pairs under q59's 30-min rule
+      val expect = ev.groupBy(_._1).flatMap { case (uid, rows) =>
+        val sorted = rows.sortBy(r => (micros(r._2), r._3))
+        val horizon = sorted.iterator.map(r => micros(r._2)).max - 3600L * 1000000L
+        val closed = sorted.filter(r => micros(r._2) < horizon)
+        closed.sliding(2).collect {
+          case Array(a, b) if micros(b._2) - micros(a._2) <= 1800L * 1000000L =>
+            (uid, a._4, b._4)
+        }.toSeq.groupBy(identity).map { case ((u, f, t), ps) =>
+          (u, f, t, ps.length.toLong)
+        }
+      }.toSet
+      assert(got == expect,
+        s"extra=${got.diff(expect).take(3)} missing=${expect.diff(got).take(3)}")
+      assert(got.nonEmpty)
+      // a straggler at/before a user's closed frontier is dropped
+      val before = spark.table("trans_stream").count()
+      input.addData(ev.head)
+      query.processAllAvailable()
+      assert(spark.table("trans_stream").count() == before,
+        "closed-prefix straggler must not emit")
+    } finally query.stop()
+  }
 }
