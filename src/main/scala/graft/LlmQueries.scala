@@ -463,6 +463,18 @@ object LlmQueries {
       |FROM scored WHERE rank <= 10 ORDER BY rank""".stripMargin
   }
 
+  /** #130 (s10): all-corpus k-NN graph — every embedding's 5 nearest
+    * neighbors via the IVF cell self-join ([[graft.sim.Ann.knnGraph]]):
+    * the input structure for SemDeDup clustering, graph dedup (d06 on
+    * similarity edges), and label propagation. Rows-only (k-means fit;
+    * no SQL oracle); AnnSpec pins recall@5 against the exact
+    * brute-force graph and candidate volume ≪ n². */
+  def s10KnnGraph: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
+    Ann.knnGraph(e, k = 5, seed = 42L).orderBy("id", "rank")
+  }
+
   /** #28: language ID via marker-word scores. */
   def t01LangId: Q = (spark, dir) => {
     val scored = Tables.documents(spark, dir)
@@ -991,6 +1003,7 @@ object LlmQueries {
     "s05_ann_int8_rerank" -> s05AnnInt8Rerank,
     "s06_ann_pq" -> s06AnnPq,
     "s07_ann_ivfpq" -> s07AnnIvfPq,
+    "s10_knn_graph" -> s10KnnGraph,
     "t01_lang_id" -> t01LangId,
     "t02_quality_score" -> t02QualityScore,
     "t03_token_count" -> t03TokenCount,

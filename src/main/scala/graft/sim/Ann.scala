@@ -67,12 +67,42 @@ object Ann {
     * embeddings. Training happens once (seeded, deterministic) and the
     * cell assignment is a broadcast of `nCells` centroids — the corpus
     * is scanned once, never shuffled on vectors. */
+  /** Seeded, deterministic k-means coarse-quantizer fit shared by the
+    * IVF family ([[ivfTopK]], [[knnGraph]]).
+    *
+    * Fits on a deterministic hash-sample capped at `fitSampleCap` rows:
+    * KMeans cost is a full corpus scan PER ITERATION, and centroid
+    * quality converges long before the sample covers the corpus — at
+    * 100 TB the fit would otherwise dominate the query. The hash filter
+    * keeps the sample stable across partitionings (no `limit`/`sample`
+    * nondeterminism). Ranking is by COSINE, so the quantizer must live
+    * on the unit sphere: fit on L2-normalized vectors (Euclidean
+    * distance between unit vectors is a monotone function of cosine);
+    * quantizing raw magnitudes instead puts a vector 10× its query's
+    * length in a far cell even at cosine 1.0, and recall collapses.
+    * A coarse quantizer only needs rough cell boundaries — 5 iterations
+    * is ample (recall is governed by the probe count, not centroid
+    * polish), and each iteration is a full pass over the fit sample. */
+  private[graft] def fitCentroids(live: DataFrame, n: Long, nCells: Int,
+                                  seed: Long,
+                                  fitSampleCap: Long): Seq[Seq[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val sampled =
+      if (n <= fitSampleCap) live
+      else live.filter(pmod(xxhash64(col("id")), lit(n / fitSampleCap + 1)) === 0)
+    val featured = new org.apache.spark.ml.feature.Normalizer()
+      .setInputCol("f0").setOutputCol("features").setP(2.0)
+      .transform(sampled.withColumn("f0", array_to_vector(col("vec"))))
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
+      .fit(featured)
+    model.clusterCenters.map(_.toArray.toSeq).toSeq
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCells: Int, nProbe: Int, seed: Long,
               fitSampleCap: Long = 100000L,
               corpusCount: Long = -1L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     // Fit the coarse quantizer on a deterministic hash-sample capped at
     // `fitSampleCap` rows: KMeans cost is a full corpus scan PER
     // ITERATION (10 here), and centroid quality converges long before
@@ -84,24 +114,7 @@ object Ann {
     // count in — zero-norm rows are rare enough that the sampling-cap
     // arithmetic doesn't care, and it saves a second full-scan job
     val n = if (corpusCount >= 0) corpusCount else live.count()
-    val sampled =
-      if (n <= fitSampleCap) live
-      else live.filter(pmod(xxhash64(col("id")), lit(n / fitSampleCap + 1)) === 0)
-    // ranking is by COSINE, so the quantizer must live on the unit
-    // sphere: fit on L2-normalized vectors (Euclidean distance between
-    // unit vectors is a monotone function of cosine). Quantizing raw
-    // magnitudes instead puts a vector 10x its query's length in a far
-    // cell even at cosine 1.0, and recall collapses.
-    val featured = new org.apache.spark.ml.feature.Normalizer()
-      .setInputCol("f0").setOutputCol("features").setP(2.0)
-      .transform(sampled.withColumn("f0", array_to_vector(col("vec"))))
-    // a coarse quantizer only needs rough cell boundaries — 5
-    // iterations is ample (recall is governed by nProbe, not by
-    // centroid polish), and each iteration is a full pass over the fit
-    // sample
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
-      .fit(featured)
-    val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
+    val centroids = fitCentroids(live, n, nCells, seed, fitSampleCap)
 
     // Distance of the UNIT vector v/‖v‖ to centroid cᵢ, minus the
     // per-row constant 1: dᵢ = ‖cᵢ‖² − 2·(v·cᵢ)/‖v‖ — cosine-consistent
@@ -447,6 +460,51 @@ object Ann {
     val nCells = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
     val nProbe = math.max(3, math.ceil(math.sqrt(nCells.toDouble)).toInt)
     ivfTopK(corpus, queries, k, nCells, nProbe, seed, corpusCount = n)
+  }
+
+  /** All-corpus k-NN graph: every document's k nearest neighbors by
+    * cosine — the input structure for SemDeDup-style clustering,
+    * graph dedup, and label propagation. [[ivfTopK]] cannot build it
+    * (it BROADCASTS the query side, and here the query side IS the
+    * corpus), so the IVF idea re-lands as a shuffle self-join on the
+    * cell id: each document is stored in its 1 home cell and probes
+    * its `nProbe` nearest cells; candidates per document ≈
+    * nProbe · n/nCells = nProbe·√n at the auto sizing — total work
+    * n^1.5-ish spread evenly across cells, never the n² all-pairs
+    * join, and the vectors shuffle ONCE each side (no per-query
+    * re-scan). A clustered corpus makes hot cells; that skew lands in
+    * the cell-id exchange where AQE's skew-join splitting applies.
+    * The per-document top-k is a row_number window over the
+    * HIGH-cardinality document id (Spark 4 caps it via
+    * WindowGroupLimit before the full sort). Seeded k-means fit via
+    * [[fitCentroids]] (capped deterministic sample). Rows-only by
+    * design (iterative float k-means has no SQL oracle); AnnSpec pins
+    * recall@k against the exact brute-force graph. */
+  def knnGraph(corpus: DataFrame, k: Int, seed: Long,
+               fitSampleCap: Long = 100000L): DataFrame = {
+    import graft.functions.CentroidCells.centroidCells
+    val live = corpus.withColumn("nrm0", norm(col("vec"))).filter(col("nrm0") > 0)
+    val n = live.count()
+    val nCells = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val nProbe = math.max(3, math.ceil(math.sqrt(nCells.toDouble)).toInt)
+    val centroids = fitCentroids(live, n, nCells, seed, fitSampleCap)
+    val c = live.select(col("id").as("neighbor_id"), col("vec").as("cvec"),
+        col("nrm0").as("cnrm"))
+      .withColumn("cell",
+        element_at(centroidCells(col("cvec"), col("cnrm"), centroids, 1), 1))
+    val q = live.select(col("id").as("qid"), col("vec").as("qvec"),
+        col("nrm0").as("qnrm"))
+      .withColumn("cell",
+        explode(centroidCells(col("qvec"), col("qnrm"), centroids, nProbe)))
+    val scored = c.join(q, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("qid"))
+      .withColumn("sim",
+        cosinePrenormed(dot(col("qvec"), col("cvec")), col("qnrm"), col("cnrm")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
   }
 
   /** LSH-bucketed ANN: score only corpus vectors sharing a bucket

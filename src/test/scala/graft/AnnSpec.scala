@@ -262,4 +262,21 @@ class AnnSpec extends AnyFunSuite {
       .map { case ((id, _), i) => (i + 1L, id, cands(id)) }
     assert(got == expect, s"got=${got.take(3)} want=${expect.take(3)}")
   }
+
+  test("kNN graph recall@5 vs the exact brute-force graph is quantified") {
+    val exact = Ann.bruteForceTopK(emb, emb, k = 5)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val graph = Ann.knnGraph(emb, k = 5, seed = 42L)
+      .select("id", "rank", "neighbor_id").as[(Long, Long, Long)].collect()
+    // structure: every live doc present, ranks are 1..m with m <= 5
+    val byId = graph.groupBy(_._1)
+    assert(byId.size == exact.map(_._1).size)
+    byId.values.foreach { rows =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq)
+      assert(rows.length <= 5)
+    }
+    val got = graph.map(r => (r._1, r._3)).toSet
+    val recall = exact.count(got).toDouble / exact.size
+    assert(recall >= 0.55, s"recall@5 $recall")
+  }
 }
