@@ -1496,10 +1496,12 @@ object AnalyticsQueries {
     * (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) is evaluated entirely in
     * decimal(38,0) integers (DuckDB side: HUGEINT — bigint products
     * overflow at 100-TB monthly totals), rounded half-away-from-zero
-    * at ×1000 via sign·(2000·|num| + den) div (2·den) — `div` on
-    * nonnegative operands truncates identically on both engines
-    * (ORACLE.md Rule 4; negative operands would NOT: Spark truncates
-    * toward zero, DuckDB floors). Shape: orders⋈customer shuffles
+    * at ×1000 via sign·(2000·|num| + den) div (2·den): both engines'
+    * integer division truncates toward zero, but the (2a+b) div (2b)
+    * half-UP identity itself only holds for a ≥ 0 — feeding a negative
+    * numerator through it silently rounds half-toward-zero instead, so
+    * the sign is factored out first (ORACLE.md Rule 4). Shape:
+    * orders⋈customer shuffles
     * once on custkey, collapses immediately to the domain-bounded
     * (segment, month) frame via a partial-agged sum; the regression
     * itself runs on ≤ |segments|·|months| rows — driver-sized. */
