@@ -788,6 +788,57 @@ object LlmQueries {
       "\nSELECT id, CAST(r AS BIGINT) AS rank_e12 FROM r5 ORDER BY id"
   }
 
+  /** #131 (d18): k-core peeling of the recurring co-purchase graph —
+    * nodes are parts, an edge is two parts co-ordered in ≥ 2 distinct
+    * orders (support ≥ 2 prunes chance co-occurrence), and five
+    * [[graft.graph.KCore]] peel rounds toward the 3-core keep only
+    * parts whose co-purchase neighborhood is itself dense — the graph
+    * cohesion filter (on a doc similarity graph: docs corroborated by
+    * a dense near-dup cluster, not one chance pair). Integer counts +
+    * a fixed round budget ⇒ the DuckDB oracle unrolls the exact same
+    * five rounds (d14's convention). The per-order self-join is
+    * bounded by basket size (q53's argument) and the support filter
+    * partial-aggregates before it emits an edge. */
+  def d18Kcore: Q = (spark, dir) => {
+    val ed = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey").distinct()
+    val e = ed.as("x").join(ed.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select("a", "b")
+    graph.KCore.peel(e, k = 3, rounds = 5)
+      .select(col("v").as("part"), col("deg"))
+      .orderBy("part")
+  }
+
+  // MATERIALIZED: each round references the previous CTE three times;
+  // inlining would re-evaluate the whole prefix 3^5 times.
+  val d18Sql: String = {
+    val head =
+      """WITH ed AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS MATERIALIZED (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM ed x JOIN ed y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |""".stripMargin
+    def round(i: Int): String =
+      s"""k$i AS MATERIALIZED (
+         |  SELECT v FROM (SELECT a AS v FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
+         |  GROUP BY 1 HAVING COUNT(*) >= 3),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e${i - 1} e
+         |  JOIN k$i x ON e.a = x.v JOIN k$i y ON e.b = y.v)""".stripMargin
+    head + (1 to 5).map(round).mkString(",\n") +
+      """
+        |SELECT v AS part, CAST(COUNT(*) AS BIGINT) AS deg
+        |FROM (SELECT a AS v FROM e5 UNION ALL SELECT b FROM e5)
+        |GROUP BY 1 ORDER BY part""".stripMargin
+  }
+
   /** #110 (d15): canonical-representative selection — the step AFTER
     * clustering in a dedup pipeline: each near-dup cluster keeps ONE
     * document, and "which one" should be the most corroborated, not
@@ -983,6 +1034,7 @@ object LlmQueries {
 
   val queries: Seq[(String, Q)] = Seq(
     "d14_pagerank" -> d14Pagerank,
+    "d18_kcore" -> d18Kcore,
     "d15_canonical_pick" -> d15CanonicalPick,
     "d16_triangles" -> d16Triangles,
     "d17_cdc_chunk_dedup" -> d17CdcChunkDedup,
@@ -1019,6 +1071,7 @@ object LlmQueries {
     * carries a quantified recall spec instead). */
   val oracles: Seq[(String, String)] = Seq(
     "d14_pagerank" -> d14Sql,
+    "d18_kcore" -> d18Sql,
     "d15_canonical_pick" -> d15Sql,
     "d16_triangles" -> d16Sql,
     "d17_cdc_chunk_dedup" -> d17Sql,

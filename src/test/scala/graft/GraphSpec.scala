@@ -76,4 +76,35 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(r.values.toSet.size == 1, s"regular graph must be uniform: $r")
   }
+
+  test("k-core peel cascades: pendant chain into a clique peels over rounds") {
+    import graft.graph.KCore
+    // 4-clique {1,2,3,4} + pendant chain 4-5, 5-6. k=2:
+    // round 1 removes 6 (deg 1); round 2 removes 5 (deg now 1);
+    // round 3 removes edge 4-5's remnant — the clique alone survives,
+    // every node at within-subgraph degree 3. A single-round peel
+    // (min-degree filter) would KEEP node 5 — the cascade is the op.
+    val clique = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = (clique ++ Seq((4L, 5L), (5L, 6L))).toDF("a", "b")
+    val r = KCore.peel(edges, k = 2, rounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), r.toString)
+    // not-yet-converged budget: one round keeps the half-peeled 5
+    val r1 = KCore.peel(edges, k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1.contains(5L) && !r1.contains(6L), r1.toString)
+  }
+
+  test("k-core through a reliable checkpoint dir is identical to localCheckpoint") {
+    import graft.graph.KCore
+    val dir = java.nio.file.Files.createTempDirectory("kcore_chk").toString
+    val clique = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val edges = (clique ++ Seq((5L, 6L), (6L, 7L), (7L, 8L))).toDF("a", "b")
+    val local = KCore.peel(edges, k = 3, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    val reliable = KCore.peel(edges, k = 3, rounds = 4,
+        checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(reliable == local && local.keySet == Set(1L, 2L, 3L, 4L, 5L))
+  }
 }
