@@ -799,32 +799,41 @@ object LlmQueries {
     * five rounds (d14's convention). The per-order self-join is
     * bounded by basket size (q53's argument) and the support filter
     * partial-aggregates before it emits an edge. */
-  def d18Kcore: Q = (spark, dir) => {
+  /** Shared by d18/d20: the recurring co-purchase graph — nodes are
+    * parts, an edge is two parts co-ordered in ≥ 2 distinct orders
+    * (support ≥ 2 prunes chance co-occurrence). The per-order
+    * self-join is bounded by basket size (q53's argument) and the
+    * support filter partial-aggregates before an edge is emitted. */
+  private def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
     val ed = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_partkey").distinct()
-    val e = ed.as("x").join(ed.as("y"),
+    ed.as("x").join(ed.as("y"),
         col("x.l_orderkey") === col("y.l_orderkey") &&
           col("x.l_partkey") < col("y.l_partkey"))
       .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2)
       .select("a", "b")
-    graph.KCore.peel(e, k = 3, rounds = 5)
+  }
+
+  private val coPurchaseSqlCtes: String =
+    """ed AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e0 AS MATERIALIZED (
+      |  SELECT x.l_partkey AS a, y.l_partkey AS b
+      |  FROM ed x JOIN ed y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |""".stripMargin
+
+  def d18Kcore: Q = (spark, dir) =>
+    graph.KCore.peel(coPurchaseEdges(spark, dir), k = 3, rounds = 5)
       .select(col("v").as("part"), col("deg"))
       .orderBy("part")
-  }
 
   // MATERIALIZED: each round references the previous CTE three times;
   // inlining would re-evaluate the whole prefix 3^5 times.
   val d18Sql: String = {
-    val head =
-      """WITH ed AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |e0 AS MATERIALIZED (
-        |  SELECT x.l_partkey AS a, y.l_partkey AS b
-        |  FROM ed x JOIN ed y
-        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
-        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-        |""".stripMargin
+    val head = "WITH " + coPurchaseSqlCtes
     def round(i: Int): String =
       s"""k$i AS MATERIALIZED (
          |  SELECT v FROM (SELECT a AS v FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
@@ -838,6 +847,132 @@ object LlmQueries {
         |FROM (SELECT a AS v FROM e5 UNION ALL SELECT b FROM e5)
         |GROUP BY 1 ORDER BY part""".stripMargin
   }
+
+  /** #133 (d20): deterministic label-propagation communities over the
+    * co-purchase graph — [[graft.graph.LabelProp]] with a fixed
+    * 3-round budget: synchronous updates + smallest-label tie-break
+    * make the result a pure function of the graph (classic async LPA
+    * is run-order-dependent), so the DuckDB oracle unrolls the same
+    * three rounds (d14/d18's convention). Per round: one |E| join +
+    * (node, label) partial counts + min-of-struct argmax — no rank
+    * window anywhere. */
+  def d20Communities: Q = (spark, dir) =>
+    graph.LabelProp.run(coPurchaseEdges(spark, dir), rounds = 3)
+      .select(col("v").as("part"), col("label"))
+      .orderBy("part")
+
+  val d20Sql: String = {
+    val head = "WITH " + coPurchaseSqlCtes +
+      """sym AS MATERIALIZED (
+        |  SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+        |l0 AS MATERIALIZED (SELECT DISTINCT a AS v, a AS label FROM sym),
+        |""".stripMargin
+    def round(i: Int): String =
+      s"""c$i AS MATERIALIZED (
+         |  SELECT s.a AS v, l.label, COUNT(*) AS cnt
+         |  FROM sym s JOIN l${i - 1} l ON s.b = l.v
+         |  GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (SELECT v, MAX(cnt) AS mc FROM c$i GROUP BY 1),
+         |l$i AS MATERIALIZED (
+         |  SELECT c.v, MIN(c.label) AS label
+         |  FROM c$i c JOIN m$i m ON c.v = m.v AND c.cnt = m.mc
+         |  GROUP BY 1)""".stripMargin
+    head + (1 to 3).map(round).mkString(",\n") +
+      "\nSELECT v AS part, label FROM l3 ORDER BY part"
+  }
+
+  /** #132 (d19): duplicated n-gram statistics — the substring-level
+    * dedup signal of Lee et al. ACL'22 ("Deduplicating Training Data
+    * Makes Language Models Better"): a doc sharing long word n-grams
+    * with OTHER docs carries memorization-prone boilerplate even when
+    * no whole-document near-dup fires (d02/d04 operate at doc
+    * granularity; this is the within-doc span signal). Per doc:
+    * distinct 8-grams, how many also occur in ≥1 other doc, and the
+    * duplicated fraction in ppm (integer division — exact on both
+    * engines).
+    *
+    * Shape: one explode to (doc, md5(gram)) — the shuffle key is the
+    * 16-byte digest, never the 8-word string (d01's rule; identical
+    * on both engines so the oracle composes) — distinct'd with
+    * map-side partials; gram frequencies via one more partial agg;
+    * frequencies join back on the digest where both sides hash on the
+    * same key (exchange reuse), and a boilerplate gram in 10⁶ docs is
+    * one counts-row fanning out — no k² anywhere. Token-linear like
+    * t05. */
+  /** Shared by d19/t20: each doc's DISTINCT 8-gram digests — one
+    * explode to (doc_id, md5(gram)); the 16-byte digest is the
+    * shuffle key, never the 8-word string (d01's rule; md5 is
+    * engine-identical so oracles compose). Token-linear like t05. */
+  private[graft] def docGramDigests(spark: SparkSession, dir: String,
+                                    n: Int = 8): DataFrame =
+    normedDocs(spark, dir)
+      .select(col("doc_id"), split(col("text_norm"), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${n - 1}), i -> md5(array_join(slice(w, i, $n), ' ')))")).as("gh"))
+      .distinct()
+
+  def d19DupNgrams: Q = (spark, dir) => {
+    val grams = docGramDigests(spark, dir)
+    val freq = grams.groupBy("gh").agg(count(lit(1)).as("nd"))
+    grams.join(freq, Seq("gh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_ppm", expr("1000000 * n_dup_grams div n_grams"))
+      .orderBy("doc_id")
+  }
+
+  private val gramSqlCtes: String =
+    """t AS MATERIALIZED (
+      |  SELECT doc_id,
+      |         string_split(regexp_replace(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]*(feat\.|featuring|ft\.|&|and)[ \t\n\x0b\f\r]*', ';', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ') AS w
+      |  FROM documents),
+      |g AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+7], ' ')) AS gh
+      |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+      |        FROM t WHERE len(w) >= 8)),
+      |""".stripMargin
+
+  val d19Sql: String = "WITH " + gramSqlCtes +
+    """c AS MATERIALIZED (SELECT gh, COUNT(*) AS nd FROM g GROUP BY 1)
+      |SELECT g.doc_id,
+      |       CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |       CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+      |       (1000000 * CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS dup_ppm
+      |FROM g JOIN c USING (gh)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** #134 (t20): ingestion-order novelty scoring — for each doc, how
+    * many of its distinct 8-grams appear in NO smaller-doc_id document
+    * (doc_id = ingestion order here): the marginal-contribution signal
+    * data curation orders by (a doc that is pure boilerplate by the
+    * time it arrives adds nothing, even if no single earlier doc
+    * near-dups it — d19 tells you "shared with anyone", this tells you
+    * "already covered by the PAST"). Exact and integer-only: gram →
+    * min(doc_id) owner via one partial-agg min, join back on the
+    * digest (exchange reuse with d19's skeleton), count grams whose
+    * first owner is this doc. Same token-linear shape as d19 — a
+    * min() instead of a count(). */
+  def t20Novelty: Q = (spark, dir) => {
+    val grams = docGramDigests(spark, dir)
+    val own = grams.groupBy("gh").agg(min(col("doc_id")).as("first_doc"))
+    grams.join(own, Seq("gh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ppm", expr("1000000 * n_novel div n_grams"))
+      .orderBy("doc_id")
+  }
+
+  val t20Sql: String = "WITH " + gramSqlCtes +
+    """o AS MATERIALIZED (SELECT gh, MIN(doc_id) AS first_doc FROM g GROUP BY 1)
+      |SELECT g.doc_id,
+      |       CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |       CAST(SUM(CASE WHEN g.doc_id = o.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |       (1000000 * CAST(SUM(CASE WHEN g.doc_id = o.first_doc THEN 1 ELSE 0 END) AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS novelty_ppm
+      |FROM g JOIN o USING (gh)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** #110 (d15): canonical-representative selection — the step AFTER
     * clustering in a dedup pipeline: each near-dup cluster keeps ONE
@@ -1035,6 +1170,9 @@ object LlmQueries {
   val queries: Seq[(String, Q)] = Seq(
     "d14_pagerank" -> d14Pagerank,
     "d18_kcore" -> d18Kcore,
+    "d19_dup_ngrams" -> d19DupNgrams,
+    "d20_communities" -> d20Communities,
+    "t20_novelty" -> t20Novelty,
     "d15_canonical_pick" -> d15CanonicalPick,
     "d16_triangles" -> d16Triangles,
     "d17_cdc_chunk_dedup" -> d17CdcChunkDedup,
@@ -1072,6 +1210,9 @@ object LlmQueries {
   val oracles: Seq[(String, String)] = Seq(
     "d14_pagerank" -> d14Sql,
     "d18_kcore" -> d18Sql,
+    "d19_dup_ngrams" -> d19Sql,
+    "d20_communities" -> d20Sql,
+    "t20_novelty" -> t20Sql,
     "d15_canonical_pick" -> d15Sql,
     "d16_triangles" -> d16Sql,
     "d17_cdc_chunk_dedup" -> d17Sql,

@@ -254,4 +254,57 @@ class DedupSpec extends AnyFunSuite {
     assert(survived * 10 >= orig.size * 6,
       s"only $survived/${orig.size} chunks survived the insertion")
   }
+
+  test("d19 duplicated n-gram stats count cross-doc 8-gram sharing exactly") {
+    // doc 1 and 2 share their first 9 words (= two shared 8-grams);
+    // doc 3 is disjoint; doc 4 is too short to carry any 8-gram and
+    // must not appear. Within-doc repeats collapse via DISTINCT.
+    val w = (1 to 9).map(i => s"w$i").mkString(" ") // 9 shared words
+    val docs = Seq(
+      (1L, s"$w alpha beta"), // 11 words = 4 grams, 2 shared
+      (2L, s"$w gamma delta epsilon"), // 12 words = 5 grams, 2 shared
+      (3L, (1 to 12).map(i => s"x$i").mkString(" ")), // 5 grams, 0 shared
+      (4L, "too short for one gram")
+    ).toDF("doc_id", "text")
+    val grams = docs
+      .withColumn("text_norm", TextNorm.normalizeText(col("text")))
+      .select(col("doc_id"), split(col("text_norm"), " ").as("w"))
+      .filter(size(col("w")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 7), i -> md5(array_join(slice(w, i, 8), ' ')))")).as("gh"))
+      .distinct()
+    val freq = grams.groupBy("gh").agg(count(lit(1)).as("nd"))
+    val r = grams.join(freq, Seq("gh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r == Map(1L -> ((4L, 2L)), 2L -> ((5L, 2L)), 3L -> ((5L, 0L))), r.toString)
+  }
+
+  test("t20 novelty: a gram is novel only for its smallest-doc_id owner") {
+    // Same corpus as the d19 test: docs 1 and 2 share two 8-grams.
+    // Doc 1 (smaller id) owns them — all 4 of its grams are novel;
+    // doc 2 arrives later, so only its 3 unshared grams are novel.
+    val w = (1 to 9).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$w alpha beta"),
+      (2L, s"$w gamma delta epsilon"),
+      (3L, (1 to 12).map(i => s"x$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val grams = docs
+      .withColumn("text_norm", TextNorm.normalizeText(col("text")))
+      .select(col("doc_id"), split(col("text_norm"), " ").as("w"))
+      .filter(size(col("w")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 7), i -> md5(array_join(slice(w, i, 8), ' ')))")).as("gh"))
+      .distinct()
+    val own = grams.groupBy("gh").agg(min(col("doc_id")).as("first_doc"))
+    val r = grams.join(own, Seq("gh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L)).as("n_novel"))
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r == Map(1L -> ((4L, 4L)), 2L -> ((5L, 3L)), 3L -> ((5L, 5L))), r.toString)
+  }
 }

@@ -95,6 +95,23 @@ class GraphSpec extends AnyFunSuite {
     assert(r1.contains(5L) && !r1.contains(6L), r1.toString)
   }
 
+  test("label propagation separates two triangles joined by a bridge") {
+    import graft.graph.LabelProp
+    // Triangles {1,2,3} and {4,5,6}, bridge 3-4. Hand-unrolling the
+    // synchronous min-tie-break updates: after 3 rounds the left
+    // triangle is uniformly labeled 1 and the right one 3 — the
+    // bridge never merges them.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val r = LabelProp.run(edges, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L),
+      r.toString)
+    // determinism: a second run is bit-identical
+    val r2 = LabelProp.run(edges, rounds = 3).as[(Long, Long)].collect().toMap
+    assert(r2 == r)
+  }
+
   test("k-core through a reliable checkpoint dir is identical to localCheckpoint") {
     import graft.graph.KCore
     val dir = java.nio.file.Files.createTempDirectory("kcore_chk").toString
