@@ -501,6 +501,52 @@ object CoreQueries {
       |FROM s
       |ORDER BY o_custkey, island""".stripMargin
 
+  /** #137 (q63): as-of snapshot over the SCD2 intervals — "the state
+    * of every customer on date D", the read path q41's write path
+    * exists for. Composes q41's interval frame with a half-open
+    * interval filter (valid_from ≤ D < valid_to, open-ended current
+    * rows included); the filter rides the same one-exchange window
+    * pipeline — no extra shuffle, and at scale the predicate prunes
+    * interval partitions if the table is stored partitioned by
+    * valid_from range. */
+  def q63Scd2Snapshot: Q = (spark, dir) => {
+    val asOf = lit("1996-06-01").cast(TimestampType)
+    q41Scd2(spark, dir)
+      .filter(col("valid_from") <= asOf &&
+        (col("valid_to").isNull || col("valid_to") > asOf))
+      .select("o_custkey", "island", "status", "n_orders", "valid_from")
+      .orderBy("o_custkey")
+  }
+
+  val q63Sql: String =
+    """WITH g AS (
+      |  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+      |         CASE WHEN lag(o_orderstatus) OVER w IS NULL
+      |                OR lag(o_orderstatus) OVER w <> o_orderstatus
+      |              THEN 1 ELSE 0 END AS chg
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |i AS (
+      |  SELECT o_custkey, o_orderstatus, o_orderdate,
+      |         CAST(SUM(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+      |  FROM g),
+      |s AS (
+      |  SELECT o_custkey, island,
+      |         MIN(o_orderstatus) AS status,
+      |         CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |         CAST(date_trunc('second', MIN(o_orderdate)) AS TIMESTAMP) AS valid_from
+      |  FROM i GROUP BY o_custkey, island),
+      |v AS (
+      |  SELECT o_custkey, island, status, n_orders, valid_from,
+      |         lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY island) AS valid_to
+      |  FROM s)
+      |SELECT o_custkey, island, status, n_orders, valid_from
+      |FROM v
+      |WHERE valid_from <= TIMESTAMP '1996-06-01'
+      |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '1996-06-01')
+      |ORDER BY o_custkey""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q01_filter_project" -> q01FilterProject,
     "q02_agg_pricing" -> q02AggPricing,
@@ -520,7 +566,8 @@ object CoreQueries {
     "q16_flex_join" -> q16FlexJoin,
     "q17_etl_pipeline" -> q17EtlPipeline,
     "q40_upsert" -> q40Upsert,
-    "q41_scd2" -> q41Scd2)
+    "q41_scd2" -> q41Scd2,
+    "q63_scd2_snapshot" -> q63Scd2Snapshot)
 
   val oracles: Seq[(String, String)] = Seq(
     "q01_filter_project" -> q01Sql,
@@ -541,5 +588,6 @@ object CoreQueries {
     "q16_flex_join" -> q16Sql,
     "q17_etl_pipeline" -> q17Sql,
     "q40_upsert" -> q40Sql,
-    "q41_scd2" -> q41Sql)
+    "q41_scd2" -> q41Sql,
+    "q63_scd2_snapshot" -> q63Sql)
 }

@@ -250,6 +250,32 @@ object LlmQueries {
       |SELECT qid, rank, neighbor_id FROM scored WHERE rank <= 10
       |ORDER BY qid, rank""".stripMargin
 
+  /** #140 (s11): exact MIPS retrieval — top-k by INNER PRODUCT, the
+    * recommendation-retrieval scoring where magnitude is signal (see
+    * [[graft.sim.Ann.bruteForceMipsTopK]]). Exact baseline the way
+    * s01 is for cosine; the LSH/IVF scale paths don't transfer
+    * unmodified (MIPS isn't metric — reduce to cosine via the
+    * norm-augmentation transform if a scale path is needed). Float
+    * dot products hash-compare across engines because both sum in
+    * index order (s01's precedent); ties break on neighbor id. */
+  def s11Mips: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
+    Ann.bruteForceMipsTopK(e, e.filter(col("id") < 8), k = 10)
+      .orderBy("qid", "rank")
+  }
+
+  val s11Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT qid, vec_id AS neighbor_id,
+      |         ROW_NUMBER() OVER (PARTITION BY qid
+      |                            ORDER BY list_dot_product(qv, v) DESC, vec_id) AS rank
+      |  FROM q CROSS JOIN e WHERE vec_id <> qid)
+      |SELECT qid, rank, neighbor_id FROM scored WHERE rank <= 10
+      |ORDER BY qid, rank""".stripMargin
+
   /** #27: LSH-bucketed ANN (scale path; recall-bounded). Rows-only.
     * Round 4: corpus-derived parameters (occupancy-constant bits,
     * recall-0.75 tables at the cos-0.5 target) — a fixed width stops
@@ -974,6 +1000,43 @@ object LlmQueries {
       |FROM g JOIN o USING (gh)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** #141 (d21): cross-source overlap matrix — for every source pair,
+    * how many distinct 8-grams they share: the corpus-governance
+    * report that catches one feed republishing another (mirror sites,
+    * syndication, scraped re-crawls) before both are ingested at full
+    * weight. Doc-granular dedup misses this when the shared text is
+    * embedded in different page furniture; gram overlap doesn't.
+    * Exact-dup pairing on whole digests is the degenerate case (zero
+    * here — the planted near-dups differ by edits, which is the
+    * point). (source, gram-digest) pairs collapse through distinct
+    * FIRST (doc multiplicity gone), so the per-gram self-join fanout
+    * is bounded by nSources² per gram — a boilerplate gram in every
+    * source is one bounded row set, never corpus-quadratic. */
+  def d21SourceOverlap: Q = (spark, dir) => {
+    val src = Tables.documents(spark, dir).select("doc_id", "source")
+    val gs = docGramDigests(spark, dir).join(src, Seq("doc_id"))
+      .select("source", "gh").distinct()
+    gs.as("x").join(gs.as("y"),
+        col("x.gh") === col("y.gh") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val d21Sql: String =
+    """WITH t AS MATERIALIZED (
+      |  SELECT doc_id, source,
+      |         string_split(regexp_replace(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]*(feat\.|featuring|ft\.|&|and)[ \t\n\x0b\f\r]*', ';', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ') AS w
+      |  FROM documents),
+      |g AS MATERIALIZED (
+      |  SELECT DISTINCT source, md5(array_to_string(w[i:i+7], ' ')) AS gh
+      |  FROM (SELECT source, w, unnest(generate_series(1, len(w) - 7)) AS i
+      |        FROM t WHERE len(w) >= 8))
+      |SELECT x.source AS src_a, y.source AS src_b,
+      |       CAST(COUNT(*) AS BIGINT) AS n_shared
+      |FROM g x JOIN g y ON x.gh = y.gh AND x.source < y.source
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** #110 (d15): canonical-representative selection — the step AFTER
     * clustering in a dedup pipeline: each near-dup cluster keeps ONE
     * document, and "which one" should be the most corroborated, not
@@ -1173,6 +1236,7 @@ object LlmQueries {
     "d19_dup_ngrams" -> d19DupNgrams,
     "d20_communities" -> d20Communities,
     "t20_novelty" -> t20Novelty,
+    "d21_source_overlap" -> d21SourceOverlap,
     "d15_canonical_pick" -> d15CanonicalPick,
     "d16_triangles" -> d16Triangles,
     "d17_cdc_chunk_dedup" -> d17CdcChunkDedup,
@@ -1187,6 +1251,7 @@ object LlmQueries {
     "d07_embed_neardup_lsh" -> d07EmbedNearDupLsh,
     "d13_semdedup" -> d13SemDedup,
     "s01_ann_bruteforce" -> s01AnnBruteForce,
+    "s11_mips" -> s11Mips,
     "s02_ann_lsh" -> s02AnnLsh,
     "s03_ann_ivf" -> s03AnnIvf,
     "s04_quantize_int8" -> s04QuantizeInt8,
@@ -1213,6 +1278,7 @@ object LlmQueries {
     "d19_dup_ngrams" -> d19Sql,
     "d20_communities" -> d20Sql,
     "t20_novelty" -> t20Sql,
+    "d21_source_overlap" -> d21Sql,
     "d15_canonical_pick" -> d15Sql,
     "d16_triangles" -> d16Sql,
     "d17_cdc_chunk_dedup" -> d17Sql,
@@ -1224,6 +1290,7 @@ object LlmQueries {
     "d05_embed_neardup" -> d05Sql,
     "d06_dedup_clusters" -> d06Sql,
     "s01_ann_bruteforce" -> s01Sql,
+    "s11_mips" -> s11Sql,
     "t01_lang_id" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t03_token_count" -> t03Sql,

@@ -789,6 +789,85 @@ object TrainingDataQueries {
         .mkString("", "\nUNION ALL\n", "\nORDER BY merge_no")
   }
 
+  /** #135 (t21): BPE encoding — APPLY t18's learned merges to tokenize
+    * the whole corpus: per doc, word occurrences and the BPE token
+    * count after the 5 learned merges (the number a context-window
+    * packer or training-cost estimate actually needs; t03's regex
+    * count is the pre-tokenizer approximation). Same anchored-symbol
+    * `replace` trick as t18 — merges apply greedily left-to-right,
+    * identically on both engines, so the oracle unrolls learn+apply.
+    *
+    * Scale shape: merges are learned on the VOCAB table (t18's
+    * argument), the corpus is touched exactly twice — once collapsing
+    * to (doc, word) occurrences, once joining the per-word token count
+    * back on the high-cardinality word key (broadcast-able: vocab ≪
+    * corpus; Spark's size estimate decides). No per-doc sequential
+    * loop anywhere — the merge loop is over the 5 RULES, not the
+    * data. */
+  def t21BpeEncode: Q = (spark, dir) => {
+    val nMerges = 5
+    val docWords = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z0-9]+")).as("word"))
+      .filter(length(col("word")) > 0)
+    var syms = docWords.groupBy("word").agg(count(lit(1)).as("wc"))
+      .select(col("word"), regexp_replace(col("word"), "(.)", "<$1>").as("sym"), col("wc"))
+    val pairsOf =
+      """CASE WHEN size(t) < 2 THEN array()
+        |ELSE transform(sequence(0, size(t) - 2),
+        |               i -> concat('<', t[i], '><', t[i + 1], '>')) END""".stripMargin
+    for (_ <- 1 to nMerges) {
+      val best = syms
+        .withColumn("t", split(expr("substring(sym, 2, length(sym) - 2)"), "><"))
+        .select(col("wc"), explode(expr(pairsOf)).as("pat"))
+        .groupBy("pat").agg(sum("wc").as("c"))
+        .orderBy(col("c").desc, col("pat").asc).limit(1)
+      syms = syms.crossJoin(broadcast(best))
+        .withColumn("sym", expr("replace(sym, pat, replace(pat, '><', ''))"))
+        .select("word", "sym", "wc")
+    }
+    val perWord = syms.select(col("word"),
+      size(split(expr("substring(sym, 2, length(sym) - 2)"), "><")).cast("long").as("n_tok"))
+    docWords.join(perWord, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_tok").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val t21Sql: String = {
+    def iter(i: Int): String = {
+      val prev = s"s${i - 1}"
+      s"""p$i AS MATERIALIZED (
+         |  SELECT pat, CAST(SUM(wc) AS BIGINT) AS c FROM (
+         |    SELECT wc, unnest(list_transform(range(1, len(t)),
+         |                      i -> '<' || t[i] || '><' || t[i+1] || '>')) AS pat
+         |    FROM (SELECT wc, string_split(sym[2:len(sym)-1], '><') AS t FROM $prev))
+         |  GROUP BY 1),
+         |b$i AS MATERIALIZED (SELECT pat, c FROM p$i ORDER BY c DESC, pat LIMIT 1),
+         |s$i AS MATERIALIZED (
+         |  SELECT word, replace(sym, (SELECT pat FROM b$i),
+         |                 replace((SELECT pat FROM b$i), '><', '')) AS sym, wc
+         |  FROM $prev)""".stripMargin
+    }
+    """WITH dw AS MATERIALIZED (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      |  FROM documents),
+      |w AS MATERIALIZED (
+      |  SELECT word, CAST(COUNT(*) AS BIGINT) AS wc FROM dw GROUP BY 1),
+      |s0 AS MATERIALIZED (
+      |  SELECT word, regexp_replace(word, '(.)', '<\1>', 'g') AS sym, wc FROM w),
+      |""".stripMargin +
+      (1 to 5).map(iter).mkString(",\n") +
+      """,
+        |tk AS MATERIALIZED (
+        |  SELECT word, CAST(len(string_split(sym[2:len(sym)-1], '><')) AS BIGINT) AS n_tok
+        |  FROM s5)
+        |SELECT dw.doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_words,
+        |       CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens
+        |FROM dw JOIN tk USING (word)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** #124 (t19): corpus report card — the per-source health rollup a
     * corpus build publishes with every ingest batch: document count,
     * token volume, exact-duplicate incidence (d01's digest rule,
@@ -849,6 +928,7 @@ object TrainingDataQueries {
   val queries: Seq[(String, Q)] = Seq(
     "t19_corpus_report" -> t19CorpusReport,
     "t18_bpe_merges" -> t18BpeMerges,
+    "t21_bpe_encode" -> t21BpeEncode,
     "t17_inverted_index" -> t17InvertedIndex,
     "t16_readability" -> t16Readability,
     "t15_collocations" -> t15Collocations,
@@ -868,6 +948,7 @@ object TrainingDataQueries {
   val oracles: Seq[(String, String)] = Seq(
     "t19_corpus_report" -> t19Sql,
     "t18_bpe_merges" -> t18Sql,
+    "t21_bpe_encode" -> t21Sql,
     "t17_inverted_index" -> t17Sql,
     "t16_readability" -> t16Sql,
     "t15_collocations" -> t15Sql,

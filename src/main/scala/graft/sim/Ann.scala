@@ -45,6 +45,25 @@ object Ann {
       .select(col("qid"), col("rank").cast("long").as("rank"), col("neighbor_id"))
   }
 
+  /** Exact top-k by INNER PRODUCT (MIPS — the recommendation-retrieval
+    * scoring where magnitude IS signal: a strongly-preferred item
+    * vector legitimately outranks a unit one, so cosine's
+    * normalization is the wrong metric). Same broadcast-queries /
+    * corpus-partition-local scan shape as [[bruteForceTopK]]; no
+    * zero-norm guard needed (dot is total — a zero vector just scores
+    * 0 everywhere instead of NaN-poisoning the ordering). */
+  def bruteForceMipsTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
+    val q = queries.select(col("id").as("qid"), col("vec").as("qvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("qid"))
+      .withColumn("score", dot(col("qvec"), col("cvec")))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+  }
+
   /** Deterministic random hyperplanes: `nBits` × `dim`, seeded. */
   def hyperplanes(nBits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)

@@ -1,0 +1,94 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.CentroidCells.centroidCells
+import graft.functions.VectorFunctions._
+
+/** Persistent IVF index: build once, probe many — the production ANN
+  * lifecycle ([[Ann.ivfTopK]] refits its coarse quantizer on every
+  * call, which is right for one-shot queries and wrong for a serving
+  * corpus probed daily).
+  *
+  * `build` fits the cosine-consistent coarse quantizer (the shared
+  * [[Ann.fitCentroids]] capped deterministic sample), assigns every
+  * vector to its nearest cell, and writes two parquet tables under
+  * `dir`: `centroids` (nCells rows) and `cells`, PARTITIONED BY the
+  * cell id. That layout is the point: a probe touches `nProbe` cells,
+  * so the scan prunes to nProbe/nCells of the index files (≈ √n cells
+  * ⇒ a 10-probe query over 10⁴ cells reads 0.1% of the bytes) —
+  * partition pruning does at rest what the cell equi-join does in
+  * memory. Probing reads the centroid table driver-side (nCells ≈ √n
+  * rows — bounded like the quantizer fit sample, never corpus-scale),
+  * explodes each query into its nProbe nearest cells, and scores
+  * cell-locally exactly as [[Ann.ivfTopK]] does — same output, no
+  * refit, no full-index scan.
+  */
+object AnnIndex {
+
+  /** Fit + assign + persist. `corpus`: (id, vec: array<double>). */
+  def build(corpus: DataFrame, nCells: Int, seed: Long, dir: String,
+            fitSampleCap: Long = 100000L): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val live = corpus.withColumn("nrm", norm(col("vec"))).filter(col("nrm") > 0)
+    val n = live.count()
+    val centroids = Ann.fitCentroids(live, n, nCells, seed, fitSampleCap)
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "centroid")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    live.select(col("id"), col("vec"), col("nrm"))
+      .withColumn("cell",
+        element_at(centroidCells(col("vec"), col("nrm"), centroids, 1), 1))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
+  /** Append a batch to an existing index WITHOUT refitting: assign the
+    * new vectors against the PERSISTED centroids and append their
+    * cell-partitioned files — ingest stays O(batch), never O(corpus).
+    * Centroids drift as the corpus grows; rebuild (`build`) when the
+    * recall audit (probe vs [[Ann.bruteForceTopK]] on a sample) decays
+    * past budget. Append-only parquet means a concurrent probe sees
+    * either the old or the new file set, never a torn cell. */
+  def append(newRows: DataFrame, dir: String): Unit = {
+    val spark = newRows.sparkSession
+    val centroids = readCentroids(spark, dir)
+    newRows.withColumn("nrm", norm(col("vec"))).filter(col("nrm") > 0)
+      .select(col("id"), col("vec"), col("nrm"))
+      .withColumn("cell",
+        element_at(centroidCells(col("vec"), col("nrm"), centroids, 1), 1))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
+  private def readCentroids(spark: SparkSession, dir: String): Seq[Seq[Double]] = {
+    import spark.implicits._
+    // nCells rows (≈ √n) — bounded driver read, the probe-side analog
+    // of the quantizer fit sample, NOT a corpus-scale collect
+    spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell").select("centroid").as[Seq[Double]].collect().toSeq
+  }
+
+  /** Top-k cosine neighbors for each query against a persisted index.
+    * Output matches [[Ann.ivfTopK]]: (qid, rank, neighbor_id). */
+  def probe(spark: SparkSession, dir: String, queries: DataFrame,
+            k: Int, nProbe: Int): DataFrame = {
+    val centroids = readCentroids(spark, dir)
+    val cells = spark.read.parquet(s"$dir/cells")
+    val q = queries.select(col("id").as("qid"), col("vec").as("qvec"))
+      .withColumn("qnrm", norm(col("qvec")))
+      .filter(col("qnrm") > 0)
+      .withColumn("cell",
+        explode(centroidCells(col("qvec"), col("qnrm"), centroids, nProbe)))
+    val scored = cells.join(broadcast(q), Seq("cell"))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("sim", cosinePrenormed(dot(col("qvec"), col("vec")), col("qnrm"), col("nrm")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("id").as("neighbor_id"))
+  }
+}

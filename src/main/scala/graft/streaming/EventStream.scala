@@ -131,6 +131,35 @@ object EventStream {
       }
   }
 
+  /** Streaming novel-gram detection — the streaming twin of t20's
+    * ingestion-order novelty: emit (doc_id, gram_hash) only for grams
+    * no EARLIER doc in the stream carried. Per-doc distinct 8-grams
+    * are computed row-locally (`array_distinct` over the transform —
+    * a stateless projection, no streaming-distinct exchange, which
+    * Append mode couldn't host anyway); cross-doc "seen before?" is
+    * [[bloomDedupStream]]'s bucketed bloom kernel, so state stays
+    * O(nBuckets × bucketBits) FOREVER while history is unbounded.
+    * Bloom false positives only ever UNDER-count novelty (a gram
+    * wrongly "seen" loses its first doc) — never invent it; per-doc
+    * rollup is one downstream count (foreachBatch or watermarked
+    * agg). Batch t20 remains the exact auditor. */
+  def novelGramsStream(docs: DataFrame, n: Int = 8,
+                       nBuckets: Int = 64,
+                       bucketBits: Int = 1 << 17): Dataset[(Long, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grams = docs
+      .withColumn("text_norm", graft.etl.TextNorm.normalizeText(col("text")))
+      .select(col("doc_id"), split(col("text_norm"), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id").cast("long").as("doc_id"), explode(expr(
+        s"""array_distinct(transform(sequence(1, size(w) - ${n - 1}),
+           |                i -> xxhash64(array_join(slice(w, i, $n), ' '))))""".stripMargin)).as("gh"))
+      .as[(Long, Long)]
+    bloomDedupStream[(Long, Long)](grams, key = _._2,
+      nBuckets = nBuckets, bucketBits = bucketBits)
+  }
+
   /** Streaming anomaly flags — the streaming twin of q54's integer z²
     * test: per event type the state is three integers (n, Σx, Σx²) of
     * all PRIOR events, and each arriving event is tested prequentially

@@ -86,6 +86,47 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall $recall") // 3/8 cells probed
   }
 
+  test("persisted IVF index probes identically to the in-memory IVF path") {
+    import graft.sim.AnnIndex
+    val dir = java.nio.file.Files.createTempDirectory("ann_idx").toString
+    AnnIndex.build(emb, nCells = 8, seed = 42L, dir = dir)
+    val probed = AnnIndex.probe(spark, dir, emb.filter(col("id") < 8),
+        k = 10, nProbe = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val direct = Ann.ivfTopK(emb, emb.filter(col("id") < 8), k = 10,
+        nCells = 8, nProbe = 3, seed = 42L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(probed.nonEmpty && probed == direct,
+      s"persisted-index probe diverged: ${probed.diff(direct).take(3)} vs ${direct.diff(probed).take(3)}")
+    // the on-disk layout is cell-partitioned — the prunable unit a
+    // probe's nProbe/nCells scan fraction comes from
+    val cellDirs = new java.io.File(s"$dir/cells").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.length == 8, cellDirs.map(_.getName).mkString(","))
+  }
+
+  test("index append: new vectors are findable without a refit, no torn cells") {
+    import graft.sim.AnnIndex
+    val dir = java.nio.file.Files.createTempDirectory("ann_app").toString
+    val half1 = emb.filter(col("id") % 2 === 0)
+    val half2 = emb.filter(col("id") % 2 === 1)
+    AnnIndex.build(half1, nCells = 8, seed = 42L, dir = dir)
+    AnnIndex.append(half2, dir)
+    val cells = spark.read.parquet(s"$dir/cells")
+    assert(cells.count() == emb.count(), "append lost or duplicated rows")
+    assert(cells.select("id").distinct().count() == cells.count())
+    // an appended vector probed under a fresh qid must find itself at
+    // rank 1 (same centroids assign the identical vector to the same
+    // cell, and nothing scores above cosine 1)
+    val probeQ = emb.filter(col("id").isin(1L, 3L, 5L))
+      .withColumn("id", col("id") + 1000000L)
+    val r = AnnIndex.probe(spark, dir, probeQ, k = 1, nProbe = 1)
+      .as[(Long, Long, Long)].collect()
+    assert(r.length == 3, r.mkString(","))
+    r.foreach { case (qid, _, nid) =>
+      assert(nid == qid - 1000000L, s"query $qid found $nid, not itself") }
+  }
+
   test("PQ ANN (s06) recall@10 vs brute force is quantified") {
     val brute = LlmQueries.s01AnnBruteForce(spark, TestSpark.Sf)
       .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet

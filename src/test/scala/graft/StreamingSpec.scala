@@ -574,4 +574,36 @@ class StreamingSpec extends AnyFunSuite {
         "closed-prefix straggler must not emit")
     } finally query.stop()
   }
+
+  test("novel-gram stream: only first-carrier docs emit, duplicate doc emits nothing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val w = (1 to 9).map(i => s"w$i").mkString(" ") // d19/t20 spec corpus
+    val d1 = s"$w alpha beta" // 4 grams
+    val d3 = (1 to 12).map(i => s"x$i").mkString(" ") // 5 grams, disjoint
+    val d4 = (1 to 12).map(i => s"y$i").mkString(" ") // 5 fresh grams
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val query = EventStream.novelGramsStream(docs, nBuckets = 8)
+      .toDF("doc_id", "gh")
+      .writeStream.format("memory").queryName("novel_grams")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, d1), (3L, d3))
+      query.processAllAvailable()
+      // doc 2 repeats doc 1 verbatim in a LATER batch: zero novel
+      // grams; doc 4 is fresh: all 5 of its grams are novel
+      input.addData((2L, d1), (4L, d4))
+      query.processAllAvailable()
+      val perDoc = spark.table("novel_grams").groupBy("doc_id").count()
+        .as[(Long, Long)].collect().toMap
+      assert(perDoc == Map(1L -> 4L, 3L -> 5L, 4L -> 5L), perDoc.toString)
+      // bounded state: one row per touched bloom bucket, forever
+      val rows = query.recentProgress.flatMap(_.stateOperators)
+        .filter(_.operatorName.toLowerCase.contains("flatmapgroupswithstate"))
+        .map(_.numRowsTotal)
+      assert(rows.nonEmpty && rows.max <= 8, rows.toSeq)
+    } finally query.stop()
+  }
 }

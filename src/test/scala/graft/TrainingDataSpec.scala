@@ -301,4 +301,23 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got == expect,
       s"extra=${got.diff(expect).take(2)} missing=${expect.diff(got).take(2)}")
   }
+
+  test("t21 BPE encode: per-doc token counts sit between words and chars, merges shrink") {
+    // Every word's BPE token count is between 1 and its char length,
+    // so per doc: n_words <= n_bpe_tokens <= total word chars. The 5
+    // learned merges must also strictly shrink SOME doc (else apply
+    // did nothing).
+    val got = TrainingDataQueries.t21BpeEncode(spark, TestSpark.Sf)
+      .as[(Long, Long, Long)].collect()
+    val chars = Tables.documents(spark, TestSpark.Sf)
+      .select(col("doc_id"), expr(
+        "aggregate(filter(split(lower(text), '[^a-z0-9]+'), w -> length(w) > 0), 0L, (a, w) -> a + length(w))").as("nc"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.nonEmpty)
+    got.foreach { case (d, nw, nb) =>
+      assert(nw <= nb && nb <= chars(d), s"doc $d: words=$nw bpe=$nb chars=${chars(d)}")
+    }
+    assert(got.map(_._3).sum < got.map(t => chars(t._1)).sum,
+      "5 merges shrank nothing — apply step is a no-op")
+  }
 }
