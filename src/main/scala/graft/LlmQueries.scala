@@ -925,29 +925,36 @@ object LlmQueries {
     * same key (exchange reuse), and a boilerplate gram in 10⁶ docs is
     * one counts-row fanning out — no k² anywhere. Token-linear like
     * t05. */
-  /** Shared by d19/t20: each doc's DISTINCT 8-gram digests — one
+  /** Shared by d19/t20/d21: each doc's DISTINCT 8-gram digests — one
     * explode to (doc_id, md5(gram)); the 16-byte digest is the
     * shuffle key, never the 8-word string (d01's rule; md5 is
-    * engine-identical so oracles compose). Token-linear like t05. */
+    * engine-identical so oracles compose). Within-doc dedup is
+    * ROW-LOCAL (`array_distinct` before the explode — a doc is one
+    * row), so this frame costs a scan and zero exchanges, which is
+    * what lets d19/t20 run as ONE corpus pass (and the streaming twin
+    * host it in Append mode). Token-linear like t05. */
   private[graft] def docGramDigests(spark: SparkSession, dir: String,
                                     n: Int = 8): DataFrame =
     normedDocs(spark, dir)
       .select(col("doc_id"), split(col("text_norm"), " ").as("w"))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(w) - ${n - 1}), i -> md5(array_join(slice(w, i, $n), ' ')))")).as("gh"))
-      .distinct()
+        s"array_distinct(transform(sequence(1, size(w) - ${n - 1}), i -> md5(array_join(slice(w, i, $n), ' '))))")).as("gh"))
 
-  def d19DupNgrams: Q = (spark, dir) => {
-    val grams = docGramDigests(spark, dir)
-    val freq = grams.groupBy("gh").agg(count(lit(1)).as("nd"))
-    grams.join(freq, Seq("gh"))
+  def d19DupNgrams: Q = (spark, dir) =>
+    // count-over-gram window instead of a freq self-join: ONE corpus
+    // scan, two exchanges (gh, then doc), no join, no second explode.
+    // gh is maximal-cardinality, so per-key window buffers are the
+    // same fanout a join would materialize (the q50 guard is about
+    // LOW-card window keys); a boilerplate gram's group streams
+    // through one spill-backed sorter task.
+    docGramDigests(spark, dir)
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy("gh")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
       .withColumn("dup_ppm", expr("1000000 * n_dup_grams div n_grams"))
       .orderBy("doc_id")
-  }
 
   private val gramSqlCtes: String =
     """t AS MATERIALIZED (
@@ -980,16 +987,16 @@ object LlmQueries {
     * digest (exchange reuse with d19's skeleton), count grams whose
     * first owner is this doc. Same token-linear shape as d19 — a
     * min() instead of a count(). */
-  def t20Novelty: Q = (spark, dir) => {
-    val grams = docGramDigests(spark, dir)
-    val own = grams.groupBy("gh").agg(min(col("doc_id")).as("first_doc"))
-    grams.join(own, Seq("gh"))
+  def t20Novelty: Q = (spark, dir) =>
+    // min-over-gram window (d19's one-pass shape): the gram's first
+    // owner rides each row out of one gh exchange, no join-back.
+    docGramDigests(spark, dir)
+      .withColumn("first_doc", min(col("doc_id")).over(Window.partitionBy("gh")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L)).as("n_novel"))
       .withColumn("novelty_ppm", expr("1000000 * n_novel div n_grams"))
       .orderBy("doc_id")
-  }
 
   val t20Sql: String = "WITH " + gramSqlCtes +
     """o AS MATERIALIZED (SELECT gh, MIN(doc_id) AS first_doc FROM g GROUP BY 1)

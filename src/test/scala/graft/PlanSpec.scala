@@ -222,6 +222,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Expand"), s"q46 should not expand the distinct domain:\n${p.take(800)}")
   }
 
+  test("d19/t20 gram stats are ONE corpus pass (no self-join, single scan)") {
+    // The freq/owner value rides a window over the maximal-cardinality
+    // digest key; a join-back shape would re-scan and re-explode the
+    // corpus (the dominant cost at 100 TB) on its second branch.
+    for (q <- Seq("d19_dup_ngrams", "t20_novelty")) {
+      val p = planOf(q)
+      val scans = "FileScan parquet".r.findAllIn(p).length
+      assert(scans == 1, s"$q must scan documents exactly once, saw $scans:\n${p.take(600)}")
+      assert(!p.contains("Join"), s"$q must not self-join the gram frame:\n${p.take(600)}")
+    }
+  }
+
   test("q50 derives ranks from the histogram — no rank window over the segment") {
     val p = planOf("q50_window_stats")
     for (fn <- Seq("ntile", "percent_rank", "cume_dist"))
