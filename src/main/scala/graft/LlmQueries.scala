@@ -1007,6 +1007,131 @@ object LlmQueries {
       |FROM g JOIN o USING (gh)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** #143 (d23): duplicated-span REMOVAL — the cleaning step d19's
+    * statistics exist for (Lee et al. ACL'22 remove, not just count):
+    * every token covered by a cross-doc duplicated 8-gram is excised
+    * and the survivors re-assemble in order. Positions make it exact:
+    * a dup gram starting at p covers tokens p..p+7; coverage is the
+    * union of those intervals (computed as an explode of 8-long
+    * sequences + distinct — 8× the dup-gram rows, never corpus²).
+    * Shape: one gram pass with positions, dup marking via the d19
+    * count-window over the digest, covered-position anti-join against
+    * the token list, deterministic re-assembly via sort_array of
+    * (pos, token) structs in one per-doc agg. Docs too short for a
+    * gram pass through unchanged (nothing can be duplicated at
+    * 8-gram granularity). Output is engine-exact strings, so the
+    * DuckDB oracle composes with string_agg ORDER BY pos. */
+  def d23DupSpanRemoval: Q = (spark, dir) => {
+    val n = 8
+    val toks = normedDocs(spark, dir)
+      .select(col("doc_id"), split(col("text_norm"), " ").as("w"))
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+    val grams = normedDocs(spark, dir)
+      .select(col("doc_id"), split(col("text_norm"), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(w) - ${n - 1}), i -> md5(array_join(slice(w, i, $n), ' ')))")).as(Seq("g0", "gh")))
+      .select(col("doc_id"), (col("g0") + 1).as("gpos"), col("gh"))
+    // cross-doc duplicated OCCURRENCES without building doc-sets: an
+    // occurrence's gram lives in another doc iff its corpus-wide
+    // count exceeds its within-doc count. Two count windows (never a
+    // collect_set a boilerplate gram would balloon); within-doc
+    // repetition alone — T == C — correctly does NOT mark.
+    val dupStarts = grams
+      .withColumn("t", count(lit(1)).over(Window.partitionBy("gh")))
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("doc_id", "gh")))
+      .filter(col("t") > col("c"))
+      .select("doc_id", "gpos")
+    val covered = dupStarts
+      .select(col("doc_id"), explode(expr(s"sequence(gpos, gpos + ${n - 1})")).as("pos"))
+      .distinct()
+    toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(" ", expr("transform(sort_array(collect_list(struct(pos, tok))), s -> s.tok)")).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+      .join(normedDocs(spark, dir).select(col("doc_id"),
+        size(split(col("text_norm"), " ")).cast("long").as("n_tokens")), Seq("doc_id"), "right")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val d23Sql: String =
+    """WITH t AS MATERIALIZED (
+      |  SELECT doc_id,
+      |         string_split(regexp_replace(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]*(feat\.|featuring|ft\.|&|and)[ \t\n\x0b\f\r]*', ';', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ') AS w
+      |  FROM documents),
+      |toks AS MATERIALIZED (
+      |  SELECT doc_id, unnest(generate_series(1, len(w))) AS pos, w FROM t),
+      |tok1 AS MATERIALIZED (SELECT doc_id, pos, w[pos] AS tok FROM toks),
+      |g AS MATERIALIZED (
+      |  SELECT doc_id, i AS gpos, md5(array_to_string(w[i:i+7], ' ')) AS gh
+      |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+      |        FROM t WHERE len(w) >= 8)),
+      |ds AS MATERIALIZED (
+      |  SELECT doc_id, gpos FROM (
+      |    SELECT doc_id, gpos,
+      |           COUNT(*) OVER (PARTITION BY gh) AS t,
+      |           COUNT(*) OVER (PARTITION BY doc_id, gh) AS c
+      |    FROM g)
+      |  WHERE t > c),
+      |cov AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id, gpos + o AS pos
+      |  FROM ds CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS o) os),
+      |kept AS MATERIALIZED (
+      |  SELECT k.doc_id, string_agg(k.tok, ' ' ORDER BY k.pos) AS clean_text,
+      |         CAST(COUNT(*) AS BIGINT) AS n_kept
+      |  FROM tok1 k ANTI JOIN cov c ON k.doc_id = c.doc_id AND k.pos = c.pos
+      |  GROUP BY 1)
+      |SELECT t.doc_id,
+      |       COALESCE(kept.clean_text, '') AS clean_text,
+      |       CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept,
+      |       CAST(len(t.w) AS BIGINT) AS n_tokens
+      |FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
+  /** #142 (d22): containment join — directed near-dup detection for
+    * the small-inside-big case symmetric Jaccard (d04) is blind to: a
+    * quoted/excerpted doc A whose shingles are ≥ 90% inside B scores
+    * Jaccard ≈ |A|/|B| (tiny) but containment ≈ 1. Lossless prefix
+    * filter in containment form ([[SetSimJoin.containmentJoin]]):
+    * A-prefix × all-of-B on the rarest shingles, positional + size
+    * prunes, exact verification — never all-pairs. Same fingerprint
+    * shingles as d04 (1:1 with the oracle's string shingles). */
+  def d22Containment: Q = (spark, dir) => {
+    val withSet = normedDocs(spark, dir)
+      .select(col("doc_id"),
+        array_distinct(MinHash.shingleHashes(col("text_norm"), 3)).as("s"))
+      .repartition(col("doc_id"))
+    SetSimJoin.containmentJoin(withSet, "doc_id", "s", tauNum = 9, tauDen = 10)
+      .select(col("id_a").as("doc_id_small"), col("id_b").as("doc_id_big"),
+        col("inter"), col("sz_a"))
+      .orderBy("doc_id_small", "doc_id_big")
+  }
+
+  val d22Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         string_split(regexp_replace(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]*(feat\.|featuring|ft\.|&|and)[ \t\n\x0b\f\r]*', ';', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ') AS w
+      |  FROM documents),
+      |sh AS MATERIALIZED (
+      |  SELECT doc_id,
+      |         CASE WHEN len(w) >= 3
+      |              THEN list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |              ELSE list_distinct([array_to_string(w, ' ')]) END AS s
+      |  FROM toks)
+      |SELECT a.doc_id AS doc_id_small, b.doc_id AS doc_id_big,
+      |       CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+      |       CAST(len(a.s) AS BIGINT) AS sz_a
+      |FROM sh a JOIN sh b
+      |  ON a.doc_id <> b.doc_id AND len(b.s) * 10 >= len(a.s) * 9
+      |WHERE len(list_intersect(a.s, b.s)) * 10 >= len(a.s) * 9
+      |ORDER BY doc_id_small, doc_id_big""".stripMargin
+
   /** #141 (d21): cross-source overlap matrix — for every source pair,
     * how many distinct 8-grams they share: the corpus-governance
     * report that catches one feed republishing another (mirror sites,
@@ -1244,6 +1369,8 @@ object LlmQueries {
     "d20_communities" -> d20Communities,
     "t20_novelty" -> t20Novelty,
     "d21_source_overlap" -> d21SourceOverlap,
+    "d22_containment" -> d22Containment,
+    "d23_dup_span_removal" -> d23DupSpanRemoval,
     "d15_canonical_pick" -> d15CanonicalPick,
     "d16_triangles" -> d16Triangles,
     "d17_cdc_chunk_dedup" -> d17CdcChunkDedup,
@@ -1286,6 +1413,8 @@ object LlmQueries {
     "d20_communities" -> d20Sql,
     "t20_novelty" -> t20Sql,
     "d21_source_overlap" -> d21Sql,
+    "d22_containment" -> d22Sql,
+    "d23_dup_span_removal" -> d23Sql,
     "d15_canonical_pick" -> d15Sql,
     "d16_triangles" -> d16Sql,
     "d17_cdc_chunk_dedup" -> d17Sql,

@@ -87,4 +87,55 @@ object SetSimJoin {
       .filter(col("inter") > 0 && col("inter") * (tauDen + tauNum) >= (col("uni") + col("inter")) * tauNum)
       .select("id1", "id2", "inter", "uni")
   }
+
+  /** DIRECTED containment self-join: all ordered pairs (a, b), a ≠ b,
+    * with |A∩B| / |A| ≥ τnum/τden — the asymmetric measure quote /
+    * excerpt detection needs: a 50-shingle quote inside a 5000-shingle
+    * page has Jaccard ≈ 0.01 (invisible to [[jaccardSelfJoin]]) but
+    * containment ≈ 1.0.
+    *
+    * Prefix filter, containment form: if |A∩B| ≥ α := ⌈τ·|A|⌉, the
+    * globally-smallest common token sits within A's first
+    * |A| − α + 1 tokens — so joining A-PREFIX tokens against ALL of
+    * B's tokens is lossless. B gets no prefix (containment puts no
+    * bound on where the witness falls in B); the rare-first order
+    * keeps A-prefix tokens low-df, so candidate volume is
+    * Σ_tok df_prefix(tok)·df_all(tok), frequency-minimized. Sound
+    * prunes before the candidate dedup: size (|B| ≥ ⌈τ|A|⌉ — else
+    * even B ⊇ A fails) and the positional bound at the earliest
+    * common token (overlap ≤ 1 + min(|A|−pos_a, |B|−pos_b), which
+    * must reach α; later common tokens rank later in BOTH sets, the
+    * PPJoin argument). */
+  def containmentJoin(df: DataFrame, idCol: String, setCol: String,
+                      tauNum: Int, tauDen: Int): DataFrame = {
+    val sets = df.select(col(idCol).as("sid"), col(setCol).as("s"))
+      .withColumn("sz", size(col("s")).cast(LongType))
+    val toks = sets.select(col("sid"), col("sz"), explode(col("s")).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("sid").orderBy(col("df").asc, col("tok").asc)
+    val ranked = toks.join(freq, "tok")
+      .withColumn("pos", row_number().over(byRarity))
+    val prefixLen = col("sz") - floor((col("sz") * tauNum + tauDen - 1) / tauDen)
+      .cast(LongType) + 1
+    val a = ranked.filter(col("pos") <= prefixLen)
+      .select(col("sid").as("id_a"), col("sz").as("sz_a"), col("tok"),
+        col("pos").as("pos_a"))
+    val b = ranked
+      .select(col("sid").as("id_b"), col("sz").as("sz_b"), col("tok"),
+        col("pos").as("pos_b"))
+    val cand = a.join(b, Seq("tok"))
+      .filter(col("id_a") =!= col("id_b") &&
+        col("sz_b") * tauDen >= col("sz_a") * tauNum &&
+        (lit(1) + least(col("sz_a") - col("pos_a"), col("sz_b") - col("pos_b"))) *
+          tauDen >= col("sz_a") * tauNum)
+      .select("id_a", "id_b")
+      .distinct()
+    val s1 = sets.select(col("sid").as("id_a"), col("s").as("s1"),
+      col("sz").as("sz_a"))
+    val s2 = sets.select(col("sid").as("id_b"), col("s").as("s2"))
+    cand.join(s1, "id_a").join(s2, "id_b")
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast(LongType))
+      .filter(col("inter") * tauDen >= col("sz_a") * tauNum)
+      .select("id_a", "id_b", "inter", "sz_a")
+  }
 }

@@ -62,6 +62,12 @@ object syntax {
                         tauNum: Int, tauDen: Int): DataFrame =
       SetSimJoin.jaccardSelfJoin(df, idCol, setCol, tauNum, tauDen)
 
+    /** Directed containment pairs (|A∩B|/|A| ≥ τ) → (id_a, id_b,
+      * inter, sz_a) — the quote/excerpt direction jaccard misses. */
+    def containmentJoin(idCol: String, setCol: String,
+                       tauNum: Int, tauDen: Int): DataFrame =
+      SetSimJoin.containmentJoin(df, idCol, setCol, tauNum, tauDen)
+
     /** Connected components over this edge list → (id, comp). */
     def connectedComponents(idCols: (String, String) = ("id1", "id2")): DataFrame =
       ConnectedComponents.run(df, idCols)

@@ -240,7 +240,7 @@ class DedupSpec extends AnyFunSuite {
     // the middle; fixed-offset framing would shift every later frame,
     // CDC must keep the majority of digests identical
     val text = Tables.documents(spark, TestSpark.Sf)
-      .filter(col("doc_id") === 0).select("text").as[String].head()
+      .filter(col("doc_id") === 149).select("text").as[String].head()
     val edited = text.substring(0, text.length / 2) + " spliced words here " +
       text.substring(text.length / 2)
     def chunksOf(s: String): Set[String] = {
@@ -280,6 +280,78 @@ class DedupSpec extends AnyFunSuite {
         sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
       .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
     assert(r == Map(1L -> ((4L, 2L)), 2L -> ((5L, 2L)), 3L -> ((5L, 0L))), r.toString)
+  }
+
+  test("containment join equals brute force and catches what jaccard can't") {
+    import graft.dedup.SetSimJoin
+    // doc 9001 = a 30-word excerpt of doc 149 (the longest doc, 99
+    // words): containment(A→149) ≈ 1, jaccard ≈ 28/97 < 0.5 — the
+    // directed case
+    val base = Tables.documents(spark, TestSpark.Sf)
+      .withColumn("text_norm", TextNorm.normalizeText(col("text")))
+      .select(col("doc_id"), array_distinct(MinHash.shingleHashes(col("text_norm"), 3)).as("s"))
+    val d0 = Tables.documents(spark, TestSpark.Sf)
+      .filter(col("doc_id") === 149).select("text").as[String].head()
+    val excerpt = d0.split("\\s+").take(30).mkString(" ")
+    val extra = Seq((9001L, excerpt))
+      .toDF("doc_id", "text")
+      .withColumn("text_norm", TextNorm.normalizeText(col("text")))
+      .select(col("doc_id"), array_distinct(MinHash.shingleHashes(col("text_norm"), 3)).as("s"))
+    val all = base.unionAll(extra)
+    val got = SetSimJoin.containmentJoin(all, "doc_id", "s", 9, 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((9001L, 149L)), s"excerpt not caught: $got")
+    // lossless: equals the local brute force over the same sets
+    val sets = all.as[(Long, Array[Long])].collect().map(t => t._1 -> t._2.toSet).toMap
+    val brute = (for {
+      (ia, sa) <- sets.toSeq; (ib, sb) <- sets.toSeq
+      if ia != ib && sa.intersect(sb).size * 10 >= sa.size * 9
+    } yield (ia, ib)).toSet
+    assert(got == brute,
+      s"missing=${brute.diff(got).take(3)} extra=${got.diff(brute).take(3)}")
+    // and jaccard-0.5 over the same corpus does NOT pair (9001, 0)
+    val jac = SetSimJoin.jaccardSelfJoin(all, "doc_id", "s", 1, 2)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((149L, 9001L)) && !jac.contains((9001L, 149L)))
+  }
+
+  test("d23 span removal excises cross-doc grams, spares within-doc repeats") {
+    val w = (1 to 9).map(i => s"w$i").mkString(" ")
+    val a8 = (1 to 8).map(i => s"a$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$w alpha beta"), // tokens 1-9 covered → "alpha beta"
+      (2L, s"$w gamma delta epsilon"), // → "gamma delta epsilon"
+      (3L, (1 to 12).map(i => s"x$i").mkString(" ")), // untouched
+      (5L, s"$a8 z $a8") // same 8-gram TWICE within one doc: T == C,
+                         // not cross-doc — must pass through intact
+    ).toDF("doc_id", "text")
+    val n = 8
+    val normed = docs.withColumn("text_norm", TextNorm.normalizeText(col("text")))
+    val toks = normed
+      .select(col("doc_id"), split(col("text_norm"), " ").as("w"))
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+    val grams = normed
+      .select(col("doc_id"), split(col("text_norm"), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, size(w) - 7), i -> md5(array_join(slice(w, i, 8), ' ')))")).as(Seq("g0", "gh")))
+      .select(col("doc_id"), (col("g0") + 1).as("gpos"), col("gh"))
+    val dupStarts = grams
+      .withColumn("t", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("gh")))
+      .withColumn("c", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id", "gh")))
+      .filter(col("t") > col("c")).select("doc_id", "gpos")
+    val covered = dupStarts
+      .select(col("doc_id"), explode(expr("sequence(gpos, gpos + 7)")).as("pos"))
+      .distinct()
+    val r = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", expr("transform(sort_array(collect_list(struct(pos, tok))), s -> s.tok)")).as("ct"))
+      .as[(Long, String)].collect().toMap
+    assert(r(1L) == "alpha beta", r(1L))
+    assert(r(2L) == "gamma delta epsilon", r(2L))
+    assert(r(3L).split(" ").length == 12)
+    assert(r(5L).split(" ").length == 17, s"within-doc repeat was excised: ${r(5L)}")
   }
 
   test("t20 novelty: a gram is novel only for its smallest-doc_id owner") {

@@ -69,6 +69,24 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("containmentJoin equals directed brute force on random set families") {
+    val setGen: Gen[Seq[Long]] =
+      Gen.chooseNum(1, 25).flatMap(n => Gen.listOfN(n, Gen.chooseNum(0L, 60L)).map(_.distinct))
+    val fams = Iterator.continually(setGen.sample).flatten.take(60).toSeq
+    val df = fams.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    for ((num, den) <- Seq((1, 2), (9, 10), (1, 1))) {
+      val fast = graft.dedup.SetSimJoin.containmentJoin(df, "id", "s", num, den)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val local = fams.map(_.toSet).zipWithIndex
+      val brute = (for {
+        (sa, ia) <- local; (sb, ib) <- local if ia != ib
+        if sa.intersect(sb).size * den >= sa.size * num
+      } yield (ia.toLong, ib.toLong)).toSet
+      assert(fast == brute,
+        s"tau=$num/$den missing=${brute.diff(fast).take(3)} extra=${fast.diff(brute).take(3)}")
+    }
+  }
+
   test("Fingerprint64 equals reference FNV-1a for arbitrary strings (codegen path)") {
     def fnv(s: String): Long = {
       var h = 0xcbf29ce484222325L
