@@ -1007,6 +1007,109 @@ object LlmQueries {
       |FROM g JOIN o USING (gh)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** #145 (d25): HITS authorities ([[graft.graph.Hits]]) over the
+    * directed customer→part demand graph — products demanded by
+    * broadly-active customers, the degree-discounting popularity
+    * signal (on a query→click graph, classic retrieval authority).
+    * Integer renormalization per iteration (floor div by a 1-row
+    * broadcast sum) keeps both engines bit-identical, so the DuckDB
+    * oracle unrolls the same 3 iterations. */
+  def d25Hits: Q = (spark, dir) => {
+    val e = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
+    graph.Hits.authorities(e, iterations = 3)
+      .select(col("dst").as("part"), col("auth_e6"))
+      .orderBy("part")
+  }
+
+  val d25Sql: String = {
+    def iter(i: Int): String =
+      s"""ar$i AS MATERIALIZED (
+         |  SELECT dst, CAST(SUM(h) AS BIGINT) AS ar
+         |  FROM e JOIN h${i - 1} USING (src) GROUP BY 1),
+         |sa$i AS MATERIALIZED (SELECT CAST(SUM(ar) AS BIGINT) AS s FROM ar$i),
+         |a$i AS MATERIALIZED (
+         |  SELECT dst, ar * 1000000 // s AS a FROM ar$i CROSS JOIN sa$i),
+         |hr$i AS MATERIALIZED (
+         |  SELECT src, CAST(SUM(a) AS BIGINT) AS hr
+         |  FROM e JOIN a$i USING (dst) GROUP BY 1),
+         |sh$i AS MATERIALIZED (SELECT CAST(SUM(hr) AS BIGINT) AS s FROM hr$i),
+         |h$i AS MATERIALIZED (
+         |  SELECT src, hr * 1000000 // s AS h FROM hr$i CROSS JOIN sh$i)""".stripMargin
+    """WITH e AS MATERIALIZED (
+      |  SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |h0 AS MATERIALIZED (SELECT DISTINCT src, CAST(1 AS BIGINT) AS h FROM e),
+      |""".stripMargin +
+      (1 to 3).map(iter).mkString(",\n") +
+      "\nSELECT dst AS part, CAST(a AS BIGINT) AS auth_e6 FROM a3 ORDER BY part"
+  }
+
+  /** #144 (d24): incremental ingest gate — dedup a NEW batch against
+    * an EXISTING corpus (the daily-crawl admission decision; a full
+    * corpus re-dedup per batch is the O(corpus) cost this avoids).
+    * Batch membership is deterministic here (odd doc_id = new, even =
+    * corpus). Per new doc, two exact flags: `is_exact_dup` (its md5
+    * digest already in the corpus — one semi-join on the 16-byte
+    * digest, O(batch) probe side) and `is_contained` (≥ 90% of its
+    * shingles inside SOME single corpus doc — [[SetSimJoin
+    * .containmentJoin]] restricted to new→old pairs, d22's lossless
+    * prefix filter; catches re-posts with new boilerplate around old
+    * bodies). Output = the admission report for the batch. */
+  def d24IncrementalGate: Q = (spark, dir) => {
+    val docs = normedDocs(spark, dir)
+      .withColumn("dig", md5(col("text_norm")))
+      .withColumn("is_new", (col("doc_id") % 2) === 1)
+    val corpus = docs.filter(!col("is_new"))
+    val batch = docs.filter(col("is_new"))
+    val exactDup = batch.join(
+        corpus.select(col("dig")), Seq("dig"), "left_semi")
+      .select(col("doc_id")).withColumn("is_exact_dup", lit(true))
+    val withSet = docs.select(col("doc_id"),
+      array_distinct(MinHash.shingleHashes(col("text_norm"), 3)).as("s"))
+    val contained = SetSimJoin.containmentJoin(withSet, "doc_id", "s", 9, 10)
+      .filter(col("id_a") % 2 === 1 && col("id_b") % 2 === 0)
+      .select(col("id_a").as("doc_id")).distinct()
+      .withColumn("is_contained", lit(true))
+    batch.select("doc_id")
+      .join(exactDup, Seq("doc_id"), "left")
+      .join(contained, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("is_exact_dup"), lit(false)).as("is_exact_dup"),
+        coalesce(col("is_contained"), lit(false)).as("is_contained"))
+      .orderBy("doc_id")
+  }
+
+  val d24Sql: String =
+    """WITH n AS MATERIALIZED (
+      |  SELECT doc_id,
+      |         regexp_replace(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]*(feat\.|featuring|ft\.|&|and)[ \t\n\x0b\f\r]*', ';', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g') AS tn
+      |  FROM documents),
+      |sh AS MATERIALIZED (
+      |  SELECT doc_id,
+      |         CASE WHEN len(string_split(tn, ' ')) >= 3
+      |              THEN list_distinct(list_transform(range(1, len(string_split(tn, ' ')) - 1),
+      |                     i -> string_split(tn, ' ')[i] || ' ' || string_split(tn, ' ')[i+1] || ' ' || string_split(tn, ' ')[i+2]))
+      |              ELSE list_distinct([tn]) END AS s
+      |  FROM n),
+      |ex AS MATERIALIZED (
+      |  SELECT DISTINCT a.doc_id FROM n a JOIN n b
+      |    ON md5(a.tn) = md5(b.tn) AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+      |ct AS MATERIALIZED (
+      |  SELECT DISTINCT a.doc_id FROM sh a JOIN sh b
+      |    ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+      |   AND len(b.s) * 10 >= len(a.s) * 9
+      |   AND len(list_intersect(a.s, b.s)) * 10 >= len(a.s) * 9)
+      |SELECT n.doc_id,
+      |       (ex.doc_id IS NOT NULL) AS is_exact_dup,
+      |       (ct.doc_id IS NOT NULL) AS is_contained
+      |FROM n LEFT JOIN ex ON n.doc_id = ex.doc_id
+      |       LEFT JOIN ct ON n.doc_id = ct.doc_id
+      |WHERE n.doc_id % 2 = 1
+      |ORDER BY n.doc_id""".stripMargin
+
   /** #143 (d23): duplicated-span REMOVAL — the cleaning step d19's
     * statistics exist for (Lee et al. ACL'22 remove, not just count):
     * every token covered by a cross-doc duplicated 8-gram is excised
@@ -1371,6 +1474,8 @@ object LlmQueries {
     "d21_source_overlap" -> d21SourceOverlap,
     "d22_containment" -> d22Containment,
     "d23_dup_span_removal" -> d23DupSpanRemoval,
+    "d24_incremental_gate" -> d24IncrementalGate,
+    "d25_hits" -> d25Hits,
     "d15_canonical_pick" -> d15CanonicalPick,
     "d16_triangles" -> d16Triangles,
     "d17_cdc_chunk_dedup" -> d17CdcChunkDedup,
@@ -1415,6 +1520,8 @@ object LlmQueries {
     "d21_source_overlap" -> d21Sql,
     "d22_containment" -> d22Sql,
     "d23_dup_span_removal" -> d23Sql,
+    "d24_incremental_gate" -> d24Sql,
+    "d25_hits" -> d25Sql,
     "d15_canonical_pick" -> d15Sql,
     "d16_triangles" -> d16Sql,
     "d17_cdc_chunk_dedup" -> d17Sql,

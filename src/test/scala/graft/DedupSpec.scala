@@ -354,6 +354,34 @@ class DedupSpec extends AnyFunSuite {
     assert(r(5L).split(" ").length == 17, s"within-doc repeat was excised: ${r(5L)}")
   }
 
+  test("d24 gate: exact-dup and containment flags fire on planted batch docs") {
+    import graft.dedup.SetSimJoin
+    // even ids = corpus, odd = new batch (the query's parity rule):
+    // 3 is a verbatim copy of 2; 5 is 2's first 12 words (contained);
+    // 7 is fresh. w20 is long enough that the 12-word prefix stays
+    // under jaccard but over containment.
+    val w20 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (2L, w20), (4L, (1 to 15).map(i => s"z$i").mkString(" ")),
+      (3L, w20),
+      (5L, (1 to 12).map(i => s"w$i").mkString(" ")),
+      (7L, (1 to 15).map(i => s"q$i").mkString(" "))
+    ).toDF("doc_id", "text")
+      .withColumn("text_norm", TextNorm.normalizeText(col("text")))
+    val withDig = docs.withColumn("dig", md5(col("text_norm")))
+      .withColumn("is_new", (col("doc_id") % 2) === 1)
+    val exact = withDig.filter(col("is_new"))
+      .join(withDig.filter(!col("is_new")).select("dig"), Seq("dig"), "left_semi")
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact == Set(3L), exact.toString)
+    val withSet = docs.select(col("doc_id"),
+      array_distinct(MinHash.shingleHashes(col("text_norm"), 3)).as("s"))
+    val contained = SetSimJoin.containmentJoin(withSet, "doc_id", "s", 9, 10)
+      .filter(col("id_a") % 2 === 1 && col("id_b") % 2 === 0)
+      .select("id_a").as[Long].collect().toSet
+    assert(contained == Set(3L, 5L), contained.toString)
+  }
+
   test("t20 novelty: a gram is novel only for its smallest-doc_id owner") {
     // Same corpus as the d19 test: docs 1 and 2 share two 8-grams.
     // Doc 1 (smaller id) owns them — all 4 of its grams are novel;

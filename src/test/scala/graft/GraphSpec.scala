@@ -112,6 +112,30 @@ class GraphSpec extends AnyFunSuite {
     assert(r2 == r)
   }
 
+  test("HITS: a part demanded by every customer out-ranks a single-buyer part") {
+    import graft.graph.Hits
+    // customers 1,2,3 all buy part 100; only customer 1 buys part 200.
+    // Authority must rank 100 above 200, and hub-weighting must give
+    // 200 a nonzero score (its buyer is a good hub).
+    val e = Seq((1L, 100L), (2L, 100L), (3L, 100L), (1L, 200L)).toDF("src", "dst")
+    val r = Hits.authorities(e, iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r(100L) > r(200L) && r(200L) > 0L, r.toString)
+    // scores are normalized: they sum to <= scale with floor leakage
+    assert(r.values.sum <= 1000000L && r.values.sum > 990000L, r.toString)
+  }
+
+  test("HITS through a reliable checkpoint dir is identical to localCheckpoint") {
+    import graft.graph.Hits
+    val dir = java.nio.file.Files.createTempDirectory("hits_chk").toString
+    val e = Seq((1L, 100L), (2L, 100L), (3L, 100L), (1L, 200L), (2L, 300L))
+      .toDF("src", "dst")
+    val local = Hits.authorities(e, iterations = 3).as[(Long, Long)].collect().toMap
+    val reliable = Hits.authorities(e, iterations = 3, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(reliable == local)
+  }
+
   test("k-core through a reliable checkpoint dir is identical to localCheckpoint") {
     import graft.graph.KCore
     val dir = java.nio.file.Files.createTempDirectory("kcore_chk").toString

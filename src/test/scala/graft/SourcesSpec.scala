@@ -251,4 +251,31 @@ class SourcesSpec extends AnyFunSuite {
     }
     assert(r._1 == fnv("abc"))
   }
+
+  test("sketch store: OR-merged per-batch blooms equal the one-pass union bloom") {
+    import graft.functions.BloomFilter
+    import graft.sources.SketchStore
+    val d1 = Files.createTempDirectory("bloom_a").toString
+    val d2 = Files.createTempDirectory("bloom_b").toString
+    val a = (1L to 400L).toDF("k")
+    val b = (300L to 700L).toDF("k")
+    // expectedKeys must MATCH across batches (same sizing → same bit
+    // geometry); that's the contract mergeBloom enforces
+    val fa = BloomFilter.buildLong(a, "k", expectedKeys = 1000L)
+    val fb = BloomFilter.buildLong(b, "k", expectedKeys = 1000L)
+    SketchStore.saveBloom(spark, fa, d1)
+    SketchStore.saveBloom(spark, fb, d2)
+    val merged = SketchStore.mergeBloom(
+      SketchStore.loadBloom(spark, d1), SketchStore.loadBloom(spark, d2))
+    // bloom insert only sets bits → OR-merge is BIT-identical to the
+    // union-built filter, not merely equivalent
+    val union = BloomFilter.buildLong(a.unionAll(b), "k", expectedKeys = 1000L)
+    assert(merged.words.toSeq == union.words.toSeq)
+    assert((1L to 700L).forall(merged.contains), "merged sketch lost a key")
+    val fresh = (100000L to 101000L).count(merged.contains)
+    assert(fresh <= 50, s"fp rate implausibly high: $fresh/1000")
+    intercept[IllegalArgumentException] {
+      SketchStore.mergeBloom(fa, BloomFilter.buildLong(b, "k", expectedKeys = 1000000L))
+    }
+  }
 }
