@@ -189,13 +189,42 @@ object ScaleQueries {
        |  FROM orders)
        |ORDER BY o_orderkey""".stripMargin
 
+  /** #146 (q64): global sequence + running total
+    * ([[graft.etl.GlobalOrder]]) — contiguous 1-based sample indices
+    * and a global running balance over ALL customers in c_custkey
+    * order, WITHOUT the empty-partition `row_number() OVER (ORDER
+    * BY …)` window that funnels the whole table through one task.
+    * Deterministic width-bucketed two-pass prefix sum: per-bucket
+    * partials, a ≤-nb-row offset frame broadcast back, per-bucket
+    * windows. Cents stay integral (round-half-up ×100, the q50
+    * convention) so the running total is exact on both engines. */
+  def q64GlobalSeq: Q = (spark, dir) => {
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("bal_cents"))
+    graft.etl.GlobalOrder
+      .withGlobalSeq(base, "c_custkey", Nil,
+        valueCol = Some("bal_cents"), seqCol = "seq", runCol = "run_cents")
+      .select(col("c_custkey"), col("seq"), col("run_cents"))
+      .orderBy("c_custkey")
+  }
+
+  val q64Sql: String =
+    """SELECT c_custkey,
+      |       CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS seq,
+      |       CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT))
+      |            OVER (ORDER BY c_custkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q34_heavy_hitters" -> q34HeavyHitters,
     "q35_salted_join" -> q35SaltedJoin,
     "q36_bucketed_join" -> q36BucketedJoin,
     "q43_incremental_agg" -> q43IncrementalAgg,
     "q45_bloom_prejoin" -> q45BloomPrejoin,
-    "q47_zorder" -> q47ZOrder)
+    "q47_zorder" -> q47ZOrder,
+    "q64_global_seq" -> q64GlobalSeq)
 
   val oracles: Seq[(String, String)] = Seq(
     "q34_heavy_hitters" -> q34Sql,
@@ -203,5 +232,6 @@ object ScaleQueries {
     "q36_bucketed_join" -> q36Sql,
     "q43_incremental_agg" -> q43Sql,
     "q45_bloom_prejoin" -> q45Sql,
-    "q47_zorder" -> q47Sql)
+    "q47_zorder" -> q47Sql,
+    "q64_global_seq" -> q64Sql)
 }

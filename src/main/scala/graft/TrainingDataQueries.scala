@@ -925,7 +925,50 @@ object TrainingDataQueries {
       |FROM agg JOIN tl ON agg.source = tl.tsource AND tl.rn = 1
       |ORDER BY agg.source""".stripMargin
 
+  /** #147 (t22): deterministic length-proportional corpus sampling —
+    * Madow systematic sampling over the global running character
+    * total ([[graft.etl.GlobalOrder]]): a doc is picked once per
+    * stride boundary its cumulative span crosses, so inclusion is
+    * ∝ n_chars (token-budget-proportional), the draw count is fixed
+    * (≈ total/stride), and the whole draw is reproducible — unlike
+    * Poisson/reservoir sampling, re-ingesting the corpus can never
+    * flip a pick. `n_picks` > 1 = a doc longer than the stride
+    * (with-replacement multiplicity, the weighted-sampling analog of
+    * oversampling long docs). One pass + the GlobalOrder prefix sum;
+    * no global window, no driver-side state. */
+  def t22WeightedSample: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val step = docs.agg(
+      greatest(lit(1L), (sum("n_chars") / 50).cast(LongType)).as("step"))
+    graft.etl.GlobalOrder
+      .withGlobalSeq(docs, "doc_id", Nil,
+        valueCol = Some("n_chars"), runCol = "run_chars")
+      .crossJoin(broadcast(step))
+      .filter(expr("run_chars div step > (run_chars - n_chars) div step"))
+      .select(col("doc_id"), col("n_chars"), col("run_chars"),
+        expr("run_chars div step - (run_chars - n_chars) div step")
+          .cast(LongType).as("n_picks"))
+      .orderBy("doc_id")
+  }
+
+  val t22Sql: String =
+    """WITH r AS MATERIALIZED (
+      |  SELECT doc_id, n_chars,
+      |         CAST(SUM(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |              AS BIGINT) AS run_chars
+      |  FROM documents),
+      |s AS MATERIALIZED (
+      |  SELECT GREATEST(1, CAST(SUM(n_chars) AS BIGINT) // 50) AS step
+      |  FROM documents)
+      |SELECT doc_id, n_chars, run_chars,
+      |       CAST(run_chars // step - (run_chars - n_chars) // step AS BIGINT)
+      |         AS n_picks
+      |FROM r CROSS JOIN s
+      |WHERE run_chars // step > (run_chars - n_chars) // step
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "t22_weighted_sample" -> t22WeightedSample,
     "t19_corpus_report" -> t19CorpusReport,
     "t18_bpe_merges" -> t18BpeMerges,
     "t21_bpe_encode" -> t21BpeEncode,
@@ -946,6 +989,7 @@ object TrainingDataQueries {
     "d11_corpus_pipeline" -> d11CorpusPipeline)
 
   val oracles: Seq[(String, String)] = Seq(
+    "t22_weighted_sample" -> t22Sql,
     "t19_corpus_report" -> t19Sql,
     "t18_bpe_merges" -> t18Sql,
     "t21_bpe_encode" -> t21Sql,

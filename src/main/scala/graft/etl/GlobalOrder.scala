@@ -1,0 +1,92 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Scale-safe GLOBAL order statistics — row numbers and running
+  * totals over a total order of the WHOLE table without the
+  * single-task `row_number() OVER (ORDER BY …)` window (an empty
+  * partition spec funnels every row through one task: the
+  * global-sequence scale-killer, the whole-table sibling of the q50
+  * low-cardinality-key shape).
+  *
+  * Regime — a deterministic two-pass distributed prefix sum (the
+  * TeraSort offset trick, minus sampled boundaries):
+  *
+  *   1. ORDER-ALIGNED BUCKETS from the key's value domain: a tiny
+  *      min/max aggregate (1 row, broadcast back) fixes equal-width
+  *      bucket bounds, so bucket assignment is a pure deterministic
+  *      expression of the key. `repartitionByRange` is deliberately
+  *      NOT used: its RangePartitioner SAMPLES boundaries, and the
+  *      bucketed frame appears in two subplans here (partials + final
+  *      windows) — if exchange reuse ever failed to kick in, two
+  *      samplings could disagree and mis-assign offsets. Width-based
+  *      buckets cannot drift.
+  *   2. per-bucket partials (count + sum) — map-side-combined, output
+  *      ≤ `buckets` rows.
+  *   3. exclusive prefix offsets over that tiny frame — the ONLY
+  *      unpartitioned window, and it sees ≤ `buckets` rows: bounded
+  *      by configuration, not data.
+  *   4. offsets broadcast back; `row_number` / running `sum` windows
+  *      partitioned by bucket id — high-cardinality key, one bucket
+  *      per task, full parallelism.
+  *
+  * Equal-width buckets assume the key domain is not pathologically
+  * skewed; oversubscribe (default 8× shuffle partitions) so moderate
+  * skew still leaves each bucket a small slice. For dense surrogate
+  * keys (the training-sample-indexing case) the split is exactly
+  * balanced. Inputs are scanned twice (partials + final) — at scale,
+  * both scans are column-pruned parquet reads, the same trade
+  * [[graft.functions.HistogramRank]] makes.
+  *
+  * Requirements: `key` non-null numeric; (key, ties) a total order
+  * (tie-free). Running totals are exact for integral `valueCol`.
+  */
+object GlobalOrder {
+
+  /** Adds `seqCol` — the 1-based global row number in (key, ties)
+    * order — and, when `valueCol` is set, `runCol` — the inclusive
+    * global running total of `valueCol` in that same order. */
+  def withGlobalSeq(df: DataFrame, key: String, ties: Seq[String],
+                    valueCol: Option[String] = None,
+                    seqCol: String = "seq", runCol: String = "run",
+                    buckets: Int = 0): DataFrame = {
+    val nb =
+      if (buckets > 0) buckets
+      else df.sparkSession.sessionState.conf.numShufflePartitions * 8
+    val bounds = df.agg(
+      min(col(key).cast(LongType)).as("_go_lo"),
+      max(col(key).cast(LongType)).as("_go_hi"))
+    // bucket width ≥ 1 and ≈ domain/nb ⇒ bucket ids land in [0, nb]
+    val withB = df.crossJoin(broadcast(bounds))
+      .withColumn("_go_b",
+        (col(key).cast(LongType) - col("_go_lo")) /
+          ((col("_go_hi") - col("_go_lo")) / nb + lit(1L)))
+      .withColumn("_go_b", col("_go_b").cast(LongType))
+      .drop("_go_lo", "_go_hi")
+    val partials = withB.groupBy("_go_b").agg(
+      count(lit(1)).as("_go_cnt"),
+      valueCol.map(v => sum(col(v)).as("_go_sum"))
+        .getOrElse(lit(0L).as("_go_sum")))
+    val wOff = Window.orderBy("_go_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = partials.select(
+      col("_go_b"),
+      coalesce(sum("_go_cnt").over(wOff), lit(0L)).as("_go_coff"),
+      coalesce(sum("_go_sum").over(wOff), lit(0L)).as("_go_soff"))
+    val wB = Window.partitionBy("_go_b")
+      .orderBy((key +: ties).map(col): _*)
+    val seqd = withB.join(broadcast(offsets), Seq("_go_b"))
+      .withColumn(seqCol,
+        col("_go_coff") + row_number().over(wB).cast(LongType))
+    val out = valueCol match {
+      case Some(v) => seqd.withColumn(runCol,
+        col("_go_soff") +
+          sum(col(v)).over(wB.rowsBetween(Window.unboundedPreceding, 0)))
+      case None => seqd
+    }
+    out.drop("_go_b", "_go_coff", "_go_soff")
+  }
+}

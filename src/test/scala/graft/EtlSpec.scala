@@ -160,4 +160,33 @@ class EtlSpec extends AnyFunSuite {
       .select("fp").as[Seq[Long]].head()
     assert(fps.nonEmpty)
   }
+
+  test("GlobalOrder matches the single-task global window on adversarial domains") {
+    import org.apache.spark.sql.expressions.Window
+    // negative keys, a huge gap (skewed domain → most width-buckets
+    // empty), duplicate keys broken by a ties column, negative values
+    val rows = Seq(
+      (-50L, 1L, 7L), (-50L, 2L, -3L), (0L, 1L, 10L),
+      (999999L, 1L, 1L), (1000000L, 1L, 5L), (3L, 9L, -2L), (17L, 1L, 4L))
+    val df = rows.toDF("k", "t", "v").repartition(5)
+    val got = GlobalOrder
+      .withGlobalSeq(df, "k", Seq("t"), valueCol = Some("v"),
+        seqCol = "seq", runCol = "run", buckets = 7)
+      .select("k", "t", "seq", "run")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val w = Window.orderBy("k", "t")
+    val want = df
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .withColumn("run", sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select("k", "t", "seq", "run")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want, s"got $got\nwant $want")
+  }
+
+  test("GlobalOrder without a value column assigns a contiguous 1..n sequence") {
+    val df = (1L to 100L).map(i => (i * 31 % 97, i)).toDF("k", "t")
+    val seqs = GlobalOrder.withGlobalSeq(df, "k", Seq("t"))
+      .select("seq").as[Long].collect().sorted.toSeq
+    assert(seqs == (1L to 100L))
+  }
 }

@@ -234,6 +234,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q64 global seq never row_numbers the whole table in one window task") {
+    import org.apache.spark.sql.catalyst.expressions.{RowNumber, WindowExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("q64_global_seq")(spark, sf)
+    // the row_number window must be PARTITIONED (by the bucket id) —
+    // an empty partitionSpec is the single-task global-sort shape
+    // GlobalOrder exists to avoid. The only unpartitioned window
+    // (offset prefix sums) carries plain SUMs over the tiny partials.
+    df.queryExecution.optimizedPlan.foreach {
+      case w: LWindow =>
+        val hasRowNumber = w.windowExpressions.exists(_.collectFirst {
+          case WindowExpression(_: RowNumber, _) => true }.nonEmpty)
+        if (hasRowNumber)
+          assert(w.partitionSpec.nonEmpty,
+            s"global row_number window must be bucket-partitioned:\n$w")
+      case _ => ()
+    }
+    // offsets come back via broadcast, not a shuffled join
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      df.queryExecution.executedPlan.toString.take(2000))
+  }
+
   test("q50 derives ranks from the histogram — no rank window over the segment") {
     val p = planOf("q50_window_stats")
     for (fn <- Seq("ntile", "percent_rank", "cume_dist"))
