@@ -1658,7 +1658,43 @@ object AnalyticsQueries {
       |       1000000 * max_cnt // n_rows AS top1_ppm, hot_keys, hot_rows
       |FROM r ORDER BY key_name""".stripMargin
 
+  /** #148 (q65): trailing-7-day rolling distinct users per day —
+    * the DAU/WAU family. The scalable shape is a BOUNDED EXPLODE,
+    * not a range join: each (day, user) pair contributes itself to
+    * the 7 target days it can influence (`sequence(day, day+6)`,
+    * 7× linear fanout), then one exact distinct count per target
+    * day. A range join (`u.day BETWEEN d-6 AND d`) evaluates
+    * |dayUsers| × |days| pairs — at 10 years of 100-TB events the
+    * day list alone makes that a 3650× blowup, while the explode
+    * stays 7× regardless of history length. Days with no events
+    * report nothing (semi-join against observed days): a trailing
+    * window over silence is a gap-fill (q56) concern, kept
+    * orthogonal. */
+  def q65RollingDistinct: Q = (spark, dir) => {
+    val du = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val days = du.select(col("day").as("tday")).distinct()
+    du.select(
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("tday"),
+        col("user_id"))
+      .join(days, Seq("tday"), "left_semi")
+      .groupBy("tday")
+      .agg(countDistinct("user_id").as("n_active_7d"))
+      .select(col("tday").as("day"), col("n_active_7d"))
+      .orderBy("day")
+  }
+
+  val q65Sql: String =
+    """WITH du AS MATERIALIZED (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |d AS MATERIALIZED (SELECT DISTINCT day AS tday FROM du)
+      |SELECT d.tday AS day,
+      |       CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS n_active_7d
+      |FROM d JOIN du ON du.day BETWEEN d.tday - 6 AND d.tday
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q65_rolling_distinct" -> q65RollingDistinct,
     "q50_window_stats" -> q50WindowStats,
     "q51_interval_sweep" -> q51IntervalSweep,
     "q52_ewma" -> q52Ewma,
@@ -1698,6 +1734,7 @@ object AnalyticsQueries {
     "q49_cohort_retention" -> q49CohortRetention)
 
   val oracles: Seq[(String, String)] = Seq(
+    "q65_rolling_distinct" -> q65Sql,
     "q50_window_stats" -> q50Sql,
     "q51_interval_sweep" -> q51Sql,
     "q52_ewma" -> q52Sql,

@@ -547,7 +547,77 @@ object CoreQueries {
       |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '1996-06-01')
       |ORDER BY o_custkey""".stripMargin
 
+  /** #149 (q66): reconciliation diff report — "did the migration
+    * copy the table correctly?", answered without comparing wide rows:
+    * each side reduces to (key, 16-byte row digest) at the scan
+    * (md5 of a canonical '|'-joined projection, cents-integer for the
+    * monetary column so both engines stringify identically), then ONE
+    * full-outer shuffle join on the key classifies every row as
+    * match / mismatch / only-in-source / only-in-target, and a tiny
+    * aggregate emits the per-status report with key bounds for
+    * triage. At 100 TB the shuffle carries ~24 bytes/row regardless
+    * of row width — this is the digest-compare discipline replica
+    * verification needs. The "source" here is a deterministic
+    * perturbation of customer (drops every 37th key, shifts every
+    * 11th balance) so all four statuses are exercised and the oracle
+    * sees the same two frames. */
+  def q66Reconcile: Q = (spark, dir) => {
+    def digested(bal: Column): Column =
+      md5(concat_ws("|", col("c_name"), col("c_nationkey"),
+        col("c_mktsegment"), round(bal * 100, 0).cast(LongType)))
+    val base = Tables.customer(spark, dir)
+    val target = base.select(col("c_custkey").as("k"),
+      digested(col("c_acctbal")).as("dig"))
+    val source = base.filter(col("c_custkey") % 37 =!= 0)
+      .select(col("c_custkey").as("k"),
+        digested(when(col("c_custkey") % 11 === 0,
+          col("c_acctbal") + 100).otherwise(col("c_acctbal"))).as("dig"))
+      .unionAll(base.filter(col("c_custkey") % 53 === 0)
+        .select((col("c_custkey") + 10000000L).as("k"),
+          digested(col("c_acctbal")).as("dig")))
+    source.withColumnRenamed("dig", "sdig")
+      .join(target.withColumnRenamed("dig", "tdig"), Seq("k"), "full_outer")
+      .select(col("k"),
+        when(col("tdig").isNull, "only_in_source")
+          .when(col("sdig").isNull, "only_in_target")
+          .when(col("sdig") === col("tdig"), "match")
+          .otherwise("mismatch").as("status"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_rows"),
+        min("k").as("min_key"), max("k").as("max_key"))
+      .orderBy("status")
+  }
+
+  val q66Sql: String =
+    """WITH t AS MATERIALIZED (
+      |  SELECT c_custkey AS k,
+      |         md5(concat_ws('|', c_name, c_nationkey, c_mktsegment,
+      |             CAST(round(c_acctbal * 100, 0) AS BIGINT))) AS tdig
+      |  FROM customer),
+      |s AS MATERIALIZED (
+      |  SELECT c_custkey AS k,
+      |         md5(concat_ws('|', c_name, c_nationkey, c_mktsegment,
+      |             CAST(round((CASE WHEN c_custkey % 11 = 0
+      |                              THEN c_acctbal + 100
+      |                              ELSE c_acctbal END) * 100, 0) AS BIGINT))) AS sdig
+      |  FROM customer WHERE c_custkey % 37 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000 AS k,
+      |         md5(concat_ws('|', c_name, c_nationkey, c_mktsegment,
+      |             CAST(round(c_acctbal * 100, 0) AS BIGINT))) AS sdig
+      |  FROM customer WHERE c_custkey % 53 = 0)
+      |SELECT CASE WHEN tdig IS NULL THEN 'only_in_source'
+      |            WHEN sdig IS NULL THEN 'only_in_target'
+      |            WHEN sdig = tdig THEN 'match'
+      |            ELSE 'mismatch' END AS status,
+      |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(MIN(k) AS BIGINT) AS min_key,
+      |       CAST(MAX(k) AS BIGINT) AS max_key
+      |FROM s FULL OUTER JOIN t USING (k)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q66_reconcile" -> q66Reconcile,
     "q01_filter_project" -> q01FilterProject,
     "q02_agg_pricing" -> q02AggPricing,
     "q03_join_enrich" -> q03JoinEnrich,
@@ -570,6 +640,7 @@ object CoreQueries {
     "q63_scd2_snapshot" -> q63Scd2Snapshot)
 
   val oracles: Seq[(String, String)] = Seq(
+    "q66_reconcile" -> q66Sql,
     "q01_filter_project" -> q01Sql,
     "q02_agg_pricing" -> q02Sql,
     "q03_join_enrich" -> q03Sql,

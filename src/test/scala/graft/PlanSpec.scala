@@ -234,6 +234,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q65 rolling distinct is a bounded explode, never a day-range nested loop") {
+    val p = planOf("q65_rolling_distinct")
+    assert(p.contains("Generate explode"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range-join shape leaked into q65:\n${p.take(2000)}")
+  }
+
+  test("q66 reconcile joins 16-byte digests, not wide rows") {
+    val p = planOf("q66_reconcile")
+    assert(p.contains("FullOuter"), p.take(2000))
+    // the shuffled frames must already be (key, digest): no raw
+    // attribute of the compared row survives past the scan projection
+    val joinLine = p.linesIterator.find(_.contains("FullOuter")).getOrElse("")
+    for (c <- Seq("c_name", "c_mktsegment", "c_acctbal"))
+      assert(!joinLine.contains(c), s"wide column $c reached the join: $joinLine")
+  }
+
   test("q64 global seq never row_numbers the whole table in one window task") {
     import org.apache.spark.sql.catalyst.expressions.{RowNumber, WindowExpression}
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
