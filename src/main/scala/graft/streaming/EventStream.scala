@@ -160,6 +160,38 @@ object EventStream {
       nBuckets = nBuckets, bucketBits = bucketBits)
   }
 
+  /** Streaming ingest gate — the streaming twin of batch d24's
+    * admission decision: admit only stream docs whose normalized-text
+    * digest is NOT already in the STATIC corpus. The exact decision is
+    * a stream-static left-anti join on the 16-byte digest (recomputed
+    * per micro-batch, no stream state); the optional `corpusBloom` —
+    * at scale, the OR-merge of [[graft.sources.SketchStore]] per-batch
+    * artifacts, kilobytes per ingest day — short-circuits it: a
+    * bloom-NEGATIVE doc is provably new and is admitted straight from
+    * the scan (a codegen'd filter, zero join work), so only the
+    * bloom-positive sliver (true dups + ~fpp of the new) pays the
+    * join. Bloom FPs cost a redundant probe, never a wrong answer;
+    * both paths are result-identical (spec-pinned). Within-stream
+    * replay protection is [[bloomDedupStream]]'s job — compose them.
+    * Input needs a `text_norm` column (the d24 normalization);
+    * `corpusDigests` needs a `dig` column of md5(text_norm). */
+  def ingestGateStream(docs: DataFrame, corpusDigests: DataFrame,
+                       corpusBloom: Option[graft.functions.BloomFilter.Filter] = None)
+      : DataFrame = {
+    import graft.functions.BloomFilter
+    val dig = docs.withColumn("dig", md5(col("text_norm")))
+    corpusBloom match {
+      case None => dig.join(corpusDigests, Seq("dig"), "left_anti")
+      case Some(f) =>
+        val key = xxhash64(col("text_norm"))
+        // unionByName: the USING join reorders `dig` to the front
+        dig.filter(!BloomFilter.mightContain(key, f))
+          .unionByName(
+            dig.filter(BloomFilter.mightContain(key, f))
+              .join(corpusDigests, Seq("dig"), "left_anti"))
+    }
+  }
+
   /** Streaming anomaly flags — the streaming twin of q54's integer z²
     * test: per event type the state is three integers (n, Σx, Σx²) of
     * all PRIOR events, and each arriving event is tested prequentially

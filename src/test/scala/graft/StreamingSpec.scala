@@ -606,4 +606,39 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.nonEmpty && rows.max <= 8, rows.toSeq)
     } finally query.stop()
   }
+
+  test("ingest gate stream: corpus dups rejected, bloom path result-identical") {
+    import graft.functions.BloomFilter
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val corpusTexts = Seq("old doc one", "old doc two", "old doc three")
+    val corpus = corpusTexts.toDF("text_norm")
+      .select(md5($"text_norm").as("dig"), xxhash64($"text_norm").as("k"))
+    val bloom = BloomFilter.buildLong(corpus, "k", expectedKeys = 100L)
+    val staticDigs = corpus.select("dig")
+
+    def run(bf: Option[BloomFilter.Filter], name: String): Map[Long, String] = {
+      val input = MemoryStream[(Long, String)]
+      val docs = input.toDF().toDF("doc_id", "text_norm")
+      val q = EventStream.ingestGateStream(docs, staticDigs, bf)
+        .select("doc_id", "text_norm")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        input.addData((1L, "old doc one"), (2L, "fresh doc a"))
+        q.processAllAvailable()
+        input.addData((3L, "old doc three"), (4L, "fresh doc b"))
+        q.processAllAvailable()
+        spark.table(name).as[(Long, String)].collect().toMap
+      } finally q.stop()
+    }
+
+    val exact = run(None, "gate_exact")
+    // corpus dups (1, 3) rejected across batches; fresh docs admitted
+    assert(exact == Map(2L -> "fresh doc a", 4L -> "fresh doc b"), exact.toString)
+    // the bloom-prefiltered fast path admits the exact same set — FPs
+    // can only send a new doc through the redundant anti join
+    assert(run(Some(bloom), "gate_bloom") == exact)
+  }
 }
