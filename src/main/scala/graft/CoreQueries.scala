@@ -616,7 +616,66 @@ object CoreQueries {
       |FROM s FULL OUTER JOIN t USING (k)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** #151 (q67): CDC changelog apply — materialize an insert/update/
+    * delete op log into the current snapshot: per key the LATEST op
+    * wins (op_ts order, out-of-order arrivals included), and a
+    * terminal delete removes the key. This is the missing half of
+    * q40's one-shot MERGE: a changelog REPLAYS many versions per key,
+    * so apply = keep-top-per-key (q07's shape — row_number desc + rank
+    * 1, which plans as WindowGroupLimit: per-task cost bounded by 1
+    * surviving row per key, never a full per-key sort buffer), then
+    * drop 'D' survivors. The changelog here is a deterministic
+    * four-source union over customer (insert@1, late-arriving
+    * update@2 for %11 keys, update@3 for %5, delete@4 for %7) so
+    * every precedence case is exercised: the late update beats only
+    * the insert, loses to the later update and the delete. */
+  def q67CdcApply: Q = (spark, dir) => {
+    val cents = round(col("c_acctbal") * 100, 0).cast(LongType)
+    val c = Tables.customer(spark, dir)
+    val log = c.select(col("c_custkey").as("k"), lit(1L).as("op_ts"),
+        lit("I").as("op"), cents.as("bal_cents"))
+      .unionByName(c.filter(col("c_custkey") % 11 === 0)
+        .select(col("c_custkey").as("k"), lit(2L).as("op_ts"),
+          lit("U").as("op"), (cents - 500L).as("bal_cents")))
+      .unionByName(c.filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey").as("k"), lit(3L).as("op_ts"),
+          lit("U").as("op"), (cents + 1000L).as("bal_cents")))
+      .unionByName(c.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey").as("k"), lit(4L).as("op_ts"),
+          lit("D").as("op"), lit(null).cast(LongType).as("bal_cents")))
+    val w = Window.partitionBy("k").orderBy(col("op_ts").desc)
+    log.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("k"), col("op_ts").as("last_ts"), col("bal_cents"))
+      .orderBy("k")
+  }
+
+  val q67Sql: String =
+    """WITH log AS MATERIALIZED (
+      |  SELECT c_custkey AS k, 1 AS op_ts, 'I' AS op,
+      |         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, 2, 'U',
+      |         CAST(round(c_acctbal * 100, 0) AS BIGINT) - 500
+      |  FROM customer WHERE c_custkey % 11 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, 3, 'U',
+      |         CAST(round(c_acctbal * 100, 0) AS BIGINT) + 1000
+      |  FROM customer WHERE c_custkey % 5 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, 4, 'D', NULL
+      |  FROM customer WHERE c_custkey % 7 = 0),
+      |r AS (
+      |  SELECT k, op_ts, op, bal_cents,
+      |         row_number() OVER (PARTITION BY k ORDER BY op_ts DESC) AS rn
+      |  FROM log)
+      |SELECT k, CAST(op_ts AS BIGINT) AS last_ts, bal_cents
+      |FROM r WHERE rn = 1 AND op <> 'D'
+      |ORDER BY k""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q67_cdc_apply" -> q67CdcApply,
     "q66_reconcile" -> q66Reconcile,
     "q01_filter_project" -> q01FilterProject,
     "q02_agg_pricing" -> q02AggPricing,
@@ -640,6 +699,7 @@ object CoreQueries {
     "q63_scd2_snapshot" -> q63Scd2Snapshot)
 
   val oracles: Seq[(String, String)] = Seq(
+    "q67_cdc_apply" -> q67Sql,
     "q66_reconcile" -> q66Sql,
     "q01_filter_project" -> q01Sql,
     "q02_agg_pricing" -> q02Sql,

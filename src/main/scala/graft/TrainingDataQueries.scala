@@ -967,7 +967,71 @@ object TrainingDataQueries {
       |WHERE run_chars // step > (run_chars - n_chars) // step
       |ORDER BY doc_id""".stripMargin
 
+  /** #152 (t23): leakage-safe train/valid/test split — t08's id-hash
+    * split leaks: two near-duplicate docs can hash into different
+    * splits, and the test set then contains paraphrases of training
+    * text (the contamination d09 audits for, self-inflicted). Here
+    * the split unit is the NEAR-DUP CLUSTER: d06's connected
+    * components give every doc a cluster root (singletons root at
+    * their own id via the left join), and the t08 hash-bucket rule is
+    * applied to the ROOT — every member of a cluster lands in the
+    * same split by construction, so cross-split near-dup leakage is
+    * structurally impossible, not just statistically unlikely. Same
+    * determinism contract as t08: re-ingesting can never flip a
+    * split (content-independent md5 of the root id). */
+  def t23LeakageSafeSplit: Q = (spark, dir) => {
+    val comp = LlmQueries.d06DedupClusters(spark, dir)
+      .withColumnRenamed("id", "doc_id")
+    Tables.documents(spark, dir).select("doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("root"))
+      .withColumn("bucket", hashBucket(col("root"), 10))
+      .withColumn("split",
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "valid").otherwise("test"))
+      .select("doc_id", "root", "split")
+      .orderBy("doc_id")
+  }
+
+  val t23Sql: String =
+    """WITH RECURSIVE
+      |toks AS (
+      |  SELECT doc_id,
+      |         string_split(regexp_replace(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]*(feat\.|featuring|ft\.|&|and)[ \t\n\x0b\f\r]*', ';', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(w) >= 3
+      |              THEN list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |              ELSE list_distinct([array_to_string(w, ' ')]) END AS s
+      |  FROM toks),
+      |p AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM sh a JOIN sh b
+      |    ON a.doc_id < b.doc_id
+      |   AND len(b.s) <= 2 * len(a.s) AND len(a.s) <= 2 * len(b.s)
+      |  WHERE len(list_intersect(a.s, b.s)) > 0
+      |    AND len(list_intersect(a.s, b.s)) * 2 >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+      |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+      |n AS (SELECT a AS id FROM e UNION SELECT b FROM e),
+      |r(id, reach) AS (
+      |  SELECT id, id FROM n
+      |  UNION
+      |  SELECT r.id, e.b FROM r JOIN e ON r.reach = e.a),
+      |c AS (SELECT id, MIN(reach) AS comp FROM r GROUP BY id),
+      |ro AS (
+      |  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS root
+      |  FROM documents d LEFT JOIN c ON d.doc_id = c.id)
+      |SELECT doc_id, root,
+      |       CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'valid'
+      |            ELSE 'test' END AS split
+      |FROM (SELECT doc_id, root,
+      |             CAST(('0x' || substr(md5(CAST(root AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS b
+      |      FROM ro)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "t23_leakage_safe_split" -> t23LeakageSafeSplit,
     "t22_weighted_sample" -> t22WeightedSample,
     "t19_corpus_report" -> t19CorpusReport,
     "t18_bpe_merges" -> t18BpeMerges,
@@ -989,6 +1053,7 @@ object TrainingDataQueries {
     "d11_corpus_pipeline" -> d11CorpusPipeline)
 
   val oracles: Seq[(String, String)] = Seq(
+    "t23_leakage_safe_split" -> t23Sql,
     "t22_weighted_sample" -> t22Sql,
     "t19_corpus_report" -> t19Sql,
     "t18_bpe_merges" -> t18Sql,

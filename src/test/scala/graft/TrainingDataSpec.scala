@@ -320,4 +320,17 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got.map(_._3).sum < got.map(t => chars(t._1)).sum,
       "5 merges shrank nothing — apply step is a no-op")
   }
+
+  test("t23: near-duplicate docs never straddle a split boundary") {
+    val split = TrainingDataQueries.t23LeakageSafeSplit(spark, TestSpark.Sf)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val edges = LlmQueries.d04NgramJaccard(spark, TestSpark.Sf)
+      .select("doc_id1", "doc_id2").as[(Long, Long)].collect()
+    assert(edges.nonEmpty, "no near-dup pairs in the fixture — property untestable")
+    // THE leakage property: every near-dup pair shares a split
+    for ((a, b) <- edges)
+      assert(split(a) == split(b), s"near-dups $a/$b split across ${split(a)}/${split(b)}")
+    // still a real split: more than one split represented overall
+    assert(split.values.toSet.size > 1, split.values.toSet.toString)
+  }
 }
