@@ -13,6 +13,16 @@ object AnalyticsQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** THE session-boundary rule: a new session starts when there is no
+    * prior event or the gap since it exceeds 30 minutes. Single
+    * definition shared by q20_sessionize / q37_range_join (via
+    * `sessionsOf`) and q59_transitions — the round-6 NTZ regression had
+    * to be fixed in two places precisely because this was duplicated. */
+  private[graft] def isSessionBreak(ts: Column, prevTs: Column): Column =
+    when(prevTs.isNull ||
+         unix_micros(ts) - unix_micros(prevTs) > 1800L * 1000000L, 1L)
+      .otherwise(0L)
+
   /** #34: describe/summary statistics (eda.ipynb `df.describe()`).
     * min/max pass through raw. mean/std are derived from EXACT decimal
     * sums (x and x² cast to decimal per row — exact for 2-decimal
@@ -123,10 +133,7 @@ object AnalyticsQueries {
     val cum = Window.partitionBy("user_id").orderBy("ts")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ev.withColumn("prev_ts", lag("ts", 1).over(byUser))
-      .withColumn("is_break",
-        when(col("prev_ts").isNull ||
-             unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
-          .otherwise(0L))
+      .withColumn("is_break", isSessionBreak(col("ts"), col("prev_ts")))
       .withColumn("session_id", sum("is_break").over(cum))
       .groupBy("user_id", "session_id")
       .agg(
@@ -1334,10 +1341,7 @@ object AnalyticsQueries {
     Tables.events(spark, dir)
       .select("user_id", "ts", "event_id", "event_type")
       .withColumn("prev_ts", lag("ts", 1).over(byUser))
-      .withColumn("is_break",
-        when(col("prev_ts").isNull ||
-             unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
-          .otherwise(0L))
+      .withColumn("is_break", isSessionBreak(col("ts"), col("prev_ts")))
       .withColumn("session_id", sum("is_break").over(cum))
       .withColumn("next_type", lead("event_type", 1).over(byUser))
       .withColumn("next_session", lead("session_id", 1).over(byUser))
