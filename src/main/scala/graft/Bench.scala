@@ -28,21 +28,43 @@ object Bench {
     // a failed query must not read as a ~0 s performance win: report
     // it on stderr and as -1 in the JSON so regressions are visible
     // optional name filter (local iteration: `runMain graft.Bench q53_cooccurrence`)
+    // Deterministic name order — map-iteration order reshuffled every
+    // round as keys were added, moving each query's position relative
+    // to GC/codegen-cache pressure and inflating unchanged queries up
+    // to 21× between rounds (r6 audit: q32 29.4 s in-suite vs 2.39 s
+    // isolated).
     val selected =
-      if (args.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      (if (args.isEmpty) SparkEntry.queries
+       else SparkEntry.queries.filter { case (n, _) => args.contains(n) })
+        .toSeq.sortBy(_._1)
+    // Multiple full passes, report per-query MINIMA: the min over
+    // passes is the position-noise-free estimate of the query's true
+    // cost (heap/codegen-cache interference only ever adds time).
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    val timings = (1 to passes).map { pass =>
+      // fresh stage root: a pass must rebuild shared staged artifacts
+      // (pair graph, cluster table) instead of reporting the previous
+      // pass's parquet read as the operator's cost
+      StageRoots.reset()
+      selected.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed (pass $pass): ${e.getMessage}"); false
+          }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }.toMap
+    }
+    val results = selected.map { case (name, _) =>
+      val runs = timings.map(_(name))
+      // a query that failed on ANY pass reports -1: a flaky failure
+      // must not hide behind one lucky pass
+      name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // the driver captures only a stdout tail (BENCH_r04/r05 lost ~1/3 of

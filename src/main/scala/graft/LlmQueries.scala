@@ -83,20 +83,33 @@ object LlmQueries {
     * query, and a scale-killer at unbounded block population).
     * Integer (intersection, union) outputs + integer threshold
     * compare (inter·2 ≥ union ⇔ J ≥ 0.5) — no float ambiguity. */
-  def d04NgramJaccard: Q = (spark, dir) => {
-    // shingle sets as 64-bit fingerprints (1:1 with the oracle's
-    // string shingles — each is a hash of the same contiguous byte
-    // range), so |∩| and |∪| are identical while all joins compare
-    // longs instead of building strings through interpreted lambdas.
-    val withSet = normedDocs(spark, dir)
-      .select(col("doc_id"),
-        array_distinct(MinHash.shingleHashes(col("text_norm"), 3)).as("s"))
-      .repartition(col("doc_id"))
-    SetSimJoin.jaccardSelfJoin(withSet, "doc_id", "s", tauNum = 1, tauDen = 2)
-      .select(col("id1").as("doc_id1"), col("id2").as("doc_id2"),
-              col("inter"), col("uni"))
-      .orderBy("doc_id1", "doc_id2")
-  }
+  def d04NgramJaccard: Q = (spark, dir) =>
+    pairGraph(spark, dir).orderBy("doc_id1", "doc_id2")
+
+  /** The exact-jaccard near-dup pair graph as a staged artifact
+    * ([[etl.Stages]], `_SUCCESS`-gated parquet under
+    * [[StageRoots.rootFor]]): the single most expensive shared
+    * computation in the corpus pipeline, consumed by FIVE operators
+    * (d04 output, d06 components, d14 pagerank, d15 canonical pick,
+    * d16 triangles) plus t23's split via [[clusters]]. Built once per
+    * run; every consumer reads the materialized parquet instead of
+    * re-running the set-sim join — at 100 TB that recompute is hours
+    * per consumer, and the staged read also replaces the
+    * `localCheckpoint` lineage barriers the graph consumers carried. */
+  private[graft] def pairGraph(spark: SparkSession, dir: String): DataFrame =
+    etl.Stages.stage(spark, StageRoots.rootFor(dir), "neardup_pairs") {
+      // shingle sets as 64-bit fingerprints (1:1 with the oracle's
+      // string shingles — each is a hash of the same contiguous byte
+      // range), so |∩| and |∪| are identical while all joins compare
+      // longs instead of building strings through interpreted lambdas.
+      val withSet = normedDocs(spark, dir)
+        .select(col("doc_id"),
+          array_distinct(MinHash.shingleHashes(col("text_norm"), 3)).as("s"))
+        .repartition(col("doc_id"))
+      SetSimJoin.jaccardSelfJoin(withSet, "doc_id", "s", tauNum = 1, tauDen = 2)
+        .select(col("id1").as("doc_id1"), col("id2").as("doc_id2"),
+                col("inter"), col("uni"))
+    }
 
   val d04Sql: String =
     """WITH toks AS (
@@ -122,11 +135,17 @@ object LlmQueries {
   /** #24b: dedup clusters — connected components over the jaccard
     * near-dup pair graph; every document in a cluster maps to its
     * canonical (min-id) representative. */
-  def d06DedupClusters: Q = (spark, dir) => {
-    val edges = d04NgramJaccard(spark, dir).select("doc_id1", "doc_id2")
-    ConnectedComponents.run(edges, idCols = ("doc_id1", "doc_id2"))
-      .orderBy("id")
-  }
+  def d06DedupClusters: Q = (spark, dir) => clusters(spark, dir).orderBy("id")
+
+  /** The (id → comp) dedup-cluster table as a staged artifact built
+    * from [[pairGraph]] — shared by d06's output and t23's
+    * leakage-safe split, so the split consumes a `_SUCCESS`-gated
+    * parquet instead of re-deriving pairs + components inline. */
+  private[graft] def clusters(spark: SparkSession, dir: String): DataFrame =
+    etl.Stages.stage(spark, StageRoots.rootFor(dir), "dedup_clusters") {
+      val edges = pairGraph(spark, dir).select("doc_id1", "doc_id2")
+      ConnectedComponents.run(edges, idCols = ("doc_id1", "doc_id2"))
+    }
 
   val d06Sql: String =
     """WITH RECURSIVE
@@ -770,7 +789,7 @@ object LlmQueries {
     * oracle-checkable: the DuckDB twin unrolls the same five
     * iterations over the same integer recurrence. */
   def d14Pagerank: Q = (spark, dir) => {
-    val edges = d04NgramJaccard(spark, dir).select("doc_id1", "doc_id2")
+    val edges = pairGraph(spark, dir).select("doc_id1", "doc_id2")
     graph.PageRank.run(edges, "doc_id1", "doc_id2", iterations = 5)
       .orderBy("id")
   }
@@ -1283,9 +1302,9 @@ object LlmQueries {
     * deterministic and integer-exact, so the DuckDB oracle composes
     * the same recursive-CTE components + degree count. */
   def d15CanonicalPick: Q = (spark, dir) => {
-    val pairs = d04NgramJaccard(spark, dir)
-      .select("doc_id1", "doc_id2").localCheckpoint()
-    val comps = ConnectedComponents.run(pairs, idCols = ("doc_id1", "doc_id2"))
+    // staged parquet IS the lineage barrier — no localCheckpoint needed
+    val pairs = pairGraph(spark, dir).select("doc_id1", "doc_id2")
+    val comps = clusters(spark, dir)
     val deg = pairs.select(col("doc_id1").as("id"))
       .union(pairs.select(col("doc_id2").as("id")))
       .groupBy("id").agg(count(lit(1)).as("degree"))
@@ -1359,8 +1378,8 @@ object LlmQueries {
     * map-side combinable. The orientation tuple-compare is exact
     * integer, so the DuckDB oracle mirrors it term for term. */
   def d16Triangles: Q = (spark, dir) => {
-    val pairs = d04NgramJaccard(spark, dir)
-      .select(col("doc_id1").as("u"), col("doc_id2").as("v")).localCheckpoint()
+    val pairs = pairGraph(spark, dir)
+      .select(col("doc_id1").as("u"), col("doc_id2").as("v"))
     val deg = pairs.select(col("u").as("id"))
       .union(pairs.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("dg"))

@@ -980,7 +980,10 @@ object TrainingDataQueries {
     * determinism contract as t08: re-ingesting can never flip a
     * split (content-independent md5 of the root id). */
   def t23LeakageSafeSplit: Q = (spark, dir) => {
-    val comp = LlmQueries.d06DedupClusters(spark, dir)
+    // the `_SUCCESS`-gated staged cluster artifact (built once per run,
+    // shared with d06/d15) — not an inline re-derivation of the whole
+    // pair + component pipeline
+    val comp = LlmQueries.clusters(spark, dir)
       .withColumnRenamed("id", "doc_id")
     Tables.documents(spark, dir).select("doc_id")
       .join(comp, Seq("doc_id"), "left")

@@ -1,0 +1,59 @@
+package graft
+
+import java.io.File
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The shared-artifact contract for the near-dup graph family: the
+  * expensive pair graph and its cluster table are built ONCE per run
+  * as `_SUCCESS`-gated staged parquet, and every consumer — d06's
+  * output, t23's leakage-safe split, d15's canonical pick — reads the
+  * materialized artifact instead of re-deriving the set-sim join
+  * (one edge-generation job, not one per consumer).
+  */
+class StagingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("t23 split consumes the staged cluster artifact; d06 reuses it") {
+    StageRoots.reset()
+    val split = TrainingDataQueries.t23LeakageSafeSplit(spark, TestSpark.Sf)
+    val rows = split.collect()
+    assert(rows.length == 500)
+
+    val root = StageRoots.rootFor(TestSpark.Sf)
+    assert(new File(s"$root/neardup_pairs/_SUCCESS").exists,
+      "pair graph not staged")
+    assert(new File(s"$root/dedup_clusters/_SUCCESS").exists,
+      "cluster table not staged")
+
+    // constructing t23 again (or d06, d15) must read ONLY the staged
+    // parquet for its cluster input — no second edge-generation job.
+    // inputFiles proves the scan set: the cluster side of the plan
+    // reads from the stage dir, and d06's whole plan reads nothing
+    // except the staged artifact.
+    val d06Inputs = LlmQueries.d06DedupClusters(spark, TestSpark.Sf).inputFiles
+    assert(d06Inputs.nonEmpty &&
+      d06Inputs.forall(_.contains("dedup_clusters")),
+      s"d06 reads beyond the staged artifact: ${d06Inputs.mkString(",")}")
+
+    val splitInputs = TrainingDataQueries
+      .t23LeakageSafeSplit(spark, TestSpark.Sf).inputFiles
+    assert(splitInputs.exists(_.contains("dedup_clusters")),
+      "t23 does not read the staged cluster artifact")
+    assert(!splitInputs.exists(_.contains("neardup_pairs")),
+      "t23 re-reads the pair graph — the cluster artifact should suffice")
+
+    // identical output when served from the artifact
+    assert(TrainingDataQueries.t23LeakageSafeSplit(spark, TestSpark.Sf)
+      .collect().toSeq == rows.toSeq)
+  }
+
+  test("reset() isolates runs — a fresh root rebuilds from scratch") {
+    StageRoots.reset()
+    val root = StageRoots.rootFor(TestSpark.Sf)
+    assert(!new File(s"$root/neardup_pairs/_SUCCESS").exists)
+    // first consumer after reset triggers a fresh build at the new root
+    LlmQueries.d04NgramJaccard(spark, TestSpark.Sf).limit(1).collect()
+    assert(new File(s"$root/neardup_pairs/_SUCCESS").exists)
+  }
+}
