@@ -1674,8 +1674,11 @@ object AnalyticsQueries {
     * report nothing (semi-join against observed days): a trailing
     * window over silence is a gap-fill (q56) concern, kept
     * orthogonal. */
-  def q65RollingDistinct: Q = (spark, dir) => {
-    val du = Tables.events(spark, dir)
+  /** q65's kernel on an arbitrary (ts, user_id) frame — shared with
+    * the streaming twin's batch-parity spec
+    * ([[graft.streaming.EventStream.rollingDistinctStream]]). */
+  private[graft] def rollingDistinctDaily(ev: DataFrame): DataFrame = {
+    val du = ev
       .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
     val days = du.select(col("day").as("tday")).distinct()
     du.select(
@@ -1685,8 +1688,10 @@ object AnalyticsQueries {
       .groupBy("tday")
       .agg(countDistinct("user_id").as("n_active_7d"))
       .select(col("tday").as("day"), col("n_active_7d"))
-      .orderBy("day")
   }
+
+  def q65RollingDistinct: Q = (spark, dir) =>
+    rollingDistinctDaily(Tables.events(spark, dir)).orderBy("day")
 
   val q65Sql: String =
     """WITH du AS MATERIALIZED (

@@ -293,6 +293,47 @@ object EventStream {
       }
   }
 
+  /** Streaming rolling distinct users — the streaming twin of q65's
+    * trailing-7-day DAU/WAU family, and (deliberately) the one twin
+    * built ENTIRELY from native stateful operators instead of
+    * flatMapGroupsWithState: the batch shape (distinct (day, user) →
+    * bounded 7× explode → distinct count per target day) maps 1:1 onto
+    * watermarked dropDuplicates → append-mode count, so Spark's own
+    * state stores manage eviction and the plan stays whole-stage
+    * codegen outside the two exchanges.
+    *
+    * Each event contributes its user to the 7 target days it can
+    * influence; the event time of an exploded row is its TARGET day,
+    * so one watermark of (6 + latenessDays) days on that column yields
+    * exactly [[ewmaStream]]'s closing rule: target day t is final once
+    * events arrive latenessDays past it (watermark = maxEventDay + 6 −
+    * (6 + lateness) = maxEventDay − lateness). dropDuplicates state:
+    * one (tday, user) entry per active user-day within the watermark
+    * horizon — the same 7× bound as the batch explode, evicted by
+    * Spark as days close; never stream-length.
+    *
+    * Emits one (day, n_active_7d) row per CLOSED day with ≥1 active
+    * user in its trailing window. Batch q65 additionally drops days
+    * with no events anywhere (its observed-days semi-join) — a
+    * stream-global fact a keyed operator cannot see, so the parity
+    * contract is: on the observed days, counts are identical
+    * (StreamingSpec pins both directions). */
+  def rollingDistinctStream(events: DataFrame, latenessDays: Int = 1): DataFrame = {
+    require(latenessDays >= 0, s"latenessDays must be >= 0: $latenessDays")
+    events
+      .selectExpr("cast(ts as date) as day", "user_id")
+      .selectExpr("explode(sequence(day, date_add(day, 6))) as tday", "user_id")
+      .selectExpr("cast(tday as timestamp) as tday_ts", "user_id")
+      .withWatermark("tday_ts", s"${6 + latenessDays} days")
+      .dropDuplicates("tday_ts", "user_id")
+      // day-window agg (not a bare column group-by): the chained
+      // stateful-operator path Spark supports is dedup → windowed agg
+      // with one propagated watermark
+      .groupBy(timeWindow(col("tday_ts"), "1 day"))
+      .agg(count(lit(1)).as("n_active_7d"))
+      .selectExpr("cast(window.start as date) as day", "n_active_7d")
+  }
+
   /** Streaming interval sweep — the streaming twin of q51's batch
     * sweep-line: intervals `[startDay, endDay)` arrive per key and the
     * operator emits, for every closed BOUNDARY day (a day where some

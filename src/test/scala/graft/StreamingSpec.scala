@@ -430,6 +430,68 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("rolling distinct stream: closed days match batch q65 on observed days") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "user_id")
+    val query = EventStream.rollingDistinctStream(events, latenessDays = 1)
+      .writeStream.format("memory").queryName("rolling_stream")
+      .outputMode("append").start()
+    // 12 days with a 3-day silence (01-05..01-07): users overlap across
+    // days so the trailing-7 distinct differs from a daily sum
+    val fed = Seq(
+      (ts("2024-01-01 09:00:00"), 1L), (ts("2024-01-01 10:00:00"), 2L),
+      (ts("2024-01-02 08:00:00"), 2L), (ts("2024-01-02 09:00:00"), 3L),
+      (ts("2024-01-03 07:00:00"), 1L),
+      (ts("2024-01-04 06:00:00"), 4L), (ts("2024-01-04 07:00:00"), 2L),
+      (ts("2024-01-08 05:00:00"), 5L),
+      (ts("2024-01-09 04:00:00"), 1L), (ts("2024-01-09 05:00:00"), 5L),
+      (ts("2024-01-10 03:00:00"), 6L),
+      (ts("2024-01-11 02:00:00"), 7L),
+      (ts("2024-01-12 01:00:00"), 8L))
+    try {
+      fed.grouped(4).foreach { batch =>
+        input.addData(batch: _*)
+        query.processAllAvailable()
+      }
+      // watermark = maxTday(01-12 + 6) − 7d = 01-11 00:00 → day windows
+      // with end ≤ 01-11, i.e. days through 01-10, are closed
+      val streamed = spark.table("rolling_stream")
+        .select($"day".cast("string"), $"n_active_7d")
+        .as[(String, Long)].collect().toMap
+      val batchRows = AnalyticsQueries
+        .rollingDistinctDaily(fed.toDF("ts", "user_id").withColumn("user_id", $"user_id"))
+        .filter($"day" <= "2024-01-10")
+        .select($"day".cast("string"), $"n_active_7d")
+        .as[(String, Long)].collect().toMap
+      assert(batchRows.nonEmpty)
+      // parity on observed days: batch ⊆ streamed with equal counts
+      batchRows.foreach { case (d, n) =>
+        assert(streamed.get(d).contains(n), s"day $d: stream=${streamed.get(d)} batch=$n")
+      }
+      // stream-only extras are exactly the unobserved target days the
+      // batch semi-join drops — each must still carry the true
+      // trailing-window distinct count
+      val dayOf = fed.map { case (t, u) => (t.toLocalDateTime.toLocalDate, u) }
+      (streamed.keySet -- batchRows.keySet).foreach { d =>
+        val day = java.time.LocalDate.parse(d)
+        assert(day.toString <= "2024-01-10", s"unclosed day $d emitted")
+        val expect = dayOf.collect {
+          case (ed, u) if !ed.isAfter(day) && !ed.isBefore(day.minusDays(6)) => u
+        }.toSet.size.toLong
+        assert(streamed(d) == expect, s"unobserved day $d: stream=${streamed(d)} expect=$expect")
+      }
+      // a straggler entirely below the watermark is dropped, not re-emitted
+      val before = spark.table("rolling_stream").count()
+      input.addData((ts("2024-01-02 23:00:00"), 99L))
+      query.processAllAvailable()
+      assert(spark.table("rolling_stream").count() == before,
+        "closed-day straggler must be dropped")
+    } finally query.stop()
+  }
+
   test("interval sweep stream: per-key peaks match batch q51 exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
