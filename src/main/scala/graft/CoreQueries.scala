@@ -629,10 +629,13 @@ object CoreQueries {
     * update@2 for %11 keys, update@3 for %5, delete@4 for %7) so
     * every precedence case is exercised: the late update beats only
     * the insert, loses to the later update and the delete. */
-  def q67CdcApply: Q = (spark, dir) => {
+  /** The deterministic four-source test changelog over customer —
+    * shared by batch q67 and the streaming CDC sink's parity spec
+    * ([[graft.streaming.StreamSink.cdcApplyForeachBatch]]), so both
+    * paths replay the exact same (k, op_ts, op, bal_cents) log. */
+  private[graft] def cdcChangelog(c: DataFrame): DataFrame = {
     val cents = round(col("c_acctbal") * 100, 0).cast(LongType)
-    val c = Tables.customer(spark, dir)
-    val log = c.select(col("c_custkey").as("k"), lit(1L).as("op_ts"),
+    c.select(col("c_custkey").as("k"), lit(1L).as("op_ts"),
         lit("I").as("op"), cents.as("bal_cents"))
       .unionByName(c.filter(col("c_custkey") % 11 === 0)
         .select(col("c_custkey").as("k"), lit(2L).as("op_ts"),
@@ -643,6 +646,10 @@ object CoreQueries {
       .unionByName(c.filter(col("c_custkey") % 7 === 0)
         .select(col("c_custkey").as("k"), lit(4L).as("op_ts"),
           lit("D").as("op"), lit(null).cast(LongType).as("bal_cents")))
+  }
+
+  def q67CdcApply: Q = (spark, dir) => {
+    val log = cdcChangelog(Tables.customer(spark, dir))
     val w = Window.partitionBy("k").orderBy(col("op_ts").desc)
     log.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("op") =!= "D")

@@ -610,6 +610,90 @@ object StreamSink {
         .options(props)
         .save()
     }
+
+  /** Streaming CDC apply — the streaming twin of batch `q67_cdc_apply`:
+    * a changelog stream of (key, op_ts, op ∈ I/U/D, payload…) rows is
+    * materialized into a JDBC snapshot table where per key the LATEST
+    * op wins, whatever order micro-batches deliver it in.
+    *
+    * Shape per micro-batch: reduce to the batch-local latest op per key
+    * (q67's keep-top-per-key plan — WindowGroupLimit, one surviving row
+    * per key per task), then a per-partition conditional upsert:
+    * `UPDATE … WHERE last_ts < incoming` / insert-if-absent, with the
+    * duplicate-key race falling back to the conditional update. The
+    * monotonic guard makes the sink idempotent by CONSTRUCTION —
+    * effectively-once without batch-id bookkeeping: a crash-replayed
+    * batch re-runs the same upserts and every guard fails (`last_ts <`
+    * is strict); an out-of-order batch carrying older ops loses the
+    * guard the same way. This is stronger than [[jdbcForeachBatch]]'s
+    * (run_id, batch_id) delete protocol, which protects only against
+    * replay of the SAME data — here late data is also ordered
+    * correctly, because ordering is by op_ts, not arrival.
+    *
+    * Deletes are retained as TOMBSTONES (op = 'D' rows stay in the
+    * table, the snapshot read filters them): dropping the row instead
+    * would let a later-arriving update with an OLDER op_ts resurrect a
+    * deleted key. Equal-op_ts ties keep the incumbent (the guard is
+    * strict) — the changelog contract is unique (key, op_ts), same as
+    * batch q67's window sort.
+    *
+    * Executors write their partitions directly (one connection per
+    * partition, batched statements) — no driver collect; at scale the
+    * per-key reduce has already shrunk each batch to its key count. */
+  def cdcApplyForeachBatch(url: String, table: String,
+                           props: Map[String, String]): (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = Window.partitionBy("k").orderBy(col("op_ts").desc)
+      val reduced = batch
+        .select("k", "op_ts", "op", "bal_cents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .drop("rn")
+      reduced.rdd.foreachPartition { rows =>
+        if (rows.hasNext) {
+          val jprops = new java.util.Properties()
+          props.foreach { case (kk, v) => jprops.setProperty(kk, v) }
+          val conn = java.sql.DriverManager.getConnection(url, jprops)
+          try {
+            conn.setAutoCommit(true)
+            val upd = conn.prepareStatement(
+              s"UPDATE $table SET last_ts = ?, op = ?, bal_cents = ? " +
+                s"WHERE k = ? AND last_ts < ?")
+            val ins = conn.prepareStatement(
+              s"INSERT INTO $table (k, last_ts, op, bal_cents) VALUES (?, ?, ?, ?)")
+            def tryUpdate(k: Long, ts: Long, op: String, bal: java.lang.Long): Int = {
+              upd.setLong(1, ts); upd.setString(2, op)
+              if (bal == null) upd.setNull(3, java.sql.Types.BIGINT)
+              else upd.setLong(3, bal)
+              upd.setLong(4, k); upd.setLong(5, ts)
+              upd.executeUpdate()
+            }
+            rows.foreach { r =>
+              val k = r.getLong(0); val ts = r.getLong(1); val op = r.getString(2)
+              val bal: java.lang.Long = if (r.isNullAt(3)) null else r.getLong(3)
+              if (tryUpdate(k, ts, op, bal) == 0) {
+                // absent OR incumbent is newer — try insert; a concurrent
+                // (or incumbent-newer) duplicate key falls back to the
+                // guarded update, whose 0-row outcome is then correct
+                try {
+                  ins.setLong(1, k); ins.setLong(2, ts); ins.setString(3, op)
+                  if (bal == null) ins.setNull(4, java.sql.Types.BIGINT)
+                  else ins.setLong(4, bal)
+                  ins.executeUpdate()
+                } catch {
+                  case e: java.sql.SQLException
+                    if e.getSQLState != null && e.getSQLState.startsWith("23") =>
+                    tryUpdate(k, ts, op, bal)
+                }
+              }
+            }
+            upd.close(); ins.close()
+          } finally conn.close()
+        }
+      }
+    }
 }
 
 /** Stream-static enrichment: every micro-batch joins against a

@@ -356,6 +356,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(back == Seq((1L, 1.5), (2L, 2.5), (3L, 3.5), (9L, 9.5)), s"got $back")
   }
 
+  test("CDC apply stream: out-of-order + replayed batches converge to batch q67") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_derby").toString
+    val url = s"jdbc:derby:$dir/db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().executeUpdate(
+      "CREATE TABLE snapshot (k BIGINT PRIMARY KEY, last_ts BIGINT, op VARCHAR(1), bal_cents BIGINT)")
+    conn.close()
+    val applyBatch = graft.streaming.StreamSink.cdcApplyForeachBatch(
+      url, "snapshot", Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+
+    // the exact q67 changelog, deterministically scrambled so a key's
+    // I/U/D ops arrive in DIFFERENT micro-batches in arbitrary order
+    val log = CoreQueries.cdcChangelog(Tables.customer(spark, TestSpark.Sf))
+      .as[(Long, Long, String, Option[Long])].collect().toSeq
+    val scrambled = log.sortBy { case (k, t, _, _) =>
+      ((k * 2654435761L + t * 40503L) & 0xffffL, k, t)
+    }
+    val input = MemoryStream[(Long, Long, String, Option[Long])]
+    val stream = input.toDF().toDF("k", "op_ts", "op", "bal_cents")
+    val query = stream.writeStream.foreachBatch(applyBatch)
+      .outputMode("append").start()
+    try {
+      scrambled.grouped(700).foreach { b =>
+        input.addData(b: _*)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    // crash-replay of an arbitrary earlier batch: every monotonic
+    // guard fails (last_ts < incoming is strict) → pure no-op
+    applyBatch(scrambled.take(700).toDF("k", "op_ts", "op", "bal_cents"), 0L)
+
+    // snapshot view = tombstones filtered; must equal the batch q67 plan
+    val got = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "snapshot")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .load()
+      .filter($"op" =!= "D")
+      .select($"k", $"last_ts", $"bal_cents")
+      .as[(Long, Long, Option[Long])].collect().toSeq.sorted
+    val want = CoreQueries.q67CdcApply(spark, TestSpark.Sf)
+      .as[(Long, Long, Option[Long])].collect().toSeq.sorted
+    assert(want.nonEmpty && got == want,
+      s"sizes got=${got.size} want=${want.size}")
+
+    // tombstones really are retained: deleted keys are present as 'D'
+    val tombs = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "snapshot")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .load().filter($"op" === "D").count()
+    assert(tombs > 0, "deletes must persist as tombstones")
+  }
+
   test("late events beyond the watermark are dropped (append mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
