@@ -8,7 +8,7 @@ import graft.dedup.{ConnectedComponents, MinHash, SetSimJoin, SimHash}
 import graft.etl.{CoOccur, TextNorm}
 import graft.functions.VectorFunctions._
 import graft.multimodal.Binary
-import graft.sim.Ann
+import graft.sim.{Ann, KMeansExact}
 import graft.text.TextFunctions._
 
 /** LLM-training-data pipeline queries (SURVEY.md §2 #21–#32).
@@ -294,6 +294,63 @@ object LlmQueries {
       |  FROM q CROSS JOIN e WHERE vec_id <> qid)
       |SELECT qid, rank, neighbor_id FROM scored WHERE rank <= 10
       |ORDER BY qid, rank""".stripMargin
+
+  /** #155 (s12): integer-exact k-means clustering of the embedding
+    * corpus ([[graft.sim.KMeansExact]]) — the cluster → cap/reweight
+    * step corpus mixture balancing runs (and the exact batch twin of
+    * the float coarse quantizer IVF fits on a sample). k = 8 seeds at
+    * the lowest vec_ids, 2 Lloyd updates + final assignment, all in
+    * exact 64-bit integer arithmetic over the non-negative e6
+    * quantization of (x + 1) — so the DuckDB oracle unrolls the SAME
+    * two iterations (cross join to the 8 centroids, argmin with cid
+    * tie-break, floor-div component means) and hash-matches
+    * bit-for-bit, which float k-means can never do. Per iteration:
+    * one k-row broadcast against n vectors + one 64× posexplode — n·k
+    * linear, no pair join anywhere. */
+  def s12Kmeans: Q = (spark, dir) => {
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(round((CAST(x AS DOUBLE) + 1.0D) * 1000000.0D, 0) AS INT))")
+        .as("qv"))
+    KMeansExact.assign(q, "vec_id", "qv", k = 8, iterations = 2)
+      .select(col("id").as("vec_id"), col("cluster"))
+      .orderBy("vec_id")
+  }
+
+  val s12Sql: String = {
+    val dist = "list_sum(list_transform(range(1, 65), " +
+      "i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i])))"
+    def assign(cent: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT q.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |                              ORDER BY $dist, c.cid) AS rn
+         |    FROM q CROSS JOIN $cent c) WHERE rn = 1)""".stripMargin
+    def update(asg: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT cid, list(comp ORDER BY dim) AS v FROM (
+         |    SELECT a.cid, r.i AS dim,
+         |           CAST(SUM(q.v[r.i]) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS comp
+         |    FROM $asg a JOIN q USING (vec_id) CROSS JOIN range(1, 65) r(i)
+         |    GROUP BY a.cid, r.i)
+         |  GROUP BY cid)""".stripMargin
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(round((CAST(x AS DOUBLE) + 1.0) * 1000000) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |c0 AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cid, v
+       |  FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 8)),
+       |${assign("c0", "a0")},
+       |${update("a0", "c1")},
+       |${assign("c1", "a1")},
+       |${update("a1", "c2")},
+       |${assign("c2", "a2")}
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a2
+       |ORDER BY vec_id""".stripMargin
+  }
 
   /** #27: LSH-bucketed ANN (scale path; recall-bounded). Rows-only.
     * Round 4: corpus-derived parameters (occupancy-constant bits,
@@ -1510,6 +1567,7 @@ object LlmQueries {
     "d13_semdedup" -> d13SemDedup,
     "s01_ann_bruteforce" -> s01AnnBruteForce,
     "s11_mips" -> s11Mips,
+    "s12_kmeans" -> s12Kmeans,
     "s02_ann_lsh" -> s02AnnLsh,
     "s03_ann_ivf" -> s03AnnIvf,
     "s04_quantize_int8" -> s04QuantizeInt8,
@@ -1553,6 +1611,7 @@ object LlmQueries {
     "d06_dedup_clusters" -> d06Sql,
     "s01_ann_bruteforce" -> s01Sql,
     "s11_mips" -> s11Sql,
+    "s12_kmeans" -> s12Sql,
     "t01_lang_id" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t03_token_count" -> t03Sql,
