@@ -498,8 +498,11 @@ object AnalyticsQueries {
     * aggregations: the distinct (user, week) activity matrix is
     * corpus-bounded (users × weeks), and the cohort join broadcasts
     * nothing data-derived. ISO Monday weeks on both engines. */
-  def q49CohortRetention: Q = (spark, dir) => {
-    val act = Tables.events(spark, dir)
+  /** q49's kernel on an arbitrary (ts, user_id) frame — shared with
+    * the streaming twin's batch-parity spec
+    * ([[graft.streaming.EventStream.retentionStream]]). */
+  private[graft] def cohortRetentionOf(ev: DataFrame): DataFrame = {
+    val act = ev
       .select(col("user_id"),
         to_date(date_trunc("week", col("ts"))).as("wk"))
       .distinct()
@@ -509,8 +512,11 @@ object AnalyticsQueries {
       .withColumn("week_offset", expr("CAST(datediff(wk, cohort_wk) DIV 7 AS BIGINT)"))
       .groupBy("cohort_wk", "week_offset")
       .agg(countDistinct("user_id").as("n_users"))
-      .orderBy("cohort_wk", "week_offset")
   }
+
+  def q49CohortRetention: Q = (spark, dir) =>
+    cohortRetentionOf(Tables.events(spark, dir))
+      .orderBy("cohort_wk", "week_offset")
 
   val q49Sql: String =
     """WITH a AS (

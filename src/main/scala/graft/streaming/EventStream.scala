@@ -293,6 +293,69 @@ object EventStream {
       }
   }
 
+  /** Streaming cohort retention — the streaming twin of q49: per user,
+    * the cohort week is the FIRST week the user was active, and every
+    * later active week contributes one (cohort_wk, week_offset, user)
+    * retention fact. The per-user stateful question ("which week was
+    * this user's first, and is it still allowed to change?") is
+    * exactly what a watermarked aggregate can't express — a min over
+    * all history that must FREEZE once late data can no longer precede
+    * it — so this is a [[ewmaStream]]-regime flatMapGroupsWithState at
+    * WEEK granularity:
+    *   - per user, active weeks accumulate in an open set; a week
+    *     closes once that user's events arrive latenessWeeks past it;
+    *   - weeks close in increasing order, so the first closed week IS
+    *     the user's global first active week (anything earlier is
+    *     behind the frontier and dropped) — the cohort freezes at
+    *     first close, making every emitted offset final;
+    *   - emission per closed active week w: (cohort, (w−cohort)/7, u).
+    * Downstream, retention counts are a stateless
+    * count-distinct-users per (cohort_wk, week_offset) — the spec
+    * aggregates the emitted facts and pins equality with the batch
+    * q49 plan over the closed prefix. State per user: frozen cohort +
+    * frontier + open weeks within the lateness horizon (≤ lateness+1
+    * entries), forever. */
+  def retentionStream(events: DataFrame,
+                      latenessWeeks: Int = 1): Dataset[RetentionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(latenessWeeks >= 0, s"latenessWeeks must be >= 0: $latenessWeeks")
+    events
+      .selectExpr("user_id",
+        // epoch-day of the ISO Monday — q49's date_trunc('week') rule
+        "datediff(to_date(date_trunc('week', ts)), to_date('1970-01-01')) as wk")
+      .as[(Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[RetentionState, RetentionOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (uid, rows, state) =>
+        var st = state.getOption.getOrElse(
+          RetentionState(Int.MinValue, Int.MinValue, Nil))
+        var maxSeen = st.open.foldLeft(Int.MinValue)(math.max)
+        rows.foreach { case (_, w) =>
+          if (w > st.closedThrough) { // not late
+            if (!st.open.contains(w)) st = st.copy(open = w :: st.open)
+            if (w > maxSeen) maxSeen = w
+          }
+        }
+        val out = Vector.newBuilder[RetentionOut]
+        if (maxSeen > Int.MinValue) {
+          val horizon = maxSeen - latenessWeeks * 7 // weeks < horizon are final
+          st.open.sorted.foreach { w =>
+            if (w < horizon) {
+              val cohort = if (st.cohortWk == Int.MinValue) w else st.cohortWk
+              out += RetentionOut(uid,
+                java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(cohort.toLong)),
+                (w - cohort).toLong / 7L)
+              st = RetentionState(cohort, w, st.open.filterNot(_ == w))
+            }
+          }
+        }
+        state.update(st)
+        out.result().iterator
+      }
+  }
+
   /** Streaming rolling distinct users — the streaming twin of q65's
     * trailing-7-day DAU/WAU family, and (deliberately) the one twin
     * built ENTIRELY from native stateful operators instead of
@@ -559,6 +622,8 @@ case class DriftState(closedThrough: Int, refClosed: Int,
 case class DriftOut(event_type: String, day: java.sql.Date,
                     n_day: Long, tv_milli: Long)
 case class AnomalyFlag(event_id: Long, event_type: String, cents: Long)
+case class RetentionState(cohortWk: Int, closedThrough: Int, open: List[Int])
+case class RetentionOut(user_id: Long, cohort_wk: java.sql.Date, week_offset: Long)
 case class TransState(closedThrough: Long, lastTs: Long, lastType: String,
                       pending: Seq[(Long, Long, String)])
 case class TransitionOut(user_id: Long, from_type: String, to_type: String)

@@ -486,6 +486,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("retention stream: closed-week facts aggregate to batch q49 exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "user_id")
+    val query = EventStream.retentionStream(events, latenessWeeks = 1)
+      .toDF().writeStream.format("memory").queryName("retention_stream")
+      .outputMode("append").start()
+    // three users; u1's W2 and u2's W1 arrive OUT OF ORDER but inside
+    // the 1-week lateness horizon (u2's cohort must shift down to W1)
+    val core = Seq(
+      (ts("2024-01-03 10:00:00"), 1L), // u1 W0 (wk 2024-01-01)
+      (ts("2024-01-10 10:00:00"), 1L), // u1 W1
+      (ts("2024-01-17 10:00:00"), 2L), // u2 W2 — seen before their W1
+      (ts("2024-01-24 10:00:00"), 1L), // u1 W3
+      (ts("2024-01-10 11:00:00"), 2L), // u2 W1, late but in horizon
+      (ts("2024-02-07 10:00:00"), 3L), // u3 W5
+      (ts("2024-01-17 12:00:00"), 1L), // u1 W2, late but in horizon
+      (ts("2024-02-14 10:00:00"), 3L)) // u3 W6
+    // probes a safe distance out close every core week for every user
+    // (probe week itself stays open and emits nothing)
+    val probes = Seq(1L, 2L, 3L).map(u => (ts("2024-03-04 09:00:00"), u))
+    try {
+      (core.grouped(3).toSeq :+ probes).foreach { b =>
+        input.addData(b: _*)
+        query.processAllAvailable()
+      }
+      val streamed = spark.table("retention_stream")
+        .groupBy($"cohort_wk".cast("string").as("cohort"), $"week_offset")
+        .agg(countDistinct($"user_id").as("n_users"))
+        .as[(String, Long, Long)].collect().toSeq.sorted
+      val want = AnalyticsQueries.cohortRetentionOf(core.toDF("ts", "user_id"))
+        .select($"cohort_wk".cast("string"), $"week_offset", $"n_users")
+        .as[(String, Long, Long)].collect().toSeq.sorted
+      assert(want.nonEmpty && streamed == want,
+        s"streamed=$streamed\nbatch=$want")
+      // a week behind the user's closed frontier is dropped silently
+      val before = spark.table("retention_stream").count()
+      input.addData((ts("2024-01-10 23:00:00"), 1L))
+      query.processAllAvailable()
+      assert(spark.table("retention_stream").count() == before,
+        "closed-week straggler must be dropped")
+    } finally query.stop()
+  }
+
   test("rolling distinct stream: closed days match batch q65 on observed days") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
