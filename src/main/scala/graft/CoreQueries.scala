@@ -681,7 +681,104 @@ object CoreQueries {
       |FROM r WHERE rn = 1 AND op <> 'D'
       |ORDER BY k""".stripMargin
 
+  /** #157 (q68): entity resolution / record linkage — the
+    * Fellegi–Sunter shape (JASA'69) every master-data pipeline runs
+    * when two rosters disagree on keys: BLOCK so candidates stay
+    * linear, SCORE per-field agreements with integer log-odds-style
+    * weights, THRESHOLD, then keep the best match per left record.
+    *
+    * The right roster is a deterministic re-keyed perturbation of
+    * customer (q66's convention): dropped rows (%41), case noise
+    * (%13), separator noise (%17 — both erased by normalization, so
+    * the name AGREES), a 37-cent balance drift (%19 — outside the
+    * ±10 tolerance band, so balance DISAGREES but name+segment carry
+    * the match), segment relabel (%23), a ' jr' suffix (%29 — changes
+    * the blocking key: a deliberate blocking miss, ER's standard
+    * recall tradeoff) and an 'mr ' prefix (%31 — same block, name
+    * disagrees, score 25 < 35 threshold: a candidate correctly
+    * REJECTED by scoring, not by blocking).
+    *
+    * Scale shape: the block key is (nationkey, last-8 of the
+    * normalized name) — near-unique, so the block join is
+    * candidate-linear (never a per-nation cross product); best-match
+    * selection is row_number-desc + rn=1, which plans as
+    * WindowGroupLimit (q07/q67's bounded per-task top-1). Everything
+    * integer/string-exact — the DuckDB oracle mirrors it term for
+    * term. */
+  def q68EntityResolution: Q = (spark, dir) => {
+    val cents = round(col("c_acctbal") * 100, 0).cast(LongType)
+    val c = Tables.customer(spark, dir)
+    val a = c.select(col("c_custkey").as("a_key"), col("c_name").as("a_name"),
+      col("c_nationkey").as("a_nat"), cents.as("a_cents"),
+      col("c_mktsegment").as("a_seg"))
+    val b = c.filter(col("c_custkey") % 41 =!= 0)
+      .select((col("c_custkey") + 20000000L).as("b_key"),
+        when(col("c_custkey") % 29 === 0, concat(col("c_name"), lit(" jr")))
+          .when(col("c_custkey") % 31 === 0, concat(lit("mr "), col("c_name")))
+          .when(col("c_custkey") % 13 === 0, upper(col("c_name")))
+          .when(col("c_custkey") % 17 === 0, regexp_replace(col("c_name"), "#", " "))
+          .otherwise(col("c_name")).as("b_name"),
+        col("c_nationkey").as("b_nat"),
+        when(col("c_custkey") % 19 === 0, cents + 37L).otherwise(cents).as("b_cents"),
+        when(col("c_custkey") % 23 === 0, lit("RELINKED"))
+          .otherwise(col("c_mktsegment")).as("b_seg"))
+    def norm(n: Column): Column = regexp_replace(lower(n), "[^a-z0-9]", "")
+    val aa = a.withColumn("blk", expr("right(regexp_replace(lower(a_name), '[^a-z0-9]', ''), 8)"))
+    val bb = b.withColumn("blk", expr("right(regexp_replace(lower(b_name), '[^a-z0-9]', ''), 8)"))
+    val scored = aa.join(bb,
+        aa("blk") === bb("blk") && col("a_nat") === col("b_nat"))
+      .withColumn("score",
+        when(norm(col("a_name")) === norm(col("b_name")), 40L).otherwise(-10L) +
+        when(abs(col("a_cents") - col("b_cents")) <= 10L, 25L).otherwise(-15L) +
+        when(col("a_seg") === col("b_seg"), 10L).otherwise(-5L))
+    val w = Window.partitionBy("a_key").orderBy(col("score").desc, col("b_key"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("score") >= 35L)
+      .select(col("a_key"), col("b_key"), col("score"))
+      .orderBy("a_key")
+  }
+
+  val q68Sql: String =
+    """WITH a AS (
+      |  SELECT c_custkey AS a_key, c_name AS a_name, c_nationkey AS a_nat,
+      |         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS a_cents,
+      |         c_mktsegment AS a_seg
+      |  FROM customer),
+      |b AS (
+      |  SELECT c_custkey + 20000000 AS b_key,
+      |         CASE WHEN c_custkey % 29 = 0 THEN c_name || ' jr'
+      |              WHEN c_custkey % 31 = 0 THEN 'mr ' || c_name
+      |              WHEN c_custkey % 13 = 0 THEN upper(c_name)
+      |              WHEN c_custkey % 17 = 0 THEN replace(c_name, '#', ' ')
+      |              ELSE c_name END AS b_name,
+      |         c_nationkey AS b_nat,
+      |         CASE WHEN c_custkey % 19 = 0
+      |              THEN CAST(round(c_acctbal * 100, 0) AS BIGINT) + 37
+      |              ELSE CAST(round(c_acctbal * 100, 0) AS BIGINT) END AS b_cents,
+      |         CASE WHEN c_custkey % 23 = 0 THEN 'RELINKED'
+      |              ELSE c_mktsegment END AS b_seg
+      |  FROM customer WHERE c_custkey % 41 <> 0),
+      |cand AS (
+      |  SELECT a_key, b_key,
+      |         CASE WHEN regexp_replace(lower(a_name), '[^a-z0-9]', '', 'g')
+      |                 = regexp_replace(lower(b_name), '[^a-z0-9]', '', 'g')
+      |              THEN 40 ELSE -10 END
+      |       + CASE WHEN abs(a_cents - b_cents) <= 10 THEN 25 ELSE -15 END
+      |       + CASE WHEN a_seg = b_seg THEN 10 ELSE -5 END AS score
+      |  FROM a JOIN b
+      |    ON a_nat = b_nat
+      |   AND right(regexp_replace(lower(a_name), '[^a-z0-9]', '', 'g'), 8)
+      |     = right(regexp_replace(lower(b_name), '[^a-z0-9]', '', 'g'), 8))
+      |SELECT a_key, b_key, CAST(score AS BIGINT) AS score
+      |FROM (SELECT a_key, b_key, score,
+      |             row_number() OVER (PARTITION BY a_key
+      |                                ORDER BY score DESC, b_key) AS rn
+      |      FROM cand)
+      |WHERE rn = 1 AND score >= 35
+      |ORDER BY a_key""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q68_entity_resolution" -> q68EntityResolution,
     "q67_cdc_apply" -> q67CdcApply,
     "q66_reconcile" -> q66Reconcile,
     "q01_filter_project" -> q01FilterProject,
@@ -706,6 +803,7 @@ object CoreQueries {
     "q63_scd2_snapshot" -> q63Scd2Snapshot)
 
   val oracles: Seq[(String, String)] = Seq(
+    "q68_entity_resolution" -> q68Sql,
     "q67_cdc_apply" -> q67Sql,
     "q66_reconcile" -> q66Sql,
     "q01_filter_project" -> q01Sql,

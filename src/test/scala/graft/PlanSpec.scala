@@ -251,6 +251,18 @@ class PlanSpec extends AnyFunSuite {
       assert(!joinLine.contains(c), s"wide column $c reached the join: $joinLine")
   }
 
+  test("q68 ER blocks candidate-linear and best-match plans as WindowGroupLimit") {
+    val p = planOf("q68_entity_resolution")
+    // blocking join must be an equi-join on the block key — a cross
+    // product (or nested-loop fallback) is the per-nation quadratic
+    // shape blocking exists to avoid
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"ER candidate generation is not blocked:\n${p.take(2000)}")
+    // best-match-per-left-record is rn=1 over (score desc) — the
+    // WindowGroupLimit top-1 shape, never a full per-key sort buffer
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
   test("q64 global seq never row_numbers the whole table in one window task") {
     import org.apache.spark.sql.catalyst.expressions.{RowNumber, WindowExpression}
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
