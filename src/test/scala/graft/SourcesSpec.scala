@@ -37,6 +37,31 @@ class SourcesSpec extends AnyFunSuite {
     assert(pruned.count() == df.filter(col("o_orderstatus") === "F").count())
   }
 
+  test("overwritePartitions backfills one partition, leaves the rest untouched") {
+    val dir = Files.createTempDirectory("graft_dpo").toString
+    val base = Seq((1L, "d1", 10L), (2L, "d1", 20L),
+                   (3L, "d2", 30L), (4L, "d3", 40L)).toDF("id", "day", "v")
+    Writers.parquet(base, s"$dir/t", partitionBy = Seq("day"))
+    // backfill ONLY day=d2 with corrected rows
+    val fix = Seq((3L, "d2", 99L), (5L, "d2", 55L)).toDF("id", "day", "v")
+    Writers.overwritePartitions(fix, s"$dir/t", partitionBy = Seq("day"))
+    def readAll() = Readers.parquet(spark, s"$dir/t")
+      .select("id", "day", "v").as[(Long, String, Long)].collect().toSeq.sorted
+    val after = readAll()
+    assert(after == Seq((1L, "d1", 10L), (2L, "d1", 20L),
+      (3L, "d2", 99L), (4L, "d3", 40L), (5L, "d2", 55L)),
+      s"got $after")
+    // idempotent: re-running the same backfill changes nothing
+    Writers.overwritePartitions(fix, s"$dir/t", partitionBy = Seq("day"))
+    assert(readAll() == after)
+    // contrast: a static overwrite of the same frame WOULD have
+    // dropped d1/d3 — the failure mode this writer exists to prevent
+    val dir2 = Files.createTempDirectory("graft_dpo2").toString
+    Writers.parquet(base, s"$dir2/t", partitionBy = Seq("day"))
+    Writers.parquet(fix, s"$dir2/t", partitionBy = Seq("day"))
+    assert(Readers.parquet(spark, s"$dir2/t").count() == 2)
+  }
+
   test("compact collapses a many-small-file table without changing its rows") {
     val dir = Files.createTempDirectory("graft_compact").toString
     val df = Tables.part(spark, TestSpark.Sf)
