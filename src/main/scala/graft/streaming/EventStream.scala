@@ -192,6 +192,73 @@ object EventStream {
     }
   }
 
+  /** Streaming NEAR-dup ingest gate — [[ingestGateStream]]'s admission
+    * decision upgraded from exact digests to verified MinHash near-dup
+    * (d02's rule): an arriving doc is REJECTED iff some corpus doc
+    * shares an LSH band with it AND their signature overlap verifies
+    * at estimated jaccard ≥ 0.7. "Any of my 16 bands collides, then
+    * verify" is an exists-then-confirm per doc — not expressible as
+    * one stream-static anti join (multiple keys per doc) nor as a
+    * stateless filter (verification joins the corpus signature), so
+    * this runs as a foreachBatch gate, the [[StreamSink]] pattern:
+    * inside each micro-batch it is plain batch code — explode bands →
+    * semi-probe the corpus band table → verify the candidate sliver
+    * against corpus signatures → anti-join the rejected ids — and the
+    * admitted frame goes to `onAdmitted` with the batch id (compose
+    * with an idempotent sink for effectively-once).
+    *
+    * No stream state: the static (bands, sigs) tables are the only
+    * history, same contract as #150 — within-stream replay/dup
+    * protection stays [[bloomDedupStream]]'s job. Only docs with ≥1
+    * colliding band (true near-dups + the band-collision sliver) ever
+    * touch a signature; everything else is admitted from the band
+    * probe alone. Both static tables come from [[nearDupCorpus]] over
+    * the same (k, nBands, seed). */
+  def nearDupGateForeachBatch(corpusBands: DataFrame, corpusSigs: DataFrame,
+                              k: Int = 64, nBands: Int = 16,
+                              seed: Long = 0x5eedL)(
+      onAdmitted: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      import graft.dedup.MinHash
+      val withSig = batch
+        .withColumn("text_norm", graft.etl.TextNorm.normalizeText(col("text")))
+        .withColumn("sig", MinHash.signature(
+          array_distinct(MinHash.shingleHashes(col("text_norm"), 3)), k, seed))
+      val cands = withSig
+        .select(col("doc_id"), col("sig"),
+          posexplode(MinHash.bandHashes(col("sig"), nBands, k))
+            .as(Seq("band", "bh")))
+        .join(corpusBands, Seq("band", "bh"))
+        .select("doc_id", "sig", "cid").distinct()
+      val rejected = cands
+        .join(corpusSigs, Seq("cid"))
+        .withColumn("matches", MinHash.sigMatches(col("sig"), col("csig")))
+        .filter(col("matches") * 10 >= k * 7)
+        .select("doc_id").distinct()
+      onAdmitted(
+        withSig.join(rejected, Seq("doc_id"), "left_anti")
+          .drop("sig"), batchId)
+    }
+
+  /** The static corpus side of [[nearDupGateForeachBatch]]:
+    * (band table (band, bh, cid), signature table (cid, csig)) over a
+    * corpus frame with (doc_id, text). At scale both are incremental
+    * artifacts (append admitted docs' rows per ingest day). */
+  def nearDupCorpus(corpus: DataFrame, k: Int = 64, nBands: Int = 16,
+                    seed: Long = 0x5eedL): (DataFrame, DataFrame) = {
+    import graft.dedup.MinHash
+    val sigs = corpus
+      .withColumn("text_norm", graft.etl.TextNorm.normalizeText(col("text")))
+      .select(col("doc_id").as("cid"), MinHash.signature(
+        array_distinct(MinHash.shingleHashes(col("text_norm"), 3)), k, seed)
+        .as("csig"))
+    val bands = sigs.select(col("cid"),
+      posexplode(MinHash.bandHashes(col("csig"), nBands, k))
+        .as(Seq("band", "bh")))
+      .select("band", "bh", "cid")
+    (bands, sigs)
+  }
+
   /** Streaming anomaly flags — the streaming twin of q54's integer z²
     * test: per event type the state is three integers (n, Σx, Σx²) of
     * all PRIOR events, and each arriving event is tested prequentially

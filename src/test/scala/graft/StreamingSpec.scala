@@ -356,6 +356,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(back == Seq((1L, 1.5), (2L, 2.5), (3L, 3.5), (9L, 9.5)), s"got $back")
   }
 
+  test("near-dup gate: stream admission matches the batch LSH+verify rule") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.dedup.MinHash
+
+    val (k, nBands, seed) = (64, 16, 0x5eedL)
+    val docs = Tables.documents(spark, TestSpark.Sf).select("doc_id", "text")
+    // corpus = even ids; stream = ALL docs re-keyed into a disjoint id
+    // space (odd-id docs are fresh content; even-id docs are verbatim
+    // replays the gate must reject; near-dups of either side follow
+    // the verified-similarity rule)
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+    val (cBands, cSigs) = EventStream.nearDupCorpus(corpus, k, nBands, seed)
+    val cBandsP = cBands.localCheckpoint(true)
+    val cSigsP = cSigs.localCheckpoint(true)
+
+    val streamDocs = docs.select(($"doc_id" + 100000L).as("doc_id"), $"text")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val gate = EventStream.nearDupGateForeachBatch(cBandsP, cSigsP, k, nBands, seed) {
+      (adm, _) => admitted ++= adm.select("doc_id").as[Long].collect()
+    }
+    val input = MemoryStream[(Long, String)]
+    val query = input.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch(gate).outputMode("append").start()
+    try {
+      streamDocs.grouped(200).foreach { b =>
+        input.addData(b: _*)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    // expected via the independent batch path: d02's self-join LSH +
+    // verification over corpus ∪ stream, rejecting any stream doc with
+    // a verified pair into the corpus id space
+    val union = corpus.unionByName(streamDocs.toDF("doc_id", "text"))
+      .withColumn("text_norm", graft.etl.TextNorm.normalizeText(col("text")))
+      .select($"doc_id", MinHash.signature(
+        array_distinct(MinHash.shingleHashes($"text_norm", 3)), k, seed).as("sig"))
+      .repartition($"doc_id")
+    val cand = MinHash.candidatePairs(union, "doc_id", "sig", nBands, k)
+    val s1 = union.toDF("id1", "sig1"); val s2 = union.toDF("id2", "sig2")
+    val rejectedExpect = cand.join(s1, "id1").join(s2, "id2")
+      .withColumn("m", MinHash.sigMatches($"sig1", $"sig2"))
+      .filter($"m" * 10 >= k * 7)
+      .filter(($"id1" < 100000L && $"id2" >= 100000L) ||
+              ($"id2" < 100000L && $"id1" >= 100000L))
+      .select(greatest($"id1", $"id2").as("sid")).distinct()
+      .as[Long].collect().toSet
+    val expectAdmitted = streamDocs.map(_._1).filterNot(rejectedExpect).toSet
+
+    assert(rejectedExpect.nonEmpty, "test corpus must reject something")
+    assert(admitted.size < streamDocs.size, "some docs must be rejected")
+    assert(admitted.toSet == expectAdmitted,
+      s"admitted diff: extra=${admitted.toSet -- expectAdmitted} " +
+        s"missing=${expectAdmitted -- admitted.toSet}")
+  }
+
   test("CDC apply stream: out-of-order + replayed batches converge to batch q67") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
