@@ -616,6 +616,69 @@ object CoreQueries {
       |FROM s FULL OUTER JOIN t USING (k)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** #160 (q69): SCD2 temporal fact join — every fact row joins the
+    * dimension VERSION valid at that row's own event time (ship date ∈
+    * [valid_from, valid_to)), the standard warehouse pattern q63's
+    * single-timestamp snapshot does not cover: one as-of date vs one
+    * as-of date PER ROW. Composes q41's interval table with the
+    * lineitem facts (via orders for the customer key).
+    *
+    * Scale shape: NOT a range join — an equi-join on the customer key
+    * followed by the interval filter. SCD2 intervals partition each
+    * key's timeline, so the per-fact fanout before the filter is the
+    * key's version count (small, bounded by status changes), never
+    * |facts|×|intervals|; both sides shuffle once on the key, and the
+    * aggregate below is map-side combinable. Quantities are integral
+    * by construction — rounded to long so the output is engine-exact. */
+  def q69Scd2Temporal: Q = (spark, dir) => {
+    val iv = q41Scd2(spark, dir)
+      .select("o_custkey", "status", "valid_from", "valid_to")
+    val facts = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_quantity"),
+        col("l_shipdate").cast(TimestampType).as("ship_ts"))
+    facts.join(iv, Seq("o_custkey"))
+      .filter(col("valid_from") <= col("ship_ts") &&
+        (col("valid_to").isNull || col("valid_to") > col("ship_ts")))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_quantity"), 0).cast(LongType)).as("sum_qty"))
+      .orderBy("status")
+  }
+
+  val q69Sql: String =
+    """WITH g AS (
+      |  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+      |         CASE WHEN lag(o_orderstatus) OVER w IS NULL
+      |                OR lag(o_orderstatus) OVER w <> o_orderstatus
+      |              THEN 1 ELSE 0 END AS chg
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |i AS (
+      |  SELECT o_custkey, o_orderstatus, o_orderdate,
+      |         CAST(SUM(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+      |  FROM g),
+      |s AS (
+      |  SELECT o_custkey, island, MIN(o_orderstatus) AS status,
+      |         CAST(date_trunc('second', MIN(o_orderdate)) AS TIMESTAMP) AS valid_from
+      |  FROM i GROUP BY o_custkey, island),
+      |iv AS (
+      |  SELECT o_custkey, status, valid_from,
+      |         lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY island) AS valid_to
+      |  FROM s),
+      |f AS (
+      |  SELECT o.o_custkey, l.l_quantity, l.l_shipdate AS ship_ts
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      |SELECT iv.status, CAST(COUNT(*) AS BIGINT) AS n_items,
+      |       CAST(SUM(CAST(round(f.l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM f JOIN iv ON f.o_custkey = iv.o_custkey
+      |WHERE iv.valid_from <= f.ship_ts
+      |  AND (iv.valid_to IS NULL OR iv.valid_to > f.ship_ts)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** #151 (q67): CDC changelog apply — materialize an insert/update/
     * delete op log into the current snapshot: per key the LATEST op
     * wins (op_ts order, out-of-order arrivals included), and a
@@ -778,6 +841,7 @@ object CoreQueries {
       |ORDER BY a_key""".stripMargin
 
   val queries: Seq[(String, Q)] = Seq(
+    "q69_scd2_temporal" -> q69Scd2Temporal,
     "q68_entity_resolution" -> q68EntityResolution,
     "q67_cdc_apply" -> q67CdcApply,
     "q66_reconcile" -> q66Reconcile,
@@ -803,6 +867,7 @@ object CoreQueries {
     "q63_scd2_snapshot" -> q63Scd2Snapshot)
 
   val oracles: Seq[(String, String)] = Seq(
+    "q69_scd2_temporal" -> q69Sql,
     "q68_entity_resolution" -> q68Sql,
     "q67_cdc_apply" -> q67Sql,
     "q66_reconcile" -> q66Sql,
