@@ -41,16 +41,20 @@ object Hits {
     var hub = e.select(col("src")).distinct().select(col("src"), lit(1L).as("h"))
     var auth: DataFrame = null
     for (_ <- 1 to iterations) {
-      val aRaw = e.join(hub, Seq("src"))
-        .groupBy("dst").agg(sum("h").as("ar"))
+      // the cut sits on the RAW aggregate, which is referenced twice
+      // (the broadcast 1-row sum AND the renormalization stream side):
+      // a barrier on the normalized frame instead would leave the |E|
+      // join + aggregate to run once per reference
+      val aRaw = cut(e.join(hub, Seq("src"))
+        .groupBy("dst").agg(sum("h").as("ar")))
       val aSum = aRaw.agg(sum("ar").as("s"))
-      auth = cut(aRaw.crossJoin(broadcast(aSum))
-        .select(col("dst"), expr(s"ar * $scale div s").as("a")))
-      val hRaw = e.join(auth, Seq("dst"))
-        .groupBy("src").agg(sum("a").as("hr"))
+      auth = aRaw.crossJoin(broadcast(aSum))
+        .select(col("dst"), expr(s"ar * $scale div s").as("a"))
+      val hRaw = cut(e.join(auth, Seq("dst"))
+        .groupBy("src").agg(sum("a").as("hr")))
       val hSum = hRaw.agg(sum("hr").as("s"))
-      hub = cut(hRaw.crossJoin(broadcast(hSum))
-        .select(col("src"), expr(s"hr * $scale div s").as("h")))
+      hub = hRaw.crossJoin(broadcast(hSum))
+        .select(col("src"), expr(s"hr * $scale div s").as("h"))
     }
     auth.select(col("dst"), col("a").as("auth_e6"))
   }
