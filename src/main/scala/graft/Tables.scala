@@ -15,33 +15,37 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Every table loader normalizes TIMESTAMP_NTZ columns to
+    * session-local TimestampType (exact under the pinned UTC session
+    * TZ): pandas writes parquet timestamps with isAdjustedToUTC=false
+    * by default, so ANY regenerated table can silently flip its
+    * timestamp columns to NTZ — the round-6 `events.ts` regression
+    * class. Normalizing here (not per-consumer) means `orders
+    * .o_orderdate`, `lineitem.l_shipdate` and future timestamp
+    * columns can never hit the NTZ-rejecting functions
+    * (`unix_micros`, typed timestamp comparisons) at analysis. */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    val ntzCols = raw.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[TimestampNTZType] => f.name
+    }
+    ntzCols.foldLeft(raw)((df, c) => df.withColumn(c, col(c).cast(TimestampType)))
+  }
 
-  /** `events.ts` has drifted across testdata generations, so normalize
-    * every encoding to session-local TimestampType (micros):
-    *   - parquet TIMESTAMP(NANOS) + `spark.sql.legacy.parquet.nanosAsLong
-    *     =true` → a long of epoch-nanos; convert with FLOOR integer
-    *     division (no double round-trip: epoch-nanos exceed 2^53, and
-    *     `DIV` alone truncates toward zero, which would round pre-1970
-    *     sub-microsecond values the wrong way).
-    *   - parquet timestamp[us] with isAdjustedToUTC=false → Spark reads
-    *     TIMESTAMP_NTZ, which `unix_micros`/interval arithmetic reject at
-    *     analysis; cast to TimestampType. Every entrypoint pins
-    *     `spark.sql.session.timeZone=UTC`, so the cast is exact (the
-    *     wall-clock value is reinterpreted as UTC instant, the same
-    *     convention the nanos-as-long arm and the DuckDB oracle use).
-    *   - TIMESTAMP_LTZ (timestamp[us] adjusted to UTC) → already
-    *     TimestampType, pass through.
-    */
+  /** `events.ts` has one extra legacy encoding beyond what [[apply]]
+    * normalizes: parquet TIMESTAMP(NANOS) under
+    * `spark.sql.legacy.parquet.nanosAsLong=true` arrives as a long of
+    * epoch-nanos — convert with FLOOR integer division (no double
+    * round-trip: epoch-nanos exceed 2^53, and `DIV` alone truncates
+    * toward zero, which would round pre-1970 sub-microsecond values
+    * the wrong way). NTZ/LTZ drift is handled generically in
+    * [[apply]]; TablesSpec exercises all three encodings. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = apply(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(
           expr("ts DIV 1000 - CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END")))
-      case _: TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
   }

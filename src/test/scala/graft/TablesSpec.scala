@@ -67,6 +67,35 @@ class TablesSpec extends AnyFunSuite {
     }
   }
 
+  test("orders/lineitem NTZ drift: timestamp columns normalize and consumers run") {
+    // pandas writes isAdjustedToUTC=false by default — the SAME drift
+    // class that broke events in round 6 can hit any regenerated table
+    val dir = Files.createTempDirectory("graft-tables-ntzall").toString
+    Tables.names.filterNot(Set("orders", "lineitem")).foreach { n =>
+      Files.copy(Paths.get(s"${TestSpark.Sf}/$n.parquet"), Paths.get(s"$dir/$n.parquet"))
+    }
+    Tables.orders(spark, TestSpark.Sf)
+      .withColumn("o_orderdate", org.apache.spark.sql.functions.col("o_orderdate").cast(TimestampNTZType))
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    Tables.lineitem(spark, TestSpark.Sf)
+      .withColumn("l_shipdate", org.apache.spark.sql.functions.col("l_shipdate").cast(TimestampNTZType))
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    assert(Tables.orders(spark, dir).schema("o_orderdate").dataType == TimestampType)
+    assert(Tables.lineitem(spark, dir).schema("l_shipdate").dataType == TimestampType)
+    // the SCD2 family consumes both timestamp columns — execution
+    // parity against the canonical encoding, not just analysis
+    val want = CoreQueries.q69Scd2Temporal(spark, TestSpark.Sf).collect().toSeq
+    val got = CoreQueries.q69Scd2Temporal(spark, dir).collect().toSeq
+    assert(want.nonEmpty && got == want)
+    // analysis sweep: every registered query still resolves against
+    // the drifted testdata clone
+    val failures = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      try { fn(spark, dir).queryExecution.optimizedPlan; None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, s"\n${failures.mkString("\n")}")
+  }
+
   test("every events-consuming headline query analyzes on each encoding") {
     val names = Seq("q19_asof_join", "q20_sessionize", "q21_distinct_count",
       "q37_range_join", "q59_transitions", "q65_rolling_distinct")
