@@ -356,6 +356,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(back == Seq((1L, 1.5), (2L, 2.5), (3L, 3.5), (9L, 9.5)), s"got $back")
   }
 
+  test("stateful streaming state survives a checkpointed restart") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    // a REAL recoverable source + explicit checkpointLocation: the
+    // memory-sink specs prove operator semantics, this proves the
+    // operational half — a stopped query restarted on the same
+    // checkpoint resumes with its STATE (and source offsets) intact,
+    // the property a 100 TB ingest job leans on after every deploy
+    val src = java.nio.file.Files.createTempDirectory("graft_restart_src").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_restart_ck").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_restart_out").toString
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(src)
+    val schema = new StructType().add("doc_id", LongType).add("text", StringType)
+    // recoverable source AND sink (file/file): the memory sink refuses
+    // checkpoint recovery by design
+    def start() = {
+      val in = spark.readStream.schema(schema).parquet(src).as[(Long, String)]
+      EventStream.bloomDedupStream[(Long, String)](in, key = _._1,
+          nBuckets = 8, bucketBits = 1 << 12)
+        .toDF("doc_id", "text")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append").start()
+    }
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(out).count() == 3)
+    // second lifetime: one replayed key, one fresh key
+    Seq((2L, "b-again"), (9L, "z")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(src)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val all = spark.read.parquet(out).as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(all.map(_._1) == Seq(1L, 2L, 3L, 9L),
+      s"bloom state lost (or offsets replayed) across restart: $all")
+    assert(all.find(_._1 == 2L).exists(_._2 == "b"),
+      "the replayed key must keep its FIRST delivery, not the replay")
+  }
+
   test("near-dup gate: stream admission matches the batch LSH+verify rule") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
