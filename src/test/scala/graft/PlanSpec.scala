@@ -251,6 +251,20 @@ class PlanSpec extends AnyFunSuite {
       assert(!joinLine.contains(c), s"wide column $c reached the join: $joinLine")
   }
 
+  test("q69 temporal join is a key equi-join, never a range/nested-loop join") {
+    val p = planOf("q69_scd2_temporal")
+    // the interval condition must ride a hash equi-join on o_custkey —
+    // a BroadcastNestedLoopJoin or cartesian here is the |facts|×|iv|
+    // range-join shape the SCD2 timeline-partition property avoids
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q69 degenerated to a range join:\n${p.take(2000)}")
+    // facts scan only the three needed columns
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem")).getOrElse("")
+    for (c <- Seq("l_extendedprice", "l_discount", "l_tax", "l_returnflag"))
+      assert(!scanLine.contains(c), s"unpruned lineitem column $c: $scanLine")
+  }
+
   test("q68 ER blocks candidate-linear and best-match plans as WindowGroupLimit") {
     val p = planOf("q68_entity_resolution")
     // blocking join must be an equi-join on the block key — a cross
