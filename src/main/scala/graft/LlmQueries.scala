@@ -96,17 +96,20 @@ object LlmQueries {
     * re-running the set-sim join — at 100 TB that recompute is hours
     * per consumer, and the staged read also replaces the
     * `localCheckpoint` lineage barriers the graph consumers carried. */
+  /** Shingle sets as 64-bit fingerprints (1:1 with the oracle's
+    * string shingles — each is a hash of the same contiguous byte
+    * range), so |∩| and |∪| are identical while all joins compare
+    * longs instead of building strings through interpreted lambdas. */
+  private def shingleSets(spark: SparkSession, dir: String): DataFrame =
+    normedDocs(spark, dir)
+      .select(col("doc_id"),
+        array_distinct(MinHash.shingleHashes(col("text_norm"), 3)).as("s"))
+      .repartition(col("doc_id"))
+
   private[graft] def pairGraph(spark: SparkSession, dir: String): DataFrame =
     etl.Stages.stage(spark, StageRoots.rootFor(dir), "neardup_pairs") {
-      // shingle sets as 64-bit fingerprints (1:1 with the oracle's
-      // string shingles — each is a hash of the same contiguous byte
-      // range), so |∩| and |∪| are identical while all joins compare
-      // longs instead of building strings through interpreted lambdas.
-      val withSet = normedDocs(spark, dir)
-        .select(col("doc_id"),
-          array_distinct(MinHash.shingleHashes(col("text_norm"), 3)).as("s"))
-        .repartition(col("doc_id"))
-      SetSimJoin.jaccardSelfJoin(withSet, "doc_id", "s", tauNum = 1, tauDen = 2)
+      SetSimJoin.jaccardSelfJoin(shingleSets(spark, dir), "doc_id", "s",
+          tauNum = 1, tauDen = 2)
         .select(col("id1").as("doc_id1"), col("id2").as("doc_id2"),
                 col("inter"), col("uni"))
     }
@@ -136,6 +139,46 @@ object LlmQueries {
     * near-dup pair graph; every document in a cluster maps to its
     * canonical (min-id) representative. */
   def d06DedupClusters: Q = (spark, dir) => clusters(spark, dir).orderBy("id")
+
+  /** #161 (d26): incremental cluster maintenance — fold a NEW ingest
+    * batch into an EXISTING near-dup cluster table without re-running
+    * the old corpus's pair verification or re-clustering it from
+    * scratch (at 100 TB the old↔old work is the whole job; the delta
+    * is a day's ingest). Three-stage shape:
+    *   1. candidates over the union (global token-df order keeps the
+    *      prefix filter lossless), but exact VERIFICATION restricted
+    *      to pairs touching a batch doc (`SetSimJoin`'s `touching`) —
+    *      the dominant stage runs delta-sized;
+    *   2. the old cluster table's (id → comp) rows are reused as
+    *      SURROGATE edges: they encode old connectivity exactly (every
+    *      old clustered id keeps an edge to its root), so old pairs
+    *      never re-enter the computation;
+    *   3. connected components over [surrogate edges ∪ new-touching
+    *      verified pairs] — a graph of |old clustered ids| + |delta|
+    *      edges, not |all pairs|. A batch doc bridging two old
+    *      clusters merges them under the true global min-id root
+    *      (surrogates keep every old id present).
+    * Provably equal to the full recompute — the ORACLE IS d06's full
+    * SQL over the whole corpus, so the driver's hash-compare certifies
+    * incremental ≡ from-scratch. Here corpus = doc_id % 4 ≠ 3 and
+    * batch = the rest; production passes its staged cluster artifact
+    * as the old table. */
+  def d26IncrementalClusters: Q = (spark, dir) => {
+    val sets = shingleSets(spark, dir).localCheckpoint(eager = false)
+    val isBatch = col("doc_id") % 4 === 3
+    val oldPairs = SetSimJoin.jaccardSelfJoin(sets.filter(!isBatch),
+        "doc_id", "s", tauNum = 1, tauDen = 2)
+      .select("id1", "id2")
+    val oldComp = ConnectedComponents.run(oldPairs, idCols = ("id1", "id2"))
+    val newPairs = SetSimJoin.jaccardSelfJoin(sets, "doc_id", "s",
+        tauNum = 1, tauDen = 2,
+        touching = Some(sets.filter(isBatch).select("doc_id")))
+      .select("id1", "id2")
+    val edges = oldComp.select(col("id").as("id1"), col("comp").as("id2"))
+      .union(newPairs)
+    ConnectedComponents.run(edges, idCols = ("id1", "id2"))
+      .orderBy("id")
+  }
 
   /** The (id → comp) dedup-cluster table as a staged artifact built
     * from [[pairGraph]] — shared by d06's output and t23's
@@ -1563,6 +1606,7 @@ object LlmQueries {
     "d04_ngram_jaccard" -> d04NgramJaccard,
     "d05_embed_neardup" -> d05EmbedNearDup,
     "d06_dedup_clusters" -> d06DedupClusters,
+    "d26_incremental_clusters" -> d26IncrementalClusters,
     "d07_embed_neardup_lsh" -> d07EmbedNearDupLsh,
     "d13_semdedup" -> d13SemDedup,
     "s01_ann_bruteforce" -> s01AnnBruteForce,
@@ -1609,6 +1653,8 @@ object LlmQueries {
     "d04_ngram_jaccard" -> d04Sql,
     "d05_embed_neardup" -> d05Sql,
     "d06_dedup_clusters" -> d06Sql,
+    // incremental ≡ full: the oracle IS the from-scratch d06 SQL
+    "d26_incremental_clusters" -> d06Sql,
     "s01_ann_bruteforce" -> s01Sql,
     "s11_mips" -> s11Sql,
     "s12_kmeans" -> s12Sql,

@@ -38,8 +38,17 @@ object SetSimJoin {
     * `array<bigint>` DISTINCT token fingerprints.
     * Output: (id1, id2, inter, uni) for qualifying pairs.
     */
+  /** @param touching when set (a 1-column id frame), only candidate
+    *        pairs with AT LEAST one id in it go to exact verification
+    *        — the incremental-ingest restriction: old↔old pairs are
+    *        already known, so verification (the dominant stage) runs
+    *        delta-sized. Candidate GENERATION stays union-wide because
+    *        the prefix filter is lossless only under the GLOBAL token
+    *        df order — a stale df order could shift an old doc's
+    *        prefix and silently drop a new↔old pair. */
   def jaccardSelfJoin(df: DataFrame, idCol: String, setCol: String,
-                      tauNum: Int, tauDen: Int): DataFrame = {
+                      tauNum: Int, tauDen: Int,
+                      touching: Option[DataFrame] = None): DataFrame = {
     val sets = df.select(col(idCol).as("sid"), col(setCol).as("s"))
       .withColumn("sz", size(col("s")).cast(LongType))
 
@@ -77,6 +86,16 @@ object SetSimJoin {
           (tauDen + tauNum) >= (col("sz1") + col("sz2")) * tauNum)
       .select("id1", "id2")
       .distinct()
+      .transform { c =>
+        touching match {
+          case None => c
+          case Some(t) =>
+            val tid = t.select(t.columns.head).toDF("tid")
+            c.join(tid, c("id1") === tid("tid"), "left_semi")
+              .union(c.join(tid, c("id2") === tid("tid"), "left_semi"))
+              .distinct()
+        }
+      }
 
     // exact verification on candidates only.
     val s1 = sets.select(col("sid").as("id1"), col("s").as("s1"))

@@ -73,6 +73,30 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs5 == brute4, s"nBands=5 banded=$pairs5 brute=$brute4")
   }
 
+  test("jaccardSelfJoin touching restriction yields exactly the delta pairs") {
+    val sets = Tables.documents(spark, TestSpark.Sf)
+      .withColumn("text_norm", TextNorm.normalizeText(col("text")))
+      .select(col("doc_id"),
+        array_distinct(MinHash.shingleHashes(col("text_norm"), 3)).as("s"))
+    val full = SetSimJoin.jaccardSelfJoin(sets, "doc_id", "s", 1, 2)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val newIds = sets.filter(col("doc_id") % 4 === 3).select("doc_id")
+    val delta = SetSimJoin.jaccardSelfJoin(sets, "doc_id", "s", 1, 2,
+        touching = Some(newIds))
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val expect = full.filter { case (a, b) => a % 4 == 3 || b % 4 == 3 }
+    assert(delta == expect, s"extra=${delta -- expect} missing=${expect -- delta}")
+    assert(delta.size < full.size, "restriction must actually drop old-old pairs")
+  }
+
+  test("incremental cluster maintenance equals the from-scratch components") {
+    val inc = LlmQueries.d26IncrementalClusters(spark, TestSpark.Sf)
+      .as[(Long, Long)].collect().toSeq
+    val full = LlmQueries.d06DedupClusters(spark, TestSpark.Sf)
+      .as[(Long, Long)].collect().toSeq
+    assert(inc.nonEmpty && inc == full)
+  }
+
   test("connected components merges transitive near-dup chains") {
     import graft.dedup.ConnectedComponents
     val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 9L)).toDF("id1", "id2")
