@@ -166,9 +166,13 @@ object LlmQueries {
   def d26IncrementalClusters: Q = (spark, dir) => {
     val sets = shingleSets(spark, dir).localCheckpoint(eager = false)
     val isBatch = col("doc_id") % 4 === 3
-    val oldPairs = SetSimJoin.jaccardSelfJoin(sets.filter(!isBatch),
-        "doc_id", "s", tauNum = 1, tauDen = 2)
-      .select("id1", "id2")
+    // the old corpus's pair graph is the τ-filtered pair OUTPUT, which
+    // is df-independent — so it's exactly the staged whole-corpus
+    // artifact restricted to old↔old rows (in production: yesterday's
+    // pair-graph artifact), a parquet read instead of a rebuild
+    val oldPairs = pairGraph(spark, dir)
+      .filter(col("doc_id1") % 4 =!= 3 && col("doc_id2") % 4 =!= 3)
+      .select(col("doc_id1").as("id1"), col("doc_id2").as("id2"))
     val oldComp = ConnectedComponents.run(oldPairs, idCols = ("id1", "id2"))
     val newPairs = SetSimJoin.jaccardSelfJoin(sets, "doc_id", "s",
         tauNum = 1, tauDen = 2,
