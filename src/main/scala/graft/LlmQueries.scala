@@ -399,6 +399,52 @@ object LlmQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** #163 (s13): cluster-capped diversity budget — cap every s12
+    * cluster's contribution at `cap` members (SemDeDup-adjacent: a
+    * template-heavy cluster of near-identical embeddings shouldn't
+    * dominate the mixture; the per-cluster budget is the knob DoReMi/
+    * cluster-balanced sampling turn). Keeps the `cap` lowest vec_ids
+    * per cluster (deterministic, re-ingest-stable) and reports the
+    * DECISION for every vector — (vec_id, cluster, kept) — so the
+    * audit trail survives.
+    *
+    * Scale shape: the naive per-cluster row_number flag is a
+    * low-cardinality window (k=8 partitions — one unsplittable task
+    * per cluster at 100 TB). Instead: top-`cap` per cluster via
+    * rank-FILTER (plans as WindowGroupLimit — map-side partial top-cap
+    * per task, final window sees ≤ cap·tasks rows), reduce to one
+    * CUTOFF id per cluster (a k-row frame), broadcast it back, and the
+    * kept flag is a codegen'd comparison. PlanSpec pins the
+    * WindowGroupLimit + broadcast shape. */
+  def s13ClusterCap: Q = (spark, dir) => {
+    val cap = 40
+    val assigned = KMeansExact.assign(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> CAST(round((CAST(x AS DOUBLE) + 1.0D) * 1000000.0D, 0) AS INT))")
+          .as("qv")),
+      "vec_id", "qv", k = 8, iterations = 2)
+      .select(col("id").as("vec_id"), col("cluster"))
+    val w = Window.partitionBy("cluster").orderBy("vec_id")
+    val cut = assigned
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= cap)
+      .groupBy("cluster").agg(max("vec_id").as("cutoff"))
+    assigned.join(broadcast(cut), Seq("cluster"))
+      .withColumn("kept", col("vec_id") <= col("cutoff"))
+      .select("vec_id", "cluster", "kept")
+      .orderBy("vec_id")
+  }
+
+  val s13Sql: String =
+    s"""WITH a AS ($s12Sql),
+       |r AS (SELECT cluster, vec_id,
+       |             row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS rn
+       |      FROM a),
+       |cut AS (SELECT cluster, MAX(vec_id) AS cutoff FROM r WHERE rn <= 40 GROUP BY 1)
+       |SELECT a.vec_id, a.cluster, a.vec_id <= c.cutoff AS kept
+       |FROM a JOIN cut c USING (cluster)
+       |ORDER BY a.vec_id""".stripMargin
+
   /** #27: LSH-bucketed ANN (scale path; recall-bounded). Rows-only.
     * Round 4: corpus-derived parameters (occupancy-constant bits,
     * recall-0.75 tables at the cos-0.5 target) — a fixed width stops
@@ -1616,6 +1662,7 @@ object LlmQueries {
     "s01_ann_bruteforce" -> s01AnnBruteForce,
     "s11_mips" -> s11Mips,
     "s12_kmeans" -> s12Kmeans,
+    "s13_cluster_cap" -> s13ClusterCap,
     "s02_ann_lsh" -> s02AnnLsh,
     "s03_ann_ivf" -> s03AnnIvf,
     "s04_quantize_int8" -> s04QuantizeInt8,
@@ -1662,6 +1709,7 @@ object LlmQueries {
     "s01_ann_bruteforce" -> s01Sql,
     "s11_mips" -> s11Sql,
     "s12_kmeans" -> s12Sql,
+    "s13_cluster_cap" -> s13Sql,
     "t01_lang_id" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t03_token_count" -> t03Sql,

@@ -1033,7 +1033,38 @@ object TrainingDataQueries {
       |      FROM ro)
       |ORDER BY doc_id""".stripMargin
 
+  /** #162 (t24): tokenizer fertility by language — tokens-per-word of
+    * the t18-learned BPE vocabulary per language, the standard
+    * multilingual-tokenizer evaluation (a language whose fertility is
+    * 2× English pays 2× the context budget per word; the signal vocab
+    * sizing and mixture weighting read). Composes t21's per-doc
+    * (running words, BPE tokens) with the corpus's language column;
+    * the ppm ratio is integer floor-division on positive sums, so the
+    * oracle (t21's full unrolled SQL as a derived table) stays
+    * bit-exact. Shapes: t21's linear token pipeline + one
+    * lang-keyed aggregate — nothing new shuffles wide. */
+  def t24Fertility: Q = (spark, dir) =>
+    t21BpeEncode(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_bpe_tokens").as("n_tokens"))
+      .withColumn("fertility_ppm", expr("1000000 * n_tokens div n_words"))
+      .orderBy("lang")
+
+  val t24Sql: String =
+    s"""SELECT d.lang,
+       |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(t.n_words) AS BIGINT) AS n_words,
+       |       CAST(SUM(t.n_bpe_tokens) AS BIGINT) AS n_tokens,
+       |       1000000 * CAST(SUM(t.n_bpe_tokens) AS BIGINT)
+       |         // CAST(SUM(t.n_words) AS BIGINT) AS fertility_ppm
+       |FROM ($t21Sql) t JOIN documents d USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "t24_fertility" -> t24Fertility,
     "t23_leakage_safe_split" -> t23LeakageSafeSplit,
     "t22_weighted_sample" -> t22WeightedSample,
     "t19_corpus_report" -> t19CorpusReport,
@@ -1056,6 +1087,7 @@ object TrainingDataQueries {
     "d11_corpus_pipeline" -> d11CorpusPipeline)
 
   val oracles: Seq[(String, String)] = Seq(
+    "t24_fertility" -> t24Sql,
     "t23_leakage_safe_split" -> t23Sql,
     "t22_weighted_sample" -> t22Sql,
     "t19_corpus_report" -> t19Sql,

@@ -251,6 +251,14 @@ class PlanSpec extends AnyFunSuite {
       assert(!joinLine.contains(c), s"wide column $c reached the join: $joinLine")
   }
 
+  test("s13 cluster cap: WindowGroupLimit cutoff + broadcast flag, no full flag window") {
+    val p = planOf("s13_cluster_cap")
+    // the cutoff derivation must be the bounded top-cap shape — a full
+    // per-cluster row_number flag would funnel n/k rows into one task
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+  }
+
   test("q69 temporal join is a key equi-join, never a range/nested-loop join") {
     val p = planOf("q69_scd2_temporal")
     // the interval condition must ride a hash equi-join on o_custkey —
