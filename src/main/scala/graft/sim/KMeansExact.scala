@@ -35,11 +35,12 @@ import graft.functions.DotProductInt.dotInt
   * safe through n ≈ 2⁴² vectors. */
 object KMeansExact {
 
-  /** @param vecs   (idCol, vecCol: array<int> NON-NEGATIVE components)
-    * @return (id, cluster) — final assignment after `iterations`
-    *         centroid updates, one row per input vector */
-  def assign(vecs: DataFrame, idCol: String, vecCol: String,
-             k: Int, iterations: Int): DataFrame = {
+  /** Final centroids after `iterations` Lloyd updates:
+    * (cid, cv array<int>, nc = ‖cv‖²). The separate entry point exists
+    * for serving paths — [[assignRowLocal]] scores a STREAM of vectors
+    * against a fitted centroid set with zero stream state. */
+  def fit(vecs: DataFrame, idCol: String, vecCol: String,
+          k: Int, iterations: Int): DataFrame = {
     require(k >= 1 && k <= 4096, s"k in [1,4096], got $k")
     require(iterations >= 0 && iterations <= 64,
       s"iterations in [0,64], got $iterations")
@@ -82,6 +83,46 @@ object KMeansExact {
             .as("cv")))
         .localCheckpoint(eager = false)
     }
-    assignTo(cents)
+    cents
+  }
+
+  /** @param vecs   (idCol, vecCol: array<int> NON-NEGATIVE components)
+    * @return (id, cluster) — final assignment after `iterations`
+    *         centroid updates, one row per input vector */
+  def assign(vecs: DataFrame, idCol: String, vecCol: String,
+             k: Int, iterations: Int): DataFrame = {
+    val cents = fit(vecs, idCol, vecCol, k, iterations)
+    val q = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nq", dotInt(col("v"), col("v")))
+    q.crossJoin(broadcast(cents))
+      .withColumn("dist",
+        col("nq") + col("nc") - lit(2L) * dotInt(col("v"), col("cv")))
+      .groupBy("id")
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("id"), col("m.cid").as("cluster"))
+  }
+
+  /** Row-local assignment against a FITTED (driver-collected) centroid
+    * set — `least()` over k (dist, cid) structs, each dist through the
+    * codegen'd integer dot product. Stateless and aggregation-free, so
+    * it attaches to a `readStream` frame unchanged (the serving path:
+    * score arriving embeddings against last night's centroids). k is
+    * small by construction (a coarse quantizer), so the unrolled
+    * expression stays far from the codegen-size cliff the LSH kernels
+    * hit. Exact same argmin + cid tie-break as [[assign]]. */
+  def assignRowLocal(vecs: DataFrame, idCol: String, vecCol: String,
+                     centroids: Seq[(Long, Seq[Int])]): DataFrame = {
+    require(centroids.nonEmpty && centroids.size <= 256,
+      s"row-local scoring wants a small centroid set, got ${centroids.size}")
+    import org.apache.spark.sql.functions.typedlit
+    val v = col(vecCol)
+    val nq = dotInt(v, v)
+    val arms = centroids.map { case (cid, cv) =>
+      val nc = cv.map(x => x.toLong * x.toLong).sum
+      struct((nq + lit(nc) - lit(2L) * dotInt(v, typedlit(cv))).as("dist"),
+        lit(cid).as("cid"))
+    }
+    val m = if (arms.size == 1) arms.head else least(arms: _*)
+    vecs.select(col(idCol).as("id"), m.getField("cid").as("cluster"))
   }
 }

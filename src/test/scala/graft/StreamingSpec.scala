@@ -356,6 +356,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(back == Seq((1L, 1.5), (2L, 2.5), (3L, 3.5), (9L, 9.5)), s"got $back")
   }
 
+  test("streaming cluster scoring matches the batch k-means assignment") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sim.KMeansExact
+
+    val quant = "transform(embedding, x -> CAST(round((CAST(x AS DOUBLE) + 1.0D) * 1000000.0D, 0) AS INT))"
+    val vecs = Tables.embeddings(spark, TestSpark.Sf)
+      .select($"vec_id", expr(quant).as("qv"))
+    // fit once (the nightly job); collect the k-row centroid table —
+    // the bounded driver read the serving path ships to executors
+    val cents = KMeansExact.fit(vecs, "vec_id", "qv", k = 8, iterations = 2)
+      .select($"cid", $"cv").as[(Long, Seq[Int])].collect().toSeq
+    val want = KMeansExact.assign(vecs, "vec_id", "qv", k = 8, iterations = 2)
+      .as[(Long, Long)].collect().toMap
+
+    val fed = vecs.as[(Long, Seq[Int])].collect().toSeq
+    val input = MemoryStream[(Long, Seq[Int])]
+    val query = KMeansExact.assignRowLocal(
+        input.toDF().toDF("vec_id", "qv"), "vec_id", "qv", cents)
+      .writeStream.format("memory").queryName("cluster_scores")
+      .outputMode("append").start()
+    try {
+      fed.grouped(200).foreach { b =>
+        input.addData(b: _*)
+        query.processAllAvailable()
+      }
+      val got = spark.table("cluster_scores").as[(Long, Long)].collect().toMap
+      assert(got.size == want.size && got == want,
+        s"diverging: ${(got.toSet diff want.toSet).take(5)}")
+    } finally query.stop()
+  }
+
   test("stateful streaming state survives a checkpointed restart") {
     import spark.implicits._
     import org.apache.spark.sql.types.{LongType, StringType, StructType}
