@@ -96,6 +96,27 @@ class TablesSpec extends AnyFunSuite {
     assert(failures.isEmpty, s"\n${failures.mkString("\n")}")
   }
 
+  test("embeddings element-type drift: double[] regeneration still runs the ANN family") {
+    // the embedding column is float[] today; a regenerated double[] (or
+    // a reader defaulting wider) must not break the vector family —
+    // every consumer goes through toDouble / explicit quantization
+    val dir = Files.createTempDirectory("graft-tables-emb").toString
+    Tables.names.filterNot(_ == "embeddings").foreach { n =>
+      Files.copy(Paths.get(s"${TestSpark.Sf}/$n.parquet"), Paths.get(s"$dir/$n.parquet"))
+    }
+    Tables.embeddings(spark, TestSpark.Sf)
+      .withColumn("embedding",
+        org.apache.spark.sql.functions.col("embedding").cast("array<double>"))
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    // execution parity for the exact members of the family (the
+    // float→double widening is value-exact, so results are identical)
+    for (q <- Seq("s01_ann_bruteforce", "s11_mips", "s12_kmeans", "d05_embed_neardup")) {
+      val want = SparkEntry.queries(q)(spark, TestSpark.Sf).collect().toSeq
+      val got = SparkEntry.queries(q)(spark, dir).collect().toSeq
+      assert(want.nonEmpty && got == want, s"$q diverged on double[] embeddings")
+    }
+  }
+
   test("every events-consuming headline query analyzes on each encoding") {
     val names = Seq("q19_asof_join", "q20_sessionize", "q21_distinct_count",
       "q37_range_join", "q59_transitions", "q65_rolling_distinct")
