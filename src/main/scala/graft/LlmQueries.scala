@@ -95,7 +95,12 @@ object LlmQueries {
     * run; every consumer reads the materialized parquet instead of
     * re-running the set-sim join — at 100 TB that recompute is hours
     * per consumer, and the staged read also replaces the
-    * `localCheckpoint` lineage barriers the graph consumers carried. */
+    * `localCheckpoint` lineage barriers the graph consumers carried.
+    *
+    * NOTE the staging contract: if the artifact is uncommitted,
+    * CONSTRUCTING a consumer's DataFrame runs the build job and
+    * writes the stage (Stages.stage is eager by design — EtlSpec);
+    * every later construction is a parquet read. */
   /** Shingle sets as 64-bit fingerprints (1:1 with the oracle's
     * string shingles — each is a hash of the same contiguous byte
     * range), so |∩| and |∪| are identical while all joins compare

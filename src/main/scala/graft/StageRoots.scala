@@ -20,12 +20,32 @@ object StageRoots {
     java.nio.file.Files.createTempDirectory("graft-stages").toString
 
   /** Stage root for one dataset directory (distinct sf dirs must never
-    * share artifacts). */
-  def rootFor(dir: String): String =
-    s"$base/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+    * share artifacts). The sanitized name is for humans; the appended
+    * md5 of the RAW path is the collision-proof key — squashing
+    * punctuation alone would map e.g. `/data/sf1` and `/data_sf1` to
+    * one root and serve one dataset the other's artifacts. */
+  def rootFor(dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"$base/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}-$digest"
+  }
 
   /** Fresh base — the next stage access rebuilds. Bench calls this
     * between passes so a pass can never serve the previous pass's
-    * artifact and report a parquet-read as operator cost. */
-  def reset(): Unit = { base = newBase() }
+    * artifact and report a parquet-read as operator cost. The previous
+    * base is deleted (it is per-JVM and sequential passes never hold
+    * live references into it) so an N-pass bench doesn't accumulate N
+    * copies of the most expensive artifacts in the temp filesystem. */
+  def reset(): Unit = {
+    val old = base
+    base = newBase()
+    try {
+      val root = java.nio.file.Paths.get(old)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    } catch { case _: Throwable => () } // best-effort sweep
+  }
 }

@@ -235,9 +235,10 @@ object EventStream {
         .withColumn("matches", MinHash.sigMatches(col("sig"), col("csig")))
         .filter(col("matches") * 10 >= k * 7)
         .select("doc_id").distinct()
+      // restore the INPUT schema: both derived columns are internal
       onAdmitted(
         withSig.join(rejected, Seq("doc_id"), "left_anti")
-          .drop("sig"), batchId)
+          .drop("sig", "text_norm"), batchId)
     }
 
   /** The static corpus side of [[nearDupGateForeachBatch]]:
@@ -789,7 +790,13 @@ object StreamSink {
           props.foreach { case (kk, v) => jprops.setProperty(kk, v) }
           val conn = java.sql.DriverManager.getConnection(url, jprops)
           try {
-            conn.setAutoCommit(true)
+            // batched, one commit per chunk: the guarded UPDATE goes
+            // through executeBatch (one round-trip per chunk, not per
+            // key); only the rows whose guard matched nothing fall to
+            // the insert path, itself batched, with the duplicate-key
+            // race resolved row-at-a-time (rare by construction: the
+            // window exchange puts each key in exactly one partition)
+            conn.setAutoCommit(false)
             val upd = conn.prepareStatement(
               s"UPDATE $table SET last_ts = ?, op = ?, bal_cents = ? " +
                 s"WHERE k = ? AND last_ts < ?")
@@ -802,24 +809,35 @@ object StreamSink {
               upd.setLong(4, k); upd.setLong(5, ts)
               upd.executeUpdate()
             }
-            rows.foreach { r =>
-              val k = r.getLong(0); val ts = r.getLong(1); val op = r.getString(2)
-              val bal: java.lang.Long = if (r.isNullAt(3)) null else r.getLong(3)
-              if (tryUpdate(k, ts, op, bal) == 0) {
-                // absent OR incumbent is newer — try insert; a concurrent
-                // (or incumbent-newer) duplicate key falls back to the
-                // guarded update, whose 0-row outcome is then correct
-                try {
-                  ins.setLong(1, k); ins.setLong(2, ts); ins.setString(3, op)
-                  if (bal == null) ins.setNull(4, java.sql.Types.BIGINT)
-                  else ins.setLong(4, bal)
-                  ins.executeUpdate()
-                } catch {
-                  case e: java.sql.SQLException
-                    if e.getSQLState != null && e.getSQLState.startsWith("23") =>
-                    tryUpdate(k, ts, op, bal)
+            rows.grouped(1000).foreach { chunk =>
+              chunk.foreach { r =>
+                upd.setLong(1, r.getLong(1)); upd.setString(2, r.getString(2))
+                if (r.isNullAt(3)) upd.setNull(3, java.sql.Types.BIGINT)
+                else upd.setLong(3, r.getLong(3))
+                upd.setLong(4, r.getLong(0)); upd.setLong(5, r.getLong(1))
+                upd.addBatch()
+              }
+              val updated = upd.executeBatch()
+              chunk.iterator.zip(updated.iterator).foreach { case (r, n) =>
+                if (n == 0) {
+                  // absent OR incumbent is newer — try insert; a
+                  // duplicate key falls back to the guarded update,
+                  // whose 0-row outcome is then correct
+                  val k = r.getLong(0); val ts = r.getLong(1); val op = r.getString(2)
+                  val bal: java.lang.Long = if (r.isNullAt(3)) null else r.getLong(3)
+                  try {
+                    ins.setLong(1, k); ins.setLong(2, ts); ins.setString(3, op)
+                    if (bal == null) ins.setNull(4, java.sql.Types.BIGINT)
+                    else ins.setLong(4, bal)
+                    ins.executeUpdate()
+                  } catch {
+                    case e: java.sql.SQLException
+                      if e.getSQLState != null && e.getSQLState.startsWith("23") =>
+                      tryUpdate(k, ts, op, bal)
+                  }
                 }
               }
+              conn.commit()
             }
             upd.close(); ins.close()
           } finally conn.close()

@@ -63,7 +63,9 @@ class KMeansSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"centroid side must broadcast:\n${p.take(800)}")
-    assert(!p.contains("SortMergeJoin") || p.contains("id"),
-      "no vector-vector merge join")
+    // the only acceptable nested-loop is the k-row broadcast of
+    // centroids — an unbroadcast cartesian is the n² vector-vector
+    // shape the kernel exists to avoid
+    assert(!p.contains("CartesianProduct"), s"vector-vector cartesian:\n${p.take(800)}")
   }
 }
