@@ -21,13 +21,21 @@ object StageRoots {
 
   /** Stage root for one dataset directory (distinct sf dirs must never
     * share artifacts). The sanitized name is for humans; the appended
-    * md5 of the RAW path is the collision-proof key — squashing
-    * punctuation alone would map e.g. `/data/sf1` and `/data_sf1` to
-    * one root and serve one dataset the other's artifacts. */
+    * md5 of the CANONICALIZED path is the collision-proof key —
+    * squashing punctuation alone would map e.g. `/data/sf1` and
+    * `/data_sf1` to one root and serve one dataset the other's
+    * artifacts, while hashing the raw spelling would give `/x/sf1`,
+    * `/x/sf1/` and a relative path three distinct roots and rebuild
+    * the expensive pair-graph artifacts once per spelling. Only
+    * local-looking paths are canonicalized; URIs with a scheme
+    * (s3://, hdfs://) are left as written. */
   def rootFor(dir: String): String = {
+    val canonical =
+      if (dir.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*")) dir
+      else java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
     val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"$base/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}-$digest"
+      .digest(canonical.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"$base/${canonical.replaceAll("[^A-Za-z0-9._-]", "_")}-$digest"
   }
 
   /** Fresh base — the next stage access rebuilds. Bench calls this
@@ -46,6 +54,11 @@ object StageRoots {
         java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
       }
-    } catch { case _: Throwable => () } // best-effort sweep
+    } catch {
+      // Best-effort sweep: swallow IO races only — interrupts and VM
+      // errors must keep propagating (or re-set the interrupt flag).
+      case _: InterruptedException => Thread.currentThread().interrupt()
+      case scala.util.control.NonFatal(_) => ()
+    }
   }
 }

@@ -220,25 +220,38 @@ object EventStream {
       onAdmitted: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
       import graft.dedup.MinHash
+      // collision-proof internal names: an input stream that itself
+      // carries `sig`/`text_norm`/`band`/`bh` columns must pass
+      // through untouched — "restore the INPUT schema" has to hold
+      // for every input, so every derived column is __graft_-prefixed
+      // and the corpus tables are re-aliased into the same namespace
+      val nSig = "__graft_sig"; val nNorm = "__graft_text_norm"
       val withSig = batch
-        .withColumn("text_norm", graft.etl.TextNorm.normalizeText(col("text")))
-        .withColumn("sig", MinHash.signature(
-          array_distinct(MinHash.shingleHashes(col("text_norm"), 3)), k, seed))
+        .withColumn(nNorm, graft.etl.TextNorm.normalizeText(col("text")))
+        .withColumn(nSig, MinHash.signature(
+          array_distinct(MinHash.shingleHashes(col(nNorm), 3)), k, seed))
       val cands = withSig
-        .select(col("doc_id"), col("sig"),
-          posexplode(MinHash.bandHashes(col("sig"), nBands, k))
-            .as(Seq("band", "bh")))
-        .join(corpusBands, Seq("band", "bh"))
-        .select("doc_id", "sig", "cid").distinct()
+        .select(col("doc_id"), col(nSig),
+          posexplode(MinHash.bandHashes(col(nSig), nBands, k))
+            .as(Seq("__graft_band", "__graft_bh")))
+        .join(corpusBands.select(
+            col("band").as("__graft_band"), col("bh").as("__graft_bh"),
+            col("cid").as("__graft_cid")),
+          Seq("__graft_band", "__graft_bh"))
+        .select("doc_id", nSig, "__graft_cid").distinct()
       val rejected = cands
-        .join(corpusSigs, Seq("cid"))
-        .withColumn("matches", MinHash.sigMatches(col("sig"), col("csig")))
-        .filter(col("matches") * 10 >= k * 7)
-        .select("doc_id").distinct()
-      // restore the INPUT schema: both derived columns are internal
+        .join(corpusSigs.select(
+            col("cid").as("__graft_cid"), col("csig").as("__graft_csig")),
+          Seq("__graft_cid"))
+        .withColumn("__graft_matches",
+          MinHash.sigMatches(col(nSig), col("__graft_csig")))
+        .filter(col("__graft_matches") * 10 >= k * 7)
+        .select(col("doc_id").as("__graft_rejected_id")).distinct()
+      // restore the INPUT schema: all derived columns are internal
       onAdmitted(
-        withSig.join(rejected, Seq("doc_id"), "left_anti")
-          .drop("sig", "text_norm"), batchId)
+        withSig.join(rejected,
+            withSig("doc_id") === rejected("__graft_rejected_id"), "left_anti")
+          .drop(nSig, nNorm), batchId)
     }
 
   /** The static corpus side of [[nearDupGateForeachBatch]]:
@@ -817,24 +830,39 @@ object StreamSink {
                 upd.setLong(4, r.getLong(0)); upd.setLong(5, r.getLong(1))
                 upd.addBatch()
               }
+              def tryInsert(k: Long, ts: Long, op: String, bal: java.lang.Long): Unit =
+                try {
+                  ins.setLong(1, k); ins.setLong(2, ts); ins.setString(3, op)
+                  if (bal == null) ins.setNull(4, java.sql.Types.BIGINT)
+                  else ins.setLong(4, bal)
+                  ins.executeUpdate()
+                } catch {
+                  case e: java.sql.SQLException
+                    if e.getSQLState != null && e.getSQLState.startsWith("23") =>
+                    tryUpdate(k, ts, op, bal)
+                }
               val updated = upd.executeBatch()
               chunk.iterator.zip(updated.iterator).foreach { case (r, n) =>
+                val k = r.getLong(0); val ts = r.getLong(1); val op = r.getString(2)
+                val bal: java.lang.Long = if (r.isNullAt(3)) null else r.getLong(3)
                 if (n == 0) {
                   // absent OR incumbent is newer — try insert; a
                   // duplicate key falls back to the guarded update,
                   // whose 0-row outcome is then correct
-                  val k = r.getLong(0); val ts = r.getLong(1); val op = r.getString(2)
-                  val bal: java.lang.Long = if (r.isNullAt(3)) null else r.getLong(3)
-                  try {
-                    ins.setLong(1, k); ins.setLong(2, ts); ins.setString(3, op)
-                    if (bal == null) ins.setNull(4, java.sql.Types.BIGINT)
-                    else ins.setLong(4, bal)
-                    ins.executeUpdate()
-                  } catch {
-                    case e: java.sql.SQLException
-                      if e.getSQLState != null && e.getSQLState.startsWith("23") =>
-                      tryUpdate(k, ts, op, bal)
-                  }
+                  tryInsert(k, ts, op, bal)
+                } else if (n < 0) {
+                  // Statement.SUCCESS_NO_INFO (-2): the driver ran the
+                  // statement but won't say how many rows matched
+                  // (e.g. MySQL with rewriteBatchedStatements) — a
+                  // batch of all-absent keys also reports -2, so
+                  // treating it as "updated" would silently drop
+                  // inserts. Resolve per-row: single-statement
+                  // executeUpdate always returns an exact count, the
+                  // strict last_ts < ts guard makes a re-run of an
+                  // already-applied update a no-op (0 matched), and
+                  // the insert path's duplicate-key fallback covers
+                  // the remaining race.
+                  if (tryUpdate(k, ts, op, bal) == 0) tryInsert(k, ts, op, bal)
                 }
               }
               conn.commit()

@@ -488,6 +488,40 @@ class StreamingSpec extends AnyFunSuite {
         s"missing=${expectAdmitted -- admitted.toSet}")
   }
 
+  test("near-dup gate: input columns named sig/text_norm/band/bh pass through untouched") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the gate's derived columns are __graft_-prefixed, so a stream
+    // that ALREADY carries the old internal names must come out with
+    // its own values intact and its full schema restored
+    val corpus = Seq((1L, "the quick brown fox jumps over the lazy dog again and again")).toDF("doc_id", "text")
+    val (cBands, cSigs) = EventStream.nearDupCorpus(corpus)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    var outSchema: org.apache.spark.sql.types.StructType = null
+    val gate = EventStream.nearDupGateForeachBatch(
+      cBands.localCheckpoint(true), cSigs.localCheckpoint(true)) { (adm, _) =>
+      outSchema = adm.schema; rows ++= adm.collect()
+    }
+    val input = MemoryStream[(Long, String, String, String, Long, Long)]
+    val query = input.toDF()
+      .toDF("doc_id", "text", "sig", "text_norm", "band", "bh")
+      .writeStream.foreachBatch(gate).outputMode("append").start()
+    try {
+      input.addData(
+        (10L, "an entirely different sentence about distributed query planning", "user-sig", "user-norm", 7L, 9L),
+        (11L, "the quick brown fox jumps over the lazy dog again and again", "x", "y", 1L, 2L))
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(outSchema.fieldNames.toSeq ==
+      Seq("doc_id", "text", "sig", "text_norm", "band", "bh"),
+      s"input schema not restored: ${outSchema.fieldNames.toSeq}")
+    assert(rows.map(_.getLong(0)).toSet == Set(10L), s"admission wrong: $rows")
+    val r = rows.head
+    assert(r.getString(2) == "user-sig" && r.getString(3) == "user-norm" &&
+      r.getLong(4) == 7L && r.getLong(5) == 9L,
+      s"user columns clobbered: $r")
+  }
+
   test("CDC apply stream: out-of-order + replayed batches converge to batch q67") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
