@@ -134,7 +134,14 @@ object Ann {
     // arithmetic doesn't care, and it saves a second full-scan job
     val n = if (corpusCount >= 0) corpusCount else live.count()
     val centroids = fitCentroids(live, n, nCells, seed, fitSampleCap)
+    ivfProbe(live, queries, k, centroids, nProbe)
+  }
 
+  /** Probe stage of IVF, shared by the fixed-parameter and calibrated
+    * entry points: `liveCorpus` must already carry (id, vec, nrm0)
+    * with zero-norm rows excluded. */
+  private def ivfProbe(live: DataFrame, queries: DataFrame, k: Int,
+                       centroids: Seq[Seq[Double]], nProbe: Int): DataFrame = {
     // Distance of the UNIT vector v/‖v‖ to centroid cᵢ, minus the
     // per-row constant 1: dᵢ = ‖cᵢ‖² − 2·(v·cᵢ)/‖v‖ — cosine-consistent
     // quantization. One codegen'd CentroidCells kernel (centroid
@@ -192,6 +199,92 @@ object Ann {
       f"recall $recall%.2f at tau $tau%.2f needs $t OR-tables (> $maxTables): " +
         "raise tau, lower the recall target, or lower occupancy")
     math.max(1, t)
+  }
+
+  // ---- IVF-family recall calibration -------------------------------
+  //
+  // tablesForRecall's closed form exists because sign-LSH has an exact
+  // per-plane agreement probability (Goemans–Williamson). k-means
+  // cells have no closed form — they adapt to the data — so the same
+  // question ("how much probe budget buys recall R?") is answered by
+  // MEASURING it on a bounded deterministic sample of the corpus:
+  // for each sampled vector take its true top-k sample neighbors
+  // (exact cosine, driver-side) and record at which probe rank the
+  // neighbor's home cell appears in the query's cell ordering. The
+  // empirical CDF of that rank IS the recall-vs-nProbe curve; solving
+  // it for R is the data-adaptive analog of solving
+  // 1 − (1 − p^b)^T ≥ R for T. When the sample is the whole corpus
+  // (small sf) the curve is exact; on a capped sample of a huge corpus
+  // the sampled neighbors sit farther out than the true ones, their
+  // cells spread wider, and the calibrated nProbe errs conservative —
+  // recall lands at or above target, never silently below.
+
+  private def dotA(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Same cell score [[graft.functions.CentroidCells]] ranks by:
+    * ‖c‖² − 2·v·c for unit v (the per-row constant ‖v‖²=1 dropped). */
+  private def cellScores(v: Array[Double], cents: Array[Array[Double]]): Array[Double] =
+    cents.map(c => dotA(c, c) - 2.0 * dotA(v, c))
+
+  /** Bounded deterministic calibration sample: unit vectors of a
+    * hash-sampled slice of the live corpus (same stable pmod filter as
+    * the fit caps), sorted by id so the result is partitioning-
+    * independent. Driver round-trip is ≤ cap·dim doubles. */
+  private[graft] def calibrationSample(live: DataFrame, n: Long,
+                                       cap: Long = 512L): Array[Array[Double]] = {
+    val sampled =
+      if (n <= cap) live
+      else live.filter(pmod(xxhash64(col("id")), lit(n / cap + 1)) === 0)
+    sampled.orderBy("id").select(col("vec")).collect().map { r =>
+      val v = r.getSeq[Double](0).toArray
+      val nr = math.sqrt(dotA(v, v))
+      v.map(_ / nr)
+    }
+  }
+
+  /** Probe ranks of true-neighbor home cells: one entry per
+    * (sample query, true top-`kCal` sample neighbor) pair, giving the
+    * 1-based position of the neighbor's home cell in the query's
+    * nearest-cell ordering. */
+  private[graft] def neighborCellRanks(sample: Array[Array[Double]],
+                                       centroids: Seq[Seq[Double]],
+                                       kCal: Int): Array[Int] = {
+    val cents = centroids.map(_.toArray).toArray
+    val s = sample.length
+    val home = sample.map(v => cellScores(v, cents).zipWithIndex.minBy(_._1)._2)
+    val out = Array.newBuilder[Int]
+    var qi = 0
+    while (qi < s) {
+      val v = sample(qi)
+      val order = cellScores(v, cents).zipWithIndex.sortBy(_._1).map(_._2)
+      val rankOfCell = new Array[Int](cents.length)
+      order.zipWithIndex.foreach { case (cell, r) => rankOfCell(cell) = r + 1 }
+      val sims = Array.tabulate(s)(j =>
+        if (j == qi) Double.NegativeInfinity else dotA(v, sample(j)))
+      sims.zipWithIndex.sortBy { case (sim, j) => (-sim, j) }
+        .take(math.min(kCal, s - 1))
+        .foreach { case (_, j) => out += rankOfCell(home(j)) }
+      qi += 1
+    }
+    out.result()
+  }
+
+  /** Probe count for per-neighbor recall ≥ `recall` at the measured
+    * cell geometry — the [[tablesForRecall]] of the IVF family. Solves
+    * the empirical CDF of [[neighborCellRanks]] for the target. */
+  def probesForRecall(sample: Array[Array[Double]], centroids: Seq[Seq[Double]],
+                      recall: Double = 0.9, kCal: Int = 10,
+                      minProbe: Int = 3): Int = {
+    val ranks = neighborCellRanks(sample, centroids, kCal)
+    if (ranks.isEmpty) return math.min(minProbe, centroids.length)
+    val sorted = ranks.sorted
+    val idx = math.max(0, math.min(sorted.length - 1,
+      math.ceil(recall * sorted.length).toInt - 1))
+    math.min(centroids.length, math.max(minProbe, sorted(idx)))
   }
 
   /** All `nTables` hyperplane sets, seeded per table exactly as the
@@ -257,8 +350,9 @@ object Ann {
     * this is n^(3/4)-ish probe work over 8-byte codes: both the
     * IVF coverage saving and the PQ bandwidth saving compound. */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int, seed: Long,
-                m: Int = 8, ksub: Int = 16, candMult: Int = 8,
-                fitSampleCap: Long = 8192L, maxCells: Int = 2048): DataFrame = {
+                m: Int = 8, ksub: Int = 16, candMult: Int = 0,
+                fitSampleCap: Long = 8192L, maxCells: Int = 2048,
+                recall: Double = 0.9): DataFrame = {
     import graft.functions.{CentroidCells, ProductQuantizer, ResidualPq}
     import ProductQuantizer.{fit, pqAdc, pqLut}
     val live = corpus.withColumn("nrm", norm(col("vec"))).filter(col("nrm") > 0)
@@ -269,7 +363,6 @@ object Ann {
     // for distributed ml.KMeans (the s03 path) to push further)
     val nCells = math.min(maxCells,
       math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt))
-    val nProbe = math.max(3, math.ceil(math.sqrt(nCells.toDouble)).toInt)
     val cap = math.max(fitSampleCap, nCells.toLong * 8)
     val sampled =
       if (n <= cap) live
@@ -297,6 +390,24 @@ object Ann {
     val pqCb = fit(residuals, m, ksub, seed ^ 0x5f3759df)
     val coarseSeq: Seq[Seq[Double]] = coarse.map(_.toSeq).toSeq
 
+    // Two approximate stages compound: overall recall ≈
+    // P(neighbor's cell probed) · P(neighbor survives the ADC cut).
+    // Budget each at √recall, then solve each from the fit sample —
+    // nProbe from the cell-rank CDF ([[probesForRecall]]) and the
+    // rerank buffer from the measured ADC rank of true neighbors
+    // ([[candMultForRecall]]); candMult > 0 overrides the calibration.
+    val perStage = math.sqrt(recall)
+    val calib =
+      if (samples.length <= 512) samples
+      else {
+        val stride = samples.length / 512 + 1
+        samples.zipWithIndex.collect { case (v, i) if i % stride == 0 => v }
+      }
+    val nProbe = probesForRecall(calib, coarseSeq, perStage, kCal = k)
+    val buf =
+      if (candMult > 0) candMult
+      else candMultForRecall(calib, coarse, pqCb, nProbe, k, n, perStage)
+
     val c = live
       .withColumn("cell",
         element_at(CentroidCells.centroidCells(col("vec"), col("nrm"), coarseSeq, 1), 1))
@@ -317,9 +428,90 @@ object Ann {
       .filter(col("neighbor_id") =!= col("qid"))
       .withColumn("asim", col("base") + pqAdc(col("lut"), col("codes"), ksub))
       .withColumn("ar", row_number().over(wa))
-      .filter(col("ar") <= k * candMult)
+      .filter(col("ar") <= k * buf)
       .select("qid", "neighbor_id")
     exactRerank(cand, corpus, queries, k)
+  }
+
+  /** Rerank-buffer multiplier for the PQ cut: measures, on the
+    * calibration sample, the ADC rank each true neighbor would need to
+    * survive (1 + the number of same-probe candidates whose quantized
+    * score beats it), scales the rank by n/|sample| (outscoring
+    * competitors are a distortion-determined FRACTION of the candidate
+    * population, so their absolute count grows with the corpus), takes
+    * the `recall` quantile, and converts to a multiple of k. The clamp
+    * at `maxCandMult` bounds the exact-rerank cost per query — past it
+    * the honest fix is more PQ bits (m·log₂ksub), not a deeper buffer. */
+  private[graft] def candMultForRecall(sample: Array[Array[Double]],
+                                       coarse: Array[Array[Double]],
+                                       cb: graft.functions.ProductQuantizer.Codebooks,
+                                       nProbe: Int, kCal: Int, n: Long,
+                                       recall: Double,
+                                       minCandMult: Int = 2,
+                                       maxCandMult: Int = 64): Int = {
+    val s = sample.length
+    if (s < 3) return 8
+    val m = cb.m; val ksub = cb.ksub; val dsub = cb.dsub
+    val home = sample.map(v => cellScores(v, coarse).zipWithIndex.minBy(_._1)._2)
+    // residual PQ codes of each sample vector (exactly what
+    // ResidualPq.residualEncode computes executor-side)
+    val codes = Array.tabulate(s) { i =>
+      val v = sample(i); val ctr = coarse(home(i))
+      Array.tabulate(m) { sub =>
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < ksub) {
+          val cent = cb.cent(sub)(c)
+          var d = 0.0; var t = 0
+          while (t < dsub) {
+            val x = v(sub * dsub + t) - ctr(sub * dsub + t) - cent(t)
+            d += x * x; t += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+    }
+    val scaledRanks = Array.newBuilder[Double]
+    var qi = 0
+    while (qi < s) {
+      val v = sample(qi)
+      val probed = cellScores(v, coarse).zipWithIndex.sortBy(_._1)
+        .take(nProbe).map(_._2).toSet
+      // query-side LUT + per-candidate ADC score, as pqLut/pqAdc do
+      val lut = Array.tabulate(m, ksub) { (sub, c) =>
+        var d = 0.0; var t = 0
+        while (t < dsub) { d += v(sub * dsub + t) * cb.cent(sub)(c)(t); t += 1 }
+        d
+      }
+      def adc(j: Int): Double = {
+        var sc = dotA(v, coarse(home(j)))
+        var sub = 0
+        while (sub < m) { sc += lut(sub)(codes(j)(sub)); sub += 1 }
+        sc
+      }
+      val cand = (0 until s).filter(j => j != qi && probed(home(j)))
+      val candScores = cand.map(adc)
+      val sims = Array.tabulate(s)(j =>
+        if (j == qi) Double.NegativeInfinity else dotA(v, sample(j)))
+      sims.zipWithIndex.sortBy { case (sim, j) => (-sim, j) }
+        .take(math.min(kCal, s - 1))
+        .foreach { case (_, j) =>
+          if (probed(home(j))) {
+            val mine = adc(j)
+            val rank = 1 + candScores.count(_ > mine)
+            scaledRanks += rank.toDouble * math.max(1.0, n.toDouble / s)
+          }
+        }
+      qi += 1
+    }
+    val ranks = scaledRanks.result()
+    if (ranks.isEmpty) return 8
+    val sorted = ranks.sorted
+    val idx = math.max(0, math.min(sorted.length - 1,
+      math.ceil(recall * sorted.length).toInt - 1))
+    val depth = math.ceil(sorted(idx) / kCal).toInt
+    math.min(maxCandMult, math.max(minCandMult, depth))
   }
 
   /** Int8-quantized two-stage ANN: score the WHOLE corpus from its
@@ -467,18 +659,25 @@ object Ann {
 
   /** [[ivfTopK]] with corpus-derived sizing: nCells ≈ √n (cell count
     * and cell population balance, the standard IVF/FAISS shape) and
-    * nProbe ≈ √nCells — a constant probe FRACTION would scan Θ(n)
-    * per query like brute force; √nCells probes make per-query work
-    * ≈ n/√nCells = n^(3/4), and because the quantizer is
-    * data-adaptive a query's true neighbors concentrate in its
-    * nearest cells, which is what keeps recall up as coverage
-    * shrinks (recall spec pins it). */
+    * nProbe solved from a RECALL TARGET against the fitted cells
+    * ([[probesForRecall]]) — the round-8 upgrade from the fixed
+    * √nCells heuristic, whose measured recall at the default operating
+    * point was 0.3-ish: a serving path should state its recall and
+    * spend exactly the probes that buy it. Because the quantizer is
+    * data-adaptive, a clustered corpus concentrates true neighbors in
+    * few cells and the calibrated nProbe stays far below nCells
+    * (per-query work ≈ nProbe·n/nCells); a corpus with no cluster
+    * structure honestly calibrates toward more probes rather than
+    * silently under-recalling. */
   def ivfTopKAuto(corpus: DataFrame, queries: DataFrame, k: Int,
-                  seed: Long): DataFrame = {
-    val n = corpus.count()
+                  seed: Long, recall: Double = 0.9): DataFrame = {
+    val live = corpus.withColumn("nrm0", norm(col("vec"))).filter(col("nrm0") > 0)
+    val n = live.count()
     val nCells = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
-    val nProbe = math.max(3, math.ceil(math.sqrt(nCells.toDouble)).toInt)
-    ivfTopK(corpus, queries, k, nCells, nProbe, seed, corpusCount = n)
+    val centroids = fitCentroids(live, n, nCells, seed, fitSampleCap = 100000L)
+    val nProbe = probesForRecall(calibrationSample(live, n), centroids,
+      recall, kCal = k)
+    ivfProbe(live, queries, k, centroids, nProbe)
   }
 
   /** All-corpus k-NN graph: every document's k nearest neighbors by
