@@ -29,14 +29,37 @@ object StageRoots {
     * the expensive pair-graph artifacts once per spelling. Only
     * local-looking paths are canonicalized; URIs with a scheme
     * (s3://, hdfs://) are left as written. */
-  def rootFor(dir: String): String = {
+  def rootFor(dir: String): String = s"$base/${datasetKey(dir)}"
+
+  /** Collision-proof per-dataset directory key (shared by the per-JVM
+    * and durable roots). */
+  private[graft] def datasetKey(dir: String): String = {
     val canonical =
       if (dir.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*")) dir
       else java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(canonical.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"$base/${canonical.replaceAll("[^A-Za-z0-9._-]", "_")}-$digest"
+    s"${canonical.replaceAll("[^A-Za-z0-9._-]", "_")}-$digest"
   }
+
+  /** Opt-in durable stage base for CROSS-RUN artifact reuse: set the
+    * system property `graft.stages.durableRoot` (or env
+    * `GRAFT_STAGE_ROOT`) to a lake path and the shared intermediates
+    * (near-dup pair graph, cluster table) stage under
+    * `<base>/<datasetKey>` with a corpus content digest in the stage
+    * name ([[graft.etl.Stages.stageDurable]]) — a nightly over an
+    * unchanged corpus reads the previous run's artifact instead of
+    * rebuilding it, and any corpus change rebuilds by construction.
+    * Unset (the default), roots are per-JVM and freshness needs no
+    * digest at all. */
+  def durableBase: Option[String] =
+    sys.props.get("graft.stages.durableRoot")
+      .orElse(sys.env.get("GRAFT_STAGE_ROOT"))
+      .filter(_.nonEmpty)
+
+  /** Durable per-dataset root, when durable staging is enabled. */
+  def durableRootFor(dir: String): Option[String] =
+    durableBase.map(b => s"$b/${datasetKey(dir)}")
 
   /** Fresh base — the next stage access rebuilds. Bench calls this
     * between passes so a pass can never serve the previous pass's

@@ -113,4 +113,60 @@ object Stages {
     val dir = new Path(root, name)
     dir.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(dir, true)
   }
+
+  /** Order- and partitioning-independent content digest of a frame —
+    * the staleness key for [[stageDurable]]. Commutative combine
+    * (count + bit_xor of per-row xxhash64 over ALL columns), so the
+    * digest is a one-scan map-side-combinable aggregate that never
+    * depends on physical layout; any one-row change, insert, or delete
+    * flips it (the count term also catches the xor-cancelling case of
+    * inserting an existing row twice). This is a change DETECTOR for
+    * cache invalidation, not a cryptographic commitment. */
+  def contentDigest(df: DataFrame): String = {
+    import org.apache.spark.sql.functions._
+    val row = df
+      .select(xxhash64(df.columns.map(col).toSeq: _*).as("h"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"))
+      .head()
+    f"${row.getLong(0)}%x-${row.getLong(1)}%016x"
+  }
+
+  /** [[stage]] with a content-digest staleness guard for CROSS-RUN
+    * reuse on a durable root (the per-JVM [[graft.StageRoots]] policy
+    * trades reuse for freshness; this trades nothing): the digest of
+    * the stage's INPUT corpus is part of the stage directory name, so
+    * an unchanged corpus is served from the committed artifact of any
+    * previous run, while a corpus change — one doc edited, added or
+    * dropped — addresses a directory that does not exist yet and
+    * rebuilds. A stale artifact can never be served by construction;
+    * there is no mtime heuristic to race.
+    *
+    * Superseded digests (committed siblings of the same stage under an
+    * older corpus digest) are swept once they age past the same 24 h
+    * gate the in-progress sweep uses — old enough that no live run
+    * still holds a reader over them. */
+  def stageDurable(spark: SparkSession, root: String, name: String,
+                   digest: String)(build: => DataFrame): DataFrame = {
+    require(!digest.isEmpty && digest.matches("[A-Za-z0-9_-]+"),
+      s"digest must be a path-safe token: '$digest'")
+    val out = stage(spark, root, s"$name-$digest")(build)
+    try {
+      val rootPath = new Path(root)
+      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val clockMarker = new Path(root,
+        s".$name.sweepclock-${java.util.UUID.randomUUID}")
+      val fsNow =
+        try {
+          fs.create(clockMarker, true).close()
+          fs.getFileStatus(clockMarker).getModificationTime
+        } finally fs.delete(clockMarker, false)
+      val cutoff = fsNow - SweepMinAgeMs
+      Option(fs.globStatus(new Path(root, s"$name-*")))
+        .foreach(_.filter { st =>
+          st.getPath.getName != s"$name-$digest" &&
+            st.getModificationTime < cutoff
+        }.foreach(st => fs.delete(st.getPath, true)))
+    } catch { case scala.util.control.NonFatal(_) => () } // sweep is best-effort
+    out
+  }
 }

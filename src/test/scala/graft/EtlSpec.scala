@@ -83,6 +83,66 @@ class EtlSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$root/s1").exists())
   }
 
+  test("stageDurable: unchanged corpus is served cross-run, a one-doc change rebuilds") {
+    val data = java.nio.file.Files.createTempDirectory("graft_dur_data").toString
+    val root = java.nio.file.Files.createTempDirectory("graft_dur_root").toString
+    Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(data)
+
+    def corpus = spark.read.parquet(data)
+    val dig1 = Stages.contentDigest(corpus.select("doc_id", "text"))
+    // digest is layout-independent: same rows, any partitioning/order
+    assert(Stages.contentDigest(
+      corpus.select("doc_id", "text").repartition(7).sortWithinPartitions(desc("text"))) == dig1)
+
+    var builds = 0
+    def run(dig: String) = Stages.stageDurable(spark, root, "pairs", dig) {
+      builds += 1; corpus.select("doc_id")
+    }
+    assert(run(dig1).count() == 3 && builds == 1)
+    // "run 2" (fresh digest computation over the unchanged corpus):
+    // same digest → committed artifact is READ, the closure never runs
+    val dig2 = Stages.contentDigest(corpus.select("doc_id", "text"))
+    assert(dig2 == dig1)
+    assert(run(dig2).count() == 3 && builds == 1)
+    // one-doc change → different digest → rebuild by construction
+    Seq((1L, "alpha"), (2L, "beta EDITED"), (3L, "gamma")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(data)
+    val dig3 = Stages.contentDigest(corpus.select("doc_id", "text"))
+    assert(dig3 != dig1, "one-doc edit must flip the digest")
+    assert(run(dig3).count() == 3 && builds == 2)
+    // an insert-then-also-insert-duplicate corpus is caught by the
+    // count term even where the xor term cancels
+    val twice = corpus.select("doc_id", "text")
+      .unionAll(corpus.select("doc_id", "text").limit(1))
+    assert(Stages.contentDigest(twice) != dig3)
+  }
+
+  test("durable pair-graph wiring: second run reuses the committed artifact") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dur_wire").toString
+    System.setProperty("graft.stages.durableRoot", root)
+    LlmQueries.clearDigestCache()
+    try {
+      assert(LlmQueries.pairGraph(spark, TestSpark.Sf).count() > 0)
+      val dsDir = new java.io.File(root).listFiles.filter(_.isDirectory)
+      assert(dsDir.length == 1, s"one dataset key expected: ${dsDir.toSeq}")
+      val stages = dsDir.head.listFiles
+        .filter(f => f.isDirectory && f.getName.startsWith("neardup_pairs-"))
+      assert(stages.length == 1, s"one digest-named stage expected: ${stages.toSeq}")
+      val marker = new java.io.File(stages.head, "_SUCCESS")
+      assert(marker.exists())
+      val mtime = marker.lastModified()
+      // simulated second run: digest recomputed from the (unchanged)
+      // corpus must address the SAME committed dir — served, not rebuilt
+      LlmQueries.clearDigestCache()
+      assert(LlmQueries.pairGraph(spark, TestSpark.Sf).count() > 0)
+      assert(marker.lastModified() == mtime, "artifact was rebuilt, not reused")
+    } finally {
+      System.clearProperty("graft.stages.durableRoot")
+      LlmQueries.clearDigestCache()
+    }
+  }
+
   test("flagship pipeline produces per-source aggregates") {
     val out = Pipeline.run(Tables.documents(spark, TestSpark.Sf)).collect()
     assert(out.length > 10)
