@@ -61,6 +61,46 @@ object LlmQueries {
       .orderBy("id1", "id2")
   }
 
+  /** #165 (d27): cross-corpus NEAR-dup contamination audit — the
+    * benchmark-leakage check d09 cannot do: d09 catches exact shared
+    * 5-grams, but eval sets leak into training data as PARAPHRASES
+    * and light edits, which share few exact 5-grams while sitting at
+    * high jaccard. This is d02's verified MinHash rule ACROSS two
+    * corpora instead of within one: band tables of each side join on
+    * (band, bh) — candidate-linear, Θ(n·occupancy), never eval×train —
+    * and only band-colliding pairs touch a signature for the
+    * est-jaccard ≥ 0.7 verification. The corpora here are t08's
+    * deterministic split of `documents` (train buckets 0–7, eval
+    * bucket 9 standing in for a foreign benchmark table); a real
+    * deployment swaps either side for any (id, text) frame. At 100 TB
+    * the eval side is tiny (benchmarks are), so its band table
+    * broadcasts and the train corpus is never shuffled — the same
+    * asymmetry the streaming gate (#159) exploits. Rows-only oracle;
+    * DedupSpec pins recall vs the EXACT cross-split jaccard pairs. */
+  def d27CrossCorpusNearDup: Q = (spark, dir) => {
+    import graft.TrainingDataQueries.hashBucket
+    val sigs = shingled(spark, dir)
+      .select(col("doc_id"), hashBucket(col("doc_id"), 10).as("bucket"),
+        MinHash.signature(col("sh"), MinHashK, MinHashSeed).as("sig"))
+      .repartition(col("doc_id"))
+    val bands = sigs.select(col("doc_id"), col("bucket"),
+      posexplode(MinHash.bandHashes(col("sig"), MinHashBands, MinHashK))
+        .as(Seq("band", "bh")))
+    val trainB = bands.filter(col("bucket") <= 7)
+      .select(col("doc_id").as("train_id"), col("band"), col("bh"))
+    val evalB = bands.filter(col("bucket") === 9)
+      .select(col("doc_id").as("test_id"), col("band"), col("bh"))
+    val cand = trainB.join(broadcast(evalB), Seq("band", "bh"))
+      .select("test_id", "train_id").distinct()
+    val ts = sigs.select(col("doc_id").as("test_id"), col("sig").as("tsig"))
+    val rs = sigs.select(col("doc_id").as("train_id"), col("sig").as("rsig"))
+    cand.join(broadcast(ts), "test_id").join(rs, "train_id")
+      .withColumn("matches", MinHash.sigMatches(col("tsig"), col("rsig")))
+      .filter(col("matches") * 10 >= MinHashK * 7)
+      .select("test_id", "train_id", "matches")
+      .orderBy("test_id", "train_id")
+  }
+
   /** #23: SimHash near-dup (hamming ≤ 3 over 64-bit signatures,
     * pigeonhole-complete). Rows-only oracle. Round 4: uses the
     * Manku-style blocked tables (6 blocks, C(6,3)=20 tables keyed on
@@ -1683,6 +1723,7 @@ object LlmQueries {
     "s09_hybrid_rerank" -> s09HybridRerank,
     "d01_dedup_exact" -> d01DedupExact,
     "d02_minhash_lsh" -> d02MinHashLsh,
+    "d27_cross_contamination" -> d27CrossCorpusNearDup,
     "d03_simhash" -> d03SimHash,
     "d04_ngram_jaccard" -> d04NgramJaccard,
     "d05_embed_neardup" -> d05EmbedNearDup,

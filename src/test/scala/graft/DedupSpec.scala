@@ -45,6 +45,37 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall; truth=$groundTruth found=$found")
   }
 
+  test("d27 cross-corpus near-dup audit: quantified recall vs exact cross-split jaccard") {
+    import graft.TrainingDataQueries.hashBucket
+    val buckets = Tables.documents(spark, TestSpark.Sf)
+      .select(col("doc_id"), hashBucket(col("doc_id"), 10).as("b"))
+      .as[(Long, Long)].collect().toMap
+    // exact truth: jaccard ≥ 0.7 pairs (from the oracle-checked d04
+    // pair graph) that CROSS the t08 split — one side train (0–7),
+    // one side eval (9); normalized to (test_id, train_id)
+    val truth = LlmQueries.d04NgramJaccard(spark, TestSpark.Sf)
+      .filter(col("inter") * 10 >= col("uni") * 7)
+      .select("doc_id1", "doc_id2").as[(Long, Long)].collect()
+      .flatMap { case (a, b) =>
+        (buckets(a), buckets(b)) match {
+          case (9, t) if t <= 7 => Some((a, b))
+          case (t, 9) if t <= 7 => Some((b, a))
+          case _ => None
+        }
+      }.toSet
+    assert(truth.nonEmpty, "expected planted near-dups crossing the split")
+    val found = LlmQueries.d27CrossCorpusNearDup(spark, TestSpark.Sf)
+      .select("test_id", "train_id").as[(Long, Long)].collect().toSet
+    // every reported pair genuinely crosses the corpora (no self-side
+    // leakage from the band join)
+    found.foreach { case (te, tr) =>
+      assert(buckets(te) == 9 && buckets(tr) <= 7, s"pair ($te,$tr) not cross-split")
+    }
+    val recall = truth.count(found).toDouble / truth.size
+    info(s"d27 recall vs exact cross-split jaccard-0.7 = $recall (${truth.size} true pairs)")
+    assert(recall >= 0.7, s"recall $recall; truth=$truth found=$found")
+  }
+
   test("SimHash banding is complete: banded pairs == brute-force pairs at hamming ≤ 3") {
     val pairs = SimHash.nearDupPairs(sigs.select("doc_id", "ssig"), "doc_id", "ssig", 4, 3)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
