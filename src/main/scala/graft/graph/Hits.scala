@@ -31,7 +31,8 @@ object Hits {
     *         scaled to sum ≤ `scale` */
   def authorities(edges: DataFrame, iterations: Int = 3,
                   scale: Long = 1000000L,
-                  checkpointDir: Option[String] = None): DataFrame = {
+                  checkpointDir: Option[String] = None,
+                  probe: Option[Convergence] = None): DataFrame = {
     require(iterations >= 1 && iterations <= 64, s"iterations in [1,64], got $iterations")
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     def cut(df: DataFrame): DataFrame =
@@ -40,6 +41,7 @@ object Hits {
     val e = cut(edges.select(col("src"), col("dst")).distinct())
     var hub = e.select(col("src")).distinct().select(col("src"), lit(1L).as("h"))
     var auth: DataFrame = null
+    var prevAuth: DataFrame = null
     for (_ <- 1 to iterations) {
       // the cut sits on the RAW aggregate, which is referenced twice
       // (the broadcast 1-row sum AND the renormalization stream side):
@@ -53,6 +55,22 @@ object Hits {
       val hRaw = cut(e.join(auth, Seq("dst"))
         .groupBy("src").agg(sum("a").as("hr")))
       val hSum = hRaw.agg(sum("hr").as("s"))
+      // opt-in convergence probe on the normalized authority scores
+      // (derived from the checkpointed aRaw — cheap): equal scores ⇒
+      // the hub update and every later iteration reproduce themselves
+      // exactly (integer arithmetic), so stopping early is
+      // output-invariant. First iteration has no predecessor and
+      // records the full row count.
+      val done = probe.exists { p =>
+        val ch =
+          if (prevAuth == null) auth.count()
+          else auth.join(prevAuth.select(col("dst"), col("a").as("pa")), "dst")
+            .filter(col("a") =!= col("pa")).count()
+        p.record(ch)
+        ch == 0L
+      }
+      prevAuth = auth
+      if (done) return auth.select(col("dst"), col("a").as("auth_e6"))
       hub = hRaw.crossJoin(broadcast(hSum))
         .select(col("src"), expr(s"hr * $scale div s").as("h"))
     }

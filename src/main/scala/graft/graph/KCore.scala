@@ -36,14 +36,21 @@ object KCore {
     *         degree in the peeled graph
     */
   def peel(edges: DataFrame, k: Int, rounds: Int,
-           checkpointDir: Option[String] = None): DataFrame = {
+           checkpointDir: Option[String] = None,
+           probe: Option[Convergence] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(rounds >= 0 && rounds <= 64, s"rounds in [0,64], got $rounds")
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(eager = true)
+    def result(e: DataFrame): DataFrame =
+      e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
     var e = cut(edges.select("a", "b"))
+    // probe cost: counts on the checkpointed edge frame only — the
+    // deleted-edge probe is the round-over-round count delta
+    var prevCnt = probe.map(_ => e.count())
     for (_ <- 1 to rounds) {
       val keep = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("deg"))
@@ -52,8 +59,18 @@ object KCore {
       e = cut(
         e.join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
           .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi"))
+      val done = probe.exists { p =>
+        val cnt = e.count()
+        val deleted = prevCnt.get - cnt
+        p.record(deleted)
+        prevCnt = Some(cnt)
+        // a round that deletes nothing is the fixed point: every
+        // surviving endpoint already meets the degree bar, so all
+        // later rounds delete nothing either
+        deleted == 0L
+      }
+      if (done) return result(e)
     }
-    e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("deg"))
+    result(e)
   }
 }

@@ -28,7 +28,8 @@ object LabelProp {
     * @return (v, label) — final community label per node
     */
   def run(edges: DataFrame, rounds: Int,
-          checkpointDir: Option[String] = None): DataFrame = {
+          checkpointDir: Option[String] = None,
+          probe: Option[Convergence] = None): DataFrame = {
     require(rounds >= 0 && rounds <= 64, s"rounds in [0,64], got $rounds")
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     def cut(df: DataFrame): DataFrame =
@@ -41,10 +42,24 @@ object LabelProp {
     for (_ <- 1 to rounds) {
       val nbr = sym.join(lab, sym("b") === lab("v"))
         .select(sym("a").as("v"), lab("label"))
-      lab = cut(nbr.groupBy("v", "label").agg(count(lit(1)).as("cnt"))
+      val next = cut(nbr.groupBy("v", "label").agg(count(lit(1)).as("cnt"))
         .groupBy("v")
         .agg(min(struct((col("cnt") * -1).as("nc"), col("label"))).as("m"))
         .select(col("v"), col("m.label").as("label")))
+      // opt-in convergence probe: |V|-linear diff of two checkpointed
+      // label frames; a 0-change round is the synchronous-update fixed
+      // point (the next frame is a pure function of this one), so
+      // stopping early returns the identical labeling. NOTE synchronous
+      // LPA can 2-cycle on bipartite structure — such graphs simply
+      // never record a 0 round and run their full budget.
+      val done = probe.exists { p =>
+        val ch = next.join(lab.select(col("v"), col("label").as("pl")), "v")
+          .filter(col("label") =!= col("pl")).count()
+        p.record(ch)
+        ch == 0L
+      }
+      lab = next
+      if (done) return lab
     }
     lab
   }

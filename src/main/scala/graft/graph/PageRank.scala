@@ -53,7 +53,8 @@ object PageRank {
     */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
           iterations: Int = 5, scale: Long = 1000000000000L,
-          checkpointDir: Option[String] = None): DataFrame = {
+          checkpointDir: Option[String] = None,
+          probe: Option[Convergence] = None): DataFrame = {
     require(iterations >= 1 && iterations <= 64, s"iterations in [1,64], got $iterations")
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     def cut(df: DataFrame, eager: Boolean): DataFrame =
@@ -76,11 +77,23 @@ object PageRank {
         .select(col("id"), expr("r div d").as("c"))
         .join(sym, col("id") === col("a"))
         .groupBy(col("b")).agg(sum("c").as("s"))
-      rank = cut(rank.join(contrib, rank("id") === contrib("b"), "left")
+      val next = cut(rank.join(contrib, rank("id") === contrib("b"), "left")
         .select(rank("id"), rank("d"), rank("nn"),
           (expr(s"(15 * ($scale div nn)) div 100") +
            expr("(85 * coalesce(s, cast(0 as bigint))) div 100")).as("r")),
         eager = false)
+      // convergence probe (opt-in): both frames are checkpointed, so
+      // the diff is one |V|-linear join-count, no |E| work; a 0-change
+      // round is the integer fixed point — every later round is
+      // bit-identical, so stopping early is output-invariant
+      val done = probe.exists { p =>
+        val ch = next.join(rank.select(col("id"), col("r").as("pr")), "id")
+          .filter(col("r") =!= col("pr")).count()
+        p.record(ch)
+        ch == 0L
+      }
+      rank = next
+      if (done) return rank.select(col("id"), col("r").as("rank_e12"))
     }
     rank.select(col("id"), col("r").as("rank_e12"))
   }

@@ -125,6 +125,64 @@ class GraphSpec extends AnyFunSuite {
     assert(r.values.sum <= 1000000L && r.values.sum > 990000L, r.toString)
   }
 
+  test("convergence probes: each op reports converged-at <= budget and early exit is output-invariant") {
+    import graft.graph.{Convergence, Hits, KCore, LabelProp, PageRank}
+
+    // PageRank on a 2-regular ring: the uniform start IS the fixed
+    // point, so round 1 changes nothing
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val prProbe = new Convergence
+    val pr = PageRank.run(ring, "a", "b", iterations = 8, probe = Some(prProbe))
+      .as[(Long, Long)].collect().toMap
+    val prFull = PageRank.run(ring, "a", "b", iterations = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(pr == prFull, "early exit changed the PageRank output")
+    assert(prProbe.convergedAt.exists(_ < 8),
+      s"expected early convergence, probe=${prProbe.changedPerRound}")
+    info(s"pagerank converged at round ${prProbe.convergedAt.get}/8, " +
+      s"changed=${prProbe.changedPerRound.mkString(",")}")
+
+    // k-core: 4-clique + 2-chain converges in 3 peels (budget 10)
+    val clique = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val kcEdges = (clique ++ Seq((4L, 5L), (5L, 6L))).toDF("a", "b")
+    val kcProbe = new Convergence
+    val kc = KCore.peel(kcEdges, k = 2, rounds = 10, probe = Some(kcProbe))
+      .as[(Long, Long)].collect().toMap
+    val kcFull = KCore.peel(kcEdges, k = 2, rounds = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(kc == kcFull, "early exit changed the k-core output")
+    assert(kcProbe.convergedAt.exists(_ <= 3 + 1),
+      s"probe=${kcProbe.changedPerRound}")
+    info(s"k-core converged at round ${kcProbe.convergedAt.get}/10, " +
+      s"deleted=${kcProbe.changedPerRound.mkString(",")}")
+
+    // label propagation: two bridged triangles stabilize well inside 8
+    val lpEdges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val lpProbe = new Convergence
+    val lp = LabelProp.run(lpEdges, rounds = 8, probe = Some(lpProbe))
+      .as[(Long, Long)].collect().toMap
+    val lpFull = LabelProp.run(lpEdges, rounds = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(lp == lpFull, "early exit changed the LPA output")
+    assert(lpProbe.convergedAt.exists(_ < 8), s"probe=${lpProbe.changedPerRound}")
+    info(s"lpa converged at round ${lpProbe.convergedAt.get}/8, " +
+      s"changed=${lpProbe.changedPerRound.mkString(",")}")
+
+    // HITS on a single-hub star: normalized authorities are exact
+    // from iteration 1, so iteration 2 proves the fixed point
+    val star = Seq((1L, 100L), (1L, 200L), (1L, 300L)).toDF("src", "dst")
+    val hProbe = new Convergence
+    val h = Hits.authorities(star, iterations = 6, probe = Some(hProbe))
+      .as[(Long, Long)].collect().toMap
+    val hFull = Hits.authorities(star, iterations = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(h == hFull, "early exit changed the HITS output")
+    assert(hProbe.convergedAt.exists(_ < 6), s"probe=${hProbe.changedPerRound}")
+    info(s"hits converged at round ${hProbe.convergedAt.get}/6, " +
+      s"changed=${hProbe.changedPerRound.mkString(",")}")
+  }
+
   test("HITS through a reliable checkpoint dir is identical to localCheckpoint") {
     import graft.graph.Hits
     val dir = java.nio.file.Files.createTempDirectory("hits_chk").toString
