@@ -691,7 +691,12 @@ object Ann {
     * n^1.5-ish spread evenly across cells, never the n² all-pairs
     * join, and the vectors shuffle ONCE each side (no per-query
     * re-scan). A clustered corpus makes hot cells; that skew lands in
-    * the cell-id exchange where AQE's skew-join splitting applies.
+    * the cell-id exchange where AQE's skew-join splitting applies —
+    * measured, not assumed: AnnSpec's adversarial-skew case pins the
+    * candidate volume of a 90%-one-blob corpus at its irreducible
+    * blob floor (the data-adaptive quantizer splits any blob loose
+    * enough to split; a near-identical blob's self-pairs are real
+    * neighbors no regional method can avoid comparing).
     * The per-document top-k is a row_number window over the
     * HIGH-cardinality document id (Spark 4 caps it via
     * WindowGroupLimit before the full sort). Seeded k-means fit via

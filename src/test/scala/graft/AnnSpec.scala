@@ -355,4 +355,74 @@ class AnnSpec extends AnyFunSuite {
     val recall = exact.count(got).toDouble / exact.size
     assert(recall >= 0.55, s"recall@5 $recall")
   }
+
+  test("kNN graph under adversarial skew: 90%-one-blob corpus completes with bounded candidate volume") {
+    import graft.functions.CentroidCells.centroidCells
+    // the documented hot-cell claim, made testable: a degenerate corpus
+    // where 90% of vectors land in one region must not turn the cell
+    // self-join quadratic. The defense is data-adaptivity — Lloyd
+    // allocates centroids where the mass is, splitting the blob across
+    // many cells — and this spec MEASURES the resulting candidate
+    // volume instead of trusting the argument.
+    val n = 500
+    val dim = 16
+    def corpus(eps: Double) = {
+      val rnd = new scala.util.Random(1234L)
+      val blobDir = Array.fill(dim)(rnd.nextGaussian())
+      (0 until n).map { i =>
+        if (i < 450) (i.toLong,
+          blobDir.toIndexedSeq.map(x => x + rnd.nextGaussian() * eps))
+        else (i.toLong, Seq.fill(dim)(rnd.nextGaussian()))
+      }.toDF("id", "vec")
+    }
+    /** (max cell population, candidate volume) under knnGraph's sizing. */
+    def measure(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val live = df.withColumn("nrm0", sqrt(dot(col("vec"), col("vec"))))
+        .filter(col("nrm0") > 0)
+      val nCells = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)     // 23
+      val nProbe = math.max(3, math.ceil(math.sqrt(nCells.toDouble)).toInt) // 5
+      val cents = Ann.fitCentroids(live, n, nCells, seed = 42L, fitSampleCap = 100000L)
+      val pops = live
+        .select(element_at(centroidCells(col("vec"), col("nrm0"), cents, 1), 1).as("cell"))
+        .groupBy("cell").count().as[(Int, Long)].collect().toMap
+      val candVol = live
+        .select(explode(centroidCells(col("vec"), col("nrm0"), cents, nProbe)).as("cell"))
+        .groupBy("cell").count()
+        .as[(Int, Long)].collect()
+        .map { case (cell, probes) => probes * pops.getOrElse(cell, 0L) }.sum
+      (pops.values.max, candVol)
+    }
+    val allPairs = n.toLong * n
+    val balanced = 5L * n * n / 23
+
+    // DEGENERATE: 450 near-identical vectors. Even here the graph must
+    // complete with correct structure, and the candidate volume is
+    // bounded by (hot mass)² + background — the blob's self-pairs are
+    // irreducible for ANY method that compares within regions (they
+    // really are each other's neighbors); the engineering claim is the
+    // volume never explodes past that floor toward n² · nProbe, and
+    // the hot cells land in one exchange where AQE skew-split applies.
+    val degenerate = corpus(eps = 0.05)
+    val graph = Ann.knnGraph(degenerate, k = 5, seed = 42L)
+      .as[(Long, Long, Long)].collect()
+    val byId = graph.groupBy(_._1)
+    assert(byId.size == n, s"${byId.size} of $n docs have neighbors")
+    byId.values.foreach { rows =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq && rows.length <= 5)
+    }
+    val (maxPopD, volD) = measure(degenerate)
+    info(s"degenerate: max cell pop $maxPopD/$n, candidate volume $volD " +
+      s"(blob floor ${450L * 450}, all-pairs $allPairs)")
+    assert(volD <= 450L * 450 + 3 * balanced,
+      s"degenerate volume $volD exploded past the blob floor")
+
+    // CLUSTERED (the realistic skew): same blob, loosened — Lloyd must
+    // SPLIT it across cells, keeping the volume near the balanced ideal
+    val (maxPopC, volC) = measure(corpus(eps = 0.5))
+    info(s"clustered: max cell pop $maxPopC/$n, candidate volume $volC " +
+      s"(balanced ideal $balanced)")
+    assert(maxPopC <= n / 3, s"loosened blob not split: max pop $maxPopC")
+    assert(volC <= 4 * balanced,
+      s"clustered volume $volC exceeds 4x the balanced ideal $balanced")
+  }
 }
