@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
   * Media payloads (image/audio/video) travel as opaque `binary`
   * columns with a typed metadata struct beside them. The Spark-side
   * plumbing — schema, partition-preserving batch decode, deterministic
-  * metadata — is real; the actual codec is STUBBED (this container has
+  * metadata — is real; the default codec is STUBBED (this container has
   * no image/audio libraries): [[StubDecoder]] derives metadata
   * deterministically from payload bytes so tests are reproducible. A
   * production deployment swaps in a real [[MediaDecoder]]; nothing
-  * else changes.
+  * else changes — and [[Codecs.PgmBmpDecoder]] /
+  * [[Codecs.GrayGridExtractor]] are exactly that swap for the two
+  * dependency-free public formats (netpbm PGM, uncompressed BMP),
+  * decoding real pixels through the same hooks (MultimodalSpec).
   */
 object Binary {
 

@@ -1,0 +1,243 @@
+package graft.multimodal
+
+import Binary.{FeatureExtractor, MediaDecoder, MediaMeta}
+
+/** Real pure-JVM codecs for two trivial PUBLIC formats — netpbm PGM
+  * (P5 binary / P2 ASCII grayscale) and uncompressed 24/32-bit BI_RGB
+  * BMP — so the multimodal boundary has one genuine decode path in
+  * addition to [[Binary.StubDecoder]] (which stays the test default:
+  * the stub's closed-form metadata is what the oracle-checked m01/m02
+  * queries pin, and this container ships no media libraries for
+  * anything richer).
+  *
+  * Both formats are bytes-in/struct-out with no external dependency,
+  * which makes them the honest smallest instance of the production
+  * contract: [[Codecs.PgmBmpDecoder]] drops into
+  * [[Binary.decodePartitions]] unchanged, and
+  * [[Codecs.GrayGridExtractor]] turns decoded PIXELS (not byte
+  * hashes) into a fixed-width embedding through
+  * [[Binary.extractFeaturesPartitions]] — the same `array<float>`
+  * schema the ANN family consumes. A malformed payload fails loudly
+  * ([[IllegalArgumentException]]); feeding media through a
+  * best-effort silent fallback is how corrupt bytes poison a corpus.
+  */
+object Codecs {
+
+  /** Parsed grayscale image: row-major pixels in [0, maxval]. */
+  final case class GrayImage(width: Int, height: Int, pixels: Array[Int])
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"media decode: $msg")
+
+  // ---- PGM (netpbm portable graymap; public spec: netpbm(5)) -------
+
+  /** Header scanner: netpbm tokens are separated by whitespace, and a
+    * `#` starts a comment running to end-of-line — anywhere between
+    * tokens, including between magic and width. */
+  private final class Tokens(bytes: Array[Byte], var pos: Int) {
+    def next(): String = {
+      while (pos < bytes.length) {
+        val c = bytes(pos).toChar
+        if (c == '#') { while (pos < bytes.length && bytes(pos) != '\n') pos += 1 }
+        else if (c.isWhitespace) pos += 1
+        else {
+          val start = pos
+          while (pos < bytes.length && !bytes(pos).toChar.isWhitespace &&
+            bytes(pos).toChar != '#') pos += 1
+          return new String(bytes, start, pos - start, "US-ASCII")
+        }
+      }
+      fail("truncated header")
+    }
+    def int(what: String): Int = {
+      val t = next()
+      try t.toInt catch { case _: NumberFormatException => fail(s"bad $what '$t'") }
+    }
+  }
+
+  def isPgm(payload: Array[Byte]): Boolean =
+    payload.length >= 2 && payload(0) == 'P' &&
+      (payload(1) == '5' || payload(1) == '2')
+
+  /** Decode P5 (binary, maxval ≤ 255 ⇒ 1 byte/pixel) or P2 (ASCII). */
+  def decodePgm(payload: Array[Byte]): GrayImage = {
+    if (!isPgm(payload)) fail("not a PGM payload")
+    val binary = payload(1) == '5'
+    val tk = new Tokens(payload, 2)
+    val w = tk.int("width"); val h = tk.int("height")
+    val maxval = tk.int("maxval")
+    if (w <= 0 || h <= 0) fail(s"bad dimensions ${w}x$h")
+    if (maxval <= 0 || maxval > 255) fail(s"unsupported maxval $maxval")
+    val n = w * h
+    val px = new Array[Int](n)
+    if (binary) {
+      // exactly ONE whitespace byte separates maxval from raster
+      val start = tk.pos + 1
+      if (start + n > payload.length) fail("truncated P5 raster")
+      var i = 0
+      while (i < n) { px(i) = payload(start + i) & 0xff; i += 1 }
+    } else {
+      var i = 0
+      while (i < n) {
+        val v = tk.int("pixel")
+        if (v < 0 || v > maxval) fail(s"pixel $v out of [0,$maxval]")
+        px(i) = v; i += 1
+      }
+    }
+    GrayImage(w, h, px)
+  }
+
+  // ---- BMP (Windows BITMAPINFOHEADER, uncompressed BI_RGB) ---------
+
+  def isBmp(payload: Array[Byte]): Boolean =
+    payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M'
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    if (off + 4 > b.length) fail("truncated BMP header")
+    else (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def le16(b: Array[Byte], off: Int): Int =
+    if (off + 2 > b.length) fail("truncated BMP header")
+    else (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  /** Decode an uncompressed 24/32-bit BMP to grayscale (integer ITU
+    * luma: (77·R + 150·G + 29·B) >> 8 — pure-integer, engine-exact).
+    * Handles 4-byte row padding and the bottom-up raster (negative
+    * biHeight = top-down). */
+  def decodeBmp(payload: Array[Byte]): GrayImage = {
+    if (!isBmp(payload)) fail("not a BMP payload")
+    val dataOff = le32(payload, 10)
+    val w = le32(payload, 18)
+    val hRaw = le32(payload, 22)
+    val bpp = le16(payload, 28)
+    val compression = le32(payload, 30)
+    if (compression != 0) fail(s"unsupported BMP compression $compression")
+    if (bpp != 24 && bpp != 32) fail(s"unsupported BMP bit depth $bpp")
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    if (w <= 0 || h == 0) fail(s"bad dimensions ${w}x$h")
+    val bytesPp = bpp / 8
+    val rowBytes = ((w * bytesPp + 3) / 4) * 4 // rows pad to 4 bytes
+    if (dataOff.toLong + rowBytes.toLong * h > payload.length) fail("truncated BMP raster")
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (topDown) y else h - 1 - y
+      var x = 0
+      while (x < w) {
+        val o = dataOff + srcRow * rowBytes + x * bytesPp
+        val blue = payload(o) & 0xff
+        val green = payload(o + 1) & 0xff
+        val red = payload(o + 2) & 0xff
+        px(y * w + x) = (77 * red + 150 * green + 29 * blue) >> 8
+        x += 1
+      }
+      y += 1
+    }
+    GrayImage(w, h, px)
+  }
+
+  /** The real [[MediaDecoder]]: PGM and BMP payloads produce their
+    * true dimensions; anything else fails loudly. Drops into
+    * [[Binary.decodePartitions]] in place of the stub. */
+  object PgmBmpDecoder extends MediaDecoder {
+    override def decode(payload: Array[Byte]): MediaMeta =
+      if (isPgm(payload)) {
+        val img = decodePgm(payload)
+        MediaMeta(img.width, img.height, channels = 1, nBytes = payload.length.toLong)
+      } else if (isBmp(payload)) {
+        val img = decodeBmp(payload)
+        val bpp = le16(payload, 28)
+        MediaMeta(img.width, img.height, channels = bpp / 8,
+          nBytes = payload.length.toLong)
+      } else fail("unsupported format (PGM/BMP)")
+  }
+
+  /** Real pixel features: mean intensity (normalized to [0,1]) over a
+    * `gx`×`gy` grid of the decoded image — the smallest honest
+    * "feature extractor over pixels, not payload hashes". Grid cells
+    * partition the image by integer bounds (cell i spans
+    * [i·w/gx, (i+1)·w/gx)), so any image size ≥ grid works and the
+    * result is deterministic. Output length `gx·gy` matches the
+    * embeddings-table `array<float>` contract. */
+  final class GrayGridExtractor(gx: Int = 2, gy: Int = 2) extends FeatureExtractor {
+    require(gx > 0 && gy > 0, s"grid ${gx}x$gy")
+    override val dim: Int = gx * gy
+    override def features(payload: Array[Byte]): Array[Float] = {
+      val img = if (isPgm(payload)) decodePgm(payload) else decodeBmp(payload)
+      if (img.width < gx || img.height < gy)
+        fail(s"image ${img.width}x${img.height} smaller than ${gx}x$gy grid")
+      val out = new Array[Float](dim)
+      var cy = 0
+      while (cy < gy) {
+        val y0 = cy * img.height / gy; val y1 = (cy + 1) * img.height / gy
+        var cx = 0
+        while (cx < gx) {
+          val x0 = cx * img.width / gx; val x1 = (cx + 1) * img.width / gx
+          var sum = 0L; var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) { sum += img.pixels(y * img.width + x); x += 1 }
+            y += 1
+          }
+          val cells = (y1 - y0).toLong * (x1 - x0)
+          out(cy * gx + cx) = (sum.toDouble / (cells * 255.0)).toFloat
+          cx += 1
+        }
+        cy += 1
+      }
+      out
+    }
+  }
+
+  // ---- encoders (test fixtures + round-trip evidence) --------------
+
+  /** Encode a [[GrayImage]] as binary P5 — gives specs REAL bytes to
+    * decode and proves the header writer/parser agree. */
+  def encodePgmP5(img: GrayImage): Array[Byte] = {
+    require(img.pixels.length == img.width * img.height, "pixel count")
+    val header = s"P5\n# graft test fixture\n${img.width} ${img.height}\n255\n"
+      .getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + img.pixels.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < img.pixels.length) {
+      val v = img.pixels(i)
+      require(v >= 0 && v <= 255, s"pixel $v")
+      out(header.length + i) = v.toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Encode gray pixels as a bottom-up 24-bit BI_RGB BMP (R=G=B). */
+  def encodeBmp24(img: GrayImage): Array[Byte] = {
+    val rowBytes = ((img.width * 3 + 3) / 4) * 4
+    val dataSize = rowBytes * img.height
+    val out = new Array[Byte](54 + dataSize)
+    def put32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+    }
+    def put16(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    put32(2, out.length); put32(10, 54)
+    put32(14, 40); put32(18, img.width); put32(22, img.height)
+    put16(26, 1); put16(28, 24); put32(30, 0); put32(34, dataSize)
+    var y = 0
+    while (y < img.height) {
+      val dstRow = img.height - 1 - y // bottom-up
+      var x = 0
+      while (x < img.width) {
+        val v = img.pixels(y * img.width + x).toByte
+        val o = 54 + dstRow * rowBytes + x * 3
+        out(o) = v; out(o + 1) = v; out(o + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+}
