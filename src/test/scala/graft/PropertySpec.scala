@@ -132,4 +132,63 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("SpaceSaving in the APPROXIMATE regime: capacity 8 over a 1000-key zipf stream stays inside the n/capacity bound") {
+    import graft.functions.HeavyHitters
+    // q34 runs the sketch where capacity >> domain (exact by
+    // construction); this is the at-scale regime the sketch exists
+    // for: capacity 8 counters summarizing a 1000-key zipf stream.
+    // Metwally et al.'s guarantees under test:
+    //   (1) any item with true frequency > n/capacity is reported,
+    //   (2) reported counts only OVERestimate, by at most n/capacity.
+    val capacity = 8
+    val nKeys = 1000
+    val n = 20000
+    val rnd = new scala.util.Random(7L)
+    // zipf(s=1.2) via inverse-CDF over precomputed cumulative weights
+    val weights = Array.tabulate(nKeys)(i => 1.0 / math.pow(i + 1.0, 1.2))
+    val cum = weights.scanLeft(0.0)(_ + _).tail
+    val total = cum.last
+    val stream = Seq.fill(n) {
+      val u = rnd.nextDouble() * total
+      val idx = {
+        val p = java.util.Arrays.binarySearch(cum, u)
+        if (p >= 0) p else -p - 1
+      }
+      f"key$idx%04d"
+    }
+    val truth = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val bound = n.toLong / capacity // 2500
+
+    // both execution shapes: single partition (the textbook stream)
+    // and 8-way partials merged by Spark (the mergeability claim)
+    for (parts <- Seq(1, 8)) {
+      val sketch = new HeavyHitters(capacity, k = capacity).toColumn.name("hh")
+      val out = stream.toDF("item").repartition(parts).as[String]
+        .select(sketch).toDF("hh")
+        .select(explode(col("hh")).as("kv"))
+        .select(col("kv._1").as("item"), col("kv._2").as("est"))
+        .as[(String, Long)].collect().toMap
+      assert(out.size <= capacity)
+      val heavy = truth.filter(_._2 > bound)
+      assert(heavy.nonEmpty, "zipf head must clear the reporting bar")
+      heavy.foreach { case (k, c) =>
+        assert(out.contains(k), s"[$parts parts] heavy item $k (true $c) missing")
+      }
+      out.foreach { case (k, est) =>
+        val exact = truth.getOrElse(k, 0L)
+        assert(est >= exact,
+          s"[$parts parts] $k underestimated: est $est < true $exact")
+        assert(est - exact <= bound,
+          s"[$parts parts] $k error ${est - exact} exceeds n/capacity $bound")
+      }
+      // the zipf head is unambiguous: rank 1 is identified exactly
+      val top = out.maxBy { case (k, est) => (est, k) }._1
+      assert(top == truth.maxBy { case (k, c) => (c, k) }._1,
+        s"[$parts parts] top-1 misidentified: $top")
+      info(s"$parts partition(s): reported ${out.size} counters, " +
+        s"max overestimate ${out.map { case (k, e) => e - truth.getOrElse(k, 0L) }.max} " +
+        s"(bound $bound), heavy coverage ${heavy.size}/${heavy.size}")
+    }
+  }
 }
