@@ -71,10 +71,14 @@ object EdJoin {
       .filter(col("rk") <= qk + 1)
       .select(col("s"), col("len"), col("g"), col("rk"))
 
+    // distinct per-side gram names: `a("g") === b("g")` on two
+    // projections of ONE frame resolves correctly but logs Spark's
+    // "trivially true equals predicate" warning on every analysis —
+    // renaming keeps the log clean for warnings that matter
     val a = pref.select(col("s").as("n1"), col("len").as("len1"),
-      col("g"), col("rk").as("rk1"))
+      col("g").as("ga"), col("rk").as("rk1"))
     val b = pref.select(col("s").as("n2"), col("len").as("len2"),
-      col("g"), col("rk").as("rk2"))
+      col("g").as("gb"), col("rk").as("rk2"))
     // gᵢ = lenᵢ − q + 1; required multiset overlap t = max(g1,g2) − q·k
     // (≥ 1 because the longer side exceeds the short block). Positional
     // filter: a match at rarity ranks (rk1, rk2) caps the achievable
@@ -82,7 +86,7 @@ object EdJoin {
     val g1 = col("len1") - (q - 1)
     val g2 = col("len2") - (q - 1)
     val candLong = a.join(b,
-        a("g") === b("g") && col("n1") < col("n2") &&
+        col("ga") === col("gb") && col("n1") < col("n2") &&
         abs(col("len1") - col("len2")) <= maxDist &&
         greatest(col("len1"), col("len2")) > lit(shortMax.toLong) &&
         least(g1 - col("rk1"), g2 - col("rk2")) + 1 >= greatest(g1, g2) - qk)
