@@ -28,9 +28,17 @@ import graft.functions.VectorFunctions._
   */
 object AnnIndex {
 
-  /** Fit + assign + persist. `corpus`: (id, vec: array<double>). */
+  /** Fit + assign + persist. `corpus`: (id, vec: array<double>).
+    *
+    * Build-time also CALIBRATES the index's default operating point:
+    * [[Ann.probesForRecall]] solves the probe count for `recall` from
+    * the corpus's measured cell geometry, and the result is stored in
+    * a 1-row `meta` table beside the centroids — a prober gets the
+    * recall the builder certified without hand-tuning nProbe (pass an
+    * explicit nProbe to override). Appends don't recalibrate; rebuild
+    * when the drift audit says so (see [[append]]). */
   def build(corpus: DataFrame, nCells: Int, seed: Long, dir: String,
-            fitSampleCap: Long = 100000L): Unit = {
+            fitSampleCap: Long = 100000L, recall: Double = 0.9): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val live = corpus.withColumn("nrm", norm(col("vec"))).filter(col("nrm") > 0)
@@ -40,6 +48,12 @@ object AnnIndex {
       .toDF("cell", "centroid")
       .repartition(1)
       .write.mode("overwrite").parquet(s"$dir/centroids")
+    val calibratedProbe =
+      Ann.probesForRecall(Ann.calibrationSample(live, n), centroids, recall)
+    Seq((recall, calibratedProbe, n, nCells))
+      .toDF("recall_target", "n_probe", "n", "n_cells")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
     live.select(col("id"), col("vec"), col("nrm"))
       .withColumn("cell",
         element_at(centroidCells(col("vec"), col("nrm"), centroids, 1), 1))
@@ -72,16 +86,26 @@ object AnnIndex {
   }
 
   /** Top-k cosine neighbors for each query against a persisted index.
-    * Output matches [[Ann.ivfTopK]]: (qid, rank, neighbor_id). */
+    * Output matches [[Ann.ivfTopK]]: (qid, rank, neighbor_id).
+    * `nProbe <= 0` (the default) probes at the index's build-time
+    * calibrated operating point (`meta.n_probe`); older indexes
+    * without a meta table fall back to the √nCells heuristic. */
   def probe(spark: SparkSession, dir: String, queries: DataFrame,
-            k: Int, nProbe: Int): DataFrame = {
+            k: Int, nProbe: Int = 0): DataFrame = {
     val centroids = readCentroids(spark, dir)
+    val probes =
+      if (nProbe > 0) nProbe
+      else
+        try spark.read.parquet(s"$dir/meta").select("n_probe").head().getInt(0)
+        catch { case scala.util.control.NonFatal(_) =>
+          math.max(3, math.ceil(math.sqrt(centroids.length.toDouble)).toInt)
+        }
     val cells = spark.read.parquet(s"$dir/cells")
     val q = queries.select(col("id").as("qid"), col("vec").as("qvec"))
       .withColumn("qnrm", norm(col("qvec")))
       .filter(col("qnrm") > 0)
       .withColumn("cell",
-        explode(centroidCells(col("qvec"), col("qnrm"), centroids, nProbe)))
+        explode(centroidCells(col("qvec"), col("qnrm"), centroids, probes)))
     val scored = cells.join(broadcast(q), Seq("cell"))
       .filter(col("id") =!= col("qid"))
       .withColumn("sim", cosinePrenormed(dot(col("qvec"), col("vec")), col("qnrm"), col("nrm")))

@@ -134,6 +134,32 @@ class AnnSpec extends AnyFunSuite {
     assert(cellDirs.length == 8, cellDirs.map(_.getName).mkString(","))
   }
 
+  test("persisted index default probe runs at the build-time calibrated operating point") {
+    import graft.sim.AnnIndex
+    val dir = java.nio.file.Files.createTempDirectory("ann_cal").toString
+    AnnIndex.build(emb, nCells = 23, seed = 42L, dir = dir, recall = 0.9)
+    // the calibration is persisted beside the centroids
+    val meta = spark.read.parquet(s"$dir/meta")
+      .select("recall_target", "n_probe").head()
+    val storedProbe = meta.getInt(1)
+    assert(meta.getDouble(0) == 0.9 && storedProbe >= 3 && storedProbe <= 23)
+    info(s"stored calibrated n_probe = $storedProbe over 23 cells")
+    // default probe == explicit probe at the stored operating point
+    val deflt = AnnIndex.probe(spark, dir, emb.filter(col("id") < 8), k = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    val explicit = AnnIndex.probe(spark, dir, emb.filter(col("id") < 8),
+        k = 10, nProbe = storedProbe)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(deflt == explicit)
+    // and it actually delivers near the certified recall
+    val brute = Ann.bruteForceTopK(emb, emb.filter(col("id") < 8), k = 10)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = deflt.map { case (q, _, nb) => (q, nb) }
+    val recall = brute.count(got).toDouble / brute.size
+    info(s"calibrated index probe recall@10 = $recall")
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
   test("index append: new vectors are findable without a refit, no torn cells") {
     import graft.sim.AnnIndex
     val dir = java.nio.file.Files.createTempDirectory("ann_app").toString
