@@ -191,6 +191,64 @@ object TrainingDataQueries {
        |GROUP BY test_id, train_id
        |ORDER BY test_id, train_id""".stripMargin
 
+  /** #166 (t25): per-eval-doc decontamination COVERAGE — the
+    * eval-centric verdict d09's pair list feeds: for every eval doc,
+    * the fraction of its 5-gram OCCURRENCES (positional, not the
+    * distinct set — a doc that repeats a leaked passage is more
+    * contaminated, not equally) also present anywhere in the train
+    * split, in integer ppm, plus the binary call at the conventional
+    * 15% bar (the GPT-3 appendix-C / PaLM decontamination shape:
+    * flag an eval doc whose n-gram coverage against the training set
+    * crosses a threshold, then drop or report it).
+    *
+    * Scale shape: eval grams LEFT JOIN the distinct train-gram set on
+    * a 64-bit fingerprint — (gram, id) longs across the shuffle, never
+    * doc×doc — then one map-side-combinable per-doc count/sum. Same
+    * fingerprint-vs-string-gram oracle equivalence note as d09. */
+  def t25DecontamCoverage: Q = (spark, dir) => {
+    val grams = LlmQueries.normedDocs(spark, dir)
+      .select(col("doc_id"),
+        hashBucket(col("doc_id"), 10).as("bucket"),
+        explode(MinHash.shingleHashes(col("text_norm"), 5)).as("g"))
+    val train = grams.filter(col("bucket") <= 7).select("g").distinct()
+      .withColumn("hit", lit(1L))
+    grams.filter(col("bucket") === 9)
+      .join(train, Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("coverage_ppm", expr("(n_hit * 1000000) div n_grams"))
+      .withColumn("contaminated",
+        when(col("coverage_ppm") >= 150000L, 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  val t25Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         string_split(regexp_replace(regexp_replace(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]*(feat\\.|featuring|ft\\.|&|and)[ \\t\\n\\x0b\\f\\r]*', ';', 'g'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS w
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(w) >= 5
+       |              THEN list_transform(range(1, len(w) - 3), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])
+       |              ELSE [array_to_string(w, ' ')] END AS s
+       |  FROM toks),
+       |b AS (
+       |  SELECT doc_id, s, $BucketSql AS bucket FROM sh),
+       |tr AS (SELECT DISTINCT unnest(s) AS g FROM b WHERE bucket <= 7),
+       |ev AS (SELECT doc_id, unnest(s) AS g FROM b WHERE bucket = 9),
+       |j AS (
+       |  SELECT ev.doc_id, CASE WHEN tr.g IS NULL THEN 0 ELSE 1 END AS hit
+       |  FROM ev LEFT JOIN tr ON ev.g = tr.g)
+       |SELECT doc_id,
+       |       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |       CAST(SUM(hit) AS BIGINT) AS n_hit,
+       |       (CAST(SUM(hit) AS BIGINT) * 1000000) // CAST(COUNT(*) AS BIGINT) AS coverage_ppm,
+       |       CAST(CASE WHEN (CAST(SUM(hit) AS BIGINT) * 1000000) // CAST(COUNT(*) AS BIGINT) >= 150000
+       |                 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private val BinTokens = 512
 
   /** Sub-source pack streams per source: one giant source must not
@@ -1078,6 +1136,7 @@ object TrainingDataQueries {
     "d08_chunk" -> d08Chunk,
     "t09_salient_terms" -> t09SalientTerms,
     "d09_contamination" -> d09Contamination,
+    "t25_decontam_coverage" -> t25DecontamCoverage,
     "d10_pack" -> d10Pack,
     "t10_stratified_sample" -> t10StratifiedSample,
     "t11_oov_rate" -> t11OovRate,
@@ -1103,6 +1162,7 @@ object TrainingDataQueries {
     "d08_chunk" -> d08Sql,
     "t09_salient_terms" -> t09Sql,
     "d09_contamination" -> d09Sql,
+    "t25_decontam_coverage" -> t25Sql,
     "d10_pack" -> d10Sql,
     "t10_stratified_sample" -> t10Sql,
     "t11_oov_rate" -> t11Sql,

@@ -333,4 +333,36 @@ class TrainingDataSpec extends AnyFunSuite {
     // still a real split: more than one split represented overall
     assert(split.values.toSet.size > 1, split.values.toSet.toString)
   }
+
+  test("t25 decontamination coverage flags exactly the planted cross-split leaks") {
+    import graft.TrainingDataQueries.hashBucket
+    val out = TrainingDataQueries.t25DecontamCoverage(spark, TestSpark.Sf)
+      .select("doc_id", "n_grams", "n_hit", "coverage_ppm", "contaminated")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // invariants: ppm in range, hits bounded by grams, flag == bar
+    out.foreach { case (id, grams, hit, ppm, flag) =>
+      assert(grams > 0 && hit >= 0 && hit <= grams, s"doc $id: $hit/$grams")
+      assert(ppm == hit * 1000000L / grams, s"doc $id ppm")
+      assert(flag == (if (ppm >= 150000L) 1L else 0L), s"doc $id flag")
+    }
+    // the flagged docs are exactly the eval docs with a verified
+    // near-dup partner in the train split (d27's ground truth — a
+    // leaked paraphrase IS high 5-gram coverage on this corpus)
+    val flagged = out.filter(_._5 == 1L).map(_._1).toSet
+    assert(flagged.nonEmpty, "expected planted leaks to be flagged")
+    val buckets = Tables.documents(spark, TestSpark.Sf)
+      .select(col("doc_id"), hashBucket(col("doc_id"), 10).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val nearDupEval = LlmQueries.d04NgramJaccard(spark, TestSpark.Sf)
+      .select("doc_id1", "doc_id2").as[(Long, Long)].collect()
+      .flatMap { case (a, b) =>
+        (if (buckets(a) == 9 && buckets(b) <= 7) Seq(a) else Nil) ++
+          (if (buckets(b) == 9 && buckets(a) <= 7) Seq(b) else Nil)
+      }.toSet
+    assert(nearDupEval.nonEmpty, "fixture has no cross-split near-dups")
+    nearDupEval.foreach { id =>
+      assert(flagged.contains(id), s"planted leak $id not flagged")
+    }
+  }
 }
