@@ -840,7 +840,69 @@ object CoreQueries {
       |WHERE rn = 1 AND score >= 35
       |ORDER BY a_key""".stripMargin
 
+  /** #167 (q70): delete propagation / right-to-be-forgotten audit —
+    * the governance sweep every lakehouse runs under GDPR/CCPA: given
+    * a forget-set of subjects (here: a deterministic customer slice),
+    * cascade the deletion through the foreign-key closure
+    * (customer → orders → lineitem) and report, per table, how many
+    * rows the purge removes vs keeps — the audit artifact a DPO signs
+    * off BEFORE the physical rewrite runs.
+    *
+    * Scale shape: each hop is a LEFT SEMI join on the parent's keys
+    * (key columns only cross the shuffle — at TPC-H scale the forget
+    * closure is a sliver, so the semi-join's build side stays small
+    * and AQE broadcasts it), and each audit row is a pair of
+    * map-side-combinable counts. The physical purge itself is the
+    * complementary LEFT ANTI join written via
+    * [[graft.sources.Writers.overwritePartitions]] — this query is
+    * the evidence, kept integer-exact so the oracle hash-matches. */
+  def q70ForgetAudit: Q = (spark, dir) => {
+    val forget = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey").as("fk"))
+    val orders = Tables.orders(spark, dir)
+    val dropOrders = orders
+      .join(forget, orders("o_custkey") === forget("fk"), "left_semi")
+      .select(col("o_orderkey").as("dok"))
+    val li = Tables.lineitem(spark, dir)
+    def audit(name: String, total: DataFrame, deleted: DataFrame): DataFrame =
+      total.agg(count(lit(1)).as("n_total"))
+        .crossJoin(deleted.agg(count(lit(1)).as("n_deleted")))
+        .select(lit(name).as("table_name"), col("n_total"), col("n_deleted"),
+          (col("n_total") - col("n_deleted")).as("n_kept"))
+    audit("customer", Tables.customer(spark, dir), forget)
+      .unionByName(audit("orders", orders, dropOrders))
+      .unionByName(audit("lineitem", li,
+        li.join(dropOrders, li("l_orderkey") === dropOrders("dok"), "left_semi")))
+      .orderBy("table_name")
+  }
+
+  val q70Sql: String =
+    """WITH f AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+      |fo AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM f))
+      |SELECT 'customer' AS table_name,
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_total,
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM f) AS n_deleted,
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM customer)
+      |         - (SELECT CAST(COUNT(*) AS BIGINT) FROM f) AS n_kept
+      |UNION ALL
+      |SELECT 'lineitem',
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+      |         WHERE l_orderkey IN (SELECT o_orderkey FROM fo)),
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
+      |         - (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+      |             WHERE l_orderkey IN (SELECT o_orderkey FROM fo))
+      |UNION ALL
+      |SELECT 'orders',
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM fo),
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+      |         - (SELECT CAST(COUNT(*) AS BIGINT) FROM fo)
+      |ORDER BY table_name""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q70_forget_audit" -> q70ForgetAudit,
     "q69_scd2_temporal" -> q69Scd2Temporal,
     "q68_entity_resolution" -> q68EntityResolution,
     "q67_cdc_apply" -> q67CdcApply,
@@ -867,6 +929,7 @@ object CoreQueries {
     "q63_scd2_snapshot" -> q63Scd2Snapshot)
 
   val oracles: Seq[(String, String)] = Seq(
+    "q70_forget_audit" -> q70Sql,
     "q69_scd2_temporal" -> q69Sql,
     "q68_entity_resolution" -> q68Sql,
     "q67_cdc_apply" -> q67Sql,

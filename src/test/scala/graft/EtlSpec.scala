@@ -143,6 +143,34 @@ class EtlSpec extends AnyFunSuite {
     }
   }
 
+  test("q70 forget audit matches the physical purge it certifies") {
+    // the audit's n_kept must equal the row count of the actual purge
+    // (the complementary LEFT ANTI join) on every table in the chain
+    val dir = TestSpark.Sf
+    val audit = CoreQueries.q70ForgetAudit(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val forget = Tables.customer(spark, dir)
+      .filter($"c_custkey" % 97 === 0).select($"c_custkey".as("fk"))
+    val keptCust = Tables.customer(spark, dir)
+      .join(forget, $"c_custkey" === $"fk", "left_anti").count()
+    val orders = Tables.orders(spark, dir)
+    val dropOrders = orders.join(forget, $"o_custkey" === $"fk", "left_semi")
+      .select($"o_orderkey".as("dok"))
+    val keptOrders = orders.join(dropOrders, $"o_orderkey" === $"dok", "left_anti").count()
+    val keptLi = Tables.lineitem(spark, dir)
+      .join(dropOrders, $"l_orderkey" === $"dok", "left_anti").count()
+    assert(audit("customer")._4 == keptCust)
+    assert(audit("orders")._4 == keptOrders)
+    assert(audit("lineitem")._4 == keptLi)
+    // the forget set is non-trivial in the fixture: something to purge,
+    // and the cascade reaches the grandchild table
+    assert(audit("customer")._3 > 0 && audit("lineitem")._3 > 0)
+    audit.values.foreach { case (_, total, del, kept) =>
+      assert(del + kept == total)
+    }
+  }
+
   test("flagship pipeline produces per-source aggregates") {
     val out = Pipeline.run(Tables.documents(spark, TestSpark.Sf)).collect()
     assert(out.length > 10)
