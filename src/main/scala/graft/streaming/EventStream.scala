@@ -273,6 +273,57 @@ object EventStream {
     (bands, sigs)
   }
 
+  /** Streaming decontamination gate — t25's streaming twin (#168):
+    * each arriving doc is scored for 5-gram coverage against the
+    * STATIC train-gram table (the fraction of its positional 5-gram
+    * occurrences present in the training set, integer ppm) and
+    * flagged at the same 15% bar, so an eval/benchmark ingest stream
+    * quarantines leaked docs at the door instead of after a batch
+    * audit. Per-doc gram explode + aggregate inside one micro-batch
+    * makes this a foreachBatch gate (the [[nearDupGateForeachBatch]]
+    * pattern); `onScored` receives the INPUT schema plus
+    * (coverage_ppm, contaminated). No stream state: the train gram
+    * table is the only history — at scale it is the incrementally
+    * appended artifact of the corpus build, and only this batch's
+    * grams cross the shuffle (never doc×doc, same shape as batch
+    * t25). Internal columns are __graft_-prefixed, so inputs carrying
+    * g/bucket/hit columns pass through untouched. */
+  def decontamGateForeachBatch(trainGrams: DataFrame, barPpm: Long = 150000L)(
+      onScored: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      import graft.dedup.MinHash
+      val grams = batch
+        .withColumn("__graft_norm", graft.etl.TextNorm.normalizeText(col("text")))
+        .select(col("doc_id"),
+          explode(MinHash.shingleHashes(col("__graft_norm"), 5)).as("__graft_g"))
+      val scored = grams
+        .join(trainGrams.select(col("g").as("__graft_g"))
+          .distinct().withColumn("__graft_hit", lit(1L)),
+          Seq("__graft_g"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("__graft_n"),
+          sum(coalesce(col("__graft_hit"), lit(0L))).as("__graft_k"))
+        .select(col("doc_id").as("__graft_id"),
+          expr("(__graft_k * 1000000) div __graft_n").as("coverage_ppm"))
+        .withColumn("contaminated",
+          when(col("coverage_ppm") >= barPpm, 1L).otherwise(0L))
+      onScored(
+        batch.join(scored, batch("doc_id") === scored("__graft_id"), "left")
+          .drop("__graft_id"), batchId)
+    }
+
+  /** The static train side of [[decontamGateForeachBatch]]: the
+    * distinct 5-gram fingerprint table (g) of a corpus frame with
+    * (doc_id, text) — exactly the gram set batch t25 joins, so gate
+    * verdicts and the batch audit agree (spec pins the parity). */
+  def decontamTrainGrams(corpus: DataFrame): DataFrame = {
+    import graft.dedup.MinHash
+    corpus
+      .withColumn("text_norm", graft.etl.TextNorm.normalizeText(col("text")))
+      .select(explode(MinHash.shingleHashes(col("text_norm"), 5)).as("g"))
+      .distinct()
+  }
+
   /** Streaming anomaly flags — the streaming twin of q54's integer z²
     * test: per event type the state is three integers (n, Σx, Σx²) of
     * all PRIOR events, and each arriving event is tested prequentially

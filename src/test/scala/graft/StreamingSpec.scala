@@ -488,6 +488,48 @@ class StreamingSpec extends AnyFunSuite {
         s"missing=${expectAdmitted -- admitted.toSet}")
   }
 
+  test("decontamination gate: streamed coverage verdicts are bit-identical to batch t25") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.TrainingDataQueries.hashBucket
+    // same split as batch t25: train = buckets 0-7, the stream = the
+    // eval docs (bucket 9) arriving in micro-batches
+    val docs = Tables.documents(spark, TestSpark.Sf).select("doc_id", "text")
+    val bucketed = docs.withColumn("b", hashBucket(col("doc_id"), 10))
+    val train = bucketed.filter(col("b") <= 7).select("doc_id", "text")
+    val evalDocs = bucketed.filter(col("b") === 9).select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val trainGrams = EventStream.decontamTrainGrams(train).localCheckpoint(true)
+
+    val got = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    val gate = EventStream.decontamGateForeachBatch(trainGrams) { (scored, _) =>
+      scored.select("doc_id", "coverage_ppm", "contaminated")
+        .as[(Long, Long, Long)].collect()
+        .foreach { case (id, ppm, fl) => got(id) = (ppm, fl) }
+    }
+    val input = MemoryStream[(Long, String)]
+    val query = input.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch(gate).outputMode("append").start()
+    try {
+      evalDocs.grouped(20).foreach { b =>
+        input.addData(b: _*)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    val batch = TrainingDataQueries.t25DecontamCoverage(spark, TestSpark.Sf)
+      .select("doc_id", "coverage_ppm", "contaminated")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, ppm, fl) => id -> (ppm, fl) }.toMap
+    assert(batch.nonEmpty && got.nonEmpty)
+    assert(got.keySet == batch.keySet,
+      s"doc sets differ: ${got.keySet.diff(batch.keySet)} / ${batch.keySet.diff(got.keySet)}")
+    batch.foreach { case (id, expect) =>
+      assert(got(id) == expect, s"doc $id: stream ${got(id)} vs batch $expect")
+    }
+    assert(batch.values.exists(_._2 == 1L), "fixture must contain a leak")
+  }
+
   test("near-dup gate: input columns named sig/text_norm/band/bh pass through untouched") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
