@@ -211,6 +211,45 @@ object LlmQueries {
     * canonical (min-id) representative. */
   def d06DedupClusters: Q = (spark, dir) => clusters(spark, dir).orderBy("id")
 
+  /** #169 (d28): dedup savings report — the ROI artifact that justifies
+    * running the dedup pipeline at all: per near-dup cluster, how many
+    * docs and whitespace tokens it holds, how many tokens survive if
+    * only the canonical representative (min doc id, d06's root
+    * convention) is kept, and how many the purge saves. Re-reads the
+    * STAGED cluster table (never recomputes pairs/components) and joins
+    * the per-doc token count — one |clusters| join + one
+    * map-side-combinable aggregate; `min_by` picks the canonical's own
+    * token count without a rank window. Integer-exact, fully oracled
+    * (the oracle recomputes d06's recursive components inline). */
+  def d28DedupSavings: Q = (spark, dir) => {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), whitespaceTokenCount(col("text")).as("n_tok"))
+    clusters(spark, dir)
+      .join(toks, col("id") === col("doc_id"))
+      .groupBy("comp")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("total_tokens"),
+        min_by(col("n_tok"), col("id")).as("kept_tokens"))
+      .withColumn("saved_tokens", col("total_tokens") - col("kept_tokens"))
+      .orderBy("comp")
+  }
+
+  // lazy: textually above d06Sql, which it embeds — a strict val here
+  // would interpolate a null during object init
+  lazy val d28Sql: String =
+    s"""WITH c AS ($d06Sql),
+       |tok AS (
+       |  SELECT doc_id,
+       |         CAST(len(regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+')) AS BIGINT) AS n_tok
+       |  FROM documents)
+       |SELECT comp,
+       |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       |       CAST(arg_min(n_tok, id) AS BIGINT) AS kept_tokens,
+       |       CAST(SUM(n_tok) AS BIGINT) - CAST(arg_min(n_tok, id) AS BIGINT) AS saved_tokens
+       |FROM c JOIN tok ON c.id = tok.doc_id
+       |GROUP BY comp ORDER BY comp""".stripMargin
+
   /** #161 (d26): incremental cluster maintenance — fold a NEW ingest
     * batch into an EXISTING near-dup cluster table without re-running
     * the old corpus's pair verification or re-clustering it from
@@ -1728,6 +1767,7 @@ object LlmQueries {
     "d04_ngram_jaccard" -> d04NgramJaccard,
     "d05_embed_neardup" -> d05EmbedNearDup,
     "d06_dedup_clusters" -> d06DedupClusters,
+    "d28_dedup_savings" -> d28DedupSavings,
     "d26_incremental_clusters" -> d26IncrementalClusters,
     "d07_embed_neardup_lsh" -> d07EmbedNearDupLsh,
     "d13_semdedup" -> d13SemDedup,
@@ -1776,6 +1816,7 @@ object LlmQueries {
     "d04_ngram_jaccard" -> d04Sql,
     "d05_embed_neardup" -> d05Sql,
     "d06_dedup_clusters" -> d06Sql,
+    "d28_dedup_savings" -> d28Sql,
     // incremental ≡ full: the oracle IS the from-scratch d06 SQL
     "d26_incremental_clusters" -> d06Sql,
     "s01_ann_bruteforce" -> s01Sql,
