@@ -576,6 +576,33 @@ object LlmQueries {
       .orderBy("qid", "rank")
   }
 
+  /** #170 (s14): ANN recall drift audit — the maintenance decision the
+    * serving story needs made first-class: measure recall@k of the
+    * calibrated IVF path against exact brute force on a DETERMINISTIC
+    * query sample, as one integer-ppm row. The persisted-index docs
+    * say "rebuild when the recall audit decays past budget"
+    * ([[graft.sim.AnnIndex.append]]) — this IS that audit: run it
+    * nightly beside the ingest appends and alert/rebuild when
+    * recall_ppm crosses the floor. At 100 TB the brute-force side is
+    * the reason for the SAMPLE: cost is |sample| broadcast scans, a
+    * knob, while the audited index path stays the production plan.
+    * Rows-only (IVF inside); AnnSpec pins the audit against an
+    * independent recall computation and its calibration floor. */
+  def s14AnnRecallAudit: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
+    val sample = e.filter(pmod(col("id"), lit(25)) === 0) // deterministic ~4%
+    val exact = Ann.bruteForceTopK(e, sample, k = 10)
+      .select(col("qid"), col("neighbor_id"))
+    val approx = Ann.ivfTopKAuto(e, sample, k = 10, seed = 42L)
+      .select(col("qid"), col("neighbor_id")).withColumn("hit", lit(1L))
+    exact.join(approx, Seq("qid", "neighbor_id"), "left")
+      .agg(countDistinct(col("qid")).as("n_queries"),
+        count(lit(1)).as("n_true_pairs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_ppm", expr("(n_hit * 1000000) div n_true_pairs"))
+  }
+
   /** #75 (s04): symmetric int8 quantization of the embedding corpus —
     * vector-store prep (4× smaller vectors before ANN serving). Codes
     * and scale are engine-exact IEEE expressions ([[graft.functions
@@ -1777,6 +1804,7 @@ object LlmQueries {
     "s13_cluster_cap" -> s13ClusterCap,
     "s02_ann_lsh" -> s02AnnLsh,
     "s03_ann_ivf" -> s03AnnIvf,
+    "s14_ann_recall_audit" -> s14AnnRecallAudit,
     "s04_quantize_int8" -> s04QuantizeInt8,
     "s05_ann_int8_rerank" -> s05AnnInt8Rerank,
     "s06_ann_pq" -> s06AnnPq,

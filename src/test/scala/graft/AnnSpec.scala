@@ -382,6 +382,28 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.55, s"recall@5 $recall")
   }
 
+  test("s14 recall audit equals an independent recall computation and holds the calibration floor") {
+    val row = LlmQueries.s14AnnRecallAudit(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long)].head()
+    val (nq, nTrue, nHit, ppm) = row
+    // independent recomputation over the same deterministic sample
+    val e = Tables.embeddings(spark, TestSpark.Sf)
+      .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
+    val sample = e.filter(pmod(col("id"), lit(25)) === 0)
+    val exact = Ann.bruteForceTopK(e, sample, k = 10)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Ann.ivfTopKAuto(e, sample, k = 10, seed = 42L)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(nq == exact.map(_._1).size && nTrue == exact.size.toLong)
+    assert(nHit == exact.count(approx).toLong, s"audit $nHit vs ${exact.count(approx)}")
+    assert(ppm == nHit * 1000000L / nTrue)
+    info(s"s14 audit: $nHit/$nTrue hits over $nq queries = ${ppm} ppm")
+    // the audit's whole point: it must certify the calibrated target's
+    // neighborhood (0.9 target; floor leaves drift headroom, not a
+    // return to the old fixed-probe 0.4 regime)
+    assert(ppm >= 800000L, s"recall audit $ppm ppm below floor")
+  }
+
   test("kNN graph under adversarial skew: 90%-one-blob corpus completes with bounded candidate volume") {
     import graft.functions.CentroidCells.centroidCells
     // the documented hot-cell claim, made testable: a degenerate corpus
