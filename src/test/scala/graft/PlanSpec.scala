@@ -392,4 +392,31 @@ class PlanSpec extends AnyFunSuite {
       && l.contains("user_id"))
     assert(n == 1, s"expected 1 user exchange, got $n:\n${p.take(1500)}")
   }
+
+  test("d27 broadcasts the small eval side; no cartesian anywhere") {
+    // the cross-corpus audit's asymmetry claim: the benchmark/eval side
+    // is small by nature, so its band and signature tables broadcast
+    // and the train corpus is never shuffled for the candidate join
+    val p = planOf("d27_cross_contamination")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+  }
+
+  test("q70 cascade hops plan as semi joins with map-side-combined counts") {
+    val p = planOf("q70_forget_audit")
+    assert(p.contains("LeftSemi"), p.take(1200))
+    assert(p.contains("partial_count"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("t25 gram join is hash-based with partial per-doc aggregation") {
+    val p = planOf("t25_decontam_coverage")
+    // (gram, id) equi-join — never a nested-loop doc x doc product —
+    // and the per-doc count/sum combines map-side before the doc_id
+    // exchange
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(1200))
+  }
 }
