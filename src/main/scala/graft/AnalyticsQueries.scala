@@ -444,6 +444,34 @@ object AnalyticsQueries {
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
+  /** #171 (q71): pre-aggregated HLL sketch cube — the PERSISTENCE
+    * pattern q46's one-shot sketch lacks, and the reason mergeable
+    * sketches exist at 100 TB: a nightly job reduces each (day, type)
+    * partition of an append-only event stream to one fixed-size
+    * Datasketches HLL register set (`hll_sketch_agg`, a binary
+    * parquet column), and every later distinct-users question over ANY
+    * day range is answered by `hll_union_agg` over the stored sketches
+    * — history is NEVER rescanned, and the union is exactly the
+    * sketch the full rescan would have built (same registers, lossless
+    * merge at equal lgK — the spec pins estimate equality, and that
+    * daily sketches round-trip through parquet). Output keeps the raw
+    * per-day event counts beside the estimate so the cube also serves
+    * exact additive metrics. Rows-only (register layout and estimator
+    * are engine-specific); FunctionsSpec pins the error band vs exact
+    * and the union≡rescan identity. */
+  def q71HllCube: Q = (spark, dir) => {
+    val daily = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("event_type"), col("user_id"))
+      .groupBy("day", "event_type")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        count(lit(1)).as("n_events"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum("n_events").as("n_events"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+      .orderBy("event_type")
+  }
+
   val q29Sql: String =
     """SELECT l_returnflag,
       |       CAST(ROUND(quantile_cont(l_extendedprice, 0.5) * 1000, 0) AS BIGINT) AS p50_price_milli,
@@ -1745,6 +1773,7 @@ object AnalyticsQueries {
     "q42_resample" -> q42Resample,
     "q44_approx_percentiles" -> q44ApproxPercentiles,
     "q46_approx_distinct" -> q46ApproxDistinct,
+    "q71_hll_cube" -> q71HllCube,
     "q48_funnel" -> q48Funnel,
     "q49_cohort_retention" -> q49CohortRetention)
 

@@ -486,4 +486,39 @@ class FunctionsSpec extends AnyFunSuite {
     val hot = counts.filter(c => BigInt(c) * counts.length > BigInt(10) * counts.sum)
     assert(hotKeys == hot.length && hotRows == hot.sum)
   }
+
+  test("q71 HLL cube: union of persisted daily sketches == full rescan, inside the error band") {
+    val ev = Tables.events(spark, TestSpark.Sf)
+      .select(to_date(col("ts")).as("day"), col("event_type"), col("user_id"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    val cube = AnalyticsQueries.q71HllCube(spark, TestSpark.Sf)
+      .select("event_type", "approx_users").as[(String, Long)].collect().toMap
+    assert(cube.keySet == exact.keySet)
+    // THE cube identity: unioning per-day sketches is LOSSLESS at equal
+    // lgK — the estimate equals the single-shot sketch over all history
+    val oneShot = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("e"))
+      .as[(String, Long)].collect().toMap
+    assert(cube == oneShot, s"union-of-daily != full rescan: $cube vs $oneShot")
+    // error band: default lgConfigK=12 → rsd ≈ 1.6%; pin 5% (+3 abs floor)
+    cube.foreach { case (t, est) =>
+      val err = math.abs(est - exact(t))
+      assert(err <= math.max(3L, exact(t) * 5 / 100),
+        s"$t: estimate $est vs exact ${exact(t)}")
+    }
+    info(s"q71 estimates vs exact: ${exact.keys.toSeq.sorted.map(t => s"$t ${cube(t)}/${exact(t)}").mkString(", ")}")
+    // the persistence claim: daily sketches survive a parquet
+    // round-trip (binary column) and union to the same estimates
+    val dir = java.nio.file.Files.createTempDirectory("hll_cube").toString
+    ev.groupBy("day", "event_type")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e"))
+      .as[(String, Long)].collect().toMap
+    assert(reloaded == cube, s"parquet round-trip changed estimates: $reloaded")
+  }
 }
