@@ -250,6 +250,99 @@ object LlmQueries {
        |FROM c JOIN tok ON c.id = tok.doc_id
        |GROUP BY comp ORDER BY comp""".stripMargin
 
+  /** #173 (d29): STAGE-GRANULAR dedup savings — d28 prices the
+    * near-dup purge as one number; the planning question a corpus
+    * owner actually asks is "which dedup stage buys what?" (exact
+    * hashing is nearly free, near-dup clustering is the expensive
+    * middle, span excision is the long tail — if stage 2 only saves
+    * 1% over stage 1, skip it). Applies the three shipped stages in
+    * pipeline order and reports each stage's MARGINAL token savings:
+    *   1_exact          — keep the min-id doc of each identical-text
+    *                      group (d01's rule);
+    *   2_neardup_cluster— among stage-1 survivors, keep only cluster
+    *                      canonicals (d06's min-id roots; the root is
+    *                      always a stage-1 survivor — the global min
+    *                      of a cluster is the min of its own text
+    *                      group);
+    *   3_dup_spans      — on stage-2 survivors, excise cross-doc
+    *                      duplicated 8-gram spans (d23's rule;
+    *                      marginal tokens = n_tok − n_kept).
+    * Token unit is the NORMALIZED whitespace token everywhere so the
+    * three stages price in one currency (d23's n_tokens). Re-reads
+    * the staged cluster table and d23's one-pass span frame — no
+    * pair re-verification; each stage row is a pair of map-side
+    * aggregates crossJoined on 1-row frames. Integer-exact, fully
+    * oracled (the oracle recomputes d06 + d23 inline). */
+  def d29StageSavings: Q = (spark, dir) => {
+    val tok = normedDocs(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        size(split(col("text_norm"), " ")).cast("long").as("n_tok"))
+    val k1 = tok
+      .withColumn("keep",
+        col("doc_id") === min("doc_id").over(Window.partitionBy("h")))
+      .filter(col("keep")).select("doc_id", "n_tok")
+    val dropped2 = clusters(spark, dir)
+      .filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
+    val k2 = k1.join(dropped2, Seq("doc_id"), "left_anti")
+    val k3 = k2.join(
+      d23DupSpanRemoval(spark, dir).select("doc_id", "n_kept"), Seq("doc_id"))
+    def tally(df: DataFrame, docs: String, toks: String, tokCol: String): DataFrame =
+      df.agg(count(lit(1)).as(docs), sum(tokCol).as(toks))
+    def stage(name: String, in: DataFrame, out: DataFrame,
+              inTok: String = "n_tok", outTok: String = "n_tok"): DataFrame =
+      tally(in, "n_docs_in", "tokens_in", inTok)
+        .crossJoin(tally(out, "n_docs_out", "tokens_out", outTok))
+        .select(lit(name).as("stage"),
+          col("n_docs_in"), col("n_docs_out"),
+          col("tokens_in"), col("tokens_out"),
+          (col("tokens_in") - col("tokens_out")).as("saved_tokens"))
+    stage("1_exact", tok, k1)
+      .unionByName(stage("2_neardup_cluster", k1, k2))
+      .unionByName(stage("3_dup_spans", k2, k3, outTok = "n_kept"))
+      .orderBy("stage")
+  }
+
+  // lazy for the same reason as d28Sql: embeds d06Sql (and d23Sql)
+  lazy val d29Sql: String =
+    s"""WITH c AS ($d06Sql),
+       |sp AS ($d23Sql),
+       |tk AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(regexp_replace(regexp_replace(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]*(feat\\.|featuring|ft\\.|&|and)[ \\t\\n\\x0b\\f\\r]*', ';', 'g'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |k1 AS (
+       |  SELECT tk.doc_id, tk.n_tok FROM tk
+       |  WHERE tk.doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))),
+       |k2 AS (
+       |  SELECT k1.doc_id, k1.n_tok FROM k1
+       |  WHERE k1.doc_id NOT IN (SELECT id FROM c WHERE id <> comp)),
+       |k3 AS (
+       |  SELECT k2.doc_id, sp.n_kept FROM k2 JOIN sp ON k2.doc_id = sp.doc_id)
+       |SELECT '1_exact' AS stage,
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM tk) AS n_docs_in,
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM k1) AS n_docs_out,
+       |       (SELECT CAST(SUM(n_tok) AS BIGINT) FROM tk) AS tokens_in,
+       |       (SELECT CAST(SUM(n_tok) AS BIGINT) FROM k1) AS tokens_out,
+       |       (SELECT CAST(SUM(n_tok) AS BIGINT) FROM tk)
+       |         - (SELECT CAST(SUM(n_tok) AS BIGINT) FROM k1) AS saved_tokens
+       |UNION ALL
+       |SELECT '2_neardup_cluster',
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM k1),
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM k2),
+       |       (SELECT CAST(SUM(n_tok) AS BIGINT) FROM k1),
+       |       (SELECT CAST(SUM(n_tok) AS BIGINT) FROM k2),
+       |       (SELECT CAST(SUM(n_tok) AS BIGINT) FROM k1)
+       |         - (SELECT CAST(SUM(n_tok) AS BIGINT) FROM k2)
+       |UNION ALL
+       |SELECT '3_dup_spans',
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM k2),
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM k3),
+       |       (SELECT CAST(SUM(n_tok) AS BIGINT) FROM k2),
+       |       (SELECT CAST(SUM(n_kept) AS BIGINT) FROM k3),
+       |       (SELECT CAST(SUM(n_tok) AS BIGINT) FROM k2)
+       |         - (SELECT CAST(SUM(n_kept) AS BIGINT) FROM k3)
+       |ORDER BY stage""".stripMargin
+
   /** #161 (d26): incremental cluster maintenance — fold a NEW ingest
     * batch into an EXISTING near-dup cluster table without re-running
     * the old corpus's pair verification or re-clustering it from
@@ -1795,6 +1888,7 @@ object LlmQueries {
     "d05_embed_neardup" -> d05EmbedNearDup,
     "d06_dedup_clusters" -> d06DedupClusters,
     "d28_dedup_savings" -> d28DedupSavings,
+    "d29_stage_savings" -> d29StageSavings,
     "d26_incremental_clusters" -> d26IncrementalClusters,
     "d07_embed_neardup_lsh" -> d07EmbedNearDupLsh,
     "d13_semdedup" -> d13SemDedup,
@@ -1845,6 +1939,7 @@ object LlmQueries {
     "d05_embed_neardup" -> d05Sql,
     "d06_dedup_clusters" -> d06Sql,
     "d28_dedup_savings" -> d28Sql,
+    "d29_stage_savings" -> d29Sql,
     // incremental ≡ full: the oracle IS the from-scratch d06 SQL
     "d26_incremental_clusters" -> d06Sql,
     "s01_ann_bruteforce" -> s01Sql,

@@ -58,6 +58,28 @@ object ExactPercentile {
     */
   def quantiles(df: DataFrame, groupCols: Seq[String], value: Column,
                 valPow: Int, outPow: Int, pcts: Seq[Pct]): DataFrame = {
+    val grp = groupCols.map(col)
+    // percentile/quantile_cont semantics IGNORE nulls — a null value
+    // must not occupy a rank (it would sort first in the cum window
+    // and shift every quantile); a group whose values are ALL null
+    // simply vanishes (no histogram rows), which callers joining the
+    // result back must treat as "no band", not "band [0,0]"
+    val counts = df
+      .filter(value.isNotNull)
+      .groupBy(grp :+ Exact.e(value, valPow).as("v"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    quantilesOfCounts(counts, groupCols, valPow, outPow, pcts)
+  }
+
+  /** The histogram→quantile half of [[quantiles]], exposed so a
+    * PERSISTED count-by-value histogram ([[graft.sources.SketchStore]])
+    * feeds the identical arithmetic: the histogram is an exact
+    * mergeable summary (counts add), so quantiles over any UNION of
+    * stored batches come from summing their histograms — never from
+    * re-scanning the batches. `counts` must carry `groupCols`, an
+    * already-scaled long value column `v` (10^valPow), and `cnt`. */
+  def quantilesOfCounts(countsIn: DataFrame, groupCols: Seq[String],
+                        valPow: Int, outPow: Int, pcts: Seq[Pct]): DataFrame = {
     require(outPow >= valPow, s"outPow $outPow < valPow $valPow")
     val mul = math.pow(10d, (outPow - valPow).toDouble).toLong
     pcts.foreach { p =>
@@ -73,15 +95,7 @@ object ExactPercentile {
     }
 
     val grp = groupCols.map(col)
-    // percentile/quantile_cont semantics IGNORE nulls — a null value
-    // must not occupy a rank (it would sort first in the cum window
-    // and shift every quantile); a group whose values are ALL null
-    // simply vanishes (no histogram rows), which callers joining the
-    // result back must treat as "no band", not "band [0,0]"
-    val counts = df
-      .filter(value.isNotNull)
-      .groupBy(grp :+ Exact.e(value, valPow).as("v"): _*)
-      .agg(count(lit(1)).as("cnt"))
+    val counts = countsIn
     // running + total counts share one hash-partition on the group key;
     // the ordered frame sorts distinct values only (domain-bounded)
     val wOrd = Window.partitionBy(grp: _*).orderBy("v")

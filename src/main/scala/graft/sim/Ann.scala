@@ -704,13 +704,22 @@ object Ann {
     * design (iterative float k-means has no SQL oracle); AnnSpec pins
     * recall@k against the exact brute-force graph. */
   def knnGraph(corpus: DataFrame, k: Int, seed: Long,
-               fitSampleCap: Long = 100000L): DataFrame = {
+               fitSampleCap: Long = 100000L,
+               recallTarget: Option[Double] = None): DataFrame = {
     import graft.functions.CentroidCells.centroidCells
     val live = corpus.withColumn("nrm0", norm(col("vec"))).filter(col("nrm0") > 0)
     val n = live.count()
     val nCells = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
-    val nProbe = math.max(3, math.ceil(math.sqrt(nCells.toDouble)).toInt)
     val centroids = fitCentroids(live, n, nCells, seed, fitSampleCap)
+    // default: the fixed √nCells heuristic (candidate volume n^1.5);
+    // with an opt-in recall target, nProbe is SOLVED from the same
+    // cell-rank CDF calibration as [[ivfTopKAuto]] — the graph build
+    // then states its recall and spends exactly the probes that buy
+    // it (AnnSpec pins the measured recall vs the exact graph)
+    val nProbe = recallTarget match {
+      case Some(r) => probesForRecall(calibrationSample(live, n), centroids, r, kCal = k)
+      case None    => math.max(3, math.ceil(math.sqrt(nCells.toDouble)).toInt)
+    }
     val c = live.select(col("id").as("neighbor_id"), col("vec").as("cvec"),
         col("nrm0").as("cnrm"))
       .withColumn("cell",

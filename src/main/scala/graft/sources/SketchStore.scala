@@ -1,8 +1,10 @@
 package graft.sources
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-import graft.functions.BloomFilter
+import graft.Exact
+import graft.functions.{BloomFilter, ExactPercentile}
 
 /** Persisted mergeable sketch artifacts — the incremental-analytics
   * counterpart of [[graft.sim.AnnIndex]]: each ingest batch builds its
@@ -47,5 +49,74 @@ object SketchStore {
     var i = 0
     while (i < out.length) { out(i) = a.words(i) | b.words(i); i += 1 }
     BloomFilter.Filter(out, a.numHashes)
+  }
+
+  // ── Exact mergeable value histograms (quantile persistence) ──────
+  //
+  // The quantile analog of the bloom/HLL artifacts above: each ingest
+  // batch reduces to a (group, scaled-value) → count histogram — an
+  // EXACT summary whose merge is plain count addition, so quantiles
+  // over any union of stored batches are answered by summing their
+  // kilobyte-to-megabyte histograms, never by re-scanning the
+  // batches. Size is bounded by the DISTINCT VALUE DOMAIN per group
+  // (cents of a bounded price, integer lengths), not row count — the
+  // regime where this beats a KLL sketch by being exact at comparable
+  // size. For a genuinely unbounded continuous domain, pre-bucket the
+  // value (q55's quantile bins) or fall back to approx_percentile.
+
+  /** Build and persist one batch's histogram: `groupCols` + scaled
+    * long `v` (value·10^valPow, nulls dropped — quantile semantics)
+    * + `cnt`. */
+  def saveHistogram(df: DataFrame, groupCols: Seq[String], value: Column,
+                    valPow: Int, dir: String): Unit =
+    df.filter(value.isNotNull)
+      .groupBy(groupCols.map(col) :+ Exact.e(value, valPow).as("v"): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(dir)
+
+  /** Merge stored histograms by count addition — associative,
+    * commutative, re-mergeable (a merged histogram can itself be
+    * saved and merged again). */
+  def mergeHistograms(spark: SparkSession, dirs: Seq[String],
+                      groupCols: Seq[String]): DataFrame = {
+    require(dirs.nonEmpty, "no histogram artifacts to merge")
+    dirs.map(spark.read.parquet(_))
+      .reduce(_.unionByName(_))
+      .groupBy((groupCols :+ "v").map(col): _*)
+      .agg(sum("cnt").as("cnt"))
+  }
+
+  /** Exact interpolated quantiles from a (merged) stored histogram —
+    * bit-identical to [[graft.functions.ExactPercentile.quantiles]]
+    * over the union of the saved batches (spec-pinned). */
+  def quantilesFromHistogram(hist: DataFrame, groupCols: Seq[String],
+                             valPow: Int, outPow: Int,
+                             pcts: Seq[ExactPercentile.Pct]): DataFrame =
+    ExactPercentile.quantilesOfCounts(hist, groupCols, valPow, outPow, pcts)
+
+  // ── Mergeable HLL distinct sketches (Datasketches binary) ────────
+
+  /** Persist one batch's per-group HLL register sets. The lossless
+    * union at equal lgK (the Spark default) makes day-N distinct
+    * counts a merge of N stored kilobyte rows — same contract q71
+    * pre-aggregates inline, exposed here as the build-once artifact
+    * API. */
+  def saveHll(df: DataFrame, groupCols: Seq[String], key: Column,
+              dir: String): Unit =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(key).as("hll_sk"), count(lit(1)).as("n_rows"))
+      .write.mode("overwrite").parquet(dir)
+
+  /** Union stored HLL artifacts per group and estimate: identical
+    * registers to a single-pass sketch over the union of the saved
+    * batches (spec-pinned estimate equality). */
+  def unionHll(spark: SparkSession, dirs: Seq[String],
+               groupCols: Seq[String]): DataFrame = {
+    require(dirs.nonEmpty, "no HLL artifacts to merge")
+    dirs.map(spark.read.parquet(_))
+      .reduce(_.unionByName(_))
+      .groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("hll_sk"))).as("approx_distinct"),
+        sum("n_rows").as("n_rows"))
   }
 }

@@ -923,6 +923,94 @@ object StreamSink {
         }
       }
     }
+
+  /** #172: streaming forget propagation — q70's streaming twin. The
+    * batch q70 audits a one-shot forget-set; in production
+    * right-to-be-forgotten requests ARRIVE AS A STREAM and each must
+    * cascade through the foreign-key closure (customer → orders →
+    * lineitem) and be physically applied within the SLA, not queued
+    * for the next full rewrite.
+    *
+    * Per micro-batch of subject keys:
+    *   1. the order closure is resolved with a stream-static LEFT SEMI
+    *      join against the orders dimension (the batch side is a
+    *      sliver, so it broadcasts — no shuffle of the static side);
+    *   2. subject keys land in `forget_log` insert-if-absent (PRIMARY
+    *      KEY dedup), so a crash-replayed batch — same requests, same
+    *      ids — is a pure no-op in the audit;
+    *   3. DELETEs cascade to the three mirrors, executed ON THE
+    *      EXECUTORS per partition in batched statements (same shape as
+    *      [[cdcApplyForeachBatch]] — no driver collect). Deleting an
+    *      already-deleted key matches 0 rows, so the data path is
+    *      idempotent by construction.
+    *
+    * The audit a DPO reads is `forget_log` joined back to the closure
+    * — derived from the log, never from delete counts (delete counts
+    * are 0 on replay; the log is replay-stable). Exercised in
+    * StreamingSpec against embedded Derby: scrambled batches + a
+    * replayed batch converge to EXACTLY batch q70's kept/deleted
+    * counts.
+    *
+    * `ordersStatic` must expose (o_orderkey, o_custkey); the incoming
+    * stream one BIGINT column `fk`. Tables `custTable`/`ordTable`/
+    * `liTable` are deleted by key; `logTable(fk BIGINT PRIMARY KEY)`
+    * records admitted requests. */
+  def forgetForeachBatch(url: String, props: Map[String, String],
+                         ordersStatic: DataFrame,
+                         custTable: String, ordTable: String,
+                         liTable: String, logTable: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) => {
+      import org.apache.spark.sql.functions._
+      val keys = batch.select(col("fk").cast("long").as("fk")).distinct()
+      // stream-static closure: order keys owned by this batch's subjects
+      val dropOrders = ordersStatic
+        .join(broadcast(keys), ordersStatic("o_custkey") === keys("fk"), "left_semi")
+        .select(col("o_orderkey").as("k"), lit("o").as("kind"))
+      val work = keys.select(col("fk").as("k"), lit("c").as("kind"))
+        .unionByName(dropOrders)
+      work.rdd.foreachPartition { rows =>
+        if (rows.hasNext) {
+          val jprops = new java.util.Properties()
+          props.foreach { case (kk, v) => jprops.setProperty(kk, v) }
+          val conn = java.sql.DriverManager.getConnection(url, jprops)
+          try {
+            conn.setAutoCommit(false)
+            val logIns = conn.prepareStatement(
+              s"INSERT INTO $logTable (fk) VALUES (?)")
+            // key columns are QUOTED: Spark's JDBC writer creates
+            // case-sensitive lowercase identifiers — unquoted names
+            // would fold to uppercase and miss them
+            val delCust = conn.prepareStatement(
+              s"""DELETE FROM $custTable WHERE "c_custkey" = ?""")
+            val delOrd = conn.prepareStatement(
+              s"""DELETE FROM $ordTable WHERE "o_orderkey" = ?""")
+            val delLi = conn.prepareStatement(
+              s"""DELETE FROM $liTable WHERE "l_orderkey" = ?""")
+            rows.grouped(1000).foreach { chunk =>
+              chunk.foreach { r =>
+                val k = r.getLong(0)
+                if (r.getString(1) == "c") {
+                  // insert-if-absent: a duplicate key (replay) is the
+                  // expected signal, swallowed; 23xxx = integrity class
+                  try { logIns.setLong(1, k); logIns.executeUpdate() }
+                  catch {
+                    case e: java.sql.SQLException
+                      if e.getSQLState != null && e.getSQLState.startsWith("23") => ()
+                  }
+                  delCust.setLong(1, k); delCust.addBatch()
+                } else {
+                  delOrd.setLong(1, k); delOrd.addBatch()
+                  delLi.setLong(1, k); delLi.addBatch()
+                }
+              }
+              delCust.executeBatch(); delOrd.executeBatch(); delLi.executeBatch()
+              conn.commit()
+            }
+            logIns.close(); delCust.close(); delOrd.close(); delLi.close()
+          } finally conn.close()
+        }
+      }
+    }
 }
 
 /** Stream-static enrichment: every micro-batch joins against a

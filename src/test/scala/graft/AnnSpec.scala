@@ -382,6 +382,49 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.55, s"recall@5 $recall")
   }
 
+  test("kNN graph with an opt-in recall target calibrates probes and meets it") {
+    val exact = Ann.bruteForceTopK(emb, emb, k = 5)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val graph = Ann.knnGraph(emb, k = 5, seed = 42L, recallTarget = Some(0.9))
+      .select("id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(graph).toDouble / exact.size
+    info(s"calibrated knnGraph(recall=0.9) recall@5 = $recall")
+    // same contract as ivfTopKAuto: the calibrated point must clear a
+    // floor well above the fixed-probe default's 0.55
+    assert(recall >= 0.75, s"calibrated knnGraph recall@5 $recall")
+  }
+
+  test("IVF-PQ code-size sweep: recall is quantified per (m, ksub) and more code bits buy recall") {
+    // fixed rerank buffer (candMult=4) so the sweep isolates CODE
+    // quality — the auto-calibrated buffer would otherwise compensate
+    // a coarse code with a deeper exact rerank and flatten the curve
+    val queries = emb.filter(pmod(col("id"), lit(25)) === 0)
+    val exact = Ann.bruteForceTopK(emb, queries, k = 10)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(m: Int, ksub: Int): Double = {
+      val got = Ann.ivfPqTopK(emb, queries, k = 10, seed = 42L,
+          m = m, ksub = ksub, candMult = 4)
+        .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+      exact.count(got).toDouble / exact.size
+    }
+    val sweep = Seq((2, 16), (4, 16), (8, 16), (8, 64))
+      .map { case (m, ks) => (m, ks, recallOf(m, ks)) }
+    sweep.foreach { case (m, ks, r) =>
+      info(f"ivfPq m=$m ksub=$ks (${m * (32 - Integer.numberOfLeadingZeros(ks - 1))}%d bits/vec) recall@10 = $r%.3f")
+    }
+    val byBits = sweep.map { case (m, ks, r) =>
+      (m * (32 - Integer.numberOfLeadingZeros(ks - 1)), r)
+    }
+    // the smallest code budget must still be usable, the largest good
+    assert(byBits.head._2 >= 0.3, s"m=2,ksub=16 recall ${byBits.head._2}")
+    assert(byBits.last._2 >= 0.6, s"m=8,ksub=64 recall ${byBits.last._2}")
+    // more code bits never cost much: max over smaller budgets minus
+    // slack (PQ training noise) bounds each larger budget from below
+    byBits.sliding(2).foreach { case Seq((b1, r1), (b2, r2)) =>
+      assert(r2 >= r1 - 0.1, s"recall fell $r1 -> $r2 going $b1 -> $b2 bits")
+    }
+  }
+
   test("s14 recall audit equals an independent recall computation and holds the calibration floor") {
     val row = LlmQueries.s14AnnRecallAudit(spark, TestSpark.Sf)
       .as[(Long, Long, Long, Long)].head()

@@ -303,4 +303,65 @@ class SourcesSpec extends AnyFunSuite {
       SketchStore.mergeBloom(fa, BloomFilter.buildLong(b, "k", expectedKeys = 1000000L))
     }
   }
+
+  test("sketch store: quantiles from merged per-batch histograms equal the direct computation") {
+    import graft.functions.ExactPercentile
+    import graft.sources.SketchStore
+    val li = Tables.lineitem(spark, TestSpark.Sf)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    // three deterministic disjoint batches covering the table
+    val parts = (0 until 3).map(i => li.filter(pmod(xxhash64(col("l_extendedprice")), lit(3)) === i))
+    val dirs = parts.zipWithIndex.map { case (p, i) =>
+      val d = Files.createTempDirectory(s"hist_$i").toString
+      SketchStore.saveHistogram(p, Seq("l_returnflag"), col("l_extendedprice"),
+        valPow = 2, dir = d)
+      d
+    }
+    val pcts = Seq(ExactPercentile.Pct("p50_milli", 1, 2),
+      ExactPercentile.Pct("p90_milli", 9, 10))
+    val merged = SketchStore.mergeHistograms(spark, dirs, Seq("l_returnflag"))
+    val got = SketchStore.quantilesFromHistogram(merged, Seq("l_returnflag"),
+        valPow = 2, outPow = 3, pcts)
+      .orderBy("l_returnflag")
+      .as[(String, Long, Long)].collect().toSeq
+    // the artifact path must be BIT-identical to the one-pass direct
+    // quantile over the union — exact summaries, not approximations
+    val want = ExactPercentile.quantiles(li, Seq("l_returnflag"),
+        col("l_extendedprice"), valPow = 2, outPow = 3, pcts)
+      .orderBy("l_returnflag")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(want.nonEmpty && got == want, s"got=$got want=$want")
+    // merge is order-invariant, and a SAVED merged artifact re-merges
+    // losslessly (counts add associatively)
+    val d2 = Files.createTempDirectory("hist_merged").toString + "/part"
+    SketchStore.mergeHistograms(spark, dirs.reverse, Seq("l_returnflag"))
+      .write.parquet(d2)
+    val got2 = SketchStore.quantilesFromHistogram(
+        SketchStore.mergeHistograms(spark, Seq(d2), Seq("l_returnflag")),
+        Seq("l_returnflag"), valPow = 2, outPow = 3, pcts)
+      .orderBy("l_returnflag").as[(String, Long, Long)].collect().toSeq
+    assert(got2 == want, "re-merged saved artifact must reproduce the quantiles")
+  }
+
+  test("sketch store: per-batch HLL artifacts union to the one-pass sketch estimate") {
+    import graft.sources.SketchStore
+    val ev = Tables.events(spark, TestSpark.Sf).select("event_type", "user_id")
+    val parts = (0 until 2).map(i => ev.filter(pmod(col("user_id"), lit(2)) === i))
+    val dirs = parts.zipWithIndex.map { case (p, i) =>
+      val d = Files.createTempDirectory(s"hll_$i").toString
+      SketchStore.saveHll(p, Seq("event_type"), col("user_id"), d)
+      d
+    }
+    val got = SketchStore.unionHll(spark, dirs, Seq("event_type"))
+      .orderBy("event_type")
+      .select(col("event_type"), col("approx_distinct").cast("long"), col("n_rows"))
+      .as[(String, Long, Long)].collect().toSeq
+    val want = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).cast("long").as("e"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type").as[(String, Long, Long)].collect().toSeq
+    // lossless union at equal lgK: the merged registers ARE the
+    // one-pass registers, so the estimates match exactly
+    assert(want.nonEmpty && got == want, s"got=$got want=$want")
+  }
 }
