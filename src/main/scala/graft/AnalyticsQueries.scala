@@ -472,6 +472,52 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
+  /** #176 (q72): audience overlap matrix — for every pair of event
+    * types, the EXACT distinct-user intersection, union and Jaccard
+    * (ppm): the segmentation question ("do clickers also purchase?")
+    * behind every cross-sell/funnel decision, and the exact twin the
+    * q71 sketch cube approximates at scale via HLL
+    * inclusion–exclusion. Shape: distinct (type, user) pairs once,
+    * then a self-join on user_id — per-user fan-out is bounded by the
+    * TYPE DOMAIN (a handful), so the join output is ≤ T²/2 rows per
+    * user, corpus-linear, no skew surface; pair sizes re-join from the
+    * same distinct frame. Only co-observed pairs appear (inner join —
+    * a pair with zero shared users carries no decision signal).
+    * Jaccard in exact half-up ppm via the (2a+b) div 2b identity. */
+  def q72AudienceOverlap: Q = (spark, dir) => {
+    val du = Tables.events(spark, dir)
+      .select("event_type", "user_id").distinct()
+    val sizes = du.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val inter = du.toDF("type_a", "user_id")
+      .join(du.toDF("type_b", "user_id2"),
+        col("user_id") === col("user_id2") && col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.toDF("type_a", "n_a")), "type_a")
+      .join(broadcast(sizes.toDF("type_b", "n_b")), "type_b")
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .withColumn("jaccard_ppm",
+        expr("(n_inter * 1000000 * 2 + n_union) div (2 * n_union)"))
+      .select("type_a", "type_b", "n_a", "n_b", "n_inter", "n_union", "jaccard_ppm")
+      .orderBy("type_a", "type_b")
+  }
+
+  val q72Sql: String =
+    """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+      |s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM du GROUP BY 1),
+      |i AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |             CAST(COUNT(*) AS BIGINT) AS n_inter
+      |      FROM du a JOIN du b
+      |        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |      GROUP BY 1, 2)
+      |SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_inter,
+      |       sa.n + sb.n - n_inter AS n_union,
+      |       CAST((n_inter * 1000000 * 2 + (sa.n + sb.n - n_inter))
+      |            // (2 * (sa.n + sb.n - n_inter)) AS BIGINT) AS jaccard_ppm
+      |FROM i JOIN s sa ON i.type_a = sa.event_type
+      |       JOIN s sb ON i.type_b = sb.event_type
+      |ORDER BY type_a, type_b""".stripMargin
+
   val q29Sql: String =
     """SELECT l_returnflag,
       |       CAST(ROUND(quantile_cont(l_extendedprice, 0.5) * 1000, 0) AS BIGINT) AS p50_price_milli,
@@ -1774,10 +1820,12 @@ object AnalyticsQueries {
     "q44_approx_percentiles" -> q44ApproxPercentiles,
     "q46_approx_distinct" -> q46ApproxDistinct,
     "q71_hll_cube" -> q71HllCube,
+    "q72_audience_overlap" -> q72AudienceOverlap,
     "q48_funnel" -> q48Funnel,
     "q49_cohort_retention" -> q49CohortRetention)
 
   val oracles: Seq[(String, String)] = Seq(
+    "q72_audience_overlap" -> q72Sql,
     "q65_rolling_distinct" -> q65Sql,
     "q50_window_stats" -> q50Sql,
     "q51_interval_sweep" -> q51Sql,

@@ -1121,7 +1121,99 @@ object TrainingDataQueries {
        |FROM ($t21Sql) t JOIN documents d USING (doc_id)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** #174 (t26): temperature-smoothed language sampling weights — the
+    * multilingual mixing rule (mT5/XLM-R style): sampling a language
+    * proportional to its raw share p_l starves low-resource languages,
+    * so the mixture is drawn from q_l ∝ p_l^α with α < 1. α = 1/2 here,
+    * which makes the weight EXACTLY computable: s_l = ⌊√(n_l·10⁶)⌋ is
+    * an exact integer in both engines (correctly-rounded IEEE sqrt of
+    * an integer < 2⁵² cannot straddle an integer boundary — consecutive
+    * squares differ by ≫ 1 ulp), and the ppm weights use the half-up
+    * (2a+b) div 2b identity on nonnegative longs. One tiny aggregate +
+    * a broadcast 1-row total — no scale surface at all; at 100 TB the
+    * lang histogram is still a handful of rows. Emits raw p_ppm beside
+    * q_alpha_ppm so the report shows what the temperature bought. */
+  def t26AlphaMix: Q = (spark, dir) => {
+    val l = Tables.documents(spark, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("s", floor(sqrt(col("n_docs") * 1000000L)).cast(LongType))
+    val tot = l.agg(sum("n_docs").as("ntot"), sum("s").as("stot"))
+    l.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"),
+        expr("(n_docs * 1000000 * 2 + ntot) div (2 * ntot)").as("p_ppm"),
+        expr("(s * 1000000 * 2 + stot) div (2 * stot)").as("q_alpha_ppm"))
+      .orderBy("lang")
+  }
+
+  val t26Sql: String =
+    """WITH l AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST(FLOOR(SQRT(CAST(COUNT(*) * 1000000 AS DOUBLE))) AS BIGINT) AS s
+      |  FROM documents GROUP BY lang),
+      |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS ntot,
+      |             CAST(SUM(s) AS BIGINT) AS stot FROM l)
+      |SELECT lang, n_docs,
+      |       CAST((n_docs * 1000000 * 2 + ntot) // (2 * ntot) AS BIGINT) AS p_ppm,
+      |       CAST((s * 1000000 * 2 + stot) // (2 * stot) AS BIGINT) AS q_alpha_ppm
+      |FROM l, t ORDER BY lang""".stripMargin
+
+  /** #175 (t27): vocabulary coverage curve — the tokenizer-sizing
+    * report: how many distinct word types does a vocabulary need to
+    * cover 50/90/95/99% of all token OCCURRENCES? (The Zipf head/tail
+    * tradeoff every BPE budget decision rests on — t18 learns merges,
+    * this says how far the learned vocab's coverage can reach.)
+    * Frequency ranks and cumulative coverage come from the
+    * DISTRIBUTED prefix sum ([[graft.etl.GlobalOrder]], keyed on
+    * −count with token as tie-break) — never a single-task
+    * `row_number() OVER (ORDER BY …)` window over the whole vocab,
+    * which is the q64 scale-killer shape. Threshold hit = first rank
+    * whose running total clears num/den of the corpus — exact integer
+    * comparisons, single-row output, fully oracled (DuckDB's window
+    * runs the same order). Token convention = t05's (normalized,
+    * non-empty). */
+  def t27VocabCoverage: Q = (spark, dir) => {
+    val counts = LlmQueries.normedDocs(spark, dir)
+      .select(explode(split(col("text_norm"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val ranked = etl.GlobalOrder.withGlobalSeq(
+      counts.withColumn("negn", -col("n")), "negn", ties = Seq("token"),
+      valueCol = Some("n"))
+    val tot = counts.agg(sum("n").as("total"),
+      count(lit(1)).cast(LongType).as("vocab_total"))
+    ranked.crossJoin(broadcast(tot))
+      .agg(
+        min(when(col("run") * 100 >= col("total") * 50, col("seq"))).as("p50_vocab"),
+        min(when(col("run") * 100 >= col("total") * 90, col("seq"))).as("p90_vocab"),
+        min(when(col("run") * 100 >= col("total") * 95, col("seq"))).as("p95_vocab"),
+        min(when(col("run") * 100 >= col("total") * 99, col("seq"))).as("p99_vocab"),
+        max("vocab_total").as("vocab_total"),
+        max("total").as("tokens_total"))
+  }
+
+  val t27Sql: String =
+    """WITH tok AS (
+      |  SELECT unnest(string_split(regexp_replace(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]*(feat\.|featuring|ft\.|&|and)[ \t\n\x0b\f\r]*', ';', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')) AS token
+      |  FROM documents),
+      |c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok
+      |      WHERE length(token) > 0 GROUP BY token),
+      |r AS (SELECT n,
+      |             SUM(n) OVER (ORDER BY n DESC, token ASC ROWS UNBOUNDED PRECEDING) AS run,
+      |             ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS seq
+      |      FROM c),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+      |             CAST(COUNT(*) AS BIGINT) AS vocab FROM c)
+      |SELECT CAST(MIN(CASE WHEN run * 100 >= total * 50 THEN seq END) AS BIGINT) AS p50_vocab,
+      |       CAST(MIN(CASE WHEN run * 100 >= total * 90 THEN seq END) AS BIGINT) AS p90_vocab,
+      |       CAST(MIN(CASE WHEN run * 100 >= total * 95 THEN seq END) AS BIGINT) AS p95_vocab,
+      |       CAST(MIN(CASE WHEN run * 100 >= total * 99 THEN seq END) AS BIGINT) AS p99_vocab,
+      |       MAX(vocab) AS vocab_total,
+      |       MAX(total) AS tokens_total
+      |FROM r, t""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "t26_alpha_mix" -> t26AlphaMix,
+    "t27_vocab_coverage" -> t27VocabCoverage,
     "t24_fertility" -> t24Fertility,
     "t23_leakage_safe_split" -> t23LeakageSafeSplit,
     "t22_weighted_sample" -> t22WeightedSample,
@@ -1147,6 +1239,8 @@ object TrainingDataQueries {
 
   val oracles: Seq[(String, String)] = Seq(
     "t24_fertility" -> t24Sql,
+    "t26_alpha_mix" -> t26Sql,
+    "t27_vocab_coverage" -> t27Sql,
     "t23_leakage_safe_split" -> t23Sql,
     "t22_weighted_sample" -> t22Sql,
     "t19_corpus_report" -> t19Sql,

@@ -419,4 +419,41 @@ class PlanSpec extends AnyFunSuite {
       p.take(1200))
     assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(1200))
   }
+
+  test("q72 overlap self-joins on user_id hash with broadcast pair sizes, no cartesian") {
+    val p = planOf("q72_audience_overlap")
+    // the distinct (type, user) self-join must be an EQUI-join keyed
+    // on user_id (per-user fan-out is type-domain-bounded) — at test
+    // scale AQE broadcasts the tiny distinct frame, at 100 TB it
+    // hash-shuffles on user_id; both are the linear shape. What must
+    // never appear is a cross product with the type inequality as a
+    // post-filter.
+    assert(p.contains("hashpartitioning(user_id")
+      || p.contains("Join [user_id")
+      || p.contains("HashJoin [user_id"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+  }
+
+  test("t27 coverage curve rides the bucketed prefix sum, never a whole-vocab window") {
+    import org.apache.spark.sql.catalyst.expressions.{RowNumber, WindowExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("t27_vocab_coverage")(spark, sf)
+    // same contract as q64: any row_number window must be partitioned
+    // (GlobalOrder's bucket id) — a single-task ORDER BY over the
+    // whole vocabulary is the shape this query exists to avoid
+    df.queryExecution.optimizedPlan.foreach {
+      case w: LWindow =>
+        val hasRowNumber = w.windowExpressions.exists(_.collectFirst {
+          case WindowExpression(_: RowNumber, _) => true }.nonEmpty)
+        if (hasRowNumber)
+          assert(w.partitionSpec.nonEmpty,
+            s"vocab row_number window must be bucket-partitioned:\n$w")
+      case _ => ()
+    }
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin")
+      || df.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
+      "corpus totals must come back via broadcast")
+  }
 }
