@@ -502,6 +502,48 @@ object AnalyticsQueries {
       .orderBy("type_a", "type_b")
   }
 
+  /** #177 (q73): APPROXIMATE audience overlap — q72's sketch twin over
+    * the q71 cube: per-type HLL register sets (union of the persisted
+    * daily sketches — history never rescanned), then every pairwise
+    * intersection by inclusion–exclusion (|A∩B| = |A|+|B|−|A∪B|, the
+    * union being `hll_union` of the two stored sketches). At 100 TB
+    * the exact q72 matrix costs a distinct + self-join over every
+    * (type, user) pair; this answers the same segmentation question
+    * from T kilobyte sketches (T = type domain, a handful) — the
+    * pairwise frame is T²/2 rows of sketch merges, bounded by
+    * configuration, not data. Estimates can undershoot: the
+    * intersection is clamped at 0 and the jaccard denominator guarded.
+    * Rows-only (estimator is engine-specific); FunctionsSpec pins each
+    * pair's intersection estimate inside an error band of q72's exact
+    * matrix and the estimate≡rescan identity via the daily cube. */
+  def q73OverlapHll: Q = (spark, dir) => {
+    val perType = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("event_type"), col("user_id"))
+      .groupBy("day", "event_type")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy("event_type")
+      .agg(hll_union_agg(col("sk")).as("sk"))
+      .withColumn("n_est", hll_sketch_estimate(col("sk")))
+    // T×T pairwise matrix of a type-domain-bounded frame: the join is
+    // deliberately a broadcast cross product (T ≈ a handful of event
+    // types — configuration-scale, never corpus-scale)
+    val pairs = perType.toDF("type_a", "sk_a", "n_a_est")
+      .join(broadcast(perType.toDF("type_b", "sk_b", "n_b_est")),
+        col("type_a") < col("type_b"))
+    pairs
+      .withColumn("n_union_est",
+        hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))))
+      .withColumn("n_inter_est",
+        greatest(lit(0L), col("n_a_est") + col("n_b_est") - col("n_union_est")))
+      .withColumn("jaccard_est_ppm",
+        when(col("n_union_est") > 0,
+          expr("(n_inter_est * 1000000 * 2 + n_union_est) div (2 * n_union_est)"))
+          .otherwise(lit(0L)))
+      .select("type_a", "type_b", "n_a_est", "n_b_est", "n_inter_est",
+        "n_union_est", "jaccard_est_ppm")
+      .orderBy("type_a", "type_b")
+  }
+
   val q72Sql: String =
     """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
       |s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM du GROUP BY 1),
@@ -1821,6 +1863,7 @@ object AnalyticsQueries {
     "q46_approx_distinct" -> q46ApproxDistinct,
     "q71_hll_cube" -> q71HllCube,
     "q72_audience_overlap" -> q72AudienceOverlap,
+    "q73_overlap_hll" -> q73OverlapHll,
     "q48_funnel" -> q48Funnel,
     "q49_cohort_retention" -> q49CohortRetention)
 

@@ -1211,9 +1211,87 @@ object TrainingDataQueries {
       |       MAX(total) AS tokens_total
       |FROM r, t""".stripMargin
 
+  /** #178 (t28): per-source vocabulary coverage — t27's curve grouped
+    * by ingest source: the governance view ("does src7 need its own
+    * tokenizer budget, or does the shared head cover it?"). The
+    * per-source rank threshold is computed WITHOUT any per-source row
+    * ordering of the vocabulary: tokens collapse to a (source,
+    * count-value) HISTOGRAM first, so the only window runs over
+    * distinct count VALUES per source — O(√tokens)-ish rows, orders of
+    * magnitude below vocabulary size (the same exchange-shrinking move
+    * HistogramRank makes for percentiles). The crossing rank inside a
+    * tie-block of equal-count types is pure integer arithmetic
+    * (ceil((needed − run_before)/n)) and order-independent, so no
+    * token tie-break is ever needed. The arithmetic is guarded to the
+    * single crossing block — both engines only ever divide positive
+    * integers (Spark `div` truncates, DuckDB `//` floors; they agree
+    * only on nonnegative operands, so the guard is correctness, not
+    * style). Fully oracled. */
+  def t28SourceCoverage: Q = (spark, dir) => {
+    val hist = LlmQueries.normedDocs(spark, dir)
+      .select(col("source"), explode(split(col("text_norm"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("source", "token").agg(count(lit(1)).as("n"))
+      .groupBy("source", "n").agg(count(lit(1)).as("n_types"))
+      .withColumn("block_tokens", col("n") * col("n_types"))
+    val w = Window.partitionBy("source").orderBy(col("n").desc)
+    val ranked = hist
+      .withColumn("run",
+        sum("block_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("types_before",
+        coalesce(sum("n_types").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("run_before", col("run") - col("block_tokens"))
+    val tot = hist.groupBy("source").agg(
+      sum("block_tokens").as("total"), sum("n_types").as("vocab_total"))
+    def vocabAt(p: Int): Column = {
+      val needed = expr(s"(total * $p + 99) div 100")
+      max(when(col("run") >= needed && col("run_before") < needed,
+        col("types_before") +
+          expr(s"((total * $p + 99) div 100 - run_before + n - 1) div n")))
+        .as(s"p${p}_vocab")
+    }
+    ranked.join(broadcast(tot), "source")
+      .groupBy("source")
+      .agg(vocabAt(50), vocabAt(90), vocabAt(95), vocabAt(99),
+        max("vocab_total").as("vocab_total"), max("total").as("tokens_total"))
+      .orderBy("source")
+  }
+
+  val t28Sql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(regexp_replace(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]*(feat\.|featuring|ft\.|&|and)[ \t\n\x0b\f\r]*', ';', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')) AS token
+      |  FROM documents),
+      |c AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n FROM tok
+      |      WHERE length(token) > 0 GROUP BY 1, 2),
+      |h AS (SELECT source, n, CAST(COUNT(*) AS BIGINT) AS n_types,
+      |             n * CAST(COUNT(*) AS BIGINT) AS block_tokens
+      |      FROM c GROUP BY 1, 2),
+      |r AS (SELECT source, n, n_types, block_tokens,
+      |             SUM(block_tokens) OVER (PARTITION BY source ORDER BY n DESC ROWS UNBOUNDED PRECEDING) AS run,
+      |             COALESCE(SUM(n_types) OVER (PARTITION BY source ORDER BY n DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS types_before
+      |      FROM h),
+      |t AS (SELECT source, CAST(SUM(block_tokens) AS BIGINT) AS total,
+      |             CAST(SUM(n_types) AS BIGINT) AS vocab_total
+      |      FROM h GROUP BY 1)
+      |SELECT r.source,
+      |       CAST(MAX(CASE WHEN run >= (total * 50 + 99) // 100 AND run - block_tokens < (total * 50 + 99) // 100
+      |                     THEN types_before + ((total * 50 + 99) // 100 - (run - block_tokens) + n - 1) // n END) AS BIGINT) AS p50_vocab,
+      |       CAST(MAX(CASE WHEN run >= (total * 90 + 99) // 100 AND run - block_tokens < (total * 90 + 99) // 100
+      |                     THEN types_before + ((total * 90 + 99) // 100 - (run - block_tokens) + n - 1) // n END) AS BIGINT) AS p90_vocab,
+      |       CAST(MAX(CASE WHEN run >= (total * 95 + 99) // 100 AND run - block_tokens < (total * 95 + 99) // 100
+      |                     THEN types_before + ((total * 95 + 99) // 100 - (run - block_tokens) + n - 1) // n END) AS BIGINT) AS p95_vocab,
+      |       CAST(MAX(CASE WHEN run >= (total * 99 + 99) // 100 AND run - block_tokens < (total * 99 + 99) // 100
+      |                     THEN types_before + ((total * 99 + 99) // 100 - (run - block_tokens) + n - 1) // n END) AS BIGINT) AS p99_vocab,
+      |       MAX(vocab_total) AS vocab_total,
+      |       MAX(total) AS tokens_total
+      |FROM r JOIN t ON r.source = t.source
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "t26_alpha_mix" -> t26AlphaMix,
     "t27_vocab_coverage" -> t27VocabCoverage,
+    "t28_source_coverage" -> t28SourceCoverage,
     "t24_fertility" -> t24Fertility,
     "t23_leakage_safe_split" -> t23LeakageSafeSplit,
     "t22_weighted_sample" -> t22WeightedSample,
@@ -1241,6 +1319,7 @@ object TrainingDataQueries {
     "t24_fertility" -> t24Sql,
     "t26_alpha_mix" -> t26Sql,
     "t27_vocab_coverage" -> t27Sql,
+    "t28_source_coverage" -> t28Sql,
     "t23_leakage_safe_split" -> t23Sql,
     "t22_weighted_sample" -> t22Sql,
     "t19_corpus_report" -> t19Sql,

@@ -77,6 +77,26 @@ object AnnIndex {
       .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
   }
 
+  /** Compact the small per-append segment files inside each cell
+    * partition — the maintenance pass a daily-append index needs:
+    * every [[append]] adds ≥ 1 file per touched cell, so after N
+    * batches a probe of `nProbe` cells opens O(N·nProbe) files whose
+    * per-file open/footer cost dwarfs the bytes (the classic
+    * small-file tax). Delegates to
+    * [[graft.sources.Writers.compactSmallFiles]], inheriting its
+    * crash-recoverable pending-marker swap: rows are never lost. A
+    * probe racing the swap window can transiently see a vector twice
+    * (it would then occupy two adjacent ranks) — schedule compaction
+    * in a maintenance window for strict isolation, as with any
+    * plain-parquet table. Cell partition values are untouched, so
+    * partition pruning and the calibrated meta are preserved
+    * (spec-pinned probe parity). */
+  def compact(spark: SparkSession, dir: String,
+              minFileBytes: Long = 8L * 1024 * 1024,
+              targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) =
+    graft.sources.Writers.compactSmallFiles(
+      spark, s"$dir/cells", minFileBytes, targetFileBytes)
+
   private def readCentroids(spark: SparkSession, dir: String): Seq[Seq[Double]] = {
     import spark.implicits._
     // nCells rows (≈ √n) — bounded driver read, the probe-side analog

@@ -119,4 +119,89 @@ object SketchStore {
       .agg(hll_sketch_estimate(hll_union_agg(col("hll_sk"))).as("approx_distinct"),
         sum("n_rows").as("n_rows"))
   }
+
+  // ── Mergeable SpaceSaving top-k sketches ─────────────────────────
+
+  /** Persist one batch's SpaceSaving buffer (q34's sketch, kept at
+    * FULL capacity rather than cut to k — the merge needs every
+    * counter: dropping the tail before merging voids the
+    * n/capacity error bound). One row per counter + the capacity and
+    * the batch's item count; day-N top-k = SpaceSaving-merge of N
+    * kilobyte artifacts, never a history re-scan. */
+  def saveTopK(items: DataFrame, itemCol: Column, capacity: Int,
+               dir: String): Unit = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val ds = items.select(itemCol.cast(org.apache.spark.sql.types.StringType))
+      .as[String]
+    val n = ds.count()
+    val buffer = ds
+      .select(new graft.functions.HeavyHitters(capacity, capacity)
+        .toColumn.name("counters"))
+      .head()
+    buffer.toDF("item", "cnt")
+      .withColumn("capacity", lit(capacity))
+      .withColumn("n_items", lit(n))
+      .repartition(1)
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** SpaceSaving-merge stored sketches and report the top k: the same
+    * fold the Aggregator runs across partitions, applied across
+    * ARTIFACTS — associative, so day ranges compose. Error inherits
+    * the summed bound: any item with true frequency > Σn/capacity is
+    * present, counts overestimate by ≤ Σn/capacity (spec-pinned in
+    * PropertySpec against exact counts over the union). */
+  def mergeTopK(spark: SparkSession, dirs: Seq[String], k: Int): Seq[(String, Long)] = {
+    require(dirs.nonEmpty, "no top-k artifacts to merge")
+    import spark.implicits._
+    val parts = dirs.map { d =>
+      val rows = spark.read.parquet(d)
+        .select(col("item"), col("cnt"), col("capacity"))
+        .as[(String, Long, Int)].collect()
+      val cap = rows.headOption.map(_._3).getOrElse(0)
+      (cap, scala.collection.mutable.Map(rows.map(r => r._1 -> r._2): _*))
+    }
+    val caps = parts.map(_._1).filter(_ > 0).toSet
+    require(caps.size <= 1,
+      s"incompatible top-k sketches: capacities $caps — merged bounds only hold at one capacity")
+    val cap = caps.headOption.getOrElse(1)
+    val hh = new graft.functions.HeavyHitters(cap, k)
+    val merged = parts.map(_._2).reduce(hh.merge)
+    hh.finish(merged)
+  }
+
+  // ── Artifact consumers (no-rescan analytics) ─────────────────────
+
+  /** q57's winsorization report computed ENTIRELY from a stored value
+    * histogram — bands, clip counts and clamped sums all derive from
+    * (group, value) → count rows, so the corpus is never re-scanned
+    * (the raw-frame q57 pays one full scan per run; this pays a
+    * kilobyte-artifact read). Bit-identical to
+    * [[graft.AnalyticsQueries.q57Winsorize]] when the histogram was
+    * saved with valPow=2 over l_extendedprice (spec-pinned): the
+    * histogram value v is round(x·100), q57's v_e4 = v·100, and every
+    * derived quantity is a count-weighted integer sum. `loPct`/`hiPct`
+    * are numerator/denominator pairs on ExactPercentile's convention. */
+  def winsorizeFromHistogram(hist: DataFrame, groupCols: Seq[String],
+                             valPow: Int, outPow: Int,
+                             loNum: Int, hiNum: Int, den: Int): DataFrame = {
+    val scaleUp = math.round(Exact.pow10(outPow - valPow))
+    val bands = ExactPercentile.quantilesOfCounts(hist, groupCols, valPow, outPow,
+      Seq(ExactPercentile.Pct("lo_e" + outPow, loNum, den),
+        ExactPercentile.Pct("hi_e" + outPow, hiNum, den)))
+    val lo = col("lo_e" + outPow)
+    val hi = col("hi_e" + outPow)
+    val v = col("v") * scaleUp
+    hist.join(broadcast(bands), groupCols)
+      .withColumn("v_out", v)
+      .withColumn("w_out", greatest(lo, least(hi, v)))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum("cnt").as("n_rows"),
+        sum(when(v < lo, col("cnt")).otherwise(0L)).as("n_clip_low"),
+        sum(when(v > hi, col("cnt")).otherwise(0L)).as("n_clip_high"),
+        sum(col("cnt") * col("v_out")).as("sum_raw_e" + outPow),
+        sum(col("cnt") * col("w_out")).as("sum_wins_e" + outPow),
+        min(lo).as("lo_e" + outPow), min(hi).as("hi_e" + outPow))
+  }
 }

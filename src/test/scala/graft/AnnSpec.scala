@@ -182,6 +182,38 @@ class AnnSpec extends AnyFunSuite {
       assert(nid == qid - 1000000L, s"query $qid found $nid, not itself") }
   }
 
+  test("index compaction merges appended segments; probes are unchanged") {
+    import graft.sim.AnnIndex
+    val dir = java.nio.file.Files.createTempDirectory("ann_cmp").toString
+    AnnIndex.build(emb.filter(col("id") % 4 === 0), nCells = 8, seed = 42L, dir = dir)
+    // three append batches → ≥ 3 segment files per touched cell
+    (1 to 3).foreach(m => AnnIndex.append(emb.filter(col("id") % 4 === m), dir))
+    def dataFiles(): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (!f.getName.startsWith("_") && !f.getName.startsWith(".")) Seq(f)
+        else Nil
+      walk(new java.io.File(s"$dir/cells"))
+    }
+    val before = dataFiles()
+    val queries = emb.filter(col("id") < 8)
+    val probeBefore = AnnIndex.probe(spark, dir, queries, k = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    val (rewritten, created) = AnnIndex.compact(spark, dir)
+    val after = dataFiles()
+    // every append-fragmented cell collapses to fewer, larger files
+    assert(rewritten > 0 && created < rewritten, s"rewrote $rewritten into $created")
+    assert(after.size < before.size, s"files ${before.size} -> ${after.size}")
+    // cell partition values survive (pruned probes still resolve), and
+    // the probe result is IDENTICAL — compaction moves bytes, not rows
+    val probeAfter = AnnIndex.probe(spark, dir, queries, k = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(probeAfter == probeBefore, "compaction changed probe results")
+    // idempotent: a second pass finds nothing left to merge
+    val (r2, _) = AnnIndex.compact(spark, dir)
+    assert(r2 == 0, s"second compaction rewrote $r2 files")
+  }
+
   test("PQ ANN (s06) recall@10 vs brute force is quantified") {
     val brute = LlmQueries.s01AnnBruteForce(spark, TestSpark.Sf)
       .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet

@@ -521,4 +521,29 @@ class FunctionsSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(reloaded == cube, s"parquet round-trip changed estimates: $reloaded")
   }
+
+  test("q73 HLL overlap matrix lands inside the error band of the exact q72 matrix") {
+    val exact = AnalyticsQueries.q72AudienceOverlap(spark, TestSpark.Sf)
+      .select("type_a", "type_b", "n_inter", "n_union")
+      .as[(String, String, Long, Long)].collect()
+      .map { case (a, b, i, u) => (a, b) -> (i, u) }.toMap
+    val est = AnalyticsQueries.q73OverlapHll(spark, TestSpark.Sf)
+      .select("type_a", "type_b", "n_inter_est", "n_union_est")
+      .as[(String, String, Long, Long)].collect()
+      .map { case (a, b, i, u) => (a, b) -> (i, u) }.toMap
+    // every exact co-observed pair must appear (the estimate side is a
+    // full T² matrix; the exact side drops zero-intersection pairs)
+    assert(exact.keySet.subsetOf(est.keySet),
+      s"missing pairs: ${exact.keySet diff est.keySet}")
+    // inclusion–exclusion compounds three sketch errors (each rsd ≈
+    // 1.6% at the default lgK=12); pin the intersection within 5% of
+    // the exact UNION (the scale all three estimates share), +3 floor
+    exact.foreach { case (pair, (i, u)) =>
+      val (ie, _) = est(pair)
+      assert(math.abs(ie - i) <= math.max(3L, u * 5 / 100),
+        s"$pair: est intersection $ie vs exact $i (union $u)")
+    }
+    info(s"q73 intersections vs exact: ${exact.keys.toSeq.sorted.take(4)
+      .map(p => s"$p ${est(p)._1}/${exact(p)._1}").mkString(", ")}")
+  }
 }

@@ -364,4 +364,63 @@ class SourcesSpec extends AnyFunSuite {
     // one-pass registers, so the estimates match exactly
     assert(want.nonEmpty && got == want, s"got=$got want=$want")
   }
+
+  test("sketch store: SpaceSaving top-k artifacts merge inside the summed error bound") {
+    import graft.sources.SketchStore
+    // zipf-ish stream: item i appears ~1000/i times over a 200-item
+    // domain; capacity 16 << domain → genuinely approximate regime
+    val stream = (1 to 200).flatMap(i => Seq.fill(1000 / i)(f"item$i%03d"))
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cap = 16
+    // three deterministic batches (by hash), one artifact each
+    val batches = (0 until 3).map(b => stream.filter(s => math.abs(s.hashCode) % 3 == b))
+    val dirs = batches.zipWithIndex.map { case (b, i) =>
+      val d = Files.createTempDirectory(s"topk_$i").toString
+      SketchStore.saveTopK(b.toDF("item"), col("item"), cap, d)
+      d
+    }
+    val merged = SketchStore.mergeTopK(spark, dirs, k = 8).toMap
+    val slack = stream.size.toLong / cap // Σn/capacity across artifacts
+    // SpaceSaving guarantees: estimates never undercount, overcount ≤ slack
+    merged.foreach { case (item, est) =>
+      val t = exact.getOrElse(item, 0L)
+      assert(est >= t && est - t <= slack, s"$item: est $est true $t slack $slack")
+    }
+    // every item whose true count clears the summed threshold by the
+    // eviction slack must survive the merge
+    val mustKeep = exact.filter { case (_, c) => c > 2 * slack }.keySet
+    val kept = SketchStore.mergeTopK(spark, dirs, k = cap).map(_._1).toSet
+    mustKeep.foreach(i => assert(kept.contains(i), s"lost heavy item $i"))
+    // capacity mismatch is a build error, not a silent bound violation
+    val dBad = Files.createTempDirectory("topk_bad").toString
+    SketchStore.saveTopK(batches.head.toDF("item"), col("item"), cap * 2, dBad)
+    intercept[IllegalArgumentException] {
+      SketchStore.mergeTopK(spark, dirs :+ dBad, k = 8)
+    }
+  }
+
+  test("sketch store: winsorize report from stored histograms equals the raw-frame q57") {
+    import graft.sources.SketchStore
+    val li = Tables.lineitem(spark, TestSpark.Sf)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val parts = (0 until 3).map(i =>
+      li.filter(pmod(xxhash64(col("l_extendedprice")), lit(3)) === i))
+    val dirs = parts.zipWithIndex.map { case (p, i) =>
+      val d = Files.createTempDirectory(s"winz_$i").toString
+      SketchStore.saveHistogram(p, Seq("l_returnflag"), col("l_extendedprice"),
+        valPow = 2, dir = d)
+      d
+    }
+    val merged = SketchStore.mergeHistograms(spark, dirs, Seq("l_returnflag"))
+    val got = SketchStore.winsorizeFromHistogram(merged, Seq("l_returnflag"),
+        valPow = 2, outPow = 4, loNum = 1, hiNum = 19, den = 20)
+      .orderBy("l_returnflag")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // the consumer never touches the corpus — yet must reproduce the
+    // full-scan q57 report bit-for-bit (bands, clip counts, sums)
+    val want = AnalyticsQueries.q57Winsorize(spark, TestSpark.Sf)
+      .orderBy("l_returnflag")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(want.nonEmpty && got == want, s"got=$got\nwant=$want")
+  }
 }

@@ -365,4 +365,36 @@ class TrainingDataSpec extends AnyFunSuite {
       assert(flagged.contains(id), s"planted leak $id not flagged")
     }
   }
+
+  test("t28 per-source coverage matches a local rank-walk on every source") {
+    val got = TrainingDataQueries.t28SourceCoverage(spark, TestSpark.Sf)
+      .select("source", "p50_vocab", "p90_vocab", "p95_vocab", "p99_vocab",
+        "vocab_total", "tokens_total")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // reference: explicit sorted-vocab walk (the O(vocab log vocab)
+    // single-node computation the histogram-window version replaces)
+    val counts = LlmQueries.normedDocs(spark, TestSpark.Sf)
+      .select(col("source"), explode(split(col("text_norm"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect()
+    val bySource = counts.groupBy(_._1)
+    assert(got.keySet == bySource.keySet)
+    bySource.foreach { case (src, rows) =>
+      val freqs = rows.map(_._3).sortBy(-_)
+      val total = freqs.sum
+      def vocabAt(p: Int): Long = {
+        val needed = (total * p + 99) / 100
+        var run = 0L; var i = 0
+        while (run < needed) { run += freqs(i); i += 1 }
+        i.toLong
+      }
+      val (_, p50, p90, p95, p99, vt, tt) = got(src)
+      assert((p50, p90, p95, p99) == (vocabAt(50), vocabAt(90), vocabAt(95), vocabAt(99)),
+        s"$src: got ${(p50, p90, p95, p99)}")
+      assert(vt == freqs.length && tt == total, s"$src totals")
+      assert(p50 <= p90 && p90 <= p95 && p95 <= p99 && p99 <= vt, s"$src monotone")
+    }
+  }
 }
