@@ -523,12 +523,19 @@ object AnalyticsQueries {
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
       .groupBy("event_type")
       .agg(hll_union_agg(col("sk")).as("sk"))
-      .withColumn("n_est", hll_sketch_estimate(col("sk")))
-    // T×T pairwise matrix of a type-domain-bounded frame: the join is
-    // deliberately a broadcast cross product (T ≈ a handful of event
-    // types — configuration-scale, never corpus-scale)
-    val pairs = perType.toDF("type_a", "sk_a", "n_a_est")
-      .join(broadcast(perType.toDF("type_b", "sk_b", "n_b_est")),
+    overlapFromTypeSketches(perType)
+  }
+
+  /** The pairwise half of q73, shared with its streaming twin (#185):
+    * from a (event_type, sk) frame of per-type HLL register sets,
+    * derive the full estimated overlap matrix. T×T pairwise frame of
+    * a type-domain-bounded input: the join is deliberately a
+    * broadcast cross product (T ≈ a handful of event types —
+    * configuration-scale, never corpus-scale). */
+  private[graft] def overlapFromTypeSketches(perType: DataFrame): DataFrame = {
+    val est = perType.withColumn("n_est", hll_sketch_estimate(col("sk")))
+    val pairs = est.toDF("type_a", "sk_a", "n_a_est")
+      .join(broadcast(est.toDF("type_b", "sk_b", "n_b_est")),
         col("type_a") < col("type_b"))
     pairs
       .withColumn("n_union_est",

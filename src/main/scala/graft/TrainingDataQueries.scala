@@ -1227,14 +1227,20 @@ object TrainingDataQueries {
     * integers (Spark `div` truncates, DuckDB `//` floors; they agree
     * only on nonnegative operands, so the guard is correctness, not
     * style). Fully oracled. */
-  def t28SourceCoverage: Q = (spark, dir) => {
+  def t28SourceCoverage: Q = (spark, dir) =>
+    coverageByGroup(spark, dir, "source")
+
+  /** The t28 kernel parameterized by the grouping column — reused by
+    * t31's per-language budget frame. */
+  private[graft] def coverageByGroup(spark: SparkSession, dir: String,
+                                     group: String): DataFrame = {
     val hist = LlmQueries.normedDocs(spark, dir)
-      .select(col("source"), explode(split(col("text_norm"), " ")).as("token"))
+      .select(col(group), explode(split(col("text_norm"), " ")).as("token"))
       .filter(length(col("token")) > 0)
-      .groupBy("source", "token").agg(count(lit(1)).as("n"))
-      .groupBy("source", "n").agg(count(lit(1)).as("n_types"))
+      .groupBy(group, "token").agg(count(lit(1)).as("n"))
+      .groupBy(group, "n").agg(count(lit(1)).as("n_types"))
       .withColumn("block_tokens", col("n") * col("n_types"))
-    val w = Window.partitionBy("source").orderBy(col("n").desc)
+    val w = Window.partitionBy(group).orderBy(col("n").desc)
     val ranked = hist
       .withColumn("run",
         sum("block_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0)))
@@ -1242,7 +1248,7 @@ object TrainingDataQueries {
         coalesce(sum("n_types").over(w.rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .withColumn("run_before", col("run") - col("block_tokens"))
-    val tot = hist.groupBy("source").agg(
+    val tot = hist.groupBy(group).agg(
       sum("block_tokens").as("total"), sum("n_types").as("vocab_total"))
     def vocabAt(p: Int): Column = {
       val needed = expr(s"(total * $p + 99) div 100")
@@ -1251,30 +1257,32 @@ object TrainingDataQueries {
           expr(s"((total * $p + 99) div 100 - run_before + n - 1) div n")))
         .as(s"p${p}_vocab")
     }
-    ranked.join(broadcast(tot), "source")
-      .groupBy("source")
+    ranked.join(broadcast(tot), group)
+      .groupBy(group)
       .agg(vocabAt(50), vocabAt(90), vocabAt(95), vocabAt(99),
         max("vocab_total").as("vocab_total"), max("total").as("tokens_total"))
-      .orderBy("source")
+      .orderBy(group)
   }
 
-  val t28Sql: String =
+  val t28Sql: String = coverageSql("source")
+
+  private[graft] def coverageSql(group: String): String =
     """WITH tok AS (
-      |  SELECT source, unnest(string_split(regexp_replace(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]*(feat\.|featuring|ft\.|&|and)[ \t\n\x0b\f\r]*', ';', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')) AS token
+      |  SELECT GROUPCOL, unnest(string_split(regexp_replace(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]*(feat\.|featuring|ft\.|&|and)[ \t\n\x0b\f\r]*', ';', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')) AS token
       |  FROM documents),
-      |c AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n FROM tok
+      |c AS (SELECT GROUPCOL, token, CAST(COUNT(*) AS BIGINT) AS n FROM tok
       |      WHERE length(token) > 0 GROUP BY 1, 2),
-      |h AS (SELECT source, n, CAST(COUNT(*) AS BIGINT) AS n_types,
+      |h AS (SELECT GROUPCOL, n, CAST(COUNT(*) AS BIGINT) AS n_types,
       |             n * CAST(COUNT(*) AS BIGINT) AS block_tokens
       |      FROM c GROUP BY 1, 2),
-      |r AS (SELECT source, n, n_types, block_tokens,
-      |             SUM(block_tokens) OVER (PARTITION BY source ORDER BY n DESC ROWS UNBOUNDED PRECEDING) AS run,
-      |             COALESCE(SUM(n_types) OVER (PARTITION BY source ORDER BY n DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS types_before
+      |r AS (SELECT GROUPCOL, n, n_types, block_tokens,
+      |             SUM(block_tokens) OVER (PARTITION BY GROUPCOL ORDER BY n DESC ROWS UNBOUNDED PRECEDING) AS run,
+      |             COALESCE(SUM(n_types) OVER (PARTITION BY GROUPCOL ORDER BY n DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS types_before
       |      FROM h),
-      |t AS (SELECT source, CAST(SUM(block_tokens) AS BIGINT) AS total,
+      |t AS (SELECT GROUPCOL, CAST(SUM(block_tokens) AS BIGINT) AS total,
       |             CAST(SUM(n_types) AS BIGINT) AS vocab_total
       |      FROM h GROUP BY 1)
-      |SELECT r.source,
+      |SELECT r.GROUPCOL,
       |       CAST(MAX(CASE WHEN run >= (total * 50 + 99) // 100 AND run - block_tokens < (total * 50 + 99) // 100
       |                     THEN types_before + ((total * 50 + 99) // 100 - (run - block_tokens) + n - 1) // n END) AS BIGINT) AS p50_vocab,
       |       CAST(MAX(CASE WHEN run >= (total * 90 + 99) // 100 AND run - block_tokens < (total * 90 + 99) // 100
@@ -1285,10 +1293,158 @@ object TrainingDataQueries {
       |                     THEN types_before + ((total * 99 + 99) // 100 - (run - block_tokens) + n - 1) // n END) AS BIGINT) AS p99_vocab,
       |       MAX(vocab_total) AS vocab_total,
       |       MAX(total) AS tokens_total
-      |FROM r JOIN t ON r.source = t.source
-      |GROUP BY 1 ORDER BY 1""".stripMargin
+      |FROM r JOIN t ON r.GROUPCOL = t.GROUPCOL
+      |GROUP BY 1 ORDER BY 1""".stripMargin.replace("GROUPCOL", group)
+
+  /** #182 (t29): Gopher-style quality rule suite (Rae et al. 2021,
+    * appendix A1.1 — the public heuristic battery most corpus builds
+    * start from): per doc, word count, mean word length, symbol-to-
+    * word ratio, alphabetic-word fraction and stopword presence, plus
+    * the combined pass verdict. Reported ratios use t16's half-up
+    * milli convention; the pass FLAGS deliberately come from
+    * cross-multiplied raw integers (3·w ≤ chars ≤ 10·w, 10·sym ≤ w,
+    * 5·alpha ≥ 4·w), never from the rounded ratios, so a value on a
+    * rounding boundary can't flip a verdict between engines. The
+    * line-granular Gopher rules (bullet/ellipsis line fractions) are
+    * meaningless on this corpus's single-line documents and are
+    * deliberately out; the five doc-granular rules are the suite.
+    * The stopword INVENTORY is the corpus's function-word list
+    * (t01/t02's convention) rather than Gopher's published English
+    * eight — a synthetic-vocabulary corpus would vacuously fail the
+    * published list; the ≥2-distinct-stopwords RULE is unchanged.
+    * Pure per-row column arithmetic — no shuffle at all; at 100 TB
+    * this is a map-only scan, the cheapest possible filter stage. */
+  def t29GopherRules: Q = (spark, dir) => {
+    import graft.text.TextFunctions.matchCount
+    val lo = lower(col("text"))
+    val stopHits = Seq("the", "a", "of", "in")
+      .map(w => when(matchCount(lo, s"\\b$w\\b") > 0, 1L).otherwise(0L))
+      .reduce(_ + _)
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        matchCount(lo, """[a-z0-9]+""").as("n_words"),
+        length(regexp_replace(lo, """[^a-z0-9]""", "")).cast(LongType)
+          .as("n_word_chars"),
+        matchCount(lo, """[a-z0-9]*[a-z][a-z0-9]*""").as("n_alpha_words"),
+        matchCount(col("text"), """[#@%&$*]|\.\.\.""").as("n_symbols"),
+        stopHits.as("n_stop_types"))
+      .withColumn("mean_word_len_milli",
+        expr("CASE WHEN n_words = 0 THEN 0 " +
+          "ELSE (2 * n_word_chars * 1000 + n_words) div (2 * n_words) END"))
+      .withColumn("alpha_word_milli",
+        expr("CASE WHEN n_words = 0 THEN 0 " +
+          "ELSE (2 * n_alpha_words * 1000 + n_words) div (2 * n_words) END"))
+      .withColumn("symbol_ratio_milli",
+        expr("CASE WHEN n_words = 0 THEN 0 " +
+          "ELSE (2 * n_symbols * 1000 + n_words) div (2 * n_words) END"))
+      .withColumn("gopher_pass",
+        when(col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("n_word_chars") >= col("n_words") * 3 &&
+          col("n_word_chars") <= col("n_words") * 10 &&
+          col("n_symbols") * 10 <= col("n_words") &&
+          col("n_alpha_words") * 5 >= col("n_words") * 4 &&
+          col("n_stop_types") >= 2, 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  val t29Sql: String = {
+    val stopSum = Seq("the", "a", "of", "in")
+      .map(w => s"CASE WHEN len(regexp_extract_all(lower(text), '\\b$w\\b')) > 0 THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    """WITH c AS (
+      |  SELECT doc_id,
+      |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_words,
+      |         CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT) AS n_word_chars,
+      |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]*[a-z][a-z0-9]*')) AS BIGINT) AS n_alpha_words,
+      |         CAST(len(regexp_extract_all(text, '[#@%&$*]|\.\.\.')) AS BIGINT) AS n_symbols,
+      |         CAST(STOPSUM AS BIGINT) AS n_stop_types
+      |  FROM documents)
+      |SELECT doc_id, n_words, n_word_chars, n_alpha_words, n_symbols, n_stop_types,
+      |       CAST(CASE WHEN n_words = 0 THEN 0
+      |                 ELSE (2 * n_word_chars * 1000 + n_words) // (2 * n_words) END AS BIGINT) AS mean_word_len_milli,
+      |       CAST(CASE WHEN n_words = 0 THEN 0
+      |                 ELSE (2 * n_alpha_words * 1000 + n_words) // (2 * n_words) END AS BIGINT) AS alpha_word_milli,
+      |       CAST(CASE WHEN n_words = 0 THEN 0
+      |                 ELSE (2 * n_symbols * 1000 + n_words) // (2 * n_words) END AS BIGINT) AS symbol_ratio_milli,
+      |       CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+      |                  AND n_word_chars >= n_words * 3 AND n_word_chars <= n_words * 10
+      |                  AND n_symbols * 10 <= n_words
+      |                  AND n_alpha_words * 5 >= n_words * 4
+      |                  AND n_stop_types >= 2 THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
+      |FROM c ORDER BY doc_id""".stripMargin.replace("STOPSUM", stopSum)
+  }
+
+  /** #185b (t31): language budget frame — the one governance table a
+    * multilingual corpus/tokenizer decision reads: per language, the
+    * corpus mass (docs, tokens, vocabulary), the t26
+    * temperature-smoothed sampling weight it will train at, and the
+    * t28-kernel coverage curve points (how much vocabulary budget its
+    * Zipf head needs). A pure composition of two shipped, oracled
+    * kernels joined on a configuration-scale key — the report frame is
+    * |languages| rows however large the corpus. */
+  def t31LangBudget: Q = (spark, dir) =>
+    t26AlphaMix(spark, dir)
+      .join(coverageByGroup(spark, dir, "lang")
+          .select("lang", "p50_vocab", "p90_vocab", "p99_vocab",
+            "vocab_total", "tokens_total"),
+        Seq("lang"))
+      .orderBy("lang")
+
+  val t31Sql: String =
+    s"""WITH mix AS ($t26Sql),
+       |cov AS (${coverageSql("lang")})
+       |SELECT m.lang, m.n_docs, m.p_ppm, m.q_alpha_ppm,
+       |       c.p50_vocab, c.p90_vocab, c.p99_vocab,
+       |       c.vocab_total, c.tokens_total
+       |FROM mix m JOIN cov c USING (lang) ORDER BY m.lang""".stripMargin
+
+  /** #183 (t30): class-balance audit — the label-distribution report a
+    * supervised/fine-tuning corpus needs before training (and the
+    * input to rebalancing decisions t26 makes for languages): per
+    * label, its count and corpus share, its deviation from the uniform
+    * share (signed ppm — the rebalancing direction), and two
+    * corpus-level columns riding on every row (the label domain is
+    * configuration-scale, so the denormalization is free): the label
+    * count and the Simpson EFFECTIVE class count
+    * n_tot²/Σn_l² (milli, half-up) — 1000·k when perfectly balanced,
+    * collapsing toward 1000 as one class dominates; exact in integers,
+    * unlike entropy-based effective counts (log is not engine-exact).
+    * One tiny aggregate + broadcast 1-row totals; fully oracled. */
+  def t30ClassBalance: Q = (spark, dir) => {
+    val l = Tables.embeddings(spark, dir)
+      .groupBy("label").agg(count(lit(1)).as("n_vecs"))
+    val tot = l.agg(sum("n_vecs").as("ntot"),
+      count(lit(1)).cast(LongType).as("n_labels"),
+      sum(col("n_vecs") * col("n_vecs")).as("sq"))
+    l.crossJoin(broadcast(tot))
+      .select(col("label").cast(LongType).as("label"), col("n_vecs"),
+        expr("(n_vecs * 1000000 * 2 + ntot) div (2 * ntot)").as("share_ppm"),
+        expr("(n_vecs * 1000000 * 2 + ntot) div (2 * ntot) " +
+          "- (1000000 * 2 + n_labels) div (2 * n_labels)").as("dev_uniform_ppm"),
+        col("n_labels"),
+        expr("(ntot * ntot * 1000 * 2 + sq) div (2 * sq)").as("simpson_eff_milli"))
+      .orderBy("label")
+  }
+
+  val t30Sql: String =
+    """WITH l AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      |           FROM embeddings GROUP BY label),
+      |t AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS ntot,
+      |             CAST(COUNT(*) AS BIGINT) AS n_labels,
+      |             CAST(SUM(n_vecs * n_vecs) AS BIGINT) AS sq FROM l)
+      |SELECT CAST(label AS BIGINT) AS label, n_vecs,
+      |       CAST((n_vecs * 1000000 * 2 + ntot) // (2 * ntot) AS BIGINT) AS share_ppm,
+      |       CAST((n_vecs * 1000000 * 2 + ntot) // (2 * ntot)
+      |            - (1000000 * 2 + n_labels) // (2 * n_labels) AS BIGINT) AS dev_uniform_ppm,
+      |       n_labels,
+      |       CAST((ntot * ntot * 1000 * 2 + sq) // (2 * sq) AS BIGINT) AS simpson_eff_milli
+      |FROM l, t ORDER BY label""".stripMargin
 
   val queries: Seq[(String, Q)] = Seq(
+    "t30_class_balance" -> t30ClassBalance,
+    "t31_lang_budget" -> t31LangBudget,
+    "t29_gopher_rules" -> t29GopherRules,
     "t26_alpha_mix" -> t26AlphaMix,
     "t27_vocab_coverage" -> t27VocabCoverage,
     "t28_source_coverage" -> t28SourceCoverage,
@@ -1320,6 +1476,9 @@ object TrainingDataQueries {
     "t26_alpha_mix" -> t26Sql,
     "t27_vocab_coverage" -> t27Sql,
     "t28_source_coverage" -> t28Sql,
+    "t29_gopher_rules" -> t29Sql,
+    "t30_class_balance" -> t30Sql,
+    "t31_lang_budget" -> t31Sql,
     "t23_leakage_safe_split" -> t23Sql,
     "t22_weighted_sample" -> t22Sql,
     "t19_corpus_report" -> t19Sql,

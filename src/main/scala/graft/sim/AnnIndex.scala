@@ -97,6 +97,53 @@ object AnnIndex {
     graft.sources.Writers.compactSmallFiles(
       spark, s"$dir/cells", minFileBytes, targetFileBytes)
 
+  /** The audit→decision→action loop closed (#184): [[append]]'s
+    * contract says "rebuild when the recall audit decays past budget"
+    * — this runs that audit against the PERSISTED index and performs
+    * the rebuild when it fails. Recall@k of the index's calibrated
+    * probe path is measured against exact brute force on a
+    * deterministic ~1/sampleMod slice of the indexed corpus (the s14
+    * economics: brute force pays only the sample, the audited side is
+    * the production plan). If recall_ppm drops below the floor — the
+    * index's stored build-time recall target by default, or an
+    * explicit `floorPpm` — the corpus is re-read from the cell files,
+    * STAGED through a checkpoint (the rebuild overwrites the very
+    * files the frame reads — materialize-before-overwrite, same
+    * hazard class as the stage-commit protocol), refit and
+    * recalibrated via [[build]]. `nCells <= 0` re-derives √n from the
+    * CURRENT corpus size — after heavy appends the original cell count
+    * is stale in exactly the way that degrades recall. Returns
+    * (recall_ppm measured BEFORE any rebuild, rebuilt?). */
+  def maintain(spark: SparkSession, dir: String, k: Int = 10,
+               sampleMod: Int = 25, seed: Long = 42L,
+               floorPpm: Long = -1L, nCells: Int = 0): (Long, Boolean) = {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$dir/cells").select("id", "vec")
+    val sample = corpus.filter(pmod(col("id"), lit(sampleMod)) === 0)
+    val exact = Ann.bruteForceTopK(corpus, sample, k)
+      .select(col("qid"), col("neighbor_id"))
+    val approx = probe(spark, dir, sample, k)
+      .select(col("qid"), col("neighbor_id")).withColumn("hit", lit(1L))
+    val (nTrue, nHit) = exact.join(approx, Seq("qid", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("hit"), lit(0L))).as("h"))
+      .as[(Long, Long)].head()
+    val recallPpm = if (nTrue == 0) 1000000L else nHit * 1000000L / nTrue
+    val meta = spark.read.parquet(s"$dir/meta")
+      .select("recall_target", "n_cells").head()
+    val floor =
+      if (floorPpm >= 0) floorPpm
+      else math.round(meta.getDouble(0) * 1000000L)
+    val rebuild = recallPpm < floor
+    if (rebuild) {
+      val staged = corpus.localCheckpoint(true)
+      val cells =
+        if (nCells > 0) nCells
+        else math.max(2, math.ceil(math.sqrt(staged.count().toDouble)).toInt)
+      build(staged, cells, seed, dir, recall = meta.getDouble(0))
+    }
+    (recallPpm, rebuild)
+  }
+
   private def readCentroids(spark: SparkSession, dir: String): Seq[Seq[Double]] = {
     import spark.implicits._
     // nCells rows (≈ √n) — bounded driver read, the probe-side analog

@@ -324,6 +324,81 @@ object EventStream {
       .distinct()
   }
 
+  /** Streaming α-mix refresh — t26's streaming twin: as documents
+    * arrive, serve refreshed temperature-smoothed language sampling
+    * weights (q_l ∝ p_l^½, mT5/XLM-R style) over the corpus-so-far.
+    * Each micro-batch folds a distributed per-lang count into driver
+    * state (one Long per language — bounded by the LANGUAGE DOMAIN, a
+    * configuration-scale constant, never corpus rows), then emits the
+    * full weight table via `onWeights`: the integer math (exact √ of
+    * n·10⁶, half-up ppm) is t26's, so after batch k the emitted table
+    * is BIT-IDENTICAL to batch t26 over the stream prefix
+    * (spec-pinned). `seed` resumes from a persisted lang histogram
+    * (e.g. yesterday's close) so a restart needs no history replay;
+    * within a run, a re-fired batch id (Structured Streaming replays
+    * the last uncommitted batch on recovery) is re-emitted without
+    * re-folding, keeping counts exactly-once per batch id. */
+  def alphaMixForeachBatch(seed: Map[String, Long] = Map.empty)(
+      onWeights: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    val counts = scala.collection.mutable.Map[String, Long](seed.toSeq: _*)
+    var lastBatch = -1L
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      if (batchId > lastBatch) {
+        batch.groupBy("lang").agg(count(lit(1)).as("__graft_n"))
+          .as[(String, Long)].collect()
+          .foreach { case (l, n) => counts(l) = counts.getOrElse(l, 0L) + n }
+        lastBatch = batchId
+      }
+      val rows = counts.toSeq.sortBy(_._1)
+      val ntot = rows.map(_._2).sum
+      val sRoots = rows.map { case (_, n) =>
+        math.floor(math.sqrt((n * 1000000L).toDouble)).toLong }
+      val stot = sRoots.sum
+      val out = rows.zip(sRoots).map { case ((l, n), s) =>
+        // positive operands: JVM `/` truncation ≡ Spark `div` here
+        (l, n, (n * 1000000L * 2 + ntot) / (2 * ntot),
+          (s * 1000000L * 2 + stot) / (2 * stot))
+      }.toDF("lang", "n_docs", "p_ppm", "q_alpha_ppm")
+      onWeights(out, batchId)
+    }
+  }
+
+  /** Streaming audience-overlap refresh (#185) — q73's streaming twin:
+    * serve the estimated distinct-user overlap matrix continuously as
+    * events arrive. State = ONE HLL register set per event type
+    * (driver-held kilobytes; the type domain is configuration-scale),
+    * folded per micro-batch by a distributed `hll_sketch_agg` +
+    * lossless `hll_union_agg` against the prior state. Because the
+    * Datasketches union at equal lgK is register-identical however the
+    * stream is batched (the q71-pinned identity), after batch k the
+    * emitted matrix equals batch q73 over the stream prefix EXACTLY
+    * (spec-pinned). Replayed batch ids re-emit without re-folding —
+    * double-merging an HLL sketch is harmless (union is idempotent)
+    * but the guard keeps the fold exactly-once by construction. */
+  def overlapHllForeachBatch(onMatrix: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    val state = scala.collection.mutable.Map.empty[String, Array[Byte]]
+    var lastBatch = -1L
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      if (batchId > lastBatch) {
+        val prev = state.toSeq.toDF("event_type", "sk")
+        val merged = batch
+          .groupBy("event_type").agg(hll_sketch_agg(col("user_id")).as("sk"))
+          .unionByName(prev)
+          .groupBy("event_type").agg(hll_union_agg(col("sk")).as("sk"))
+          .as[(String, Array[Byte])].collect()
+        state.clear()
+        merged.foreach { case (t, sk) => state(t) = sk }
+        lastBatch = batchId
+      }
+      val perType = state.toSeq.toDF("event_type", "sk")
+      onMatrix(graft.AnalyticsQueries.overlapFromTypeSketches(perType), batchId)
+    }
+  }
+
   /** Streaming anomaly flags — the streaming twin of q54's integer z²
     * test: per event type the state is three integers (n, Σx, Σx²) of
     * all PRIOR events, and each arriving event is tested prequentially

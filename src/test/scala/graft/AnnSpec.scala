@@ -182,6 +182,35 @@ class AnnSpec extends AnyFunSuite {
       assert(nid == qid - 1000000L, s"query $qid found $nid, not itself") }
   }
 
+  test("index maintenance: healthy audit is a no-op; a tripped floor rebuilds and recalibrates") {
+    import graft.sim.AnnIndex
+    val dir = java.nio.file.Files.createTempDirectory("ann_maint").toString
+    AnnIndex.build(emb, nCells = 23, seed = 42L, dir = dir, recall = 0.9)
+    val queries = emb.filter(col("id") < 8)
+    val probe0 = AnnIndex.probe(spark, dir, queries, k = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    // a freshly calibrated index passes its own stored target → no-op
+    val (r1, rebuilt1) = AnnIndex.maintain(spark, dir)
+    assert(!rebuilt1, s"healthy index rebuilt (recall $r1)")
+    assert(r1 >= 800000L, s"audit recall $r1 below calibration neighborhood")
+    val probe1 = AnnIndex.probe(spark, dir, queries, k = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(probe1 == probe0, "no-op maintenance changed probe results")
+    // an unattainable floor trips the decision: the audit value is the
+    // SAME measurement, and the action path refits + recalibrates
+    val (r2, rebuilt2) = AnnIndex.maintain(spark, dir, floorPpm = 1000001L)
+    assert(rebuilt2 && r2 == r1, s"forced pass: recall $r2 vs $r1, rebuilt $rebuilt2")
+    // rebuilt meta reflects the CURRENT corpus (√n cells, fresh probe
+    // calibration at the stored target), and the index still serves
+    val meta = spark.read.parquet(s"$dir/meta")
+      .select("recall_target", "n", "n_cells").as[(Double, Long, Int)].head()
+    val n = emb.withColumn("nrm", norm(col("vec"))).filter(col("nrm") > 0).count()
+    assert(meta._1 == 0.9 && meta._2 == n, s"meta $meta vs n=$n")
+    assert(meta._3 == math.max(2, math.ceil(math.sqrt(n.toDouble)).toInt))
+    val (r3, rebuilt3) = AnnIndex.maintain(spark, dir)
+    assert(!rebuilt3 && r3 >= 800000L, s"rebuilt index audit $r3")
+  }
+
   test("index compaction merges appended segments; probes are unchanged") {
     import graft.sim.AnnIndex
     val dir = java.nio.file.Files.createTempDirectory("ann_cmp").toString

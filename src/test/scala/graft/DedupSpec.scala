@@ -462,4 +462,71 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
     assert(r == Map(1L -> ((4L, 4L)), 2L -> ((5L, 3L)), 3L -> ((5L, 5L))), r.toString)
   }
+
+  test("near-dup index: persisted gate equals the in-memory gate; append extends history") {
+    import graft.dedup.NearDupIndex
+    import graft.streaming.EventStream
+    val docs = Tables.documents(spark, TestSpark.Sf).select("doc_id", "text")
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("nd_idx").toString
+    NearDupIndex.build(even, dir)
+
+    // the stored tables ARE the in-memory corpus frames
+    val (bands, sigs) = NearDupIndex.load(spark, dir)
+    val (wBands, wSigs) = EventStream.nearDupCorpus(even)
+    val gotSigs = sigs.as[(Long, Seq[Long])].collect().toMap
+    val wantSigs = wSigs.as[(Long, Seq[Long])].collect().toMap
+    assert(gotSigs == wantSigs, "persisted signatures differ")
+    val gotBands = bands.select(col("band").cast("int"), col("bh"), col("cid"))
+      .as[(Int, Long, Long)].collect().toSet
+    val wantBands = wBands.select(col("band").cast("int"), col("bh"), col("cid"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(gotBands == wantBands, "persisted band table differs")
+
+    // gate-from-index == gate-from-frames on a mixed probe batch
+    // (gate functions are plain (DataFrame, batchId) closures — no
+    // streaming machinery needed to compare their decisions)
+    val probe = docs.limit(60).withColumn("doc_id", col("doc_id") + 1000000L)
+    import org.apache.spark.sql.DataFrame
+    def admitted(g: ((DataFrame, Long) => Unit) => (DataFrame, Long) => Unit): Set[Long] = {
+      var out = Set.empty[Long]
+      g { (adm, _) => out = adm.select("doc_id").as[Long].collect().toSet }
+        .apply(probe, 0L)
+      out
+    }
+    val fromIndex = admitted(NearDupIndex.gate(spark, dir))
+    val fromFrames = admitted(
+      EventStream.nearDupGateForeachBatch(wBands.localCheckpoint(true),
+        wSigs.localCheckpoint(true)))
+    assert(fromIndex == fromFrames, s"index gate diverged: " +
+      s"extra=${fromIndex -- fromFrames} missing=${fromFrames -- fromIndex}")
+    // even-id replays must be among the rejections
+    val evenIds = even.select("doc_id").as[Long].collect().toSet
+    val replayedEven = probe.select("doc_id").as[Long].collect()
+      .filter(id => evenIds.contains(id - 1000000L)).toSet
+    assert(replayedEven.nonEmpty && (fromIndex & replayedEven).isEmpty,
+      "an even-id verbatim replay slipped through the gate")
+
+    // append the odd half: an odd verbatim replay is now rejected too
+    NearDupIndex.append(odd, dir)
+    val oddProbe = odd.limit(10).withColumn("doc_id", col("doc_id") + 2000000L)
+    val afterAppend = admitted(NearDupIndex.gate(spark, dir))
+    val r2 = {
+      var out = Set.empty[Long]
+      NearDupIndex.gate(spark, dir) { (adm, _) =>
+        out = adm.select("doc_id").as[Long].collect().toSet }
+        .apply(oddProbe, 1L)
+      out
+    }
+    assert(r2.isEmpty, s"odd replays admitted after append: $r2")
+    assert(afterAppend.subsetOf(fromIndex),
+      "appending history can only shrink the admitted set")
+
+    // compaction merges the append segments; gate decisions unchanged
+    val (rewritten, created) = NearDupIndex.compact(spark, dir)
+    assert(rewritten > 0 && created < rewritten, s"compact $rewritten -> $created")
+    assert(admitted(NearDupIndex.gate(spark, dir)) == afterAppend,
+      "compaction changed gate decisions")
+  }
 }

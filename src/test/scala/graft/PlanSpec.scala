@@ -456,4 +456,35 @@ class PlanSpec extends AnyFunSuite {
       || df.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
       "corpus totals must come back via broadcast")
   }
+
+  test("t28/t31 coverage windows run over the count-value histogram, partitioned by group") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    Seq("t28_source_coverage", "t31_lang_budget").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      // EVERY window must be partitioned (by source/lang over distinct
+      // count values) — the whole point of the histogram formulation is
+      // that no single-task whole-vocabulary window exists
+      df.queryExecution.optimizedPlan.foreach {
+        case w: LWindow =>
+          assert(w.partitionSpec.nonEmpty,
+            s"$q: unpartitioned window over the vocabulary:\n$w")
+        case _ => ()
+      }
+    }
+  }
+
+  test("q73 pairwise matrix is a broadcast product of the type-bounded sketch frame") {
+    val plan = SparkEntry.queries("q73_overlap_hll")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the T×T pair join must be the deliberate broadcast product of
+    // two aggregated (per-type) frames — never a shuffled join keyed
+    // on raw user rows, and never an unbroadcast cartesian
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    // sketches aggregate BEFORE pairing: exactly two scans of events
+    // (one per matrix side), each reduced by hll_sketch_agg partials
+    assert(plan.contains("hll_sketch_agg") || plan.contains("hll_union_agg"),
+      plan.take(1200))
+  }
 }

@@ -530,6 +530,100 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.values.exists(_._2 == 1L), "fixture must contain a leak")
   }
 
+  test("alpha-mix refresh: weights after each batch are bit-identical to batch t26 on the prefix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, TestSpark.Sf)
+      .select("doc_id", "lang").as[(Long, String)].collect().toSeq.sortBy(_._1)
+
+    // seeded with a prior histogram: the stream must fold ON TOP of it
+    val seed = Map("en" -> 100L, "xx" -> 7L)
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[(String, Long, Long, Long)])]
+    val sink = EventStream.alphaMixForeachBatch(seed) { (w, id) =>
+      emitted += ((id, w.as[(String, Long, Long, Long)].collect().toSeq))
+    }
+    val input = MemoryStream[(Long, String)]
+    val query = input.toDF().toDF("doc_id", "lang")
+      .writeStream.foreachBatch(sink).outputMode("append").start()
+    val batches = docs.grouped(200).toSeq
+    try {
+      batches.foreach { b => input.addData(b: _*); query.processAllAvailable() }
+    } finally query.stop()
+    assert(emitted.size == batches.size)
+
+    // reference: t26's exact Spark expression over (seed + prefix)
+    def expect(prefix: Seq[(Long, String)]): Seq[(String, Long, Long, Long)] = {
+      val l = prefix.map(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val all = (seed.keySet ++ l.keySet).toSeq.sorted
+        .map(k => k -> (seed.getOrElse(k, 0L) + l.getOrElse(k, 0L)))
+      val roots = all.map { case (_, n) =>
+        math.floor(math.sqrt((n * 1000000L).toDouble)).toLong }
+      val (ntot, stot) = (all.map(_._2).sum, roots.sum)
+      all.zip(roots).map { case ((k, n), s) =>
+        (k, n, (n * 1000000L * 2 + ntot) / (2 * ntot),
+          (s * 1000000L * 2 + stot) / (2 * stot)) }
+    }
+    var prefix = Seq.empty[(Long, String)]
+    batches.zipWithIndex.foreach { case (b, i) =>
+      prefix = prefix ++ b
+      assert(emitted(i)._2 == expect(prefix),
+        s"batch $i: ${emitted(i)._2} vs ${expect(prefix)}")
+    }
+    // the final refresh must agree with batch t26's q_alpha_ppm run on
+    // the full table when the seed is empty — same integer kernel
+    val noSeedSink = EventStream.alphaMixForeachBatch() { (w, _) =>
+      val got = w.as[(String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      val want = TrainingDataQueries.t26AlphaMix(spark, TestSpark.Sf)
+        .as[(String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      assert(got == want, s"stream $got vs batch t26 $want")
+    }
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = input2.toDF().toDF("doc_id", "lang")
+      .writeStream.foreachBatch(noSeedSink).outputMode("append").start()
+    try { input2.addData(docs: _*); q2.processAllAvailable() } finally q2.stop()
+  }
+
+  test("overlap refresh: matrix after each batch equals batch q73 on the prefix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.events(spark, TestSpark.Sf)
+      .select("event_type", "user_id").as[(String, Long)].collect().toSeq
+
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[(String, String, Long, Long, Long, Long, Long)])]
+    val sink = EventStream.overlapHllForeachBatch { (m, id) =>
+      emitted += ((id,
+        m.as[(String, String, Long, Long, Long, Long, Long)].collect().toSeq))
+    }
+    val input = MemoryStream[(String, Long)]
+    val query = input.toDF().toDF("event_type", "user_id")
+      .writeStream.foreachBatch(sink).outputMode("append").start()
+    val batches = ev.grouped(ev.size / 3 + 1).toSeq
+    try {
+      batches.foreach { b => input.addData(b: _*); query.processAllAvailable() }
+    } finally query.stop()
+    assert(emitted.size == batches.size)
+
+    // per-batch parity: the same sketch kernel over the prefix frame
+    var prefix = Seq.empty[(String, Long)]
+    batches.zipWithIndex.foreach { case (b, i) =>
+      prefix = prefix ++ b
+      val want = AnalyticsQueries.overlapFromTypeSketches(
+        prefix.toDF("event_type", "user_id")
+          .groupBy("event_type").agg(hll_sketch_agg(col("user_id")).as("sk")))
+        .as[(String, String, Long, Long, Long, Long, Long)].collect().toSeq
+      assert(emitted(i)._2 == want, s"batch $i diverged")
+    }
+    // end-state parity with the ORACLE-REGISTERED q73 (which unions
+    // per-day sketches — the q71 lossless-union identity makes the
+    // differently-batched registers estimate-identical)
+    val q73 = AnalyticsQueries.q73OverlapHll(spark, TestSpark.Sf)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(emitted.last._2 == q73, "final stream matrix != batch q73")
+    assert(q73.nonEmpty)
+  }
+
   test("near-dup gate: input columns named sig/text_norm/band/bh pass through untouched") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -366,6 +366,52 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("t29 gopher rules match a local regex recomputation; flags derive from raw integers") {
+    val got = TrainingDataQueries.t29GopherRules(spark, TestSpark.Sf)
+      .select("doc_id", "n_words", "n_word_chars", "n_alpha_words",
+        "n_symbols", "n_stop_types", "gopher_pass")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    val texts = Tables.documents(spark, TestSpark.Sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got.length == texts.size)
+    val stops = Seq("the", "a", "of", "in")
+    got.foreach { case (id, w, chars, alpha, sym, st, pass) =>
+      val lo = texts(id).toLowerCase
+      assert(w == "[a-z0-9]+".r.findAllIn(lo).length, s"doc $id words")
+      assert(chars == lo.count(c => c.isDigit || (c >= 'a' && c <= 'z')), s"doc $id chars")
+      assert(alpha == "[a-z0-9]*[a-z][a-z0-9]*".r.findAllIn(lo).length, s"doc $id alpha")
+      assert(sym == """[#@%&$*]|\.\.\.""".r.findAllIn(texts(id)).length, s"doc $id sym")
+      assert(st == stops.count(s => s"\\b$s\\b".r.findFirstIn(lo).nonEmpty), s"doc $id stops")
+      val want = if (w >= 50 && w <= 100000 && chars >= 3 * w && chars <= 10 * w &&
+        10 * sym <= w && 5 * alpha >= 4 * w && st >= 2) 1L else 0L
+      assert(pass == want, s"doc $id pass $pass vs $want")
+    }
+    // the suite must separate the corpus, not rubber-stamp it
+    val passes = got.count(_._7 == 1L)
+    assert(passes > 0 && passes < got.length, s"pass=$passes/${got.length}")
+  }
+
+  test("t30 class balance: shares sum to ~1e6, simpson sits in [1000, 1000k], exact vs local") {
+    val got = TrainingDataQueries.t30ClassBalance(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val counts = Tables.embeddings(spark, TestSpark.Sf)
+      .groupBy("label").count().as[(Int, Long)].collect().toMap
+    assert(got.length == counts.size)
+    val ntot = counts.values.sum
+    val sq = counts.values.map(n => n * n).sum
+    val k = counts.size.toLong
+    got.foreach { case (label, n, share, dev, nLabels, simpson) =>
+      assert(n == counts(label.toInt), s"label $label count")
+      assert(share == (n * 1000000L * 2 + ntot) / (2 * ntot))
+      assert(dev == share - (1000000L * 2 + k) / (2 * k))
+      assert(nLabels == k)
+      assert(simpson == (ntot * ntot * 1000L * 2 + sq) / (2 * sq))
+      assert(simpson >= 1000L && simpson <= 1000L * k, s"simpson $simpson")
+    }
+    val shareSum = got.map(_._3).sum
+    assert(math.abs(shareSum - 1000000L) <= k, s"shares sum to $shareSum")
+  }
+
   test("t28 per-source coverage matches a local rank-walk on every source") {
     val got = TrainingDataQueries.t28SourceCoverage(spark, TestSpark.Sf)
       .select("source", "p50_vocab", "p90_vocab", "p95_vocab", "p99_vocab",
