@@ -343,6 +343,89 @@ object LlmQueries {
        |         - (SELECT CAST(SUM(n_kept) AS BIGINT) FROM k3)
        |ORDER BY stage""".stripMargin
 
+  /** #188 (d30): per-SOURCE dedup savings — d29's stage ledger broken
+    * out by ingest feed, the attribution view a corpus owner prices
+    * feeds with: which source's documents are the duplicate mass
+    * (crawl-B mirroring crawl-A shows up as crawl-B's tokens dying in
+    * stage 2, not crawl-A's — a dropped doc always bills ITS OWN
+    * source). Same three pipeline stages and the same normalized-token
+    * currency as d29; every stage row is two map-side-combinable
+    * per-source aggregates left-joined on the configuration-scale
+    * source key (left + coalesce-0 so a feed that dies entirely at a
+    * stage still reports, rather than vanishing from the ledger).
+    * Re-reads the staged cluster table and d23's span frame — no pair
+    * re-verification. Integer-exact, fully oracled (the oracle
+    * recomputes d06 + d23 inline). */
+  def d30SavingsBySource: Q = (spark, dir) => {
+    val tok = normedDocs(spark, dir)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
+        size(split(col("text_norm"), " ")).cast("long").as("n_tok"))
+    val k1 = tok
+      .withColumn("keep",
+        col("doc_id") === min("doc_id").over(Window.partitionBy("h")))
+      .filter(col("keep")).select("doc_id", "source", "n_tok")
+    val dropped2 = clusters(spark, dir)
+      .filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
+    val k2 = k1.join(dropped2, Seq("doc_id"), "left_anti")
+    val k3 = k2.join(
+      d23DupSpanRemoval(spark, dir).select("doc_id", "n_kept"), Seq("doc_id"))
+    def tally(df: DataFrame, docs: String, toks: String, tokCol: String): DataFrame =
+      df.groupBy("source").agg(count(lit(1)).as(docs), sum(tokCol).as(toks))
+    def stage(name: String, in: DataFrame, out: DataFrame,
+              outTok: String = "n_tok"): DataFrame =
+      tally(in, "n_docs_in", "tokens_in", "n_tok")
+        .join(tally(out, "n_docs_out", "tokens_out", outTok), Seq("source"), "left")
+        .select(lit(name).as("stage"), col("source"),
+          col("n_docs_in"),
+          coalesce(col("n_docs_out"), lit(0L)).as("n_docs_out"),
+          col("tokens_in"),
+          coalesce(col("tokens_out"), lit(0L)).as("tokens_out"),
+          (col("tokens_in") - coalesce(col("tokens_out"), lit(0L))).as("saved_tokens"))
+    stage("1_exact", tok, k1)
+      .unionByName(stage("2_neardup_cluster", k1, k2))
+      .unionByName(stage("3_dup_spans", k2, k3, outTok = "n_kept"))
+      .orderBy("stage", "source")
+  }
+
+  // lazy for the same reason as d28Sql/d29Sql: embeds d06Sql + d23Sql
+  lazy val d30Sql: String =
+    s"""WITH c AS ($d06Sql),
+       |sp AS ($d23Sql),
+       |tk AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split(regexp_replace(regexp_replace(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]*(feat\\.|featuring|ft\\.|&|and)[ \\t\\n\\x0b\\f\\r]*', ';', 'g'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |k1 AS (
+       |  SELECT tk.doc_id, tk.source, tk.n_tok FROM tk
+       |  WHERE tk.doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))),
+       |k2 AS (
+       |  SELECT k1.doc_id, k1.source, k1.n_tok FROM k1
+       |  WHERE k1.doc_id NOT IN (SELECT id FROM c WHERE id <> comp)),
+       |k3 AS (
+       |  SELECT k2.doc_id, k2.source, sp.n_kept FROM k2 JOIN sp ON k2.doc_id = sp.doc_id),
+       |a1 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS toks FROM tk GROUP BY 1),
+       |b1 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS toks FROM k1 GROUP BY 1),
+       |b2 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS toks FROM k2 GROUP BY 1),
+       |b3 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_kept) AS BIGINT) AS toks FROM k3 GROUP BY 1)
+       |SELECT '1_exact' AS stage, a1.source,
+       |       a1.n_docs AS n_docs_in, CAST(COALESCE(b1.n_docs, 0) AS BIGINT) AS n_docs_out,
+       |       a1.toks AS tokens_in, CAST(COALESCE(b1.toks, 0) AS BIGINT) AS tokens_out,
+       |       a1.toks - CAST(COALESCE(b1.toks, 0) AS BIGINT) AS saved_tokens
+       |FROM a1 LEFT JOIN b1 USING (source)
+       |UNION ALL
+       |SELECT '2_neardup_cluster', b1.source,
+       |       b1.n_docs, CAST(COALESCE(b2.n_docs, 0) AS BIGINT),
+       |       b1.toks, CAST(COALESCE(b2.toks, 0) AS BIGINT),
+       |       b1.toks - CAST(COALESCE(b2.toks, 0) AS BIGINT)
+       |FROM b1 LEFT JOIN b2 USING (source)
+       |UNION ALL
+       |SELECT '3_dup_spans', b2.source,
+       |       b2.n_docs, CAST(COALESCE(b3.n_docs, 0) AS BIGINT),
+       |       b2.toks, CAST(COALESCE(b3.toks, 0) AS BIGINT),
+       |       b2.toks - CAST(COALESCE(b3.toks, 0) AS BIGINT)
+       |FROM b2 LEFT JOIN b3 USING (source)
+       |ORDER BY stage, source""".stripMargin
+
   /** #161 (d26): incremental cluster maintenance — fold a NEW ingest
     * batch into an EXISTING near-dup cluster table without re-running
     * the old corpus's pair verification or re-clustering it from
@@ -1889,6 +1972,7 @@ object LlmQueries {
     "d06_dedup_clusters" -> d06DedupClusters,
     "d28_dedup_savings" -> d28DedupSavings,
     "d29_stage_savings" -> d29StageSavings,
+    "d30_savings_by_source" -> d30SavingsBySource,
     "d26_incremental_clusters" -> d26IncrementalClusters,
     "d07_embed_neardup_lsh" -> d07EmbedNearDupLsh,
     "d13_semdedup" -> d13SemDedup,
@@ -1940,6 +2024,7 @@ object LlmQueries {
     "d06_dedup_clusters" -> d06Sql,
     "d28_dedup_savings" -> d28Sql,
     "d29_stage_savings" -> d29Sql,
+    "d30_savings_by_source" -> d30Sql,
     // incremental ≡ full: the oracle IS the from-scratch d06 SQL
     "d26_incremental_clusters" -> d06Sql,
     "s01_ann_bruteforce" -> s01Sql,

@@ -217,6 +217,49 @@ object ScaleQueries {
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
 
+  /** #187 (q74): day-ranged top-k from persisted SpaceSaving artifacts
+    * — the q34 consumer a log warehouse actually runs: ONE distributed
+    * job folds each ingest day's events into that day's sketch
+    * ([[graft.sources.SketchStore.saveTopKGrouped]], buffers stored
+    * partitioned by day), and any later "top event types over days
+    * X–Y" question is answered by merging the RANGE'S kilobyte buffers
+    * under partition pruning — never a history re-scan, and adding
+    * day N+1 never touches days 1..N. Oracle-exact by the q34 trick:
+    * capacity 64 ≫ the event-type domain means zero evictions, so
+    * every merged count is the true count and the report equals the
+    * exact grouped top-k over each range (at an unbounded item domain
+    * the same artifacts keep the summed Σn/capacity bound —
+    * spec-pinned in PropertySpec). At 100 TB: per-day build cost is
+    * one map-side-combined shuffle of sketch buffers; per-question
+    * cost is |days|·capacity rows. */
+  def q74TopkDayRange: Q = (spark, dir) => {
+    import graft.sources.SketchStore
+    val art = StageRoots.rootFor(dir) + "/topk_byday"
+    SketchStore.saveTopKGrouped(
+      Tables.events(spark, dir),
+      date_format(col("ts"), "yyyy-MM-dd"), col("event_type"),
+      capacity = 64, dir = art)
+    def range(label: String, pred: org.apache.spark.sql.Column): Seq[(String, String, Long)] =
+      SketchStore.mergeTopKGroups(spark, art, k = 3, pred)
+        .map { case (item, n) => (label, item, n) }
+    import spark.implicits._
+    (range("d01_10", col("grp") <= "2024-01-10") ++
+     range("d11_30", col("grp") >= "2024-01-11"))
+      .toDF("day_range", "event_type", "n")
+      .orderBy(col("day_range"), col("n").desc, col("event_type"))
+  }
+
+  val q74Sql: String =
+    """WITH d AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+      |r1 AS (SELECT 'd01_10' AS day_range, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      |       FROM d WHERE day <= DATE '2024-01-10'
+      |       GROUP BY 2 ORDER BY n DESC, event_type LIMIT 3),
+      |r2 AS (SELECT 'd11_30' AS day_range, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      |       FROM d WHERE day >= DATE '2024-01-11'
+      |       GROUP BY 2 ORDER BY n DESC, event_type LIMIT 3)
+      |SELECT * FROM r1 UNION ALL SELECT * FROM r2
+      |ORDER BY day_range, n DESC, event_type""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q34_heavy_hitters" -> q34HeavyHitters,
     "q35_salted_join" -> q35SaltedJoin,
@@ -224,9 +267,11 @@ object ScaleQueries {
     "q43_incremental_agg" -> q43IncrementalAgg,
     "q45_bloom_prejoin" -> q45BloomPrejoin,
     "q47_zorder" -> q47ZOrder,
-    "q64_global_seq" -> q64GlobalSeq)
+    "q64_global_seq" -> q64GlobalSeq,
+    "q74_topk_day_range" -> q74TopkDayRange)
 
   val oracles: Seq[(String, String)] = Seq(
+    "q74_topk_day_range" -> q74Sql,
     "q34_heavy_hitters" -> q34Sql,
     "q35_salted_join" -> q35Sql,
     "q36_bucketed_join" -> q36Sql,

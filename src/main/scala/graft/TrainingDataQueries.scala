@@ -1133,9 +1133,16 @@ object TrainingDataQueries {
     * a broadcast 1-row total — no scale surface at all; at 100 TB the
     * lang histogram is still a handful of rows. Emits raw p_ppm beside
     * q_alpha_ppm so the report shows what the temperature bought. */
-  def t26AlphaMix: Q = (spark, dir) => {
-    val l = Tables.documents(spark, dir)
-      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+  def t26AlphaMix: Q = (spark, dir) =>
+    alphaMixFromLangCounts(
+      Tables.documents(spark, dir)
+        .groupBy("lang").agg(count(lit(1)).as("n_docs")))
+
+  /** The t26 kernel over a prepared (lang, n_docs) frame — reused by
+    * the streaming budget service, which maintains the counts as
+    * state instead of scanning a corpus. */
+  private[graft] def alphaMixFromLangCounts(langCounts: DataFrame): DataFrame = {
+    val l = langCounts
       .withColumn("s", floor(sqrt(col("n_docs") * 1000000L)).cast(LongType))
     val tot = l.agg(sum("n_docs").as("ntot"), sum("s").as("stot"))
     l.crossJoin(broadcast(tot))
@@ -1233,11 +1240,22 @@ object TrainingDataQueries {
   /** The t28 kernel parameterized by the grouping column — reused by
     * t31's per-language budget frame. */
   private[graft] def coverageByGroup(spark: SparkSession, dir: String,
-                                     group: String): DataFrame = {
-    val hist = LlmQueries.normedDocs(spark, dir)
-      .select(col(group), explode(split(col("text_norm"), " ")).as("token"))
-      .filter(length(col("token")) > 0)
-      .groupBy(group, "token").agg(count(lit(1)).as("n"))
+                                     group: String): DataFrame =
+    coverageFromTokenCounts(
+      LlmQueries.normedDocs(spark, dir)
+        .select(col(group), explode(split(col("text_norm"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(group, "token").agg(count(lit(1)).as("n")),
+      group)
+
+  /** The coverage kernel over a prepared (group, token, n) count frame
+    * — reused by the streaming budget service, whose state IS that
+    * frame (per-batch count increments merge losslessly, so the
+    * kernel over merged state is bit-identical to the kernel over a
+    * full-corpus scan). */
+  private[graft] def coverageFromTokenCounts(counts: DataFrame,
+                                             group: String): DataFrame = {
+    val hist = counts
       .groupBy(group, "n").agg(count(lit(1)).as("n_types"))
       .withColumn("block_tokens", col("n") * col("n_types"))
     val w = Window.partitionBy(group).orderBy(col("n").desc)

@@ -171,6 +171,63 @@ object SketchStore {
     hh.finish(merged)
   }
 
+  /** Grouped variant of [[saveTopK]]: ONE distributed job builds a
+    * SpaceSaving sketch per group (ingest day, source, …) and stores
+    * all buffers as rows partitioned by group — the artifact layout a
+    * day-ranged top-k consumer wants: any contiguous (or arbitrary)
+    * set of days is answered by partition-pruned reads of those days'
+    * kilobyte buffers, never a history re-scan, and never one driver
+    * loop per day (N days is still one shuffle). Buffers are kept at
+    * FULL capacity (see [[saveTopK]]); n per group is implicit — in
+    * SpaceSaving every arrival increments exactly one counter (an
+    * eviction inherits min+1 from a min-count counter it replaces),
+    * so Σcnt per group IS that group's item count. */
+  def saveTopKGrouped(items: DataFrame, groupCol: Column, itemCol: Column,
+                      capacity: Int, dir: String): Unit = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val hh = new graft.functions.HeavyHitters(capacity, capacity)
+    items
+      .select(groupCol.cast(org.apache.spark.sql.types.StringType).as("grp"),
+        itemCol.cast(org.apache.spark.sql.types.StringType).as("item"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(hh.toColumn.name("counters"))
+      .flatMap { case (g, counters) =>
+        counters.map { case (it, c) => (g, it, c) } }
+      .toDF("grp", "item", "cnt")
+      .withColumn("capacity", lit(capacity))
+      .write.mode("overwrite").partitionBy("grp").parquet(dir)
+  }
+
+  /** Merge the stored buffers of every group matching `groupPred` and
+    * report the top k — [[mergeTopK]] across a partition-pruned group
+    * range. Groups fold in sorted-group order so the result is
+    * deterministic even in the eviction regime (SpaceSaving merge is
+    * order-sensitive only once evictions start; in the
+    * capacity ≫ domain regime any order gives the exact counts, which
+    * is what the q74 oracle pins). Same summed bound as [[mergeTopK]]:
+    * counts overestimate by ≤ Σn/capacity over the merged groups. */
+  def mergeTopKGroups(spark: SparkSession, dir: String, k: Int,
+                      groupPred: Column): Seq[(String, Long)] = {
+    import spark.implicits._
+    val rows = spark.read.parquet(dir)
+      .filter(groupPred)
+      .select(col("grp").cast(org.apache.spark.sql.types.StringType),
+        col("item"), col("cnt"), col("capacity"))
+      .as[(String, String, Long, Int)].collect()
+    require(rows.nonEmpty, "no top-k artifact groups match the range")
+    val caps = rows.map(_._4).toSet
+    require(caps.size == 1,
+      s"incompatible top-k sketches: capacities $caps — merged bounds only hold at one capacity")
+    val hh = new graft.functions.HeavyHitters(caps.head, k)
+    val perGroup = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, rs) =>
+      scala.collection.mutable.Map(rs.map(r => r._2 -> r._3): _*)
+    }
+    hh.finish(perGroup.reduce(hh.merge))
+  }
+
   // ── Artifact consumers (no-rescan analytics) ─────────────────────
 
   /** q57's winsorization report computed ENTIRELY from a stored value

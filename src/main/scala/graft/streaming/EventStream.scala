@@ -365,6 +365,61 @@ object EventStream {
     }
   }
 
+  /** Streaming language-budget service (#190) — t31's streaming twin:
+    * serve the per-language budget frame (t26 α-weights ⨯ t28-kernel
+    * coverage points) continuously as documents stream in. Two pieces
+    * of state, each matched to its scale: the (lang → n_docs)
+    * histogram is configuration-scale and driver-held (the
+    * alphaMix twin's contract); the (lang, token) → n count table is
+    * VOCABULARY-scale, so it lives as versioned parquet under
+    * `stateDir` — each batch reads state v(k−1), merges its own
+    * per-batch counts by plain addition, and writes v(k) (never a
+    * read-then-overwrite of the same files; a vacuum of old versions
+    * is the deployment's retention policy). Count increments merge
+    * losslessly, so after batch k the emitted frame equals batch t31
+    * over the stream prefix BIT-IDENTICALLY (spec-pinned) — the same
+    * changelog-compaction shape a Kafka-Streams state store uses, with
+    * the merge cost O(state + batch) per batch, never a prefix
+    * re-scan of the documents themselves. Replayed batch ids re-emit
+    * from current state without re-folding. */
+  def langBudgetForeachBatch(stateDir: String)(
+      onBudget: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    val langCounts = scala.collection.mutable.Map.empty[String, Long]
+    var tokDir: Option[String] = None
+    var lastBatch = -1L
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      if (batchId > lastBatch) {
+        batch.groupBy("lang").agg(count(lit(1)).as("__graft_n"))
+          .as[(String, Long)].collect()
+          .foreach { case (l, n) => langCounts(l) = langCounts.getOrElse(l, 0L) + n }
+        val batchTok = batch
+          .withColumn("__graft_norm", graft.etl.TextNorm.normalizeText(col("text")))
+          .select(col("lang"), explode(split(col("__graft_norm"), " ")).as("token"))
+          .filter(length(col("token")) > 0)
+          .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+        val merged = tokDir match {
+          case Some(d) => spark.read.parquet(d).unionByName(batchTok)
+            .groupBy("lang", "token").agg(sum("n").as("n"))
+          case None => batchTok
+        }
+        val next = s"$stateDir/v$batchId"
+        merged.write.mode("overwrite").parquet(next)
+        tokDir = Some(next)
+        lastBatch = batchId
+      }
+      val cov = graft.TrainingDataQueries.coverageFromTokenCounts(
+        spark.read.parquet(tokDir.get), "lang")
+      val out = graft.TrainingDataQueries
+        .alphaMixFromLangCounts(langCounts.toSeq.toDF("lang", "n_docs"))
+        .join(cov.select("lang", "p50_vocab", "p90_vocab", "p99_vocab",
+          "vocab_total", "tokens_total"), Seq("lang"))
+        .orderBy("lang")
+      onBudget(out, batchId)
+    }
+  }
+
   /** Streaming audience-overlap refresh (#185) — q73's streaming twin:
     * serve the estimated distinct-user overlap matrix continuously as
     * events arrive. State = ONE HLL register set per event type

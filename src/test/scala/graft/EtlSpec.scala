@@ -271,6 +271,41 @@ class EtlSpec extends AnyFunSuite {
     assert(got == want, s"got $got\nwant $want")
   }
 
+  test("SavingsLedger: per-label idempotent append, trend deltas vs previous run") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ledger").toString
+    def frame(saved: Long) = Seq(
+      ("1_exact", 10L, 8L, 100L, 80L, saved),
+      ("2_neardup_cluster", 8L, 6L, 80L, 60L, saved + 5L))
+      .toDF("stage", "n_docs_in", "n_docs_out", "tokens_in", "tokens_out",
+        "saved_tokens")
+    SavingsLedger.append(frame(20L), dir, "2026-08-01")
+    SavingsLedger.append(frame(26L), dir, "2026-08-02")
+    val t = SavingsLedger.trend(spark, dir, Seq("stage"))
+      .select("run_label", "stage", "saved_tokens", "delta_saved_tokens")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(t.toSeq == Seq(
+      ("2026-08-01", "1_exact", 20L, None),
+      ("2026-08-01", "2_neardup_cluster", 25L, None),
+      ("2026-08-02", "1_exact", 26L, Some(6L)),
+      ("2026-08-02", "2_neardup_cluster", 31L, Some(6L))))
+    // re-running a night replaces exactly that night's rows: same row
+    // count, updated values, other nights untouched
+    SavingsLedger.append(frame(30L), dir, "2026-08-02")
+    val after = SavingsLedger.read(spark, dir)
+    assert(after.count() == 4L)
+    assert(after.filter($"run_label" === "2026-08-02" && $"stage" === "1_exact")
+      .select("saved_tokens").as[Long].head() == 30L)
+    assert(after.filter($"run_label" === "2026-08-01" && $"stage" === "1_exact")
+      .select("saved_tokens").as[Long].head() == 20L)
+    // a frame already carrying run_label is a caller bug, not a silent
+    // double-label
+    intercept[IllegalArgumentException] {
+      SavingsLedger.append(
+        frame(1L).withColumn("run_label", lit("x")), dir, "2026-08-03")
+    }
+  }
+
   test("GlobalOrder without a value column assigns a contiguous 1..n sequence") {
     val df = (1L to 100L).map(i => (i * 31 % 97, i)).toDF("k", "t")
     val seqs = GlobalOrder.withGlobalSeq(df, "k", Seq("t"))

@@ -584,6 +584,55 @@ class StreamingSpec extends AnyFunSuite {
     try { input2.addData(docs: _*); q2.processAllAvailable() } finally q2.stop()
   }
 
+  test("lang-budget service: frame after each batch equals batch t31 on the prefix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStream
+    val docs = Tables.documents(spark, TestSpark.Sf)
+      .select("doc_id", "text", "lang")
+      .as[(Long, String, String)].collect().toSeq
+
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_budget").toString
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[(String, Long, Long, Long, Long, Long, Long, Long, Long)])]
+    val sink = EventStream.langBudgetForeachBatch(stateDir) { (b, id) =>
+      emitted += ((id, b.as[(String, Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq))
+    }
+    val input = MemoryStream[(Long, String, String)]
+    val query = input.toDF().toDF("doc_id", "text", "lang")
+      .writeStream.foreachBatch(sink).outputMode("append").start()
+    val batches = docs.grouped(docs.size / 3 + 1).toSeq
+    try {
+      batches.foreach { b => input.addData(b: _*); query.processAllAvailable() }
+    } finally query.stop()
+    assert(emitted.size == batches.size)
+
+    // per-batch parity: the merged parquet state must reproduce a full
+    // recompute of both kernels over the prefix (state folding is
+    // lossless count addition)
+    var prefix = Seq.empty[(Long, String, String)]
+    batches.zipWithIndex.foreach { case (b, i) =>
+      prefix = prefix ++ b
+      val df = prefix.toDF("doc_id", "text", "lang")
+      val counts = df
+        .withColumn("text_norm", graft.etl.TextNorm.normalizeText(col("text")))
+        .select(col("lang"), explode(split(col("text_norm"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+      val want = TrainingDataQueries
+        .alphaMixFromLangCounts(df.groupBy("lang").agg(count(lit(1)).as("n_docs")))
+        .join(TrainingDataQueries.coverageFromTokenCounts(counts, "lang")
+          .select("lang", "p50_vocab", "p90_vocab", "p99_vocab",
+            "vocab_total", "tokens_total"), Seq("lang"))
+        .orderBy("lang").as[(String, Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+      assert(emitted(i)._2 == want, s"batch $i diverged from prefix recompute")
+    }
+    // end state: bit-identical to the oracled batch t31 on the full table
+    val wantFull = TrainingDataQueries.t31LangBudget(spark, TestSpark.Sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(emitted.last._2 == wantFull, "final frame != batch t31")
+  }
+
   test("overlap refresh: matrix after each batch equals batch q73 on the prefix") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
