@@ -1451,6 +1451,37 @@ object AnalyticsQueries {
       |         AS tv_milli
       |FROM t GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** #191 (q75): drift between day ranges from persisted histograms —
+    * q58's audit served from per-day artifacts: ONE job reduces events
+    * to a (day, event_type, bucket) → count histogram stored
+    * partitioned by day ([[graft.sources.SketchStore.saveHistogram]]);
+    * any ref-vs-current window question then merges the two ranges'
+    * kilobyte artifacts by count addition (partition-pruned reads) and
+    * runs the integer TV kernel
+    * ([[graft.sources.SketchStore.tvDriftFromHistograms]]). At 100 TB,
+    * "compare this week against the January baseline" re-reads
+    * megabytes of histograms, not either window's events — and adding
+    * a day appends one artifact partition. Oracled against q58's OWN
+    * full-scan SQL: identical windows ⇒ identical rows, the identity
+    * that proves the artifact path loses nothing. */
+  def q75DriftFromArtifacts: Q = (spark, dir) => {
+    import graft.sources.SketchStore
+    val art = StageRoots.rootFor(dir) + "/drift_hists"
+    val ev = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("event_type"),
+        least(lit(9L), expr(
+          "cast(round(value * 100, 0) as bigint) div 5000")).as("bucket"))
+    SketchStore.saveHistogram(ev, Seq("day", "event_type"), col("bucket"), 0,
+      art, partitionCols = Seq("day"))
+    def window(pred: org.apache.spark.sql.Column): DataFrame =
+      spark.read.parquet(art).filter(pred)
+        .groupBy("event_type", "v").agg(sum("cnt").as("cnt"))
+    SketchStore.tvDriftFromHistograms(
+        window(col("day") <= "2024-01-15"), window(col("day") >= "2024-01-16"),
+        Seq("event_type"))
+      .orderBy("event_type")
+  }
+
   /** #123 (q59): session transition mining — the Markov view of user
     * behavior: within each q20-rule session (30-min gap), count
     * adjacent event-type transitions x→y across all sessions, keeping
@@ -1842,6 +1873,7 @@ object AnalyticsQueries {
     "q56_gap_fill" -> q56GapFill,
     "q57_winsorize" -> q57Winsorize,
     "q58_drift" -> q58Drift,
+    "q75_drift_from_artifacts" -> q75DriftFromArtifacts,
     "q59_transitions" -> q59Transitions,
     "q60_dq_checks" -> q60DqChecks,
     "q61_trend_slope" -> q61TrendSlope,
@@ -1886,6 +1918,7 @@ object AnalyticsQueries {
     "q56_gap_fill" -> q56Sql,
     "q57_winsorize" -> q57Sql,
     "q58_drift" -> q58Sql,
+    "q75_drift_from_artifacts" -> q58Sql,
     "q59_transitions" -> q59Sql,
     "q60_dq_checks" -> q60Sql,
     "q61_trend_slope" -> q61Sql,

@@ -101,6 +101,73 @@ object LlmQueries {
       .orderBy("test_id", "train_id")
   }
 
+  /** #193 (d31): near-dup gate QUALITY audit — the s14 idea applied to
+    * the LSH admission gate (#159/#186): the gate rejects on an
+    * ESTIMATED jaccard (signature agreement ≥ 0.7·k through band
+    * collisions), so its decisions drift from the exact rule two ways
+    * — banding misses a candidate (lost recall) or the estimate flips
+    * a near-threshold pair (either direction). This measures both
+    * against ground truth in one confusion row: per batch doc
+    * (odd ids; even ids play the corpus, the #159 fixture), the
+    * gate's decision vs "∃ corpus doc with EXACT jaccard ≥ 0.7"
+    * (lossless prefix-filtered [[graft.dedup.SetSimJoin]] — the
+    * auditor must not share the gate's failure modes). Reports
+    * true/false rejects, missed dups, and integer-ppm
+    * precision/recall of the reject decision — the nightly number
+    * that tells an ingest owner when to re-tune (k, nBands). At
+    * 100 TB the exact side prices like d04 (candidate-linear), which
+    * is why it is an AUDIT run on a slice/cadence, not the gate
+    * itself. Rows-only (minhash inside); DedupSpec pins the
+    * confusion-count invariants and a measured recall floor. */
+  def d31GateAudit: Q = (spark, dir) => {
+    val sigs = shingled(spark, dir)
+      .select(col("doc_id"),
+        MinHash.signature(col("sh"), MinHashK, MinHashSeed).as("sig"))
+      .repartition(col("doc_id"))
+    val bands = sigs.select(col("doc_id"),
+      posexplode(MinHash.bandHashes(col("sig"), MinHashBands, MinHashK))
+        .as(Seq("band", "bh")))
+    val corpusB = bands.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("cid"), col("band"), col("bh"))
+    val batchB = bands.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id").as("bid"), col("band"), col("bh"))
+    val cand = corpusB.join(batchB, Seq("band", "bh"))
+      .select("bid", "cid").distinct()
+    val rejected = cand
+      .join(sigs.select(col("doc_id").as("bid"), col("sig").as("bsig")), "bid")
+      .join(sigs.select(col("doc_id").as("cid"), col("sig").as("csig")), "cid")
+      .withColumn("m", MinHash.sigMatches(col("bsig"), col("csig")))
+      .filter(col("m") * 10 >= MinHashK * 7)
+      .select("bid").distinct().withColumn("rej", lit(1L))
+    val trueDup = SetSimJoin
+      .jaccardSelfJoin(shingleSets(spark, dir), "doc_id", "s",
+        tauNum = 7, tauDen = 10)
+      .filter((col("id1") % 2) =!= (col("id2") % 2))
+      .select(when(col("id1") % 2 === 1, col("id1")).otherwise(col("id2"))
+        .as("bid"))
+      .distinct().withColumn("dup", lit(1L))
+    Tables.documents(spark, dir).filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id").as("bid"))
+      .join(rejected, Seq("bid"), "left")
+      .join(trueDup, Seq("bid"), "left")
+      .agg(
+        count(lit(1)).as("n_batch"),
+        sum(coalesce(col("rej"), lit(0L))).as("n_rejected"),
+        sum(coalesce(col("dup"), lit(0L))).as("n_true_dup"),
+        sum(when(col("rej") === 1L && col("dup") === 1L, 1L).otherwise(0L))
+          .as("true_rejects"),
+        sum(when(col("rej") === 1L && col("dup").isNull, 1L).otherwise(0L))
+          .as("false_rejects"),
+        sum(when(col("rej").isNull && col("dup") === 1L, 1L).otherwise(0L))
+          .as("missed_dups"))
+      .withColumn("precision_ppm", expr(
+        "case when n_rejected = 0 then 1000000 " +
+          "else (true_rejects * 1000000) div n_rejected end"))
+      .withColumn("recall_ppm", expr(
+        "case when n_true_dup = 0 then 1000000 " +
+          "else (true_rejects * 1000000) div n_true_dup end"))
+  }
+
   /** #23: SimHash near-dup (hamming ≤ 3 over 64-bit signatures,
     * pigeonhole-complete). Rows-only oracle. Round 4: uses the
     * Manku-style blocked tables (6 blocks, C(6,3)=20 tables keyed on
@@ -749,6 +816,26 @@ object LlmQueries {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
     Ann.ivfTopKAuto(e, e.filter(col("id") < 8), k = 10, seed = 42L)
+      .orderBy("qid", "rank")
+  }
+
+  /** #192 (s15): pre-filtered ANN — top-k among only the corpus
+    * vectors passing a metadata predicate (label = 3 here; lang /
+    * license / source in production), via
+    * [[graft.sim.Ann.filteredIvfTopKAuto]]: the shared full-corpus
+    * quantizer, the predicate pruning the candidate scan BEFORE any
+    * distance math, and the calibrated probe budget widened by the
+    * measured selectivity so the filtered search keeps the recall the
+    * unfiltered calibration solved for. Rows-only (k-means inside);
+    * AnnSpec pins recall vs the exact FILTERED brute force and that
+    * post-filtering an unfiltered search finds strictly fewer
+    * survivors. */
+  def s15FilteredAnn: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"),
+        col("label"))
+    Ann.filteredIvfTopKAuto(e, e.filter(col("id") < 8).select("id", "vec"),
+        k = 10, pred = col("label") === 3, seed = 42L)
       .orderBy("qid", "rank")
   }
 
@@ -1966,6 +2053,7 @@ object LlmQueries {
     "d01_dedup_exact" -> d01DedupExact,
     "d02_minhash_lsh" -> d02MinHashLsh,
     "d27_cross_contamination" -> d27CrossCorpusNearDup,
+    "d31_gate_audit" -> d31GateAudit,
     "d03_simhash" -> d03SimHash,
     "d04_ngram_jaccard" -> d04NgramJaccard,
     "d05_embed_neardup" -> d05EmbedNearDup,
@@ -1983,6 +2071,7 @@ object LlmQueries {
     "s02_ann_lsh" -> s02AnnLsh,
     "s03_ann_ivf" -> s03AnnIvf,
     "s14_ann_recall_audit" -> s14AnnRecallAudit,
+    "s15_filtered_ann" -> s15FilteredAnn,
     "s04_quantize_int8" -> s04QuantizeInt8,
     "s05_ann_int8_rerank" -> s05AnnInt8Rerank,
     "s06_ann_pq" -> s06AnnPq,

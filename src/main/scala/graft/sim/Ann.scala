@@ -680,6 +680,47 @@ object Ann {
     ivfProbe(live, queries, k, centroids, nProbe)
   }
 
+  /** Pre-filtered ANN (#192): top-k among only the corpus vectors
+    * satisfying a metadata predicate — the filtered-vector-search
+    * shape every retrieval service needs ("nearest docs WHERE
+    * lang = 'de' AND license = permissive"). The naive composition,
+    * POST-filtering an unfiltered top-k, silently loses results as
+    * the filter gets selective: k survivors of a 1%-selective filter
+    * need ~100·k unfiltered candidates. Two moves fix it:
+    *
+    *  - the predicate is applied to the corpus side BEFORE any
+    *    distance math, so it prunes at the scan (with a
+    *    [[AnnIndex]]-style cell layout plus a partition/file filter
+    *    column this is file-level pruning, not a row filter);
+    *  - the probe budget is WIDENED by the measured selectivity:
+    *    calibration solves nProbe for the UNFILTERED geometry, and
+    *    the filtered search probes min(nCells, ⌈nProbe·n/n_kept⌉)
+    *    cells, restoring the expected candidate count the calibrated
+    *    recall was solved for (the per-cell survivor density shrinks
+    *    by n_kept/n, so the cell count grows by its inverse).
+    *
+    * The quantizer fits on the FULL corpus — the index is built once
+    * and shared by every predicate; a per-filter refit would be an
+    * index per query. Rows-only by design (iterative float k-means);
+    * AnnSpec pins recall vs the exact FILTERED brute force and the
+    * probe-widening arithmetic. */
+  def filteredIvfTopKAuto(corpus: DataFrame, queries: DataFrame, k: Int,
+                          pred: org.apache.spark.sql.Column, seed: Long,
+                          recall: Double = 0.9): DataFrame = {
+    val live = corpus.withColumn("nrm0", norm(col("vec"))).filter(col("nrm0") > 0)
+    val n = live.count()
+    val kept = live.filter(pred)
+    val nKept = kept.count()
+    require(nKept > 0, "filter keeps no corpus vectors")
+    val nCells = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val centroids = fitCentroids(live, n, nCells, seed, fitSampleCap = 100000L)
+    val base = probesForRecall(calibrationSample(live, n), centroids,
+      recall, kCal = k)
+    val widened = math.min(nCells,
+      math.ceil(base.toDouble * n.toDouble / nKept.toDouble).toInt)
+    ivfProbe(kept, queries, k, centroids, widened)
+  }
+
   /** All-corpus k-NN graph: every document's k nearest neighbors by
     * cosine — the input structure for SemDeDup-style clustering,
     * graph dedup, and label propagation. [[ivfTopK]] cannot build it

@@ -68,11 +68,15 @@ object SketchStore {
     * long `v` (value·10^valPow, nulls dropped — quantile semantics)
     * + `cnt`. */
   def saveHistogram(df: DataFrame, groupCols: Seq[String], value: Column,
-                    valPow: Int, dir: String): Unit =
-    df.filter(value.isNotNull)
+                    valPow: Int, dir: String,
+                    partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.filter(value.isNotNull)
       .groupBy(groupCols.map(col) :+ Exact.e(value, valPow).as("v"): _*)
       .agg(count(lit(1)).as("cnt"))
-      .write.mode("overwrite").parquet(dir)
+      .write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(dir)
+  }
 
   /** Merge stored histograms by count addition — associative,
     * commutative, re-mergeable (a merged histogram can itself be
@@ -229,6 +233,40 @@ object SketchStore {
   }
 
   // ── Artifact consumers (no-rescan analytics) ─────────────────────
+
+  /** q58's drift audit computed ENTIRELY from stored value histograms
+    * — per group, the total-variation distance (integer
+    * milli-proportions, q58's overflow-proof kernel) between a
+    * REFERENCE and a CURRENT histogram, each typically the
+    * count-addition merge of per-day artifacts: drift between ANY two
+    * historical windows costs two kilobyte-artifact merges, never a
+    * re-scan of either window's raw events. A bucket present in only
+    * one window full-outer-joins in with count 0 on the other side —
+    * exactly the row q58's single-scan aggregate produces. Inputs are
+    * (groupCols, v, cnt) frames; output matches q58's
+    * (group, n_ref, n_cur, tv_milli) row for row when the histograms
+    * were saved over q58's bucket column (oracle-pinned by
+    * q75_drift_from_artifacts). */
+  def tvDriftFromHistograms(refHist: DataFrame, curHist: DataFrame,
+                            groupCols: Seq[String]): DataFrame = {
+    val keys = groupCols :+ "v"
+    val joined = refHist
+      .select(keys.map(col) :+ col("cnt").as("o_ref"): _*)
+      .join(curHist.select(keys.map(col) :+ col("cnt").as("o_cur"): _*),
+        keys, "full_outer")
+      .select(keys.map(col) :+
+        coalesce(col("o_ref"), lit(0L)).as("o_ref") :+
+        coalesce(col("o_cur"), lit(0L)).as("o_cur"): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    joined
+      .withColumn("n_ref", sum("o_ref").over(w))
+      .withColumn("n_cur", sum("o_cur").over(w))
+      .groupBy(groupCols.map(col): _*)
+      .agg(min("n_ref").as("n_ref"), min("n_cur").as("n_cur"),
+        sum(abs(expr("1000 * o_ref div n_ref") - expr("1000 * o_cur div n_cur")))
+          .as("tv_milli"))
+  }
 
   /** q57's winsorization report computed ENTIRELY from a stored value
     * histogram — bands, clip counts and clamped sums all derive from

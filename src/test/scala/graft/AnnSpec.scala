@@ -87,6 +87,38 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall $recall") // 3/8 cells probed
   }
 
+  test("filtered ANN: recall vs exact filtered brute force; beats post-filtering") {
+    val embL = Tables.embeddings(spark, TestSpark.Sf)
+      .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"),
+        col("label"))
+    val queries = emb.filter(col("id") < 8)
+    val kept = embL.filter(col("label") === 3).select("id", "vec")
+    // ground truth: exact top-k among ONLY the predicate's survivors
+    val brute = Ann.bruteForceTopK(kept, queries, k = 10)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val filtered = Ann.filteredIvfTopKAuto(embL, queries, k = 10,
+        pred = col("label") === 3, seed = 42L, recall = 0.9)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    // every result satisfies the predicate (pre-filter, not best-effort)
+    val keptIds = kept.select("id").as[Long].collect().toSet
+    assert(filtered.forall { case (_, nb) => keptIds(nb) },
+      "filtered search returned a vector outside the predicate")
+    val recall = brute.count(filtered).toDouble / brute.size
+    info(s"filtered ANN recall@10 = $recall")
+    assert(recall >= 0.8, s"filtered recall@10 $recall below 0.8")
+    // the naive composition: unfiltered calibrated search, THEN filter.
+    // With ~1/L selectivity it keeps only the truth rows that happened
+    // to rank in the unfiltered top-10 — strictly fewer than the
+    // pre-filtered path finds (the reason this operator exists)
+    val post = Ann.ivfTopKAuto(embL.select("id", "vec"), queries, k = 10,
+        seed = 42L, recall = 0.9)
+      .join(kept.select(col("id").as("neighbor_id")), Seq("neighbor_id"), "left_semi")
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    info(s"post-filter finds ${post.size} vs pre-filter ${filtered.size} (truth ${brute.size})")
+    assert(post.size < filtered.size,
+      s"post-filtering (${post.size}) should trail pre-filtering (${filtered.size})")
+  }
+
   test("probesForRecall calibration: derived nProbe meets its recall target") {
     // the round-8 fix for the one quality-weak component: instead of a
     // fixed nProbe, solve the probe budget from a recall target against

@@ -529,4 +529,25 @@ class DedupSpec extends AnyFunSuite {
     assert(admitted(NearDupIndex.gate(spark, dir)) == afterAppend,
       "compaction changed gate decisions")
   }
+
+  test("d31 gate audit: confusion counts are consistent and recall holds") {
+    val r = LlmQueries.d31GateAudit(spark, TestSpark.Sf)
+      .select("n_batch", "n_rejected", "n_true_dup", "true_rejects",
+        "false_rejects", "missed_dups", "precision_ppm", "recall_ppm")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    val (nBatch, nRej, nDup, tp, fp, miss, prec, rec) = r
+    info(s"audit: batch=$nBatch rejected=$nRej trueDup=$nDup " +
+      s"precision=${prec / 10000.0}% recall=${rec / 10000.0}%")
+    // the confusion partition must tile exactly
+    assert(tp + fp == nRej, s"true+false rejects $tp+$fp != rejected $nRej")
+    assert(tp + miss == nDup, s"true+missed $tp+$miss != true dups $nDup")
+    assert(nRej <= nBatch && nDup <= nBatch)
+    // the audit is only useful if the fixture has planted near-dups
+    assert(nDup > 0, "fixture has no cross-parity exact near-dups")
+    // k=64 signatures at τ=0.7: estimate-vs-exact flips are confined to
+    // the threshold boundary — measured 100%/100% at sf0.001; the floor
+    // leaves room for boundary pairs at other corpus sizes
+    assert(rec >= 900000L, s"gate recall_ppm $rec below 0.9")
+    assert(prec >= 900000L, s"gate precision_ppm $prec below 0.9")
+  }
 }
