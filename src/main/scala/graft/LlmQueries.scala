@@ -493,6 +493,66 @@ object LlmQueries {
        |FROM b2 LEFT JOIN b3 USING (source)
        |ORDER BY stage, source""".stripMargin
 
+  /** #196 (d32): per-document dedup PROVENANCE — the "why did my
+    * document disappear" answer, per doc: which pipeline stage
+    * claimed it (`1_exact` — not the min-id of its identical-text
+    * group; `2_neardup_cluster` — a non-root cluster member among
+    * stage-1 survivors; `3_spans_trimmed` — kept but with cross-doc
+    * duplicated 8-gram spans excised; `kept` — untouched), plus its
+    * token count before and after. d28/d29/d30 aggregate this ledger;
+    * the ROW-LEVEL view is what an audit/appeal process and a
+    * training-data datasheet actually cite. First-claiming stage wins
+    * (a doc can fail several rules; it was DROPPED once). Same
+    * normalized-token currency as d29; docs below d23's 8-token gram
+    * floor have no span row and keep all tokens
+    * (coalesce(n_kept, n_tok) — both engines). One pass over the
+    * staged cluster table + d23's span frame + one hash-group window;
+    * fully oracled (d06 + d23 recomputed inline). */
+  def d32Provenance: Q = (spark, dir) => {
+    val tok = normedDocs(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        size(split(col("text_norm"), " ")).cast("long").as("n_tok"))
+      .withColumn("is_min",
+        col("doc_id") === min("doc_id").over(Window.partitionBy("h")))
+    val dropped2 = clusters(spark, dir)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id")).withColumn("in_cluster", lit(1L))
+    val sp = d23DupSpanRemoval(spark, dir).select("doc_id", "n_kept")
+    tok
+      .join(dropped2, Seq("doc_id"), "left")
+      .join(sp, Seq("doc_id"), "left")
+      .withColumn("kept_tok", coalesce(col("n_kept"), col("n_tok")))
+      .select(col("doc_id"), col("n_tok"),
+        when(!col("is_min"), "1_exact")
+          .when(col("in_cluster") === 1L, "2_neardup_cluster")
+          .when(col("kept_tok") < col("n_tok"), "3_spans_trimmed")
+          .otherwise("kept").as("verdict"),
+        when(!col("is_min") || col("in_cluster") === 1L, 0L)
+          .otherwise(col("kept_tok")).as("n_tok_after"))
+      .orderBy("doc_id")
+  }
+
+  // lazy for the same reason as d28Sql: embeds d06Sql + d23Sql
+  lazy val d32Sql: String =
+    s"""WITH c AS ($d06Sql),
+       |sp AS ($d23Sql),
+       |tk AS (
+       |  SELECT doc_id, text,
+       |         CAST(len(string_split(regexp_replace(regexp_replace(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]*(feat\\.|featuring|ft\\.|&|and)[ \\t\\n\\x0b\\f\\r]*', ';', 'g'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |mins AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |cdrop AS (SELECT id AS doc_id FROM c WHERE id <> comp)
+       |SELECT tk.doc_id, tk.n_tok,
+       |       CASE WHEN tk.doc_id NOT IN (SELECT doc_id FROM mins) THEN '1_exact'
+       |            WHEN tk.doc_id IN (SELECT doc_id FROM cdrop) THEN '2_neardup_cluster'
+       |            WHEN COALESCE(sp.n_kept, tk.n_tok) < tk.n_tok THEN '3_spans_trimmed'
+       |            ELSE 'kept' END AS verdict,
+       |       CAST(CASE WHEN tk.doc_id NOT IN (SELECT doc_id FROM mins)
+       |                   OR tk.doc_id IN (SELECT doc_id FROM cdrop) THEN 0
+       |                 ELSE COALESCE(sp.n_kept, tk.n_tok) END AS BIGINT) AS n_tok_after
+       |FROM tk LEFT JOIN sp ON tk.doc_id = sp.doc_id
+       |ORDER BY tk.doc_id""".stripMargin
+
   /** #161 (d26): incremental cluster maintenance — fold a NEW ingest
     * batch into an EXISTING near-dup cluster table without re-running
     * the old corpus's pair verification or re-clustering it from
@@ -2061,6 +2121,7 @@ object LlmQueries {
     "d28_dedup_savings" -> d28DedupSavings,
     "d29_stage_savings" -> d29StageSavings,
     "d30_savings_by_source" -> d30SavingsBySource,
+    "d32_provenance" -> d32Provenance,
     "d26_incremental_clusters" -> d26IncrementalClusters,
     "d07_embed_neardup_lsh" -> d07EmbedNearDupLsh,
     "d13_semdedup" -> d13SemDedup,
@@ -2114,6 +2175,7 @@ object LlmQueries {
     "d28_dedup_savings" -> d28Sql,
     "d29_stage_savings" -> d29Sql,
     "d30_savings_by_source" -> d30Sql,
+    "d32_provenance" -> d32Sql,
     // incremental ≡ full: the oracle IS the from-scratch d06 SQL
     "d26_incremental_clusters" -> d06Sql,
     "s01_ann_bruteforce" -> s01Sql,

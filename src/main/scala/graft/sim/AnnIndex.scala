@@ -54,7 +54,11 @@ object AnnIndex {
       .toDF("recall_target", "n_probe", "n", "n_cells")
       .repartition(1)
       .write.mode("overwrite").parquet(s"$dir/meta")
-    live.select(col("id"), col("vec"), col("nrm"))
+    // ALL input columns persist into the cell files — metadata columns
+    // (label / lang / license) ride beside (id, vec) as ordinary
+    // parquet columns, which is what probeFiltered's predicate prunes
+    // on (row-group min/max stats apply before any distance math)
+    live
       .withColumn("cell",
         element_at(centroidCells(col("vec"), col("nrm"), centroids, 1), 1))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
@@ -71,7 +75,6 @@ object AnnIndex {
     val spark = newRows.sparkSession
     val centroids = readCentroids(spark, dir)
     newRows.withColumn("nrm", norm(col("vec"))).filter(col("nrm") > 0)
-      .select(col("id"), col("vec"), col("nrm"))
       .withColumn("cell",
         element_at(centroidCells(col("vec"), col("nrm"), centroids, 1), 1))
       .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
@@ -118,7 +121,10 @@ object AnnIndex {
                sampleMod: Int = 25, seed: Long = 42L,
                floorPpm: Long = -1L, nCells: Int = 0): (Long, Boolean) = {
     import spark.implicits._
-    val corpus = spark.read.parquet(s"$dir/cells").select("id", "vec")
+    // the rebuild must carry the metadata columns back through build
+    // (probeFiltered prunes on them) — only nrm/cell are derived
+    val full = spark.read.parquet(s"$dir/cells").drop("nrm", "cell")
+    val corpus = full.select("id", "vec")
     val sample = corpus.filter(pmod(col("id"), lit(sampleMod)) === 0)
     val exact = Ann.bruteForceTopK(corpus, sample, k)
       .select(col("qid"), col("neighbor_id"))
@@ -135,7 +141,7 @@ object AnnIndex {
       else math.round(meta.getDouble(0) * 1000000L)
     val rebuild = recallPpm < floor
     if (rebuild) {
-      val staged = corpus.localCheckpoint(true)
+      val staged = full.localCheckpoint(true)
       val cells =
         if (nCells > 0) nCells
         else math.max(2, math.ceil(math.sqrt(staged.count().toDouble)).toInt)
@@ -167,7 +173,43 @@ object AnnIndex {
         catch { case scala.util.control.NonFatal(_) =>
           math.max(3, math.ceil(math.sqrt(centroids.length.toDouble)).toInt)
         }
+    scoreCells(spark.read.parquet(s"$dir/cells"), queries, centroids,
+      probes, k)
+  }
+
+  /** Pre-filtered probe (#195): top-k among only the indexed vectors
+    * whose stored metadata columns satisfy `pred` —
+    * [[Ann.filteredIvfTopKAuto]]'s serving twin against the persisted
+    * index. The predicate applies AT THE CELL-FILE SCAN (metadata
+    * columns are ordinary parquet columns beside (id, vec), so
+    * row-group min/max stats prune before a single distance multiply),
+    * and the calibrated operating point widens by the measured
+    * selectivity — min(nCells, ⌈n_probe · n/n_kept⌉) — restoring the
+    * candidate count the build-time recall target was solved for.
+    * Selectivity is priced against the CURRENT cells table (two
+    * metadata-only counts, columnar scans that never touch the
+    * vectors), so appends are accounted for without a rebuild. */
+  def probeFiltered(spark: SparkSession, dir: String, queries: DataFrame,
+                    k: Int, pred: org.apache.spark.sql.Column): DataFrame = {
+    val centroids = readCentroids(spark, dir)
+    val base =
+      try spark.read.parquet(s"$dir/meta").select("n_probe").head().getInt(0)
+      catch { case scala.util.control.NonFatal(_) =>
+        math.max(3, math.ceil(math.sqrt(centroids.length.toDouble)).toInt)
+      }
     val cells = spark.read.parquet(s"$dir/cells")
+    val kept = cells.filter(pred)
+    val n = cells.count()
+    val nKept = kept.count()
+    require(nKept > 0, "filter keeps no indexed vectors")
+    val probes = math.min(centroids.length,
+      math.ceil(base.toDouble * n.toDouble / nKept.toDouble).toInt)
+    scoreCells(kept, queries, centroids, probes, k)
+  }
+
+  private def scoreCells(cells: DataFrame, queries: DataFrame,
+                         centroids: Seq[Seq[Double]], probes: Int,
+                         k: Int): DataFrame = {
     val q = queries.select(col("id").as("qid"), col("vec").as("qvec"))
       .withColumn("qnrm", norm(col("qvec")))
       .filter(col("qnrm") > 0)

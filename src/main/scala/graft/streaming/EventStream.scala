@@ -420,6 +420,52 @@ object EventStream {
     }
   }
 
+  /** Streaming histogram-artifact maintenance (#194) — the producer
+    * side of the q75/q57 artifact consumers run from a stream: keep a
+    * day-partitioned (day, keys…, v) → count histogram table current
+    * as events arrive, so the no-rescan drift/winsorize/quantile
+    * consumers always have tonight's artifact without a batch job.
+    * Per micro-batch: the batch reduces to its own counts, the
+    * TOUCHED days' stored rows (and only those — a batch near the
+    * frontier touches 1–2 partitions however long the history) merge
+    * in by count addition, and #158's dynamic-partition overwrite
+    * swaps exactly those day partitions. The merged frame is
+    * materialized through a checkpoint first — it READS the very
+    * files the overwrite replaces (the AnnIndex.maintain
+    * materialize-before-overwrite hazard class). Count addition is
+    * associative, so the final table is bit-identical to a one-shot
+    * batch [[graft.sources.SketchStore.saveHistogram]] over the whole
+    * stream (spec-pinned), and a replayed batch id re-merges nothing.
+    * Batch schema: `day` + `keyCols` + `v`. */
+  def histogramArtifactForeachBatch(dir: String, keyCols: Seq[String])(
+      onUpdated: (Long) => Unit = _ => ()): (DataFrame, Long) => Unit = {
+    var lastBatch = -1L
+    val allKeys = "day" +: keyCols :+ "v"
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      if (batchId > lastBatch) {
+        val newCounts = batch
+          .groupBy(allKeys.map(col): _*).agg(count(lit(1)).as("cnt"))
+        val touched = newCounts.select("day").distinct().collect()
+          .map(_.get(0)).toSeq
+        val target = new org.apache.hadoop.fs.Path(dir)
+        val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val existing =
+          if (fs.exists(target))
+            Some(spark.read.parquet(dir)
+              .filter(col("day").isin(touched: _*))
+              .select((allKeys :+ "cnt").map(col): _*))
+          else None
+        val merged = existing.fold(newCounts)(_.unionByName(newCounts))
+          .groupBy(allKeys.map(col): _*).agg(sum("cnt").as("cnt"))
+          .localCheckpoint(true)
+        graft.sources.Writers.overwritePartitions(merged, dir, Seq("day"))
+        lastBatch = batchId
+      }
+      onUpdated(batchId)
+    }
+  }
+
   /** Streaming audience-overlap refresh (#185) — q73's streaming twin:
     * serve the estimated distinct-user overlap matrix continuously as
     * events arrive. State = ONE HLL register set per event type

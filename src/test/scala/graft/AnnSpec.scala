@@ -119,6 +119,31 @@ class AnnSpec extends AnyFunSuite {
       s"post-filtering (${post.size}) should trail pre-filtering (${filtered.size})")
   }
 
+  test("index probeFiltered: predicate-pure, recall vs exact filtered brute force") {
+    import graft.sim.AnnIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_f").toString
+    val embL = Tables.embeddings(spark, TestSpark.Sf)
+      .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"),
+        col("label"))
+    AnnIndex.build(embL, nCells = 23, seed = 42L, dir)
+    val queries = emb.filter(col("id") < 8)
+    val kept = embL.filter(col("label") === 3).select("id", "vec")
+    val brute = Ann.bruteForceTopK(kept, queries, k = 10)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = AnnIndex.probeFiltered(spark, dir, queries, k = 10,
+        pred = col("label") === 3)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val keptIds = kept.select("id").as[Long].collect().toSet
+    assert(got.forall { case (_, nb) => keptIds(nb) },
+      "filtered probe returned a vector outside the predicate")
+    val recall = brute.count(got).toDouble / brute.size
+    info(s"index probeFiltered recall@10 = $recall")
+    assert(recall >= 0.8, s"filtered index recall@10 $recall below 0.8")
+    // metadata columns in the cell files don't disturb the plain probe
+    val plain = AnnIndex.probe(spark, dir, queries, k = 10)
+    assert(plain.count() == 8 * 10)
+  }
+
   test("probesForRecall calibration: derived nProbe meets its recall target") {
     // the round-8 fix for the one quality-weak component: instead of a
     // fixed nProbe, solve the probe budget from a recall target against

@@ -633,6 +633,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted.last._2 == wantFull, "final frame != batch t31")
   }
 
+  test("histogram artifact stream: day partitions converge to the one-shot batch histogram") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStream
+    import graft.sources.SketchStore
+    val ev = Tables.events(spark, TestSpark.Sf)
+      .select(to_date(col("ts")).as("day"), col("event_type"),
+        least(lit(9L), expr(
+          "cast(round(value * 100, 0) as bigint) div 5000")).as("v"))
+      .as[(java.sql.Date, String, Long)].collect().toSeq
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_histart").toString + "/h"
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sink = EventStream.histogramArtifactForeachBatch(dir, Seq("event_type")) {
+      id => seen += id
+    }
+    val input = MemoryStream[(java.sql.Date, String, Long)]
+    val query = input.toDF().toDF("day", "event_type", "v")
+      .writeStream.foreachBatch(sink).outputMode("append").start()
+    // deliberately NOT day-contiguous batches: days straddle batches,
+    // so the dynamic-partition merge path is exercised, not just appends
+    val batches = ev.grouped(ev.size / 3 + 1).toSeq
+    try {
+      batches.foreach { b => input.addData(b: _*); query.processAllAvailable() }
+    } finally query.stop()
+    assert(seen.size == batches.size)
+
+    // the maintained artifact is bit-identical to a one-shot batch build
+    val got = spark.read.parquet(dir)
+      .select("day", "event_type", "v", "cnt")
+      .as[(java.sql.Date, String, Long, Long)].collect().toSet
+    val want = ev.toDF("day", "event_type", "v")
+      .groupBy("day", "event_type", "v").agg(count(lit(1)).as("cnt"))
+      .as[(java.sql.Date, String, Long, Long)].collect().toSet
+    assert(got == want, "streamed artifact != batch histogram")
+
+    // and the q75 consumer over the STREAMED artifact reproduces q58
+    def window(pred: org.apache.spark.sql.Column) =
+      spark.read.parquet(dir).filter(pred)
+        .groupBy("event_type", "v").agg(sum("cnt").as("cnt"))
+    val drift = SketchStore.tvDriftFromHistograms(
+        window(col("day") <= "2024-01-15"), window(col("day") >= "2024-01-16"),
+        Seq("event_type"))
+      .orderBy("event_type")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val q58 = AnalyticsQueries.q58Drift(spark, TestSpark.Sf)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(drift == q58, "drift from streamed artifact != batch q58")
+  }
+
   test("overlap refresh: matrix after each batch equals batch q73 on the prefix") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
