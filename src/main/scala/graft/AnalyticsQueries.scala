@@ -1482,6 +1482,51 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
+  /** #199 (q77): marketing-touch attribution — per purchase, which
+    * touch (view/click) gets the credit under FIRST-touch vs
+    * LAST-touch rules, reported as the classic attribution comparison
+    * matrix: (first_touch, last_touch) → purchases + revenue (a
+    * purchase with no prior touch attributes to 'direct'). The per-row
+    * rule is a running carry of the user's touch history — `first`/
+    * `last` with ignoreNulls over the STRICTLY-PRIOR rows frame, so an
+    * event can never attribute to itself and both rules share ONE
+    * user-keyed exchange and sort with the purchase filter applied
+    * AFTER the carry (q59's one-exchange discipline). Deterministic
+    * (ts, event_id) order; revenue in scaled cents. At 100 TB this is
+    * one window over the user key + a configuration-scale aggregate —
+    * the shape survives any history length. */
+  def q77Attribution: Q = (spark, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type").isin("view", "click"), col("event_type"))
+    Tables.events(spark, dir)
+      .select("user_id", "ts", "event_id", "event_type", "value")
+      .withColumn("first_touch",
+        coalesce(first(touch, ignoreNulls = true).over(w), lit("direct")))
+      .withColumn("last_touch",
+        coalesce(last(touch, ignoreNulls = true).over(w), lit("direct")))
+      .filter(col("event_type") === "purchase")
+      .groupBy("first_touch", "last_touch")
+      .agg(count(lit(1)).as("n_purchases"),
+        Exact.eSum(col("value"), 2).as("revenue_e2"))
+      .orderBy("first_touch", "last_touch")
+  }
+
+  val q77Sql: String =
+    """WITH a AS (
+      |  SELECT event_type, value,
+      |         COALESCE(first_value(CASE WHEN event_type IN ('view','click') THEN event_type END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'direct') AS first_touch,
+      |         COALESCE(last_value(CASE WHEN event_type IN ('view','click') THEN event_type END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'direct') AS last_touch
+      |  FROM events)
+      |SELECT first_touch, last_touch, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+      |       CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e2
+      |FROM a WHERE event_type = 'purchase'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** #123 (q59): session transition mining — the Markov view of user
     * behavior: within each q20-rule session (30-min gap), count
     * adjacent event-type transitions x→y across all sessions, keeping
@@ -1874,6 +1919,7 @@ object AnalyticsQueries {
     "q57_winsorize" -> q57Winsorize,
     "q58_drift" -> q58Drift,
     "q75_drift_from_artifacts" -> q75DriftFromArtifacts,
+    "q77_attribution" -> q77Attribution,
     "q59_transitions" -> q59Transitions,
     "q60_dq_checks" -> q60DqChecks,
     "q61_trend_slope" -> q61TrendSlope,
@@ -1919,6 +1965,7 @@ object AnalyticsQueries {
     "q57_winsorize" -> q57Sql,
     "q58_drift" -> q58Sql,
     "q75_drift_from_artifacts" -> q58Sql,
+    "q77_attribution" -> q77Sql,
     "q59_transitions" -> q59Sql,
     "q60_dq_checks" -> q60Sql,
     "q61_trend_slope" -> q61Sql,

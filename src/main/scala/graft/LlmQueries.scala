@@ -899,6 +899,20 @@ object LlmQueries {
       .orderBy("qid", "rank")
   }
 
+  /** #200 (s16): MMR-diversified retrieval
+    * ([[graft.sim.Ann.mmrTopK]]) — the post-ANN re-rank a RAG stack
+    * runs so the k retrieved passages aren't k near-copies: top-30
+    * candidates by cosine, then the λ = 0.7 greedy
+    * relevance-vs-redundancy trade per query. Rows-only (float greedy
+    * inside); AnnSpec pins the λ = 1 ≡ plain-top-k identity, rank-1
+    * = most-relevant invariant, and the measured diversity gain. */
+  def s16Mmr: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
+    Ann.mmrTopK(e, e.filter(col("id") < 8), k = 10, fetchK = 30, lambda = 0.7)
+      .orderBy("qid", "rank")
+  }
+
   /** #170 (s14): ANN recall drift audit — the maintenance decision the
     * serving story needs made first-class: measure recall@k of the
     * calibrated IVF path against exact brute force on a DETERMINISTIC
@@ -2133,6 +2147,7 @@ object LlmQueries {
     "s03_ann_ivf" -> s03AnnIvf,
     "s14_ann_recall_audit" -> s14AnnRecallAudit,
     "s15_filtered_ann" -> s15FilteredAnn,
+    "s16_mmr" -> s16Mmr,
     "s04_quantize_int8" -> s04QuantizeInt8,
     "s05_ann_int8_rerank" -> s05AnnInt8Rerank,
     "s06_ann_pq" -> s06AnnPq,

@@ -260,8 +260,88 @@ object ScaleQueries {
       |SELECT * FROM r1 UNION ALL SELECT * FROM r2
       |ORDER BY day_range, n DESC, event_type""".stripMargin
 
+  /** #197 (q76): calendar-week top-k rollup from the SAME per-day
+    * SpaceSaving artifacts q74 builds — the granularity question a
+    * dashboard asks next ("weekly top event types, all weeks"): day
+    * buffers roll up to ISO weeks driver-side
+    * ([[graft.sources.SketchStore.mergeTopKRollup]] — sketch-sized
+    * rows, never event rows), so ONE day-granular artifact serves
+    * every coarser calendar without a re-scan or a second artifact
+    * family. Jan 2024 opens on a Monday, so weeks align naturally;
+    * the trailing partial week reports like any other (a rollup
+    * consumer sees calendar weeks, not windows). Oracle-exact by the
+    * same no-eviction argument as q74. */
+  def q76TopkWeekly: Q = (spark, dir) => {
+    import graft.sources.SketchStore
+    val art = StageRoots.rootFor(dir) + "/topk_byday"
+    SketchStore.saveTopKGrouped(
+      Tables.events(spark, dir),
+      date_format(col("ts"), "yyyy-MM-dd"), col("event_type"),
+      capacity = 64, dir = art)
+    import spark.implicits._
+    SketchStore.mergeTopKRollup(spark, art, k = 3, rollup = { day =>
+      val d = java.time.LocalDate.parse(day)
+      d.minusDays(d.getDayOfWeek.getValue - 1L).toString
+    })
+      .toDF("week", "event_type", "n")
+      .orderBy(col("week"), col("n").desc, col("event_type"))
+  }
+
+  val q76Sql: String =
+    """WITH d AS (SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk,
+      |                  event_type FROM events),
+      |c AS (SELECT wk, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      |      FROM d GROUP BY 1, 2),
+      |r AS (SELECT wk, event_type, n,
+      |             ROW_NUMBER() OVER (PARTITION BY wk ORDER BY n DESC, event_type) AS rk
+      |      FROM c)
+      |SELECT CAST(wk AS VARCHAR) AS week, event_type, n
+      |FROM r WHERE rk <= 3
+      |ORDER BY week, n DESC, event_type""".stripMargin
+
+  /** #198 (q79): day-range exact quantiles from persisted histograms —
+    * the quantile member of the artifact-consumer family (q75 drift,
+    * q57-from-histogram, q74/q76 top-k): per event type, interpolated
+    * p50/p90 of `value` over the CURRENT window (days 16+) computed
+    * from per-day (day, type, cents)→count artifacts
+    * ([[graft.sources.SketchStore.quantilesFromHistogram]] — exact
+    * count addition over the range's kilobyte rows, then the same
+    * splittable rank-pick q29 uses; never a re-sort of the window's
+    * raw events). Histogram size is bounded by the distinct VALUE
+    * domain (cents of a bounded metric), the regime where exact beats
+    * a KLL sketch at comparable size. Oracled against
+    * `quantile_cont` over the raw filtered events — the identity
+    * proving the artifact path is lossless at the milli output
+    * scale. */
+  def q79QuantilesFromArtifacts: Q = (spark, dir) => {
+    import graft.functions.ExactPercentile.Pct
+    import graft.sources.SketchStore
+    val art = StageRoots.rootFor(dir) + "/value_hists"
+    SketchStore.saveHistogram(
+      Tables.events(spark, dir)
+        .select(to_date(col("ts")).as("day"), col("event_type"), col("value")),
+      Seq("day", "event_type"), col("value"), valPow = 2, dir = art,
+      partitionCols = Seq("day"))
+    val cur = spark.read.parquet(art)
+      .filter(col("day") >= "2024-01-16")
+      .groupBy("event_type", "v").agg(sum("cnt").as("cnt"))
+    SketchStore.quantilesFromHistogram(cur, Seq("event_type"),
+        valPow = 2, outPow = 3,
+        Seq(Pct("p50_value_milli", 50, 100), Pct("p90_value_milli", 90, 100)))
+      .orderBy("event_type")
+  }
+
+  val q79Sql: String =
+    """SELECT event_type,
+      |       CAST(ROUND(quantile_cont(value, 0.5) * 1000, 0) AS BIGINT) AS p50_value_milli,
+      |       CAST(ROUND(quantile_cont(value, 0.9) * 1000, 0) AS BIGINT) AS p90_value_milli
+      |FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-16'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q34_heavy_hitters" -> q34HeavyHitters,
+    "q76_topk_weekly" -> q76TopkWeekly,
+    "q79_quantiles_from_artifacts" -> q79QuantilesFromArtifacts,
     "q35_salted_join" -> q35SaltedJoin,
     "q36_bucketed_join" -> q36BucketedJoin,
     "q43_incremental_agg" -> q43IncrementalAgg,
@@ -272,6 +352,8 @@ object ScaleQueries {
 
   val oracles: Seq[(String, String)] = Seq(
     "q74_topk_day_range" -> q74Sql,
+    "q76_topk_weekly" -> q76Sql,
+    "q79_quantiles_from_artifacts" -> q79Sql,
     "q34_heavy_hitters" -> q34Sql,
     "q35_salted_join" -> q35Sql,
     "q36_bucketed_join" -> q36Sql,

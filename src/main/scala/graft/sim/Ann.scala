@@ -721,6 +721,80 @@ object Ann {
     ivfProbe(kept, queries, k, centroids, widened)
   }
 
+  /** MMR-diversified retrieval (#200) — maximal marginal relevance
+    * (Carbonell & Goldstein, SIGIR'98), the re-rank RAG/search
+    * serving stacks apply after ANN: a plain top-k from a redundant
+    * corpus returns k near-copies of the same answer; MMR greedily
+    * picks argmax λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s), trading
+    * relevance against similarity to what's already selected. Shape:
+    * the candidate fetch (top `fetchK` by relevance) is the same
+    * broadcast-query scan as [[bruteForceTopK]] (swap in the IVF/index
+    * probe at scale), and the greedy selection runs per query over its
+    * OWN ≤ fetchK candidates via `flatMapGroups` — a bounded
+    * per-group buffer (the legitimate mapGroups case: genuinely
+    * iterative per-group logic over config-scale state), never a
+    * corpus-scale collect. Deterministic: candidates sort by
+    * (−rel, id), strict `>` keeps the first-best so score ties break
+    * toward higher relevance then lower id — and at λ = 1 the
+    * selection provably reduces to the plain top-k (spec-pinned),
+    * which is the correctness anchor for the float arithmetic. */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, k: Int, fetchK: Int,
+              lambda: Double = 0.7): DataFrame = {
+    require(k <= fetchK, s"k=$k must be <= fetchK=$fetchK")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.withColumn("cnrm", norm(col("vec"))).filter(col("cnrm") > 0)
+      .select(col("id").as("neighbor_id"), col("vec").as("nvec"), col("cnrm"))
+    val q = queries.select(col("id").as("qid"), col("vec").as("qvec"))
+      .withColumn("qnrm", norm(col("qvec"))).filter(col("qnrm") > 0)
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("qid"))
+      .withColumn("rel",
+        cosinePrenormed(dot(col("qvec"), col("nvec")), col("qnrm"), col("cnrm")))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("rel").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= fetchK)
+      .select(col("qid"), col("neighbor_id"), col("rel"), col("nvec"))
+      .as[(Long, Long, Double, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cand = it.toArray.sortBy(t => (-t._3, t._2))
+        val unit = cand.map { t =>
+          val v = t._4.toArray
+          val n = math.sqrt(v.map(x => x * x).sum)
+          v.map(_ / n)
+        }
+        def cos(i: Int, j: Int): Double = {
+          var s = 0.0; var d = 0
+          while (d < unit(i).length) { s += unit(i)(d) * unit(j)(d); d += 1 }
+          s
+        }
+        val sel = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val taken = new Array[Boolean](cand.length)
+        while (sel.size < math.min(k, cand.length)) {
+          var best = -1; var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < cand.length) {
+            if (!taken(i)) {
+              // true max over the selected set (cosines can be
+              // negative; clamping at 0 would mute anti-similar docs)
+              var red = if (sel.isEmpty) 0.0 else Double.NegativeInfinity
+              sel.foreach { j => val s = cos(i, j); if (s > red) red = s }
+              val score = lambda * cand(i)._3 - (1 - lambda) * red
+              if (score > bestScore) { best = i; bestScore = score }
+            }
+            i += 1
+          }
+          taken(best) = true
+          sel += best
+        }
+        sel.zipWithIndex.map { case (i, r) =>
+          (qid, (r + 1).toLong, cand(i)._2)
+        }
+      }
+      .toDF("qid", "rank", "neighbor_id")
+  }
+
   /** All-corpus k-NN graph: every document's k nearest neighbors by
     * cosine — the input structure for SemDeDup-style clustering,
     * graph dedup, and label propagation. [[ivfTopK]] cannot build it

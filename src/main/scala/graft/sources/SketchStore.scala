@@ -232,6 +232,33 @@ object SketchStore {
     hh.finish(perGroup.reduce(hh.merge))
   }
 
+  /** Roll the stored per-group buffers up to a coarser calendar (or
+    * any) granularity and report each rolled group's top k: day
+    * artifacts → weekly/monthly top-k without re-scanning any day.
+    * `rollup` maps a stored group label to its rolled label; groups
+    * fold in sorted order within each rolled label (same determinism
+    * note as [[mergeTopKGroups]]); same per-label Σn/capacity bound. */
+  def mergeTopKRollup(spark: SparkSession, dir: String, k: Int,
+                      rollup: String => String): Seq[(String, String, Long)] = {
+    import spark.implicits._
+    val rows = spark.read.parquet(dir)
+      .select(col("grp").cast(org.apache.spark.sql.types.StringType),
+        col("item"), col("cnt"), col("capacity"))
+      .as[(String, String, Long, Int)].collect()
+    require(rows.nonEmpty, "no top-k artifact groups to roll up")
+    val caps = rows.map(_._4).toSet
+    require(caps.size == 1,
+      s"incompatible top-k sketches: capacities $caps — merged bounds only hold at one capacity")
+    val hh = new graft.functions.HeavyHitters(caps.head, k)
+    rows.groupBy(r => rollup(r._1)).toSeq.sortBy(_._1).flatMap {
+      case (label, rs) =>
+        val perGroup = rs.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, g) =>
+          scala.collection.mutable.Map(g.map(r => r._2 -> r._3): _*)
+        }
+        hh.finish(perGroup.reduce(hh.merge)).map { case (it, n) => (label, it, n) }
+    }
+  }
+
   // ── Artifact consumers (no-rescan analytics) ─────────────────────
 
   /** q58's drift audit computed ENTIRELY from stored value histograms

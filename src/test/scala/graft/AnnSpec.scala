@@ -144,6 +144,47 @@ class AnnSpec extends AnyFunSuite {
     assert(plain.count() == 8 * 10)
   }
 
+  test("MMR: lambda=1 reduces to plain top-k; lower lambda buys measured diversity") {
+    val queries = emb.filter(col("id") < 8)
+    val plain = Ann.bruteForceTopK(emb, queries, k = 10)
+      .select("qid", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    // the correctness anchor: with no redundancy penalty the greedy IS
+    // the relevance sort — ranks and ids must match exactly
+    val atOne = Ann.mmrTopK(emb, queries, k = 10, fetchK = 30, lambda = 1.0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(atOne == plain, "MMR at lambda=1 diverged from plain top-k")
+
+    val mmr = Ann.mmrTopK(emb, queries, k = 10, fetchK = 30, lambda = 0.7)
+      .as[(Long, Long, Long)].collect()
+    assert(mmr.groupBy(_._1).forall(_._2.length == 10))
+    // rank 1 is always the most relevant candidate (sel starts empty)
+    val top1 = mmr.filter(_._2 == 1L).map(t => (t._1, t._3)).toSet
+    val plainTop1 = plain.filter(_._2 == 1L).map(t => (t._1, t._3))
+    assert(top1 == plainTop1, "MMR rank-1 != most relevant")
+
+    // diversity: mean pairwise cosine within each query's selected set
+    // must drop vs the plain top-k (the reason the operator exists)
+    val vecs = emb.as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def meanPairSim(sel: Map[Long, Array[Long]]): Double = {
+      val sims = sel.values.flatMap { ids =>
+        for (i <- ids.indices; j <- ids.indices if i < j)
+          yield cos(vecs(ids(i)), vecs(ids(j)))
+      }
+      sims.sum / sims.size
+    }
+    val simPlain = meanPairSim(
+      plain.toArray.groupBy(_._1).view.mapValues(_.map(_._3)).toMap)
+    val simMmr = meanPairSim(mmr.groupBy(_._1).view.mapValues(_.map(_._3)).toMap)
+    info(f"mean pairwise sim: plain=$simPlain%.4f mmr=$simMmr%.4f")
+    assert(simMmr < simPlain,
+      f"MMR did not diversify: $simMmr%.4f >= $simPlain%.4f")
+  }
+
   test("probesForRecall calibration: derived nProbe meets its recall target") {
     // the round-8 fix for the one quality-weak component: instead of a
     // fixed nProbe, solve the probe budget from a recall target against
