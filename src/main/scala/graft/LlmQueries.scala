@@ -553,6 +553,53 @@ object LlmQueries {
        |FROM tk LEFT JOIN sp ON tk.doc_id = sp.doc_id
        |ORDER BY tk.doc_id""".stripMargin
 
+  /** #202 (d33): per-source provenance DATASHEET — the one-page
+    * "datasheet for datasets" dedup section (Gebru et al. 2021's
+    * documentation practice): d32's row-level verdicts rolled up per
+    * ingest source — docs by outcome (kept / dropped-exact /
+    * dropped-neardup / span-trimmed), token mass in/out, and the
+    * half-up ppm retention rate a datasheet quotes. Complements d30
+    * (stage-MARGINAL savings per source) with the outcome-census
+    * view; one |docs| join + a configuration-scale aggregate on top
+    * of frames the staged artifacts already serve. Fully oracled
+    * (d32's CASE precedence recomputed inline). */
+  def d33ProvenanceDatasheet: Q = (spark, dir) => {
+    d32Provenance(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("verdict") === "kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("verdict") === "1_exact", 1L).otherwise(0L))
+          .as("n_dropped_exact"),
+        sum(when(col("verdict") === "2_neardup_cluster", 1L).otherwise(0L))
+          .as("n_dropped_neardup"),
+        sum(when(col("verdict") === "3_spans_trimmed", 1L).otherwise(0L))
+          .as("n_trimmed"),
+        sum("n_tok").as("tokens_in"),
+        sum("n_tok_after").as("tokens_out"))
+      .withColumn("retention_ppm", expr(
+        "case when tokens_in = 0 then 0 " +
+          "else (tokens_out * 1000000 * 2 + tokens_in) div (2 * tokens_in) end"))
+      .orderBy("source")
+  }
+
+  // lazy for the same reason as d28Sql: embeds d32Sql
+  lazy val d33Sql: String =
+    s"""WITH p AS ($d32Sql)
+       |SELECT d.source,
+       |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(COUNT(*) FILTER (p.verdict = 'kept') AS BIGINT) AS n_kept,
+       |       CAST(COUNT(*) FILTER (p.verdict = '1_exact') AS BIGINT) AS n_dropped_exact,
+       |       CAST(COUNT(*) FILTER (p.verdict = '2_neardup_cluster') AS BIGINT) AS n_dropped_neardup,
+       |       CAST(COUNT(*) FILTER (p.verdict = '3_spans_trimmed') AS BIGINT) AS n_trimmed,
+       |       CAST(SUM(p.n_tok) AS BIGINT) AS tokens_in,
+       |       CAST(SUM(p.n_tok_after) AS BIGINT) AS tokens_out,
+       |       CAST(CASE WHEN SUM(p.n_tok) = 0 THEN 0
+       |                 ELSE (SUM(p.n_tok_after) * 1000000 * 2 + SUM(p.n_tok))
+       |                      // (2 * SUM(p.n_tok)) END AS BIGINT) AS retention_ppm
+       |FROM p JOIN documents d USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** #161 (d26): incremental cluster maintenance — fold a NEW ingest
     * batch into an EXISTING near-dup cluster table without re-running
     * the old corpus's pair verification or re-clustering it from
@@ -2136,6 +2183,7 @@ object LlmQueries {
     "d29_stage_savings" -> d29StageSavings,
     "d30_savings_by_source" -> d30SavingsBySource,
     "d32_provenance" -> d32Provenance,
+    "d33_provenance_datasheet" -> d33ProvenanceDatasheet,
     "d26_incremental_clusters" -> d26IncrementalClusters,
     "d07_embed_neardup_lsh" -> d07EmbedNearDupLsh,
     "d13_semdedup" -> d13SemDedup,
@@ -2191,6 +2239,7 @@ object LlmQueries {
     "d29_stage_savings" -> d29Sql,
     "d30_savings_by_source" -> d30Sql,
     "d32_provenance" -> d32Sql,
+    "d33_provenance_datasheet" -> d33Sql,
     // incremental ≡ full: the oracle IS the from-scratch d06 SQL
     "d26_incremental_clusters" -> d06Sql,
     "s01_ann_bruteforce" -> s01Sql,

@@ -753,8 +753,22 @@ object Ann {
         cosinePrenormed(dot(col("qvec"), col("nvec")), col("qnrm"), col("cnrm")))
     val w = Window.partitionBy("qid")
       .orderBy(col("rel").desc, col("neighbor_id").asc)
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= fetchK)
-      .select(col("qid"), col("neighbor_id"), col("rel"), col("nvec"))
+    mmrRerank(
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= fetchK)
+        .select(col("qid"), col("neighbor_id"), col("rel"), col("nvec")),
+      k, lambda)
+  }
+
+  /** The greedy MMR selection over a prepared candidate frame
+    * (qid, neighbor_id, rel, nvec) — shared by [[mmrTopK]] (brute
+    * candidates) and [[AnnIndex.probeMmr]] (persisted-index
+    * candidates). Per-query work is bounded by that query's own
+    * candidate count. */
+  private[sim] def mmrRerank(cands: DataFrame, k: Int,
+                             lambda: Double): DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    cands
       .as[(Long, Long, Double, Seq[Double])]
       .groupByKey(_._1)
       .flatMapGroups { (qid, it) =>

@@ -207,6 +207,49 @@ object AnnIndex {
     scoreCells(kept, queries, centroids, probes, k)
   }
 
+  /** MMR-diversified probe (#201): [[Ann.mmrTopK]]'s re-rank served
+    * from the persisted index — candidates come from the calibrated
+    * (or explicit) cell probe instead of a brute scan, then the same
+    * shared greedy ([[Ann.mmrRerank]]) trades relevance against
+    * redundancy per query. At λ = 1 this is exactly [[probe]] with
+    * k = fetchK truncated to k (spec-pinned), so the index path
+    * inherits MMR's correctness anchor. */
+  def probeMmr(spark: SparkSession, dir: String, queries: DataFrame,
+               k: Int, fetchK: Int, lambda: Double = 0.7,
+               nProbe: Int = 0): DataFrame = {
+    require(k <= fetchK, s"k=$k must be <= fetchK=$fetchK")
+    val top = probeScored(spark, dir, queries, fetchK, nProbe)
+      .select(col("qid"), col("neighbor_id"), col("rel"), col("nvec"))
+    Ann.mmrRerank(top, k, lambda)
+  }
+
+  private def probeScored(spark: SparkSession, dir: String,
+                          queries: DataFrame, fetchK: Int,
+                          nProbe: Int): DataFrame = {
+    val centroids = readCentroids(spark, dir)
+    val probes =
+      if (nProbe > 0) nProbe
+      else
+        try spark.read.parquet(s"$dir/meta").select("n_probe").head().getInt(0)
+        catch { case scala.util.control.NonFatal(_) =>
+          math.max(3, math.ceil(math.sqrt(centroids.length.toDouble)).toInt)
+        }
+    val cells = spark.read.parquet(s"$dir/cells")
+    val q = queries.select(col("id").as("qid"), col("vec").as("qvec"))
+      .withColumn("qnrm", norm(col("qvec")))
+      .filter(col("qnrm") > 0)
+      .withColumn("cell",
+        explode(centroidCells(col("qvec"), col("qnrm"), centroids, probes)))
+    val scored = cells.join(broadcast(q), Seq("cell"))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("sim", cosinePrenormed(dot(col("qvec"), col("vec")), col("qnrm"), col("nrm")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= fetchK)
+      .select(col("qid"), col("rank"), col("id").as("neighbor_id"),
+        col("sim").as("rel"), col("vec").as("nvec"))
+  }
+
   private def scoreCells(cells: DataFrame, queries: DataFrame,
                          centroids: Seq[Seq[Double]], probes: Int,
                          k: Int): DataFrame = {

@@ -894,6 +894,71 @@ object EventStream {
       }
   }
 
+  /** Streaming attribution (#203) — q77's streaming twin: emit each
+    * purchase's (first_touch, last_touch, cents) FACT as the user's
+    * history closes, so the attribution matrix is a running aggregate
+    * over this stream instead of a nightly window over all history.
+    * Same lateness-horizon closing discipline as [[transitionsStream]]
+    * (#129): per user, events buffer until a same-user event arrives
+    * `latenessMinutes` past them, then close in the batch plan's
+    * exact (ts, event_id) order — a closing view/click updates the
+    * first/last carry, a closing purchase emits its fact with the
+    * carries as of strictly-prior history (an event can never
+    * attribute to itself, q77's frame rule). Emitted facts over any
+    * closed prefix aggregate to batch q77 on that prefix exactly
+    * (spec-pinned). State per user: the frontier, TWO touch strings
+    * (the whole attribution memory — this is why the operator
+    * streams so cheaply), and the open-event buffer bounded by the
+    * lateness window. */
+  def attributionStream(events: DataFrame,
+                        latenessMinutes: Int = 60): Dataset[AttributionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(latenessMinutes >= 0, s"latenessMinutes must be >= 0: $latenessMinutes")
+    val lateUs = latenessMinutes.toLong * 60L * 1000000L
+    events
+      .selectExpr("user_id", "unix_micros(ts) as ts_us", "event_id",
+        "event_type", "cast(floor(value * 100 + 0.5) as long) as cents")
+      .as[(Long, Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AttrState, AttributionOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (uid, rows, state) =>
+        var st = state.getOption.getOrElse(
+          AttrState(Long.MinValue, "", "", Nil))
+        var pending = st.pending.toVector
+        var maxSeen = pending.iterator.map(_._1)
+          .foldLeft(Long.MinValue)(math.max)
+        rows.foreach { case (_, ts, id, et, cents) =>
+          if (ts > st.closedThrough) {
+            pending :+= ((ts, id, et, cents))
+            if (ts > maxSeen) maxSeen = ts
+          }
+        }
+        val out = Vector.newBuilder[AttributionOut]
+        var (firstT, lastT) = (st.firstTouch, st.lastTouch)
+        var closedThrough = st.closedThrough
+        if (maxSeen > Long.MinValue) {
+          val horizon = maxSeen - lateUs
+          val (close, keep) = pending.partition(_._1 < horizon)
+          close.sortBy(e => (e._1, e._2)).foreach { case (ts, _, et, cents) =>
+            if (et == "purchase")
+              out += AttributionOut(uid,
+                if (firstT.isEmpty) "direct" else firstT,
+                if (lastT.isEmpty) "direct" else lastT, cents)
+            if (et == "view" || et == "click") {
+              if (firstT.isEmpty) firstT = et
+              lastT = et
+            }
+            closedThrough = ts
+          }
+          pending = keep
+        }
+        state.update(AttrState(closedThrough, firstT, lastT, pending))
+        out.result().iterator
+      }
+  }
+
   /** Per-user running totals via arbitrary stateful processing
     * (`mapGroupsWithState`): state is one [[UserAgg]] per user —
     * bounded by the user population, not the stream length — and
@@ -935,6 +1000,10 @@ case class RetentionOut(user_id: Long, cohort_wk: java.sql.Date, week_offset: Lo
 case class TransState(closedThrough: Long, lastTs: Long, lastType: String,
                       pending: Seq[(Long, Long, String)])
 case class TransitionOut(user_id: Long, from_type: String, to_type: String)
+case class AttrState(closedThrough: Long, firstTouch: String, lastTouch: String,
+                     pending: Seq[(Long, Long, String, Long)])
+case class AttributionOut(user_id: Long, first_touch: String,
+                          last_touch: String, cents: Long)
 
 /** Idempotent external sink via `foreachBatch`: each micro-batch is
   * stamped with its batch id and replaces any previous rows of that

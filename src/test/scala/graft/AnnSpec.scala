@@ -185,6 +185,22 @@ class AnnSpec extends AnyFunSuite {
       f"MMR did not diversify: $simMmr%.4f >= $simPlain%.4f")
   }
 
+  test("index probeMmr: lambda=1 equals the calibrated index probe top-k") {
+    import graft.sim.AnnIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_mmr").toString
+    AnnIndex.build(emb, nCells = 23, seed = 42L, dir)
+    val queries = emb.filter(col("id") < 8)
+    val plain = AnnIndex.probe(spark, dir, queries, k = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    val atOne = AnnIndex.probeMmr(spark, dir, queries, k = 10, fetchK = 30,
+        lambda = 1.0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(atOne == plain, "index MMR at lambda=1 diverged from index probe")
+    val mmr = AnnIndex.probeMmr(spark, dir, queries, k = 10, fetchK = 30,
+      lambda = 0.7)
+    assert(mmr.count() == 8 * 10)
+  }
+
   test("probesForRecall calibration: derived nProbe meets its recall target") {
     // the round-8 fix for the one quality-weak component: instead of a
     // fixed nProbe, solve the probe budget from a recall target against

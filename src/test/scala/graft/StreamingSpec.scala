@@ -1155,6 +1155,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("attribution stream: closed-prefix purchase facts match the batch q77 rule") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def micros(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    val ev = Tables.events(spark, TestSpark.Sf)
+      .select($"user_id", $"ts", $"event_id", $"event_type", $"value")
+      .as[(Long, Timestamp, Long, String, Double)].collect()
+      .sortBy(r => (micros(r._2), r._3)).take(600)
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "event_id", "event_type", "value")
+    val query = EventStream.attributionStream(events, latenessMinutes = 60)
+      .toDF().writeStream.format("memory").queryName("attr_stream")
+      .outputMode("append").start()
+    try {
+      ev.grouped(200).foreach { b => input.addData(b: _*); query.processAllAvailable() }
+      val got = spark.table("attr_stream")
+        .as[(Long, String, String, Long)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      // q77's rule replayed locally on each user's closed prefix:
+      // purchases attribute to the carries of STRICTLY PRIOR events
+      val expect = ev.groupBy(_._1).toSeq.flatMap { case (uid, rows) =>
+        val sorted = rows.sortBy(r => (micros(r._2), r._3))
+        val horizon = sorted.iterator.map(r => micros(r._2)).max - 3600L * 1000000L
+        val closed = sorted.filter(r => micros(r._2) < horizon)
+        var first = ""; var last = ""
+        closed.flatMap { r =>
+          val fact =
+            if (r._4 == "purchase")
+              Some((uid,
+                if (first.isEmpty) "direct" else first,
+                if (last.isEmpty) "direct" else last,
+                math.floor(r._5 * 100 + 0.5).toLong))
+            else None
+          if (r._4 == "view" || r._4 == "click") {
+            if (first.isEmpty) first = r._4
+            last = r._4
+          }
+          fact
+        }
+      }.groupBy(identity).view.mapValues(_.length).toMap
+      assert(got == expect,
+        s"stream facts diverged: ${got.size} keys vs ${expect.size}")
+      assert(got.nonEmpty, "no purchases closed — fixture too small")
+    } finally query.stop()
+  }
+
   test("transitions stream: closed-prefix pairs match the batch session rule") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
