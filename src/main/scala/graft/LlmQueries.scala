@@ -1449,6 +1449,38 @@ object LlmQueries {
       .orderBy("id1", "id2")
   }
 
+  /** #207 (m04): pixel-level perceptual near-dup (aHash through the
+    * REAL codec) — what m03 cannot do: m03 fingerprints payload
+    * BYTES, so the same image re-encoded (P5 ↔ P2, a new comment
+    * header, recompression) shares zero chunks and silently escapes
+    * dedup. Here each payload round-trips the real PGM codec
+    * ([[graft.multimodal.Codecs]]) to PIXELS and hashes 8×8 block
+    * means ([[graft.multimodal.Codecs.aHash64]]) — demonstrated
+    * in-query by encoding even docs as binary P5 and odd docs as
+    * ASCII P2: identical content pairs across the two wire formats
+    * anyway (spec-pinned). The codec boundary is the one legitimate
+    * `mapPartitions` site (bytes→struct); pairing reuses d03's
+    * Manku-blocked hamming tables on the 64-bit hash — candidate-
+    * linear, never all-pairs. Rows-only (codec inside);
+    * MultimodalSpec pins re-encoding invariance, edit tolerance,
+    * and exact-dup recall. */
+  def m04PixelNearDup: Q = (spark, dir) => {
+    import graft.multimodal.Codecs
+    import spark.implicits._
+    val sigs = normedDocs(spark, dir)
+      .select(col("doc_id"), col("text_norm"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, txt) =>
+        val img = Codecs.renderGray(txt)
+        val payload =
+          if (id % 2 == 0) Codecs.encodePgmP5(img) else Codecs.encodePgmP2(img)
+        (id, Codecs.aHash64(Codecs.decodeGray(payload)))
+      }).toDF("doc_id", "sig")
+    SimHash.nearDupPairsBlocked(sigs, "doc_id", "sig",
+        nBlocks = 6, maxHamming = 3)
+      .orderBy("id1", "id2")
+  }
+
   /** #105 (d14): PageRank over the near-dup similarity graph —
     * centrality-based canonical ranking: within a dup cluster the
     * highest-ranked doc is the one most corroborated by its
@@ -2196,6 +2228,7 @@ object LlmQueries {
     "s14_ann_recall_audit" -> s14AnnRecallAudit,
     "s15_filtered_ann" -> s15FilteredAnn,
     "s16_mmr" -> s16Mmr,
+    "m04_pixel_neardup" -> m04PixelNearDup,
     "s04_quantize_int8" -> s04QuantizeInt8,
     "s05_ann_int8_rerank" -> s05AnnInt8Rerank,
     "s06_ann_pq" -> s06AnnPq,

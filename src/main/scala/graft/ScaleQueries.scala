@@ -338,9 +338,67 @@ object ScaleQueries {
       |FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-16'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** #204 (q80): top-k CHURN alert — the monitoring consumer on top of
+    * q76's weekly rollup: per consecutive week pair, how many items
+    * entered, exited, and held in the top-3 (the "your leaderboard
+    * changed" signal a drift alert fires on; q58 watches value
+    * distributions, this watches RANK composition). Consumes the same
+    * per-day sketch artifacts; the week frames are sketch-sized, so
+    * the set algebra runs driver-side over ≤ weeks·k rows — at 100 TB
+    * the events are never touched, only kilobyte buffers. Oracle-exact
+    * in the no-eviction regime (windowed anti-join churn in SQL). */
+  def q80TopkChurn: Q = (spark, dir) => {
+    import graft.sources.SketchStore
+    val art = StageRoots.rootFor(dir) + "/topk_byday"
+    SketchStore.saveTopKGrouped(
+      Tables.events(spark, dir),
+      date_format(col("ts"), "yyyy-MM-dd"), col("event_type"),
+      capacity = 64, dir = art)
+    val topk = SketchStore.mergeTopKRollup(spark, art, k = 3, rollup = { day =>
+      val d = java.time.LocalDate.parse(day)
+      d.minusDays(d.getDayOfWeek.getValue - 1L).toString
+    }).map { case (wk, it, _) => (wk, it) }
+    val weeks = topk.map(_._1).distinct.sorted
+    val byWeek = topk.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    import spark.implicits._
+    weeks.zip(weeks.drop(1)).map { case (pw, w) =>
+      val (cur, prv) = (byWeek(w), byWeek(pw))
+      (w, (cur -- prv).size.toLong, (prv -- cur).size.toLong,
+        (cur & prv).size.toLong)
+    }.toDF("week", "n_entered", "n_exited", "n_common")
+      .orderBy("week")
+  }
+
+  val q80Sql: String =
+    """WITH d AS (SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk,
+      |                  event_type FROM events),
+      |c AS (SELECT wk, event_type, COUNT(*) AS n FROM d GROUP BY 1, 2),
+      |r AS (SELECT wk, event_type,
+      |             ROW_NUMBER() OVER (PARTITION BY wk ORDER BY n DESC, event_type) AS rk
+      |      FROM c),
+      |t AS (SELECT wk, event_type FROM r WHERE rk <= 3),
+      |w AS (SELECT DISTINCT wk FROM t),
+      |p AS (SELECT wk, lag(wk) OVER (ORDER BY wk) AS pw FROM w),
+      |ent AS (
+      |  SELECT p.wk,
+      |         CAST(COUNT(*) FILTER (b.event_type IS NULL) AS BIGINT) AS n_entered,
+      |         CAST(COUNT(*) FILTER (b.event_type IS NOT NULL) AS BIGINT) AS n_common
+      |  FROM p JOIN t a ON a.wk = p.wk
+      |  LEFT JOIN t b ON b.wk = p.pw AND b.event_type = a.event_type
+      |  WHERE p.pw IS NOT NULL GROUP BY 1),
+      |ex AS (
+      |  SELECT p.wk,
+      |         CAST(COUNT(*) FILTER (c2.event_type IS NULL) AS BIGINT) AS n_exited
+      |  FROM p JOIN t b2 ON b2.wk = p.pw
+      |  LEFT JOIN t c2 ON c2.wk = p.wk AND c2.event_type = b2.event_type
+      |  WHERE p.pw IS NOT NULL GROUP BY 1)
+      |SELECT CAST(ent.wk AS VARCHAR) AS week, n_entered, n_exited, n_common
+      |FROM ent JOIN ex USING (wk) ORDER BY week""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q34_heavy_hitters" -> q34HeavyHitters,
     "q76_topk_weekly" -> q76TopkWeekly,
+    "q80_topk_churn" -> q80TopkChurn,
     "q79_quantiles_from_artifacts" -> q79QuantilesFromArtifacts,
     "q35_salted_join" -> q35SaltedJoin,
     "q36_bucketed_join" -> q36BucketedJoin,
@@ -354,6 +412,7 @@ object ScaleQueries {
     "q74_topk_day_range" -> q74Sql,
     "q76_topk_weekly" -> q76Sql,
     "q79_quantiles_from_artifacts" -> q79Sql,
+    "q80_topk_churn" -> q80Sql,
     "q34_heavy_hitters" -> q34Sql,
     "q35_salted_join" -> q35Sql,
     "q36_bucketed_join" -> q36Sql,

@@ -1417,6 +1417,55 @@ object TrainingDataQueries {
        |       c.vocab_total, c.tokens_total
        |FROM mix m JOIN cov c USING (lang) ORDER BY m.lang""".stripMargin
 
+  /** #205 (t33): quality-gated weighted sampling — t22's
+    * length-proportional systematic draw restricted to the documents
+    * that pass t29's Gopher rule suite: the two shipped operators
+    * composed the way a curation pipeline actually runs them (filter
+    * first, then spend the token budget ∝ length on what survived —
+    * giving sampling mass to failing docs and discarding them after
+    * would silently shrink the draw). Same distributed prefix sum,
+    * same stride arithmetic, same determinism guarantee (re-ingest
+    * can never flip a pick); the stride re-derives from the PASSING
+    * mass so the draw size stays ~50 regardless of the gate's pass
+    * rate. Fully oracled (t29's flags + t22's window recomputed
+    * inline over the filtered set). */
+  def t33QualitySample: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+      .join(t29GopherRules(spark, dir)
+        .filter(col("gopher_pass") === 1L).select("doc_id"), "doc_id")
+    val step = docs.agg(
+      greatest(lit(1L), (sum("n_chars") / 50).cast(LongType)).as("step"))
+    graft.etl.GlobalOrder
+      .withGlobalSeq(docs, "doc_id", Nil,
+        valueCol = Some("n_chars"), runCol = "run_chars")
+      .crossJoin(broadcast(step))
+      .filter(expr("run_chars div step > (run_chars - n_chars) div step"))
+      .select(col("doc_id"), col("n_chars"), col("run_chars"),
+        expr("run_chars div step - (run_chars - n_chars) div step")
+          .cast(LongType).as("n_picks"))
+      .orderBy("doc_id")
+  }
+
+  // lazy: embeds t29Sql
+  lazy val t33Sql: String =
+    s"""WITH g AS MATERIALIZED ($t29Sql),
+       |f AS MATERIALIZED (
+       |  SELECT d.doc_id, d.n_chars FROM documents d
+       |  JOIN g ON g.doc_id = d.doc_id WHERE g.gopher_pass = 1),
+       |r AS MATERIALIZED (
+       |  SELECT doc_id, n_chars,
+       |         CAST(SUM(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+       |              AS BIGINT) AS run_chars
+       |  FROM f),
+       |s AS MATERIALIZED (
+       |  SELECT GREATEST(1, CAST(SUM(n_chars) AS BIGINT) // 50) AS step FROM f)
+       |SELECT doc_id, n_chars, run_chars,
+       |       CAST(run_chars // step - (run_chars - n_chars) // step AS BIGINT)
+       |         AS n_picks
+       |FROM r CROSS JOIN s
+       |WHERE run_chars // step > (run_chars - n_chars) // step
+       |ORDER BY doc_id""".stripMargin
+
   /** #183 (t30): class-balance audit — the label-distribution report a
     * supervised/fine-tuning corpus needs before training (and the
     * input to rebalancing decisions t26 makes for languages): per
@@ -1461,6 +1510,7 @@ object TrainingDataQueries {
 
   val queries: Seq[(String, Q)] = Seq(
     "t30_class_balance" -> t30ClassBalance,
+    "t33_quality_sample" -> t33QualitySample,
     "t31_lang_budget" -> t31LangBudget,
     "t29_gopher_rules" -> t29GopherRules,
     "t26_alpha_mix" -> t26AlphaMix,
@@ -1496,6 +1546,7 @@ object TrainingDataQueries {
     "t28_source_coverage" -> t28Sql,
     "t29_gopher_rules" -> t29Sql,
     "t30_class_balance" -> t30Sql,
+    "t33_quality_sample" -> t33Sql,
     "t31_lang_budget" -> t31Sql,
     "t23_leakage_safe_split" -> t23Sql,
     "t22_weighted_sample" -> t22Sql,

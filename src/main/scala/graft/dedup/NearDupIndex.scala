@@ -74,6 +74,75 @@ object NearDupIndex {
     (a._1 + b._1, a._2 + b._2)
   }
 
+  /** Gate QUALITY audit against the persisted index (#206): the d31
+    * confusion report with the estimate side served from the STORED
+    * band/signature tables — per batch doc, the index gate's reject
+    * decision vs ground truth "∃ corpus doc with EXACT jaccard ≥
+    * τ" from the lossless prefix-filtered [[SetSimJoin]] over
+    * corpus ∪ batch (`corpus` must be the (doc_id, text) frame the
+    * index was built/appended from; ids disjoint from the batch —
+    * the gate contract). One row: true/false rejects, missed dups,
+    * integer-ppm precision/recall — the nightly "re-tune (k, nBands)
+    * or rebuild?" signal, run on a slice/cadence because the exact
+    * side prices like d04. An independent implementation of the d31
+    * kernel (DedupSpec pins the two agreeing on the same fixture). */
+  def auditGate(spark: SparkSession, dir: String, batch: DataFrame,
+                corpus: DataFrame, tauNum: Int = 7,
+                tauDen: Int = 10): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (k, nBands, seed) = readMeta(spark, dir)
+    val (bands, sigs) = load(spark, dir)
+    val bSig = batch
+      .withColumn("text_norm", graft.etl.TextNorm.normalizeText(col("text")))
+      .select(col("doc_id"), MinHash.signature(
+        array_distinct(MinHash.shingleHashes(col("text_norm"), 3)), k, seed)
+        .as("bsig"))
+    val cand = bSig
+      .select(col("doc_id"), col("bsig"),
+        posexplode(MinHash.bandHashes(col("bsig"), nBands, k))
+          .as(Seq("band", "bh")))
+      .join(bands, Seq("band", "bh"))
+      .select("doc_id", "bsig", "cid").distinct()
+    val rejected = cand.join(sigs, "cid")
+      .withColumn("m", MinHash.sigMatches(col("bsig"), col("csig")))
+      .filter(col("m") * tauDen >= k * tauNum)
+      .select("doc_id").distinct().withColumn("rej", lit(1L))
+    val sets = corpus.select(col("doc_id"), col("text"), lit(false).as("is_b"))
+      .unionByName(batch.select(col("doc_id"), col("text"), lit(true).as("is_b")))
+      .withColumn("text_norm", graft.etl.TextNorm.normalizeText(col("text")))
+      .select(col("doc_id"), col("is_b"),
+        array_distinct(MinHash.shingleHashes(col("text_norm"), 3)).as("s"))
+      .repartition(col("doc_id"))
+    val pairs = SetSimJoin.jaccardSelfJoin(
+      sets.select("doc_id", "s"), "doc_id", "s", tauNum, tauDen)
+    val flag = sets.select("doc_id", "is_b")
+    val trueDup = pairs
+      .join(flag.select(col("doc_id").as("id1"), col("is_b").as("b1")), "id1")
+      .join(flag.select(col("doc_id").as("id2"), col("is_b").as("b2")), "id2")
+      .filter(col("b1") =!= col("b2"))
+      .select(when(col("b1"), col("id1")).otherwise(col("id2")).as("doc_id"))
+      .distinct().withColumn("dup", lit(1L))
+    batch.select("doc_id")
+      .join(rejected, Seq("doc_id"), "left")
+      .join(trueDup, Seq("doc_id"), "left")
+      .agg(
+        count(lit(1)).as("n_batch"),
+        sum(coalesce(col("rej"), lit(0L))).as("n_rejected"),
+        sum(coalesce(col("dup"), lit(0L))).as("n_true_dup"),
+        sum(when(col("rej") === 1L && col("dup") === 1L, 1L).otherwise(0L))
+          .as("true_rejects"),
+        sum(when(col("rej") === 1L && col("dup").isNull, 1L).otherwise(0L))
+          .as("false_rejects"),
+        sum(when(col("rej").isNull && col("dup") === 1L, 1L).otherwise(0L))
+          .as("missed_dups"))
+      .withColumn("precision_ppm", expr(
+        "case when n_rejected = 0 then 1000000 " +
+          "else (true_rejects * 1000000) div n_rejected end"))
+      .withColumn("recall_ppm", expr(
+        "case when n_true_dup = 0 then 1000000 " +
+          "else (true_rejects * 1000000) div n_true_dup end"))
+  }
+
   private def writeSigs(docs: DataFrame, dir: String, k: Int, nBands: Int,
                         seed: Long, append: Boolean = false): Unit = {
     val spark = docs.sparkSession

@@ -192,6 +192,87 @@ object Codecs {
 
   // ---- encoders (test fixtures + round-trip evidence) --------------
 
+  /** Encode a [[GrayImage]] as ASCII P2 — the SAME image in a
+    * different wire format, which is exactly what byte-level
+    * fingerprints (m03's CDC-chunk minhash) cannot see through and
+    * pixel-level hashes ([[aHash64]]) are invariant to. */
+  def encodePgmP2(img: GrayImage): Array[Byte] = {
+    require(img.pixels.length == img.width * img.height, "pixel count")
+    val sb = new StringBuilder(s"P2\n${img.width} ${img.height}\n255\n")
+    var i = 0
+    while (i < img.pixels.length) {
+      val v = img.pixels(i)
+      require(v >= 0 && v <= 255, s"pixel $v")
+      sb.append(v)
+      sb.append(if ((i + 1) % img.width == 0) '\n' else ' ')
+      i += 1
+    }
+    sb.toString.getBytes("US-ASCII")
+  }
+
+  /** 64-bit average-hash (aHash) of DECODED pixels — the classic
+    * perceptual fingerprint: 8×8 block means thresholded at their own
+    * global mean. Because it hashes pixels, not bytes, the SAME image
+    * re-encoded (P5 ↔ P2, different comment headers, BMP) maps to the
+    * IDENTICAL 64-bit value — the representation-invariance m03's
+    * byte-level fingerprint fundamentally lacks — and small pixel
+    * edits flip few block bits (hamming-near). Integer arithmetic
+    * only (block sums / integer means), so the hash is exactly
+    * reproducible everywhere. */
+  def aHash64(img: GrayImage): Long = {
+    val (w, h) = (img.width, img.height)
+    require(w >= 8 && h >= 8, s"aHash needs >= 8x8 pixels, got ${w}x$h")
+    val means = new Array[Long](64)
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        val x0 = bx * w / 8; val x1 = (bx + 1) * w / 8
+        val y0 = by * h / 8; val y1 = (by + 1) * h / 8
+        var s = 0L; var n = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += img.pixels(y * w + x); n += 1; x += 1 }
+          y += 1
+        }
+        means(by * 8 + bx) = if (n == 0) 0L else s / n
+        bx += 1
+      }
+      by += 1
+    }
+    val avg = means.sum / 64
+    var bits = 0L
+    var i = 0
+    while (i < 64) { if (means(i) > avg) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  /** Decode either supported format to pixels (the [[aHash64]] input
+    * path: payload → [[GrayImage]] regardless of wire format). */
+  def decodeGray(payload: Array[Byte]): GrayImage =
+    if (isPgm(payload)) decodePgm(payload)
+    else if (isBmp(payload)) decodeBmp(payload)
+    else fail("unknown format (not PGM or BMP)")
+
+  /** Deterministic grayscale "render" of a text payload: 32×32 pixels
+    * resampled from the UTF-8 byte sequence (pixel i reads the byte
+    * at the proportional position i·n/1024). The test corpus ships no
+    * real thumbnails, so this is the stand-in that preserves the
+    * property perceptual hashing needs: identical content → identical
+    * pixels, lightly-edited content → mostly-identical block means. */
+  def renderGray(text: String): GrayImage = {
+    val bytes = text.getBytes("UTF-8")
+    val n = math.max(1, bytes.length)
+    val px = new Array[Int](32 * 32)
+    var i = 0
+    while (i < px.length) {
+      px(i) = bytes(((i.toLong * n) / px.length).toInt % n) & 0xFF
+      i += 1
+    }
+    GrayImage(32, 32, px)
+  }
+
   /** Encode a [[GrayImage]] as binary P5 — gives specs REAL bytes to
     * decode and proves the header writer/parser agree. */
   def encodePgmP5(img: GrayImage): Array[Byte] = {

@@ -530,6 +530,27 @@ class DedupSpec extends AnyFunSuite {
       "compaction changed gate decisions")
   }
 
+  test("near-dup index auditGate agrees with the in-memory d31 audit") {
+    import graft.dedup.NearDupIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndi_audit").toString
+    val docs = Tables.documents(spark, TestSpark.Sf).select("doc_id", "text")
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+    val batch = docs.filter($"doc_id" % 2 === 1)
+    NearDupIndex.build(corpus, dir)
+    val cols = Seq("n_batch", "n_rejected", "n_true_dup", "true_rejects",
+      "false_rejects", "missed_dups", "precision_ppm", "recall_ppm")
+    val got = NearDupIndex.auditGate(spark, dir, batch, corpus)
+      .select(cols.map(col): _*)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    // two independent implementations of the same audit must agree —
+    // d31 computes the estimate side in memory, this one reads the
+    // persisted index tables
+    val want = LlmQueries.d31GateAudit(spark, TestSpark.Sf)
+      .select(cols.map(col): _*)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(got == want, s"index audit $got != in-memory d31 $want")
+  }
+
   test("d31 gate audit: confusion counts are consistent and recall holds") {
     val r = LlmQueries.d31GateAudit(spark, TestSpark.Sf)
       .select("n_batch", "n_rejected", "n_true_dup", "true_rejects",

@@ -188,4 +188,66 @@ class MultimodalSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       Codecs.decodeBmp(java.util.Arrays.copyOf(ok, ok.length - 4)))
   }
+
+  test("aHash64: re-encoding invariant, edit-tolerant, m04 recalls exact dups") {
+    import graft.multimodal.Codecs
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+    // the property m03's byte fingerprint lacks: the SAME pixels in
+    // two wire formats hash identically
+    val img = Codecs.renderGray("some representative document text " * 8)
+    val h5 = Codecs.aHash64(Codecs.decodeGray(Codecs.encodePgmP5(img)))
+    val h2 = Codecs.aHash64(Codecs.decodeGray(Codecs.encodePgmP2(img)))
+    assert(h5 == h2 && h5 == Codecs.aHash64(img),
+      "aHash not invariant under P5/P2 re-encoding")
+
+    // small pixel edits flip few block bits; unrelated pixels diverge
+    // 3 edited pixels touch at most 3 of the 64 blocks, so the hash
+    // can move at most 3 bits — inside m04's pairing threshold
+    val edited = img.pixels.clone()
+    var i = 0
+    while (i < 3) { edited(i * 83 % edited.length) = 255; i += 1 }
+    val hEdit = Codecs.aHash64(Codecs.GrayImage(32, 32, edited))
+    assert(hamming(h5, hEdit) <= 3, s"light edit moved ${hamming(h5, hEdit)} bits")
+    val other = Codecs.renderGray("completely different content entirely " * 9)
+    assert(hamming(h5, Codecs.aHash64(other)) > 3, "distinct content collided")
+
+    // planted recall: identical content under DIFFERENT wire formats
+    // (even id → P5, odd id → P2, m04's convention) must pair up —
+    // the re-encoding case m03's byte fingerprint provably misses
+    val texts = Tables.documents(spark, TestSpark.Sf)
+      .select("text").as[String].take(6)
+    val planted = texts.zipWithIndex.flatMap { case (t, i) =>
+      Seq((i * 2L, t), (i * 2L + 1001L, t)) // one even, one odd per text
+    }
+    import graft.dedup.SimHash
+    val sigs = planted.toSeq.toDF("doc_id", "text_norm")
+      .as[(Long, String)]
+      .map { case (id, txt) =>
+        val img2 = Codecs.renderGray(txt)
+        val payload = if (id % 2 == 0) Codecs.encodePgmP5(img2)
+                      else Codecs.encodePgmP2(img2)
+        (id, Codecs.aHash64(Codecs.decodeGray(payload)))
+      }.toDF("doc_id", "sig")
+    val found = SimHash.nearDupPairsBlocked(sigs, "doc_id", "sig",
+        nBlocks = 6, maxHamming = 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val wantPairs = texts.indices.map(i => (i * 2L, i * 2L + 1001L)).toSet
+    assert(wantPairs.subsetOf(found),
+      s"missed cross-format exact pairs: ${wantPairs.diff(found)}")
+
+    // the registered corpus query runs, and every reported pair really
+    // is hamming-close (recompute locally)
+    val corpus = LlmQueries.m04PixelNearDup(spark, TestSpark.Sf)
+      .select("id1", "id2").as[(Long, Long)].collect()
+    val hashes = Tables.documents(spark, TestSpark.Sf)
+      .select(col("doc_id"),
+        graft.etl.TextNorm.normalizeText(col("text")).as("tn"))
+      .as[(Long, String)].collect()
+      .map { case (id, t) => id -> Codecs.aHash64(Codecs.renderGray(t)) }
+      .toMap
+    corpus.foreach { case (a, b) =>
+      assert(hamming(hashes(a), hashes(b)) <= 3, s"pair ($a,$b) not close")
+    }
+  }
 }
