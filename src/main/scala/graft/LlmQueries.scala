@@ -960,6 +960,22 @@ object LlmQueries {
       .orderBy("qid", "rank")
   }
 
+  /** #209 (s17): probe-sweep frontier
+    * ([[graft.sim.AnnIndex.probeSweep]]) — the recall-vs-cost table a
+    * serving owner reads before picking a latency budget: recall@10
+    * per probe operating point against the persisted index, with the
+    * build-time calibrated point being one row of it. Rows-only
+    * (k-means + float recall inside); AnnSpec pins monotonicity and
+    * the full-probe recall-1.0 anchor. */
+  def s17ProbeSweep: Q = (spark, dir) => {
+    val idx = StageRoots.rootFor(dir) + "/ann_index_sweep"
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
+    graft.sim.AnnIndex.build(e, nCells = 23, seed = 42L, idx)
+    graft.sim.AnnIndex.probeSweep(spark, idx, k = 10, sampleMod = 25)
+      .orderBy("n_probe")
+  }
+
   /** #170 (s14): ANN recall drift audit — the maintenance decision the
     * serving story needs made first-class: measure recall@k of the
     * calibrated IVF path against exact brute force on a DETERMINISTIC
@@ -2228,6 +2244,7 @@ object LlmQueries {
     "s14_ann_recall_audit" -> s14AnnRecallAudit,
     "s15_filtered_ann" -> s15FilteredAnn,
     "s16_mmr" -> s16Mmr,
+    "s17_probe_sweep" -> s17ProbeSweep,
     "m04_pixel_neardup" -> m04PixelNearDup,
     "s04_quantize_int8" -> s04QuantizeInt8,
     "s05_ann_int8_rerank" -> s05AnnInt8Rerank,

@@ -223,6 +223,41 @@ object AnnIndex {
     Ann.mmrRerank(top, k, lambda)
   }
 
+  /** Recall-vs-cost frontier (#209): sweep the probe budget against
+    * the persisted index and report, per operating point, the
+    * measured recall@k (vs exact brute force on a deterministic
+    * ~1/sampleMod corpus slice — the s14/maintain economics) and the
+    * candidate volume a probe at that point scans. This is the
+    * capacity-planning table a serving owner reads before picking a
+    * latency budget — the stored calibrated point (meta.n_probe) is
+    * ONE row of it. Driver loops over the handful of requested
+    * points; each is one Spark job over partition-pruned cells.
+    * Monotonicity (recall never decreases with probes) and the
+    * full-probe anchor (nProbe = nCells ⇒ recall 1.0 — probing every
+    * cell IS brute force) are spec-pinned. */
+  def probeSweep(spark: SparkSession, dir: String, k: Int = 10,
+                 sampleMod: Int = 25,
+                 probes: Seq[Int] = Nil): DataFrame = {
+    import spark.implicits._
+    val nCells = spark.read.parquet(s"$dir/centroids").count().toInt
+    val points =
+      if (probes.nonEmpty) probes
+      else Seq(1, 2, 4, 8, nCells).distinct.filter(_ <= nCells).sorted
+    val corpus = spark.read.parquet(s"$dir/cells").select("id", "vec")
+    val sample = corpus.filter(pmod(col("id"), lit(sampleMod)) === 0)
+    val exact = Ann.bruteForceTopK(corpus, sample, k)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rows = points.map { p =>
+      val got = probe(spark, dir, sample, k, nProbe = p)
+        .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+      val recallPpm =
+        if (exact.isEmpty) 1000000L
+        else exact.count(got) * 1000000L / exact.size
+      (p.toLong, recallPpm, nCells.toLong)
+    }
+    rows.toDF("n_probe", "recall_ppm", "n_cells").orderBy("n_probe")
+  }
+
   private def probeScored(spark: SparkSession, dir: String,
                           queries: DataFrame, fetchK: Int,
                           nProbe: Int): DataFrame = {

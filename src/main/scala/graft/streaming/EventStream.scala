@@ -466,6 +466,68 @@ object EventStream {
     }
   }
 
+  /** Streaming top-k artifact maintenance (#208) — #194's sibling for
+    * the SpaceSaving family: keep the per-day sketch table that q74/
+    * q76/q80 consume current as events arrive. Per micro-batch: the
+    * batch folds into per-day buffers (one distributed groupByKey —
+    * the saveTopKGrouped kernel), the TOUCHED days' stored buffers
+    * merge in via the Aggregator's own weighted-add (driver-side over
+    * kilobyte sketch rows — the same economics as mergeTopK), and
+    * #158's dynamic-partition overwrite swaps exactly those day
+    * partitions. In the capacity ≫ domain regime counts add exactly,
+    * so the stored table is bit-identical to a one-shot batch
+    * [[graft.sources.SketchStore.saveTopKGrouped]] over the whole
+    * stream (spec-pinned with days straddling batches); in the
+    * eviction regime each day's buffer keeps the summed Σn/capacity
+    * bound. Replayed batch ids merge nothing. Batch schema: `day` +
+    * `item`. */
+  def topkArtifactForeachBatch(dir: String, capacity: Int)(
+      onUpdated: (Long) => Unit = _ => ()): (DataFrame, Long) => Unit = {
+    var lastBatch = -1L
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      if (batchId > lastBatch) {
+        val hh = new graft.functions.HeavyHitters(capacity, capacity)
+        val newBuf = batch
+          .select(col("day").cast(org.apache.spark.sql.types.StringType),
+            col("item").cast(org.apache.spark.sql.types.StringType))
+          .as[(String, String)]
+          .groupByKey(_._1).mapValues(_._2)
+          .agg(hh.toColumn.name("counters"))
+          .collect().toMap
+        val target = new org.apache.hadoop.fs.Path(dir)
+        val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val stored: Map[String, Seq[(String, Long)]] =
+          if (fs.exists(target))
+            spark.read.parquet(dir)
+              .filter(col("grp").isin(newBuf.keys.toSeq: _*))
+              .select(col("grp").cast(org.apache.spark.sql.types.StringType),
+                col("item"), col("cnt"))
+              .as[(String, String, Long)].collect()
+              .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSeq).toMap
+          else Map.empty
+        val merged = newBuf.toSeq.sortBy(_._1).flatMap { case (day, counters) =>
+          val m = scala.collection.mutable.Map(counters: _*)
+          val out = stored.get(day) match {
+            case Some(old) =>
+              hh.merge(scala.collection.mutable.Map(old: _*), m)
+            case None => m
+          }
+          out.toSeq.map { case (it, n) => (day, it, n) }
+        }
+        merged.toDF("grp", "item", "cnt")
+          .withColumn("capacity", lit(capacity))
+          .repartition(col("grp"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("grp").parquet(dir)
+        lastBatch = batchId
+      }
+      onUpdated(batchId)
+    }
+  }
+
   /** Streaming audience-overlap refresh (#185) — q73's streaming twin:
     * serve the estimated distinct-user overlap matrix continuously as
     * events arrive. State = ONE HLL register set per event type

@@ -201,6 +201,26 @@ class AnnSpec extends AnyFunSuite {
     assert(mmr.count() == 8 * 10)
   }
 
+  test("probeSweep: recall monotone in probes, full probe hits 1.0") {
+    import graft.sim.AnnIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_sw").toString
+    AnnIndex.build(emb, nCells = 23, seed = 42L, dir)
+    val sweep = AnnIndex.probeSweep(spark, dir, k = 10, sampleMod = 25)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    info(sweep.map { case (p, r, _) => s"$p probes -> ${r / 10000.0}%" }
+      .mkString(", "))
+    assert(sweep.nonEmpty && sweep.forall(_._3 == 23L))
+    // recall never decreases as the probe budget grows
+    sweep.sliding(2).foreach {
+      case Seq((p1, r1, _), (p2, r2, _)) =>
+        assert(r2 >= r1, s"recall fell $r1 -> $r2 from $p1 -> $p2 probes")
+      case _ =>
+    }
+    // probing every cell IS brute force
+    assert(sweep.last._1 == 23L && sweep.last._2 == 1000000L,
+      s"full probe recall ${sweep.last._2} != 1.0")
+  }
+
   test("probesForRecall calibration: derived nProbe meets its recall target") {
     // the round-8 fix for the one quality-weak component: instead of a
     // fixed nProbe, solve the probe budget from a recall target against

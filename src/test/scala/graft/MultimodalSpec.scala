@@ -200,6 +200,10 @@ class MultimodalSpec extends AnyFunSuite {
     val h2 = Codecs.aHash64(Codecs.decodeGray(Codecs.encodePgmP2(img)))
     assert(h5 == h2 && h5 == Codecs.aHash64(img),
       "aHash not invariant under P5/P2 re-encoding")
+    // BMP too: 24-bit gray luma (77r+150g+29b)>>8 is exact when r=g=b,
+    // so even the format FAMILY doesn't move the hash
+    val hBmp = Codecs.aHash64(Codecs.decodeGray(Codecs.encodeBmp24(img)))
+    assert(hBmp == h5, "aHash not invariant under BMP re-encoding")
 
     // small pixel edits flip few block bits; unrelated pixels diverge
     // 3 edited pixels touch at most 3 of the 64 blocks, so the hash

@@ -683,6 +683,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(drift == q58, "drift from streamed artifact != batch q58")
   }
 
+  test("top-k artifact stream: day buffers converge to the one-shot batch build") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStream
+    import graft.sources.SketchStore
+    val ev = Tables.events(spark, TestSpark.Sf)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .as[(String, String)].collect().toSeq
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_topkart").toString + "/t"
+    val sink = EventStream.topkArtifactForeachBatch(dir, capacity = 64)()
+    val input = MemoryStream[(String, String)]
+    val query = input.toDF().toDF("day", "item")
+      .writeStream.foreachBatch(sink).outputMode("append").start()
+    val batches = ev.grouped(ev.size / 3 + 1).toSeq
+    try {
+      batches.foreach { b => input.addData(b: _*); query.processAllAvailable() }
+    } finally query.stop()
+
+    // bit-identical to a one-shot batch build over the whole stream
+    // (capacity >> domain: counts add exactly, no evictions)
+    val batchDir = java.nio.file.Files.createTempDirectory("graft_topkb").toString + "/t"
+    SketchStore.saveTopKGrouped(ev.toDF("day", "item"),
+      col("day"), col("item"), capacity = 64, dir = batchDir)
+    def rows(d: String) = spark.read.parquet(d)
+      .select(col("grp").cast("string"), col("item"), col("cnt"))
+      .as[(String, String, Long)].collect().toSet
+    assert(rows(dir) == rows(batchDir), "streamed artifact != batch artifact")
+
+    // and the q74 consumer over the streamed artifact is exact
+    val merged = SketchStore.mergeTopKGroups(spark, dir, k = 3,
+      col("grp") <= "2024-01-10")
+    val exact = ev.filter(_._1 <= "2024-01-10").map(_._2)
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (it, n) => (-n, it) }.take(3)
+      .map { case (it, n) => (it, n) }
+    assert(merged == exact, s"consumer diverged: $merged vs $exact")
+  }
+
   test("overlap refresh: matrix after each batch equals batch q73 on the prefix") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
