@@ -1527,6 +1527,91 @@ object AnalyticsQueries {
       |FROM a WHERE event_type = 'purchase'
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** #211 (q81): week-hour activity profile — the classic operations
+    * heatmap (ISO weekday × hour × event type), the view capacity
+    * planning and anomaly triage both read ("is Tuesday 03:00 always
+    * this quiet?"). Pure map-side-combinable aggregate over a
+    * 7·24·|types| domain — the cheapest possible shape at any scale.
+    * ISO weekday is computed engine-portably: Spark's `dayofweek`
+    * (1=Sunday) remaps to ISO (1=Monday) with integer arithmetic,
+    * matching DuckDB's `isodow` exactly. */
+  def q81WeekHourProfile: Q = (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        (((dayofweek(col("ts")) + 5) % 7) + 1).cast(LongType).as("isodow"),
+        hour(col("ts")).cast(LongType).as("hour24"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "isodow", "hour24")
+
+  val q81Sql: String =
+    """SELECT event_type, CAST(isodow(ts) AS BIGINT) AS isodow,
+      |       CAST(hour(ts) AS BIGINT) AS hour24,
+      |       CAST(COUNT(*) AS BIGINT) AS n
+      |FROM events GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  /** #212 (q82): new-vs-returning users per day — the growth-accounting
+    * daily split every product dashboard leads with: a user is NEW on
+    * their first active day and RETURNING on every later active day.
+    * One distinct (day, user) reduction, one per-user min-day
+    * aggregate, one day-keyed rollup — all map-side combinable, the
+    * per-user frame is user-population-sized regardless of history
+    * length (never a window over the event stream). Fully oracled. */
+  def q82NewReturning: Q = (spark, dir) => {
+    val act = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val firstDay = act.groupBy("user_id").agg(min("day").as("first_day"))
+    act.join(firstDay, "user_id")
+      .groupBy("day")
+      .agg(
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L))
+          .as("n_returning"),
+        count(lit(1)).as("n_active"))
+      .orderBy("day")
+  }
+
+  val q82Sql: String =
+    """WITH a AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |f AS (SELECT user_id, MIN(day) AS first_day FROM a GROUP BY 1)
+      |SELECT a.day,
+      |       CAST(COUNT(*) FILTER (a.day = f.first_day) AS BIGINT) AS n_new,
+      |       CAST(COUNT(*) FILTER (a.day <> f.first_day) AS BIGINT) AS n_returning,
+      |       CAST(COUNT(*) AS BIGINT) AS n_active
+      |FROM a JOIN f USING (user_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** #215 (q84): fulfillment-latency percentiles — the warehouse SLA
+    * panel on the TPC-H side: per order month, the interpolated
+    * p50/p90 of order-to-ship lag in days. The measure is an integer
+    * day count, so [[graft.functions.ExactPercentile]] runs in its
+    * exact count-by-value regime (domain = a few hundred distinct
+    * lags; the splittable histogram path q29 pioneered — never a
+    * per-group value buffer). One fact-dimension equi-join + the
+    * domain-bounded rank pick; fully oracled vs `quantile_cont`. */
+  def q84ShipLatency: Q = (spark, dir) => {
+    import graft.functions.ExactPercentile, ExactPercentile.Pct
+    val lag = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate")),
+        "l_orderkey")
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("omonth"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast(LongType)
+          .as("lag_days"))
+    ExactPercentile.quantiles(lag, Seq("omonth"), col("lag_days"),
+        valPow = 0, outPow = 3,
+        Seq(Pct("p50_lag_milli", 50, 100), Pct("p90_lag_milli", 90, 100)))
+      .orderBy("omonth")
+  }
+
+  val q84Sql: String =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS omonth,
+      |       CAST(ROUND(quantile_cont(datediff('day', o_orderdate, l_shipdate), 0.5) * 1000, 0) AS BIGINT) AS p50_lag_milli,
+      |       CAST(ROUND(quantile_cont(datediff('day', o_orderdate, l_shipdate), 0.9) * 1000, 0) AS BIGINT) AS p90_lag_milli
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** #123 (q59): session transition mining — the Markov view of user
     * behavior: within each q20-rule session (30-min gap), count
     * adjacent event-type transitions x→y across all sessions, keeping
@@ -1920,6 +2005,9 @@ object AnalyticsQueries {
     "q58_drift" -> q58Drift,
     "q75_drift_from_artifacts" -> q75DriftFromArtifacts,
     "q77_attribution" -> q77Attribution,
+    "q81_weekhour_profile" -> q81WeekHourProfile,
+    "q82_new_returning" -> q82NewReturning,
+    "q84_ship_latency" -> q84ShipLatency,
     "q59_transitions" -> q59Transitions,
     "q60_dq_checks" -> q60DqChecks,
     "q61_trend_slope" -> q61TrendSlope,
@@ -1966,6 +2054,9 @@ object AnalyticsQueries {
     "q58_drift" -> q58Sql,
     "q75_drift_from_artifacts" -> q58Sql,
     "q77_attribution" -> q77Sql,
+    "q81_weekhour_profile" -> q81Sql,
+    "q82_new_returning" -> q82Sql,
+    "q84_ship_latency" -> q84Sql,
     "q59_transitions" -> q59Sql,
     "q60_dq_checks" -> q60Sql,
     "q61_trend_slope" -> q61Sql,

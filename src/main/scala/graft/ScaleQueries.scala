@@ -395,10 +395,45 @@ object ScaleQueries {
       |SELECT CAST(ent.wk AS VARCHAR) AS week, n_entered, n_exited, n_common
       |FROM ent JOIN ex USING (wk) ORDER BY week""".stripMargin
 
+  /** #214 (q83): weekly quantile TREND from the day histograms — the
+    * time-series member of the artifact-consumer family: per (ISO
+    * week, event type), the interpolated median of `value`, computed
+    * by rolling the q79 day artifacts up to weeks with plain count
+    * addition and running the splittable rank-pick per (week, type)
+    * group. The "is the median drifting week over week" panel beside
+    * q80's rank churn and q75's distribution distance — three
+    * monitors, ONE artifact family, zero event re-scans. Oracled
+    * against `quantile_cont` over the raw events grouped the same
+    * way. */
+  def q83QuantileTrend: Q = (spark, dir) => {
+    import graft.functions.ExactPercentile.Pct
+    import graft.sources.SketchStore
+    val art = StageRoots.rootFor(dir) + "/value_hists"
+    SketchStore.saveHistogram(
+      Tables.events(spark, dir)
+        .select(to_date(col("ts")).as("day"), col("event_type"), col("value")),
+      Seq("day", "event_type"), col("value"), valPow = 2, dir = art,
+      partitionCols = Seq("day"))
+    val weekly = spark.read.parquet(art)
+      .withColumn("week",
+        date_format(date_trunc("week", col("day")), "yyyy-MM-dd"))
+      .groupBy("week", "event_type", "v").agg(sum("cnt").as("cnt"))
+    SketchStore.quantilesFromHistogram(weekly, Seq("week", "event_type"),
+        valPow = 2, outPow = 3, Seq(Pct("p50_value_milli", 50, 100)))
+      .orderBy("week", "event_type")
+  }
+
+  val q83Sql: String =
+    """SELECT CAST(CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS VARCHAR) AS week,
+      |       event_type,
+      |       CAST(ROUND(quantile_cont(value, 0.5) * 1000, 0) AS BIGINT) AS p50_value_milli
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q34_heavy_hitters" -> q34HeavyHitters,
     "q76_topk_weekly" -> q76TopkWeekly,
     "q80_topk_churn" -> q80TopkChurn,
+    "q83_quantile_trend" -> q83QuantileTrend,
     "q79_quantiles_from_artifacts" -> q79QuantilesFromArtifacts,
     "q35_salted_join" -> q35SaltedJoin,
     "q36_bucketed_join" -> q36BucketedJoin,
@@ -413,6 +448,7 @@ object ScaleQueries {
     "q76_topk_weekly" -> q76Sql,
     "q79_quantiles_from_artifacts" -> q79Sql,
     "q80_topk_churn" -> q80Sql,
+    "q83_quantile_trend" -> q83Sql,
     "q34_heavy_hitters" -> q34Sql,
     "q35_salted_join" -> q35Sql,
     "q36_bucketed_join" -> q36Sql,

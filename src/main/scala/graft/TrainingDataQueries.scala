@@ -1466,6 +1466,37 @@ object TrainingDataQueries {
        |WHERE run_chars // step > (run_chars - n_chars) // step
        |ORDER BY doc_id""".stripMargin
 
+  /** #210 (t34): quality-gated language weights — t26's
+    * temperature-smoothed α-mix recomputed over only the documents
+    * that pass t29's Gopher gate: the weights a gated corpus actually
+    * trains at (raw-count weights overweight a language whose mass is
+    * mostly filtered boilerplate — the gate can shift the mixture
+    * materially, and THAT shift is what this report shows next to
+    * t26). A language whose docs all fail drops out — correct, the
+    * gated corpus has nothing of it to sample. Same exact-integer
+    * kernel; fully oracled (t29 flags + t26 arithmetic composed). */
+  def t34GatedAlphaMix: Q = (spark, dir) =>
+    alphaMixFromLangCounts(
+      Tables.documents(spark, dir)
+        .join(t29GopherRules(spark, dir)
+          .filter(col("gopher_pass") === 1L).select("doc_id"), "doc_id")
+        .groupBy("lang").agg(count(lit(1)).as("n_docs")))
+
+  // lazy: embeds t29Sql
+  lazy val t34Sql: String =
+    s"""WITH g AS MATERIALIZED ($t29Sql),
+       |l AS (
+       |  SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(FLOOR(SQRT(CAST(COUNT(*) * 1000000 AS DOUBLE))) AS BIGINT) AS s
+       |  FROM documents d JOIN g ON g.doc_id = d.doc_id
+       |  WHERE g.gopher_pass = 1 GROUP BY d.lang),
+       |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS ntot,
+       |             CAST(SUM(s) AS BIGINT) AS stot FROM l)
+       |SELECT lang, n_docs,
+       |       CAST((n_docs * 1000000 * 2 + ntot) // (2 * ntot) AS BIGINT) AS p_ppm,
+       |       CAST((s * 1000000 * 2 + stot) // (2 * stot) AS BIGINT) AS q_alpha_ppm
+       |FROM l, t ORDER BY lang""".stripMargin
+
   /** #183 (t30): class-balance audit — the label-distribution report a
     * supervised/fine-tuning corpus needs before training (and the
     * input to rebalancing decisions t26 makes for languages): per
@@ -1511,6 +1542,7 @@ object TrainingDataQueries {
   val queries: Seq[(String, Q)] = Seq(
     "t30_class_balance" -> t30ClassBalance,
     "t33_quality_sample" -> t33QualitySample,
+    "t34_gated_alpha_mix" -> t34GatedAlphaMix,
     "t31_lang_budget" -> t31LangBudget,
     "t29_gopher_rules" -> t29GopherRules,
     "t26_alpha_mix" -> t26AlphaMix,
@@ -1547,6 +1579,7 @@ object TrainingDataQueries {
     "t29_gopher_rules" -> t29Sql,
     "t30_class_balance" -> t30Sql,
     "t33_quality_sample" -> t33Sql,
+    "t34_gated_alpha_mix" -> t34Sql,
     "t31_lang_budget" -> t31Sql,
     "t23_leakage_safe_split" -> t23Sql,
     "t22_weighted_sample" -> t22Sql,

@@ -528,6 +528,41 @@ object EventStream {
     }
   }
 
+  /** Streaming churn alert (#213) — q80's consumer wired to #208's
+    * maintained artifact: each micro-batch first folds into the
+    * per-day sketch table ([[topkArtifactForeachBatch]]'s kernel,
+    * delegated), then re-derives the week-over-week top-k churn frame
+    * from the CURRENT artifact and emits it — the alerting loop
+    * ("leaderboard changed") runs continuously instead of nightly.
+    * Because the artifact converges bit-identically to the batch
+    * build, the emitted frame after the final batch equals the batch
+    * q80 consumer over a one-shot artifact exactly (spec-pinned).
+    * Cost per batch: the fold + sketch-sized driver set algebra —
+    * events are never re-scanned. */
+  def topkChurnForeachBatch(dir: String, capacity: Int, k: Int = 3)(
+      onChurn: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    val fold = topkArtifactForeachBatch(dir, capacity)()
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      fold(batch, batchId)
+      val topk = graft.sources.SketchStore
+        .mergeTopKRollup(spark, dir, k, rollup = { day =>
+          val d = java.time.LocalDate.parse(day)
+          d.minusDays(d.getDayOfWeek.getValue - 1L).toString
+        }).map { case (wk, it, _) => (wk, it) }
+      val weeks = topk.map(_._1).distinct.sorted
+      val byWeek = topk.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val out = weeks.zip(weeks.drop(1)).map { case (pw, w) =>
+        val (cur, prv) = (byWeek(w), byWeek(pw))
+        (w, (cur -- prv).size.toLong, (prv -- cur).size.toLong,
+          (cur & prv).size.toLong)
+      }.toDF("week", "n_entered", "n_exited", "n_common")
+        .orderBy("week")
+      onChurn(out, batchId)
+    }
+  }
+
   /** Streaming audience-overlap refresh (#185) — q73's streaming twin:
     * serve the estimated distinct-user overlap matrix continuously as
     * events arrive. State = ONE HLL register set per event type

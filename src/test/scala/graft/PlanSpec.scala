@@ -393,6 +393,16 @@ class PlanSpec extends AnyFunSuite {
     assert(n == 1, s"expected 1 user exchange, got $n:\n${p.take(1500)}")
   }
 
+  test("q77 computes both attribution rules on one user-key exchange") {
+    // the q59 discipline applied to attribution: first- and last-touch
+    // carries share a single user_id hash exchange and sort; the only
+    // other exchange is the configuration-scale (first,last) aggregate
+    val p = planOf("q77_attribution")
+    val n = p.linesIterator.count(l => l.contains("Exchange hashpartitioning")
+      && l.contains("user_id"))
+    assert(n == 1, s"expected 1 user exchange, got $n:\n${p.take(1500)}")
+  }
+
   test("d27 broadcasts the small eval side; no cartesian anywhere") {
     // the cross-corpus audit's asymmetry claim: the benchmark/eval side
     // is small by nature, so its band and signature tables broadcast

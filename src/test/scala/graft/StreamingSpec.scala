@@ -722,6 +722,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(merged == exact, s"consumer diverged: $merged vs $exact")
   }
 
+  test("churn alert stream: final frame equals the batch q80 consumer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStream
+    import graft.sources.SketchStore
+    val ev = Tables.events(spark, TestSpark.Sf)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .as[(String, String)].collect().toSeq
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_churn").toString + "/t"
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[(String, Long, Long, Long)])]
+    val sink = EventStream.topkChurnForeachBatch(dir, capacity = 64) { (f, id) =>
+      emitted += ((id, f.as[(String, Long, Long, Long)].collect().toSeq))
+    }
+    val input = MemoryStream[(String, String)]
+    val query = input.toDF().toDF("day", "item")
+      .writeStream.foreachBatch(sink).outputMode("append").start()
+    val batches = ev.grouped(ev.size / 3 + 1).toSeq
+    try {
+      batches.foreach { b => input.addData(b: _*); query.processAllAvailable() }
+    } finally query.stop()
+    assert(emitted.size == batches.size)
+
+    // the batch path: one-shot artifact + the same rollup/set algebra
+    val batchDir = java.nio.file.Files.createTempDirectory("graft_churnb").toString + "/t"
+    SketchStore.saveTopKGrouped(ev.toDF("day", "item"),
+      col("day"), col("item"), capacity = 64, dir = batchDir)
+    val topk = SketchStore.mergeTopKRollup(spark, batchDir, k = 3, rollup = { d =>
+      val ld = java.time.LocalDate.parse(d)
+      ld.minusDays(ld.getDayOfWeek.getValue - 1L).toString
+    }).map { case (wk, it, _) => (wk, it) }
+    val weeks = topk.map(_._1).distinct.sorted
+    val byWeek = topk.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = weeks.zip(weeks.drop(1)).map { case (pw, w) =>
+      val (cur, prv) = (byWeek(w), byWeek(pw))
+      (w, (cur -- prv).size.toLong, (prv -- cur).size.toLong,
+        (cur & prv).size.toLong)
+    }
+    assert(emitted.last._2 == want,
+      s"streamed churn ${emitted.last._2} != batch $want")
+  }
+
   test("overlap refresh: matrix after each batch equals batch q73 on the prefix") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
