@@ -1612,6 +1612,51 @@ object AnalyticsQueries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** #216 (q85): session-size profile — q20's sessions rolled into the
+    * engagement histogram a product team reads (how many sessions are
+    * one-shot bounces vs long engagements, and how long each band
+    * runs): per n_events band, session count, total events, and the
+    * half-up mean duration in seconds. Bands are fixed literals (the
+    * grouping domain is 5 rows at any scale); duration arithmetic is
+    * integer seconds on both engines, mean via the (2a+b) div 2b
+    * half-up identity on nonnegative sums. One aggregate over the
+    * session frame q20 already produces. */
+  def q85SessionProfile: Q = (spark, dir) => {
+    val s = sessionsOf(spark, dir)
+      .withColumn("dur_s",
+        (unix_timestamp(col("session_end")) -
+          unix_timestamp(col("session_start"))).cast(LongType))
+      .withColumn("band",
+        when(col("n_events") === 1, "1")
+          .when(col("n_events") === 2, "2")
+          .when(col("n_events") <= 5, "3_5")
+          .when(col("n_events") <= 10, "6_10")
+          .otherwise("11p"))
+    s.groupBy("band")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("total_events"),
+        expr("(2 * sum(dur_s) + count(1)) div (2 * count(1))")
+          .as("mean_dur_s"))
+      .orderBy("band")
+  }
+
+  // embeds q20Sql (strict is fine: q20Sql is defined textually above)
+  lazy val q85Sql: String =
+    s"""WITH sess AS ($q20Sql),
+       |b AS (
+       |  SELECT CASE WHEN n_events = 1 THEN '1'
+       |              WHEN n_events = 2 THEN '2'
+       |              WHEN n_events <= 5 THEN '3_5'
+       |              WHEN n_events <= 10 THEN '6_10'
+       |              ELSE '11p' END AS band,
+       |         n_events,
+       |         CAST(date_diff('second', session_start, session_end) AS BIGINT) AS dur_s
+       |  FROM sess)
+       |SELECT band, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       |       CAST(SUM(n_events) AS BIGINT) AS total_events,
+       |       CAST((2 * SUM(dur_s) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS mean_dur_s
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** #123 (q59): session transition mining — the Markov view of user
     * behavior: within each q20-rule session (30-min gap), count
     * adjacent event-type transitions x→y across all sessions, keeping
@@ -2008,6 +2053,7 @@ object AnalyticsQueries {
     "q81_weekhour_profile" -> q81WeekHourProfile,
     "q82_new_returning" -> q82NewReturning,
     "q84_ship_latency" -> q84ShipLatency,
+    "q85_session_profile" -> q85SessionProfile,
     "q59_transitions" -> q59Transitions,
     "q60_dq_checks" -> q60DqChecks,
     "q61_trend_slope" -> q61TrendSlope,
@@ -2057,6 +2103,7 @@ object AnalyticsQueries {
     "q81_weekhour_profile" -> q81Sql,
     "q82_new_returning" -> q82Sql,
     "q84_ship_latency" -> q84Sql,
+    "q85_session_profile" -> q85Sql,
     "q59_transitions" -> q59Sql,
     "q60_dq_checks" -> q60Sql,
     "q61_trend_slope" -> q61Sql,

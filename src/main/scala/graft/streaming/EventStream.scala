@@ -1056,6 +1056,61 @@ object EventStream {
       }
   }
 
+  /** Streaming new-vs-returning (#217) — q82's streaming twin: emit
+    * each (user, active day) fact with its NEW/RETURNING verdict as
+    * the day closes, so the daily growth split is a running aggregate
+    * over this stream. Day-granular lateness closing (the #156
+    * discipline): a user's day closes once a same-user event arrives
+    * `latenessDays` past it; days close in ASCENDING order, so the
+    * user's first-ever closed day — which is their true minimum — is
+    * the one NEW fact, and the boolean "seen" carry afterwards is the
+    * whole per-user memory. State per user: frontier + one boolean +
+    * the lateness-bounded pending-day set (≤ latenessDays+1 ints).
+    * Emitted facts over any closed prefix aggregate to batch q82's
+    * rule on exactly the closed (user, day) pairs (spec-pinned). */
+  def newReturningStream(events: DataFrame,
+                         latenessDays: Int = 1): Dataset[NewRetOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(latenessDays >= 0, s"latenessDays must be >= 0: $latenessDays")
+    events
+      .selectExpr("user_id",
+        "cast(unix_micros(ts) div 86400000000 as int) as day")
+      .as[(Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[NewRetState, NewRetOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (uid, rows, state) =>
+        val st = state.getOption.getOrElse(
+          NewRetState(Int.MinValue, seen = false, Nil))
+        var pending = st.pending.toSet
+        var maxSeen = pending.foldLeft(Int.MinValue)(math.max)
+        rows.foreach { case (_, d) =>
+          if (d > st.closedThrough) {
+            pending += d
+            if (d > maxSeen) maxSeen = d
+          }
+        }
+        val out = Vector.newBuilder[NewRetOut]
+        var closedThrough = st.closedThrough
+        var seen = st.seen
+        if (maxSeen > Int.MinValue) {
+          val horizon = maxSeen - latenessDays
+          val (close, keep) = pending.partition(_ < horizon)
+          close.toSeq.sorted.foreach { d =>
+            out += NewRetOut(uid,
+              java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d.toLong)),
+              if (seen) 0L else 1L)
+            seen = true
+            closedThrough = d
+          }
+          pending = keep
+        }
+        state.update(NewRetState(closedThrough, seen, pending.toSeq))
+        out.result().iterator
+      }
+  }
+
   /** Per-user running totals via arbitrary stateful processing
     * (`mapGroupsWithState`): state is one [[UserAgg]] per user —
     * bounded by the user population, not the stream length — and
@@ -1101,6 +1156,8 @@ case class AttrState(closedThrough: Long, firstTouch: String, lastTouch: String,
                      pending: Seq[(Long, Long, String, Long)])
 case class AttributionOut(user_id: Long, first_touch: String,
                           last_touch: String, cents: Long)
+case class NewRetState(closedThrough: Int, seen: Boolean, pending: Seq[Int])
+case class NewRetOut(user_id: Long, day: java.sql.Date, is_new: Long)
 
 /** Idempotent external sink via `foreachBatch`: each micro-batch is
   * stamped with its batch id and replaces any previous rows of that

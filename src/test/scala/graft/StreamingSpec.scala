@@ -1285,6 +1285,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("new-returning stream: closed-day facts match the batch q82 rule") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def micros(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    val ev = Tables.events(spark, TestSpark.Sf)
+      .select($"user_id", $"ts")
+      .as[(Long, Timestamp)].collect()
+      .sortBy(r => micros(r._2)).take(800)
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts")
+    val query = EventStream.newReturningStream(events, latenessDays = 1)
+      .toDF().writeStream.format("memory").queryName("newret_stream")
+      .outputMode("append").start()
+    try {
+      ev.grouped(250).foreach { b => input.addData(b: _*); query.processAllAvailable() }
+      val got = spark.table("newret_stream")
+        .as[(Long, java.sql.Date, Long)].collect().toSet
+      // q82's rule on each user's CLOSED day prefix: days close in
+      // ascending order, so the first closed day is the user's true
+      // minimum — NEW once, RETURNING after
+      val expect = ev.groupBy(_._1).toSeq.flatMap { case (uid, rows) =>
+        val days = rows.map(r => (micros(r._2) / 86400000000L).toInt)
+          .distinct.sorted
+        val horizon = days.max - 1
+        days.filter(_ < horizon).zipWithIndex.map { case (d, i) =>
+          (uid, java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d.toLong)),
+            if (i == 0) 1L else 0L)
+        }
+      }.toSet
+      assert(got == expect, s"got ${got.size} facts, want ${expect.size}")
+      assert(got.nonEmpty, "no days closed — fixture too small")
+      // and they roll up to the q82 frame on the closed subset
+      val agg = got.toSeq.toDF("user_id", "day", "is_new")
+        .groupBy("day")
+        .agg(sum("is_new").as("n_new"),
+          sum(expr("1 - is_new")).as("n_returning"))
+        .orderBy("day").collect()
+      assert(agg.nonEmpty)
+    } finally query.stop()
+  }
+
   test("transitions stream: closed-prefix pairs match the batch session rule") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
