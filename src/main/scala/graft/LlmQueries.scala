@@ -976,6 +976,18 @@ object LlmQueries {
       .orderBy("n_probe")
   }
 
+  /** #218 (s18): MMR operating-curve sweep
+    * ([[graft.sim.Ann.mmrSweep]]) — per λ, mean relevance vs mean
+    * pairwise similarity of the selected sets: the table that prices
+    * the diversity knob before a RAG deployment picks s16's λ.
+    * Rows-only; AnnSpec pins the directional contract with the λ = 1
+    * plain-top-k anchor. */
+  def s18MmrSweep: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
+    Ann.mmrSweep(e, e.filter(col("id") < 8), k = 10, fetchK = 30)
+  }
+
   /** #170 (s14): ANN recall drift audit — the maintenance decision the
     * serving story needs made first-class: measure recall@k of the
     * calibrated IVF path against exact brute force on a DETERMINISTIC
@@ -2245,6 +2257,7 @@ object LlmQueries {
     "s15_filtered_ann" -> s15FilteredAnn,
     "s16_mmr" -> s16Mmr,
     "s17_probe_sweep" -> s17ProbeSweep,
+    "s18_mmr_sweep" -> s18MmrSweep,
     "m04_pixel_neardup" -> m04PixelNearDup,
     "s04_quantize_int8" -> s04QuantizeInt8,
     "s05_ann_int8_rerank" -> s05AnnInt8Rerank,

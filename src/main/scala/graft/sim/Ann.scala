@@ -809,6 +809,67 @@ object Ann {
       .toDF("qid", "rank", "neighbor_id")
   }
 
+  /** MMR operating-curve sweep (#218) — [[probeSweep]]'s sibling for
+    * the diversity knob: per λ, the mean relevance and the mean
+    * pairwise similarity of the selected sets, the two axes a RAG
+    * owner trades when picking λ (how much relevance does each unit
+    * of de-duplication cost?). The fetchK candidate frame is scored
+    * ONCE and checkpointed; each λ re-runs only the greedy + a
+    * bounded per-query metric fold (groups ≤ k rows). Milli-rounded
+    * report; AnnSpec pins the directional contract — relevance
+    * non-increasing and diversity non-decreasing as λ falls, anchored
+    * at the λ = 1 plain-top-k row. */
+  def mmrSweep(corpus: DataFrame, queries: DataFrame, k: Int, fetchK: Int,
+               lambdas: Seq[Double] = Seq(1.0, 0.7, 0.5, 0.3)): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.withColumn("cnrm", norm(col("vec"))).filter(col("cnrm") > 0)
+      .select(col("id").as("neighbor_id"), col("vec").as("nvec"), col("cnrm"))
+    val q = queries.select(col("id").as("qid"), col("vec").as("qvec"))
+      .withColumn("qnrm", norm(col("qvec"))).filter(col("qnrm") > 0)
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("qid"))
+      .withColumn("rel",
+        cosinePrenormed(dot(col("qvec"), col("nvec")), col("qnrm"), col("cnrm")))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("rel").desc, col("neighbor_id").asc)
+    val top = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= fetchK)
+      .select(col("qid"), col("neighbor_id"), col("rel"), col("nvec"))
+      .localCheckpoint(true)
+    val rows = lambdas.map { lam =>
+      val parts = Ann.mmrRerank(top, k, lam)
+        .join(top, Seq("qid", "neighbor_id"))
+        .select(col("qid"), col("rel"), col("nvec"))
+        .as[(Long, Double, Seq[Double])]
+        .groupByKey(_._1)
+        .mapGroups { (_, it) =>
+          val a = it.toArray
+          val unit = a.map { t =>
+            val v = t._3.toArray
+            val n = math.sqrt(v.map(x => x * x).sum)
+            v.map(_ / n)
+          }
+          var p = 0.0; var pn = 0L
+          for (i <- a.indices; j <- a.indices if i < j) {
+            var d = 0.0; var x = 0
+            while (x < unit(i).length) { d += unit(i)(x) * unit(j)(x); x += 1 }
+            p += d; pn += 1
+          }
+          (a.map(_._2).sum, a.length.toLong, p, pn)
+        }.collect()
+      val (r, rn, p, pn) = parts.foldLeft((0.0, 0L, 0.0, 0L)) {
+        case ((ra, rna, pa, pna), (rb, rnb, pb, pnb)) =>
+          (ra + rb, rna + rnb, pa + pb, pna + pnb)
+      }
+      (math.round(lam * 1000),
+        math.round(r / rn * 1000),
+        if (pn == 0) 0L else math.round(p / pn * 1000))
+    }
+    rows.toDF("lambda_milli", "mean_rel_milli", "mean_pair_sim_milli")
+      .orderBy(col("lambda_milli").desc)
+  }
+
   /** All-corpus k-NN graph: every document's k nearest neighbors by
     * cosine — the input structure for SemDeDup-style clustering,
     * graph dedup, and label propagation. [[ivfTopK]] cannot build it
