@@ -1657,6 +1657,46 @@ object AnalyticsQueries {
        |       CAST((2 * SUM(dur_s) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS mean_dur_s
        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** #219 (q86): inter-purchase interval percentiles — the repeat-
+    * engagement clock behind retention/LTV models: across all users,
+    * the p50/p90 of the gap between a user's consecutive purchases
+    * (whole hours, integer floor). One user-keyed window (lag) in
+    * deterministic (ts, event_id) order + ExactPercentile's
+    * domain-bounded exact rank pick — the gap domain is a few
+    * thousand distinct hour values however long the history. Fully
+    * oracled vs `quantile_cont` over the same windowed gaps. */
+  def q86PurchaseGaps: Q = (spark, dir) => {
+    import graft.functions.ExactPercentile, ExactPercentile.Pct
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gaps = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      .select(lit("all").as("grp"),
+        expr("(unix_timestamp(ts) - unix_timestamp(prev_ts)) div 3600")
+          .as("gap_h"))
+    ExactPercentile.quantiles(gaps, Seq("grp"), col("gap_h"),
+        valPow = 0, outPow = 3,
+        Seq(Pct("p50_gap_h_milli", 50, 100), Pct("p90_gap_h_milli", 90, 100)))
+      .crossJoin(broadcast(gaps.agg(count(lit(1)).as("n_gaps"))))
+      .select(col("grp"), col("n_gaps"),
+        col("p50_gap_h_milli"), col("p90_gap_h_milli"))
+  }
+
+  val q86Sql: String =
+    """WITH p AS (
+      |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+      |g AS (
+      |  SELECT date_diff('second',
+      |           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+      |           ts) // 3600 AS gap_h
+      |  FROM p)
+      |SELECT 'all' AS grp, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |       CAST(ROUND(quantile_cont(gap_h, 0.5) * 1000, 0) AS BIGINT) AS p50_gap_h_milli,
+      |       CAST(ROUND(quantile_cont(gap_h, 0.9) * 1000, 0) AS BIGINT) AS p90_gap_h_milli
+      |FROM g WHERE gap_h IS NOT NULL""".stripMargin
+
   /** #123 (q59): session transition mining — the Markov view of user
     * behavior: within each q20-rule session (30-min gap), count
     * adjacent event-type transitions x→y across all sessions, keeping
@@ -2054,6 +2094,7 @@ object AnalyticsQueries {
     "q82_new_returning" -> q82NewReturning,
     "q84_ship_latency" -> q84ShipLatency,
     "q85_session_profile" -> q85SessionProfile,
+    "q86_purchase_gaps" -> q86PurchaseGaps,
     "q59_transitions" -> q59Transitions,
     "q60_dq_checks" -> q60DqChecks,
     "q61_trend_slope" -> q61TrendSlope,
@@ -2104,6 +2145,7 @@ object AnalyticsQueries {
     "q82_new_returning" -> q82Sql,
     "q84_ship_latency" -> q84Sql,
     "q85_session_profile" -> q85Sql,
+    "q86_purchase_gaps" -> q86Sql,
     "q59_transitions" -> q59Sql,
     "q60_dq_checks" -> q60Sql,
     "q61_trend_slope" -> q61Sql,
