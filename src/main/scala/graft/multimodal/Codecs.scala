@@ -262,8 +262,11 @@ object Codecs {
     * property perceptual hashing needs: identical content → identical
     * pixels, lightly-edited content → mostly-identical block means. */
   def renderGray(text: String): GrayImage = {
-    val bytes = text.getBytes("UTF-8")
-    val n = math.max(1, bytes.length)
+    val raw = text.getBytes("UTF-8")
+    // an empty document renders as the all-zero image (hash 0) rather
+    // than crashing the partition — empty payloads are a data reality
+    val bytes = if (raw.isEmpty) Array[Byte](0) else raw
+    val n = bytes.length
     val px = new Array[Int](32 * 32)
     var i = 0
     while (i < px.length) {

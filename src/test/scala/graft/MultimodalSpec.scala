@@ -215,6 +215,8 @@ class MultimodalSpec extends AnyFunSuite {
     assert(hamming(h5, hEdit) <= 3, s"light edit moved ${hamming(h5, hEdit)} bits")
     val other = Codecs.renderGray("completely different content entirely " * 9)
     assert(hamming(h5, Codecs.aHash64(other)) > 3, "distinct content collided")
+    // empty text renders (all-zero image) instead of crashing the task
+    assert(Codecs.aHash64(Codecs.renderGray("")) == 0L)
 
     // planted recall: identical content under DIFFERENT wire formats
     // (even id → P5, odd id → P2, m04's convention) must pair up —
