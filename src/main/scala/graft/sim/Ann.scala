@@ -219,6 +219,29 @@ object Ann {
   // cells spread wider, and the calibrated nProbe errs conservative —
   // recall lands at or above target, never silently below.
 
+  /** Per-JVM memo of corpus-derived OPERATING POINTS — counts, fitted
+    * quantizers, calibrated probe/buffer budgets — keyed by a
+    * caller-supplied corpus key. These are configuration-scale
+    * metadata (a few ints + √n-bounded codebooks, the in-memory
+    * analog of [[AnnIndex]]'s persisted `meta`/`centroids` tables):
+    * a serving path derives them once per corpus and READS them per
+    * query, it doesn't refit per call (the round-8 bench showed s07
+    * paying a full fit+calibrate on every invocation). Serving the
+    * memo is exact, not approximate — every cached value is a
+    * deterministic function of (corpus content, params), and a
+    * corpus at a given key is immutable within a run (the same
+    * assumption the staged artifacts make). A long-lived service
+    * that mutates a corpus under one key must [[clearOpCache]] or
+    * key by content digest. */
+  private val opCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private[graft] def clearOpCache(): Unit = opCache.clear()
+  private def memo[T <: AnyRef](key: Option[String])(build: => T): T =
+    key match {
+      case Some(k) => opCache.computeIfAbsent(k, _ => build).asInstanceOf[T]
+      case None    => build
+    }
+
   private def dotA(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { s += a(i) * b(i); i += 1 }
@@ -352,61 +375,72 @@ object Ann {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int, seed: Long,
                 m: Int = 8, ksub: Int = 16, candMult: Int = 0,
                 fitSampleCap: Long = 8192L, maxCells: Int = 2048,
-                recall: Double = 0.9): DataFrame = {
+                recall: Double = 0.9,
+                cacheKey: Option[String] = None): DataFrame = {
     import graft.functions.{CentroidCells, ProductQuantizer, ResidualPq}
     import ProductQuantizer.{fit, pqAdc, pqLut}
     val live = corpus.withColumn("nrm", norm(col("vec"))).filter(col("nrm") > 0)
-    val n = live.count()
-    // √n cells, clamped so the driver Lloyd fit stays bounded (≥ 8
-    // sample points per centroid; past the clamp, probe coverage
-    // grows as nProbe/maxCells of the corpus — swap the coarse fit
-    // for distributed ml.KMeans (the s03 path) to push further)
-    val nCells = math.min(maxCells,
-      math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt))
-    val cap = math.max(fitSampleCap, nCells.toLong * 8)
-    val sampled =
-      if (n <= cap) live
-      else live.filter(pmod(xxhash64(col("id")), lit(n / cap + 1)) === 0)
-    // orderBy(id): partitioning-independent codebooks (see pqTopK)
-    val samples = sampled.orderBy("id").select(col("vec"), col("nrm")).collect()
-      .map { r => val v = r.getSeq[Double](0); val nr = r.getDouble(1); v.map(_ / nr).toArray }
-    val coarse = fit(samples, m = 1, ksub = nCells, seed).cent(0)
-    // residual fit sample: same unit vectors, coarse part subtracted
-    def cellOf(v: Array[Double]): Int = {
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < coarse.length) {
-        var d = 0.0; var i = 0
-        while (i < v.length) { val t = v(i) - coarse(c)(i); d += t * t; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
+    // the whole operating point — coarse + residual codebooks, probe
+    // count, rerank buffer — is a deterministic function of (corpus,
+    // params): derived once per corpus key, read per query (the
+    // round-8 bench's s07 regression was exactly this block re-run
+    // per call)
+    val (coarseSeq, pqCb, nProbe, buf) = memo(cacheKey.map(c =>
+        s"ivfpq|$c|k=$k|seed=$seed|m=$m|ksub=$ksub|cm=$candMult" +
+          s"|cap=$fitSampleCap|mc=$maxCells|r=$recall")) {
+      val n = live.count()
+      // √n cells, clamped so the driver Lloyd fit stays bounded (≥ 8
+      // sample points per centroid; past the clamp, probe coverage
+      // grows as nProbe/maxCells of the corpus — swap the coarse fit
+      // for distributed ml.KMeans (the s03 path) to push further)
+      val nCells = math.min(maxCells,
+        math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt))
+      val cap = math.max(fitSampleCap, nCells.toLong * 8)
+      val sampled =
+        if (n <= cap) live
+        else live.filter(pmod(xxhash64(col("id")), lit(n / cap + 1)) === 0)
+      // orderBy(id): partitioning-independent codebooks (see pqTopK)
+      val samples = sampled.orderBy("id").select(col("vec"), col("nrm")).collect()
+        .map { r => val v = r.getSeq[Double](0); val nr = r.getDouble(1); v.map(_ / nr).toArray }
+      val coarse = fit(samples, m = 1, ksub = nCells, seed).cent(0)
+      // residual fit sample: same unit vectors, coarse part subtracted
+      def cellOf(v: Array[Double]): Int = {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < coarse.length) {
+          var d = 0.0; var i = 0
+          while (i < v.length) { val t = v(i) - coarse(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
       }
-      best
-    }
-    val residuals = samples.map { v =>
-      val ctr = coarse(cellOf(v))
-      Array.tabulate(v.length)(i => v(i) - ctr(i))
-    }
-    val pqCb = fit(residuals, m, ksub, seed ^ 0x5f3759df)
-    val coarseSeq: Seq[Seq[Double]] = coarse.map(_.toSeq).toSeq
+      val residuals = samples.map { v =>
+        val ctr = coarse(cellOf(v))
+        Array.tabulate(v.length)(i => v(i) - ctr(i))
+      }
+      val cb = fit(residuals, m, ksub, seed ^ 0x5f3759df)
+      val cSeq: Seq[Seq[Double]] = coarse.map(_.toSeq).toSeq
 
-    // Two approximate stages compound: overall recall ≈
-    // P(neighbor's cell probed) · P(neighbor survives the ADC cut).
-    // Budget each at √recall, then solve each from the fit sample —
-    // nProbe from the cell-rank CDF ([[probesForRecall]]) and the
-    // rerank buffer from the measured ADC rank of true neighbors
-    // ([[candMultForRecall]]); candMult > 0 overrides the calibration.
-    val perStage = math.sqrt(recall)
-    val calib =
-      if (samples.length <= 512) samples
-      else {
-        val stride = samples.length / 512 + 1
-        samples.zipWithIndex.collect { case (v, i) if i % stride == 0 => v }
-      }
-    val nProbe = probesForRecall(calib, coarseSeq, perStage, kCal = k)
-    val buf =
-      if (candMult > 0) candMult
-      else candMultForRecall(calib, coarse, pqCb, nProbe, k, n, perStage)
+      // Two approximate stages compound: overall recall ≈
+      // P(neighbor's cell probed) · P(neighbor survives the ADC cut).
+      // Budget each at √recall, then solve each from the fit sample —
+      // nProbe from the cell-rank CDF ([[probesForRecall]]) and the
+      // rerank buffer from the measured ADC rank of true neighbors
+      // ([[candMultForRecall]]); candMult > 0 overrides the calibration.
+      val perStage = math.sqrt(recall)
+      val calib =
+        if (samples.length <= 512) samples
+        else {
+          val stride = samples.length / 512 + 1
+          samples.zipWithIndex.collect { case (v, i) if i % stride == 0 => v }
+        }
+      val p = probesForRecall(calib, cSeq, perStage, kCal = k)
+      val b =
+        if (candMult > 0) candMult
+        else candMultForRecall(calib, coarse, cb, p, k, n, perStage)
+      (cSeq, cb, p, b)
+    }
 
     val c = live
       .withColumn("cell",
@@ -670,13 +704,16 @@ object Ann {
     * structure honestly calibrates toward more probes rather than
     * silently under-recalling. */
   def ivfTopKAuto(corpus: DataFrame, queries: DataFrame, k: Int,
-                  seed: Long, recall: Double = 0.9): DataFrame = {
+                  seed: Long, recall: Double = 0.9,
+                  cacheKey: Option[String] = None): DataFrame = {
     val live = corpus.withColumn("nrm0", norm(col("vec"))).filter(col("nrm0") > 0)
-    val n = live.count()
-    val nCells = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
-    val centroids = fitCentroids(live, n, nCells, seed, fitSampleCap = 100000L)
-    val nProbe = probesForRecall(calibrationSample(live, n), centroids,
-      recall, kCal = k)
+    val (centroids, nProbe) =
+      memo(cacheKey.map(c => s"ivfauto|$c|k=$k|seed=$seed|recall=$recall")) {
+        val n = live.count()
+        val nCells = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+        val cs = fitCentroids(live, n, nCells, seed, fitSampleCap = 100000L)
+        (cs, probesForRecall(calibrationSample(live, n), cs, recall, kCal = k))
+      }
     ivfProbe(live, queries, k, centroids, nProbe)
   }
 
@@ -706,17 +743,24 @@ object Ann {
     * probe-widening arithmetic. */
   def filteredIvfTopKAuto(corpus: DataFrame, queries: DataFrame, k: Int,
                           pred: org.apache.spark.sql.Column, seed: Long,
-                          recall: Double = 0.9): DataFrame = {
+                          recall: Double = 0.9,
+                          cacheKey: Option[String] = None): DataFrame = {
     val live = corpus.withColumn("nrm0", norm(col("vec"))).filter(col("nrm0") > 0)
-    val n = live.count()
+    // the index-side operating point (count, quantizer, base probes) is
+    // predicate-INDEPENDENT — one fit serves every filter; only the
+    // survivor count below is per-predicate
+    val (n, centroids, base) =
+      memo(cacheKey.map(c => s"ivffilt|$c|k=$k|seed=$seed|recall=$recall")) {
+        val nn = live.count()
+        val nCells = math.max(8, math.ceil(math.sqrt(nn.toDouble)).toInt)
+        val cs = fitCentroids(live, nn, nCells, seed, fitSampleCap = 100000L)
+        (nn, cs,
+          probesForRecall(calibrationSample(live, nn), cs, recall, kCal = k))
+      }
     val kept = live.filter(pred)
     val nKept = kept.count()
     require(nKept > 0, "filter keeps no corpus vectors")
-    val nCells = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
-    val centroids = fitCentroids(live, n, nCells, seed, fitSampleCap = 100000L)
-    val base = probesForRecall(calibrationSample(live, n), centroids,
-      recall, kCal = k)
-    val widened = math.min(nCells,
+    val widened = math.min(centroids.length,
       math.ceil(base.toDouble * n.toDouble / nKept.toDouble).toInt)
     ivfProbe(kept, queries, k, centroids, widened)
   }
@@ -895,20 +939,25 @@ object Ann {
     * recall@k against the exact brute-force graph. */
   def knnGraph(corpus: DataFrame, k: Int, seed: Long,
                fitSampleCap: Long = 100000L,
-               recallTarget: Option[Double] = None): DataFrame = {
+               recallTarget: Option[Double] = None,
+               cacheKey: Option[String] = None): DataFrame = {
     import graft.functions.CentroidCells.centroidCells
     val live = corpus.withColumn("nrm0", norm(col("vec"))).filter(col("nrm0") > 0)
-    val n = live.count()
-    val nCells = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
-    val centroids = fitCentroids(live, n, nCells, seed, fitSampleCap)
-    // default: the fixed √nCells heuristic (candidate volume n^1.5);
-    // with an opt-in recall target, nProbe is SOLVED from the same
-    // cell-rank CDF calibration as [[ivfTopKAuto]] — the graph build
-    // then states its recall and spends exactly the probes that buy
-    // it (AnnSpec pins the measured recall vs the exact graph)
-    val nProbe = recallTarget match {
-      case Some(r) => probesForRecall(calibrationSample(live, n), centroids, r, kCal = k)
-      case None    => math.max(3, math.ceil(math.sqrt(nCells.toDouble)).toInt)
+    val (centroids, nProbe) = memo(cacheKey.map(c =>
+        s"knn|$c|k=$k|seed=$seed|r=${recallTarget.getOrElse(-1.0)}|cap=$fitSampleCap")) {
+      val n = live.count()
+      val nCells = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+      val cs = fitCentroids(live, n, nCells, seed, fitSampleCap)
+      // default: the fixed √nCells heuristic (candidate volume n^1.5);
+      // with an opt-in recall target, nProbe is SOLVED from the same
+      // cell-rank CDF calibration as [[ivfTopKAuto]] — the graph build
+      // then states its recall and spends exactly the probes that buy
+      // it (AnnSpec pins the measured recall vs the exact graph)
+      val p = recallTarget match {
+        case Some(r) => probesForRecall(calibrationSample(live, n), cs, r, kCal = k)
+        case None    => math.max(3, math.ceil(math.sqrt(nCells.toDouble)).toInt)
+      }
+      (cs, p)
     }
     val c = live.select(col("id").as("neighbor_id"), col("vec").as("cvec"),
         col("nrm0").as("cnrm"))

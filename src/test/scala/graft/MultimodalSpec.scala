@@ -242,18 +242,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(wantPairs.subsetOf(found),
       s"missed cross-format exact pairs: ${wantPairs.diff(found)}")
 
-    // the registered corpus query runs, and every reported pair really
-    // is hamming-close (recompute locally)
+    // the registered corpus query: every doc goes through BOTH wire
+    // formats, so its own (p5, p2) self-pair at hamming 0 is the
+    // corpus-supported floor (round-8 gate certified an empty frame —
+    // this pins the production pairing path on positive rows), and
+    // every reported pair really is hamming-close (recompute locally;
+    // both formats decode to the same pixels, so one hash per doc)
     val corpus = LlmQueries.m04PixelNearDup(spark, TestSpark.Sf)
-      .select("id1", "id2").as[(Long, Long)].collect()
+      .select("doc_id1", "fmt1", "doc_id2", "fmt2", "hamming")
+      .as[(Long, String, Long, String, Long)].collect()
     val hashes = Tables.documents(spark, TestSpark.Sf)
       .select(col("doc_id"),
         graft.etl.TextNorm.normalizeText(col("text")).as("tn"))
       .as[(Long, String)].collect()
       .map { case (id, t) => id -> Codecs.aHash64(Codecs.renderGray(t)) }
       .toMap
-    corpus.foreach { case (a, b) =>
-      assert(hamming(hashes(a), hashes(b)) <= 3, s"pair ($a,$b) not close")
+    assert(corpus.nonEmpty, "m04 emitted no rows — evidence-free gate row")
+    val selfPairs = corpus.collect {
+      case (a, f1, b, f2, h) if a == b => (f1, f2, h)
+    }
+    assert(selfPairs.length == hashes.size,
+      s"expected one (p5,p2) self-pair per doc: ${selfPairs.length} vs ${hashes.size}")
+    assert(selfPairs.forall { case (f1, f2, h) => f1 != f2 && h == 0L },
+      "self-pairs must be cross-format at hamming 0")
+    corpus.foreach { case (a, _, b, _, h) =>
+      assert(hamming(hashes(a), hashes(b)) <= 3 && h == hamming(hashes(a), hashes(b)),
+        s"pair ($a,$b) not close or hamming mismatch")
     }
   }
 }
