@@ -600,6 +600,81 @@ object LlmQueries {
        |FROM p JOIN documents d USING (doc_id)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** #220 (d34): savings-ledger TREND — the run-over-run governance
+    * question the persisted ledger (#189, [[etl.SavingsLedger]])
+    * exists for: "is dedup's marginal value shrinking as the crawl
+    * saturates?" is answered from HISTORY, never by recomputing past
+    * runs. This exercises the REAL ledger lifecycle end-to-end:
+    * three simulated nightly runs over a GROWING corpus
+    * (run r ingests docs with doc_id % 3 < r — run 3 is the full
+    * corpus), each computing its per-source exact-dedup savings
+    * (d01's keep-min-id rule, d28's token currency) and APPENDING
+    * under its run label via [[etl.SavingsLedger.append]]
+    * (dynamic-partition overwrite — re-running a night replaces
+    * exactly that night's rows, so re-construction is idempotent),
+    * then [[etl.SavingsLedger.trend]] reads the ledger back and lags
+    * each (source)'s saved tokens against its previous run (null on
+    * first appearance — "new feed", not "no change"). The ledger
+    * lives under the per-JVM stage root; at 100 TB it stays
+    * configuration-scale (runs × sources rows) while each run's
+    * input scan is the nightly pipeline that already ran. Fully
+    * oracled: the DuckDB twin recomputes the three runs inline and
+    * applies the same lag window. */
+  def d34SavingsTrend: Q = (spark, dir) => {
+    import graft.etl.SavingsLedger
+    val ledgerDir = StageRoots.rootFor(dir) + "/savings_ledger_demo"
+    (1 to 3).foreach { r =>
+      val docs = Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(3)) < r)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
+          whitespaceTokenCount(col("text")).as("n_tok"))
+      val kept = docs.withColumn("keep",
+          col("doc_id") === min("doc_id").over(Window.partitionBy("h")))
+        .filter(col("keep"))
+      val savings = docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens_in"))
+        .join(kept.groupBy("source").agg(sum("n_tok").as("tokens_kept")),
+          Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("tokens_in"),
+          (col("tokens_in") - coalesce(col("tokens_kept"), lit(0L)))
+            .as("saved_tokens"))
+      SavingsLedger.append(savings, ledgerDir, s"run_$r")
+    }
+    SavingsLedger.trend(spark, ledgerDir, keyCols = Seq("source"))
+  }
+
+  val d34Sql: String =
+    """WITH runs AS (SELECT * FROM (VALUES (1), (2), (3)) AS t(r)),
+      |d AS (
+      |  SELECT r, doc_id, source, md5(text) AS h,
+      |         CAST(len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS BIGINT) AS n_tok
+      |  FROM documents CROSS JOIN runs
+      |  WHERE doc_id % 3 < r),
+      |k AS (
+      |  SELECT r, source, n_tok FROM (
+      |    SELECT r, source, n_tok,
+      |           MIN(doc_id) OVER (PARTITION BY r, h) = doc_id AS keep
+      |    FROM d) WHERE keep),
+      |a AS (
+      |  SELECT r, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST(SUM(n_tok) AS BIGINT) AS tokens_in
+      |  FROM d GROUP BY 1, 2),
+      |b AS (
+      |  SELECT r, source, CAST(SUM(n_tok) AS BIGINT) AS toks
+      |  FROM k GROUP BY 1, 2),
+      |s AS (
+      |  SELECT 'run_' || CAST(a.r AS VARCHAR) AS run_label, a.source,
+      |         a.n_docs, a.tokens_in,
+      |         a.tokens_in - CAST(COALESCE(b.toks, 0) AS BIGINT) AS saved_tokens
+      |  FROM a LEFT JOIN b ON a.r = b.r AND a.source = b.source)
+      |SELECT run_label, source, n_docs, tokens_in, saved_tokens,
+      |       lag(saved_tokens) OVER (PARTITION BY source ORDER BY run_label)
+      |         AS prev_saved_tokens,
+      |       saved_tokens - lag(saved_tokens)
+      |         OVER (PARTITION BY source ORDER BY run_label)
+      |         AS delta_saved_tokens
+      |FROM s ORDER BY run_label, source""".stripMargin
+
   /** #161 (d26): incremental cluster maintenance — fold a NEW ingest
     * batch into an EXISTING near-dup cluster table without re-running
     * the old corpus's pair verification or re-clustering it from
@@ -2284,6 +2359,7 @@ object LlmQueries {
     "d30_savings_by_source" -> d30SavingsBySource,
     "d32_provenance" -> d32Provenance,
     "d33_provenance_datasheet" -> d33ProvenanceDatasheet,
+    "d34_savings_trend" -> d34SavingsTrend,
     "d26_incremental_clusters" -> d26IncrementalClusters,
     "d07_embed_neardup_lsh" -> d07EmbedNearDupLsh,
     "d13_semdedup" -> d13SemDedup,
@@ -2343,6 +2419,7 @@ object LlmQueries {
     "d30_savings_by_source" -> d30Sql,
     "d32_provenance" -> d32Sql,
     "d33_provenance_datasheet" -> d33Sql,
+    "d34_savings_trend" -> d34Sql,
     // incremental ≡ full: the oracle IS the from-scratch d06 SQL
     "d26_incremental_clusters" -> d06Sql,
     "s01_ann_bruteforce" -> s01Sql,

@@ -738,9 +738,15 @@ object Ann {
     *
     * The quantizer fits on the FULL corpus — the index is built once
     * and shared by every predicate; a per-filter refit would be an
-    * index per query. Rows-only by design (iterative float k-means);
-    * AnnSpec pins recall vs the exact FILTERED brute force and the
-    * probe-widening arithmetic. */
+    * index per query. CAVEAT: the global n/n_kept widening restores
+    * the calibrated candidate count only when filter survivors spread
+    * roughly uniformly across cells; a predicate CORRELATED with
+    * embedding geometry (e.g. `lang` on language-clustered vectors)
+    * concentrates survivors in few cells and can still under-probe —
+    * [[AnnIndex.probeFiltered]] is the upgrade: it widens PER QUERY
+    * from the measured per-cell survivor distribution. Rows-only by
+    * design (iterative float k-means); AnnSpec pins recall vs the
+    * exact FILTERED brute force and the probe-widening arithmetic. */
   def filteredIvfTopKAuto(corpus: DataFrame, queries: DataFrame, k: Int,
                           pred: org.apache.spark.sql.Column, seed: Long,
                           recall: Double = 0.9,
@@ -865,8 +871,6 @@ object Ann {
     * at the λ = 1 plain-top-k row. */
   def mmrSweep(corpus: DataFrame, queries: DataFrame, k: Int, fetchK: Int,
                lambdas: Seq[Double] = Seq(1.0, 0.7, 0.5, 0.3)): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val c = corpus.withColumn("cnrm", norm(col("vec"))).filter(col("cnrm") > 0)
       .select(col("id").as("neighbor_id"), col("vec").as("nvec"), col("cnrm"))
     val q = queries.select(col("id").as("qid"), col("vec").as("qvec"))
@@ -880,7 +884,19 @@ object Ann {
     val top = scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= fetchK)
       .select(col("qid"), col("neighbor_id"), col("rel"), col("nvec"))
-      .localCheckpoint(true)
+    mmrSweepFrom(top, k, lambdas)
+  }
+
+  /** The λ-curve over a PREPARED candidate frame
+    * (qid, neighbor_id, rel, nvec) — shared by [[mmrSweep]] (brute
+    * candidates) and [[AnnIndex.probeMmrSweep]] (persisted-index
+    * candidates). The frame is scored once and checkpointed here;
+    * each λ re-runs only the bounded greedy + per-query metric fold. */
+  private[sim] def mmrSweepFrom(cands: DataFrame, k: Int,
+                                lambdas: Seq[Double]): DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val top = cands.localCheckpoint(true)
     val rows = lambdas.map { lam =>
       val parts = Ann.mmrRerank(top, k, lam)
         .join(top, Seq("qid", "neighbor_id"))

@@ -183,12 +183,22 @@ object AnnIndex {
     * index. The predicate applies AT THE CELL-FILE SCAN (metadata
     * columns are ordinary parquet columns beside (id, vec), so
     * row-group min/max stats prune before a single distance multiply),
-    * and the calibrated operating point widens by the measured
-    * selectivity — min(nCells, ⌈n_probe · n/n_kept⌉) — restoring the
-    * candidate count the build-time recall target was solved for.
-    * Selectivity is priced against the CURRENT cells table (two
-    * metadata-only counts, columnar scans that never touch the
-    * vectors), so appends are accounted for without a rebuild. */
+    * and the probe budget widens PER QUERY from the measured PER-CELL
+    * survivor distribution (one metadata-only groupBy that never
+    * touches a vector): each query probes the minimal ranked-cell
+    * prefix whose cumulative survivor mass reaches the candidate
+    * count the build-time calibration solved for (base probes × the
+    * unfiltered mean cell population), floored at the calibrated
+    * base. A GLOBAL n/n_kept widening (the one-shot
+    * [[Ann.filteredIvfTopKAuto]] keeps, documented there) restores
+    * the candidate count only when survivors spread roughly uniformly
+    * across cells; a predicate CORRELATED with embedding geometry —
+    * `lang` on language-clustered vectors — concentrates survivors in
+    * few cells, and the per-cell prefix keeps widening exactly where
+    * the mass isn't, instead of silently under-probing. Degenerate
+    * case: too few survivors in total ⇒ every cell probes — exact
+    * filtered brute force. Survivor counts price the CURRENT cells
+    * table, so appends are accounted for without a rebuild. */
   def probeFiltered(spark: SparkSession, dir: String, queries: DataFrame,
                     k: Int, pred: org.apache.spark.sql.Column): DataFrame = {
     val centroids = readCentroids(spark, dir)
@@ -202,9 +212,39 @@ object AnnIndex {
     val n = cells.count()
     val nKept = kept.count()
     require(nKept > 0, "filter keeps no indexed vectors")
-    val probes = math.min(centroids.length,
-      math.ceil(base.toDouble * n.toDouble / nKept.toDouble).toInt)
-    scoreCells(kept, queries, centroids, probes, k)
+    // per-cell survivor mass: columnar metadata aggregate, no vectors
+    val cellKept = kept.groupBy("cell").agg(count(lit(1)).as("__graft_kept"))
+    // the candidate mass the calibrated recall target was solved for
+    val target = math.max(1L, base.toLong * math.max(1L, n / centroids.length))
+    val q = queries.select(col("id").as("qid"), col("vec").as("qvec"))
+      .withColumn("qnrm", norm(col("qvec")))
+      .filter(col("qnrm") > 0)
+      .select(col("qid"), col("qvec"), col("qnrm"),
+        posexplode(
+          centroidCells(col("qvec"), col("qnrm"), centroids, centroids.length))
+          .as(Seq("__graft_rk", "cell")))
+    val wc = Window.partitionBy("qid").orderBy("__graft_rk")
+    val probes = q.join(cellKept, Seq("cell"), "left")
+      .withColumn("__graft_cum",
+        sum(coalesce(col("__graft_kept"), lit(0L))).over(wc))
+      // minimal ranked prefix: keep a cell while the survivor mass
+      // STRICTLY BEFORE it is below target; floor at the calibrated
+      // base so a generous filter never probes fewer cells than the
+      // unfiltered operating point
+      .filter(col("__graft_rk") < base ||
+        col("__graft_cum") - coalesce(col("__graft_kept"), lit(0L)) < target)
+      // survivor-free cells contribute no candidates — skip their scan
+      .filter(col("__graft_kept").isNotNull)
+      .select("qid", "qvec", "qnrm", "cell")
+    val scored = kept.join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("sim",
+        cosinePrenormed(dot(col("qvec"), col("vec")), col("qnrm"), col("nrm")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("id").as("neighbor_id"))
   }
 
   /** MMR-diversified probe (#201): [[Ann.mmrTopK]]'s re-rank served
@@ -221,6 +261,27 @@ object AnnIndex {
     val top = probeScored(spark, dir, queries, fetchK, nProbe)
       .select(col("qid"), col("neighbor_id"), col("rel"), col("nvec"))
     Ann.mmrRerank(top, k, lambda)
+  }
+
+  /** MMR operating-curve sweep served from the persisted index —
+    * [[Ann.mmrSweep]]'s lifecycle twin, completing the pattern
+    * [[probeSweep]] set for the probe knob: candidates come from ONE
+    * calibrated (or explicit) cell probe at `fetchK` (partition-pruned
+    * parquet scan, no brute corpus pass), are checkpointed, and each λ
+    * re-runs only the bounded per-query greedy + metric fold. Output
+    * matches [[Ann.mmrSweep]]: one (lambda_milli, mean_rel_milli,
+    * mean_pair_sim_milli) row per λ — the table a RAG owner prices the
+    * diversity knob from, now against the serving index rather than a
+    * one-shot scan. AnnSpec pins the λ = 1 anchor (≡ the plain index
+    * probe's mean relevance) and the directional contract. */
+  def probeMmrSweep(spark: SparkSession, dir: String, queries: DataFrame,
+                    k: Int, fetchK: Int,
+                    lambdas: Seq[Double] = Seq(1.0, 0.7, 0.5, 0.3),
+                    nProbe: Int = 0): DataFrame = {
+    require(k <= fetchK, s"k=$k must be <= fetchK=$fetchK")
+    val top = probeScored(spark, dir, queries, fetchK, nProbe)
+      .select(col("qid"), col("neighbor_id"), col("rel"), col("nvec"))
+    Ann.mmrSweepFrom(top, k, lambdas)
   }
 
   /** Recall-vs-cost frontier (#209): sweep the probe budget against

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions.{window => timeWindow, _}
 import org.apache.spark.sql.streaming.GroupStateTimeout
 
@@ -381,15 +381,47 @@ object EventStream {
     * changelog-compaction shape a Kafka-Streams state store uses, with
     * the merge cost O(state + batch) per batch, never a prefix
     * re-scan of the documents themselves. Replayed batch ids re-emit
-    * from current state without re-folding. */
+    * from current state without re-folding — ACROSS RESTARTS too: the
+    * lang histogram persists beside each token-state version (both
+    * `_SUCCESS`-gated), and the first invocation after a JVM restart
+    * recovers (tokDir, lastBatch, langCounts) from the highest fully
+    * committed version — exactly the moment Structured Streaming
+    * redelivers the last uncommitted batch, which would otherwise
+    * reset the vocabulary state and double-count the replay. */
   def langBudgetForeachBatch(stateDir: String)(
       onBudget: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
     val langCounts = scala.collection.mutable.Map.empty[String, Long]
     var tokDir: Option[String] = None
     var lastBatch = -1L
+    var recovered = false
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
       import spark.implicits._
+      if (!recovered) {
+        // post-restart resume: adopt the highest version whose token
+        // state AND lang histogram both committed (a crash between the
+        // two writes falls back to the previous version, and the
+        // redelivered batch re-folds — convergent either way)
+        val root = new org.apache.hadoop.fs.Path(stateDir)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(root)) {
+          val committed = fs.listStatus(root).map(_.getPath.getName)
+            .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
+            .filter { v =>
+              fs.exists(new org.apache.hadoop.fs.Path(root, s"v$v/_SUCCESS")) &&
+                fs.exists(new org.apache.hadoop.fs.Path(root, s"lang_v$v/_SUCCESS"))
+            }
+          if (committed.nonEmpty) {
+            val v = committed.max
+            tokDir = Some(s"$stateDir/v$v")
+            lastBatch = v
+            spark.read.parquet(s"$stateDir/lang_v$v")
+              .as[(String, Long)].collect()
+              .foreach { case (l, n) => langCounts(l) = n }
+          }
+        }
+        recovered = true
+      }
       if (batchId > lastBatch) {
         batch.groupBy("lang").agg(count(lit(1)).as("__graft_n"))
           .as[(String, Long)].collect()
@@ -406,6 +438,12 @@ object EventStream {
         }
         val next = s"$stateDir/v$batchId"
         merged.write.mode("overwrite").parquet(next)
+        // lang histogram beside the token state: the durable half of
+        // the driver state, written AFTER the token state so recovery
+        // (which requires both) can never adopt a half-committed pair
+        langCounts.toSeq.sorted.toDF("lang", "n_docs")
+          .repartition(1).write.mode("overwrite")
+          .parquet(s"$stateDir/lang_v$batchId")
         tokDir = Some(next)
         lastBatch = batchId
       }
@@ -435,14 +473,48 @@ object EventStream {
     * materialize-before-overwrite hazard class). Count addition is
     * associative, so the final table is bit-identical to a one-shot
     * batch [[graft.sources.SketchStore.saveHistogram]] over the whole
-    * stream (spec-pinned), and a replayed batch id re-merges nothing.
-    * Batch schema: `day` + `keyCols` + `v`. */
+    * stream (spec-pinned), and a replayed batch id re-merges nothing —
+    * including the post-crash redelivery, via the durable batch stamp
+    * ([[readBatchStamp]]; the stamp's one narrow at-least-once window
+    * is documented there). Batch schema: `day` + `keyCols` + `v`. */
+  /** Durable batch-id stamp beside a maintained COUNT artifact: count
+    * addition is not replay-idempotent (unlike the HLL register union
+    * in overlapHllForeachBatch), so a post-crash redelivery of the
+    * last batch must be detected ACROSS JVMs, not just by the
+    * in-memory guard. The stamp is a `_`-prefixed file inside the
+    * artifact dir — invisible to Spark's file index, co-located so it
+    * travels with the artifact. Written AFTER the artifact overwrite:
+    * a crash in the narrow window between the two leaves that one
+    * batch at-least-once (re-merged on redelivery) — vs. the
+    * unstamped behavior where EVERY post-crash redelivery
+    * double-merged. */
+  private def readBatchStamp(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_graft_last_batch")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def writeBatchStamp(spark: SparkSession, dir: String,
+                              batchId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_graft_last_batch")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(batchId.toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
   def histogramArtifactForeachBatch(dir: String, keyCols: Seq[String])(
       onUpdated: (Long) => Unit = _ => ()): (DataFrame, Long) => Unit = {
     var lastBatch = -1L
     val allKeys = "day" +: keyCols :+ "v"
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
+      if (lastBatch < 0) lastBatch = readBatchStamp(spark, dir)
       if (batchId > lastBatch) {
         val newCounts = batch
           .groupBy(allKeys.map(col): _*).agg(count(lit(1)).as("cnt"))
@@ -460,6 +532,7 @@ object EventStream {
           .groupBy(allKeys.map(col): _*).agg(sum("cnt").as("cnt"))
           .localCheckpoint(true)
         graft.sources.Writers.overwritePartitions(merged, dir, Seq("day"))
+        writeBatchStamp(spark, dir, batchId)
         lastBatch = batchId
       }
       onUpdated(batchId)
@@ -479,7 +552,8 @@ object EventStream {
     * [[graft.sources.SketchStore.saveTopKGrouped]] over the whole
     * stream (spec-pinned with days straddling batches); in the
     * eviction regime each day's buffer keeps the summed Σn/capacity
-    * bound. Replayed batch ids merge nothing. Batch schema: `day` +
+    * bound. Replayed batch ids merge nothing — across restarts too
+    * (durable batch stamp, [[readBatchStamp]]). Batch schema: `day` +
     * `item`. */
   def topkArtifactForeachBatch(dir: String, capacity: Int)(
       onUpdated: (Long) => Unit = _ => ()): (DataFrame, Long) => Unit = {
@@ -487,6 +561,7 @@ object EventStream {
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
       import spark.implicits._
+      if (lastBatch < 0) lastBatch = readBatchStamp(spark, dir)
       if (batchId > lastBatch) {
         val hh = new graft.functions.HeavyHitters(capacity, capacity)
         val newBuf = batch
@@ -522,6 +597,7 @@ object EventStream {
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("grp").parquet(dir)
+        writeBatchStamp(spark, dir, batchId)
         lastBatch = batchId
       }
       onUpdated(batchId)
@@ -995,9 +1071,11 @@ object EventStream {
     * purchase's (first_touch, last_touch, cents) FACT as the user's
     * history closes, so the attribution matrix is a running aggregate
     * over this stream instead of a nightly window over all history.
-    * Same lateness-horizon closing discipline as [[transitionsStream]]
-    * (#129): per user, events buffer until a same-user event arrives
-    * `latenessMinutes` past them, then close in the batch plan's
+    * Same STRICT lateness-horizon closing discipline as
+    * [[transitionsStream]] (#129): per user, events buffer until a
+    * same-user event arrives strictly MORE than `latenessMinutes`
+    * past them (an event exactly at the bound still holds the buffer
+    * open), then close in the batch plan's
     * exact (ts, event_id) order — a closing view/click updates the
     * first/last carry, a closing purchase emits its fact with the
     * carries as of strictly-prior history (an event can never
@@ -1060,8 +1138,11 @@ object EventStream {
     * each (user, active day) fact with its NEW/RETURNING verdict as
     * the day closes, so the daily growth split is a running aggregate
     * over this stream. Day-granular lateness closing (the #156
-    * discipline): a user's day closes once a same-user event arrives
-    * `latenessDays` past it; days close in ASCENDING order, so the
+    * discipline, STRICT horizon like [[transitionsStream]]): a user's
+    * day closes once a same-user event arrives strictly MORE than
+    * `latenessDays` past it (day ≥ d + latenessDays + 1 — an event
+    * exactly at the lateness bound still holds the day open); days
+    * close in ASCENDING order, so the
     * user's first-ever closed day — which is their true minimum — is
     * the one NEW fact, and the boolean "seen" carry afterwards is the
     * whole per-user memory. State per user: frontier + one boolean +

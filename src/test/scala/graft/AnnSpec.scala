@@ -249,6 +249,41 @@ class AnnSpec extends AnyFunSuite {
     assert(sweep.head._2 == want, s"λ=1 rel ${sweep.head._2} != top-k mean $want")
   }
 
+  test("index probeMmrSweep: lambda=1 anchors to the index probe; directional contract holds") {
+    import graft.sim.AnnIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_msw").toString
+    AnnIndex.build(emb, nCells = 23, seed = 42L, dir)
+    val queries = emb.filter(col("id") < 8)
+    val sweep = AnnIndex.probeMmrSweep(spark, dir, queries, k = 10, fetchK = 30)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(-_._1)
+    info(sweep.map { case (l, r, s) =>
+      s"λ=${l / 1000.0}: rel=${r / 1000.0} sim=${s / 1000.0}" }.mkString(", "))
+    assert(sweep.map(_._1) == Seq(1000L, 700L, 500L, 300L))
+    // same directional contract as the brute-candidate sweep (1-milli
+    // rounding tolerance): λ down never buys relevance, never loses
+    // diversity
+    sweep.sliding(2).foreach {
+      case Seq((_, r1, s1), (_, r2, s2)) =>
+        assert(r2 <= r1 + 1, s"relevance rose as lambda fell: $r1 -> $r2")
+        assert(s2 <= s1 + 1, s"pairwise sim rose as lambda fell: $s1 -> $s2")
+      case _ =>
+    }
+    // the λ=1 anchor IS the plain index probe's mean relevance at
+    // k=10 — the serving path inherits MMR's correctness anchor
+    val plain = AnnIndex.probe(spark, dir, queries, k = 10)
+    val rels = plain.join(
+        emb.select(col("id").as("neighbor_id"), col("vec").as("nvec")),
+        "neighbor_id")
+      .join(emb.select(col("id").as("qid"), col("vec").as("qvec")), "qid")
+      .select((dot(col("qvec"), col("nvec")) /
+        (sqrt(dot(col("qvec"), col("qvec"))) * sqrt(dot(col("nvec"), col("nvec")))))
+        .as("rel"))
+      .as[Double].collect()
+    val want = math.round(rels.sum / rels.length * 1000)
+    assert(sweep.head._2 == want,
+      s"λ=1 rel ${sweep.head._2} != index probe mean $want")
+  }
+
   test("probesForRecall calibration: derived nProbe meets its recall target") {
     // the round-8 fix for the one quality-weak component: instead of a
     // fixed nProbe, solve the probe budget from a recall target against

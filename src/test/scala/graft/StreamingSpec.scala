@@ -722,6 +722,95 @@ class StreamingSpec extends AnyFunSuite {
     assert(merged == exact, s"consumer diverged: $merged vs $exact")
   }
 
+  test("restart recovery: post-restart replayed batches merge nothing (durable stamps/state)") {
+    import spark.implicits._
+    import graft.streaming.EventStream
+    // Structured Streaming REDELIVERS the last uncommitted batch after
+    // a crash — exactly when a fresh JVM's in-memory replay guard is
+    // gone. foreachBatch sinks are plain (DataFrame, Long) => Unit, so
+    // a restart is simulated by a NEW closure over the same dirs and a
+    // replayed batch id.
+
+    // 1. histogram artifact: counts are not replay-idempotent — the
+    //    durable batch stamp must reject the redelivery
+    val ev = Tables.events(spark, TestSpark.Sf)
+      .select(to_date(col("ts")).as("day"), col("event_type"),
+        least(lit(9L), expr(
+          "cast(round(value * 100, 0) as bigint) div 5000")).as("v"))
+      .as[(java.sql.Date, String, Long)].collect().toSeq
+    val hb = ev.grouped(ev.size / 3 + 1).toSeq
+    val hdir = java.nio.file.Files.createTempDirectory("graft_hrec").toString + "/h"
+    def hdf(b: Seq[(java.sql.Date, String, Long)]) =
+      b.toDF("day", "event_type", "v")
+    val hsink1 = EventStream.histogramArtifactForeachBatch(hdir, Seq("event_type"))()
+    hsink1(hdf(hb(0)), 0); hsink1(hdf(hb(1)), 1)
+    def hrows() = spark.read.parquet(hdir)
+      .select("day", "event_type", "v", "cnt")
+      .as[(java.sql.Date, String, Long, Long)].collect().toSet
+    val afterB1 = hrows()
+    val hsink2 = EventStream.histogramArtifactForeachBatch(hdir, Seq("event_type"))()
+    hsink2(hdf(hb(1)), 1) // post-restart redelivery
+    assert(hrows() == afterB1, "replayed batch double-counted after restart")
+    hsink2(hdf(hb(2)), 2) // and genuinely-new batches still fold
+    val wantH = ev.toDF("day", "event_type", "v")
+      .groupBy("day", "event_type", "v").agg(count(lit(1)).as("cnt"))
+      .as[(java.sql.Date, String, Long, Long)].collect().toSet
+    assert(hrows() == wantH, "post-restart artifact != one-shot batch")
+
+    // 2. top-k artifact: same stamp contract
+    val tev = Tables.events(spark, TestSpark.Sf)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .as[(String, String)].collect().toSeq
+    val tb = tev.grouped(tev.size / 3 + 1).toSeq
+    val tdir = java.nio.file.Files.createTempDirectory("graft_trec").toString + "/t"
+    val tsink1 = EventStream.topkArtifactForeachBatch(tdir, capacity = 64)()
+    tsink1(tb(0).toDF("day", "item"), 0); tsink1(tb(1).toDF("day", "item"), 1)
+    def trows() = spark.read.parquet(tdir)
+      .select(col("grp").cast("string"), col("item"), col("cnt"))
+      .as[(String, String, Long)].collect().toSet
+    val tAfterB1 = trows()
+    val tsink2 = EventStream.topkArtifactForeachBatch(tdir, capacity = 64)()
+    tsink2(tb(1).toDF("day", "item"), 1)
+    assert(trows() == tAfterB1, "replayed top-k batch double-counted after restart")
+    tsink2(tb(2).toDF("day", "item"), 2)
+    val batchDir = java.nio.file.Files.createTempDirectory("graft_trecb").toString + "/t"
+    graft.sources.SketchStore.saveTopKGrouped(tev.toDF("day", "item"),
+      col("day"), col("item"), capacity = 64, dir = batchDir)
+    val wantT = spark.read.parquet(batchDir)
+      .select(col("grp").cast("string"), col("item"), col("cnt"))
+      .as[(String, String, Long)].collect().toSet
+    assert(trows() == wantT, "post-restart top-k artifact != batch artifact")
+
+    // 3. lang-budget service: a fresh closure must RECOVER
+    //    (tokDir, lastBatch, langCounts) from the versioned state
+    //    instead of resetting — redelivery re-emits, new batches
+    //    resume the merge, final frame == batch t31
+    val docs = Tables.documents(spark, TestSpark.Sf)
+      .select("doc_id", "text", "lang")
+      .as[(Long, String, String)].collect().toSeq
+    val db = docs.grouped(docs.size / 3 + 1).toSeq
+    val sdir = java.nio.file.Files.createTempDirectory("graft_brec").toString
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[(String, Long, Long, Long, Long, Long, Long, Long, Long)])]
+    val bsink1 = EventStream.langBudgetForeachBatch(sdir) { (b, id) =>
+      emitted += ((id, b.as[(String, Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq))
+    }
+    bsink1(db(0).toDF("doc_id", "text", "lang"), 0)
+    bsink1(db(1).toDF("doc_id", "text", "lang"), 1)
+    val frameAtB1 = emitted.last._2
+    val bsink2 = EventStream.langBudgetForeachBatch(sdir) { (b, id) =>
+      emitted += ((id, b.as[(String, Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq))
+    }
+    bsink2(db(1).toDF("doc_id", "text", "lang"), 1) // redelivery
+    assert(emitted.last._2 == frameAtB1,
+      "post-restart redelivery changed the budget frame (state reset or double count)")
+    bsink2(db(2).toDF("doc_id", "text", "lang"), 2)
+    val wantFull = TrainingDataQueries.t31LangBudget(spark, TestSpark.Sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(emitted.last._2 == wantFull,
+      "final frame after restart != batch t31 on the full table")
+  }
+
   test("churn alert stream: final frame equals the batch q80 consumer") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
