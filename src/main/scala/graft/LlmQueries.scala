@@ -675,6 +675,52 @@ object LlmQueries {
       |         AS delta_saved_tokens
       |FROM s ORDER BY run_label, source""".stripMargin
 
+  /** #224 (d35): dedup-threshold OPERATING-CURVE sweep — s17/s18's
+    * "price the knob before you pick it" idea applied to the dedup
+    * family's own central parameter: at each candidate jaccard
+    * threshold τ, how many pairs qualify and how many documents are
+    * touched? The corpus owner reads this table before committing to
+    * a τ (too loose ⇒ distinct documents merge; too tight ⇒ mirror
+    * crawls survive) — and because the staged pair graph stores each
+    * verified pair's EXACT (inter, uni), the whole sweep prices from
+    * kilobyte-scale artifact rows with integer threshold compares
+    * (inter·den ≥ uni·num): five aggregate jobs over one parquet
+    * read, the corpus is never re-shingled. Sweep floor = the
+    * artifact's own build threshold (τ ≥ 1/2 — below it pairs were
+    * never verified); a τ with no qualifying pairs reports an
+    * explicit zero row, not a missing one. Fully oracled (the oracle
+    * recomputes the exact pair graph inline and applies the same
+    * integer compares). */
+  def d35TauSweep: Q = (spark, dir) => {
+    val pairs = pairGraph(spark, dir)
+    Seq((1, 2, 500L), (3, 5, 600L), (7, 10, 700L), (4, 5, 800L),
+        (9, 10, 900L)).map { case (num, den, pm) =>
+      val q = pairs.filter(col("inter") * den >= col("uni") * num)
+      val nPairs = q.agg(count(lit(1)).as("n_pairs"))
+      val nDocs = q.select(col("doc_id1").as("d"))
+        .union(q.select(col("doc_id2").as("d")))
+        .agg(countDistinct(col("d")).as("n_docs"))
+      nPairs.crossJoin(nDocs)
+        .select(lit(pm).as("tau_milli"), col("n_pairs"), col("n_docs"))
+    }.reduce(_ unionByName _).orderBy("tau_milli")
+  }
+
+  // lazy: embeds d04Sql (same object-init ordering note as d28Sql)
+  lazy val d35Sql: String =
+    s"""WITH p AS ($d04Sql),
+       |t AS (SELECT * FROM (VALUES (1, 2, 500), (3, 5, 600), (7, 10, 700),
+       |                            (4, 5, 800), (9, 10, 900)) AS tt(num, den, pm)),
+       |q AS (SELECT t.pm, p.doc_id1, p.doc_id2
+       |      FROM p JOIN t ON p.inter * t.den >= p.uni * t.num),
+       |dd AS (SELECT pm, doc_id1 AS d FROM q UNION SELECT pm, doc_id2 FROM q),
+       |a AS (SELECT pm, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM q GROUP BY 1),
+       |b AS (SELECT pm, CAST(COUNT(*) AS BIGINT) AS n_docs FROM dd GROUP BY 1)
+       |SELECT CAST(t.pm AS BIGINT) AS tau_milli,
+       |       CAST(COALESCE(a.n_pairs, 0) AS BIGINT) AS n_pairs,
+       |       CAST(COALESCE(b.n_docs, 0) AS BIGINT) AS n_docs
+       |FROM t LEFT JOIN a ON t.pm = a.pm LEFT JOIN b ON t.pm = b.pm
+       |ORDER BY 1""".stripMargin
+
   /** #161 (d26): incremental cluster maintenance — fold a NEW ingest
     * batch into an EXISTING near-dup cluster table without re-running
     * the old corpus's pair verification or re-clustering it from
@@ -2360,6 +2406,7 @@ object LlmQueries {
     "d32_provenance" -> d32Provenance,
     "d33_provenance_datasheet" -> d33ProvenanceDatasheet,
     "d34_savings_trend" -> d34SavingsTrend,
+    "d35_tau_sweep" -> d35TauSweep,
     "d26_incremental_clusters" -> d26IncrementalClusters,
     "d07_embed_neardup_lsh" -> d07EmbedNearDupLsh,
     "d13_semdedup" -> d13SemDedup,
@@ -2420,6 +2467,7 @@ object LlmQueries {
     "d32_provenance" -> d32Sql,
     "d33_provenance_datasheet" -> d33Sql,
     "d34_savings_trend" -> d34Sql,
+    "d35_tau_sweep" -> d35Sql,
     // incremental ≡ full: the oracle IS the from-scratch d06 SQL
     "d26_incremental_clusters" -> d06Sql,
     "s01_ann_bruteforce" -> s01Sql,

@@ -429,7 +429,44 @@ object ScaleQueries {
       |       CAST(ROUND(quantile_cont(value, 0.5) * 1000, 0) AS BIGINT) AS p50_value_milli
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** #223 (q87): day-ranged point-frequency estimates from persisted
+    * count-min artifacts — the sketch family's third member beside
+    * SpaceSaving top-k (q74) and HLL distinct (q71): "how many events
+    * did THIS user generate over days X–Y?" for arbitrary users,
+    * including ones far below the heavy-hitter cutoff that q74's
+    * sketch has evicted (the quota/abuse/billing point lookup).
+    * Per-day CMS binaries build in ONE distributed job
+    * ([[graft.sources.SketchStore.saveCmsGrouped]], partitioned by
+    * day); the range answer merges the pruned days' kilobyte grids by
+    * cell-wise addition and reads point estimates — never an event
+    * re-scan. The probe set here is the deterministic user_id % 29
+    * slice (population-bounded driver list; production passes
+    * whatever ids the quota check cares about). Estimates never
+    * undercount and overcount ≤ eps·N(range) at 99% confidence —
+    * approximate by design, so rows-only; SourcesSpec pins
+    * merged-parts ≡ direct, the never-undercount direction, and the
+    * eps·N band against exact counts. */
+  def q87CmsFreq: Q = (spark, dir) => {
+    import graft.sources.SketchStore
+    import spark.implicits._
+    val art = StageRoots.rootFor(dir) + "/cms_byday"
+    SketchStore.saveCmsGrouped(
+      Tables.events(spark, dir),
+      date_format(col("ts"), "yyyy-MM-dd"), col("user_id"),
+      dir = art)
+    val probes = Tables.events(spark, dir)
+      .select(col("user_id")).filter(col("user_id") % 29 === 0)
+      .distinct().as[Long].collect().sorted.map(_.toString).toSeq
+    val (ests, n) = SketchStore.cmsEstimates(spark, art,
+      col("grp") <= "2024-01-10", probes)
+    ests.toDF("user_id", "est_n")
+      .select(col("user_id").cast("long").as("user_id"), col("est_n"),
+        lit(n).as("range_n"))
+      .orderBy("user_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "q87_cms_freq" -> q87CmsFreq,
     "q34_heavy_hitters" -> q34HeavyHitters,
     "q76_topk_weekly" -> q76TopkWeekly,
     "q80_topk_churn" -> q80TopkChurn,

@@ -1539,7 +1539,49 @@ object TrainingDataQueries {
       |       CAST((ntot * ntot * 1000 * 2 + sq) // (2 * sq) AS BIGINT) AS simpson_eff_milli
       |FROM l, t ORDER BY label""".stripMargin
 
+  /** #222 (t35): deterministic EPOCH SHUFFLE — the training-data
+    * reader's "shuffle differently every epoch, identically on every
+    * re-run" contract, as a distributed operator: per epoch, every
+    * doc gets a contiguous 1-based position in the order of a
+    * per-epoch content-independent hash (first 15 hex digits of
+    * md5("<doc_id>:<epoch>") as a 60-bit integer — the t08 bucket
+    * idiom widened to an ordering key; `conv(hex,16,10)` ≡ DuckDB
+    * `('0x'||hex)::BIGINT`, so the oracle orders by the SAME key).
+    * Re-ingesting, repartitioning or re-running can never change an
+    * epoch's order (hash of stable ids), while epochs decorrelate
+    * completely (the epoch number is inside the hash). The global
+    * position comes from [[graft.etl.GlobalOrder.withGlobalSeq]] —
+    * the q64 distributed prefix sum, never a single-task whole-table
+    * `row_number() OVER (ORDER BY …)` — and the 60-bit key domain is
+    * uniform by construction, the exact regime its equal-width
+    * buckets balance best. Ties (astronomically rare 60-bit
+    * collisions) break on doc_id IN BOTH ENGINES, so the oracle
+    * stays exact regardless. Fully oracled. */
+  def t35EpochShuffle: Q = (spark, dir) => {
+    import graft.etl.GlobalOrder
+    val docs = Tables.documents(spark, dir).select("doc_id")
+    (0 to 1).map { e =>
+      val keyed = docs.withColumn("hk",
+        conv(substring(md5(concat_ws(":", col("doc_id"), lit(e))
+          .cast(BinaryType)), 1, 15), 16, 10).cast(LongType))
+      GlobalOrder.withGlobalSeq(keyed, "hk", Seq("doc_id"), seqCol = "seq")
+        .select(lit(e.toLong).as("epoch"), col("seq"), col("doc_id"))
+    }.reduce(_ unionByName _).orderBy("epoch", "seq")
+  }
+
+  val t35Sql: String =
+    """WITH e AS (SELECT * FROM (VALUES (0), (1)) AS t(epoch)),
+      |h AS (
+      |  SELECT epoch, doc_id,
+      |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
+      |  FROM documents CROSS JOIN e)
+      |SELECT CAST(epoch AS BIGINT) AS epoch,
+      |       CAST(row_number() OVER (PARTITION BY epoch ORDER BY hk, doc_id) AS BIGINT) AS seq,
+      |       doc_id
+      |FROM h ORDER BY epoch, seq""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "t35_epoch_shuffle" -> t35EpochShuffle,
     "t30_class_balance" -> t30ClassBalance,
     "t33_quality_sample" -> t33QualitySample,
     "t34_gated_alpha_mix" -> t34GatedAlphaMix,
@@ -1572,6 +1614,7 @@ object TrainingDataQueries {
     "d11_corpus_pipeline" -> d11CorpusPipeline)
 
   val oracles: Seq[(String, String)] = Seq(
+    "t35_epoch_shuffle" -> t35Sql,
     "t24_fertility" -> t24Sql,
     "t26_alpha_mix" -> t26Sql,
     "t27_vocab_coverage" -> t27Sql,

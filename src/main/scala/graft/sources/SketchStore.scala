@@ -259,6 +259,61 @@ object SketchStore {
     }
   }
 
+  // ── Mergeable count-min frequency sketches ───────────────────────
+  //
+  // The point-frequency member of the artifact family: SpaceSaving
+  // answers "what are the top k?", HLL answers "how many distinct?",
+  // CMS answers "how often did THIS item occur?" for ARBITRARY items —
+  // including ones far below the heavy-hitter cutoff, which SpaceSaving
+  // has evicted. Per (group, batch) the sketch is a fixed
+  // depth × width counter grid (kilobytes however many rows); merge is
+  // cell-wise addition under identical (eps, confidence, seed) — the
+  // same hash functions index the same cells, so merged-parts ≡ direct
+  // EXACTLY (spec-pinned), and day ranges compose like the other
+  // families. Estimates never undercount; overcount ≤ eps·N(range)
+  // with probability ≥ confidence (one-sided — the safe direction for
+  // quota/abuse checks).
+
+  /** ONE distributed job builds a CMS per group (ingest day, …) and
+    * stores the binaries partitioned by group: any group range is
+    * answered by partition-pruned kilobyte reads. Items are hashed as
+    * strings (cast before the agg) so the stored sketch and the
+    * driver-side point query use the same byte hashing. */
+  def saveCmsGrouped(items: DataFrame, groupCol: Column, itemCol: Column,
+                     dir: String, eps: Double = 0.0005,
+                     confidence: Double = 0.99, seed: Int = 42): Unit =
+    items
+      .groupBy(groupCol.cast(org.apache.spark.sql.types.StringType).as("grp"))
+      .agg(
+        count_min_sketch(itemCol.cast(org.apache.spark.sql.types.StringType),
+          lit(eps), lit(confidence), lit(seed)).as("cms"),
+        count(lit(1)).as("n_items"))
+      .withColumn("eps_e6", lit(math.round(eps * 1e6)))
+      .withColumn("seed", lit(seed))
+      .write.mode("overwrite").partitionBy("grp").parquet(dir)
+
+  /** Merge the stored sketches of every group matching `groupPred`
+    * (partition-pruned) and answer point-frequency queries for
+    * `items`. Returns (item, est_n) plus the merged range's true item
+    * count (the N in the eps·N bound). Mixed-parameter sketches fail
+    * loudly — their cells don't line up. */
+  def cmsEstimates(spark: SparkSession, dir: String, groupPred: Column,
+                   items: Seq[String]): (Seq[(String, Long)], Long) = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val rows = spark.read.parquet(dir).filter(groupPred)
+      .select(col("cms"), col("n_items"), col("eps_e6"), col("seed"))
+      .collect()
+    require(rows.nonEmpty, "no CMS artifact groups match the range")
+    val params = rows.map(r => (r.getLong(2), r.getInt(3))).toSet
+    require(params.size == 1,
+      s"incompatible CMS sketches: (eps_e6, seed) $params — cells only line up at one parameterization")
+    val sketches = rows.map(r => CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0))))
+    val merged = sketches.reduce { (a, b) => a.mergeInPlace(b); a }
+    val n = rows.map(_.getLong(1)).sum
+    (items.map(it => it -> merged.estimateCount(it)), n)
+  }
+
   // ── Artifact consumers (no-rescan analytics) ─────────────────────
 
   /** q58's drift audit computed ENTIRELY from stored value histograms

@@ -604,6 +604,115 @@ object EventStream {
     }
   }
 
+  /** Streaming CMS-artifact maintenance (#225) — #194/#208's sibling
+    * for the count-min family: keep the per-day point-frequency grids
+    * that q87 consumes current as events arrive. Per micro-batch: ONE
+    * distributed `count_min_sketch` agg per touched day reduces the
+    * batch to kilobyte grids, the touched days' stored binaries merge
+    * in by CELL-WISE ADDITION driver-side (lossless under identical
+    * (eps, confidence, seed) — the same hashes index the same cells),
+    * and #158's dynamic-partition overwrite swaps exactly those day
+    * partitions. Addition is associative and commutative, so the
+    * maintained table answers every point query EXACTLY as a one-shot
+    * [[graft.sources.SketchStore.saveCmsGrouped]] over the whole
+    * stream (spec-pinned estimate parity); replayed batch ids merge
+    * nothing — across restarts too (durable batch stamp,
+    * [[readBatchStamp]]). Batch schema: `day` + `item`; artifact
+    * schema matches saveCmsGrouped, so
+    * [[graft.sources.SketchStore.cmsEstimates]] serves both. */
+  def cmsArtifactForeachBatch(dir: String, eps: Double = 0.0005,
+                              confidence: Double = 0.99, seed: Int = 42)(
+      onUpdated: (Long) => Unit = _ => ()): (DataFrame, Long) => Unit = {
+    var lastBatch = -1L
+    val epsE6 = math.round(eps * 1e6)
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      if (lastBatch < 0) lastBatch = readBatchStamp(spark, dir)
+      if (batchId > lastBatch) {
+        import org.apache.spark.util.sketch.CountMinSketch
+        val newRows = batch
+          .groupBy(col("day").cast(org.apache.spark.sql.types.StringType)
+            .as("grp"))
+          .agg(count_min_sketch(
+              col("item").cast(org.apache.spark.sql.types.StringType),
+              lit(eps), lit(confidence), lit(seed)).as("cms"),
+            count(lit(1)).as("n_items"))
+          .as[(String, Array[Byte], Long)].collect()
+        val target = new org.apache.hadoop.fs.Path(dir)
+        val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val stored: Map[String, (Array[Byte], Long)] =
+          if (fs.exists(target))
+            spark.read.parquet(dir)
+              .filter(col("grp").isin(newRows.map(_._1).toSeq: _*))
+              .select(col("grp")
+                .cast(org.apache.spark.sql.types.StringType),
+                col("cms"), col("n_items"))
+              .as[(String, Array[Byte], Long)].collect()
+              .map(r => r._1 -> (r._2, r._3)).toMap
+          else Map.empty
+        val merged = newRows.toSeq.sortBy(_._1).map { case (day, cms, n) =>
+          stored.get(day) match {
+            case Some((old, oldN)) =>
+              val a = CountMinSketch.readFrom(
+                new java.io.ByteArrayInputStream(old))
+              a.mergeInPlace(CountMinSketch.readFrom(
+                new java.io.ByteArrayInputStream(cms)))
+              val bos = new java.io.ByteArrayOutputStream()
+              a.writeTo(bos)
+              (day, bos.toByteArray, oldN + n)
+            case None => (day, cms, n)
+          }
+        }
+        merged.toDF("grp", "cms", "n_items")
+          .withColumn("eps_e6", lit(epsE6))
+          .withColumn("seed", lit(seed))
+          .repartition(col("grp"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("grp").parquet(dir)
+        writeBatchStamp(spark, dir, batchId)
+        lastBatch = batchId
+      }
+      onUpdated(batchId)
+    }
+  }
+
+  /** Streaming quota gate (#226) — q87's consumer wired to #225's
+    * maintained artifact: each micro-batch first folds into the
+    * per-day CMS table, then re-prices every item SEEN IN THIS BATCH
+    * against the CURRENT whole-history artifact and emits the ones
+    * whose estimated total crosses `quota` — the continuous
+    * abuse/quota alert ("this user just exceeded N events all-time")
+    * without ever re-scanning events. The estimate never undercounts,
+    * so a user whose TRUE total crosses the quota can never slip
+    * through (one-sided error in the safe direction; a false alarm is
+    * bounded by eps·N — spec-pinned both ways). Per-batch cost: the
+    * fold + one merged-grid point query per distinct batch item. */
+  def cmsQuotaForeachBatch(dir: String, quota: Long,
+                           eps: Double = 0.0005, confidence: Double = 0.99,
+                           seed: Int = 42)(
+      onFlags: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    val fold = cmsArtifactForeachBatch(dir, eps, confidence, seed)()
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      fold(batch, batchId)
+      val items = batch
+        .select(col("item").cast(org.apache.spark.sql.types.StringType))
+        .distinct().as[String].collect().toSeq.sorted
+      val flagged =
+        if (items.isEmpty) Seq.empty[(String, Long)]
+        else {
+          val (ests, _) = graft.sources.SketchStore
+            .cmsEstimates(spark, dir, lit(true), items)
+          ests.filter(_._2 > quota)
+        }
+      onFlags(flagged.toDF("item", "est_n")
+        .withColumn("quota", lit(quota)), batchId)
+    }
+  }
+
   /** Streaming churn alert (#213) — q80's consumer wired to #208's
     * maintained artifact: each micro-batch first folds into the
     * per-day sketch table ([[topkArtifactForeachBatch]]'s kernel,

@@ -399,6 +399,59 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch store: CMS artifacts merge losslessly; estimates never undercount, stay in the eps band") {
+    import graft.sources.SketchStore
+    val ev = Tables.events(spark, TestSpark.Sf)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("user_id").cast("string").as("item"))
+    val dir = Files.createTempDirectory("cms_days").toString + "/c"
+    SketchStore.saveCmsGrouped(ev, col("day"), col("item"), dir)
+    val rangePred = col("grp") <= "2024-01-10"
+    val inRange = ev.filter(col("day") <= "2024-01-10")
+      .select("item").as[String].collect().toSeq
+    val exact = inRange.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // probe EVERY user in the corpus — including ones absent from the
+    // range (true count 0) and ones far below any heavy-hitter cutoff
+    val probes = ev.select("item").distinct().as[String].collect().toSeq.sorted
+    val (ests, n) = SketchStore.cmsEstimates(spark, dir, rangePred, probes)
+    assert(n == inRange.size, s"range n $n != ${inRange.size}")
+    val eps = 0.0005
+    val band = math.ceil(eps * n).toLong
+    ests.foreach { case (item, est) =>
+      val t = exact.getOrElse(item, 0L)
+      assert(est >= t, s"$item: CMS undercounted $est < $t")
+      assert(est - t <= band, s"$item: overcount ${est - t} > eps*N $band")
+    }
+    // merged day sketches ≡ one direct sketch over the range: cell-wise
+    // addition under identical hashes is LOSSLESS, so every point
+    // estimate matches the direct build exactly
+    val directDir = Files.createTempDirectory("cms_direct").toString + "/c"
+    SketchStore.saveCmsGrouped(
+      ev.filter(col("day") <= "2024-01-10").withColumn("one", lit("all")),
+      col("one"), col("item"), directDir)
+    val (direct, _) = SketchStore.cmsEstimates(spark, directDir,
+      col("grp") === "all", probes)
+    assert(ests == direct, "merged day sketches diverged from the direct build")
+    // mixed parameterizations fail loudly — the cells don't line up
+    val dBad = Files.createTempDirectory("cms_bad").toString + "/c"
+    SketchStore.saveCmsGrouped(ev, col("day"), col("item"), dBad, eps = 0.01)
+    intercept[IllegalArgumentException] {
+      val rows = spark.read.parquet(dir).unionByName(spark.read.parquet(dBad))
+      val mixDir = Files.createTempDirectory("cms_mix").toString + "/c"
+      rows.write.mode("overwrite").partitionBy("grp").parquet(mixDir)
+      SketchStore.cmsEstimates(spark, mixDir, lit(true), probes.take(1))
+    }
+    // and the registered q87 emits a row per probe with the range total
+    val q87 = ScaleQueries.q87CmsFreq(spark, TestSpark.Sf)
+      .as[(Long, Long, Long)].collect()
+    assert(q87.nonEmpty && q87.forall(_._3 == n),
+      "q87 range_n diverged from the artifact item count")
+    q87.foreach { case (uid, est, _) =>
+      val t = exact.getOrElse(uid.toString, 0L)
+      assert(est >= t && est - t <= band, s"q87 user $uid: est $est true $t")
+    }
+  }
+
   test("sketch store: winsorize report from stored histograms equals the raw-frame q57") {
     import graft.sources.SketchStore
     val li = Tables.lineitem(spark, TestSpark.Sf)

@@ -811,6 +811,55 @@ class StreamingSpec extends AnyFunSuite {
       "final frame after restart != batch t31 on the full table")
   }
 
+  test("CMS artifact stream: estimates converge to the one-shot build; quota gate never misses") {
+    import spark.implicits._
+    import graft.streaming.EventStream
+    import graft.sources.SketchStore
+    val ev = Tables.events(spark, TestSpark.Sf)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("user_id").cast("string").as("item"))
+      .as[(String, String)].collect().toSeq
+    val batches = ev.grouped(ev.size / 3 + 1).toSeq
+    val probes = ev.map(_._2).distinct.sorted
+    val exact = ev.map(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+    // maintained artifact ≡ one-shot batch build on every point query
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmsart").toString + "/c"
+    val sink = EventStream.cmsArtifactForeachBatch(dir)()
+    batches.zipWithIndex.foreach { case (b, i) => sink(b.toDF("day", "item"), i.toLong) }
+    val oneDir = java.nio.file.Files.createTempDirectory("graft_cmsone").toString + "/c"
+    SketchStore.saveCmsGrouped(ev.toDF("day", "item"), col("day"), col("item"), oneDir)
+    val (streamed, nS) = SketchStore.cmsEstimates(spark, dir, lit(true), probes)
+    val (oneShot, nO) = SketchStore.cmsEstimates(spark, oneDir, lit(true), probes)
+    assert(nS == nO && nS == ev.size, s"item counts diverged: $nS vs $nO vs ${ev.size}")
+    assert(streamed == oneShot, "streamed CMS estimates != one-shot build")
+
+    // post-restart redelivery merges nothing (durable stamp)
+    val sink2 = EventStream.cmsArtifactForeachBatch(dir)()
+    sink2(batches.last.toDF("day", "item"), (batches.size - 1).toLong)
+    val (replayed, nR) = SketchStore.cmsEstimates(spark, dir, lit(true), probes)
+    assert(nR == nS && replayed == streamed, "replayed batch double-merged")
+
+    // quota gate: flags accumulate across batches; any user whose TRUE
+    // total crosses the quota is flagged (est >= exact), and every
+    // flag is within the eps band of a real crossing
+    val qdir = java.nio.file.Files.createTempDirectory("graft_cmsq").toString + "/c"
+    val quota = exact.values.toSeq.sorted.apply(exact.size / 2) // median total
+    val flagged = scala.collection.mutable.Set.empty[String]
+    val qsink = EventStream.cmsQuotaForeachBatch(qdir, quota) { (f, _) =>
+      flagged ++= f.select("item").as[String].collect()
+    }
+    batches.zipWithIndex.foreach { case (b, i) => qsink(b.toDF("day", "item"), i.toLong) }
+    val mustFlag = exact.filter(_._2 > quota).keySet
+    assert(mustFlag.subsetOf(flagged),
+      s"quota gate missed true violators: ${mustFlag -- flagged}")
+    val band = math.ceil(0.0005 * ev.size).toLong
+    flagged.foreach { u =>
+      assert(exact(u) > quota - band,
+        s"false alarm beyond the eps band: $u exact ${exact(u)} quota $quota")
+    }
+  }
+
   test("churn alert stream: final frame equals the batch q80 consumer") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
