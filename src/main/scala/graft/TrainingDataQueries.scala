@@ -1580,7 +1580,53 @@ object TrainingDataQueries {
       |       doc_id
       |FROM h ORDER BY epoch, seq""".stripMargin
 
+  /** #227 (t36): curriculum ORDER — train on the highest-quality
+    * documents first (curriculum learning's data-ordering half): every
+    * doc's contiguous 1-based position under (quality score DESC,
+    * doc_id ASC), with the score from t02's integer-exact kernel so
+    * the ordering key is engine-exact. The scale hazard is specific:
+    * the score domain is BOUNDED (milli points, ≤ ~1500 distinct), so
+    * a single band can hold a corpus-scale share of the rows — a
+    * window partitioned by score alone serializes that band, and the
+    * t35-style composite numeric key degenerates (all mass in few
+    * score values). [[graft.etl.GlobalOrder.withBandedGlobalSeq]] is
+    * the fix: domain-bounded offsets over the score order + a second
+    * doc_id-bucketed prefix level inside each band — full parallelism
+    * even when one score holds 90% of the corpus. Fully oracled
+    * (DuckDB row_number over the same (score DESC, doc_id) order). */
+  def t36CurriculumOrder: Q = (spark, dir) => {
+    import graft.etl.GlobalOrder
+    import graft.text.TextFunctions._
+    val scored = graft.LlmQueries.normedDocs(spark, dir)
+      .select(col("doc_id"),
+        qualityScoreMilli(wordTokenCount(col("text_norm")),
+          stopwordCount(col("text_norm"))).as("score_milli"))
+    GlobalOrder.withBandedGlobalSeq(scored, "score_milli", "doc_id",
+        coarseDesc = true, seqCol = "rank")
+      .select(col("rank"), col("doc_id"), col("score_milli"))
+      .orderBy("rank")
+  }
+
+  val t36Sql: String =
+    """WITH n AS (
+      |  SELECT doc_id,
+      |         regexp_replace(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]*(feat\.|featuring|ft\.|&|and)[ \t\n\x0b\f\r]*', ';', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g') AS text_norm
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |         CAST(len(regexp_extract_all(text_norm, '[a-z0-9]+')) AS BIGINT) AS n_tok,
+      |         CAST(len(regexp_extract_all(text_norm, '\b(the|a|of|in)\b')) AS BIGINT) AS n_stop
+      |  FROM n),
+      |s AS (
+      |  SELECT doc_id,
+      |         CAST(LEAST(100, n_tok) * 10 + LEAST(100, n_stop) * 5 AS BIGINT) AS score_milli
+      |  FROM c)
+      |SELECT CAST(row_number() OVER (ORDER BY score_milli DESC, doc_id) AS BIGINT) AS rank,
+      |       doc_id, score_milli
+      |FROM s ORDER BY rank""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "t36_curriculum_order" -> t36CurriculumOrder,
     "t35_epoch_shuffle" -> t35EpochShuffle,
     "t30_class_balance" -> t30ClassBalance,
     "t33_quality_sample" -> t33QualitySample,
@@ -1614,6 +1660,7 @@ object TrainingDataQueries {
     "d11_corpus_pipeline" -> d11CorpusPipeline)
 
   val oracles: Seq[(String, String)] = Seq(
+    "t36_curriculum_order" -> t36Sql,
     "t35_epoch_shuffle" -> t35Sql,
     "t24_fertility" -> t24Sql,
     "t26_alpha_mix" -> t26Sql,

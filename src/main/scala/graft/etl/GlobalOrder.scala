@@ -89,4 +89,61 @@ object GlobalOrder {
     }
     out.drop("_go_b", "_go_coff", "_go_soff")
   }
+
+  /** Global 1-based row number over (`coarse` DESC|ASC, `fine` ASC)
+    * when the COARSE key has a BOUNDED domain (quality bands, milli
+    * scores, priority tiers) and single coarse values can hold a
+    * corpus-scale share of the rows. Both standard shapes break
+    * there: a window partitioned by the coarse key alone funnels each
+    * band through one task (the q50 class), and [[withGlobalSeq]]'s
+    * equal-width bucketing of a composite numeric key degenerates
+    * when the mass concentrates in few coarse values (most buckets
+    * empty, one full). Two prefix-sum levels fix both:
+    *
+    *   1. per-coarse counts (≤ |domain| rows) → exclusive offsets in
+    *      coarse order — the only unpartitioned window, and it is
+    *      DOMAIN-bounded, never data-bounded;
+    *   2. within each coarse value, `fine`-keyed equal-width buckets:
+    *      per-(coarse, bucket) partial counts, bucket offsets via a
+    *      window PARTITIONED BY coarse (≤ `buckets` rows per
+    *      partition), and a row_number partitioned by the
+    *      high-cardinality (coarse, bucket) pair — full parallelism
+    *      inside even a band holding 90% of the corpus.
+    *
+    * `fine` must be numeric, non-null and UNIQUE (a surrogate id) —
+    * it is both the tie-break and the bucketing axis. */
+  def withBandedGlobalSeq(df: DataFrame, coarse: String, fine: String,
+                          coarseDesc: Boolean = true,
+                          seqCol: String = "seq",
+                          buckets: Int = 0): DataFrame = {
+    val nb =
+      if (buckets > 0) buckets
+      else df.sparkSession.sessionState.conf.numShufflePartitions * 8
+    val cOrd = if (coarseDesc) col(coarse).desc else col(coarse).asc
+    val coarseCounts = df.groupBy(coarse).agg(count(lit(1)).as("_bg_c"))
+    val wC = Window.orderBy(cOrd).rowsBetween(Window.unboundedPreceding, -1)
+    val coarseOff = coarseCounts.select(col(coarse),
+      coalesce(sum("_bg_c").over(wC), lit(0L)).as("_bg_coff"))
+    val bounds = df.agg(min(col(fine).cast(LongType)).as("_bg_lo"),
+      max(col(fine).cast(LongType)).as("_bg_hi"))
+    val withB = df.crossJoin(broadcast(bounds))
+      .withColumn("_bg_b",
+        ((col(fine).cast(LongType) - col("_bg_lo")) /
+          ((col("_bg_hi") - col("_bg_lo")) / nb + lit(1L))).cast(LongType))
+      .drop("_bg_lo", "_bg_hi")
+    val partials = withB.groupBy(col(coarse), col("_bg_b"))
+      .agg(count(lit(1)).as("_bg_c"))
+    val wB = Window.partitionBy(coarse).orderBy("_bg_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketOff = partials.select(col(coarse), col("_bg_b"),
+      coalesce(sum("_bg_c").over(wB), lit(0L)).as("_bg_boff"))
+    val wFine = Window.partitionBy(col(coarse), col("_bg_b"))
+      .orderBy(col(fine))
+    withB.join(broadcast(coarseOff), Seq(coarse))
+      .join(broadcast(bucketOff), Seq(coarse, "_bg_b"))
+      .withColumn(seqCol,
+        col("_bg_coff") + col("_bg_boff") +
+          row_number().over(wFine).cast(LongType))
+      .drop("_bg_b", "_bg_coff", "_bg_boff")
+  }
 }

@@ -271,6 +271,30 @@ class EtlSpec extends AnyFunSuite {
     assert(got == want, s"got $got\nwant $want")
   }
 
+  test("withBandedGlobalSeq matches the local sort even when one band holds 90% of rows") {
+    import graft.etl.GlobalOrder
+    // the t36 hazard made adversarial: a bounded coarse domain where
+    // one value (42) holds ~90% of the rows — the shape that
+    // serializes a score-partitioned window and starves withGlobalSeq's
+    // equal-width composite buckets
+    val rows = (1L to 2000L).map(id =>
+      (id, if (id % 10 == 0) (id % 7).toInt else 42))
+    val df = rows.toDF("id", "band")
+    val got = GlobalOrder
+      .withBandedGlobalSeq(df, "band", "id", coarseDesc = true, seqCol = "seq")
+      .select("seq", "id").as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    val want = rows.sortBy { case (id, b) => (-b, id) }.zipWithIndex
+      .map { case ((id, _), i) => ((i + 1).toLong, id) }
+    assert(got == want, s"banded seq diverged: ${got.take(5)} vs ${want.take(5)}")
+    // ascending coarse order too
+    val gotAsc = GlobalOrder
+      .withBandedGlobalSeq(df, "band", "id", coarseDesc = false, seqCol = "seq")
+      .select("seq", "id").as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    val wantAsc = rows.sortBy { case (id, b) => (b, id) }.zipWithIndex
+      .map { case ((id, _), i) => ((i + 1).toLong, id) }
+    assert(gotAsc == wantAsc)
+  }
+
   test("SavingsLedger: per-label idempotent append, trend deltas vs previous run") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ledger").toString
     def frame(saved: Long) = Seq(
