@@ -721,6 +721,58 @@ object LlmQueries {
        |FROM t LEFT JOIN a ON t.pm = a.pm LEFT JOIN b ON t.pm = b.pm
        |ORDER BY 1""".stripMargin
 
+  /** #228 (d36): cluster QUALITY report — the trust audit for the
+    * cluster table every dedup decision consumes (d06/d15/d28/t23):
+    * per cluster, its size, how many verified τ-pairs hold it
+    * together, the weakest and mean internal jaccard (milli,
+    * half-up), and its edge DENSITY vs a clique (ppm) — the signal
+    * that separates a tight clique of true duplicates from a fragile
+    * chain glued by one borderline pair (transitive closure's known
+    * failure mode; a low-density cluster with min_j at the τ floor is
+    * where a canonical-only purge destroys distinct documents).
+    * Prices entirely from two staged artifacts (cluster table +
+    * pair graph's exact (inter, uni)) — one join + one aggregate,
+    * the corpus is never re-shingled. Every τ-pair's endpoints share
+    * a component by construction, so joining comp via doc_id1 is
+    * lossless. Fully oracled (both artifacts recomputed inline). */
+  def d36ClusterQuality: Q = (spark, dir) => {
+    val cl = clusters(spark, dir)
+    val sizes = cl.groupBy("comp").agg(count(lit(1)).as("n_docs"))
+    val pairStats = pairGraph(spark, dir)
+      .join(cl.withColumnRenamed("id", "doc_id1"), "doc_id1")
+      .withColumn("j_milli", expr("(1000 * inter * 2 + uni) div (2 * uni)"))
+      .groupBy("comp")
+      .agg(count(lit(1)).as("n_pairs"),
+        min("j_milli").as("min_j_milli"),
+        expr("(sum(j_milli) * 2 + count(1)) div (2 * count(1))")
+          .as("avg_j_milli"))
+    sizes.join(pairStats, Seq("comp"))
+      .withColumn("density_ppm", expr(
+        "(n_pairs * 1000000 * 2 + (n_docs * (n_docs - 1) div 2)) " +
+          "div (2 * (n_docs * (n_docs - 1) div 2))"))
+      .orderBy("comp")
+  }
+
+  // lazy: embeds d06Sql + d04Sql (same init-order note as d28Sql)
+  lazy val d36Sql: String =
+    s"""WITH c AS ($d06Sql),
+       |p AS ($d04Sql),
+       |pj AS (
+       |  SELECT c.comp,
+       |         (1000 * p.inter * 2 + p.uni) // (2 * p.uni) AS j_milli
+       |  FROM p JOIN c ON p.doc_id1 = c.id),
+       |sz AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS n_docs FROM c GROUP BY 1),
+       |st AS (
+       |  SELECT comp, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |         CAST(MIN(j_milli) AS BIGINT) AS min_j_milli,
+       |         CAST((SUM(j_milli) * 2 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS avg_j_milli
+       |  FROM pj GROUP BY 1)
+       |SELECT sz.comp, sz.n_docs, st.n_pairs, st.min_j_milli, st.avg_j_milli,
+       |       CAST((st.n_pairs * 1000000 * 2 + (sz.n_docs * (sz.n_docs - 1) // 2))
+       |            // (2 * (sz.n_docs * (sz.n_docs - 1) // 2)) AS BIGINT) AS density_ppm
+       |FROM sz JOIN st ON sz.comp = st.comp
+       |ORDER BY sz.comp""".stripMargin
+
   /** #161 (d26): incremental cluster maintenance — fold a NEW ingest
     * batch into an EXISTING near-dup cluster table without re-running
     * the old corpus's pair verification or re-clustering it from
@@ -2407,6 +2459,7 @@ object LlmQueries {
     "d33_provenance_datasheet" -> d33ProvenanceDatasheet,
     "d34_savings_trend" -> d34SavingsTrend,
     "d35_tau_sweep" -> d35TauSweep,
+    "d36_cluster_quality" -> d36ClusterQuality,
     "d26_incremental_clusters" -> d26IncrementalClusters,
     "d07_embed_neardup_lsh" -> d07EmbedNearDupLsh,
     "d13_semdedup" -> d13SemDedup,
@@ -2468,6 +2521,7 @@ object LlmQueries {
     "d33_provenance_datasheet" -> d33Sql,
     "d34_savings_trend" -> d34Sql,
     "d35_tau_sweep" -> d35Sql,
+    "d36_cluster_quality" -> d36Sql,
     // incremental ≡ full: the oracle IS the from-scratch d06 SQL
     "d26_incremental_clusters" -> d06Sql,
     "s01_ann_bruteforce" -> s01Sql,

@@ -254,6 +254,53 @@ object EventStream {
           .drop(nSig, nNorm), batchId)
     }
 
+  /** Streaming gate-savings LEDGER (#229) — #189's streaming twin:
+    * the near-dup ingest gate decides per batch; this wrapper prices
+    * each batch's admission decisions per source (docs/tokens in vs
+    * admitted, the normalized-token currency) and APPENDS the frame
+    * to a [[graft.etl.SavingsLedger]] under a zero-padded batch label
+    * — so dedup-ROI governance over a streamed ingest reads ledger
+    * HISTORY ([[graft.etl.SavingsLedger.trend]]: "is the gate's
+    * marginal value shrinking?") instead of re-running past batches.
+    * Replay-idempotent by CONSTRUCTION, no batch stamp needed: the
+    * gate is stateless (static corpus tables), so a redelivered
+    * batch recomputes the identical decisions and its dynamic-
+    * partition append re-writes the same label with the same rows.
+    * Zero-padded labels keep the ledger's lexicographic run_label
+    * order equal to batch order. Admitted docs flow on to
+    * `onAdmitted` unchanged (compose with an idempotent sink). */
+  def gateSavingsLedgerForeachBatch(corpusBands: DataFrame,
+                                    corpusSigs: DataFrame,
+                                    ledgerDir: String,
+                                    k: Int = 64, nBands: Int = 16,
+                                    seed: Long = 0x5eedL,
+                                    labelOf: Long => String =
+                                      id => f"batch_$id%06d")(
+      onAdmitted: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val inner = nearDupGateForeachBatch(corpusBands, corpusSigs,
+          k, nBands, seed) { (admitted, id) =>
+        def tally(df: DataFrame, docs: String, toks: String): DataFrame = df
+          .withColumn("__graft_n_tok",
+            size(split(graft.etl.TextNorm.normalizeText(col("text")), " "))
+              .cast("long"))
+          .groupBy("source")
+          .agg(count(lit(1)).as(docs), sum("__graft_n_tok").as(toks))
+        val savings = tally(batch, "n_docs_in", "tokens_in")
+          .join(tally(admitted, "n_docs_out", "tokens_out"),
+            Seq("source"), "left")
+          .select(col("source"), col("n_docs_in"),
+            coalesce(col("n_docs_out"), lit(0L)).as("n_docs_out"),
+            col("tokens_in"),
+            coalesce(col("tokens_out"), lit(0L)).as("tokens_out"),
+            (col("tokens_in") - coalesce(col("tokens_out"), lit(0L)))
+              .as("saved_tokens"))
+        graft.etl.SavingsLedger.append(savings, ledgerDir, labelOf(id))
+        onAdmitted(admitted, id)
+      }
+      inner(batch, batchId)
+    }
+
   /** The static corpus side of [[nearDupGateForeachBatch]]:
     * (band table (band, bh, cid), signature table (cid, csig)) over a
     * corpus frame with (doc_id, text). At scale both are incremental

@@ -429,6 +429,78 @@ class StreamingSpec extends AnyFunSuite {
       "the replayed key must keep its FIRST delivery, not the replay")
   }
 
+  test("gate-savings ledger: per-batch frames match the gate, replay is idempotent, trend serves history") {
+    import spark.implicits._
+    import graft.streaming.EventStream
+    import graft.etl.SavingsLedger
+    val (k, nBands, seed) = (64, 16, 0x5eedL)
+    val docs = Tables.documents(spark, TestSpark.Sf)
+      .select("doc_id", "text", "source")
+    val corpus = docs.filter($"doc_id" % 2 === 0).select("doc_id", "text")
+    val (cBands, cSigs) = EventStream.nearDupCorpus(corpus, k, nBands, seed)
+    val cBandsP = cBands.localCheckpoint(true)
+    val cSigsP = cSigs.localCheckpoint(true)
+    val streamDocs = docs
+      .select(($"doc_id" + 100000L).as("doc_id"), $"text", $"source")
+      .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+    val batches = streamDocs.grouped(streamDocs.size / 3 + 1).toSeq
+    val ledger = java.nio.file.Files
+      .createTempDirectory("graft_gledger").toString + "/l"
+    val admitted = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    val sink = EventStream.gateSavingsLedgerForeachBatch(
+        cBandsP, cSigsP, ledger, k, nBands, seed) { (adm, id) =>
+      admitted(id) = adm.select("doc_id").as[Long].collect().toSet
+    }
+    batches.zipWithIndex.foreach { case (b, i) =>
+      sink(b.toDF("doc_id", "text", "source"), i.toLong)
+    }
+    assert(admitted.values.map(_.size).sum < streamDocs.size,
+      "fixture must reject something for the ledger to price")
+
+    // per-batch parity: every ledger row equals an independent
+    // recompute from the captured admission decisions
+    def tally(rows: Seq[(Long, String, String)]): Map[String, (Long, Long)] =
+      rows.toDF("doc_id", "text", "source")
+        .withColumn("n",
+          size(split(graft.etl.TextNorm.normalizeText(col("text")), " "))
+            .cast("long"))
+        .groupBy("source").agg(count(lit(1)).as("c"), sum("n").as("t"))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    val led = SavingsLedger.read(spark, ledger)
+      .select("run_label", "source", "n_docs_in", "n_docs_out",
+        "tokens_in", "tokens_out", "saved_tokens")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSeq
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val in = tally(b)
+      val out = tally(b.filter(r => admitted(i.toLong)(r._1)))
+      val want = in.toSeq.map { case (src, (di, ti)) =>
+        val (dout, tout) = out.getOrElse(src, (0L, 0L))
+        (f"batch_$i%06d", src, di, dout, ti, tout, ti - tout)
+      }.toSet
+      val got = led.filter(_._1 == f"batch_$i%06d").toSet
+      assert(got == want, s"batch $i ledger diverged:\n$got\nvs\n$want")
+    }
+
+    // replay idempotence by construction: redelivering a batch
+    // rewrites the same label with the same rows
+    sink(batches(1).toDF("doc_id", "text", "source"), 1L)
+    val led2 = SavingsLedger.read(spark, ledger)
+      .select("run_label", "source", "n_docs_in", "n_docs_out",
+        "tokens_in", "tokens_out", "saved_tokens")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(led2.toSet == led.toSet, "replayed batch changed the ledger")
+
+    // trend reads the history: one row per (label, source), deltas
+    // null exactly on each source's first appearance
+    val trend = SavingsLedger.trend(spark, ledger, Seq("source"))
+    assert(trend.count() == led.size.toLong)
+    val firstNulls = trend.filter(col("prev_saved_tokens").isNull).count()
+    val nSources = led.map(_._2).distinct.size.toLong
+    assert(firstNulls == nSources,
+      s"expected $nSources first-appearance nulls, got $firstNulls")
+  }
+
   test("near-dup gate: stream admission matches the batch LSH+verify rule") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
