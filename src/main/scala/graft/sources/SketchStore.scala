@@ -293,12 +293,13 @@ object SketchStore {
       .write.mode("overwrite").partitionBy("grp").parquet(dir)
 
   /** Merge the stored sketches of every group matching `groupPred`
-    * (partition-pruned) and answer point-frequency queries for
-    * `items`. Returns (item, est_n) plus the merged range's true item
-    * count (the N in the eps·N bound). Mixed-parameter sketches fail
-    * loudly — their cells don't line up. */
-  def cmsEstimates(spark: SparkSession, dir: String, groupPred: Column,
-                   items: Seq[String]): (Seq[(String, Long)], Long) = {
+    * (partition-pruned) into one grid, plus the merged range's true
+    * item count (the N in the eps·N bound). Mixed-parameter sketches
+    * fail loudly — their cells don't line up. Exposed for long-lived
+    * consumers (the streaming quota gate) that adopt the history grid
+    * ONCE and then fold only new batches into it. */
+  def mergedCms(spark: SparkSession, dir: String, groupPred: Column)
+      : (org.apache.spark.util.sketch.CountMinSketch, Long) = {
     import org.apache.spark.util.sketch.CountMinSketch
     val rows = spark.read.parquet(dir).filter(groupPred)
       .select(col("cms"), col("n_items"), col("eps_e6"), col("seed"))
@@ -309,8 +310,16 @@ object SketchStore {
       s"incompatible CMS sketches: (eps_e6, seed) $params — cells only line up at one parameterization")
     val sketches = rows.map(r => CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0))))
-    val merged = sketches.reduce { (a, b) => a.mergeInPlace(b); a }
-    val n = rows.map(_.getLong(1)).sum
+    (sketches.reduce { (a, b) => a.mergeInPlace(b); a },
+      rows.map(_.getLong(1)).sum)
+  }
+
+  /** Answer point-frequency queries for `items` from the merged
+    * sketches of a (partition-pruned) group range. Returns
+    * (item, est_n) pairs plus the range's item count. */
+  def cmsEstimates(spark: SparkSession, dir: String, groupPred: Column,
+                   items: Seq[String]): (Seq[(String, Long)], Long) = {
+    val (merged, n) = mergedCms(spark, dir, groupPred)
     (items.map(it => it -> merged.estimateCount(it)), n)
   }
 

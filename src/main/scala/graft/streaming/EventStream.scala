@@ -278,16 +278,24 @@ object EventStream {
                                       id => f"batch_$id%06d")(
       onAdmitted: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
+      // normalize ONCE per batch: the per-doc token frame is
+      // materialized (batch-scale) and reused by both tallies — the
+      // admitted side re-prices via a doc_id semi join, never a second
+      // normalizeText pass (the gate's own signature normalization is
+      // internal to it)
+      val tok = batch.select(col("doc_id"), col("source"),
+          size(split(graft.etl.TextNorm.normalizeText(col("text")), " "))
+            .cast("long").as("__graft_n_tok"))
+        .localCheckpoint(true)
+      def tally(df: DataFrame, docs: String, toks: String): DataFrame = df
+        .groupBy("source")
+        .agg(count(lit(1)).as(docs), sum("__graft_n_tok").as(toks))
       val inner = nearDupGateForeachBatch(corpusBands, corpusSigs,
           k, nBands, seed) { (admitted, id) =>
-        def tally(df: DataFrame, docs: String, toks: String): DataFrame = df
-          .withColumn("__graft_n_tok",
-            size(split(graft.etl.TextNorm.normalizeText(col("text")), " "))
-              .cast("long"))
-          .groupBy("source")
-          .agg(count(lit(1)).as(docs), sum("__graft_n_tok").as(toks))
-        val savings = tally(batch, "n_docs_in", "tokens_in")
-          .join(tally(admitted, "n_docs_out", "tokens_out"),
+        val admTok = tok.join(admitted.select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        val savings = tally(tok, "n_docs_in", "tokens_in")
+          .join(tally(admTok, "n_docs_out", "tokens_out"),
             Seq("source"), "left")
           .select(col("source"), col("n_docs_in"),
             coalesce(col("n_docs_out"), lit(0L)).as("n_docs_out"),
@@ -541,18 +549,36 @@ object EventStream {
     if (!fs.exists(p)) -1L
     else {
       val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-      finally in.close()
+      // a torn/empty stamp (crash mid-write on a filesystem without
+      // atomic rename) must degrade to the documented one-batch
+      // at-least-once window, never brick the stream with a parse
+      // error on every restart
+      try {
+        val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        try s.toLong catch { case _: NumberFormatException => -1L }
+      } finally in.close()
     }
   }
 
   private def writeBatchStamp(spark: SparkSession, dir: String,
                               batchId: Long): Unit = {
+    // write-then-rename: fs.create(p, true) truncates immediately, so
+    // a crash between create and close would leave an EMPTY stamp at
+    // the final path; staging under a temp name keeps the stamp either
+    // old or new, never torn (rename is atomic on HDFS/POSIX; on
+    // stores where it isn't, readBatchStamp tolerates the tear)
     val p = new org.apache.hadoop.fs.Path(dir, "_graft_last_batch")
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s"_graft_last_batch.tmp-${java.util.UUID.randomUUID}")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    val out = fs.create(tmp, true)
     try out.write(batchId.toString.getBytes("UTF-8"))
     finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"batch stamp rename failed: $tmp -> $p")
+    }
   }
 
   def histogramArtifactForeachBatch(dir: String, keyCols: Seq[String])(
@@ -567,19 +593,26 @@ object EventStream {
           .groupBy(allKeys.map(col): _*).agg(count(lit(1)).as("cnt"))
         val touched = newCounts.select("day").distinct().collect()
           .map(_.get(0)).toSeq
-        val target = new org.apache.hadoop.fs.Path(dir)
-        val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val existing =
-          if (fs.exists(target))
-            Some(spark.read.parquet(dir)
-              .filter(col("day").isin(touched: _*))
-              .select((allKeys :+ "cnt").map(col): _*))
-          else None
-        val merged = existing.fold(newCounts)(_.unionByName(newCounts))
-          .groupBy(allKeys.map(col): _*).agg(sum("cnt").as("cnt"))
-          .localCheckpoint(true)
-        graft.sources.Writers.overwritePartitions(merged, dir, Seq("day"))
-        writeBatchStamp(spark, dir, batchId)
+        // empty micro-batches are normal in Structured Streaming; an
+        // unguarded write would commit a data-less artifact dir whose
+        // schema the NEXT batch's read cannot infer, wedging the
+        // stream. Nothing to merge ⇒ nothing to write or stamp (the
+        // empty batch replays as the same no-op).
+        if (touched.nonEmpty) {
+          val target = new org.apache.hadoop.fs.Path(dir)
+          val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val existing =
+            if (fs.exists(target))
+              Some(spark.read.parquet(dir)
+                .filter(col("day").isin(touched: _*))
+                .select((allKeys :+ "cnt").map(col): _*))
+            else None
+          val merged = existing.fold(newCounts)(_.unionByName(newCounts))
+            .groupBy(allKeys.map(col): _*).agg(sum("cnt").as("cnt"))
+            .localCheckpoint(true)
+          graft.sources.Writers.overwritePartitions(merged, dir, Seq("day"))
+          writeBatchStamp(spark, dir, batchId)
+        }
         lastBatch = batchId
       }
       onUpdated(batchId)
@@ -618,33 +651,38 @@ object EventStream {
           .groupByKey(_._1).mapValues(_._2)
           .agg(hh.toColumn.name("counters"))
           .collect().toMap
-        val target = new org.apache.hadoop.fs.Path(dir)
-        val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val stored: Map[String, Seq[(String, Long)]] =
-          if (fs.exists(target))
-            spark.read.parquet(dir)
-              .filter(col("grp").isin(newBuf.keys.toSeq: _*))
-              .select(col("grp").cast(org.apache.spark.sql.types.StringType),
-                col("item"), col("cnt"))
-              .as[(String, String, Long)].collect()
-              .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSeq).toMap
-          else Map.empty
-        val merged = newBuf.toSeq.sortBy(_._1).flatMap { case (day, counters) =>
-          val m = scala.collection.mutable.Map(counters: _*)
-          val out = stored.get(day) match {
-            case Some(old) =>
-              hh.merge(scala.collection.mutable.Map(old: _*), m)
-            case None => m
+        // empty batch ⇒ nothing to merge, write or stamp (see the
+        // histogram maintainer's guard: an unguarded empty write
+        // commits a data-less dir the next read cannot infer)
+        if (newBuf.nonEmpty) {
+          val target = new org.apache.hadoop.fs.Path(dir)
+          val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val stored: Map[String, Seq[(String, Long)]] =
+            if (fs.exists(target))
+              spark.read.parquet(dir)
+                .filter(col("grp").isin(newBuf.keys.toSeq: _*))
+                .select(col("grp").cast(org.apache.spark.sql.types.StringType),
+                  col("item"), col("cnt"))
+                .as[(String, String, Long)].collect()
+                .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSeq).toMap
+            else Map.empty
+          val merged = newBuf.toSeq.sortBy(_._1).flatMap { case (day, counters) =>
+            val m = scala.collection.mutable.Map(counters: _*)
+            val out = stored.get(day) match {
+              case Some(old) =>
+                hh.merge(scala.collection.mutable.Map(old: _*), m)
+              case None => m
+            }
+            out.toSeq.map { case (it, n) => (day, it, n) }
           }
-          out.toSeq.map { case (it, n) => (day, it, n) }
+          merged.toDF("grp", "item", "cnt")
+            .withColumn("capacity", lit(capacity))
+            .repartition(col("grp"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("grp").parquet(dir)
+          writeBatchStamp(spark, dir, batchId)
         }
-        merged.toDF("grp", "item", "cnt")
-          .withColumn("capacity", lit(capacity))
-          .repartition(col("grp"))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("grp").parquet(dir)
-        writeBatchStamp(spark, dir, batchId)
         lastBatch = batchId
       }
       onUpdated(batchId)
@@ -686,39 +724,43 @@ object EventStream {
               lit(eps), lit(confidence), lit(seed)).as("cms"),
             count(lit(1)).as("n_items"))
           .as[(String, Array[Byte], Long)].collect()
-        val target = new org.apache.hadoop.fs.Path(dir)
-        val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val stored: Map[String, (Array[Byte], Long)] =
-          if (fs.exists(target))
-            spark.read.parquet(dir)
-              .filter(col("grp").isin(newRows.map(_._1).toSeq: _*))
-              .select(col("grp")
-                .cast(org.apache.spark.sql.types.StringType),
-                col("cms"), col("n_items"))
-              .as[(String, Array[Byte], Long)].collect()
-              .map(r => r._1 -> (r._2, r._3)).toMap
-          else Map.empty
-        val merged = newRows.toSeq.sortBy(_._1).map { case (day, cms, n) =>
-          stored.get(day) match {
-            case Some((old, oldN)) =>
-              val a = CountMinSketch.readFrom(
-                new java.io.ByteArrayInputStream(old))
-              a.mergeInPlace(CountMinSketch.readFrom(
-                new java.io.ByteArrayInputStream(cms)))
-              val bos = new java.io.ByteArrayOutputStream()
-              a.writeTo(bos)
-              (day, bos.toByteArray, oldN + n)
-            case None => (day, cms, n)
+        // empty batch ⇒ nothing to merge, write or stamp (see the
+        // histogram maintainer's guard)
+        if (newRows.nonEmpty) {
+          val target = new org.apache.hadoop.fs.Path(dir)
+          val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val stored: Map[String, (Array[Byte], Long)] =
+            if (fs.exists(target))
+              spark.read.parquet(dir)
+                .filter(col("grp").isin(newRows.map(_._1).toSeq: _*))
+                .select(col("grp")
+                  .cast(org.apache.spark.sql.types.StringType),
+                  col("cms"), col("n_items"))
+                .as[(String, Array[Byte], Long)].collect()
+                .map(r => r._1 -> (r._2, r._3)).toMap
+            else Map.empty
+          val merged = newRows.toSeq.sortBy(_._1).map { case (day, cms, n) =>
+            stored.get(day) match {
+              case Some((old, oldN)) =>
+                val a = CountMinSketch.readFrom(
+                  new java.io.ByteArrayInputStream(old))
+                a.mergeInPlace(CountMinSketch.readFrom(
+                  new java.io.ByteArrayInputStream(cms)))
+                val bos = new java.io.ByteArrayOutputStream()
+                a.writeTo(bos)
+                (day, bos.toByteArray, oldN + n)
+              case None => (day, cms, n)
+            }
           }
+          merged.toDF("grp", "cms", "n_items")
+            .withColumn("eps_e6", lit(epsE6))
+            .withColumn("seed", lit(seed))
+            .repartition(col("grp"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("grp").parquet(dir)
+          writeBatchStamp(spark, dir, batchId)
         }
-        merged.toDF("grp", "cms", "n_items")
-          .withColumn("eps_e6", lit(epsE6))
-          .withColumn("seed", lit(seed))
-          .repartition(col("grp"))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("grp").parquet(dir)
-        writeBatchStamp(spark, dir, batchId)
         lastBatch = batchId
       }
       onUpdated(batchId)
@@ -735,26 +777,57 @@ object EventStream {
     * so a user whose TRUE total crosses the quota can never slip
     * through (one-sided error in the safe direction; a false alarm is
     * bounded by eps·N — spec-pinned both ways). Per-batch cost: the
-    * fold + one merged-grid point query per distinct batch item. */
+    * fold + ONE batch-sized sketch agg folded into a DRIVER-HELD
+    * all-time grid + one point query per distinct batch item — the
+    * stored artifact is read once at adoption (first batch /
+    * post-restart), never re-merged per batch (CMS addition is
+    * associative, so grid(history) + grid(batch) ≡ grid(history ∪
+    * batch) exactly). Replayed batch ids re-price from the current
+    * grid without re-folding it. */
   def cmsQuotaForeachBatch(dir: String, quota: Long,
                            eps: Double = 0.0005, confidence: Double = 0.99,
                            seed: Int = 42)(
       onFlags: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
     val fold = cmsArtifactForeachBatch(dir, eps, confidence, seed)()
+    var grid: Option[org.apache.spark.util.sketch.CountMinSketch] = None
+    var lastFolded = -1L
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
       import spark.implicits._
       fold(batch, batchId)
+      val artifactPath = new org.apache.hadoop.fs.Path(dir)
+      val artifactExists = artifactPath
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(artifactPath)
+      grid match {
+        case None if artifactExists =>
+          // adopt the history grid ONCE, AFTER the fold — the artifact
+          // already contains this batch, so no batch-side add here;
+          // also covers restarts (the artifact is the durable state).
+          // An all-empty prefix leaves no artifact yet — stay
+          // unadopted (an empty batch flags nothing anyway).
+          grid = Some(graft.sources.SketchStore
+            .mergedCms(spark, dir, lit(true))._1)
+          lastFolded = batchId
+        case None => ()
+        case Some(g) if batchId > lastFolded =>
+          // fold only THIS batch's own grid into the driver-held total
+          val bs = batch
+            .select(count_min_sketch(
+              col("item").cast(org.apache.spark.sql.types.StringType),
+              lit(eps), lit(confidence), lit(seed)).as("c"))
+            .head().getAs[Array[Byte]](0)
+          if (bs != null)
+            g.mergeInPlace(org.apache.spark.util.sketch.CountMinSketch
+              .readFrom(new java.io.ByteArrayInputStream(bs)))
+          lastFolded = batchId
+        case _ => () // replayed batch id: grid already includes it
+      }
       val items = batch
         .select(col("item").cast(org.apache.spark.sql.types.StringType))
         .distinct().as[String].collect().toSeq.sorted
-      val flagged =
-        if (items.isEmpty) Seq.empty[(String, Long)]
-        else {
-          val (ests, _) = graft.sources.SketchStore
-            .cmsEstimates(spark, dir, lit(true), items)
-          ests.filter(_._2 > quota)
-        }
+      val flagged = grid.fold(Seq.empty[(String, Long)])(g =>
+        items.map(it => it -> g.estimateCount(it)).filter(_._2 > quota))
       onFlags(flagged.toDF("item", "est_n")
         .withColumn("quota", lit(quota)), batchId)
     }

@@ -883,6 +883,49 @@ class StreamingSpec extends AnyFunSuite {
       "final frame after restart != batch t31 on the full table")
   }
 
+  test("artifact maintainers survive an empty first batch (no data-less dir commit)") {
+    import spark.implicits._
+    import graft.streaming.EventStream
+    // empty micro-batches are normal; an unguarded write would commit
+    // a directory with _SUCCESS and no parquet footers, and the NEXT
+    // batch's merge read would fail schema inference forever
+    val base = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    val evH = Tables.events(spark, TestSpark.Sf)
+      .select(to_date(col("ts")).as("day"), col("event_type"),
+        least(lit(9L), expr(
+          "cast(round(value * 100, 0) as bigint) div 5000")).as("v"))
+      .as[(java.sql.Date, String, Long)].collect().toSeq.take(200)
+    val hs = EventStream.histogramArtifactForeachBatch(
+      base + "/h", Seq("event_type"))()
+    hs(Seq.empty[(java.sql.Date, String, Long)].toDF("day", "event_type", "v"), 0)
+    hs(evH.toDF("day", "event_type", "v"), 1)
+    assert(spark.read.parquet(base + "/h").count() > 0)
+
+    val evT = Tables.events(spark, TestSpark.Sf)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .as[(String, String)].collect().toSeq.take(200)
+    val ts = EventStream.topkArtifactForeachBatch(base + "/t", capacity = 64)()
+    ts(Seq.empty[(String, String)].toDF("day", "item"), 0)
+    ts(evT.toDF("day", "item"), 1)
+    assert(spark.read.parquet(base + "/t").count() > 0)
+
+    val cs = EventStream.cmsArtifactForeachBatch(base + "/c")()
+    cs(Seq.empty[(String, String)].toDF("day", "item"), 0)
+    cs(evT.toDF("day", "item"), 1)
+    assert(spark.read.parquet(base + "/c").count() > 0)
+
+    // quota gate with an empty FIRST batch: nothing to flag, no
+    // artifact to adopt yet — and the next real batch adopts + flags
+    val flags = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val qs = EventStream.cmsQuotaForeachBatch(base + "/q", quota = 0L) {
+      (f, _) => flags += f.count()
+    }
+    qs(Seq.empty[(String, String)].toDF("day", "item"), 0)
+    qs(evT.toDF("day", "item"), 1)
+    assert(flags.toSeq.head == 0L && flags.toSeq.last > 0L,
+      s"quota gate empty-first-batch handling broke: $flags")
+  }
+
   test("CMS artifact stream: estimates converge to the one-shot build; quota gate never misses") {
     import spark.implicits._
     import graft.streaming.EventStream
