@@ -773,6 +773,56 @@ object LlmQueries {
        |FROM sz JOIN st ON sz.comp = st.comp
        |ORDER BY sz.comp""".stripMargin
 
+  /** #230 (d37): cluster RECUT — the action d36's audit signal calls
+    * for: a low-density cluster whose weakest internal pair sits at
+    * the τ floor is plausibly a CHAIN of transitively-glued distinct
+    * documents; re-cutting its edges at a tighter τ (0.7 here) shows
+    * the tight sub-clusters a safer canonical-only purge would use.
+    * Output is per doc: its τ=0.5 component and its τ=0.7 component
+    * (a doc with no ≥0.7 pair becomes its own tight singleton) — the
+    * side-by-side table a dedup owner diffs to see exactly which
+    * merges the looser threshold manufactured. Both cuts come from
+    * the SAME staged pair graph (the tight edge set is an integer
+    * filter over stored (inter, uni) — no re-shingling, no second
+    * verification pass), and the tight component table is itself a
+    * staged artifact. Fully oracled: the DuckDB twin runs two
+    * recursive-CTE component computations, the tight one over pairs
+    * filtered at exact jaccard ≥ 0.7. */
+  def d37ClusterRecut: Q = (spark, dir) => {
+    val tight = sharedStage(spark, dir, "dedup_clusters_tight") {
+      val edges = pairGraph(spark, dir)
+        .filter(col("inter") * 10 >= col("uni") * 7)
+        .select("doc_id1", "doc_id2")
+      ConnectedComponents.run(edges, idCols = ("doc_id1", "doc_id2"))
+    }
+    clusters(spark, dir)
+      .join(tight.withColumnRenamed("comp", "comp_tight"), Seq("id"), "left")
+      .select(col("id"), col("comp"),
+        coalesce(col("comp_tight"), col("id")).as("comp_tight"))
+      .orderBy("id")
+  }
+
+  /** d06Sql's recursive component computation with the exact-jaccard
+    * pair filter tightened to ≥ 7/10 (the size prefilter stays at the
+    * τ=0.5 bound — looser candidates, exact filter governs). */
+  private lazy val d06TightSql: String = {
+    val loose =
+      "AND len(list_intersect(a.s, b.s)) * 2 >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))"
+    val tight =
+      "AND len(list_intersect(a.s, b.s)) * 10 >= 7 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))"
+    require(d06Sql.contains(loose), "d06Sql threshold line drifted")
+    d06Sql.replace(loose, tight)
+  }
+
+  // lazy: embeds d06Sql twice (same init-order note as d28Sql)
+  lazy val d37Sql: String =
+    s"""WITH c AS ($d06Sql),
+       |t AS ($d06TightSql)
+       |SELECT c.id, c.comp,
+       |       COALESCE(t.comp, c.id) AS comp_tight
+       |FROM c LEFT JOIN t ON c.id = t.id
+       |ORDER BY c.id""".stripMargin
+
   /** #161 (d26): incremental cluster maintenance — fold a NEW ingest
     * batch into an EXISTING near-dup cluster table without re-running
     * the old corpus's pair verification or re-clustering it from
@@ -2460,6 +2510,7 @@ object LlmQueries {
     "d34_savings_trend" -> d34SavingsTrend,
     "d35_tau_sweep" -> d35TauSweep,
     "d36_cluster_quality" -> d36ClusterQuality,
+    "d37_cluster_recut" -> d37ClusterRecut,
     "d26_incremental_clusters" -> d26IncrementalClusters,
     "d07_embed_neardup_lsh" -> d07EmbedNearDupLsh,
     "d13_semdedup" -> d13SemDedup,
@@ -2522,6 +2573,7 @@ object LlmQueries {
     "d34_savings_trend" -> d34Sql,
     "d35_tau_sweep" -> d35Sql,
     "d36_cluster_quality" -> d36Sql,
+    "d37_cluster_recut" -> d37Sql,
     // incremental ≡ full: the oracle IS the from-scratch d06 SQL
     "d26_incremental_clusters" -> d06Sql,
     "s01_ann_bruteforce" -> s01Sql,

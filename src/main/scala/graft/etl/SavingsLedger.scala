@@ -45,7 +45,10 @@ object SavingsLedger {
     * `stage, source`) in run-label order, this run's saved tokens and
     * the delta vs the PREVIOUS run (null on a key's first appearance —
     * "new feed", not "no change"). The window partitions on the
-    * configuration-scale key, never on data volume. */
+    * configuration-scale key, never on data volume. "Run-label order"
+    * is LEXICOGRAPHIC — use labels whose string order is run order
+    * (ISO dates, zero-padded counters like the streaming ledger's
+    * `batch_000012`); unpadded `run_10` sorts before `run_2`. */
   def trend(spark: SparkSession, dir: String,
             keyCols: Seq[String]): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy("run_label")

@@ -150,6 +150,32 @@ object AnnIndex {
     (recallPpm, rebuild)
   }
 
+  /** Index HEALTH panel: one row — cell count, vector count,
+    * min/median/max cell population and the max-cell/mean imbalance
+    * (milli) — the signal behind rebuild decisions that
+    * [[maintain]]'s recall audit confirms from the other side: probe
+    * cost is proportional to probed cell MASS, so a ballooning max
+    * cell means the quantizer no longer fits the corpus (heavy
+    * appends drifting into few cells) and tail probes slow down long
+    * before mean recall decays. Metadata-only: one columnar aggregate
+    * over the `cell` partition column, vectors never read; the
+    * per-cell frame is nCells ≈ √n rows. Median via
+    * `percentile_approx` at high accuracy — exact on the √n-row
+    * frame in practice, and the panel is advisory (AnnSpec pins the
+    * exact fields and the ordering invariants). */
+  def stats(spark: SparkSession, dir: String): DataFrame = {
+    val per = spark.read.parquet(s"$dir/cells")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+    per.agg(
+        count(lit(1)).as("n_cells"),
+        sum("n").as("n_vectors"),
+        min("n").as("min_cell"),
+        expr("percentile_approx(n, 0.5, 10000)").cast("long").as("p50_cell"),
+        max("n").as("max_cell"))
+      .withColumn("imbalance_milli",
+        expr("max_cell * 1000 * n_cells div n_vectors"))
+  }
+
   private def readCentroids(spark: SparkSession, dir: String): Seq[Seq[Double]] = {
     import spark.implicits._
     // nCells rows (≈ √n) — bounded driver read, the probe-side analog

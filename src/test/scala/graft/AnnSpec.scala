@@ -284,6 +284,29 @@ class AnnSpec extends AnyFunSuite {
       s"λ=1 rel ${sweep.head._2} != index probe mean $want")
   }
 
+  test("index stats: health panel matches direct cell-population computation; append reflected") {
+    import graft.sim.AnnIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_st").toString
+    AnnIndex.build(emb, nCells = 23, seed = 42L, dir)
+    def panel() = AnnIndex.stats(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    val (nCells, nVec, minC, p50C, maxC, imb) = panel()
+    // direct recompute from the cell files
+    val per = spark.read.parquet(s"$dir/cells").groupBy("cell").count()
+      .select("count").as[Long].collect().sorted
+    assert(nCells == per.length && nVec == per.sum)
+    assert(minC == per.head && maxC == per.last)
+    assert(minC <= p50C && p50C <= maxC)
+    assert(imb == maxC * 1000 * nCells / nVec && imb >= 1000,
+      s"imbalance $imb inconsistent (max $maxC, cells $nCells, n $nVec)")
+    // append grows the vector count without touching the cell count
+    AnnIndex.append(
+      emb.select((col("id") + 500000L).as("id"), col("vec")), dir)
+    val (nCells2, nVec2, _, _, _, _) = panel()
+    assert(nCells2 == nCells && nVec2 == 2 * nVec,
+      s"append not reflected: $nVec -> $nVec2, cells $nCells -> $nCells2")
+  }
+
   test("probesForRecall calibration: derived nProbe meets its recall target") {
     // the round-8 fix for the one quality-weak component: instead of a
     // fixed nProbe, solve the probe budget from a recall target against

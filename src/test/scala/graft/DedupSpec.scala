@@ -128,6 +128,35 @@ class DedupSpec extends AnyFunSuite {
     assert(inc.nonEmpty && inc == full)
   }
 
+  test("d37 recut mechanism: a transitive chain at tau .5 splits at tau .7 (planted)") {
+    import graft.dedup.ConnectedComponents
+    // A–B tight (J ≈ .82), B–C and A–C loose (J ≈ .54): one τ=.5
+    // cluster {A,B,C}; the τ=.7 recut keeps only A–B, so C becomes a
+    // tight singleton — exactly the chain-glue case d36's density
+    // signal flags and d37 exists to cut (the shipped corpus's
+    // planted near-dups are all ≥ .9, so the corpus query shows the
+    // no-split case; this pins the split case)
+    val sets = Seq(
+      (1L, (1L to 20L).toSeq),                       // A
+      (2L, (1L to 18L) ++ Seq(101L, 102L)),          // B: J(A,B)=18/22
+      (3L, (1L to 14L) ++ (201L to 206L))            // C: J(B,C)=14/26
+    ).toDF("doc_id", "s")
+    val pairs = SetSimJoin.jaccardSelfJoin(sets, "doc_id", "s",
+      tauNum = 1, tauDen = 2).localCheckpoint(true)
+    val loosePairs = pairs.select(col("id1"), col("id2"))
+    val tightPairs = pairs.filter(col("inter") * 10 >= col("uni") * 7)
+      .select(col("id1"), col("id2"))
+    val loose = ConnectedComponents.run(loosePairs, idCols = ("id1", "id2"))
+      .as[(Long, Long)].collect().toMap
+    val tightRaw = ConnectedComponents.run(tightPairs, idCols = ("id1", "id2"))
+      .as[(Long, Long)].collect().toMap
+    val tight = (1L to 3L).map(id => id -> tightRaw.getOrElse(id, id)).toMap
+    assert(loose == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      s"loose cut should chain all three: $loose")
+    assert(tight == Map(1L -> 1L, 2L -> 1L, 3L -> 3L),
+      s"tight cut should split off C: $tight")
+  }
+
   test("connected components merges transitive near-dup chains") {
     import graft.dedup.ConnectedComponents
     val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 9L)).toDF("id1", "id2")
