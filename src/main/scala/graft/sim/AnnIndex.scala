@@ -150,30 +150,38 @@ object AnnIndex {
     (recallPpm, rebuild)
   }
 
-  /** Index HEALTH panel: one row — cell count, vector count,
-    * min/median/max cell population and the max-cell/mean imbalance
+  /** Index HEALTH panel: one row — true cell count (from the
+    * centroid table, so DEAD cells count), populated cell count,
+    * vector count, exact min/median/max cell population over ALL
+    * cells (a dead cell is a 0), and the max-cell/true-mean imbalance
     * (milli) — the signal behind rebuild decisions that
     * [[maintain]]'s recall audit confirms from the other side: probe
     * cost is proportional to probed cell MASS, so a ballooning max
     * cell means the quantizer no longer fits the corpus (heavy
-    * appends drifting into few cells) and tail probes slow down long
-    * before mean recall decays. Metadata-only: one columnar aggregate
-    * over the `cell` partition column, vectors never read; the
-    * per-cell frame is nCells ≈ √n rows. Median via
-    * `percentile_approx` at high accuracy — exact on the √n-row
-    * frame in practice, and the panel is advisory (AnnSpec pins the
-    * exact fields and the ordering invariants). */
+    * appends drifting into few cells), and dead cells are exactly
+    * the degraded-geometry symptom — deriving the census from the
+    * partition layout alone would hide them and report a
+    * 10%-populated index as "balanced". Metadata-only: a columnar
+    * aggregate over the `cell` partition column (vectors never
+    * read); the per-cell counts collect driver-side like
+    * [[readCentroids]] — nCells ≈ √n rows, bounded, which buys
+    * EXACT order statistics with zero-padding. */
   def stats(spark: SparkSession, dir: String): DataFrame = {
-    val per = spark.read.parquet(s"$dir/cells")
+    val spark2 = spark
+    import spark2.implicits._
+    val nCells = spark.read.parquet(s"$dir/centroids").count().toInt
+    val populated = spark.read.parquet(s"$dir/cells")
       .groupBy("cell").agg(count(lit(1)).as("n"))
-    per.agg(
-        count(lit(1)).as("n_cells"),
-        sum("n").as("n_vectors"),
-        min("n").as("min_cell"),
-        expr("percentile_approx(n, 0.5, 10000)").cast("long").as("p50_cell"),
-        max("n").as("max_cell"))
-      .withColumn("imbalance_milli",
-        expr("max_cell * 1000 * n_cells div n_vectors"))
+      .select("n").as[Long].collect()
+    val all = (populated ++ Array.fill(
+      math.max(0, nCells - populated.length))(0L)).sorted
+    val nVec = populated.sum
+    val imbalance =
+      if (nVec == 0) 0L else all.last * 1000L * nCells / nVec
+    Seq((nCells.toLong, populated.length.toLong, nVec,
+        all.head, all((all.length - 1) / 2), all.last, imbalance))
+      .toDF("n_cells", "n_cells_populated", "n_vectors",
+        "min_cell", "p50_cell", "max_cell", "imbalance_milli")
   }
 
   private def readCentroids(spark: SparkSession, dir: String): Seq[Seq[Double]] = {

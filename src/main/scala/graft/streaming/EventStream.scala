@@ -287,23 +287,31 @@ object EventStream {
           size(split(graft.etl.TextNorm.normalizeText(col("text")), " "))
             .cast("long").as("__graft_n_tok"))
         .localCheckpoint(true)
+      // empty micro-batch: nothing to price — appending a ZERO-ROW
+      // frame would commit a data-less ledger dir whose schema a
+      // read/trend before the first real batch cannot infer (the same
+      // hazard class as the artifact maintainers' guards); the gate
+      // still runs so onAdmitted sees the (empty) admitted frame
+      val batchEmpty = tok.isEmpty
       def tally(df: DataFrame, docs: String, toks: String): DataFrame = df
         .groupBy("source")
         .agg(count(lit(1)).as(docs), sum("__graft_n_tok").as(toks))
       val inner = nearDupGateForeachBatch(corpusBands, corpusSigs,
           k, nBands, seed) { (admitted, id) =>
-        val admTok = tok.join(admitted.select("doc_id"),
-          Seq("doc_id"), "left_semi")
-        val savings = tally(tok, "n_docs_in", "tokens_in")
-          .join(tally(admTok, "n_docs_out", "tokens_out"),
-            Seq("source"), "left")
-          .select(col("source"), col("n_docs_in"),
-            coalesce(col("n_docs_out"), lit(0L)).as("n_docs_out"),
-            col("tokens_in"),
-            coalesce(col("tokens_out"), lit(0L)).as("tokens_out"),
-            (col("tokens_in") - coalesce(col("tokens_out"), lit(0L)))
-              .as("saved_tokens"))
-        graft.etl.SavingsLedger.append(savings, ledgerDir, labelOf(id))
+        if (!batchEmpty) {
+          val admTok = tok.join(admitted.select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          val savings = tally(tok, "n_docs_in", "tokens_in")
+            .join(tally(admTok, "n_docs_out", "tokens_out"),
+              Seq("source"), "left")
+            .select(col("source"), col("n_docs_in"),
+              coalesce(col("n_docs_out"), lit(0L)).as("n_docs_out"),
+              col("tokens_in"),
+              coalesce(col("tokens_out"), lit(0L)).as("tokens_out"),
+              (col("tokens_in") - coalesce(col("tokens_out"), lit(0L)))
+                .as("saved_tokens"))
+          graft.etl.SavingsLedger.append(savings, ledgerDir, labelOf(id))
+        }
         onAdmitted(admitted, id)
       }
       inner(batch, batchId)
@@ -806,9 +814,14 @@ object EventStream {
           // also covers restarts (the artifact is the durable state).
           // An all-empty prefix leaves no artifact yet — stay
           // unadopted (an empty batch flags nothing anyway).
+          // lastFolded advances to the artifact's DURABLE stamp, not
+          // just this batchId: after a checkpoint rewind the replayed
+          // batches above the adoption id are already inside the
+          // adopted grid (the fold's stamp skipped them), and
+          // re-folding them here would double-count every item.
           grid = Some(graft.sources.SketchStore
             .mergedCms(spark, dir, lit(true))._1)
-          lastFolded = batchId
+          lastFolded = math.max(batchId, readBatchStamp(spark, dir))
         case None => ()
         case Some(g) if batchId > lastFolded =>
           // fold only THIS batch's own grid into the driver-held total

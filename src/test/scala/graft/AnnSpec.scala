@@ -284,27 +284,39 @@ class AnnSpec extends AnyFunSuite {
       s"λ=1 rel ${sweep.head._2} != index probe mean $want")
   }
 
-  test("index stats: health panel matches direct cell-population computation; append reflected") {
+  test("index stats: health panel matches direct computation; append and dead cells reflected") {
     import graft.sim.AnnIndex
     val dir = java.nio.file.Files.createTempDirectory("graft_annidx_st").toString
     AnnIndex.build(emb, nCells = 23, seed = 42L, dir)
     def panel() = AnnIndex.stats(spark, dir)
-      .as[(Long, Long, Long, Long, Long, Long)].collect().head
-    val (nCells, nVec, minC, p50C, maxC, imb) = panel()
-    // direct recompute from the cell files
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    val (nCells, nPop, nVec, minC, p50C, maxC, imb) = panel()
+    // direct recompute from the cell files + centroid table
     val per = spark.read.parquet(s"$dir/cells").groupBy("cell").count()
       .select("count").as[Long].collect().sorted
-    assert(nCells == per.length && nVec == per.sum)
-    assert(minC == per.head && maxC == per.last)
-    assert(minC <= p50C && p50C <= maxC)
+    assert(nCells == 23L && nPop == per.length && nVec == per.sum)
+    assert(maxC == per.last && minC <= p50C && p50C <= maxC)
     assert(imb == maxC * 1000 * nCells / nVec && imb >= 1000,
       s"imbalance $imb inconsistent (max $maxC, cells $nCells, n $nVec)")
     // append grows the vector count without touching the cell count
     AnnIndex.append(
       emb.select((col("id") + 500000L).as("id"), col("vec")), dir)
-    val (nCells2, nVec2, _, _, _, _) = panel()
-    assert(nCells2 == nCells && nVec2 == 2 * nVec,
+    val (nCells2, nPop2, nVec2, _, _, _, _) = panel()
+    assert(nCells2 == nCells && nPop2 == nPop && nVec2 == 2 * nVec,
       s"append not reflected: $nVec -> $nVec2, cells $nCells -> $nCells2")
+    // dead cells must surface: drop one populated cell's partition —
+    // the census must still count it (from the centroid table), with
+    // min_cell falling to 0 and imbalance priced over the TRUE mean
+    val someCell = spark.read.parquet(s"$dir/cells")
+      .select("cell").distinct().as[Int].collect().min
+    val cellDir = new java.io.File(s"$dir/cells/cell=$someCell")
+    assert(cellDir.isDirectory, s"expected partition dir $cellDir")
+    cellDir.listFiles().foreach(_.delete()); cellDir.delete()
+    val (nCells3, nPop3, nVec3, min3, _, max3, imb3) = panel()
+    assert(nCells3 == nCells && nPop3 == nPop - 1 && nVec3 < nVec2)
+    assert(min3 == 0L, s"dead cell invisible: min_cell $min3")
+    assert(imb3 == max3 * 1000 * nCells / nVec3,
+      "imbalance must use the TRUE cell count, not the populated one")
   }
 
   test("probesForRecall calibration: derived nProbe meets its recall target") {

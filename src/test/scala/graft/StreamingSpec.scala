@@ -973,6 +973,26 @@ class StreamingSpec extends AnyFunSuite {
       assert(exact(u) > quota - band,
         s"false alarm beyond the eps band: $u exact ${exact(u)} quota $quota")
     }
+
+    // checkpoint rewind: a FRESH quota closure replaying the whole
+    // prefix adopts the grid once (which already contains every
+    // batch via the durable stamp) and must not re-fold the replayed
+    // batches — estimates after the final replay equal the first
+    // run's exactly, not ~double
+    var lastRun1 = Map.empty[String, Long]
+    val qcheck1 = EventStream.cmsQuotaForeachBatch(qdir, quota) { (f, _) =>
+      lastRun1 = f.select("item", "est_n").as[(String, Long)].collect().toMap
+    }
+    qcheck1(batches.last.toDF("day", "item"), (batches.size - 1).toLong)
+    var lastRun2 = Map.empty[String, Long]
+    val qcheck2 = EventStream.cmsQuotaForeachBatch(qdir, quota) { (f, _) =>
+      lastRun2 = f.select("item", "est_n").as[(String, Long)].collect().toMap
+    }
+    batches.zipWithIndex.foreach { case (b, i) =>
+      qcheck2(b.toDF("day", "item"), i.toLong)
+    }
+    assert(lastRun2 == lastRun1,
+      s"rewind replay double-counted: ${lastRun2.take(3)} vs ${lastRun1.take(3)}")
   }
 
   test("churn alert stream: final frame equals the batch q80 consumer") {
