@@ -1224,6 +1224,28 @@ object LlmQueries {
     Ann.mmrSweep(e, e.filter(col("id") < 8), k = 10, fetchK = 30)
   }
 
+  /** #232 (s19): ANN deletion / right-to-be-forgotten serving
+    * ([[graft.sim.AnnIndex.delete]]) — q70's governance sweep reaches
+    * the vector store: the forget-set's vectors tombstone in O(batch)
+    * (an append of ids beside the cells, never a corpus rewrite), and
+    * every probe path anti-joins them out IMMEDIATELY — a forgotten
+    * vector can never occupy a rank while awaiting the physical
+    * [[graft.sim.AnnIndex.purge]] in the next maintenance window. The
+    * query runs the full lifecycle: build, tombstone the vec_id % 13
+    * slice, probe. Rows-only (IVF float cosine inside); AnnSpec pins
+    * the sharp contract — full-probe-after-delete ≡ exact brute force
+    * over corpus∖forgotten, delete idempotence, and purge's
+    * bit-identical probes + physical reclamation. */
+  def s19AnnDelete: Q = (spark, dir) => {
+    val idx = StageRoots.rootFor(dir) + "/ann_index_del"
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
+    graft.sim.AnnIndex.build(e, nCells = 23, seed = 42L, idx)
+    graft.sim.AnnIndex.delete(e.filter(col("id") % 13 === 0).select("id"), idx)
+    graft.sim.AnnIndex.probe(spark, idx, e.filter(col("id") < 8), k = 10)
+      .orderBy("qid", "rank")
+  }
+
   /** #170 (s14): ANN recall drift audit — the maintenance decision the
     * serving story needs made first-class: measure recall@k of the
     * calibrated IVF path against exact brute force on a DETERMINISTIC
@@ -2525,6 +2547,7 @@ object LlmQueries {
     "s16_mmr" -> s16Mmr,
     "s17_probe_sweep" -> s17ProbeSweep,
     "s18_mmr_sweep" -> s18MmrSweep,
+    "s19_ann_delete" -> s19AnnDelete,
     "m04_pixel_neardup" -> m04PixelNearDup,
     "s04_quantize_int8" -> s04QuantizeInt8,
     "s05_ann_int8_rerank" -> s05AnnInt8Rerank,

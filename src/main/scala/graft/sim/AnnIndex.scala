@@ -41,6 +41,9 @@ object AnnIndex {
             fitSampleCap: Long = 100000L, recall: Double = 0.9): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // a rebuild starts a new generation: a stale tombstone list from
+    // the previous generation would silently mask any re-inserted ids
+    clearTombstones(spark, dir)
     val live = corpus.withColumn("nrm", norm(col("vec"))).filter(col("nrm") > 0)
     val n = live.count()
     val centroids = Ann.fitCentroids(live, n, nCells, seed, fitSampleCap)
@@ -100,6 +103,70 @@ object AnnIndex {
     graft.sources.Writers.compactSmallFiles(
       spark, s"$dir/cells", minFileBytes, targetFileBytes)
 
+  /** Tombstone DELETION (#232) — the right-to-be-forgotten half of the
+    * index lifecycle (q70 audits the relational purge; this is the
+    * vector-store one). Deleting by rewrite would cost O(corpus) per
+    * request, so deletes are LOGICAL first: the ids append to a
+    * `tombstones` parquet beside the cells and every read path
+    * ([[probe]], [[probeFiltered]], the sweeps, [[stats]],
+    * [[maintain]]) anti-joins them out via [[liveCells]] — O(batch)
+    * per delete, exact immediately (a tombstoned vector can never
+    * occupy a rank). Idempotent by construction: the anti-join is
+    * insensitive to duplicate tombstone rows, so re-sending a forget
+    * set is a no-op. Physical reclamation is [[purge]]'s job, run in
+    * the same maintenance window as [[compact]]. `ids`: any frame
+    * with an `id` column. */
+  def delete(ids: DataFrame, dir: String): Unit =
+    ids.select(col("id").cast("long").as("id"))
+      .write.mode("append").parquet(s"$dir/tombstones")
+
+  /** Physically drop tombstoned rows from the cell files and clear
+    * the tombstone list — the reclamation pass that turns [[delete]]'s
+    * logical mask into reclaimed bytes (GDPR's "erased from backups
+    * and replicas" clause needs this pass, not just the mask). The
+    * surviving rows are STAGED through a local checkpoint before the
+    * overwrite (the rewrite reads the very files it replaces —
+    * materialize-before-overwrite, [[maintain]]'s hazard class), cell
+    * partition values are untouched so partition pruning and the
+    * calibrated meta survive, and probes before/after are
+    * bit-identical (spec-pinned). Returns the number of rows
+    * physically removed; no-op 0 when nothing is tombstoned. */
+  def purge(spark: SparkSession, dir: String): Long = {
+    val tomb = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tomb)) return 0L
+    val all = spark.read.parquet(s"$dir/cells")
+    val nAll = all.count()
+    val live = liveCells(spark, dir).localCheckpoint(true)
+    val nLive = live.count()
+    live.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    fs.delete(tomb, true)
+    nAll - nLive
+  }
+
+  private def clearTombstones(spark: SparkSession, dir: String): Unit = {
+    val tomb = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tomb)) fs.delete(tomb, true)
+  }
+
+  /** The cells table minus tombstoned ids — EVERY consumer of the
+    * cell files goes through here, so a logical delete is exact on
+    * all probe/audit/census paths the moment it lands. The tombstone
+    * side of the anti-join is a forget set (sliver-sized vs the
+    * corpus), so AQE broadcasts it; when no delete has ever run the
+    * read is the bare parquet scan. */
+  private def liveCells(spark: SparkSession, dir: String): DataFrame = {
+    val cells = spark.read.parquet(s"$dir/cells")
+    val tomb = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tomb))
+      cells.join(
+        spark.read.parquet(tomb.toString).select("id").distinct(),
+        Seq("id"), "left_anti")
+    else cells
+  }
+
   /** The audit→decision→action loop closed (#184): [[append]]'s
     * contract says "rebuild when the recall audit decays past budget"
     * — this runs that audit against the PERSISTED index and performs
@@ -122,8 +189,10 @@ object AnnIndex {
                floorPpm: Long = -1L, nCells: Int = 0): (Long, Boolean) = {
     import spark.implicits._
     // the rebuild must carry the metadata columns back through build
-    // (probeFiltered prunes on them) — only nrm/cell are derived
-    val full = spark.read.parquet(s"$dir/cells").drop("nrm", "cell")
+    // (probeFiltered prunes on them) — only nrm/cell are derived;
+    // tombstoned rows are excluded, so a rebuild is also a purge
+    // (build clears the then-incorporated tombstone list)
+    val full = liveCells(spark, dir).drop("nrm", "cell")
     val corpus = full.select("id", "vec")
     val sample = corpus.filter(pmod(col("id"), lit(sampleMod)) === 0)
     val exact = Ann.bruteForceTopK(corpus, sample, k)
@@ -170,7 +239,7 @@ object AnnIndex {
     val spark2 = spark
     import spark2.implicits._
     val nCells = spark.read.parquet(s"$dir/centroids").count().toInt
-    val populated = spark.read.parquet(s"$dir/cells")
+    val populated = liveCells(spark, dir)
       .groupBy("cell").agg(count(lit(1)).as("n"))
       .select("n").as[Long].collect()
     val all = (populated ++ Array.fill(
@@ -207,7 +276,7 @@ object AnnIndex {
         catch { case scala.util.control.NonFatal(_) =>
           math.max(3, math.ceil(math.sqrt(centroids.length.toDouble)).toInt)
         }
-    scoreCells(spark.read.parquet(s"$dir/cells"), queries, centroids,
+    scoreCells(liveCells(spark, dir), queries, centroids,
       probes, k)
   }
 
@@ -241,7 +310,7 @@ object AnnIndex {
       catch { case scala.util.control.NonFatal(_) =>
         math.max(3, math.ceil(math.sqrt(centroids.length.toDouble)).toInt)
       }
-    val cells = spark.read.parquet(s"$dir/cells")
+    val cells = liveCells(spark, dir)
     val kept = cells.filter(pred)
     val n = cells.count()
     val nKept = kept.count()
@@ -338,7 +407,7 @@ object AnnIndex {
     val points =
       if (probes.nonEmpty) probes
       else Seq(1, 2, 4, 8, nCells).distinct.filter(_ <= nCells).sorted
-    val corpus = spark.read.parquet(s"$dir/cells").select("id", "vec")
+    val corpus = liveCells(spark, dir).select("id", "vec")
     val sample = corpus.filter(pmod(col("id"), lit(sampleMod)) === 0)
     val exact = Ann.bruteForceTopK(corpus, sample, k)
       .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
@@ -364,7 +433,7 @@ object AnnIndex {
         catch { case scala.util.control.NonFatal(_) =>
           math.max(3, math.ceil(math.sqrt(centroids.length.toDouble)).toInt)
         }
-    val cells = spark.read.parquet(s"$dir/cells")
+    val cells = liveCells(spark, dir)
     val q = queries.select(col("id").as("qid"), col("vec").as("qvec"))
       .withColumn("qnrm", norm(col("qvec")))
       .filter(col("qnrm") > 0)

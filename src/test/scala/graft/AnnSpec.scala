@@ -809,4 +809,51 @@ class AnnSpec extends AnyFunSuite {
     assert(volC <= 4 * balanced,
       s"clustered volume $volC exceeds 4x the balanced ideal $balanced")
   }
+
+  test("index delete: exact masking, idempotence, physical purge") {
+    import graft.sim.AnnIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_del").toString
+    AnnIndex.build(emb, nCells = 23, seed = 42L, dir)
+    val forget = emb.filter(col("id") % 13 === 0)
+    val forgetIds = forget.select("id").as[Long].collect().toSet
+    val queries = emb.filter(col("id") < 8)
+    AnnIndex.delete(forget.select("id"), dir)
+    // the sharp contract: probing EVERY cell is brute force, so the
+    // full probe after a delete must equal exact brute-force top-k
+    // over corpus-minus-forgotten, rank for rank
+    def fullProbe() = AnnIndex.probe(spark, dir, queries, k = 10, nProbe = 23)
+      .select("qid", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val got = fullProbe()
+    assert(got.forall { case (_, _, nb) => !forgetIds(nb) },
+      "a tombstoned id occupied a rank")
+    val brute = Ann.bruteForceTopK(
+        emb.filter(col("id") % 13 =!= 0), queries, k = 10)
+      .select("qid", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute,
+      "full probe after delete diverged from brute force minus forgotten")
+    // stats census prices the LIVE population
+    val nLive = AnnIndex.stats(spark, dir)
+      .select("n_vectors").as[Long].head()
+    assert(nLive == 500 - forgetIds.size, s"census counts ghosts: $nLive")
+    // replaying the forget set merges nothing
+    AnnIndex.delete(forget.select("id"), dir)
+    assert(fullProbe() == got, "re-sent forget set changed results")
+    // purge: physical removal, probes bit-identical, mask list gone
+    val purged = AnnIndex.purge(spark, dir)
+    assert(purged == forgetIds.size.toLong,
+      s"purged $purged rows, expected ${forgetIds.size}")
+    assert(fullProbe() == got, "purge changed probe results")
+    assert(!new java.io.File(s"$dir/tombstones").exists(),
+      "tombstone list survived the purge")
+    assert(AnnIndex.purge(spark, dir) == 0L, "second purge not a no-op")
+    // a rebuild starts a new generation: a re-ingested forgotten id
+    // must be probe-visible again (stale masks cleared by build)
+    AnnIndex.delete(forget.select("id"), dir)
+    AnnIndex.build(emb, nCells = 23, seed = 42L, dir)
+    val back = AnnIndex.probe(spark, dir, queries, k = 10, nProbe = 23)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(back.exists(forgetIds), "rebuild kept the previous generation's mask")
+  }
 }
