@@ -465,8 +465,77 @@ object ScaleQueries {
       .orderBy("user_id")
   }
 
+  /** #233 (q88): CDC-aware count-min — point-frequency estimates that
+    * survive a forget-set purge WITHOUT rebuilding from the retained
+    * corpus. q87's binary sketches are increment-only: the day q70's
+    * erasure cascade reaches the events table, their grids silently
+    * overcount forever (or pay an O(corpus) rebuild). The cell-grid
+    * representation ([[graft.sources.SketchStore.cmsCells]]) is
+    * LINEAR, so the purge folds in as a weight −1 grid over JUST the
+    * forgotten users' events — O(forget-set), the same asymmetry as
+    * the tombstone path in [[graft.sim.AnnIndex.delete]] — and the
+    * decremented grid is bit-identical to a from-scratch rebuild over
+    * the retained events (the linearity the spec pins). Output: per
+    * probe user (the % 3 slice), the exact retained count, the grid
+    * estimate, and the overcount — a forgotten probe user's exact is
+    * 0 and any positive estimate is pure collision residue, which the
+    * one-sided bound prices. FULLY oracled: the md5 cell hash is
+    * engine-portable (t08's idiom), so DuckDB rebuilds the identical
+    * grid and the integer estimates hash-match. */
+  def q88CmsCdc: Q = (spark, dir) => {
+    import graft.sources.SketchStore
+    val ev = Tables.events(spark, dir).select("user_id")
+    // full-history grid + weight −1 grid over the forgotten slice;
+    // production keeps the first as the stored artifact and pays only
+    // the second at purge time
+    val grid = SketchStore.cmsCellsMerge(
+      SketchStore.cmsCells(ev, col("user_id")),
+      SketchStore.cmsCells(ev.filter(col("user_id") % 13 === 0),
+        col("user_id"), lit(-1L)))
+    val probes = ev.filter(col("user_id") % 3 === 0).distinct()
+    val exact = ev.filter(col("user_id") % 13 =!= 0)
+      .groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+    SketchStore.cmsCellEstimates(probes, col("user_id"), grid)
+      .select(col("it").cast("long").as("user_id"), col("est_n"))
+      .join(exact, Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(col("exact_n"), lit(0L)).as("exact_n"),
+        col("est_n"),
+        (col("est_n") - coalesce(col("exact_n"), lit(0L))).as("over_n"))
+      .orderBy("user_id")
+  }
+
+  val q88Sql: String =
+    """WITH ev AS (SELECT user_id FROM events),
+      |r AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(r)),
+      |cells AS (
+      |  SELECT r,
+      |         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)), 1, 8)) AS BIGINT) % 512 AS c,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM ev CROSS JOIN r
+      |  WHERE user_id % 13 <> 0
+      |  GROUP BY 1, 2),
+      |pr AS (
+      |  SELECT p.user_id, r.r,
+      |         CAST(('0x' || substr(md5(CAST(p.user_id AS VARCHAR) || ':' || CAST(r.r AS VARCHAR)), 1, 8)) AS BIGINT) % 512 AS c
+      |  FROM (SELECT DISTINCT user_id FROM ev WHERE user_id % 3 = 0) p
+      |  CROSS JOIN r),
+      |est AS (
+      |  SELECT user_id, MIN(COALESCE(cells.cnt, 0)) AS est_n
+      |  FROM pr LEFT JOIN cells USING (r, c) GROUP BY 1),
+      |ex AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+      |  FROM ev WHERE user_id % 13 <> 0 GROUP BY 1)
+      |SELECT est.user_id,
+      |       COALESCE(ex.exact_n, 0) AS exact_n,
+      |       est.est_n,
+      |       est.est_n - COALESCE(ex.exact_n, 0) AS over_n
+      |FROM est LEFT JOIN ex USING (user_id)
+      |ORDER BY est.user_id""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q87_cms_freq" -> q87CmsFreq,
+    "q88_cms_cdc" -> q88CmsCdc,
     "q34_heavy_hitters" -> q34HeavyHitters,
     "q76_topk_weekly" -> q76TopkWeekly,
     "q80_topk_churn" -> q80TopkChurn,
@@ -481,6 +550,7 @@ object ScaleQueries {
     "q74_topk_day_range" -> q74TopkDayRange)
 
   val oracles: Seq[(String, String)] = Seq(
+    "q88_cms_cdc" -> q88Sql,
     "q74_topk_day_range" -> q74Sql,
     "q76_topk_weekly" -> q76Sql,
     "q79_quantiles_from_artifacts" -> q79Sql,

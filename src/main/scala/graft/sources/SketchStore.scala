@@ -323,6 +323,107 @@ object SketchStore {
     (items.map(it => it -> merged.estimateCount(it)), n)
   }
 
+  // ── Decrementable cell-grid count-min (#233) ─────────────────────
+  //
+  // The CDC-aware member of the CMS family. The binary sketches above
+  // ([[saveCmsGrouped]]) ride Spark's `count_min_sketch` aggregate,
+  // whose public API is increment-only — fine for append-only ingest,
+  // wrong the day a changelog carries deletes or a forget-set erases a
+  // user's events (q67 / q70): the only recourse is rebuilding the
+  // grid from the retained corpus, an O(corpus) pass per purge. This
+  // representation fixes that by storing the grid AS DATA — one row
+  // per non-zero (r, c) cell — because a count-min grid is LINEAR in
+  // its input: cells(S ∖ D) = cells(S) − cells(D) cell for cell, so a
+  // delete batch folds in as a weight −1 build over JUST the deleted
+  // rows (O(batch), like every other maintenance op here), and the
+  // decremented grid is BIT-IDENTICAL to a from-scratch rebuild
+  // (spec-pinned). Merge across batches/days is a groupBy-sum over
+  // kilobyte frames; estimates are the usual min over depth rows, and
+  // the standard one-sided guarantee holds at any point in the
+  // add/delete history because the grid always EQUALS the grid of the
+  // net corpus. The cell hash is the repo's engine-portable idiom
+  // (first 8 hex of md5("<item>:<row>") — t08/t35's convention), so a
+  // DuckDB oracle rebuilds the same grid bit for bit and the whole
+  // family is FULLY oracled, unlike the opaque binary sketches.
+  //
+  // Why not conservative update (CU)? CU increments only the cells at
+  // the current minimum, which tightens estimates (pointwise ≤ the
+  // standard grid, spec-pinned) but makes the sketch ORDER-DEPENDENT:
+  // the grid is no longer a sum over items, so per-partition partial
+  // grids can't merge, and a delete can't subtract what an insert
+  // might never have added. CU therefore can't run as a distributed
+  // aggregation OR consume a changelog — [[cmsCuEstimates]] exists as
+  // the driver-side reference that quantifies the tightening this
+  // family deliberately gives up for mergeability + decrementability.
+
+  /** Cell index of `item` (a string column) in hash row `r`:
+    * first 8 hex digits of md5("<item>:<r>") mod `width` — identical
+    * in DuckDB as `('0x'||substr(md5(item||':'||r),1,8))::BIGINT`. */
+  def cmsCellIndex(item: Column, r: Column, width: Int): Column =
+    conv(substring(md5(concat_ws(":", item, r)
+        .cast(org.apache.spark.sql.types.BinaryType)), 1, 8), 16, 10)
+      .cast(org.apache.spark.sql.types.LongType) % width
+
+  /** Build the cell grid of `items` in ONE distributed aggregation:
+    * depth rows per item (a narrow explode), then a map-side-combined
+    * sum per (r, c) — the shuffle carries at most depth × width cells
+    * per task regardless of corpus size. `weight` −1 turns the same
+    * job into a delete-batch grid for [[cmsCellsMerge]]. */
+  def cmsCells(items: DataFrame, itemCol: Column, weight: Column = lit(1L),
+               depth: Int = 4, width: Int = 512): DataFrame =
+    items
+      .select(itemCol.cast(org.apache.spark.sql.types.StringType).as("it"),
+        weight.cast(org.apache.spark.sql.types.LongType).as("wt"))
+      .select(col("it"), col("wt"),
+        explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
+      .groupBy(col("r"), cmsCellIndex(col("it"), col("r"), width).as("c"))
+      .agg(sum("wt").as("cnt"))
+      .filter(col("cnt") =!= 0)
+
+  /** Fold grids (add-batches, delete-batches, history) into one by
+    * cell-wise addition, dropping netted-out cells so a decremented
+    * grid is bit-identical to a rebuild over the retained corpus. */
+  def cmsCellsMerge(grids: DataFrame*): DataFrame =
+    grids.reduce(_ unionByName _)
+      .groupBy("r", "c").agg(sum("cnt").as("cnt"))
+      .filter(col("cnt") =!= 0)
+
+  /** Point-frequency estimates for `probes` against a cell grid: min
+    * over the depth rows, absent cells counting 0. Distributed — the
+    * grid is ≤ depth × width rows (kilobytes), so the join broadcasts
+    * and the probe side streams at any cardinality. */
+  def cmsCellEstimates(probes: DataFrame, itemCol: Column, cells: DataFrame,
+                       depth: Int = 4, width: Int = 512): DataFrame =
+    probes
+      .select(itemCol.cast(org.apache.spark.sql.types.StringType).as("it"))
+      .distinct()
+      .select(col("it"), explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
+      .withColumn("c", cmsCellIndex(col("it"), col("r"), width))
+      .join(broadcast(cells), Seq("r", "c"), "left")
+      .groupBy("it")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_n"))
+
+  /** Driver-side CONSERVATIVE-UPDATE reference (sequential by nature —
+    * see the family note above for why this can never be the
+    * distributed path): estimates are pointwise ≤ the standard grid's
+    * and ≥ exact, the two-sided sandwich the tradeoff spec pins. */
+  def cmsCuEstimates(items: Seq[String], probes: Seq[String],
+                     depth: Int = 4, width: Int = 512): Map[String, Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def cellsOf(s: String): Seq[(Int, Int)] = (0 until depth).map { r =>
+      val hex = md.digest(s"$s:$r".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      (r, (java.lang.Long.parseLong(hex, 16) % width).toInt)
+    }
+    val grid = Array.ofDim[Long](depth, width)
+    items.foreach { s =>
+      val cs = cellsOf(s)
+      val est = cs.map { case (r, c) => grid(r)(c) }.min + 1
+      cs.foreach { case (r, c) => if (grid(r)(c) < est) grid(r)(c) = est }
+    }
+    probes.map(p => p -> cellsOf(p).map { case (r, c) => grid(r)(c) }.min).toMap
+  }
+
   // ── Artifact consumers (no-rescan analytics) ─────────────────────
 
   /** q58's drift audit computed ENTIRELY from stored value histograms

@@ -452,6 +452,56 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("cell-grid CMS: decrement ≡ rebuild, merge lossless, CU sandwich") {
+    import graft.sources.SketchStore
+    val ev = Tables.events(spark, TestSpark.Sf).select("user_id")
+    val retained = ev.filter(col("user_id") % 13 =!= 0)
+    // THE property the representation exists for: folding a weight −1
+    // grid over the forgotten slice into the full-history grid is
+    // bit-identical to rebuilding over the retained events
+    val decremented = SketchStore.cmsCellsMerge(
+        SketchStore.cmsCells(ev, col("user_id")),
+        SketchStore.cmsCells(ev.filter(col("user_id") % 13 === 0),
+          col("user_id"), lit(-1L)))
+      .as[(Int, Long, Long)].collect().toSet
+    val rebuilt = SketchStore.cmsCells(retained, col("user_id"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(decremented == rebuilt, "decremented grid != rebuilt grid")
+    // linearity also covers the merge-of-parts contract
+    val parts = (0 until 3).map(i =>
+      SketchStore.cmsCells(
+        retained.filter(pmod(xxhash64(col("user_id")), lit(3)) === i),
+        col("user_id")))
+    val merged = SketchStore.cmsCellsMerge(parts: _*)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged == rebuilt, "merged part grids != direct grid")
+    // estimates: never undercount, and the standard/CU/exact sandwich
+    val exact = retained.groupBy("user_id").count()
+      .as[(Long, Long)].collect().toMap
+    val probes = ev.distinct()
+    val std = SketchStore.cmsCellEstimates(probes, col("user_id"),
+        SketchStore.cmsCells(retained, col("user_id")))
+      .as[(String, Long)].collect().toMap
+    val items = retained.as[Long].collect().map(_.toString).toSeq.sorted
+    val cu = SketchStore.cmsCuEstimates(items, std.keys.toSeq)
+    std.foreach { case (it, est) =>
+      val t = exact.getOrElse(it.toLong, 0L)
+      assert(est >= t, s"user $it: grid undercounted $est < $t")
+      assert(cu(it) >= t, s"user $it: CU undercounted ${cu(it)} < $t")
+      assert(cu(it) <= est,
+        s"user $it: CU ${cu(it)} above the standard grid $est — " +
+          "conservative update must only tighten")
+    }
+    // and the registered q88 carries the same contract end to end
+    val q88 = ScaleQueries.q88CmsCdc(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(q88.nonEmpty)
+    q88.foreach { case (uid, ex, est, over) =>
+      assert(ex == exact.getOrElse(uid, 0L) && est >= ex && over == est - ex,
+        s"q88 row ($uid, $ex, $est, $over) inconsistent")
+    }
+  }
+
   test("sketch store: winsorize report from stored histograms equals the raw-frame q57") {
     import graft.sources.SketchStore
     val li = Tables.lineitem(spark, TestSpark.Sf)
