@@ -403,6 +403,49 @@ object SketchStore {
       .groupBy("it")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_n"))
 
+  /** One-shot grouped persistence of cell grids (the [[saveCmsGrouped]]
+    * of this family): per `groupCol` value one [[cmsCells]] grid,
+    * partitioned by group so range reads prune; (depth, width) ride as
+    * columns — the parameterization stamp [[mergedCmsCells]] enforces,
+    * the way eps_e6/seed do for the binary grids. */
+  def saveCmsCellsGrouped(items: DataFrame, groupCol: Column, itemCol: Column,
+                          weight: Column = lit(1L), dir: String = "",
+                          depth: Int = 4, width: Int = 512): Unit = {
+    require(dir.nonEmpty, "saveCmsCellsGrouped needs a target dir")
+    items
+      .select(groupCol.cast(org.apache.spark.sql.types.StringType).as("grp"),
+        itemCol.cast(org.apache.spark.sql.types.StringType).as("it"),
+        weight.cast(org.apache.spark.sql.types.LongType).as("wt"))
+      .select(col("grp"), col("it"), col("wt"),
+        explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
+      .groupBy(col("grp"), col("r"),
+        cmsCellIndex(col("it"), col("r"), width).as("c"))
+      .agg(sum("wt").as("cnt"))
+      .filter(col("cnt") =!= 0)
+      .withColumn("depth", lit(depth)).withColumn("width", lit(width))
+      .repartition(col("grp"))
+      .write.mode("overwrite").partitionBy("grp").parquet(dir)
+  }
+
+  /** Fold the stored cell grids of every group matching `groupPred`
+    * (partition-pruned) into one grid; returns (grid, depth, width)
+    * ready for [[cmsCellEstimates]]. Zero-netted cells (the streaming
+    * maintainer persists them — see its scaladoc) drop here, so
+    * consumers always see the canonical grid. Mixed (depth, width)
+    * fail loudly — the cells don't line up. */
+  def mergedCmsCells(spark: SparkSession, dir: String,
+                     groupPred: Column): (DataFrame, Int, Int) = {
+    val rows = spark.read.parquet(dir).filter(groupPred)
+    val params = rows.select("depth", "width").distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    require(params.nonEmpty, "no cell-grid groups match the range")
+    require(params.length == 1,
+      s"incompatible cell grids: (depth, width) ${params.toSeq} — " +
+        "cells only line up at one parameterization")
+    (rows.groupBy("r", "c").agg(sum("cnt").as("cnt"))
+      .filter(col("cnt") =!= 0), params.head._1, params.head._2)
+  }
+
   /** Driver-side CONSERVATIVE-UPDATE reference (sequential by nature —
     * see the family note above for why this can never be the
     * distributed path): estimates are pointwise ≤ the standard grid's

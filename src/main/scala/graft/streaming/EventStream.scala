@@ -775,6 +775,84 @@ object EventStream {
     }
   }
 
+  /** Streaming FORGET propagation into the CMS artifacts (#234) —
+    * #225 composed with the decrementable cell-grid family (#233):
+    * the maintained point-frequency artifact now consumes a CDC-style
+    * stream where each row carries a WEIGHT (+1 ordinary event, −1
+    * erasure), so the day q70's forget-set cascade reaches the events
+    * table the purge flows through the SAME pipe as ingest — a
+    * forget batch decrements exactly the forgotten occurrences'
+    * cells (CMS linearity), and the artifact thereafter answers as if
+    * rebuilt over the retained stream (spec-pinned bit-identical).
+    * #225's binary grids cannot do this (Spark's sketch API is
+    * increment-only); the cell-grid representation is the whole
+    * point.
+    *
+    * Per micro-batch: ONE distributed (grp, r, c) aggregation reduces
+    * the batch to per-touched-day kilobyte grids, the touched days'
+    * stored rows fold in by cell-wise addition (a union + sum — all
+    * DataFrame-side, nothing corpus-scale on the driver), and #158's
+    * dynamic-partition overwrite swaps exactly those days. NETTED-OUT
+    * cells persist as explicit cnt = 0 rows HERE (unlike the one-shot
+    * [[graft.sources.SketchStore.saveCmsCellsGrouped]]): dynamic
+    * overwrite only replaces partitions PRESENT in the written frame,
+    * so a day whose every count nets to zero must still emit rows or
+    * its stale pre-erasure partition would survive the purge — the
+    * zero row is the day's erasure record, and every consumer
+    * ([[graft.sources.SketchStore.mergedCmsCells]]) drops it on read
+    * (the fully-netted-day case is spec-pinned). Replayed batch ids
+    * merge nothing, across restarts too (durable batch stamp).
+    * Batch schema: `day`, `item`, `wt`. */
+  def cmsCellsForeachBatch(dir: String, depth: Int = 4, width: Int = 512)(
+      onUpdated: (Long) => Unit = _ => ()): (DataFrame, Long) => Unit = {
+    var lastBatch = -1L
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      import graft.sources.SketchStore
+      if (lastBatch < 0) lastBatch = readBatchStamp(spark, dir)
+      if (batchId > lastBatch) {
+        val newCells = batch
+          .select(col("day").cast(org.apache.spark.sql.types.StringType)
+              .as("grp"),
+            col("item").cast(org.apache.spark.sql.types.StringType).as("it"),
+            col("wt").cast(org.apache.spark.sql.types.LongType).as("wt"))
+          .select(col("grp"), col("it"), col("wt"),
+            explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
+          .groupBy(col("grp"), col("r"),
+            SketchStore.cmsCellIndex(col("it"), col("r"), width).as("c"))
+          .agg(sum("wt").as("cnt"))
+        val touched = newCells.select("grp").distinct()
+          .collect().map(_.getString(0)).toSeq
+        // empty batch ⇒ nothing to merge, write or stamp (the
+        // histogram maintainer's guard)
+        if (touched.nonEmpty) {
+          val target = new org.apache.hadoop.fs.Path(dir)
+          val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val stored =
+            if (fs.exists(target)) {
+              val s = spark.read.parquet(dir)
+                .filter(col("grp").isin(touched: _*))
+              val params = s.select("depth", "width").distinct()
+                .collect().map(r => (r.getInt(0), r.getInt(1)))
+              require(params.forall(_ == (depth, width)),
+                s"stored grids are ${params.toSeq}, maintainer runs ($depth, $width)")
+              s.select("grp", "r", "c", "cnt")
+            } else newCells.limit(0)
+          stored.unionByName(newCells)
+            .groupBy("grp", "r", "c").agg(sum("cnt").as("cnt"))
+            .withColumn("depth", lit(depth)).withColumn("width", lit(width))
+            .repartition(col("grp"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("grp").parquet(dir)
+          writeBatchStamp(spark, dir, batchId)
+        }
+        lastBatch = batchId
+      }
+      onUpdated(batchId)
+    }
+  }
+
   /** Streaming quota gate (#226) — q87's consumer wired to #225's
     * maintained artifact: each micro-batch first folds into the
     * per-day CMS table, then re-prices every item SEEN IN THIS BATCH

@@ -995,6 +995,88 @@ class StreamingSpec extends AnyFunSuite {
       s"rewind replay double-counted: ${lastRun2.take(3)} vs ${lastRun1.take(3)}")
   }
 
+  test("cell-grid CMS stream: forget batches decrement to the retained build") {
+    import spark.implicits._
+    import graft.streaming.EventStream
+    import graft.sources.SketchStore
+    val ev = Tables.events(spark, TestSpark.Sf)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("user_id").cast("string").as("item"))
+      .as[(String, String)].collect().toSeq
+    def gridOf(dir: String) = {
+      val (g, d, w) = SketchStore.mergedCmsCells(spark, dir, lit(true))
+      assert(d == 4 && w == 512)
+      g.as[(Int, Long, Long)].collect().toSet
+    }
+    def estOf(dir: String, probes: Seq[String]) = {
+      val (g, d, w) = SketchStore.mergedCmsCells(spark, dir, lit(true))
+      SketchStore.cmsCellEstimates(probes.toDF("item"), col("item"), g,
+        depth = d, width = w).as[(String, Long)].collect().toMap
+    }
+    val probes = ev.map(_._2).distinct.sorted
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmscell").toString + "/c"
+    val sink = EventStream.cmsCellsForeachBatch(dir)()
+    // empty first batch: no data-less dir commit
+    sink(Seq.empty[(String, String, Long)].toDF("day", "item", "wt"), 0)
+    assert(!new java.io.File(dir).exists(), "empty batch committed a dir")
+    // insert batches converge to the one-shot build
+    val batches = ev.map { case (d, it) => (d, it, 1L) }
+      .grouped(ev.size / 3 + 1).toSeq
+    batches.zipWithIndex.foreach { case (b, i) =>
+      sink(b.toDF("day", "item", "wt"), i + 1L)
+    }
+    val oneAll = java.nio.file.Files.createTempDirectory("graft_cmsall").toString + "/c"
+    SketchStore.saveCmsCellsGrouped(ev.toDF("day", "item"),
+      col("day"), col("item"), dir = oneAll)
+    assert(gridOf(dir) == gridOf(oneAll),
+      "maintained grid != one-shot build after inserts")
+
+    // THE forget pin: stream a weight −1 batch of the forgotten
+    // users' events; the artifact must thereafter equal a rebuild
+    // over the retained stream — grid AND estimates
+    val forget = ev.filter(_._2.toLong % 13 == 0)
+    assert(forget.nonEmpty)
+    sink(forget.map { case (d, it) => (d, it, -1L) }
+      .toDF("day", "item", "wt"), batches.size + 1L)
+    val retained = ev.filterNot(_._2.toLong % 13 == 0)
+    val oneRet = java.nio.file.Files.createTempDirectory("graft_cmsret").toString + "/c"
+    SketchStore.saveCmsCellsGrouped(retained.toDF("day", "item"),
+      col("day"), col("item"), dir = oneRet)
+    assert(gridOf(dir) == gridOf(oneRet),
+      "post-forget grid != rebuild over retained stream")
+    assert(estOf(dir, probes) == estOf(oneRet, probes))
+
+    // post-restart redelivery of the forget batch merges nothing
+    val sink2 = EventStream.cmsCellsForeachBatch(dir)()
+    sink2(forget.map { case (d, it) => (d, it, -1L) }
+      .toDF("day", "item", "wt"), batches.size + 1L)
+    assert(gridOf(dir) == gridOf(oneRet), "replayed forget batch re-decremented")
+
+    // fully-netted day: erase EVERY event of one day — the day's
+    // partition must rewrite (zero rows persisted), not survive stale
+    val day0 = ev.map(_._1).min
+    val day0Rows = retained.filter(_._1 == day0)
+    sink2(day0Rows.map { case (d, it) => (d, it, -1L) }
+      .toDF("day", "item", "wt"), batches.size + 2L)
+    val day0Grid = spark.read.parquet(dir).filter(col("grp") === day0)
+    assert(day0Grid.count() > 0, "netted day vanished from the artifact")
+    assert(day0Grid.filter(col("cnt") =!= 0).count() == 0,
+      s"stale cells survived the full-day erasure on $day0")
+    val exactAfter = retained.filterNot(_._1 == day0)
+      .map(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    estOf(dir, probes).foreach { case (it, est) =>
+      assert(est >= exactAfter.getOrElse(it, 0L),
+        s"$it undercounted after the day purge")
+    }
+
+    // parameter drift fails loudly
+    intercept[IllegalArgumentException] {
+      EventStream.cmsCellsForeachBatch(dir, depth = 2, width = 64)()(
+        Seq((day0, "x", 1L)).toDF("day", "item", "wt"), 99L)
+    }
+  }
+
   test("churn alert stream: final frame equals the batch q80 consumer") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
