@@ -1625,8 +1625,68 @@ object TrainingDataQueries {
       |       doc_id, score_milli
       |FROM s ORDER BY rank""".stripMargin
 
+  /** #235 (t37): α-weighted mixture ORDER — the operator that turns
+    * t26's sampling weights into an ACTUAL deterministic reader
+    * order: language l with weight w_l gets ⌊k·w_l/10⁶⌋ of any
+    * length-k prefix (±O(1) — the stride/WFQ guarantee, spec-pinned),
+    * so a training run that stops early has still consumed the
+    * mixture at its target proportions — the property lost when
+    * shards are concatenated per source, and left to chance when
+    * sampling is random. Mechanism: per-language rank r (the new
+    * [[graft.etl.GlobalOrder.withGroupSeq]] — scale-safe when one
+    * language holds most of the corpus, exactly t26's low-resource
+    * regime), VIRTUAL TIME v = ⌈r·10⁶ / w⌉ (integer ceil-div — each
+    * language emits along its own evenly-spaced stride), global
+    * position over (v, lang) via the q64 distributed prefix sum.
+    * Single-epoch semantics: the bound holds until a language
+    * EXHAUSTS its supply (α-smoothing UPWEIGHTS low-resource
+    * languages, so they exhaust first — with w > p the stride emits
+    * faster than the shelf refills); past that horizon its stride
+    * goes silent and the tail drifts toward the surviving languages
+    * — the sampled-with-replacement alternative re-reads documents
+    * instead, which a single-pass ORDER cannot. Within-language
+    * order is doc_id here for oracle clarity; compose with t35's
+    * per-epoch hash key upstream for a shuffled stride. All integer
+    * → fully oracled. */
+  def t37MixtureOrder: Q = (spark, dir) => {
+    import graft.etl.GlobalOrder
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang")
+    val ranked = GlobalOrder.withGroupSeq(docs, "lang", "doc_id",
+      seqCol = "lang_rank")
+    val w = alphaMixFromLangCounts(
+        docs.groupBy("lang").agg(count(lit(1)).as("n_docs")))
+      .select(col("lang"), col("q_alpha_ppm"))
+    val vt = ranked.join(broadcast(w), Seq("lang"))
+      .withColumn("vtime",
+        expr("(lang_rank * 1000000 + q_alpha_ppm - 1) div q_alpha_ppm"))
+    GlobalOrder.withGlobalSeq(vt, "vtime", Seq("lang"), seqCol = "seq")
+      .select(col("seq"), col("doc_id"), col("lang"),
+        col("lang_rank"), col("vtime"))
+      .orderBy("seq")
+  }
+
+  val t37Sql: String =
+    """WITH l AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST(FLOOR(SQRT(CAST(COUNT(*) * 1000000 AS DOUBLE))) AS BIGINT) AS s
+      |  FROM documents GROUP BY lang),
+      |t AS (SELECT CAST(SUM(s) AS BIGINT) AS stot FROM l),
+      |w AS (SELECT lang,
+      |             CAST((s * 1000000 * 2 + stot) // (2 * stot) AS BIGINT) AS w
+      |      FROM l, t),
+      |r AS (SELECT doc_id, lang,
+      |             CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS lang_rank
+      |      FROM documents),
+      |v AS (SELECT doc_id, r.lang, lang_rank,
+      |             (lang_rank * 1000000 + w - 1) // w AS vtime
+      |      FROM r JOIN w ON r.lang = w.lang)
+      |SELECT CAST(row_number() OVER (ORDER BY vtime, lang) AS BIGINT) AS seq,
+      |       doc_id, lang, lang_rank, CAST(vtime AS BIGINT) AS vtime
+      |FROM v ORDER BY seq""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "t36_curriculum_order" -> t36CurriculumOrder,
+    "t37_mixture_order" -> t37MixtureOrder,
     "t35_epoch_shuffle" -> t35EpochShuffle,
     "t30_class_balance" -> t30ClassBalance,
     "t33_quality_sample" -> t33QualitySample,
@@ -1661,6 +1721,7 @@ object TrainingDataQueries {
 
   val oracles: Seq[(String, String)] = Seq(
     "t36_curriculum_order" -> t36Sql,
+    "t37_mixture_order" -> t37Sql,
     "t35_epoch_shuffle" -> t35Sql,
     "t24_fertility" -> t24Sql,
     "t26_alpha_mix" -> t26Sql,

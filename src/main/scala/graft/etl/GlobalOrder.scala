@@ -112,6 +112,44 @@ object GlobalOrder {
     *
     * `fine` must be numeric, non-null and UNIQUE (a surrogate id) —
     * it is both the tie-break and the bucketing axis. */
+  /** PER-GROUP 1-based rank in `fine` order when the group key has a
+    * BOUNDED domain (languages, sources, tiers) and one group can
+    * hold a corpus-scale row share — the per-group twin of
+    * [[withBandedGlobalSeq]] (its level 2 alone, no coarse offsets):
+    * a window partitioned by the group key serializes the big group
+    * through one task (the q50 class); here each group's rank space
+    * splits across `fine`-keyed equal-width buckets, with per-(group,
+    * bucket) offsets from a window that sees ≤ `buckets` rows per
+    * group — full parallelism inside even a group holding 90% of the
+    * corpus. `fine` must be numeric, non-null, unique (the tie-break
+    * and bucketing axis, as in withBandedGlobalSeq). */
+  def withGroupSeq(df: DataFrame, group: String, fine: String,
+                   seqCol: String = "gseq",
+                   buckets: Int = 0): DataFrame = {
+    val nb =
+      if (buckets > 0) buckets
+      else df.sparkSession.sessionState.conf.numShufflePartitions * 8
+    val bounds = df.agg(min(col(fine).cast(LongType)).as("_gs_lo"),
+      max(col(fine).cast(LongType)).as("_gs_hi"))
+    val withB = df.crossJoin(broadcast(bounds))
+      .withColumn("_gs_b",
+        ((col(fine).cast(LongType) - col("_gs_lo")) /
+          ((col("_gs_hi") - col("_gs_lo")) / nb + lit(1L))).cast(LongType))
+      .drop("_gs_lo", "_gs_hi")
+    val partials = withB.groupBy(col(group), col("_gs_b"))
+      .agg(count(lit(1)).as("_gs_c"))
+    val wB = Window.partitionBy(group).orderBy("_gs_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketOff = partials.select(col(group), col("_gs_b"),
+      coalesce(sum("_gs_c").over(wB), lit(0L)).as("_gs_boff"))
+    val wFine = Window.partitionBy(col(group), col("_gs_b"))
+      .orderBy(col(fine))
+    withB.join(broadcast(bucketOff), Seq(group, "_gs_b"))
+      .withColumn(seqCol,
+        col("_gs_boff") + row_number().over(wFine).cast(LongType))
+      .drop("_gs_b", "_gs_boff")
+  }
+
   def withBandedGlobalSeq(df: DataFrame, coarse: String, fine: String,
                           coarseDesc: Boolean = true,
                           seqCol: String = "seq",

@@ -295,6 +295,23 @@ class EtlSpec extends AnyFunSuite {
     assert(gotAsc == wantAsc)
   }
 
+  test("withGroupSeq matches local per-group ranks even when one group holds 90% of rows") {
+    import graft.etl.GlobalOrder
+    // same adversarial shape as the banded test: a bounded group
+    // domain with one value holding ~90% of the rows — the per-group
+    // rank must split that group across bucket tasks, never serialize
+    val rows = (1L to 2000L).map(id =>
+      (id, if (id % 10 == 0) (id % 7).toInt else 42))
+    val df = rows.toDF("id", "grp")
+    val got = GlobalOrder.withGroupSeq(df, "grp", "id", seqCol = "r")
+      .select("grp", "id", "r").as[(Int, Long, Long)].collect().toSet
+    val want = rows.groupBy(_._2).flatMap { case (g, rs) =>
+      rs.map(_._1).sorted.zipWithIndex.map { case (id, i) =>
+        (g, id, (i + 1).toLong) }
+    }.toSet
+    assert(got == want, s"group ranks diverged")
+  }
+
   test("SavingsLedger: per-label idempotent append, trend deltas vs previous run") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ledger").toString
     def frame(saved: Long) = Seq(

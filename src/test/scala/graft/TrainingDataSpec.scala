@@ -443,4 +443,52 @@ class TrainingDataSpec extends AnyFunSuite {
       assert(p50 <= p90 && p90 <= p95 && p95 <= p99 && p99 <= vt, s"$src monotone")
     }
   }
+
+  test("t37 mixture order: every prefix tracks the alpha weights within the stride bound") {
+    import spark.implicits._
+    val rows = TrainingDataQueries.t37MixtureOrder(spark, TestSpark.Sf)
+      .select("seq", "lang", "lang_rank", "vtime")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    val w = TrainingDataQueries.t26AlphaMix(spark, TestSpark.Sf)
+      .select("lang", "q_alpha_ppm").as[(String, Long)].collect().toMap
+    val nByLang = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(rows.map(_._1).toSeq == (1L to rows.length).toSeq, "seq not contiguous")
+    // the stride/WFQ guarantee: in any length-k prefix, language l has
+    // consumed ~k·w_l/1e6 documents (while it still has documents
+    // left) — the property that makes an early-stopped training run a
+    // faithful sample of the mixture. Tie-groups at one virtual time
+    // admit an O(#langs) deviation; pin a conservative ±(#langs) band.
+    val langs = w.keySet
+    val bound = langs.size.toLong + 1
+    // the guarantee holds until the first language EXHAUSTS its
+    // single-epoch supply (after that its stride goes silent and the
+    // tail drifts toward the surviving languages — the documented
+    // semantics); test prefixes inside that horizon
+    val kMax = langs.map(l => nByLang(l) * 1000000L / w(l)).min.toInt
+    assert(kMax >= 40, s"fixture too skewed to test strides: horizon $kMax")
+    Seq(kMax / 4, kMax / 2, kMax).foreach { k =>
+      val pre = rows.take(k).groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      langs.foreach { l =>
+        val got = pre.getOrElse(l, 0L)
+        val expect = k.toLong * w(l) / 1000000L
+        assert(math.abs(got - expect) <= bound,
+          s"prefix $k lang $l: got $got expected ~$expect (w=${w(l)})")
+      }
+    }
+    // past the horizon the EXHAUSTED language has contributed all its
+    // docs — nothing is ever starved
+    val full = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    langs.foreach(l => assert(full(l) == nByLang(l)))
+    // within a language, virtual time is strictly increasing in rank
+    rows.groupBy(_._2).foreach { case (l, rs) =>
+      val byRank = rs.sortBy(_._3).map(_._4)
+      assert(byRank.zip(byRank.drop(1)).forall { case (a, b) => a < b },
+        s"$l: vtime not strictly increasing in rank")
+    }
+    // determinism: a second evaluation is bit-identical
+    val again = TrainingDataQueries.t37MixtureOrder(spark, TestSpark.Sf)
+      .select("seq", "lang", "lang_rank", "vtime")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(again.toSeq == rows.toSeq, "t37 order not deterministic")
+  }
 }
