@@ -823,6 +823,59 @@ object LlmQueries {
        |FROM c LEFT JOIN t ON c.id = t.id
        |ORDER BY c.id""".stripMargin
 
+  /** #236 (d38): soft-dedup sampling weights — the DOWN-WEIGHT
+    * alternative to the hard purge d28/d32 price: data-constrained
+    * scaling work (Muennighoff et al. 2023; also the "soft dedup" knob
+    * in several public corpus builds) keeps duplicates but samples
+    * each near-dup cluster as if it were one document, preserving
+    * coverage (no canonical-only information loss when near-dups are
+    * NOT true duplicates — exactly the fragile-chain failure d36's
+    * density audit flags) while removing the frequency bias that makes
+    * repeated text over-trained. Per document: its cluster (staged
+    * table; singletons are their own cluster), the cluster size, and
+    * weight_ppm = 10⁶/csize (half-up — a cluster's weights sum to 10⁶
+    * ± rounding, so corpus-level expected epochs are unchanged), plus
+    * the expected token contribution under that weight (floor).
+    * Cost: one |clusters|-scale groupBy + two equi-joins on 8-byte
+    * ids — never touches pairs or text beyond the staged artifacts.
+    * Integer-exact, fully oracled. */
+  def d38SoftDedupWeights: Q = (spark, dir) => {
+    val c = clusters(spark, dir)
+    val sizes = c.groupBy("comp").agg(count(lit(1)).as("csize"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), whitespaceTokenCount(col("text")).as("n_tok"))
+      .join(c.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .join(sizes, Seq("comp"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("comp"),
+        coalesce(col("csize"), lit(1L)).as("csize"),
+        col("n_tok"))
+      .withColumn("weight_ppm",
+        expr("(2000000 + csize) div (2 * csize)"))
+      .withColumn("w_tokens", expr("(n_tok * weight_ppm) div 1000000"))
+      .orderBy("doc_id")
+  }
+
+  // lazy: embeds d06Sql (same init-order note as d28Sql)
+  lazy val d38Sql: String =
+    s"""WITH c AS ($d06Sql),
+       |sz AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS csize
+       |       FROM c GROUP BY comp),
+       |tok AS (
+       |  SELECT doc_id,
+       |         CAST(len(regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |j AS (
+       |  SELECT tok.doc_id,
+       |         COALESCE(c.comp, tok.doc_id) AS comp,
+       |         COALESCE(sz.csize, 1) AS csize, n_tok
+       |  FROM tok LEFT JOIN c ON tok.doc_id = c.id
+       |           LEFT JOIN sz ON c.comp = sz.comp)
+       |SELECT doc_id, comp, CAST(csize AS BIGINT) AS csize, n_tok,
+       |       CAST((2000000 + csize) // (2 * csize) AS BIGINT) AS weight_ppm,
+       |       CAST((n_tok * ((2000000 + csize) // (2 * csize))) // 1000000 AS BIGINT) AS w_tokens
+       |FROM j ORDER BY doc_id""".stripMargin
+
   /** #161 (d26): incremental cluster maintenance — fold a NEW ingest
     * batch into an EXISTING near-dup cluster table without re-running
     * the old corpus's pair verification or re-clustering it from
@@ -2533,6 +2586,7 @@ object LlmQueries {
     "d35_tau_sweep" -> d35TauSweep,
     "d36_cluster_quality" -> d36ClusterQuality,
     "d37_cluster_recut" -> d37ClusterRecut,
+    "d38_soft_dedup_weights" -> d38SoftDedupWeights,
     "d26_incremental_clusters" -> d26IncrementalClusters,
     "d07_embed_neardup_lsh" -> d07EmbedNearDupLsh,
     "d13_semdedup" -> d13SemDedup,
@@ -2597,6 +2651,7 @@ object LlmQueries {
     "d35_tau_sweep" -> d35Sql,
     "d36_cluster_quality" -> d36Sql,
     "d37_cluster_recut" -> d37Sql,
+    "d38_soft_dedup_weights" -> d38Sql,
     // incremental ≡ full: the oracle IS the from-scratch d06 SQL
     "d26_incremental_clusters" -> d06Sql,
     "s01_ann_bruteforce" -> s01Sql,

@@ -1684,9 +1684,64 @@ object TrainingDataQueries {
       |       doc_id, lang, lang_rank, CAST(vtime AS BIGINT) AS vtime
       |FROM v ORDER BY seq""".stripMargin
 
+  /** #237 (t38): sequence-length bucket audit — the batching-economics
+    * report behind length-bucketed batching (every serious trainer
+    * pads each batch to a bucket cap, not the corpus max): bucket cap
+    * = token count rounded UP to the next multiple of 64 (the
+    * tensor-core-friendly granularity; empty docs land in the first
+    * bucket), and per bucket the doc count, real token mass, padding
+    * tokens burned (cap·n − Σtok) and padding waste in ppm of the
+    * padded volume. `baseline_waste_ppm` (same on every row — one
+    * broadcast 1-row total) prices the no-bucketing alternative, pad
+    * everything to the corpus max: the gap between the two columns is
+    * what bucketing buys. One map-side-combinable aggregate over a
+    * projection — |buckets| ≤ max_len/64 rows out however large the
+    * corpus. Integer-exact, fully oracled. */
+  def t38LengthBuckets: Q = (spark, dir) => {
+    import graft.text.TextFunctions.whitespaceTokenCount
+    val capped = Tables.documents(spark, dir)
+      .select(whitespaceTokenCount(col("text")).as("n_tok"))
+      .withColumn("bucket_cap",
+        expr("((greatest(n_tok, 1L) + 63) div 64) * 64"))
+    val buckets = capped.groupBy("bucket_cap")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("token_sum"))
+      .withColumn("pad_tokens",
+        col("bucket_cap") * col("n_docs") - col("token_sum"))
+      .withColumn("waste_ppm",
+        expr("(pad_tokens * 1000000) div (bucket_cap * n_docs)"))
+    val baseline = capped.agg(
+        max("bucket_cap").as("_gcap"), count(lit(1)).as("_gn"),
+        sum("n_tok").as("_gtok"))
+      .select(expr(
+        "((_gcap * _gn - _gtok) * 1000000) div (_gcap * _gn)")
+        .as("baseline_waste_ppm"))
+    buckets.crossJoin(broadcast(baseline)).orderBy("bucket_cap")
+  }
+
+  val t38Sql: String =
+    """WITH c AS (
+      |  SELECT ((GREATEST(CAST(len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS BIGINT), 1) + 63) // 64) * 64 AS bucket_cap,
+      |         CAST(len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |b AS (
+      |  SELECT bucket_cap, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST(SUM(n_tok) AS BIGINT) AS token_sum
+      |  FROM c GROUP BY bucket_cap),
+      |g AS (
+      |  SELECT CAST(((MAX(bucket_cap) * COUNT(*) - SUM(n_tok)) * 1000000)
+      |              // (MAX(bucket_cap) * COUNT(*)) AS BIGINT) AS baseline_waste_ppm
+      |  FROM c)
+      |SELECT bucket_cap, n_docs, token_sum,
+      |       bucket_cap * n_docs - token_sum AS pad_tokens,
+      |       CAST(((bucket_cap * n_docs - token_sum) * 1000000)
+      |            // (bucket_cap * n_docs) AS BIGINT) AS waste_ppm,
+      |       baseline_waste_ppm
+      |FROM b, g ORDER BY bucket_cap""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "t36_curriculum_order" -> t36CurriculumOrder,
     "t37_mixture_order" -> t37MixtureOrder,
+    "t38_length_buckets" -> t38LengthBuckets,
     "t35_epoch_shuffle" -> t35EpochShuffle,
     "t30_class_balance" -> t30ClassBalance,
     "t33_quality_sample" -> t33QualitySample,
@@ -1722,6 +1777,7 @@ object TrainingDataQueries {
   val oracles: Seq[(String, String)] = Seq(
     "t36_curriculum_order" -> t36Sql,
     "t37_mixture_order" -> t37Sql,
+    "t38_length_buckets" -> t38Sql,
     "t35_epoch_shuffle" -> t35Sql,
     "t24_fertility" -> t24Sql,
     "t26_alpha_mix" -> t26Sql,

@@ -128,6 +128,39 @@ class DedupSpec extends AnyFunSuite {
     assert(inc.nonEmpty && inc == full)
   }
 
+  test("d38 soft-dedup weights: local recompute parity, per-cluster mass conservation") {
+    val got = LlmQueries.d38SoftDedupWeights(spark, TestSpark.Sf)
+      .select("doc_id", "comp", "csize", "n_tok", "weight_ppm", "w_tokens")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val comp = LlmQueries.d06DedupClusters(spark, TestSpark.Sf)
+      .as[(Long, Long)].collect().toMap
+    val toks = Tables.documents(spark, TestSpark.Sf)
+      .select(col("doc_id"),
+        graft.text.TextFunctions.whitespaceTokenCount(col("text")))
+      .as[(Long, Long)].collect().toMap
+    val csize = comp.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = toks.toSeq.sortBy(_._1).map { case (id, nTok) =>
+      val c = comp.getOrElse(id, id)
+      val s = if (comp.contains(id)) csize(comp(id)) else 1L
+      val w = (2000000L + s) / (2L * s)
+      (id, c, s, nTok, w, nTok * w / 1000000L)
+    }
+    assert(got == want, "d38 diverged from the local recompute")
+    // mass conservation: a cluster's weights sum to 1e6 up to the
+    // per-member half-up rounding (±csize/2); singletons are exact
+    got.groupBy(_._2).foreach { case (c, rows) =>
+      val s = rows.head._3
+      val sum = rows.map(_._5).sum
+      assert(rows.forall(_._3 == s), s"cluster $c: inconsistent csize")
+      assert(math.abs(sum - 1000000L) <= (s + 1) / 2,
+        s"cluster $c: weight mass $sum drifted beyond rounding")
+      if (s == 1L) assert(sum == 1000000L)
+    }
+    // clustered docs exist: the pin is vacuous otherwise
+    assert(got.exists(_._3 > 1L), "fixture has no near-dup clusters")
+    assert(got.forall(r => r._6 <= r._4), "w_tokens must never exceed n_tok")
+  }
+
   test("d37 recut mechanism: a transitive chain at tau .5 splits at tau .7 (planted)") {
     import graft.dedup.ConnectedComponents
     // A–B tight (J ≈ .82), B–C and A–C loose (J ≈ .54): one τ=.5

@@ -491,4 +491,38 @@ class TrainingDataSpec extends AnyFunSuite {
       .as[(Long, String, Long, Long)].collect().sortBy(_._1)
     assert(again.toSeq == rows.toSeq, "t37 order not deterministic")
   }
+
+  test("t38 length buckets: caps cover, waste bands, bucketing beats the no-bucket baseline") {
+    import spark.implicits._
+    val rows = TrainingDataQueries.t38LengthBuckets(spark, TestSpark.Sf)
+      .select("bucket_cap", "n_docs", "token_sum", "pad_tokens",
+        "waste_ppm", "baseline_waste_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    // local recompute from per-doc token counts
+    val toks = Tables.documents(spark, TestSpark.Sf)
+      .select(graft.text.TextFunctions.whitespaceTokenCount(col("text")))
+      .as[Long].collect().toSeq
+    val want = toks.groupBy(t => (math.max(t, 1L) + 63L) / 64L * 64L)
+      .toSeq.sortBy(_._1).map { case (cap, ts) =>
+        val n = ts.size.toLong; val sum = ts.sum
+        val pad = cap * n - sum
+        (cap, n, sum, pad, pad * 1000000L / (cap * n))
+      }
+    assert(rows.map(r => (r._1, r._2, r._3, r._4, r._5)) == want,
+      "t38 diverged from the local recompute")
+    val gcap = rows.map(_._1).max
+    val gn = rows.map(_._2).sum
+    val gtok = rows.map(_._3).sum
+    val wantBaseline = (gcap * gn - gtok) * 1000000L / (gcap * gn)
+    assert(rows.forall(_._6 == wantBaseline), "baseline column drifted")
+    rows.foreach { r =>
+      assert(r._1 % 64L == 0L && r._1 >= 64L, s"cap ${r._1} not a 64-multiple")
+      assert(r._5 >= 0L && r._5 < 1000000L, s"waste_ppm ${r._5} out of band")
+    }
+    // padding to per-bucket caps never burns more than padding to the
+    // corpus max: total bucketed pad <= the baseline's total pad
+    assert(rows.map(_._4).sum <= gcap * gn - gtok,
+      "bucketed padding exceeded the no-bucket baseline")
+  }
 }
