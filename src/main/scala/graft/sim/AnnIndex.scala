@@ -28,6 +28,31 @@ import graft.functions.VectorFunctions._
   */
 object AnnIndex {
 
+  /** Write-generation stamp riding on every cell row (the `__graft_`
+    * reserved namespace): build stamps 0, each append/upsert batch
+    * stamps the next generation, and tombstones mask (id, seq ≤
+    * upto_seq) instead of bare ids — so [[upsert]]'s new version
+    * survives the tombstone that retires its predecessor, and a
+    * re-APPENDED id resurfaces immediately instead of staying masked
+    * until the next rebuild. */
+  private val SeqCol = "__graft_seq"
+
+  /** Last write generation, a 1-row parquet beside the cells — read
+    * once per maintenance batch (driver-side, kilobytes). Missing dir
+    * (pre-versioning index or fresh build) reads as 0. */
+  private def readGen(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/gen")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else spark.read.parquet(p.toString).head().getLong(0)
+  }
+
+  private def writeGen(spark: SparkSession, dir: String, g: Long): Unit = {
+    import spark.implicits._
+    Seq(g).toDF("last_seq").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/gen")
+  }
+
   /** Fit + assign + persist. `corpus`: (id, vec: array<double>).
     *
     * Build-time also CALIBRATES the index's default operating point:
@@ -44,7 +69,11 @@ object AnnIndex {
     // a rebuild starts a new generation: a stale tombstone list from
     // the previous generation would silently mask any re-inserted ids
     clearTombstones(spark, dir)
-    val live = corpus.withColumn("nrm", norm(col("vec"))).filter(col("nrm") > 0)
+    writeGen(spark, dir, 0L)
+    // a rebuild fed from liveCells carries the old seq stamps — this
+    // generation restarts at 0
+    val live = corpus.drop(SeqCol).withColumn(SeqCol, lit(0L))
+      .withColumn("nrm", norm(col("vec"))).filter(col("nrm") > 0)
     val n = live.count()
     val centroids = Ann.fitCentroids(live, n, nCells, seed, fitSampleCap)
     centroids.zipWithIndex.map { case (c, i) => (i, c) }
@@ -77,10 +106,31 @@ object AnnIndex {
   def append(newRows: DataFrame, dir: String): Unit = {
     val spark = newRows.sparkSession
     val centroids = readCentroids(spark, dir)
-    newRows.withColumn("nrm", norm(col("vec"))).filter(col("nrm") > 0)
+    val g = readGen(spark, dir) + 1L
+    newRows.drop(SeqCol).withColumn(SeqCol, lit(g))
+      .withColumn("nrm", norm(col("vec"))).filter(col("nrm") > 0)
       .withColumn("cell",
         element_at(centroidCells(col("vec"), col("nrm"), centroids, 1), 1))
       .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+    writeGen(spark, dir, g)
+  }
+
+  /** UPSERT (#238) — the CDC write every production vector store
+    * serves (a re-embedded or edited document must replace its old
+    * vector, not rank beside it): tombstone the ids' CURRENT versions
+    * (seq ≤ the pre-batch generation) and [[append]] the new vectors
+    * at the next generation in one maintenance call — O(batch), never
+    * a cell rewrite. The versioned tombstone is what makes this sound:
+    * a bare id-mask (the pre-#238 format) would swallow the new
+    * version too, and left re-ingested ids invisible until the next
+    * rebuild. Probes see old-or-new per id, never both (spec-pinned:
+    * post-upsert full probe ≡ brute force over the post-CDC corpus,
+    * rank for rank); physical reclamation of the retired versions is
+    * [[purge]]'s job, unchanged. `rows`: (id, vec) + metadata columns,
+    * same contract as [[append]]. */
+  def upsert(rows: DataFrame, dir: String): Unit = {
+    delete(rows.select("id"), dir)
+    append(rows, dir)
   }
 
   /** Compact the small per-append segment files inside each cell
@@ -111,14 +161,21 @@ object AnnIndex {
     * ([[probe]], [[probeFiltered]], the sweeps, [[stats]],
     * [[maintain]]) anti-joins them out via [[liveCells]] — O(batch)
     * per delete, exact immediately (a tombstoned vector can never
-    * occupy a rank). Idempotent by construction: the anti-join is
-    * insensitive to duplicate tombstone rows, so re-sending a forget
-    * set is a no-op. Physical reclamation is [[purge]]'s job, run in
-    * the same maintenance window as [[compact]]. `ids`: any frame
-    * with an `id` column. */
-  def delete(ids: DataFrame, dir: String): Unit =
-    ids.select(col("id").cast("long").as("id"))
+    * occupy a rank). Tombstones are VERSIONED (id, upto_seq): a delete
+    * masks the versions present when it lands (seq ≤ the current
+    * generation), so an [[upsert]]'s or later [[append]]'s new version
+    * is never swallowed by an older mask. Idempotent by construction:
+    * replaying a forget set re-writes (id, g') rows whose mask is a
+    * superset of nothing new — the max-per-id fold is insensitive to
+    * duplicates. Physical reclamation is [[purge]]'s job, run in the
+    * same maintenance window as [[compact]]. `ids`: any frame with an
+    * `id` column. */
+  def delete(ids: DataFrame, dir: String): Unit = {
+    val g = readGen(ids.sparkSession, dir)
+    ids.select(col("id").cast("long").as("id"),
+        lit(g).as("upto_seq"))
       .write.mode("append").parquet(s"$dir/tombstones")
+  }
 
   /** Physically drop tombstoned rows from the cell files and clear
     * the tombstone list — the reclamation pass that turns [[delete]]'s
@@ -160,11 +217,17 @@ object AnnIndex {
     val cells = spark.read.parquet(s"$dir/cells")
     val tomb = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
     val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(tomb))
-      cells.join(
-        spark.read.parquet(tomb.toString).select("id").distinct(),
-        Seq("id"), "left_anti")
-    else cells
+    if (fs.exists(tomb)) {
+      // versioned mask: a row dies only if some tombstone for its id
+      // covers its write generation — upserted/re-appended versions
+      // (seq > every mask) stay live
+      val mask = spark.read.parquet(tomb.toString)
+        .groupBy("id").agg(max("upto_seq").as("__graft_tomb_seq"))
+      cells.join(broadcast(mask), Seq("id"), "left")
+        .filter(col("__graft_tomb_seq").isNull ||
+          col(SeqCol) > col("__graft_tomb_seq"))
+        .drop("__graft_tomb_seq")
+    } else cells
   }
 
   /** The audit→decision→action loop closed (#184): [[append]]'s

@@ -853,6 +853,47 @@ object EventStream {
     }
   }
 
+  /** Streaming ANN index upsert (#239) — the CDC pipe into the
+    * persisted vector store (#136), composing [[graft.sim.AnnIndex
+    * .upsert]] and `.delete`: each micro-batch's `D` rows tombstone
+    * their ids' current versions and its `I`/`U` rows replace theirs
+    * (tombstone + next-generation append — O(batch), never a cell
+    * rewrite), so a re-embedded or erased document reaches serving
+    * within one batch. Replay-safe TWICE over: the durable batch
+    * stamp (at the index ROOT — `cells/` is overwritten by purge/
+    * rebuild, the stamp must survive both) skips redelivered ids,
+    * and even inside the stamp's narrow at-least-once window a
+    * replayed upsert is SELF-HEALING — its delete-at-current-gen
+    * retires the crashed run's append before re-appending, so probes
+    * are bit-identical (spec-pinned), unlike a bare re-append which
+    * would rank the same vector twice. Batch schema: `op` ("I"/"U"/
+    * "D"), `id`, `vec` (+ metadata columns riding into the cells). */
+  def annUpsertForeachBatch(indexDir: String)(
+      onApplied: Long => Unit = _ => ()): (DataFrame, Long) => Unit = {
+    import graft.sim.AnnIndex
+    var lastBatch = -1L
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      if (lastBatch < 0) lastBatch = readBatchStamp(spark, indexDir)
+      if (batchId > lastBatch) {
+        // the batch frame feeds two writes — materialize once
+        val b = batch.localCheckpoint(true)
+        val dels = b.filter(col("op") === "D").select("id")
+        val ups = b.filter(col("op") =!= "D").drop("op")
+        val applied =
+          (if (dels.isEmpty) false
+           else { AnnIndex.delete(dels, indexDir); true }) |
+          (if (ups.isEmpty) false
+           else { AnnIndex.upsert(ups, indexDir); true })
+        // empty batch ⇒ nothing applied, nothing to stamp (the
+        // artifact maintainers' guard)
+        if (applied) writeBatchStamp(spark, indexDir, batchId)
+        lastBatch = batchId
+      }
+      onApplied(batchId)
+    }
+  }
+
   /** Streaming quota gate (#226) — q87's consumer wired to #225's
     * maintained artifact: each micro-batch first folds into the
     * per-day CMS table, then re-prices every item SEEN IN THIS BATCH

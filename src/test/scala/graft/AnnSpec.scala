@@ -810,6 +810,49 @@ class AnnSpec extends AnyFunSuite {
       s"clustered volume $volC exceeds 4x the balanced ideal $balanced")
   }
 
+  test("index upsert: exact replacement, re-append resurfaces, replay self-heals, purge reclaims") {
+    import graft.sim.AnnIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_ups").toString
+    AnnIndex.build(emb, nCells = 23, seed = 42L, dir)
+    val queries = emb.filter(col("id") < 8)
+    // the re-embedding: reversed vectors — same norm, different direction
+    val changed = emb.filter(col("id") % 11 === 5)
+      .select(col("id"), reverse(col("vec")).as("vec"))
+    val post = emb.filter(col("id") % 11 =!= 5).unionByName(changed)
+    val n1 = changed.count()
+    AnnIndex.upsert(changed, dir)
+    def fullProbe() = AnnIndex.probe(spark, dir, queries, k = 10, nProbe = 23)
+      .select("qid", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val got = fullProbe()
+    // the sharp contract: full probe after upsert ≡ exact brute force
+    // over the post-CDC corpus, rank for rank — each id's NEW version
+    // ranks, its old version never does (and never ranks beside it)
+    val brute = Ann.bruteForceTopK(post, queries, k = 10)
+      .select("qid", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute, "post-upsert probe diverged from post-CDC brute force")
+    // replayed upsert (the stamp's at-least-once window) self-heals:
+    // its delete retires the first run's append before re-appending
+    AnnIndex.upsert(changed, dir)
+    assert(fullProbe() == got, "replayed upsert changed probe results")
+    // a deleted id RE-APPENDED (plain ingest, same vector) resurfaces
+    // immediately — versioned tombstones never swallow newer writes
+    val dels = emb.filter(col("id") % 13 === 0 && col("id") % 11 =!= 5)
+    val n2 = dels.count()
+    AnnIndex.delete(dels.select("id"), dir)
+    AnnIndex.append(dels, dir)
+    assert(fullProbe() == got, "re-appended ids did not resurface exactly")
+    // census prices live versions only
+    val nLive = AnnIndex.stats(spark, dir).select("n_vectors").as[Long].head()
+    assert(nLive == 500L, s"census counts retired versions: $nLive")
+    // physical reclamation: exactly the retired versions go (changed's
+    // gen-0 + the replay-retired gen-1 copies, dels' gen-0 copies)
+    val purged = AnnIndex.purge(spark, dir)
+    assert(purged == 2 * n1 + n2, s"purged $purged, expected ${2 * n1 + n2}")
+    assert(fullProbe() == got, "purge changed probe results")
+  }
+
   test("index delete: exact masking, idempotence, physical purge") {
     import graft.sim.AnnIndex
     val dir = java.nio.file.Files.createTempDirectory("graft_annidx_del").toString

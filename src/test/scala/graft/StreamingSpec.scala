@@ -1795,4 +1795,61 @@ class StreamingSpec extends AnyFunSuite {
     // can only send a new doc through the redundant anti join
     assert(run(Some(bloom), "gate_bloom") == exact)
   }
+
+  test("ANN upsert stream: CDC reaches probes exactly; restart redelivery applies nothing") {
+    import spark.implicits._
+    import graft.sim.{Ann, AnnIndex}
+    import graft.functions.VectorFunctions.toDouble
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+      .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_annups").toString + "/idx"
+    AnnIndex.build(emb, nCells = 23, seed = 42L, dir)
+    val queries = emb.filter(col("id") < 8)
+    def fullProbe() = AnnIndex.probe(spark, dir, queries, k = 10, nProbe = 23)
+      .select("qid", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    def physRows() = spark.read.parquet(s"$dir/cells").count()
+
+    val sink = EventStream.annUpsertForeachBatch(dir)()
+    // empty batch: applies nothing, stamps nothing
+    val before = fullProbe()
+    sink(emb.limit(0).withColumn("op", lit("I")).select("op", "id", "vec"), 0)
+    assert(fullProbe() == before, "empty batch changed the index")
+
+    // one CDC batch: re-embeds (op U, reversed vectors) + erasures (op D)
+    val changed = emb.filter(col("id") % 17 === 3)
+      .select(lit("U").as("op"), col("id"), reverse(col("vec")).as("vec"))
+    val erased = emb.filter(col("id") % 19 === 4 && col("id") % 17 =!= 3)
+      .select(lit("D").as("op"), col("id"), col("vec"))
+    sink(changed.unionByName(erased), 1)
+    val post = emb
+      .filter(col("id") % 17 =!= 3)
+      .filter(!(col("id") % 19 === 4 && col("id") % 17 =!= 3))
+      .unionByName(changed.select(col("id"), col("vec")))
+    val got = fullProbe()
+    val brute = Ann.bruteForceTopK(post, queries, k = 10)
+      .select("qid", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute, "streamed CDC batch diverged from post-CDC brute force")
+
+    // post-restart redelivery: a FRESH sink instance must skip the
+    // replayed batch via the durable stamp — probes identical AND no
+    // physical re-append (the self-healing upsert would also keep
+    // probes identical, so pin the row count to prove it was skipped)
+    val phys = physRows()
+    val sink2 = EventStream.annUpsertForeachBatch(dir)()
+    sink2(changed.unionByName(erased), 1)
+    assert(fullProbe() == got, "replayed batch changed probe results")
+    assert(physRows() == phys, "replayed batch physically re-applied")
+
+    // the stream continues after the restart: a later batch applies
+    val erased2 = emb.filter(col("id") % 23 === 1 && col("id") % 17 =!= 3)
+      .select(lit("D").as("op"), col("id"), col("vec"))
+    sink2(erased2, 2)
+    val post2 = post.join(erased2.select("id"), Seq("id"), "left_anti")
+    val brute2 = Ann.bruteForceTopK(post2, queries, k = 10)
+      .select("qid", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fullProbe() == brute2, "post-restart batch 2 diverged")
+  }
 }
