@@ -1738,10 +1738,51 @@ object TrainingDataQueries {
       |       baseline_waste_ppm
       |FROM b, g ORDER BY bucket_cap""".stripMargin
 
+  /** #240a (t39): token-budget SHARD PLAN — the assignment half of
+    * sharded corpus export (the artifact a trainer's data loader
+    * actually consumes is N roughly-equal-token files, not one table):
+    * docs in the t35 epoch-0 hash-shuffle order (shards must be
+    * i.i.d.-ish slices of the corpus, not ingest-order runs), global
+    * running token total via the q64 distributed prefix sum, and
+    * shard = startOffset div budget — the greedy sequence cut that
+    * gives every shard ~budget tokens with each doc whole in the
+    * shard where it starts. Deterministic, integer-exact, fully
+    * oracled; [[graft.sources.Writers.writeShards]] is the sink that
+    * materializes this plan with a per-shard manifest. */
+  def t39ShardPlan: Q = (spark, dir) => {
+    import graft.etl.GlobalOrder
+    import graft.text.TextFunctions.whitespaceTokenCount
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"), whitespaceTokenCount(col("text")).as("n_tok"))
+      .withColumn("hk",
+        conv(substring(md5(concat_ws(":", col("doc_id"), lit(0))
+          .cast(BinaryType)), 1, 15), 16, 10).cast(LongType))
+    GlobalOrder.withGlobalSeq(keyed, "hk", Seq("doc_id"),
+        valueCol = Some("n_tok"), seqCol = "seq", runCol = "cum_tok")
+      .withColumn("shard", expr("(cum_tok - n_tok) div 1024"))
+      .select("seq", "doc_id", "n_tok", "cum_tok", "shard")
+      .orderBy("seq")
+  }
+
+  val t39Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |         CAST(len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS BIGINT) AS n_tok,
+      |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 15)) AS BIGINT) AS hk
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, n_tok,
+      |         CAST(row_number() OVER (ORDER BY hk, doc_id) AS BIGINT) AS seq,
+      |         CAST(SUM(n_tok) OVER (ORDER BY hk, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+      |  FROM h)
+      |SELECT seq, doc_id, n_tok, cum_tok, (cum_tok - n_tok) // 1024 AS shard
+      |FROM s ORDER BY seq""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "t36_curriculum_order" -> t36CurriculumOrder,
     "t37_mixture_order" -> t37MixtureOrder,
     "t38_length_buckets" -> t38LengthBuckets,
+    "t39_shard_plan" -> t39ShardPlan,
     "t35_epoch_shuffle" -> t35EpochShuffle,
     "t30_class_balance" -> t30ClassBalance,
     "t33_quality_sample" -> t33QualitySample,
@@ -1778,6 +1819,7 @@ object TrainingDataQueries {
     "t36_curriculum_order" -> t36Sql,
     "t37_mixture_order" -> t37Sql,
     "t38_length_buckets" -> t38Sql,
+    "t39_shard_plan" -> t39Sql,
     "t35_epoch_shuffle" -> t35Sql,
     "t24_fertility" -> t24Sql,
     "t26_alpha_mix" -> t26Sql,

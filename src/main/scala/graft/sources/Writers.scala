@@ -76,6 +76,60 @@ object Writers {
     fs.delete(prev, true)
   }
 
+  /** #240: deterministic sharded corpus export — materialize a shard
+    * plan ([[graft.TrainingDataQueries.t39ShardPlan]]'s shape: `shard`
+    * + `seq` + `doc_id` + `n_tok` + payload columns) as a
+    * shard-partitioned parquet table WITH a per-shard `_manifest`:
+    * (shard, n_docs, n_tokens, content_md5), where content_md5 chains
+    * the docs' text digests in `seq` order — the checkable receipt a
+    * training job verifies before (and audits after) consuming a
+    * shard, and the unit of retry when one transfer corrupts. The
+    * manifest lives INSIDE the artifact under the `_`-prefix (invisible
+    * to Spark's file index, travels with the data), and the whole
+    * artifact swaps in via [[publish]]'s no-loss rename protocol —
+    * re-export is idempotent, readers never see data without its
+    * manifest. Per-shard digest state is bounded by the token budget
+    * (a configuration constant), so the collect inside the manifest
+    * aggregate is shard-sized however large the corpus. Returns
+    * (nShards, nDocs). */
+  def writeShards(plan: DataFrame, dir: String): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val spark = plan.sparkSession
+    val target = new Path(dir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(target.getParent, s".${target.getName}.inprogress")
+    val prev = new Path(target.getParent, s".${target.getName}.previous")
+    fs.delete(tmp, true)
+    plan.repartition(col("shard")).sortWithinPartitions("seq")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard").parquet(tmp.toString)
+    // manifest from the WRITTEN files — it certifies what landed, not
+    // what was asked for
+    val written = spark.read.parquet(tmp.toString)
+    val manifest = written
+      .withColumn("__h", md5(col("text").cast("binary")))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        md5(concat_ws("",
+          transform(array_sort(collect_list(struct(col("seq"), col("__h")))),
+            x => x.getField("__h"))).cast("binary")).as("content_md5"))
+    manifest.repartition(1).write.mode(SaveMode.Overwrite)
+      .parquet(new Path(tmp, "_manifest").toString)
+    val (nShards, nDocs) = {
+      val r = manifest.agg(count(lit(1)), sum("n_docs")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    fs.delete(prev, true)
+    if (fs.exists(target) && !fs.rename(target, prev))
+      throw new java.io.IOException(s"writeShards: rename $target -> $prev failed")
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(
+        s"writeShards: rename $tmp -> $target failed (previous artifact at $prev)")
+    fs.delete(prev, true)
+    (nShards, nDocs)
+  }
+
   /** Small-file compaction — the OPTIMIZE analog for plain parquet
     * tables. Streaming sinks and fine-grained partitioned writes
     * accumulate files far below the scan sweet spot; at 100 TB the

@@ -526,4 +526,44 @@ class SourcesSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
     assert(want.nonEmpty && got == want, s"got=$got\nwant=$want")
   }
+
+  test("writeShards: manifest certifies the written shards; re-export is idempotent") {
+    val dir = Files.createTempDirectory("graft_shards").toString + "/corpus"
+    val withText = TrainingDataQueries.t39ShardPlan(spark, TestSpark.Sf)
+      .join(Tables.documents(spark, TestSpark.Sf).select("doc_id", "text"),
+        Seq("doc_id"))
+    val (nShards, nDocs) = Writers.writeShards(withText, dir)
+    assert(nShards > 1 && nDocs == 500L, s"($nShards, $nDocs)")
+    // a plain read sees the data, not the manifest ("_"-prefixed)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == nDocs)
+    assert(back.select("shard").distinct().as[Long].collect().sorted.toSeq
+      == (0L until nShards), "shard ids not contiguous from 0")
+    // the manifest matches an independent local recount + digest chain
+    val rows = back.select("shard", "seq", "n_tok", "text")
+      .as[(Long, Long, Long, String)].collect()
+    def md5hex(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+        .map("%02x".format(_)).mkString
+    val want = rows.groupBy(_._1).map { case (s, rs) =>
+      val chain = rs.sortBy(_._2).map(r => md5hex(r._4.getBytes("UTF-8")))
+        .mkString("")
+      (s, rs.length.toLong, rs.map(_._3).sum,
+        md5hex(chain.getBytes("UTF-8")))
+    }.toSet
+    def manifest() = spark.read.parquet(s"$dir/_manifest")
+      .select("shard", "n_docs", "n_tokens", "content_md5")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val mf = manifest()
+    assert(mf == want, "manifest diverged from the local recount/digest")
+    // every shard's START obeys the budget cut (docs whole, ~1024
+    // tokens per shard): the plan's rule replayed on the manifest
+    val cum = mf.toSeq.sortBy(_._1).map(_._3).scanLeft(0L)(_ + _)
+    mf.toSeq.sortBy(_._1).zip(cum).foreach { case ((s, _, _, _), start) =>
+      assert(start / 1024L == s, s"shard $s starts at token $start")
+    }
+    // re-export: same artifact, same manifest (idempotent swap)
+    assert(Writers.writeShards(withText, dir) == ((nShards, nDocs)))
+    assert(manifest() == mf, "re-export changed the manifest")
+  }
 }
