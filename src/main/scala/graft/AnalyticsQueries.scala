@@ -2077,7 +2077,121 @@ object AnalyticsQueries {
       |FROM d JOIN du ON du.day BETWEEN d.tday - 6 AND d.tday
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** #241 (q89): Pareto / ABC value classification — the warehouse
+    * tiering rule behind "20% of customers drive 80% of revenue":
+    * customers ranked by lifetime order value (cents, [[Exact.e]]
+    * half-up — integer-exact), global cumulative revenue and ppm
+    * share via the q64 DISTRIBUTED prefix sum (never the single-task
+    * whole-table window — the ranked-by-value shape is exactly where
+    * naive ABC serializes at scale; the rank key is −cents so heavy
+    * spenders come first, tie-broken on custkey), and the greedy
+    * boundary rule shared with t39's shard cut: a customer is class A
+    * if its cumulative interval STARTS before the 80% revenue line,
+    * B before 95%, else C — deterministic, whole-customer, no
+    * boundary ambiguity. Fully oracled. */
+  def q89Pareto: Q = (spark, dir) => {
+    import graft.etl.GlobalOrder
+    val rev = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(sum(Exact.e(col("o_totalprice"), 2)).cast(LongType).as("cents"))
+      .withColumn("neg", -col("cents"))
+    val total = rev.agg(sum("cents").as("total"))
+    GlobalOrder.withGlobalSeq(rev, "neg", Seq("custkey"),
+        valueCol = Some("cents"), seqCol = "rnk", runCol = "cum")
+      .crossJoin(broadcast(total))
+      .select(col("custkey"), col("cents"), col("rnk"), col("cum"),
+        expr("cum * 1000000 div total").as("share_ppm"),
+        when((col("cum") - col("cents")) * 100 < col("total") * 80, "A")
+          .when((col("cum") - col("cents")) * 100 < col("total") * 95, "B")
+          .otherwise("C").as("abc_class"))
+      .orderBy("rnk")
+  }
+
+  val q89Sql: String =
+    """WITH r AS (
+      |  SELECT o_custkey AS custkey,
+      |         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM r),
+      |s AS (
+      |  SELECT custkey, cents,
+      |         CAST(row_number() OVER (ORDER BY cents DESC, custkey) AS BIGINT) AS rnk,
+      |         CAST(SUM(cents) OVER (ORDER BY cents DESC, custkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM r)
+      |SELECT custkey, cents, rnk, cum,
+      |       CAST(cum * 1000000 // total AS BIGINT) AS share_ppm,
+      |       CASE WHEN (cum - cents) * 100 < total * 80 THEN 'A'
+      |            WHEN (cum - cents) * 100 < total * 95 THEN 'B'
+      |            ELSE 'C' END AS abc_class
+      |FROM s, t ORDER BY rnk""".stripMargin
+
+  /** #242 (q90): association rules — q53's co-occurrence pairs
+    * upgraded to the DIRECTED rule report a merchandiser reads:
+    * confidence(a→b) = P(b|a) in ppm and lift(a,b) =
+    * P(a,b)/(P(a)·P(b)) in milli, both floor-division integer-exact
+    * (lift's N·n_ab·1000 stays far inside 64 bits at any TPC-H
+    * scale). Pair support reuses q53's capped corpus-linear expansion
+    * (the cap is a no-op at TPC-H basket sizes, carried identically
+    * in the oracle); unary supports and the basket total are one
+    * map-side-combinable distinct-aggregate each; the final joins are
+    * broadcast (|brands| rows). Both rule directions emit — lift is
+    * symmetric, confidence is not. */
+  def q90AssocRules: Q = (spark, dir) => {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
+    val part = Tables.part(spark, dir).select("p_partkey", "p_brand")
+    val ob = li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+      .distinct()
+    val nBaskets = ob.agg(countDistinct("ok").as("n_total"))
+    val unary = ob.groupBy("brand").agg(count(lit(1)).as("n_item"))
+    val pairs = graft.etl.CoOccur.pairs(ob, "ok", "brand", maxItems = 64)
+      .select(col("a").as("b1"), col("b").as("b2"))
+      .groupBy("b1", "b2").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 10)
+    val directed = pairs.unionByName(
+      pairs.select(col("b2").as("b1"), col("b1").as("b2"), col("n_ab")))
+    directed
+      .join(broadcast(unary.withColumnRenamed("brand", "b1")
+        .withColumnRenamed("n_item", "n_a")), Seq("b1"))
+      .join(broadcast(unary.withColumnRenamed("brand", "b2")
+        .withColumnRenamed("n_item", "n_b")), Seq("b2"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("b1").as("antecedent"), col("b2").as("consequent"),
+        col("n_a"), col("n_b"), col("n_ab"),
+        expr("n_ab * 1000000 div n_a").as("confidence_ppm"),
+        expr("n_ab * n_total * 1000 div (n_a * n_b)").as("lift_milli"))
+      .orderBy("antecedent", "consequent")
+  }
+
+  val q90Sql: String =
+    """WITH ob AS (
+      |  SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |capped AS (
+      |  SELECT ok, brand FROM (
+      |    SELECT ok, brand,
+      |           row_number() OVER (PARTITION BY ok ORDER BY brand) AS rn
+      |    FROM ob) WHERE rn <= 64),
+      |n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_total FROM ob),
+      |u AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_item FROM ob GROUP BY 1),
+      |p AS (
+      |  SELECT a.brand AS b1, b.brand AS b2, CAST(COUNT(*) AS BIGINT) AS n_ab
+      |  FROM capped a JOIN capped b ON a.ok = b.ok AND a.brand < b.brand
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 10),
+      |d AS (SELECT b1, b2, n_ab FROM p
+      |      UNION ALL SELECT b2, b1, n_ab FROM p)
+      |SELECT d.b1 AS antecedent, d.b2 AS consequent,
+      |       ua.n_item AS n_a, ub.n_item AS n_b, n_ab,
+      |       CAST(n_ab * 1000000 // ua.n_item AS BIGINT) AS confidence_ppm,
+      |       CAST(n_ab * n_total * 1000 // (ua.n_item * ub.n_item) AS BIGINT) AS lift_milli
+      |FROM d JOIN u ua ON d.b1 = ua.brand
+      |       JOIN u ub ON d.b2 = ub.brand
+      |       CROSS JOIN n
+      |ORDER BY antecedent, consequent""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q89_pareto" -> q89Pareto,
+    "q90_assoc_rules" -> q90AssocRules,
     "q65_rolling_distinct" -> q65RollingDistinct,
     "q50_window_stats" -> q50WindowStats,
     "q51_interval_sweep" -> q51IntervalSweep,
@@ -2130,6 +2244,8 @@ object AnalyticsQueries {
   val oracles: Seq[(String, String)] = Seq(
     "q72_audience_overlap" -> q72Sql,
     "q65_rolling_distinct" -> q65Sql,
+    "q89_pareto" -> q89Sql,
+    "q90_assoc_rules" -> q90Sql,
     "q50_window_stats" -> q50Sql,
     "q51_interval_sweep" -> q51Sql,
     "q52_ewma" -> q52Sql,

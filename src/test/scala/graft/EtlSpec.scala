@@ -312,6 +312,46 @@ class EtlSpec extends AnyFunSuite {
     assert(got == want, s"group ranks diverged")
   }
 
+  test("q89 ABC classes tier cleanly: ranks contiguous, shares monotone, boundaries greedy") {
+    val rows = AnalyticsQueries.q89Pareto(spark, TestSpark.Sf)
+      .select("custkey", "cents", "rnk", "cum", "share_ppm", "abc_class")
+      .as[(Long, Long, Long, Long, Long, String)].collect().sortBy(_._3)
+    assert(rows.nonEmpty)
+    assert(rows.map(_._3).toSeq == (1L to rows.length), "ranks not contiguous")
+    // revenue conservation + monotone shares ending at ~100%
+    assert(rows.map(_._2).sum == rows.last._4, "cum drifted from sum")
+    assert(rows.map(_._5).toSeq == rows.map(_._5).toSeq.sorted, "shares not monotone")
+    assert(rows.last._5 == 1000000L || rows.last._5 == 999999L)
+    // classes partition the rank order A* B* C* with all three present
+    val classes = rows.map(_._6).toSeq
+    assert(classes.mkString.matches("A+B+C+"),
+      s"classes not a clean A..B..C tiering: ${classes.distinct}")
+    // greedy boundary: the last A STARTS before the 80% line, the
+    // first B does not
+    val total = rows.map(_._2).sum
+    val lastA = rows.takeWhile(_._6 == "A").last
+    val firstB = rows.dropWhile(_._6 == "A").head
+    assert((lastA._4 - lastA._2) * 100 < total * 80)
+    assert((firstB._4 - firstB._2) * 100 >= total * 80)
+  }
+
+  test("q90 association rules: directed pairs consistent, confidence bounded, lift symmetric") {
+    val rules = AnalyticsQueries.q90AssocRules(spark, TestSpark.Sf)
+      .select("antecedent", "consequent", "n_a", "n_b", "n_ab",
+        "confidence_ppm", "lift_milli")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+    assert(rules.nonEmpty)
+    val byPair = rules.map(r => ((r._1, r._2), r)).toMap
+    rules.foreach { r =>
+      assert(r._5 <= r._3 && r._5 <= r._4, "pair support exceeds unary support")
+      assert(r._6 <= 1000000L && r._6 > 0L, s"confidence ${r._6} out of band")
+      val mirror = byPair((r._2, r._1))
+      assert(mirror._7 == r._7, "lift not symmetric across directions")
+      assert(mirror._5 == r._5 && mirror._3 == r._4 && mirror._4 == r._3)
+    }
+    assert(rules.length % 2 == 0, "directed rules must pair up")
+  }
+
   test("SavingsLedger: per-label idempotent append, trend deltas vs previous run") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ledger").toString
     def frame(saved: Long) = Seq(
