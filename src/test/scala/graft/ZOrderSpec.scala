@@ -60,4 +60,49 @@ class ZOrderSpec extends AnyFunSuite {
     assert(zFiles * 2 <= kFiles,
       s"z layout hit $zFiles files vs $kFiles under key order — no concentration")
   }
+
+  test("layout audit: footer stats exact, clustered layout skips, random layout cannot") {
+    import graft.sources.LayoutAudit
+    val base = java.nio.file.Files.createTempDirectory("graft_layout").toString
+    val li = Tables.lineitem(spark, TestSpark.Sf)
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    // clustered-on-key layout vs a hash layout of the SAME rows
+    li.repartitionByRange(4, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.parquet(s"$base/clustered")
+    li.repartition(4, col("l_partkey")).write.parquet(s"$base/random")
+
+    // footer stats must equal a data-scan recompute, file for file
+    def baseName(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    val stats = LayoutAudit.fileStats(spark, s"$base/clustered", "l_orderkey")
+      .select("file", "n_rows", "min_val", "max_val")
+      .as[(String, Long, Long, Long)].collect()
+      .groupBy(r => baseName(r._1)).view
+      .mapValues(rs => (rs.map(_._2).sum, rs.map(_._3).min, rs.map(_._4).max))
+      .toMap
+    val want = spark.read.parquet(s"$base/clustered")
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n"), min("l_orderkey").as("lo"),
+        max("l_orderkey").as("hi"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => baseName(r._1) -> ((r._2, r._3, r._4))).toMap
+    assert(stats.keySet == want.keySet)
+    want.foreach { case (f, v) =>
+      assert(stats(f) == v, s"footer stats diverged for $f: ${stats(f)} vs $v")
+    }
+
+    // a ~10%-of-domain range: the clustered layout prunes most row
+    // groups from metadata alone; the hash layout can prune none
+    // (every file's [min, max] spans the domain)
+    val (loD, hiD) = li.agg(min("l_orderkey"), max("l_orderkey"))
+      .as[(Long, Long)].head()
+    val range = Seq((loD, loD + (hiD - loD) / 10))
+    def skipPpm(p: String) =
+      LayoutAudit.skippingReport(spark, s"$base/$p", "l_orderkey", range)
+        .select("skip_ppm").as[Long].head()
+    val (cl, rd) = (skipPpm("clustered"), skipPpm("random"))
+    info(s"skip_ppm clustered=$cl random=$rd")
+    assert(cl >= 500000L, s"clustered layout should skip most rows, got $cl")
+    assert(rd == 0L, s"hash layout skipped $rd — footer ranges should span the domain")
+  }
 }
