@@ -2099,8 +2099,12 @@ object AnalyticsQueries {
     GlobalOrder.withGlobalSeq(rev, "neg", Seq("custkey"),
         valueCol = Some("cents"), seqCol = "rnk", runCol = "cum")
       .crossJoin(broadcast(total))
+      // cum·10⁶ through DECIMAL(38,0): a Long multiply would wrap
+      // silently past ~$92B of cumulative cents — DuckDB's HUGEINT
+      // arithmetic is the oracle-side twin of this widening
       .select(col("custkey"), col("cents"), col("rnk"), col("cum"),
-        expr("cum * 1000000 div total").as("share_ppm"),
+        expr("CAST((CAST(cum AS DECIMAL(38,0)) * 1000000) div total AS BIGINT)")
+          .as("share_ppm"),
         when((col("cum") - col("cents")) * 100 < col("total") * 80, "A")
           .when((col("cum") - col("cents")) * 100 < col("total") * 95, "B")
           .otherwise("C").as("abc_class"))
@@ -2119,7 +2123,7 @@ object AnalyticsQueries {
       |         CAST(SUM(cents) OVER (ORDER BY cents DESC, custkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
       |  FROM r)
       |SELECT custkey, cents, rnk, cum,
-      |       CAST(cum * 1000000 // total AS BIGINT) AS share_ppm,
+      |       CAST(CAST(cum AS HUGEINT) * 1000000 // total AS BIGINT) AS share_ppm,
       |       CASE WHEN (cum - cents) * 100 < total * 80 THEN 'A'
       |            WHEN (cum - cents) * 100 < total * 95 THEN 'B'
       |            ELSE 'C' END AS abc_class
@@ -2129,8 +2133,9 @@ object AnalyticsQueries {
     * upgraded to the DIRECTED rule report a merchandiser reads:
     * confidence(a→b) = P(b|a) in ppm and lift(a,b) =
     * P(a,b)/(P(a)·P(b)) in milli, both floor-division integer-exact
-    * (lift's N·n_ab·1000 stays far inside 64 bits at any TPC-H
-    * scale). Pair support reuses q53's capped corpus-linear expansion
+    * (lift's N·n_ab·1000 widened through DECIMAL(38,0)/HUGEINT — a
+    * Long multiply wraps silently once basket counts reach ~10⁸).
+    * Pair support reuses q53's capped corpus-linear expansion
     * (the cap is a no-op at TPC-H basket sizes, carried identically
     * in the oracle); unary supports and the basket total are one
     * map-side-combinable distinct-aggregate each; the final joins are
@@ -2156,10 +2161,14 @@ object AnalyticsQueries {
       .join(broadcast(unary.withColumnRenamed("brand", "b2")
         .withColumnRenamed("n_item", "n_b")), Seq("b2"))
       .crossJoin(broadcast(nBaskets))
+      // lift's n_ab·N·10³ wraps a Long once basket counts reach
+      // ~10⁸ — widen through DECIMAL(38,0) (oracle twin: HUGEINT)
       .select(col("b1").as("antecedent"), col("b2").as("consequent"),
         col("n_a"), col("n_b"), col("n_ab"),
         expr("n_ab * 1000000 div n_a").as("confidence_ppm"),
-        expr("n_ab * n_total * 1000 div (n_a * n_b)").as("lift_milli"))
+        expr("CAST((CAST(n_ab AS DECIMAL(38,0)) * n_total * 1000) " +
+          "div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")
+          .as("lift_milli"))
       .orderBy("antecedent", "consequent")
   }
 
@@ -2183,7 +2192,8 @@ object AnalyticsQueries {
       |SELECT d.b1 AS antecedent, d.b2 AS consequent,
       |       ua.n_item AS n_a, ub.n_item AS n_b, n_ab,
       |       CAST(n_ab * 1000000 // ua.n_item AS BIGINT) AS confidence_ppm,
-      |       CAST(n_ab * n_total * 1000 // (ua.n_item * ub.n_item) AS BIGINT) AS lift_milli
+      |       CAST(CAST(n_ab AS HUGEINT) * n_total * 1000
+      |            // (CAST(ua.n_item AS HUGEINT) * ub.n_item) AS BIGINT) AS lift_milli
       |FROM d JOIN u ua ON d.b1 = ua.brand
       |       JOIN u ub ON d.b2 = ub.brand
       |       CROSS JOIN n

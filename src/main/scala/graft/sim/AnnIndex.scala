@@ -220,10 +220,13 @@ object AnnIndex {
     if (fs.exists(tomb)) {
       // versioned mask: a row dies only if some tombstone for its id
       // covers its write generation — upserted/re-appended versions
-      // (seq > every mask) stay live
+      // (seq > every mask) stay live. No broadcast hint: the mask is
+      // usually sliver-sized (AQE broadcasts it), but a mass-delete
+      // history can grow it past broadcast budget — let the planner
+      // decide instead of forcing an OOM
       val mask = spark.read.parquet(tomb.toString)
         .groupBy("id").agg(max("upto_seq").as("__graft_tomb_seq"))
-      cells.join(broadcast(mask), Seq("id"), "left")
+      cells.join(mask, Seq("id"), "left")
         .filter(col("__graft_tomb_seq").isNull ||
           col(SeqCol) > col("__graft_tomb_seq"))
         .drop("__graft_tomb_seq")

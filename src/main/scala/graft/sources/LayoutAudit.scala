@@ -41,9 +41,14 @@ object LayoutAudit {
     import spark.implicits._
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(root).map(_.getPath)
-      .filter(p => p.getName.endsWith(".parquet"))
-      .map(_.toString).toSeq
+    // recursive: partitioned tables keep their files under key= dirs
+    val it = fs.listFiles(root, true)
+    val fb = new scala.collection.mutable.ArrayBuffer[String]()
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.endsWith(".parquet")) fb += p.toString
+    }
+    val files = fb.toSeq
     require(files.nonEmpty, s"no parquet files under $path")
     val confKv = spark.sparkContext.hadoopConfiguration.iterator()
     val kv = new scala.collection.mutable.ArrayBuffer[(String, String)]()
