@@ -876,6 +876,35 @@ object LlmQueries {
        |       CAST((n_tok * ((2000000 + csize) // (2 * csize))) // 1000000 AS BIGINT) AS w_tokens
        |FROM j ORDER BY doc_id""".stripMargin
 
+  /** #244 (d39): weakest-pair review queue — the human-audit sample
+    * every production dedup loop maintains: the 50 verified pairs
+    * CLOSEST to the τ decision boundary, weakest jaccard first (the
+    * decisions transitive clustering is least entitled to — exactly
+    * where d36's fragile-chain signal and d37's recut disagree with
+    * the flat τ), tie-broken by md5 over the pair key so equal-score
+    * pairs sample content-blind and the queue is stable across runs
+    * (a reviewer's yesterday-queue doesn't reshuffle). Reads the
+    * STAGED pair graph's exact (inter, uni); the only work past the
+    * parquet read is a projection + a 50-row TakeOrdered. Fully
+    * oracled. */
+  def d39ReviewQueue: Q = (spark, dir) =>
+    pairGraph(spark, dir)
+      .withColumn("jac_milli", expr("inter * 1000 div uni"))
+      .withColumn("rkey",
+        md5(concat_ws(":", col("doc_id1"), col("doc_id2")).cast("binary")))
+      .orderBy("jac_milli", "rkey")
+      .limit(50)
+      .select("jac_milli", "rkey", "doc_id1", "doc_id2", "inter", "uni")
+
+  // lazy: embeds d04Sql (same init-order note as d28Sql)
+  lazy val d39Sql: String =
+    s"""WITH p AS ($d04Sql)
+       |SELECT CAST(inter * 1000 // uni AS BIGINT) AS jac_milli,
+       |       md5(CAST(doc_id1 AS VARCHAR) || ':' || CAST(doc_id2 AS VARCHAR)) AS rkey,
+       |       doc_id1, doc_id2, inter, uni
+       |FROM p
+       |ORDER BY jac_milli, rkey LIMIT 50""".stripMargin
+
   /** #161 (d26): incremental cluster maintenance — fold a NEW ingest
     * batch into an EXISTING near-dup cluster table without re-running
     * the old corpus's pair verification or re-clustering it from
@@ -2587,6 +2616,7 @@ object LlmQueries {
     "d36_cluster_quality" -> d36ClusterQuality,
     "d37_cluster_recut" -> d37ClusterRecut,
     "d38_soft_dedup_weights" -> d38SoftDedupWeights,
+    "d39_review_queue" -> d39ReviewQueue,
     "d26_incremental_clusters" -> d26IncrementalClusters,
     "d07_embed_neardup_lsh" -> d07EmbedNearDupLsh,
     "d13_semdedup" -> d13SemDedup,
@@ -2652,6 +2682,7 @@ object LlmQueries {
     "d36_cluster_quality" -> d36Sql,
     "d37_cluster_recut" -> d37Sql,
     "d38_soft_dedup_weights" -> d38Sql,
+    "d39_review_queue" -> d39Sql,
     // incremental ≡ full: the oracle IS the from-scratch d06 SQL
     "d26_incremental_clusters" -> d06Sql,
     "s01_ann_bruteforce" -> s01Sql,
