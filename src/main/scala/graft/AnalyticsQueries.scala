@@ -2199,9 +2199,249 @@ object AnalyticsQueries {
       |       CROSS JOIN n
       |ORDER BY antecedent, consequent""".stripMargin
 
+  /** #245 (q91): RFM customer segmentation — the classic
+    * recency/frequency/monetary quintile scoring a CRM team runs over
+    * the orders fact. Per customer: days since last order (vs the
+    * corpus max date — a frozen "as of" anchor both engines derive
+    * identically), order count, and exact lifetime cents. Each axis
+    * becomes a 1–5 quintile score via the NTILE identity
+    * `5 - ((rank-1)·5) div n` over a GLOBAL rank — computed with
+    * [[graft.etl.GlobalOrder.withGlobalSeq]] (the q89 kernel), not an
+    * unpartitioned window: at 10⁸ customers a global `row_number()`
+    * funnels the whole frame through one task, while the two-level
+    * prefix sum stays bucket-parallel. The customer frame is already
+    * corpus-reduced (one row per customer), so the three rank passes
+    * are dimension-scale, not fact-scale. Segment labels are a fixed
+    * CASE over the scores (carried textually in the oracle). Fully
+    * oracled: ranks tie-break on custkey, so every output column is
+    * deterministic integer/string. */
+  def q91Rfm: Q = (spark, dir) => {
+    import graft.etl.GlobalOrder
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("custkey"),
+        to_date(col("o_orderdate")).as("d"),
+        Exact.e(col("o_totalprice"), 2).cast(LongType).as("cents_r"))
+    val mx = o.agg(max(col("d")).as("corpus_max"))
+    // ONE fact scan → customer frame, lineage cut at entry (the
+    // ConnectedComponents idiom): each GlobalOrder pass evaluates its
+    // input ~3× (bounds, partials, final), so chaining three passes
+    // over raw lineage would re-run the orders aggregation ~27 times —
+    // checkpointing the dimension-scale frame makes those re-reads
+    // materialized-partition scans instead (measured 5.3 → 1.3 s at
+    // sf0.1, and at 100 TB the difference is 27 fact scans vs 1)
+    val cust = o.groupBy("custkey")
+      .agg(max(col("d")).as("last_d"),
+        count(lit(1)).as("freq"),
+        sum(col("cents_r")).cast(LongType).as("cents"))
+      .crossJoin(broadcast(mx))
+      .withColumn("recency_days",
+        datediff(col("corpus_max"), col("last_d")).cast(LongType))
+      .drop("corpus_max", "last_d")
+      .localCheckpoint()
+    val nTot = cust.agg(count(lit(1)).as("n_cust"))
+    // three INDEPENDENT slim rank frames joined back on custkey —
+    // chaining the passes instead would re-evaluate each previous
+    // pass's windows ~3× (GlobalOrder reads its input thrice)
+    def rankOf(keyed: DataFrame, key: String, as: String): DataFrame =
+      GlobalOrder.withGlobalSeq(keyed, key, Seq("custkey"), seqCol = as)
+        .select("custkey", as)
+    val ranked = cust
+      .join(rankOf(cust.select("custkey", "recency_days"),
+        "recency_days", "r_rnk"), Seq("custkey"))
+      .join(rankOf(cust.select(col("custkey"), (-col("freq")).as("negf")),
+        "negf", "f_rnk"), Seq("custkey"))
+      .join(rankOf(cust.select(col("custkey"), (-col("cents")).as("negm")),
+        "negm", "m_rnk"), Seq("custkey"))
+    ranked.crossJoin(broadcast(nTot))
+      .select(col("custkey"), col("recency_days"), col("freq"), col("cents"),
+        expr("5 - ((r_rnk - 1) * 5) div n_cust").as("r_score"),
+        expr("5 - ((f_rnk - 1) * 5) div n_cust").as("f_score"),
+        expr("5 - ((m_rnk - 1) * 5) div n_cust").as("m_score"))
+      .withColumn("rfm_code",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4,
+          "champion")
+          .when(col("r_score") >= 4 && col("f_score") >= 3, "loyal")
+          .when(col("r_score") >= 4, "recent")
+          .when(col("r_score") >= 2 && col("f_score") >= 3, "at_risk")
+          .when(col("r_score") >= 2, "cooling")
+          .otherwise("lost"))
+      .orderBy("custkey")
+  }
+
+  val q91Sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS d,
+      |         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents_r
+      |  FROM orders),
+      |mx AS (SELECT MAX(d) AS corpus_max FROM o),
+      |c AS (
+      |  SELECT custkey,
+      |         CAST(date_diff('day', MAX(d), (SELECT corpus_max FROM mx)) AS BIGINT) AS recency_days,
+      |         CAST(COUNT(*) AS BIGINT) AS freq,
+      |         CAST(SUM(cents_r) AS BIGINT) AS cents
+      |  FROM o GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cust FROM c),
+      |r AS (
+      |  SELECT *,
+      |         row_number() OVER (ORDER BY recency_days, custkey) AS r_rnk,
+      |         row_number() OVER (ORDER BY freq DESC, custkey) AS f_rnk,
+      |         row_number() OVER (ORDER BY cents DESC, custkey) AS m_rnk
+      |  FROM c),
+      |s AS (
+      |  SELECT custkey, recency_days, freq, cents,
+      |         CAST(5 - ((r_rnk - 1) * 5) // n_cust AS BIGINT) AS r_score,
+      |         CAST(5 - ((f_rnk - 1) * 5) // n_cust AS BIGINT) AS f_score,
+      |         CAST(5 - ((m_rnk - 1) * 5) // n_cust AS BIGINT) AS m_score
+      |  FROM r CROSS JOIN n)
+      |SELECT custkey, recency_days, freq, cents, r_score, f_score, m_score,
+      |       CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm_code,
+      |       CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+      |            WHEN r_score >= 4 AND f_score >= 3 THEN 'loyal'
+      |            WHEN r_score >= 4 THEN 'recent'
+      |            WHEN r_score >= 2 AND f_score >= 3 THEN 'at_risk'
+      |            WHEN r_score >= 2 THEN 'cooling'
+      |            ELSE 'lost' END AS segment
+      |FROM s ORDER BY custkey""".stripMargin
+
+  /** #246 (q92): top session paths — the event-type TRIGRAMS a
+    * product team reads as "what do users actually do in a session"
+    * (q59's bigram transitions extended one hop; the classic
+    * path-analysis / sankey input). Both leads ride the SAME
+    * user-keyed window, so the whole query is ONE exchange on
+    * user_id + one path-keyed aggregation whose domain is bounded by
+    * |event_types|³ — never corpus-scale, which is also why no support
+    * floor is needed for output boundedness (and on this corpus's
+    * short sessions any floor ≥ 2 empties the report at sf ≤ 0.01 —
+    * the m04 evidence-free-row lesson, measured before shipping).
+    * Fully oracled (identical windows + the same '>' join of the
+    * three legs). */
+  def q92SessionPaths: Q = (spark, dir) => {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select("user_id", "ts", "event_id", "event_type")
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("is_break", isSessionBreak(col("ts"), col("prev_ts")))
+      .withColumn("session_id", sum("is_break").over(cum))
+      .withColumn("t2", lead("event_type", 1).over(byUser))
+      .withColumn("s2", lead("session_id", 1).over(byUser))
+      .withColumn("t3", lead("event_type", 2).over(byUser))
+      .withColumn("s3", lead("session_id", 2).over(byUser))
+      .filter(col("t3").isNotNull &&
+        col("s2") === col("session_id") && col("s3") === col("session_id"))
+      .groupBy(col("event_type").as("step1"), col("t2").as("step2"),
+        col("t3").as("step3"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("path",
+        concat_ws(">", col("step1"), col("step2"), col("step3")))
+      .select("path", "step1", "step2", "step3", "n")
+      .orderBy("path")
+  }
+
+  val q92Sql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS is_break
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM g),
+      |t AS (
+      |  SELECT event_type AS step1,
+      |         lead(event_type, 1) OVER w2 AS step2,
+      |         lead(session_id, 1) OVER w2 AS s2,
+      |         lead(event_type, 2) OVER w2 AS step3,
+      |         lead(session_id, 2) OVER w2 AS s3,
+      |         session_id
+      |  FROM s
+      |  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT step1 || '>' || step2 || '>' || step3 AS path,
+      |       step1, step2, step3, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM t
+      |WHERE step3 IS NOT NULL AND s2 = session_id AND s3 = session_id
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY path""".stripMargin
+
+  /** #247 (q93): Benford first-digit audit — the forensic
+    * data-quality screen (fabricated or truncated monetary data
+    * drifts from Benford's law; a q60-family expectation on the
+    * DISTRIBUTION rather than per-row predicates). Leading
+    * significant digit of the exact cents value (scale-invariant up
+    * to the power of ten, and integer-exact on both engines via
+    * string head of the BIGINT); expected ppm are the fixed
+    * log10(1+1/d) constants carried as literals — no transcendental
+    * evaluated at query time, so the comparison is pure integer.
+    * One map-side-combinable aggregation over a 9-value domain; the
+    * total-variation summary rides every row (broadcast). */
+  def q93Benford: Q = (spark, dir) => {
+    import spark.implicits._
+    val digits = Seq(
+      1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L,
+      5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+    val exp = digits
+      .map { case (d, p) => (d.toLong, p) }
+      .toDF("digit", "exp_ppm")
+    val obs = Tables.orders(spark, dir)
+      .select(Exact.e(col("o_totalprice"), 2).cast(LongType).as("cents"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast(StringType), 1, 1)
+        .cast(LongType).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("cnt"))
+    // totals via windows over the 9-row digit frame — ONE corpus scan
+    // (agg + crossJoin(broadcast(total)) lineage would rescan orders
+    // per consumer); the unpartitioned window is domain-bounded
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    exp.join(broadcast(obs), Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("cnt"), lit(0L)).as("cnt"),
+        col("exp_ppm"))
+      .withColumn("n_total", sum("cnt").over(wAll))
+      .withColumn("obs_ppm", expr("cnt * 1000000 div n_total"))
+      .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
+      .withColumn("_sum_dev", sum("dev_ppm").over(wAll))
+      .withColumn("tv_ppm", expr("_sum_dev div 2"))
+      .select("digit", "cnt", "n_total", "obs_ppm", "exp_ppm", "dev_ppm",
+        "tv_ppm")
+      .orderBy("digit")
+  }
+
+  val q93Sql: String =
+    """WITH e AS (
+      |  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders),
+      |obs AS (
+      |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM e WHERE cents > 0 GROUP BY 1),
+      |exp AS (
+      |  SELECT * FROM (VALUES
+      |    (CAST(1 AS BIGINT), CAST(301030 AS BIGINT)), (2, 176091), (3, 124939),
+      |    (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+      |    (9, 45757)) t(digit, exp_ppm)),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM obs),
+      |s AS (
+      |  SELECT exp.digit, COALESCE(obs.cnt, 0) AS cnt, n_total,
+      |         CAST(COALESCE(obs.cnt, 0) * 1000000 // n_total AS BIGINT) AS obs_ppm,
+      |         exp.exp_ppm,
+      |         CAST(ABS(COALESCE(obs.cnt, 0) * 1000000 // n_total - exp.exp_ppm) AS BIGINT) AS dev_ppm
+      |  FROM exp LEFT JOIN obs ON exp.digit = obs.digit CROSS JOIN tot),
+      |tv AS (SELECT CAST(SUM(dev_ppm) // 2 AS BIGINT) AS tv_ppm FROM s)
+      |SELECT digit, cnt, n_total, obs_ppm, exp_ppm, dev_ppm, tv_ppm
+      |FROM s CROSS JOIN tv ORDER BY digit""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q89_pareto" -> q89Pareto,
     "q90_assoc_rules" -> q90AssocRules,
+    "q91_rfm" -> q91Rfm,
+    "q92_session_paths" -> q92SessionPaths,
+    "q93_benford" -> q93Benford,
     "q65_rolling_distinct" -> q65RollingDistinct,
     "q50_window_stats" -> q50WindowStats,
     "q51_interval_sweep" -> q51IntervalSweep,
@@ -2256,6 +2496,9 @@ object AnalyticsQueries {
     "q65_rolling_distinct" -> q65Sql,
     "q89_pareto" -> q89Sql,
     "q90_assoc_rules" -> q90Sql,
+    "q91_rfm" -> q91Sql,
+    "q92_session_paths" -> q92Sql,
+    "q93_benford" -> q93Sql,
     "q50_window_stats" -> q50Sql,
     "q51_interval_sweep" -> q51Sql,
     "q52_ewma" -> q52Sql,

@@ -1862,6 +1862,45 @@ object LlmQueries {
       .orderBy("doc_id1", "fmt1", "doc_id2", "fmt2")
   }
 
+  /** #250 (m05): color-payload channel statistics through the REAL
+    * PPM codec — the color leg of the multimodal boundary (m01/m02
+    * pin metadata/features, m04 pins gray pixel hashing; this pins
+    * COLOR decode + the single luma rule). Per doc the deterministic
+    * RGB render is encoded through BOTH PPM wire formats (P6 binary /
+    * P3 ASCII), decoded back, and the exact per-channel sums + the
+    * gray aHash are emitted with a wire-parity bit (the two decodes
+    * must agree pixel-for-pixel — a byte fingerprint cannot see
+    * through the re-encode, pixel statistics must). `chan_spread > 0`
+    * is in-query evidence the render's channels genuinely differ
+    * (toGray is not the identity on them). Rows-only (the
+    * render-encode-decode loop is JVM-side); MultimodalSpec pins the
+    * channel sums against a local recompute, the luma identity, and
+    * full-corpus wire parity. The mapPartitions is the documented
+    * legitimate codec boundary. */
+  def m05ColorStats: Q = (spark, dir) => {
+    import graft.multimodal.Codecs
+    import spark.implicits._
+    normedDocs(spark, dir)
+      .select(col("doc_id"), col("text_norm"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, txt) =>
+        val img = Codecs.renderRgb(txt)
+        val p6 = Codecs.decodePpm(Codecs.encodePpmP6(img))
+        val viaP6 = Codecs.aHash64(Codecs.decodeGray(Codecs.encodePpmP6(img)))
+        val viaP3 = Codecs.aHash64(Codecs.decodeGray(Codecs.encodePpmP3(img)))
+        val sr = p6.r.foldLeft(0L)(_ + _)
+        val sg = p6.g.foldLeft(0L)(_ + _)
+        val sb = p6.b.foldLeft(0L)(_ + _)
+        val spread = math.max(sr, math.max(sg, sb)) -
+          math.min(sr, math.min(sg, sb))
+        (id, p6.width.toLong, p6.height.toLong, sr, sg, sb, spread,
+          viaP6, if (viaP6 == viaP3) 1L else 0L)
+      })
+      .toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+        "chan_spread", "gray_ahash", "wire_parity")
+      .orderBy("doc_id")
+  }
+
   /** #105 (d14): PageRank over the near-dup similarity graph —
     * centrality-based canonical ranking: within a dup cluster the
     * highest-ranked doc is the one most corroborated by its
@@ -2647,7 +2686,8 @@ object LlmQueries {
     "t07_redact" -> t07Redact,
     "m01_multimodal_meta" -> m01MultimodalMeta,
     "m02_frame_sample" -> m02FrameSample,
-    "m03_perceptual_neardup" -> m03PerceptualNearDup)
+    "m03_perceptual_neardup" -> m03PerceptualNearDup,
+    "m05_color_stats" -> m05ColorStats)
 
   /** d02/d03/d07/s02 intentionally absent (rows-only check; each
     * carries a quantified recall spec instead). */

@@ -533,9 +533,77 @@ object ScaleQueries {
       |FROM est LEFT JOIN ex USING (user_id)
       |ORDER BY est.user_id""".stripMargin
 
+  /** #248 (q94): pre-flight join-size estimation from count-min cell
+    * grids — the CM inner-product estimator (Cormode & Muthukrishnan,
+    * J. Algorithms '05, §4.2): `est = min_r Σ_c A[r,c]·B[r,c]` never
+    * undercounts the true equi-join cardinality `Σ_k f_A(k)·f_B(k)`
+    * and overcounts by ≤ (e/w)·N_A·N_B per row in expectation. This is
+    * the operator a planner runs BEFORE a corpus-scale join to price
+    * its shuffle (the cardinality sibling of the q62 skew audit): both
+    * grids are depth×width kilobyte frames built in one grouped pass
+    * each — production reads them from [[graft.sources.SketchStore]]'s
+    * persisted day grids and merges linearly, so the estimate costs
+    * metadata, never a dry run of the join. The demo prices
+    * events.user_id ⨝ orders.o_custkey and emits estimate, exact and
+    * collision residue side by side. Cell products widen through
+    * DECIMAL(38,0)/HUGEINT: at 10⁸ rows per side one cell product
+    * reaches ~4·10¹⁶ and a 512-cell row sum wraps a Long silently.
+    * FULLY oracled — the md5 cell hash is engine-portable (q88's
+    * idiom), so DuckDB rebuilds both grids bit-identically. */
+  def q94JoinSizeCms: Q = (spark, dir) => {
+    import graft.sources.SketchStore
+    import org.apache.spark.sql.types.LongType
+    val a = SketchStore.cmsCells(
+      Tables.events(spark, dir).select("user_id"), col("user_id"))
+      .withColumnRenamed("cnt", "cnt_a")
+    val b = SketchStore.cmsCells(
+      Tables.orders(spark, dir).select("o_custkey"), col("o_custkey"))
+      .withColumnRenamed("cnt", "cnt_b")
+    val est = a.join(b, Seq("r", "c"))
+      .groupBy("r")
+      .agg(sum(expr("CAST(cnt_a AS DECIMAL(38,0)) * cnt_b")).as("ip"))
+      .agg(min(col("ip")).cast(LongType).as("est_n"))
+    val fa = Tables.events(spark, dir)
+      .groupBy(col("user_id").as("k")).agg(count(lit(1)).as("n_a"))
+    val fb = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n_b"))
+    val exact = fa.join(fb, Seq("k"))
+      .agg(coalesce(sum(expr("CAST(n_a AS DECIMAL(38,0)) * n_b")), lit(0))
+        .cast(LongType).as("exact_n"))
+    est.crossJoin(broadcast(exact))
+      .select(col("est_n"), col("exact_n"),
+        (col("est_n") - col("exact_n")).as("over_n"))
+  }
+
+  val q94Sql: String =
+    """WITH r AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(r)),
+      |a AS (
+      |  SELECT r,
+      |         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)), 1, 8)) AS BIGINT) % 512 AS c,
+      |         CAST(COUNT(*) AS HUGEINT) AS cnt_a
+      |  FROM events CROSS JOIN r GROUP BY 1, 2),
+      |b AS (
+      |  SELECT r,
+      |         CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || ':' || CAST(r AS VARCHAR)), 1, 8)) AS BIGINT) % 512 AS c,
+      |         CAST(COUNT(*) AS HUGEINT) AS cnt_b
+      |  FROM orders CROSS JOIN r GROUP BY 1, 2),
+      |ip AS (
+      |  SELECT a.r, SUM(cnt_a * cnt_b) AS ip
+      |  FROM a JOIN b ON a.r = b.r AND a.c = b.c GROUP BY 1),
+      |e AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_n FROM ip),
+      |fa AS (SELECT user_id AS k, CAST(COUNT(*) AS HUGEINT) AS n_a
+      |       FROM events GROUP BY 1),
+      |fb AS (SELECT o_custkey AS k, CAST(COUNT(*) AS HUGEINT) AS n_b
+      |       FROM orders GROUP BY 1),
+      |x AS (SELECT CAST(COALESCE(SUM(n_a * n_b), 0) AS BIGINT) AS exact_n
+      |      FROM fa JOIN fb USING (k))
+      |SELECT est_n, exact_n, est_n - exact_n AS over_n
+      |FROM e CROSS JOIN x""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q87_cms_freq" -> q87CmsFreq,
     "q88_cms_cdc" -> q88CmsCdc,
+    "q94_join_size_cms" -> q94JoinSizeCms,
     "q34_heavy_hitters" -> q34HeavyHitters,
     "q76_topk_weekly" -> q76TopkWeekly,
     "q80_topk_churn" -> q80TopkChurn,
@@ -551,6 +619,7 @@ object ScaleQueries {
 
   val oracles: Seq[(String, String)] = Seq(
     "q88_cms_cdc" -> q88Sql,
+    "q94_join_size_cms" -> q94Sql,
     "q74_topk_day_range" -> q74Sql,
     "q76_topk_weekly" -> q76Sql,
     "q79_quantiles_from_artifacts" -> q79Sql,

@@ -1778,7 +1778,101 @@ object TrainingDataQueries {
       |SELECT seq, doc_id, n_tok, cum_tok, (cum_tok - n_tok) // 1024 AS shard
       |FROM s ORDER BY seq""".stripMargin
 
+  /** #249 (t40): charset / encoding-health audit — the per-source
+    * character-class census a corpus ingest gate reads before text
+    * filters run (ftfy/CCNet run a repair step precisely because feeds
+    * arrive double-encoded; this is the report that says WHICH feed).
+    * Per source: docs, chars, and exact per-class character counts
+    * (letters, digits, whitespace, punctuation, non-ASCII), plus the
+    * two hard encoding-damage signals — U+FFFD replacement characters
+    * (the "already lost" marker a decoder leaves) counted via
+    * translate (exact char mapping, no regex), and stray C0 control
+    * bytes outside \t\n\x0b\f\r (binary-in-text / wrong-charset
+    * marker). `ascii_printable_ppm` summarizes; `clean` is the gate
+    * bit. One corpus scan, map-side-combinable sums of codegen'd
+    * length-diffs, |sources| output rows. On THIS corpus the damage
+    * columns are legitimately 0 while the census columns carry the
+    * evidence (the m04 lesson: the query's evidence must not hinge on
+    * the corpus containing damage); TrainingDataSpec plants damaged
+    * fixtures to pin the nonzero paths. Fully oracled — every count is
+    * a length-diff both engines compute identically on ASCII classes. */
+  def t40CharsetAudit: Q = (spark, dir) =>
+    charsetAuditOf(Tables.documents(spark, dir))
+
+  /** t40's kernel over any (source, text) frame — split out so specs
+    * can plant encoding-damaged fixtures (the corpus itself is clean
+    * ASCII, so the damage columns' nonzero paths need fixtures). */
+  /** Exact count of chars matching a regex class — shared by batch
+    * t40 and the streaming charset gate so both flag identically. */
+  private[graft] def charClassCount(c: Column, pat: String): Column =
+    (length(c) - length(regexp_replace(c, pat, ""))).cast(LongType)
+
+  /** U+FFFD occurrences via translate (exact char map, no regex). */
+  private[graft] def replCharCount(c: Column): Column =
+    (length(c) - length(translate(c, "�", ""))).cast(LongType)
+
+  /** Stray C0 controls outside \t\n\x0b\f\r (binary-in-text marker). */
+  private[graft] def ctrlCharCount(c: Column): Column =
+    charClassCount(c, "[\\x00-\\x08\\x0e-\\x1f]")
+
+  private[graft] def charsetAuditOf(docs: DataFrame): DataFrame = {
+    def classCnt(c: Column, pat: String): Column = charClassCount(c, pat)
+    val d = docs.select(
+      col("source"),
+      length(col("text")).cast(LongType).as("n_chars"),
+      classCnt(col("text"), "[A-Za-z]").as("letter"),
+      classCnt(col("text"), "[0-9]").as("digit"),
+      classCnt(col("text"), "[ \\t\\n\\x0b\\f\\r]").as("ws"),
+      classCnt(col("text"), "[!-/:-@\\[-`{-~]").as("punct"),
+      classCnt(col("text"), "[^\\x00-\\x7f]").as("nonascii"),
+      replCharCount(col("text")).as("repl"),
+      ctrlCharCount(col("text")).as("ctrl"))
+    d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("n_chars"),
+        sum("letter").as("letter_cnt"),
+        sum("digit").as("digit_cnt"),
+        sum("ws").as("ws_cnt"),
+        sum("punct").as("punct_cnt"),
+        sum("nonascii").as("nonascii_cnt"),
+        sum("repl").as("repl_cnt"),
+        sum("ctrl").as("ctrl_cnt"))
+      .withColumn("ascii_printable_ppm",
+        expr("(letter_cnt + digit_cnt + ws_cnt + punct_cnt) * 1000000" +
+          " div n_chars"))
+      .withColumn("clean",
+        (col("repl_cnt") === 0 && col("ctrl_cnt") === 0).cast(LongType))
+      .orderBy("source")
+  }
+
+  val t40Sql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |         CAST(length(text) AS BIGINT) AS n_chars,
+      |         CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS letter,
+      |         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digit,
+      |         CAST(length(text) - length(regexp_replace(text, '[ \t\n\x0b\f\r]', '', 'g')) AS BIGINT) AS ws,
+      |         CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS BIGINT) AS punct,
+      |         CAST(length(text) - length(regexp_replace(text, '[^\x00-\x7f]', '', 'g')) AS BIGINT) AS nonascii,
+      |         CAST(length(text) - length(replace(text, chr(65533), '')) AS BIGINT) AS repl,
+      |         CAST(length(text) - length(regexp_replace(text, '[\x00-\x08\x0e-\x1f]', '', 'g')) AS BIGINT) AS ctrl
+      |  FROM documents)
+      |SELECT source,
+      |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |       CAST(SUM(letter) AS BIGINT) AS letter_cnt,
+      |       CAST(SUM(digit) AS BIGINT) AS digit_cnt,
+      |       CAST(SUM(ws) AS BIGINT) AS ws_cnt,
+      |       CAST(SUM(punct) AS BIGINT) AS punct_cnt,
+      |       CAST(SUM(nonascii) AS BIGINT) AS nonascii_cnt,
+      |       CAST(SUM(repl) AS BIGINT) AS repl_cnt,
+      |       CAST(SUM(ctrl) AS BIGINT) AS ctrl_cnt,
+      |       CAST((SUM(letter) + SUM(digit) + SUM(ws) + SUM(punct)) * 1000000 // SUM(n_chars) AS BIGINT) AS ascii_printable_ppm,
+      |       CAST(CASE WHEN SUM(repl) = 0 AND SUM(ctrl) = 0 THEN 1 ELSE 0 END AS BIGINT) AS clean
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "t40_charset_audit" -> t40CharsetAudit,
     "t36_curriculum_order" -> t36CurriculumOrder,
     "t37_mixture_order" -> t37MixtureOrder,
     "t38_length_buckets" -> t38LengthBuckets,
@@ -1816,6 +1910,7 @@ object TrainingDataQueries {
     "d11_corpus_pipeline" -> d11CorpusPipeline)
 
   val oracles: Seq[(String, String)] = Seq(
+    "t40_charset_audit" -> t40Sql,
     "t36_curriculum_order" -> t36Sql,
     "t37_mixture_order" -> t37Sql,
     "t38_length_buckets" -> t38Sql,

@@ -137,20 +137,86 @@ object Codecs {
     GrayImage(w, h, px)
   }
 
-  /** The real [[MediaDecoder]]: PGM and BMP payloads produce their
-    * true dimensions; anything else fails loudly. Drops into
-    * [[Binary.decodePartitions]] in place of the stub. */
+  // ---- PPM (netpbm portable pixmap — the COLOR sibling) ------------
+
+  /** Parsed RGB image: row-major per-channel samples in [0, maxval]. */
+  final case class RgbImage(width: Int, height: Int,
+                            r: Array[Int], g: Array[Int], b: Array[Int])
+
+  def isPpm(payload: Array[Byte]): Boolean =
+    payload.length >= 2 && payload(0) == 'P' &&
+      (payload(1) == '6' || payload(1) == '3')
+
+  /** Decode netpbm PPM (P6 binary / P3 ASCII) — same header grammar
+    * as PGM (comments anywhere between tokens), three interleaved
+    * samples per pixel in the raster. */
+  def decodePpm(payload: Array[Byte]): RgbImage = {
+    if (!isPpm(payload)) fail("not a PPM payload")
+    val binary = payload(1) == '6'
+    val tk = new Tokens(payload, 2)
+    val w = tk.int("width"); val h = tk.int("height")
+    val maxval = tk.int("maxval")
+    if (w <= 0 || h <= 0) fail(s"bad dimensions ${w}x$h")
+    if (maxval <= 0 || maxval > 255) fail(s"unsupported maxval $maxval")
+    val n = w * h
+    val r = new Array[Int](n); val g = new Array[Int](n)
+    val b = new Array[Int](n)
+    if (binary) {
+      // exactly ONE whitespace byte separates maxval from raster
+      val start = tk.pos + 1
+      if (start + 3L * n > payload.length) fail("truncated P6 raster")
+      var i = 0
+      while (i < n) {
+        r(i) = payload(start + 3 * i) & 0xff
+        g(i) = payload(start + 3 * i + 1) & 0xff
+        b(i) = payload(start + 3 * i + 2) & 0xff
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < n) {
+        val (rv, gv, bv) = (tk.int("r"), tk.int("g"), tk.int("b"))
+        if (rv > maxval || gv > maxval || bv > maxval ||
+          rv < 0 || gv < 0 || bv < 0) fail("sample out of [0,maxval]")
+        r(i) = rv; g(i) = gv; b(i) = bv; i += 1
+      }
+    }
+    RgbImage(w, h, r, g, b)
+  }
+
+  /** RGB → grayscale through the SAME integer ITU luma the BMP path
+    * uses ((77·R + 150·G + 29·B) >> 8) — one luma rule across every
+    * color ingress, so a color payload and its pre-grayed twin hash
+    * identically ([[aHash64]] invariance across formats AND color). */
+  def toGray(img: RgbImage): GrayImage = {
+    val px = new Array[Int](img.r.length)
+    var i = 0
+    while (i < px.length) {
+      px(i) = (77 * img.r(i) + 150 * img.g(i) + 29 * img.b(i)) >> 8
+      i += 1
+    }
+    GrayImage(img.width, img.height, px)
+  }
+
+  /** The real [[MediaDecoder]]: netpbm (PGM gray, PPM color) and BMP
+    * payloads produce their true dimensions; anything else fails
+    * loudly. Drops into [[Binary.decodePartitions]] in place of the
+    * stub. */
   object PgmBmpDecoder extends MediaDecoder {
     override def decode(payload: Array[Byte]): MediaMeta =
       if (isPgm(payload)) {
         val img = decodePgm(payload)
         MediaMeta(img.width, img.height, channels = 1, nBytes = payload.length.toLong)
+      } else if (isPpm(payload)) {
+        val img = decodePpm(payload)
+        MediaMeta(img.width, img.height, channels = 3,
+          nBytes = payload.length.toLong)
       } else if (isBmp(payload)) {
         val img = decodeBmp(payload)
         val bpp = le16(payload, 28)
         MediaMeta(img.width, img.height, channels = bpp / 8,
           nBytes = payload.length.toLong)
-      } else fail("unsupported format (PGM/BMP)")
+      } else fail("unsupported format (PGM/PPM/BMP)")
   }
 
   /** Real pixel features: mean intensity (normalized to [0,1]) over a
@@ -252,8 +318,9 @@ object Codecs {
     * path: payload → [[GrayImage]] regardless of wire format). */
   def decodeGray(payload: Array[Byte]): GrayImage =
     if (isPgm(payload)) decodePgm(payload)
+    else if (isPpm(payload)) toGray(decodePpm(payload))
     else if (isBmp(payload)) decodeBmp(payload)
-    else fail("unknown format (not PGM or BMP)")
+    else fail("unknown format (not PGM, PPM or BMP)")
 
   /** Deterministic grayscale "render" of a text payload: 32×32 pixels
     * resampled from the UTF-8 byte sequence (pixel i reads the byte
@@ -292,6 +359,64 @@ object Codecs {
       i += 1
     }
     out
+  }
+
+  /** Deterministic COLOR "render" of a text payload — the RGB sibling
+    * of [[renderGray]]: each channel resamples the UTF-8 byte
+    * sequence at a different phase (thirds of the stream), so the
+    * channels are genuinely distinct (toGray is NOT the identity on
+    * it) while identical content still renders identical pixels. */
+  def renderRgb(text: String): RgbImage = {
+    val raw = text.getBytes("UTF-8")
+    val bytes = if (raw.isEmpty) Array[Byte](0) else raw
+    val n = bytes.length
+    val size = 32 * 32
+    val r = new Array[Int](size); val g = new Array[Int](size)
+    val b = new Array[Int](size)
+    var i = 0
+    while (i < size) {
+      def at(phase: Int): Int =
+        bytes((((i.toLong * n) / size + phase.toLong * n / 3) % n).toInt) & 0xFF
+      r(i) = at(0); g(i) = at(1); b(i) = at(2)
+      i += 1
+    }
+    RgbImage(32, 32, r, g, b)
+  }
+
+  /** Encode an [[RgbImage]] as binary P6 (round-trip evidence +
+    * real color bytes for the m05 path). */
+  def encodePpmP6(img: RgbImage): Array[Byte] = {
+    require(img.r.length == img.width * img.height, "pixel count")
+    val header = s"P6\n# graft test fixture\n${img.width} ${img.height}\n255\n"
+      .getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + 3 * img.r.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < img.r.length) {
+      def chk(v: Int): Byte = {
+        require(v >= 0 && v <= 255, s"sample $v"); v.toByte
+      }
+      out(header.length + 3 * i) = chk(img.r(i))
+      out(header.length + 3 * i + 1) = chk(img.g(i))
+      out(header.length + 3 * i + 2) = chk(img.b(i))
+      i += 1
+    }
+    out
+  }
+
+  /** Encode an [[RgbImage]] as ASCII P3 — the same pixels in a
+    * different wire format (the m04 trick, in color). */
+  def encodePpmP3(img: RgbImage): Array[Byte] = {
+    require(img.r.length == img.width * img.height, "pixel count")
+    val sb = new StringBuilder
+    sb.append(s"P3\n# graft test fixture\n${img.width} ${img.height}\n255\n")
+    var i = 0
+    while (i < img.r.length) {
+      sb.append(img.r(i)).append(' ').append(img.g(i)).append(' ')
+        .append(img.b(i)).append(if ((i + 1) % img.width == 0) '\n' else ' ')
+      i += 1
+    }
+    sb.toString.getBytes("US-ASCII")
   }
 
   /** Encode gray pixels as a bottom-up 24-bit BI_RGB BMP (R=G=B). */

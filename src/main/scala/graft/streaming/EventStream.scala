@@ -375,6 +375,31 @@ object EventStream {
           .drop("__graft_id"), batchId)
     }
 
+  /** Streaming charset gate — t40's streaming twin (#251): per
+    * arriving doc the exact encoding-damage counters (U+FFFD
+    * replacement chars, stray C0 controls, non-ASCII census) and the
+    * per-doc clean bit, as a STATELESS projection that attaches to
+    * `readStream` unchanged (the #164 pattern — no watermark, no
+    * state store, no shuffle, no foreachBatch): encoding damage is a
+    * per-row property, so this is the cheapest gate in the family and
+    * the one that belongs FIRST in an ingest chain (a feed that
+    * arrives double-encoded should quarantine before any text
+    * normalization touches it). Counter rules are the shared batch
+    * t40 expressions ([[graft.TrainingDataQueries.replCharCount]] et
+    * al.), so gate verdicts and the batch audit agree by construction
+    * (spec pins per-doc parity through MemoryStream with planted
+    * damage). Appends columns; input schema passes through. */
+  def charsetGateStream(docs: DataFrame): DataFrame = {
+    import graft.TrainingDataQueries.{charClassCount, ctrlCharCount, replCharCount}
+    docs
+      .withColumn("repl_cnt", replCharCount(col("text")))
+      .withColumn("ctrl_cnt", ctrlCharCount(col("text")))
+      .withColumn("nonascii_cnt", charClassCount(col("text"), "[^\\x00-\\x7f]"))
+      .withColumn("clean",
+        (col("repl_cnt") === 0 && col("ctrl_cnt") === 0)
+          .cast(org.apache.spark.sql.types.LongType))
+  }
+
   /** The static train side of [[decontamGateForeachBatch]]: the
     * distinct 5-gram fingerprint table (g) of a corpus frame with
     * (doc_id, text) — exactly the gram set batch t25 joins, so gate

@@ -352,6 +352,104 @@ class EtlSpec extends AnyFunSuite {
     assert(rules.length % 2 == 0, "directed rules must pair up")
   }
 
+  test("q91 RFM: quintiles balanced, scores consistent, segments follow the rule table") {
+    val rows = AnalyticsQueries.q91Rfm(spark, TestSpark.Sf)
+      .select("custkey", "recency_days", "freq", "cents",
+        "r_score", "f_score", "m_score", "rfm_code", "segment")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, String)]
+      .collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    rows.foreach { r =>
+      assert(r._5 >= 1 && r._5 <= 5 && r._6 >= 1 && r._6 <= 5 &&
+        r._7 >= 1 && r._7 <= 5, s"score out of band: $r")
+      assert(r._8 == r._5 * 100 + r._6 * 10 + r._7, "rfm_code inconsistent")
+      assert(r._2 >= 0, "negative recency")
+      val want =
+        if (r._5 >= 4 && r._6 >= 4 && r._7 >= 4) "champion"
+        else if (r._5 >= 4 && r._6 >= 3) "loyal"
+        else if (r._5 >= 4) "recent"
+        else if (r._5 >= 2 && r._6 >= 3) "at_risk"
+        else if (r._5 >= 2) "cooling"
+        else "lost"
+      assert(r._9 == want, s"segment rule diverged: $r")
+    }
+    // the NTILE identity partitions each axis into fifths of size
+    // ⌈n/5⌉ or ⌊n/5⌋
+    for (axis <- Seq(rows.map(_._5), rows.map(_._6), rows.map(_._7))) {
+      val sizes = axis.groupBy(identity).view.mapValues(_.length)
+      assert(sizes.keys.toSet.subsetOf(Set(1L, 2L, 3L, 4L, 5L)))
+      sizes.values.foreach(s =>
+        assert(math.abs(s - n / 5.0) <= 1.0, s"quintile skew: $sizes"))
+    }
+    // the most recent customer anchors recency at 0 days
+    assert(rows.map(_._2).min == 0L, "no customer at the corpus max date")
+    // monetary rank 5 holds the corpus max spender
+    val maxCents = rows.map(_._4).max
+    assert(rows.filter(_._7 == 5L).exists(_._4 == maxCents))
+  }
+
+  test("q92 session paths: trigram totals reconcile with q20's session sizes") {
+    val paths = AnalyticsQueries.q92SessionPaths(spark, TestSpark.Sf)
+      .select("path", "step1", "step2", "step3", "n")
+      .as[(String, String, String, String, Long)].collect()
+    assert(paths.nonEmpty)
+    paths.foreach { p =>
+      assert(p._1 == s"${p._2}>${p._3}>${p._4}", "path label diverged")
+      assert(p._5 >= 1)
+    }
+    assert(paths.map(_._1).distinct.length == paths.length)
+    // cross-operator identity: a session of k events holds max(k-2, 0)
+    // within-session trigrams, so Σ n must equal that census over the
+    // SAME session definition (q20)
+    val wantTotal = AnalyticsQueries.q20Sessionize(spark, TestSpark.Sf)
+      .select("n_events").as[Long].collect()
+      .map(k => math.max(k - 2, 0L)).sum
+    assert(paths.map(_._5).sum == wantTotal,
+      s"trigram mass ${paths.map(_._5).sum} != session census $wantTotal")
+  }
+
+  test("q93 Benford: digits complete, masses conserve, TV halves the deviation sum") {
+    val rows = AnalyticsQueries.q93Benford(spark, TestSpark.Sf)
+      .select("digit", "cnt", "n_total", "obs_ppm", "exp_ppm", "dev_ppm",
+        "tv_ppm")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 9L), "digit spine incomplete")
+    val nTotal = rows.head._3
+    assert(rows.forall(_._3 == nTotal))
+    assert(rows.map(_._2).sum == nTotal, "counts don't sum to total")
+    // floor-division ppm masses can only undershoot, by < 9 ppm total
+    val ppmSum = rows.map(_._4).sum
+    assert(ppmSum <= 1000000L && ppmSum > 1000000L - 9, s"ppm mass $ppmSum")
+    assert(rows.forall(r => r._6 == math.abs(r._4 - r._5)))
+    val tv = rows.head._7
+    assert(rows.forall(_._7 == tv))
+    assert(tv == rows.map(_._6).sum / 2, "tv != half the deviation sum")
+    // Benford's expected masses are themselves a distribution
+    assert(rows.map(_._5).sum == 1000000L)
+  }
+
+  test("q94 CM join-size estimate never undercounts and matches the exact census") {
+    val Array((est, exact, over)) =
+      ScaleQueries.q94JoinSizeCms(spark, TestSpark.Sf)
+        .as[(Long, Long, Long)].collect()
+    // exact join size recomputed locally from frequency maps
+    val fa = Tables.events(spark, TestSpark.Sf).select("user_id")
+      .as[Long].collect().groupBy(identity).view.mapValues(_.length.toLong)
+    val fb = Tables.orders(spark, TestSpark.Sf).select("o_custkey")
+      .as[Long].collect().groupBy(identity).view.mapValues(_.length.toLong)
+    val want = fa.map { case (k, na) => na * fb.getOrElse(k, 0L) }.sum
+    assert(exact == want, s"exact $exact != local census $want")
+    assert(est >= exact, "CM inner product undercounted the join size")
+    assert(over == est - exact)
+    // collision residue stays inside the expected-overcount bound with
+    // slack: E[over per row] ≈ N_A·N_B/w; allow 3× before calling the
+    // hash broken
+    val na = fa.values.sum; val nb = fb.values.sum
+    assert(over <= 3L * na * nb / 512L,
+      s"overcount $over implausibly large for w=512")
+  }
+
   test("SavingsLedger: per-label idempotent append, trend deltas vs previous run") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ledger").toString
     def frame(saved: Long) = Seq(

@@ -270,4 +270,68 @@ class MultimodalSpec extends AnyFunSuite {
         s"pair ($a,$b) not close or hamming mismatch")
     }
   }
+
+  test("real PPM color codec: P6/P3 round-trip, one luma rule, m05 channel census") {
+    import graft.multimodal.Codecs
+    // channel-exact round-trip through BOTH wire formats
+    val img = Codecs.renderRgb("color payload fixture text " * 12)
+    for ((enc, fmt) <- Seq(
+        Codecs.encodePpmP6(img) -> "P6", Codecs.encodePpmP3(img) -> "P3")) {
+      val back = Codecs.decodePpm(enc)
+      assert(back.width == 32 && back.height == 32, fmt)
+      assert(back.r.toSeq == img.r.toSeq && back.g.toSeq == img.g.toSeq &&
+        back.b.toSeq == img.b.toSeq, s"$fmt raster not pixel-exact")
+    }
+    // ONE luma rule: a gray payload re-encoded as color (r=g=b=v)
+    // decodes to exactly v ((77+150+29)·v >> 8 = v), so the hash
+    // cannot move across the gray/color family boundary
+    val gray = Codecs.renderGray("gray twin of a color payload " * 10)
+    val asColor = Codecs.RgbImage(gray.width, gray.height,
+      gray.pixels.clone(), gray.pixels.clone(), gray.pixels.clone())
+    assert(Codecs.toGray(asColor).pixels.toSeq == gray.pixels.toSeq,
+      "luma not exact on r=g=b")
+    assert(Codecs.aHash64(Codecs.decodeGray(Codecs.encodePpmP6(asColor))) ==
+      Codecs.aHash64(gray), "gray/color family boundary moved the hash")
+    // the real MediaDecoder reports true dims + 3 channels for color
+    val meta = Codecs.PgmBmpDecoder.decode(Codecs.encodePpmP6(img))
+    assert(meta.width == 32 && meta.height == 32 && meta.channels == 3)
+    // malformed payloads fail loudly (truncated raster, bad maxval)
+    val p6 = Codecs.encodePpmP6(img)
+    intercept[IllegalArgumentException] {
+      Codecs.decodePpm(java.util.Arrays.copyOf(p6, p6.length - 10))
+    }
+    intercept[IllegalArgumentException] {
+      Codecs.decodePpm("P3\n2 2\n70000\n0 0 0 0 0 0 0 0 0 0 0 0"
+        .getBytes("US-ASCII"))
+    }
+
+    // m05 corpus query: one row per doc, wire parity holds everywhere,
+    // sums match a local recompute (5-doc slice), channels distinct
+    val rows = LlmQueries.m05ColorStats(spark, TestSpark.Sf)
+      .select("doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+        "chan_spread", "wire_parity")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    val nDocs = Tables.documents(spark, TestSpark.Sf).count()
+    assert(rows.length == nDocs, "m05 must emit one row per doc")
+    rows.foreach { r =>
+      assert(r._2 == 32 && r._3 == 32)
+      assert(r._8 == 1L, s"P6/P3 wire parity broke for doc ${r._1}")
+      assert(r._7 == Seq(r._4, r._5, r._6).max - Seq(r._4, r._5, r._6).min)
+      Seq(r._4, r._5, r._6).foreach(s => assert(s >= 0 && s <= 255L * 1024))
+    }
+    assert(rows.count(_._7 > 0) > rows.length / 2,
+      "phase-shifted channels should differ on most documents")
+    val local = Tables.documents(spark, TestSpark.Sf)
+      .select(col("doc_id"), graft.etl.TextNorm.normalizeText(col("text")).as("tn"))
+      .as[(Long, String)].collect().take(5)
+      .map { case (id, t) =>
+        val im = Codecs.renderRgb(t)
+        (id, (im.r.foldLeft(0L)(_ + _), im.g.foldLeft(0L)(_ + _),
+          im.b.foldLeft(0L)(_ + _)))
+      }.toMap
+    val byId = rows.map(r => r._1 -> ((r._4, r._5, r._6))).toMap
+    local.foreach { case (id, want) =>
+      assert(byId(id) == want, s"doc $id channel sums diverged from local render")
+    }
+  }
 }

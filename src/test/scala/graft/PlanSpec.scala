@@ -395,6 +395,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"lead+explode gap-fill must not join:\n${p.take(1500)}")
   }
 
+  test("q93 scans orders once — totals ride the 9-row digit frame, not re-scan lineage") {
+    val p = planOf("q93_benford")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("orders"))
+    assert(scans == 1, s"expected 1 orders scan, got $scans:\n${p.take(1500)}")
+  }
+
+  test("t40 charset audit is one documents scan into a map-side-combinable aggregate") {
+    val p = planOf("t40_charset_audit")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents"))
+    assert(scans == 1, s"expected 1 documents scan, got $scans:\n${p.take(1500)}")
+    assert(!p.contains("Join"), s"charset audit must not join:\n${p.take(1500)}")
+    assert(p.contains("HashAggregate"), p.take(800))
+  }
+
+  test("q94 join-size estimate never goes nested-loop; the sketch frames stay bounded") {
+    val p = planOf("q94_join_size_cms")
+    assert(!p.contains("CartesianProduct"),
+      s"q94 must not cross-join corpus frames:\n${p.take(1500)}")
+    // the only nested-loop is the final 1-row × 1-row estimate/exact zip
+    val nlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nlj <= 1, s"unexpected nested-loop joins ($nlj):\n${p.take(1500)}")
+  }
+
   test("s08 top-k is TakeOrderedAndProject with no explode and no global sort") {
     val p = planOf("s08_bm25")
     assert(p.contains("TakeOrderedAndProject"), p.take(800))

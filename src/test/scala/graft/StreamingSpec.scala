@@ -388,6 +388,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("charset gate stream: per-doc verdicts identical to the batch t40 expressions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // planted damage + clean rows through the STREAM; batch recompute
+    // of the same per-doc columns is the parity oracle
+    val docs = Seq(
+      (1L, "plain ascii 123!"),
+      (2L, "caf\uFFFDe damaged"), // replacement char
+      (3L, "ctrl\u0001here\u0007too"), // stray C0 controls
+      (4L, "naïve café"),                       // non-ASCII, undamaged
+      (5L, "tab\tand\nnewline are fine"))
+    val input = MemoryStream[(Long, String)]
+    val query = graft.streaming.EventStream.charsetGateStream(
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("charset_gate")
+      .outputMode("append").start()
+    try {
+      docs.grouped(2).foreach { b =>
+        input.addData(b: _*)
+        query.processAllAvailable()
+      }
+      val got = spark.table("charset_gate")
+        .select("doc_id", "repl_cnt", "ctrl_cnt", "nonascii_cnt", "clean")
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      val want = graft.streaming.EventStream.charsetGateStream(
+          docs.toDF("doc_id", "text"))
+        .select("doc_id", "repl_cnt", "ctrl_cnt", "nonascii_cnt", "clean")
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      assert(got == want, "stream verdicts diverged from batch expressions")
+      // the planted truths, pinned absolutely (not just parity)
+      assert(got(1L) == ((0L, 0L, 0L, 1L)))
+      assert(got(2L) == ((1L, 0L, 1L, 0L)), s"repl doc: ${got(2L)}")
+      assert(got(3L) == ((0L, 2L, 0L, 0L)), s"ctrl doc: ${got(3L)}")
+      assert(got(4L) == ((0L, 0L, 2L, 1L)), s"utf8 doc: ${got(4L)}")
+      assert(got(5L) == ((0L, 0L, 0L, 1L)))
+      // stateless: the gate plan carries no aggregation or state store
+      val plan = graft.streaming.EventStream.charsetGateStream(
+        docs.toDF("doc_id", "text")).queryExecution.executedPlan.toString
+      assert(!plan.contains("Aggregate") && !plan.contains("Exchange"),
+        s"charset gate must be a pure projection:\n${plan.take(600)}")
+    } finally query.stop()
+  }
+
   test("stateful streaming state survives a checkpointed restart") {
     import spark.implicits._
     import org.apache.spark.sql.types.{LongType, StringType, StructType}

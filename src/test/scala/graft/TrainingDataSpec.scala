@@ -525,4 +525,40 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(rows.map(_._4).sum <= gcap * gn - gtok,
       "bucketed padding exceeded the no-bucket baseline")
   }
+
+  test("t40 charset audit: census conserves and planted damage surfaces per class") {
+    // corpus run: class counts conserve and the ASCII corpus is clean
+    val corpus = TrainingDataQueries.t40CharsetAudit(spark, TestSpark.Sf)
+      .select("source", "n_docs", "n_chars", "letter_cnt", "digit_cnt",
+        "ws_cnt", "punct_cnt", "nonascii_cnt", "repl_cnt", "ctrl_cnt",
+        "ascii_printable_ppm", "clean")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long,
+        Long, Long)].collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      val classed = r._4 + r._5 + r._6 + r._7 + r._8 + r._9 + r._10
+      assert(classed <= r._3, s"class counts exceed chars: $r")
+      assert(r._9 == 0L && r._10 == 0L && r._12 == 1L,
+        s"ASCII corpus flagged dirty: $r")
+      assert(r._11 > 0L && r._11 <= 1000000L)
+    }
+    // planted fixtures: each damage class counted exactly, clean=0
+    val planted = TrainingDataQueries.charsetAuditOf(Seq(
+      ("bad_repl", "caf\uFFFDe te\uFFFDxt"), // 2 replacement chars
+      ("bad_ctrl", "a\u0000b\u0007c\u001fd"), // 3 stray C0 controls
+      ("bad_ctrl", "tab\tok\n"),               // \t \n are NOT damage
+      ("bad_utf8", "naïve café — über"),       // non-ASCII but undamaged
+      ("ok_src", "plain ascii 123!")
+    ).toDF("source", "text"))
+      .select("source", "nonascii_cnt", "repl_cnt", "ctrl_cnt", "clean")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(planted("bad_repl") == ((2L, 2L, 0L, 0L)),
+      s"repl census diverged: ${planted("bad_repl")}")
+    assert(planted("bad_ctrl") == ((0L, 0L, 3L, 0L)),
+      s"ctrl census diverged: ${planted("bad_ctrl")}")
+    assert(planted("bad_utf8") == ((4L, 0L, 0L, 1L)),
+      s"nonascii census diverged: ${planted("bad_utf8")}")
+    assert(planted("ok_src") == ((0L, 0L, 0L, 1L)))
+  }
 }
