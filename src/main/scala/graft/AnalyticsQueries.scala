@@ -2380,14 +2380,18 @@ object AnalyticsQueries {
     * evaluated at query time, so the comparison is pure integer.
     * One map-side-combinable aggregation over a 9-value domain; the
     * total-variation summary rides every row (broadcast). */
+  /** Benford's expected first-digit masses, floor(log10(1+1/d)·10⁶),
+    * as fixed literals (no transcendental at query time). Shared by
+    * batch q93 and the streaming Benford monitor so both report
+    * against the same table by construction. They sum to exactly
+    * 10⁶ (spec-pinned). */
+  val benfordExpPpm: Seq[(Long, Long)] = Seq(
+    1L -> 301030L, 2L -> 176091L, 3L -> 124939L, 4L -> 96910L,
+    5L -> 79181L, 6L -> 66947L, 7L -> 57992L, 8L -> 51153L, 9L -> 45757L)
+
   def q93Benford: Q = (spark, dir) => {
     import spark.implicits._
-    val digits = Seq(
-      1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L,
-      5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
-    val exp = digits
-      .map { case (d, p) => (d.toLong, p) }
-      .toDF("digit", "exp_ppm")
+    val exp = benfordExpPpm.toDF("digit", "exp_ppm")
     val obs = Tables.orders(spark, dir)
       .select(Exact.e(col("o_totalprice"), 2).cast(LongType).as("cents"))
       .filter(col("cents") > 0)
@@ -2436,12 +2440,87 @@ object AnalyticsQueries {
       |SELECT digit, cnt, n_total, obs_ppm, exp_ppm, dev_ppm, tv_ppm
       |FROM s CROSS JOIN tv ORDER BY digit""".stripMargin
 
+  /** #252 (q95): MAD robust outlier audit — the q54 z²-flag family's
+    * ROBUST sibling: per order priority, median order value and the
+    * median absolute deviation (the scale estimate a heavy-tailed
+    * revenue column actually permits — one whale order shifts a mean/σ
+    * rule arbitrarily, but breaks a median/MAD rule only past 50%
+    * contamination), plus the count of orders beyond the classic
+    * 5×MAD fence. Scale shape: ONE corpus scan builds the
+    * count-by-value histogram ([[graft.functions.ExactPercentile]]'s
+    * contract — the frame is bounded by the cent-value DOMAIN, not row
+    * count), checkpointed once; the median, the DEVIATION histogram
+    * (derived from the value histogram by re-keying — zero extra
+    * corpus scans), the MAD and the fence count are all
+    * histogram-scale arithmetic after that. Everything integer-exact:
+    * cents → milli median (×10 interpolation) → 1e-4 MAD, fence
+    * `dev·10 > 5·mad_e4` in pure BIGINT. Fully oracled
+    * (quantile_cont twice + the same fence). MAD = 0 degenerates the
+    * fence to "any non-median value" on both engines identically (the
+    * standard MAD caveat, not an engine divergence). */
+  def q95MadOutliers: Q = (spark, dir) => {
+    import graft.functions.ExactPercentile, ExactPercentile.Pct
+    val b = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("priority"),
+        Exact.e(col("o_totalprice"), 2).cast(LongType).as("v"))
+    // one corpus scan → domain-bounded histogram; checkpoint cuts the
+    // lineage so the three consumers below re-read the materialized
+    // frame instead of re-scanning orders (the q91 idiom)
+    val counts = b.groupBy("priority", "v").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val med = ExactPercentile.quantilesOfCounts(counts, Seq("priority"),
+      valPow = 2, outPow = 3, Seq(Pct("p50_milli", 1, 2)))
+    val n = counts.groupBy("priority").agg(sum("cnt").cast(LongType).as("n"))
+    // deviation histogram by RE-KEYING the value histogram: |groups|
+    // medians broadcast onto the domain-bounded frame
+    val dev = counts.join(broadcast(med), Seq("priority"))
+      .withColumn("dev", abs(col("v") * 10 - col("p50_milli")))
+    val devCounts = dev.groupBy(col("priority"), col("dev").as("v"))
+      .agg(sum("cnt").cast(LongType).as("cnt"))
+    val mad = ExactPercentile.quantilesOfCounts(devCounts, Seq("priority"),
+      valPow = 3, outPow = 4, Seq(Pct("mad_e4", 1, 2)))
+    val outliers = dev.join(broadcast(mad), Seq("priority"))
+      .groupBy("priority")
+      .agg(sum(when(col("dev") * 10 > lit(5L) * col("mad_e4"), col("cnt"))
+        .otherwise(lit(0L))).cast(LongType).as("n_outliers"))
+    n.join(med, Seq("priority"))
+      .join(mad, Seq("priority"))
+      .join(outliers, Seq("priority"))
+      .select("priority", "n", "p50_milli", "mad_e4", "n_outliers")
+      .orderBy("priority")
+  }
+
+  val q95Sql: String =
+    """WITH b AS (
+      |  SELECT o_orderpriority AS priority,
+      |         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+      |  FROM orders),
+      |m AS (
+      |  SELECT priority, CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(FLOOR(quantile_cont(v, 0.5) * 10 + 0.5) AS BIGINT) AS p50_milli
+      |  FROM b GROUP BY 1),
+      |d AS (
+      |  SELECT b.priority, ABS(v * 10 - p50_milli) AS dev
+      |  FROM b JOIN m USING (priority)),
+      |md AS (
+      |  SELECT priority,
+      |         CAST(FLOOR(quantile_cont(dev, 0.5) * 10 + 0.5) AS BIGINT) AS mad_e4
+      |  FROM d GROUP BY 1),
+      |o AS (
+      |  SELECT d.priority,
+      |         CAST(SUM(CASE WHEN dev * 10 > 5 * mad_e4 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |  FROM d JOIN md USING (priority) GROUP BY 1)
+      |SELECT m.priority, m.n, m.p50_milli, md.mad_e4, o.n_outliers
+      |FROM m JOIN md USING (priority) JOIN o USING (priority)
+      |ORDER BY priority""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q89_pareto" -> q89Pareto,
     "q90_assoc_rules" -> q90AssocRules,
     "q91_rfm" -> q91Rfm,
     "q92_session_paths" -> q92SessionPaths,
     "q93_benford" -> q93Benford,
+    "q95_mad_outliers" -> q95MadOutliers,
     "q65_rolling_distinct" -> q65RollingDistinct,
     "q50_window_stats" -> q50WindowStats,
     "q51_interval_sweep" -> q51IntervalSweep,
@@ -2499,6 +2578,7 @@ object AnalyticsQueries {
     "q91_rfm" -> q91Sql,
     "q92_session_paths" -> q92Sql,
     "q93_benford" -> q93Sql,
+    "q95_mad_outliers" -> q95Sql,
     "q50_window_stats" -> q50Sql,
     "q51_interval_sweep" -> q51Sql,
     "q52_ewma" -> q52Sql,

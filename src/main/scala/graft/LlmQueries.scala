@@ -1392,6 +1392,90 @@ object LlmQueries {
       |FROM a
       |ORDER BY vec_id""".stripMargin
 
+  /** #253 (s20): embedding centroid similarity matrix — the
+    * distribution-level drift audit for the VECTOR column (q58/t40
+    * audit value and character distributions; this audits embedding
+    * space): per label, the int8-quantized centroid (s04's exact
+    * quantization rule, so both engines build bit-identical vectors),
+    * and per label pair the centroid dot product and squared-cosine
+    * ppm — the report that says "feed B's embeddings no longer point
+    * where feed A's do" before a retrieval index quietly degrades.
+    * Integer-exact throughout: per-(label, dim) sums of int8 codes,
+    * milli-MEAN centroids via the shift-by-127n floor-division trick
+    * (`((s + 127·n)·1000) div n − 127000` — keeps every division
+    * non-negative, where Spark's truncating `div` and DuckDB's
+    * flooring `//` agree), and cos² as one DECIMAL(38,0)-widened
+    * floor division (milli-mean components bound the numerator at
+    * ~1e30 INDEPENDENT of corpus size — raw sum-vectors would
+    * overflow even HUGEINT at 10⁸ rows). Scale shape: one posexplode
+    * pass (corpus×64 rows, linear, map-side combined) reduces to a
+    * |labels|×64 frame; everything after is configuration-scale.
+    * Fully oracled. */
+  def s20CentroidDrift: Q = (spark, dir) => {
+    val byDim = Tables.embeddings(spark, dir)
+      .select(col("label"),
+        posexplode(graft.functions.QuantizeInt8.quantizeInt8(col("embedding"))))
+      .toDF("label", "dim", "qv")
+      .groupBy("label", "dim")
+      .agg(sum(col("qv").cast("long")).cast("long").as("s"),
+        count(lit(1)).as("n"))
+    val cent = byDim
+      .withColumn("c", expr("((s + 127 * n) * 1000) div n - 127000"))
+    val profile = cent.groupBy("label")
+      .agg(max("n").as("n_vec"), sum(expr("c * c")).cast("long").as("n2"))
+    val pairs = cent.select(col("label").as("label_a"), col("dim"),
+        col("c").as("ca"))
+      .join(cent.select(col("label").as("label_b"), col("dim"),
+        col("c").as("cb")), Seq("dim"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(sum(expr("ca * cb")).cast("long").as("dot"))
+    pairs
+      .join(broadcast(profile.select(col("label").as("label_a"),
+        col("n_vec").as("n_a"), col("n2").as("n2_a"))), Seq("label_a"))
+      .join(broadcast(profile.select(col("label").as("label_b"),
+        col("n_vec").as("n_b"), col("n2").as("n2_b"))), Seq("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        col("dot"),
+        expr("CAST((CAST(dot AS DECIMAL(38,0)) * dot * 1000000) div " +
+          "(CAST(n2_a AS DECIMAL(38,0)) * n2_b) AS BIGINT)").as("cos2_ppm"),
+        signum(col("dot")).cast("long").as("dot_sign"))
+      .orderBy("label_a", "label_b")
+  }
+
+  val s20Sql: String =
+    """WITH a AS (
+      |  SELECT label, embedding,
+      |         COALESCE(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 0.0) AS amax
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT label, i AS dim,
+      |         CASE WHEN amax > 0
+      |              THEN CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT)
+      |              ELSE CAST(0 AS BIGINT) END AS qv
+      |  FROM a, range(1, 65) t(i)),
+      |s AS (
+      |  SELECT label, dim, CAST(SUM(qv) AS BIGINT) AS s,
+      |         CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM q GROUP BY 1, 2),
+      |c AS (
+      |  SELECT label, dim, ((s + 127 * n) * 1000) // n - 127000 AS c, n
+      |  FROM s),
+      |p AS (
+      |  SELECT label, CAST(MAX(n) AS BIGINT) AS n_vec,
+      |         CAST(SUM(c * c) AS BIGINT) AS n2
+      |  FROM c GROUP BY 1),
+      |d AS (
+      |  SELECT x.label AS label_a, y.label AS label_b,
+      |         CAST(SUM(x.c * y.c) AS BIGINT) AS dot
+      |  FROM c x JOIN c y ON x.dim = y.dim AND x.label < y.label
+      |  GROUP BY 1, 2)
+      |SELECT label_a, label_b, pa.n_vec AS n_a, pb.n_vec AS n_b, dot,
+      |       CAST((CAST(dot AS HUGEINT) * dot * 1000000) // (CAST(pa.n2 AS HUGEINT) * pb.n2) AS BIGINT) AS cos2_ppm,
+      |       CAST(SIGN(dot) AS BIGINT) AS dot_sign
+      |FROM d JOIN p pa ON pa.label = d.label_a JOIN p pb ON pb.label = d.label_b
+      |ORDER BY label_a, label_b""".stripMargin
+
   /** #83 (s05): int8-quantized two-stage ANN — the serving consumer
     * of s04's quantization: score the corpus from 4×-smaller int8
     * codes (codegen'd integer dot kernel), keep 3k candidates per
@@ -2673,6 +2757,7 @@ object LlmQueries {
     "s19_ann_delete" -> s19AnnDelete,
     "m04_pixel_neardup" -> m04PixelNearDup,
     "s04_quantize_int8" -> s04QuantizeInt8,
+    "s20_centroid_drift" -> s20CentroidDrift,
     "s05_ann_int8_rerank" -> s05AnnInt8Rerank,
     "s06_ann_pq" -> s06AnnPq,
     "s07_ann_ivfpq" -> s07AnnIvfPq,
@@ -2708,6 +2793,7 @@ object LlmQueries {
     "s08_bm25" -> s08Sql,
     "s09_hybrid_rerank" -> s09Sql,
     "s04_quantize_int8" -> s04Sql,
+    "s20_centroid_drift" -> s20Sql,
     "d01_dedup_exact" -> d01Sql,
     "d04_ngram_jaccard" -> d04Sql,
     "d05_embed_neardup" -> d05Sql,

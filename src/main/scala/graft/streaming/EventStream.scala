@@ -453,6 +453,53 @@ object EventStream {
     }
   }
 
+  /** Streaming Benford monitor (#254) — q93's streaming twin: as
+    * value facts arrive (any frame with a positive-cents BIGINT
+    * column), serve the refreshed first-digit forensic report over
+    * the prefix-so-far. State = NINE Longs (the digit domain — the
+    * hardest possible configuration-scale bound), folded per
+    * micro-batch by a distributed digit histogram (groupBy on ≤ 9
+    * keys, map-side combined; the collect moves ≤ 9 rows). The
+    * report re-derives from the counters with batch q93's exact
+    * integer rules against the SAME literal mass table
+    * ([[graft.AnalyticsQueries.benfordExpPpm]]), so after batch k
+    * the emitted frame is BIT-IDENTICAL to batch q93's arithmetic
+    * over the stream prefix (spec-pinned). `seed` resumes from a
+    * persisted digit histogram (yesterday's close) without history
+    * replay; a replayed batch id re-emits without re-folding (counts
+    * are not idempotent — the alphaMix guard). */
+  def benfordForeachBatch(seed: Map[Long, Long] = Map.empty)(
+      onReport: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    val counts = scala.collection.mutable.Map[Long, Long](seed.toSeq: _*)
+    var lastBatch = -1L
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      if (batchId > lastBatch) {
+        batch.filter(col("cents") > 0)
+          .select(substring(col("cents").cast("string"), 1, 1)
+            .cast("long").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("__graft_n"))
+          .as[(Long, Long)].collect()
+          .foreach { case (d, n) => counts(d) = counts.getOrElse(d, 0L) + n }
+        lastBatch = batchId
+      }
+      val total = counts.values.sum
+      val rows = graft.AnalyticsQueries.benfordExpPpm.map { case (d, exp) =>
+        val cnt = counts.getOrElse(d, 0L)
+        // positive operands: JVM `/` truncation ≡ Spark `div` (q93)
+        val obs = if (total > 0) cnt * 1000000L / total else 0L
+        (d, cnt, total, obs, exp, math.abs(obs - exp))
+      }
+      val tv = rows.map(_._6).sum / 2
+      val out = rows
+        .map { case (d, cnt, n, obs, exp, dev) => (d, cnt, n, obs, exp, dev, tv) }
+        .toDF("digit", "cnt", "n_total", "obs_ppm", "exp_ppm", "dev_ppm",
+          "tv_ppm")
+      onReport(out, batchId)
+    }
+  }
+
   /** Streaming language-budget service (#190) — t31's streaming twin:
     * serve the per-language budget frame (t26 α-weights ⨯ t28-kernel
     * coverage points) continuously as documents stream in. Two pieces

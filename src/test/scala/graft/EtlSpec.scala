@@ -450,6 +450,72 @@ class EtlSpec extends AnyFunSuite {
       s"overcount $over implausibly large for w=512")
   }
 
+  test("q95 MAD: median/MAD equal a local order-statistics recompute, fence counts exact") {
+    val rows = AnalyticsQueries.q95MadOutliers(spark, TestSpark.Sf)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val vals = Tables.orders(spark, TestSpark.Sf)
+      .selectExpr("o_orderpriority", "CAST(o_totalprice * 100 + 0.5 AS BIGINT)")
+      .as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector).toMap
+    // quantile_cont at p=0.5 over an exact long vector, ×10
+    def medMilli(v: Vector[Long]): Long = {
+      val h2 = v.size - 1 // h = (n-1)/2; milli result is exact at ×10
+      val (lo, hi) = (v(h2 / 2), v(h2 / 2 + h2 % 2))
+      lo * 10 + (h2 % 2) * (hi - lo) * 10 / 2
+    }
+    assert(rows.map(_._1).toSeq == vals.keySet.toSeq.sorted)
+    rows.foreach { case (prio, n, p50, mad, nOut) =>
+      val v = vals(prio)
+      assert(n == v.size.toLong, s"$prio n")
+      assert(p50 == medMilli(v), s"$prio median")
+      val devs = v.map(x => math.abs(x * 10 - p50)).sorted
+      assert(mad == medMilli(devs), s"$prio mad") // devs already milli: ×10 shift
+      val wantOut = devs.count(_ * 10 > 5 * mad).toLong
+      assert(nOut == wantOut, s"$prio fence count")
+      // the fence is meaningful on this corpus: MAD positive, outliers
+      // a strict minority
+      assert(mad > 0 && nOut < n / 2, s"$prio degenerate")
+    }
+  }
+
+  test("s20 centroid drift: pair matrix matches a local int8-centroid recompute") {
+    val got = LlmQueries.s20CentroidDrift(spark, TestSpark.Sf)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2))
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+      .select("label", "embedding").as[(String, Array[Float])].collect()
+    // s04's exact quantization rule, then milli-mean centroids
+    def quant(v: Array[Float]): Array[Long] = {
+      val amax = if (v.isEmpty) 0.0 else v.map(x => math.abs(x.toDouble)).max
+      if (amax <= 0) Array.fill(v.length)(0L)
+      else v.map(x => math.floor(x.toDouble * 127.0 / amax + 0.5).toLong)
+    }
+    val byLabel = emb.groupBy(_._1).view.mapValues(_.map(v => quant(v._2)))
+    val cents = byLabel.mapValues { qs =>
+      val n = qs.size.toLong
+      val dims = qs.head.length
+      (n, Array.tabulate(dims) { d =>
+        val s = qs.map(_(d)).sum
+        ((s + 127 * n) * 1000) / n - 127000 // nonneg division: / == div
+      })
+    }.toMap
+    val labels = cents.keySet.toSeq.sorted
+    val wantPairs = for {
+      a <- labels; b <- labels if a < b
+    } yield {
+      val (na, ca) = cents(a); val (nb, cb) = cents(b)
+      val dot = ca.zip(cb).map { case (x, y) => x * y }.sum
+      val n2a = ca.map(x => x * x).sum; val n2b = cb.map(x => x * x).sum
+      val cos2 = (BigInt(dot) * dot * 1000000 / (BigInt(n2a) * n2b)).toLong
+      (a, b, na, nb, dot, cos2, dot.sign.toLong)
+    }
+    assert(got.toSeq == wantPairs, "pair matrix != local recompute")
+    // evidence the metric discriminates: all pairs in [0, 1e6], and on
+    // label-clustered synthetic embeddings not every pair is identical
+    assert(got.forall(r => r._6 >= 0 && r._6 <= 1000000L))
+    assert(got.map(_._6).distinct.length > 1, "cos² constant across pairs")
+  }
+
   test("SavingsLedger: per-label idempotent append, trend deltas vs previous run") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ledger").toString
     def frame(saved: Long) = Seq(

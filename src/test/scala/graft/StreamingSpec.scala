@@ -701,6 +701,83 @@ class StreamingSpec extends AnyFunSuite {
     try { input2.addData(docs: _*); q2.processAllAvailable() } finally q2.stop()
   }
 
+  test("benford monitor: report after each batch equals batch q93 arithmetic on the prefix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cents = Tables.orders(spark, TestSpark.Sf)
+      .select((col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .as[Long].collect().toSeq.sorted
+
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[(Long, Long, Long, Long, Long, Long, Long)])]
+    val sink = EventStream.benfordForeachBatch() { (r, id) =>
+      emitted += ((id, r.as[(Long, Long, Long, Long, Long, Long, Long)]
+        .collect().toSeq.sortBy(_._1)))
+    }
+    val input = MemoryStream[Long]
+    val query = input.toDF().toDF("cents")
+      .writeStream.foreachBatch(sink).outputMode("append").start()
+    val batches = cents.grouped(500).toSeq
+    try {
+      batches.foreach { b => input.addData(b: _*); query.processAllAvailable() }
+    } finally query.stop()
+    assert(emitted.size == batches.size)
+
+    // reference: q93's exact integer rules over the prefix histogram
+    def expect(prefix: Seq[Long]): Seq[(Long, Long, Long, Long, Long, Long, Long)] = {
+      val h = prefix.filter(_ > 0)
+        .groupBy(c => c.toString.head.toString.toLong)
+        .view.mapValues(_.size.toLong).toMap
+      val total = h.values.sum
+      val rows = AnalyticsQueries.benfordExpPpm.map { case (d, exp) =>
+        val cnt = h.getOrElse(d, 0L)
+        val obs = if (total > 0) cnt * 1000000L / total else 0L
+        (d, cnt, total, obs, exp, math.abs(obs - exp))
+      }
+      val tv = rows.map(_._6).sum / 2
+      rows.map { case (d, c, n, o, e, v) => (d, c, n, o, e, v, tv) }
+    }
+    var prefix = Seq.empty[Long]
+    batches.zipWithIndex.foreach { case (b, i) =>
+      prefix = prefix ++ b
+      assert(emitted(i)._2 == expect(prefix), s"batch $i diverged")
+    }
+
+    // full-stream end state equals the oracled batch q93 over orders
+    val want = AnalyticsQueries.q93Benford(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq.sortBy(_._1)
+    assert(emitted.last._2 == want, "end state != batch q93")
+
+    // replayed batch id re-emits without re-folding (counts would
+    // double otherwise — the alphaMix exactly-once guard)
+    val before = emitted.size
+    sink(spark.createDataset(batches.last).toDF("cents"),
+      (batches.size - 1).toLong)
+    assert(emitted.size == before + 1 && emitted.last._2 == want,
+      "replayed batch id must re-emit the same frame, not double-count")
+
+    // seeded resume: folding the second half on top of the first
+    // half's histogram lands on the same end state
+    val firstHalf = cents.take(cents.size / 2)
+    val seedHist = firstHalf.filter(_ > 0)
+      .groupBy(c => c.toString.head.toString.toLong)
+      .view.mapValues(_.size.toLong).toMap
+    var seededLast: Seq[(Long, Long, Long, Long, Long, Long, Long)] = Nil
+    val seededSink = EventStream.benfordForeachBatch(seedHist) { (r, _) =>
+      seededLast = r.as[(Long, Long, Long, Long, Long, Long, Long)]
+        .collect().toSeq.sortBy(_._1)
+    }
+    val input2 = MemoryStream[Long]
+    val q2 = input2.toDF().toDF("cents")
+      .writeStream.foreachBatch(seededSink).outputMode("append").start()
+    try {
+      input2.addData(cents.drop(cents.size / 2): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(seededLast == want, "seeded resume != full-history end state")
+  }
+
   test("lang-budget service: frame after each batch equals batch t31 on the prefix") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
