@@ -2514,6 +2514,128 @@ object AnalyticsQueries {
       |FROM m JOIN md USING (priority) JOIN o USING (priority)
       |ORDER BY priority""".stripMargin
 
+  /** #255 (q96): k-anonymity / l-diversity audit — the
+    * re-identification governance report (Sweeney 2002; Machanavajjhala
+    * et al. 2007): per quasi-identifier group (market segment ×
+    * nation), the group size n, the count of DISTINCT sensitive values
+    * (account-balance cents — l-diversity's l), an `at_risk` bit for
+    * groups under k=10 (a record in such a group is re-identifiable by
+    * its QI combination alone), and the corpus-wide rows-at-risk total
+    * carried on every row (window over the QI-bounded frame, q93's
+    * one-scan idiom — never an agg+crossJoin lineage that rescans the
+    * fact per consumer). ONE scan of customer into a
+    * |segments|×|nations| frame (configuration-bounded however large
+    * the table); the count-distinct is exact and map-side partial.
+    * Fully oracled. */
+  def q96KanonAudit: Q = (spark, dir) => {
+    val g = Tables.customer(spark, dir)
+      .select(col("c_mktsegment").as("segment"),
+        col("c_nationkey").as("nationkey"),
+        Exact.e(col("c_acctbal"), 2).cast(LongType).as("bal_cents"))
+      .groupBy("segment", "nationkey")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("bal_cents")).as("l_distinct"))
+      .withColumn("at_risk", (col("n") < 10).cast(LongType))
+    val nat = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("nationkey"), col("n_name").as("nation"))
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.join(broadcast(nat), Seq("nationkey"))
+      .withColumn("rows_at_risk_total",
+        sum(when(col("at_risk") === 1, col("n")).otherwise(lit(0L))).over(wAll))
+      .select("segment", "nation", "n", "l_distinct", "at_risk",
+        "rows_at_risk_total")
+      .orderBy("segment", "nation")
+  }
+
+  val q96Sql: String =
+    """WITH g AS (
+      |  SELECT c_mktsegment AS segment, c_nationkey AS nationkey,
+      |         CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS l_distinct
+      |  FROM customer GROUP BY 1, 2),
+      |f AS (
+      |  SELECT segment, n_name AS nation, n, l_distinct,
+      |         CAST(CASE WHEN n < 10 THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+      |  FROM g JOIN nation ON n_nationkey = nationkey),
+      |t AS (SELECT CAST(COALESCE(SUM(CASE WHEN at_risk = 1 THEN n END), 0) AS BIGINT) AS rows_at_risk_total FROM f)
+      |SELECT segment, nation, n, l_distinct, at_risk, rows_at_risk_total
+      |FROM f CROSS JOIN t
+      |ORDER BY segment, nation""".stripMargin
+
+  /** q97's kernel over any (child, parent) key pair — split out so
+    * specs can plant orphaned fixtures (TPC-H referential integrity
+    * holds by construction, so the corpus orphan counts are
+    * legitimately 0; the census columns carry the corpus evidence —
+    * the m04/t40 lesson). One row: n_child, n_child_keys, n_orphans,
+    * orphan_ppm. The left-anti probe shuffles on the key like the
+    * production join it is pre-flighting. */
+  private[graft] def fkOrphansOf(rel: String, child: DataFrame,
+      childKey: String, parent: DataFrame, parentKey: String): DataFrame = {
+    val c = child.select(col(childKey).as("k"))
+    val p = parent.select(col(parentKey).as("pk")).distinct()
+    val census = c.agg(count(lit(1)).as("n_child"),
+      countDistinct(col("k")).as("n_child_keys"))
+    val orphans = c.join(p, col("k") === col("pk"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    census.crossJoin(broadcast(orphans))
+      .select(lit(rel).as("relation"), col("n_child"), col("n_child_keys"),
+        col("n_orphans"),
+        expr("n_orphans * 1000000 div n_child").as("orphan_ppm"))
+  }
+
+  /** #256 (q97): referential-integrity orphan audit — the pre-flight
+    * every warehouse join deserves (q60 checks VALUE expectations,
+    * q66 compares replicas; this checks the FK graph itself): for
+    * each declared child→parent edge of the TPC-H schema, the child
+    * row count, distinct child keys, orphan rows (no matching
+    * parent) and orphan ppm. Four left-anti probes, each shuffling
+    * on exactly the key the production join would — the audit's cost
+    * IS the join's dry run, minus the payload columns (key-only
+    * projections reach the scans). Fully oracled (NOT EXISTS). */
+  def q97FkOrphans: Q = (spark, dir) => {
+    val li = Tables.lineitem(spark, dir)
+    fkOrphansOf("lineitem.orderkey->orders", li, "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey")
+      .unionByName(fkOrphansOf("lineitem.partkey->part", li, "l_partkey",
+        Tables.part(spark, dir), "p_partkey"))
+      .unionByName(fkOrphansOf("lineitem.suppkey->supplier", li, "l_suppkey",
+        Tables.supplier(spark, dir), "s_suppkey"))
+      .unionByName(fkOrphansOf("orders.custkey->customer",
+        Tables.orders(spark, dir), "o_custkey",
+        Tables.customer(spark, dir), "c_custkey"))
+      .orderBy("relation")
+  }
+
+  val q97Sql: String =
+    """WITH e AS (
+      |  SELECT 'lineitem.orderkey->orders' AS relation,
+      |         CAST(COUNT(*) AS BIGINT) AS n_child,
+      |         CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_child_keys,
+      |         CAST(SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey) THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem.partkey->part',
+      |         CAST(COUNT(*) AS BIGINT),
+      |         CAST(COUNT(DISTINCT l_partkey) AS BIGINT),
+      |         CAST(SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey) THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem.suppkey->supplier',
+      |         CAST(COUNT(*) AS BIGINT),
+      |         CAST(COUNT(DISTINCT l_suppkey) AS BIGINT),
+      |         CAST(SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey) THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'orders.custkey->customer',
+      |         CAST(COUNT(*) AS BIGINT),
+      |         CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+      |         CAST(SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey) THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM orders)
+      |SELECT relation, n_child, n_child_keys, n_orphans,
+      |       CAST(n_orphans * 1000000 // n_child AS BIGINT) AS orphan_ppm
+      |FROM e ORDER BY relation""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q89_pareto" -> q89Pareto,
     "q90_assoc_rules" -> q90AssocRules,
@@ -2521,6 +2643,8 @@ object AnalyticsQueries {
     "q92_session_paths" -> q92SessionPaths,
     "q93_benford" -> q93Benford,
     "q95_mad_outliers" -> q95MadOutliers,
+    "q96_kanon_audit" -> q96KanonAudit,
+    "q97_fk_orphans" -> q97FkOrphans,
     "q65_rolling_distinct" -> q65RollingDistinct,
     "q50_window_stats" -> q50WindowStats,
     "q51_interval_sweep" -> q51IntervalSweep,
@@ -2579,6 +2703,8 @@ object AnalyticsQueries {
     "q92_session_paths" -> q92Sql,
     "q93_benford" -> q93Sql,
     "q95_mad_outliers" -> q95Sql,
+    "q96_kanon_audit" -> q96Sql,
+    "q97_fk_orphans" -> q97Sql,
     "q50_window_stats" -> q50Sql,
     "q51_interval_sweep" -> q51Sql,
     "q52_ewma" -> q52Sql,

@@ -317,6 +317,55 @@ object LlmQueries {
        |FROM c JOIN tok ON c.id = tok.doc_id
        |GROUP BY comp ORDER BY comp""".stripMargin
 
+  /** #257 (d40): cluster-size distribution — the shape report behind
+    * every dedup governance number (d28 prices tokens, d36 scores
+    * quality; this answers "is the corpus a sea of singletons with a
+    * few mega-clusters, or uniformly pairy?" — the histogram that
+    * decides whether transitive clustering is even appropriate, since
+    * one giant chained cluster is exactly d36's fragile-chain
+    * pathology at a glance). Per distinct cluster size: how many
+    * clusters and how many docs; plus the size-1 row for UNCLUSTERED
+    * docs (corpus total − clustered — a complement count, not a scan
+    * of the cluster table's absences). Reads the STAGED cluster table
+    * (never recomputes pairs); output is bounded by the distinct-size
+    * domain. Fully oracled (the oracle recomputes d06's recursive
+    * components inline). */
+  def d40ClusterSizes: Q = (spark, dir) => {
+    val sizes = clusters(spark, dir)
+      .groupBy("comp").agg(count(lit(1)).as("sz"))
+    val hist = sizes.groupBy(col("sz").as("size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum("sz").cast("long").as("n_docs"))
+    val nTotal = Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("n_corpus"))
+    val clustered = sizes.agg(
+      coalesce(sum("sz"), lit(0L)).cast("long").as("n_clustered"))
+    val singles = nTotal.crossJoin(broadcast(clustered))
+      .select(lit(1L).as("size"),
+        (col("n_corpus") - col("n_clustered")).as("n_clusters"),
+        (col("n_corpus") - col("n_clustered")).as("n_docs"))
+    // comps always have >= 2 members (they come from pairs), so the
+    // size-1 row never collides with a histogram row
+    hist.unionByName(singles).orderBy("size")
+  }
+
+  // lazy: embeds d06Sql (defined textually below)
+  lazy val d40Sql: String =
+    s"""WITH c AS ($d06Sql),
+       |sizes AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS sz FROM c GROUP BY 1),
+       |h AS (
+       |  SELECT sz AS size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |         CAST(SUM(sz) AS BIGINT) AS n_docs
+       |  FROM sizes GROUP BY 1),
+       |s AS (
+       |  SELECT CAST(1 AS BIGINT) AS size,
+       |         CAST((SELECT COUNT(*) FROM documents) - COALESCE((SELECT SUM(sz) FROM sizes), 0) AS BIGINT) AS n_clusters,
+       |         CAST((SELECT COUNT(*) FROM documents) - COALESCE((SELECT SUM(sz) FROM sizes), 0) AS BIGINT) AS n_docs)
+       |SELECT size, n_clusters, n_docs FROM h
+       |UNION ALL
+       |SELECT size, n_clusters, n_docs FROM s
+       |ORDER BY size""".stripMargin
+
   /** #173 (d29): STAGE-GRANULAR dedup savings — d28 prices the
     * near-dup purge as one number; the planning question a corpus
     * owner actually asks is "which dedup stage buys what?" (exact
@@ -2740,6 +2789,7 @@ object LlmQueries {
     "d37_cluster_recut" -> d37ClusterRecut,
     "d38_soft_dedup_weights" -> d38SoftDedupWeights,
     "d39_review_queue" -> d39ReviewQueue,
+    "d40_cluster_sizes" -> d40ClusterSizes,
     "d26_incremental_clusters" -> d26IncrementalClusters,
     "d07_embed_neardup_lsh" -> d07EmbedNearDupLsh,
     "d13_semdedup" -> d13SemDedup,
@@ -2809,6 +2859,7 @@ object LlmQueries {
     "d37_cluster_recut" -> d37Sql,
     "d38_soft_dedup_weights" -> d38Sql,
     "d39_review_queue" -> d39Sql,
+    "d40_cluster_sizes" -> d40Sql,
     // incremental ≡ full: the oracle IS the from-scratch d06 SQL
     "d26_incremental_clusters" -> d06Sql,
     "s01_ann_bruteforce" -> s01Sql,

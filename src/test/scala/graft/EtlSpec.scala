@@ -516,6 +516,64 @@ class EtlSpec extends AnyFunSuite {
     assert(got.map(_._6).distinct.length > 1, "cos² constant across pairs")
   }
 
+  test("q96 k-anonymity: groups, l-diversity and risk totals match a local recompute") {
+    val got = AnalyticsQueries.q96KanonAudit(spark, TestSpark.Sf)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2))
+    val cust = Tables.customer(spark, TestSpark.Sf)
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        Exact.e(col("c_acctbal"), 2).cast("long"))
+      .as[(String, Long, Long)].collect()
+    val nations = Tables.nation(spark, TestSpark.Sf)
+      .selectExpr("n_nationkey", "n_name").as[(Long, String)].collect().toMap
+    val want = cust.groupBy(c => (c._1, nations(c._2))).map { case ((seg, nat), rows) =>
+      (seg, nat, rows.length.toLong, rows.map(_._3).distinct.length.toLong,
+        if (rows.length < 10) 1L else 0L)
+    }.toSeq.sortBy(r => (r._1, r._2))
+    val riskTotal = want.filter(_._5 == 1L).map(_._3).sum
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._5)).toSeq == want)
+    assert(got.forall(_._6 == riskTotal), "rows_at_risk_total inconsistent")
+    // the QI frame is configuration-bounded: |segments| x |nations|
+    assert(got.length <= 5 * 25)
+  }
+
+  test("q97 FK audit: census columns carry corpus evidence; planted orphans are counted") {
+    val rows = AnalyticsQueries.q97FkOrphans(spark, TestSpark.Sf)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.length == 4)
+    // TPC-H referential integrity holds by construction — the zeros
+    // are the RIGHT answer, and the census columns are the evidence
+    assert(rows.forall(r => r._2 > 0 && r._3 > 0), "census empty")
+    assert(rows.forall(r => r._4 == 0L && r._5 == 0L), "TPC-H has no orphans")
+    // nonzero path via the kernel on a planted fixture: 3 of 5 child
+    // rows reference a missing parent
+    val child = Seq(1L, 1L, 2L, 7L, 9L).toDF("k")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val Array((rel, n, nk, orph, ppm)) =
+      AnalyticsQueries.fkOrphansOf("fixture", child, "k", parent, "pk")
+        .as[(String, Long, Long, Long, Long)].collect()
+    assert((rel, n, nk, orph) == ("fixture", 5L, 4L, 2L))
+    assert(ppm == 2L * 1000000L / 5L)
+  }
+
+  test("d40 cluster sizes: histogram conserves the corpus and matches the cluster table") {
+    val rows = LlmQueries.d40ClusterSizes(spark, TestSpark.Sf)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // every row internally consistent: n_docs = size * n_clusters
+    rows.foreach { case (size, nc, nd) =>
+      assert(nd == size * nc, s"size $size: $nd != $size*$nc")
+    }
+    // mass conservation: all docs accounted for exactly once
+    val corpus = Tables.documents(spark, TestSpark.Sf).count()
+    assert(rows.map(_._3).sum == corpus, "histogram loses/duplicates docs")
+    // clustered mass agrees with the staged cluster table directly
+    val clustered = LlmQueries.pairGraph(spark, TestSpark.Sf) // warm stage
+    val fromTable = LlmQueries.d06DedupClusters(spark, TestSpark.Sf).count()
+    assert(rows.filter(_._1 >= 2).map(_._3).sum == fromTable)
+    // real clusters exist on this corpus (not an evidence-free report)
+    assert(rows.exists(r => r._1 >= 2 && r._2 > 0))
+  }
+
   test("SavingsLedger: per-label idempotent append, trend deltas vs previous run") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ledger").toString
     def frame(saved: Long) = Seq(
