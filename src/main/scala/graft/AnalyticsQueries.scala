@@ -2636,6 +2636,71 @@ object AnalyticsQueries {
       |       CAST(n_orphans * 1000000 // n_child AS BIGINT) AS orphan_ppm
       |FROM e ORDER BY relation""".stripMargin
 
+  /** #258 (q98): weighted median — the order statistic a
+    * unit-weighted median silently gets wrong whenever rows carry
+    * unequal mass (a revenue-weighted latency, a quantity-weighted
+    * price): the median UNIT OF WEIGHT, i.e. the exact interpolated
+    * median of the multiset where each row repeats `weight` times —
+    * computed WITHOUT expansion by feeding integer weights as the
+    * histogram counts of the q29 kernel
+    * ([[graft.functions.ExactPercentile.quantilesOfCounts]] never
+    * materializes a row per unit; the expansion exists only in the
+    * rank arithmetic). Per return flag: quantity-weighted median
+    * price beside the unweighted median (the comparison IS the
+    * report — how much do big-lot prices differ from per-line
+    * prices). ONE corpus scan builds one histogram carrying both
+    * count columns; everything after is domain-bounded. Fully
+    * oracled — the weighted side replicates the integer rank pick
+    * (cum-weight windows + neighbor interpolation) in SQL, the
+    * unweighted side is quantile_cont. */
+  def q98WeightedMedian: Q = (spark, dir) => {
+    import graft.functions.ExactPercentile, ExactPercentile.Pct
+    val h = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        Exact.e(col("l_extendedprice"), 2).cast(LongType).as("v"),
+        col("l_quantity").cast(LongType).as("w"))
+      .groupBy("l_returnflag", "v")
+      .agg(sum("w").cast(LongType).as("wsum"), count(lit(1)).as("rows"))
+      .localCheckpoint() // one corpus scan feeds both rank passes
+    val wmed = ExactPercentile.quantilesOfCounts(
+      h.select(col("l_returnflag"), col("v"), col("wsum").as("cnt")),
+      Seq("l_returnflag"), valPow = 2, outPow = 3,
+      Seq(Pct("wmedian_price_milli", 1, 2)))
+    val med = ExactPercentile.quantilesOfCounts(
+      h.select(col("l_returnflag"), col("v"), col("rows").as("cnt")),
+      Seq("l_returnflag"), valPow = 2, outPow = 3,
+      Seq(Pct("median_price_milli", 1, 2)))
+    wmed.join(med, Seq("l_returnflag"))
+      .select("l_returnflag", "wmedian_price_milli", "median_price_milli")
+      .orderBy("l_returnflag")
+  }
+
+  val q98Sql: String =
+    """WITH b AS (
+      |  SELECT l_returnflag AS f,
+      |         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+      |         CAST(l_quantity AS BIGINT) AS w
+      |  FROM lineitem),
+      |h AS (SELECT f, v, CAST(SUM(w) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+      |r AS (
+      |  SELECT f, v, c,
+      |         SUM(c) OVER (PARTITION BY f ORDER BY v) AS cum,
+      |         SUM(c) OVER (PARTITION BY f) AS n
+      |  FROM h),
+      |lo AS (SELECT f, MIN(v) AS vlo FROM r WHERE cum > (n - 1) // 2 GROUP BY 1),
+      |hi AS (SELECT f, MIN(v) AS vhi FROM r WHERE cum > (n - 1) // 2 + (n - 1) % 2 GROUP BY 1),
+      |par AS (SELECT f, MAX(n) % 2 AS even0 FROM r GROUP BY 1),
+      |wm AS (
+      |  SELECT lo.f,
+      |         CAST(vlo * 10 + (1 - even0) * (vhi - vlo) * 5 AS BIGINT) AS wmedian_price_milli
+      |  FROM lo JOIN hi ON lo.f = hi.f JOIN par ON par.f = lo.f),
+      |um AS (
+      |  SELECT f, CAST(FLOOR(quantile_cont(v, 0.5) * 10 + 0.5) AS BIGINT) AS median_price_milli
+      |  FROM b GROUP BY 1)
+      |SELECT wm.f AS l_returnflag, wmedian_price_milli, median_price_milli
+      |FROM wm JOIN um ON wm.f = um.f
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q89_pareto" -> q89Pareto,
     "q90_assoc_rules" -> q90AssocRules,
@@ -2645,6 +2710,7 @@ object AnalyticsQueries {
     "q95_mad_outliers" -> q95MadOutliers,
     "q96_kanon_audit" -> q96KanonAudit,
     "q97_fk_orphans" -> q97FkOrphans,
+    "q98_weighted_median" -> q98WeightedMedian,
     "q65_rolling_distinct" -> q65RollingDistinct,
     "q50_window_stats" -> q50WindowStats,
     "q51_interval_sweep" -> q51IntervalSweep,
@@ -2705,6 +2771,7 @@ object AnalyticsQueries {
     "q95_mad_outliers" -> q95Sql,
     "q96_kanon_audit" -> q96Sql,
     "q97_fk_orphans" -> q97Sql,
+    "q98_weighted_median" -> q98Sql,
     "q50_window_stats" -> q50Sql,
     "q51_interval_sweep" -> q51Sql,
     "q52_ewma" -> q52Sql,
