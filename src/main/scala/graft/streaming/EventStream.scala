@@ -500,6 +500,172 @@ object EventStream {
     }
   }
 
+  /** Streaming FK-orphan gate (#259) — q97's streaming twin, run as a
+    * GATE rather than a post-hoc audit: every arriving child row is
+    * checked against the static parent key set BEFORE it enters the
+    * warehouse, via a stream-static left join on exactly the key the
+    * production join would shuffle on (parent side distinct'd and
+    * key-only, so Spark broadcasts it when small — the #51 pattern).
+    * Two emissions per batch: the GATED batch frame (every input
+    * column + an `is_orphan` bit — verdicts are a stateless
+    * projection of batch × static, so a replayed batch re-derives
+    * them identically, the #164/#251 contract), and the running
+    * audit row. Audit state = TWO Longs (n_child, n_orphans) plus
+    * one HLL register set for distinct child keys (driver-held
+    * kilobytes, the #185 contract): after batch k the counters
+    * reproduce batch q97's integer arithmetic over the prefix
+    * BIT-IDENTICALLY (n_child / n_orphans / orphan_ppm), and
+    * `n_child_keys_est` equals the equal-lgK batch sketch over the
+    * same prefix (register-identical however batched — the
+    * q71-pinned union identity; an EXACT streaming distinct census
+    * would need unbounded key state, which is the point of the
+    * sketch). Replayed batch ids re-emit without re-folding (counts
+    * are not idempotent — the alphaMix guard; the HLL union would
+    * tolerate it, the counters would not). */
+  def fkGateForeachBatch(rel: String, parent: DataFrame, parentKey: String,
+      childKey: String)(
+      onGated: (DataFrame, DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    var nChild = 0L
+    var nOrphans = 0L
+    var sketch: Option[Array[Byte]] = None
+    var lastBatch = -1L
+    val pKeys = parent.select(col(parentKey).as("__graft_pk")).distinct()
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val gated = batch
+        .join(pKeys, batch(childKey) === col("__graft_pk"), "left_outer")
+        .withColumn("is_orphan", col("__graft_pk").isNull.cast("long"))
+        .drop("__graft_pk")
+      if (batchId > lastBatch) {
+        val (bn, bo, bsk) = gated
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum("is_orphan"), lit(0L)).as("o"),
+            hll_sketch_agg(col(childKey)).as("sk"))
+          .as[(Long, Long, Array[Byte])].collect().head
+        nChild += bn
+        nOrphans += bo
+        Option(bsk).foreach { b =>
+          sketch = Some(sketch match {
+            case None => b
+            case Some(prev) => Seq(prev, b).toDF("sk")
+              .agg(hll_union_agg(col("sk"))).as[Array[Byte]].collect().head
+          })
+        }
+        lastBatch = batchId
+      }
+      val est = sketch.map { sk =>
+        Seq(sk).toDF("sk").select(hll_sketch_estimate(col("sk")))
+          .as[Long].collect().head
+      }.getOrElse(0L)
+      // positive operands: JVM `/` truncation ≡ Spark `div` (q97)
+      val ppm = if (nChild > 0) nOrphans * 1000000L / nChild else 0L
+      val report = Seq((rel, nChild, est, nOrphans, ppm))
+        .toDF("relation", "n_child", "n_child_keys_est", "n_orphans",
+          "orphan_ppm")
+      onGated(gated, report, batchId)
+    }
+  }
+
+  /** Streaming k-anonymity monitor (#260) — q96's streaming twin: as
+    * person-records arrive (any frame with `segment` STRING,
+    * `nationkey` BIGINT, `bal_cents` BIGINT columns), serve the
+    * refreshed re-identification report continuously. Two pieces of
+    * state, each matched to its scale (the #190 contract): the
+    * QI-group → n histogram is configuration-scale
+    * (|segments|×|nations|) and driver-held; the l-diversity SUPPORT
+    * SET — distinct (segment, nationkey, bal_cents) triples — is
+    * value-domain-scale, so it lives as versioned parquet under
+    * `stateDir`: each batch reads state v(k−1), unions its own
+    * distinct triples, and writes v(k) (never a read-then-overwrite
+    * of the same files). Distinct-union is lossless, so after batch
+    * k the emitted report is BIT-IDENTICAL to batch q96's arithmetic
+    * over the stream prefix (spec-pinned per batch AND vs the
+    * oracled batch q96 at end state). Restart-safe like #190: both
+    * state halves are `_SUCCESS`-gated and versioned by batch id,
+    * and the first invocation after a JVM restart adopts the highest
+    * fully-committed version — exactly the moment Structured
+    * Streaming redelivers the last uncommitted batch. Replayed batch
+    * ids re-emit from current state without re-folding. */
+  def kanonForeachBatch(stateDir: String, nation: DataFrame)(
+      onReport: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    val grpCounts = scala.collection.mutable.Map.empty[(String, Long), Long]
+    var triDir: Option[String] = None
+    var lastBatch = -1L
+    var recovered = false
+    var natNames: Map[Long, String] = null
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      if (natNames == null)
+        natNames = nation
+          .select(col("n_nationkey").cast("long"), col("n_name"))
+          .as[(Long, String)].collect().toMap
+      if (!recovered) {
+        // post-restart resume: adopt the highest version whose triple
+        // state AND group histogram both committed (a crash between
+        // the two writes falls back to the previous version, and the
+        // redelivered batch re-folds — convergent either way)
+        val root = new org.apache.hadoop.fs.Path(stateDir)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(root)) {
+          val committed = fs.listStatus(root).map(_.getPath.getName)
+            .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
+            .filter { v =>
+              fs.exists(new org.apache.hadoop.fs.Path(root, s"v$v/_SUCCESS")) &&
+                fs.exists(new org.apache.hadoop.fs.Path(root, s"grp_v$v/_SUCCESS"))
+            }
+          if (committed.nonEmpty) {
+            val v = committed.max
+            triDir = Some(s"$stateDir/v$v")
+            lastBatch = v
+            spark.read.parquet(s"$stateDir/grp_v$v")
+              .as[(String, Long, Long)].collect()
+              .foreach { case (s, nk, n) => grpCounts((s, nk)) = n }
+          }
+        }
+        recovered = true
+      }
+      if (batchId > lastBatch) {
+        val cur = batch.select(col("segment"),
+          col("nationkey").cast("long").as("nationkey"),
+          col("bal_cents").cast("long").as("bal_cents"))
+        val merged = triDir
+          .map(d => spark.read.parquet(d).unionByName(cur))
+          .getOrElse(cur).distinct()
+        merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        cur.groupBy("segment", "nationkey").agg(count(lit(1)).as("n"))
+          .as[(String, Long, Long)].collect()
+          .foreach { case (s, nk, n) =>
+            grpCounts((s, nk)) = grpCounts.getOrElse((s, nk), 0L) + n }
+        grpCounts.toSeq.map { case ((s, nk), n) => (s, nk, n) }
+          .toDF("segment", "nationkey", "n")
+          .write.mode("overwrite").parquet(s"$stateDir/grp_v$batchId")
+        triDir = Some(s"$stateDir/v$batchId")
+        lastBatch = batchId
+      }
+      // report: l_distinct from the committed triple state (a
+      // distributed groupBy reducing to ≤|QI| rows), the rest in
+      // driver arithmetic over the configuration-scale histogram —
+      // batch q96's exact integer rules
+      val lDist = triDir.map { d =>
+        spark.read.parquet(d).groupBy("segment", "nationkey")
+          .agg(count(lit(1)).as("l")).as[(String, Long, Long)].collect()
+          .map { case (s, nk, l) => ((s, nk), l) }.toMap
+      }.getOrElse(Map.empty[(String, Long), Long])
+      val rows = grpCounts.toSeq.map { case ((s, nk), n) =>
+        (s, natNames(nk), n, lDist.getOrElse((s, nk), 0L),
+          if (n < 10) 1L else 0L)
+      }.sortBy(r => (r._1, r._2))
+      val atRiskTotal = rows.filter(_._5 == 1L).map(_._3).sum
+      val out = rows
+        .map { case (s, nm, n, l, ar) => (s, nm, n, l, ar, atRiskTotal) }
+        .toDF("segment", "nation", "n", "l_distinct", "at_risk",
+          "rows_at_risk_total")
+      onReport(out, batchId)
+    }
+  }
+
   /** Streaming language-budget service (#190) — t31's streaming twin:
     * serve the per-language budget frame (t26 α-weights ⨯ t28-kernel
     * coverage points) continuously as documents stream in. Two pieces

@@ -778,6 +778,151 @@ class StreamingSpec extends AnyFunSuite {
     assert(seededLast == want, "seeded resume != full-history end state")
   }
 
+  test("fk orphan gate: verdicts match set membership, audit equals batch q97 arithmetic on the prefix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val customer = Tables.customer(spark, TestSpark.Sf)
+    val custKeys = customer.select(col("c_custkey").cast("long"))
+      .as[Long].collect().toSet
+    val orders = Tables.orders(spark, TestSpark.Sf)
+      .select(col("o_orderkey").cast("long").as("id"),
+        col("o_custkey").cast("long").as("k"))
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    // planted orphans: child keys guaranteed absent from the parent
+    // (TPC-H referential integrity holds by construction, so the
+    // corpus alone would exercise only the clean path — the q97
+    // census-evidence lesson)
+    val maxKey = custKeys.max
+    val planted = (1L to 7L).map(i => (-i, maxKey + i))
+    val rows = orders ++ planted
+
+    val emittedGate = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Map[Long, Long])]
+    val emittedAudit = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, (String, Long, Long, Long, Long))]
+    val sink = EventStream.fkGateForeachBatch("orders.custkey->customer",
+        customer, "c_custkey", "k") { (g, r, id) =>
+      emittedGate += ((id,
+        g.select("id", "is_orphan").as[(Long, Long)].collect().toMap))
+      emittedAudit += ((id,
+        r.as[(String, Long, Long, Long, Long)].collect().head))
+    }
+    val input = MemoryStream[(Long, Long)]
+    val query = input.toDF().toDF("id", "k")
+      .writeStream.foreachBatch(sink).outputMode("append").start()
+    val batches = rows.grouped(rows.size / 3 + 1).toSeq
+    try {
+      batches.foreach { b => input.addData(b: _*); query.processAllAvailable() }
+    } finally query.stop()
+    assert(emittedGate.size == batches.size)
+
+    // per-row verdicts = parent-set membership (planted orphans
+    // flagged, corpus rows clean), batch by batch
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val got = emittedGate(i)._2
+      assert(got.size == b.size, s"gated frame lost/gained rows at batch $i")
+      b.foreach { case (id, k) =>
+        assert(got(id) == (if (custKeys(k)) 0L else 1L), s"verdict for $id")
+      }
+    }
+    assert(emittedGate.flatMap(_._2.values).sum == 7L,
+      "exactly the planted orphans must be flagged")
+
+    // audit counters = batch q97 integer arithmetic over the prefix
+    var nc = 0L
+    var no = 0L
+    batches.zipWithIndex.foreach { case (b, i) =>
+      nc += b.size
+      no += b.count { case (_, k) => !custKeys(k) }
+      val (_, gn, _, go, gp) = emittedAudit(i)._2
+      assert((gn, go, gp) == (nc, no, no * 1000000L / nc), s"audit at batch $i")
+    }
+
+    // distinct-keys estimate = the equal-lgK batch sketch over the
+    // same prefix (register-identical union, the q71-pinned identity)
+    val wantEst = spark.createDataset(rows.map(_._2)).toDF("k")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("k"))))
+      .as[Long].collect().head
+    assert(emittedAudit.last._2._3 == wantEst,
+      "HLL key census diverged from the batch sketch")
+
+    // replayed batch id re-emits the same audit without re-folding
+    val before = emittedAudit.last._2
+    sink(spark.createDataset(batches.last).toDF("id", "k"),
+      (batches.size - 1).toLong)
+    assert(emittedAudit.last._2 == before,
+      "replayed batch id must re-emit, not double-count")
+  }
+
+  test("k-anon monitor: report after each batch equals batch q96 arithmetic on the prefix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cust = Tables.customer(spark, TestSpark.Sf)
+      .select(col("c_mktsegment").as("segment"),
+        col("c_nationkey").cast("long").as("nationkey"),
+        Exact.e(col("c_acctbal"), 2).cast("long").as("bal_cents"))
+      .as[(String, Long, Long)].collect().toSeq
+    val natNames = Tables.nation(spark, TestSpark.Sf)
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .as[(Long, String)].collect().toMap
+
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_kanon").toString
+    type Row6 = (String, String, Long, Long, Long, Long)
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Row6])]
+    val nationDf = Tables.nation(spark, TestSpark.Sf)
+    val sink = EventStream.kanonForeachBatch(stateDir, nationDf) { (b, id) =>
+      emitted += ((id, b.as[(String, String, Long, Long, Long, Long)].collect().toSeq))
+    }
+    val input = MemoryStream[(String, Long, Long)]
+    val query = input.toDF().toDF("segment", "nationkey", "bal_cents")
+      .writeStream.foreachBatch(sink).outputMode("append").start()
+    val batches = cust.grouped(cust.size / 3 + 1).toSeq
+    try {
+      batches.foreach { b => input.addData(b: _*); query.processAllAvailable() }
+    } finally query.stop()
+    assert(emitted.size == batches.size)
+
+    // reference: q96's exact rules over the prefix
+    def expect(prefix: Seq[(String, Long, Long)]): Seq[Row6] = {
+      val rows = prefix.groupBy(r => (r._1, r._2)).toSeq
+        .map { case ((s, nk), rs) =>
+          (s, natNames(nk), rs.size.toLong,
+            rs.map(_._3).distinct.size.toLong,
+            if (rs.size < 10) 1L else 0L)
+        }.sortBy(r => (r._1, r._2))
+      val tot = rows.filter(_._5 == 1L).map(_._3).sum
+      rows.map { case (s, nm, n, l, ar) => (s, nm, n, l, ar, tot) }
+    }
+    var prefix = Seq.empty[(String, Long, Long)]
+    batches.zipWithIndex.foreach { case (b, i) =>
+      prefix = prefix ++ b
+      assert(emitted(i)._2 == expect(prefix), s"batch $i diverged")
+    }
+
+    // full-stream end state equals the oracled batch q96
+    val want = AnalyticsQueries.q96KanonAudit(spark, TestSpark.Sf)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(emitted.last._2 == want, "end state != batch q96")
+
+    // replayed batch id re-emits from state without re-folding
+    val before = emitted.size
+    sink(spark.createDataset(batches.last).toDF("segment", "nationkey", "bal_cents"),
+      (batches.size - 1).toLong)
+    assert(emitted.size == before + 1 && emitted.last._2 == want,
+      "replayed batch id must re-emit the same report")
+
+    // restart recovery: a FRESH sink on the same stateDir adopts the
+    // committed state, and the redelivered last batch id is a no-op
+    // fold (the moment Structured Streaming redelivers after a crash)
+    var last2: Seq[Row6] = Nil
+    val sink2 = EventStream.kanonForeachBatch(stateDir, nationDf) { (b, _) =>
+      last2 = b.as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    }
+    sink2(spark.createDataset(batches.last).toDF("segment", "nationkey", "bal_cents"),
+      (batches.size - 1).toLong)
+    assert(last2 == want, "post-restart redelivery must resume, not reset")
+  }
+
   test("lang-budget service: frame after each batch equals batch t31 on the prefix") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
