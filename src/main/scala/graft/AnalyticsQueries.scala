@@ -2701,7 +2701,76 @@ object AnalyticsQueries {
       |FROM wm JOIN um ON wm.f = um.f
       |ORDER BY l_returnflag""".stripMargin
 
+  /** #261 (q99): CUSUM change-point detection — the sequential drift
+    * alarm (Page 1954) that q54's pointwise z² cannot raise: a run of
+    * individually-unremarkable days whose SUM drifts. The textbook
+    * recursion S_k = max(0, S_{k−1} + dev_k) is not a window frame —
+    * but it has a closed form over prefix aggregates:
+    * S⁺_k = P_k − min(0, min_{j≤k} P_j) and symmetrically
+    * S⁻_k = max(0, max_{j≤k} P_j) − P_k, where P is the running sum
+    * of deviations (induction: a new prefix-min resets S⁺ to exactly
+    * 0). So the whole detector is ONE corpus scan → per-(type, day)
+    * aggregate → three ordinary running windows PARTITIONED BY
+    * event_type — shuffle-partitioned on the type key, each
+    * partition |days|-bounded, nothing single-task at any corpus
+    * size. Target = each type's integer mean daily cents (two window
+    * aggs, no second scan); alarm when either side exceeds one full
+    * average day of accumulated drift. All integers — fully oracled;
+    * the spec pins the closed form against the literal recursion. */
+  def q99Cusum: Q = (spark, dir) => {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("ts").cast(DateType).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast(LongType)).as("cents"))
+    val wType = Window.partitionBy("event_type")
+    val wSeq = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      // positive operands: `div` truncation ≡ DuckDB `//`
+      .withColumn("target",
+        expr("(sum(cents) over (partition by event_type)) div " +
+          "(count(*) over (partition by event_type))"))
+      .withColumn("dev", col("cents") - col("target"))
+      .withColumn("cum", sum("dev").over(wSeq))
+      .withColumn("s_pos", col("cum") - least(min("cum").over(wSeq), lit(0L)))
+      .withColumn("s_neg",
+        greatest(max("cum").over(wSeq), lit(0L)) - col("cum"))
+      .withColumn("alarm",
+        (col("s_pos") > col("target") || col("s_neg") > col("target"))
+          .cast(LongType))
+      .select("event_type", "day", "cents", "target", "dev", "s_pos",
+        "s_neg", "alarm")
+      .orderBy("event_type", "day")
+  }
+
+  val q99Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type, day, cents,
+      |         CAST(SUM(cents) OVER (PARTITION BY event_type) //
+      |              COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS target
+      |  FROM daily),
+      |c AS (
+      |  SELECT *, cents - target AS dev,
+      |         SUM(cents - target) OVER (PARTITION BY event_type ORDER BY day
+      |                                   ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM t),
+      |s AS (
+      |  SELECT event_type, day, cents, target, dev,
+      |         CAST(cum - LEAST(MIN(cum) OVER (PARTITION BY event_type ORDER BY day
+      |                                         ROWS UNBOUNDED PRECEDING), 0) AS BIGINT) AS s_pos,
+      |         CAST(GREATEST(MAX(cum) OVER (PARTITION BY event_type ORDER BY day
+      |                                      ROWS UNBOUNDED PRECEDING), 0) - cum AS BIGINT) AS s_neg
+      |  FROM c)
+      |SELECT event_type, day, cents, target, CAST(dev AS BIGINT) AS dev,
+      |       s_pos, s_neg,
+      |       CAST(CASE WHEN s_pos > target OR s_neg > target THEN 1 ELSE 0 END AS BIGINT) AS alarm
+      |FROM s ORDER BY event_type, day""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q99_cusum" -> q99Cusum,
     "q89_pareto" -> q89Pareto,
     "q90_assoc_rules" -> q90AssocRules,
     "q91_rfm" -> q91Rfm,
@@ -2772,6 +2841,7 @@ object AnalyticsQueries {
     "q96_kanon_audit" -> q96Sql,
     "q97_fk_orphans" -> q97Sql,
     "q98_weighted_median" -> q98Sql,
+    "q99_cusum" -> q99Sql,
     "q50_window_stats" -> q50Sql,
     "q51_interval_sweep" -> q51Sql,
     "q52_ewma" -> q52Sql,

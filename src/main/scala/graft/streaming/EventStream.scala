@@ -500,6 +500,67 @@ object EventStream {
     }
   }
 
+  /** Streaming CUSUM monitor (#262) — q99's streaming twin: as value
+    * facts arrive (any frame with `event_type` STRING, `day` DATE,
+    * `cents` BIGINT columns — partial daily sums are fine, count
+    * addition is lossless), serve the refreshed sequential-drift
+    * report over the prefix-so-far. State = one Long per
+    * (event_type, day) cell — the |types| × |observed days| domain,
+    * the same bound the batch detector's post-aggregate frame has —
+    * folded per micro-batch by a distributed domain-bounded groupBy
+    * (map-side combined; the collect moves ≤ domain rows). The
+    * report re-derives from the histogram with batch q99's exact
+    * integer rules (truncating-div target, Page recursion ≡ the
+    * closed form — over the materialized domain the recursion is the
+    * cheaper arithmetic), so after batch k the frame is
+    * BIT-IDENTICAL to batch q99 over the stream prefix (spec-pinned
+    * per batch AND vs the oracled q99 at end state). NOTE the
+    * semantics CUSUM wants: a late fact retroactively shifts the
+    * whole trajectory — this twin RE-DERIVES from counters, so late
+    * arrivals are folded exactly, never dropped at a watermark.
+    * `seed` resumes from a persisted histogram; replayed batch ids
+    * re-emit without re-folding (counts are not idempotent). */
+  def cusumForeachBatch(seed: Map[(String, String), Long] = Map.empty)(
+      onReport: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    val cells = scala.collection.mutable.Map[(String, String), Long](
+      seed.toSeq: _*)
+    var lastBatch = -1L
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      if (batchId > lastBatch) {
+        batch.groupBy(col("event_type"), col("day").cast("string").as("d"))
+          .agg(sum("cents").as("__graft_c"))
+          .as[(String, String, Long)].collect()
+          .foreach { case (et, d, c) =>
+            cells((et, d)) = cells.getOrElse((et, d), 0L) + c }
+        lastBatch = batchId
+      }
+      val rows = cells.toSeq.map { case ((et, d), c) => (et, d, c) }
+        .groupBy(_._1).toSeq.flatMap { case (et, trs) =>
+          val seq = trs.sortBy(_._2)
+          // batch q99's integer rules: truncating-div mean target,
+          // then the Page recursion (≡ the closed form, pinned there)
+          val target = seq.map(_._3).sum / seq.size
+          var sp = 0L
+          var sn = 0L
+          seq.map { case (_, d, c) =>
+            val dev = c - target
+            sp = math.max(0L, sp + dev)
+            sn = math.max(0L, sn - dev)
+            (et, d, c, target, dev, sp, sn,
+              if (sp > target || sn > target) 1L else 0L)
+          }
+        }.sortBy(r => (r._1, r._2))
+      val out = rows.toDF("event_type", "d", "cents", "target", "dev",
+          "s_pos", "s_neg", "alarm")
+        .withColumn("day", col("d").cast("date"))
+        .select("event_type", "day", "cents", "target", "dev", "s_pos",
+          "s_neg", "alarm")
+      onReport(out, batchId)
+    }
+  }
+
   /** Streaming FK-orphan gate (#259) — q97's streaming twin, run as a
     * GATE rather than a post-hoc audit: every arriving child row is
     * checked against the static parent key set BEFORE it enters the

@@ -429,6 +429,36 @@ class EtlSpec extends AnyFunSuite {
     assert(rows.map(_._5).sum == 1000000L)
   }
 
+  test("q99 CUSUM: closed form equals the textbook recursion, alarms fire on the corpus") {
+    val rows = AnalyticsQueries.q99Cusum(spark, TestSpark.Sf)
+      .select(col("event_type"), col("day").cast("string"), col("cents"),
+        col("target"), col("dev"), col("s_pos"), col("s_neg"), col("alarm"))
+      .as[(String, String, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (et, trs) =>
+      val seq = trs.sortBy(_._2)
+      // target = integer mean of daily cents (truncating div)
+      val target = seq.map(_._3).sum / seq.size
+      assert(seq.forall(_._4 == target), s"$et target")
+      // literal Page recursion, both sides
+      var sp = 0L
+      var sn = 0L
+      seq.foreach { case (_, day, cents, t, dev, gotP, gotN, alarm) =>
+        assert(dev == cents - t)
+        sp = math.max(0L, sp + dev)
+        sn = math.max(0L, sn - dev)
+        assert(gotP == sp, s"$et $day s_pos: closed form $gotP != recursion $sp")
+        assert(gotN == sn, s"$et $day s_neg: closed form $gotN != recursion $sn")
+        assert(alarm == (if (sp > t || sn > t) 1L else 0L))
+      }
+    }
+    // the corpus must exercise the alarm path (census-evidence lesson)
+    assert(rows.map(_._8).sum > 0, "no alarm rows — detector unexercised")
+    assert(rows.exists(_._6 > 0) && rows.exists(_._7 > 0),
+      "one-sided corpus: both CUSUM sides should accumulate")
+  }
+
   test("q94 CM join-size estimate never undercounts and matches the exact census") {
     val Array((est, exact, over)) =
       ScaleQueries.q94JoinSizeCms(spark, TestSpark.Sf)

@@ -778,6 +778,92 @@ class StreamingSpec extends AnyFunSuite {
     assert(seededLast == want, "seeded resume != full-history end state")
   }
 
+  test("cusum monitor: report after each batch equals batch q99 on the prefix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    type R = (String, String, Long, Long, Long, Long, Long, Long)
+    val facts = Tables.events(spark, TestSpark.Sf)
+      .select(col("event_type"),
+        col("ts").cast("date").cast("string").as("day"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .as[(String, String, Long)].collect().toSeq
+
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[R])]
+    val sink = EventStream.cusumForeachBatch() { (r, id) =>
+      emitted += ((id, r.select(col("event_type"),
+        col("day").cast("string"), col("cents"), col("target"), col("dev"),
+        col("s_pos"), col("s_neg"), col("alarm")).as[(String, String, Long, Long, Long, Long, Long, Long)].collect().toSeq))
+    }
+    val input = MemoryStream[(String, String, Long)]
+    val query = input.toDF().toDF("event_type", "day", "cents")
+      .writeStream.foreachBatch(sink).outputMode("append").start()
+    // deliberately scramble so a day's facts straddle batches (partial
+    // sums must fold losslessly) and late days arrive behind newer ones
+    val scrambled = facts.zipWithIndex.sortBy { case (_, i) => i % 7 }.map(_._1)
+    val batches = scrambled.grouped(scrambled.size / 4 + 1).toSeq
+    try {
+      batches.foreach { b => input.addData(b: _*); query.processAllAvailable() }
+    } finally query.stop()
+    assert(emitted.size == batches.size)
+
+    // reference: q99's integer rules over the prefix histogram
+    def expect(prefix: Seq[(String, String, Long)]): Seq[R] =
+      prefix.groupBy(r => (r._1, r._2)).toSeq
+        .map { case ((et, d), rs) => (et, d, rs.map(_._3).sum) }
+        .groupBy(_._1).toSeq.flatMap { case (et, trs) =>
+          val seq = trs.sortBy(_._2)
+          val target = seq.map(_._3).sum / seq.size
+          var sp = 0L
+          var sn = 0L
+          seq.map { case (_, d, c) =>
+            val dev = c - target
+            sp = math.max(0L, sp + dev)
+            sn = math.max(0L, sn - dev)
+            (et, d, c, target, dev, sp, sn,
+              if (sp > target || sn > target) 1L else 0L)
+          }
+        }.sortBy(r => (r._1, r._2))
+    var prefix = Seq.empty[(String, String, Long)]
+    batches.zipWithIndex.foreach { case (b, i) =>
+      prefix = prefix ++ b
+      assert(emitted(i)._2 == expect(prefix), s"batch $i diverged")
+    }
+
+    // full-stream end state equals the oracled batch q99
+    val want = AnalyticsQueries.q99Cusum(spark, TestSpark.Sf)
+      .select(col("event_type"), col("day").cast("string"), col("cents"),
+        col("target"), col("dev"), col("s_pos"), col("s_neg"), col("alarm"))
+      .as[(String, String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(emitted.last._2 == want, "end state != batch q99")
+    assert(want.map(_._8).sum > 0, "corpus must exercise the alarm path")
+
+    // replayed batch id re-emits without re-folding
+    val before = emitted.size
+    sink(spark.createDataset(batches.last).toDF("event_type", "day", "cents"),
+      (batches.size - 1).toLong)
+    assert(emitted.size == before + 1 && emitted.last._2 == want,
+      "replayed batch id must re-emit the same frame")
+
+    // seeded resume: second half folded onto the first half's histogram
+    val firstHalf = scrambled.take(scrambled.size / 2)
+    val seedHist = firstHalf.groupBy(r => (r._1, r._2))
+      .map { case (k, rs) => (k, rs.map(_._3).sum) }
+    var seededLast: Seq[R] = Nil
+    val seededSink = EventStream.cusumForeachBatch(seedHist) { (r, _) =>
+      seededLast = r.select(col("event_type"), col("day").cast("string"),
+        col("cents"), col("target"), col("dev"), col("s_pos"), col("s_neg"),
+        col("alarm")).as[(String, String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    }
+    val input2 = MemoryStream[(String, String, Long)]
+    val q2 = input2.toDF().toDF("event_type", "day", "cents")
+      .writeStream.foreachBatch(seededSink).outputMode("append").start()
+    try {
+      input2.addData(scrambled.drop(scrambled.size / 2): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(seededLast == want, "seeded resume != full-history end state")
+  }
+
   test("fk orphan gate: verdicts match set membership, audit equals batch q97 arithmetic on the prefix") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
