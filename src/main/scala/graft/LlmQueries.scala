@@ -2034,6 +2034,65 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** #263 (m06): waveform statistics through the REAL WAV codec —
+    * the AUDIO leg of the multimodal boundary (m01–m05 cover image
+    * metadata/features/hashing/color; the mandate's third modality
+    * was still stub-only). Each doc's deterministic PCM render
+    * ([[graft.multimodal.Codecs.renderPcm]] — the audio sibling of
+    * renderGray, with text-length-derived leading/trailing silence so
+    * trimming has real work) is encoded through a REAL RIFF/WAVE
+    * writer WITH a planted unknown odd-length LIST chunk — so every
+    * production row is also evidence the chunk walker skips foreign
+    * chunks and honors RIFF's odd-size padding rule — then decoded
+    * back and measured in exact integers: peak, RMS (floor integer
+    * sqrt of the truncated mean square), zero crossings, silence
+    * runs, and the silence-trim round trip (trim → re-encode →
+    * re-decode must reproduce the trimmed samples exactly).
+    * `wire_parity` pins encode→decode losslessness on every corpus
+    * row. Rows-only (the codec loop is JVM-side — the documented
+    * legitimate mapPartitions boundary); MultimodalSpec pins the
+    * stats against a local recompute, walker robustness, and trim
+    * behavior on planted waveforms. */
+  def m06WaveformStats: Q = (spark, dir) => {
+    import graft.multimodal.Codecs
+    import spark.implicits._
+    normedDocs(spark, dir)
+      .select(col("doc_id"), col("text_norm"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, txt) =>
+        val dec = Codecs.decodeWav(
+          Codecs.encodeWav(Codecs.renderPcm(txt), extraChunk = true))
+        val xs = dec.samples
+        val n = xs.length
+        var peak = 0L
+        var sumSq = 0L
+        var zc = 0L
+        var i = 0
+        while (i < n) {
+          val v = xs(i).toLong
+          if (math.abs(v) > peak) peak = math.abs(v)
+          sumSq += v * v
+          if (i > 0 && xs(i - 1).toLong * v < 0) zc += 1
+          i += 1
+        }
+        val rms = if (n == 0) 0L else Codecs.isqrt(sumSq / n)
+        var lead = 0
+        while (lead < n && math.abs(xs(lead).toInt) < 256) lead += 1
+        var hi = n
+        while (hi > lead && math.abs(xs(hi - 1).toInt) < 256) hi -= 1
+        val trimmed = Codecs.trimSilence(dec)
+        val trimRt = Codecs.decodeWav(Codecs.encodeWav(trimmed)) == trimmed
+        val parity = dec == Codecs.renderPcm(txt)
+        (id, n.toLong, dec.sampleRate.toLong, peak, rms, zc,
+          lead.toLong, (n - hi).toLong, trimmed.samples.length.toLong,
+          if (trimRt) 1L else 0L, if (parity) 1L else 0L)
+      })
+      .toDF("doc_id", "n_samples", "sample_rate", "peak_abs", "rms",
+        "zero_cross", "lead_sil", "trail_sil", "n_trimmed",
+        "trim_roundtrip", "wire_parity")
+      .orderBy("doc_id")
+  }
+
   /** #105 (d14): PageRank over the near-dup similarity graph —
     * centrality-based canonical ranking: within a dup cluster the
     * highest-ranked doc is the one most corroborated by its
@@ -2822,7 +2881,8 @@ object LlmQueries {
     "m01_multimodal_meta" -> m01MultimodalMeta,
     "m02_frame_sample" -> m02FrameSample,
     "m03_perceptual_neardup" -> m03PerceptualNearDup,
-    "m05_color_stats" -> m05ColorStats)
+    "m05_color_stats" -> m05ColorStats,
+    "m06_waveform_stats" -> m06WaveformStats)
 
   /** d02/d03/d07/s02 intentionally absent (rows-only check; each
     * carries a quantified recall spec instead). */

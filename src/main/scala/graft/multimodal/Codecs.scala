@@ -449,4 +449,161 @@ object Codecs {
     }
     out
   }
+
+  // ---- WAV / PCM (the audio leg of the multimodal boundary) ----
+
+  /** Mono 16-bit PCM audio. */
+  final case class PcmAudio(sampleRate: Int, samples: Array[Short]) {
+    override def equals(o: Any): Boolean = o match {
+      case p: PcmAudio =>
+        p.sampleRate == sampleRate &&
+          java.util.Arrays.equals(p.samples, samples)
+      case _ => false
+    }
+    override def hashCode: Int =
+      sampleRate * 31 + java.util.Arrays.hashCode(samples)
+  }
+
+  def isWav(payload: Array[Byte]): Boolean =
+    payload.length >= 12 &&
+      payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+      payload(3) == 'F' &&
+      payload(8) == 'W' && payload(9) == 'A' && payload(10) == 'V' &&
+      payload(11) == 'E'
+
+  /** Deterministic PCM "render" of a text payload — the audio sibling
+    * of [[renderGray]]: a fixed-length waveform resampled from the
+    * UTF-8 byte sequence (centered to signed full scale), framed by
+    * text-length-derived leading/trailing silence so the trim
+    * operator has real work. Identical content → identical samples;
+    * empty documents render as pure silence rather than crashing. */
+  def renderPcm(text: String, sampleRate: Int = 8000): PcmAudio = {
+    val raw = text.getBytes("UTF-8")
+    val bytes = if (raw.isEmpty) Array[Byte](-128) else raw // byte 128 → 0
+    val n = bytes.length
+    val total = 2048
+    val lead = 64 + (n % 5) * 32
+    val trail = 64 + (n % 7) * 32
+    val body = total - lead - trail
+    val out = new Array[Short](total)
+    var i = 0
+    while (i < body) {
+      val b = bytes(((i.toLong * n) / body).toInt % n) & 0xFF
+      out(lead + i) = ((b - 128) * 256).toShort
+      i += 1
+    }
+    PcmAudio(sampleRate, out)
+  }
+
+  private def putLe32(out: Array[Byte], off: Int, v: Int): Unit = {
+    out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+    out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+  }
+
+  private def putLe16(out: Array[Byte], off: Int, v: Int): Unit = {
+    out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+  }
+
+  /** Encode as a real RIFF/WAVE file (PCM16LE mono). With
+    * `extraChunk` an unknown ODD-length `LIST` chunk precedes `fmt `
+    * — RIFF pads odd chunks to even, so every decode through the
+    * production path also proves the walker honors the padding rule
+    * and skips chunks it doesn't know (the wire-robustness evidence
+    * m04 gets from its P5/P2 double-encode). */
+  def encodeWav(a: PcmAudio, extraChunk: Boolean = false): Array[Byte] = {
+    val junk = if (extraChunk) "graft".getBytes("US-ASCII") else Array.emptyByteArray
+    val junkPadded = junk.length + (junk.length & 1)
+    val extraLen = if (extraChunk) 8 + junkPadded else 0
+    val dataLen = a.samples.length * 2
+    val riffLen = 4 + extraLen + 24 + 8 + dataLen
+    val out = new Array[Byte](8 + riffLen)
+    out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+    putLe32(out, 4, riffLen)
+    out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+    var o = 12
+    if (extraChunk) {
+      out(o) = 'L'; out(o + 1) = 'I'; out(o + 2) = 'S'; out(o + 3) = 'T'
+      putLe32(out, o + 4, junk.length) // true (odd) size; pad byte follows
+      System.arraycopy(junk, 0, out, o + 8, junk.length)
+      o += 8 + junkPadded
+    }
+    out(o) = 'f'; out(o + 1) = 'm'; out(o + 2) = 't'; out(o + 3) = ' '
+    putLe32(out, o + 4, 16)
+    putLe16(out, o + 8, 1) // PCM
+    putLe16(out, o + 10, 1) // mono
+    putLe32(out, o + 12, a.sampleRate)
+    putLe32(out, o + 16, a.sampleRate * 2) // byte rate
+    putLe16(out, o + 20, 2) // block align
+    putLe16(out, o + 22, 16) // bits
+    o += 24
+    out(o) = 'd'; out(o + 1) = 'a'; out(o + 2) = 't'; out(o + 3) = 'a'
+    putLe32(out, o + 4, dataLen)
+    var i = 0
+    while (i < a.samples.length) {
+      putLe16(out, o + 8 + 2 * i, a.samples(i) & 0xFFFF)
+      i += 1
+    }
+    out
+  }
+
+  /** Parse a RIFF/WAVE payload: chunk walk (unknown chunks skipped,
+    * odd sizes padded per the RIFF rule), `fmt ` validated as PCM16
+    * mono, `data` decoded LE16. Fails loudly on anything else —
+    * a truncated or non-WAV payload must never parse as silence. */
+  def decodeWav(payload: Array[Byte]): PcmAudio = {
+    if (!isWav(payload)) fail("not a RIFF/WAVE payload")
+    var o = 12
+    var sampleRate = -1
+    var samples: Array[Short] = null
+    while (o + 8 <= payload.length && (sampleRate < 0 || samples == null)) {
+      val id = new String(payload.slice(o, o + 4), "US-ASCII")
+      val size = le32(payload, o + 4)
+      if (size < 0 || o + 8 + size > payload.length)
+        fail(s"chunk '$id' overruns the payload")
+      id match {
+        case "fmt " =>
+          if (size < 16) fail("fmt chunk too short")
+          if (le16(payload, o + 8) != 1) fail("not PCM")
+          if (le16(payload, o + 10) != 1) fail("not mono")
+          if (le16(payload, o + 22) != 16) fail("not 16-bit")
+          sampleRate = le32(payload, o + 12)
+        case "data" =>
+          if (sampleRate < 0) fail("data chunk before fmt")
+          if ((size & 1) == 1) fail("odd PCM16 data length")
+          val n = size / 2
+          val s = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            s(i) = ((payload(o + 8 + 2 * i) & 0xFF) |
+              (payload(o + 9 + 2 * i) << 8)).toShort
+            i += 1
+          }
+          samples = s
+        case _ => () // unknown chunk: skip
+      }
+      o += 8 + size + (size & 1) // RIFF pads odd chunks to even
+    }
+    if (sampleRate < 0 || samples == null) fail("missing fmt/data chunk")
+    PcmAudio(sampleRate, samples)
+  }
+
+  /** Drop leading/trailing silence (|x| below `threshold`). An
+    * all-silent waveform trims to empty — a legal PCM payload. */
+  def trimSilence(a: PcmAudio, threshold: Int = 256): PcmAudio = {
+    val n = a.samples.length
+    var lo = 0
+    while (lo < n && math.abs(a.samples(lo).toInt) < threshold) lo += 1
+    var hi = n
+    while (hi > lo && math.abs(a.samples(hi - 1).toInt) < threshold) hi -= 1
+    PcmAudio(a.sampleRate, java.util.Arrays.copyOfRange(a.samples, lo, hi))
+  }
+
+  /** Floor integer square root (exact — no float round-trip). */
+  def isqrt(v: Long): Long = {
+    require(v >= 0, s"isqrt($v)")
+    var r = math.sqrt(v.toDouble).toLong
+    while ((r + 1) * (r + 1) <= v) r += 1
+    while (r * r > v) r -= 1
+    r
+  }
 }

@@ -334,4 +334,82 @@ class MultimodalSpec extends AnyFunSuite {
       assert(byId(id) == want, s"doc $id channel sums diverged from local render")
     }
   }
+
+  test("real WAV codec: round-trip exact, chunk walker skips odd-padded foreign chunks, loud failures") {
+    import graft.multimodal.Codecs
+    val pcm = Codecs.PcmAudio(8000,
+      Array[Short](0, 100, -32768, 32767, -1, 1, 0, 12345, -12345))
+    // plain round trip
+    assert(Codecs.decodeWav(Codecs.encodeWav(pcm)) == pcm)
+    // foreign odd-length LIST chunk before fmt: the walker must skip
+    // it AND honor RIFF's pad-to-even rule to find fmt/data at all
+    assert(Codecs.decodeWav(Codecs.encodeWav(pcm, extraChunk = true)) == pcm)
+    // empty waveform is a legal payload
+    val empty = Codecs.PcmAudio(8000, Array.emptyShortArray)
+    assert(Codecs.decodeWav(Codecs.encodeWav(empty)) == empty)
+    // loud failures: bad magic, truncated data chunk
+    intercept[IllegalArgumentException] {
+      Codecs.decodeWav("RIFFxxxxNOPE".getBytes("US-ASCII"))
+    }
+    val wav = Codecs.encodeWav(pcm)
+    intercept[IllegalArgumentException] {
+      Codecs.decodeWav(java.util.Arrays.copyOfRange(wav, 0, wav.length - 3))
+    }
+  }
+
+  test("trimSilence drops exactly the sub-threshold runs and re-encodes losslessly") {
+    import graft.multimodal.Codecs
+    val xs = Array[Short](0, 10, -255, 5000, 0, -4000, 255, 100, 0)
+    val t = Codecs.trimSilence(Codecs.PcmAudio(8000, xs))
+    assert(t.samples.toSeq == Seq[Short](5000, 0, -4000),
+      "interior silence must survive, only the edges trim")
+    assert(Codecs.decodeWav(Codecs.encodeWav(t)) == t)
+    // all-silent trims to empty
+    val silent = Codecs.PcmAudio(8000, Array[Short](1, -1, 0, 2))
+    assert(Codecs.trimSilence(silent).samples.isEmpty)
+    // threshold boundary: |x| == threshold is NOT silence
+    val edge = Codecs.trimSilence(Codecs.PcmAudio(8000, Array[Short](256, 0)))
+    assert(edge.samples.toSeq == Seq[Short](256))
+  }
+
+  test("m06 waveform stats match a local recompute through the same codec loop") {
+    import graft.multimodal.Codecs
+    import spark.implicits._
+    val rows = LlmQueries.m06WaveformStats(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(rows.nonEmpty)
+    // every corpus row certifies wire parity and the trim round trip
+    rows.foreach { r =>
+      assert(r._11 == 1L, s"encode->decode parity broke for doc ${r._1}")
+      assert(r._10 == 1L, s"trim round trip broke for doc ${r._1}")
+      assert(r._2 == 2048L && r._3 == 8000L)
+      assert(r._9 <= r._2 - r._7 - r._8,
+        "trimmed length can only shrink further than the edge runs")
+    }
+    // non-degenerate corpus: silence framing and signal both present
+    assert(rows.forall(r => r._7 >= 64L && r._8 >= 64L),
+      "render guarantees >= 64 samples of silence on each edge")
+    assert(rows.exists(_._4 > 0L), "no signal anywhere in the corpus")
+    // exact local recompute for a sample of docs
+    val local = Tables.documents(spark, TestSpark.Sf)
+      .select(col("doc_id"), graft.etl.TextNorm.normalizeText(col("text")).as("tn"))
+      .as[(Long, String)].collect().take(5)
+    val byId = rows.map(r => r._1 -> r).toMap
+    local.foreach { case (id, t) =>
+      val xs = Codecs.renderPcm(t).samples
+      val n = xs.length
+      val peak = xs.map(v => math.abs(v.toLong)).max
+      val rms = Codecs.isqrt(xs.map(v => v.toLong * v).sum / n)
+      val zc = (1 until n).count(i => xs(i - 1).toLong * xs(i).toLong < 0).toLong
+      var lead = 0
+      while (lead < n && math.abs(xs(lead).toInt) < 256) lead += 1
+      var hi = n
+      while (hi > lead && math.abs(xs(hi - 1).toInt) < 256) hi -= 1
+      val got = byId(id)
+      assert((got._4, got._5, got._6, got._7, got._8, got._9) ==
+        ((peak, rms, zc, lead.toLong, (n - hi).toLong, (hi - lead).toLong)),
+        s"doc $id stats diverged from local render")
+    }
+  }
 }
