@@ -2769,7 +2769,64 @@ object AnalyticsQueries {
       |       CAST(CASE WHEN s_pos > target OR s_neg > target THEN 1 ELSE 0 END AS BIGINT) AS alarm
       |FROM s ORDER BY event_type, day""".stripMargin
 
+  /** #266 (q100): discrete hazard table — the survival-analysis view
+    * of repeat engagement that q86's gap percentiles summarize away:
+    * per week-since-last-order bucket, how many customers were still
+    * "at risk" (gap ≥ bucket start) and what fraction of them
+    * repurchased IN that bucket — the life-table / Kaplan-Meier
+    * denominator discipline (at-risk counts, not raw shares), exact
+    * in integers. Shape: one scan of orders → per-customer lag
+    * window (shuffled on custkey like every per-entity sequence op)
+    * → gap histogram (domain-bounded) → ONE descending running sum
+    * over the |weeks| frame turns event counts into at-risk counts —
+    * the only unpartitioned window runs on the bounded histogram
+    * (q93's idiom). Hazard ppm through decimal(38)/HUGEINT (events ×
+    * 10⁶ overflows BIGINT at 100-TB order counts). Fully oracled. */
+  def q100Hazard: Q = (spark, dir) => {
+    val wSeq = Window.partitionBy("o_custkey")
+      .orderBy(col("d").asc, col("o_orderkey").asc)
+    val gaps = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast(DateType).as("d"))
+      .withColumn("prev", lag("d", 1).over(wSeq))
+      .filter(col("prev").isNotNull)
+      .select(datediff(col("d"), col("prev")).cast(LongType).as("gap"))
+    val hist = gaps
+      .groupBy(expr("gap div 7").as("week"))
+      .agg(count(lit(1)).as("n_events"))
+    val wDesc = Window.orderBy(col("week").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("n_at_risk", sum("n_events").over(wDesc))
+      .withColumn("hazard_ppm",
+        expr("(cast(n_events as decimal(38,0)) * 1000000) div n_at_risk"))
+      .select("week", "n_events", "n_at_risk", "hazard_ppm")
+      .orderBy("week")
+  }
+
+  val q100Sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d
+      |  FROM orders),
+      |g AS (
+      |  SELECT CAST(d - LAG(d, 1) OVER (PARTITION BY o_custkey
+      |                                  ORDER BY d ASC, o_orderkey ASC)
+      |              AS BIGINT) AS gap
+      |  FROM o),
+      |h AS (
+      |  SELECT gap // 7 AS week, CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM g WHERE gap IS NOT NULL GROUP BY 1),
+      |r AS (
+      |  SELECT week, n_events,
+      |         CAST(SUM(n_events) OVER (ORDER BY week DESC
+      |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_risk
+      |  FROM h)
+      |SELECT week, n_events, n_at_risk,
+      |       CAST(CAST(n_events AS HUGEINT) * 1000000 // n_at_risk AS BIGINT) AS hazard_ppm
+      |FROM r ORDER BY week""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q100_hazard" -> q100Hazard,
     "q99_cusum" -> q99Cusum,
     "q89_pareto" -> q89Pareto,
     "q90_assoc_rules" -> q90AssocRules,
@@ -2842,6 +2899,7 @@ object AnalyticsQueries {
     "q97_fk_orphans" -> q97Sql,
     "q98_weighted_median" -> q98Sql,
     "q99_cusum" -> q99Sql,
+    "q100_hazard" -> q100Sql,
     "q50_window_stats" -> q50Sql,
     "q51_interval_sweep" -> q51Sql,
     "q52_ewma" -> q52Sql,

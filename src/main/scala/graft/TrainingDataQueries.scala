@@ -1871,7 +1871,126 @@ object TrainingDataQueries {
       |       CAST(CASE WHEN SUM(repl) = 0 AND SUM(ctrl) = 0 THEN 1 ELSE 0 END AS BIGINT) AS clean
       |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  /** #264 (t41): Zipf rank-frequency audit — the corpus-naturalness
+    * check with not one logarithm in it: under Zipf(α≈1) each
+    * power-of-two rank OCTAVE [2^b, 2^{b+1}) carries roughly equal
+    * token mass, so the per-octave mass profile IS the log-log slope
+    * report, engine-exact in integers (template-heavy or
+    * machine-generated corpora surface instantly as a head-heavy /
+    * flat profile). Ranking rides the distributed prefix-sum kernel
+    * ([[graft.etl.GlobalOrder.withGlobalSeq]], t27's path — never a
+    * single-task global window); the octave id is floor(log2(rank))
+    * computed EXACTLY as length(bin(rank))−1 on both engines, and the
+    * octave head's rank×freq product (the classic Zipf-constant
+    * probe) is flagged per row via the power-of-two bit test
+    * (seq & (seq−1)) = 0 before grouping. Mass ppm goes through
+    * decimal(38)/HUGEINT (mass × 10⁶ overflows BIGINT at 100-TB token
+    * counts). Fully oracled. */
+  def t41ZipfAudit: Q = (spark, dir) => {
+    val counts = LlmQueries.normedDocs(spark, dir)
+      .select(explode(split(col("text_norm"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val ranked = etl.GlobalOrder.withGlobalSeq(
+      counts.withColumn("negn", -col("n")), "negn", ties = Seq("token"),
+      valueCol = Some("n"))
+    val tot = counts.agg(sum("n").cast(DecimalType(38, 0)).as("total"))
+    ranked
+      .withColumn("octave", (length(expr("bin(seq)")) - 1).cast(LongType))
+      .withColumn("rf_head",
+        when(expr("(seq & (seq - 1)) = 0"), col("seq") * col("n")))
+      .groupBy("octave")
+      .agg(min("seq").as("rank_lo"), max("seq").as("rank_hi"),
+        count(lit(1)).as("n_types"), sum("n").as("mass"),
+        max("rf_head").as("rf_head"))
+      .crossJoin(broadcast(tot))
+      .withColumn("mass_ppm",
+        expr("(cast(mass as decimal(38,0)) * 1000000) div total"))
+      .select("octave", "rank_lo", "rank_hi", "n_types", "mass",
+        "mass_ppm", "rf_head")
+      .orderBy("octave")
+  }
+
+  val t41Sql: String =
+    """WITH tok AS (
+      |  SELECT unnest(string_split(regexp_replace(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]*(feat\.|featuring|ft\.|&|and)[ \t\n\x0b\f\r]*', ';', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')) AS token
+      |  FROM documents),
+      |c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok
+      |      WHERE length(token) > 0 GROUP BY token),
+      |r AS (SELECT token, n,
+      |             ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS seq
+      |      FROM c),
+      |t AS (SELECT CAST(SUM(n) AS HUGEINT) AS total FROM c),
+      |o AS (SELECT CAST(length(bin(seq)) - 1 AS BIGINT) AS octave, seq, n,
+      |             CASE WHEN (seq & (seq - 1)) = 0 THEN seq * n END AS rf_head
+      |      FROM r)
+      |SELECT octave,
+      |       CAST(MIN(seq) AS BIGINT) AS rank_lo,
+      |       CAST(MAX(seq) AS BIGINT) AS rank_hi,
+      |       CAST(COUNT(*) AS BIGINT) AS n_types,
+      |       CAST(SUM(n) AS BIGINT) AS mass,
+      |       CAST(CAST(SUM(n) AS HUGEINT) * 1000000 // MIN(total) AS BIGINT) AS mass_ppm,
+      |       CAST(MAX(rf_head) AS BIGINT) AS rf_head
+      |FROM o, t GROUP BY octave ORDER BY octave""".stripMargin
+
+  /** #265 (t42): token burstiness audit (variance-to-mean ratio,
+    * Church & Gale 1995) — the dispersion statistic that separates
+    * CONTENT words (bursty: absent from most docs, dense where they
+    * appear, VMR ≫ 1) from function words (Poisson-ish, VMR ≈ 1);
+    * a corpus whose head tokens all sit near VMR 1 is template spam.
+    * Exact over the IMPLIED zero-count docs without materializing
+    * them: with tot = Σc and ss = Σc² over the docs that contain the
+    * token, VMR = var/mean over ALL N docs = (N·ss − tot²)/(N·tot) —
+    * pure integers, decimal(38)/HUGEINT products (tot² overflows
+    * BIGINT at corpus scale). One (doc, token) aggregate → one token
+    * aggregate; the df ≥ 5 floor keeps the report statistical, the
+    * deterministic (vmr, token) top-100 keeps it readable. Fully
+    * oracled. */
+  def t42Burstiness: Q = (spark, dir) => {
+    val perDoc = LlmQueries.normedDocs(spark, dir)
+      .select(col("doc_id"),
+        explode(split(col("text_norm"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+    val nDocs = Tables.documents(spark, dir)
+      .agg(count(lit(1)).cast(DecimalType(38, 0)).as("n_docs"))
+    perDoc.groupBy("token")
+      .agg(count(lit(1)).as("df"), sum("c").as("tot"),
+        sum(col("c") * col("c")).as("ss"))
+      .filter(col("df") >= 5)
+      .crossJoin(broadcast(nDocs))
+      .withColumn("mean_ppm",
+        expr("(cast(tot as decimal(38,0)) * 1000000) div n_docs"))
+      .withColumn("vmr_ppm",
+        expr("((n_docs * cast(ss as decimal(38,0)) - " +
+          "cast(tot as decimal(38,0)) * tot) * 1000000) div (n_docs * tot)"))
+      .select("token", "df", "tot", "mean_ppm", "vmr_ppm")
+      .orderBy(col("vmr_ppm").desc, col("token").asc)
+      .limit(100)
+  }
+
+  val t42Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         unnest(string_split(regexp_replace(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]*(feat\.|featuring|ft\.|&|and)[ \t\n\x0b\f\r]*', ';', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')) AS token
+      |  FROM documents),
+      |pd AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c FROM tok
+      |       WHERE length(token) > 0 GROUP BY 1, 2),
+      |nd AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n_docs FROM documents),
+      |s AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+      |             CAST(SUM(c) AS BIGINT) AS tot,
+      |             CAST(SUM(c * c) AS BIGINT) AS ss
+      |      FROM pd GROUP BY token HAVING COUNT(*) >= 5)
+      |SELECT token, df, tot,
+      |       CAST(CAST(tot AS HUGEINT) * 1000000 // n_docs AS BIGINT) AS mean_ppm,
+      |       CAST((n_docs * CAST(ss AS HUGEINT) - CAST(tot AS HUGEINT) * tot) * 1000000
+      |            // (n_docs * CAST(tot AS HUGEINT)) AS BIGINT) AS vmr_ppm
+      |FROM s, nd
+      |ORDER BY vmr_ppm DESC, token ASC LIMIT 100""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "t41_zipf_audit" -> t41ZipfAudit,
+    "t42_burstiness" -> t42Burstiness,
     "t40_charset_audit" -> t40CharsetAudit,
     "t36_curriculum_order" -> t36CurriculumOrder,
     "t37_mixture_order" -> t37MixtureOrder,
@@ -1910,6 +2029,8 @@ object TrainingDataQueries {
     "d11_corpus_pipeline" -> d11CorpusPipeline)
 
   val oracles: Seq[(String, String)] = Seq(
+    "t41_zipf_audit" -> t41Sql,
+    "t42_burstiness" -> t42Sql,
     "t40_charset_audit" -> t40Sql,
     "t36_curriculum_order" -> t36Sql,
     "t37_mixture_order" -> t37Sql,

@@ -459,6 +459,48 @@ class EtlSpec extends AnyFunSuite {
       "one-sided corpus: both CUSUM sides should accumulate")
   }
 
+  test("t41 Zipf octaves tile the rank spine and conserve token mass") {
+    val rows = TrainingDataQueries.t41ZipfAudit(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (oct, lo, hi, nTypes, _, _, rfHead) =>
+      assert(lo == (1L << oct), s"octave $oct head rank $lo")
+      assert(hi < (1L << (oct + 1)), s"octave $oct tail rank $hi")
+      assert(nTypes == hi - lo + 1, "octave rank range must be gap-free")
+      assert(rfHead > 0, "head rank x freq probe missing")
+    }
+    // contiguous spine: each octave ends where the next begins
+    rows.sliding(2).foreach {
+      case Seq(a, b) => assert(a._3 + 1 == b._2, "octave spine has a gap")
+      case _ => ()
+    }
+    // mass conserves to the corpus token census
+    val total = LlmQueries.normedDocs(spark, TestSpark.Sf)
+      .select(explode(split(col("text_norm"), " ")).as("t"))
+      .filter(length(col("t")) > 0).count()
+    assert(rows.map(_._5).sum == total, "octave masses don't sum to corpus")
+  }
+
+  test("q100 hazard table: at-risk counts telescope and conserve the gap census") {
+    val rows = AnalyticsQueries.q100Hazard(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(rows.nonEmpty)
+    // at-risk telescopes: risk(w) = events(w) + risk(next observed w)
+    rows.sliding(2).foreach {
+      case Seq((_, ev, risk, _), (_, _, riskNext, _)) =>
+        assert(risk == ev + riskNext, "at-risk must telescope")
+      case _ => ()
+    }
+    val last = rows.last
+    assert(last._2 == last._3, "final bucket: everyone at risk repurchases")
+    // first bucket's at-risk count IS the total gap census
+    assert(rows.head._3 == rows.map(_._2).sum, "risk(0) != total gaps")
+    rows.foreach { case (_, ev, risk, hz) =>
+      assert(hz == BigInt(ev) * 1000000 / risk, "hazard ppm arithmetic")
+      assert(hz <= 1000000L)
+    }
+  }
+
   test("q94 CM join-size estimate never undercounts and matches the exact census") {
     val Array((est, exact, over)) =
       ScaleQueries.q94JoinSizeCms(spark, TestSpark.Sf)
