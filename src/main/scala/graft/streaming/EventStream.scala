@@ -400,6 +400,56 @@ object EventStream {
           .cast(org.apache.spark.sql.types.LongType))
   }
 
+  /** Streaming media-format gate (#267) — the multimodal boundary's
+    * ingest gate, the #251 charset gate's binary sibling: per
+    * arriving payload, the format is sniffed from magic bytes and a
+    * FULL decode through the real codecs (PGM/PPM/BMP/WAV) renders
+    * the verdict — a payload that parses emits its true metadata
+    * (pixel dims, or sample count + rate), anything that fails the
+    * parse quarantines with ok=0 (any decode failure is a
+    * quarantine: a payload whose magic lies about its body must not
+    * reach the feature extractors). STATELESS — a per-row map that
+    * attaches to `readStream` unchanged (no watermark, no state
+    * store, no shuffle), identical on batch and streaming frames
+    * (the #33 duality; spec pins batch/stream parity plus absolute
+    * planted truths per format). The mapPartitions is the documented
+    * legitimate codec boundary. */
+  def mediaGateStream(docs: DataFrame): DataFrame = {
+    import graft.multimodal.Codecs
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        val fmt =
+          if (p == null || p.length < 2) "empty"
+          else if (Codecs.isWav(p)) "wav"
+          else if (Codecs.isBmp(p)) "bmp"
+          else if (Codecs.isPgm(p)) "pgm"
+          else if (Codecs.isPpm(p)) "ppm"
+          else "unknown"
+        def attempt(f: => (Long, Long)): (Long, Long, Long) =
+          try { val (a, b) = f; (1L, a, b) }
+          catch { case scala.util.control.NonFatal(_) => (0L, 0L, 0L) }
+        val (ok, d1, d2) = fmt match {
+          case "wav" => attempt {
+            val a = Codecs.decodeWav(p)
+            (a.samples.length.toLong, a.sampleRate.toLong)
+          }
+          case "pgm" | "bmp" => attempt {
+            val g = Codecs.decodeGray(p)
+            (g.width.toLong, g.height.toLong)
+          }
+          case "ppm" => attempt {
+            val c = Codecs.decodePpm(p)
+            (c.width.toLong, c.height.toLong)
+          }
+          case _ => (0L, 0L, 0L)
+        }
+        (id, fmt, ok, d1, d2)
+      }).toDF("doc_id", "format", "ok", "dim1", "dim2")
+  }
+
   /** The static train side of [[decontamGateForeachBatch]]: the
     * distinct 5-gram fingerprint table (g) of a corpus frame with
     * (doc_id, text) — exactly the gram set batch t25 joins, so gate

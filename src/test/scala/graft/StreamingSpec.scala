@@ -778,6 +778,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(seededLast == want, "seeded resume != full-history end state")
   }
 
+  test("media gate stream: per-payload verdicts identical to batch, planted truths hold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.multimodal.Codecs
+    val gray = Codecs.GrayImage(3, 2, Array(0, 10, 20, 30, 40, 50))
+    val rgb = Codecs.renderRgb("media gate fixture")
+    val wav = Codecs.encodeWav(Codecs.PcmAudio(8000,
+      Array[Short](0, 5, -5, 100)), extraChunk = true)
+    val payloads: Seq[(Long, Array[Byte])] = Seq(
+      1L -> Codecs.encodePgmP5(gray),
+      2L -> Codecs.encodeBmp24(gray),
+      3L -> Codecs.encodePpmP6(rgb),
+      4L -> wav,
+      5L -> java.util.Arrays.copyOfRange(wav, 0, wav.length - 3), // truncated
+      6L -> "not a media payload at all".getBytes("US-ASCII"),
+      7L -> Array[Byte](0x42)) // too short: "empty"
+
+    val input = MemoryStream[(Long, Array[Byte])]
+    val query = EventStream.mediaGateStream(
+        input.toDF().toDF("doc_id", "payload"))
+      .writeStream.format("memory").queryName("media_gate")
+      .outputMode("append").start()
+    try {
+      payloads.grouped(3).foreach { b =>
+        input.addData(b: _*)
+        query.processAllAvailable()
+      }
+      val got = spark.table("media_gate")
+        .as[(Long, String, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      // absolute planted truths
+      assert(got(1L) == (("pgm", 1L, 3L, 2L)))
+      assert(got(2L) == (("bmp", 1L, 3L, 2L)))
+      assert(got(3L) == (("ppm", 1L, 32L, 32L)))
+      assert(got(4L) == (("wav", 1L, 4L, 8000L)))
+      assert(got(5L)._1 == "wav" && got(5L)._2 == 0L,
+        "truncated WAV must quarantine, not parse")
+      assert(got(6L) == (("unknown", 0L, 0L, 0L)))
+      assert(got(7L) == (("empty", 0L, 0L, 0L)))
+      // batch/stream parity: the same function over a batch frame
+      val want = EventStream.mediaGateStream(payloads.toDF("doc_id", "payload"))
+        .as[(Long, String, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      assert(got == want, "stream verdicts diverged from batch")
+    } finally query.stop()
+  }
+
   test("cusum monitor: report after each batch equals batch q99 on the prefix") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
