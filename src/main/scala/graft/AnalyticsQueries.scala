@@ -2825,7 +2825,132 @@ object AnalyticsQueries {
       |       CAST(CAST(n_events AS HUGEINT) * 1000000 // n_at_risk AS BIGINT) AS hazard_ppm
       |FROM r ORDER BY week""".stripMargin
 
+  /** #268 (q101): Theil–Sen robust trend — the median-of-pairwise-
+    * slopes estimator (Theil 1950, Sen 1968) beside q61's OLS: one
+    * spiked month drags OLS arbitrarily, Theil–Sen shrugs at up to
+    * 29% contamination. Exactness and scale share one trick: the
+    * corpus collapses FIRST to the domain-bounded (segment, month)
+    * frame (the q61 shape — one shuffle on custkey), so the pairwise
+    * self-join is |months|² per segment — configuration-scale
+    * however big the corpus. Each pair's slope is half-away-from-
+    * zero-rounded to milli-cents/month via the sign-factored
+    * (2000|dy| + dx) div (2dx) identity (ORACLE.md Rule 4; dx > 0 by
+    * construction), and the MEDIAN is emitted as the two middle
+    * ORDER STATISTICS (slope_lo_e3, slope_hi_e3) — rank arithmetic
+    * only, no averaging division to argue about. Fully oracled. */
+  def q101TheilSen: Q = (spark, dir) => {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val monthly = o.join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        ((year(col("o_orderdate")) - 1992) * 12 + month(col("o_orderdate")) - 1)
+          .cast(LongType).as("x"),
+        Exact.e(col("o_totalprice"), 2).as("cents"))
+      .groupBy("segment", "x")
+      .agg(sum("cents").as("y"))
+    val a = monthly.select(col("segment"), col("x").as("x1"), col("y").as("y1"))
+    val b = monthly.select(col("segment"), col("x").as("x2"), col("y").as("y2"))
+    val pairs = a.join(b, Seq("segment")).filter(col("x1") < col("x2"))
+      .withColumn("dx", col("x2") - col("x1"))
+      .withColumn("dy", col("y2") - col("y1"))
+      .withColumn("slope_e3",
+        when(col("dy") >= 0, expr("(2000 * dy + dx) div (2 * dx)"))
+          .otherwise(-expr("(2000 * -dy + dx) div (2 * dx)")))
+    val wRank = Window.partitionBy("segment").orderBy("slope_e3")
+    val wAll = Window.partitionBy("segment")
+    pairs
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n_pairs", count(lit(1)).over(wAll))
+      .groupBy("segment")
+      .agg(max("n_pairs").as("n_pairs"),
+        min(when(col("rn") === expr("(n_pairs + 1) div 2"),
+          col("slope_e3"))).as("slope_lo_e3"),
+        min(when(col("rn") === expr("n_pairs div 2 + 1"),
+          col("slope_e3"))).as("slope_hi_e3"))
+      .orderBy("segment")
+  }
+
+  val q101Sql: String =
+    """WITH m AS (
+      |  SELECT c_mktsegment AS segment,
+      |         CAST((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS BIGINT) AS x,
+      |         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT a.segment, b.x - a.x AS dx, b.y - a.y AS dy
+      |  FROM m a JOIN m b ON a.segment = b.segment AND a.x < b.x),
+      |s AS (
+      |  SELECT segment,
+      |         CASE WHEN dy >= 0 THEN (2000 * dy + dx) // (2 * dx)
+      |              ELSE -((2000 * -dy + dx) // (2 * dx)) END AS slope_e3
+      |  FROM p),
+      |r AS (
+      |  SELECT segment, slope_e3,
+      |         ROW_NUMBER() OVER (PARTITION BY segment ORDER BY slope_e3) AS rn,
+      |         COUNT(*) OVER (PARTITION BY segment) AS n
+      |  FROM s)
+      |SELECT segment,
+      |       CAST(MAX(n) AS BIGINT) AS n_pairs,
+      |       CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN slope_e3 END) AS BIGINT) AS slope_lo_e3,
+      |       CAST(MIN(CASE WHEN rn = n // 2 + 1 THEN slope_e3 END) AS BIGINT) AS slope_hi_e3
+      |FROM r GROUP BY segment ORDER BY segment""".stripMargin
+
+  /** #269 (q102): Gini concentration index — the inequality scalar
+    * behind q89's Pareto table ("how unequal", not just "who's in the
+    * head"): per market segment over per-customer lifetime spend,
+    * G = (2·Σ(rank·x) − (n+1)·Σx) / (n·Σx) with ranks ascending —
+    * exact in integers (tie order cannot change Σ rank·x: equal
+    * values swap ranks without moving the sum), emitted as floor ppm.
+    * Shape: one shuffle on custkey to the per-customer frame, a
+    * rank window PARTITIONED by segment (never global), and a
+    * segment aggregate; products through decimal(38)/HUGEINT
+    * (rank·cents·10⁶ overflows BIGINT at corpus scale). Fully
+    * oracled + a planted-distribution spec (uniform → 0, one-hot →
+    * (n−1)/n). */
+  def q102Gini: Q = (spark, dir) => {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val spend = o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("o_custkey"))
+      .agg(sum(Exact.e(col("o_totalprice"), 2)).as("cents"))
+    val wRank = Window.partitionBy("segment")
+      .orderBy(col("cents").asc, col("o_custkey").asc)
+    spend
+      .withColumn("i", row_number().over(wRank).cast(DecimalType(38, 0)))
+      .groupBy("segment")
+      .agg(count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+        sum(col("cents").cast(DecimalType(38, 0))).as("sx"),
+        sum(col("i") * col("cents")).as("six"))
+      .select(col("segment"), col("n").cast(LongType).as("n_customers"),
+        expr("((2 * six - (n + 1) * sx) * 1000000) div (n * sx)")
+          .as("gini_ppm"))
+      .orderBy("segment")
+  }
+
+  val q102Sql: String =
+    """WITH s AS (
+      |  SELECT c_mktsegment AS segment, o_custkey,
+      |         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT segment, cents,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY segment
+      |                                 ORDER BY cents ASC, o_custkey ASC) AS HUGEINT) AS i
+      |  FROM s),
+      |g AS (
+      |  SELECT segment, CAST(COUNT(*) AS HUGEINT) AS n,
+      |         CAST(SUM(cents) AS HUGEINT) AS sx,
+      |         SUM(i * CAST(cents AS HUGEINT)) AS six
+      |  FROM r GROUP BY segment)
+      |SELECT segment, CAST(n AS BIGINT) AS n_customers,
+      |       CAST(((2 * six - (n + 1) * sx) * 1000000) // (n * sx) AS BIGINT) AS gini_ppm
+      |FROM g ORDER BY segment""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q101_theil_sen" -> q101TheilSen,
+    "q102_gini" -> q102Gini,
     "q100_hazard" -> q100Hazard,
     "q99_cusum" -> q99Cusum,
     "q89_pareto" -> q89Pareto,
@@ -2900,6 +3025,8 @@ object AnalyticsQueries {
     "q98_weighted_median" -> q98Sql,
     "q99_cusum" -> q99Sql,
     "q100_hazard" -> q100Sql,
+    "q101_theil_sen" -> q101Sql,
+    "q102_gini" -> q102Sql,
     "q50_window_stats" -> q50Sql,
     "q51_interval_sweep" -> q51Sql,
     "q52_ewma" -> q52Sql,

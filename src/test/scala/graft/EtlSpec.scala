@@ -501,6 +501,35 @@ class EtlSpec extends AnyFunSuite {
     }
   }
 
+  test("q102 Gini: planted distributions hit the closed-form poles, corpus values sane") {
+    import org.apache.spark.sql.expressions.Window
+    // planted: a perfectly uniform group -> 0; a one-hot group -> (n-1)/n
+    val planted = Seq.tabulate(10)(i => ("UNI", i.toLong, 500L)) ++
+      (("HOT", 100L, 1000L) +: Seq.tabulate(9)(i => ("HOT", i.toLong, 0L)))
+    val df = planted.toDF("segment", "o_custkey", "cents")
+    val wRank = Window.partitionBy("segment")
+      .orderBy(col("cents").asc, col("o_custkey").asc)
+    val got = df
+      .withColumn("i", row_number().over(wRank)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+      .groupBy("segment")
+      .agg(count(lit(1)).cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("n"),
+        sum(col("cents").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("sx"),
+        sum(col("i") * col("cents")).as("six"))
+      .select(col("segment"),
+        expr("((2 * six - (n + 1) * sx) * 1000000) div (n * sx)").as("g"))
+      .as[(String, Long)].collect().toMap
+    assert(got("UNI") == 0L, "uniform distribution must score 0")
+    assert(got("HOT") == 900000L, "one-hot must score (n-1)/n = 0.9")
+    // corpus: every segment lands strictly inside (0, 1) ppm bounds
+    val corpus = AnalyticsQueries.q102Gini(spark, TestSpark.Sf)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(corpus.nonEmpty)
+    corpus.foreach { case (s, n, g) =>
+      assert(n > 0 && g >= 0 && g < 1000000L, s"segment $s gini $g")
+    }
+  }
+
   test("q94 CM join-size estimate never undercounts and matches the exact census") {
     val Array((est, exact, over)) =
       ScaleQueries.q94JoinSizeCms(spark, TestSpark.Sf)
