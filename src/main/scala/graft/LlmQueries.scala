@@ -366,6 +366,89 @@ object LlmQueries {
        |SELECT size, n_clusters, n_docs FROM s
        |ORDER BY size""".stripMargin
 
+  /** #270 (d41): clustering agreement audit — the pair-level Rand
+    * index (Rand 1971) between the STAGED near-dup clustering and the
+    * exact-duplicate digest partition, the governance check that the
+    * two dedup layers tell one story: every exact-dup pair MUST be
+    * co-clustered (identical text ⇒ identical shingles ⇒ a pair-graph
+    * edge — `pairs_both = pairs_exact` is the subsumption invariant
+    * the spec pins), and the Rand/pair-Jaccard scalars price how much
+    * more the transitive layer merges. Exact in integers with the
+    * choose-2 halving DEFERRED: every term carries 2×pairs = Σ m(m−1)
+    * in decimal(38)/HUGEINT (a 10¹⁰-doc corpus has C(n,2) ≈ 5·10¹⁹ —
+    * past BIGINT), and the ppm ratios use the 2× forms directly (the
+    * halves cancel). Shape: one digest projection ⋈ the staged
+    * cluster table (left — singletons label as themselves), three
+    * count-shuffles (a / b / a×b contingency), 1-row crossJoins.
+    * Fully oracled (recursive d06 CTE + the same deferred-halving
+    * arithmetic in HUGEINT). */
+  def d41ClusterAgreement: Q = (spark, dir) => {
+    val docs = normedDocs(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val lab = docs
+      .join(clusters(spark, dir).withColumnRenamed("id", "doc_id"),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("comp").cast("string"),
+          col("doc_id").cast("string")).as("a"), col("h").as("b"))
+    agreementOf(lab)
+  }
+
+  /** d41's kernel over any (doc_id, a, b) label frame — split out so
+    * specs can plant label fixtures with known pair confusion (the
+    * corpus carries no exact-duplicate texts, so the production run's
+    * exact layer is legitimately 0 — census columns are the
+    * evidence, the q97 lesson; the planted path proves the
+    * arithmetic). */
+  private[graft] def agreementOf(lab: DataFrame): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // Σ m(m−1) over a grouping = TWICE the co-grouped pair count
+    def twicePairs(cols: String*): DataFrame = lab
+      .groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).cast(d38).as("m"))
+      .agg(coalesce(sum(expr("m * (m - 1)")), lit(0).cast(d38)).as("tp"))
+    val sa = twicePairs("a").withColumnRenamed("tp", "sa2")
+    val sb = twicePairs("b").withColumnRenamed("tp", "sb2")
+    val sab = twicePairs("a", "b").withColumnRenamed("tp", "sab2")
+    val n = lab.agg(count(lit(1)).cast(d38).as("nd"))
+    sa.crossJoin(broadcast(sb)).crossJoin(broadcast(sab))
+      .crossJoin(broadcast(n))
+      .select(
+        col("nd").cast("long").as("n_docs"),
+        expr("sa2 div 2").as("pairs_near"),
+        expr("sb2 div 2").as("pairs_exact"),
+        expr("sab2 div 2").as("pairs_both"),
+        expr("case when nd * (nd - 1) = 0 then 1000000 else " +
+          "((sab2 + (nd * (nd - 1) - sa2 - sb2 + sab2)) * 1000000) div " +
+          "(nd * (nd - 1)) end").as("rand_ppm"),
+        expr("case when sa2 + sb2 - sab2 = 0 then 1000000 else " +
+          "(sab2 * 1000000) div (sa2 + sb2 - sab2) end")
+          .as("pair_jaccard_ppm"))
+  }
+
+  // lazy: embeds d06Sql (defined textually below)
+  lazy val d41Sql: String =
+    s"""WITH c AS ($d06Sql),
+       |d AS (SELECT doc_id, md5(text) AS h FROM documents),
+       |l AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS a, d.h AS b
+       |      FROM d LEFT JOIN c ON c.id = d.doc_id),
+       |sa AS (SELECT CAST(COALESCE(SUM(CAST(m AS HUGEINT) * (m - 1)), 0) AS HUGEINT) AS sa2
+       |       FROM (SELECT COUNT(*) AS m FROM l GROUP BY a)),
+       |sb AS (SELECT CAST(COALESCE(SUM(CAST(m AS HUGEINT) * (m - 1)), 0) AS HUGEINT) AS sb2
+       |       FROM (SELECT COUNT(*) AS m FROM l GROUP BY b)),
+       |sab AS (SELECT CAST(COALESCE(SUM(CAST(m AS HUGEINT) * (m - 1)), 0) AS HUGEINT) AS sab2
+       |        FROM (SELECT COUNT(*) AS m FROM l GROUP BY a, b)),
+       |t AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nd FROM d)
+       |SELECT CAST(nd AS BIGINT) AS n_docs,
+       |       CAST(sa2 // 2 AS BIGINT) AS pairs_near,
+       |       CAST(sb2 // 2 AS BIGINT) AS pairs_exact,
+       |       CAST(sab2 // 2 AS BIGINT) AS pairs_both,
+       |       CAST(CASE WHEN nd * (nd - 1) = 0 THEN 1000000
+       |            ELSE ((sab2 + (nd * (nd - 1) - sa2 - sb2 + sab2)) * 1000000) // (nd * (nd - 1)) END AS BIGINT) AS rand_ppm,
+       |       CAST(CASE WHEN sa2 + sb2 - sab2 = 0 THEN 1000000
+       |            ELSE (sab2 * 1000000) // (sa2 + sb2 - sab2) END AS BIGINT) AS pair_jaccard_ppm
+       |FROM sa, sb, sab, t""".stripMargin
+
   /** #173 (d29): STAGE-GRANULAR dedup savings — d28 prices the
     * near-dup purge as one number; the planning question a corpus
     * owner actually asks is "which dedup stage buys what?" (exact
@@ -2849,6 +2932,7 @@ object LlmQueries {
     "d38_soft_dedup_weights" -> d38SoftDedupWeights,
     "d39_review_queue" -> d39ReviewQueue,
     "d40_cluster_sizes" -> d40ClusterSizes,
+    "d41_cluster_agreement" -> d41ClusterAgreement,
     "d26_incremental_clusters" -> d26IncrementalClusters,
     "d07_embed_neardup_lsh" -> d07EmbedNearDupLsh,
     "d13_semdedup" -> d13SemDedup,
@@ -2920,6 +3004,7 @@ object LlmQueries {
     "d38_soft_dedup_weights" -> d38Sql,
     "d39_review_queue" -> d39Sql,
     "d40_cluster_sizes" -> d40Sql,
+    "d41_cluster_agreement" -> d41Sql,
     // incremental ≡ full: the oracle IS the from-scratch d06 SQL
     "d26_incremental_clusters" -> d06Sql,
     "s01_ann_bruteforce" -> s01Sql,

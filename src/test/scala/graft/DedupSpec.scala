@@ -633,4 +633,39 @@ class DedupSpec extends AnyFunSuite {
     assert(rec >= 900000L, s"gate recall_ppm $rec below 0.9")
     assert(prec >= 900000L, s"gate precision_ppm $prec below 0.9")
   }
+
+  test("d41 agreement: planted confusion exact, corpus subsumption holds") {
+    import spark.implicits._
+    // planted labels with a hand-countable pair confusion:
+    //   A-clusters: {1,2,3} {4,5} {6} {7}   -> 3 + 1 = 4 pairs
+    //   B-groups:   {1,2}   {3,4} {5} {6,7} -> 3 pairs
+    //   co-grouped in both: only (1,2)      -> TP = 1
+    val planted = Seq(
+      (1L, "x", "p"), (2L, "x", "p"), (3L, "x", "q"),
+      (4L, "y", "q"), (5L, "y", "r"), (6L, "z", "s"), (7L, "w", "s"))
+      .toDF("doc_id", "a", "b")
+    val Array((n, pn, pe, pb, rand, jacc)) =
+      LlmQueries.agreementOf(planted)
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert((n, pn, pe, pb) == ((7L, 4L, 3L, 1L)))
+    // TN = C(7,2) - TP - FP - FN = 21 - 1 - 3 - 2 = 15; rand = 16/21
+    assert(rand == BigInt(16) * 1000000 / 21)
+    assert(jacc == BigInt(1) * 1000000 / 6)
+
+    // corpus run: the exact layer is legitimately empty on this corpus
+    // (no identical texts — the census columns ARE the evidence), the
+    // subsumption invariant holds vacuously, and the transitive layer
+    // must have merged something for the audit to be informative
+    val Array((nDocs, pNear, pExact, pBoth, randPpm, jaccPpm)) =
+      LlmQueries.d41ClusterAgreement(spark, TestSpark.Sf)
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(nDocs > 0)
+    assert(pBoth == pExact,
+      s"exact-dup pairs $pExact not all co-clustered (both=$pBoth)")
+    assert(pNear > 0, "near-dup layer merged nothing — audit uninformative")
+    assert(randPpm > 900000L && randPpm <= 1000000L)
+    assert(jaccPpm == (if (pNear + pExact - pBoth == 0) 1000000L
+      else BigInt(pBoth) * 1000000 /
+        (BigInt(pNear) + BigInt(pExact) - BigInt(pBoth))))
+  }
 }
