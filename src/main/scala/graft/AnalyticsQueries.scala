@@ -2856,16 +2856,23 @@ object AnalyticsQueries {
       .withColumn("slope_e3",
         when(col("dy") >= 0, expr("(2000 * dy + dx) div (2 * dx)"))
           .otherwise(-expr("(2000 * -dy + dx) div (2 * dx)")))
-    val wRank = Window.partitionBy("segment").orderBy("slope_e3")
+    // median via the count-histogram rank pick (q98's kernel shape):
+    // grouping to (segment, distinct slope) first keeps the cum
+    // windows off raw pair rows and out of the rank-window family the
+    // PlanSpec sweep forbids over low-cardinality keys
+    val hist = pairs.groupBy("segment", "slope_e3")
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("segment").orderBy("slope_e3")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy("segment")
-    pairs
-      .withColumn("rn", row_number().over(wRank))
-      .withColumn("n_pairs", count(lit(1)).over(wAll))
+    hist
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n_pairs", sum("cnt").over(wAll))
       .groupBy("segment")
       .agg(max("n_pairs").as("n_pairs"),
-        min(when(col("rn") === expr("(n_pairs + 1) div 2"),
+        min(when(col("cum") >= expr("(n_pairs + 1) div 2"),
           col("slope_e3"))).as("slope_lo_e3"),
-        min(when(col("rn") === expr("n_pairs div 2 + 1"),
+        min(when(col("cum") >= expr("n_pairs div 2 + 1"),
           col("slope_e3"))).as("slope_hi_e3"))
       .orderBy("segment")
   }
@@ -2885,15 +2892,19 @@ object AnalyticsQueries {
       |         CASE WHEN dy >= 0 THEN (2000 * dy + dx) // (2 * dx)
       |              ELSE -((2000 * -dy + dx) // (2 * dx)) END AS slope_e3
       |  FROM p),
+      |h AS (
+      |  SELECT segment, slope_e3, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM s GROUP BY 1, 2),
       |r AS (
       |  SELECT segment, slope_e3,
-      |         ROW_NUMBER() OVER (PARTITION BY segment ORDER BY slope_e3) AS rn,
-      |         COUNT(*) OVER (PARTITION BY segment) AS n
-      |  FROM s)
+      |         SUM(cnt) OVER (PARTITION BY segment ORDER BY slope_e3
+      |                        ROWS UNBOUNDED PRECEDING) AS cum,
+      |         SUM(cnt) OVER (PARTITION BY segment) AS n
+      |  FROM h)
       |SELECT segment,
       |       CAST(MAX(n) AS BIGINT) AS n_pairs,
-      |       CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN slope_e3 END) AS BIGINT) AS slope_lo_e3,
-      |       CAST(MIN(CASE WHEN rn = n // 2 + 1 THEN slope_e3 END) AS BIGINT) AS slope_hi_e3
+      |       CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN slope_e3 END) AS BIGINT) AS slope_lo_e3,
+      |       CAST(MIN(CASE WHEN cum >= n // 2 + 1 THEN slope_e3 END) AS BIGINT) AS slope_hi_e3
       |FROM r GROUP BY segment ORDER BY segment""".stripMargin
 
   /** #269 (q102): Gini concentration index — the inequality scalar
