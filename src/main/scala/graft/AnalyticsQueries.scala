@@ -2959,7 +2959,57 @@ object AnalyticsQueries {
       |       CAST(((2 * six - (n + 1) * sx) * 1000000) // (n * sx) AS BIGINT) AS gini_ppm
       |FROM g ORDER BY segment""".stripMargin
 
+  /** #271 (q103): skyline / Pareto-frontier query (Börzsönyi et al.
+    * ICDE'01) — the multi-criteria "best offers" operator: per brand,
+    * the parts not DOMINATED on (retail price ↓, size ↓) — no other
+    * part of the brand is cheaper-or-equal AND smaller-or-equal with
+    * at least one strict. The naive dominance test is an all-pairs
+    * self-join; the 2-D closed form is sort-by-x-then-prefix-min-y:
+    * a point is on the frontier iff its y strictly undercuts every
+    * smaller-x point's y. Scale shape: rows collapse FIRST to the
+    * (brand, price) value-domain histogram carrying min(size) — the
+    * running-min window then walks domain-bounded frames (the q93
+    * idiom), never raw rows, and ties inside one price are resolved
+    * by the same min. Emitted frontier is value-domain rows (brand,
+    * price_cents, size); membership of every dominated raw row is
+    * derivable by equi-join. Fully oracled (identical windows) +
+    * planted-dominance spec. */
+  def q103Skyline: Q = (spark, dir) => {
+    val pts = Tables.part(spark, dir)
+      .select(col("p_brand").as("brand"),
+        Exact.e(col("p_retailprice"), 2).cast(LongType).as("price_cents"),
+        col("p_size").cast(LongType).as("size"))
+    val hist = pts.groupBy("brand", "price_cents")
+      .agg(min("size").as("size"))
+    val wPrev = Window.partitionBy("brand").orderBy("price_cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("best_prev", min("size").over(wPrev))
+      .filter(col("best_prev").isNull || col("size") < col("best_prev"))
+      .select("brand", "price_cents", "size")
+      .orderBy("brand", "price_cents")
+  }
+
+  val q103Sql: String =
+    """WITH p AS (
+      |  SELECT p_brand AS brand,
+      |         CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+      |         CAST(p_size AS BIGINT) AS size
+      |  FROM part),
+      |h AS (
+      |  SELECT brand, price_cents, CAST(MIN(size) AS BIGINT) AS size
+      |  FROM p GROUP BY 1, 2),
+      |w AS (
+      |  SELECT brand, price_cents, size,
+      |         MIN(size) OVER (PARTITION BY brand ORDER BY price_cents
+      |                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_prev
+      |  FROM h)
+      |SELECT brand, price_cents, size
+      |FROM w WHERE best_prev IS NULL OR size < best_prev
+      |ORDER BY brand, price_cents""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q103_skyline" -> q103Skyline,
     "q101_theil_sen" -> q101TheilSen,
     "q102_gini" -> q102Gini,
     "q100_hazard" -> q100Hazard,
@@ -3038,6 +3088,7 @@ object AnalyticsQueries {
     "q100_hazard" -> q100Sql,
     "q101_theil_sen" -> q101Sql,
     "q102_gini" -> q102Sql,
+    "q103_skyline" -> q103Sql,
     "q50_window_stats" -> q50Sql,
     "q51_interval_sweep" -> q51Sql,
     "q52_ewma" -> q52Sql,

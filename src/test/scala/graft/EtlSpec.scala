@@ -530,6 +530,37 @@ class EtlSpec extends AnyFunSuite {
     }
   }
 
+  test("q103 skyline: frontier equals the quadratic dominance definition") {
+    // the window closed form must agree with the textbook O(n²) test
+    val rows = AnalyticsQueries.q103Skyline(spark, TestSpark.Sf)
+      .as[(String, Long, Long)].collect().toSet
+    val pts = Tables.part(spark, TestSpark.Sf)
+      .select(col("p_brand"),
+        Exact.e(col("p_retailprice"), 2).cast("long"),
+        col("p_size").cast("long"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(pts.nonEmpty && rows.nonEmpty)
+    val byBrand = pts.groupBy(_._1)
+    val want = byBrand.flatMap { case (b, ps) =>
+      // collapse price ties to min size (the histogram rule), then the
+      // quadratic dominance test over the collapsed points
+      val h = ps.groupBy(_._2).map { case (pr, g) => (pr, g.map(_._3).min) }.toSeq
+      h.filter { case (pr, sz) =>
+        !h.exists { case (pr2, sz2) =>
+          (pr2 <= pr && sz2 <= sz) && (pr2 < pr || sz2 < sz) }
+      }.map { case (pr, sz) => (b, pr, sz) }
+    }.toSet
+    assert(rows == want, s"frontier mismatch: got ${rows.size}, want ${want.size}")
+    // frontier is strictly decreasing in size along increasing price
+    rows.groupBy(_._1).foreach { case (b, f) =>
+      val seq = f.toSeq.sortBy(_._2)
+      seq.sliding(2).foreach {
+        case Seq(a, c) => assert(a._3 > c._3, s"$b frontier not strict")
+        case _ => ()
+      }
+    }
+  }
+
   test("q94 CM join-size estimate never undercounts and matches the exact census") {
     val Array((est, exact, over)) =
       ScaleQueries.q94JoinSizeCms(spark, TestSpark.Sf)
