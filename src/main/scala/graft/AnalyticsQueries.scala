@@ -3008,7 +3008,80 @@ object AnalyticsQueries {
       |FROM w WHERE best_prev IS NULL OR size < best_prev
       |ORDER BY brand, price_cents""".stripMargin
 
+  /** #272 (q104): chi-square independence audit — "are these two
+    * categorical dimensions independent?" (Pearson 1900), the
+    * pre-modeling check behind every segment×geography rollout
+    * decision and the q58-family drift tests' categorical sibling.
+    * Pure integers with cross-multiplied rationals: expected counts
+    * in milli via E = R·C·1000 div N, signed per-cell deviation, and
+    * the χ² total through the margin identity χ² = Σ O²·N/(R·C) − N
+    * (each term ≤ O²·N·10⁶ — inside decimal(38)/HUGEINT where the
+    * naive (O·N − R·C)² form overflows even 38 digits at corpus
+    * scale). ONE corpus scan reduces to the |segments|×|nations|
+    * cell frame; margins, totals, χ² and dof all come from windows
+    * OVER that bounded frame (the q93 one-scan idiom — margins via
+    * agg+crossJoin would rescan the corpus per consumer). Fully
+    * oracled + a hand-computed 2×2 kernel check in the spec. */
+  def q104ChiSquare: Q = (spark, dir) => {
+    val cells = Tables.customer(spark, dir)
+      .groupBy(col("c_mktsegment").as("segment"),
+        col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).cast(DecimalType(38, 0)).as("o"))
+    val wSeg = Window.partitionBy("segment")
+    val wNat = Window.partitionBy("nationkey")
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val nat = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("nationkey"), col("n_name").as("nation"))
+    cells
+      .withColumn("r", sum("o").over(wSeg))
+      .withColumn("c", sum("o").over(wNat))
+      .withColumn("n", sum("o").over(wAll))
+      .withColumn("e_milli", expr("(r * c * 1000) div n"))
+      .withColumn("dev_milli",
+        expr("o * 1000 - (r * c * 1000) div n").cast(LongType))
+      .withColumn("term_e6", expr("(o * o * n * 1000000) div (r * c)"))
+      .withColumn("chi2_e6",
+        sum("term_e6").over(wAll) - expr("n * 1000000").cast(LongType))
+      .withColumn("dof",
+        (size(collect_set("segment").over(wAll)) - 1).cast(LongType) *
+          (size(collect_set("nationkey").over(wAll)) - 1).cast(LongType))
+      .join(broadcast(nat), Seq("nationkey"))
+      .select(col("segment"), col("nation"), col("o").cast(LongType).as("n_obs"),
+        col("e_milli"), col("dev_milli"), col("chi2_e6"), col("dof"))
+      .orderBy("segment", "nation")
+  }
+
+  val q104Sql: String =
+    """WITH cells AS (
+      |  SELECT c_mktsegment AS segment, c_nationkey AS nationkey,
+      |         CAST(COUNT(*) AS HUGEINT) AS o
+      |  FROM customer GROUP BY 1, 2),
+      |m AS (
+      |  SELECT segment, nationkey, o,
+      |         SUM(o) OVER (PARTITION BY segment) AS r,
+      |         SUM(o) OVER (PARTITION BY nationkey) AS c,
+      |         SUM(o) OVER () AS n
+      |  FROM cells),
+      |t AS (
+      |  SELECT segment, nationkey, o, r, c, n,
+      |         (o * o * n * 1000000) // (r * c) AS term_e6
+      |  FROM m),
+      |f AS (
+      |  SELECT segment, nationkey, o,
+      |         CAST((r * c * 1000) // n AS BIGINT) AS e_milli,
+      |         CAST(o * 1000 - (r * c * 1000) // n AS BIGINT) AS dev_milli,
+      |         CAST(SUM(term_e6) OVER () - n * 1000000 AS BIGINT) AS chi2_e6,
+      |         CAST((COUNT(DISTINCT segment) OVER () - 1) *
+      |              (COUNT(DISTINCT nationkey) OVER () - 1) AS BIGINT) AS dof
+      |  FROM t)
+      |SELECT segment, n_name AS nation, CAST(o AS BIGINT) AS n_obs,
+      |       e_milli, dev_milli, chi2_e6, dof
+      |FROM f JOIN nation ON n_nationkey = nationkey
+      |ORDER BY segment, nation""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q104_chi_square" -> q104ChiSquare,
     "q103_skyline" -> q103Skyline,
     "q101_theil_sen" -> q101TheilSen,
     "q102_gini" -> q102Gini,
@@ -3089,6 +3162,7 @@ object AnalyticsQueries {
     "q101_theil_sen" -> q101Sql,
     "q102_gini" -> q102Sql,
     "q103_skyline" -> q103Sql,
+    "q104_chi_square" -> q104Sql,
     "q50_window_stats" -> q50Sql,
     "q51_interval_sweep" -> q51Sql,
     "q52_ewma" -> q52Sql,

@@ -1988,7 +1988,60 @@ object TrainingDataQueries {
       |FROM s, nd
       |ORDER BY vmr_ppm DESC, token ASC LIMIT 100""".stripMargin
 
+  /** #273 (t43): frequency-of-frequencies spectrum — the Good–Turing
+    * front end (Good 1953): for each observed token frequency f, how
+    * many vocabulary types occur exactly f times. N₁ (hapax count)
+    * estimates unseen-mass, N₁/N₂ drives GT discounts, and a
+    * spectrum whose low-f counts are DEPRESSED relative to Zipf's
+    * t41 profile is the classic near-duplication symptom (dup docs
+    * push singletons into higher bins). Two aggregates: token →
+    * count, count → type census; the spectrum domain is bounded by
+    * √(2·tokens) distinct frequencies (Σf over distinct f ≤ total),
+    * so the share windows run over a bounded frame. Vocab/mass
+    * shares in ppm through decimal(38)/HUGEINT. Fully oracled. */
+  def t43FreqSpectrum: Q = (spark, dir) => {
+    val counts = LlmQueries.normedDocs(spark, dir)
+      .select(explode(split(col("text_norm"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("f"))
+    val spec = counts.groupBy("f")
+      .agg(count(lit(1)).cast(DecimalType(38, 0)).as("n_types"))
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    spec
+      .withColumn("vocab", sum("n_types").over(wAll))
+      .withColumn("mass", expr("f * n_types"))
+      .withColumn("mass_tot", sum(expr("f * n_types")).over(wAll))
+      .select(col("f").as("freq"),
+        col("n_types").cast(LongType).as("n_types"),
+        col("mass").cast(LongType).as("mass"),
+        expr("(n_types * 1000000) div vocab").as("vocab_share_ppm"),
+        expr("(mass * 1000000) div mass_tot").as("mass_share_ppm"))
+      .orderBy("freq")
+  }
+
+  val t43Sql: String =
+    """WITH tok AS (
+      |  SELECT unnest(string_split(regexp_replace(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]*(feat\.|featuring|ft\.|&|and)[ \t\n\x0b\f\r]*', ';', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')) AS token
+      |  FROM documents),
+      |c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS f FROM tok
+      |      WHERE length(token) > 0 GROUP BY token),
+      |s AS (SELECT f, CAST(COUNT(*) AS HUGEINT) AS n_types FROM c GROUP BY f),
+      |w AS (
+      |  SELECT f, n_types,
+      |         SUM(n_types) OVER () AS vocab,
+      |         f * n_types AS mass,
+      |         SUM(f * n_types) OVER () AS mass_tot
+      |  FROM s)
+      |SELECT f AS freq,
+      |       CAST(n_types AS BIGINT) AS n_types,
+      |       CAST(mass AS BIGINT) AS mass,
+      |       CAST((n_types * 1000000) // vocab AS BIGINT) AS vocab_share_ppm,
+      |       CAST((mass * 1000000) // mass_tot AS BIGINT) AS mass_share_ppm
+      |FROM w ORDER BY freq""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "t43_freq_spectrum" -> t43FreqSpectrum,
     "t41_zipf_audit" -> t41ZipfAudit,
     "t42_burstiness" -> t42Burstiness,
     "t40_charset_audit" -> t40CharsetAudit,
@@ -2029,6 +2082,7 @@ object TrainingDataQueries {
     "d11_corpus_pipeline" -> d11CorpusPipeline)
 
   val oracles: Seq[(String, String)] = Seq(
+    "t43_freq_spectrum" -> t43Sql,
     "t41_zipf_audit" -> t41Sql,
     "t42_burstiness" -> t42Sql,
     "t40_charset_audit" -> t40Sql,

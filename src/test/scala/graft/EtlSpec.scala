@@ -561,6 +561,55 @@ class EtlSpec extends AnyFunSuite {
     }
   }
 
+  test("q104 chi-square: margins exact, identity matches a local recompute") {
+    val rows = AnalyticsQueries.q104ChiSquare(spark, TestSpark.Sf)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    val chi2 = rows.head._6
+    val dof = rows.head._7
+    assert(rows.forall(r => r._6 == chi2 && r._7 == dof),
+      "chi2/dof must be carried identically on every row")
+    val nSeg = rows.map(_._1).distinct.size
+    val nNat = rows.map(_._2).distinct.size
+    assert(dof == (nSeg - 1).toLong * (nNat - 1))
+    // local recompute of the margin identity chi2 = sum O²N/(RC) − N
+    val o = rows.map(r => ((r._1, r._2), BigInt(r._3))).toMap
+    val n = o.values.sum
+    val rSum = o.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    val cSum = o.groupBy(_._1._2).map { case (t, m) => t -> m.values.sum }
+    val want = o.map { case ((s, t), ob) =>
+      ob * ob * n * 1000000 / (rSum(s) * cSum(t))
+    }.sum - n * 1000000
+    assert(BigInt(chi2) == want, s"chi2_e6 $chi2 != local $want")
+    // expected counts: per-cell E in milli from the same margins
+    rows.foreach { case (s, t, ob, eMilli, devMilli, _, _) =>
+      val e = rSum(s) * cSum(t) * 1000 / n
+      assert(BigInt(eMilli) == e, s"cell ($s,$t) expected")
+      assert(BigInt(devMilli) == BigInt(ob) * 1000 - e)
+    }
+  }
+
+  test("t43 frequency spectrum: censuses conserve, spectrum well-formed") {
+    val rows = TrainingDataQueries.t43FreqSpectrum(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    // the synthetic vocabulary has no hapaxes at this sf (every token
+    // repeats) — N1 = 0 IS the corpus truth; the spectrum must still
+    // be a strictly-increasing frequency spine with positive censuses
+    assert(rows.map(_._1) == rows.map(_._1).sorted &&
+      rows.map(_._1).distinct.size == rows.size)
+    assert(rows.forall(r => r._1 > 0 && r._2 > 0))
+    rows.foreach { case (f, nt, mass, _, _) =>
+      assert(mass == f * nt, "mass must be freq x types")
+    }
+    // conservation vs the independent corpus censuses
+    val counts = LlmQueries.normedDocs(spark, TestSpark.Sf)
+      .select(explode(split(col("text_norm"), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+    assert(rows.map(_._3).sum == counts.count(), "mass != token census")
+    assert(rows.map(_._2).sum == counts.distinct().count(), "types != vocab")
+  }
+
   test("q94 CM join-size estimate never undercounts and matches the exact census") {
     val Array((est, exact, over)) =
       ScaleQueries.q94JoinSizeCms(spark, TestSpark.Sf)
