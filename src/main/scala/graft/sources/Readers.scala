@@ -51,6 +51,22 @@ object Readers {
   def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** XML with explicit schema — Spark 4's NATIVE XML source (the
+    * donated spark-xml path): `rowTag` names the repeating record
+    * element; attributes surface as `_attr` fields; like CSV, an
+    * explicit schema skips the inference pass and PERMISSIVE mode
+    * coerces malformed records to nulls instead of failing the job.
+    * The B2B-feed format every warehouse still ingests somewhere. */
+  def xml(spark: SparkSession, path: String, schema: StructType,
+          rowTag: String): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("rowTag", rowTag)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .format("xml")
+      .load(path)
+
   /** JDBC reader builder (the `pd.read_sql` analog). `numPartitions` +
     * bound columns give parallel partitioned reads — a single-threaded
     * JDBC scan is the #1 ingest bottleneck at scale. Fired end-to-end

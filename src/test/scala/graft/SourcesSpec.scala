@@ -158,6 +158,33 @@ class SourcesSpec extends AnyFunSuite {
     assert(scan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)]"), scan.take(600))
   }
 
+  test("xml round-trip via the native Spark 4 source; malformed records coerce, not fail") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_xml").toString
+    val df = Seq((1L, "alpha", 1.5), (2L, "be<ta>&", 2.5), (3L, null, 3.5))
+      .toDF("id", "s", "v")
+    df.write.mode(SaveMode.Overwrite)
+      .option("rowTag", "rec").option("rootTag", "recs")
+      .format("xml").save(s"$dir/out")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType),
+      StructField("v", DoubleType)))
+    val back = Readers.xml(spark, s"$dir/out", schema, rowTag = "rec")
+    // values survive, including XML-escaped characters and nulls
+    assert(back.orderBy("id").as[(Long, Option[String], Double)].collect().toSeq ==
+      Seq((1L, Some("alpha"), 1.5), (2L, Some("be<ta>&"), 2.5), (3L, None, 3.5)))
+    // PERMISSIVE: a malformed record nulls out instead of failing the job
+    val badDir = Files.createTempDirectory("graft_xml_bad").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(badDir, "part.xml"),
+      "<recs><rec><id>7</id><s>ok</s><v>1.0</v></rec>" +
+        "<rec><id>not_a_long</id><s>bad</s><v>2.0</v></rec></recs>")
+    val mixed = Readers.xml(spark, badDir, schema, rowTag = "rec")
+      .select("id", "s").as[(Option[Long], Option[String])].collect().toSeq
+    assert(mixed.contains((Some(7L), Some("ok"))))
+    assert(mixed.exists(_._1.isEmpty), "malformed record should coerce to null id")
+  }
+
   test("binaryFile ingestion yields (path, length, content) rows, glob-pruned at listing") {
     val dir = Files.createTempDirectory("graft_bin").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.img"), Array[Byte](1, 2, 3))
