@@ -3080,7 +3080,42 @@ object AnalyticsQueries {
       |FROM f JOIN nation ON n_nationkey = nationkey
       |ORDER BY segment, nation""".stripMargin
 
+  /** #275 (q105): VARIANT shredding — Spark 4's native semi-
+    * structured type on the ingest path q27 serves with per-access
+    * string parsing: `parse_json` decodes each props payload ONCE
+    * into the binary VARIANT encoding, every `variant_get` after
+    * that is a typed byte-offset lookup (no re-parse, no schema
+    * declared up front — the open-content model Parquet VARIANT
+    * shredding extends to the lake). The report: per event type the
+    * typed-extraction census (present-count, sum/min/max of `$.k`) —
+    * a malformed payload surfaces as a NULL extraction, never a
+    * failed job (spec pins `try_parse_json` on planted damage + the
+    * VariantGet plan provenance). Oracle side reads the same numbers
+    * through DuckDB's JSON path casts — the VALUES are engine-
+    * portable even though the encoding is Spark-native. */
+  def q105VariantShred: Q = (spark, dir) =>
+    Tables.events(spark, dir)
+      .withColumn("vr", expr("parse_json(props)"))
+      .withColumn("k", expr("variant_get(vr, '$.k', 'long')"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        count(col("k")).as("n_k_present"),
+        sum("k").as("sum_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
+
+  val q105Sql: String =
+    """SELECT event_type,
+      |       CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(COUNT(CAST(props::JSON->>'k' AS BIGINT)) AS BIGINT) AS n_k_present,
+      |       CAST(SUM(CAST(props::JSON->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |       CAST(MIN(CAST(props::JSON->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+      |       CAST(MAX(CAST(props::JSON->>'k' AS BIGINT)) AS BIGINT) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q105_variant_shred" -> q105VariantShred,
     "q104_chi_square" -> q104ChiSquare,
     "q103_skyline" -> q103Skyline,
     "q101_theil_sen" -> q101TheilSen,
@@ -3163,6 +3198,7 @@ object AnalyticsQueries {
     "q102_gini" -> q102Sql,
     "q103_skyline" -> q103Sql,
     "q104_chi_square" -> q104Sql,
+    "q105_variant_shred" -> q105Sql,
     "q50_window_stats" -> q50Sql,
     "q51_interval_sweep" -> q51Sql,
     "q52_ewma" -> q52Sql,

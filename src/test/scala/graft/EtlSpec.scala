@@ -610,6 +610,31 @@ class EtlSpec extends AnyFunSuite {
     assert(rows.map(_._2).sum == counts.distinct().count(), "types != vocab")
   }
 
+  test("q105 variant: plan takes the VariantGet path, damage nulls out, parity with q27") {
+    // plan provenance: the extraction really is the binary-VARIANT path
+    val plan = AnalyticsQueries.q105VariantShred(spark, TestSpark.Sf)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("variant_get") || plan.contains("VariantGet"),
+      s"expected the VARIANT extraction path:\n${plan.take(800)}")
+    // typed extraction agrees with the q27 string-path rule per event
+    val viaVariant = Tables.events(spark, TestSpark.Sf)
+      .withColumn("k", expr("variant_get(parse_json(props), '$.k', 'long')"))
+      .select("event_id", "k").as[(Long, Option[Long])].collect().toMap
+    val viaString = Tables.events(spark, TestSpark.Sf)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(viaVariant == viaString, "variant and string JSON paths diverged")
+    // planted damage: try_parse_json nulls, parse_json on valid rows
+    // unaffected — ingest never fails the job on one bad payload
+    val planted = Seq((1L, """{"k": 5}"""), (2L, """{"k": """ /* truncated */))
+      .toDF("id", "props")
+      .withColumn("k",
+        expr("variant_get(try_parse_json(props), '$.k', 'long')"))
+      .select("id", "k").as[(Long, Option[Long])].collect().toMap
+    assert(planted(1L) == Some(5L) && planted(2L).isEmpty)
+  }
+
   test("q94 CM join-size estimate never undercounts and matches the exact census") {
     val Array((est, exact, over)) =
       ScaleQueries.q94JoinSizeCms(spark, TestSpark.Sf)
