@@ -611,6 +611,53 @@ object EventStream {
     }
   }
 
+  /** Streaming skyline maintenance (#276) — q103's streaming twin:
+    * serve the refreshed Pareto frontier as offers arrive. Skylines
+    * are insert-monotone in the useful direction — a new point can
+    * only extend the frontier or dominate existing members, never
+    * resurrect one — but a DOMINATED arrival must still be
+    * remembered if later frontier points could be dominated away…
+    * which cannot happen under insert-only streams, so the honest
+    * minimal state is the (brand, price) → min-size VALUE-DOMAIN
+    * histogram (batch q103's own post-aggregate frame, the #262
+    * bound): folded per batch by a distributed min-merge (collect
+    * moves ≤ domain rows), with the frontier re-derived from the
+    * histogram by the same prefix-min rule — so after batch k the
+    * emitted frontier is BIT-IDENTICAL to batch q103 over the prefix
+    * (spec-pinned per batch AND vs the oracled q103 at end state).
+    * Replayed batch ids re-emit without re-folding (min-merge WOULD
+    * tolerate replay — idempotent — but the guard keeps the fold
+    * exactly-once by construction, the #185 convention). */
+  def skylineForeachBatch(seed: Map[(String, Long), Long] = Map.empty)(
+      onFrontier: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    val cells = scala.collection.mutable.Map[(String, Long), Long](
+      seed.toSeq: _*)
+    var lastBatch = -1L
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      if (batchId > lastBatch) {
+        batch.groupBy(col("brand"), col("price_cents"))
+          .agg(min("size").as("__graft_s"))
+          .as[(String, Long, Long)].collect()
+          .foreach { case (b, p, s) =>
+            val k = (b, p)
+            cells(k) = cells.get(k).fold(s)(math.min(_, s))
+          }
+        lastBatch = batchId
+      }
+      // frontier from the histogram: ascending price, strict prefix-min
+      val rows = cells.toSeq.map { case ((b, p), s) => (b, p, s) }
+        .groupBy(_._1).toSeq.flatMap { case (b, pts) =>
+          var best = Long.MaxValue
+          pts.sortBy(_._2).flatMap { case (_, p, s) =>
+            if (s < best) { best = s; Some((b, p, s)) } else None
+          }
+        }.sortBy(r => (r._1, r._2))
+      onFrontier(rows.toDF("brand", "price_cents", "size"), batchId)
+    }
+  }
+
   /** Streaming FK-orphan gate (#259) — q97's streaming twin, run as a
     * GATE rather than a post-hoc audit: every arriving child row is
     * checked against the static parent key set BEFORE it enters the

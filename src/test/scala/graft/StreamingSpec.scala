@@ -825,6 +825,70 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("skyline stream: frontier after each batch equals batch q103 on the prefix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pts = Tables.part(spark, TestSpark.Sf)
+      .select(col("p_brand"),
+        Exact.e(col("p_retailprice"), 2).cast("long"),
+        col("p_size").cast("long"))
+      .as[(String, Long, Long)].collect().toSeq
+
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[(String, Long, Long)])]
+    val sink = EventStream.skylineForeachBatch() { (f, id) =>
+      emitted += ((id, f.as[(String, Long, Long)].collect().toSeq))
+    }
+    val input = MemoryStream[(String, Long, Long)]
+    val query = input.toDF().toDF("brand", "price_cents", "size")
+      .writeStream.foreachBatch(sink).outputMode("append").start()
+    // scramble so cheap points arrive late (frontier must re-derive,
+    // not just append) and price ties straddle batches (min-merge)
+    val scrambled = pts.zipWithIndex.sortBy { case (_, i) => (i % 5, i) }.map(_._1)
+    val batches = scrambled.grouped(scrambled.size / 4 + 1).toSeq
+    try {
+      batches.foreach { b => input.addData(b: _*); query.processAllAvailable() }
+    } finally query.stop()
+    assert(emitted.size == batches.size)
+
+    // reference: q103's histogram + prefix-min rule over the prefix
+    def expect(prefix: Seq[(String, Long, Long)]): Seq[(String, Long, Long)] =
+      prefix.groupBy(r => (r._1, r._2)).toSeq
+        .map { case ((b, p), g) => (b, p, g.map(_._3).min) }
+        .groupBy(_._1).toSeq.flatMap { case (b, h) =>
+          var best = Long.MaxValue
+          h.sortBy(_._2).flatMap { case (_, p, s) =>
+            if (s < best) { best = s; Some((b, p, s)) } else None
+          }
+        }.sortBy(r => (r._1, r._2))
+    var prefix = Seq.empty[(String, Long, Long)]
+    batches.zipWithIndex.foreach { case (b, i) =>
+      prefix = prefix ++ b
+      assert(emitted(i)._2 == expect(prefix), s"batch $i diverged")
+    }
+
+    // end state equals the oracled batch q103
+    val want = AnalyticsQueries.q103Skyline(spark, TestSpark.Sf)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(emitted.last._2 == want, "end state != batch q103")
+
+    // a dominated late arrival must NOT enter the frontier
+    val dominated = want.head
+    sink(spark.createDataset(Seq((dominated._1, dominated._2 + 1,
+      dominated._3 + 1))).toDF("brand", "price_cents", "size"),
+      batches.size.toLong)
+    assert(emitted.last._2 == want, "dominated arrival changed the frontier")
+
+    // a strictly-better late arrival must displace its neighborhood
+    sink(spark.createDataset(Seq((dominated._1, dominated._2 - 1,
+      dominated._3))).toDF("brand", "price_cents", "size"),
+      batches.size + 1L)
+    val after = emitted.last._2
+    assert(after.contains((dominated._1, dominated._2 - 1, dominated._3)))
+    assert(!after.contains(dominated),
+      "price-dominated former frontier point must drop")
+  }
+
   test("cusum monitor: report after each batch equals batch q99 on the prefix") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
