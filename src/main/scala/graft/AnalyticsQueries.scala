@@ -2791,6 +2791,13 @@ object AnalyticsQueries {
       .withColumn("prev", lag("d", 1).over(wSeq))
       .filter(col("prev").isNotNull)
       .select(datediff(col("d"), col("prev")).cast(LongType).as("gap"))
+    hazardFromGaps(gaps)
+  }
+
+  /** q100's life-table kernel over any frame with a `gap` (days)
+    * column — split out so the streaming twin's closed gap facts can
+    * be served through the identical arithmetic (#277). */
+  private[graft] def hazardFromGaps(gaps: DataFrame): DataFrame = {
     val hist = gaps
       .groupBy(expr("gap div 7").as("week"))
       .agg(count(lit(1)).as("n_events"))

@@ -1949,6 +1949,67 @@ object EventStream {
       }
   }
 
+  /** Streaming purchase-gap monitor (#277) — q100's streaming twin:
+    * emit each customer's inter-order gap as a FACT the moment both
+    * of its endpoints are closed, so the discrete hazard table is a
+    * running aggregate over this stream (served through the SAME
+    * kernel, [[graft.AnalyticsQueries.hazardFromGaps]] — twin and
+    * batch agree by construction). A gap needs its orders in
+    * sequence, so orders close per customer in ascending (day,
+    * orderkey) order behind a day-granular lateness horizon (the
+    * #156/#217 STRICT discipline: day d closes once a same-customer
+    * order arrives more than `latenessDays` past it); out-of-order
+    * arrivals INSIDE the horizon sort into place before closing,
+    * arrivals behind an already-closed day are dropped (the
+    * watermark contract). Each closing order beyond the customer's
+    * first emits (custkey, gap to the previous closed order) — gaps
+    * between same-day orders emit as 0, matching batch q100's lag
+    * rule. State per customer: closed-through (day, orderkey), the
+    * last closed day, and the lateness-bounded pending buffer. */
+  def purchaseGapStream(orders: DataFrame,
+                        latenessDays: Int = 1): Dataset[GapOut] = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    require(latenessDays >= 0, s"latenessDays must be >= 0: $latenessDays")
+    orders
+      .selectExpr("custkey",
+        "cast(datediff(day, date'1970-01-01') as int) as d", "orderkey")
+      .as[(Long, Int, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[GapState, GapOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (cust, rows, state) =>
+        val st = state.getOption.getOrElse(
+          GapState(Int.MinValue, Long.MinValue, Int.MinValue, Nil))
+        var pending = st.pending.toVector
+        var maxSeen = pending.iterator.map(_._1)
+          .foldLeft(Int.MinValue)(math.max)
+        rows.foreach { case (_, d, k) =>
+          val fresh = d > st.closedDay ||
+            (d == st.closedDay && k > st.closedOrd)
+          if (fresh) {
+            pending :+= ((d, k))
+            if (d > maxSeen) maxSeen = d
+          }
+        }
+        val out = Vector.newBuilder[GapOut]
+        var cd = st.closedDay
+        var co = st.closedOrd
+        var last = st.lastDay
+        if (maxSeen > Int.MinValue) {
+          val horizon = maxSeen - latenessDays
+          val (close, keep) = pending.partition(_._1 < horizon)
+          close.sortBy(identity).foreach { case (d, k) =>
+            if (last != Int.MinValue) out += GapOut(cust, (d - last).toLong)
+            last = d; cd = d; co = k
+          }
+          pending = keep
+        }
+        state.update(GapState(cd, co, last, pending))
+        out.result().iterator
+      }
+  }
+
   /** Per-user running totals via arbitrary stateful processing
     * (`mapGroupsWithState`): state is one [[UserAgg]] per user —
     * bounded by the user population, not the stream length — and
@@ -1971,6 +2032,9 @@ object EventStream {
   }
 }
 
+case class GapState(closedDay: Int, closedOrd: Long, lastDay: Int,
+                    pending: Seq[(Int, Long)])
+case class GapOut(custkey: Long, gap: Long)
 case class UserAgg(n: Long, total: Double)
 case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 case class TypeStats(n: Long, s: Long, ss: Long)

@@ -825,6 +825,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("purchase-gap stream: closed gap facts serve batch q100 through the shared kernel") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val orders = Tables.orders(spark, TestSpark.Sf)
+      .select(col("o_custkey").as("custkey"),
+        col("o_orderdate").cast("date").as("day"),
+        col("o_orderkey").as("orderkey"))
+      .as[(Long, java.sql.Date, Long)].collect().toSeq
+    // globally day-ascending with bounded positional jitter: a
+    // customer's own orders are months apart, so ±3 positions of
+    // disorder stays INSIDE the 1-day lateness horizon while
+    // same-day ties still straddle batches
+    val jittered = orders.sortBy { case (_, d, k) => (d.toString, k % 3, k) }
+
+    val input = MemoryStream[(Long, java.sql.Date, Long)]
+    val query = EventStream.purchaseGapStream(
+        input.toDF().toDF("custkey", "day", "orderkey"), latenessDays = 1)
+      .writeStream.format("memory").queryName("gap_stream")
+      .outputMode("append").start()
+    try {
+      jittered.grouped(jittered.size / 5 + 1).foreach { b =>
+        input.addData(b: _*)
+        query.processAllAvailable()
+      }
+      // sentinel flush: one far-future order per customer closes every
+      // real order; the sentinel itself stays pending, so no gap to it
+      // is ever emitted
+      val flush = orders.groupBy(_._1).map { case (c, os) =>
+        val maxD = os.map(_._2.toLocalDate).maxBy(_.toEpochDay)
+        (c, java.sql.Date.valueOf(maxD.plusDays(30)), -1L)
+      }.toSeq
+      input.addData(flush: _*)
+      query.processAllAvailable()
+
+      val got = spark.table("gap_stream")
+        .as[(Long, Long)].collect().toSeq
+      // expected: the batch lag rule per customer over ALL real orders
+      val want = orders.groupBy(_._1).toSeq.flatMap { case (c, os) =>
+        val days = os.sortBy { case (_, d, k) => (d.toString, k) }
+          .map(_._2.toLocalDate.toEpochDay)
+        days.zip(days.drop(1)).map { case (a, b) => (c, b - a) }
+      }
+      assert(got.sorted == want.sorted,
+        s"gap fact multiset diverged: got ${got.size}, want ${want.size}")
+
+      // the hazard table over the emitted facts IS batch q100
+      val viaStream = AnalyticsQueries.hazardFromGaps(
+          spark.createDataset(got).toDF("custkey", "gap"))
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val viaBatch = AnalyticsQueries.q100Hazard(spark, TestSpark.Sf)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(viaStream == viaBatch, "stream-served hazard != batch q100")
+    } finally query.stop()
+  }
+
   test("skyline stream: frontier after each batch equals batch q103 on the prefix") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
