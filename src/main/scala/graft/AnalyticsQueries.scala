@@ -3121,7 +3121,71 @@ object AnalyticsQueries {
       |       CAST(MAX(CAST(props::JSON->>'k' AS BIGINT)) AS BIGINT) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** #278 (q106): denormalization drift audit — the accounting
+    * reconciliation q66 (replica diff) and q97 (FK orphans) leave
+    * open: does the HEADER's denormalized total still agree with the
+    * DETAIL mass it summarizes? Per order status: order count,
+    * childless-header count (parents with no detail rows — the
+    * inverse of q97's orphans; this corpus has 257 at sf0.01, real
+    * census evidence), exact header/detail cents masses, and the
+    * signed drift ppm (sign-factored truncating div, ORACLE.md
+    * Rule 4; ×10⁶ through decimal(38)/HUGEINT). One shuffle each
+    * side on the orderkey the production join uses, then a
+    * status-bounded aggregate. On THIS corpus the masses genuinely
+    * disagree (the generator does not maintain the TPC-H totalprice
+    * identity) — the audit's job is to measure that drift, and the
+    * oracle pins the measurement. Fully oracled. */
+  def q106ReconAudit: Q = (spark, dir) => {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+        Exact.e(col("o_totalprice"), 2).as("hdr"))
+    val l = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(Exact.e(col("l_extendedprice"), 2)).as("det"),
+        count(lit(1)).as("nl"))
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_outer")
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("nl").isNull, 1L).otherwise(0L)).as("n_childless"),
+        sum("hdr").cast(DecimalType(38, 0)).as("h"),
+        coalesce(sum("det"), lit(0L)).cast(DecimalType(38, 0)).as("d"))
+      .select(col("status"), col("n_orders"), col("n_childless"),
+        col("h").cast(LongType).as("header_cents"),
+        col("d").cast(LongType).as("detail_cents"),
+        when(col("d") >= col("h"),
+          expr("((d - h) * 1000000) div h"))
+          .otherwise(-expr("((h - d) * 1000000) div h"))
+          .cast(LongType).as("drift_ppm"))
+      .orderBy("status")
+  }
+
+  val q106Sql: String =
+    """WITH l AS (
+      |  SELECT l_orderkey,
+      |         CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS det,
+      |         COUNT(*) AS nl
+      |  FROM lineitem GROUP BY 1),
+      |j AS (
+      |  SELECT o_orderstatus AS status,
+      |         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS hdr,
+      |         det, nl
+      |  FROM orders LEFT JOIN l ON o_orderkey = l_orderkey),
+      |g AS (
+      |  SELECT status,
+      |         CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |         CAST(SUM(CASE WHEN nl IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_childless,
+      |         CAST(SUM(hdr) AS HUGEINT) AS h,
+      |         CAST(COALESCE(SUM(det), 0) AS HUGEINT) AS d
+      |  FROM j GROUP BY status)
+      |SELECT status, n_orders, n_childless,
+      |       CAST(h AS BIGINT) AS header_cents,
+      |       CAST(d AS BIGINT) AS detail_cents,
+      |       CAST(CASE WHEN d >= h THEN ((d - h) * 1000000) // h
+      |            ELSE -(((h - d) * 1000000) // h) END AS BIGINT) AS drift_ppm
+      |FROM g ORDER BY status""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q106_recon_audit" -> q106ReconAudit,
     "q105_variant_shred" -> q105VariantShred,
     "q104_chi_square" -> q104ChiSquare,
     "q103_skyline" -> q103Skyline,
@@ -3206,6 +3270,7 @@ object AnalyticsQueries {
     "q103_skyline" -> q103Sql,
     "q104_chi_square" -> q104Sql,
     "q105_variant_shred" -> q105Sql,
+    "q106_recon_audit" -> q106Sql,
     "q50_window_stats" -> q50Sql,
     "q51_interval_sweep" -> q51Sql,
     "q52_ewma" -> q52Sql,
