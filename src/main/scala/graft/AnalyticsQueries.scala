@@ -3184,7 +3184,49 @@ object AnalyticsQueries {
       |            ELSE -(((h - d) * 1000000) // h) END AS BIGINT) AS drift_ppm
       |FROM g ORDER BY status""".stripMargin
 
+  /** #279 (q107): unpivot / melt — q13's pivot inverted (wide →
+    * long), the reshape every metrics pipeline needs when a
+    * many-column fact must become (entity, metric, value) rows for a
+    * generic downstream (alerting, drift, per-metric models). Uses
+    * Spark's NATIVE `unpivot` (the Dataset API over the UNPIVOT
+    * logical op — a projection+explode under the hood, map-only: no
+    * shuffle appears until the demo aggregate). Per (brand, metric):
+    * count and exact integer sum over the melted rows — metrics
+    * pre-scaled to integer units BEFORE melting so one value column
+    * carries mixed units losslessly (cents / raw size / raw
+    * type-string length). Fully oracled via DuckDB UNPIVOT. */
+  def q107Unpivot: Q = (spark, dir) => {
+    val wide = Tables.part(spark, dir)
+      .select(col("p_brand").as("brand"),
+        Exact.e(col("p_retailprice"), 2).cast(LongType).as("price_cents"),
+        col("p_size").cast(LongType).as("size"),
+        length(col("p_type")).cast(LongType).as("type_len"))
+    wide.unpivot(
+        ids = Array(col("brand")),
+        values = Array(col("price_cents"), col("size"), col("type_len")),
+        variableColumnName = "metric",
+        valueColumnName = "v")
+      .groupBy("brand", "metric")
+      .agg(count(lit(1)).as("n"), sum("v").as("total"))
+      .orderBy("brand", "metric")
+  }
+
+  val q107Sql: String =
+    """WITH wide AS (
+      |  SELECT p_brand AS brand,
+      |         CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+      |         CAST(p_size AS BIGINT) AS size,
+      |         CAST(length(p_type) AS BIGINT) AS type_len
+      |  FROM part),
+      |long AS (
+      |  UNPIVOT wide ON price_cents, size, type_len
+      |  INTO NAME metric VALUE v)
+      |SELECT brand, metric, CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(SUM(v) AS BIGINT) AS total
+      |FROM long GROUP BY brand, metric ORDER BY brand, metric""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q107_unpivot" -> q107Unpivot,
     "q106_recon_audit" -> q106ReconAudit,
     "q105_variant_shred" -> q105VariantShred,
     "q104_chi_square" -> q104ChiSquare,
@@ -3271,6 +3313,7 @@ object AnalyticsQueries {
     "q104_chi_square" -> q104Sql,
     "q105_variant_shred" -> q105Sql,
     "q106_recon_audit" -> q106Sql,
+    "q107_unpivot" -> q107Sql,
     "q50_window_stats" -> q50Sql,
     "q51_interval_sweep" -> q51Sql,
     "q52_ewma" -> q52Sql,
