@@ -611,6 +611,62 @@ object EventStream {
     }
   }
 
+  /** Streaming chi-square monitor (#280) — q104's streaming twin:
+    * the independence test served over the prefix-so-far as
+    * person-records arrive (segment, nationkey columns). State = one
+    * Long per contingency CELL — |segments|×|nations|, configuration
+    * scale, the same bound batch q104's post-aggregate frame has —
+    * folded per micro-batch by a distributed domain-bounded groupBy.
+    * The report re-derives margins, expected counts, per-cell
+    * deviations and the χ² total from the cell histogram with batch
+    * q104's exact integer rules (margin identity Σ O²·N/(R·C) − N in
+    * BigInt — the driver-side twin of the decimal(38) path), so
+    * after batch k the frame is BIT-IDENTICAL to batch q104 over the
+    * stream prefix (spec-pinned per batch AND vs the oracled q104 at
+    * end state). Replayed batch ids re-emit without re-folding. */
+  def chiSquareForeachBatch(nation: DataFrame,
+      seed: Map[(String, Long), Long] = Map.empty)(
+      onReport: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    val cells = scala.collection.mutable.Map[(String, Long), Long](
+      seed.toSeq: _*)
+    var lastBatch = -1L
+    var natNames: Map[Long, String] = null
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      if (natNames == null)
+        natNames = nation
+          .select(col("n_nationkey").cast("long"), col("n_name"))
+          .as[(Long, String)].collect().toMap
+      if (batchId > lastBatch) {
+        batch.groupBy(col("segment"), col("nationkey").cast("long").as("nk"))
+          .agg(count(lit(1)).as("__graft_n"))
+          .as[(String, Long, Long)].collect()
+          .foreach { case (s, nk, n) =>
+            cells((s, nk)) = cells.getOrElse((s, nk), 0L) + n }
+        lastBatch = batchId
+      }
+      // batch q104's integer rules over the cell histogram
+      val o = cells.toSeq.map { case ((s, nk), n) => (s, nk, BigInt(n)) }
+      val n = o.map(_._3).sum
+      val rSum = o.groupBy(_._1).map { case (s, g) => s -> g.map(_._3).sum }
+      val cSum = o.groupBy(_._2).map { case (t, g) => t -> g.map(_._3).sum }
+      val chi2 =
+        if (n == 0) BigInt(0)
+        else o.map { case (s, t, ob) =>
+          ob * ob * n * 1000000 / (rSum(s) * cSum(t))
+        }.sum - n * 1000000
+      val dof = (rSum.size - 1).toLong * (cSum.size - 1).toLong
+      val rows = o.map { case (s, t, ob) =>
+        val e = rSum(s) * cSum(t) * 1000 / n
+        (s, natNames(t), ob.toLong, e.toLong, (ob * 1000 - e).toLong,
+          chi2.toLong, dof)
+      }.sortBy(r => (r._1, r._2))
+      onReport(rows.toDF("segment", "nation", "n_obs", "e_milli",
+        "dev_milli", "chi2_e6", "dof"), batchId)
+    }
+  }
+
   /** Streaming skyline maintenance (#276) — q103's streaming twin:
     * serve the refreshed Pareto frontier as offers arrive. Skylines
     * are insert-monotone in the useful direction — a new point can

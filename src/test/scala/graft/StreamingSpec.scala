@@ -880,6 +880,66 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("chi-square monitor: report after each batch equals batch q104 on the prefix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    type R7 = (String, String, Long, Long, Long, Long, Long)
+    val cust = Tables.customer(spark, TestSpark.Sf)
+      .select(col("c_mktsegment").as("segment"),
+        col("c_nationkey").cast("long").as("nationkey"))
+      .as[(String, Long)].collect().toSeq
+    val natNames = Tables.nation(spark, TestSpark.Sf)
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .as[(Long, String)].collect().toMap
+
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[R7])]
+    val sink = EventStream.chiSquareForeachBatch(
+        Tables.nation(spark, TestSpark.Sf)) { (r, id) =>
+      emitted += ((id, r.as[(String, String, Long, Long, Long, Long, Long)].collect().toSeq))
+    }
+    val input = MemoryStream[(String, Long)]
+    val query = input.toDF().toDF("segment", "nationkey")
+      .writeStream.foreachBatch(sink).outputMode("append").start()
+    val batches = cust.grouped(cust.size / 3 + 1).toSeq
+    try {
+      batches.foreach { b => input.addData(b: _*); query.processAllAvailable() }
+    } finally query.stop()
+    assert(emitted.size == batches.size)
+
+    // reference: q104's integer rules over the prefix cells
+    def expect(prefix: Seq[(String, Long)]): Seq[R7] = {
+      val o = prefix.groupBy(identity).toSeq
+        .map { case ((s, t), g) => (s, t, BigInt(g.size)) }
+      val n = o.map(_._3).sum
+      val rS = o.groupBy(_._1).map { case (s, g) => s -> g.map(_._3).sum }
+      val cS = o.groupBy(_._2).map { case (t, g) => t -> g.map(_._3).sum }
+      val chi2 = o.map { case (s, t, ob) =>
+        ob * ob * n * 1000000 / (rS(s) * cS(t)) }.sum - n * 1000000
+      val dof = (rS.size - 1).toLong * (cS.size - 1).toLong
+      o.map { case (s, t, ob) =>
+        val e = rS(s) * cS(t) * 1000 / n
+        (s, natNames(t), ob.toLong, e.toLong, (ob * 1000 - e).toLong,
+          chi2.toLong, dof)
+      }.sortBy(r => (r._1, r._2))
+    }
+    var prefix = Seq.empty[(String, Long)]
+    batches.zipWithIndex.foreach { case (b, i) =>
+      prefix = prefix ++ b
+      assert(emitted(i)._2 == expect(prefix), s"batch $i diverged")
+    }
+
+    // full-stream end state equals the oracled batch q104
+    val want = AnalyticsQueries.q104ChiSquare(spark, TestSpark.Sf)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(emitted.last._2 == want, "end state != batch q104")
+
+    // replayed batch id re-emits without re-folding
+    val before = emitted.size
+    sink(spark.createDataset(batches.last).toDF("segment", "nationkey"),
+      (batches.size - 1).toLong)
+    assert(emitted.size == before + 1 && emitted.last._2 == want)
+  }
+
   test("skyline stream: frontier after each batch equals batch q103 on the prefix") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
