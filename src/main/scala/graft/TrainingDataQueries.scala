@@ -2040,7 +2040,76 @@ object TrainingDataQueries {
       |       CAST((mass * 1000000) // mass_tot AS BIGINT) AS mass_share_ppm
       |FROM w ORDER BY freq""".stripMargin
 
+  /** #281 (t44): split-agreement audit — Cohen's κ (Cohen 1960)
+    * between the naive per-doc hash split (t08) and the
+    * leakage-safe cluster-granular split (t23): the governance
+    * number for "how much did leakage-safety actually move?" (κ = 1
+    * ⇒ the cluster pass changed nothing; low κ with q?_gini-style
+    * margins intact ⇒ big reshuffle). Exact in integers with
+    * cross-multiplied rationals: po = agree/N, pe = Σ_k R_k·C_k/N²,
+    * κ = (agree·N − Σ R·C)/(N² − Σ R·C), sign-factored per ORACLE.md
+    * Rule 4 (a disagreeing split CAN dip below chance), ×10⁶ through
+    * decimal(38)/HUGEINT. Shape: one doc_id join of the two split
+    * frames → the 3×3 confusion-cell frame, localCheckpointed so the
+    * margins/pe/total consumers re-read nine rows instead of
+    * re-running the join (the q98 staging trick); every downstream
+    * op is domain-bounded. Fully oracled (embeds both splits' SQL,
+    * incl. t23's recursive cluster CTE). */
+  def t44SplitAgreement: Q = (spark, dir) => {
+    val d38 = DecimalType(38, 0)
+    val a = t08HashSplit(spark, dir).select(col("doc_id"), col("split").as("sa"))
+    val b = t23LeakageSafeSplit(spark, dir)
+      .select(col("doc_id"), col("split").as("sb"))
+    val cells = a.join(b, Seq("doc_id"))
+      .groupBy("sa", "sb").agg(count(lit(1)).cast(d38).as("n"))
+      .localCheckpoint()
+    val am = cells.groupBy(col("sa").as("k")).agg(sum("n").as("ra"))
+    val bm = cells.groupBy(col("sb").as("k")).agg(sum("n").as("cb"))
+    val pe = am.join(bm, Seq("k"))
+      .agg(sum(expr("ra * cb")).as("epair"))
+    val tot = cells.agg(sum("n").as("nn"),
+      coalesce(sum(when(col("sa") === col("sb"), col("n"))),
+        lit(0).cast(d38)).as("agree"))
+    cells.crossJoin(broadcast(pe)).crossJoin(broadcast(tot))
+      .select(col("sa").as("split_naive"), col("sb").as("split_safe"),
+        col("n").cast(LongType).as("n"),
+        expr("(agree * 1000000) div nn").as("po_ppm"),
+        expr("(epair * 1000000) div (nn * nn)").as("pe_ppm"),
+        when(col("nn") * col("nn") === col("epair"), lit(1000000L))
+          .otherwise(
+            when(expr("agree * nn - epair") >= 0,
+              expr("((agree * nn - epair) * 1000000) div (nn * nn - epair)"))
+              .otherwise(
+                -expr("((epair - agree * nn) * 1000000) div (nn * nn - epair)")))
+          .cast(LongType).as("kappa_ppm"))
+      .orderBy("split_naive", "split_safe")
+  }
+
+  // lazy: embeds t08Sql and t23Sql (t23 textually below)
+  lazy val t44Sql: String =
+    s"""WITH a AS ($t08Sql),
+       |b AS ($t23Sql),
+       |cells AS (
+       |  SELECT a.split AS sa, b.split AS sb, CAST(COUNT(*) AS HUGEINT) AS n
+       |  FROM a JOIN b ON a.doc_id = b.doc_id GROUP BY 1, 2),
+       |am AS (SELECT sa AS k, CAST(SUM(n) AS HUGEINT) AS ra FROM cells GROUP BY 1),
+       |bm AS (SELECT sb AS k, CAST(SUM(n) AS HUGEINT) AS cb FROM cells GROUP BY 1),
+       |pe AS (SELECT CAST(SUM(ra * cb) AS HUGEINT) AS epair FROM am JOIN bm USING (k)),
+       |tot AS (SELECT CAST(SUM(n) AS HUGEINT) AS nn,
+       |               CAST(COALESCE(SUM(CASE WHEN sa = sb THEN n END), 0) AS HUGEINT) AS agree
+       |        FROM cells)
+       |SELECT sa AS split_naive, sb AS split_safe, CAST(n AS BIGINT) AS n,
+       |       CAST((agree * 1000000) // nn AS BIGINT) AS po_ppm,
+       |       CAST((epair * 1000000) // (nn * nn) AS BIGINT) AS pe_ppm,
+       |       CAST(CASE WHEN nn * nn = epair THEN 1000000
+       |            WHEN agree * nn - epair >= 0
+       |            THEN ((agree * nn - epair) * 1000000) // (nn * nn - epair)
+       |            ELSE -(((epair - agree * nn) * 1000000) // (nn * nn - epair)) END AS BIGINT) AS kappa_ppm
+       |FROM cells, pe, tot
+       |ORDER BY split_naive, split_safe""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "t44_split_agreement" -> t44SplitAgreement,
     "t43_freq_spectrum" -> t43FreqSpectrum,
     "t41_zipf_audit" -> t41ZipfAudit,
     "t42_burstiness" -> t42Burstiness,
@@ -2082,6 +2151,7 @@ object TrainingDataQueries {
     "d11_corpus_pipeline" -> d11CorpusPipeline)
 
   val oracles: Seq[(String, String)] = Seq(
+    "t44_split_agreement" -> t44Sql,
     "t43_freq_spectrum" -> t43Sql,
     "t41_zipf_audit" -> t41Sql,
     "t42_burstiness" -> t42Sql,
