@@ -3225,7 +3225,74 @@ object AnalyticsQueries {
       |       CAST(SUM(v) AS BIGINT) AS total
       |FROM long GROUP BY brand, metric ORDER BY brand, metric""".stripMargin
 
+  /** #282 (q108): rollup contribution report — q15's rollup with the
+    * question every subtotal reader actually asks bolted on: what
+    * share of its PARENT does each row carry? (detail → its
+    * subtotal, subtotal → the grand total, grand total → itself).
+    * grouping_id() distinguishes the levels; the share joins are
+    * SELF-joins of the rollup OUTPUT — a domain-bounded frame
+    * localCheckpointed first (the q98 staging trick), so the corpus
+    * aggregates once and the share plumbing touches only subtotal
+    * rows. NULL grouping keys render as 'ALL' so the report is
+    * unambiguous (a genuine NULL key would collide with a rollup
+    * hole otherwise). Shares in floor ppm via decimal(38)/HUGEINT.
+    * Fully oracled (ROLLUP + GROUPING()). */
+  def q108RollupShare: Q = (spark, dir) => {
+    val d38 = DecimalType(38, 0)
+    val base = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+        Exact.e(col("l_extendedprice"), 2).as("cents"))
+    val r = base.rollup("rf", "ls")
+      .agg(sum("cents").cast(d38).as("mass"), grouping_id().as("gid"))
+      .localCheckpoint()
+    val seg = r.filter(col("gid") === 1)
+      .select(col("rf").as("p_rf"), col("mass").as("p_mass"))
+    val grand = r.filter(col("gid") === 3)
+      .select(col("mass").as("g_mass"))
+    val detail = r.filter(col("gid") === 0)
+      .join(broadcast(seg), col("rf") === col("p_rf"))
+      .select(col("rf"), col("ls"), col("gid"), col("mass"),
+        col("p_mass").as("parent"))
+    val subtot = r.filter(col("gid") === 1).crossJoin(broadcast(grand))
+      .select(col("rf"), col("ls"), col("gid"), col("mass"),
+        col("g_mass").as("parent"))
+    val top = r.filter(col("gid") === 3)
+      .select(col("rf"), col("ls"), col("gid"), col("mass"),
+        col("mass").as("parent"))
+    detail.unionByName(subtot).unionByName(top)
+      .select(
+        coalesce(col("rf"), lit("ALL")).as("returnflag"),
+        coalesce(col("ls"), lit("ALL")).as("linestatus"),
+        col("gid").cast(LongType).as("gid"),
+        col("mass").cast(LongType).as("mass_cents"),
+        expr("(mass * 1000000) div parent").as("share_of_parent_ppm"))
+      .orderBy("gid", "returnflag", "linestatus")
+  }
+
+  val q108Sql: String =
+    """WITH r AS (
+      |  SELECT l_returnflag AS rf, l_linestatus AS ls,
+      |         CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS HUGEINT) AS mass,
+      |         CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+      |  FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)),
+      |seg AS (SELECT rf AS p_rf, mass AS p_mass FROM r WHERE gid = 1),
+      |grand AS (SELECT mass AS g_mass FROM r WHERE gid = 3),
+      |u AS (
+      |  SELECT r.rf, r.ls, r.gid, r.mass, seg.p_mass AS parent
+      |  FROM r JOIN seg ON r.rf = seg.p_rf WHERE r.gid = 0
+      |  UNION ALL
+      |  SELECT rf, ls, gid, mass, (SELECT g_mass FROM grand) FROM r WHERE gid = 1
+      |  UNION ALL
+      |  SELECT rf, ls, gid, mass, mass FROM r WHERE gid = 3)
+      |SELECT COALESCE(rf, 'ALL') AS returnflag,
+      |       COALESCE(ls, 'ALL') AS linestatus,
+      |       gid,
+      |       CAST(mass AS BIGINT) AS mass_cents,
+      |       CAST((mass * 1000000) // parent AS BIGINT) AS share_of_parent_ppm
+      |FROM u ORDER BY gid, returnflag, linestatus""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q108_rollup_share" -> q108RollupShare,
     "q107_unpivot" -> q107Unpivot,
     "q106_recon_audit" -> q106ReconAudit,
     "q105_variant_shred" -> q105VariantShred,
@@ -3314,6 +3381,7 @@ object AnalyticsQueries {
     "q105_variant_shred" -> q105Sql,
     "q106_recon_audit" -> q106Sql,
     "q107_unpivot" -> q107Sql,
+    "q108_rollup_share" -> q108Sql,
     "q50_window_stats" -> q50Sql,
     "q51_interval_sweep" -> q51Sql,
     "q52_ewma" -> q52Sql,
