@@ -387,6 +387,39 @@ class PlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("q99 CUSUM: one events scan, no join, windows partitioned on event_type") {
+    val p = planOf("q99_cusum")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("events"))
+    assert(scans == 1, s"expected 1 events scan, got $scans:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"closed-form CUSUM must not join:\n${p.take(1500)}")
+  }
+
+  test("q103 skyline: one part scan, histogram window, no join") {
+    val p = planOf("q103_skyline")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("part"))
+    assert(scans == 1, s"expected 1 part scan, got $scans:\n${p.take(1500)}")
+    assert(!p.contains("Join"), s"prefix-min skyline must not join:\n${p.take(1500)}")
+  }
+
+  test("q104 chi-square: one customer scan — margins come from windows, not rescans") {
+    val p = planOf("q104_chi_square")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("customer"))
+    assert(scans == 1,
+      s"margins must window the cell frame (agg+crossJoin would rescan): got $scans scans\n${p.take(1500)}")
+  }
+
+  test("q108 rollup shares read the checkpointed rollup output, not three corpus scans") {
+    val p = planOf("q108_rollup_share")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(scans == 0,
+      s"all consumers must read the localCheckpoint, got $scans lineitem scans:\n${p.take(1500)}")
+  }
+
   test("q56 scans the events table once, joins nothing, and windows only the daily frame") {
     val p = planOf("q56_gap_fill")
     val scans = p.linesIterator.count(l =>
