@@ -2641,37 +2641,47 @@ object AnalyticsQueries {
     * unequal mass (a revenue-weighted latency, a quantity-weighted
     * price): the median UNIT OF WEIGHT, i.e. the exact interpolated
     * median of the multiset where each row repeats `weight` times —
-    * computed WITHOUT expansion by feeding integer weights as the
-    * histogram counts of the q29 kernel
-    * ([[graft.functions.ExactPercentile.quantilesOfCounts]] never
-    * materializes a row per unit; the expansion exists only in the
-    * rank arithmetic). Per return flag: quantity-weighted median
-    * price beside the unweighted median (the comparison IS the
-    * report — how much do big-lot prices differ from per-line
-    * prices). ONE corpus scan builds one histogram carrying both
-    * count columns; everything after is domain-bounded. Fully
-    * oracled — the weighted side replicates the integer rank pick
-    * (cum-weight windows + neighbor interpolation) in SQL, the
+    * computed WITHOUT expansion by treating integer weights as
+    * histogram counts — the expansion exists only in the rank
+    * arithmetic (the q29/q98 cum-window rank pick). Per return flag:
+    * quantity-weighted median price beside the unweighted median
+    * (the comparison IS the report — how much do big-lot prices
+    * differ from per-line prices). ONE corpus scan builds one
+    * histogram carrying BOTH count columns, and ONE window sort
+    * carries both cumulative columns — the two rank passes share the
+    * ordering, so nothing corpus-scale is materialized or re-sorted.
+    * Fully oracled — the weighted side replicates the integer rank
+    * pick (cum-weight windows + neighbor interpolation) in SQL, the
     * unweighted side is quantile_cont. */
   def q98WeightedMedian: Q = (spark, dir) => {
-    import graft.functions.ExactPercentile, ExactPercentile.Pct
+    // ONE histogram, ONE window sort carrying BOTH cumulative count
+    // columns (weight mass + row count) — the two rank passes share
+    // the ordering, so no checkpoint and no second pass is needed
+    // (round-9 rewrite: the kernel-twice version materialized a
+    // near-corpus-size histogram to feed two separate window sorts)
     val h = Tables.lineitem(spark, dir)
       .select(col("l_returnflag"),
         Exact.e(col("l_extendedprice"), 2).cast(LongType).as("v"),
         col("l_quantity").cast(LongType).as("w"))
       .groupBy("l_returnflag", "v")
       .agg(sum("w").cast(LongType).as("wsum"), count(lit(1)).as("rows"))
-      .localCheckpoint() // one corpus scan feeds both rank passes
-    val wmed = ExactPercentile.quantilesOfCounts(
-      h.select(col("l_returnflag"), col("v"), col("wsum").as("cnt")),
-      Seq("l_returnflag"), valPow = 2, outPow = 3,
-      Seq(Pct("wmedian_price_milli", 1, 2)))
-    val med = ExactPercentile.quantilesOfCounts(
-      h.select(col("l_returnflag"), col("v"), col("rows").as("cnt")),
-      Seq("l_returnflag"), valPow = 2, outPow = 3,
-      Seq(Pct("median_price_milli", 1, 2)))
-    wmed.join(med, Seq("l_returnflag"))
-      .select("l_returnflag", "wmedian_price_milli", "median_price_milli")
+    val wCum = Window.partitionBy("l_returnflag").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("l_returnflag")
+    def medianMilli(cum: String, n: String): Column = {
+      val lo = min(when(col(cum) > expr(s"($n - 1) div 2"), col("v")))
+      val hi = min(when(col(cum) > expr(s"($n - 1) div 2 + ($n - 1) % 2"),
+        col("v")))
+      // odd n: lo*10; even n: (lo+hi)*5 — the q98Sql rank arithmetic
+      lo * 10 + (lit(1) - expr(s"max($n) % 2")) * (hi - lo) * 5
+    }
+    h.withColumn("cum_w", sum("wsum").over(wCum))
+      .withColumn("cum_r", sum("rows").over(wCum))
+      .withColumn("n_w", sum("wsum").over(wAll))
+      .withColumn("n_r", sum("rows").over(wAll))
+      .groupBy("l_returnflag")
+      .agg(medianMilli("cum_w", "n_w").as("wmedian_price_milli"),
+        medianMilli("cum_r", "n_r").as("median_price_milli"))
       .orderBy("l_returnflag")
   }
 
