@@ -3301,7 +3301,73 @@ object AnalyticsQueries {
       |       CAST((mass * 1000000) // parent AS BIGINT) AS share_of_parent_ppm
       |FROM u ORDER BY gid, returnflag, linestatus""".stripMargin
 
+  /** #283 (q109): LOCF forward fill — the imputation family's fourth
+    * member (q05 sentinel fill, q08 join imputation, q56 linear
+    * interpolation; this is last-observation-carried-forward, the
+    * rule a DOWNWARD-biased interpolation would falsify for
+    * step-shaped series like prices and configuration states). Per
+    * event type: the full day spine from first to last observation
+    * (explode(sequence) on the domain-bounded per-type range),
+    * left-joined observations, and ONE running window carrying both
+    * the filled value (`last(_, ignoreNulls)`) and the day it was
+    * carried from — `staleness_days` is the trust signal a consumer
+    * filters on. The spine starts at each type's first observation,
+    * so no leading-null edge case exists by construction. Fully
+    * oracled (LAST_VALUE IGNORE NULLS). */
+  def q109Locf: Q = (spark, dir) => {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts").cast(DateType).as("day"),
+        round(col("value") * 100, 0).cast(LongType).as("cents"))
+      .filter(col("cents") > 20000)
+      .groupBy("event_type", "day").agg(sum("cents").as("cents"))
+    val spine = daily.groupBy("event_type")
+      .agg(min("day").as("lo"), max("day").as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"))).as("day"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("event_type", "day"), "left_outer")
+      .withColumn("cents_filled", last("cents", ignoreNulls = true).over(w))
+      .withColumn("carried_from",
+        last(when(col("cents").isNotNull, col("day")), ignoreNulls = true)
+          .over(w))
+      .select(col("event_type"), col("day"), col("cents_filled"),
+        datediff(col("day"), col("carried_from")).cast(LongType)
+          .as("staleness_days"),
+        col("cents").isNotNull.cast(LongType).as("is_observed"))
+      .orderBy("event_type", "day")
+  }
+
+  val q109Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events WHERE CAST(ROUND(value * 100, 0) AS BIGINT) > 20000
+      |  GROUP BY 1, 2),
+      |b AS (SELECT event_type, MIN(day) AS lo, MAX(day) AS hi
+      |      FROM daily GROUP BY 1),
+      |spine AS (
+      |  SELECT event_type,
+      |         CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM b),
+      |j AS (
+      |  SELECT s.event_type, s.day, d.cents
+      |  FROM spine s LEFT JOIN daily d
+      |    ON s.event_type = d.event_type AND s.day = d.day),
+      |f AS (
+      |  SELECT event_type, day, cents,
+      |         LAST_VALUE(cents IGNORE NULLS) OVER w AS cents_filled,
+      |         LAST_VALUE(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+      |           OVER w AS carried_from
+      |  FROM j
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING))
+      |SELECT event_type, day, cents_filled,
+      |       CAST(day - carried_from AS BIGINT) AS staleness_days,
+      |       CAST(CASE WHEN cents IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_observed
+      |FROM f ORDER BY event_type, day""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q109_locf" -> q109Locf,
     "q108_rollup_share" -> q108RollupShare,
     "q107_unpivot" -> q107Unpivot,
     "q106_recon_audit" -> q106ReconAudit,
@@ -3392,6 +3458,7 @@ object AnalyticsQueries {
     "q106_recon_audit" -> q106Sql,
     "q107_unpivot" -> q107Sql,
     "q108_rollup_share" -> q108Sql,
+    "q109_locf" -> q109Sql,
     "q50_window_stats" -> q50Sql,
     "q51_interval_sweep" -> q51Sql,
     "q52_ewma" -> q52Sql,
