@@ -2108,7 +2108,110 @@ object TrainingDataQueries {
        |FROM cells, pe, tot
        |ORDER BY split_naive, split_safe""".stripMargin
 
+  /** #284 (t45): quality-gate Venn — the decision table behind a
+    * production keep/drop filter: three shipped gate families
+    * (t29's Gopher rule battery, t12's per-language length band,
+    * a minimal stopword-presence naturalness floor) evaluated
+    * per doc in ONE scan, then collapsed to the 2³ verdict cells
+    * with doc counts, token mass and doc-share ppm — "which gate
+    * uniquely kills what" (`unique_kill` marks cells where exactly
+    * one gate fails: the gates whose removal would change the
+    * corpus, the d29 marginal-attribution idea applied to quality).
+    * The length band reuses the t12 ExactPercentile kernel
+    * (quantile_cont-oracled there), the Gopher columns are t29's
+    * own expressions — gate semantics and their source audits agree
+    * by construction. Cell-share windows run over ≤8 rows. Fully
+    * oracled. */
+  def t45GateVenn: Q = (spark, dir) => {
+    import graft.functions.ExactPercentile, ExactPercentile.Pct
+    import graft.text.TextFunctions.matchCount
+    val docs = Tables.documents(spark, dir)
+    val bands = ExactPercentile.quantiles(docs, Seq("lang"),
+      col("n_chars"), valPow = 0, outPow = 3,
+      Seq(Pct("lo_milli", 5, 100), Pct("hi_milli", 95, 100)))
+    val lo = lower(col("text"))
+    val stopHits = Seq("the", "a", "of", "in")
+      .map(w => when(matchCount(lo, s"\\b$w\\b") > 0, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val scored = docs.join(broadcast(bands), "lang")
+      .select(col("doc_id"),
+        matchCount(lo, """[a-z0-9]+""").as("n_words"),
+        length(regexp_replace(lo, """[^a-z0-9]""", "")).cast(LongType)
+          .as("n_word_chars"),
+        matchCount(lo, """[a-z0-9]*[a-z][a-z0-9]*""").as("n_alpha_words"),
+        matchCount(col("text"), """[#@%&$*]|\.\.\.""").as("n_symbols"),
+        stopHits.as("n_stop_types"),
+        (col("n_chars") * 1000 >= col("lo_milli") &&
+          col("n_chars") * 1000 <= col("hi_milli")).cast(LongType)
+          .as("g_len"))
+      .withColumn("g_gopher",
+        when(col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("n_word_chars") >= col("n_words") * 3 &&
+          col("n_word_chars") <= col("n_words") * 10 &&
+          col("n_symbols") * 10 <= col("n_words") &&
+          col("n_alpha_words") * 5 >= col("n_words") * 4 &&
+          col("n_stop_types") >= 2, 1L).otherwise(0L))
+      .withColumn("g_stop", (col("n_stop_types") >= 1).cast(LongType))
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    scored.groupBy("g_gopher", "g_len", "g_stop")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"))
+      .withColumn("doc_share_ppm",
+        expr("(cast(n_docs as decimal(38,0)) * 1000000)")
+          .divide(sum(col("n_docs").cast(DecimalType(38, 0))).over(wAll))
+          .cast(LongType))
+      .withColumn("unique_kill",
+        (col("g_gopher") + col("g_len") + col("g_stop") === 2)
+          .cast(LongType))
+      .select("g_gopher", "g_len", "g_stop", "n_docs", "n_words",
+        "doc_share_ppm", "unique_kill")
+      .orderBy("g_gopher", "g_len", "g_stop")
+  }
+
+  val t45Sql: String = {
+    val stopSum = Seq("the", "a", "of", "in")
+      .map(w => s"CASE WHEN len(regexp_extract_all(lower(text), '\\b$w\\b')) > 0 THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    """WITH b AS (
+      |  SELECT lang,
+      |         CAST(FLOOR(quantile_cont(n_chars, 0.05) * 1000.0 + 0.5) AS BIGINT) AS lo_milli,
+      |         CAST(FLOOR(quantile_cont(n_chars, 0.95) * 1000.0 + 0.5) AS BIGINT) AS hi_milli
+      |  FROM documents GROUP BY lang),
+      |c AS (
+      |  SELECT doc_id,
+      |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_words,
+      |         CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT) AS n_word_chars,
+      |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]*[a-z][a-z0-9]*')) AS BIGINT) AS n_alpha_words,
+      |         CAST(len(regexp_extract_all(text, '[#@%&$*]|\.\.\.')) AS BIGINT) AS n_symbols,
+      |         CAST(STOPSUM AS BIGINT) AS n_stop_types,
+      |         CAST(CASE WHEN d.n_chars * 1000 >= b.lo_milli
+      |                    AND d.n_chars * 1000 <= b.hi_milli
+      |              THEN 1 ELSE 0 END AS BIGINT) AS g_len
+      |  FROM documents d JOIN b USING (lang)),
+      |g AS (
+      |  SELECT *,
+      |         CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+      |                    AND n_word_chars >= n_words * 3 AND n_word_chars <= n_words * 10
+      |                    AND n_symbols * 10 <= n_words
+      |                    AND n_alpha_words * 5 >= n_words * 4
+      |                    AND n_stop_types >= 2 THEN 1 ELSE 0 END AS BIGINT) AS g_gopher,
+      |         CAST(CASE WHEN n_stop_types >= 1 THEN 1 ELSE 0 END AS BIGINT) AS g_stop
+      |  FROM c),
+      |cells AS (
+      |  SELECT g_gopher, g_len, g_stop,
+      |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST(SUM(n_words) AS BIGINT) AS n_words
+      |  FROM g GROUP BY 1, 2, 3)
+      |SELECT g_gopher, g_len, g_stop, n_docs, n_words,
+      |       CAST(CAST(n_docs AS HUGEINT) * 1000000 //
+      |            SUM(CAST(n_docs AS HUGEINT)) OVER () AS BIGINT) AS doc_share_ppm,
+      |       CAST(CASE WHEN g_gopher + g_len + g_stop = 2 THEN 1 ELSE 0 END AS BIGINT) AS unique_kill
+      |FROM cells ORDER BY g_gopher, g_len, g_stop""".stripMargin
+      .replace("STOPSUM", stopSum)
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "t45_gate_venn" -> t45GateVenn,
     "t44_split_agreement" -> t44SplitAgreement,
     "t43_freq_spectrum" -> t43FreqSpectrum,
     "t41_zipf_audit" -> t41ZipfAudit,
@@ -2151,6 +2254,7 @@ object TrainingDataQueries {
     "d11_corpus_pipeline" -> d11CorpusPipeline)
 
   val oracles: Seq[(String, String)] = Seq(
+    "t45_gate_venn" -> t45Sql,
     "t44_split_agreement" -> t44Sql,
     "t43_freq_spectrum" -> t43Sql,
     "t41_zipf_audit" -> t41Sql,
