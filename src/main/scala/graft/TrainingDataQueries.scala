@@ -2124,16 +2124,38 @@ object TrainingDataQueries {
     * oracled. */
   def t45GateVenn: Q = (spark, dir) => {
     import graft.functions.ExactPercentile, ExactPercentile.Pct
-    import graft.text.TextFunctions.matchCount
     val docs = Tables.documents(spark, dir)
     val bands = ExactPercentile.quantiles(docs, Seq("lang"),
       col("n_chars"), valPow = 0, outPow = 3,
       Seq(Pct("lo_milli", 5, 100), Pct("hi_milli", 95, 100)))
+    val scored = gateVerdicts(docs.join(broadcast(bands), "lang"))
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    scored.groupBy("g_gopher", "g_len", "g_stop")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"))
+      .withColumn("doc_share_ppm",
+        expr("(cast(n_docs as decimal(38,0)) * 1000000)")
+          .divide(sum(col("n_docs").cast(DecimalType(38, 0))).over(wAll))
+          .cast(LongType))
+      .withColumn("unique_kill",
+        (col("g_gopher") + col("g_len") + col("g_stop") === 2)
+          .cast(LongType))
+      .select("g_gopher", "g_len", "g_stop", "n_docs", "n_words",
+        "doc_share_ppm", "unique_kill")
+      .orderBy("g_gopher", "g_len", "g_stop")
+  }
+
+  /** t45's per-doc verdict columns over any frame carrying (text,
+    * n_chars, lo_milli, hi_milli) — split out so the STREAMING
+    * quality gate (#285) shares the batch audit's exact expressions
+    * (gate and audit agree by construction, the t40/#251 contract). */
+  private[graft] def gateVerdicts(docsWithBands: DataFrame): DataFrame = {
+    import graft.text.TextFunctions.matchCount
     val lo = lower(col("text"))
     val stopHits = Seq("the", "a", "of", "in")
       .map(w => when(matchCount(lo, s"\\b$w\\b") > 0, 1L).otherwise(0L))
       .reduce(_ + _)
-    val scored = docs.join(broadcast(bands), "lang")
+    docsWithBands
       .select(col("doc_id"),
         matchCount(lo, """[a-z0-9]+""").as("n_words"),
         length(regexp_replace(lo, """[^a-z0-9]""", "")).cast(LongType)
@@ -2152,20 +2174,6 @@ object TrainingDataQueries {
           col("n_alpha_words") * 5 >= col("n_words") * 4 &&
           col("n_stop_types") >= 2, 1L).otherwise(0L))
       .withColumn("g_stop", (col("n_stop_types") >= 1).cast(LongType))
-    val wAll = Window.partitionBy(lit(1))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    scored.groupBy("g_gopher", "g_len", "g_stop")
-      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"))
-      .withColumn("doc_share_ppm",
-        expr("(cast(n_docs as decimal(38,0)) * 1000000)")
-          .divide(sum(col("n_docs").cast(DecimalType(38, 0))).over(wAll))
-          .cast(LongType))
-      .withColumn("unique_kill",
-        (col("g_gopher") + col("g_len") + col("g_stop") === 2)
-          .cast(LongType))
-      .select("g_gopher", "g_len", "g_stop", "n_docs", "n_words",
-        "doc_share_ppm", "unique_kill")
-      .orderBy("g_gopher", "g_len", "g_stop")
   }
 
   val t45Sql: String = {

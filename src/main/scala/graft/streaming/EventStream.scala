@@ -611,6 +611,26 @@ object EventStream {
     }
   }
 
+  /** Streaming quality gate (#285) — t45's verdicts as an INGEST
+    * GATE, completing the streaming ingest chain (charset #251 →
+    * media format #267 → quality HERE → near-dup #159): per arriving
+    * doc the three gate bits (Gopher battery, per-language length
+    * band, stopword floor) plus the combined keep verdict, computed
+    * by the SAME shared batch-t45 expressions
+    * ([[graft.TrainingDataQueries.gateVerdicts]]) against a FROZEN
+    * calibration frame (`bands` — yesterday's t12 percentile
+    * artifact: a stream cannot know its own corpus percentiles, so
+    * the gate runs on the last calibrated bands, exactly how a
+    * production filter deploys). Stateless stream-static broadcast
+    * join + projection — no watermark, no state store (the #164
+    * pattern); batch/stream verdict parity is pinned by the spec. */
+  def qualityGateStream(docs: DataFrame, bands: DataFrame): DataFrame =
+    graft.TrainingDataQueries.gateVerdicts(
+        docs.join(broadcast(bands), Seq("lang")))
+      .withColumn("keep",
+        (col("g_gopher") === 1 && col("g_len") === 1 && col("g_stop") === 1)
+          .cast("long"))
+
   /** Streaming chi-square monitor (#280) — q104's streaming twin:
     * the independence test served over the prefix-so-far as
     * person-records arrive (segment, nationkey columns). State = one

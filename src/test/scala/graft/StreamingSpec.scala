@@ -880,6 +880,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("quality gate stream: per-doc verdicts identical to batch t45 expressions on frozen bands") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.ExactPercentile, ExactPercentile.Pct
+    // frozen calibration: the t12 band artifact off the static corpus
+    val corpus = Tables.documents(spark, TestSpark.Sf)
+    val bands = ExactPercentile.quantiles(corpus, Seq("lang"),
+      col("n_chars"), valPow = 0, outPow = 3,
+      Seq(Pct("lo_milli", 5, 100), Pct("hi_milli", 95, 100)))
+      .localCheckpoint()
+    val docs = corpus.select("doc_id", "lang", "text", "n_chars")
+      .as[(Long, String, String, Long)].collect().toSeq
+    // planted extremes exercise each gate's failure path
+    val lang0 = docs.head._2
+    val planted = Seq(
+      (-1L, lang0, "no stopwords here just x", 24L), // fails gopher (<50 words)
+      (-2L, lang0, ("the of a in " * 20) + "x " * 60, 1L)) // short n_chars -> fails len band
+    val all = docs ++ planted
+
+    val input = MemoryStream[(Long, String, String, Long)]
+    val query = EventStream.qualityGateStream(
+        input.toDF().toDF("doc_id", "lang", "text", "n_chars"), bands)
+      .select("doc_id", "g_gopher", "g_len", "g_stop", "keep")
+      .writeStream.format("memory").queryName("quality_gate")
+      .outputMode("append").start()
+    try {
+      all.grouped(all.size / 3 + 1).foreach { b =>
+        input.addData(b: _*)
+        query.processAllAvailable()
+      }
+      val got = spark.table("quality_gate")
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      assert(got.size == all.size)
+      // batch parity: the same function over the same rows as a batch
+      val want = EventStream.qualityGateStream(
+          all.toDF("doc_id", "lang", "text", "n_chars"), bands)
+        .select("doc_id", "g_gopher", "g_len", "g_stop", "keep")
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      assert(got == want, "stream verdicts diverged from batch expressions")
+      // planted truths
+      assert(got(-1L)._1 == 0L && got(-1L)._4 == 0L,
+        "short doc must fail the Gopher battery and be dropped")
+      assert(got(-2L)._2 == 0L && got(-2L)._4 == 0L,
+        "band-violating doc must fail the length gate and be dropped")
+      // keep is the conjunction, bit for bit
+      got.values.foreach { case (g1, g2, g3, k) =>
+        assert(k == (if (g1 == 1 && g2 == 1 && g3 == 1) 1L else 0L))
+      }
+    } finally query.stop()
+  }
+
   test("chi-square monitor: report after each batch equals batch q104 on the prefix") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
