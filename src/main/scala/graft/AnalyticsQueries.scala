@@ -3366,7 +3366,68 @@ object AnalyticsQueries {
       |       CAST(CASE WHEN cents IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_observed
       |FROM f ORDER BY event_type, day""".stripMargin
 
+  /** #286 (q110): Wilson lower-bound ranking — the "how not to sort
+    * by average" operator (Wilson 1927): a brand with 2/2 returns
+    * must NOT outrank one with 180/200, so items rank by the
+    * CONFIDENCE LOWER BOUND of their rate, not the raw ratio. At
+    * z = 2 the bound is LB = (s + 2 − 2·√(s(n−s)/n + 1))/(n + 4);
+    * everything is integer-rational except one √, carried as the
+    * shared-IEEE term FLOOR(SQRT(n·(s·(n−s) + n))) — int→double
+    * conversion and sqrt are both correctly rounded, so the floored
+    * integer is bit-identical cross-engine (ORACLE.md Rule 4's
+    * shared-IEEE option), and every other op stays in
+    * decimal(38)/HUGEINT. Report: per brand the lineitem returns
+    * census, raw rate and Wilson LB in ppm, ranked by the bound.
+    * One partkey shuffle (the production join), brand-bounded
+    * aggregate. Fully oracled. */
+  def q110WilsonRank: Q = (spark, dir) => {
+    val d38 = DecimalType(38, 0)
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        (col("l_returnflag") === "R").cast(LongType).as("ret"))
+    val g = li.join(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand").as("brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("brand")
+      .agg(count(lit(1)).cast(d38).as("n"), sum("ret").cast(d38).as("s"))
+    g
+      // the one shared-IEEE term; all else stays integral
+      .withColumn("rt",
+        floor(sqrt(expr("cast(n * (s * (n - s) + n) as double)")))
+          .cast(d38))
+      .select(col("brand"),
+        col("n").cast(LongType).as("n_lines"),
+        col("s").cast(LongType).as("n_returned"),
+        expr("(s * 1000000) div n").as("raw_ppm"),
+        expr("case when (s + 2) * n >= 2 * rt " +
+          "then (((s + 2) * n - 2 * rt) * 1000000) div (n * (n + 4)) " +
+          "else 0 end").cast(LongType).as("wilson_lb_ppm"))
+      .orderBy(col("wilson_lb_ppm").desc, col("brand").asc)
+  }
+
+  val q110Sql: String =
+    """WITH g AS (
+      |  SELECT p_brand AS brand,
+      |         CAST(COUNT(*) AS HUGEINT) AS n,
+      |         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS HUGEINT) AS s
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1),
+      |w AS (
+      |  SELECT brand, n, s,
+      |         CAST(FLOOR(SQRT(CAST(n * (s * (n - s) + n) AS DOUBLE))) AS HUGEINT) AS rt
+      |  FROM g)
+      |SELECT brand,
+      |       CAST(n AS BIGINT) AS n_lines,
+      |       CAST(s AS BIGINT) AS n_returned,
+      |       CAST((s * 1000000) // n AS BIGINT) AS raw_ppm,
+      |       CAST(CASE WHEN (s + 2) * n >= 2 * rt
+      |            THEN (((s + 2) * n - 2 * rt) * 1000000) // (n * (n + 4))
+      |            ELSE 0 END AS BIGINT) AS wilson_lb_ppm
+      |FROM w
+      |ORDER BY wilson_lb_ppm DESC, brand ASC""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q110_wilson_rank" -> q110WilsonRank,
     "q109_locf" -> q109Locf,
     "q108_rollup_share" -> q108RollupShare,
     "q107_unpivot" -> q107Unpivot,
@@ -3459,6 +3520,7 @@ object AnalyticsQueries {
     "q107_unpivot" -> q107Sql,
     "q108_rollup_share" -> q108Sql,
     "q109_locf" -> q109Sql,
+    "q110_wilson_rank" -> q110Sql,
     "q50_window_stats" -> q50Sql,
     "q51_interval_sweep" -> q51Sql,
     "q52_ewma" -> q52Sql,

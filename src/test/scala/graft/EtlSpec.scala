@@ -635,6 +635,35 @@ class EtlSpec extends AnyFunSuite {
     assert(planted(1L) == Some(5L) && planted(2L).isEmpty)
   }
 
+  test("q110 Wilson: bound below raw rate, local recompute exact, small-n demotion holds") {
+    val rows = AnalyticsQueries.q110WilsonRank(spark, TestSpark.Sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    def wilsonPpm(n: BigInt, s: BigInt): Long = {
+      val rt = BigInt(math.sqrt((n * (s * (n - s) + n)).toDouble).toLong)
+      // floor adjust: toDouble rounding can land one off for huge args
+      val x = n * (s * (n - s) + n)
+      var r = rt
+      while ((r + 1) * (r + 1) <= x) r += 1
+      while (r * r > x) r -= 1
+      if ((s + 2) * n >= 2 * r)
+        (((s + 2) * n - 2 * r) * 1000000 / (n * (n + 4))).toLong
+      else 0L
+    }
+    rows.foreach { case (b, n, s, raw, lb) =>
+      assert(raw == BigInt(s) * 1000000 / n)
+      assert(lb <= raw, s"$b: bound must not exceed the raw rate")
+      // NOTE: local floor-isqrt vs the engines' FLOOR(SQRT(double)) can
+      // differ by 1 ulp only past 2^52 — not reachable at test scale
+      assert(lb == wilsonPpm(n, s), s"$b: local recompute diverged")
+    }
+    // the operator's reason to exist: 2/2 must rank BELOW 180/200
+    assert(wilsonPpm(2, 2) < wilsonPpm(200, 180),
+      "small-sample perfect rate must lose to well-evidenced 90%")
+    // more evidence at the same rate tightens the bound upward
+    assert(wilsonPpm(10, 5) < wilsonPpm(1000, 500))
+  }
+
   test("q94 CM join-size estimate never undercounts and matches the exact census") {
     val Array((est, exact, over)) =
       ScaleQueries.q94JoinSizeCms(spark, TestSpark.Sf)
