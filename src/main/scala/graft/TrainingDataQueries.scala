@@ -2133,10 +2133,14 @@ object TrainingDataQueries {
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     scored.groupBy("g_gopher", "g_len", "g_stop")
       .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"))
+      // integer FLOOR division like every sibling share column —
+      // Decimal.divide rounds HALF_UP at result scale before the Long
+      // cast, so quotients with fractional part ≥ 1−5e-7 would round
+      // one ppm above the DuckDB '//' oracle; `div` truncates exactly
+      .withColumn("__total",
+        sum(col("n_docs").cast(DecimalType(38, 0))).over(wAll))
       .withColumn("doc_share_ppm",
-        expr("(cast(n_docs as decimal(38,0)) * 1000000)")
-          .divide(sum(col("n_docs").cast(DecimalType(38, 0))).over(wAll))
-          .cast(LongType))
+        expr("(cast(n_docs as decimal(38,0)) * 1000000) div __total"))
       .withColumn("unique_kill",
         (col("g_gopher") + col("g_len") + col("g_stop") === 2)
           .cast(LongType))

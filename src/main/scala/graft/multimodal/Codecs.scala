@@ -29,6 +29,17 @@ object Codecs {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"media decode: $msg")
 
+  /** Pixel count computed in LONG — a crafted header like 65536×65536
+    * overflows `w * h` to 0 in Int, bypassing every truncated-raster
+    * guard and letting a gate report ok=1 for a zero-pixel image with
+    * absurd dimensions. Headers claiming more pixels than any payload
+    * could back fail here, BEFORE any allocation. */
+  private def pixelCount(w: Int, h: Int): Int = {
+    val n = w.toLong * h
+    if (n > Int.MaxValue) fail(s"pixel count ${w}x$h overflows")
+    n.toInt
+  }
+
   // ---- PGM (netpbm portable graymap; public spec: netpbm(5)) -------
 
   /** Header scanner: netpbm tokens are separated by whitespace, and a
@@ -68,12 +79,15 @@ object Codecs {
     val maxval = tk.int("maxval")
     if (w <= 0 || h <= 0) fail(s"bad dimensions ${w}x$h")
     if (maxval <= 0 || maxval > 255) fail(s"unsupported maxval $maxval")
-    val n = w * h
+    val n = pixelCount(w, h)
+    // ASCII pixels need ≥2 bytes each (digit + separator) — reject a
+    // header whose claim can't be backed BEFORE allocating n ints
+    if (!binary && n.toLong > payload.length) fail("truncated P2 raster")
     val px = new Array[Int](n)
     if (binary) {
       // exactly ONE whitespace byte separates maxval from raster
       val start = tk.pos + 1
-      if (start + n > payload.length) fail("truncated P5 raster")
+      if (start.toLong + n > payload.length) fail("truncated P5 raster")
       var i = 0
       while (i < n) { px(i) = payload(start + i) & 0xff; i += 1 }
     } else {
@@ -117,9 +131,11 @@ object Codecs {
     val h = math.abs(hRaw)
     if (w <= 0 || h == 0) fail(s"bad dimensions ${w}x$h")
     val bytesPp = bpp / 8
-    val rowBytes = ((w * bytesPp + 3) / 4) * 4 // rows pad to 4 bytes
-    if (dataOff.toLong + rowBytes.toLong * h > payload.length) fail("truncated BMP raster")
-    val px = new Array[Int](w * h)
+    val rowBytesL = ((w.toLong * bytesPp + 3) / 4) * 4 // rows pad to 4 bytes
+    if (dataOff < 0 || dataOff.toLong + rowBytesL * h > payload.length)
+      fail("truncated BMP raster")
+    val rowBytes = rowBytesL.toInt // raster fits the payload ⇒ fits Int
+    val px = new Array[Int](pixelCount(w, h))
     var y = 0
     while (y < h) {
       val srcRow = if (topDown) y else h - 1 - y
@@ -158,7 +174,9 @@ object Codecs {
     val maxval = tk.int("maxval")
     if (w <= 0 || h <= 0) fail(s"bad dimensions ${w}x$h")
     if (maxval <= 0 || maxval > 255) fail(s"unsupported maxval $maxval")
-    val n = w * h
+    val n = pixelCount(w, h)
+    // P3 samples need ≥2 bytes each — reject unbackable claims pre-alloc
+    if (!binary && 3L * n > payload.length) fail("truncated P3 raster")
     val r = new Array[Int](n); val g = new Array[Int](n)
     val b = new Array[Int](n)
     if (binary) {

@@ -181,23 +181,39 @@ object AnnIndex {
     * the tombstone list — the reclamation pass that turns [[delete]]'s
     * logical mask into reclaimed bytes (GDPR's "erased from backups
     * and replicas" clause needs this pass, not just the mask). The
-    * surviving rows are STAGED through a local checkpoint before the
-    * overwrite (the rewrite reads the very files it replaces —
-    * materialize-before-overwrite, [[maintain]]'s hazard class), cell
-    * partition values are untouched so partition pruning and the
-    * calibrated meta survive, and probes before/after are
-    * bit-identical (spec-pinned). Returns the number of rows
+    * survivors are fully MATERIALIZED into a hidden sibling staging
+    * dir and swapped in via the same no-loss rename protocol as
+    * [[graft.sources.Writers.publish]] — an in-place overwrite would
+    * delete the cells table at job start, so a crash or executor loss
+    * mid-rewrite would destroy the index (tombstones alone cannot
+    * restore it); with the staged swap the previous cells survive at
+    * `.cells.previous` until the new table is in place. Cell partition
+    * values are untouched so partition pruning and the calibrated meta
+    * survive, probes before/after are bit-identical (spec-pinned), and
+    * tombstones are cleared only AFTER the swap commits (a crash
+    * between swap and clear just re-masks already-purged ids — the
+    * anti-join is a no-op on them). Returns the number of rows
     * physically removed; no-op 0 when nothing is tombstoned. */
   def purge(spark: SparkSession, dir: String): Long = {
     val tomb = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
     val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(tomb)) return 0L
-    val all = spark.read.parquet(s"$dir/cells")
-    val nAll = all.count()
-    val live = liveCells(spark, dir).localCheckpoint(true)
-    val nLive = live.count()
-    live.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
-    fs.delete(tomb, true)
+    val cells = new org.apache.hadoop.fs.Path(s"$dir/cells")
+    val tmp = new org.apache.hadoop.fs.Path(dir, ".cells.purge-inprogress")
+    val prev = new org.apache.hadoop.fs.Path(dir, ".cells.previous")
+    val nAll = spark.read.parquet(cells.toString).count()
+    fs.delete(tmp, true)
+    liveCells(spark, dir)
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+    val nLive = spark.read.parquet(tmp.toString).count()
+    fs.delete(prev, true)
+    if (fs.exists(cells) && !fs.rename(cells, prev))
+      throw new java.io.IOException(s"purge: rename $cells -> $prev failed")
+    if (!fs.rename(tmp, cells))
+      throw new java.io.IOException(
+        s"purge: rename $tmp -> $cells failed (previous cells at $prev)")
+    fs.delete(prev, true)
+    fs.delete(tomb, true) // only after the swap commits
     nAll - nLive
   }
 

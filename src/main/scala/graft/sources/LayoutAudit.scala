@@ -44,9 +44,19 @@ object LayoutAudit {
     // recursive: partitioned tables keep their files under key= dirs
     val it = fs.listFiles(root, true)
     val fb = new scala.collection.mutable.ArrayBuffer[String]()
+    val rootUri = root.toUri.getPath
+    // Spark's InMemoryFileIndex visibility rule: any path segment below
+    // the root starting with '_' or '.' is invisible (manifests from
+    // writeShards, .previous/.inprogress staging) — auditing those would
+    // read foreign schemas or count row groups the scan never sees.
+    def visible(p: Path): Boolean = {
+      val rel = p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+      rel.split('/').forall(s =>
+        s.nonEmpty && !s.startsWith("_") && !s.startsWith("."))
+    }
     while (it.hasNext) {
       val p = it.next().getPath
-      if (p.getName.endsWith(".parquet")) fb += p.toString
+      if (p.getName.endsWith(".parquet") && visible(p)) fb += p.toString
     }
     val files = fb.toSeq
     require(files.nonEmpty, s"no parquet files under $path")
