@@ -471,23 +471,42 @@ object EventStream {
     * full weight table via `onWeights`: the integer math (exact √ of
     * n·10⁶, half-up ppm) is t26's, so after batch k the emitted table
     * is BIT-IDENTICAL to batch t26 over the stream prefix
-    * (spec-pinned). `seed` resumes from a persisted lang histogram
-    * (e.g. yesterday's close) so a restart needs no history replay;
-    * within a run, a re-fired batch id (Structured Streaming replays
-    * the last uncommitted batch on recovery) is re-emitted without
-    * re-folding, keeping counts exactly-once per batch id. */
-  def alphaMixForeachBatch(seed: Map[String, Long] = Map.empty)(
+    * (spec-pinned). Restart durability: pass `stateDir` and every
+    * folded batch persists the lang histogram as a versioned
+    * [[MonitorState]] snapshot; a fresh closure recovers
+    * (counts, lastBatch) from the highest committed version — exactly
+    * when Structured Streaming redelivers the last uncommitted batch,
+    * which the recovered guard then skips, so post-restart emissions
+    * equal the uninterrupted run's (spec-pinned kill/restart parity).
+    * `seed` stays as the cold-start fallback (a recovered snapshot
+    * supersedes it). Within a run, a re-fired batch id is re-emitted
+    * without re-folding, keeping counts exactly-once per batch id. */
+  def alphaMixForeachBatch(seed: Map[String, Long] = Map.empty,
+      stateDir: Option[String] = None, maxKeys: Int = 65536)(
       onWeights: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
     val counts = scala.collection.mutable.Map[String, Long](seed.toSeq: _*)
     var lastBatch = -1L
+    var recovered = stateDir.isEmpty
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
       import spark.implicits._
+      if (!recovered) {
+        MonitorState.recover(spark, stateDir.get, batchId).foreach {
+          case (v, rows) =>
+            counts.clear()
+            rows.foreach { case (l, _, n) => counts(l) = n }
+            lastBatch = v
+        }
+        recovered = true
+      }
       if (batchId > lastBatch) {
         batch.groupBy("lang").agg(count(lit(1)).as("__graft_n"))
           .as[(String, Long)].collect()
           .foreach { case (l, n) => counts(l) = counts.getOrElse(l, 0L) + n }
         lastBatch = batchId
+        MonitorState.guardBound(counts.size, maxKeys, "alphaMix")
+        stateDir.foreach(d => MonitorState.save(spark, d, batchId,
+          counts.toSeq.sorted.map { case (l, n) => (l, "", n) }))
       }
       val rows = counts.toSeq.sortBy(_._1)
       val ntot = rows.map(_._2).sum
@@ -514,17 +533,32 @@ object EventStream {
     * integer rules against the SAME literal mass table
     * ([[graft.AnalyticsQueries.benfordExpPpm]]), so after batch k
     * the emitted frame is BIT-IDENTICAL to batch q93's arithmetic
-    * over the stream prefix (spec-pinned). `seed` resumes from a
-    * persisted digit histogram (yesterday's close) without history
-    * replay; a replayed batch id re-emits without re-folding (counts
-    * are not idempotent — the alphaMix guard). */
-  def benfordForeachBatch(seed: Map[Long, Long] = Map.empty)(
+    * over the stream prefix (spec-pinned). Restart durability: pass
+    * `stateDir` for versioned [[MonitorState]] snapshots per folded
+    * batch — a fresh closure recovers (counts, lastBatch) from the
+    * highest committed version, so post-restart reports equal the
+    * uninterrupted run's (spec-pinned); `seed` is the cold-start
+    * fallback (a recovered snapshot supersedes it). A replayed batch
+    * id re-emits without re-folding (counts are not idempotent — the
+    * alphaMix guard). */
+  def benfordForeachBatch(seed: Map[Long, Long] = Map.empty,
+      stateDir: Option[String] = None, maxKeys: Int = 65536)(
       onReport: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
     val counts = scala.collection.mutable.Map[Long, Long](seed.toSeq: _*)
     var lastBatch = -1L
+    var recovered = stateDir.isEmpty
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
       import spark.implicits._
+      if (!recovered) {
+        MonitorState.recover(spark, stateDir.get, batchId).foreach {
+          case (v, rows) =>
+            counts.clear()
+            rows.foreach { case (d, _, n) => counts(d.toLong) = n }
+            lastBatch = v
+        }
+        recovered = true
+      }
       if (batchId > lastBatch) {
         batch.filter(col("cents") > 0)
           .select(substring(col("cents").cast("string"), 1, 1)
@@ -533,6 +567,9 @@ object EventStream {
           .as[(Long, Long)].collect()
           .foreach { case (d, n) => counts(d) = counts.getOrElse(d, 0L) + n }
         lastBatch = batchId
+        MonitorState.guardBound(counts.size, maxKeys, "benford")
+        stateDir.foreach(d => MonitorState.save(spark, d, batchId,
+          counts.toSeq.sorted.map { case (k, n) => (k.toString, "", n) }))
       }
       val total = counts.values.sum
       val rows = graft.AnalyticsQueries.benfordExpPpm.map { case (d, exp) =>
@@ -568,16 +605,32 @@ object EventStream {
     * semantics CUSUM wants: a late fact retroactively shifts the
     * whole trajectory — this twin RE-DERIVES from counters, so late
     * arrivals are folded exactly, never dropped at a watermark.
-    * `seed` resumes from a persisted histogram; replayed batch ids
-    * re-emit without re-folding (counts are not idempotent). */
-  def cusumForeachBatch(seed: Map[(String, String), Long] = Map.empty)(
+    * Restart durability: pass `stateDir` for versioned
+    * [[MonitorState]] snapshots per folded batch — a fresh closure
+    * recovers (cells, lastBatch) from the highest committed version,
+    * so post-restart reports equal the uninterrupted run's
+    * (spec-pinned); `seed` is the cold-start fallback (a recovered
+    * snapshot supersedes it). Replayed batch ids re-emit without
+    * re-folding (counts are not idempotent). */
+  def cusumForeachBatch(seed: Map[(String, String), Long] = Map.empty,
+      stateDir: Option[String] = None, maxKeys: Int = 65536)(
       onReport: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
     val cells = scala.collection.mutable.Map[(String, String), Long](
       seed.toSeq: _*)
     var lastBatch = -1L
+    var recovered = stateDir.isEmpty
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
       import spark.implicits._
+      if (!recovered) {
+        MonitorState.recover(spark, stateDir.get, batchId).foreach {
+          case (v, rows) =>
+            cells.clear()
+            rows.foreach { case (et, d, c) => cells((et, d)) = c }
+            lastBatch = v
+        }
+        recovered = true
+      }
       if (batchId > lastBatch) {
         batch.groupBy(col("event_type"), col("day").cast("string").as("d"))
           .agg(sum("cents").as("__graft_c"))
@@ -585,6 +638,9 @@ object EventStream {
           .foreach { case (et, d, c) =>
             cells((et, d)) = cells.getOrElse((et, d), 0L) + c }
         lastBatch = batchId
+        MonitorState.guardBound(cells.size, maxKeys, "cusum")
+        stateDir.foreach(dir => MonitorState.save(spark, dir, batchId,
+          cells.toSeq.sortBy(_._1).map { case ((et, d), c) => (et, d, c) }))
       }
       val rows = cells.toSeq.map { case ((et, d), c) => (et, d, c) }
         .groupBy(_._1).toSeq.flatMap { case (et, trs) =>
@@ -643,13 +699,20 @@ object EventStream {
     * BigInt — the driver-side twin of the decimal(38) path), so
     * after batch k the frame is BIT-IDENTICAL to batch q104 over the
     * stream prefix (spec-pinned per batch AND vs the oracled q104 at
-    * end state). Replayed batch ids re-emit without re-folding. */
+    * end state). Restart durability: pass `stateDir` for versioned
+    * [[MonitorState]] snapshots per folded batch — a fresh closure
+    * recovers (cells, lastBatch) from the highest committed version,
+    * so post-restart reports equal the uninterrupted run's
+    * (spec-pinned); `seed` is the cold-start fallback. Replayed batch
+    * ids re-emit without re-folding. */
   def chiSquareForeachBatch(nation: DataFrame,
-      seed: Map[(String, Long), Long] = Map.empty)(
+      seed: Map[(String, Long), Long] = Map.empty,
+      stateDir: Option[String] = None, maxKeys: Int = 65536)(
       onReport: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
     val cells = scala.collection.mutable.Map[(String, Long), Long](
       seed.toSeq: _*)
     var lastBatch = -1L
+    var recovered = stateDir.isEmpty
     var natNames: Map[Long, String] = null
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
@@ -658,6 +721,15 @@ object EventStream {
         natNames = nation
           .select(col("n_nationkey").cast("long"), col("n_name"))
           .as[(Long, String)].collect().toMap
+      if (!recovered) {
+        MonitorState.recover(spark, stateDir.get, batchId).foreach {
+          case (v, rows) =>
+            cells.clear()
+            rows.foreach { case (s, nk, n) => cells((s, nk.toLong)) = n }
+            lastBatch = v
+        }
+        recovered = true
+      }
       if (batchId > lastBatch) {
         batch.groupBy(col("segment"), col("nationkey").cast("long").as("nk"))
           .agg(count(lit(1)).as("__graft_n"))
@@ -665,6 +737,10 @@ object EventStream {
           .foreach { case (s, nk, n) =>
             cells((s, nk)) = cells.getOrElse((s, nk), 0L) + n }
         lastBatch = batchId
+        MonitorState.guardBound(cells.size, maxKeys, "chiSquare")
+        stateDir.foreach(d => MonitorState.save(spark, d, batchId,
+          cells.toSeq.sortBy(_._1).map { case ((s, nk), n) =>
+            (s, nk.toString, n) }))
       }
       // batch q104's integer rules over the cell histogram
       val o = cells.toSeq.map { case ((s, nk), n) => (s, nk, BigInt(n)) }
@@ -703,15 +779,31 @@ object EventStream {
     * (spec-pinned per batch AND vs the oracled q103 at end state).
     * Replayed batch ids re-emit without re-folding (min-merge WOULD
     * tolerate replay — idempotent — but the guard keeps the fold
-    * exactly-once by construction, the #185 convention). */
-  def skylineForeachBatch(seed: Map[(String, Long), Long] = Map.empty)(
+    * exactly-once by construction, the #185 convention). Restart
+    * durability: pass `stateDir` for versioned [[MonitorState]]
+    * snapshots per folded batch — a fresh closure recovers
+    * (cells, lastBatch) from the highest committed version, so
+    * post-restart frontiers equal the uninterrupted run's
+    * (spec-pinned); `seed` is the cold-start fallback. */
+  def skylineForeachBatch(seed: Map[(String, Long), Long] = Map.empty,
+      stateDir: Option[String] = None, maxKeys: Int = 65536)(
       onFrontier: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
     val cells = scala.collection.mutable.Map[(String, Long), Long](
       seed.toSeq: _*)
     var lastBatch = -1L
+    var recovered = stateDir.isEmpty
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
       import spark.implicits._
+      if (!recovered) {
+        MonitorState.recover(spark, stateDir.get, batchId).foreach {
+          case (v, rows) =>
+            cells.clear()
+            rows.foreach { case (b, p, s) => cells((b, p.toLong)) = s }
+            lastBatch = v
+        }
+        recovered = true
+      }
       if (batchId > lastBatch) {
         batch.groupBy(col("brand"), col("price_cents"))
           .agg(min("size").as("__graft_s"))
@@ -721,6 +813,10 @@ object EventStream {
             cells(k) = cells.get(k).fold(s)(math.min(_, s))
           }
         lastBatch = batchId
+        MonitorState.guardBound(cells.size, maxKeys, "skyline")
+        stateDir.foreach(d => MonitorState.save(spark, d, batchId,
+          cells.toSeq.sortBy(_._1).map { case ((b, p), s) =>
+            (b, p.toString, s) }))
       }
       // frontier from the histogram: ascending price, strict prefix-min
       val rows = cells.toSeq.map { case ((b, p), s) => (b, p, s) }
@@ -1040,6 +1136,115 @@ object EventStream {
     }
   }
 
+  /** Durable snapshots for the DRIVER-HELD monitor histograms
+    * (alphaMix/benford/cusum/chiSquare/skyline) — the restart half of
+    * their prefix-bit-identity promise. Each folded batch persists the
+    * configuration-scale state map as a versioned `_SUCCESS`-gated
+    * parquet (`v<batchId>`, the langBudget convention), and a fresh
+    * closure adopts the highest committed version: recovery lands
+    * exactly at the moment Structured Streaming redelivers the last
+    * uncommitted batch, which the recovered `lastBatch` then skips —
+    * so post-crash reports equal the uninterrupted run's
+    * (spec-pinned). Snapshots are two generic string key columns + a
+    * Long value (every monitor's domain is configuration-scale, so a
+    * per-batch single-file write is artifact-dir hygiene, not a
+    * shuffle); retention keeps the last two committed versions (the
+    * previous survives any crash mid-write of the next). */
+  private[streaming] object MonitorState {
+    def recover(spark: SparkSession, dir: String, batchId: Long)
+        : Option[(Long, Seq[(String, String, Long)])] = {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(root)) return None
+      val committed = fs.listStatus(root).map(_.getPath.getName)
+        .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
+        .filter(v => fs.exists(
+          new org.apache.hadoop.fs.Path(root, s"v$v/_SUCCESS")))
+      if (committed.isEmpty) None
+      else {
+        val v = committed.max
+        // same gap-bounded coherence rule as recoverBatchStamp: a
+        // small gap is a checkpoint rewind (replays re-emit from
+        // recovered state, convergent); a large one means a fresh
+        // checkpoint against old state — silent no-op effectively
+        // forever if allowed
+        if (v - batchId > RewindTolerance) throw new IllegalStateException(
+          s"monitor state at $dir was committed through batch $v but " +
+            s"this query delivered batch $batchId (gap > " +
+            s"$RewindTolerance) — a fresh checkpoint is running against " +
+            "old state; reset the state dir together with the checkpoint " +
+            "(or use a fresh state dir)")
+        if (batchId < v) System.err.println(
+          s"[graft] monitor state at $dir committed through batch $v, " +
+            s"query delivered batch $batchId: treating as a checkpoint " +
+            "rewind — replayed batches re-emit without re-folding")
+        import spark.implicits._
+        Some((v, spark.read.parquet(s"$dir/v$v")
+          .as[(String, String, Long)].collect().toSeq))
+      }
+    }
+
+    def save(spark: SparkSession, dir: String, batchId: Long,
+             rows: Seq[(String, String, Long)]): Unit = {
+      import spark.implicits._
+      rows.toDF("k1", "k2", "v").repartition(1)
+        .write.mode("overwrite").parquet(s"$dir/v$batchId")
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(root).map(_.getPath.getName).filter(_.matches("v\\d+"))
+        .map(_.drop(1).toLong).sorted.dropRight(2)
+        .foreach(v => fs.delete(
+          new org.apache.hadoop.fs.Path(root, s"v$v"), true))
+    }
+
+    /** The driver-map bound made EXPLICIT: every monitor's contract is
+      * a configuration-scale key domain (languages, digits, segments ×
+      * nations, brand × price points). Nothing structural stops a
+      * caller wiring a high-cardinality stream in, and unbounded
+      * driver state fails late and opaquely (heap) — so the fold
+      * fails FAST with the contract named instead. */
+    def guardBound(nKeys: Int, maxKeys: Int, monitor: String): Unit =
+      if (nKeys > maxKeys) throw new IllegalStateException(
+        s"$monitor monitor state grew to $nKeys keys (cap $maxKeys): " +
+          "the key domain must be configuration-scale; re-key the " +
+          "stream or raise maxKeys deliberately")
+  }
+
+  /** How far an incoming batch id may sit BELOW a recovered stamp
+    * before it reads as a checkpoint/artifact mismatch rather than a
+    * rewind. Two indistinguishable-at-recovery cases share that
+    * signature: (a) a checkpoint restored from backup while the
+    * artifact kept its newer state — the replayed ids re-deliver data
+    * the artifact already folded, so skipping them is exactly right
+    * and ids catch up within the rewind window; (b) a FRESH checkpoint
+    * (ids reset to 0) against an old artifact — every new batch below
+    * the stamp is silently dropped until ids crawl past it, which for
+    * a long-lived artifact is effectively forever. The damage of a
+    * wrong skip is proportional to the gap, so small gaps are treated
+    * as (a) with a loud log line and large gaps fail as (b): restore
+    * artifact and checkpoint together, or reset both. */
+  private[streaming] val RewindTolerance = 64L
+
+  /** Recovery-time stamp read WITH the coherence guard above. The
+    * stamp protocol assumes batch ids are monotone over the artifact's
+    * lifetime — true while artifact and checkpoint live and die
+    * together; see [[RewindTolerance]] for the two ways an id below
+    * the stamp arises and why the guard is gap-bounded. */
+  private def recoverBatchStamp(spark: SparkSession, dir: String,
+                                batchId: Long): Long = {
+    val stamp = readBatchStamp(spark, dir)
+    if (stamp - batchId > RewindTolerance) throw new IllegalStateException(
+      s"artifact at $dir was maintained through batch $stamp but this " +
+        s"query delivered batch $batchId (gap > $RewindTolerance) — a " +
+        "fresh checkpoint is running against an old artifact; reset the " +
+        "artifact dir together with the checkpoint (or use a fresh dir)")
+    if (batchId < stamp) System.err.println(
+      s"[graft] artifact at $dir stamped through batch $stamp, query " +
+        s"delivered batch $batchId: treating as a checkpoint rewind — " +
+        "replayed batches skip-fold until ids pass the stamp")
+    stamp
+  }
+
   private def writeBatchStamp(spark: SparkSession, dir: String,
                               batchId: Long): Unit = {
     // write-then-rename: fs.create(p, true) truncates immediately, so
@@ -1067,7 +1272,7 @@ object EventStream {
     val allKeys = "day" +: keyCols :+ "v"
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
-      if (lastBatch < 0) lastBatch = readBatchStamp(spark, dir)
+      if (lastBatch < 0) lastBatch = recoverBatchStamp(spark, dir, batchId)
       if (batchId > lastBatch) {
         val newCounts = batch
           .groupBy(allKeys.map(col): _*).agg(count(lit(1)).as("cnt"))
@@ -1121,7 +1326,7 @@ object EventStream {
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
       import spark.implicits._
-      if (lastBatch < 0) lastBatch = readBatchStamp(spark, dir)
+      if (lastBatch < 0) lastBatch = recoverBatchStamp(spark, dir, batchId)
       if (batchId > lastBatch) {
         val hh = new graft.functions.HeavyHitters(capacity, capacity)
         val newBuf = batch
@@ -1193,7 +1398,7 @@ object EventStream {
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
       import spark.implicits._
-      if (lastBatch < 0) lastBatch = readBatchStamp(spark, dir)
+      if (lastBatch < 0) lastBatch = recoverBatchStamp(spark, dir, batchId)
       if (batchId > lastBatch) {
         import org.apache.spark.util.sketch.CountMinSketch
         val newRows = batch
@@ -1281,7 +1486,7 @@ object EventStream {
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
       import graft.sources.SketchStore
-      if (lastBatch < 0) lastBatch = readBatchStamp(spark, dir)
+      if (lastBatch < 0) lastBatch = recoverBatchStamp(spark, dir, batchId)
       if (batchId > lastBatch) {
         val newCells = batch
           .select(col("day").cast(org.apache.spark.sql.types.StringType)
@@ -1346,7 +1551,7 @@ object EventStream {
     var lastBatch = -1L
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
-      if (lastBatch < 0) lastBatch = readBatchStamp(spark, indexDir)
+      if (lastBatch < 0) lastBatch = recoverBatchStamp(spark, indexDir, batchId)
       if (batchId > lastBatch) {
         // the batch frame feeds two writes — materialize once
         val b = batch.localCheckpoint(true)

@@ -1515,6 +1515,110 @@ class StreamingSpec extends AnyFunSuite {
       "final frame after restart != batch t31 on the full table")
   }
 
+  test("seed-resumed monitors: durable stateDir gives kill/restart parity") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    // Each of the five driver-held monitors, run three ways over the
+    // same 3-batch stream: (U) uninterrupted, (A) killed after batch 1,
+    // (B) a FRESH closure on A's stateDir that sees the redelivered
+    // batch 1 then batch 2. Contract: B's redelivery emission == U's
+    // batch-1 emission (state recovered, fold skipped — no reset, no
+    // double count) and B's final emission == U's final emission.
+    val base = java.nio.file.Files.createTempDirectory("graft_mon").toString
+    def frames(df: DataFrame): Seq[String] = df.collect().toSeq.map(_.toString)
+    // generic runner: `make(stateDir)(onFrame)` returns the sink
+    def run(make: Option[String] => ((DataFrame, Long) => Unit) => (DataFrame, Long) => Unit,
+            batches: Seq[DataFrame], dir: String, name: String): Unit = {
+      val u = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      val uSink = make(None) { (f, _) => u += frames(f) }
+      batches.zipWithIndex.foreach { case (b, i) => uSink(b, i.toLong) }
+
+      val a = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      val aSink = make(Some(dir)) { (f, _) => a += frames(f) }
+      aSink(batches(0), 0L); aSink(batches(1), 1L)
+      assert(a == u.take(2), s"$name: durable run diverged pre-kill")
+
+      val b = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      val bSink = make(Some(dir)) { (f, _) => b += frames(f) }
+      bSink(batches(1), 1L) // post-crash redelivery
+      assert(b.last == u(1),
+        s"$name: post-restart redelivery != uninterrupted batch-1 frame " +
+          "(state reset or double count)")
+      bSink(batches(2), 2L)
+      assert(b.last == u(2),
+        s"$name: post-restart final frame != uninterrupted final frame")
+      // push the committed stamp far ahead, then: a SMALL id gap is a
+      // checkpoint rewind (re-emit from recovered state, no re-fold)...
+      bSink(batches(2), 100L)
+      val stateAt100 = b.last
+      val d = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      val dSink = make(Some(dir)) { (f, _) => d += frames(f) }
+      dSink(batches(0), 50L) // gap 50 ≤ tolerance: rewind, skip-fold
+      assert(d.last == stateAt100,
+        s"$name: rewind replay must re-emit recovered state unchanged")
+      // ...while a LARGE gap (fresh checkpoint, ids reset to 0, against
+      // old state) must fail LOUDLY, not silently no-op every fold
+      val cSink = make(Some(dir)) { (_, _) => () }
+      val e = intercept[IllegalStateException] { cSink(batches(0), 0L) }
+      assert(e.getMessage.contains("fresh checkpoint") ||
+        e.getMessage.contains("reset the state dir"),
+        s"$name: wrong guard message: ${e.getMessage}")
+    }
+
+    // 1. alpha-mix (lang histogram)
+    val langs = Seq("en", "de", "fr", "en", "en", "de", "xx", "en", "fr")
+    val langBatches = langs.zipWithIndex
+      .map { case (l, i) => (i.toLong, l) }.grouped(3).toSeq
+      .map(g => g.toDF("doc_id", "lang"))
+    run(sd => EventStream.alphaMixForeachBatch(stateDir = sd),
+      langBatches, s"$base/alpha", "alphaMix")
+
+    // 2. benford (digit histogram)
+    val centsBatches = Seq(Seq(123L, 911L, 47L), Seq(15L, 23L, 88L, 101L),
+      Seq(6L, 64L, 700L)).map(_.toDF("cents"))
+    run(sd => EventStream.benfordForeachBatch(stateDir = sd),
+      centsBatches, s"$base/benford", "benford")
+
+    // 3. cusum ((event_type, day) cents histogram)
+    val cusumBatches = Seq(
+      Seq(("click", "2024-01-01", 100L), ("click", "2024-01-02", 900L)),
+      Seq(("click", "2024-01-03", 120L), ("view", "2024-01-01", 50L)),
+      Seq(("click", "2024-01-02", 30L), ("view", "2024-01-02", 55L)))
+      .map(_.toDF("event_type", "day", "cents"))
+    run(sd => EventStream.cusumForeachBatch(stateDir = sd),
+      cusumBatches, s"$base/cusum", "cusum")
+
+    // 4. chi-square (segment × nation contingency cells)
+    val nation = Seq((0L, "ALGERIA"), (1L, "ARGENTINA"), (2L, "BRAZIL"))
+      .toDF("n_nationkey", "n_name")
+    val chiBatches = Seq(
+      Seq(("BUILDING", 0L), ("BUILDING", 1L), ("MACHINERY", 2L)),
+      Seq(("MACHINERY", 0L), ("BUILDING", 0L), ("MACHINERY", 1L)),
+      Seq(("BUILDING", 2L), ("MACHINERY", 2L)))
+      .map(_.toDF("segment", "nationkey"))
+    run(sd => EventStream.chiSquareForeachBatch(nation, stateDir = sd),
+      chiBatches, s"$base/chi", "chiSquare")
+
+    // 5. skyline ((brand, price) min-size histogram)
+    val skyBatches = Seq(
+      Seq(("acme", 100L, 9L), ("acme", 200L, 5L), ("bolt", 150L, 7L)),
+      Seq(("acme", 100L, 4L), ("bolt", 120L, 8L)),
+      Seq(("acme", 300L, 2L), ("bolt", 150L, 3L)))
+      .map(_.toDF("brand", "price_cents", "size"))
+    run(sd => EventStream.skylineForeachBatch(stateDir = sd),
+      skyBatches, s"$base/sky", "skyline")
+
+    // 6. the key-domain bound fails FAST with the contract named,
+    //    instead of growing driver state until the heap fails late
+    val wide = (0 until 10).map(i => (s"et$i", "2024-01-01", 1L))
+      .toDF("event_type", "day", "cents")
+    val g = intercept[IllegalStateException] {
+      EventStream.cusumForeachBatch(maxKeys = 4)((_, _) => ())(wide, 0L)
+    }
+    assert(g.getMessage.contains("configuration-scale"),
+      s"bound guard message: ${g.getMessage}")
+  }
+
   test("artifact maintainers survive an empty first batch (no data-less dir commit)") {
     import spark.implicits._
     import graft.streaming.EventStream
