@@ -41,10 +41,12 @@ class AnnSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
     val recall = brute.count(lsh).toDouble / brute.size
     // 8-table OR'd sign-LSH: a true neighbor at cos 0.4 shares a
-    // bucket in ≥1 table with p ≈ 1 − (1 − 0.63^4)^8 ≈ 0.75; pin a
-    // floor under the empirical value with this seed so a regression
-    // in bucketing or scoring fails loudly
-    assert(recall >= 0.5, s"recall@10 $recall")
+    // bucket in ≥1 table with p ≈ 1 − (1 − 0.63^4)^8 ≈ 0.75; pin the
+    // floor at ~0.85× the measured value with this seed so a recall
+    // regression in bucketing or scoring trips the suite, not the
+    // driver
+    info(s"direct LSH recall@10 = $recall")
+    assert(recall >= 0.58, s"recall@10 $recall (measured 0.6875 r10)")
   }
 
   test("multi-table LSH near-dup pairs: exact precision, quantified recall") {
@@ -84,7 +86,8 @@ class AnnSpec extends AnyFunSuite {
     assert(ivf.nonEmpty)
     val recall = brute.count(ivf).toDouble / brute.size
     info(s"fixed 3/8-probe recall@10 = $recall")
-    assert(recall >= 0.3, s"recall $recall") // 3/8 cells probed
+    // ~0.85× the measured 0.85 (r10) — 3/8 cells probed
+    assert(recall >= 0.72, s"recall $recall (measured 0.85 r10)")
   }
 
   test("filtered ANN: recall vs exact filtered brute force; beats post-filtering") {
@@ -105,7 +108,7 @@ class AnnSpec extends AnyFunSuite {
       "filtered search returned a vector outside the predicate")
     val recall = brute.count(filtered).toDouble / brute.size
     info(s"filtered ANN recall@10 = $recall")
-    assert(recall >= 0.8, s"filtered recall@10 $recall below 0.8")
+    assert(recall >= 0.85, s"filtered recall@10 $recall (measured 1.0 r10)")
     // the naive composition: unfiltered calibrated search, THEN filter.
     // With ~1/L selectivity it keeps only the truth rows that happened
     // to rank in the unfiltered top-10 — strictly fewer than the
@@ -138,7 +141,8 @@ class AnnSpec extends AnyFunSuite {
       "filtered probe returned a vector outside the predicate")
     val recall = brute.count(got).toDouble / brute.size
     info(s"index probeFiltered recall@10 = $recall")
-    assert(recall >= 0.8, s"filtered index recall@10 $recall below 0.8")
+    assert(recall >= 0.85,
+      s"filtered index recall@10 $recall (measured 1.0 r10)")
     // metadata columns in the cell files don't disturb the plain probe
     val plain = AnnIndex.probe(spark, dir, queries, k = 10)
     assert(plain.count() == 8 * 10)
@@ -485,7 +489,7 @@ class AnnSpec extends AnyFunSuite {
     // candidate buffer + exact rerank restores most of the true top-10
     val recall = brute.count(pq).toDouble / brute.size
     info(s"s06 recall@10 = $recall")
-    assert(recall >= 0.5, s"s06 recall@10 $recall")
+    assert(recall >= 0.62, s"s06 recall@10 $recall (measured 0.7375 r10)")
   }
 
   test("IVF-PQ ANN (s07) recall@10 vs brute force is quantified") {
@@ -502,7 +506,7 @@ class AnnSpec extends AnyFunSuite {
     // operating point
     val recall = brute.count(ivfpq).toDouble / brute.size
     info(s"s07 recall@10 = $recall")
-    assert(recall >= 0.6, s"s07 recall@10 $recall")
+    assert(recall >= 0.77, s"s07 recall@10 $recall (measured 0.9125 r10)")
   }
 
   test("SemDeDup (d13): kept set is pairwise non-dup per cell; drop recall quantified") {
@@ -539,7 +543,7 @@ class AnnSpec extends AnyFunSuite {
     }
     val recall = seen.toDouble / truePairs.size
     info(s"d13 co-cluster pair recall = $recall (${truePairs.size} true pairs)")
-    assert(recall >= 0.5, s"co-cluster recall $recall")
+    assert(recall >= 0.6, s"co-cluster recall $recall (measured 0.7 r10)")
   }
 
   test("auto-parameterized s02/s03 query paths keep quantified recall vs s01") {
@@ -556,8 +560,10 @@ class AnnSpec extends AnyFunSuite {
     val rLsh = brute.count(lsh).toDouble / brute.size
     val rIvf = brute.count(ivf).toDouble / brute.size
     info(s"s02 recall@10 = $rLsh, s03 recall@10 = $rIvf")
-    assert(rLsh >= 0.4, s"s02 recall@10 $rLsh")
-    assert(rIvf >= 0.6, s"s03 recall@10 $rIvf")
+    // floors at ~0.85× the r10 measured values (0.6375 / 0.95), so a
+    // recall regression trips the suite, not the driver
+    assert(rLsh >= 0.54, s"s02 recall@10 $rLsh (measured 0.6375 r10)")
+    assert(rIvf >= 0.80, s"s03 recall@10 $rIvf (measured 0.95 r10)")
   }
 
   test("LSH near-dup candidate volume stays O(n · nTables) across corpus sizes") {
@@ -684,7 +690,8 @@ class AnnSpec extends AnyFunSuite {
     info(s"calibrated knnGraph(recall=0.9) recall@5 = $recall")
     // same contract as ivfTopKAuto: the calibrated point must clear a
     // floor well above the fixed-probe default's 0.55
-    assert(recall >= 0.75, s"calibrated knnGraph recall@5 $recall")
+    assert(recall >= 0.77,
+      s"calibrated knnGraph recall@5 $recall (measured 0.9092 r10)")
   }
 
   test("IVF-PQ code-size sweep: recall is quantified per (m, ksub) and more code bits buy recall") {

@@ -73,7 +73,8 @@ class DedupSpec extends AnyFunSuite {
     }
     val recall = truth.count(found).toDouble / truth.size
     info(s"d27 recall vs exact cross-split jaccard-0.7 = $recall (${truth.size} true pairs)")
-    assert(recall >= 0.7, s"recall $recall; truth=$truth found=$found")
+    assert(recall >= 0.85, s"recall $recall; truth=$truth found=$found " +
+      "(measured 1.0 r10)")
   }
 
   test("SimHash banding is complete: banded pairs == brute-force pairs at hamming ≤ 3") {
