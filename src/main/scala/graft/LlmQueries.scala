@@ -1764,17 +1764,32 @@ object LlmQueries {
   }
 
   /** #130 (s10): all-corpus k-NN graph — every embedding's 5 nearest
-    * neighbors via the IVF cell self-join ([[graft.sim.Ann.knnGraph]]):
-    * the input structure for SemDeDup clustering, graph dedup (d06 on
-    * similarity edges), and label propagation. Rows-only (k-means fit;
-    * no SQL oracle); AnnSpec pins recall@5 against the exact
-    * brute-force graph and candidate volume ≪ n². */
+    * cosine neighbors, EXACT ([[graft.sim.Ann.knnGraphExact]], ties
+    * on neighbor id): the input structure for SemDeDup clustering,
+    * graph dedup (d06 on similarity edges), and label propagation.
+    * Exact top-k is SQL-expressible, so this query is fully
+    * hash-oracled (s01's precedent — both engines sum the dot product
+    * in index order). The corpus-scale build is
+    * [[graft.sim.Ann.knnGraph]]'s calibrated IVF cell self-join;
+    * AnnSpec pins its recall@5 against exactly this baseline and its
+    * candidate volume ≪ n². */
   def s10KnnGraph: Q = (spark, dir) => {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
-    Ann.knnGraph(e, k = 5, seed = 42L, cacheKey = Some(dir))
-      .orderBy("id", "rank")
+    Ann.knnGraphExact(e, k = 5).orderBy("id", "rank")
   }
+
+  val s10Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |           WHERE len(list_filter(embedding, x -> x <> 0)) > 0),
+      |q AS (SELECT vec_id AS id, v AS qv FROM e),
+      |scored AS (
+      |  SELECT id, vec_id AS neighbor_id,
+      |         ROW_NUMBER() OVER (PARTITION BY id
+      |                            ORDER BY list_cosine_similarity(qv, v) DESC, vec_id) AS rank
+      |  FROM q CROSS JOIN e WHERE vec_id <> id)
+      |SELECT id, rank, neighbor_id FROM scored WHERE rank <= 5
+      |ORDER BY id, rank""".stripMargin
 
   /** #28: language ID via marker-word scores. */
   def t01LangId: Q = (spark, dir) => {
@@ -2985,6 +3000,7 @@ object LlmQueries {
     "d16_triangles" -> d16Sql,
     "d17_cdc_chunk_dedup" -> d17Sql,
     "s08_bm25" -> s08Sql,
+    "s10_knn_graph" -> s10Sql,
     "s09_hybrid_rerank" -> s09Sql,
     "s04_quantize_int8" -> s04Sql,
     "s20_centroid_drift" -> s20Sql,

@@ -994,6 +994,19 @@ object Ann {
         col("neighbor_id"))
   }
 
+  /** EXACT k-NN graph — every corpus vector's top-k cosine neighbors
+    * by definition (the [[bruteForceTopK]] kernel with the whole
+    * corpus as the query side), deterministic ties on neighbor id.
+    * This is the hash-oracled baseline twin of [[knnGraph]]: exact
+    * answers are definitionally quadratic, so this path is for
+    * calibration/audit-scale corpora (the s14 recall audit's ground
+    * truth, SemDeDup threshold studies); the corpus-scale build is
+    * [[knnGraph]]'s calibrated IVF cell self-join, whose recall this
+    * baseline prices (AnnSpec pins it). */
+  def knnGraphExact(corpus: DataFrame, k: Int): DataFrame =
+    bruteForceTopK(corpus, corpus, k)
+      .select(col("qid").as("id"), col("rank"), col("neighbor_id"))
+
   /** LSH-bucketed ANN: score only corpus vectors sharing a bucket
     * with the query in at least one of `nTables` independent
     * hyperplane tables. One table's recall on near-orthogonal
