@@ -3426,7 +3426,81 @@ object AnalyticsQueries {
       |FROM w
       |ORDER BY wilson_lb_ppm DESC, brand ASC""".stripMargin
 
+  /** #287 (q111): exact two-sample Kolmogorov–Smirnov drift — the
+    * nonparametric complement of q58's binned total-variation audit:
+    * D = max over the value domain of |F_ref(v) − F_cur(v)| between
+    * the reference and current windows, sensitive to ANY distribution
+    * change (location, scale, shape) without choosing bins. Exact in
+    * integers: D is the rational d_num / (n_ref·n_cur) where
+    * d_num = max |cum_ref·n_cur − cum_cur·n_ref| over the ordered
+    * value histogram — no floats anywhere (the cross-multiplied CDF
+    * trick). Plan shape is the q29/q98 count-histogram kernel: one
+    * scan → (type, cents) histogram (value-domain bounded, map-side
+    * combined), cumulative + total windows and the final max on ONE
+    * hash exchange. d_num ≤ n_ref·n_cur stays in BIGINT through
+    * ~sf1000; the ppm scaling runs in decimal(38)/HUGEINT (ORACLE.md
+    * Rule 3). Fully oracled. */
+  def q111KsDrift: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (datediff(col("ts").cast(DateType), lit("2024-01-01").cast(DateType)) < 15)
+          .as("is_ref"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+    val c = ev.groupBy("event_type", "cents")
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("o_ref"),
+        sum(when(col("is_ref"), 0L).otherwise(1L)).as("o_cur"))
+    val wOrd = Window.partitionBy("event_type").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("event_type")
+    c
+      .withColumn("cum_ref", sum("o_ref").over(wOrd))
+      .withColumn("cum_cur", sum("o_cur").over(wOrd))
+      .withColumn("n_ref", sum("o_ref").over(wAll))
+      .withColumn("n_cur", sum("o_cur").over(wAll))
+      .groupBy("event_type")
+      .agg(min("n_ref").as("n_ref"), min("n_cur").as("n_cur"),
+        max(abs(col("cum_ref") * col("n_cur") - col("cum_cur") * col("n_ref")))
+          .as("d_num"))
+      .withColumn("ks_ppm",
+        expr("(cast(d_num as decimal(38,0)) * 1000000) div " +
+          "(cast(n_ref as decimal(38,0)) * n_cur)").cast(LongType))
+      .select("event_type", "n_ref", "n_cur", "d_num", "ks_ppm")
+      .orderBy("event_type")
+  }
+
+  val q111Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 15 AS is_ref,
+      |         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events),
+      |c AS (
+      |  SELECT event_type, cents,
+      |         CAST(COUNT(*) FILTER (is_ref) AS BIGINT) AS o_ref,
+      |         CAST(COUNT(*) FILTER (NOT is_ref) AS BIGINT) AS o_cur
+      |  FROM ev GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type,
+      |         SUM(o_ref) OVER (PARTITION BY event_type ORDER BY cents
+      |                          ROWS UNBOUNDED PRECEDING) AS cum_ref,
+      |         SUM(o_cur) OVER (PARTITION BY event_type ORDER BY cents
+      |                          ROWS UNBOUNDED PRECEDING) AS cum_cur,
+      |         SUM(o_ref) OVER (PARTITION BY event_type) AS n_ref,
+      |         SUM(o_cur) OVER (PARTITION BY event_type) AS n_cur
+      |  FROM c),
+      |d AS (
+      |  SELECT event_type,
+      |         CAST(MIN(n_ref) AS BIGINT) AS n_ref,
+      |         CAST(MIN(n_cur) AS BIGINT) AS n_cur,
+      |         CAST(MAX(ABS(cum_ref * n_cur - cum_cur * n_ref)) AS BIGINT) AS d_num
+      |  FROM t GROUP BY 1)
+      |SELECT event_type, n_ref, n_cur, d_num,
+      |       CAST(CAST(d_num AS HUGEINT) * 1000000
+      |            // (CAST(n_ref AS HUGEINT) * n_cur) AS BIGINT) AS ks_ppm
+      |FROM d ORDER BY event_type""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q111_ks_drift" -> q111KsDrift,
     "q110_wilson_rank" -> q110WilsonRank,
     "q109_locf" -> q109Locf,
     "q108_rollup_share" -> q108RollupShare,
@@ -3520,6 +3594,7 @@ object AnalyticsQueries {
     "q107_unpivot" -> q107Sql,
     "q108_rollup_share" -> q108Sql,
     "q109_locf" -> q109Sql,
+    "q111_ks_drift" -> q111Sql,
     "q110_wilson_rank" -> q110Sql,
     "q50_window_stats" -> q50Sql,
     "q51_interval_sweep" -> q51Sql,

@@ -1791,6 +1791,71 @@ object LlmQueries {
       |SELECT id, rank, neighbor_id FROM scored WHERE rank <= 5
       |ORDER BY id, rank""".stripMargin
 
+  /** #290 (s21): hard-negative mining — per embedded doc, the top-5
+    * most-similar docs that are NOT near-duplicates of it
+    * ([[graft.sim.Ann.hardNegatives]]): the training-pair generator
+    * for contrastive/dense-retrieval encoders (DPR/ANCE-style), where
+    * a near-dup ranked as a negative is a FALSE negative that teaches
+    * the encoder to separate copies of the same content. Composes two
+    * staged/oracled structures — the exact cosine ranking (s10's
+    * baseline kernel) and the dedup cluster table (d06's staged
+    * artifact, t23's root convention) — with ranks computed over the
+    * already-excluded candidate set, so k never under-fills next to a
+    * large cluster. Exact, deterministic ties on neighbor id, fully
+    * hash-oracled; the corpus-scale path is an over-fetched calibrated
+    * IVF probe anti-joined on the cluster table (the s15 machinery). */
+  def s21HardNegatives: Q = (spark, dir) => {
+    val roots = Tables.documents(spark, dir).select("doc_id")
+      .join(clusters(spark, dir).withColumnRenamed("id", "doc_id"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id").as("id"),
+        coalesce(col("comp"), col("doc_id")).as("root"))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
+    Ann.hardNegatives(e, k = 5, groups = roots).orderBy("id", "rank")
+  }
+
+  val s21Sql: String =
+    """WITH RECURSIVE
+      |toks AS (
+      |  SELECT doc_id,
+      |         string_split(regexp_replace(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]*(feat\.|featuring|ft\.|&|and)[ \t\n\x0b\f\r]*', ';', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(w) >= 3
+      |              THEN list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |              ELSE list_distinct([array_to_string(w, ' ')]) END AS s
+      |  FROM toks),
+      |p AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM sh a JOIN sh b
+      |    ON a.doc_id < b.doc_id
+      |   AND len(b.s) <= 2 * len(a.s) AND len(a.s) <= 2 * len(b.s)
+      |  WHERE len(list_intersect(a.s, b.s)) > 0
+      |    AND len(list_intersect(a.s, b.s)) * 2 >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+      |ed AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+      |nn AS (SELECT a AS id FROM ed UNION SELECT b FROM ed),
+      |r(id, reach) AS (
+      |  SELECT id, id FROM nn
+      |  UNION
+      |  SELECT r.id, ed.b FROM r JOIN ed ON r.reach = ed.a),
+      |c AS (SELECT id, MIN(reach) AS comp FROM r GROUP BY id),
+      |ro AS (
+      |  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS root
+      |  FROM documents d LEFT JOIN c ON d.doc_id = c.id),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |      WHERE len(list_filter(embedding, x -> x <> 0)) > 0),
+      |ev AS (SELECT e.vec_id, e.v, ro.root
+      |       FROM e JOIN ro ON e.vec_id = ro.doc_id),
+      |scored AS (
+      |  SELECT q.vec_id AS id, cc.vec_id AS neighbor_id,
+      |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |                            ORDER BY list_cosine_similarity(q.v, cc.v) DESC, cc.vec_id) AS rank
+      |  FROM ev q JOIN ev cc ON q.root <> cc.root)
+      |SELECT id, rank, neighbor_id FROM scored WHERE rank <= 5
+      |ORDER BY id, rank""".stripMargin
+
   /** #28: language ID via marker-word scores. */
   def t01LangId: Q = (spark, dir) => {
     val scored = Tables.documents(spark, dir)
@@ -2970,6 +3035,7 @@ object LlmQueries {
     "s06_ann_pq" -> s06AnnPq,
     "s07_ann_ivfpq" -> s07AnnIvfPq,
     "s10_knn_graph" -> s10KnnGraph,
+    "s21_hard_negatives" -> s21HardNegatives,
     "t01_lang_id" -> t01LangId,
     "t02_quality_score" -> t02QualityScore,
     "t03_token_count" -> t03TokenCount,
@@ -3001,6 +3067,7 @@ object LlmQueries {
     "d17_cdc_chunk_dedup" -> d17Sql,
     "s08_bm25" -> s08Sql,
     "s10_knn_graph" -> s10Sql,
+    "s21_hard_negatives" -> s21Sql,
     "s09_hybrid_rerank" -> s09Sql,
     "s04_quantize_int8" -> s04Sql,
     "s20_centroid_drift" -> s20Sql,

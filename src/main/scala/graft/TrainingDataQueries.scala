@@ -2222,7 +2222,155 @@ object TrainingDataQueries {
       .replace("STOPSUM", stopSum)
   }
 
+  /** #288 (t46): cluster-decorrelated training order — near-duplicate
+    * cluster members maximally separated in the reader sequence.
+    * Training on near-dups back-to-back correlates consecutive
+    * gradients (the within-batch redundancy SemDeDup/Lee et al.
+    * measure); when soft-dedup KEEPS duplicates (d38's regime), the
+    * reader should at least spread them. Deterministic round-robin:
+    * every doc gets its rank r within its dedup cluster (t23's staged
+    * root convention — singletons are rank 0), and the global order
+    * is (r ASC, 60-bit md5 of doc_id, doc_id) — so rank-0 docs (one
+    * per cluster) stream first in hash order, then every cluster's
+    * second member, etc.: two same-cluster docs are always separated
+    * by at least the band of other clusters' members between their
+    * ranks. The contiguous seq comes from the distributed banded
+    * prefix sum ([[graft.etl.GlobalOrder.withBandedGlobalSeq]]:
+    * r is domain-bounded by the max cluster size, the hash key is
+    * the parallel axis — never a global row_number window). Fully
+    * oracled (recursive-CTE clusters + the same hash in DuckDB). */
+  def t46DecorrelatedOrder: Q = (spark, dir) => {
+    import graft.etl.GlobalOrder
+    val roots = Tables.documents(spark, dir).select("doc_id")
+      .join(LlmQueries.clusters(spark, dir).withColumnRenamed("id", "doc_id"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("root"))
+    val wc = Window.partitionBy("root").orderBy("doc_id")
+    val ranked = roots
+      .withColumn("r", (row_number().over(wc) - 1).cast(LongType))
+      .withColumn("hk",
+        conv(substring(md5(col("doc_id").cast(StringType)
+          .cast(BinaryType)), 1, 15), 16, 10).cast(LongType))
+    GlobalOrder.withBandedGlobalSeq(ranked, coarse = "r", fine = "hk",
+        coarseDesc = false, ties = Seq("doc_id"))
+      .select(col("seq"), col("doc_id"), col("root"), col("r"))
+      .orderBy("seq")
+  }
+
+  val t46Sql: String =
+    """WITH RECURSIVE
+      |toks AS (
+      |  SELECT doc_id,
+      |         string_split(regexp_replace(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]*(feat\.|featuring|ft\.|&|and)[ \t\n\x0b\f\r]*', ';', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(w) >= 3
+      |              THEN list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |              ELSE list_distinct([array_to_string(w, ' ')]) END AS s
+      |  FROM toks),
+      |p AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM sh a JOIN sh b
+      |    ON a.doc_id < b.doc_id
+      |   AND len(b.s) <= 2 * len(a.s) AND len(a.s) <= 2 * len(b.s)
+      |  WHERE len(list_intersect(a.s, b.s)) > 0
+      |    AND len(list_intersect(a.s, b.s)) * 2 >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+      |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+      |n AS (SELECT a AS id FROM e UNION SELECT b FROM e),
+      |r(id, reach) AS (
+      |  SELECT id, id FROM n
+      |  UNION
+      |  SELECT r.id, e.b FROM r JOIN e ON r.reach = e.a),
+      |c AS (SELECT id, MIN(reach) AS comp FROM r GROUP BY id),
+      |ro AS (
+      |  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS root
+      |  FROM documents d LEFT JOIN c ON d.doc_id = c.id),
+      |m AS (
+      |  SELECT doc_id, root,
+      |         CAST(row_number() OVER (PARTITION BY root ORDER BY doc_id) - 1
+      |              AS BIGINT) AS r,
+      |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |              AS BIGINT) AS hk
+      |  FROM ro)
+      |SELECT CAST(row_number() OVER (ORDER BY r, hk, doc_id) AS BIGINT) AS seq,
+      |       doc_id, root, r
+      |FROM m ORDER BY seq""".stripMargin
+
+  /** #289 (t47): target-mix resampling plan — the α-smoothed language
+    * weights (t26, mT5/XLM-R q_l ∝ p_l^½) MATERIALIZED as per-document
+    * integer replication counts: resample the corpus to its own size B
+    * at the target mix, so language l draws target_l = ⌊B·q_l⌋ docs.
+    * Deterministic systematic assignment (the t22 Madow idea applied
+    * per stratum): docs rank within their language by a 60-bit md5
+    * hash, every doc gets ⌊target/n⌋ replicas and the first
+    * target mod n docs in hash order get one more — Σ n_reps per
+    * language equals target_l EXACTLY (spec-pinned), no randomness,
+    * re-ingest stable. The per-language rank comes from the banded
+    * distributed prefix sum (language is the domain-bounded band —
+    * never a per-language row_number window over a corpus-scale
+    * partition); weights and offsets are configuration-scale
+    * broadcasts. Fully oracled. */
+  def t47TargetMixResample: Q = (spark, dir) => {
+    import graft.etl.GlobalOrder
+    val weights = t26AlphaMix(spark, dir)
+      .select("lang", "n_docs", "q_alpha_ppm")
+    val targets = weights.crossJoin(
+        broadcast(weights.agg(sum("n_docs").as("btot"))))
+      .select(col("lang"), col("n_docs"),
+        expr("(btot * q_alpha_ppm) div 1000000").as("target"))
+    val keyed = Tables.documents(spark, dir).select("lang", "doc_id")
+      .withColumn("hk",
+        conv(substring(md5(col("doc_id").cast(StringType)
+          .cast(BinaryType)), 1, 15), 16, 10).cast(LongType))
+    val seqd = GlobalOrder.withBandedGlobalSeq(keyed, coarse = "lang",
+      fine = "hk", coarseDesc = false, ties = Seq("doc_id"))
+    // per-language 0-based rank = global seq − the language's first
+    // seq; offsets via groupBy+broadcast join (config-scale), never an
+    // unbounded window over the corpus-scale language partition
+    val offs = seqd.groupBy("lang").agg(min("seq").as("lang_lo"))
+    seqd.join(broadcast(offs), "lang")
+      .withColumn("rank_in_lang", col("seq") - col("lang_lo"))
+      .join(broadcast(targets), "lang")
+      .select(col("lang"), col("doc_id"), col("rank_in_lang"),
+        (expr("target div n_docs") +
+          when(col("rank_in_lang") < expr("target % n_docs"), 1L)
+            .otherwise(0L)).as("n_reps"))
+      .orderBy("lang", "rank_in_lang")
+  }
+
+  val t47Sql: String =
+    """WITH l AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST(FLOOR(SQRT(CAST(COUNT(*) * 1000000 AS DOUBLE))) AS BIGINT) AS s
+      |  FROM documents GROUP BY lang),
+      |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS btot,
+      |             CAST(SUM(s) AS BIGINT) AS stot FROM l),
+      |tg AS (
+      |  SELECT lang, n_docs,
+      |         CAST(btot * ((s * 1000000 * 2 + stot) // (2 * stot))
+      |              // 1000000 AS BIGINT) AS target
+      |  FROM l, t),
+      |h AS (
+      |  SELECT lang, doc_id,
+      |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |              AS BIGINT) AS hk
+      |  FROM documents),
+      |r AS (
+      |  SELECT lang, doc_id,
+      |         CAST(row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) - 1
+      |              AS BIGINT) AS rank_in_lang
+      |  FROM h)
+      |SELECT r.lang, r.doc_id, r.rank_in_lang,
+      |       CAST(tg.target // tg.n_docs +
+      |            CASE WHEN r.rank_in_lang < tg.target % tg.n_docs
+      |                 THEN 1 ELSE 0 END AS BIGINT) AS n_reps
+      |FROM r JOIN tg ON r.lang = tg.lang
+      |ORDER BY r.lang, rank_in_lang""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "t47_target_mix_resample" -> t47TargetMixResample,
+    "t46_decorrelated_order" -> t46DecorrelatedOrder,
     "t45_gate_venn" -> t45GateVenn,
     "t44_split_agreement" -> t44SplitAgreement,
     "t43_freq_spectrum" -> t43FreqSpectrum,
@@ -2266,6 +2414,8 @@ object TrainingDataQueries {
     "d11_corpus_pipeline" -> d11CorpusPipeline)
 
   val oracles: Seq[(String, String)] = Seq(
+    "t47_target_mix_resample" -> t47Sql,
+    "t46_decorrelated_order" -> t46Sql,
     "t45_gate_venn" -> t45Sql,
     "t44_split_agreement" -> t44Sql,
     "t43_freq_spectrum" -> t43Sql,

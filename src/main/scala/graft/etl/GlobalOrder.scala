@@ -153,7 +153,8 @@ object GlobalOrder {
   def withBandedGlobalSeq(df: DataFrame, coarse: String, fine: String,
                           coarseDesc: Boolean = true,
                           seqCol: String = "seq",
-                          buckets: Int = 0): DataFrame = {
+                          buckets: Int = 0,
+                          ties: Seq[String] = Nil): DataFrame = {
     val nb =
       if (buckets > 0) buckets
       else df.sparkSession.sessionState.conf.numShufflePartitions * 8
@@ -175,8 +176,10 @@ object GlobalOrder {
       .rowsBetween(Window.unboundedPreceding, -1)
     val bucketOff = partials.select(col(coarse), col("_bg_b"),
       coalesce(sum("_bg_c").over(wB), lit(0L)).as("_bg_boff"))
+    // ties break the in-bucket order deterministic when `fine` can
+    // repeat (e.g. a hash key) — same contract as withGlobalSeq
     val wFine = Window.partitionBy(col(coarse), col("_bg_b"))
-      .orderBy(col(fine))
+      .orderBy(col(fine) +: ties.map(col): _*)
     withB.join(broadcast(coarseOff), Seq(coarse))
       .join(broadcast(bucketOff), Seq(coarse, "_bg_b"))
       .withColumn(seqCol,

@@ -1007,6 +1007,43 @@ object Ann {
     bruteForceTopK(corpus, corpus, k)
       .select(col("qid").as("id"), col("rank"), col("neighbor_id"))
 
+  /** EXACT hard-negative mining — every vector's top-k cosine
+    * neighbors EXCLUDING members of its own group (near-dup cluster):
+    * the contrastive-training counterpart of [[knnGraphExact]]. A
+    * duplicate ranked as a "hard negative" is a false negative that
+    * actively teaches the encoder to separate copies of the same
+    * content, so the exclusion must be by the DEDUP clustering (text
+    * identity), not by embedding distance — the two disagree exactly
+    * where it matters. Ranks are computed OVER the excluded candidate
+    * set (not by post-filtering a fixed top-m, which under-fills k
+    * next to large clusters). Exact and hash-oracled like the graph
+    * baseline; the corpus-scale path is an over-fetched [[ivfTopKAuto]]
+    * probe anti-joined on the cluster table (the s15 filtered-probe
+    * machinery). `groups`: (id, root) — total over the corpus ids. */
+  def hardNegatives(corpus: DataFrame, k: Int, groups: DataFrame): DataFrame = {
+    val g = groups.select(col("id"), col("root"))
+    val c = corpus.join(g, "id")
+      .select(col("id").as("neighbor_id"), col("vec").as("cvec"),
+        col("root").as("croot"))
+      .withColumn("cnrm", norm(col("cvec")))
+      .filter(col("cnrm") > 0)
+    val q = corpus.join(g, "id")
+      .select(col("id").as("qid"), col("vec").as("qvec"),
+        col("root").as("qroot"))
+      .withColumn("qnrm", norm(col("qvec")))
+      .filter(col("qnrm") > 0)
+    // croot ≠ qroot also excludes self (equal roots by construction)
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("croot") =!= col("qroot"))
+      .withColumn("sim",
+        cosinePrenormed(dot(col("qvec"), col("cvec")), col("qnrm"), col("cnrm")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
+  }
+
   /** LSH-bucketed ANN: score only corpus vectors sharing a bucket
     * with the query in at least one of `nTables` independent
     * hyperplane tables. One table's recall on near-orthogonal

@@ -906,4 +906,44 @@ class AnnSpec extends AnyFunSuite {
       .select("neighbor_id").as[Long].collect().toSet
     assert(back.exists(forgetIds), "rebuild kept the previous generation's mask")
   }
+
+  test("s21 hard negatives: planted near-dup is excluded, ranks fill over the excluded set") {
+    // synthetic fixture: vec 0 and vec 1 are near-identical AND marked
+    // same-root (a near-dup pair); vec 2 is similar but a different
+    // root. Exclusion must drop 1 from 0's negatives (and vice versa)
+    // while the ranking FILLS from the remaining candidates — the
+    // false-negative guard the operator exists for.
+    val base = Seq(1.0, 0.0, 0.0, 0.0)
+    val fixture = Seq(
+      0L -> Seq(1.0, 0.0, 0.0, 0.001),
+      1L -> Seq(1.0, 0.0, 0.0, 0.002),   // near-dup of 0 (same root)
+      2L -> Seq(0.9, 0.1, 0.0, 0.0),     // similar, different root
+      3L -> Seq(0.0, 1.0, 0.0, 0.0),
+      4L -> Seq(0.0, 0.0, 1.0, 0.0)
+    ).toDF("id", "vec")
+    val groups = Seq(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 3L, 4L -> 4L)
+      .toDF("id", "root")
+    val got = Ann.hardNegatives(fixture, k = 2, groups)
+      .as[(Long, Long, Long)].collect()  // (id, rank, neighbor_id)
+    val by = got.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    assert(!by(0L).contains(1L) && !by(1L).contains(0L),
+      "same-root near-dup served as a hard negative")
+    assert(by(0L).head == 2L, s"0's hardest negative should be 2: ${by(0L)}")
+    assert(by(0L).length == 2, "k must fill from the excluded candidate set")
+
+    // corpus-level: no emitted pair shares a dedup root
+    val roots = LlmQueries.d06DedupClusters(spark, TestSpark.Sf)
+      .as[(Long, Long)].collect().toMap  // id -> comp (clustered docs only)
+    def rootOf(id: Long): Long = roots.getOrElse(id, id)
+    val corpus = LlmQueries.s21HardNegatives(spark, TestSpark.Sf)
+      .as[(Long, Long, Long)].collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { case (id, _, nb) =>
+      assert(rootOf(id) != rootOf(nb), s"pair ($id,$nb) shares root")
+    }
+    // and per-query exactly k ranks 1..5
+    corpus.groupBy(_._1).foreach { case (id, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to 5L), s"query $id ranks")
+    }
+  }
 }

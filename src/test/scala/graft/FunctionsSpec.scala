@@ -546,4 +546,43 @@ class FunctionsSpec extends AnyFunSuite {
     info(s"q73 intersections vs exact: ${exact.keys.toSeq.sorted.take(4)
       .map(p => s"$p ${est(p)._1}/${exact(p)._1}").mkString(", ")}")
   }
+
+  test("q111 exact KS statistic matches a local cross-multiplied CDF recomputation") {
+    val got = AnalyticsQueries.q111KsDrift(spark, TestSpark.Sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    val ev = Tables.events(spark, TestSpark.Sf)
+      .selectExpr("event_type",
+        "datediff(cast(ts as date), date'2024-01-01') < 15 as is_ref",
+        "cast(round(value * 100, 0) as bigint) as cents")
+      .as[(String, Boolean, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (et, nRef, nCur, dNum, ksPpm) =>
+      val rows = ev.filter(_._1 == et)
+      val (ref, cur) = rows.partition(_._2)
+      assert(nRef == ref.length && nCur == cur.length, s"$et window sizes")
+      // exact D as the integer rational d / (n_ref * n_cur): walk the
+      // ordered value domain with cross-multiplied cumulative counts
+      var cr = 0L; var cc = 0L; var best = 0L
+      rows.map(_._3).distinct.sorted.foreach { v =>
+        cr += ref.count(_._3 == v); cc += cur.count(_._3 == v)
+        best = math.max(best, math.abs(cr * nCur - cc * nRef))
+      }
+      assert(dNum == best, s"$et d_num $dNum != $best")
+      assert(ksPpm == best * 1000000L / (nRef * nCur), s"$et ks_ppm")
+      assert(ksPpm >= 0 && ksPpm <= 1000000L, s"$et ks_ppm out of [0, 1e6]")
+    }
+    // two-sided sanity: a window compared against itself must read 0
+    val same = Tables.events(spark, TestSpark.Sf)
+      .selectExpr("event_type", "cast(round(value * 100, 0) as bigint) as cents")
+      .as[(String, Long)].collect()
+    same.groupBy(_._1).foreach { case (_, rows) =>
+      var c1 = 0L; var c2 = 0L; var b = 0L
+      val n = rows.length.toLong
+      rows.map(_._2).distinct.sorted.foreach { v =>
+        val k = rows.count(_._2 == v); c1 += k; c2 += k
+        b = math.max(b, math.abs(c1 * n - c2 * n))
+      }
+      assert(b == 0L)
+    }
+  }
 }

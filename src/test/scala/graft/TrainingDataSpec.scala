@@ -561,4 +561,69 @@ class TrainingDataSpec extends AnyFunSuite {
       s"nonascii census diverged: ${planted("bad_utf8")}")
     assert(planted("ok_src") == ((0L, 0L, 0L, 1L)))
   }
+
+  test("t46 decorrelated order: contiguous permutation, rank bands strictly ordered") {
+    val got = TrainingDataQueries.t46DecorrelatedOrder(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long)].collect()  // (seq, doc_id, root, r)
+    val n = Tables.documents(spark, TestSpark.Sf).count()
+    // 1. seq is the contiguous 1..n permutation over ALL docs
+    assert(got.length == n && got.map(_._1).sorted.toSeq == (1L to n))
+    assert(got.map(_._2).distinct.length == n)
+    // 2. within every cluster the ranks are exactly 0..m-1 (so members
+    //    land in m DISTINCT bands — never two cluster members in one)
+    got.groupBy(_._3).foreach { case (root, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (0L until rows.length),
+        s"root $root ranks not 0..m-1")
+    }
+    // 3. bands are globally ordered: every seq of rank r precedes every
+    //    seq of rank r+1 — the separation guarantee (two same-cluster
+    //    docs are always a full band apart)
+    val byRank = got.groupBy(_._4).toSeq.sortBy(_._1)
+    byRank.sliding(2).foreach {
+      case Seq((r1, a), (r2, b)) =>
+        assert(a.map(_._1).max < b.map(_._1).min,
+          s"band $r1 overlaps band $r2")
+      case _ => ()
+    }
+    // 4. within the rank-0 band the order is (md5-60bit, doc_id) — the
+    //    epoch-shuffle hash, recomputed independently
+    def hk(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val band0 = got.filter(_._4 == 0L).sortBy(_._1).map(_._2)
+    assert(band0.toSeq == band0.sortBy(id => (hk(id), id)).toSeq,
+      "band-0 order is not (hash, doc_id)")
+  }
+
+  test("t47 target-mix resample: per-language replica mass hits the alpha target exactly") {
+    val got = TrainingDataQueries.t47TargetMixResample(spark, TestSpark.Sf)
+      .as[(String, Long, Long, Long)].collect()  // (lang, doc_id, rank, reps)
+    val w = TrainingDataQueries.t26AlphaMix(spark, TestSpark.Sf)
+      .as[(String, Long, Long, Long)].collect()  // (lang, n_docs, p, q)
+    val btot = w.map(_._2).sum
+    assert(got.nonEmpty && w.nonEmpty)
+    w.foreach { case (lang, nDocs, _, qPpm) =>
+      val target = btot * qPpm / 1000000L
+      val rows = got.filter(_._1 == lang)
+      assert(rows.length == nDocs, s"$lang row count")
+      // the materialized plan sums to the target EXACTLY — no rounding drift
+      assert(rows.map(_._4).sum == target, s"$lang replica mass != target $target")
+      // every doc draws base or base+1, and exactly target % n docs draw the extra
+      val base = target / nDocs
+      assert(rows.forall(r => r._4 == base || r._4 == base + 1), s"$lang reps range")
+      assert(rows.count(_._4 == base + 1) == target % nDocs, s"$lang extra count")
+      // the extras are the FIRST target % n docs in hash-rank order
+      assert(rows.filter(_._4 == base + 1).forall(_._3 < target % nDocs),
+        s"$lang extras not rank-prefix")
+      // ranks are the 0..n-1 permutation within the language
+      assert(rows.map(_._3).sorted.toSeq == (0L until nDocs), s"$lang ranks")
+    }
+    // corpus-level: total replica mass = sum of targets (within one doc
+    // per language of B — floor rounding only)
+    val total = got.map(_._4).sum
+    val targets = w.map { case (_, _, _, q) => btot * q / 1000000L }.sum
+    assert(total == targets)
+  }
 }
