@@ -3449,6 +3449,17 @@ object AnalyticsQueries {
     val c = ev.groupBy("event_type", "cents")
       .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("o_ref"),
         sum(when(col("is_ref"), 0L).otherwise(1L)).as("o_cur"))
+    ksFromCounts(c).orderBy("event_type")
+  }
+
+  /** The q111 KS kernel over a prepared (event_type, cents, o_ref,
+    * o_cur) count frame — shared by the raw-scan query (q111), the
+    * persisted-histogram consumer (q112) and the streaming monitor
+    * ([[graft.streaming.EventStream.ksDriftForeachBatch]]), so all
+    * three re-derive the SAME exact rational D from whatever produced
+    * the counts. Cumulative + total windows and the final max on one
+    * event_type hash exchange. */
+  private[graft] def ksFromCounts(c: DataFrame): DataFrame = {
     val wOrd = Window.partitionBy("event_type").orderBy("cents")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy("event_type")
@@ -3461,11 +3472,43 @@ object AnalyticsQueries {
       .agg(min("n_ref").as("n_ref"), min("n_cur").as("n_cur"),
         max(abs(col("cum_ref") * col("n_cur") - col("cum_cur") * col("n_ref")))
           .as("d_num"))
+      // D is undefined while either window is empty (the monitor's
+      // early prefix) — report 0 with the window sizes visible rather
+      // than divide by zero; CASE short-circuits the division
       .withColumn("ks_ppm",
-        expr("(cast(d_num as decimal(38,0)) * 1000000) div " +
-          "(cast(n_ref as decimal(38,0)) * n_cur)").cast(LongType))
+        when(col("n_ref") === 0L || col("n_cur") === 0L, 0L)
+          .otherwise(expr("(cast(d_num as decimal(38,0)) * 1000000) div " +
+            "(cast(n_ref as decimal(38,0)) * n_cur)").cast(LongType)))
       .select("event_type", "n_ref", "n_cur", "d_num", "ks_ppm")
-      .orderBy("event_type")
+  }
+
+  /** #291 (q112): KS drift between day ranges from PERSISTED
+    * histograms — q111's audit served from the day-partitioned value
+    * histogram artifact instead of a raw-event rescan (the q75/#191
+    * no-rescan pattern, now for the nonparametric statistic). The
+    * artifact stores the UNBUCKETED cents histogram, which is lossless
+    * for a CDF statistic — KS from merged day histograms is
+    * BIT-IDENTICAL to q111 over the raw events (the oracle pins q112
+    * against q111's own SQL). Day windows prune on the artifact's day
+    * partitions; the kernel is [[ksFromCounts]]. At 100 TB: tonight's
+    * drift panel reads kilobyte histograms, never the event log. */
+  def q112KsFromArtifacts: Q = (spark, dir) => {
+    import graft.sources.SketchStore
+    val art = StageRoots.rootFor(dir) + "/ks_hists"
+    val ev = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("event_type"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+    SketchStore.saveHistogram(ev, Seq("day", "event_type"), col("cents"), 0,
+      art, partitionCols = Seq("day"))
+    def window(pred: org.apache.spark.sql.Column, out: String): DataFrame =
+      spark.read.parquet(art).filter(pred)
+        .groupBy(col("event_type"), col("v").as("cents"))
+        .agg(sum("cnt").as(out))
+    val c = window(col("day") <= "2024-01-15", "o_ref")
+      .join(window(col("day") >= "2024-01-16", "o_cur"),
+        Seq("event_type", "cents"), "full")
+      .na.fill(0L, Seq("o_ref", "o_cur"))
+    ksFromCounts(c).orderBy("event_type")
   }
 
   val q111Sql: String =
@@ -3495,11 +3538,13 @@ object AnalyticsQueries {
       |         CAST(MAX(ABS(cum_ref * n_cur - cum_cur * n_ref)) AS BIGINT) AS d_num
       |  FROM t GROUP BY 1)
       |SELECT event_type, n_ref, n_cur, d_num,
-      |       CAST(CAST(d_num AS HUGEINT) * 1000000
-      |            // (CAST(n_ref AS HUGEINT) * n_cur) AS BIGINT) AS ks_ppm
+      |       CAST(CASE WHEN n_ref = 0 OR n_cur = 0 THEN 0
+      |            ELSE CAST(d_num AS HUGEINT) * 1000000
+      |                 // (CAST(n_ref AS HUGEINT) * n_cur) END AS BIGINT) AS ks_ppm
       |FROM d ORDER BY event_type""".stripMargin
 
   val queries: Seq[(String, Q)] = Seq(
+    "q112_ks_from_artifacts" -> q112KsFromArtifacts,
     "q111_ks_drift" -> q111KsDrift,
     "q110_wilson_rank" -> q110WilsonRank,
     "q109_locf" -> q109Locf,
@@ -3595,6 +3640,10 @@ object AnalyticsQueries {
     "q108_rollup_share" -> q108Sql,
     "q109_locf" -> q109Sql,
     "q111_ks_drift" -> q111Sql,
+    // q112 serves q111's statistic from persisted day histograms —
+    // the oracle IS q111's SQL over the raw events (bit-identity is
+    // the artifact path's whole claim, the q75/q58 precedent)
+    "q112_ks_from_artifacts" -> q111Sql,
     "q110_wilson_rank" -> q110Sql,
     "q50_window_stats" -> q50Sql,
     "q51_interval_sweep" -> q51Sql,

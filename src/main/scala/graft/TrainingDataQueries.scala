@@ -2368,7 +2368,99 @@ object TrainingDataQueries {
       |FROM r JOIN tg ON r.lang = tg.lang
       |ORDER BY r.lang, rank_in_lang""".stripMargin
 
+  /** #293 (t48): per-split datasheet — the "datasheets for datasets"
+    * split section (d33's per-source sibling): for every
+    * (split, lang) cell of the LEAKAGE-SAFE split (t23's root-granular
+    * buckets), the doc count, character mass and within-split doc
+    * share, plus the certification column the split exists for:
+    * `spanning_clusters` counts dedup clusters whose members land in
+    * more than one split — ZERO by t23's construction, and this
+    * datasheet PROVES it on every run instead of asserting it once in
+    * a spec (the number a model card quotes next to its
+    * train/valid/test table). One cluster-table join + two
+    * configuration-scale aggregates; shares (decimal(38)/HUGEINT
+    * floor division) follow the t45 ppm rule. Fully oracled. */
+  def t48SplitDatasheet: Q = (spark, dir) => {
+    val sp = t23LeakageSafeSplit(spark, dir)
+    val cells = sp
+      .join(Tables.documents(spark, dir).select("doc_id", "lang", "n_chars"),
+        "doc_id")
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+    val spanning = sp.groupBy("root")
+      .agg(countDistinct("split").as("ns"))
+      .agg(coalesce(sum(when(col("ns") > 1, 1L).otherwise(0L)), lit(0L))
+        .as("spanning_clusters"))
+    val wS = Window.partitionBy("split")
+    cells
+      .withColumn("split_docs", sum("n_docs").over(wS))
+      .withColumn("doc_ppm_in_split",
+        expr("(cast(n_docs as decimal(38,0)) * 1000000) div split_docs")
+          .cast(LongType))
+      .crossJoin(broadcast(spanning))
+      .select("split", "lang", "n_docs", "n_chars", "doc_ppm_in_split",
+        "split_docs", "spanning_clusters")
+      .orderBy("split", "lang")
+  }
+
+  val t48Sql: String =
+    """WITH RECURSIVE
+      |toks AS (
+      |  SELECT doc_id,
+      |         string_split(regexp_replace(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]*(feat\.|featuring|ft\.|&|and)[ \t\n\x0b\f\r]*', ';', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(w) >= 3
+      |              THEN list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |              ELSE list_distinct([array_to_string(w, ' ')]) END AS s
+      |  FROM toks),
+      |p AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM sh a JOIN sh b
+      |    ON a.doc_id < b.doc_id
+      |   AND len(b.s) <= 2 * len(a.s) AND len(a.s) <= 2 * len(b.s)
+      |  WHERE len(list_intersect(a.s, b.s)) > 0
+      |    AND len(list_intersect(a.s, b.s)) * 2 >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+      |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+      |n AS (SELECT a AS id FROM e UNION SELECT b FROM e),
+      |r(id, reach) AS (
+      |  SELECT id, id FROM n
+      |  UNION
+      |  SELECT r.id, e.b FROM r JOIN e ON r.reach = e.a),
+      |c AS (SELECT id, MIN(reach) AS comp FROM r GROUP BY id),
+      |ro AS (
+      |  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS root
+      |  FROM documents d LEFT JOIN c ON d.doc_id = c.id),
+      |sp AS (
+      |  SELECT doc_id, root,
+      |         CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'valid'
+      |              ELSE 'test' END AS split
+      |  FROM (SELECT doc_id, root,
+      |               CAST(('0x' || substr(md5(CAST(root AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS b
+      |        FROM ro)),
+      |cells AS (
+      |  SELECT sp.split, d.lang,
+      |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST(SUM(d.n_chars) AS BIGINT) AS n_chars
+      |  FROM sp JOIN documents d ON sp.doc_id = d.doc_id
+      |  GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT CAST(COALESCE(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |           AS spanning_clusters
+      |  FROM (SELECT root, COUNT(DISTINCT split) AS ns FROM sp GROUP BY 1)),
+      |t AS (
+      |  SELECT split, lang, n_docs, n_chars,
+      |         SUM(n_docs) OVER (PARTITION BY split) AS split_docs
+      |  FROM cells)
+      |SELECT split, lang, n_docs, n_chars,
+      |       CAST(CAST(n_docs AS HUGEINT) * 1000000 // split_docs AS BIGINT)
+      |         AS doc_ppm_in_split,
+      |       CAST(split_docs AS BIGINT) AS split_docs, spanning_clusters
+      |FROM t, sc ORDER BY split, lang""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "t48_split_datasheet" -> t48SplitDatasheet,
     "t47_target_mix_resample" -> t47TargetMixResample,
     "t46_decorrelated_order" -> t46DecorrelatedOrder,
     "t45_gate_venn" -> t45GateVenn,
@@ -2414,6 +2506,7 @@ object TrainingDataQueries {
     "d11_corpus_pipeline" -> d11CorpusPipeline)
 
   val oracles: Seq[(String, String)] = Seq(
+    "t48_split_datasheet" -> t48Sql,
     "t47_target_mix_resample" -> t47Sql,
     "t46_decorrelated_order" -> t46Sql,
     "t45_gate_venn" -> t45Sql,

@@ -1304,6 +1304,46 @@ object EventStream {
     }
   }
 
+  /** Streaming KS drift monitor (#292) — q111/q112's streaming twin,
+    * built as a COMPOSITION of two already-verified pieces rather
+    * than a new driver-held state family: each batch folds into the
+    * day-partitioned cents-histogram artifact via
+    * [[histogramArtifactForeachBatch]] (state lives in parquet with
+    * the durable batch stamp — the cents domain is VALUE-scale, far
+    * too large for a driver map), then the exact two-sample KS report
+    * re-derives from the artifact's day windows through the shared
+    * [[graft.AnalyticsQueries.ksFromCounts]] kernel. After batch k
+    * the report is BIT-IDENTICAL to batch q111 over the stream prefix
+    * (spec-pinned; the histogram is lossless for a CDF statistic and
+    * re-derivation folds late days exactly). Replayed batch ids
+    * re-emit without re-folding (the maintainer's stamp); restart
+    * durability and rewind/mismatch guards are the maintainer's.
+    * Batch schema: `day` DATE + `event_type` + `v` (cents). Days
+    * ≤ `refEnd` are the frozen reference window. No emission until
+    * the artifact holds its first committed rows. */
+  def ksDriftForeachBatch(dir: String, refEnd: String = "2024-01-15")(
+      onReport: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    val fold = histogramArtifactForeachBatch(dir, Seq("event_type"))()
+    (batch: DataFrame, batchId: Long) => {
+      fold(batch, batchId)
+      val spark = batch.sparkSession
+      val target = new org.apache.hadoop.fs.Path(dir)
+      val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(target)) {
+        def window(pred: org.apache.spark.sql.Column, out: String): DataFrame =
+          spark.read.parquet(dir).filter(pred)
+            .groupBy(col("event_type"), col("v").as("cents"))
+            .agg(sum("cnt").as(out))
+        val c = window(col("day") <= refEnd, "o_ref")
+          .join(window(col("day") > refEnd, "o_cur"),
+            Seq("event_type", "cents"), "full")
+          .na.fill(0L, Seq("o_ref", "o_cur"))
+        onReport(graft.AnalyticsQueries.ksFromCounts(c)
+          .orderBy("event_type"), batchId)
+      }
+    }
+  }
+
   /** Streaming top-k artifact maintenance (#208) — #194's sibling for
     * the SpaceSaving family: keep the per-day sketch table that q74/
     * q76/q80 consume current as events arrive. Per micro-batch: the

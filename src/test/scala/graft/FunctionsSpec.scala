@@ -585,4 +585,15 @@ class FunctionsSpec extends AnyFunSuite {
       assert(b == 0L)
     }
   }
+
+  test("q112 KS-from-artifacts is bit-identical to the raw-scan q111") {
+    // the artifact stores the UNBUCKETED cents histogram, which is
+    // lossless for a CDF statistic — the whole claim of the no-rescan
+    // drift panel
+    val a = AnalyticsQueries.q112KsFromArtifacts(spark, TestSpark.Sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val b = AnalyticsQueries.q111KsDrift(spark, TestSpark.Sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(a.nonEmpty && a == b, s"artifact path diverged: $a vs $b")
+  }
 }

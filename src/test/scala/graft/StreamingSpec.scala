@@ -2588,4 +2588,53 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(fullProbe() == brute2, "post-restart batch 2 diverged")
   }
+
+  test("KS drift monitor: report after each batch equals batch q111 on the prefix") {
+    import spark.implicits._
+    import graft.streaming.EventStream
+    // the monitor composes the verified histogram-artifact maintainer
+    // with the shared ksFromCounts kernel — state in parquet, never a
+    // driver map over the value-scale cents domain
+    val ev = Tables.events(spark, TestSpark.Sf)
+      .selectExpr("cast(ts as date) as day", "event_type",
+        "cast(round(value * 100, 0) as bigint) as v")
+      .as[(java.sql.Date, String, Long)].collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_ksm").toString + "/h"
+    val reports = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[(String, Long, Long, Long, Long)])]
+    val sink = EventStream.ksDriftForeachBatch(dir) { (r, id) =>
+      reports += ((id, r.as[(String, Long, Long, Long, Long)].collect().toSeq))
+    }
+    val batches = ev.grouped(ev.size / 3 + 1).toSeq
+    batches.zipWithIndex.foreach { case (b, i) =>
+      sink(b.toDF("day", "event_type", "v"), i.toLong)
+    }
+    assert(reports.size == batches.size)
+    // per-batch prefix parity through the SAME kernel over the prefix
+    def expect(prefix: Seq[(java.sql.Date, String, Long)]) = {
+      val refEnd = java.sql.Date.valueOf("2024-01-15")
+      val c = prefix.map { case (d, et, v) =>
+        (et, v, if (!d.after(refEnd)) 1L else 0L,
+          if (d.after(refEnd)) 1L else 0L) }
+        .toDF("event_type", "cents", "o_ref", "o_cur")
+        .groupBy("event_type", "cents")
+        .agg(sum("o_ref").as("o_ref"), sum("o_cur").as("o_cur"))
+      AnalyticsQueries.ksFromCounts(c).orderBy("event_type")
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+    }
+    var prefix = Seq.empty[(java.sql.Date, String, Long)]
+    batches.zipWithIndex.foreach { case (b, i) =>
+      prefix = prefix ++ b
+      assert(reports(i)._2 == expect(prefix), s"batch $i diverged")
+    }
+    // end state equals the oracled batch q111 over the full table
+    val want = AnalyticsQueries.q111KsDrift(spark, TestSpark.Sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(reports.last._2 == want, "end state != batch q111")
+    // a replayed batch id re-emits without re-folding (count addition
+    // is not idempotent — the maintainer's durable-stamp guard)
+    sink(batches.last.toDF("day", "event_type", "v"),
+      (batches.size - 1).toLong)
+    assert(reports.last._2 == want, "replay changed the report")
+  }
 }

@@ -626,4 +626,28 @@ class TrainingDataSpec extends AnyFunSuite {
     val targets = w.map { case (_, _, _, q) => btot * q / 1000000L }.sum
     assert(total == targets)
   }
+
+  test("t48 split datasheet: shares close, totals match t23, zero spanning clusters certified") {
+    val got = TrainingDataQueries.t48SplitDatasheet(spark, TestSpark.Sf)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // the certification column: the leakage-safe split NEVER lets a
+    // dedup cluster span splits — proven on every run, not asserted once
+    assert(got.forall(_._7 == 0L), "spanning_clusters must be 0")
+    val split = TrainingDataQueries.t23LeakageSafeSplit(spark, TestSpark.Sf)
+      .as[(Long, Long, String)].collect()
+    got.groupBy(_._1).foreach { case (s, rows) =>
+      val want = split.count(_._3 == s).toLong
+      assert(rows.map(_._3).sum == want, s"$s doc total != t23")
+      assert(rows.forall(_._6 == want), s"$s split_docs column")
+      // floor-divided ppm shares sum to 1e6 within one ppm per cell
+      val shares = rows.map(_._5).sum
+      assert(shares <= 1000000L && shares > 1000000L - rows.length,
+        s"$s shares sum $shares")
+    }
+    // character mass is conserved across the datasheet
+    val nChars = Tables.documents(spark, TestSpark.Sf)
+      .agg(sum("n_chars")).as[Long].head()
+    assert(got.map(_._4).sum == nChars)
+  }
 }
