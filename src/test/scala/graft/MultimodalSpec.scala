@@ -187,6 +187,29 @@ class MultimodalSpec extends AnyFunSuite {
     val ok = Codecs.encodeBmp24(Codecs.GrayImage(3, 2, Array(1, 2, 3, 4, 5, 6)))
     assertThrows[IllegalArgumentException](
       Codecs.decodeBmp(java.util.Arrays.copyOf(ok, ok.length - 4)))
+    // pixel-count overflow: a crafted 65536x65536 header overflows
+    // w*h to 0 in Int, which used to BYPASS every truncated-raster
+    // guard and pass a zero-pixel image as ok=1 — the gate contract is
+    // "magic that lies about its body must not pass"
+    val overflow = Seq(
+      "P5\n65536 65536\n255\n".getBytes("US-ASCII"),
+      "P2\n65536 65536\n255\n".getBytes("US-ASCII"),
+      "P6\n65536 65536\n255\n".getBytes("US-ASCII"))
+    overflow.foreach { bad =>
+      val e = intercept[IllegalArgumentException] {
+        if (Codecs.isPpm(bad)) Codecs.decodePpm(bad)
+        else Codecs.decodePgm(bad)
+      }
+      assert(e.getMessage.contains("overflow") ||
+        e.getMessage.contains("truncated"), e.getMessage)
+    }
+    // BMP: same header forged into the dimension fields
+    val bmp = Codecs.encodeBmp24(Codecs.GrayImage(2, 2, Array(1, 2, 3, 4)))
+    val forged = bmp.clone()
+    // biWidth at 18, biHeight at 22 (little-endian): 65536 = 0x00010000
+    forged(18) = 0; forged(19) = 0; forged(20) = 1; forged(21) = 0
+    forged(22) = 0; forged(23) = 0; forged(24) = 1; forged(25) = 0
+    assertThrows[IllegalArgumentException](Codecs.decodeBmp(forged))
   }
 
   test("aHash64: re-encoding invariant, edit-tolerant, m04 recalls exact dups") {

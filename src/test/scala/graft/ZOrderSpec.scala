@@ -105,4 +105,34 @@ class ZOrderSpec extends AnyFunSuite {
     assert(cl >= 500000L, s"clustered layout should skip most rows, got $cl")
     assert(rd == 0L, s"hash layout skipped $rd — footer ranges should span the domain")
   }
+
+  test("layout audit skips hidden staging/manifest files (Spark file-index visibility rule)") {
+    import graft.sources.{LayoutAudit, Writers}
+    val base = java.nio.file.Files.createTempDirectory("graft_layout_h").toString
+    val li = Tables.lineitem(spark, TestSpark.Sf)
+      .select("l_orderkey", "l_partkey", "l_quantity").limit(1000)
+    li.repartition(3).write.parquet(s"$base/t")
+    val clean = LayoutAudit.fileStats(spark, s"$base/t", "l_orderkey")
+      .agg(sum("n_rows")).as[Long].head()
+    // plant exactly what a real artifact dir accumulates: a foreign-
+    // schema parquet under an '_'-dir (writeShards manifests), one
+    // under a '.'-dir (publish/compact staging), and a '.'-prefixed
+    // stray file — all invisible to Spark's scan, so the audit must
+    // not read them (foreign schema would throw 'column not found';
+    // duplicated data would double-count row groups the scan never sees)
+    Seq((1L, "x")).toDF("a", "b").write.parquet(s"$base/t/_manifest")
+    li.limit(10).write.parquet(s"$base/t/.t.previous")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val visible = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/t"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.rename(visible, new org.apache.hadoop.fs.Path(
+      visible.getParent, "." + visible.getName))
+    val audited = LayoutAudit.fileStats(spark, s"$base/t", "l_orderkey")
+      .agg(sum("n_rows")).as[Long].head()
+    val scanned = spark.read.parquet(s"$base/t").count()
+    assert(audited == scanned,
+      s"audit saw $audited rows vs the scan's $scanned — visibility rules diverge")
+    assert(audited < clean, "renaming a part file hidden should shrink the audit")
+  }
 }
