@@ -2459,7 +2459,57 @@ object TrainingDataQueries {
       |       CAST(split_docs AS BIGINT) AS split_docs, spanning_clusters
       |FROM t, sc ORDER BY split, lang""".stripMargin
 
+  /** #294 (t49): shard invalidation plan — right-to-be-forgotten
+    * reaching the TRAINER-FACING artifact: q70 audits the relational
+    * purge and s19 the vector store; this prices the third surface, a
+    * forget set against t39's token-budget shard plan. Per shard: the
+    * doc/token census, the forgotten doc/token mass inside it, and the
+    * re-export bit — the work order a deletion pipeline executes
+    * (re-export exactly the dirty shards through `writeShards`, whose
+    * per-shard manifest digests make the swap verifiable; clean shards
+    * are untouched, which is the POINT of sharded exports under
+    * deletion SLAs: re-export cost is proportional to dirty shards,
+    * never the corpus). Forget set = q70's deterministic id-predicate
+    * convention. One plan aggregate, shard-keyed; fully oracled. */
+  def t49ShardInvalidation: Q = (spark, dir) =>
+    t39ShardPlan(spark, dir)
+      .withColumn("is_forget", (col("doc_id") % 97 === 0).cast(LongType))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        sum(when(col("is_forget") === 1L, 1L).otherwise(0L))
+          .as("n_forget_docs"),
+        sum(when(col("is_forget") === 1L, col("n_tok")).otherwise(0L))
+          .as("n_forget_tokens"))
+      .withColumn("reexport", (col("n_forget_docs") > 0).cast(LongType))
+      .select("shard", "n_docs", "n_tokens", "n_forget_docs",
+        "n_forget_tokens", "reexport")
+      .orderBy("shard")
+
+  val t49Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |         CAST(len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS BIGINT) AS n_tok,
+      |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 15)) AS BIGINT) AS hk
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, n_tok,
+      |         CAST(SUM(n_tok) OVER (ORDER BY hk, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+      |  FROM h),
+      |p AS (SELECT doc_id, n_tok, (cum_tok - n_tok) // 1024 AS shard FROM s)
+      |SELECT shard,
+      |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |       CAST(SUM(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_forget_docs,
+      |       CAST(SUM(CASE WHEN doc_id % 97 = 0 THEN n_tok ELSE 0 END) AS BIGINT)
+      |         AS n_forget_tokens,
+      |       CAST(CASE WHEN SUM(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) > 0
+      |            THEN 1 ELSE 0 END AS BIGINT) AS reexport
+      |FROM p GROUP BY shard ORDER BY shard""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "t49_shard_invalidation" -> t49ShardInvalidation,
     "t48_split_datasheet" -> t48SplitDatasheet,
     "t47_target_mix_resample" -> t47TargetMixResample,
     "t46_decorrelated_order" -> t46DecorrelatedOrder,
@@ -2506,6 +2556,7 @@ object TrainingDataQueries {
     "d11_corpus_pipeline" -> d11CorpusPipeline)
 
   val oracles: Seq[(String, String)] = Seq(
+    "t49_shard_invalidation" -> t49Sql,
     "t48_split_datasheet" -> t48Sql,
     "t47_target_mix_resample" -> t47Sql,
     "t46_decorrelated_order" -> t46Sql,

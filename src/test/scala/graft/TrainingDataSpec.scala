@@ -650,4 +650,29 @@ class TrainingDataSpec extends AnyFunSuite {
       .agg(sum("n_chars")).as[Long].head()
     assert(got.map(_._4).sum == nChars)
   }
+
+  test("t49 shard invalidation: mass conserved, dirty shards exactly the forget-touching ones") {
+    val got = TrainingDataQueries.t49ShardInvalidation(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val plan = TrainingDataQueries.t39ShardPlan(spark, TestSpark.Sf)
+      .select("shard", "doc_id", "n_tok")
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty && plan.nonEmpty)
+    // the plan covers EVERY shard (clean ones included: the work order
+    // must say "untouched", not omit them)
+    assert(got.map(_._1).toSet == plan.map(_._1).toSet)
+    // doc and token mass conserved shard-for-shard
+    val want = plan.groupBy(_._1).view.mapValues(rs =>
+      (rs.length.toLong, rs.map(_._3).sum,
+        rs.count(_._2 % 97 == 0).toLong,
+        rs.filter(_._2 % 97 == 0).map(_._3).sum)).toMap
+    got.foreach { case (sh, nd, nt, fd, ft, re) =>
+      val (wd, wt, wfd, wft) = want(sh)
+      assert((nd, nt, fd, ft) == ((wd, wt, wfd, wft)), s"shard $sh census")
+      assert(re == (if (wfd > 0) 1L else 0L), s"shard $sh reexport bit")
+    }
+    // the fixture must exercise BOTH branches: some dirty, some clean
+    assert(got.exists(_._6 == 1L) && got.exists(_._6 == 0L),
+      "fixture must contain dirty AND clean shards")
+  }
 }
