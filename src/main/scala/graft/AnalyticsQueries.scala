@@ -3446,7 +3446,13 @@ object AnalyticsQueries {
         (datediff(col("ts").cast(DateType), lit("2024-01-01").cast(DateType)) < 15)
           .as("is_ref"),
         expr("cast(round(value * 100, 0) as bigint)").as("cents"))
-    val c = ev.groupBy("event_type", "cents")
+    // NULL values are excluded EXPLICITLY so all three KS paths agree
+    // on the domain: the artifact producer (SketchStore.saveHistogram)
+    // drops null histogram values, and a NULL would also order first
+    // in Spark's CDF walk but last in DuckDB's — pin the domain here
+    // instead of leaving both divergences latent
+    val c = ev.filter(col("cents").isNotNull)
+      .groupBy("event_type", "cents")
       .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("o_ref"),
         sum(when(col("is_ref"), 0L).otherwise(1L)).as("o_cur"))
     ksFromCounts(c).orderBy("event_type")
@@ -3516,7 +3522,7 @@ object AnalyticsQueries {
       |  SELECT event_type,
       |         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 15 AS is_ref,
       |         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
-      |  FROM events),
+      |  FROM events WHERE value IS NOT NULL),
       |c AS (
       |  SELECT event_type, cents,
       |         CAST(COUNT(*) FILTER (is_ref) AS BIGINT) AS o_ref,

@@ -80,14 +80,17 @@ object Codecs {
     if (w <= 0 || h <= 0) fail(s"bad dimensions ${w}x$h")
     if (maxval <= 0 || maxval > 255) fail(s"unsupported maxval $maxval")
     val n = pixelCount(w, h)
-    // ASCII pixels need ≥2 bytes each (digit + separator) — reject a
-    // header whose claim can't be backed BEFORE allocating n ints
+    // raster-claim bounds BEFORE any allocation — a header under the
+    // Int.MaxValue guard can still claim ~2G pixels, and allocating
+    // first would turn one crafted row into a multi-GB OOM Error
+    // instead of the gate's clean quarantine. Binary: exactly ONE
+    // whitespace byte separates maxval from raster; ASCII pixels need
+    // ≥2 bytes each (digit + separator).
+    val start = tk.pos + 1
+    if (binary && start.toLong + n > payload.length) fail("truncated P5 raster")
     if (!binary && n.toLong > payload.length) fail("truncated P2 raster")
     val px = new Array[Int](n)
     if (binary) {
-      // exactly ONE whitespace byte separates maxval from raster
-      val start = tk.pos + 1
-      if (start.toLong + n > payload.length) fail("truncated P5 raster")
       var i = 0
       while (i < n) { px(i) = payload(start + i) & 0xff; i += 1 }
     } else {
@@ -175,14 +178,14 @@ object Codecs {
     if (w <= 0 || h <= 0) fail(s"bad dimensions ${w}x$h")
     if (maxval <= 0 || maxval > 255) fail(s"unsupported maxval $maxval")
     val n = pixelCount(w, h)
-    // P3 samples need ≥2 bytes each — reject unbackable claims pre-alloc
+    // raster-claim bounds BEFORE any allocation (decodePgm's OOM
+    // argument, ×3 channels here)
+    val start = tk.pos + 1
+    if (binary && start + 3L * n > payload.length) fail("truncated P6 raster")
     if (!binary && 3L * n > payload.length) fail("truncated P3 raster")
     val r = new Array[Int](n); val g = new Array[Int](n)
     val b = new Array[Int](n)
     if (binary) {
-      // exactly ONE whitespace byte separates maxval from raster
-      val start = tk.pos + 1
-      if (start + 3L * n > payload.length) fail("truncated P6 raster")
       var i = 0
       while (i < n) {
         r(i) = payload(start + 3 * i) & 0xff

@@ -1003,9 +1003,36 @@ object Ann {
     * truth, SemDeDup threshold studies); the corpus-scale build is
     * [[knnGraph]]'s calibrated IVF cell self-join, whose recall this
     * baseline prices (AnnSpec pins it). */
-  def knnGraphExact(corpus: DataFrame, k: Int): DataFrame =
-    bruteForceTopK(corpus, corpus, k)
-      .select(col("qid").as("id"), col("rank"), col("neighbor_id"))
+  def knnGraphExact(corpus: DataFrame, k: Int): DataFrame = {
+    // NOT bruteForceTopK: that kernel broadcasts its query side, which
+    // is right for a handful of probes but a hard broadcast-size /
+    // driver-heap ceiling when the query side IS the corpus. The graph
+    // build scores a BLOCK-NESTED-LOOP cartesian instead — O(n²) work
+    // either way (definitional for exact), but no single-node
+    // materialization of a corpus-sized side, and explicit block
+    // counts: corpus side spread over the shuffle parallelism, query
+    // side in a few fat blocks (a small parquet reads as 1-2 splits,
+    // which would starve a plain cartesian to p_c × p_q ≈ 2 tasks).
+    val p = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val qBlocks = math.max(1, math.min(8, p / 4))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
+      .withColumn("cnrm", norm(col("cvec")))
+      .filter(col("cnrm") > 0)
+      .repartition(p)
+    val q = corpus.select(col("id").as("qid"), col("vec").as("qvec"))
+      .withColumn("qnrm", norm(col("qvec")))
+      .filter(col("qnrm") > 0)
+      .repartition(qBlocks)
+    val scored = c.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("qid"))
+      .withColumn("sim",
+        cosinePrenormed(dot(col("qvec"), col("cvec")), col("qnrm"), col("cnrm")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
+  }
 
   /** EXACT hard-negative mining — every vector's top-k cosine
     * neighbors EXCLUDING members of its own group (near-dup cluster):
@@ -1022,18 +1049,27 @@ object Ann {
     * machinery). `groups`: (id, root) — total over the corpus ids. */
   def hardNegatives(corpus: DataFrame, k: Int, groups: DataFrame): DataFrame = {
     val g = groups.select(col("id"), col("root"))
+    // same block-nested-loop shape as [[knnGraphExact]] (the
+    // broadcast-ceiling and task-starvation arguments there)
+    val p = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val qBlocks = math.max(1, math.min(8, p / 4))
     val c = corpus.join(g, "id")
       .select(col("id").as("neighbor_id"), col("vec").as("cvec"),
         col("root").as("croot"))
       .withColumn("cnrm", norm(col("cvec")))
       .filter(col("cnrm") > 0)
+      .repartition(p)
     val q = corpus.join(g, "id")
       .select(col("id").as("qid"), col("vec").as("qvec"),
         col("root").as("qroot"))
       .withColumn("qnrm", norm(col("qvec")))
       .filter(col("qnrm") > 0)
-    // croot ≠ qroot also excludes self (equal roots by construction)
-    val scored = c.crossJoin(broadcast(q))
+      .repartition(qBlocks)
+    // croot ≠ qroot also excludes self (equal roots by construction).
+    // Partitioned cartesian, NOT crossJoin(broadcast(q)): the query
+    // side is the whole corpus (knnGraphExact's broadcast-ceiling
+    // argument)
+    val scored = c.crossJoin(q)
       .filter(col("croot") =!= col("qroot"))
       .withColumn("sim",
         cosinePrenormed(dot(col("qvec"), col("cvec")), col("qnrm"), col("cnrm")))

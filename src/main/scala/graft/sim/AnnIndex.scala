@@ -198,13 +198,28 @@ object AnnIndex {
     val tomb = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
     val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(tomb)) return 0L
+    // SNAPSHOT the tombstone files first and apply/clear exactly that
+    // set: delete() stays online during this maintenance pass, and a
+    // directory-level clear after the swap would wipe masks appended
+    // DURING the rewrite — ids whose mask was never applied would
+    // resurrect into every probe (a silently lost GDPR deletion).
+    // Files appended after this listing survive the clear and re-mask
+    // the new cells table; the next purge applies them.
+    val tombFiles = tombstoneFiles(fs, tomb)
+    if (tombFiles.isEmpty) return 0L
     val cells = new org.apache.hadoop.fs.Path(s"$dir/cells")
     val tmp = new org.apache.hadoop.fs.Path(dir, ".cells.purge-inprogress")
     val prev = new org.apache.hadoop.fs.Path(dir, ".cells.previous")
     val nAll = spark.read.parquet(cells.toString).count()
+    val mask = spark.read.parquet(tombFiles.map(_.toString): _*)
+      .groupBy("id").agg(max("upto_seq").as("__graft_tomb_seq"))
+    val live = spark.read.parquet(cells.toString)
+      .join(mask, Seq("id"), "left")
+      .filter(col("__graft_tomb_seq").isNull ||
+        col(SeqCol) > col("__graft_tomb_seq"))
+      .drop("__graft_tomb_seq")
     fs.delete(tmp, true)
-    liveCells(spark, dir)
-      .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+    live.write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
     val nLive = spark.read.parquet(tmp.toString).count()
     fs.delete(prev, true)
     if (fs.exists(cells) && !fs.rename(cells, prev))
@@ -213,7 +228,9 @@ object AnnIndex {
       throw new java.io.IOException(
         s"purge: rename $tmp -> $cells failed (previous cells at $prev)")
     fs.delete(prev, true)
-    fs.delete(tomb, true) // only after the swap commits
+    // clear ONLY the snapshot's files, only after the swap commits (a
+    // crash in between re-masks already-purged ids — anti-join no-op)
+    tombFiles.foreach(f => fs.delete(f, false))
     nAll - nLive
   }
 
@@ -222,6 +239,18 @@ object AnnIndex {
     val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(tomb)) fs.delete(tomb, true)
   }
+
+  /** The visible parquet part files of the tombstone dir — [[purge]]
+    * applies and clears exactly this snapshot (never the whole dir,
+    * which would wipe masks a concurrent [[delete]] appended), and
+    * the read paths mask from whatever is present; a dir holding only
+    * committer droppings (`_SUCCESS`) reads as "no tombstones"
+    * instead of failing schema inference. */
+  private def tombstoneFiles(fs: org.apache.hadoop.fs.FileSystem,
+      tomb: org.apache.hadoop.fs.Path): Array[org.apache.hadoop.fs.Path] =
+    fs.listStatus(tomb).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") &&
+        !p.getName.startsWith("_") && !p.getName.startsWith("."))
 
   /** The cells table minus tombstoned ids — EVERY consumer of the
     * cell files goes through here, so a logical delete is exact on
@@ -233,14 +262,17 @@ object AnnIndex {
     val cells = spark.read.parquet(s"$dir/cells")
     val tomb = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
     val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(tomb)) {
+    val files =
+      if (fs.exists(tomb)) tombstoneFiles(fs, tomb)
+      else Array.empty[org.apache.hadoop.fs.Path]
+    if (files.nonEmpty) {
       // versioned mask: a row dies only if some tombstone for its id
       // covers its write generation — upserted/re-appended versions
       // (seq > every mask) stay live. No broadcast hint: the mask is
       // usually sliver-sized (AQE broadcasts it), but a mass-delete
       // history can grow it past broadcast budget — let the planner
       // decide instead of forcing an OOM
-      val mask = spark.read.parquet(tomb.toString)
+      val mask = spark.read.parquet(files.map(_.toString): _*)
         .groupBy("id").agg(max("upto_seq").as("__graft_tomb_seq"))
       cells.join(mask, Seq("id"), "left")
         .filter(col("__graft_tomb_seq").isNull ||

@@ -500,9 +500,13 @@ object EventStream {
         recovered = true
       }
       if (batchId > lastBatch) {
-        batch.groupBy("lang").agg(count(lit(1)).as("__graft_n"))
-          .as[(String, Long)].collect()
-          .foreach { case (l, n) => counts(l) = counts.getOrElse(l, 0L) + n }
+        // LIMIT the collect: the cap must bound what reaches the
+        // driver, not just the map size after an unbounded collect
+        // already landed (the "fail fast" the guard promises)
+        val folded = batch.groupBy("lang").agg(count(lit(1)).as("__graft_n"))
+          .limit(maxKeys + 1).as[(String, Long)].collect()
+        MonitorState.guardBound(folded.length, maxKeys, "alphaMix")
+        folded.foreach { case (l, n) => counts(l) = counts.getOrElse(l, 0L) + n }
         lastBatch = batchId
         MonitorState.guardBound(counts.size, maxKeys, "alphaMix")
         stateDir.foreach(d => MonitorState.save(spark, d, batchId,
@@ -560,12 +564,13 @@ object EventStream {
         recovered = true
       }
       if (batchId > lastBatch) {
-        batch.filter(col("cents") > 0)
+        val folded = batch.filter(col("cents") > 0)
           .select(substring(col("cents").cast("string"), 1, 1)
             .cast("long").as("digit"))
           .groupBy("digit").agg(count(lit(1)).as("__graft_n"))
-          .as[(Long, Long)].collect()
-          .foreach { case (d, n) => counts(d) = counts.getOrElse(d, 0L) + n }
+          .limit(maxKeys + 1).as[(Long, Long)].collect()
+        MonitorState.guardBound(folded.length, maxKeys, "benford")
+        folded.foreach { case (d, n) => counts(d) = counts.getOrElse(d, 0L) + n }
         lastBatch = batchId
         MonitorState.guardBound(counts.size, maxKeys, "benford")
         stateDir.foreach(d => MonitorState.save(spark, d, batchId,
@@ -632,11 +637,13 @@ object EventStream {
         recovered = true
       }
       if (batchId > lastBatch) {
-        batch.groupBy(col("event_type"), col("day").cast("string").as("d"))
+        val folded = batch
+          .groupBy(col("event_type"), col("day").cast("string").as("d"))
           .agg(sum("cents").as("__graft_c"))
-          .as[(String, String, Long)].collect()
-          .foreach { case (et, d, c) =>
-            cells((et, d)) = cells.getOrElse((et, d), 0L) + c }
+          .limit(maxKeys + 1).as[(String, String, Long)].collect()
+        MonitorState.guardBound(folded.length, maxKeys, "cusum")
+        folded.foreach { case (et, d, c) =>
+          cells((et, d)) = cells.getOrElse((et, d), 0L) + c }
         lastBatch = batchId
         MonitorState.guardBound(cells.size, maxKeys, "cusum")
         stateDir.foreach(dir => MonitorState.save(spark, dir, batchId,
@@ -731,11 +738,13 @@ object EventStream {
         recovered = true
       }
       if (batchId > lastBatch) {
-        batch.groupBy(col("segment"), col("nationkey").cast("long").as("nk"))
+        val folded = batch
+          .groupBy(col("segment"), col("nationkey").cast("long").as("nk"))
           .agg(count(lit(1)).as("__graft_n"))
-          .as[(String, Long, Long)].collect()
-          .foreach { case (s, nk, n) =>
-            cells((s, nk)) = cells.getOrElse((s, nk), 0L) + n }
+          .limit(maxKeys + 1).as[(String, Long, Long)].collect()
+        MonitorState.guardBound(folded.length, maxKeys, "chiSquare")
+        folded.foreach { case (s, nk, n) =>
+          cells((s, nk)) = cells.getOrElse((s, nk), 0L) + n }
         lastBatch = batchId
         MonitorState.guardBound(cells.size, maxKeys, "chiSquare")
         stateDir.foreach(d => MonitorState.save(spark, d, batchId,
@@ -805,13 +814,14 @@ object EventStream {
         recovered = true
       }
       if (batchId > lastBatch) {
-        batch.groupBy(col("brand"), col("price_cents"))
+        val folded = batch.groupBy(col("brand"), col("price_cents"))
           .agg(min("size").as("__graft_s"))
-          .as[(String, Long, Long)].collect()
-          .foreach { case (b, p, s) =>
-            val k = (b, p)
-            cells(k) = cells.get(k).fold(s)(math.min(_, s))
-          }
+          .limit(maxKeys + 1).as[(String, Long, Long)].collect()
+        MonitorState.guardBound(folded.length, maxKeys, "skyline")
+        folded.foreach { case (b, p, s) =>
+          val k = (b, p)
+          cells(k) = cells.get(k).fold(s)(math.min(_, s))
+        }
         lastBatch = batchId
         MonitorState.guardBound(cells.size, maxKeys, "skyline")
         stateDir.foreach(d => MonitorState.save(spark, d, batchId,
@@ -1325,7 +1335,9 @@ object EventStream {
       onReport: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
     val fold = histogramArtifactForeachBatch(dir, Seq("event_type"))()
     (batch: DataFrame, batchId: Long) => {
-      fold(batch, batchId)
+      // null values dropped EXPLICITLY — the q111 domain rule, so the
+      // monitor, the artifact consumer and the raw scan agree
+      fold(batch.filter(col("v").isNotNull), batchId)
       val spark = batch.sparkSession
       val target = new org.apache.hadoop.fs.Path(dir)
       val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)

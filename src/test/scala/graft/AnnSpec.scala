@@ -890,14 +890,30 @@ class AnnSpec extends AnyFunSuite {
     // replaying the forget set merges nothing
     AnnIndex.delete(forget.select("id"), dir)
     assert(fullProbe() == got, "re-sent forget set changed results")
-    // purge: physical removal, probes bit-identical, mask list gone
+    // purge: physical removal, probes bit-identical, and the APPLIED
+    // mask files cleared (file-snapshot semantics: purge deletes
+    // exactly the tombstone part files it anti-joined, never the
+    // whole dir — a mask appended by a concurrent delete() during the
+    // rewrite must survive to re-mask the new cells table)
     val purged = AnnIndex.purge(spark, dir)
     assert(purged == forgetIds.size.toLong,
       s"purged $purged rows, expected ${forgetIds.size}")
     assert(fullProbe() == got, "purge changed probe results")
-    assert(!new java.io.File(s"$dir/tombstones").exists(),
-      "tombstone list survived the purge")
+    val leftover = Option(new java.io.File(s"$dir/tombstones").list())
+      .toSeq.flatten.filter(f =>
+        f.endsWith(".parquet") && !f.startsWith("_") && !f.startsWith("."))
+    assert(leftover.isEmpty, s"applied mask files survived: $leftover")
     assert(AnnIndex.purge(spark, dir) == 0L, "second purge not a no-op")
+    // the concurrent-delete hazard, pinned: a mask landing after
+    // purge's snapshot (here: after the purge) still deletes — probes
+    // hide the id immediately, the NEXT purge reclaims it
+    val lateId = emb.filter(col("id") % 13 =!= 0)
+      .select(min("id")).as[Long].head()
+    AnnIndex.delete(Seq(lateId).toDF("id"), dir)
+    assert(!AnnIndex.probe(spark, dir, queries, k = 10, nProbe = 23)
+      .select("neighbor_id").as[Long].collect().toSet.contains(lateId),
+      "late tombstone not applied on probes")
+    assert(AnnIndex.purge(spark, dir) == 1L, "late tombstone not reclaimed")
     // a rebuild starts a new generation: a re-ingested forgotten id
     // must be probe-visible again (stale masks cleared by build)
     AnnIndex.delete(forget.select("id"), dir)

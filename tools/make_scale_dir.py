@@ -37,9 +37,28 @@ import sys
 import duckdb
 
 
+# Fractional factors take a key-ordered PREFIX of the extra copy, which
+# is only sound for tables nothing else references: a fractional
+# lineitem copy would reference l_partkey/l_orderkey values the part/
+# orders fractional copies don't contain — dangling FKs, and every join
+# at the synthesized scale point under-measures (the exact fixture
+# artifact this tool exists to avoid). Whole-copy replication keeps the
+# FK graph closed because all linked tables replicate in lockstep.
+FK_ISOLATED = {"documents", "embeddings"}
+
+
 def main() -> int:
     src, dst, k = sys.argv[1], sys.argv[2], float(sys.argv[3])
     overrides = dict(a.split("=") for a in sys.argv[4:])
+    if not k.is_integer():
+        raise SystemExit("make_scale_dir: the global factor must be a whole "
+                         "number (fractional copies break cross-table FKs); "
+                         "use per-table overrides on FK-isolated tables")
+    for t, f in overrides.items():
+        if not float(f).is_integer() and t not in FK_ISOLATED:
+            raise SystemExit(f"make_scale_dir: fractional factor for '{t}' "
+                             f"would dangle foreign keys; only "
+                             f"{sorted(FK_ISOLATED)} may scale fractionally")
     import os
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
