@@ -3549,7 +3549,82 @@ object AnalyticsQueries {
       |                 // (CAST(n_ref AS HUGEINT) * n_cur) END AS BIGINT) AS ks_ppm
       |FROM d ORDER BY event_type""".stripMargin
 
+  /** #295 (q113): two-sample AUC drift (Mann–Whitney U) — the EFFECT
+    * SIZE companion of q111's KS detector: AUC = P(current sample >
+    * reference sample) + ½P(tie), i.e. how far the current window's
+    * values sit ABOVE the reference's (500000 ppm = no shift; KS says
+    * "the distributions differ", AUC says by how much and in which
+    * direction — the number an SLO threshold reads). Exact in
+    * integers over the same value histogram: doubling clears the tie
+    * half-weight, u2 = Σ_v (2·o_cur(v)·cumRef(<v) + o_ref(v)·o_cur(v))
+    * counts (ref, cur) pairs with cur above ×2 plus ties ×1, and
+    * auc_ppm = u2·10⁶ div (2·n_ref·n_cur) in decimal(38)/HUGEINT.
+    * Same q29/q98 histogram-window plan shape as the KS kernel (one
+    * event_type hash exchange); 0 while either window is empty
+    * (q111's rule). Fully oracled. */
+  def q113AucDrift: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (datediff(col("ts").cast(DateType), lit("2024-01-01").cast(DateType)) < 15)
+          .as("is_ref"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+    val c = ev.filter(col("cents").isNotNull)
+      .groupBy("event_type", "cents")
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("o_ref"),
+        sum(when(col("is_ref"), 0L).otherwise(1L)).as("o_cur"))
+    val wLt = Window.partitionBy("event_type").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy("event_type")
+    c
+      .withColumn("cum_ref_lt", coalesce(sum("o_ref").over(wLt), lit(0L)))
+      .withColumn("n_ref", sum("o_ref").over(wAll))
+      .withColumn("n_cur", sum("o_cur").over(wAll))
+      .groupBy("event_type")
+      .agg(min("n_ref").as("n_ref"), min("n_cur").as("n_cur"),
+        sum(lit(2L) * col("o_cur") * col("cum_ref_lt") +
+          col("o_ref") * col("o_cur")).as("u2"))
+      .withColumn("auc_ppm",
+        when(col("n_ref") === 0L || col("n_cur") === 0L, 0L)
+          .otherwise(expr("(cast(u2 as decimal(38,0)) * 1000000) div " +
+            "(2 * cast(n_ref as decimal(38,0)) * n_cur)").cast(LongType)))
+      .select("event_type", "n_ref", "n_cur", "u2", "auc_ppm")
+      .orderBy("event_type")
+  }
+
+  val q113Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 15 AS is_ref,
+      |         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events WHERE value IS NOT NULL),
+      |c AS (
+      |  SELECT event_type, cents,
+      |         CAST(COUNT(*) FILTER (is_ref) AS BIGINT) AS o_ref,
+      |         CAST(COUNT(*) FILTER (NOT is_ref) AS BIGINT) AS o_cur
+      |  FROM ev GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type, o_ref, o_cur,
+      |         COALESCE(SUM(o_ref) OVER (PARTITION BY event_type ORDER BY cents
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS cum_ref_lt,
+      |         SUM(o_ref) OVER (PARTITION BY event_type) AS n_ref,
+      |         SUM(o_cur) OVER (PARTITION BY event_type) AS n_cur
+      |  FROM c),
+      |d AS (
+      |  SELECT event_type,
+      |         CAST(MIN(n_ref) AS BIGINT) AS n_ref,
+      |         CAST(MIN(n_cur) AS BIGINT) AS n_cur,
+      |         CAST(SUM(2 * o_cur * cum_ref_lt + o_ref * o_cur) AS BIGINT) AS u2
+      |  FROM t GROUP BY 1)
+      |SELECT event_type, n_ref, n_cur, u2,
+      |       CAST(CASE WHEN n_ref = 0 OR n_cur = 0 THEN 0
+      |            ELSE CAST(u2 AS HUGEINT) * 1000000
+      |                 // (2 * CAST(n_ref AS HUGEINT) * n_cur) END AS BIGINT)
+      |         AS auc_ppm
+      |FROM d ORDER BY event_type""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q113_auc_drift" -> q113AucDrift,
     "q112_ks_from_artifacts" -> q112KsFromArtifacts,
     "q111_ks_drift" -> q111KsDrift,
     "q110_wilson_rank" -> q110WilsonRank,
@@ -3646,6 +3721,7 @@ object AnalyticsQueries {
     "q108_rollup_share" -> q108Sql,
     "q109_locf" -> q109Sql,
     "q111_ks_drift" -> q111Sql,
+    "q113_auc_drift" -> q113Sql,
     // q112 serves q111's statistic from persisted day histograms —
     // the oracle IS q111's SQL over the raw events (bit-identity is
     // the artifact path's whole claim, the q75/q58 precedent)

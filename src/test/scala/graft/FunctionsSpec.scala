@@ -596,4 +596,46 @@ class FunctionsSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long, Long)].collect().toSeq
     assert(a.nonEmpty && a == b, s"artifact path diverged: $a vs $b")
   }
+
+  test("q113 AUC drift equals the pairwise Mann-Whitney definition") {
+    val got = AnalyticsQueries.q113AucDrift(spark, TestSpark.Sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    val ev = Tables.events(spark, TestSpark.Sf)
+      .selectExpr("event_type",
+        "datediff(cast(ts as date), date'2024-01-01') < 15 as is_ref",
+        "cast(round(value * 100, 0) as bigint) as cents")
+      .as[(String, Boolean, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (et, nRef, nCur, u2, aucPpm) =>
+      val rows = ev.filter(_._1 == et)
+      val (ref, cur) = rows.partition(_._2)
+      assert(nRef == ref.length && nCur == cur.length, s"$et window sizes")
+      // the definition, literally: every (ref, cur) pair scores 2 if
+      // cur is above, 1 on a tie, 0 below — u2 is the total
+      var want = 0L
+      // histogram the pairwise count (literal double loop would be
+      // 600M pairs at sf0.01 — same answer from value counts)
+      val rh = ref.groupBy(_._3).view.mapValues(_.size.toLong)
+      val ch = cur.groupBy(_._3).view.mapValues(_.size.toLong)
+      rh.foreach { case (rv, rn) =>
+        ch.foreach { case (cv, cn) =>
+          if (cv > rv) want += 2L * rn * cn
+          else if (cv == rv) want += rn * cn
+        }
+      }
+      assert(u2 == want, s"$et u2 $u2 != $want")
+      assert(aucPpm == want * 1000000L / (2L * nRef * nCur), s"$et auc_ppm")
+      assert(aucPpm >= 0 && aucPpm <= 1000000L, s"$et auc_ppm range")
+    }
+    // identity sanity: a window against ITSELF reads exactly 500000
+    // ppm when 2*n*n divides u2 evenly — check the exact rational
+    // instead: u2(X, X) == n*n (2*above + ties is symmetric)
+    val same = ev.filter(_._1 == got.head._1).map(_._3)
+    val h = same.groupBy(identity).view.mapValues(_.size.toLong)
+    var u2self = 0L
+    h.foreach { case (a, an) => h.foreach { case (b, bn) =>
+      if (b > a) u2self += 2L * an * bn else if (b == a) u2self += an * bn } }
+    assert(u2self == same.length.toLong * same.length,
+      "self-window u2 must equal n^2 (AUC exactly 1/2)")
+  }
 }
