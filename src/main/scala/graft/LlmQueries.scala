@@ -1802,8 +1802,9 @@ object LlmQueries {
     * artifact, t23's root convention) — with ranks computed over the
     * already-excluded candidate set, so k never under-fills next to a
     * large cluster. Exact, deterministic ties on neighbor id, fully
-    * hash-oracled; the corpus-scale path is an over-fetched calibrated
-    * IVF probe anti-joined on the cluster table (the s15 machinery). */
+    * hash-oracled; the corpus-scale path is
+    * [[graft.sim.Ann.hardNegativesIvf]] (s22, the calibrated-IVF twin
+    * with the same exclusion contract). */
   def s21HardNegatives: Q = (spark, dir) => {
     val roots = Tables.documents(spark, dir).select("doc_id")
       .join(clusters(spark, dir).withColumnRenamed("id", "doc_id"),
@@ -1813,6 +1814,29 @@ object LlmQueries {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
     Ann.hardNegatives(e, k = 5, groups = roots).orderBy("id", "rank")
+  }
+
+  /** #290b (s22): the corpus-scale hard-negative path —
+    * [[graft.sim.Ann.hardNegativesIvf]], s21's calibrated-IVF twin
+    * (the s10/knnGraph exact↔scale pairing applied to mining): same
+    * inputs, same exclusion contract (ranks over the already-excluded
+    * candidate set), but candidates come from a calibrated IVF cell
+    * join (volume ≈ nProbe·n/nCells per query) instead of the exact
+    * kernel's O(n²) block-nested-loop — the one shape of s21 that can
+    * run at 100×. Rows-only by design (iterative float k-means);
+    * AnnSpec pins recall vs the exact kernel and a cartesian-free
+    * plan. */
+  def s22HardNegativesIvf: Q = (spark, dir) => {
+    val roots = Tables.documents(spark, dir).select("doc_id")
+      .join(clusters(spark, dir).withColumnRenamed("id", "doc_id"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id").as("id"),
+        coalesce(col("comp"), col("doc_id")).as("root"))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
+    Ann.hardNegativesIvf(e, k = 5, groups = roots, seed = 42L,
+        cacheKey = Some(dir))
+      .orderBy("id", "rank")
   }
 
   val s21Sql: String =
@@ -3036,6 +3060,7 @@ object LlmQueries {
     "s07_ann_ivfpq" -> s07AnnIvfPq,
     "s10_knn_graph" -> s10KnnGraph,
     "s21_hard_negatives" -> s21HardNegatives,
+    "s22_hard_negatives_ivf" -> s22HardNegativesIvf,
     "t01_lang_id" -> t01LangId,
     "t02_quality_score" -> t02QualityScore,
     "t03_token_count" -> t03TokenCount,

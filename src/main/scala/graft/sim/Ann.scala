@@ -1044,9 +1044,9 @@ object Ann {
     * where it matters. Ranks are computed OVER the excluded candidate
     * set (not by post-filtering a fixed top-m, which under-fills k
     * next to large clusters). Exact and hash-oracled like the graph
-    * baseline; the corpus-scale path is an over-fetched [[ivfTopKAuto]]
-    * probe anti-joined on the cluster table (the s15 filtered-probe
-    * machinery). `groups`: (id, root) — total over the corpus ids. */
+    * baseline; the corpus-scale path is [[hardNegativesIvf]] (the
+    * calibrated IVF cell join with the same exclusion contract).
+    * `groups`: (id, root) — total over the corpus ids. */
   def hardNegatives(corpus: DataFrame, k: Int, groups: DataFrame): DataFrame = {
     val g = groups.select(col("id"), col("root"))
     // same block-nested-loop shape as [[knnGraphExact]] (the
@@ -1070,6 +1070,73 @@ object Ann {
     // side is the whole corpus (knnGraphExact's broadcast-ceiling
     // argument)
     val scored = c.crossJoin(q)
+      .filter(col("croot") =!= col("qroot"))
+      .withColumn("sim",
+        cosinePrenormed(dot(col("qvec"), col("cvec")), col("qnrm"), col("cnrm")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
+  }
+
+  /** Corpus-scale hard-negative mining — [[hardNegatives]]' calibrated
+    * IVF twin, the same exact→scale pairing as [[knnGraphExact]] /
+    * [[knnGraph]]. Shape: one seeded coarse-quantizer fit
+    * ([[fitCentroids]]), corpus side assigned to its home cell, query
+    * side (the whole corpus) exploded over its `nProbe` nearest cells,
+    * candidates joined ON THE CELL ID — candidate volume
+    * ≈ nProbe·n/nCells per query, never the O(n²) block-nested-loop
+    * cartesian of the exact kernel — and the same-root exclusion
+    * applied to the candidate set BEFORE ranking (qroot ≠ croot on the
+    * joined rows), so k fills from eligible candidates and never
+    * under-fills next to a large cluster (the exact kernel's
+    * rank-over-excluded-set contract, kept).
+    *
+    * The over-fetch lives in the CALIBRATION, not in a top-(k+m)
+    * post-filter: a query's same-root near-dups are its very nearest
+    * vectors, crowding the closest cells, so the k-th ELIGIBLE
+    * neighbor sits deeper in the cell ordering than the k-th
+    * unrestricted one. [[probesForRecall]] is therefore solved at
+    * kCal = k + (p99 cluster size − 1): the empirical neighbor-rank
+    * CDF covers the exclusion depth a 99th-percentile cluster imposes,
+    * and nProbe grows only as far as that deeper CDF demands. p99 (not
+    * max) keeps one web-scale boilerplate mega-cluster from pushing
+    * kCal past the 512-vector calibration sample and degenerating the
+    * probe count toward a full scan; the bump is additionally capped at
+    * 255 — beyond that depth the capped sample has no CDF resolution
+    * left to spend. Rows-only by design (iterative float k-means);
+    * AnnSpec pins recall vs the exact [[hardNegatives]] kernel and the
+    * same-root exclusion on a planted fixture. */
+  def hardNegativesIvf(corpus: DataFrame, k: Int, groups: DataFrame,
+                       seed: Long, recall: Double = 0.9,
+                       fitSampleCap: Long = 100000L,
+                       cacheKey: Option[String] = None): DataFrame = {
+    import graft.functions.CentroidCells.centroidCells
+    val g = groups.select(col("id"), col("root"))
+    val live = corpus.join(g, "id")
+      .withColumn("nrm0", norm(col("vec"))).filter(col("nrm0") > 0)
+    val (centroids, nProbe) = memo(cacheKey.map(c =>
+        s"hni|$c|k=$k|seed=$seed|r=$recall|cap=$fitSampleCap")) {
+      val n = live.count()
+      val nCells = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+      val cs = fitCentroids(live, n, nCells, seed, fitSampleCap)
+      val p99 = g.groupBy("root").agg(count(lit(1)).as("csz"))
+        .agg(percentile_approx(col("csz"), lit(0.99), lit(10000)))
+        .head().getLong(0)
+      val excl = math.min(255L, math.max(0L, p99 - 1L)).toInt
+      (cs, probesForRecall(calibrationSample(live, n), cs, recall,
+        kCal = k + excl))
+    }
+    val c = live.select(col("id").as("neighbor_id"), col("vec").as("cvec"),
+        col("nrm0").as("cnrm"), col("root").as("croot"))
+      .withColumn("cell",
+        element_at(centroidCells(col("cvec"), col("cnrm"), centroids, 1), 1))
+    val q = live.select(col("id").as("qid"), col("vec").as("qvec"),
+        col("nrm0").as("qnrm"), col("root").as("qroot"))
+      .withColumn("cell",
+        explode(centroidCells(col("qvec"), col("qnrm"), centroids, nProbe)))
+    val scored = c.join(q, Seq("cell"))
       .filter(col("croot") =!= col("qroot"))
       .withColumn("sim",
         cosinePrenormed(dot(col("qvec"), col("cvec")), col("qnrm"), col("cnrm")))
