@@ -105,6 +105,13 @@ object AnnIndex {
     * either the old or the new file set, never a torn cell. */
   def append(newRows: DataFrame, dir: String): Unit = {
     val spark = newRows.sparkSession
+    // heal BEFORE the mode("append") write: appending into the purge
+    // crash window (cells missing) would create a fresh cells dir of
+    // only the new rows, and the now-present dir would stop the heal
+    // from ever restoring the staged survivors
+    healInterruptedPurge(
+      new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration), dir)
     val centroids = readCentroids(spark, dir)
     val g = readGen(spark, dir) + 1L
     newRows.drop(SeqCol).withColumn(SeqCol, lit(g))
@@ -149,9 +156,13 @@ object AnnIndex {
     * (spec-pinned probe parity). */
   def compact(spark: SparkSession, dir: String,
               minFileBytes: Long = 8L * 1024 * 1024,
-              targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) =
+              targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    healInterruptedPurge(
+      new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration), dir)
     graft.sources.Writers.compactSmallFiles(
       spark, s"$dir/cells", minFileBytes, targetFileBytes)
+  }
 
   /** Tombstone DELETION (#232) — the right-to-be-forgotten half of the
     * index lifecycle (q70 audits the relational purge; this is the
@@ -187,7 +198,10 @@ object AnnIndex {
     * delete the cells table at job start, so a crash or executor loss
     * mid-rewrite would destroy the index (tombstones alone cannot
     * restore it); with the staged swap the previous cells survive at
-    * `.cells.previous` until the new table is in place. Cell partition
+    * `.cells.previous` until the new table is in place (and a crash
+    * BETWEEN the two renames — cells absent for an instant — is
+    * auto-completed by [[healInterruptedPurge]] on every read and
+    * maintenance path, never a manual restore). Cell partition
     * values are untouched so partition pruning and the calibrated meta
     * survive, probes before/after are bit-identical (spec-pinned), and
     * tombstones are cleared only AFTER the swap commits (a crash
@@ -207,6 +221,7 @@ object AnnIndex {
     // the new cells table; the next purge applies them.
     val tombFiles = tombstoneFiles(fs, tomb)
     if (tombFiles.isEmpty) return 0L
+    healInterruptedPurge(fs, dir)
     val cells = new org.apache.hadoop.fs.Path(s"$dir/cells")
     val tmp = new org.apache.hadoop.fs.Path(dir, ".cells.purge-inprogress")
     val prev = new org.apache.hadoop.fs.Path(dir, ".cells.previous")
@@ -234,6 +249,36 @@ object AnnIndex {
     nAll - nLive
   }
 
+  /** Complete or roll back an INTERRUPTED [[purge]] swap. Between
+    * rename(cells→prev) and rename(tmp→cells) there is a crash window
+    * in which `$dir/cells` does not exist: the data is safe (the
+    * staged survivors were fully written before any rename, the old
+    * table sits at `.cells.previous`), but every probe/census read
+    * fails path-not-found — and the next purge reads cells first, so
+    * nothing self-heals. This runs at purge start and on the read
+    * path: roll FORWARD when the staged table is complete (parquet
+    * `_SUCCESS` present — it always is in this window, the write
+    * finished before the first rename), else back to the previous
+    * cells. Either outcome is consistent: tombstones are cleared only
+    * AFTER a committed swap, so the snapshot's masks still cover the
+    * rolled-either-way table (re-masking already-purged ids is an
+    * anti-join no-op). */
+  private def healInterruptedPurge(fs: org.apache.hadoop.fs.FileSystem,
+                                   dir: String): Unit = {
+    val cells = new org.apache.hadoop.fs.Path(s"$dir/cells")
+    if (fs.exists(cells)) return
+    val tmp = new org.apache.hadoop.fs.Path(dir, ".cells.purge-inprogress")
+    val prev = new org.apache.hadoop.fs.Path(dir, ".cells.previous")
+    if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")) &&
+        fs.rename(tmp, cells)) {
+      fs.delete(prev, true)
+    } else if (fs.exists(prev)) {
+      if (!fs.rename(prev, cells))
+        throw new java.io.IOException(
+          s"purge recovery: rename $prev -> $cells failed")
+    }
+  }
+
   private def clearTombstones(spark: SparkSession, dir: String): Unit = {
     val tomb = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
     val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -259,9 +304,10 @@ object AnnIndex {
     * corpus), so AQE broadcasts it; when no delete has ever run the
     * read is the bare parquet scan. */
   private def liveCells(spark: SparkSession, dir: String): DataFrame = {
-    val cells = spark.read.parquet(s"$dir/cells")
     val tomb = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
     val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healInterruptedPurge(fs, dir)
+    val cells = spark.read.parquet(s"$dir/cells")
     val files =
       if (fs.exists(tomb)) tombstoneFiles(fs, tomb)
       else Array.empty[org.apache.hadoop.fs.Path]
