@@ -2237,17 +2237,33 @@ object TrainingDataQueries {
     * ranks. The contiguous seq comes from the distributed banded
     * prefix sum ([[graft.etl.GlobalOrder.withBandedGlobalSeq]]:
     * r is domain-bounded by the max cluster size, the hash key is
-    * the parallel axis — never a global row_number window). Fully
-    * oracled (recursive-CTE clusters + the same hash in DuckDB). */
+    * the parallel axis — never a global row_number window). The
+    * within-cluster rank itself is the OTHER skew hazard: t46 exists
+    * for the soft-dedup regime where duplicates are deliberately
+    * KEPT, so a web-scale boilerplate cluster can hold 10⁸ members —
+    * a `row_number OVER (PARTITION BY root)` window would sort that
+    * cluster in ONE task. r therefore comes from
+    * [[graft.etl.GlobalOrder.withGroupSeq]] (per-root two-pass prefix
+    * sum over doc_id-bucketed slices, offsets shuffle-joined — never
+    * broadcast: one offset row per cluster is corpus-scale), pinned
+    * by an adversarial mega-cluster spec. Fully oracled
+    * (recursive-CTE clusters + the same hash in DuckDB). */
   def t46DecorrelatedOrder: Q = (spark, dir) => {
-    import graft.etl.GlobalOrder
     val roots = Tables.documents(spark, dir).select("doc_id")
       .join(LlmQueries.clusters(spark, dir).withColumnRenamed("id", "doc_id"),
         Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("root"))
-    val wc = Window.partitionBy("root").orderBy("doc_id")
-    val ranked = roots
-      .withColumn("r", (row_number().over(wc) - 1).cast(LongType))
+    decorrelatedOrder(roots)
+  }
+
+  /** The t46 kernel over a prepared (doc_id, root) frame — factored
+    * so the adversarial mega-cluster spec can drive it with a planted
+    * 20%-of-corpus cluster. */
+  private[graft] def decorrelatedOrder(roots: DataFrame): DataFrame = {
+    import graft.etl.GlobalOrder
+    val ranked = GlobalOrder.withGroupSeq(roots, group = "root",
+        fine = "doc_id", seqCol = "_t46_r1", broadcastOffsets = false)
+      .withColumn("r", col("_t46_r1") - 1L).drop("_t46_r1")
       .withColumn("hk",
         conv(substring(md5(col("doc_id").cast(StringType)
           .cast(BinaryType)), 1, 15), 16, 10).cast(LongType))

@@ -122,10 +122,20 @@ object GlobalOrder {
     * bucket) offsets from a window that sees ≤ `buckets` rows per
     * group — full parallelism inside even a group holding 90% of the
     * corpus. `fine` must be numeric, non-null, unique (the tie-break
-    * and bucketing axis, as in withBandedGlobalSeq). */
+    * and bucketing axis, as in withBandedGlobalSeq).
+    *
+    * `broadcastOffsets`: the offsets frame holds one row per (group,
+    * bucket) pair PRESENT — ≤ |domain|·buckets for a bounded group
+    * domain (languages: broadcast, the default), but ≥ |groups| rows
+    * when the group key is high-cardinality (dedup roots: one row per
+    * cluster, corpus-scale — a broadcast would be a driver-heap
+    * ceiling). Pass false there: the join runs as a plain shuffle
+    * join co-partitioned on (group, bucket), the same exchange the
+    * row_number window needs anyway. */
   def withGroupSeq(df: DataFrame, group: String, fine: String,
                    seqCol: String = "gseq",
-                   buckets: Int = 0): DataFrame = {
+                   buckets: Int = 0,
+                   broadcastOffsets: Boolean = true): DataFrame = {
     val nb =
       if (buckets > 0) buckets
       else df.sparkSession.sessionState.conf.numShufflePartitions * 8
@@ -144,7 +154,8 @@ object GlobalOrder {
       coalesce(sum("_gs_c").over(wB), lit(0L)).as("_gs_boff"))
     val wFine = Window.partitionBy(col(group), col("_gs_b"))
       .orderBy(col(fine))
-    withB.join(broadcast(bucketOff), Seq(group, "_gs_b"))
+    val off = if (broadcastOffsets) broadcast(bucketOff) else bucketOff
+    withB.join(off, Seq(group, "_gs_b"))
       .withColumn(seqCol,
         col("_gs_boff") + row_number().over(wFine).cast(LongType))
       .drop("_gs_b", "_gs_boff")

@@ -380,6 +380,19 @@ class PlanSpec extends AnyFunSuite {
             // high-card keys and small aggregate frames both pass
             if (nDist <= 8 && nRows >= 64 * math.max(1L, nDist))
               offenders += s"$name: rank window over $nDist-value key, $nRows input rows"
+            else if (nRows >= 2048) {
+              // per-key MASS, not just cardinality (the t46 class): a
+              // high-cardinality key can still funnel a corpus-share
+              // group (one mega dedup cluster) through one sort task —
+              // flag any rank window where a single key value holds
+              // ≥ 1/8 of a large input
+              val mx = child.groupBy(w.partitionSpec.map(Bridge.column): _*)
+                .count()
+                .agg(org.apache.spark.sql.functions.max("count"))
+                .head().getLong(0)
+              if (mx >= 256 && mx * 8 >= nRows)
+                offenders += s"$name: rank window where one key holds $mx of $nRows rows"
+            }
           }
         case _ => ()
       }

@@ -597,6 +597,42 @@ class TrainingDataSpec extends AnyFunSuite {
       "band-0 order is not (hash, doc_id)")
   }
 
+  test("t46 kernel: planted mega-cluster (20% of docs in one root) ranks without a per-root sort task") {
+    import org.apache.spark.sql.catalyst.expressions.{RowNumber, WindowExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // the soft-dedup regime t46 exists for KEEPS duplicates, so a
+    // web-scale boilerplate cluster is the expected input, not an
+    // edge case (EtlSpec's 10⁴-basket precedent): one root holds 20%
+    // of a 10⁴-doc corpus
+    val n = 10000L
+    val roots = spark.range(1, n + 1)
+      .select(col("id").as("doc_id"),
+        when(col("id") <= 2000, lit(1L)).otherwise(col("id")).as("root"))
+    val df = TrainingDataQueries.decorrelatedOrder(roots)
+    // structural: every row_number window must carry the bucket axis
+    // in its partition key — a window partitioned by `root` alone
+    // would sort the whole mega cluster in ONE task
+    df.queryExecution.optimizedPlan.foreach {
+      case w: LWindow =>
+        val isRank = w.windowExpressions.exists(_.collectFirst {
+          case WindowExpression(_: RowNumber, _) => true }.nonEmpty)
+        if (isRank)
+          assert(w.partitionSpec.length >= 2,
+            s"rank window partitioned by a single (skewable) key:\n$w")
+      case _ => ()
+    }
+    val got = df.as[(Long, Long, Long, Long)].collect()  // (seq, doc_id, root, r)
+    assert(got.length == n && got.map(_._1).sorted.toSeq == (1L to n))
+    // mega cluster: ranks exactly 0..1999, assigned in doc_id order
+    val mega = got.filter(_._3 == 1L).sortBy(_._4)
+    assert(mega.length == 2000 &&
+      mega.map(_._4).toSeq == (0L until 2000L))
+    assert(mega.map(_._2).toSeq == mega.map(_._2).sorted.toSeq,
+      "within-cluster ranks must follow doc_id order")
+    // singletons are all rank 0
+    got.filter(_._3 != 1L).foreach(r => assert(r._4 == 0L, s"doc ${r._2}"))
+  }
+
   test("t47 target-mix resample: per-language replica mass hits the alpha target exactly") {
     val got = TrainingDataQueries.t47TargetMixResample(spark, TestSpark.Sf)
       .as[(String, Long, Long, Long)].collect()  // (lang, doc_id, rank, reps)
