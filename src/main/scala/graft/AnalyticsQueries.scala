@@ -3450,8 +3450,11 @@ object AnalyticsQueries {
     // on the domain: the artifact producer (SketchStore.saveHistogram)
     // drops null histogram values, and a NULL would also order first
     // in Spark's CDF walk but last in DuckDB's — pin the domain here
-    // instead of leaving both divergences latent
-    val c = ev.filter(col("cents").isNotNull)
+    // instead of leaving both divergences latent. NULL timestamps are
+    // excluded for the same reason: a null is_ref would count the row
+    // into o_cur here (otherwise-branch) but into NEITHER count in the
+    // oracle's FILTER, and into neither day window of the artifact path
+    val c = ev.filter(col("cents").isNotNull && col("is_ref").isNotNull)
       .groupBy("event_type", "cents")
       .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("o_ref"),
         sum(when(col("is_ref"), 0L).otherwise(1L)).as("o_cur"))
@@ -3488,26 +3491,53 @@ object AnalyticsQueries {
       .select("event_type", "n_ref", "n_cur", "d_num", "ks_ppm")
   }
 
+  /** The day-partitioned cents-histogram artifact shared by the drift
+    * panel's artifact consumers (q112 KS, q114 AUC): built ONCE behind
+    * [[graft.etl.Stages.stage]]'s `_SUCCESS` commit protocol (d23's
+    * span-frame regime) — a second panel read serves the committed
+    * kilobyte parquet without re-aggregating the event log; with
+    * [[StageRoots.durableBase]] set the stage name carries the EVENTS
+    * content digest, so a nightly over unchanged events reads last
+    * night's artifact and any event change rebuilds by construction.
+    * Written `partitionBy(day)` so day-window filters prune files. */
+  private[graft] def ksHistArtifact(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SketchStore
+    def build: DataFrame = SketchStore.histogramFrame(
+      Tables.events(spark, dir)
+        .select(to_date(col("ts")).as("day"), col("event_type"),
+          expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+        .filter(col("day").isNotNull),
+      Seq("day", "event_type"), col("cents"), 0)
+    StageRoots.durableRootFor(dir) match {
+      case Some(root) =>
+        val dig = evDigestCache.computeIfAbsent(root, _ =>
+          etl.Stages.contentDigest(Tables.events(spark, dir)
+            .select("event_id", "ts", "event_type", "value")))
+        etl.Stages.stageDurable(spark, root, "ks_hists", dig,
+          partitionCols = Seq("day"))(build)
+      case None =>
+        etl.Stages.stage(spark, StageRoots.rootFor(dir), "ks_hists",
+          partitionCols = Seq("day"))(build)
+    }
+  }
+  private val evDigestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** #291 (q112): KS drift between day ranges from PERSISTED
     * histograms — q111's audit served from the day-partitioned value
     * histogram artifact instead of a raw-event rescan (the q75/#191
     * no-rescan pattern, now for the nonparametric statistic). The
-    * artifact stores the UNBUCKETED cents histogram, which is lossless
+    * artifact ([[ksHistArtifact]], staged behind `_SUCCESS` gating)
+    * stores the UNBUCKETED cents histogram, which is lossless
     * for a CDF statistic — KS from merged day histograms is
     * BIT-IDENTICAL to q111 over the raw events (the oracle pins q112
     * against q111's own SQL). Day windows prune on the artifact's day
     * partitions; the kernel is [[ksFromCounts]]. At 100 TB: tonight's
     * drift panel reads kilobyte histograms, never the event log. */
   def q112KsFromArtifacts: Q = (spark, dir) => {
-    import graft.sources.SketchStore
-    val art = StageRoots.rootFor(dir) + "/ks_hists"
-    val ev = Tables.events(spark, dir)
-      .select(to_date(col("ts")).as("day"), col("event_type"),
-        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
-    SketchStore.saveHistogram(ev, Seq("day", "event_type"), col("cents"), 0,
-      art, partitionCols = Seq("day"))
+    val art = ksHistArtifact(spark, dir)
     def window(pred: org.apache.spark.sql.Column, out: String): DataFrame =
-      spark.read.parquet(art).filter(pred)
+      art.filter(pred)
         .groupBy(col("event_type"), col("v").as("cents"))
         .agg(sum("cnt").as(out))
     val c = window(col("day") <= "2024-01-15", "o_ref")
@@ -3522,7 +3552,7 @@ object AnalyticsQueries {
       |  SELECT event_type,
       |         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 15 AS is_ref,
       |         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
-      |  FROM events WHERE value IS NOT NULL),
+      |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
       |c AS (
       |  SELECT event_type, cents,
       |         CAST(COUNT(*) FILTER (is_ref) AS BIGINT) AS o_ref,
@@ -3568,10 +3598,20 @@ object AnalyticsQueries {
         (datediff(col("ts").cast(DateType), lit("2024-01-01").cast(DateType)) < 15)
           .as("is_ref"),
         expr("cast(round(value * 100, 0) as bigint)").as("cents"))
-    val c = ev.filter(col("cents").isNotNull)
+    // same NULL-domain pinning as q111: null values and null
+    // timestamps leave the histogram on every engine and every path
+    val c = ev.filter(col("cents").isNotNull && col("is_ref").isNotNull)
       .groupBy("event_type", "cents")
       .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("o_ref"),
         sum(when(col("is_ref"), 0L).otherwise(1L)).as("o_cur"))
+    aucFromCounts(c).orderBy("event_type")
+  }
+
+  /** The q113 Mann–Whitney kernel over a prepared (event_type, cents,
+    * o_ref, o_cur) count frame — [[ksFromCounts]]' effect-size sibling,
+    * shared by the raw-scan query (q113) and the persisted-histogram
+    * consumer (q114) so both derive the SAME exact integer U. */
+  private[graft] def aucFromCounts(c: DataFrame): DataFrame = {
     val wLt = Window.partitionBy("event_type").orderBy("cents")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.partitionBy("event_type")
@@ -3588,7 +3628,28 @@ object AnalyticsQueries {
           .otherwise(expr("(cast(u2 as decimal(38,0)) * 1000000) div " +
             "(2 * cast(n_ref as decimal(38,0)) * n_cur)").cast(LongType)))
       .select("event_type", "n_ref", "n_cur", "u2", "auc_ppm")
-      .orderBy("event_type")
+  }
+
+  /** #296 (q114): AUC drift between day ranges from PERSISTED
+    * histograms — the q112 composition applied to the Mann–Whitney U
+    * statistic: the same staged day-partitioned cents histogram
+    * ([[ksHistArtifact]] — ONE artifact serves the whole drift panel),
+    * the same day-window merge, [[aucFromCounts]] instead of
+    * [[ksFromCounts]]. The unbucketed histogram is lossless for a rank
+    * statistic, so the artifact-served AUC is BIT-IDENTICAL to q113
+    * over the raw events — the oracle pins q114 against q113's own
+    * SQL. */
+  def q114AucFromArtifacts: Q = (spark, dir) => {
+    val art = ksHistArtifact(spark, dir)
+    def window(pred: org.apache.spark.sql.Column, out: String): DataFrame =
+      art.filter(pred)
+        .groupBy(col("event_type"), col("v").as("cents"))
+        .agg(sum("cnt").as(out))
+    val c = window(col("day") <= "2024-01-15", "o_ref")
+      .join(window(col("day") >= "2024-01-16", "o_cur"),
+        Seq("event_type", "cents"), "full")
+      .na.fill(0L, Seq("o_ref", "o_cur"))
+    aucFromCounts(c).orderBy("event_type")
   }
 
   val q113Sql: String =
@@ -3596,7 +3657,7 @@ object AnalyticsQueries {
       |  SELECT event_type,
       |         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 15 AS is_ref,
       |         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
-      |  FROM events WHERE value IS NOT NULL),
+      |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
       |c AS (
       |  SELECT event_type, cents,
       |         CAST(COUNT(*) FILTER (is_ref) AS BIGINT) AS o_ref,
@@ -3624,6 +3685,7 @@ object AnalyticsQueries {
       |FROM d ORDER BY event_type""".stripMargin
 
   val queries: Seq[(String, Q)] = Seq(
+    "q114_auc_from_artifacts" -> q114AucFromArtifacts,
     "q113_auc_drift" -> q113AucDrift,
     "q112_ks_from_artifacts" -> q112KsFromArtifacts,
     "q111_ks_drift" -> q111KsDrift,
@@ -3726,6 +3788,9 @@ object AnalyticsQueries {
     // the oracle IS q111's SQL over the raw events (bit-identity is
     // the artifact path's whole claim, the q75/q58 precedent)
     "q112_ks_from_artifacts" -> q111Sql,
+    // q114 is the same composition for the U statistic: the oracle is
+    // q113's SQL over the raw events (bit-identity, the q112 convention)
+    "q114_auc_from_artifacts" -> q113Sql,
     "q110_wilson_rank" -> q110Sql,
     "q50_window_stats" -> q50Sql,
     "q51_interval_sweep" -> q51Sql,

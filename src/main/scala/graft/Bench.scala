@@ -72,7 +72,8 @@ object Bench {
           else Seq[(String, () => org.apache.spark.sql.DataFrame)](
             "stage:neardup_pairs" -> (() => LlmQueries.pairGraph(spark, sfDir)),
             "stage:dedup_clusters" -> (() => LlmQueries.clusters(spark, sfDir)),
-            "stage:dup_spans" -> (() => LlmQueries.dupSpanFrame(spark, sfDir))
+            "stage:dup_spans" -> (() => LlmQueries.dupSpanFrame(spark, sfDir)),
+            "stage:ks_hists" -> (() => AnalyticsQueries.ksHistArtifact(spark, sfDir))
           ).map { case (name, fr) =>
             val t0 = System.nanoTime()
             val ok =

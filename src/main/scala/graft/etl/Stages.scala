@@ -42,7 +42,12 @@ object Stages {
     * this and gets cleaned by the next winner. */
   private val SweepMinAgeMs: Long = 24L * 60 * 60 * 1000
 
-  def stage(spark: SparkSession, root: String, name: String)
+  /** `partitionCols`: written with `partitionBy` so consumers prune on
+    * the partition axis (the day-partitioned drift histograms) —
+    * commit protocol unchanged (partitioned writes still emit one
+    * root-level `_SUCCESS`). */
+  def stage(spark: SparkSession, root: String, name: String,
+            partitionCols: Seq[String] = Nil)
            (build: => DataFrame): DataFrame = {
     val dir = new Path(root, name)
     val success = new Path(dir, "_SUCCESS")
@@ -57,7 +62,9 @@ object Stages {
       if (fs.exists(dir) && !fs.exists(success)) fs.delete(dir, true)
       val tmp = new Path(root, s".$name.inprogress-${java.util.UUID.randomUUID}")
       try {
-        build.write.parquet(tmp.toString)
+        val w = build.write
+        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+          .parquet(tmp.toString)
         // rename only while the target is absent: Hadoop rename ONTO an
         // existing directory does not fail — it nests tmp inside it (and
         // reports success), which would silently duplicate the stage
@@ -146,10 +153,11 @@ object Stages {
     * gate the in-progress sweep uses — old enough that no live run
     * still holds a reader over them. */
   def stageDurable(spark: SparkSession, root: String, name: String,
-                   digest: String)(build: => DataFrame): DataFrame = {
+                   digest: String, partitionCols: Seq[String] = Nil)
+                  (build: => DataFrame): DataFrame = {
     require(!digest.isEmpty && digest.matches("[A-Za-z0-9_-]+"),
       s"digest must be a path-safe token: '$digest'")
-    val out = stage(spark, root, s"$name-$digest")(build)
+    val out = stage(spark, root, s"$name-$digest", partitionCols)(build)
     try {
       val rootPath = new Path(root)
       val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -64,15 +64,37 @@ object SketchStore {
   // size. For a genuinely unbounded continuous domain, pre-bucket the
   // value (q55's quantile bins) or fall back to approx_percentile.
 
-  /** Build and persist one batch's histogram: `groupCols` + scaled
-    * long `v` (value·10^valPow, nulls dropped — quantile semantics)
-    * + `cnt`. */
+  /** One batch's histogram frame: `groupCols` + scaled long `v`
+    * (value·10^valPow, nulls dropped — quantile semantics) + `cnt`.
+    * Exposed so producers can route it through a staged writer
+    * ([[graft.etl.Stages.stage]], the q112 regime) instead of
+    * [[saveHistogram]]'s overwrite.
+    *
+    * When valPow = 0 and the value column is already integral, the
+    * column passes through UNTOUCHED: `Exact.e(c, 0)` = floor(c + 0.5)
+    * would promote a BIGINT to DOUBLE — lossy above 2^53 and a quiet
+    * float on an integer-exact artifact path. */
+  def histogramFrame(df: DataFrame, groupCols: Seq[String], value: Column,
+                     valPow: Int): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val isIntegral = df.select(value).schema.head.dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    val v =
+      if (valPow == 0 && isIntegral) value.cast(LongType)
+      else Exact.e(value, valPow)
+    df.filter(value.isNotNull)
+      .groupBy(groupCols.map(col) :+ v.as("v"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Build and persist one batch's histogram ([[histogramFrame]]'s
+    * columns). */
   def saveHistogram(df: DataFrame, groupCols: Seq[String], value: Column,
                     valPow: Int, dir: String,
                     partitionCols: Seq[String] = Nil): Unit = {
-    val w = df.filter(value.isNotNull)
-      .groupBy(groupCols.map(col) :+ Exact.e(value, valPow).as("v"): _*)
-      .agg(count(lit(1)).as("cnt"))
+    val w = histogramFrame(df, groupCols, value, valPow)
       .write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(dir)

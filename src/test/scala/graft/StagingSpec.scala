@@ -48,6 +48,30 @@ class StagingSpec extends AnyFunSuite {
       .collect().toSeq == rows.toSeq)
   }
 
+  test("q112/q114 drift-panel histogram is staged: second read serves the committed artifact without rewrite") {
+    val ks1 = AnalyticsQueries.q112KsFromArtifacts(spark, TestSpark.Sf).collect()
+    val art = new File(s"${StageRoots.rootFor(TestSpark.Sf)}/ks_hists")
+    assert(new File(art, "_SUCCESS").exists, "histogram artifact not staged")
+    def listing(f: File): Set[(String, Long)] = {
+      def walk(x: File): Seq[File] =
+        if (x.isDirectory) x.listFiles.toSeq.flatMap(walk) else Seq(x)
+      walk(f).map(x => (x.getPath, x.lastModified)).toSet
+    }
+    val snap = listing(art)
+    // a second panel read — AND the sibling AUC consumer sharing the
+    // artifact — must serve the committed parquet untouched: same
+    // files, same mtimes, no re-aggregation of the event log
+    val ks2 = AnalyticsQueries.q112KsFromArtifacts(spark, TestSpark.Sf)
+    assert(ks2.collect().toSeq == ks1.toSeq)
+    assert(ks2.inputFiles.nonEmpty && ks2.inputFiles.forall(_.contains("ks_hists")),
+      s"q112 reads beyond the staged artifact: ${ks2.inputFiles.mkString(",")}")
+    val auc = AnalyticsQueries.q114AucFromArtifacts(spark, TestSpark.Sf)
+    auc.collect()
+    assert(auc.inputFiles.nonEmpty && auc.inputFiles.forall(_.contains("ks_hists")),
+      s"q114 reads beyond the staged artifact: ${auc.inputFiles.mkString(",")}")
+    assert(listing(art) == snap, "staged histogram artifact was rewritten")
+  }
+
   test("reset() isolates runs — a fresh root rebuilds from scratch") {
     StageRoots.reset()
     val root = StageRoots.rootFor(TestSpark.Sf)
