@@ -1184,6 +1184,24 @@ object EventStream {
             s"$RewindTolerance) — a fresh checkpoint is running against " +
             "old state; reset the state dir together with the checkpoint " +
             "(or use a fresh state dir)")
+        // the SYMMETRIC mismatch: delivered id far AHEAD of the
+        // snapshot means the state dir was restored from an older
+        // backup under a current checkpoint — adopting it silently
+        // loses every batch in the gap (emissions undercount with no
+        // signal), so the guard mirrors the rewind side: small gaps
+        // log loudly (a batch may legitimately commit no snapshot),
+        // large gaps fail with the restore-both remedy
+        if (batchId - v > RewindTolerance) throw new IllegalStateException(
+          s"monitor state at $dir was committed through batch $v but " +
+            s"this query delivered batch $batchId (gap > " +
+            s"$RewindTolerance) — the state dir was restored from an " +
+            "older backup than the checkpoint; restore state dir and " +
+            "checkpoint together (or reset both)")
+        if (batchId - v > 1) System.err.println(
+          s"[graft] monitor state at $dir committed through batch $v, " +
+            s"query delivered batch $batchId: the ${batchId - v - 1} " +
+            "batch(es) in the gap are not in the recovered state — " +
+            "their contributions are lost unless redelivered")
         if (batchId < v) System.err.println(
           s"[graft] monitor state at $dir committed through batch $v, " +
             s"query delivered batch $batchId: treating as a checkpoint " +

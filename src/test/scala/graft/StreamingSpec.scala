@@ -1563,6 +1563,14 @@ class StreamingSpec extends AnyFunSuite {
       assert(e.getMessage.contains("fresh checkpoint") ||
         e.getMessage.contains("reset the state dir"),
         s"$name: wrong guard message: ${e.getMessage}")
+      // ...and the SYMMETRIC mismatch — a state dir restored from an
+      // OLDER backup than the checkpoint (delivered id far AHEAD of
+      // the snapshot) must fail too, not silently adopt stale counts
+      // and lose every batch in the gap
+      val fSink = make(Some(dir)) { (_, _) => () }
+      val e2 = intercept[IllegalStateException] { fSink(batches(0), 400L) }
+      assert(e2.getMessage.contains("older backup"),
+        s"$name: wrong ahead-gap guard message: ${e2.getMessage}")
     }
 
     // 1. alpha-mix (lang histogram)
@@ -2636,5 +2644,44 @@ class StreamingSpec extends AnyFunSuite {
     sink(batches.last.toDF("day", "event_type", "v"),
       (batches.size - 1).toLong)
     assert(reports.last._2 == want, "replay changed the report")
+  }
+
+  test("KS drift monitor: kill/restart parity (recovery inherited from the durable artifact maintainer)") {
+    import spark.implicits._
+    import graft.streaming.EventStream
+    // #292 composes the durable histogram-artifact maintainer, so
+    // recovery should be INHERITED — prove it the way the five
+    // seed-resumed monitors do: (U) uninterrupted vs (A) killed after
+    // batch 1, then (B) a FRESH closure on A's artifact dir that sees
+    // the redelivered batch 1 (must skip-fold and re-emit U's batch-1
+    // report — no reset, no double count) then batch 2 (must equal
+    // U's final report).
+    val ev = Tables.events(spark, TestSpark.Sf)
+      .selectExpr("cast(ts as date) as day", "event_type",
+        "cast(round(value * 100, 0) as bigint) as v")
+      .as[(java.sql.Date, String, Long)].collect().toSeq
+    val base = java.nio.file.Files.createTempDirectory("graft_ksmr").toString
+    val batches = ev.grouped(ev.size / 3 + 1).toSeq
+      .map(_.toDF("day", "event_type", "v"))
+    def frames(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().toSeq.map(_.toString)
+
+    val u = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val uSink = EventStream.ksDriftForeachBatch(s"$base/u") { (r, _) => u += frames(r) }
+    batches.zipWithIndex.foreach { case (b, i) => uSink(b, i.toLong) }
+
+    val a = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val aSink = EventStream.ksDriftForeachBatch(s"$base/a") { (r, _) => a += frames(r) }
+    aSink(batches(0), 0L); aSink(batches(1), 1L)
+    assert(a == u.take(2), "durable run diverged pre-kill")
+
+    val b = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val bSink = EventStream.ksDriftForeachBatch(s"$base/a") { (r, _) => b += frames(r) }
+    bSink(batches(1), 1L) // post-crash redelivery
+    assert(b.last == u(1),
+      "post-restart redelivery != uninterrupted batch-1 report " +
+        "(artifact reset or double count)")
+    bSink(batches(2), 2L)
+    assert(b.last == u(2), "post-restart final report != uninterrupted final")
   }
 }
