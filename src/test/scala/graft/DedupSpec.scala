@@ -669,4 +669,37 @@ class DedupSpec extends AnyFunSuite {
       else BigInt(pBoth) * 1000000 /
         (BigInt(pNear) + BigInt(pExact) - BigInt(pBoth))))
   }
+
+  test("d07 candidate volume bound at its own operating point (sf0.01, sf0.1)") {
+    import graft.sim.Ann
+    import graft.functions.VectorFunctions.{dot, toDouble}
+    // The documented low-τ hazard made a SUITE gate, not a bench-ledger
+    // observation: at d07's exact derived parameters (τ=0.44, recall
+    // 0.95, occupancy 32), per-doc candidates must stay within the
+    // design bound nTables · n/2^nBits · slack — a parameter
+    // regression (or a quadratic path) trips here first.
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val e = Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("id"), toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+        .filter(col("nrm") > 0)
+      val n = e.count()
+      val nBits = Ann.bitsForOccupancy(n)
+      // d07's recall target is 0.95 (LlmQueries.d07EmbedNearDupLsh →
+      // NearDup.pairs default), NOT the 0.99 the AnnSpec rate test uses
+      val nTables = Ann.tablesForRecall(0.44, nBits, 0.95)
+      val cands = Ann.lshCandidates(e, nBits, nTables, dim = 64,
+        seed = 0xd07L).count()
+      val perDoc = cands.toDouble / n.toDouble
+      val bound = nTables.toDouble * (n.toDouble / (1L << nBits)) * 1.5
+      info(s"$dir: n=$n bits=$nBits tables=$nTables perDoc=$perDoc bound=$bound")
+      // measured r11: sf0.01 perDoc = 158.7 (bound 750, 16 tables),
+      // sf0.1 perDoc = 481.2 (bound 1921.9, 41 tables) — cross-table
+      // dedup keeps the measurement ~4× under the design bound; the
+      // 1.5× slack absorbs bucket skew on clustered embeddings, while
+      // a quadratic path would overshoot by n/2^nBits/occupancy ≫ slack
+      assert(perDoc <= bound,
+        s"$dir: d07 candidates/doc $perDoc exceeds design bound $bound")
+    }
+  }
 }
