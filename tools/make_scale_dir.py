@@ -59,6 +59,19 @@ def main() -> int:
             raise SystemExit(f"make_scale_dir: fractional factor for '{t}' "
                              f"would dangle foreign keys; only "
                              f"{sorted(FK_ISOLATED)} may scale fractionally")
+    # FK_ISOLATED members are isolated from the TPC-H graph, not from
+    # each other: embeddings.vec_id references documents.doc_id (s10/
+    # s21 join them), so an embeddings factor above the documents
+    # factor mints vec_ids whose documents don't exist — inner joins
+    # silently drop them and the synthesized point under-measures,
+    # the exact artifact this tool exists to avoid. Fail fast.
+    f_doc = float(overrides.get("documents", k))
+    f_emb = float(overrides.get("embeddings", k))
+    if f_emb > f_doc:
+        raise SystemExit(
+            f"make_scale_dir: factor(embeddings)={f_emb} exceeds "
+            f"factor(documents)={f_doc} — embeddings.vec_id references "
+            "documents.doc_id, so the extra vectors would dangle")
     import os
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
@@ -125,6 +138,19 @@ def main() -> int:
     for t in ["region", "nation", "customer", "supplier", "events"]:
         shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
         print(f"[make_scale_dir] {t}: copied through")
+
+    # belt-and-suspenders for the factor guard above: with BOTH factors
+    # fractional the key-ordered prefixes could still disagree at the
+    # boundary (the 94th-percentile vec_id need not sit under the
+    # 94th-percentile doc_id) — verify the closed FK set post-write
+    dangling = con.execute(
+        f"SELECT count(*) FROM '{dst}/embeddings.parquet' e "
+        f"WHERE NOT EXISTS (SELECT 1 FROM '{dst}/documents.parquet' d "
+        f"WHERE d.doc_id = e.vec_id)").fetchone()[0]
+    if dangling:
+        raise SystemExit(f"make_scale_dir: {dangling} embeddings rows "
+                         "reference documents that were not replicated "
+                         "(fractional-prefix mismatch)")
     return 0
 
 
