@@ -3520,8 +3520,15 @@ object AnalyticsQueries {
           partitionCols = Seq("day"))(build)
     }
   }
+  /** Events content digest per durable root, computed once per JVM —
+    * the [[LlmQueries]] corpus-digest convention: a long-lived service
+    * whose events table is re-ingested in place picks the new digest
+    * up on restart, or via [[clearEvDigestCache]] (the same remedy as
+    * LlmQueries.clearDigestCache — without it the stale digest would
+    * address last ingest's artifact forever). */
   private val evDigestCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def clearEvDigestCache(): Unit = evDigestCache.clear()
 
   /** #291 (q112): KS drift between day ranges from PERSISTED
     * histograms — q111's audit served from the day-partitioned value
@@ -3534,17 +3541,25 @@ object AnalyticsQueries {
     * against q111's own SQL). Day windows prune on the artifact's day
     * partitions; the kernel is [[ksFromCounts]]. At 100 TB: tonight's
     * drift panel reads kilobyte histograms, never the event log. */
-  def q112KsFromArtifacts: Q = (spark, dir) => {
-    val art = ksHistArtifact(spark, dir)
+  def q112KsFromArtifacts: Q = (spark, dir) =>
+    ksFromCounts(driftWindowCounts(ksHistArtifact(spark, dir)))
+      .orderBy("event_type")
+
+  /** The drift panel's day-window merge over the staged histogram —
+    * ONE definition of the reference/current split and the zero-fill,
+    * shared by q112 (KS) and q114 (AUC) so the two consumers can never
+    * silently diverge on the artifact-consistency claim their oracles
+    * pin. Output: the (event_type, cents, o_ref, o_cur) count frame
+    * both kernels take. */
+  private def driftWindowCounts(art: DataFrame): DataFrame = {
     def window(pred: org.apache.spark.sql.Column, out: String): DataFrame =
       art.filter(pred)
         .groupBy(col("event_type"), col("v").as("cents"))
         .agg(sum("cnt").as(out))
-    val c = window(col("day") <= "2024-01-15", "o_ref")
+    window(col("day") <= "2024-01-15", "o_ref")
       .join(window(col("day") >= "2024-01-16", "o_cur"),
         Seq("event_type", "cents"), "full")
       .na.fill(0L, Seq("o_ref", "o_cur"))
-    ksFromCounts(c).orderBy("event_type")
   }
 
   val q111Sql: String =
@@ -3639,18 +3654,9 @@ object AnalyticsQueries {
     * statistic, so the artifact-served AUC is BIT-IDENTICAL to q113
     * over the raw events — the oracle pins q114 against q113's own
     * SQL. */
-  def q114AucFromArtifacts: Q = (spark, dir) => {
-    val art = ksHistArtifact(spark, dir)
-    def window(pred: org.apache.spark.sql.Column, out: String): DataFrame =
-      art.filter(pred)
-        .groupBy(col("event_type"), col("v").as("cents"))
-        .agg(sum("cnt").as(out))
-    val c = window(col("day") <= "2024-01-15", "o_ref")
-      .join(window(col("day") >= "2024-01-16", "o_cur"),
-        Seq("event_type", "cents"), "full")
-      .na.fill(0L, Seq("o_ref", "o_cur"))
-    aucFromCounts(c).orderBy("event_type")
-  }
+  def q114AucFromArtifacts: Q = (spark, dir) =>
+    aucFromCounts(driftWindowCounts(ksHistArtifact(spark, dir)))
+      .orderBy("event_type")
 
   val q113Sql: String =
     """WITH ev AS (

@@ -239,7 +239,25 @@ object AnnIndex {
     fs.delete(prev, true)
     if (fs.exists(cells) && !fs.rename(cells, prev))
       throw new java.io.IOException(s"purge: rename $cells -> $prev failed")
-    if (!fs.rename(tmp, cells))
+    // a concurrent reader's healInterruptedPurge can win either rename
+    // of this swap window: un-nest if it restored cells first (rename
+    // onto an existing dir nests, reporting success), and accept the
+    // swap as committed if it rolled OUR staged table forward — a
+    // throw here would skip the tombstone clear after a successful
+    // purge. Clearing tombstones is only safe when the staged
+    // SURVIVORS are live, so the rolled-back case (old cells restored,
+    // tmp still present) must re-stage, not proceed.
+    if (fs.rename(tmp, cells)) {
+      val nested = new org.apache.hadoop.fs.Path(cells, tmp.getName)
+      if (fs.exists(nested)) {
+        // healer restored the OLD cells and we nested inside it: undo
+        // and retry the swap once from the healed state
+        fs.rename(nested, tmp)
+        if (!fs.rename(cells, prev) || !fs.rename(tmp, cells))
+          throw new java.io.IOException(
+            s"purge: swap retry failed (previous cells at $prev)")
+      }
+    } else if (!(fs.exists(cells) && !fs.exists(tmp)))
       throw new java.io.IOException(
         s"purge: rename $tmp -> $cells failed (previous cells at $prev)")
     fs.delete(prev, true)
@@ -269,11 +287,23 @@ object AnnIndex {
     if (fs.exists(cells)) return
     val tmp = new org.apache.hadoop.fs.Path(dir, ".cells.purge-inprogress")
     val prev = new org.apache.hadoop.fs.Path(dir, ".cells.previous")
+    // A LIVE purge can be in this same window, so every rename here
+    // must tolerate losing the race (Hadoop rename ONTO an existing
+    // dir NESTS the source inside it and reports success — the
+    // Stages.scala hazard): after each rename, un-nest if the racer
+    // committed first. A nested `.cells.previous` would otherwise
+    // retain tombstoned bytes on disk invisibly (dot-prefixed dirs are
+    // hidden from Spark reads but not erased — a GDPR violation).
+    def renameUnlessNested(src: org.apache.hadoop.fs.Path): Boolean = {
+      if (!fs.rename(src, cells)) return false
+      val nested = new org.apache.hadoop.fs.Path(cells, src.getName)
+      if (fs.exists(nested)) { fs.rename(nested, src); false } else true
+    }
     if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")) &&
-        fs.rename(tmp, cells)) {
+        renameUnlessNested(tmp)) {
       fs.delete(prev, true)
-    } else if (fs.exists(prev)) {
-      if (!fs.rename(prev, cells))
+    } else if (!fs.exists(cells) && fs.exists(prev)) {
+      if (!renameUnlessNested(prev) && !fs.exists(cells))
         throw new java.io.IOException(
           s"purge recovery: rename $prev -> $cells failed")
     }

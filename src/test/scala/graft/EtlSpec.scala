@@ -143,6 +143,31 @@ class EtlSpec extends AnyFunSuite {
     }
   }
 
+  test("durable drift-histogram wiring: second run reuses the committed artifact") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dur_ks").toString
+    System.setProperty("graft.stages.durableRoot", root)
+    AnalyticsQueries.clearEvDigestCache()
+    try {
+      assert(AnalyticsQueries.q112KsFromArtifacts(spark, TestSpark.Sf).count() > 0)
+      val dsDir = new java.io.File(root).listFiles.filter(_.isDirectory)
+      assert(dsDir.length == 1, s"one dataset key expected: ${dsDir.toSeq}")
+      val stages = dsDir.head.listFiles
+        .filter(f => f.isDirectory && f.getName.startsWith("ks_hists-"))
+      assert(stages.length == 1, s"one digest-named stage expected: ${stages.toSeq}")
+      val marker = new java.io.File(stages.head, "_SUCCESS")
+      assert(marker.exists())
+      val mtime = marker.lastModified()
+      // simulated second run (fresh digest over unchanged events) — and
+      // the SIBLING consumer: both must read the same committed artifact
+      AnalyticsQueries.clearEvDigestCache()
+      assert(AnalyticsQueries.q114AucFromArtifacts(spark, TestSpark.Sf).count() > 0)
+      assert(marker.lastModified() == mtime, "artifact was rebuilt, not reused")
+    } finally {
+      System.clearProperty("graft.stages.durableRoot")
+      AnalyticsQueries.clearEvDigestCache()
+    }
+  }
+
   test("q70 forget audit matches the physical purge it certifies") {
     // the audit's n_kept must equal the row count of the actual purge
     // (the complementary LEFT ANTI join) on every table in the chain

@@ -371,28 +371,32 @@ class PlanSpec extends AnyFunSuite {
           if (rankFamily) {
             val child = TestBridge.ofRows(spark, w.child)
             val nRows = child.count()
-            val nDist =
-              if (w.partitionSpec.isEmpty) 1L
-              else child.select(w.partitionSpec.map(Bridge.column): _*)
-                .distinct().count()
+            // one grouped pass yields BOTH the key cardinality and the
+            // max per-key mass (a distinct().count() plus a separate
+            // max-agg would scan the window child twice more per query)
+            val (nDist, maxPerKey) =
+              if (w.partitionSpec.isEmpty || nRows == 0) (1L, nRows)
+              else {
+                val r = child.groupBy(w.partitionSpec.map(Bridge.column): _*)
+                  .count()
+                  .agg(org.apache.spark.sql.functions.count(
+                      org.apache.spark.sql.functions.lit(1)),
+                    org.apache.spark.sql.functions.max("count"))
+                  .head()
+                (r.getLong(0), r.getLong(1))
+              }
             // thresholds are sf0.001-calibrated: a genuine low-card key
             // (segment=5, flag=3) over a raw table trips rows ≥ 64·dist;
             // high-card keys and small aggregate frames both pass
             if (nDist <= 8 && nRows >= 64 * math.max(1L, nDist))
               offenders += s"$name: rank window over $nDist-value key, $nRows input rows"
-            else if (nRows >= 2048) {
-              // per-key MASS, not just cardinality (the t46 class): a
-              // high-cardinality key can still funnel a corpus-share
-              // group (one mega dedup cluster) through one sort task —
-              // flag any rank window where a single key value holds
-              // ≥ 1/8 of a large input
-              val mx = child.groupBy(w.partitionSpec.map(Bridge.column): _*)
-                .count()
-                .agg(org.apache.spark.sql.functions.max("count"))
-                .head().getLong(0)
-              if (mx >= 256 && mx * 8 >= nRows)
-                offenders += s"$name: rank window where one key holds $mx of $nRows rows"
-            }
+            // per-key MASS, not just cardinality (the t46 class): a
+            // high-cardinality key can still funnel a corpus-share
+            // group (one mega dedup cluster) through one sort task —
+            // flag any rank window where a single key value holds
+            // ≥ 1/8 of a large input
+            else if (nRows >= 2048 && maxPerKey >= 256 && maxPerKey * 8 >= nRows)
+              offenders += s"$name: rank window where one key holds $maxPerKey of $nRows rows"
           }
         case _ => ()
       }

@@ -62,9 +62,13 @@ def main() -> int:
             exps.append(round(math.log(hi / lo) /
                               math.log(sfs[i] / sfs[i - 1]), 3))
         entry["exponents"] = exps
-        entry["flag"] = ("SUPER-LINEAR"
-                        if exps and exps[-1] > threshold and secs[-1] >= floor
-                        else "ok")
+        # a single-point entry (a query newer than the last full run)
+        # must not read as measured-linear "ok" — scalecheck.py itself
+        # refuses to fit fewer than two points
+        entry["flag"] = ("UNMEASURED" if not exps
+                         else "SUPER-LINEAR"
+                         if exps[-1] > threshold and secs[-1] >= floor
+                         else "ok")
 
     with open(path, "w") as f:
         json.dump(ledger, f, indent=1, sort_keys=True)
