@@ -1350,6 +1350,38 @@ object EventStream {
     * ≤ `refEnd` are the frozen reference window. No emission until
     * the artifact holds its first committed rows. */
   def ksDriftForeachBatch(dir: String, refEnd: String = "2024-01-15")(
+      onReport: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    driftMonitorForeachBatch(dir, refEnd,
+      graft.AnalyticsQueries.ksFromCounts)(onReport)
+
+  /** Streaming AUC drift monitor (#297) — q113/q114's streaming twin:
+    * the [[ksDriftForeachBatch]] composition with the EFFECT-SIZE
+    * kernel swapped in (Mann–Whitney U over the same maintained value
+    * histogram — direction and magnitude where KS gives presence).
+    * Detector and effect size are two derivations of ONE artifact
+    * format, so the parity/recovery story is inherited wholesale:
+    * after batch k the report is bit-identical to batch q113 over the
+    * stream prefix, replayed ids re-emit without re-folding, and a
+    * fresh closure recovers through the maintainer's durable stamp
+    * (all spec-pinned alongside the KS cases). Each monitor instance
+    * maintains its OWN artifact dir — to serve both statistics from
+    * one fold, compose [[histogramArtifactForeachBatch]] with the two
+    * kernels directly instead of running both monitors on one dir
+    * (two folds of the same batch would double-count). */
+  def aucDriftForeachBatch(dir: String, refEnd: String = "2024-01-15")(
+      onReport: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    driftMonitorForeachBatch(dir, refEnd,
+      graft.AnalyticsQueries.aucFromCounts)(onReport)
+
+  /** The shared drift-monitor shape: fold the batch into the
+    * day-partitioned cents-histogram artifact (durable batch stamp —
+    * state in parquet, the cents domain is value-scale, never a
+    * driver map), then re-derive `kernel`'s statistic from the
+    * artifact's day windows. ONE definition of the window split and
+    * zero-fill serves both statistics (the batch-side
+    * driftWindowCounts convention). */
+  private def driftMonitorForeachBatch(dir: String, refEnd: String,
+      kernel: DataFrame => DataFrame)(
       onReport: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
     val fold = histogramArtifactForeachBatch(dir, Seq("event_type"))()
     (batch: DataFrame, batchId: Long) => {
@@ -1368,8 +1400,7 @@ object EventStream {
           .join(window(col("day") > refEnd, "o_cur"),
             Seq("event_type", "cents"), "full")
           .na.fill(0L, Seq("o_ref", "o_cur"))
-        onReport(graft.AnalyticsQueries.ksFromCounts(c)
-          .orderBy("event_type"), batchId)
+        onReport(kernel(c).orderBy("event_type"), batchId)
       }
     }
   }

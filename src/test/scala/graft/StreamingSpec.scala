@@ -2646,6 +2646,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(reports.last._2 == want, "replay changed the report")
   }
 
+  test("AUC drift monitor: prefix parity with batch q113, replay-safe, kill/restart parity") {
+    import spark.implicits._
+    import graft.streaming.EventStream
+    // #297 — the effect-size twin of the KS monitor: same maintained
+    // artifact format, aucFromCounts kernel. One combined case covers
+    // the three contracts the KS twin pins separately (the monitor is
+    // a composition of already-verified pieces, so the test prices
+    // the composition, not the pieces again).
+    val ev = Tables.events(spark, TestSpark.Sf)
+      .selectExpr("cast(ts as date) as day", "event_type",
+        "cast(round(value * 100, 0) as bigint) as v")
+      .as[(java.sql.Date, String, Long)].collect().toSeq
+    val base = java.nio.file.Files.createTempDirectory("graft_aucm").toString
+    val batches = ev.grouped(ev.size / 3 + 1).toSeq
+      .map(_.toDF("day", "event_type", "v"))
+    def frames(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().toSeq.map(_.toString)
+
+    val u = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val uSink = EventStream.aucDriftForeachBatch(s"$base/u") { (r, _) => u += frames(r) }
+    batches.zipWithIndex.foreach { case (b, i) => uSink(b, i.toLong) }
+    assert(u.size == batches.size)
+    // end state is bit-identical to the oracled batch q113
+    val want = AnalyticsQueries.q113AucDrift(spark, TestSpark.Sf)
+      .collect().toSeq.map(_.toString)
+    assert(u.last == want, "end state != batch q113")
+    // a replayed batch id re-emits without re-folding
+    uSink(batches.last, (batches.size - 1).toLong)
+    assert(u.last == want, "replay changed the report")
+
+    // kill/restart: fresh closure on the same artifact dir after
+    // batch 1 — redelivery re-emits, batch 2 converges
+    val a = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val aSink = EventStream.aucDriftForeachBatch(s"$base/a") { (r, _) => a += frames(r) }
+    aSink(batches(0), 0L); aSink(batches(1), 1L)
+    assert(a == u.take(2), "durable run diverged pre-kill")
+    val b = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val bSink = EventStream.aucDriftForeachBatch(s"$base/a") { (r, _) => b += frames(r) }
+    bSink(batches(1), 1L)
+    assert(b.last == u(1), "post-restart redelivery != uninterrupted batch-1 report")
+    bSink(batches(2), 2L)
+    assert(b.last == u(2), "post-restart final report != uninterrupted final")
+  }
+
   test("KS drift monitor: kill/restart parity (recovery inherited from the durable artifact maintainer)") {
     import spark.implicits._
     import graft.streaming.EventStream
