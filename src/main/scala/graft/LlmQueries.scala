@@ -1763,6 +1763,96 @@ object LlmQueries {
       |FROM scored WHERE rank <= 10 ORDER BY rank""".stripMargin
   }
 
+  /** #298 (s23): Reciprocal Rank Fusion (Cormack, Clarke & Büttcher,
+    * SIGIR 2009) — the OTHER standard hybrid-retrieval composition:
+    * where s09 re-RANKS the lexical candidates by dense similarity
+    * (one list re-ordered), RRF FUSES the two ranked lists
+    * score-free: rrf(d) = Σ_lists 1/(k + rank_list(d)), k = 60, so a
+    * doc ranked well by either retriever surfaces without any score
+    * calibration between BM25 integers and float cosines — the
+    * property that made RRF the default fuser in production hybrid
+    * stacks. Integer-exact: each term is 10⁹ div (60 + rank) (ranks
+    * are small integers, so the floor division is the same number on
+    * every engine — no float sums), ties on doc_id. Lists: s08's
+    * served top-20 BM25 (ranked by score_milli, doc_id) and the
+    * dense top-20 by cosine against embedding 0 (self excluded,
+    * s09's query convention); a doc absent from a list contributes 0
+    * (rank columns report 0 = absent). Scale shape: both lists are
+    * k-row TakeOrderedAndProject results; the fusion is a full join
+    * of two ≤20-row frames — driver-scale by construction, the
+    * corpus is touched only by the two retrievals. Fully oracled. */
+  def s23RrfFusion: Q = (spark, dir) => {
+    val lex = s08Bm25(spark, dir)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(col("score_milli").desc,
+          col("doc_id").asc)).cast("long").as("lex_rank"))
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+      .withColumn("nrm", norm(col("vec"))).filter(col("nrm") > 0)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("vec").as("qvec"), col("nrm").as("qnrm"))
+    val dense = emb.crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("sim",
+        cosinePrenormed(dot(col("qvec"), col("vec")), col("qnrm"), col("nrm")))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(20)
+      .select(col("vec_id").as("doc_id"),
+        row_number().over(Window.orderBy(col("sim").desc,
+          col("vec_id").asc)).cast("long").as("dense_rank"))
+    lex.join(dense, Seq("doc_id"), "full")
+      .na.fill(0L, Seq("lex_rank", "dense_rank"))
+      .withColumn("rrf_nano",
+        when(col("lex_rank") > 0,
+          expr("1000000000 div (60 + lex_rank)")).otherwise(0L) +
+        when(col("dense_rank") > 0,
+          expr("1000000000 div (60 + dense_rank)")).otherwise(0L))
+      .orderBy(col("rrf_nano").desc, col("doc_id").asc)
+      .limit(10)
+      .select(
+        row_number().over(Window.orderBy(col("rrf_nano").desc,
+          col("doc_id").asc)).cast("long").as("rank"),
+        col("doc_id"), col("lex_rank"), col("dense_rank"), col("rrf_nano"))
+      .orderBy("rank")
+  }
+
+  val s23Sql: String = {
+    val cands = s08Sql.replace("ORDER BY score_milli DESC, doc_id LIMIT 20",
+      "ORDER BY score_milli DESC, doc_id LIMIT 20)")
+    "WITH cands AS (" + cands + """,
+      |lex AS (
+      |  SELECT doc_id,
+      |         CAST(row_number() OVER (ORDER BY score_milli DESC, doc_id)
+      |              AS BIGINT) AS lex_rank
+      |  FROM cands),
+      |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |        WHERE len(list_filter(embedding, x -> x <> 0)) > 0),
+      |qv AS (SELECT v AS qvec FROM emb WHERE vec_id = 0),
+      |dtop AS (
+      |  SELECT vec_id AS doc_id,
+      |         CAST(row_number() OVER (ORDER BY list_cosine_similarity(qvec, v) DESC,
+      |                                 vec_id) AS BIGINT) AS dense_rank
+      |  FROM emb CROSS JOIN qv WHERE vec_id <> 0
+      |  QUALIFY dense_rank <= 20),
+      |f AS (
+      |  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+      |         CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+      |         CAST(COALESCE(d.dense_rank, 0) AS BIGINT) AS dense_rank
+      |  FROM lex l FULL JOIN dtop d ON l.doc_id = d.doc_id),
+      |s AS (
+      |  SELECT doc_id, lex_rank, dense_rank,
+      |         CAST(CASE WHEN lex_rank > 0
+      |                   THEN 1000000000 // (60 + lex_rank) ELSE 0 END
+      |            + CASE WHEN dense_rank > 0
+      |                   THEN 1000000000 // (60 + dense_rank) ELSE 0 END
+      |              AS BIGINT) AS rrf_nano
+      |  FROM f)
+      |SELECT CAST(row_number() OVER (ORDER BY rrf_nano DESC, doc_id) AS BIGINT)
+      |         AS rank,
+      |       doc_id, lex_rank, dense_rank, rrf_nano
+      |FROM s ORDER BY rrf_nano DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   /** #130 (s10): all-corpus k-NN graph — every embedding's 5 nearest
     * cosine neighbors, EXACT ([[graft.sim.Ann.knnGraphExact]], ties
     * on neighbor id): the input structure for SemDeDup clustering,
@@ -3061,6 +3151,7 @@ object LlmQueries {
     "s10_knn_graph" -> s10KnnGraph,
     "s21_hard_negatives" -> s21HardNegatives,
     "s22_hard_negatives_ivf" -> s22HardNegativesIvf,
+    "s23_rrf_fusion" -> s23RrfFusion,
     "t01_lang_id" -> t01LangId,
     "t02_quality_score" -> t02QualityScore,
     "t03_token_count" -> t03TokenCount,
@@ -3094,6 +3185,7 @@ object LlmQueries {
     "s10_knn_graph" -> s10Sql,
     "s21_hard_negatives" -> s21Sql,
     "s09_hybrid_rerank" -> s09Sql,
+    "s23_rrf_fusion" -> s23Sql,
     "s04_quantize_int8" -> s04Sql,
     "s20_centroid_drift" -> s20Sql,
     "d01_dedup_exact" -> d01Sql,

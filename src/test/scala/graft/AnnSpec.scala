@@ -1002,6 +1002,28 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("s23 RRF fusion: both-lists doc wins, arithmetic exact, ranks consecutive") {
+    val got = LlmQueries.s23RrfFusion(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long, Long)].collect()  // (rank, doc_id, lex, dense, rrf)
+    assert(got.length == 10 && got.map(_._1).toSeq == (1L to 10L))
+    // every row's fused score is exactly the integer RRF of its ranks
+    def term(r: Long): Long = if (r > 0) 1000000000L / (60L + r) else 0L
+    got.foreach { case (_, id, lex, dense, rrf) =>
+      assert(rrf == term(lex) + term(dense), s"doc $id rrf arithmetic")
+      assert(lex > 0 || dense > 0, s"doc $id in neither list")
+    }
+    // ordering: (rrf desc, doc_id asc)
+    assert(got.sortBy(r => (-r._5, r._2)).map(_._2).toSeq == got.map(_._2).toSeq)
+    // the property RRF exists for: a doc ranked mid-list by BOTH
+    // retrievers outranks every single-list doc including both rank-1s
+    // (this corpus plants exactly that: doc 402 at lex 5 / dense 9)
+    val top = got.head
+    assert(top._3 > 0 && top._4 > 0,
+      s"fusion winner ${top._2} should come from both lists: $top")
+    assert(top._3 > 1 && top._4 > 1,
+      "winner should be mid-list in both (score-calibration-free win)")
+  }
+
   test("s22 hard-negatives IVF: recall vs the exact kernel, cartesian-free plan, exclusion holds") {
     val exact = LlmQueries.s21HardNegatives(spark, TestSpark.Sf)
       .as[(Long, Long, Long)].collect()
