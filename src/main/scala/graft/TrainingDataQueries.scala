@@ -2267,8 +2267,12 @@ object TrainingDataQueries {
       .withColumn("hk",
         conv(substring(md5(col("doc_id").cast(StringType)
           .cast(BinaryType)), 1, 15), 16, 10).cast(LongType))
+    // dataScaleCoarse: r's domain is bounded by the LARGEST cluster —
+    // corpus-share in the soft-dedup regime t46 exists for — so the
+    // coarse prefix must bucket and the offset frames must never
+    // broadcast (|domain|-sized)
     GlobalOrder.withBandedGlobalSeq(ranked, coarse = "r", fine = "hk",
-        coarseDesc = false, ties = Seq("doc_id"))
+        coarseDesc = false, ties = Seq("doc_id"), dataScaleCoarse = true)
       .select(col("seq"), col("doc_id"), col("root"), col("r"))
       .orderBy("seq")
   }

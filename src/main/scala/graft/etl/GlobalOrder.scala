@@ -161,19 +161,58 @@ object GlobalOrder {
       .drop("_gs_b", "_gs_boff")
   }
 
+  /** `dataScaleCoarse`: the default path assumes the coarse DOMAIN is
+    * configuration-bounded (quality bands, milli scores, languages) —
+    * its exclusive prefix runs as one unpartitioned window over
+    * |domain| rows and its offset frames broadcast. When the coarse
+    * key is DATA-bounded (t46's within-cluster rank: bounded by the
+    * largest cluster, which is corpus-share in the soft-dedup regime),
+    * pass true: the coarse axis must be NUMERIC, its prefix sum runs
+    * as the same two-level bucketed pass the fine axis uses (tiny
+    * unpartitioned window over ≤ `buckets` rows, then a
+    * bucket-partitioned window over ≈ |domain|/buckets rows per task),
+    * and both offset frames shuffle-join instead of broadcasting
+    * (each can hold ≥ |domain| rows — a driver-heap ceiling). */
   def withBandedGlobalSeq(df: DataFrame, coarse: String, fine: String,
                           coarseDesc: Boolean = true,
                           seqCol: String = "seq",
                           buckets: Int = 0,
-                          ties: Seq[String] = Nil): DataFrame = {
+                          ties: Seq[String] = Nil,
+                          dataScaleCoarse: Boolean = false): DataFrame = {
     val nb =
       if (buckets > 0) buckets
       else df.sparkSession.sessionState.conf.numShufflePartitions * 8
     val cOrd = if (coarseDesc) col(coarse).desc else col(coarse).asc
     val coarseCounts = df.groupBy(coarse).agg(count(lit(1)).as("_bg_c"))
-    val wC = Window.orderBy(cOrd).rowsBetween(Window.unboundedPreceding, -1)
-    val coarseOff = coarseCounts.select(col(coarse),
-      coalesce(sum("_bg_c").over(wC), lit(0L)).as("_bg_coff"))
+    val coarseOff =
+      if (!dataScaleCoarse) {
+        val wC = Window.orderBy(cOrd).rowsBetween(Window.unboundedPreceding, -1)
+        coarseCounts.select(col(coarse),
+          coalesce(sum("_bg_c").over(wC), lit(0L)).as("_bg_coff"))
+      } else {
+        require(df.schema(coarse).dataType
+            .isInstanceOf[org.apache.spark.sql.types.NumericType],
+          s"dataScaleCoarse needs a numeric coarse key, got '$coarse'")
+        val b2 = df.agg(min(col(coarse).cast(LongType)).as("_bg_clo"),
+          max(col(coarse).cast(LongType)).as("_bg_chi"))
+        val cb = coarseCounts.crossJoin(broadcast(b2))
+          .withColumn("_bg_cb",
+            ((col(coarse).cast(LongType) - col("_bg_clo")) /
+              ((col("_bg_chi") - col("_bg_clo")) / nb + lit(1L))).cast(LongType))
+          .drop("_bg_clo", "_bg_chi")
+        val cbOrd = if (coarseDesc) col("_bg_cb").desc else col("_bg_cb").asc
+        val wCB = Window.orderBy(cbOrd)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val cbOff = cb.groupBy("_bg_cb").agg(sum("_bg_c").as("_bg_cbc"))
+          .select(col("_bg_cb"),
+            coalesce(sum("_bg_cbc").over(wCB), lit(0L)).as("_bg_cboff"))
+        val wInB = Window.partitionBy("_bg_cb").orderBy(cOrd)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        cb.join(broadcast(cbOff), Seq("_bg_cb"))
+          .select(col(coarse),
+            (col("_bg_cboff") + coalesce(sum("_bg_c").over(wInB), lit(0L)))
+              .as("_bg_coff"))
+      }
     val bounds = df.agg(min(col(fine).cast(LongType)).as("_bg_lo"),
       max(col(fine).cast(LongType)).as("_bg_hi"))
     val withB = df.crossJoin(broadcast(bounds))
@@ -191,8 +230,10 @@ object GlobalOrder {
     // repeat (e.g. a hash key) — same contract as withGlobalSeq
     val wFine = Window.partitionBy(col(coarse), col("_bg_b"))
       .orderBy(col(fine) +: ties.map(col): _*)
-    withB.join(broadcast(coarseOff), Seq(coarse))
-      .join(broadcast(bucketOff), Seq(coarse, "_bg_b"))
+    val cOff = if (dataScaleCoarse) coarseOff else broadcast(coarseOff)
+    val bOff = if (dataScaleCoarse) bucketOff else broadcast(bucketOff)
+    withB.join(cOff, Seq(coarse))
+      .join(bOff, Seq(coarse, "_bg_b"))
       .withColumn(seqCol,
         col("_bg_coff") + col("_bg_boff") +
           row_number().over(wFine).cast(LongType))

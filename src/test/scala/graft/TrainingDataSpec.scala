@@ -631,6 +631,21 @@ class TrainingDataSpec extends AnyFunSuite {
       "within-cluster ranks must follow doc_id order")
     // singletons are all rank 0
     got.filter(_._3 != 1L).foreach(r => assert(r._4 == 0L, s"doc ${r._2}"))
+    // exact sequence vs a local recompute of the (r, md5-60bit, doc)
+    // total order — pins the dataScaleCoarse bucketed prefix path
+    // (coarse offsets computed in two levels, offsets shuffle-joined)
+    // bit-for-bit against the straightforward sort
+    def hk(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val expect = (1L to n).map { id =>
+      val r = if (id <= 2000) id - 1 else 0L
+      (r, hk(id), id)
+    }.sorted.map(_._3)
+    assert(got.sortBy(_._1).map(_._2).toSeq == expect,
+      "sequence diverged from the local (r, hash, doc) sort")
   }
 
   test("t47 target-mix resample: per-language replica mass hits the alpha target exactly") {
