@@ -1711,6 +1711,31 @@ object LlmQueries {
        |ORDER BY score_milli DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** [[s08Sql]] wrapped as a closed `cands` CTE body — ONE paren
+    * injection shared by the hybrid-stack oracles (s09 rerank, s23
+    * RRF), so a change to s08's final clause cannot silently no-op
+    * one replace-site and survive to a DuckDB syntax error. */
+  private val s08CandsSql: String =
+    s08Sql.replace("ORDER BY score_milli DESC, doc_id LIMIT 20",
+      "ORDER BY score_milli DESC, doc_id LIMIT 20)")
+
+  /** The emb/qv CTE pair every hybrid-stack oracle shares: non-zero
+    * embeddings and the doc-0 query vector. */
+  private val embQvSql: String =
+    """emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |        WHERE len(list_filter(embedding, x -> x <> 0)) > 0),
+      |qv AS (SELECT v AS qvec FROM emb WHERE vec_id = 0)""".stripMargin
+
+  /** (corpus embeddings with norms, the doc-0 query vector) — the
+    * hybrid stack's shared dense-side prep (s09 rerank, s23 RRF). */
+  private def embAndQuery0(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+      .withColumn("nrm", norm(col("vec"))).filter(col("nrm") > 0)
+    (emb, emb.filter(col("vec_id") === 0)
+      .select(col("vec").as("qvec"), col("nrm").as("qnrm")))
+  }
+
   /** #119 (s09): hybrid retrieval — BM25 lexical candidates reranked
     * by exact embedding cosine, the standard two-stage stack (cheap
     * lexical recall, expensive dense precision, here stage-2-exact
@@ -1727,11 +1752,7 @@ object LlmQueries {
     * but never appears as a value). */
   def s09HybridRerank: Q = (spark, dir) => {
     val cands = s08Bm25(spark, dir)
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
-      .withColumn("nrm", norm(col("vec"))).filter(col("nrm") > 0)
-    val qv = emb.filter(col("vec_id") === 0)
-      .select(col("vec").as("qvec"), col("nrm").as("qnrm"))
+    val (emb, qv) = embAndQuery0(spark, dir)
     emb.join(broadcast(cands), emb("vec_id") === cands("doc_id"))
       .crossJoin(broadcast(qv))
       .filter(col("doc_id") =!= 0)
@@ -1747,12 +1768,7 @@ object LlmQueries {
   }
 
   val s09Sql: String = {
-    val cands = s08Sql.replace("ORDER BY score_milli DESC, doc_id LIMIT 20",
-      "ORDER BY score_milli DESC, doc_id LIMIT 20)")
-    "WITH cands AS (" + cands + """,
-      |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-      |        WHERE len(list_filter(embedding, x -> x <> 0)) > 0),
-      |qv AS (SELECT v AS qvec FROM emb WHERE vec_id = 0),
+    "WITH cands AS (" + s08CandsSql + ",\n" + embQvSql + """,
       |scored AS (
       |  SELECT c.doc_id, c.score_milli,
       |         row_number() OVER (ORDER BY list_cosine_similarity(qv.qvec, e.v) DESC,
@@ -1774,23 +1790,23 @@ object LlmQueries {
     * stacks. Integer-exact: each term is 10⁹ div (60 + rank) (ranks
     * are small integers, so the floor division is the same number on
     * every engine — no float sums), ties on doc_id. Lists: s08's
-    * served top-20 BM25 (ranked by score_milli, doc_id) and the
-    * dense top-20 by cosine against embedding 0 (self excluded,
-    * s09's query convention); a doc absent from a list contributes 0
-    * (rank columns report 0 = absent). Scale shape: both lists are
-    * k-row TakeOrderedAndProject results; the fusion is a full join
-    * of two ≤20-row frames — driver-scale by construction, the
-    * corpus is touched only by the two retrievals. Fully oracled. */
+    * top-20 BM25 (ranked by score_milli, doc_id) and the dense
+    * top-20 by cosine against embedding 0 — the query document
+    * (doc 0) is excluded from BOTH lists before ranking (serving the
+    * query doc as its own result through the lexical side would be
+    * the silent self-hit s09's rerank filters); a doc absent from a
+    * list contributes 0 (rank columns report 0 = absent). Scale
+    * shape: both lists are k-row TakeOrderedAndProject results; the
+    * fusion is a full join of two ≤20-row frames — driver-scale by
+    * construction, the corpus is touched only by the two
+    * retrievals. Fully oracled. */
   def s23RrfFusion: Q = (spark, dir) => {
     val lex = s08Bm25(spark, dir)
+      .filter(col("doc_id") =!= 0)
       .select(col("doc_id"),
         row_number().over(Window.orderBy(col("score_milli").desc,
           col("doc_id").asc)).cast("long").as("lex_rank"))
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
-      .withColumn("nrm", norm(col("vec"))).filter(col("nrm") > 0)
-    val qv = emb.filter(col("vec_id") === 0)
-      .select(col("vec").as("qvec"), col("nrm").as("qnrm"))
+    val (emb, qv) = embAndQuery0(spark, dir)
     val dense = emb.crossJoin(broadcast(qv))
       .filter(col("vec_id") =!= 0)
       .withColumn("sim",
@@ -1817,17 +1833,13 @@ object LlmQueries {
   }
 
   val s23Sql: String = {
-    val cands = s08Sql.replace("ORDER BY score_milli DESC, doc_id LIMIT 20",
-      "ORDER BY score_milli DESC, doc_id LIMIT 20)")
-    "WITH cands AS (" + cands + """,
+    "WITH cands AS (" + s08CandsSql + """,
       |lex AS (
       |  SELECT doc_id,
       |         CAST(row_number() OVER (ORDER BY score_milli DESC, doc_id)
       |              AS BIGINT) AS lex_rank
-      |  FROM cands),
-      |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-      |        WHERE len(list_filter(embedding, x -> x <> 0)) > 0),
-      |qv AS (SELECT v AS qvec FROM emb WHERE vec_id = 0),
+      |  FROM cands WHERE doc_id <> 0),
+      |""".stripMargin + embQvSql + """,
       |dtop AS (
       |  SELECT vec_id AS doc_id,
       |         CAST(row_number() OVER (ORDER BY list_cosine_similarity(qvec, v) DESC,

@@ -230,10 +230,17 @@ object GlobalOrder {
     // repeat (e.g. a hash key) — same contract as withGlobalSeq
     val wFine = Window.partitionBy(col(coarse), col("_bg_b"))
       .orderBy(col(fine) +: ties.map(col): _*)
-    val cOff = if (dataScaleCoarse) coarseOff else broadcast(coarseOff)
-    val bOff = if (dataScaleCoarse) bucketOff else broadcast(bucketOff)
-    withB.join(cOff, Seq(coarse))
-      .join(bOff, Seq(coarse, "_bg_b"))
+    // the two offset frames merge FIRST (offset-frame-sized join,
+    // ≤ buckets+1 rows per coarse value — no hot key), so the single
+    // corpus-sized join runs on (coarse, bucket): in the
+    // dataScaleCoarse regime a join on `coarse` alone would
+    // hash-partition the whole corpus onto the hottest coarse value
+    // (t46's r = 0 holds one row per CLUSTER) — the exact
+    // single-task funnel this function exists to avoid; (coarse,
+    // bucket) is the same exchange the row_number window needs anyway
+    val off = bucketOff.join(coarseOff, Seq(coarse))
+    val offJ = if (dataScaleCoarse) off else broadcast(off)
+    withB.join(offJ, Seq(coarse, "_bg_b"))
       .withColumn(seqCol,
         col("_bg_coff") + col("_bg_boff") +
           row_number().over(wFine).cast(LongType))

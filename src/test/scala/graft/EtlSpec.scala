@@ -318,6 +318,25 @@ class EtlSpec extends AnyFunSuite {
     val wantAsc = rows.sortBy { case (id, b) => (b, id) }.zipWithIndex
       .map { case ((id, _), i) => ((i + 1).toLong, id) }
     assert(gotAsc == wantAsc)
+    // the dataScaleCoarse path (bucketed coarse prefix, shuffle-joined
+    // offsets) must be bit-identical in BOTH orderings — t46 only
+    // exercises ascending, so the descending branch is pinned here
+    val gotDscDesc = GlobalOrder
+      .withBandedGlobalSeq(df, "band", "id", coarseDesc = true,
+        seqCol = "seq", dataScaleCoarse = true)
+      .select("seq", "id").as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(gotDscDesc == want, "dataScaleCoarse desc diverged")
+    val gotDscAsc = GlobalOrder
+      .withBandedGlobalSeq(df, "band", "id", coarseDesc = false,
+        seqCol = "seq", dataScaleCoarse = true)
+      .select("seq", "id").as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(gotDscAsc == wantAsc, "dataScaleCoarse asc diverged")
+    // and a non-numeric coarse key fails fast with the contract named
+    val e = intercept[IllegalArgumentException] {
+      GlobalOrder.withBandedGlobalSeq(df.withColumn("b2", col("band").cast("string")),
+        "b2", "id", dataScaleCoarse = true)
+    }
+    assert(e.getMessage.contains("numeric coarse"), e.getMessage)
   }
 
   test("withGroupSeq matches local per-group ranks even when one group holds 90% of rows") {
