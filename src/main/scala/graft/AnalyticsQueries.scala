@@ -3645,6 +3645,110 @@ object AnalyticsQueries {
       .select("event_type", "n_ref", "n_cur", "u2", "auc_ppm")
   }
 
+  /** #300 (q115): exact two-sample Wasserstein-1 drift (earth-mover
+    * distance on the line) — the TRANSPORT-COST member of the drift
+    * triad: KS (q111) reports the largest CDF gap, AUC (q113) the
+    * rank shift's direction; W₁ = ∫|F_ref − F_cur| dv is the mean
+    * distance probability mass moved, in the VALUE's own units — the
+    * "average cents shifted per event" number an SLO prices directly
+    * (two distributions can share a small KS yet move a lot of mass
+    * far, and vice versa). Exact in integers over the same ordered
+    * cents histogram: between consecutive observed values both CDFs
+    * are constant, so W₁ = Σ |cum_ref·n_cur − cum_cur·n_ref|·gap /
+    * (n_ref·n_cur) with gap = next_cents − cents (the last value
+    * contributes nothing — beyond the union's max both CDFs are 1).
+    * The cross-multiplied |…| stays BIGINT through ~sf1000 (q111's
+    * bound); the ×gap product routes through decimal(38)/HUGEINT
+    * (ORACLE.md Rule 3) and only the final centi-cents ratio is
+    * emitted. Same one-exchange histogram-window plan as the KS/AUC
+    * kernels. Fully oracled. */
+  def q115W1Drift: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (datediff(col("ts").cast(DateType), lit("2024-01-01").cast(DateType)) < 15)
+          .as("is_ref"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+    val c = ev.filter(col("cents").isNotNull && col("is_ref").isNotNull)
+      .groupBy("event_type", "cents")
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("o_ref"),
+        sum(when(col("is_ref"), 0L).otherwise(1L)).as("o_cur"))
+    w1FromCounts(c).orderBy("event_type")
+  }
+
+  /** The q115 W₁ kernel over a prepared (event_type, cents, o_ref,
+    * o_cur) count frame — the third sibling of [[ksFromCounts]] /
+    * [[aucFromCounts]], shared by the raw-scan query, the
+    * artifact consumer (q116) and the streaming monitor. */
+  private[graft] def w1FromCounts(c: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy("event_type").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("event_type")
+    val wLead = Window.partitionBy("event_type").orderBy("cents")
+    c
+      .withColumn("cum_ref", sum("o_ref").over(wOrd))
+      .withColumn("cum_cur", sum("o_cur").over(wOrd))
+      .withColumn("n_ref", sum("o_ref").over(wAll))
+      .withColumn("n_cur", sum("o_cur").over(wAll))
+      .withColumn("gap", lead("cents", 1).over(wLead) - col("cents"))
+      // the open interval past the largest observed value carries no
+      // mass difference (both CDFs are 1) — drop the gap-less row
+      .filter(col("gap").isNotNull)
+      .groupBy("event_type")
+      .agg(min("n_ref").as("n_ref"), min("n_cur").as("n_cur"),
+        sum(expr("cast(abs(cum_ref * n_cur - cum_cur * n_ref) " +
+          "as decimal(38,0)) * gap")).as("w1num"))
+      .withColumn("w1_centi_cents",
+        when(col("n_ref") === 0L || col("n_cur") === 0L, 0L)
+          .otherwise(expr("(w1num * 100) div " +
+            "(cast(n_ref as decimal(38,0)) * n_cur)").cast(LongType)))
+      .select("event_type", "n_ref", "n_cur", "w1_centi_cents")
+  }
+
+  val q115Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 15 AS is_ref,
+      |         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+      |c AS (
+      |  SELECT event_type, cents,
+      |         CAST(COUNT(*) FILTER (is_ref) AS BIGINT) AS o_ref,
+      |         CAST(COUNT(*) FILTER (NOT is_ref) AS BIGINT) AS o_cur
+      |  FROM ev GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type,
+      |         SUM(o_ref) OVER (PARTITION BY event_type ORDER BY cents
+      |                          ROWS UNBOUNDED PRECEDING) AS cum_ref,
+      |         SUM(o_cur) OVER (PARTITION BY event_type ORDER BY cents
+      |                          ROWS UNBOUNDED PRECEDING) AS cum_cur,
+      |         SUM(o_ref) OVER (PARTITION BY event_type) AS n_ref,
+      |         SUM(o_cur) OVER (PARTITION BY event_type) AS n_cur,
+      |         lead(cents) OVER (PARTITION BY event_type ORDER BY cents) - cents
+      |           AS gap
+      |  FROM c),
+      |d AS (
+      |  SELECT event_type,
+      |         CAST(MIN(n_ref) AS BIGINT) AS n_ref,
+      |         CAST(MIN(n_cur) AS BIGINT) AS n_cur,
+      |         SUM(CAST(ABS(cum_ref * n_cur - cum_cur * n_ref) AS HUGEINT) * gap)
+      |           AS w1num
+      |  FROM t WHERE gap IS NOT NULL GROUP BY 1)
+      |SELECT event_type, n_ref, n_cur,
+      |       CAST(CASE WHEN n_ref = 0 OR n_cur = 0 THEN 0
+      |            ELSE (w1num * 100)
+      |                 // (CAST(n_ref AS HUGEINT) * n_cur) END AS BIGINT)
+      |         AS w1_centi_cents
+      |FROM d ORDER BY event_type""".stripMargin
+
+  /** #300b (q116): W₁ drift between day ranges from the SAME staged
+    * histogram artifact as q112/q114 — the drift triad's third
+    * artifact consumer; the unbucketed histogram is lossless for any
+    * CDF functional, so the artifact-served W₁ is bit-identical to
+    * q115 over the raw events (oracle = q115's own SQL). */
+  def q116W1FromArtifacts: Q = (spark, dir) =>
+    w1FromCounts(driftWindowCounts(ksHistArtifact(spark, dir)))
+      .orderBy("event_type")
+
   /** #296 (q114): AUC drift between day ranges from PERSISTED
     * histograms — the q112 composition applied to the Mann–Whitney U
     * statistic: the same staged day-partitioned cents histogram
@@ -3691,6 +3795,8 @@ object AnalyticsQueries {
       |FROM d ORDER BY event_type""".stripMargin
 
   val queries: Seq[(String, Q)] = Seq(
+    "q115_w1_drift" -> q115W1Drift,
+    "q116_w1_from_artifacts" -> q116W1FromArtifacts,
     "q114_auc_from_artifacts" -> q114AucFromArtifacts,
     "q113_auc_drift" -> q113AucDrift,
     "q112_ks_from_artifacts" -> q112KsFromArtifacts,
@@ -3797,6 +3903,10 @@ object AnalyticsQueries {
     // q114 is the same composition for the U statistic: the oracle is
     // q113's SQL over the raw events (bit-identity, the q112 convention)
     "q114_auc_from_artifacts" -> q113Sql,
+    "q115_w1_drift" -> q115Sql,
+    // q116 serves q115's statistic from the shared staged histogram —
+    // bit-identity to the raw scan IS the claim (the q112 convention)
+    "q116_w1_from_artifacts" -> q115Sql,
     "q110_wilson_rank" -> q110Sql,
     "q50_window_stats" -> q50Sql,
     "q51_interval_sweep" -> q51Sql,

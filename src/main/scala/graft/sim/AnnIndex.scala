@@ -577,6 +577,41 @@ object AnnIndex {
     Ann.mmrSweepFrom(top, k, lambdas)
   }
 
+  /** Index-served RRF (#299) — s23's fusion against the PERSISTED
+    * index (the #201/#221 lifecycle pattern: every serving-path
+    * operator gets a build-once/probe-many twin): the dense list per
+    * query comes from the calibrated (or explicit) cell [[probe]] at
+    * `fetchK` instead of a brute corpus pass, and fuses with a
+    * caller-supplied lexical ranked list `lex` (qid, doc_id,
+    * lex_rank — e.g. BM25 served from the t17 inverted index) by the
+    * same integer-exact rule: rrf = Σ 10⁹ div (rrfK + rank), absent
+    * list contributes 0, ties on doc_id. Both inputs are
+    * ≤ fetchK-row-per-query frames, so the fusion join is
+    * candidate-scale; the top-k window plans as WindowGroupLimit.
+    * AnnSpec pins full-probe parity: at nProbe = nCells the output
+    * equals [[graft.LlmQueries.s23RrfFusion]]'s oracled rows
+    * rank-for-rank. */
+  def probeRrf(spark: SparkSession, dir: String, queries: DataFrame,
+               lex: DataFrame, k: Int, fetchK: Int = 20,
+               nProbe: Int = 0, rrfK: Int = 60): DataFrame = {
+    val dense = probe(spark, dir, queries, fetchK, nProbe)
+      .select(col("qid"), col("neighbor_id").as("doc_id"),
+        col("rank").as("dense_rank"))
+    val l = lex.select(col("qid"), col("doc_id"), col("lex_rank"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("rrf_nano").desc, col("doc_id").asc)
+    l.join(dense, Seq("qid", "doc_id"), "full")
+      .na.fill(0L, Seq("lex_rank", "dense_rank"))
+      .withColumn("rrf_nano",
+        when(col("lex_rank") > 0,
+          expr(s"1000000000 div ($rrfK + lex_rank)")).otherwise(0L) +
+        when(col("dense_rank") > 0,
+          expr(s"1000000000 div ($rrfK + dense_rank)")).otherwise(0L))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "doc_id", "lex_rank", "dense_rank", "rrf_nano")
+  }
+
   /** Recall-vs-cost frontier (#209): sweep the probe budget against
     * the persisted index and report, per operating point, the
     * measured recall@k (vs exact brute force on a deterministic

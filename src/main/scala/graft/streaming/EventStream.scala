@@ -1373,6 +1373,16 @@ object EventStream {
     driftMonitorForeachBatch(dir, refEnd,
       graft.AnalyticsQueries.aucFromCounts)(onReport)
 
+  /** Streaming W₁ drift monitor (#301) — q115/q116's streaming twin,
+    * the third kernel through the same [[driftMonitorForeachBatch]]
+    * shape: transport cost (mean cents moved per event) where KS
+    * gives presence and AUC direction. Parity/recovery inherited and
+    * spec-pinned exactly like the KS/AUC twins. */
+  def w1DriftForeachBatch(dir: String, refEnd: String = "2024-01-15")(
+      onReport: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    driftMonitorForeachBatch(dir, refEnd,
+      graft.AnalyticsQueries.w1FromCounts)(onReport)
+
   /** The shared drift-monitor shape: fold the batch into the
     * day-partitioned cents-histogram artifact (durable batch stamp —
     * state in parquet, the cents domain is value-scale, never a

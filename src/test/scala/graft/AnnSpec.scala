@@ -1024,6 +1024,30 @@ class AnnSpec extends AnyFunSuite {
       "winner should be mid-list in both (score-calibration-free win)")
   }
 
+  test("index probeRrf: full-probe fusion equals the oracled s23 rank-for-rank") {
+    import graft.sim.AnnIndex
+    // #299 — the index-served twin of s23 (the #201/#221 lifecycle
+    // pattern): at nProbe = nCells the dense probe is exact, so the
+    // fusion must reproduce the oracled batch output exactly
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_rrf").toString
+    AnnIndex.build(emb, nCells = 23, seed = 42L, dir)
+    val queries = emb.filter(col("id") === 0)
+    val lex = LlmQueries.s08Bm25(spark, TestSpark.Sf)
+      .filter(col("doc_id") =!= 0)
+      .select(lit(0L).as("qid"), col("doc_id"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_milli").desc, col("doc_id").asc))
+          .cast("long").as("lex_rank"))
+    val got = AnnIndex.probeRrf(spark, dir, queries, lex, k = 10,
+        fetchK = 20, nProbe = 23)
+      .select("rank", "doc_id", "lex_rank", "dense_rank", "rrf_nano")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val want = LlmQueries.s23RrfFusion(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == want,
+      s"index-served RRF diverged from batch s23:\n$got\nvs\n$want")
+  }
+
   test("s22 hard-negatives IVF: recall vs the exact kernel, cartesian-free plan, exclusion holds") {
     val exact = LlmQueries.s21HardNegatives(spark, TestSpark.Sf)
       .as[(Long, Long, Long)].collect()

@@ -2690,6 +2690,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(b.last == u(2), "post-restart final report != uninterrupted final")
   }
 
+  test("W1 drift monitor: end state equals batch q115, replay-safe, kill/restart parity") {
+    import spark.implicits._
+    import graft.streaming.EventStream
+    // #301 — the transport-cost kernel through the shared monitor
+    // shape; same combined contract as the AUC twin's case
+    val ev = Tables.events(spark, TestSpark.Sf)
+      .selectExpr("cast(ts as date) as day", "event_type",
+        "cast(round(value * 100, 0) as bigint) as v")
+      .as[(java.sql.Date, String, Long)].collect().toSeq
+    val base = java.nio.file.Files.createTempDirectory("graft_w1m").toString
+    val batches = ev.grouped(ev.size / 3 + 1).toSeq
+      .map(_.toDF("day", "event_type", "v"))
+    def frames(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().toSeq.map(_.toString)
+
+    val u = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val uSink = EventStream.w1DriftForeachBatch(s"$base/u") { (r, _) => u += frames(r) }
+    batches.zipWithIndex.foreach { case (b, i) => uSink(b, i.toLong) }
+    val want = AnalyticsQueries.q115W1Drift(spark, TestSpark.Sf)
+      .collect().toSeq.map(_.toString)
+    assert(u.last == want, "end state != batch q115")
+    uSink(batches.last, (batches.size - 1).toLong)
+    assert(u.last == want, "replay changed the report")
+
+    val a = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val aSink = EventStream.w1DriftForeachBatch(s"$base/a") { (r, _) => a += frames(r) }
+    aSink(batches(0), 0L); aSink(batches(1), 1L)
+    assert(a == u.take(2), "durable run diverged pre-kill")
+    val b = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val bSink = EventStream.w1DriftForeachBatch(s"$base/a") { (r, _) => b += frames(r) }
+    bSink(batches(1), 1L)
+    assert(b.last == u(1), "post-restart redelivery != uninterrupted batch-1 report")
+    bSink(batches(2), 2L)
+    assert(b.last == u(2), "post-restart final report != uninterrupted final")
+  }
+
   test("KS drift monitor: kill/restart parity (recovery inherited from the durable artifact maintainer)") {
     import spark.implicits._
     import graft.streaming.EventStream
