@@ -3440,26 +3440,45 @@ object AnalyticsQueries {
     * hash exchange. d_num ≤ n_ref·n_cur stays in BIGINT through
     * ~sf1000; the ppm scaling runs in decimal(38)/HUGEINT (ORACLE.md
     * Rule 3). Fully oracled. */
-  def q111KsDrift: Q = (spark, dir) => {
-    val ev = Tables.events(spark, dir)
+  def q111KsDrift: Q = (spark, dir) =>
+    ksFromCounts(driftRawCounts(spark, dir)).orderBy("event_type")
+
+  /** The drift triad's shared RAW-SCAN count frame — ONE definition
+    * of the reference/current split and the NULL domain for the
+    * KS (q111), AUC (q113) and W₁ (q115) raw queries, mirroring
+    * [[driftWindowCounts]] on the artifact side. NULL values are
+    * excluded EXPLICITLY so every drift path agrees on the domain:
+    * the artifact producer drops null histogram values, and a NULL
+    * would also order first in Spark's CDF walk but last in
+    * DuckDB's. NULL timestamps are excluded for the same reason: a
+    * null is_ref would count the row into o_cur here
+    * (otherwise-branch) but into NEITHER count in the oracle's
+    * FILTER, and into neither day window of the artifact path. */
+  private def driftRawCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
       .select(col("event_type"),
         (datediff(col("ts").cast(DateType), lit("2024-01-01").cast(DateType)) < 15)
           .as("is_ref"),
         expr("cast(round(value * 100, 0) as bigint)").as("cents"))
-    // NULL values are excluded EXPLICITLY so all three KS paths agree
-    // on the domain: the artifact producer (SketchStore.saveHistogram)
-    // drops null histogram values, and a NULL would also order first
-    // in Spark's CDF walk but last in DuckDB's — pin the domain here
-    // instead of leaving both divergences latent. NULL timestamps are
-    // excluded for the same reason: a null is_ref would count the row
-    // into o_cur here (otherwise-branch) but into NEITHER count in the
-    // oracle's FILTER, and into neither day window of the artifact path
-    val c = ev.filter(col("cents").isNotNull && col("is_ref").isNotNull)
+      .filter(col("cents").isNotNull && col("is_ref").isNotNull)
       .groupBy("event_type", "cents")
       .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("o_ref"),
         sum(when(col("is_ref"), 0L).otherwise(1L)).as("o_cur"))
-    ksFromCounts(c).orderBy("event_type")
-  }
+
+  /** [[driftRawCounts]]' oracle twin: the shared `ev`/`c` CTE prefix
+    * of the three raw drift SQLs (the s08CandsSql factoring pattern —
+    * a domain-rule change cannot silently fork one statistic). */
+  private val driftCountsCteSql: String =
+    """ev AS (
+      |  SELECT event_type,
+      |         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 15 AS is_ref,
+      |         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+      |c AS (
+      |  SELECT event_type, cents,
+      |         CAST(COUNT(*) FILTER (is_ref) AS BIGINT) AS o_ref,
+      |         CAST(COUNT(*) FILTER (NOT is_ref) AS BIGINT) AS o_cur
+      |  FROM ev GROUP BY 1, 2)""".stripMargin
 
   /** The q111 KS kernel over a prepared (event_type, cents, o_ref,
     * o_cur) count frame — shared by the raw-scan query (q111), the
@@ -3547,10 +3566,11 @@ object AnalyticsQueries {
 
   /** The drift panel's day-window merge over the staged histogram —
     * ONE definition of the reference/current split and the zero-fill,
-    * shared by q112 (KS) and q114 (AUC) so the two consumers can never
-    * silently diverge on the artifact-consistency claim their oracles
-    * pin. Output: the (event_type, cents, o_ref, o_cur) count frame
-    * both kernels take. */
+    * shared by the three artifact consumers (q112 KS, q114 AUC,
+    * q116 W₁) so they can never silently diverge on the
+    * artifact-consistency claim their oracles pin. Output: the
+    * (event_type, cents, o_ref, o_cur) count frame every kernel
+    * takes. */
   private def driftWindowCounts(art: DataFrame): DataFrame = {
     def window(pred: org.apache.spark.sql.Column, out: String): DataFrame =
       art.filter(pred)
@@ -3563,16 +3583,7 @@ object AnalyticsQueries {
   }
 
   val q111Sql: String =
-    """WITH ev AS (
-      |  SELECT event_type,
-      |         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 15 AS is_ref,
-      |         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
-      |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
-      |c AS (
-      |  SELECT event_type, cents,
-      |         CAST(COUNT(*) FILTER (is_ref) AS BIGINT) AS o_ref,
-      |         CAST(COUNT(*) FILTER (NOT is_ref) AS BIGINT) AS o_cur
-      |  FROM ev GROUP BY 1, 2),
+    "WITH " + driftCountsCteSql + """,
       |t AS (
       |  SELECT event_type,
       |         SUM(o_ref) OVER (PARTITION BY event_type ORDER BY cents
@@ -3607,20 +3618,8 @@ object AnalyticsQueries {
     * Same q29/q98 histogram-window plan shape as the KS kernel (one
     * event_type hash exchange); 0 while either window is empty
     * (q111's rule). Fully oracled. */
-  def q113AucDrift: Q = (spark, dir) => {
-    val ev = Tables.events(spark, dir)
-      .select(col("event_type"),
-        (datediff(col("ts").cast(DateType), lit("2024-01-01").cast(DateType)) < 15)
-          .as("is_ref"),
-        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
-    // same NULL-domain pinning as q111: null values and null
-    // timestamps leave the histogram on every engine and every path
-    val c = ev.filter(col("cents").isNotNull && col("is_ref").isNotNull)
-      .groupBy("event_type", "cents")
-      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("o_ref"),
-        sum(when(col("is_ref"), 0L).otherwise(1L)).as("o_cur"))
-    aucFromCounts(c).orderBy("event_type")
-  }
+  def q113AucDrift: Q = (spark, dir) =>
+    aucFromCounts(driftRawCounts(spark, dir)).orderBy("event_type")
 
   /** The q113 Mann–Whitney kernel over a prepared (event_type, cents,
     * o_ref, o_cur) count frame — [[ksFromCounts]]' effect-size sibling,
@@ -3662,18 +3661,8 @@ object AnalyticsQueries {
     * (ORACLE.md Rule 3) and only the final centi-cents ratio is
     * emitted. Same one-exchange histogram-window plan as the KS/AUC
     * kernels. Fully oracled. */
-  def q115W1Drift: Q = (spark, dir) => {
-    val ev = Tables.events(spark, dir)
-      .select(col("event_type"),
-        (datediff(col("ts").cast(DateType), lit("2024-01-01").cast(DateType)) < 15)
-          .as("is_ref"),
-        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
-    val c = ev.filter(col("cents").isNotNull && col("is_ref").isNotNull)
-      .groupBy("event_type", "cents")
-      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("o_ref"),
-        sum(when(col("is_ref"), 0L).otherwise(1L)).as("o_cur"))
-    w1FromCounts(c).orderBy("event_type")
-  }
+  def q115W1Drift: Q = (spark, dir) =>
+    w1FromCounts(driftRawCounts(spark, dir)).orderBy("event_type")
 
   /** The q115 W₁ kernel over a prepared (event_type, cents, o_ref,
     * o_cur) count frame — the third sibling of [[ksFromCounts]] /
@@ -3689,10 +3678,14 @@ object AnalyticsQueries {
       .withColumn("cum_cur", sum("o_cur").over(wOrd))
       .withColumn("n_ref", sum("o_ref").over(wAll))
       .withColumn("n_cur", sum("o_cur").over(wAll))
-      .withColumn("gap", lead("cents", 1).over(wLead) - col("cents"))
       // the open interval past the largest observed value carries no
-      // mass difference (both CDFs are 1) — drop the gap-less row
-      .filter(col("gap").isNotNull)
+      // mass difference (both CDFs are 1) — a 0 gap, NOT a dropped
+      // row: a type whose window union holds one distinct value must
+      // still report (type, n_ref, n_cur, 0) like the KS/AUC siblings
+      // (a triad consumer joining the three reports on event_type
+      // would otherwise lose the type from the W₁ column only)
+      .withColumn("gap",
+        coalesce(lead("cents", 1).over(wLead) - col("cents"), lit(0L)))
       .groupBy("event_type")
       .agg(min("n_ref").as("n_ref"), min("n_cur").as("n_cur"),
         sum(expr("cast(abs(cum_ref * n_cur - cum_cur * n_ref) " +
@@ -3705,16 +3698,7 @@ object AnalyticsQueries {
   }
 
   val q115Sql: String =
-    """WITH ev AS (
-      |  SELECT event_type,
-      |         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 15 AS is_ref,
-      |         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
-      |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
-      |c AS (
-      |  SELECT event_type, cents,
-      |         CAST(COUNT(*) FILTER (is_ref) AS BIGINT) AS o_ref,
-      |         CAST(COUNT(*) FILTER (NOT is_ref) AS BIGINT) AS o_cur
-      |  FROM ev GROUP BY 1, 2),
+    "WITH " + driftCountsCteSql + """,
       |t AS (
       |  SELECT event_type,
       |         SUM(o_ref) OVER (PARTITION BY event_type ORDER BY cents
@@ -3723,8 +3707,8 @@ object AnalyticsQueries {
       |                          ROWS UNBOUNDED PRECEDING) AS cum_cur,
       |         SUM(o_ref) OVER (PARTITION BY event_type) AS n_ref,
       |         SUM(o_cur) OVER (PARTITION BY event_type) AS n_cur,
-      |         lead(cents) OVER (PARTITION BY event_type ORDER BY cents) - cents
-      |           AS gap
+      |         COALESCE(lead(cents) OVER (PARTITION BY event_type ORDER BY cents)
+      |                  - cents, 0) AS gap
       |  FROM c),
       |d AS (
       |  SELECT event_type,
@@ -3732,7 +3716,7 @@ object AnalyticsQueries {
       |         CAST(MIN(n_cur) AS BIGINT) AS n_cur,
       |         SUM(CAST(ABS(cum_ref * n_cur - cum_cur * n_ref) AS HUGEINT) * gap)
       |           AS w1num
-      |  FROM t WHERE gap IS NOT NULL GROUP BY 1)
+      |  FROM t GROUP BY 1)
       |SELECT event_type, n_ref, n_cur,
       |       CAST(CASE WHEN n_ref = 0 OR n_cur = 0 THEN 0
       |            ELSE (w1num * 100)
@@ -3763,16 +3747,7 @@ object AnalyticsQueries {
       .orderBy("event_type")
 
   val q113Sql: String =
-    """WITH ev AS (
-      |  SELECT event_type,
-      |         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 15 AS is_ref,
-      |         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
-      |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
-      |c AS (
-      |  SELECT event_type, cents,
-      |         CAST(COUNT(*) FILTER (is_ref) AS BIGINT) AS o_ref,
-      |         CAST(COUNT(*) FILTER (NOT is_ref) AS BIGINT) AS o_cur
-      |  FROM ev GROUP BY 1, 2),
+    "WITH " + driftCountsCteSql + """,
       |t AS (
       |  SELECT event_type, o_ref, o_cur,
       |         COALESCE(SUM(o_ref) OVER (PARTITION BY event_type ORDER BY cents

@@ -1803,7 +1803,7 @@ object LlmQueries {
   def s23RrfFusion: Q = (spark, dir) => {
     val lex = s08Bm25(spark, dir)
       .filter(col("doc_id") =!= 0)
-      .select(col("doc_id"),
+      .select(lit(0L).as("qid"), col("doc_id"),
         row_number().over(Window.orderBy(col("score_milli").desc,
           col("doc_id").asc)).cast("long").as("lex_rank"))
     val (emb, qv) = embAndQuery0(spark, dir)
@@ -1813,22 +1813,12 @@ object LlmQueries {
         cosinePrenormed(dot(col("qvec"), col("vec")), col("qnrm"), col("nrm")))
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(20)
-      .select(col("vec_id").as("doc_id"),
+      .select(lit(0L).as("qid"), col("vec_id").as("doc_id"),
         row_number().over(Window.orderBy(col("sim").desc,
           col("vec_id").asc)).cast("long").as("dense_rank"))
-    lex.join(dense, Seq("doc_id"), "full")
-      .na.fill(0L, Seq("lex_rank", "dense_rank"))
-      .withColumn("rrf_nano",
-        when(col("lex_rank") > 0,
-          expr("1000000000 div (60 + lex_rank)")).otherwise(0L) +
-        when(col("dense_rank") > 0,
-          expr("1000000000 div (60 + dense_rank)")).otherwise(0L))
-      .orderBy(col("rrf_nano").desc, col("doc_id").asc)
-      .limit(10)
-      .select(
-        row_number().over(Window.orderBy(col("rrf_nano").desc,
-          col("doc_id").asc)).cast("long").as("rank"),
-        col("doc_id"), col("lex_rank"), col("dense_rank"), col("rrf_nano"))
+    // one query (doc 0), so the shared rule's qid axis is a constant
+    Ann.rrfFuse(lex, dense, k = 10)
+      .select("rank", "doc_id", "lex_rank", "dense_rank", "rrf_nano")
       .orderBy("rank")
   }
 

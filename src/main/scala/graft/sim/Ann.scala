@@ -1147,6 +1147,34 @@ object Ann {
         col("neighbor_id"))
   }
 
+  /** Integer-exact Reciprocal Rank Fusion of two per-query ranked
+    * lists — ONE definition of the rule (rrf = Σ 10⁹ div
+    * (rrfK + rank); a doc absent from a list contributes 0 and its
+    * rank column reports 0; ties on doc_id) shared by the batch
+    * query ([[graft.LlmQueries.s23RrfFusion]]) and the index-served
+    * path ([[AnnIndex.probeRrf]]), so the serving path can never
+    * silently diverge from the oracled rule. Inputs: (qid, doc_id,
+    * lex_rank) and (qid, doc_id, dense_rank), each ≤ fetch-k rows
+    * per query — the fusion join is candidate-scale and the top-k
+    * window plans as WindowGroupLimit. */
+  def rrfFuse(lex: DataFrame, dense: DataFrame, k: Int,
+              rrfK: Int = 60): DataFrame = {
+    val w = Window.partitionBy("qid")
+      .orderBy(col("rrf_nano").desc, col("doc_id").asc)
+    lex.select(col("qid"), col("doc_id"), col("lex_rank"))
+      .join(dense.select(col("qid"), col("doc_id"), col("dense_rank")),
+        Seq("qid", "doc_id"), "full")
+      .na.fill(0L, Seq("lex_rank", "dense_rank"))
+      .withColumn("rrf_nano",
+        when(col("lex_rank") > 0,
+          expr(s"1000000000 div ($rrfK + lex_rank)")).otherwise(0L) +
+        when(col("dense_rank") > 0,
+          expr(s"1000000000 div ($rrfK + dense_rank)")).otherwise(0L))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "doc_id", "lex_rank", "dense_rank", "rrf_nano")
+  }
+
   /** LSH-bucketed ANN: score only corpus vectors sharing a bucket
     * with the query in at least one of `nTables` independent
     * hyperplane tables. One table's recall on near-orthogonal

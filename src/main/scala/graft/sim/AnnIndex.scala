@@ -593,24 +593,12 @@ object AnnIndex {
     * rank-for-rank. */
   def probeRrf(spark: SparkSession, dir: String, queries: DataFrame,
                lex: DataFrame, k: Int, fetchK: Int = 20,
-               nProbe: Int = 0, rrfK: Int = 60): DataFrame = {
-    val dense = probe(spark, dir, queries, fetchK, nProbe)
-      .select(col("qid"), col("neighbor_id").as("doc_id"),
-        col("rank").as("dense_rank"))
-    val l = lex.select(col("qid"), col("doc_id"), col("lex_rank"))
-    val w = Window.partitionBy("qid")
-      .orderBy(col("rrf_nano").desc, col("doc_id").asc)
-    l.join(dense, Seq("qid", "doc_id"), "full")
-      .na.fill(0L, Seq("lex_rank", "dense_rank"))
-      .withColumn("rrf_nano",
-        when(col("lex_rank") > 0,
-          expr(s"1000000000 div ($rrfK + lex_rank)")).otherwise(0L) +
-        when(col("dense_rank") > 0,
-          expr(s"1000000000 div ($rrfK + dense_rank)")).otherwise(0L))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("qid", "rank", "doc_id", "lex_rank", "dense_rank", "rrf_nano")
-  }
+               nProbe: Int = 0, rrfK: Int = 60): DataFrame =
+    Ann.rrfFuse(lex,
+      probe(spark, dir, queries, fetchK, nProbe)
+        .select(col("qid"), col("neighbor_id").as("doc_id"),
+          col("rank").as("dense_rank")),
+      k, rrfK)
 
   /** Recall-vs-cost frontier (#209): sweep the probe budget against
     * the persisted index and report, per operating point, the

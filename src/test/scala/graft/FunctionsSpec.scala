@@ -547,6 +547,50 @@ class FunctionsSpec extends AnyFunSuite {
       .map(p => s"$p ${est(p)._1}/${exact(p)._1}").mkString(", ")}")
   }
 
+  test("q115 exact W1 statistic matches the definitional transport integral") {
+    // the definitional cross-check the q111/q113 convention demands:
+    // W1 = ∫|F_ref − F_cur| dv computed locally with BigInt rationals
+    // over the ordered union domain — an algebra error mirrored into
+    // both engines' SQL would pass the oracle but not this
+    val got = AnalyticsQueries.q115W1Drift(spark, TestSpark.Sf)
+      .as[(String, Long, Long, Long)].collect()
+    val ev = Tables.events(spark, TestSpark.Sf)
+      .selectExpr("event_type",
+        "datediff(cast(ts as date), date'2024-01-01') < 15 as is_ref",
+        "cast(round(value * 100, 0) as bigint) as cents")
+      .as[(String, Boolean, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (et, nRef, nCur, w1Centi) =>
+      val rows = ev.filter(_._1 == et)
+      val (ref, cur) = rows.partition(_._2)
+      assert(nRef == ref.length && nCur == cur.length, s"$et window sizes")
+      val domain = rows.map(_._3).distinct.sorted
+      var cr = 0L; var cc = 0L; var num = BigInt(0)
+      domain.zipWithIndex.foreach { case (v, i) =>
+        cr += ref.count(_._3 == v); cc += cur.count(_._3 == v)
+        if (i + 1 < domain.length)
+          num += BigInt((cr * nCur - cc * nRef).abs) * (domain(i + 1) - v)
+      }
+      assert(w1Centi == num * 100 / (BigInt(nRef) * nCur),
+        s"$et w1_centi_cents $w1Centi != ${num * 100 / (BigInt(nRef) * nCur)}")
+    }
+    // a window compared against itself transports nothing
+    val self = AnalyticsQueries.w1FromCounts(
+      Tables.events(spark, TestSpark.Sf)
+        .selectExpr("event_type", "cast(round(value * 100, 0) as bigint) as cents")
+        .where("value is not null")
+        .groupBy("event_type", "cents")
+        .agg(count(lit(1)).as("o_ref"), count(lit(1)).as("o_cur")))
+      .select("w1_centi_cents").as[Long].collect()
+    assert(self.nonEmpty && self.forall(_ == 0L), "self-W1 must be 0")
+    // and a single-value window still reports its row (gap-0 rule)
+    val single = AnalyticsQueries.w1FromCounts(
+      Seq(("x", 100L, 3L, 4L)).toDF("event_type", "cents", "o_ref", "o_cur"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(single.toSeq == Seq(("x", 3L, 4L, 0L)),
+      s"single-value window must report a 0 row, got ${single.toSeq}")
+  }
+
   test("q111 exact KS statistic matches a local cross-multiplied CDF recomputation") {
     val got = AnalyticsQueries.q111KsDrift(spark, TestSpark.Sf)
       .as[(String, Long, Long, Long, Long)].collect()

@@ -2708,6 +2708,7 @@ class StreamingSpec extends AnyFunSuite {
     val u = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
     val uSink = EventStream.w1DriftForeachBatch(s"$base/u") { (r, _) => u += frames(r) }
     batches.zipWithIndex.foreach { case (b, i) => uSink(b, i.toLong) }
+    assert(u.size == batches.size, "a per-batch emission was skipped")
     val want = AnalyticsQueries.q115W1Drift(spark, TestSpark.Sf)
       .collect().toSeq.map(_.toString)
     assert(u.last == want, "end state != batch q115")
