@@ -3441,7 +3441,22 @@ object AnalyticsQueries {
     * ~sf1000; the ppm scaling runs in decimal(38)/HUGEINT (ORACLE.md
     * Rule 3). Fully oracled. */
   def q111KsDrift: Q = (spark, dir) =>
-    ksFromCounts(driftRawCounts(spark, dir)).orderBy("event_type")
+    ksFromCounts(driftRawCounts(spark, dir, DriftRefEnd)).orderBy("event_type")
+
+  /** The drift panel's CANONICAL reference/current day split — the
+    * boundary every batch consumer (raw q111/q113/q115, artifact
+    * q112/q114/q116) and the streaming monitors' refEnd default pin
+    * EXPLICITLY. The split is a parameter of [[driftRawCounts]] /
+    * [[driftWindowCounts]], not a literal buried inside them: a
+    * future consumer must choose its window boundary instead of
+    * silently inheriting the test corpus's, and shifting it moves all
+    * three statistics together (spec-pinned). `DriftCurStart` is the
+    * day after `DriftRefEnd` — the windows partition the day line.
+    * The DuckDB oracles encode the same boundary as
+    * `datediff(day, '2024-01-01', …) < 15` inside
+    * [[driftCountsCteSql]] (one shared CTE for the three raw SQLs). */
+  private[graft] val DriftRefEnd = "2024-01-15"
+  private[graft] val DriftCurStart = "2024-01-16"
 
   /** The drift triad's shared RAW-SCAN count frame — ONE definition
     * of the reference/current split and the NULL domain for the
@@ -3453,11 +3468,15 @@ object AnalyticsQueries {
     * DuckDB's. NULL timestamps are excluded for the same reason: a
     * null is_ref would count the row into o_cur here
     * (otherwise-branch) but into NEITHER count in the oracle's
-    * FILTER, and into neither day window of the artifact path. */
-  private def driftRawCounts(spark: SparkSession, dir: String): DataFrame =
+    * FILTER, and into neither day window of the artifact path.
+    * `refEnd` is the split boundary (see [[DriftRefEnd]]): events
+    * dated ≤ refEnd are the reference window, everything later is
+    * current — the raw twin of [[driftWindowCounts]]' day filter. */
+  private def driftRawCounts(spark: SparkSession, dir: String,
+                             refEnd: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_type"),
-        (datediff(col("ts").cast(DateType), lit("2024-01-01").cast(DateType)) < 15)
+        (col("ts").cast(DateType) <= lit(refEnd).cast(DateType))
           .as("is_ref"),
         expr("cast(round(value * 100, 0) as bigint)").as("cents"))
       .filter(col("cents").isNotNull && col("is_ref").isNotNull)
@@ -3561,7 +3580,8 @@ object AnalyticsQueries {
     * partitions; the kernel is [[ksFromCounts]]. At 100 TB: tonight's
     * drift panel reads kilobyte histograms, never the event log. */
   def q112KsFromArtifacts: Q = (spark, dir) =>
-    ksFromCounts(driftWindowCounts(ksHistArtifact(spark, dir)))
+    ksFromCounts(driftWindowCounts(ksHistArtifact(spark, dir),
+      DriftRefEnd, DriftCurStart))
       .orderBy("event_type")
 
   /** The drift panel's day-window merge over the staged histogram —
@@ -3570,14 +3590,18 @@ object AnalyticsQueries {
     * q116 W₁) so they can never silently diverge on the
     * artifact-consistency claim their oracles pin. Output: the
     * (event_type, cents, o_ref, o_cur) count frame every kernel
-    * takes. */
-  private def driftWindowCounts(art: DataFrame): DataFrame = {
+    * takes. The split is the caller's choice — the canonical panel
+    * passes ([[DriftRefEnd]], [[DriftCurStart]]); days strictly
+    * between refEnd and curStart (if the caller leaves a gap) belong
+    * to neither window. */
+  private[graft] def driftWindowCounts(art: DataFrame, refEnd: String,
+                                       curStart: String): DataFrame = {
     def window(pred: org.apache.spark.sql.Column, out: String): DataFrame =
       art.filter(pred)
         .groupBy(col("event_type"), col("v").as("cents"))
         .agg(sum("cnt").as(out))
-    window(col("day") <= "2024-01-15", "o_ref")
-      .join(window(col("day") >= "2024-01-16", "o_cur"),
+    window(col("day") <= refEnd, "o_ref")
+      .join(window(col("day") >= curStart, "o_cur"),
         Seq("event_type", "cents"), "full")
       .na.fill(0L, Seq("o_ref", "o_cur"))
   }
@@ -3619,7 +3643,7 @@ object AnalyticsQueries {
     * event_type hash exchange); 0 while either window is empty
     * (q111's rule). Fully oracled. */
   def q113AucDrift: Q = (spark, dir) =>
-    aucFromCounts(driftRawCounts(spark, dir)).orderBy("event_type")
+    aucFromCounts(driftRawCounts(spark, dir, DriftRefEnd)).orderBy("event_type")
 
   /** The q113 Mann–Whitney kernel over a prepared (event_type, cents,
     * o_ref, o_cur) count frame — [[ksFromCounts]]' effect-size sibling,
@@ -3662,7 +3686,7 @@ object AnalyticsQueries {
     * emitted. Same one-exchange histogram-window plan as the KS/AUC
     * kernels. Fully oracled. */
   def q115W1Drift: Q = (spark, dir) =>
-    w1FromCounts(driftRawCounts(spark, dir)).orderBy("event_type")
+    w1FromCounts(driftRawCounts(spark, dir, DriftRefEnd)).orderBy("event_type")
 
   /** The q115 W₁ kernel over a prepared (event_type, cents, o_ref,
     * o_cur) count frame — the third sibling of [[ksFromCounts]] /
@@ -3730,7 +3754,8 @@ object AnalyticsQueries {
     * CDF functional, so the artifact-served W₁ is bit-identical to
     * q115 over the raw events (oracle = q115's own SQL). */
   def q116W1FromArtifacts: Q = (spark, dir) =>
-    w1FromCounts(driftWindowCounts(ksHistArtifact(spark, dir)))
+    w1FromCounts(driftWindowCounts(ksHistArtifact(spark, dir),
+      DriftRefEnd, DriftCurStart))
       .orderBy("event_type")
 
   /** #296 (q114): AUC drift between day ranges from PERSISTED
@@ -3743,7 +3768,8 @@ object AnalyticsQueries {
     * over the raw events — the oracle pins q114 against q113's own
     * SQL. */
   def q114AucFromArtifacts: Q = (spark, dir) =>
-    aucFromCounts(driftWindowCounts(ksHistArtifact(spark, dir)))
+    aucFromCounts(driftWindowCounts(ksHistArtifact(spark, dir),
+      DriftRefEnd, DriftCurStart))
       .orderBy("event_type")
 
   val q113Sql: String =

@@ -212,7 +212,7 @@ object LlmQueries {
     * string shingles — each is a hash of the same contiguous byte
     * range), so |∩| and |∪| are identical while all joins compare
     * longs instead of building strings through interpreted lambdas. */
-  private def shingleSets(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def shingleSets(spark: SparkSession, dir: String): DataFrame =
     normedDocs(spark, dir)
       .select(col("doc_id"),
         array_distinct(MinHash.shingleHashes(col("text_norm"), 3)).as("s"))
@@ -1468,14 +1468,19 @@ object LlmQueries {
     * ([[graft.sim.AnnIndex.append]]) — this IS that audit: run it
     * nightly beside the ingest appends and alert/rebuild when
     * recall_ppm crosses the floor. At 100 TB the brute-force side is
-    * the reason for the SAMPLE: cost is |sample| broadcast scans, a
-    * knob, while the audited index path stays the production plan.
-    * Rows-only (IVF inside); AnnSpec pins the audit against an
-    * independent recall computation and its calibration floor. */
+    * the reason for the SAMPLE: cost is |sample| broadcast scans —
+    * and |sample| is an ABSOLUTE budget
+    * ([[graft.sim.Ann.auditSampleMod]]: the 1/25 slice below 51k
+    * rows, a growing modulus past it, so the exact side stays
+    * O(budget·n) instead of Θ(n²)) — while the audited index path
+    * stays the production plan. Rows-only (IVF inside); AnnSpec pins
+    * the audit against an independent recall computation and its
+    * calibration floor. */
   def s14AnnRecallAudit: Q = (spark, dir) => {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
-    val sample = e.filter(pmod(col("id"), lit(25)) === 0) // deterministic ~4%
+    val sample = e.filter(
+      pmod(col("id"), lit(graft.sim.Ann.auditSampleMod(e.count()))) === 0)
     val exact = Ann.bruteForceTopK(e, sample, k = 10)
       .select(col("qid"), col("neighbor_id"))
     val approx = Ann.ivfTopKAuto(e, sample, k = 10, seed = 42L)

@@ -2267,6 +2267,17 @@ object TrainingDataQueries {
       .withColumn("hk",
         conv(substring(md5(col("doc_id").cast(StringType)
           .cast(BinaryType)), 1, 15), 16, 10).cast(LongType))
+      // materialization barrier: the banded pass below reads this
+      // frame in FIVE subplans (coarse counts, two bounds aggregates,
+      // bucket partials, the corpus join), each of which would re-run
+      // the per-root prefix sum's exchanges + windows + the md5
+      // projection (a repartition barrier measured no better — the
+      // sibling subplans' exchanges don't unify under AQE); one eager
+      // checkpoint runs the groupSeq pass ONCE and every banded
+      // subplan reads the materialized blocks (measured 2.93 → 1.53 s
+      // at sf0.1 isolated). Block-sized like any exchange of the same
+      // frame — no driver collect.
+      .localCheckpoint(true)
     // dataScaleCoarse: r's domain is bounded by the LARGEST cluster —
     // corpus-share in the soft-dedup regime t46 exists for — so the
     // coarse prefix must bucket and the offset frames must never

@@ -51,6 +51,41 @@ object SetSimJoin {
                       touching: Option[DataFrame] = None): DataFrame = {
     val sets = df.select(col(idCol).as("sid"), col(setCol).as("s"))
       .withColumn("sz", size(col("s")).cast(LongType))
+    val cand = jaccardCandidates(df, idCol, setCol, tauNum, tauDen)
+      .transform { c =>
+        touching match {
+          case None => c
+          case Some(t) =>
+            val tid = t.select(t.columns.head).toDF("tid")
+            c.join(tid, c("id1") === tid("tid"), "left_semi")
+              .union(c.join(tid, c("id2") === tid("tid"), "left_semi"))
+              .distinct()
+        }
+      }
+
+    // exact verification on candidates only.
+    val s1 = sets.select(col("sid").as("id1"), col("s").as("s1"))
+    val s2 = sets.select(col("sid").as("id2"), col("s").as("s2"))
+    cand.join(s1, "id1").join(s2, "id2")
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast(LongType))
+      .withColumn("uni", (size(col("s1")) + size(col("s2"))).cast(LongType) - col("inter"))
+      .filter(col("inter") > 0 && col("inter") * (tauDen + tauNum) >= (col("uni") + col("inter")) * tauNum)
+      .select("id1", "id2", "inter", "uni")
+  }
+
+  /** Candidate stage of [[jaccardSelfJoin]] — exposed (the
+    * [[graft.sim.Ann.lshCandidates]] precedent) so the d31 gate-audit
+    * spec can GATE the exact side's volume at its own operating point:
+    * the audit contract says "exact truth prices candidate-linear, run
+    * it on a slice/cadence", and that contract is only real if the
+    * candidate count is measured against a bound in the suite, not
+    * asserted in prose. Output: distinct (id1, id2), id1 < id2 — every
+    * pair that reaches exact verification. */
+  private[graft] def jaccardCandidates(df: DataFrame, idCol: String,
+                                       setCol: String,
+                                       tauNum: Int, tauDen: Int): DataFrame = {
+    val sets = df.select(col(idCol).as("sid"), col(setCol).as("s"))
+      .withColumn("sz", size(col("s")).cast(LongType))
 
     // token → document frequency: the global order key (df asc, token
     // asc). One linear shuffle on token.
@@ -78,7 +113,7 @@ object SetSimJoin {
     // filter alone lets through, BEFORE the dedup shuffle.
     val a = prefixes.toDF("id1", "sz1", "tok", "pos1")
     val b = prefixes.toDF("id2", "sz2", "tok", "pos2")
-    val cand = a.join(b,
+    a.join(b,
         a("tok") === b("tok") && col("id1") < col("id2") &&
         greatest(col("sz1"), col("sz2")) * tauNum <=
           least(col("sz1"), col("sz2")) * tauDen &&
@@ -86,25 +121,6 @@ object SetSimJoin {
           (tauDen + tauNum) >= (col("sz1") + col("sz2")) * tauNum)
       .select("id1", "id2")
       .distinct()
-      .transform { c =>
-        touching match {
-          case None => c
-          case Some(t) =>
-            val tid = t.select(t.columns.head).toDF("tid")
-            c.join(tid, c("id1") === tid("tid"), "left_semi")
-              .union(c.join(tid, c("id2") === tid("tid"), "left_semi"))
-              .distinct()
-        }
-      }
-
-    // exact verification on candidates only.
-    val s1 = sets.select(col("sid").as("id1"), col("s").as("s1"))
-    val s2 = sets.select(col("sid").as("id2"), col("s").as("s2"))
-    cand.join(s1, "id1").join(s2, "id2")
-      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast(LongType))
-      .withColumn("uni", (size(col("s1")) + size(col("s2"))).cast(LongType) - col("inter"))
-      .filter(col("inter") > 0 && col("inter") * (tauDen + tauNum) >= (col("uni") + col("inter")) * tauNum)
-      .select("id1", "id2", "inter", "uni")
   }
 
   /** DIRECTED containment self-join: all ordered pairs (a, b), a ≠ b,

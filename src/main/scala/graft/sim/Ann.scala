@@ -269,6 +269,21 @@ object Ann {
     }
   }
 
+  /** Modulus for a deterministic ABSOLUTE-budget audit sample — the
+    * recall-audit economics ([[AnnIndex.maintain]], s14, s17) price
+    * the exact brute-force side at |sample|·n similarity evaluations,
+    * so the sample must be bounded by a fixed QUERY BUDGET, not a
+    * corpus fraction: a 1/25 slice is Θ(n²) at 100× and the audit
+    * becomes the most expensive query in the system. Below
+    * floorMod·budget rows the classic 1/floorMod slice is kept
+    * (small corpora audit densely — and the test-scale sample is
+    * unchanged); past it the modulus grows with n so the expected
+    * query count stays ≤ budget forever. Same pmod convention as the
+    * fit/calibration caps: deterministic, partitioning-independent. */
+  private[graft] def auditSampleMod(n: Long, floorMod: Long = 25L,
+                                    budget: Long = 2048L): Long =
+    math.max(floorMod, (n + budget - 1L) / budget)
+
   /** Probe ranks of true-neighbor home cells: one entry per
     * (sample query, true top-`kCal` sample neighbor) pair, giving the
     * 1-based position of the neighbor's home cell in the query's
@@ -1098,8 +1113,12 @@ object Ann {
     * vectors, crowding the closest cells, so the k-th ELIGIBLE
     * neighbor sits deeper in the cell ordering than the k-th
     * unrestricted one. [[probesForRecall]] is therefore solved at
-    * kCal = k + (p99 cluster size − 1): the empirical neighbor-rank
-    * CDF covers the exclusion depth a 99th-percentile cluster imposes,
+    * kCal = k + (p99 cluster size − 1), with the percentile taken
+    * SIZE-WEIGHTED over member rows (the cluster size a
+    * 99th-percentile QUERY experiences — a root-level percentile
+    * collapses to 1 whenever singletons dominate the root count, even
+    * with one corpus-fraction mega-cluster): the empirical
+    * neighbor-rank CDF covers the exclusion depth that query faces,
     * and nProbe grows only as far as that deeper CDF demands. p99 (not
     * max) keeps one web-scale boilerplate mega-cluster from pushing
     * kCal past the 512-vector calibration sample and degenerating the
@@ -1116,12 +1135,29 @@ object Ann {
     val g = groups.select(col("id"), col("root"))
     val live = corpus.join(g, "id")
       .withColumn("nrm0", norm(col("vec"))).filter(col("nrm0") > 0)
+    // the calibrated operating point depends on the GROUPS frame (its
+    // p99 cluster size sets the exclusion depth), so the memo key must
+    // cover the groups' identity, not just the corpus key — two calls
+    // sharing a corpus but clustered differently must not serve each
+    // other's calibration. One linear content digest per call; the
+    // expensive fit behind it is still memoized.
+    val gDigest = cacheKey.map(_ => g
+      .agg(coalesce(expr("bit_xor(xxhash64(id, root))"), lit(0L)),
+        count(lit(1)))
+      .head() match { case r => s"${r.getLong(0)}x${r.getLong(1)}" })
     val (centroids, nProbe) = memo(cacheKey.map(c =>
-        s"hni|$c|k=$k|seed=$seed|r=$recall|cap=$fitSampleCap")) {
+        s"hni|$c|k=$k|seed=$seed|r=$recall|cap=$fitSampleCap" +
+          s"|g=${gDigest.get}")) {
       val n = live.count()
       val nCells = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
       val cs = fitCentroids(live, n, nCells, seed, fitSampleCap)
-      val p99 = g.groupBy("root").agg(count(lit(1)).as("csz"))
+      // SIZE-WEIGHTED p99: percentile of csz over MEMBER rows (join
+      // counts back to members), not over root rows — in a soft-dedup
+      // regime singleton roots dominate the root count, so a
+      // root-level p99 collapses to 1 even when one cluster holds 20%
+      // of the corpus; what the calibration must cover is the cluster
+      // size a 99th-percentile QUERY experiences
+      val p99 = g.join(g.groupBy("root").agg(count(lit(1)).as("csz")), "root")
         .agg(percentile_approx(col("csz"), lit(0.99), lit(10000)))
         .head().getLong(0)
       val excl = math.min(255L, math.max(0L, p99 - 1L)).toInt

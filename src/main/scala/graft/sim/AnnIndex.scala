@@ -261,6 +261,13 @@ object AnnIndex {
       throw new java.io.IOException(
         s"purge: rename $tmp -> $cells failed (previous cells at $prev)")
     fs.delete(prev, true)
+    // best-effort tmp cleanup: a concurrent healer that lost a rename
+    // race can un-nest a full duplicate of the cells table back to the
+    // hidden tmp path AFTER our swap was accepted — left there, it
+    // would persist (retaining purged bytes on disk) until the next
+    // purge with pending tombstones. Every accepted-swap path ends
+    // with cells live, so tmp is disposable here.
+    fs.delete(tmp, true)
     // clear ONLY the snapshot's files, only after the swap commits (a
     // crash in between re-masks already-purged ids — anti-join no-op)
     tombFiles.foreach(f => fs.delete(f, false))
@@ -362,9 +369,14 @@ object AnnIndex {
     * — this runs that audit against the PERSISTED index and performs
     * the rebuild when it fails. Recall@k of the index's calibrated
     * probe path is measured against exact brute force on a
-    * deterministic ~1/sampleMod slice of the indexed corpus (the s14
-    * economics: brute force pays only the sample, the audited side is
-    * the production plan). If recall_ppm drops below the floor — the
+    * deterministic corpus slice whose size is an ABSOLUTE budget, not
+    * a fraction ([[Ann.auditSampleMod]]: 1/sampleMod below
+    * sampleMod·sampleBudget rows, then the modulus grows with n so
+    * the query count stays ≤ sampleBudget — a fixed fraction would
+    * make the exact side Θ(n²) and the audit the most expensive query
+    * in the system at 100×). The s14 economics hold at every scale:
+    * brute force pays |sample|·n, the audited side is the production
+    * plan. If recall_ppm drops below the floor — the
     * index's stored build-time recall target by default, or an
     * explicit `floorPpm` — the corpus is re-read from the cell files,
     * STAGED through a checkpoint (the rebuild overwrites the very
@@ -376,7 +388,8 @@ object AnnIndex {
     * (recall_ppm measured BEFORE any rebuild, rebuilt?). */
   def maintain(spark: SparkSession, dir: String, k: Int = 10,
                sampleMod: Int = 25, seed: Long = 42L,
-               floorPpm: Long = -1L, nCells: Int = 0): (Long, Boolean) = {
+               floorPpm: Long = -1L, nCells: Int = 0,
+               sampleBudget: Long = 2048L): (Long, Boolean) = {
     import spark.implicits._
     // the rebuild must carry the metadata columns back through build
     // (probeFiltered prunes on them) — only nrm/cell are derived;
@@ -384,7 +397,9 @@ object AnnIndex {
     // (build clears the then-incorporated tombstone list)
     val full = liveCells(spark, dir).drop("nrm", "cell")
     val corpus = full.select("id", "vec")
-    val sample = corpus.filter(pmod(col("id"), lit(sampleMod)) === 0)
+    val n = corpus.count()
+    val mod = Ann.auditSampleMod(n, sampleMod.toLong, sampleBudget)
+    val sample = corpus.filter(pmod(col("id"), lit(mod)) === 0)
     val exact = Ann.bruteForceTopK(corpus, sample, k)
       .select(col("qid"), col("neighbor_id"))
     val approx = probe(spark, dir, sample, k)
@@ -403,7 +418,7 @@ object AnnIndex {
       val staged = full.localCheckpoint(true)
       val cells =
         if (nCells > 0) nCells
-        else math.max(2, math.ceil(math.sqrt(staged.count().toDouble)).toInt)
+        else math.max(2, math.ceil(math.sqrt(n.toDouble)).toInt)
       build(staged, cells, seed, dir, recall = meta.getDouble(0))
     }
     (recallPpm, rebuild)
@@ -600,36 +615,117 @@ object AnnIndex {
           col("rank").as("dense_rank")),
       k, rrfK)
 
+  /** Index-served hard-negative mining (#302) —
+    * [[Ann.hardNegativesIvf]]'s build-once/probe-many twin (the
+    * #201/#221/#299 lifecycle pattern): candidates come from the
+    * PERSISTED index's cell equi-join (partition-pruned, no refit per
+    * call) and the same-root exclusion applies to the candidate set
+    * BEFORE ranking, so k fills from eligible candidates next to any
+    * cluster size — the exact kernel's contract, kept. The query side
+    * is the indexed corpus itself (every live vector mines its own
+    * negatives), so it is never broadcast — the cell join shuffles
+    * both sides on the cell id exactly as the one-shot twin does.
+    *
+    * `nProbe <= 0` widens the operating point for the exclusion depth
+    * on the persisted geometry: the stored `meta.n_probe` was
+    * calibrated for UNRESTRICTED top-k, but a query's same-root
+    * near-dups crowd its closest cells, so the k-th ELIGIBLE neighbor
+    * sits deeper — [[Ann.probesForRecall]] is re-solved at
+    * kCal = k + (size-weighted p99 cluster size − 1), capped 255
+    * (identical rule, rationale and cap as [[Ann.hardNegativesIvf]]'s
+    * scaladoc). The re-solve is bounded driver work (the 512-cap
+    * calibration sample against √n centroids); a serving loop that
+    * mines daily should pass the solved nProbe back explicitly.
+    * `groups`: (id, root) — total over the indexed ids (inner-joined;
+    * unrooted ids drop, the one-shot twin's convention). AnnSpec pins
+    * full-probe parity with the exact [[Ann.hardNegatives]] kernel,
+    * the exclusion contract, and a calibrated-probe recall floor. */
+  def probeHardNegatives(spark: SparkSession, dir: String, k: Int,
+                         groups: DataFrame, nProbe: Int = 0): DataFrame = {
+    val centroids = readCentroids(spark, dir)
+    val g = groups.select(col("id"), col("root"))
+    val live = liveCells(spark, dir).join(g, "id")
+    val probes =
+      if (nProbe > 0) nProbe
+      else {
+        val recall =
+          try spark.read.parquet(s"$dir/meta")
+            .select("recall_target").head().getDouble(0)
+          catch { case scala.util.control.NonFatal(_) => 0.9 }
+        val n = live.count()
+        val p99 = g.join(g.groupBy("root").agg(count(lit(1)).as("csz")), "root")
+          .agg(percentile_approx(col("csz"), lit(0.99), lit(10000)))
+          .head().getLong(0)
+        val excl = math.min(255L, math.max(0L, p99 - 1L)).toInt
+        Ann.probesForRecall(Ann.calibrationSample(live, n), centroids,
+          recall, kCal = k + excl)
+      }
+    val c = live.select(col("id").as("neighbor_id"), col("vec").as("cvec"),
+      col("nrm").as("cnrm"), col("root").as("croot"), col("cell"))
+    val q = live.select(col("id").as("qid"), col("vec").as("qvec"),
+        col("nrm").as("qnrm"), col("root").as("qroot"))
+      .withColumn("cell",
+        explode(centroidCells(col("qvec"), col("qnrm"), centroids, probes)))
+    // croot ≠ qroot also excludes self (equal roots by construction)
+    val scored = c.join(q, Seq("cell"))
+      .filter(col("croot") =!= col("qroot"))
+      .withColumn("sim",
+        cosinePrenormed(dot(col("qvec"), col("cvec")), col("qnrm"), col("cnrm")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
+  }
+
   /** Recall-vs-cost frontier (#209): sweep the probe budget against
     * the persisted index and report, per operating point, the
     * measured recall@k (vs exact brute force on a deterministic
-    * ~1/sampleMod corpus slice — the s14/maintain economics) and the
+    * corpus slice bounded by an ABSOLUTE query budget —
+    * [[Ann.auditSampleMod]], the s14/[[maintain]] economics: a fixed
+    * FRACTION would make the exact side Θ(n²) at 100×) and the
     * candidate volume a probe at that point scans. This is the
     * capacity-planning table a serving owner reads before picking a
     * latency budget — the stored calibrated point (meta.n_probe) is
     * ONE row of it. Driver loops over the handful of requested
-    * points; each is one Spark job over partition-pruned cells.
-    * Monotonicity (recall never decreases with probes) and the
-    * full-probe anchor (nProbe = nCells ⇒ recall 1.0 — probing every
-    * cell IS brute force) are spec-pinned. */
+    * points; each is one Spark job over partition-pruned cells, and
+    * recall is computed DISTRIBUTED ([[maintain]]'s shape: the exact
+    * truth materializes once as a ≤ budget·k-row frame, each point is
+    * a join + 1-row aggregate) — the driver only ever holds the final
+    * ppm scalars, never a corpus-fraction pair set. Monotonicity
+    * (recall never decreases with probes) and the full-probe anchor
+    * (nProbe = nCells ⇒ recall 1.0 — probing every cell IS brute
+    * force) are spec-pinned. */
   def probeSweep(spark: SparkSession, dir: String, k: Int = 10,
                  sampleMod: Int = 25,
-                 probes: Seq[Int] = Nil): DataFrame = {
+                 probes: Seq[Int] = Nil,
+                 sampleBudget: Long = 2048L): DataFrame = {
     import spark.implicits._
     val nCells = spark.read.parquet(s"$dir/centroids").count().toInt
     val points =
       if (probes.nonEmpty) probes
       else Seq(1, 2, 4, 8, nCells).distinct.filter(_ <= nCells).sorted
     val corpus = liveCells(spark, dir).select("id", "vec")
-    val sample = corpus.filter(pmod(col("id"), lit(sampleMod)) === 0)
+    val n = corpus.count()
+    val mod = Ann.auditSampleMod(n, sampleMod.toLong, sampleBudget)
+    val sample = corpus.filter(pmod(col("id"), lit(mod)) === 0)
+    // exact truth is ≤ budget·k rows — materialized ONCE and reused by
+    // every operating point (never re-brute-forced, never collected)
     val exact = Ann.bruteForceTopK(corpus, sample, k)
-      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+      .select("qid", "neighbor_id").localCheckpoint(true)
+    val nTrue = exact.count()
     val rows = points.map { p =>
-      val got = probe(spark, dir, sample, k, nProbe = p)
-        .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
       val recallPpm =
-        if (exact.isEmpty) 1000000L
-        else exact.count(got) * 1000000L / exact.size
+        if (nTrue == 0) 1000000L
+        else {
+          val got = probe(spark, dir, sample, k, nProbe = p)
+            .select(col("qid"), col("neighbor_id"))
+            .withColumn("hit", lit(1L))
+          val nHit = exact.join(got, Seq("qid", "neighbor_id"), "left")
+            .agg(sum(coalesce(col("hit"), lit(0L))).as("h"))
+            .as[Long].head()
+          nHit * 1000000L / nTrue
+        }
       (p.toLong, recallPpm, nCells.toLong)
     }
     rows.toDF("n_probe", "recall_ppm", "n_cells").orderBy("n_probe")

@@ -1253,11 +1253,24 @@ object EventStream {
     * artifact and checkpoint together, or reset both. */
   private[streaming] val RewindTolerance = 64L
 
-  /** Recovery-time stamp read WITH the coherence guard above. The
-    * stamp protocol assumes batch ids are monotone over the artifact's
-    * lifetime — true while artifact and checkpoint live and die
-    * together; see [[RewindTolerance]] for the two ways an id below
-    * the stamp arises and why the guard is gap-bounded. */
+  /** Recovery-time stamp read WITH the coherence guard above — in
+    * BOTH directions, so the artifact maintainers (histogram / top-k /
+    * CMS, and the drift monitors composed on them) share the
+    * [[MonitorState]] recovery contract uniformly. Below-stamp gaps
+    * are [[RewindTolerance]]'s two cases (rewind vs fresh
+    * checkpoint). The SYMMETRIC mismatch — the delivered id far AHEAD
+    * of the stamp — is an artifact dir restored from an OLDER backup
+    * than the checkpoint: the gap batches' contributions are not in
+    * the recovered artifact and will never be redelivered, so
+    * adopting the stale counts silently undercounts forever; small
+    * ahead gaps log loudly instead (a batch may legitimately commit
+    * no stamp — empty micro-batches don't write), large ones fail
+    * with the restore-both remedy. The stamp protocol assumes batch
+    * ids are monotone over the artifact's lifetime — true while
+    * artifact and checkpoint live and die together. Guards apply only
+    * when a stamp EXISTS: starting a fresh artifact mid-stream
+    * (stamp −1, any first id) is the caller's deliberate choice, as
+    * with a fresh [[MonitorState]] dir. */
   private def recoverBatchStamp(spark: SparkSession, dir: String,
                                 batchId: Long): Long = {
     val stamp = readBatchStamp(spark, dir)
@@ -1266,6 +1279,18 @@ object EventStream {
         s"query delivered batch $batchId (gap > $RewindTolerance) — a " +
         "fresh checkpoint is running against an old artifact; reset the " +
         "artifact dir together with the checkpoint (or use a fresh dir)")
+    if (stamp >= 0 && batchId - stamp > RewindTolerance)
+      throw new IllegalStateException(
+        s"artifact at $dir was maintained through batch $stamp but this " +
+          s"query delivered batch $batchId (gap > $RewindTolerance) — " +
+          "the artifact dir was restored from an older backup than the " +
+          "checkpoint; restore artifact and checkpoint together (or " +
+          "reset both)")
+    if (stamp >= 0 && batchId - stamp > 1) System.err.println(
+      s"[graft] artifact at $dir stamped through batch $stamp, query " +
+        s"delivered batch $batchId: the ${batchId - stamp - 1} batch(es) " +
+        "in the gap are not in the artifact — their contributions are " +
+        "lost unless redelivered")
     if (batchId < stamp) System.err.println(
       s"[graft] artifact at $dir stamped through batch $stamp, query " +
         s"delivered batch $batchId: treating as a checkpoint rewind — " +
@@ -1349,7 +1374,7 @@ object EventStream {
     * Batch schema: `day` DATE + `event_type` + `v` (cents). Days
     * ≤ `refEnd` are the frozen reference window. No emission until
     * the artifact holds its first committed rows. */
-  def ksDriftForeachBatch(dir: String, refEnd: String = "2024-01-15")(
+  def ksDriftForeachBatch(dir: String, refEnd: String = graft.AnalyticsQueries.DriftRefEnd)(
       onReport: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
     driftMonitorForeachBatch(dir, refEnd,
       graft.AnalyticsQueries.ksFromCounts)(onReport)
@@ -1368,7 +1393,7 @@ object EventStream {
     * one fold, compose [[histogramArtifactForeachBatch]] with the two
     * kernels directly instead of running both monitors on one dir
     * (two folds of the same batch would double-count). */
-  def aucDriftForeachBatch(dir: String, refEnd: String = "2024-01-15")(
+  def aucDriftForeachBatch(dir: String, refEnd: String = graft.AnalyticsQueries.DriftRefEnd)(
       onReport: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
     driftMonitorForeachBatch(dir, refEnd,
       graft.AnalyticsQueries.aucFromCounts)(onReport)
@@ -1378,7 +1403,7 @@ object EventStream {
     * shape: transport cost (mean cents moved per event) where KS
     * gives presence and AUC direction. Parity/recovery inherited and
     * spec-pinned exactly like the KS/AUC twins. */
-  def w1DriftForeachBatch(dir: String, refEnd: String = "2024-01-15")(
+  def w1DriftForeachBatch(dir: String, refEnd: String = graft.AnalyticsQueries.DriftRefEnd)(
       onReport: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
     driftMonitorForeachBatch(dir, refEnd,
       graft.AnalyticsQueries.w1FromCounts)(onReport)

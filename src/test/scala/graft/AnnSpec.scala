@@ -1081,4 +1081,68 @@ class AnnSpec extends AnyFunSuite {
     // regression trips the suite, not run-to-run jitter
     assert(recall >= 0.77, s"recall@5 $recall (measured 0.9096 r11)")
   }
+
+  test("audit sampling: absolute query budget, never a corpus fraction") {
+    // the s14/s17/maintain economics: the exact brute-force side costs
+    // |sample|·n similarity evaluations, so |sample| must be bounded by
+    // a BUDGET — a fixed 1/25 fraction is Θ(n²) at 100× and the audit
+    // becomes the most expensive query in the system (the r11 verdict's
+    // one remaining scale-killer)
+    assert(Ann.auditSampleMod(500L) == 25L)    // test scale: 1/25, unchanged
+    assert(Ann.auditSampleMod(51200L) == 25L)  // boundary: fraction == budget
+    for (n <- Seq(100000L, 10000000L, 1000000000L, 1000000000000L)) {
+      val mod = Ann.auditSampleMod(n)
+      assert(n / mod <= 2048L,
+        s"n=$n: expected sample size ${n / mod} exceeds the 2048 budget")
+      assert(mod >= 25L, s"n=$n: mod $mod fell below the floor")
+    }
+  }
+
+  test("audit paths never collect corpus-fraction pair sets (source guard)") {
+    // probeSweep's recall is computed DISTRIBUTED (exact truth
+    // materialized once, then a join + 1-row aggregate per operating
+    // point — maintain's shape); a `.collect().toSet` of exact or probe
+    // pair sets is linear-in-corpus driver heap. Pinned at the source
+    // so the shape cannot creep back.
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/sim/AnnIndex.scala")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(!src.contains("collect().toSet"),
+      "AnnIndex audit paths must not collect pair sets to the driver")
+  }
+
+  test("index probeHardNegatives: full probe equals the exact kernel; calibrated probe holds recall and exclusion") {
+    import graft.sim.AnnIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_hn").toString
+    AnnIndex.build(emb, nCells = 23, seed = 42L, dir)
+    // same groups frame as s21/s22: d06 clusters, singleton fallback
+    val roots = Tables.documents(spark, TestSpark.Sf).select("doc_id")
+      .join(LlmQueries.clusters(spark, TestSpark.Sf)
+        .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id").as("id"),
+        coalesce(col("comp"), col("doc_id")).as("root"))
+    // full probe IS brute force with exclusion — rank-for-rank parity
+    // with the exact kernel (same sims, same tie order), the anchor
+    // every index-served twin pins (#201/#221/#299 pattern)
+    val want = LlmQueries.s21HardNegatives(spark, TestSpark.Sf)
+      .as[(Long, Long, Long)].collect().toSet
+    val full = AnnIndex.probeHardNegatives(spark, dir, k = 5,
+        groups = roots, nProbe = 23)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(full == want, "full-probe index mining diverged from the exact kernel")
+    // calibrated operating point (exclusion-depth-widened probes):
+    // recall floor vs the exact kernel, exclusion contract intact
+    val cal = AnnIndex.probeHardNegatives(spark, dir, k = 5, groups = roots)
+      .as[(Long, Long, Long)].collect()
+    assert(cal.nonEmpty)
+    val rootOf = roots.as[(Long, Long)].collect().toMap
+    cal.foreach { case (id, _, nb) =>
+      assert(rootOf(id) != rootOf(nb), s"pair ($id,$nb) shares root")
+    }
+    val wantPairs = want.map(r => (r._1, r._3))
+    val calPairs = cal.map(r => (r._1, r._3)).toSet
+    val recall = wantPairs.count(calPairs).toDouble / wantPairs.size
+    info(s"index probeHardNegatives recall@5 vs exact = $recall")
+    assert(recall >= 0.77, s"recall@5 $recall")
+  }
 }

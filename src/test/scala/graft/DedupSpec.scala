@@ -670,6 +670,35 @@ class DedupSpec extends AnyFunSuite {
         (BigInt(pNear) + BigInt(pExact) - BigInt(pBoth))))
   }
 
+  test("d31 exact-audit volume bound at its own operating point (sf0.01, sf0.1)") {
+    // d31 runs the gate AND the exact truth by definition — the r11
+    // verdict: "audit-scale by contract; make the contract a spec, not
+    // prose". The exact side is the lossless prefix-filtered self-join
+    // at d31's own τ = 0.7; its cost driver is the CANDIDATE count, so
+    // that count is gated per doc at two SFs against an absolute bound
+    // (64: ~10× headroom over the measured operating point) and a
+    // quadratic yardstick (an all-pairs path generates ~n/2 candidates
+    // per doc — orders of magnitude past either measurement).
+    // Measured r12: sf0.01 → 25 candidates over 500 docs (0.05/doc —
+    // that corpus holds almost no genuine near-dups); sf0.1 → 33,315
+    // over 5,000 (6.66/doc). Wall-time exponents for the family
+    // (d04/d06/d31) stay sub-linear through sf0.3 in SCALECHECK.
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val sets = LlmQueries.shingleSets(spark, dir)
+      val n = sets.count()
+      val cands = graft.dedup.SetSimJoin
+        .jaccardCandidates(sets, "doc_id", "s", tauNum = 7, tauDen = 10)
+        .count()
+      val perDoc = cands.toDouble / n.toDouble
+      info(s"$dir: n=$n candidates=$cands perDoc=$perDoc")
+      assert(perDoc <= 64.0,
+        s"$dir: d31 exact-side candidates/doc $perDoc exceeds the audit bound")
+      assert(perDoc <= n.toDouble / 64.0,
+        s"$dir: d31 exact-side candidates/doc $perDoc is within 64× of the " +
+          s"all-pairs yardstick (n/2 = ${n / 2}) — a quadratic path")
+    }
+  }
+
   test("d07 candidate volume bound at its own operating point (sf0.01, sf0.1)") {
     import graft.sim.Ann
     import graft.functions.VectorFunctions.{dot, toDouble}

@@ -72,6 +72,43 @@ class StagingSpec extends AnyFunSuite {
     assert(listing(art) == snap, "staged histogram artifact was rewritten")
   }
 
+  test("drift window split is a parameter: a shifted split moves the whole triad consistently") {
+    import spark.implicits._
+    // the r11 verdict's item 2: the reference/current boundary must be
+    // an argument the queries pin, not a literal buried in the helper —
+    // and ONE split definition must serve all three statistics, so a
+    // shifted boundary moves KS, AUC and W₁ together (same windows)
+    // instead of silently forking one of them
+    val art = AnalyticsQueries.ksHistArtifact(spark, TestSpark.Sf)
+    def triad(refEnd: String, curStart: String) = {
+      val c = AnalyticsQueries.driftWindowCounts(art, refEnd, curStart)
+      def m(df: org.apache.spark.sql.DataFrame, stat: String) =
+        df.select("event_type", "n_ref", "n_cur", stat)
+          .as[(String, Long, Long, Long)].collect()
+          .map(r => r._1 -> r).toMap
+      (m(AnalyticsQueries.ksFromCounts(c), "ks_ppm"),
+        m(AnalyticsQueries.aucFromCounts(c), "auc_ppm"),
+        m(AnalyticsQueries.w1FromCounts(c), "w1_centi_cents"))
+    }
+    val (ks0, auc0, w10) = triad("2024-01-15", "2024-01-16") // canonical
+    val (ks1, auc1, w11) = triad("2024-01-10", "2024-01-11") // shifted
+    for ((ks, auc, w1) <- Seq((ks0, auc0, w10), (ks1, auc1, w11));
+         t <- ks.keys) {
+      assert((ks(t)._2, ks(t)._3) == (auc(t)._2, auc(t)._3) &&
+        (ks(t)._2, ks(t)._3) == (w1(t)._2, w1(t)._3),
+        s"window sizes diverged across the triad for $t")
+    }
+    // the shifted boundary moved mass from ref to cur for every type…
+    ks1.foreach { case (t, (_, nRef, nCur, _)) =>
+      assert(nRef < ks0(t)._2 && nCur > ks0(t)._3,
+        s"split shift did not move $t's windows")
+    }
+    // …and every statistic responded somewhere
+    assert(ks1.exists { case (t, v) => v._4 != ks0(t)._4 }, "KS blind to the split")
+    assert(auc1.exists { case (t, v) => v._4 != auc0(t)._4 }, "AUC blind to the split")
+    assert(w11.exists { case (t, v) => v._4 != w10(t)._4 }, "W1 blind to the split")
+  }
+
   test("reset() isolates runs — a fresh root rebuilds from scratch") {
     StageRoots.reset()
     val root = StageRoots.rootFor(TestSpark.Sf)

@@ -1814,10 +1814,11 @@ class StreamingSpec extends AnyFunSuite {
         s"$it undercounted after the day purge")
     }
 
-    // parameter drift fails loudly
+    // parameter drift fails loudly (batch id within the rewind/ahead
+    // tolerance so the stamp-coherence guards don't fire first)
     intercept[IllegalArgumentException] {
       EventStream.cmsCellsForeachBatch(dir, depth = 2, width = 64)()(
-        Seq((day0, "x", 1L)).toDF("day", "item", "wt"), 99L)
+        Seq((day0, "x", 1L)).toDF("day", "item", "wt"), batches.size + 3L)
     }
   }
 
@@ -2688,6 +2689,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(b.last == u(1), "post-restart redelivery != uninterrupted batch-1 report")
     bSink(batches(2), 2L)
     assert(b.last == u(2), "post-restart final report != uninterrupted final")
+
+    // the MonitorState ahead-gap guard, uniform on the artifact
+    // maintainers: an artifact dir restored from an OLDER backup than
+    // the checkpoint (delivered id far AHEAD of the stamp) must fail
+    // loudly, not silently adopt stale counts and lose the gap batches
+    val fSink = EventStream.aucDriftForeachBatch(s"$base/a") { (_, _) => () }
+    val e2 = intercept[IllegalStateException] { fSink(batches(0), 400L) }
+    assert(e2.getMessage.contains("older backup"),
+      s"AUC monitor: wrong ahead-gap guard message: ${e2.getMessage}")
   }
 
   test("W1 drift monitor: end state equals batch q115, replay-safe, kill/restart parity") {
@@ -2725,6 +2735,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(b.last == u(1), "post-restart redelivery != uninterrupted batch-1 report")
     bSink(batches(2), 2L)
     assert(b.last == u(2), "post-restart final report != uninterrupted final")
+
+    // ahead-gap guard (the AUC twin's e2 case, third kernel): restored
+    // from an older backup than the checkpoint ⇒ loud failure
+    val fSink = EventStream.w1DriftForeachBatch(s"$base/a") { (_, _) => () }
+    val e2 = intercept[IllegalStateException] { fSink(batches(0), 400L) }
+    assert(e2.getMessage.contains("older backup"),
+      s"W1 monitor: wrong ahead-gap guard message: ${e2.getMessage}")
   }
 
   test("KS drift monitor: kill/restart parity (recovery inherited from the durable artifact maintainer)") {

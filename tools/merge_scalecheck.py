@@ -55,6 +55,9 @@ def main() -> int:
         sfs, secs = entry["sf"], entry["sec"]
         if any(t is None or t < 0 for t in secs):
             entry["flag"] = "FAILED"
+            # a stale exponent chain from a prior fit would read as a
+            # real measurement beside the FAILED flag
+            entry.pop("exponents", None)
             continue
         exps = []
         for i in range(1, len(secs)):
@@ -69,6 +72,11 @@ def main() -> int:
                          else "SUPER-LINEAR"
                          if exps[-1] > threshold and secs[-1] >= floor
                          else "ok")
+
+    # the top-level "sf" header (written by scalecheck.py for its full
+    # runs) must describe the sfs actually present after the merge —
+    # the union over entries, not the last full run's list
+    ledger["sf"] = sorted({s for e in queries.values() for s in e["sf"]})
 
     with open(path, "w") as f:
         json.dump(ledger, f, indent=1, sort_keys=True)
