@@ -1082,6 +1082,52 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.77, s"recall@5 $recall (measured 0.9096 r11)")
   }
 
+  test("calibration prices geometry: clustered corpus solves a small probe fraction, isotropic doesn't") {
+    // the r12 SCALECHECK diagnosis on s22's sf1 point: this corpus's
+    // embeddings are near-isotropic, so probesForRecall correctly
+    // demands ~half the cells for the 0.9-recall mining contract
+    // (candidate volume ~n²/2 — whole-corpus exact-recall mining on
+    // unstructured vectors is inherently ~quadratic). The IVF path's
+    // asymptotic edge exists exactly where the data has structure:
+    // on a planted clustered fixture the same calibration solves a
+    // SMALL probe fraction. Both directions pinned here so the ledger
+    // note's claim is a measurement, not prose.
+    val rnd = new scala.util.Random(7)
+    def unit(v: Array[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n).toSeq
+    }
+    // 20 tight clusters × 25 members in 64-dim: members at cosine
+    // ~0.99+ within a cluster, centers near-orthogonal across
+    val centers = Array.fill(20)(Array.fill(64)(rnd.nextGaussian()))
+    val clustered = (0 until 500).map { i =>
+      val c = centers(i % 20)
+      (i.toLong, unit(c.zipWithIndex.map { case (x, j) =>
+        x + 0.05 * math.sin(1.0 + i * 64 + j) }))
+    }.toDF("id", "vec")
+    val nc = clustered.count()
+    val nCells = 23
+    val csC = Ann.fitCentroids(
+      clustered.withColumn("nrm", sqrt(dot(col("vec"), col("vec")))),
+      nc, nCells, 42L, 100000L)
+    val pC = Ann.probesForRecall(Ann.calibrationSample(clustered, nc), csC,
+      recall = 0.9, kCal = 10)
+    info(s"clustered fixture: nProbe=$pC of $nCells cells")
+    assert(pC * 4 <= nCells,
+      s"clustered geometry should solve <= nCells/4 probes, got $pC/$nCells")
+    // the corpus embeddings: same solve lands near half the cells —
+    // the measured ~0.5 ratio behind s22's diagnosed sf1 segment
+    val n = emb.count()
+    val csE = Ann.fitCentroids(
+      emb.withColumn("nrm", sqrt(dot(col("vec"), col("vec")))),
+      n, nCells, 42L, 100000L)
+    val pE = Ann.probesForRecall(Ann.calibrationSample(emb, n), csE,
+      recall = 0.9, kCal = 10)
+    info(s"corpus embeddings: nProbe=$pE of $nCells cells")
+    assert(pE * 4 > nCells,
+      s"corpus geometry unexpectedly clusterable ($pE/$nCells) — " +
+        "re-examine the s22 SCALECHECK diagnosis")
+  }
+
   test("audit sampling: absolute query budget, never a corpus fraction") {
     // the s14/s17/maintain economics: the exact brute-force side costs
     // |sample|·n similarity evaluations, so |sample| must be bounded by
