@@ -50,7 +50,6 @@ object SetSimJoin {
                       tauNum: Int, tauDen: Int,
                       touching: Option[DataFrame] = None): DataFrame = {
     val sets = df.select(col(idCol).as("sid"), col(setCol).as("s"))
-      .withColumn("sz", size(col("s")).cast(LongType))
     val cand = jaccardCandidates(df, idCol, setCol, tauNum, tauDen)
       .transform { c =>
         touching match {

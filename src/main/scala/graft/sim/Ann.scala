@@ -1151,18 +1151,8 @@ object Ann {
       val n = live.count()
       val nCells = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
       val cs = fitCentroids(live, n, nCells, seed, fitSampleCap)
-      // SIZE-WEIGHTED p99: percentile of csz over MEMBER rows (join
-      // counts back to members), not over root rows — in a soft-dedup
-      // regime singleton roots dominate the root count, so a
-      // root-level p99 collapses to 1 even when one cluster holds 20%
-      // of the corpus; what the calibration must cover is the cluster
-      // size a 99th-percentile QUERY experiences
-      val p99 = g.join(g.groupBy("root").agg(count(lit(1)).as("csz")), "root")
-        .agg(percentile_approx(col("csz"), lit(0.99), lit(10000)))
-        .head().getLong(0)
-      val excl = math.min(255L, math.max(0L, p99 - 1L)).toInt
       (cs, probesForRecall(calibrationSample(live, n), cs, recall,
-        kCal = k + excl))
+        kCal = k + exclusionDepth(g)))
     }
     val c = live.select(col("id").as("neighbor_id"), col("vec").as("cvec"),
         col("nrm0").as("cnrm"), col("root").as("croot"))
@@ -1172,6 +1162,38 @@ object Ann {
         col("nrm0").as("qnrm"), col("root").as("qroot"))
       .withColumn("cell",
         explode(centroidCells(col("qvec"), col("qnrm"), centroids, nProbe)))
+    rankExcludedCells(c, q, k)
+  }
+
+  /** Exclusion depth for hard-negative calibration — the cluster size
+    * a 99th-percentile QUERY experiences minus the query itself,
+    * capped at 255 (past that the 512-vector calibration sample has
+    * no CDF resolution left to spend). SIZE-WEIGHTED: the percentile
+    * of csz runs over MEMBER rows (per-root counts joined back to
+    * members), not over root rows — in a soft-dedup regime singleton
+    * roots dominate the root count, so a root-level p99 collapses to
+    * 1 even when one cluster holds 20% of the corpus. ONE definition
+    * shared by the one-shot [[hardNegativesIvf]] and the index-served
+    * [[AnnIndex.probeHardNegatives]], so the two mining calibrations
+    * can never silently diverge (the ksFromCounts/rrfFuse
+    * convention). `g`: (id, root). */
+  private[graft] def exclusionDepth(g: DataFrame): Int = {
+    val p99 = g.join(g.groupBy("root").agg(count(lit(1)).as("csz")), "root")
+      .agg(percentile_approx(col("csz"), lit(0.99), lit(10000)))
+      .head().getLong(0)
+    math.min(255L, math.max(0L, p99 - 1L)).toInt
+  }
+
+  /** The hard-negative miners' shared scoring tail: candidates joined
+    * ON the cell id, the same-root exclusion applied BEFORE ranking
+    * (k fills from eligible candidates next to any cluster size),
+    * rank (sim desc, neighbor_id asc), keep k. Shared by
+    * [[hardNegativesIvf]] and [[AnnIndex.probeHardNegatives]].
+    * `c`: (neighbor_id, cvec, cnrm, croot, cell);
+    * `q`: (qid, qvec, qnrm, qroot, cell). */
+  private[graft] def rankExcludedCells(c: DataFrame, q: DataFrame,
+                                       k: Int): DataFrame = {
+    // croot ≠ qroot also excludes self (equal roots by construction)
     val scored = c.join(q, Seq("cell"))
       .filter(col("croot") =!= col("qroot"))
       .withColumn("sim",

@@ -644,7 +644,12 @@ object AnnIndex {
                          groups: DataFrame, nProbe: Int = 0): DataFrame = {
     val centroids = readCentroids(spark, dir)
     val g = groups.select(col("id"), col("root"))
-    val live = liveCells(spark, dir).join(g, "id")
+    // materialize the (cells ⋈ tombstone mask ⋈ groups) frame ONCE:
+    // the calibration path reads it twice (count + calibration sample)
+    // and the cell self-join twice more — without a barrier each
+    // subplan re-runs the cells scan + anti-join + groups join (the
+    // maintain/probeSweep checkpoint pattern)
+    val live = liveCells(spark, dir).join(g, "id").localCheckpoint(true)
     val probes =
       if (nProbe > 0) nProbe
       else {
@@ -652,13 +657,8 @@ object AnnIndex {
           try spark.read.parquet(s"$dir/meta")
             .select("recall_target").head().getDouble(0)
           catch { case scala.util.control.NonFatal(_) => 0.9 }
-        val n = live.count()
-        val p99 = g.join(g.groupBy("root").agg(count(lit(1)).as("csz")), "root")
-          .agg(percentile_approx(col("csz"), lit(0.99), lit(10000)))
-          .head().getLong(0)
-        val excl = math.min(255L, math.max(0L, p99 - 1L)).toInt
-        Ann.probesForRecall(Ann.calibrationSample(live, n), centroids,
-          recall, kCal = k + excl)
+        Ann.probesForRecall(Ann.calibrationSample(live, live.count()),
+          centroids, recall, kCal = k + Ann.exclusionDepth(g))
       }
     val c = live.select(col("id").as("neighbor_id"), col("vec").as("cvec"),
       col("nrm").as("cnrm"), col("root").as("croot"), col("cell"))
@@ -666,16 +666,7 @@ object AnnIndex {
         col("nrm").as("qnrm"), col("root").as("qroot"))
       .withColumn("cell",
         explode(centroidCells(col("qvec"), col("qnrm"), centroids, probes)))
-    // croot ≠ qroot also excludes self (equal roots by construction)
-    val scored = c.join(q, Seq("cell"))
-      .filter(col("croot") =!= col("qroot"))
-      .withColumn("sim",
-        cosinePrenormed(dot(col("qvec"), col("cvec")), col("qnrm"), col("cnrm")))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid").as("id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"))
+    Ann.rankExcludedCells(c, q, k)
   }
 
   /** Recall-vs-cost frontier (#209): sweep the probe budget against

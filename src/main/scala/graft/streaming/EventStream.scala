@@ -1263,9 +1263,13 @@ object EventStream {
     * than the checkpoint: the gap batches' contributions are not in
     * the recovered artifact and will never be redelivered, so
     * adopting the stale counts silently undercounts forever; small
-    * ahead gaps log loudly instead (a batch may legitimately commit
-    * no stamp — empty micro-batches don't write), large ones fail
-    * with the restore-both remedy. The stamp protocol assumes batch
+    * ahead gaps log loudly instead, large ones fail with the
+    * restore-both remedy. The guard is sound because NO-OP batches
+    * also advance the stamp once the dir exists ([[stampNoOpBatch]])
+    * — a long-idle stream never accumulates a gap: the only benign
+    * ahead gap left is the one-batch crash window (data written,
+    * stamp not yet), and pre-first-data idling reads as stamp −1,
+    * which skips the guard entirely. The stamp protocol assumes batch
     * ids are monotone over the artifact's lifetime — true while
     * artifact and checkpoint live and die together. Guards apply only
     * when a stamp EXISTS: starting a fresh artifact mid-stream
@@ -1319,6 +1323,25 @@ object EventStream {
     }
   }
 
+  /** Advance the durable stamp for a NO-OP batch — a batch that folded
+    * nothing still HAPPENED: empty (or fully-filtered) micro-batches
+    * are routine in Structured Streaming, and if they never stamped, a
+    * long-idle stream would accumulate an arbitrary stamp↔checkpoint
+    * gap with zero data lost — and the next restart's ahead-gap guard
+    * ([[recoverBatchStamp]]) would misread the healthy pair as an
+    * older-backup restore and wedge the stream permanently (the sink
+    * throws before any fold can ever advance the stamp). Stamps only
+    * when the artifact dir already exists: creating the dir for a
+    * bare stamp would commit a data-less dir whose schema the next
+    * read cannot infer — and while no data exists the recovery guard
+    * is skipped anyway (stamp −1 reads as a fresh artifact). */
+  private def stampNoOpBatch(spark: SparkSession, dir: String,
+                             batchId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) writeBatchStamp(spark, dir, batchId)
+  }
+
   def histogramArtifactForeachBatch(dir: String, keyCols: Seq[String])(
       onUpdated: (Long) => Unit = _ => ()): (DataFrame, Long) => Unit = {
     var lastBatch = -1L
@@ -1334,8 +1357,10 @@ object EventStream {
         // empty micro-batches are normal in Structured Streaming; an
         // unguarded write would commit a data-less artifact dir whose
         // schema the NEXT batch's read cannot infer, wedging the
-        // stream. Nothing to merge ⇒ nothing to write or stamp (the
-        // empty batch replays as the same no-op).
+        // stream. Nothing to merge ⇒ nothing to write — but the stamp
+        // still advances once the dir exists ([[stampNoOpBatch]]: an
+        // idle stream must not accumulate a stamp↔checkpoint gap the
+        // recovery guard would misread as an older-backup restore).
         if (touched.nonEmpty) {
           val target = new org.apache.hadoop.fs.Path(dir)
           val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1350,7 +1375,7 @@ object EventStream {
             .localCheckpoint(true)
           graft.sources.Writers.overwritePartitions(merged, dir, Seq("day"))
           writeBatchStamp(spark, dir, batchId)
-        }
+        } else stampNoOpBatch(spark, dir, batchId)
         lastBatch = batchId
       }
       onUpdated(batchId)
@@ -1472,9 +1497,10 @@ object EventStream {
           .groupByKey(_._1).mapValues(_._2)
           .agg(hh.toColumn.name("counters"))
           .collect().toMap
-        // empty batch ⇒ nothing to merge, write or stamp (see the
-        // histogram maintainer's guard: an unguarded empty write
-        // commits a data-less dir the next read cannot infer)
+        // empty batch ⇒ nothing to merge or write (an unguarded empty
+        // write commits a data-less dir the next read cannot infer);
+        // the stamp still advances once the dir exists (stampNoOpBatch
+        // — the histogram maintainer's idle-gap rule)
         if (newBuf.nonEmpty) {
           val target = new org.apache.hadoop.fs.Path(dir)
           val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1503,7 +1529,7 @@ object EventStream {
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("grp").parquet(dir)
           writeBatchStamp(spark, dir, batchId)
-        }
+        } else stampNoOpBatch(spark, dir, batchId)
         lastBatch = batchId
       }
       onUpdated(batchId)
@@ -1545,8 +1571,8 @@ object EventStream {
               lit(eps), lit(confidence), lit(seed)).as("cms"),
             count(lit(1)).as("n_items"))
           .as[(String, Array[Byte], Long)].collect()
-        // empty batch ⇒ nothing to merge, write or stamp (see the
-        // histogram maintainer's guard)
+        // empty batch ⇒ nothing to merge or write; the stamp still
+        // advances once the dir exists (the idle-gap rule)
         if (newRows.nonEmpty) {
           val target = new org.apache.hadoop.fs.Path(dir)
           val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1581,7 +1607,7 @@ object EventStream {
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("grp").parquet(dir)
           writeBatchStamp(spark, dir, batchId)
-        }
+        } else stampNoOpBatch(spark, dir, batchId)
         lastBatch = batchId
       }
       onUpdated(batchId)
@@ -1636,8 +1662,8 @@ object EventStream {
           .agg(sum("wt").as("cnt"))
         val touched = newCells.select("grp").distinct()
           .collect().map(_.getString(0)).toSeq
-        // empty batch ⇒ nothing to merge, write or stamp (the
-        // histogram maintainer's guard)
+        // empty batch ⇒ nothing to merge or write; the stamp still
+        // advances once the dir exists (the idle-gap rule)
         if (touched.nonEmpty) {
           val target = new org.apache.hadoop.fs.Path(dir)
           val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1659,7 +1685,7 @@ object EventStream {
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("grp").parquet(dir)
           writeBatchStamp(spark, dir, batchId)
-        }
+        } else stampNoOpBatch(spark, dir, batchId)
         lastBatch = batchId
       }
       onUpdated(batchId)
@@ -1698,9 +1724,10 @@ object EventStream {
            else { AnnIndex.delete(dels, indexDir); true }) |
           (if (ups.isEmpty) false
            else { AnnIndex.upsert(ups, indexDir); true })
-        // empty batch ⇒ nothing applied, nothing to stamp (the
-        // artifact maintainers' guard)
+        // empty batch ⇒ nothing applied; the stamp still advances
+        // once the index exists (the idle-gap rule — stampNoOpBatch)
         if (applied) writeBatchStamp(spark, indexDir, batchId)
+        else stampNoOpBatch(spark, indexDir, batchId)
         lastBatch = batchId
       }
       onApplied(batchId)

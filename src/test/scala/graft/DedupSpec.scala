@@ -693,8 +693,8 @@ class DedupSpec extends AnyFunSuite {
       info(s"$dir: n=$n candidates=$cands perDoc=$perDoc")
       assert(perDoc <= 64.0,
         s"$dir: d31 exact-side candidates/doc $perDoc exceeds the audit bound")
-      assert(perDoc <= n.toDouble / 64.0,
-        s"$dir: d31 exact-side candidates/doc $perDoc is within 64× of the " +
+      assert(perDoc * 8 <= n.toDouble / 2.0,
+        s"$dir: d31 exact-side candidates/doc $perDoc is within 8× of the " +
           s"all-pairs yardstick (n/2 = ${n / 2}) — a quadratic path")
     }
   }

@@ -2690,6 +2690,22 @@ class StreamingSpec extends AnyFunSuite {
     bSink(batches(2), 2L)
     assert(b.last == u(2), "post-restart final report != uninterrupted final")
 
+    // idle stream: NO-OP batches advance the stamp (stampNoOpBatch),
+    // so a long-idle run (empty micro-batches fold nothing and used
+    // to leave the stamp behind) followed by a restart recovers
+    // cleanly instead of tripping the ahead-gap guard with zero data
+    // lost — without the no-op stamping, the restart at id 71 below
+    // would read gap 69 > tolerance and wedge a healthy stream
+    val empty = batches(0).limit(0)
+    bSink(empty, 3L)
+    bSink(empty, 70L)
+    val idle = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val idleSink = EventStream.aucDriftForeachBatch(s"$base/a") { (r, _) =>
+      idle += frames(r)
+    }
+    idleSink(empty, 71L) // restart after the idle run: gap 1, no throw
+    assert(idle.last == u(2), "idle restart changed the report")
+
     // the MonitorState ahead-gap guard, uniform on the artifact
     // maintainers: an artifact dir restored from an OLDER backup than
     // the checkpoint (delivered id far AHEAD of the stamp) must fail
