@@ -2302,8 +2302,12 @@ object LlmQueries {
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, txt) =>
         val img = Codecs.renderRgb(txt)
-        val p6 = Codecs.decodePpm(Codecs.encodePpmP6(img))
-        val viaP6 = Codecs.aHash64(Codecs.decodeGray(Codecs.encodePpmP6(img)))
+        // ONE P6 encode serves both consumers (the encoder is
+        // deterministic, so the second encode was identical bytes —
+        // pure codec work re-done per row)
+        val wireP6 = Codecs.encodePpmP6(img)
+        val p6 = Codecs.decodePpm(wireP6)
+        val viaP6 = Codecs.aHash64(Codecs.decodeGray(wireP6))
         val viaP3 = Codecs.aHash64(Codecs.decodeGray(Codecs.encodePpmP3(img)))
         val sr = p6.r.foldLeft(0L)(_ + _)
         val sg = p6.g.foldLeft(0L)(_ + _)
