@@ -1154,6 +1154,7 @@ object Ann {
       (cs, probesForRecall(calibrationSample(live, n), cs, recall,
         kCal = k + exclusionDepth(g)))
     }
+    warnDegenerateMiningGeometry("hardNegativesIvf", nProbe, centroids.length)
     val c = live.select(col("id").as("neighbor_id"), col("vec").as("cvec"),
         col("nrm0").as("cnrm"), col("root").as("croot"))
       .withColumn("cell",
@@ -1183,6 +1184,26 @@ object Ann {
       .head().getLong(0)
     math.min(255L, math.max(0L, p99 - 1L)).toInt
   }
+
+  /** The operational signal behind the r12 SCALECHECK diagnosis: when
+    * the mining calibration solves a probe budget ≥ a third of the
+    * cells, the corpus geometry gives the cell join little selectivity
+    * at this recall target — candidate volume approaches n²/3+, the
+    * IVF path's edge over the exact kernel is a constant factor at
+    * best, and the owner should know BEFORE the job bill arrives.
+    * A warning (not a silent fallback): the exact kernel is also
+    * quadratic, thresholds would flip across scale points, and the
+    * right remedies are a deliberate choice — a bounded probe budget
+    * ([[AnnIndex.probeHardNegatives]] with explicit nProbe) or a
+    * lower recall target. */
+  private[graft] def warnDegenerateMiningGeometry(path: String, nProbe: Int,
+                                                  nCells: Int): Unit =
+    if (nProbe * 3 >= nCells) System.err.println(
+      s"[graft] $path calibration solved nProbe=$nProbe of $nCells cells: " +
+        "the corpus geometry gives the cell join little selectivity at " +
+        "this recall target (candidate volume approaches n^2). Consider " +
+        "a bounded probe budget (AnnIndex.probeHardNegatives with an " +
+        "explicit nProbe) or a lower recall target.")
 
   /** The hard-negative miners' shared scoring tail: candidates joined
     * ON the cell id, the same-root exclusion applied BEFORE ranking

@@ -657,8 +657,12 @@ object AnnIndex {
           try spark.read.parquet(s"$dir/meta")
             .select("recall_target").head().getDouble(0)
           catch { case scala.util.control.NonFatal(_) => 0.9 }
-        Ann.probesForRecall(Ann.calibrationSample(live, live.count()),
+        val solved = Ann.probesForRecall(
+          Ann.calibrationSample(live, live.count()),
           centroids, recall, kCal = k + Ann.exclusionDepth(g))
+        Ann.warnDegenerateMiningGeometry("probeHardNegatives", solved,
+          centroids.length)
+        solved
       }
     val c = live.select(col("id").as("neighbor_id"), col("vec").as("cvec"),
       col("nrm").as("cnrm"), col("root").as("croot"), col("cell"))
