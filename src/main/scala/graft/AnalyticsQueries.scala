@@ -3795,7 +3795,262 @@ object AnalyticsQueries {
       |         AS auc_ppm
       |FROM d ORDER BY event_type""".stripMargin
 
+  /** #303 (q117): Spearman rank correlation — the RANK twin of q30's
+    * Pearson: monotone association robust to the value scale (Spearman
+    * 1904). ρ = Pearson over average ranks; with ties the average rank
+    * is fractional, so the kernel works in integer DOUBLE-ranks
+    * r2(v) = 2·|{u < v}| + |{u = v}| + 1 (exactly 2× the average rank,
+    * always integral), and centers them: Σ of average ranks is
+    * n(n+1)/2 REGARDLESS of ties, so c = r2 − (n+1) has an exactly
+    * zero group mean and ρ = Σ c_x·c_y / √(Σc_x²·Σc_y²) needs no n×
+    * cross terms (the products stay within decimal(38) through
+    * ~sf1000, where the n·Σ form of q30 would overflow).
+    *
+    * Scale shape: ranks come from the per-group VALUE HISTOGRAM — one
+    * groupBy(grp, value) count, then
+    * [[graft.etl.GlobalOrder.withGroupCumBefore]]'s banded exclusive
+    * prefix sum (the value domain is DATA-scale for prices: a window
+    * partitioned by the 3-value group alone would buffer-sort a third
+    * of the distinct-price histogram through one task). Rank frames
+    * join back on (grp, value) — two co-partitioned hash joins — and
+    * the group size broadcast. No global sort anywhere.
+    *
+    * Oracle: identical arithmetic; the final ρ is the one
+    * shared-IEEE step (÷ and two correctly-rounded √ over
+    * decimal-exact sums; at driver-checked SFs the sums sit far below
+    * 2⁵³ so the decimal→double casts are exact on both engines). */
+  def q117Spearman: Q = (spark, dir) => {
+    val rows = Tables.lineitem(spark, dir).select(
+      col("l_returnflag").as("grp"),
+      Exact.e(col("l_quantity"), 2).cast(LongType).as("xv"),
+      Exact.e(col("l_extendedprice"), 2).cast(LongType).as("yv"))
+    def r2Of(v: String): DataFrame = {
+      val hist = rows.groupBy(col("grp"), col(v))
+        .agg(count(lit(1)).as("cnt"))
+      graft.etl.GlobalOrder
+        .withGroupCumBefore(hist, "grp", v, "cnt", cumCol = "cum")
+        .select(col("grp"), col(v),
+          (col("cum") * 2 + col("cnt") + 1).cast(LongType).as(s"r2$v"))
+    }
+    val n = rows.groupBy("grp").agg(count(lit(1)).as("n"))
+    val dec19 = DecimalType(19, 0)
+    val centered = rows
+      .join(r2Of("xv"), Seq("grp", "xv"))
+      .join(r2Of("yv"), Seq("grp", "yv"))
+      .join(broadcast(n), Seq("grp"))
+      .select(col("grp"),
+        col("n"),
+        (col("r2xv") - (col("n") + 1)).cast(dec19).as("cx"),
+        (col("r2yv") - (col("n") + 1)).cast(dec19).as("cy"))
+    centered.groupBy("grp")
+      .agg(min("n").as("n_rows"),
+        sum(col("cx") * col("cy")).as("sxy"),
+        sum(col("cx") * col("cx")).as("sxx"),
+        sum(col("cy") * col("cy")).as("syy"))
+      .select(col("grp").as("l_returnflag"), col("n_rows"),
+        when(col("sxx") === 0 || col("syy") === 0, lit(0L))
+          .otherwise(Exact.e(
+            col("sxy").cast(DoubleType) /
+              (sqrt(col("sxx").cast(DoubleType)) *
+               sqrt(col("syy").cast(DoubleType))), 6).cast(LongType))
+          .as("rho_e6"))
+      .orderBy("l_returnflag")
+  }
+
+  val q117Sql: String =
+    """WITH r AS (
+      |  SELECT l_returnflag AS grp,
+      |         CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT) AS xv,
+      |         CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS yv
+      |  FROM lineitem),
+      |hx AS (SELECT grp, xv, COUNT(*) AS cnt FROM r GROUP BY 1, 2),
+      |rx AS (
+      |  SELECT grp, xv,
+      |         2 * COALESCE(SUM(cnt) OVER (PARTITION BY grp ORDER BY xv
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           + cnt + 1 AS r2x
+      |  FROM hx),
+      |hy AS (SELECT grp, yv, COUNT(*) AS cnt FROM r GROUP BY 1, 2),
+      |ry AS (
+      |  SELECT grp, yv,
+      |         2 * COALESCE(SUM(cnt) OVER (PARTITION BY grp ORDER BY yv
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           + cnt + 1 AS r2y
+      |  FROM hy),
+      |n AS (SELECT grp, COUNT(*) AS n FROM r GROUP BY 1),
+      |j AS (
+      |  SELECT r.grp, n.n,
+      |         CAST(r2x - (n + 1) AS HUGEINT) AS cx,
+      |         CAST(r2y - (n + 1) AS HUGEINT) AS cy
+      |  FROM r JOIN rx USING (grp, xv) JOIN ry USING (grp, yv)
+      |         JOIN n USING (grp)),
+      |s AS (
+      |  SELECT grp, CAST(MIN(n) AS BIGINT) AS n_rows,
+      |         SUM(cx * cy) AS sxy, SUM(cx * cx) AS sxx,
+      |         SUM(cy * cy) AS syy
+      |  FROM j GROUP BY 1)
+      |SELECT grp AS l_returnflag, n_rows,
+      |       CAST(CASE WHEN sxx = 0 OR syy = 0 THEN 0
+      |            ELSE FLOOR(CAST(sxy AS DOUBLE) /
+      |                   (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE)))
+      |                   * 1000000.0 + 0.5) END AS BIGINT) AS rho_e6
+      |FROM s ORDER BY l_returnflag""".stripMargin
+
+  /** #304 (q118): Kendall τ-b + Mann–Kendall S per nation over the
+    * monthly (revenue, order-count) series — concordance-based trend
+    * agreement (Kendall 1938; Mann 1945's S = C − D is the classic
+    * nonparametric monotone-trend test, and τ-b its tie-corrected
+    * normalization). The DATA-scale stage is the (nation, month)
+    * aggregation — one shuffle over the orders⋈customer join; the
+    * pairwise self-join runs on the AGGREGATED series (months per
+    * nation are calendar-bounded: configuration-scale, ~10³ pairs per
+    * nation). Concordance is decided by SIGN COMPARISON, never a
+    * difference product — no overflow at any SF. τ-b's two √ are the
+    * one shared-IEEE step over exact small-integer pair counts. */
+  def q118Kendall: Q = (spark, dir) => {
+    val series = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        date_trunc("month", col("o_orderdate")).cast(DateType).as("mon"))
+      .agg(Exact.eSum(col("o_totalprice"), 2).cast(LongType).as("rev"),
+        count(lit(1)).as("n_ord"))
+    val a = series.select(col("n_name"), col("mon").as("m1"),
+      col("rev").as("r1"), col("n_ord").as("c1"))
+    val b = series.select(col("n_name"), col("mon").as("m2"),
+      col("rev").as("r2"), col("n_ord").as("c2"))
+    val nm = series.groupBy("n_name").agg(count(lit(1)).as("n_months"))
+    val conc = (col("r2") > col("r1") && col("c2") > col("c1")) ||
+      (col("r2") < col("r1") && col("c2") < col("c1"))
+    val disc = (col("r2") > col("r1") && col("c2") < col("c1")) ||
+      (col("r2") < col("r1") && col("c2") > col("c1"))
+    a.join(b, Seq("n_name")).filter(col("m1") < col("m2"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(conc, 1L).otherwise(0L)).as("nc"),
+        sum(when(disc, 1L).otherwise(0L)).as("nd"),
+        sum(when(col("r1") === col("r2"), 1L).otherwise(0L)).as("tx"),
+        sum(when(col("c1") === col("c2"), 1L).otherwise(0L)).as("ty"))
+      .join(broadcast(nm), Seq("n_name"))
+      .select(col("n_name"), col("n_months"), col("n_pairs"),
+        (col("nc") - col("nd")).as("s"),
+        when(col("n_pairs") === col("tx") || col("n_pairs") === col("ty"),
+          lit(0L))
+          .otherwise(Exact.e(
+            (col("nc") - col("nd")).cast(DoubleType) /
+              (sqrt((col("n_pairs") - col("tx")).cast(DoubleType)) *
+               sqrt((col("n_pairs") - col("ty")).cast(DoubleType))), 4)
+            .cast(LongType))
+          .as("tau_b_e4"))
+      .orderBy("n_name")
+  }
+
+  val q118Sql: String =
+    """WITH s AS (
+      |  SELECT n.n_name,
+      |         CAST(date_trunc('month', o.o_orderdate) AS DATE) AS mon,
+      |         CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+      |              AS BIGINT) AS rev,
+      |         COUNT(*) AS n_ord
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |       JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY 1, 2),
+      |nm AS (SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_months
+      |       FROM s GROUP BY 1),
+      |p AS (
+      |  SELECT a.n_name,
+      |         COUNT(*) AS n_pairs,
+      |         SUM(CASE WHEN (b.rev > a.rev AND b.n_ord > a.n_ord)
+      |                    OR (b.rev < a.rev AND b.n_ord < a.n_ord)
+      |                  THEN 1 ELSE 0 END) AS nc,
+      |         SUM(CASE WHEN (b.rev > a.rev AND b.n_ord < a.n_ord)
+      |                    OR (b.rev < a.rev AND b.n_ord > a.n_ord)
+      |                  THEN 1 ELSE 0 END) AS nd,
+      |         SUM(CASE WHEN a.rev = b.rev THEN 1 ELSE 0 END) AS tx,
+      |         SUM(CASE WHEN a.n_ord = b.n_ord THEN 1 ELSE 0 END) AS ty
+      |  FROM s a JOIN s b ON a.n_name = b.n_name AND a.mon < b.mon
+      |  GROUP BY 1)
+      |SELECT p.n_name, n_months,
+      |       CAST(n_pairs AS BIGINT) AS n_pairs,
+      |       CAST(nc - nd AS BIGINT) AS s,
+      |       CAST(CASE WHEN n_pairs = tx OR n_pairs = ty THEN 0
+      |            ELSE FLOOR(CAST(nc - nd AS DOUBLE) /
+      |                   (sqrt(CAST(n_pairs - tx AS DOUBLE)) *
+      |                    sqrt(CAST(n_pairs - ty AS DOUBLE)))
+      |                   * 10000.0 + 0.5) END AS BIGINT) AS tau_b_e4
+      |FROM p JOIN nm USING (n_name)
+      |ORDER BY n_name""".stripMargin
+
+  /** #305 (q119): Herfindahl–Hirschman concentration index — the
+    * GOVERNANCE scalar for "how concentrated is the mass"
+    * (Herfindahl 1950; the antitrust-standard Σ share²), with its
+    * reciprocal, the EFFECTIVE number of equal units (Laakso–Taagepera
+    * 1979) — q89's Pareto tiering tells WHO holds the mass, q102's
+    * Gini its inequality; HHI prices the equivalent-competitor count a
+    * mixture designer reasons with (a corpus 'balanced' over 20
+    * sources with eff_n ≈ 3 is three sources in a trench coat). Two
+    * dimensions in one frame: revenue by customer, corpus chars by
+    * ingest source. Pure integers end to end: per-unit mass is one
+    * data-scale groupBy; Σm² in decimal(38) (HUGEINT on the oracle),
+    * hhi_ppm = 10⁶·Σm² div M², eff_n_e2 = 10²·M² div Σm² — exact
+    * rationals under floor division, identical on both engines. */
+  def q119Hhi: Q = (spark, dir) => {
+    val dec19 = DecimalType(19, 0)
+    def dimOf(units: DataFrame, tag: String): DataFrame =
+      units.agg(count(lit(1)).as("n_units"), sum("m").as("mass"),
+          sum(col("m").cast(dec19) * col("m").cast(dec19)).as("s2"))
+        .select(lit(tag).as("dim"), col("n_units"),
+          col("mass").cast(LongType).as("mass"),
+          when(col("mass") === 0, lit(0L))
+            .otherwise(expr("(s2 * 1000000) div " +
+              "(cast(mass as decimal(19,0)) * cast(mass as decimal(19,0)))")
+              .cast(LongType)).as("hhi_ppm"),
+          when(col("mass") === 0, lit(0L))
+            .otherwise(expr("(cast(mass as decimal(19,0)) * " +
+              "cast(mass as decimal(19,0)) * 100) div s2")
+              .cast(LongType)).as("eff_n_e2"))
+    val byCust = Tables.orders(spark, dir).groupBy("o_custkey")
+      .agg(Exact.eSum(col("o_totalprice"), 2).cast(LongType).as("m"))
+    val bySrc = Tables.documents(spark, dir).groupBy("source")
+      .agg(sum("n_chars").cast(LongType).as("m"))
+    dimOf(byCust, "customer_revenue")
+      .unionByName(dimOf(bySrc, "source_chars"))
+      .orderBy("dim")
+  }
+
+  val q119Sql: String =
+    """WITH cu AS (
+      |  SELECT o_custkey,
+      |         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+      |              AS BIGINT) AS m
+      |  FROM orders GROUP BY 1),
+      |so AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS m
+      |       FROM documents GROUP BY 1),
+      |a AS (
+      |  SELECT 'customer_revenue' AS dim, CAST(COUNT(*) AS BIGINT) AS n_units,
+      |         CAST(SUM(m) AS BIGINT) AS mass,
+      |         SUM(CAST(m AS HUGEINT) * m) AS s2
+      |  FROM cu
+      |  UNION ALL
+      |  SELECT 'source_chars', CAST(COUNT(*) AS BIGINT),
+      |         CAST(SUM(m) AS BIGINT), SUM(CAST(m AS HUGEINT) * m)
+      |  FROM so)
+      |SELECT dim, n_units, mass,
+      |       CAST(CASE WHEN mass = 0 THEN 0
+      |            ELSE (s2 * 1000000)
+      |                 // (CAST(mass AS HUGEINT) * mass) END AS BIGINT)
+      |         AS hhi_ppm,
+      |       CAST(CASE WHEN mass = 0 THEN 0
+      |            ELSE (CAST(mass AS HUGEINT) * mass * 100) // s2
+      |            END AS BIGINT) AS eff_n_e2
+      |FROM a ORDER BY dim""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q117_spearman" -> q117Spearman,
+    "q118_kendall" -> q118Kendall,
+    "q119_hhi" -> q119Hhi,
     "q115_w1_drift" -> q115W1Drift,
     "q116_w1_from_artifacts" -> q116W1FromArtifacts,
     "q114_auc_from_artifacts" -> q114AucFromArtifacts,
@@ -3873,6 +4128,9 @@ object AnalyticsQueries {
     "q49_cohort_retention" -> q49CohortRetention)
 
   val oracles: Seq[(String, String)] = Seq(
+    "q117_spearman" -> q117Sql,
+    "q118_kendall" -> q118Sql,
+    "q119_hhi" -> q119Sql,
     "q72_audience_overlap" -> q72Sql,
     "q65_rolling_distinct" -> q65Sql,
     "q89_pareto" -> q89Sql,

@@ -2539,7 +2539,121 @@ object TrainingDataQueries {
       |            THEN 1 ELSE 0 END AS BIGINT) AS reexport
       |FROM p GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** #303c (t50): DSIR-style importance weights — data selection via
+    * n-gram importance resampling (Xie et al. NeurIPS 2023): score
+    * every document by how much its hashed-n-gram profile looks like a
+    * TARGET domain relative to the raw corpus, then sample by the
+    * weight. The published estimator is Σ_b c_b·log(p_tgt(b)/p_raw(b));
+    * log is banned on the oracle path (ORACLE.md Rule 4 — multi-ulp
+    * libm), so this variant scores the LINEAR ratio gap
+    * w = Σ_b c_b·(ppm_tgt(b) − ppm_raw(b)) over word BIGRAMS — same
+    * sign semantics (positive ⇔ target-like features over-represented)
+    * and a total order suitable for top-k selection, exact in
+    * integers. The target here is the `lang = 'en'` slice (the
+    * "formal text" stand-in the generator provides).
+    *
+    * Shape (all linear shuffles): explode bigrams once; ONE
+    * groupBy(bigram) with a conditional target-count (no second pass);
+    * the two corpus totals are a 1-row broadcast; ppms by floor
+    * division in decimal(38) (a dominant bigram's 10⁶·count can pass
+    * 2⁶³ at extreme SF); doc-profile ⋈ feature-table on the bigram
+    * (co-partitioned), then one groupBy(doc). Docs with < 2 words
+    * carry weight 0 via the left join.
+    *
+    * vs t09 (tf-idf salience): t09 ranks terms WITHIN a doc; t50
+    * prices a DOC against a target/raw distribution pair — the
+    * mixture-curation decision (what to keep) rather than the
+    * indexing one (what a doc is about). */
+  def t50DsirWeights: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    val bi = docs
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(expr("transform(sequence(1, size(w) - 1), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+          .as("bg"))
+    val docProfile = bi.groupBy("doc_id", "bg")
+      .agg(count(lit(1)).as("cnt"))
+    val feat = bi.groupBy("bg").agg(
+      count(lit(1)).as("rcnt"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tcnt"))
+    val totals = feat.agg(sum("rcnt").as("rtot"), sum("tcnt").as("ttot"))
+    val delta = feat.crossJoin(broadcast(totals))
+      .select(col("bg"),
+        (expr("(cast(tcnt as decimal(19,0)) * 1000000) div ttot") -
+         expr("(cast(rcnt as decimal(19,0)) * 1000000) div rtot"))
+          .cast(LongType).as("delta_ppm"))
+    val w = docProfile.join(delta, Seq("bg"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_bigrams"),
+        sum(col("cnt") * col("delta_ppm")).as("weight"))
+    docs.select(col("doc_id"))
+      .join(w, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("weight"), lit(0L)).as("weight"))
+      .orderBy("doc_id")
+  }
+
+  val t50Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+      |b AS (
+      |  SELECT doc_id, lang,
+      |         unnest(list_transform(range(1, len(w)),
+      |                               i -> w[i] || ' ' || w[i + 1])) AS bg
+      |  FROM t WHERE len(w) >= 2),
+      |dp AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+      |f AS (
+      |  SELECT bg, COUNT(*) AS rcnt,
+      |         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tcnt
+      |  FROM b GROUP BY 1),
+      |tot AS (SELECT SUM(rcnt) AS rtot, SUM(tcnt) AS ttot FROM f),
+      |d AS (
+      |  SELECT bg,
+      |         CAST((CAST(tcnt AS HUGEINT) * 1000000) // ttot
+      |              - (CAST(rcnt AS HUGEINT) * 1000000) // rtot AS BIGINT)
+      |           AS delta_ppm
+      |  FROM f, tot),
+      |wq AS (
+      |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+      |         CAST(SUM(cnt * delta_ppm) AS BIGINT) AS weight
+      |  FROM dp JOIN d USING (bg) GROUP BY 1)
+      |SELECT doc_id,
+      |       COALESCE(n_bigrams, 0) AS n_bigrams,
+      |       COALESCE(weight, 0) AS weight
+      |FROM documents LEFT JOIN wq USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** #303d (t51): LZ78 compression-complexity audit — the
+    * dictionary-parse phrase count ([[graft.functions.Lz78Phrases]],
+    * Lempel & Ziv 1978) as a per-document quality signal: template
+    * junk and byte-run spam parse into FEW long phrases, natural text
+    * into many short ones — the compression-ratio filter of
+    * production corpus pipelines without a codec library's versioned
+    * output (the parse is a mathematical function of the bytes).
+    * lz_ratio_ppm = 10⁶·phrases div n_bytes; low ⇔ compressible ⇔
+    * suspicious. Complements t06 (bigram repetition: one dominant
+    * bigram) and t14 (bigram LM: corpus-typical wording) — LZ78 sees
+    * LONG-RANGE copies both miss. One codegen'd expression per row,
+    * no shuffle until the final per-doc frame; rows-only (no SQL
+    * engine computes an incremental parse) with the kernel pinned on
+    * hand-computed fixtures in TrainingDataSpec. */
+  def t51LzComplexity: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    docs.select(col("doc_id"),
+        octet_length(col("text")).cast(LongType).as("n_bytes"),
+        graft.functions.Lz78Phrases.lz78Phrases(col("text")).as("phrases"))
+      .withColumn("lz_ratio_ppm",
+        when(col("n_bytes") === 0, 0L)
+          .otherwise(expr("(1000000 * phrases) div n_bytes")))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "t51_lz_complexity" -> t51LzComplexity,
+    "t50_dsir_weights" -> t50DsirWeights,
     "t49_shard_invalidation" -> t49ShardInvalidation,
     "t48_split_datasheet" -> t48SplitDatasheet,
     "t47_target_mix_resample" -> t47TargetMixResample,
@@ -2587,6 +2701,7 @@ object TrainingDataQueries {
     "d11_corpus_pipeline" -> d11CorpusPipeline)
 
   val oracles: Seq[(String, String)] = Seq(
+    "t50_dsir_weights" -> t50Sql,
     "t49_shard_invalidation" -> t49Sql,
     "t48_split_datasheet" -> t48Sql,
     "t47_target_mix_resample" -> t47Sql,

@@ -161,6 +161,51 @@ object GlobalOrder {
       .drop("_gs_b", "_gs_boff")
   }
 
+  /** Per-group EXCLUSIVE running total of `valueCol` in `fine` order —
+    * the prefix-sum sibling of [[withGroupSeq]] for histogram CDFs: a
+    * rank statistic over a DATA-scale value domain (prices, cents)
+    * needs "Σ counts of strictly-smaller values within the group", and
+    * a window partitioned by a low-cardinality group key alone
+    * buffer-sorts the whole histogram of the biggest group through one
+    * task (the q50 funnel). Same two-pass regime: `fine`-keyed
+    * equal-width buckets from a broadcast min/max, per-(group, bucket)
+    * partial SUMS, per-group bucket offsets from a window that sees
+    * ≤ `buckets` rows per group, then the in-bucket exclusive running
+    * sum partitioned by the high-cardinality (group, bucket) pair.
+    *
+    * `fine` must be numeric, non-null, and unique WITHIN each group
+    * (a histogram's value axis); `valueCol` integral (exact totals).
+    * Adds `cumCol` = Σ valueCol over rows of the same group with
+    * strictly smaller `fine` (0 for the group's first value). */
+  def withGroupCumBefore(df: DataFrame, group: String, fine: String,
+                         valueCol: String, cumCol: String = "cum_before",
+                         buckets: Int = 0,
+                         broadcastOffsets: Boolean = true): DataFrame = {
+    val nb =
+      if (buckets > 0) buckets
+      else df.sparkSession.sessionState.conf.numShufflePartitions * 8
+    val bounds = df.agg(min(col(fine).cast(LongType)).as("_gc_lo"),
+      max(col(fine).cast(LongType)).as("_gc_hi"))
+    val withB = df.crossJoin(broadcast(bounds))
+      .withColumn("_gc_b",
+        ((col(fine).cast(LongType) - col("_gc_lo")) /
+          ((col("_gc_hi") - col("_gc_lo")) / nb + lit(1L))).cast(LongType))
+      .drop("_gc_lo", "_gc_hi")
+    val partials = withB.groupBy(col(group), col("_gc_b"))
+      .agg(sum(col(valueCol)).as("_gc_s"))
+    val wB = Window.partitionBy(group).orderBy("_gc_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketOff = partials.select(col(group), col("_gc_b"),
+      coalesce(sum("_gc_s").over(wB), lit(0L)).as("_gc_boff"))
+    val wFine = Window.partitionBy(col(group), col("_gc_b"))
+      .orderBy(col(fine)).rowsBetween(Window.unboundedPreceding, -1)
+    val off = if (broadcastOffsets) broadcast(bucketOff) else bucketOff
+    withB.join(off, Seq(group, "_gc_b"))
+      .withColumn(cumCol,
+        col("_gc_boff") + coalesce(sum(col(valueCol)).over(wFine), lit(0L)))
+      .drop("_gc_b", "_gc_boff")
+  }
+
   /** `dataScaleCoarse`: the default path assumes the coarse DOMAIN is
     * configuration-bounded (quality bands, milli scores, languages) —
     * its exclusive prefix runs as one unpartitioned window over

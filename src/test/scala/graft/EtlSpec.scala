@@ -356,6 +356,29 @@ class EtlSpec extends AnyFunSuite {
     assert(got == want, s"group ranks diverged")
   }
 
+  test("withGroupCumBefore matches the per-group window on adversarial domains") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.etl.GlobalOrder
+    // histogram shape: (grp, value) unique within grp; negative values,
+    // a huge domain gap (most width-buckets empty), one group holding
+    // ~90% of the histogram rows, zero counts allowed
+    val rows = (1L to 1500L).map { i =>
+      val grp = if (i % 10 == 0) (i % 3).toString else "hot"
+      val v = if (i % 17 == 0) i * 1000000L - 700L else i - 50L
+      (grp, v, (i % 5)) // weights 0..4 — zeros exercise coalesce
+    }
+    val df = rows.toDF("grp", "v", "cnt").repartition(7)
+    val got = GlobalOrder
+      .withGroupCumBefore(df, "grp", "v", "cnt", cumCol = "cum", buckets = 11)
+      .select("grp", "v", "cum").as[(String, Long, Long)].collect().toSet
+    val w = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = df
+      .withColumn("cum", coalesce(sum("cnt").over(w), lit(0L)))
+      .select("grp", "v", "cum").as[(String, Long, Long)].collect().toSet
+    assert(got == want, "banded per-group exclusive prefix sums diverged")
+  }
+
   test("q89 ABC classes tier cleanly: ranks contiguous, shares monotone, boundaries greedy") {
     val rows = AnalyticsQueries.q89Pareto(spark, TestSpark.Sf)
       .select("custkey", "cents", "rnk", "cum", "share_ppm", "abc_class")

@@ -682,4 +682,108 @@ class FunctionsSpec extends AnyFunSuite {
     assert(u2self == same.length.toLong * same.length,
       "self-window u2 must equal n^2 (AUC exactly 1/2)")
   }
+
+  test("q117 Spearman matches a local average-rank Pearson recomputation") {
+    // the definitional cross-check: average ranks + Pearson computed
+    // locally — a rank-algebra error mirrored into both engines' SQL
+    // would pass the oracle but not this
+    val got = AnalyticsQueries.q117Spearman(spark, TestSpark.Sf)
+      .as[(String, Long, Long)].collect()
+    val rows = Tables.lineitem(spark, TestSpark.Sf)
+      .selectExpr("l_returnflag",
+        "cast(floor(l_quantity * 100.0 + 0.5) as bigint)",
+        "cast(floor(l_extendedprice * 100.0 + 0.5) as bigint)")
+      .as[(String, Long, Long)].collect()
+    assert(got.nonEmpty && got.length == rows.map(_._1).distinct.length)
+    def r2s(vs: Seq[Long]): Map[Long, Long] = {
+      val hist = vs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val sorted = hist.keys.toSeq.sorted
+      var cum = 0L
+      sorted.map { v =>
+        val r = (v, 2 * cum + hist(v) + 1); cum += hist(v); r }.toMap
+    }
+    got.foreach { case (flag, nRows, rhoE6) =>
+      val g = rows.filter(_._1 == flag)
+      assert(nRows == g.length, s"$flag group size")
+      val n = g.length.toLong
+      val (rx, ry) = (r2s(g.map(_._2)), r2s(g.map(_._3)))
+      var sxy = BigInt(0); var sxx = BigInt(0); var syy = BigInt(0)
+      g.foreach { case (_, x, y) =>
+        val cx = BigInt(rx(x) - (n + 1)); val cy = BigInt(ry(y) - (n + 1))
+        sxy += cx * cy; sxx += cx * cx; syy += cy * cy }
+      val want = math.floor(sxy.toDouble /
+        (math.sqrt(sxx.toDouble) * math.sqrt(syy.toDouble)) * 1e6 + 0.5).toLong
+      assert(rhoE6 == want, s"$flag rho_e6 $rhoE6 != $want")
+      assert(math.abs(rhoE6) <= 1000000L, s"$flag |rho| > 1")
+    }
+    // planted perfect monotone association through the SAME banded
+    // prefix-sum kernel shape: ranks of y = 3x+7 equal ranks of x
+    val mono = (1L to 500L).map(i => (i % 7, i, 3 * i + 7))
+    val (mrx, mry) = (r2s(mono.map(_._2)), r2s(mono.map(_._3)))
+    assert(mono.forall { case (_, x, y) => mrx(x) == mry(y) },
+      "monotone map must preserve average ranks")
+  }
+
+  test("q118 Kendall matches a local pairwise concordance recomputation") {
+    val got = AnalyticsQueries.q118Kendall(spark, TestSpark.Sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    val nat = Tables.nation(spark, TestSpark.Sf)
+      .selectExpr("n_nationkey", "n_name").as[(Long, String)].collect().toMap
+    val cust = Tables.customer(spark, TestSpark.Sf)
+      .selectExpr("c_custkey", "c_nationkey").as[(Long, Long)].collect().toMap
+    val ord = Tables.orders(spark, TestSpark.Sf)
+      .selectExpr("o_custkey", "cast(date_trunc('month', o_orderdate) as date)",
+        "cast(floor(o_totalprice * 100.0 + 0.5) as bigint)")
+      .as[(Long, java.sql.Date, Long)].collect()
+    val series = ord.groupBy(r => (nat(cust(r._1)), r._2.toString))
+      .map { case ((nm, mon), rs) =>
+        (nm, mon, rs.map(_._3).sum, rs.length.toLong) }.toSeq
+    assert(got.nonEmpty && got.length == series.map(_._1).distinct.length)
+    got.foreach { case (nm, nMonths, nPairs, s, tauE4) =>
+      val g = series.filter(_._1 == nm).sortBy(_._2)
+      assert(nMonths == g.length, s"$nm month count")
+      var nc = 0L; var nd = 0L; var tx = 0L; var ty = 0L; var np = 0L
+      for (i <- g.indices; j <- (i + 1) until g.length) {
+        val (_, _, r1, c1) = g(i); val (_, _, r2, c2) = g(j)
+        np += 1
+        if ((r2 > r1 && c2 > c1) || (r2 < r1 && c2 < c1)) nc += 1
+        else if ((r2 > r1 && c2 < c1) || (r2 < r1 && c2 > c1)) nd += 1
+        if (r1 == r2) tx += 1
+        if (c1 == c2) ty += 1
+      }
+      assert(nPairs == np && s == nc - nd, s"$nm pair counts")
+      val want = if (np == tx || np == ty) 0L
+        else math.floor((nc - nd).toDouble /
+          (math.sqrt((np - tx).toDouble) * math.sqrt((np - ty).toDouble))
+          * 1e4 + 0.5).toLong
+      assert(tauE4 == want, s"$nm tau_b_e4 $tauE4 != $want")
+      assert(math.abs(tauE4) <= 10000L, s"$nm |tau| > 1")
+    }
+  }
+
+  test("q119 HHI matches a local BigInt recomputation; uniform fixture is exact") {
+    val got = AnalyticsQueries.q119Hhi(spark, TestSpark.Sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    def hhiOf(ms: Seq[Long]): (Long, Long, Long, Long) = {
+      val mass = ms.sum
+      val s2 = ms.map(m => BigInt(m) * m).sum
+      (ms.length.toLong, mass,
+        ((s2 * 1000000) / (BigInt(mass) * mass)).toLong,
+        ((BigInt(mass) * mass * 100) / s2).toLong)
+    }
+    val cu = Tables.orders(spark, TestSpark.Sf)
+      .selectExpr("o_custkey", "cast(floor(o_totalprice * 100.0 + 0.5) as bigint)")
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).map(_._2.map(_._2).sum).toSeq
+    val so = Tables.documents(spark, TestSpark.Sf)
+      .selectExpr("source", "n_chars").as[(String, Long)].collect()
+      .groupBy(_._1).map(_._2.map(_._2).sum).toSeq
+    val want = Seq(
+      ("customer_revenue", hhiOf(cu)), ("source_chars", hhiOf(so)))
+      .map { case (d, (n, m, h, e)) => (d, n, m, h, e) }
+    assert(got == want, s"got $got\nwant $want")
+    // k equal units: hhi = 10^6/k, eff_n = k exactly
+    val (_, _, hu, eu) = hhiOf(Seq.fill(8)(12345L))
+    assert(hu == 125000L && eu == 800L, s"uniform fixture ($hu, $eu)")
+  }
 }

@@ -593,4 +593,27 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("hll_sketch_agg") || plan.contains("hll_union_agg"),
       plan.take(1200))
   }
+
+  test("q117 Spearman CDF rides the banded prefix sum — no histogram-wide group window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.graft.TestBridge
+    // the price histogram is DATA-scale: a cumulative window
+    // partitioned by the 3-value returnflag alone would buffer-sort a
+    // third of the distinct-price domain through one task. Every
+    // window must either carry the bucket axis in its partition spec
+    // or run over the partials frame (≤ buckets rows per group —
+    // bounded by configuration, not data).
+    val df = AnalyticsQueries.q117Spearman(spark, sf)
+    val ws = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(ws.nonEmpty, "expected the prefix-sum windows in the plan")
+    val nb = spark.sessionState.conf.numShufflePartitions * 8
+    ws.foreach { w =>
+      val parts = w.partitionSpec.map(_.toString).mkString(",")
+      if (!parts.contains("_gc_b")) {
+        val n = TestBridge.ofRows(spark, w.child).count()
+        assert(n <= (nb + 1L) * 3,
+          s"group-only window over $n rows — not the bounded partials frame")
+      }
+    }
+  }
 }

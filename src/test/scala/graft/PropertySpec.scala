@@ -191,4 +191,42 @@ class PropertySpec extends AnyFunSuite {
         s"(bound $bound), heavy coverage ${heavy.size}/${heavy.size}")
     }
   }
+
+  test("Lz78Phrases equals a naive string-dictionary parse (codegen path)") {
+    // independent reference: the textbook LZ78 incremental parse with
+    // byte-sequence phrases in a Set — quadratic but obviously correct
+    def ref(s: String): Long = {
+      val dict = scala.collection.mutable.Set.empty[Seq[Byte]]
+      var cur = Vector.empty[Byte]
+      var phrases = 0L
+      s.getBytes("UTF-8").foreach { b =>
+        cur = cur :+ b
+        if (!dict.contains(cur)) { dict += cur; phrases += 1; cur = Vector.empty }
+      }
+      if (cur.nonEmpty) phrases += 1
+      phrases
+    }
+    // hand-computed fixtures pin the parse semantics themselves
+    // (a|aa|aa → 3; all-new → 5; a|b|ab|ab → 4)
+    assert(ref("aaaaa") == 3L && ref("abcde") == 5L && ref("ababab") == 4L)
+    val inputs = samples(asciiText, 200).filter(_.nonEmpty) ++
+      Seq("aaaaa", "abcde", "ababab", "a", "aa",
+        "spam spam spam spam spam spam spam spam",
+        "x" * 1000, ("ab" * 500) + "tail")
+    val got = inputs.toDF("s")
+      .select($"s", graft.functions.Lz78Phrases.lz78Phrases($"s"))
+      .as[(String, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (s, p) =>
+      assert(p == ref(s), s"parse diverged on ${s.take(40)}…")
+      assert(p <= s.getBytes("UTF-8").length, "phrases cannot exceed bytes")
+    }
+    // empty string → 0 (null-safe eval path)
+    val empty = Seq("").toDF("s")
+      .select(graft.functions.Lz78Phrases.lz78Phrases($"s")).as[Long].collect()
+    assert(empty.toSeq == Seq(0L))
+    // the quality-signal direction: a byte run parses far below an
+    // alphabet-diverse text of the same length
+    assert(ref("a" * 400) < ref((0 until 400).map(i => ('a' + i % 26).toChar).mkString) / 3)
+  }
 }

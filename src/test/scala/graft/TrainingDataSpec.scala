@@ -726,4 +726,66 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got.exists(_._6 == 1L) && got.exists(_._6 == 0L),
       "fixture must contain dirty AND clean shards")
   }
+
+  test("t50 DSIR weights match a local floor-division recomputation") {
+    val got = TrainingDataQueries.t50DsirWeights(spark, TestSpark.Sf)
+      .as[(Long, Long, Long)].collect()
+    val docs = Tables.documents(spark, TestSpark.Sf)
+      .selectExpr("doc_id", "lang", "text").as[(Long, String, String)].collect()
+    assert(got.length == docs.length, "one weight row per document")
+    def bigrams(t: String): Seq[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 2) Nil else w.sliding(2).map(_.mkString(" ")).toSeq
+    }
+    val all = docs.flatMap { case (id, lang, t) =>
+      bigrams(t).map(b => (id, lang, b)) }
+    val rcnt = all.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val tcnt = all.filter(_._2 == "en").groupBy(_._3)
+      .view.mapValues(_.length.toLong).toMap
+    val rtot = all.length.toLong
+    val ttot = all.count(_._2 == "en").toLong
+    val delta = rcnt.keys.map { b =>
+      b -> ((BigInt(tcnt.getOrElse(b, 0L)) * 1000000 / ttot) -
+            (BigInt(rcnt(b)) * 1000000 / rtot)).toLong }.toMap
+    val want = docs.map { case (id, _, t) =>
+      val bs = bigrams(t)
+      id -> ((bs.length.toLong, bs.map(delta).sum)) }.toMap
+    got.foreach { case (id, nB, w) =>
+      assert((nB, w) == want(id), s"doc $id: ($nB, $w) != ${want(id)}") }
+    // direction: the mean weight of target-language docs must exceed
+    // the mean of the rest — the importance-resampling signal itself
+    val lang = docs.map(d => d._1 -> d._2).toMap
+    val (en, other) = got.partition(r => lang(r._1) == "en")
+    assert(en.nonEmpty && other.nonEmpty)
+    val meanEn = en.map(_._3).sum.toDouble / en.length
+    val meanOther = other.map(_._3).sum.toDouble / other.length
+    assert(meanEn > meanOther,
+      s"target-domain docs must score higher: en $meanEn vs other $meanOther")
+  }
+
+  test("t51 LZ complexity: per-row kernel parity, bounds, and signal direction") {
+    val got = TrainingDataQueries.t51LzComplexity(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (_, nBytes, phrases, ppm) =>
+      assert(phrases >= 1L && phrases <= nBytes, "phrase count out of bounds")
+      assert(ppm == 1000000L * phrases / nBytes, "ratio not the floor division")
+    }
+    // rerun is bit-identical (a pure function of the bytes)
+    val again = TrainingDataQueries.t51LzComplexity(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.toSeq == again.toSeq, "LZ parse must be deterministic")
+    // signal direction on planted rows THROUGH the same expression:
+    // template spam parses far below natural-looking text
+    val planted = Seq(
+      (1L, "spam " * 200),
+      (2L, (0 until 200).map(i => s"w${i * 7919 % 1009}").mkString(" ")))
+      .toDF("doc_id", "text")
+      .select($"doc_id",
+        graft.functions.Lz78Phrases.lz78Phrases($"text").as("p"),
+        octet_length($"text").cast("long").as("n"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (1000000L * r._2 / r._3)).toMap
+    assert(planted(1L) * 2 < planted(2L),
+      s"spam ppm ${planted(1L)} must sit far below diverse ppm ${planted(2L)}")
+  }
 }
