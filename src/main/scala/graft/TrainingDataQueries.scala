@@ -2564,15 +2564,21 @@ object TrainingDataQueries {
     * prices a DOC against a target/raw distribution pair — the
     * mixture-curation decision (what to keep) rather than the
     * indexing one (what a doc is about). */
-  def t50DsirWeights: Q = (spark, dir) => {
-    val docs = Tables.documents(spark, dir)
-    val bi = docs
+  /** One row per word-bigram OCCURRENCE: (doc_id, lang, bg) — the
+    * shared front end of t50's exact weights and the #308 hashed
+    * feature producer. Docs under two words contribute nothing. */
+  private[graft] def docBigrams(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), col("lang"),
         explode(expr("transform(sequence(1, size(w) - 1), " +
           "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
           .as("bg"))
+
+  def t50DsirWeights: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    val bi = docBigrams(docs)
     val docProfile = bi.groupBy("doc_id", "bg")
       .agg(count(lit(1)).as("cnt"))
     val feat = bi.groupBy("bg").agg(
@@ -2595,6 +2601,60 @@ object TrainingDataQueries {
         coalesce(col("weight"), lit(0L)).as("weight"))
       .orderBy("doc_id")
   }
+
+  /** #308's feature artifact: t50's target-vs-raw ppm gap at HASHED
+    * bucket granularity — the published DSIR estimator hashes n-grams
+    * into a FIXED bucket count precisely so the parameter vector stays
+    * configuration-scale (Xie et al. §2.2: 10k buckets); the exact
+    * per-bigram table (t50) is vocabulary-scale and cannot ship to a
+    * stream worker, the bucket table is kilobytes and broadcasts.
+    * Same integer arithmetic as t50 at bucket granularity:
+    * delta_ppm(bucket) = 10⁶·tcnt div ttot − 10⁶·rcnt div rtot.
+    * Bucket identity is `pmod(xxhash64(bg), buckets)` — engine-stable,
+    * and the SAME expression the scorer applies (one definition). */
+  def dsirHashedFeatures(spark: SparkSession, dir: String,
+                         buckets: Int = DsirBuckets): DataFrame =
+    docBigrams(Tables.documents(spark, dir))
+      .groupBy(pmod(xxhash64(col("bg")), lit(buckets.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("rcnt"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tcnt"))
+      .crossJoin(broadcast(
+        docBigrams(Tables.documents(spark, dir))
+          .agg(count(lit(1)).as("rtot"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ttot"))))
+      .select(col("bucket"),
+        (expr("(cast(tcnt as decimal(19,0)) * 1000000) div ttot") -
+         expr("(cast(rcnt as decimal(19,0)) * 1000000) div rtot"))
+          .cast(LongType).as("delta_ppm"))
+
+  /** Default hashed-DSIR bucket count (#308) — 2¹³, the order the
+    * paper uses; the bucket frame is ~64 KiB as a broadcast map. */
+  val DsirBuckets = 8192
+
+  /** Adds `weight` (hashed-DSIR score) to `docs` given the broadcast
+    * 1-row map frame from [[dsirFeatureMap]]. Shared by the #308
+    * stream gate and its batch parity twin — one scoring definition. */
+  private[graft] def dsirScore(docs: DataFrame, featMapRow: DataFrame,
+                               buckets: Int = DsirBuckets): DataFrame =
+    docs.crossJoin(broadcast(featMapRow))
+      .withColumn("_dsir_w", split(col("text"), " "))
+      .withColumn("_dsir_bgs", when(size(col("_dsir_w")) >= 2,
+        expr("transform(sequence(1, size(_dsir_w) - 1), " +
+          "i -> concat(element_at(_dsir_w, i), ' ', " +
+          "element_at(_dsir_w, i + 1)))"))
+        .otherwise(expr("array()")))
+      .withColumn("weight",
+        expr(s"aggregate(_dsir_bgs, 0L, (acc, b) -> acc + " +
+          s"coalesce(element_at(_dsir_map, pmod(xxhash64(b), ${buckets}L)), 0L))"))
+      .drop("_dsir_w", "_dsir_bgs", "_dsir_map")
+
+  /** Folds the bucket feature frame into the ONE-row map frame
+    * [[dsirScore]] broadcasts: configuration-scale (≤ buckets
+    * entries), the deployable parameter vector of the hashed
+    * estimator. */
+  private[graft] def dsirFeatureMap(features: DataFrame): DataFrame =
+    features.agg(map_from_entries(
+      collect_list(struct(col("bucket"), col("delta_ppm")))).as("_dsir_map"))
 
   val t50Sql: String =
     """WITH t AS (

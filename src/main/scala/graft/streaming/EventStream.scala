@@ -687,6 +687,32 @@ object EventStream {
     * production filter deploys). Stateless stream-static broadcast
     * join + projection — no watermark, no state store (the #164
     * pattern); batch/stream verdict parity is pinned by the spec. */
+  /** Streaming DSIR admission gate (#308) — t50's streaming twin: the
+    * hashed-feature importance score (Xie et al. NeurIPS 2023 §2.2 —
+    * the FIXED-bucket variant exists precisely so the parameter
+    * vector is configuration-scale and ships to workers) applied to
+    * ARRIVING documents against a FROZEN feature artifact
+    * (`features` = yesterday's
+    * [[graft.TrainingDataQueries.dsirHashedFeatures]] run: a stream
+    * cannot know its own corpus's target/raw distributions, so the
+    * gate scores on the last calibrated vector — how the published
+    * selector deploys). The ≤`buckets`-entry frame folds into a
+    * 1-row broadcast MAP and the score is a pure per-row expression
+    * ([[graft.TrainingDataQueries.dsirScore]] — ONE definition shared
+    * with the batch parity twin): no watermark, no state store, no
+    * shuffle (the #285 stateless gate pattern). `keepFloor` is the
+    * admission bar in ppm-weighted bigram units; weight ≥ floor ⇒
+    * keep = 1. Higher-order lambdas in the scorer are interpreted,
+    * not codegen'd — acceptable for a per-row projection gate. */
+  def dsirGateStream(docs: DataFrame, features: DataFrame,
+                     keepFloor: Long = 0L,
+                     buckets: Int = graft.TrainingDataQueries.DsirBuckets)
+      : DataFrame =
+    graft.TrainingDataQueries
+      .dsirScore(docs,
+        graft.TrainingDataQueries.dsirFeatureMap(features), buckets)
+      .withColumn("keep", (col("weight") >= keepFloor).cast("long"))
+
   def qualityGateStream(docs: DataFrame, bands: DataFrame): DataFrame =
     graft.TrainingDataQueries.gateVerdicts(
         docs.join(broadcast(bands), Seq("lang")))

@@ -880,6 +880,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("DSIR gate stream: per-doc weights identical to batch scoring on the frozen vector") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // frozen calibration: the hashed feature vector off the static corpus
+    val features = TrainingDataQueries
+      .dsirHashedFeatures(spark, TestSpark.Sf).localCheckpoint()
+    val docs = Tables.documents(spark, TestSpark.Sf)
+      .select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect().toSeq
+    // planted rows exercise the empty-bigram path and the keep bit
+    val planted = Seq((-1L, "xx", "oneword"), (-2L, "xx", ""))
+    val all = docs ++ planted
+
+    val input = MemoryStream[(Long, String, String)]
+    val query = EventStream.dsirGateStream(
+        input.toDF().toDF("doc_id", "lang", "text"), features, keepFloor = 1L)
+      .select("doc_id", "weight", "keep")
+      .writeStream.format("memory").queryName("dsir_gate")
+      .outputMode("append").start()
+    try {
+      all.grouped(all.size / 3 + 1).foreach { b =>
+        input.addData(b: _*)
+        query.processAllAvailable()
+      }
+      val got = spark.table("dsir_gate")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got.size == all.size)
+      // batch parity: the SAME shared scorer over the same rows
+      val want = TrainingDataQueries.dsirScore(
+          all.toDF("doc_id", "lang", "text"),
+          TrainingDataQueries.dsirFeatureMap(features))
+        .withColumn("keep", (col("weight") >= 1L).cast("long"))
+        .select("doc_id", "weight", "keep")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == want, "stream weights diverged from the batch scorer")
+      // bigram-free docs score exactly 0 and are dropped at floor 1
+      assert(got(-1L) == ((0L, 0L)) && got(-2L) == ((0L, 0L)))
+      // the signal survives hashing: target-language docs score higher
+      val lang = docs.map(d => d._1 -> d._2).toMap
+      val (en, other) = got.filterKeys(_ >= 0).toSeq.partition {
+        case (id, _) => lang(id) == "en" }
+      val meanEn = en.map(_._2._1).sum.toDouble / en.size
+      val meanOther = other.map(_._2._1).sum.toDouble / other.size
+      assert(meanEn > meanOther,
+        s"hashed weights lost the direction: en $meanEn vs other $meanOther")
+      // the floor actually separates: both verdicts occur on real docs
+      val keeps = got.filterKeys(_ >= 0).values.map(_._2).toSet
+      assert(keeps == Set(0L, 1L), s"degenerate gate: verdicts $keeps")
+    } finally query.stop()
+  }
+
   test("quality gate stream: per-doc verdicts identical to batch t45 expressions on frozen bands") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
