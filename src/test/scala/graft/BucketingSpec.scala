@@ -51,4 +51,41 @@ class BucketingSpec extends AnyFunSuite {
       assert(rows == Seq((1L, 3L, 17.0), (2L, 1L, 1.0)))
     } finally query.stop()
   }
+
+  test("state API v2 (transformWithState) carries the same running state as v1") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // the v2 operator requires the RocksDB state store provider; a
+    // production session sets this once at startup
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, Double)]
+      val events = input.toDF().toDF("user_id", "value")
+      val query = graft.streaming.EventStream.runningUserAggV2(events)
+        .writeStream.format("memory").queryName("running_agg_v2")
+        .outputMode("append").start()
+      try {
+        input.addData((1L, 10.0), (1L, 5.0), (2L, 1.0))
+        query.processAllAvailable()
+        input.addData((1L, 2.0), (3L, 7.0))
+        query.processAllAvailable()
+        val rows = spark.table("running_agg_v2")
+          .groupBy("user_id").max("n_events", "total_value")
+          .orderBy("user_id")
+          .as[(Long, Long, Double)].collect().toSeq
+        // identical end state to the v1 twin's contract: per-user
+        // ValueState accumulates across micro-batches
+        assert(rows == Seq((1L, 3L, 17.0), (2L, 1L, 1.0), (3L, 1L, 7.0)))
+      } finally query.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
