@@ -3824,19 +3824,20 @@ object AnalyticsQueries {
       col("l_returnflag").as("grp"),
       Exact.e(col("l_quantity"), 2).cast(LongType).as("xv"),
       Exact.e(col("l_extendedprice"), 2).cast(LongType).as("yv"))
-    def r2Of(v: String): DataFrame = {
-      val hist = rows.groupBy(col("grp"), col(v))
-        .agg(count(lit(1)).as("cnt"))
+    def histOf(v: String): DataFrame =
+      rows.groupBy(col("grp"), col(v)).agg(count(lit(1)).as("cnt"))
+    def r2Of(hist: DataFrame, v: String): DataFrame =
       graft.etl.GlobalOrder
         .withGroupCumBefore(hist, "grp", v, "cnt", cumCol = "cum")
         .select(col("grp"), col(v),
           (col("cum") * 2 + col("cnt") + 1).cast(LongType).as(s"r2$v"))
-    }
-    val n = rows.groupBy("grp").agg(count(lit(1)).as("n"))
+    val histX = histOf("xv")
+    // group sizes fall out of the x histogram — no third corpus scan
+    val n = histX.groupBy("grp").agg(sum("cnt").cast(LongType).as("n"))
     val dec19 = DecimalType(19, 0)
     val centered = rows
-      .join(r2Of("xv"), Seq("grp", "xv"))
-      .join(r2Of("yv"), Seq("grp", "yv"))
+      .join(r2Of(histX, "xv"), Seq("grp", "xv"))
+      .join(r2Of(histOf("yv"), "yv"), Seq("grp", "yv"))
       .join(broadcast(n), Seq("grp"))
       .select(col("grp"),
         col("n"),
@@ -4047,7 +4048,121 @@ object AnalyticsQueries {
       |            END AS BIGINT) AS eff_n_e2
       |FROM a ORDER BY dim""".stripMargin
 
+  /** #310 (q120): lag-k autocorrelation of the daily revenue series
+    * per event type (the ACF estimator at lags 1 and 7 — the
+    * seasonality audit: lag-1 ≫ 0 means momentum/level persistence,
+    * lag-7 ≫ 0 a weekly cycle; the statistic behind "is there
+    * seasonality worth modeling" before anyone fits a model). EXACT
+    * in integers end to end — the mean never materializes: with
+    * X_t = n·x_t − S (S = Σx over the zero-filled day spine) the n²
+    * normalizations cancel, r_k = Σ X_t·X_{t+k} / Σ X_t², an exact
+    * rational emitted as half-away-from-zero ppm by the q61 signed
+    * floor-division convention. No IEEE step at all (unlike
+    * q117/q118's √). The day spine is zero-filled between each type's
+    * first and last day (a missing day IS a zero-revenue day for a
+    * calendar statistic — q42's convention); the spine is
+    * calendar-bounded so every frame after the one (type, day)
+    * aggregation shuffle is configuration-scale, and the lag join is
+    * an equi-join on (type, day+k) — never a window over the raw
+    * events. */
+  def q120Autocorr: Q = (spark, dir) =>
+    acfOverDaily(
+      Tables.events(spark, dir)
+        .where(col("ts").isNotNull)
+        .select(col("event_type"), col("ts").cast(DateType).as("day"),
+          col("value"))
+        .groupBy("event_type", "day")
+        .agg(Exact.eSum(col("value"), 2).cast(LongType).as("cents")),
+      Seq(1, 7))
+
+  /** The q120 kernel over a prepared (event_type, day, cents) daily
+    * frame — factored so the spec can drive planted exact fixtures
+    * (an alternating series ⇒ acf(odd k) = −(n−k)/n, a period-7
+    * square wave ⇒ acf(7) = (n−7)/n) through the SAME code. */
+  private[graft] def acfOverDaily(daily: DataFrame,
+                                  lags: Seq[Int]): DataFrame = {
+    val dec19 = DecimalType(19, 0)
+    val spine = daily.groupBy("event_type")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("event_type"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val series = spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("cents"), lit(0L)).as("x"))
+    val stats = series.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("s"))
+    val centered = series.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), col("day"), col("n"),
+        (col("x").cast(dec19) * col("n") - col("s"))
+          .cast(DecimalType(38, 0)).as("cx"))
+    val den = centered.groupBy("event_type")
+      .agg(sum(col("cx") * col("cx")).as("den"))
+    def lagK(k: Int): DataFrame =
+      centered.select(col("event_type"), col("day"), col("cx"))
+        .join(centered.select(col("event_type"),
+          date_sub(col("day"), k).as("day"), col("cx").as("cy")),
+          Seq("event_type", "day"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("cx") * col("cy")).as("num"))
+        .withColumn("lag", lit(k.toLong))
+    lags.map(lagK).reduce(_.unionByName(_))
+      .join(broadcast(den), Seq("event_type"))
+      .join(broadcast(stats.select(col("event_type"),
+        col("n").as("n_days"))), Seq("event_type"))
+      .select(col("event_type"), col("lag"), col("n_days"), col("n_pairs"),
+        when(col("den") === 0, lit(0L))
+          .otherwise(expr("case when num >= 0 " +
+            "then (2000000 * num + den) div (2 * den) " +
+            "else -((2000000 * (-num) + den) div (2 * den)) end")
+            .cast(LongType))
+          .as("acf_e6"))
+      .orderBy("event_type", "lag")
+  }
+
+  val q120Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+      |  FROM events WHERE ts IS NOT NULL),
+      |daily AS (
+      |  SELECT event_type, day, CAST(SUM(cents) AS BIGINT) AS x
+      |  FROM ev GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT event_type,
+      |         CAST(unnest(generate_series(MIN(day), MAX(day),
+      |                                     INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM daily GROUP BY event_type),
+      |ser AS (
+      |  SELECT s.event_type, s.day, COALESCE(d.x, 0) AS x
+      |  FROM spine s LEFT JOIN daily d
+      |       ON d.event_type = s.event_type AND d.day = s.day),
+      |st AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS s
+      |       FROM ser GROUP BY 1),
+      |c AS (
+      |  SELECT ser.event_type, day, n,
+      |         CAST(x AS HUGEINT) * n - s AS cx
+      |  FROM ser JOIN st USING (event_type)),
+      |den AS (SELECT event_type, SUM(cx * cx) AS den FROM c GROUP BY 1),
+      |lags AS (SELECT 1 AS lag UNION ALL SELECT 7),
+      |nums AS (
+      |  SELECT a.event_type, l.lag, COUNT(*) AS n_pairs,
+      |         SUM(a.cx * b.cx) AS num
+      |  FROM c a CROSS JOIN lags l
+      |       JOIN c b ON b.event_type = a.event_type
+      |                AND b.day = a.day + l.lag
+      |  GROUP BY 1, 2)
+      |SELECT nums.event_type, CAST(lag AS BIGINT) AS lag,
+      |       CAST(st.n AS BIGINT) AS n_days,
+      |       CAST(n_pairs AS BIGINT) AS n_pairs,
+      |       CAST(CASE WHEN den = 0 THEN 0
+      |            WHEN num >= 0 THEN (2000000 * num + den) // (2 * den)
+      |            ELSE -((2000000 * (-num) + den) // (2 * den))
+      |            END AS BIGINT) AS acf_e6
+      |FROM nums JOIN den USING (event_type) JOIN st USING (event_type)
+      |ORDER BY event_type, lag""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q120_autocorr" -> q120Autocorr,
     "q117_spearman" -> q117Spearman,
     "q118_kendall" -> q118Kendall,
     "q119_hhi" -> q119Hhi,
@@ -4128,6 +4243,7 @@ object AnalyticsQueries {
     "q49_cohort_retention" -> q49CohortRetention)
 
   val oracles: Seq[(String, String)] = Seq(
+    "q120_autocorr" -> q120Sql,
     "q117_spearman" -> q117Sql,
     "q118_kendall" -> q118Sql,
     "q119_hhi" -> q119Sql,

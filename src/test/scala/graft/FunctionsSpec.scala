@@ -761,6 +761,64 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("q120 autocorrelation matches a local BigInt recomputation; planted periodicities exact") {
+    val got = AnalyticsQueries.q120Autocorr(spark, TestSpark.Sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // local recompute: zero-filled spine, X_t = n·x_t − S, exact rational
+    val ev = Tables.events(spark, TestSpark.Sf)
+      .where("ts is not null")
+      .selectExpr("event_type", "cast(ts as date) as day",
+        "cast(floor(value * 100.0 + 0.5) as bigint) as cents")
+      .as[(String, java.sql.Date, Long)].collect()
+    def halfAway(num: BigInt, den: BigInt): Long = {
+      val q = (2 * num.abs * 1000000 + den) / (2 * den)
+      (if (num < 0) -q else q).toLong
+    }
+    got.groupBy(_._1).foreach { case (et, rows) =>
+      val byDay = ev.filter(_._1 == et)
+        .groupBy(_._2.toLocalDate).view.mapValues(_.map(_._3).sum).toMap
+      val (d0, d1) = (byDay.keys.min, byDay.keys.max)
+      val days = Iterator.iterate(d0)(_.plusDays(1))
+        .takeWhile(!_.isAfter(d1)).toVector
+      val xs = days.map(d => byDay.getOrElse(d, 0L))
+      val n = xs.length.toLong
+      val s = xs.sum
+      val cx = xs.map(x => BigInt(x) * n - s)
+      val den = cx.map(c => c * c).sum
+      rows.foreach { case (_, lag, nDays, nPairs, acfE6) =>
+        assert(nDays == n, s"$et spine length")
+        val k = lag.toInt
+        assert(nPairs == math.max(0, n - k), s"$et lag-$k pair count")
+        val num = (0 until (n - k).toInt).map(t => cx(t) * cx(t + k)).sum
+        val want = if (den == 0) 0L else halfAway(num, den)
+        assert(acfE6 == want, s"$et lag $k: $acfE6 != $want")
+        assert(math.abs(acfE6) <= 1000000L, s"$et |acf| > 1")
+      }
+    }
+    // planted exact periodicities THROUGH the same kernel:
+    // 28-day ±c alternation ⇒ acf(1) = −27/28, acf(7) = −21/28 = −0.75;
+    // period-7 ±c square wave (28 days) ⇒ acf(7) = 21/28 = 0.75
+    val base = java.sql.Date.valueOf("2024-01-01")
+    def d(i: Int) = new java.sql.Date(base.getTime + i * 86400000L)
+    val alt = (0 until 28).map(i =>
+      ("alt", d(i), if (i % 2 == 0) 300L else 100L))
+    val wave = (0 until 28).map(i =>
+      ("wave", d(i), if (i % 7 < 3) 300L else 100L))
+    val planted = AnalyticsQueries.acfOverDaily(
+      (alt ++ wave).toDF("event_type", "day", "cents"), Seq(1, 7))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._5).toMap
+    assert(planted(("alt", 1L)) == halfAway(BigInt(-27), BigInt(28)),
+      s"alternating lag-1: ${planted(("alt", 1L))}")
+    assert(planted(("alt", 7L)) == -750000L,
+      s"alternating lag-7: ${planted(("alt", 7L))}")
+    // exact 7-periodicity: pairs at lag 7 are identical ⇒ acf(7) =
+    // Σ_{t≤21} X_t² / Σ_{t≤28} X_t² = 21/28 exactly (X repeats weekly)
+    assert(planted(("wave", 7L)) == 750000L,
+      s"weekly wave lag-7: ${planted(("wave", 7L))}")
+  }
+
   test("q119 HHI matches a local BigInt recomputation; uniform fixture is exact") {
     val got = AnalyticsQueries.q119Hhi(spark, TestSpark.Sf)
       .as[(String, Long, Long, Long, Long)].collect().toSeq
