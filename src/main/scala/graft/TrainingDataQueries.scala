@@ -2613,19 +2613,21 @@ object TrainingDataQueries {
     * Bucket identity is `pmod(xxhash64(bg), buckets)` — engine-stable,
     * and the SAME expression the scorer applies (one definition). */
   def dsirHashedFeatures(spark: SparkSession, dir: String,
-                         buckets: Int = DsirBuckets): DataFrame =
-    docBigrams(Tables.documents(spark, dir))
+                         buckets: Int = DsirBuckets): DataFrame = {
+    val counts = docBigrams(Tables.documents(spark, dir))
       .groupBy(pmod(xxhash64(col("bg")), lit(buckets.toLong)).as("bucket"))
       .agg(count(lit(1)).as("rcnt"),
         sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tcnt"))
+    // corpus totals fold out of the bucket frame itself — ONE explode
+    // pass over the corpus, the totals agg runs on ≤ buckets rows
+    counts
       .crossJoin(broadcast(
-        docBigrams(Tables.documents(spark, dir))
-          .agg(count(lit(1)).as("rtot"),
-            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ttot"))))
+        counts.agg(sum("rcnt").as("rtot"), sum("tcnt").as("ttot"))))
       .select(col("bucket"),
         (expr("(cast(tcnt as decimal(19,0)) * 1000000) div ttot") -
          expr("(cast(rcnt as decimal(19,0)) * 1000000) div rtot"))
           .cast(LongType).as("delta_ppm"))
+  }
 
   /** Default hashed-DSIR bucket count (#308) — 2¹³, the order the
     * paper uses; the bucket frame is ~64 KiB as a broadcast map. */
