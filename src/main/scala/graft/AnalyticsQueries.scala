@@ -4161,7 +4161,73 @@ object AnalyticsQueries {
       |FROM nums JOIN den USING (event_type) JOIN st USING (event_type)
       |ORDER BY event_type, lag""".stripMargin
 
+  /** #311 (q121): Cramér's V — the EFFECT-SIZE normalization of
+    * q104's χ² (Cramér 1946): V = √(χ²/(N·min(r−1, c−1))) ∈ [0, 1].
+    * The q113-vs-q111 lesson applied to the independence test — a χ²
+    * over millions of rows is "significant" at association strengths
+    * nobody should act on; V prices the strength on a scale that
+    * survives N. Derived FROM q104's verified frame (one definition
+    * of the contingency algebra): χ²_e6/dof/N/dims aggregate off the
+    * configuration-scale cell output, V's single √ is the one
+    * shared-IEEE step over exact integers (the q30 convention). */
+  def q121CramersV: Q = (spark, dir) => {
+    val m = least(col("r_dims"), col("c_dims")) - 1
+    q104ChiSquare(spark, dir)
+      .agg(sum("n_obs").as("n"),
+        countDistinct("segment").as("r_dims"),
+        countDistinct("nation").as("c_dims"),
+        min("chi2_e6").as("chi2_e6"),
+        min("dof").as("dof"))
+      .select(col("n"), col("r_dims").cast(LongType).as("r_dims"),
+        col("c_dims").cast(LongType).as("c_dims"),
+        col("chi2_e6"), col("dof"),
+        when(col("n") === 0 || m <= 0, lit(0L))
+          .otherwise(Exact.e(
+            sqrt((col("chi2_e6").cast(DoubleType) / lit(1000000.0)) /
+              (col("n").cast(DoubleType) * m.cast(DoubleType))), 4)
+            .cast(LongType))
+          .as("v_e4"))
+      .orderBy("n")
+  }
+
+  val q121Sql: String =
+    """WITH cells AS (
+      |  SELECT c_mktsegment AS segment, c_nationkey AS nationkey,
+      |         CAST(COUNT(*) AS HUGEINT) AS o
+      |  FROM customer GROUP BY 1, 2),
+      |m AS (
+      |  SELECT segment, nationkey, o,
+      |         SUM(o) OVER (PARTITION BY segment) AS r,
+      |         SUM(o) OVER (PARTITION BY nationkey) AS c,
+      |         SUM(o) OVER () AS n
+      |  FROM cells),
+      |t AS (
+      |  SELECT segment, nationkey, o, n,
+      |         (o * o * n * 1000000) // (r * c) AS term_e6
+      |  FROM m),
+      |f AS (
+      |  SELECT o,
+      |         CAST(SUM(term_e6) OVER () - n * 1000000 AS BIGINT) AS chi2_e6,
+      |         CAST((COUNT(DISTINCT segment) OVER () - 1) *
+      |              (COUNT(DISTINCT nationkey) OVER () - 1) AS BIGINT) AS dof,
+      |         CAST(COUNT(DISTINCT segment) OVER () AS BIGINT) AS r_dims,
+      |         CAST(COUNT(DISTINCT nationkey) OVER () AS BIGINT) AS c_dims
+      |  FROM t),
+      |agg AS (
+      |  SELECT CAST(SUM(o) AS BIGINT) AS n, MIN(r_dims) AS r_dims,
+      |         MIN(c_dims) AS c_dims, MIN(chi2_e6) AS chi2_e6,
+      |         MIN(dof) AS dof
+      |  FROM f)
+      |SELECT n, r_dims, c_dims, chi2_e6, dof,
+      |       CAST(CASE WHEN n = 0 OR least(r_dims, c_dims) - 1 <= 0 THEN 0
+      |            ELSE FLOOR(sqrt((CAST(chi2_e6 AS DOUBLE) / 1000000.0) /
+      |                   (CAST(n AS DOUBLE) *
+      |                    CAST(least(r_dims, c_dims) - 1 AS DOUBLE)))
+      |                   * 10000.0 + 0.5) END AS BIGINT) AS v_e4
+      |FROM agg ORDER BY n""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q121_cramers_v" -> q121CramersV,
     "q120_autocorr" -> q120Autocorr,
     "q117_spearman" -> q117Spearman,
     "q118_kendall" -> q118Kendall,
@@ -4243,6 +4309,7 @@ object AnalyticsQueries {
     "q49_cohort_retention" -> q49CohortRetention)
 
   val oracles: Seq[(String, String)] = Seq(
+    "q121_cramers_v" -> q121Sql,
     "q120_autocorr" -> q120Sql,
     "q117_spearman" -> q117Sql,
     "q118_kendall" -> q118Sql,

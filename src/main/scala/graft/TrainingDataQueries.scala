@@ -2713,7 +2713,64 @@ object TrainingDataQueries {
       .orderBy("doc_id")
   }
 
+  /** #312 (t52): type-token ratio — lexical diversity per document
+    * (the TTR of corpus linguistics; Templin 1957's standard
+    * diversity measure): distinct word types over word tokens,
+    * plus the distinct-BIGRAM ratio (pairwise diversity — catches a
+    * doc cycling a small vocabulary through the same few
+    * transitions, which a high unigram TTR can mask). Low TTR ⇔
+    * repetitive/templated; complements t06 (one dominant bigram),
+    * t16 (word-shape complexity) and t51 (long-range copies) as the
+    * VOCABULARY-size axis of the quality battery. Pure per-row array
+    * arithmetic (`array_distinct` over the split — no explode, no
+    * shuffle until the final sort), integer ppm ratios, fully
+    * oracled (DuckDB `list_distinct`). */
+  def t52Ttr: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast(LongType).as("n_tokens"),
+        size(array_distinct(col("w"))).cast(LongType).as("n_types"),
+        when(size(col("w")) >= 2,
+          expr("transform(sequence(1, size(w) - 1), " +
+            "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+          .otherwise(expr("array()")).as("bgs"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        size(col("bgs")).cast(LongType).as("n_bigrams"),
+        size(array_distinct(col("bgs"))).cast(LongType).as("n_bigram_types"))
+      .withColumn("ttr_ppm",
+        when(col("n_tokens") === 0, 0L)
+          .otherwise(expr("(1000000 * n_types) div n_tokens")))
+      .withColumn("bigram_ttr_ppm",
+        when(col("n_bigrams") === 0, 0L)
+          .otherwise(expr("(1000000 * n_bigram_types) div n_bigrams")))
+      .orderBy("doc_id")
+
+  val t52Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |b AS (
+      |  SELECT doc_id,
+      |         CAST(len(w) AS BIGINT) AS n_tokens,
+      |         CAST(len(list_distinct(w)) AS BIGINT) AS n_types,
+      |         CASE WHEN len(w) >= 2
+      |              THEN list_transform(range(1, len(w)),
+      |                                  i -> w[i] || ' ' || w[i + 1])
+      |              ELSE [] END AS bgs
+      |  FROM t)
+      |SELECT doc_id, n_tokens, n_types,
+      |       CAST(len(bgs) AS BIGINT) AS n_bigrams,
+      |       CAST(len(list_distinct(bgs)) AS BIGINT) AS n_bigram_types,
+      |       CAST(CASE WHEN n_tokens = 0 THEN 0
+      |            ELSE (1000000 * n_types) // n_tokens END AS BIGINT)
+      |         AS ttr_ppm,
+      |       CAST(CASE WHEN len(bgs) = 0 THEN 0
+      |            ELSE (1000000 * len(list_distinct(bgs))) // len(bgs)
+      |            END AS BIGINT) AS bigram_ttr_ppm
+      |FROM b ORDER BY doc_id""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "t52_ttr" -> t52Ttr,
     "t51_lz_complexity" -> t51LzComplexity,
     "t50_dsir_weights" -> t50DsirWeights,
     "t49_shard_invalidation" -> t49ShardInvalidation,
@@ -2763,6 +2820,7 @@ object TrainingDataQueries {
     "d11_corpus_pipeline" -> d11CorpusPipeline)
 
   val oracles: Seq[(String, String)] = Seq(
+    "t52_ttr" -> t52Sql,
     "t50_dsir_weights" -> t50Sql,
     "t49_shard_invalidation" -> t49Sql,
     "t48_split_datasheet" -> t48Sql,

@@ -819,6 +819,30 @@ class FunctionsSpec extends AnyFunSuite {
       s"weekly wave lag-7: ${planted(("wave", 7L))}")
   }
 
+  test("q121 Cramér's V agrees with q104's chi-square and the perfect-association identity") {
+    val got = AnalyticsQueries.q121CramersV(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == 1)
+    val (n, rDims, cDims, chi2E6, dof, vE4) = got.head
+    // consistency with the audited q104 frame: same N/dims/chi2
+    val cells = AnalyticsQueries.q104ChiSquare(spark, TestSpark.Sf)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+    assert(n == cells.map(_._3).sum, "N must be the cell-count total")
+    assert(rDims == cells.map(_._1).distinct.length &&
+           cDims == cells.map(_._2).distinct.length, "dims")
+    assert(chi2E6 == cells.head._6 && dof == cells.head._7,
+      "chi2/dof must ride q104's audited values")
+    // V recomputed locally with the same IEEE expression
+    val m = math.min(rDims, cDims) - 1
+    val want = math.floor(math.sqrt((chi2E6.toDouble / 1000000.0) /
+      (n.toDouble * m.toDouble)) * 10000.0 + 0.5).toLong
+    assert(vE4 == want && vE4 >= 0L && vE4 <= 10000L, s"v_e4 $vE4 != $want")
+    // perfect association pins the normalization: chi2 = N·min(r−1,c−1)
+    // ⇒ V = 1 exactly (the bound the min-dims denominator exists for)
+    assert(math.floor(math.sqrt(((1000000.0 * 7 * 3) / 1000000.0) /
+      (7.0 * 3.0)) * 10000.0 + 0.5).toLong == 10000L)
+  }
+
   test("q119 HHI matches a local BigInt recomputation; uniform fixture is exact") {
     val got = AnalyticsQueries.q119Hhi(spark, TestSpark.Sf)
       .as[(String, Long, Long, Long, Long)].collect().toSeq

@@ -763,6 +763,25 @@ class TrainingDataSpec extends AnyFunSuite {
       s"target-domain docs must score higher: en $meanEn vs other $meanOther")
   }
 
+  test("t52 TTR matches a local split/distinct recomputation; ratios bounded") {
+    val got = TrainingDataQueries.t52Ttr(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    val docs = Tables.documents(spark, TestSpark.Sf)
+      .selectExpr("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got.length == docs.size)
+    got.foreach { case (id, nTok, nTyp, nBg, nBgTyp, ttr, bttr) =>
+      val w = docs(id).split(" ", -1).toSeq
+      val bgs = if (w.length < 2) Nil else w.sliding(2).map(_.mkString(" ")).toSeq
+      assert(nTok == w.length && nTyp == w.distinct.length, s"doc $id tokens")
+      assert(nBg == bgs.length && nBgTyp == bgs.distinct.length, s"doc $id bigrams")
+      assert(ttr == (if (w.isEmpty) 0L else 1000000L * nTyp / nTok))
+      assert(bttr == (if (bgs.isEmpty) 0L else 1000000L * nBgTyp / nBg))
+      // diversity ratios live in (0, 1]; bigram diversity ≥ unigram
+      // diversity never holds in general, but both are bounded
+      assert(ttr >= 1L && ttr <= 1000000L, s"doc $id ttr $ttr")
+    }
+  }
+
   test("t51 LZ complexity: per-row kernel parity, bounds, and signal direction") {
     val got = TrainingDataQueries.t51LzComplexity(spark, TestSpark.Sf)
       .as[(Long, Long, Long, Long)].collect()
