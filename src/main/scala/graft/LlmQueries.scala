@@ -3101,7 +3101,106 @@ object LlmQueries {
       |GROUP BY 1, 2 HAVING COUNT(*) >= 3
       |ORDER BY doc_id1, doc_id2""".stripMargin
 
+  /** x^k as a SQUARING CHAIN for k ∈ {1,2,4,…,64} — the shared SQL
+    * text both engines evaluate for d42: `pow` is banned on the
+    * oracle path (multi-ulp libm, ORACLE.md Rule 4), but every (b, r)
+    * divisor pair of the 64-perm signature is a power of two, so x^k
+    * is log₂k successive squarings — each a single correctly-rounded
+    * IEEE multiply, bit-identical on Spark and DuckDB. The textual
+    * expansion duplicates subtrees (2^6 copies at k=64); both engines
+    * evaluate the same tree shape, and identical shape is exactly the
+    * determinism contract. */
+  private def sqChainCase(x: String, k: String): String = {
+    def p(e: Int): String = if (e == 0) x else s"(${p(e - 1)} * ${p(e - 1)})"
+    (0 to 6).map(e => s"WHEN ${1 << e} THEN ${p(e)}")
+      .mkString(s"CASE $k ", " ", " END")
+  }
+
+  /** #313 (d42): LSH banding designer — the ANALYTIC complement of
+    * d35's measured τ sweep: for every (bands, rows) factorization of
+    * the 64-perm MinHash signature, the collision S-curve
+    * P(s) = 1 − (1 − s^r)^b (Leskovec/Rajaraman/Ullman, MMDS §3.4)
+    * evaluated on a 19-point similarity grid, the grid crossing of
+    * P = ½ (the design's operating threshold), and the
+    * false-positive / false-negative mass against d02's verify
+    * threshold τ = 0.7 — the capacity-planning table that PRICES the
+    * banding knob before any corpus is scanned (the q62/s17 family:
+    * design tools as first-class queries). Configuration-scale end to
+    * end (7 designs × 19 grid points). The deployed 16×4 sits LEFT of
+    * τ (s50 = 0.5): deliberately recall-heavy, because d02 is a
+    * candidate stage whose false positives are removed by exact
+    * verification — this table is the artifact that makes that trade
+    * inspectable. Exact: powers by [[sqChainCase]] squaring chains
+    * (bit-identical IEEE on both engines), then integer ppm. */
+  def d42LshDesign: Q = (spark, dir) => {
+    import spark.implicits._
+    val designs = Seq((64, 1), (32, 2), (16, 4), (8, 8), (4, 16), (2, 32),
+      (1, 64)).toDF("b", "r")
+    val grid = spark.range(1, 20)
+      .select((col("id") * 50000L).cast("long").as("s_ppm"))
+    val pts = designs.crossJoin(grid)
+      .withColumn("s", col("s_ppm").cast("double") / lit(1000000.0))
+      .withColumn("sr", expr(sqChainCase("s", "r")))
+      .withColumn("p", expr("1.0 - " + sqChainCase("(1.0 - sr)", "b")))
+      .withColumn("p_ppm", floor(col("p") * lit(1000000.0) + lit(0.5))
+        .cast("long"))
+    val perDesign = pts.groupBy("b", "r")
+      .agg(
+        coalesce(min(when(col("p_ppm") >= 500000L, col("s_ppm"))),
+          lit(1000000L)).as("s50_ppm"),
+        sum(when(col("s_ppm") < 700000L, col("p_ppm")).otherwise(0L))
+          .as("fp_mass_ppm"),
+        sum(when(col("s_ppm") >= 700000L, lit(1000000L) - col("p_ppm"))
+          .otherwise(0L)).as("fn_mass_ppm"))
+      .withColumn("cost_ppm", col("fp_mass_ppm") + col("fn_mass_ppm"))
+    // 7-row frame: the unpartitioned min window is configuration-bounded
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    perDesign
+      .withColumn("chosen",
+        (col("cost_ppm") === min("cost_ppm").over(wAll)).cast("long"))
+      .select(col("b").cast("long").as("b"), col("r").cast("long").as("r"),
+        col("s50_ppm"), col("fp_mass_ppm"), col("fn_mass_ppm"),
+        col("cost_ppm"), col("chosen"))
+      .orderBy("r")
+  }
+
+  val d42Sql: String = {
+    val sr = sqChainCase("s", "r")
+    val pb = sqChainCase("(1.0 - sr)", "b")
+    s"""WITH designs(b, r) AS (
+      |  VALUES (64, 1), (32, 2), (16, 4), (8, 8), (4, 16), (2, 32), (1, 64)),
+      |grid AS (SELECT range * 50000 AS s_ppm FROM range(1, 20)),
+      |pts0 AS (
+      |  SELECT b, r, s_ppm, CAST(s_ppm AS DOUBLE) / 1000000.0 AS s
+      |  FROM designs CROSS JOIN grid),
+      |pts1 AS (SELECT b, r, s_ppm, s, $sr AS sr FROM pts0),
+      |pts AS (
+      |  SELECT b, r, s_ppm,
+      |         CAST(FLOOR((1.0 - $pb) * 1000000.0 + 0.5) AS BIGINT) AS p_ppm
+      |  FROM pts1),
+      |d AS (
+      |  SELECT b, r,
+      |         COALESCE(MIN(s_ppm) FILTER (p_ppm >= 500000), 1000000)
+      |           AS s50_ppm,
+      |         CAST(SUM(CASE WHEN s_ppm < 700000 THEN p_ppm ELSE 0 END)
+      |              AS BIGINT) AS fp_mass_ppm,
+      |         CAST(SUM(CASE WHEN s_ppm >= 700000 THEN 1000000 - p_ppm
+      |                       ELSE 0 END) AS BIGINT) AS fn_mass_ppm
+      |  FROM pts GROUP BY 1, 2)
+      |SELECT CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r,
+      |       CAST(s50_ppm AS BIGINT) AS s50_ppm, fp_mass_ppm, fn_mass_ppm,
+      |       CAST(fp_mass_ppm + fn_mass_ppm AS BIGINT) AS cost_ppm,
+      |       CAST(CASE WHEN fp_mass_ppm + fn_mass_ppm =
+      |                      MIN(fp_mass_ppm + fn_mass_ppm) OVER ()
+      |            THEN 1 ELSE 0 END AS BIGINT) AS chosen
+      |FROM d ORDER BY r""".stripMargin
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "d42_lsh_design" -> d42LshDesign,
     "d14_pagerank" -> d14Pagerank,
     "d18_kcore" -> d18Kcore,
     "d19_dup_ngrams" -> d19DupNgrams,
@@ -3179,6 +3278,7 @@ object LlmQueries {
   /** d02/d03/d07/s02 intentionally absent (rows-only check; each
     * carries a quantified recall spec instead). */
   val oracles: Seq[(String, String)] = Seq(
+    "d42_lsh_design" -> d42Sql,
     "d14_pagerank" -> d14Sql,
     "d18_kcore" -> d18Sql,
     "d19_dup_ngrams" -> d19Sql,

@@ -731,4 +731,45 @@ class DedupSpec extends AnyFunSuite {
         s"$dir: d07 candidates/doc $perDoc exceeds design bound $bound")
     }
   }
+
+  test("d42 LSH design table matches the exact S-curve and prices the deployed trade") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val got = LlmQueries.d42LshDesign(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(got.map(r => (r._1, r._2)).toSeq ==
+      Seq((64L, 1L), (32L, 2L), (16L, 4L), (8L, 8L), (4L, 16L), (2L, 32L),
+        (1L, 64L)), "one row per factorization of the 64-perm signature")
+    // exact recomputation: P(s) = 1 − (1 − s^r)^b with BigDecimal-free
+    // doubles — the same squaring chains the query evaluates
+    def sq(x: Double, times: Int): Double =
+      (0 until times).foldLeft(x)((a, _) => a * a)
+    def pOf(s: Double, r: Long, b: Long): Double = {
+      val sr = sq(s, java.lang.Long.numberOfTrailingZeros(r))
+      1.0 - sq(1.0 - sr, java.lang.Long.numberOfTrailingZeros(b))
+    }
+    got.foreach { case (b, r, s50, fp, fn, cost, _) =>
+      val grid = (1 to 19).map(_ * 50000L)
+      val pPpm = grid.map(sp =>
+        sp -> math.floor(pOf(sp / 1000000.0, r, b) * 1000000.0 + 0.5).toLong)
+        .toMap
+      val wantS50 = grid.find(pPpm(_) >= 500000L).getOrElse(1000000L)
+      val wantFp = grid.filter(_ < 700000L).map(pPpm).sum
+      val wantFn = grid.filter(_ >= 700000L).map(1000000L - pPpm(_)).sum
+      assert((s50, fp, fn, cost) == ((wantS50, wantFp, wantFn, wantFp + wantFn)),
+        s"($b, $r): ($s50, $fp, $fn) != ($wantS50, $wantFp, $wantFn)")
+    }
+    // the S-curve's operating threshold rises with rows-per-band
+    assert(got.map(_._3).toSeq == got.map(_._3).toSeq.sorted,
+      "s50 must be monotone in r")
+    // at tau = 0.7 the combined-mass optimum is the 8x8 design …
+    assert(got.filter(_._7 == 1L).map(r => (r._1, r._2)).toSeq ==
+      Seq((8L, 8L)), "tau=0.7 cost optimum")
+    // … while the DEPLOYED 16x4 is deliberately recall-heavy: its
+    // false-negative mass is tiny next to its false-positive mass
+    // (candidates get exact-verified; misses are unrecoverable)
+    val deployed = got.find(r => (r._1, r._2) == ((16L, 4L))).get
+    assert(deployed._5 * 100 < deployed._4,
+      s"16x4 must be recall-heavy: fn ${deployed._5} vs fp ${deployed._4}")
+  }
 }
