@@ -4226,7 +4226,72 @@ object AnalyticsQueries {
       |                   * 10000.0 + 0.5) END AS BIGINT) AS v_e4
       |FROM agg ORDER BY n""".stripMargin
 
+  /** #314 (q122): Shewhart control chart (SPC, Shewhart 1931) — the
+    * MONITORING-CHART member of the anomaly family: q54 scores every
+    * day against the WHOLE series (retrospective audit); a control
+    * chart freezes its center and 3σ limits on a REFERENCE window and
+    * judges every subsequent point against those FROZEN limits — the
+    * deployable rule (limits must not drift with the data being
+    * judged; the same a-stream-cannot-know-its-own-percentiles
+    * argument as the #285 gate). The reference window is the drift
+    * panel's canonical boundary ([[DriftRefEnd]] — one split
+    * definition across every monitoring surface). Exact in integers:
+    * alarm ⇔ (x·n − s)² > 9·(n·ss − s²) with n/s/ss over reference
+    * days only, cross-multiplied in decimal(38)/HUGEINT (q54's
+    * convention at 3σ instead of 2σ); the reference frame is
+    * configuration-scale and broadcasts. */
+  def q122ControlChart: Q = (spark, dir) =>
+    controlChart(
+      Tables.events(spark, dir)
+        .groupBy(col("event_type"), col("ts").cast(DateType).as("day"))
+        .agg(sum(round(col("value") * 100, 0).cast(LongType)).as("cents")),
+      DriftRefEnd)
+
+  /** The q122 kernel over a prepared (event_type, day, cents) daily
+    * frame — factored so the spec can drive a planted wild day
+    * through the SAME frozen-limits comparison. */
+  private[graft] def controlChart(daily: DataFrame,
+                                  refEnd: String): DataFrame = {
+    val dec = DataTypes.createDecimalType(38, 0)
+    val ref = daily.filter(col("day") <= lit(refEnd).cast(DateType))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"),
+        sum(col("cents").cast(dec) * col("cents").cast(dec)).as("ss"))
+    val dev = col("cents").cast(dec) * col("n") - col("s")
+    val spread = col("n").cast(dec) * col("ss") -
+      col("s").cast(dec) * col("s").cast(dec)
+    daily.join(broadcast(ref), Seq("event_type"))
+      .select(col("event_type"), col("day"), col("cents"),
+        col("n").as("n_ref"),
+        expr("(2 * s * 1000 + n) div (2 * n)").cast(LongType)
+          .as("center_milli"),
+        (dev * dev > lit(9).cast(dec) * spread).cast(LongType).as("alarm"))
+      .orderBy("event_type", "day")
+  }
+
+  val q122Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+      |           AS cents
+      |  FROM events GROUP BY 1, 2),
+      |ref AS (
+      |  SELECT event_type, COUNT(*) AS n, SUM(cents) AS s,
+      |         SUM(CAST(cents AS HUGEINT) * cents) AS ss
+      |  FROM daily WHERE day <= DATE '2024-01-15' GROUP BY 1)
+      |SELECT d.event_type, d.day, d.cents,
+      |       CAST(n AS BIGINT) AS n_ref,
+      |       CAST((2 * s * 1000 + n) // (2 * n) AS BIGINT) AS center_milli,
+      |       CAST(CASE WHEN (CAST(d.cents AS HUGEINT) * n - s) *
+      |                      (CAST(d.cents AS HUGEINT) * n - s)
+      |                      > 9 * (CAST(n AS HUGEINT) * ss
+      |                             - CAST(s AS HUGEINT) * s)
+      |            THEN 1 ELSE 0 END AS BIGINT) AS alarm
+      |FROM daily d JOIN ref USING (event_type)
+      |ORDER BY event_type, day""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q122_control_chart" -> q122ControlChart,
     "q121_cramers_v" -> q121CramersV,
     "q120_autocorr" -> q120Autocorr,
     "q117_spearman" -> q117Spearman,
@@ -4309,6 +4374,7 @@ object AnalyticsQueries {
     "q49_cohort_retention" -> q49CohortRetention)
 
   val oracles: Seq[(String, String)] = Seq(
+    "q122_control_chart" -> q122Sql,
     "q121_cramers_v" -> q121Sql,
     "q120_autocorr" -> q120Sql,
     "q117_spearman" -> q117Sql,

@@ -819,6 +819,48 @@ class FunctionsSpec extends AnyFunSuite {
       s"weekly wave lag-7: ${planted(("wave", 7L))}")
   }
 
+  test("q122 control chart matches a local frozen-limits recomputation") {
+    val got = AnalyticsQueries.q122ControlChart(spark, TestSpark.Sf)
+      .as[(String, java.sql.Date, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val daily = Tables.events(spark, TestSpark.Sf)
+      .selectExpr("event_type", "cast(ts as date) as day",
+        "cast(round(value * 100, 0) as bigint) as cents")
+      .as[(String, java.sql.Date, Long)].collect()
+      .groupBy(r => (r._1, r._2.toLocalDate)).view
+      .mapValues(_.map(_._3).sum).toMap
+    val refEnd = java.time.LocalDate.parse("2024-01-15")
+    got.groupBy(_._1).foreach { case (et, rows) =>
+      val series = daily.collect { case ((t, d), c) if t == et => (d, c) }
+      val ref = series.filter(!_._1.isAfter(refEnd)).map(_._2).toSeq
+      val (n, s) = (ref.length.toLong, ref.sum)
+      val ss = ref.map(c => BigInt(c) * c).sum
+      assert(rows.length == series.size, s"$et observed-day coverage")
+      rows.foreach { case (_, day, cents, nRef, centerMilli, alarm) =>
+        assert(nRef == n, s"$et reference size")
+        assert(centerMilli == ((2 * s * 1000 + n) / (2 * n)),
+          s"$et center")
+        val dev = BigInt(cents) * n - s
+        val want = if (dev * dev > 9 * (n * ss - BigInt(s) * s)) 1L else 0L
+        assert(alarm == want, s"$et $day alarm $alarm != $want")
+      }
+    }
+    // planted wild day THROUGH the same kernel: 15 quiet reference
+    // days around 100 cents, then one 10× day — it must alarm, the
+    // quiet days must not, and the frozen limits ignore the wild day
+    // (it sits after refEnd so the reference stats cannot absorb it)
+    val base = java.sql.Date.valueOf("2024-01-01")
+    def d(i: Int) = new java.sql.Date(base.getTime + i * 86400000L)
+    val planted = (0 until 15).map(i =>
+      ("t", d(i), 100L + (i % 2))) :+ (("t", d(20), 1000L))
+    val out = AnalyticsQueries.controlChart(
+        planted.toDF("event_type", "day", "cents"), "2024-01-15")
+      .as[(String, java.sql.Date, Long, Long, Long, Long)].collect()
+      .map(r => r._2.toLocalDate.getDayOfMonth -> r._6).toMap
+    assert(out(21) == 1L, "the 10x day must trip the 3-sigma rule")
+    assert((1 to 15).forall(i => out(i) == 0L), "quiet days must not alarm")
+  }
+
   test("q121 Cramér's V agrees with q104's chi-square and the perfect-association identity") {
     val got = AnalyticsQueries.q121CramersV(spark, TestSpark.Sf)
       .as[(Long, Long, Long, Long, Long, Long)].collect()
