@@ -3199,7 +3199,132 @@ object LlmQueries {
       |FROM d ORDER BY r""".stripMargin
   }
 
+  /** #315 (s24): embedding-space isotropy audit — the capacity-
+    * planning signal behind THIS round's one SCALECHECK diagnosis:
+    * on a near-isotropic corpus an IVF calibration solves
+    * nProbe/nCells ≈ ½ and cell-join candidate volume degenerates to
+    * ~n²/2, while clustered corpora solve ≤ nCells/4 and the IVF
+    * edge is real (AnnSpec pins both geometry directions on planted
+    * fixtures; SURVEY row 290b carries the measurement). This query
+    * makes the geometry a REPORT anyone prices a vector-search plan
+    * with, before building any index:
+    *
+    *   - `rbar2_ppm` — squared resultant-length ratio
+    *     ‖Σq‖²/(n·Σ‖q‖²) (the quadratic-mean variant of directional
+    *     statistics' R̄, Mardia 1972): ≈ 0 isotropic/centered, → 10⁶
+    *     all vectors aligned. FULLY integer: per-dim sums exact, no
+    *     norm ever leaves integers.
+    *   - a pairwise-similarity histogram over a deterministic
+    *     ABSOLUTE-budget sample (`vec_id % max(1, n div 256) = 0` —
+    *     the s14/s17 bounded-audit convention: pair work is capped
+    *     at ~256² regardless of corpus size), binned on SIGNED
+    *     cos²·10⁶ (s20's sqrt-free axis: monotone in |cos| with the
+    *     sign separating hemispheres — integer-exact end to end).
+    *
+    * Quantization is the shared [[graft.functions.QuantizeInt8]]
+    * (per-vector scaling — cosine is per-vector-scale-invariant).
+    * Fully oracled (the ONLY fully-oracled member of the s-family's
+    * geometry tools). */
+  def s24IsotropyAudit: Q = (spark, dir) =>
+    isotropyAudit(Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        posexplode(graft.functions.QuantizeInt8.quantizeInt8(col("embedding"))))
+      .toDF("vec_id", "dim", "qv"))
+
+  /** The s24 kernel over a (vec_id, dim, qv) quantized frame —
+    * factored so the spec can drive planted geometries (all-aligned
+    * ⇒ rbar2 = 10⁶ and every pair in the top bin; a canceling
+    * antipodal pair ⇒ rbar2 = 0) through the SAME code. */
+  private[graft] def isotropyAudit(q: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val dimSums = q.groupBy("dim").agg(sum("qv").as("sd"))
+    val num = dimSums.agg(
+      sum(col("sd").cast(dec) * col("sd").cast(dec)).as("num"))
+    val perVec = q.groupBy("vec_id")
+      .agg(sum(col("qv").cast(dec) * col("qv").cast(dec)).as("na2"))
+    val den = perVec.agg(count(lit(1)).as("n_vecs"), sum("na2").as("sn2"))
+    val scalars = num.crossJoin(broadcast(den))
+      .select(col("n_vecs"),
+        expr("(num * 1000000) div (n_vecs * sn2)").cast("long")
+          .as("rbar2_ppm"))
+    // bounded-budget pair sample: ~256 ids whatever the corpus size
+    val sampled = perVec.filter(col("na2") > 0)
+      .crossJoin(broadcast(den.select(
+        greatest(lit(1L), expr("n_vecs div 256")).as("m"))))
+      .filter(pmod(col("vec_id"), col("m")) === 0)
+      .select(col("vec_id"), col("na2"))
+    val nSample = sampled.agg(count(lit(1)).as("n_sample"))
+    val qs = q.join(sampled.select("vec_id"), Seq("vec_id"))
+    val pairs = qs.select(col("vec_id").as("va"), col("dim"), col("qv").as("qa"))
+      .join(qs.select(col("vec_id").as("vb"), col("dim"), col("qv").as("qb")),
+        Seq("dim"))
+      .filter(col("va") < col("vb"))
+      .groupBy("va", "vb")
+      .agg(sum(col("qa").cast(dec) * col("qb").cast(dec)).as("dot"))
+      .join(sampled.select(col("vec_id").as("va"), col("na2")), Seq("va"))
+      .join(sampled.select(col("vec_id").as("vb"),
+        col("na2").as("nb2")), Seq("vb"))
+      .select(expr("(case when dot >= 0 then 1 else -1 end) * " +
+        "((dot * dot * 1000000) div (na2 * nb2))").cast("long")
+        .as("sc2_ppm"))
+    pairs
+      .groupBy(expr("sc2_ppm div 50000").cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(scalars))
+      .crossJoin(broadcast(nSample))
+      .select(col("bin"), col("n_pairs"), col("n_sample"),
+        col("n_vecs"), col("rbar2_ppm"))
+      .orderBy("bin")
+  }
+
+  val s24Sql: String =
+    """WITH a AS (
+      |  SELECT vec_id, embedding,
+      |         COALESCE(list_max(list_transform(embedding,
+      |                    x -> abs(CAST(x AS DOUBLE)))), 0.0) AS amax
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, i AS dim,
+      |         CASE WHEN amax > 0
+      |              THEN CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+      |                              * 127.0 / amax + 0.5) AS BIGINT)
+      |              ELSE CAST(0 AS BIGINT) END AS qv
+      |  FROM a, range(1, 65) t(i)),
+      |ds AS (SELECT dim, SUM(qv) AS sd FROM q GROUP BY 1),
+      |num AS (SELECT SUM(CAST(sd AS HUGEINT) * sd) AS num FROM ds),
+      |pv AS (SELECT vec_id, SUM(CAST(qv AS HUGEINT) * qv) AS na2
+      |       FROM q GROUP BY 1),
+      |den AS (SELECT COUNT(*) AS n_vecs, SUM(na2) AS sn2 FROM pv),
+      |sc AS (
+      |  SELECT CAST(n_vecs AS BIGINT) AS n_vecs,
+      |         CAST((num * 1000000) // (n_vecs * sn2) AS BIGINT)
+      |           AS rbar2_ppm
+      |  FROM num, den),
+      |sm AS (
+      |  SELECT vec_id, na2
+      |  FROM pv, den
+      |  WHERE na2 > 0 AND vec_id % GREATEST(1, n_vecs // 256) = 0),
+      |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sample FROM sm),
+      |qs AS (SELECT q.vec_id, dim, qv FROM q JOIN sm USING (vec_id)),
+      |pr AS (
+      |  SELECT x.vec_id AS va, y.vec_id AS vb,
+      |         SUM(CAST(x.qv AS HUGEINT) * y.qv) AS dot
+      |  FROM qs x JOIN qs y ON x.dim = y.dim AND x.vec_id < y.vec_id
+      |  GROUP BY 1, 2),
+      |pc AS (
+      |  SELECT (CASE WHEN dot >= 0 THEN 1 ELSE -1 END) *
+      |         ((dot * dot * 1000000) // (pa.na2 * pb.na2)) AS sc2_ppm
+      |  FROM pr JOIN sm pa ON pa.vec_id = pr.va
+      |          JOIN sm pb ON pb.vec_id = pr.vb)
+      |SELECT CAST(sc2_ppm // 50000 AS BIGINT) AS bin,
+      |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |       n_sample, n_vecs, rbar2_ppm
+      |FROM pc, sc, ns
+      |GROUP BY 1, 3, 4, 5
+      |ORDER BY bin""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "s24_isotropy_audit" -> s24IsotropyAudit,
     "d42_lsh_design" -> d42LshDesign,
     "d14_pagerank" -> d14Pagerank,
     "d18_kcore" -> d18Kcore,
@@ -3278,6 +3403,7 @@ object LlmQueries {
   /** d02/d03/d07/s02 intentionally absent (rows-only check; each
     * carries a quantified recall spec instead). */
   val oracles: Seq[(String, String)] = Seq(
+    "s24_isotropy_audit" -> s24Sql,
     "d42_lsh_design" -> d42Sql,
     "d14_pagerank" -> d14Sql,
     "d18_kcore" -> d18Sql,

@@ -1191,4 +1191,67 @@ class AnnSpec extends AnyFunSuite {
     info(s"index probeHardNegatives recall@5 vs exact = $recall")
     assert(recall >= 0.77, s"recall@5 $recall")
   }
+
+  test("s24 isotropy audit: planted geometries exact, corpus matches a local recompute") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def frame(vecs: Seq[(Long, Seq[Long])]) =
+      vecs.flatMap { case (id, qs) =>
+        qs.zipWithIndex.map { case (q, d) => (id, d.toLong, q) }
+      }.toDF("vec_id", "dim", "qv")
+    // eight identical vectors: rbar2 = 10^6 exactly, every pair at
+    // the top signed-cos^2 bin (20)
+    val aligned = LlmQueries.isotropyAudit(
+        frame((0L until 8L).map(i => (i, Seq(3L, -4L, 5L)))))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(aligned.map(_._5).distinct.toSeq == Seq(1000000L), "aligned rbar2")
+    assert(aligned.toSeq.map(r => (r._1, r._2)) == Seq((20L, 28L)),
+      s"aligned pairs must all land in bin 20: ${aligned.toSeq}")
+    // an antipodal pair: the dim sums cancel (rbar2 = 0) and the one
+    // pair sits at signed-cos^2 = -10^6 (bin -20)
+    val anti = LlmQueries.isotropyAudit(
+        frame(Seq((0L, Seq(3L, -4L, 5L)), (1L, Seq(-3L, 4L, -5L)))))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(anti.map(_._5).distinct.toSeq == Seq(0L), "antipodal rbar2")
+    assert(anti.toSeq.map(r => (r._1, r._2)) == Seq((-20L, 1L)),
+      s"antipodal pair must land in bin -20: ${anti.toSeq}")
+    // corpus: the query matches a pure-integer local recomputation
+    // over the SAME quantized frame (sampling rule included)
+    val q = Tables.embeddings(spark, TestSpark.Sf)
+      .select(col("vec_id"),
+        posexplode(graft.functions.QuantizeInt8.quantizeInt8(col("embedding"))))
+      .toDF("vec_id", "dim", "qv")
+      .as[(Long, Int, Long)].collect()
+    val byVec = q.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val nV = byVec.size.toLong
+    val dims = q.map(_._2).max + 1
+    val sd = (0 until dims).map(d => byVec.values.map(_(d)).sum)
+    val num = sd.map(s => BigInt(s) * s).sum
+    val sn2 = byVec.values.map(v => v.map(x => BigInt(x) * x).sum).sum
+    val wantRbar2 = ((num * 1000000) / (nV * sn2)).toLong
+    val m = math.max(1L, nV / 256L)
+    val sm = byVec.filter { case (id, v) =>
+      id % m == 0 && v.exists(_ != 0) }.toSeq.sortBy(_._1)
+    val hist = (for {
+      i <- sm.indices; j <- (i + 1) until sm.length
+      (ida, va) = sm(i); (idb, vb) = sm(j)
+    } yield {
+      val dot = va.zip(vb).map { case (a, b) => BigInt(a) * b }.sum
+      val na2 = va.map(x => BigInt(x) * x).sum
+      val nb2 = vb.map(x => BigInt(x) * x).sum
+      val sc2 = (if (dot < 0) -1 else 1) *
+        ((dot * dot * 1000000) / (na2 * nb2))
+      (sc2 / 50000).toLong  // BigInt / truncates toward zero for signed
+    }).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = LlmQueries.s24IsotropyAudit(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (bin, nPairs, nSample, nVecs, rbar2) =>
+      assert(nVecs == nV && nSample == sm.length.toLong, "census")
+      assert(rbar2 == wantRbar2, s"rbar2 $rbar2 != $wantRbar2")
+      assert(nPairs == hist(bin), s"bin $bin: $nPairs != ${hist(bin)}")
+    }
+    assert(got.map(_._2).sum == hist.values.sum, "pair mass conserved")
+    info(s"corpus rbar2_ppm = $wantRbar2 (isotropy: ~0 = isotropic)")
+  }
 }
