@@ -674,6 +674,83 @@ object EventStream {
     }
   }
 
+  /** Streaming Shewhart control chart (#316) — q122's streaming
+    * twin on the [[cusumForeachBatch]] state shape: fold arriving
+    * (event_type, day, cents) facts into the |types|×|observed days|
+    * cell histogram (partial daily sums add losslessly), then per
+    * batch re-derive the FROZEN-limits chart — reference stats from
+    * cells at day ≤ `refEnd` only, every observed day judged by
+    * batch q122's exact cross-multiplied 3σ rule in BigInt (the
+    * driver-side twin of the decimal(38) path), so after batch k the
+    * report is BIT-IDENTICAL to batch q122 over the stream prefix.
+    * The frozen-reference semantics is what makes the chart
+    * STREAMABLE at all: limits never depend on the days being
+    * judged, so late facts inside the reference window tighten the
+    * limits retroactively (re-derived, never watermark-dropped) and
+    * post-reference facts can never shift them. Types with no
+    * reference day yet emit nothing (batch q122's inner join drops
+    * them too). Same [[MonitorState]] restart/replay contract as the
+    * other five monitors. */
+  def controlChartForeachBatch(
+      refEnd: String = graft.AnalyticsQueries.DriftRefEnd,
+      seed: Map[(String, String), Long] = Map.empty,
+      stateDir: Option[String] = None, maxKeys: Int = 65536)(
+      onReport: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    val cells = scala.collection.mutable.Map[(String, String), Long](
+      seed.toSeq: _*)
+    var lastBatch = -1L
+    var recovered = stateDir.isEmpty
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      if (!recovered) {
+        MonitorState.recover(spark, stateDir.get, batchId).foreach {
+          case (v, rows) =>
+            cells.clear()
+            rows.foreach { case (et, d, c) => cells((et, d)) = c }
+            lastBatch = v
+        }
+        recovered = true
+      }
+      if (batchId > lastBatch) {
+        val folded = batch
+          .groupBy(col("event_type"), col("day").cast("string").as("d"))
+          .agg(sum("cents").as("__graft_c"))
+          .limit(maxKeys + 1).as[(String, String, Long)].collect()
+        MonitorState.guardBound(folded.length, maxKeys, "control_chart")
+        folded.foreach { case (et, d, c) =>
+          cells((et, d)) = cells.getOrElse((et, d), 0L) + c }
+        lastBatch = batchId
+        MonitorState.guardBound(cells.size, maxKeys, "control_chart")
+        stateDir.foreach(dir => MonitorState.save(spark, dir, batchId,
+          cells.toSeq.sortBy(_._1).map { case ((et, d), c) => (et, d, c) }))
+      }
+      val rows = cells.toSeq.map { case ((et, d), c) => (et, d, c) }
+        .groupBy(_._1).toSeq.flatMap { case (et, trs) =>
+          val ref = trs.filter(_._2 <= refEnd).map(_._3)
+          if (ref.isEmpty) Nil
+          else {
+            val n = ref.length.toLong
+            val s = ref.sum
+            val ss = ref.map(c => BigInt(c) * c).sum
+            val center = (2 * s * 1000 + n) / (2 * n)
+            trs.sortBy(_._2).map { case (_, d, c) =>
+              val dev = BigInt(c) * n - s
+              val alarm =
+                if (dev * dev > 9 * (n * ss - BigInt(s) * s)) 1L else 0L
+              (et, d, c, n, center, alarm)
+            }
+          }
+        }.sortBy(r => (r._1, r._2))
+      val out = rows.toDF("event_type", "d", "cents", "n_ref",
+          "center_milli", "alarm")
+        .withColumn("day", col("d").cast("date"))
+        .select("event_type", "day", "cents", "n_ref", "center_milli",
+          "alarm")
+      onReport(out, batchId)
+    }
+  }
+
   /** Streaming quality gate (#285) — t45's verdicts as an INGEST
     * GATE, completing the streaming ingest chain (charset #251 →
     * media format #267 → quality HERE → near-dup #159): per arriving

@@ -1196,6 +1196,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(seededLast == want, "seeded resume != full-history end state")
   }
 
+  test("control chart monitor: report after each batch equals batch q122 on the prefix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    type R = (String, String, Long, Long, Long, Long)
+    val facts = Tables.events(spark, TestSpark.Sf)
+      .select(col("event_type"),
+        col("ts").cast("date").cast("string").as("day"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .as[(String, String, Long)].collect().toSeq
+
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[R])]
+    val sink = EventStream.controlChartForeachBatch() { (r, id) =>
+      emitted += ((id, r.select(col("event_type"), col("day").cast("string"),
+        col("cents"), col("n_ref"), col("center_milli"), col("alarm"))
+        .as[(String, String, Long, Long, Long, Long)].collect().toSeq))
+    }
+    val input = MemoryStream[(String, String, Long)]
+    val query = input.toDF().toDF("event_type", "day", "cents")
+      .writeStream.foreachBatch(sink).outputMode("append").start()
+    // scramble so a day's facts straddle batches AND some reference
+    // days arrive AFTER post-reference days (frozen limits must
+    // re-derive, not watermark-drop)
+    val scrambled = facts.zipWithIndex.sortBy { case (_, i) => i % 5 }.map(_._1)
+    val batches = scrambled.grouped(scrambled.size / 4 + 1).toSeq
+    try {
+      batches.foreach { b => input.addData(b: _*); query.processAllAvailable() }
+    } finally query.stop()
+    assert(emitted.size == batches.size)
+
+    // per-batch parity against the BATCH kernel over the prefix
+    var prefix = Seq.empty[(String, String, Long)]
+    batches.zipWithIndex.foreach { case (b, i) =>
+      prefix = prefix ++ b
+      val daily = prefix.groupBy(r => (r._1, r._2)).toSeq
+        .map { case ((et, d), rs) => (et, d, rs.map(_._3).sum) }
+        .toDF("event_type", "d", "cents")
+        .select(col("event_type"), col("d").cast("date").as("day"),
+          col("cents"))
+      val want = AnalyticsQueries.controlChart(daily, "2024-01-15")
+        .select(col("event_type"), col("day").cast("string"), col("cents"),
+          col("n_ref"), col("center_milli"), col("alarm"))
+        .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+      assert(emitted(i)._2 == want, s"batch $i diverged from batch kernel")
+    }
+
+    // full-stream end state equals the oracled batch q122
+    val want = AnalyticsQueries.q122ControlChart(spark, TestSpark.Sf)
+      .select(col("event_type"), col("day").cast("string"), col("cents"),
+        col("n_ref"), col("center_milli"), col("alarm"))
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(emitted.last._2 == want, "end state != batch q122")
+
+    // replayed batch id re-emits without re-folding
+    val before = emitted.size
+    sink(spark.createDataset(batches.last).toDF("event_type", "day", "cents"),
+      (batches.size - 1).toLong)
+    assert(emitted.size == before + 1 && emitted.last._2 == want,
+      "replayed batch id must re-emit the same frame")
+  }
+
   test("fk orphan gate: verdicts match set membership, audit equals batch q97 arithmetic on the prefix") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
