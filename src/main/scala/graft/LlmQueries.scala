@@ -3254,7 +3254,11 @@ object LlmQueries {
       .filter(pmod(col("vec_id"), col("m")) === 0)
       .select(col("vec_id"), col("na2"))
     val nSample = sampled.agg(count(lit(1)).as("n_sample"))
+    // the sampled quantized rows (≤ ~256 × dims) feed BOTH sides of
+    // the pair join — the barrier makes the self-join read a tiny
+    // materialized frame instead of re-exploding the corpus twice
     val qs = q.join(sampled.select("vec_id"), Seq("vec_id"))
+      .localCheckpoint()
     val pairs = qs.select(col("vec_id").as("va"), col("dim"), col("qv").as("qa"))
       .join(qs.select(col("vec_id").as("vb"), col("dim"), col("qv").as("qb")),
         Seq("dim"))

@@ -2581,6 +2581,9 @@ object TrainingDataQueries {
     val bi = docBigrams(docs)
     val docProfile = bi.groupBy("doc_id", "bg")
       .agg(count(lit(1)).as("cnt"))
+    // totals + delta both consume the feature table; AQE exchange
+    // reuse serves the repeated explode+groupBy from one shuffle at
+    // runtime (an explicit barrier measured 2x slower at sf0.3)
     val feat = bi.groupBy("bg").agg(
       count(lit(1)).as("rcnt"),
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tcnt"))
