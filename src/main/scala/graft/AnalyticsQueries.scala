@@ -4086,6 +4086,21 @@ object AnalyticsQueries {
     * frame — factored so the spec can drive planted exact fixtures
     * (an alternating series ⇒ acf(odd k) = −(n−k)/n, a period-7
     * square wave ⇒ acf(7) = (n−7)/n) through the SAME code. */
+  /** Zero-filled calendar spine over a (event_type, day, cents)
+    * daily frame: one row per day between each type's first and last
+    * observed day, missing days carrying x = 0 (a missing day IS a
+    * zero-revenue day for a calendar statistic — q42's convention).
+    * Shared by q120's ACF and q123's forecast backtest so both
+    * statistics see the SAME series definition. */
+  private[graft] def spineFill(daily: DataFrame): DataFrame =
+    daily.groupBy("event_type")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("event_type"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("cents"), lit(0L)).as("x"))
+
   private[graft] def acfOverDaily(daily: DataFrame,
                                   lags: Seq[Int]): DataFrame = {
     val dec19 = DecimalType(19, 0)
@@ -4094,13 +4109,7 @@ object AnalyticsQueries {
     // re-scans in the static plan, but AQE's runtime exchange reuse
     // dedups them — an explicit localCheckpoint barrier was MEASURED
     // SLOWER at every SF (eager materialization + lost pipelining)
-    val spine = daily.groupBy("event_type")
-      .agg(min("day").as("d0"), max("day").as("d1"))
-      .select(col("event_type"),
-        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
-    val series = spine.join(daily, Seq("event_type", "day"), "left")
-      .select(col("event_type"), col("day"),
-        coalesce(col("cents"), lit(0L)).as("x"))
+    val series = spineFill(daily)
     val stats = series.groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("x").as("s"))
     val centered = series.join(broadcast(stats), Seq("event_type"))
@@ -4305,7 +4314,83 @@ object AnalyticsQueries {
       |FROM daily d JOIN ref USING (event_type)
       |ORDER BY event_type, day""".stripMargin
 
+  /** #317 (q123): forecast-baseline backtest — naive (x̂_t = x_{t−1})
+    * vs seasonal-naive (x̂_t = x_{t−7}) mean absolute error over each
+    * type's daily revenue series: the M-competition discipline
+    * (Makridakis; Hyndman & Athanasopoulos FPP) of PRICING the
+    * baselines before anyone fits a model, and the decision companion
+    * of q120 — the ACF says a weekly cycle EXISTS, this backtest says
+    * what exploiting it is WORTH (seasonal-naive beating naive ⇔ the
+    * lag-7 structure is predictive, not just present). Same
+    * [[spineFill]] series as q120 (one definition of the series),
+    * errors as equi-joins on (type, day−k), totals exact BIGINT
+    * cents, MAE emitted half-up at milli-cents by the unsigned
+    * half-up identity (absolute errors ≥ 0). Everything after the
+    * one (type, day) aggregation shuffle is calendar-bounded. */
+  def q123ForecastBaseline: Q = (spark, dir) =>
+    forecastBacktest(
+      Tables.events(spark, dir)
+        .where(col("ts").isNotNull)
+        .select(col("event_type"), col("ts").cast(DateType).as("day"),
+          col("value"))
+        .groupBy("event_type", "day")
+        .agg(Exact.eSum(col("value"), 2).cast(LongType).as("cents")))
+
+  /** The q123 kernel over a prepared (event_type, day, cents) daily
+    * frame — factored so the spec can drive a planted exactly-weekly
+    * series (seasonal-naive error ≡ 0) through the SAME code. */
+  private[graft] def forecastBacktest(daily: DataFrame): DataFrame = {
+    val series = spineFill(daily)
+    def backtest(k: Int, label: String): DataFrame =
+      series.select(col("event_type"), col("day"), col("x"))
+        .join(series.select(col("event_type"),
+          date_add(col("day"), k).as("day"), col("x").as("xhat")),
+          Seq("event_type", "day"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_evals"),
+          sum(abs(col("x") - col("xhat"))).as("total_abs_err"))
+        .select(col("event_type"), lit(label).as("method"),
+          col("n_evals"), col("total_abs_err"),
+          expr("(2 * total_abs_err * 1000 + n_evals) div (2 * n_evals)")
+            .cast(LongType).as("mae_milli"))
+    backtest(1, "naive").unionByName(backtest(7, "seasonal_naive"))
+      .orderBy("event_type", "method")
+  }
+
+  val q123Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+      |  FROM events WHERE ts IS NOT NULL),
+      |daily AS (
+      |  SELECT event_type, day, CAST(SUM(cents) AS BIGINT) AS x
+      |  FROM ev GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT event_type,
+      |         CAST(unnest(generate_series(MIN(day), MAX(day),
+      |                                     INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM daily GROUP BY event_type),
+      |ser AS (
+      |  SELECT s.event_type, s.day, COALESCE(d.x, 0) AS x
+      |  FROM spine s LEFT JOIN daily d
+      |       ON d.event_type = s.event_type AND d.day = s.day),
+      |ks AS (SELECT 1 AS k, 'naive' AS method
+      |       UNION ALL SELECT 7, 'seasonal_naive'),
+      |bt AS (
+      |  SELECT a.event_type, ks.method, COUNT(*) AS n_evals,
+      |         CAST(SUM(ABS(a.x - b.x)) AS BIGINT) AS total_abs_err
+      |  FROM ser a CROSS JOIN ks
+      |       JOIN ser b ON b.event_type = a.event_type
+      |                  AND b.day = a.day - ks.k
+      |  GROUP BY 1, 2)
+      |SELECT event_type, method,
+      |       CAST(n_evals AS BIGINT) AS n_evals, total_abs_err,
+      |       CAST((2 * CAST(total_abs_err AS HUGEINT) * 1000 + n_evals)
+      |            // (2 * n_evals) AS BIGINT) AS mae_milli
+      |FROM bt ORDER BY event_type, method""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q123_forecast_baseline" -> q123ForecastBaseline,
     "q122_control_chart" -> q122ControlChart,
     "q121_cramers_v" -> q121CramersV,
     "q120_autocorr" -> q120Autocorr,
@@ -4389,6 +4474,7 @@ object AnalyticsQueries {
     "q49_cohort_retention" -> q49CohortRetention)
 
   val oracles: Seq[(String, String)] = Seq(
+    "q123_forecast_baseline" -> q123Sql,
     "q122_control_chart" -> q122Sql,
     "q121_cramers_v" -> q121Sql,
     "q120_autocorr" -> q120Sql,

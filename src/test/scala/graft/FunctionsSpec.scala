@@ -819,6 +819,46 @@ class FunctionsSpec extends AnyFunSuite {
       s"weekly wave lag-7: ${planted(("wave", 7L))}")
   }
 
+  test("q123 forecast backtest matches a local recomputation; weekly fixture exact") {
+    val got = AnalyticsQueries.q123ForecastBaseline(spark, TestSpark.Sf)
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(got.nonEmpty && got.length % 2 == 0)
+    // local recompute over the zero-filled spine
+    val ev = Tables.events(spark, TestSpark.Sf)
+      .where("ts is not null")
+      .selectExpr("event_type", "cast(ts as date) as day",
+        "cast(floor(value * 100.0 + 0.5) as bigint) as cents")
+      .as[(String, java.sql.Date, Long)].collect()
+    got.groupBy(_._1).foreach { case (et, rows) =>
+      val byDay = ev.filter(_._1 == et)
+        .groupBy(_._2.toLocalDate).view.mapValues(_.map(_._3).sum).toMap
+      val (d0, d1) = (byDay.keys.min, byDay.keys.max)
+      val xs = Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1))
+        .map(d => byDay.getOrElse(d, 0L)).toVector
+      rows.foreach { case (_, method, nEvals, tae, mae) =>
+        val k = if (method == "naive") 1 else 7
+        val errs = (k until xs.length).map(t => math.abs(xs(t) - xs(t - k)))
+        assert(nEvals == errs.length, s"$et/$method evals")
+        assert(tae == errs.sum, s"$et/$method total error")
+        assert(mae == (2 * errs.sum * 1000 + nEvals) / (2 * nEvals),
+          s"$et/$method mae")
+      }
+    }
+    // planted exactly-weekly series through the SAME kernel:
+    // seasonal-naive error must be exactly 0 while naive pays the
+    // within-week swings — the backtest's reason to exist
+    val base = java.sql.Date.valueOf("2024-01-01")
+    def d(i: Int) = new java.sql.Date(base.getTime + i * 86400000L)
+    val weekly = (0 until 28).map(i => ("w", d(i), 100L + 50L * (i % 7)))
+    val planted = AnalyticsQueries.forecastBacktest(
+        weekly.toDF("event_type", "day", "cents"))
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => r._2 -> ((r._4, r._5))).toMap
+    assert(planted("seasonal_naive") == ((0L, 0L)),
+      s"weekly series must be exactly seasonal-naive-predictable")
+    assert(planted("naive")._1 > 0L, "naive must pay the within-week swings")
+  }
+
   test("q122 control chart matches a local frozen-limits recomputation") {
     val got = AnalyticsQueries.q122ControlChart(spark, TestSpark.Sf)
       .as[(String, java.sql.Date, Long, Long, Long, Long)].collect()
