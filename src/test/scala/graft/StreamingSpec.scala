@@ -1729,7 +1729,20 @@ class StreamingSpec extends AnyFunSuite {
     run(sd => EventStream.skylineForeachBatch(stateDir = sd),
       skyBatches, s"$base/sky", "skyline")
 
-    // 6. the key-domain bound fails FAST with the contract named,
+    // 6. control chart ((event_type, day) cents histogram, frozen
+    //    limits — the sixth monitor joins the uniform contract; the
+    //    mid-stream reference/post-reference day mix exercises the
+    //    frozen-limit recompute across restarts)
+    val chartBatches = Seq(
+      Seq(("click", "2024-01-01", 100L), ("click", "2024-01-02", 104L),
+        ("click", "2024-01-03", 96L)),
+      Seq(("click", "2024-01-04", 101L), ("click", "2024-01-20", 990L)),
+      Seq(("click", "2024-01-02", 2L), ("view", "2024-01-01", 50L)))
+      .map(_.toDF("event_type", "day", "cents"))
+    run(sd => EventStream.controlChartForeachBatch(stateDir = sd),
+      chartBatches, s"$base/chart", "controlChart")
+
+    // 7. the key-domain bound fails FAST with the contract named,
     //    instead of growing driver state until the heap fails late
     val wide = (0 until 10).map(i => (s"et$i", "2024-01-01", 1L))
       .toDF("event_type", "day", "cents")
@@ -1738,6 +1751,11 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(g.getMessage.contains("configuration-scale"),
       s"bound guard message: ${g.getMessage}")
+    val g2 = intercept[IllegalStateException] {
+      EventStream.controlChartForeachBatch(maxKeys = 4)((_, _) => ())(wide, 0L)
+    }
+    assert(g2.getMessage.contains("configuration-scale"),
+      s"chart bound guard message: ${g2.getMessage}")
   }
 
   test("artifact maintainers survive an empty first batch (no data-less dir commit)") {
