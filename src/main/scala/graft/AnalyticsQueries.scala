@@ -4264,6 +4264,7 @@ object AnalyticsQueries {
   def q122ControlChart: Q = (spark, dir) =>
     controlChart(
       Tables.events(spark, dir)
+        .where(col("ts").isNotNull)
         .groupBy(col("event_type"), col("ts").cast(DateType).as("day"))
         .agg(sum(round(col("value") * 100, 0).cast(LongType)).as("cents")),
       DriftRefEnd)
@@ -4298,7 +4299,7 @@ object AnalyticsQueries {
       |  SELECT event_type, CAST(ts AS DATE) AS day,
       |         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
       |           AS cents
-      |  FROM events GROUP BY 1, 2),
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
       |ref AS (
       |  SELECT event_type, COUNT(*) AS n, SUM(cents) AS s,
       |         SUM(CAST(cents AS HUGEINT) * cents) AS ss

@@ -1920,9 +1920,18 @@ object LlmQueries {
     * candidate set), but candidates come from a calibrated IVF cell
     * join (volume ≈ nProbe·n/nCells per query) instead of the exact
     * kernel's O(n²) block-nested-loop — the one shape of s21 that can
-    * run at 100×. Rows-only by design (iterative float k-means);
-    * AnnSpec pins recall vs the exact kernel and a cartesian-free
-    * plan. */
+    * run at 100×. Registered at an EXPLICIT probe budget (16): on
+    * structured corpora the calibration solves under it and nothing
+    * changes (the spec fixture's solved point is below the budget, so
+    * the ≥ 0.77 recall floor pins the SAME operating point as before);
+    * on geometry-less corpora — where the calibration honestly solves
+    * ~nCells/2 and the r12 ledger measured the registered query going
+    * quadratic past sf0.6 — the budget caps candidate volume at
+    * ≈ 16·n^1.5, the IVF scale contract, with recall best-effort
+    * within the budget (the [[graft.sim.Ann.hardNegativesIvf]]
+    * scaladoc's operating-point argument; the binding cap logs both
+    * points). Rows-only by design (iterative float k-means); AnnSpec
+    * pins recall vs the exact kernel and a cartesian-free plan. */
   def s22HardNegativesIvf: Q = (spark, dir) => {
     val roots = Tables.documents(spark, dir).select("doc_id")
       .join(clusters(spark, dir).withColumnRenamed("id", "doc_id"),
@@ -1932,7 +1941,7 @@ object LlmQueries {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
     Ann.hardNegativesIvf(e, k = 5, groups = roots, seed = 42L,
-        cacheKey = Some(dir))
+        cacheKey = Some(dir), probeBudget = 16)
       .orderBy("id", "rank")
   }
 

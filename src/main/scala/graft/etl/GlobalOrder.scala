@@ -122,7 +122,11 @@ object GlobalOrder {
     * bucket) offsets from a window that sees ≤ `buckets` rows per
     * group — full parallelism inside even a group holding 90% of the
     * corpus. `fine` must be numeric, non-null, unique (the tie-break
-    * and bucketing axis, as in withBandedGlobalSeq).
+    * and bucketing axis, as in withBandedGlobalSeq). Equal-width
+    * bucketing assumes a not-heavy-tailed `fine` domain — see
+    * [[withGroupCumBefore]]'s KNOWN LIMITATION note (one outlier can
+    * collapse the histogram into one bucket and re-create the
+    * single-task sort; correctness unaffected).
     *
     * `broadcastOffsets`: the offsets frame holds one row per (group,
     * bucket) pair PRESENT — ≤ |domain|·buckets for a bounded group
@@ -176,7 +180,22 @@ object GlobalOrder {
     * `fine` must be numeric, non-null, and unique WITHIN each group
     * (a histogram's value axis); `valueCol` integral (exact totals).
     * Adds `cumCol` = Σ valueCol over rows of the same group with
-    * strictly smaller `fine` (0 for the group's first value). */
+    * strictly smaller `fine` (0 for the group's first value).
+    *
+    * KNOWN LIMITATION (shared with [[withGroupSeq]]): buckets are
+    * EQUAL-WIDTH over the global [min, max] of `fine`. On a
+    * heavy-tailed value domain a single extreme outlier stretches the
+    * width until nearly every row lands in one bucket, and the
+    * in-bucket window then degrades to exactly the single-task sort
+    * this helper exists to avoid — correctness is unaffected (the
+    * offsets algebra holds for ANY bucketing), but the parallelism
+    * claim assumes a roughly uniform-ish domain (ids, cents within a
+    * price book, day ordinals). For a heavy-tailed `fine`, pre-map it
+    * through a rank-preserving contraction the domain allows (e.g.
+    * band on log2(fine) via `shiftright`/bit length for counts), or
+    * derive explicit boundaries from `approx_percentile` and assign
+    * buckets with an O(log nb) expression — the offsets passes below
+    * are bucketing-agnostic and need no change. */
   def withGroupCumBefore(df: DataFrame, group: String, fine: String,
                          valueCol: String, cumCol: String = "cum_before",
                          buckets: Int = 0,

@@ -1126,11 +1126,28 @@ object Ann {
     * 255 — beyond that depth the capped sample has no CDF resolution
     * left to spend. Rows-only by design (iterative float k-means);
     * AnnSpec pins recall vs the exact [[hardNegatives]] kernel and the
-    * same-root exclusion on a planted fixture. */
+    * same-root exclusion on a planted fixture.
+    *
+    * `probeBudget` (> 0) is an EXPLICIT COST CEILING on the calibrated
+    * probe count — the r12 SCALECHECK remedy made a first-class
+    * operating point. On geometry-less (near-isotropic) corpora the
+    * calibration honestly solves nProbe ≈ nCells/2 for the recall
+    * target, which degenerates the cell join's candidate volume toward
+    * n²/2 ([[warnDegenerateMiningGeometry]]); a budget pins the volume
+    * at ≤ budget·n·(n/nCells) ≈ budget·n^1.5 instead — sub-quadratic
+    * REGARDLESS of geometry — and the recall target becomes
+    * best-effort WITHIN the budget (on structured corpora the solved
+    * point is usually under the budget and nothing changes; the
+    * budget binds exactly where exact-recall mining was about to go
+    * quadratic). The solved, uncapped point stays memoized, so two
+    * callers with different budgets share one fit + calibration. A
+    * binding budget logs the solved-vs-capped points; ≤ 0 = uncapped
+    * (trust the calibration, the pre-r13 behavior). */
   def hardNegativesIvf(corpus: DataFrame, k: Int, groups: DataFrame,
                        seed: Long, recall: Double = 0.9,
                        fitSampleCap: Long = 100000L,
-                       cacheKey: Option[String] = None): DataFrame = {
+                       cacheKey: Option[String] = None,
+                       probeBudget: Int = 0): DataFrame = {
     import graft.functions.CentroidCells.centroidCells
     val g = groups.select(col("id"), col("root"))
     val live = corpus.join(g, "id")
@@ -1145,7 +1162,7 @@ object Ann {
       .agg(coalesce(expr("bit_xor(xxhash64(id, root))"), lit(0L)),
         count(lit(1)))
       .head() match { case r => s"${r.getLong(0)}x${r.getLong(1)}" })
-    val (centroids, nProbe) = memo(cacheKey.map(c =>
+    val (centroids, solved) = memo(cacheKey.map(c =>
         s"hni|$c|k=$k|seed=$seed|r=$recall|cap=$fitSampleCap" +
           s"|g=${gDigest.get}")) {
       val n = live.count()
@@ -1154,7 +1171,16 @@ object Ann {
       (cs, probesForRecall(calibrationSample(live, n), cs, recall,
         kCal = k + exclusionDepth(g)))
     }
-    warnDegenerateMiningGeometry("hardNegativesIvf", nProbe, centroids.length)
+    warnDegenerateMiningGeometry("hardNegativesIvf", solved, centroids.length)
+    val nProbe =
+      if (probeBudget > 0 && solved > probeBudget) {
+        System.err.println(
+          s"[graft] hardNegativesIvf probe budget binds: calibration " +
+            s"solved $solved of ${centroids.length} cells for recall " +
+            s"$recall, capped at $probeBudget — recall is best-effort " +
+            "within the budget on this geometry")
+        probeBudget
+      } else solved
     val c = live.select(col("id").as("neighbor_id"), col("vec").as("cvec"),
         col("nrm0").as("cnrm"), col("root").as("croot"))
       .withColumn("cell",

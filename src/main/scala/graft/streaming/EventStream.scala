@@ -733,7 +733,10 @@ object EventStream {
             val n = ref.length.toLong
             val s = ref.sum
             val ss = ref.map(c => BigInt(c) * c).sum
-            val center = (2 * s * 1000 + n) / (2 * n)
+            // BigInt like the alarm path: 2·s·1000 overflows Long once
+            // a type's reference cents sum exceeds ~4.6e15, silently
+            // breaking the spec-pinned bit-identity to batch q122
+            val center = ((2 * BigInt(s) * 1000 + n) / (2 * n)).toLong
             trs.sortBy(_._2).map { case (_, d, c) =>
               val dev = BigInt(c) * n - s
               val alarm =
