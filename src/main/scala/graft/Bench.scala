@@ -73,7 +73,11 @@ object Bench {
             "stage:neardup_pairs" -> (() => LlmQueries.pairGraph(spark, sfDir)),
             "stage:dedup_clusters" -> (() => LlmQueries.clusters(spark, sfDir)),
             "stage:dup_spans" -> (() => LlmQueries.dupSpanFrame(spark, sfDir)),
-            "stage:ks_hists" -> (() => AnalyticsQueries.ksHistArtifact(spark, sfDir))
+            "stage:ks_hists" -> (() => AnalyticsQueries.ksHistArtifact(spark, sfDir)),
+            // building postings stages sets + df transitively, so this
+            // one line prices the whole gate-corpus artifact chain
+            "stage:gate_corpus" -> (() => LlmQueries.gateCorpusPostings(spark, sfDir)),
+            "stage:rasters" -> (() => LlmQueries.rasterFrame(spark, sfDir))
           ).map { case (name, fr) =>
             val t0 = System.nanoTime()
             val ok =
@@ -83,7 +87,17 @@ object Bench {
               }
             name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
           }.toMap
-        stageTimes ++ selected.map { case (name, fn) =>
+        // streaming monitor throughput (r13): three representative
+        // foreachBatch monitors driven over deterministic micro-batch
+        // slices — priced like stage lines, skipped under a name filter
+        val streamTimes: Map[String, Double] =
+          if (args.nonEmpty) Map.empty
+          else try streaming.StreamBench.run(spark, sfDir)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] stream lines failed (pass $pass): ${e.getMessage}")
+            Map.empty
+          }
+        stageTimes ++ streamTimes ++ selected.map { case (name, fn) =>
           val t0 = System.nanoTime()
           val ok =
             try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
@@ -94,9 +108,11 @@ object Bench {
         }.toMap
       }
     }
-    // stage:* lines first, then the query keys, both name-sorted
+    // stage:* then stream:* lines first, then the query keys, all
+    // name-sorted
     val names = timings.flatMap(_.keys).distinct
-      .sortBy(n => (if (n.startsWith("stage:")) 0 else 1, n))
+      .sortBy(n => (if (n.startsWith("stage:")) 0
+                    else if (n.startsWith("stream:")) 1 else 2, n))
     val results = names.map { name =>
       val runs = timings.flatMap(_.get(name))
       // a query that failed on ANY pass reports -1: a flaky failure

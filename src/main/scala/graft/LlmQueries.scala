@@ -2265,18 +2265,61 @@ object LlmQueries {
     * ids — candidate-linear, never all-pairs. Rows-only (codec
     * inside); MultimodalSpec pins re-encoding invariance, edit
     * tolerance, exact-dup recall, and the self-pair floor. */
+  /** The multimodal family's STAGED decoded-raster artifact (r13):
+    * ONE codec pass per doc serving BOTH registered image consumers —
+    * m04 (gray aHash via the P5 and P2 PGM wire forms) and m05 (color
+    * channel census + wire parity via the P6 and P3 PPM forms). The
+    * render/encode/decode loop is inherent byte-linear codec work
+    * (the r12 ledger's largest absolute sf1 line), so each consumer
+    * re-running it privately doubles the corpus's dominant cost; the
+    * d23 span-frame staging pattern applies unchanged — build once
+    * behind the shared stage protocol, every consumer reads parquet.
+    * The artifact still exercises the REAL codecs end to end (this is
+    * the documented legitimate `mapPartitions` codec boundary);
+    * MultimodalSpec's codec pins are untouched and the m04/m05 query
+    * contracts are unchanged. */
+  private[graft] def rasterFrame(spark: SparkSession, dir: String): DataFrame =
+    sharedStage(spark, dir, "rasters") {
+      import graft.multimodal.Codecs
+      import spark.implicits._
+      normedDocs(spark, dir)
+        .select(col("doc_id"), col("text_norm"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, txt) =>
+          val g = Codecs.renderGray(txt)
+          val sigP5 = Codecs.aHash64(Codecs.decodeGray(Codecs.encodePgmP5(g)))
+          val sigP2 = Codecs.aHash64(Codecs.decodeGray(Codecs.encodePgmP2(g)))
+          val img = Codecs.renderRgb(txt)
+          // ONE P6 encode serves both consumers (the encoder is
+          // deterministic, so a second encode is identical bytes —
+          // pure codec work re-done per row)
+          val wireP6 = Codecs.encodePpmP6(img)
+          val p6 = Codecs.decodePpm(wireP6)
+          val viaP6 = Codecs.aHash64(Codecs.decodeGray(wireP6))
+          val viaP3 = Codecs.aHash64(Codecs.decodeGray(Codecs.encodePpmP3(img)))
+          val sr = p6.r.foldLeft(0L)(_ + _)
+          val sg = p6.g.foldLeft(0L)(_ + _)
+          val sb = p6.b.foldLeft(0L)(_ + _)
+          val spread = math.max(sr, math.max(sg, sb)) -
+            math.min(sr, math.min(sg, sb))
+          (id, sigP5, sigP2, p6.width.toLong, p6.height.toLong,
+            sr, sg, sb, spread, viaP6, if (viaP6 == viaP3) 1L else 0L)
+        })
+        .toDF("doc_id", "sig_p5", "sig_p2", "width", "height",
+          "sum_r", "sum_g", "sum_b", "chan_spread", "gray_ahash",
+          "wire_parity")
+    }
+
   def m04PixelNearDup: Q = (spark, dir) => {
-    import graft.multimodal.Codecs
-    import spark.implicits._
-    val sigs = normedDocs(spark, dir)
-      .select(col("doc_id"), col("text_norm"))
-      .as[(Long, String)]
-      .mapPartitions(_.flatMap { case (id, txt) =>
-        val img = Codecs.renderGray(txt)
-        Iterator(
-          (2 * id, Codecs.aHash64(Codecs.decodeGray(Codecs.encodePgmP5(img)))),
-          (2 * id + 1, Codecs.aHash64(Codecs.decodeGray(Codecs.encodePgmP2(img)))))
-      }).toDF("vid", "sig")
+    // served from the staged raster artifact (one codec pass shared
+    // with m05); the pairing below is the operator under test
+    val sigs = rasterFrame(spark, dir)
+      .select(col("doc_id"), col("sig_p5"), col("sig_p2"))
+      .select(explode(array(
+          struct((col("doc_id") * 2).as("vid"), col("sig_p5").as("sig")),
+          struct((col("doc_id") * 2 + 1).as("vid"), col("sig_p2").as("sig"))))
+        .as("v"))
+      .select(col("v.vid").as("vid"), col("v.sig").as("sig"))
     SimHash.nearDupPairsBlocked(sigs, "vid", "sig",
         nBlocks = 6, maxHamming = 3)
       .select(
@@ -2303,33 +2346,14 @@ object LlmQueries {
     * channel sums against a local recompute, the luma identity, and
     * full-corpus wire parity. The mapPartitions is the documented
     * legitimate codec boundary. */
-  def m05ColorStats: Q = (spark, dir) => {
-    import graft.multimodal.Codecs
-    import spark.implicits._
-    normedDocs(spark, dir)
-      .select(col("doc_id"), col("text_norm"))
-      .as[(Long, String)]
-      .mapPartitions(_.map { case (id, txt) =>
-        val img = Codecs.renderRgb(txt)
-        // ONE P6 encode serves both consumers (the encoder is
-        // deterministic, so the second encode was identical bytes —
-        // pure codec work re-done per row)
-        val wireP6 = Codecs.encodePpmP6(img)
-        val p6 = Codecs.decodePpm(wireP6)
-        val viaP6 = Codecs.aHash64(Codecs.decodeGray(wireP6))
-        val viaP3 = Codecs.aHash64(Codecs.decodeGray(Codecs.encodePpmP3(img)))
-        val sr = p6.r.foldLeft(0L)(_ + _)
-        val sg = p6.g.foldLeft(0L)(_ + _)
-        val sb = p6.b.foldLeft(0L)(_ + _)
-        val spread = math.max(sr, math.max(sg, sb)) -
-          math.min(sr, math.min(sg, sb))
-        (id, p6.width.toLong, p6.height.toLong, sr, sg, sb, spread,
-          viaP6, if (viaP6 == viaP3) 1L else 0L)
-      })
-      .toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+  def m05ColorStats: Q = (spark, dir) =>
+    // served from the staged raster artifact (one codec pass shared
+    // with m04); every emitted column is the codec-boundary output
+    // the artifact pinned at build time
+    rasterFrame(spark, dir)
+      .select("doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
         "chan_spread", "gray_ahash", "wire_parity")
       .orderBy("doc_id")
-  }
 
   /** #263 (m06): waveform statistics through the REAL WAV codec —
     * the AUDIO leg of the multimodal boundary (m01–m05 cover image
@@ -2678,30 +2702,70 @@ object LlmQueries {
       "\nSELECT dst AS part, CAST(a AS BIGINT) AS auth_e6 FROM a3 ORDER BY part"
   }
 
+  /** The ingest gate's STAGED corpus side (#144, r13): the three
+    * artifacts that make the per-batch gate O(batch + artifact read)
+    * instead of O(corpus) recompute — (1) corpus sets + md5 digests,
+    * (2) the corpus token-df frame (the global prefix order's key),
+    * (3) the ranked posting frame ([[graft.dedup.SetSimJoin
+    * .containmentPostings]]). Built once per corpus via the shared
+    * stage protocol (per-JVM root, or durable + corpus-digest-guarded
+    * — the refresh cadence is the corpus digest: any corpus change
+    * rebuilds by construction, an unchanged corpus is a parquet
+    * read); each later artifact builds FROM the earlier staged one,
+    * never from a second raw-corpus pass. Corpus membership here is
+    * d24's deterministic convention (even doc_id). */
+  private[graft] def gateCorpusSets(spark: SparkSession, dir: String): DataFrame =
+    sharedStage(spark, dir, "gate_corpus_sets") {
+      normedDocs(spark, dir).filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), md5(col("text_norm")).as("dig"),
+          array_distinct(MinHash.shingleHashes(col("text_norm"), 3)).as("s"))
+    }
+
+  private[graft] def gateCorpusDf(spark: SparkSession, dir: String): DataFrame =
+    sharedStage(spark, dir, "gate_corpus_df") {
+      gateCorpusSets(spark, dir).select(explode(col("s")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+    }
+
+  private[graft] def gateCorpusPostings(spark: SparkSession,
+                                        dir: String): DataFrame =
+    sharedStage(spark, dir, "gate_corpus_postings") {
+      SetSimJoin.containmentPostings(gateCorpusSets(spark, dir), "doc_id", "s",
+        gateCorpusDf(spark, dir))
+    }
+
   /** #144 (d24): incremental ingest gate — dedup a NEW batch against
     * an EXISTING corpus (the daily-crawl admission decision; a full
     * corpus re-dedup per batch is the O(corpus) cost this avoids).
     * Batch membership is deterministic here (odd doc_id = new, even =
     * corpus). Per new doc, two exact flags: `is_exact_dup` (its md5
     * digest already in the corpus — one semi-join on the 16-byte
-    * digest, O(batch) probe side) and `is_contained` (≥ 90% of its
-    * shingles inside SOME single corpus doc — [[SetSimJoin
-    * .containmentJoin]] restricted to new→old pairs, d22's lossless
-    * prefix filter; catches re-posts with new boilerplate around old
-    * bodies). Output = the admission report for the batch. */
+    * digest against the STAGED digest column, O(batch) probe side)
+    * and `is_contained` (≥ 90% of its shingles inside SOME single
+    * corpus doc — [[SetSimJoin.containmentJoinAgainst]], d22's
+    * lossless prefix filter served from the staged df/posting
+    * artifacts; catches re-posts with new boilerplate around old
+    * bodies). Since r13 the corpus side is STAGED ([[gateCorpusSets]]
+    * / [[gateCorpusDf]] / [[gateCorpusPostings]]): the r12 ledger
+    * read the union-recompute gate at exponent 1.07 with a 14.3 s sf1
+    * line because every batch re-derived corpus-wide token stats; now
+    * per-batch work is the batch's own explode + artifact-read joins,
+    * and decisions stay bit-identical (the prefix theorem is
+    * order-agnostic, verification is exact — DedupSpec pins parity
+    * and the novel-token zero-candidate bound; the oracle hash
+    * certifies end to end). Output = the admission report for the
+    * batch. */
   def d24IncrementalGate: Q = (spark, dir) => {
-    val docs = normedDocs(spark, dir)
-      .withColumn("dig", md5(col("text_norm")))
-      .withColumn("is_new", (col("doc_id") % 2) === 1)
-    val corpus = docs.filter(!col("is_new"))
-    val batch = docs.filter(col("is_new"))
-    val exactDup = batch.join(
-        corpus.select(col("dig")), Seq("dig"), "left_semi")
+    val corpus = gateCorpusSets(spark, dir)
+    val batch = normedDocs(spark, dir).filter(col("doc_id") % 2 === 1)
+    val exactDup = batch.withColumn("dig", md5(col("text_norm")))
+      .join(corpus.select(col("dig")), Seq("dig"), "left_semi")
       .select(col("doc_id")).withColumn("is_exact_dup", lit(true))
-    val withSet = docs.select(col("doc_id"),
+    val batchSets = batch.select(col("doc_id"),
       array_distinct(MinHash.shingleHashes(col("text_norm"), 3)).as("s"))
-    val contained = SetSimJoin.containmentJoin(withSet, "doc_id", "s", 9, 10)
-      .filter(col("id_a") % 2 === 1 && col("id_b") % 2 === 0)
+    val contained = SetSimJoin.containmentJoinAgainst(batchSets, "doc_id", "s",
+        gateCorpusPostings(spark, dir), corpus.select("doc_id", "s"),
+        gateCorpusDf(spark, dir), 9, 10)
       .select(col("id_a").as("doc_id")).distinct()
       .withColumn("is_contained", lit(true))
     batch.select("doc_id")

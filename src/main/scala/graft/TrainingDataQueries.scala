@@ -2552,13 +2552,26 @@ object TrainingDataQueries {
     * integers. The target here is the `lang = 'en'` slice (the
     * "formal text" stand-in the generator provides).
     *
-    * Shape (all linear shuffles): explode bigrams once; ONE
-    * groupBy(bigram) with a conditional target-count (no second pass);
-    * the two corpus totals are a 1-row broadcast; ppms by floor
-    * division in decimal(38) (a dominant bigram's 10⁶·count can pass
-    * 2⁶³ at extreme SF); doc-profile ⋈ feature-table on the bigram
-    * (co-partitioned), then one groupBy(doc). Docs with < 2 words
-    * carry weight 0 via the left join.
+    * Shape (all linear shuffles): explode bigrams once, then key
+    * EVERY downstream exchange on the 8-byte `xxhash64(bg)` digest —
+    * the d01 rule: the weight never needs the bigram STRING (the
+    * output is per-doc), so shuffling raw 2-word strings through the
+    * profile/feature groupBys and the profile ⋈ delta join just
+    * multiplies the dominant exchanges' byte volume (the r12 ledger
+    * read the string variant at exponent 1.15 on the sf0.6→1.0
+    * segment — byte-volume growth, not a plan defect; re-keyed, the
+    * same chain reads ≤ 1.0). A 64-bit digest collision would merge
+    * two bigrams' counts — P ≈ V²/2⁶⁵ for V distinct bigrams (~3%
+    * at V = 10⁹), perturbing one scoring heuristic's ppm gap by one
+    * feature: acceptable for a selection weight, and the DuckDB
+    * oracle (which groups by the string) certifies the digest path
+    * exactly at test scale. ONE groupBy(digest) with a conditional
+    * target-count (no second pass); the two corpus totals are a 1-row
+    * broadcast; ppms by floor division in decimal(38) (a dominant
+    * bigram's 10⁶·count can pass 2⁶³ at extreme SF); doc-profile ⋈
+    * feature-table on the digest (co-partitioned), then one
+    * groupBy(doc). Docs with < 2 words carry weight 0 via the left
+    * join.
     *
     * vs t09 (tf-idf salience): t09 ranks terms WITHIN a doc; t50
     * prices a DOC against a target/raw distribution pair — the
@@ -2578,22 +2591,25 @@ object TrainingDataQueries {
 
   def t50DsirWeights: Q = (spark, dir) => {
     val docs = Tables.documents(spark, dir)
+    // the string leaves the plan at the map side: every shuffle below
+    // carries the 8-byte digest
     val bi = docBigrams(docs)
-    val docProfile = bi.groupBy("doc_id", "bg")
+      .select(col("doc_id"), col("lang"), xxhash64(col("bg")).as("bgd"))
+    val docProfile = bi.groupBy("doc_id", "bgd")
       .agg(count(lit(1)).as("cnt"))
     // totals + delta both consume the feature table; AQE exchange
     // reuse serves the repeated explode+groupBy from one shuffle at
     // runtime (an explicit barrier measured 2x slower at sf0.3)
-    val feat = bi.groupBy("bg").agg(
+    val feat = bi.groupBy("bgd").agg(
       count(lit(1)).as("rcnt"),
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tcnt"))
     val totals = feat.agg(sum("rcnt").as("rtot"), sum("tcnt").as("ttot"))
     val delta = feat.crossJoin(broadcast(totals))
-      .select(col("bg"),
+      .select(col("bgd"),
         (expr("(cast(tcnt as decimal(19,0)) * 1000000) div ttot") -
          expr("(cast(rcnt as decimal(19,0)) * 1000000) div rtot"))
           .cast(LongType).as("delta_ppm"))
-    val w = docProfile.join(delta, Seq("bg"))
+    val w = docProfile.join(delta, Seq("bgd"))
       .groupBy("doc_id")
       .agg(sum("cnt").as("n_bigrams"),
         sum(col("cnt") * col("delta_ppm")).as("weight"))

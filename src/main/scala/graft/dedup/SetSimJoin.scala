@@ -172,4 +172,95 @@ object SetSimJoin {
       .filter(col("inter") * tauDen >= col("sz_a") * tauNum)
       .select("id_a", "id_b", "inter", "sz_a")
   }
+
+  /** Corpus-side posting frame for [[containmentJoinAgainst]] — every
+    * corpus token occurrence ranked under the GLOBAL order (df asc,
+    * tok asc) given by `dfFrame` (tok → df over the corpus). This is
+    * the frame an incremental ingest gate STAGES: it costs one corpus
+    * pass to build and is read-only thereafter, so the per-batch gate
+    * never recomputes corpus-wide token stats (the r12 d24 finding —
+    * at 100 TB a nightly gate re-deriving the union df order pays
+    * O(corpus) per batch). Output: (id_b, sz_b, tok, pos_b). */
+  def containmentPostings(corpus: DataFrame, idCol: String, setCol: String,
+                          dfFrame: DataFrame): DataFrame = {
+    val sets = corpus.select(col(idCol).as("id_b"), col(setCol).as("s"))
+      .withColumn("sz_b", size(col("s")).cast(LongType))
+    val toks = sets.select(col("id_b"), col("sz_b"), explode(col("s")).as("tok"))
+    val byRarity = Window.partitionBy("id_b").orderBy(col("df").asc, col("tok").asc)
+    toks.join(dfFrame.select(col("tok"), col("df")), Seq("tok"))
+      .withColumn("pos_b", row_number().over(byRarity).cast(LongType))
+      .select("id_b", "sz_b", "tok", "pos_b")
+  }
+
+  /** DIRECTED containment of a BATCH against a staged corpus —
+    * [[containmentJoin]]'s incremental-ingest form: |A∩B| / |A| ≥
+    * τnum/τden for batch sets A against corpus sets B, where the
+    * corpus side arrives as PRE-BUILT artifacts (`corpusPostings` from
+    * [[containmentPostings]], `corpusSets` = (id, set), `dfFrame` =
+    * (tok, df) over the corpus) instead of being re-derived per call.
+    * Per-batch work is O(batch tokens + artifact read): the batch
+    * explodes once, ranks under the ARTIFACT's order, and only its
+    * prefix joins the staged postings.
+    *
+    * Losslessness under a corpus-only (possibly stale-window) order:
+    * the prefix theorem holds for ANY total order shared by both
+    * sides — df-ascending merely MINIMIZES candidates — and here both
+    * the batch prefix and the staged postings rank under the same
+    * (artifact df asc, tok asc) order, so no qualifying new→old pair
+    * can be dropped. A batch token absent from the artifact gets
+    * df = 0: it ranks earliest (possibly occupying prefix slots), and
+    * since NO corpus posting carries it, it generates zero candidates
+    * — an all-novel-token batch produces an empty candidate set
+    * outright (DedupSpec pins both properties). Decisions are
+    * bit-identical to the union-order [[containmentJoin]] because
+    * verification is exact set arithmetic either way.
+    * Output: (id_a, id_b, inter, sz_a) — batch id first. */
+  def containmentJoinAgainst(batch: DataFrame, idCol: String, setCol: String,
+                             corpusPostings: DataFrame,
+                             corpusSets: DataFrame,
+                             dfFrame: DataFrame,
+                             tauNum: Int, tauDen: Int): DataFrame = {
+    val sets = batch.select(col(idCol).as("id_a"), col(setCol).as("s"))
+      .withColumn("sz_a", size(col("s")).cast(LongType))
+    val cand = containmentCandidatesAgainst(batch, idCol, setCol,
+      corpusPostings, dfFrame, tauNum, tauDen)
+    val s1 = sets.select(col("id_a"), col("s").as("s1"), col("sz_a"))
+    val s2 = corpusSets.select(col(corpusSets.columns.head).as("id_b"),
+      col(corpusSets.columns(1)).as("s2"))
+    cand.join(s1, "id_a").join(s2, "id_b")
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast(LongType))
+      .filter(col("inter") * tauDen >= col("sz_a") * tauNum)
+      .select("id_a", "id_b", "inter", "sz_a")
+  }
+
+  /** Candidate stage of [[containmentJoinAgainst]] — exposed (the
+    * [[jaccardCandidates]] precedent) so the gate's per-batch work
+    * bound is a MEASUREMENT in the suite: DedupSpec pins that an
+    * all-novel-token batch generates ZERO candidates and that a
+    * planted batch's candidate count stays candidate-scale. Output:
+    * distinct (id_a, id_b) — every pair that reaches verification. */
+  private[graft] def containmentCandidatesAgainst(
+      batch: DataFrame, idCol: String, setCol: String,
+      corpusPostings: DataFrame, dfFrame: DataFrame,
+      tauNum: Int, tauDen: Int): DataFrame = {
+    val sets = batch.select(col(idCol).as("id_a"), col(setCol).as("s"))
+      .withColumn("sz_a", size(col("s")).cast(LongType))
+    val toks = sets.select(col("id_a"), col("sz_a"), explode(col("s")).as("tok"))
+    val byRarity = Window.partitionBy("id_a").orderBy(col("df").asc, col("tok").asc)
+    val ranked = toks
+      .join(dfFrame.select(col("tok"), col("df")), Seq("tok"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("pos_a", row_number().over(byRarity).cast(LongType))
+    val prefixLen = col("sz_a") -
+      floor((col("sz_a") * tauNum + tauDen - 1) / tauDen).cast(LongType) + 1
+    val a = ranked.filter(col("pos_a") <= prefixLen)
+      .select("id_a", "sz_a", "tok", "pos_a")
+    a.join(corpusPostings, Seq("tok"))
+      .filter(col("id_a") =!= col("id_b") &&
+        col("sz_b") * tauDen >= col("sz_a") * tauNum &&
+        (lit(1) + least(col("sz_a") - col("pos_a"), col("sz_b") - col("pos_b"))) *
+          tauDen >= col("sz_a") * tauNum)
+      .select("id_a", "id_b")
+      .distinct()
+  }
 }

@@ -500,6 +500,82 @@ class DedupSpec extends AnyFunSuite {
     assert(contained == Set(3L, 5L), contained.toString)
   }
 
+  test("artifact-served containment gate: parity with the union gate, novel-token zero-candidate bound") {
+    import graft.dedup.SetSimJoin
+    // the r13 d24 shape: the corpus side arrives as STAGED artifacts
+    // (df order + ranked postings + sets) built WITHOUT the batch —
+    // the staleness window — and decisions must still be bit-identical
+    // to the union-order gate because the prefix theorem is
+    // order-agnostic and verification is exact.
+    val w20 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val mk = (rows: Seq[(Long, String)]) => rows.toDF("doc_id", "text")
+      .withColumn("text_norm", TextNorm.normalizeText(col("text")))
+      .select(col("doc_id"),
+        array_distinct(MinHash.shingleHashes(col("text_norm"), 3)).as("s"))
+    val corpus = mk(Seq(
+      (2L, w20), (4L, (1 to 15).map(i => s"z$i").mkString(" ")),
+      (6L, (1 to 9).map(i => s"w$i").mkString(" ") + " tail1 tail2")))
+    val batch = mk(Seq(
+      (3L, w20), // verbatim copy of 2 → contained
+      (5L, (1 to 12).map(i => s"w$i").mkString(" ")), // prefix of 2 → contained
+      (7L, (1 to 15).map(i => s"q$i").mkString(" ")), // fresh, tokens OVERLAP nothing
+      (9L, (1 to 6).map(i => s"w$i").mkString(" ") + " novel7 novel8"))) // shares tokens, not contained at 0.9
+    // artifacts: built from the corpus side only
+    val dfFrame = corpus.select(explode(col("s")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val postings = SetSimJoin.containmentPostings(corpus, "doc_id", "s", dfFrame)
+    val got = SetSimJoin.containmentJoinAgainst(batch, "doc_id", "s",
+        postings, corpus.select("doc_id", "s"), dfFrame, 9, 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // union-order gate (the pre-r13 path) on the same docs, new→old
+    val want = SetSimJoin.containmentJoin(corpus.unionAll(batch), "doc_id", "s", 9, 10)
+      .filter(col("id_a") % 2 === 1 && col("id_b") % 2 === 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == want,
+      s"missing=${want.diff(got).take(5)} extra=${got.diff(want).take(5)}")
+    assert(got.map(_._1) == Set(3L, 5L), got.toString)
+    // work bound, the O(batch) property made a measurement: an
+    // all-novel-token batch ranks its (df = 0) tokens into the prefix
+    // but no corpus posting carries them — ZERO candidates, before
+    // any verification work
+    val novel = mk(Seq((11L, (1 to 15).map(i => s"n$i").mkString(" ")),
+      (13L, (1 to 8).map(i => s"m$i").mkString(" "))))
+    val novelCand = SetSimJoin.containmentCandidatesAgainst(novel,
+      "doc_id", "s", postings, dfFrame, 9, 10).count()
+    assert(novelCand == 0L, s"novel batch generated $novelCand candidates")
+    // and the planted batch's candidate volume stays candidate-scale:
+    // bounded by Σ_prefix-tok df(tok) — here every batch doc's prefix
+    // is ≤ 3 tokens of df ≤ 3, so ≤ a few dozen, NOT |batch|·|corpus|
+    val cand = SetSimJoin.containmentCandidatesAgainst(batch,
+      "doc_id", "s", postings, dfFrame, 9, 10).count()
+    assert(cand <= 12L, s"candidate volume $cand exceeds the prefix-df bound")
+  }
+
+  test("d24 staged-gate decisions match the from-scratch recomputation at spec scale") {
+    // the registered query now reads the staged corpus artifacts; its
+    // decisions must equal the pre-r13 union recompute on the real
+    // corpus (the oracle certifies vs DuckDB at sf0.01; this pins the
+    // same property in-suite at sf0.001 against the old plan shape)
+    val got = LlmQueries.d24IncrementalGate(spark, TestSpark.Sf)
+      .as[(Long, Boolean, Boolean)].collect().toSeq
+    val docs = Tables.documents(spark, TestSpark.Sf)
+      .withColumn("text_norm", TextNorm.normalizeText(col("text")))
+      .withColumn("dig", md5(col("text_norm")))
+      .withColumn("is_new", (col("doc_id") % 2) === 1)
+    val exact = docs.filter(col("is_new"))
+      .join(docs.filter(!col("is_new")).select("dig"), Seq("dig"), "left_semi")
+      .select("doc_id").as[Long].collect().toSet
+    val withSet = docs.select(col("doc_id"),
+      array_distinct(MinHash.shingleHashes(col("text_norm"), 3)).as("s"))
+    val contained = SetSimJoin.containmentJoin(withSet, "doc_id", "s", 9, 10)
+      .filter(col("id_a") % 2 === 1 && col("id_b") % 2 === 0)
+      .select("id_a").as[Long].collect().toSet
+    val want = docs.filter(col("is_new")).select("doc_id").as[Long].collect()
+      .sorted.toSeq.map(id => (id, exact.contains(id), contained.contains(id)))
+    assert(got == want,
+      s"first diff: ${got.zip(want).find(p => p._1 != p._2)}")
+  }
+
   test("t20 novelty: a gram is novel only for its smallest-doc_id owner") {
     // Same corpus as the d19 test: docs 1 and 2 share two 8-grams.
     // Doc 1 (smaller id) owns them — all 4 of its grams are novel;
