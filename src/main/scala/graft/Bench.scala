@@ -77,7 +77,13 @@ object Bench {
             // building postings stages sets + df transitively, so this
             // one line prices the whole gate-corpus artifact chain
             "stage:gate_corpus" -> (() => LlmQueries.gateCorpusPostings(spark, sfDir)),
-            "stage:rasters" -> (() => LlmQueries.rasterFrame(spark, sfDir))
+            "stage:rasters" -> (() => LlmQueries.rasterFrame(spark, sfDir)),
+            // the publish flagship end to end: staged split/kept/plan,
+            // per-split shard export with manifests, datasheet, ledger
+            // (out dir under the per-JVM stage root — fresh per pass)
+            "stage:publish_corpus" -> (() => PublishCorpus.run(spark, sfDir,
+              StageRoots.rootFor(sfDir) + "/publish_out",
+              StageRoots.rootFor(sfDir) + "/publish"))
           ).map { case (name, fr) =>
             val t0 = System.nanoTime()
             val ok =
