@@ -65,11 +65,13 @@ object Bench {
         // were not attributable. Stages.stage is eager — constructing
         // the frame runs the build and commits the parquet; the noop
         // write adds the staged-read cost so the line prices the whole
-        // artifact turnaround. Skipped under a name filter (local
-        // iteration keeps the old consumer-pays behavior).
+        // artifact turnaround. Under a name filter, only explicitly
+        // named stage: lines run (so the heavy-tail scale audit can
+        // price one stage without the 245-query suite); an unnamed
+        // stage is skipped and its consumers pay the build — the old
+        // local-iteration behavior.
         val stageTimes: Map[String, Double] =
-          if (args.nonEmpty) Map.empty
-          else Seq[(String, () => org.apache.spark.sql.DataFrame)](
+          Seq[(String, () => org.apache.spark.sql.DataFrame)](
             "stage:neardup_pairs" -> (() => LlmQueries.pairGraph(spark, sfDir)),
             "stage:dedup_clusters" -> (() => LlmQueries.clusters(spark, sfDir)),
             "stage:dup_spans" -> (() => LlmQueries.dupSpanFrame(spark, sfDir)),
@@ -80,11 +82,17 @@ object Bench {
             "stage:rasters" -> (() => LlmQueries.rasterFrame(spark, sfDir)),
             // the publish flagship end to end: staged split/kept/plan,
             // per-split shard export with manifests, datasheet, ledger
-            // (out dir under the per-JVM stage root — fresh per pass)
+            // (out dir under the per-JVM stage root — fresh per pass).
+            // Shard budget 32k tokens: the bench prices the pipeline's
+            // data-volume cost, not a pathological hundreds-of-tiny-
+            // shards layout the oracle-scale 1024 constant would force
+            // (a real deployment budgets ~100M tokens/shard)
             "stage:publish_corpus" -> (() => PublishCorpus.run(spark, sfDir,
               StageRoots.rootFor(sfDir) + "/publish_out",
-              StageRoots.rootFor(sfDir) + "/publish"))
-          ).map { case (name, fr) =>
+              StageRoots.rootFor(sfDir) + "/publish",
+              tokenBudget = 32768L))
+          ).filter { case (name, _) => args.isEmpty || args.contains(name) }
+            .map { case (name, fr) =>
             val t0 = System.nanoTime()
             val ok =
               try { fr().write.mode("overwrite").format("noop").save(); true }
@@ -95,10 +103,12 @@ object Bench {
           }.toMap
         // streaming monitor throughput (r13): three representative
         // foreachBatch monitors driven over deterministic micro-batch
-        // slices — priced like stage lines, skipped under a name filter
+        // slices — priced like stage lines; under a name filter only
+        // explicitly named stream: lines run
         val streamTimes: Map[String, Double] =
-          if (args.nonEmpty) Map.empty
-          else try streaming.StreamBench.run(spark, sfDir)
+          if (args.nonEmpty && !args.exists(_.startsWith("stream:"))) Map.empty
+          else try streaming.StreamBench.run(spark, sfDir,
+            if (args.isEmpty) Set.empty else args.filter(_.startsWith("stream:")).toSet)
           catch { case e: Throwable =>
             System.err.println(s"[bench] stream lines failed (pass $pass): ${e.getMessage}")
             Map.empty

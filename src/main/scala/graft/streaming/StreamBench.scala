@@ -70,21 +70,25 @@ object StreamBench {
     name -> (if (ok) sec else -1.0)
   }
 
-  def run(spark: SparkSession, sfDir: String): Map[String, Double] = {
+  /** `only`: restrict to these line names (empty = all). Setup work
+    * for unselected lines is skipped. */
+  def run(spark: SparkSession, sfDir: String,
+          only: Set[String] = Set.empty): Map[String, Double] = {
+    def wanted(name: String): Boolean = only.isEmpty || only.contains(name)
     val nBatches = 8
 
     // shared event facts: the q122 series definition (null-ts rows
     // carry no day and are out of every monitor's series)
-    val facts = graft.Tables.events(spark, sfDir)
+    lazy val facts = graft.Tables.events(spark, sfDir)
       .where(col("ts").isNotNull)
       .select(col("event_id"), col("event_type"),
         col("ts").cast("date").as("day"),
         round(col("value") * 100, 0).cast("long").as("cents"))
-    val nEvents = facts.count()
+    lazy val nEvents = facts.count()
     def eventBatch(i: Int): DataFrame =
       facts.filter(pmod(xxhash64(col("event_id")), lit(nBatches)) === i)
 
-    val controlChart = {
+    val controlChart = if (!wanted("stream:control_chart")) None else Some {
       val sink = EventStream.controlChartForeachBatch() { (r, _) =>
         r.write.mode("overwrite").format("noop").save()
       }
@@ -97,7 +101,7 @@ object StreamBench {
       }
     }
 
-    val histArtifact = {
+    val histArtifact = if (!wanted("stream:hist_artifact")) None else Some {
       // the maintainer expects a not-yet-existing artifact path (an
       // existing EMPTY dir reads as a schema-less parquet source)
       val dir = tmpDir("graft-bench-hist") + "/hist"
@@ -112,7 +116,7 @@ object StreamBench {
       }
     }
 
-    val nearDupGate = {
+    val nearDupGate = if (!wanted("stream:neardup_gate")) None else Some {
       // corpus side (even doc_ids) is a PERSISTED index — built once,
       // outside the timed region (the gate's staged-artifact contract)
       val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
@@ -133,6 +137,6 @@ object StreamBench {
       }
     }
 
-    Map(controlChart, histArtifact, nearDupGate)
+    (controlChart.toSeq ++ histArtifact.toSeq ++ nearDupGate.toSeq).toMap
   }
 }
