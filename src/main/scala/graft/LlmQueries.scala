@@ -2320,7 +2320,12 @@ object LlmQueries {
           struct((col("doc_id") * 2 + 1).as("vid"), col("sig_p2").as("sig"))))
         .as("v"))
       .select(col("v.vid").as("vid"), col("v.sig").as("sig"))
-    SimHash.nearDupPairsBlocked(sigs, "vid", "sig",
+    // identical-sig collapse (r13): the two wire-format variants of a
+    // doc carry EQUAL pixel hashes by construction, and similar
+    // renders collide across docs — pairing on distinct sig values
+    // cuts the blocked join's quadratic identical-class mass while
+    // emitting the exact same pair set (SimHash scaladoc, spec-pinned)
+    SimHash.nearDupPairsCollapsed(sigs, "vid", "sig",
         nBlocks = 6, maxHamming = 3)
       .select(
         expr("id1 div 2").as("doc_id1"),

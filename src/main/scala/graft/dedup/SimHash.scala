@@ -164,4 +164,46 @@ object SimHash {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** [[nearDupPairsBlocked]] with IDENTICAL-signature collapse — the
+    * d01 dedup-before-the-expensive-join idiom applied to the hamming
+    * pairing: every row of an identical-sig class enters every block
+    * bucket its twins enter, so the blocked join's per-(table, key)
+    * volume grows with the SQUARE of class size — on inputs with
+    * heavy identical-hash classes (m04 feeds two wire-format variants
+    * per doc whose pixel hashes agree by construction; boilerplate
+    * renders collide across docs too) most candidate pairs are
+    * re-derivations of "these sigs are equal". Here the join runs on
+    * ONE representative per distinct sig value; identical-class pairs
+    * (hamming 0) are emitted combinatorially (output-sized — they are
+    * part of the operator's contract either way), and each rep-level
+    * pair expands to its classes' cross product with the rep pair's
+    * hamming (equal values ⇒ equal distances). Output is EXACTLY
+    * [[nearDupPairsBlocked]]'s — same rows, any sig configuration —
+    * pinned set-equal by DedupSpec on planted identical/near/far
+    * classes and on the m04 corpus feed. */
+  def nearDupPairsCollapsed(sigs: DataFrame, idCol: String, sigCol: String,
+                            nBlocks: Int = 6, maxHamming: Int = 3): DataFrame = {
+    val groups = sigs
+      .select(col(idCol).as("vid"), col(sigCol).as("sig"))
+      .groupBy("sig")
+      .agg(min("vid").as("rvid"), sort_array(collect_list("vid")).as("vids"))
+    val repPairs = nearDupPairsBlocked(
+      groups.select(col("rvid").as(idCol), col("sig").as(sigCol)),
+      idCol, sigCol, nBlocks, maxHamming)
+    val cross = repPairs
+      .join(groups.select(col("rvid").as("id1"), col("vids").as("vids1")), "id1")
+      .join(groups.select(col("rvid").as("id2"), col("vids").as("vids2")), "id2")
+      .select(explode(col("vids1")).as("v1"), col("vids2"), col("hamming"))
+      .select(col("v1"), explode(col("vids2")).as("v2"), col("hamming"))
+      .select(least(col("v1"), col("v2")).as("id1"),
+        greatest(col("v1"), col("v2")).as("id2"), col("hamming"))
+    // vids is sorted, so x > v1 enumerates each unordered pair once
+    val within = groups
+      .select(explode(col("vids")).as("v1"), col("vids"))
+      .select(col("v1").as("id1"),
+        explode(expr("filter(vids, x -> x > v1)")).as("id2"))
+      .withColumn("hamming", lit(0L))
+    cross.unionByName(within)
+  }
 }

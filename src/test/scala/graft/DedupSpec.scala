@@ -576,6 +576,44 @@ class DedupSpec extends AnyFunSuite {
       s"first diff: ${got.zip(want).find(p => p._1 != p._2)}")
   }
 
+  test("collapsed hamming pairing equals the blocked kernel on identical/near/far classes and the m04 feed") {
+    // planted: an identical class of 4 (all pairs hamming 0), a near
+    // pair at hamming 2, a pair at exactly maxHamming 3, one just
+    // past it (4 — excluded), and a far singleton
+    val base = 0x0123456789abcdefL
+    def flip(s: Long, bits: Int*): Long = bits.foldLeft(s)((a, b) => a ^ (1L << b))
+    val rows = Seq(
+      (1L, base), (2L, base), (3L, base), (4L, base), // identical class
+      (10L, flip(base, 7)), (11L, flip(base, 7, 13, 21)), // h(10,11)=2
+      (20L, flip(base, 40)), (21L, flip(base, 40, 41, 42, 43)), // h=3
+      (30L, flip(base, 50)), (31L, flip(base, 50, 51, 52, 53, 54)), // h=4, out
+      (40L, 0x7edcba9876543210L)
+    ).toDF("vid", "sig")
+    val want = SimHash.nearDupPairsBlocked(rows, "vid", "sig", 6, 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val got = SimHash.nearDupPairsCollapsed(rows, "vid", "sig", 6, 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want,
+      s"missing=${want.diff(got).take(5)} extra=${got.diff(want).take(5)}")
+    assert(want.exists(_._3 == 0) && want.exists(_._3 == 2) &&
+      want.exists(_._3 == 3) && !want.exists(_._3 > 3))
+    // and on the real m04 feed (two wire-format variants per doc)
+    val feed = LlmQueries.rasterFrame(spark, TestSpark.Sf)
+      .select(col("doc_id"), col("sig_p5"), col("sig_p2"))
+      .select(explode(array(
+          struct((col("doc_id") * 2).as("vid"), col("sig_p5").as("sig")),
+          struct((col("doc_id") * 2 + 1).as("vid"), col("sig_p2").as("sig"))))
+        .as("v"))
+      .select(col("v.vid").as("vid"), col("v.sig").as("sig"))
+    val wantCorpus = SimHash.nearDupPairsBlocked(feed, "vid", "sig", 6, 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val gotCorpus = SimHash.nearDupPairsCollapsed(feed, "vid", "sig", 6, 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gotCorpus == wantCorpus,
+      s"corpus diff: missing=${wantCorpus.diff(gotCorpus).take(3)} " +
+        s"extra=${gotCorpus.diff(wantCorpus).take(3)}")
+  }
+
   test("t20 novelty: a gram is novel only for its smallest-doc_id owner") {
     // Same corpus as the d19 test: docs 1 and 2 share two 8-grams.
     // Doc 1 (smaller id) owns them — all 4 of its grams are novel;
