@@ -1,7 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  def main(args: Array[String]): Unit = {
+  /** ONE definition of the bench session + env bootstrap, shared with
+    * [[graft.streaming.StreamBench.main]] — a config flag applied in
+    * only one of the two mains would silently benchmark the stream
+    * lines under a different session than the suite they're read
+    * against. */
+  private[graft] def session(): (SparkSession, String) = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -13,6 +18,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    (spark, sfDir)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (spark, sfDir) = session()
     // JIT/classloading warm-up outside the timed region: one small
     // scan+agg+join exercises the codegen, parquet and shuffle paths
     try {

@@ -709,9 +709,13 @@ object LlmQueries {
           .as("n_trimmed"),
         sum("n_tok").as("tokens_in"),
         sum("n_tok_after").as("tokens_out"))
+      // decimal(38) half-up: tokens_out·2e6 overflows Long past
+      // ~4.6e12 tokens per source — the DuckDB twin already computes
+      // in HUGEINT, this keeps the Spark side exact at the same scale
       .withColumn("retention_ppm", expr(
         "case when tokens_in = 0 then 0 " +
-          "else (tokens_out * 1000000 * 2 + tokens_in) div (2 * tokens_in) end"))
+          "else (cast(tokens_out as decimal(38,0)) * 2000000 + tokens_in) " +
+          "div (2 * tokens_in) end").cast(org.apache.spark.sql.types.LongType))
       .orderBy("source")
   }
 

@@ -91,7 +91,9 @@ object PublishCorpus {
   private[graft] def planFrame(spark: SparkSession, dir: String,
                                stageRoot: String,
                                tokenBudget: Long): DataFrame =
-    stage(spark, stageRoot, "pub_plan") {
+    // the budget is part of the stage IDENTITY: a warm root re-run at
+    // a different budget must rebuild, not serve the stale cut
+    stage(spark, stageRoot, s"pub_plan_b$tokenBudget") {
       val kept = keptFrame(spark, dir, stageRoot)
         .join(splitFrame(spark, dir, stageRoot).select("doc_id", "split"),
           "doc_id")
@@ -128,9 +130,13 @@ object PublishCorpus {
           sum(when(col("n_tok_out").isNotNull, 1L).otherwise(0L)).as("n_kept"),
           sum("n_tok_in").as("tokens_in"),
           sum(coalesce(col("n_tok_out"), lit(0L))).as("tokens_out"))
+        // decimal(38): tokens_out·2e6 overflows Long past ~4.6e12
+        // tokens per cell — real at the 100 TB design point (the same
+        // overflow this round fixed in the streaming control chart)
         .withColumn("retention_ppm", expr(
           "case when tokens_in = 0 then 0 " +
-            "else (tokens_out * 1000000 * 2 + tokens_in) div (2 * tokens_in) end"))
+            "else (cast(tokens_out as decimal(38,0)) * 2000000 + tokens_in) " +
+            "div (2 * tokens_in) end").cast(LongType))
     }
   // a dropped duplicate has no split (its surviving twin carries one):
   // those rows land in the split=NULL cell of their source — the

@@ -184,21 +184,34 @@ object SimHash {
     * classes and on the m04 corpus feed. */
   def nearDupPairsCollapsed(sigs: DataFrame, idCol: String, sigCol: String,
                             nBlocks: Int = 6, maxHamming: Int = 3): DataFrame = {
+    // the SIG VALUE is the rep key (unique per class by construction
+    // — a min-id rep would collide when one id carries two different
+    // sigs and the rep join's id1 < id2 would silently drop the
+    // cross-class pair); member lists are deduped so repeated
+    // (id, sig) rows cannot multiply output rows the blocked kernel's
+    // distinct() would collapse
     val groups = sigs
       .select(col(idCol).as("vid"), col(sigCol).as("sig"))
       .groupBy("sig")
-      .agg(min("vid").as("rvid"), sort_array(collect_list("vid")).as("vids"))
+      .agg(array_distinct(sort_array(collect_list("vid"))).as("vids"))
     val repPairs = nearDupPairsBlocked(
-      groups.select(col("rvid").as(idCol), col("sig").as(sigCol)),
-      idCol, sigCol, nBlocks, maxHamming)
+      groups.select(col("sig").as("rid"), col("sig")),
+      "rid", "sig", nBlocks, maxHamming)
     val cross = repPairs
-      .join(groups.select(col("rvid").as("id1"), col("vids").as("vids1")), "id1")
-      .join(groups.select(col("rvid").as("id2"), col("vids").as("vids2")), "id2")
+      .join(groups.select(col("sig").as("id1"), col("vids").as("vids1")), "id1")
+      .join(groups.select(col("sig").as("id2"), col("vids").as("vids2")), "id2")
       .select(explode(col("vids1")).as("v1"), col("vids2"), col("hamming"))
       .select(col("v1"), explode(col("vids2")).as("v2"), col("hamming"))
+      // an id appearing in BOTH classes would mint a self-pair the
+      // blocked kernel's id1 < id2 predicate never emits
+      .filter(col("v1") =!= col("v2"))
       .select(least(col("v1"), col("v2")).as("id1"),
         greatest(col("v1"), col("v2")).as("id2"), col("hamming"))
-    // vids is sorted, so x > v1 enumerates each unordered pair once
+      // two class pairs can expand to the same (id1, id2, hamming)
+      // triple when ids span classes — the blocked kernel distinct()s
+      .distinct()
+    // vids is sorted+distinct, so x > v1 enumerates each unordered
+    // pair once
     val within = groups
       .select(explode(col("vids")).as("v1"), col("vids"))
       .select(col("v1").as("id1"),

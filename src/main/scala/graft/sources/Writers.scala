@@ -104,8 +104,12 @@ object Writers {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("shard").parquet(tmp.toString)
     // manifest from the WRITTEN files — it certifies what landed, not
-    // what was asked for
-    val written = spark.read.parquet(tmp.toString)
+    // what was asked for. The explicit schema keeps a ZERO-row plan
+    // sound: a partitioned write of an empty frame lands only
+    // _SUCCESS, and a schema-less read of that directory cannot infer
+    // one (an empty split must publish an empty-but-readable
+    // artifact, not abort the export after siblings already swapped)
+    val written = spark.read.schema(plan.schema).parquet(tmp.toString)
     val manifest = written
       .withColumn("__h", md5(col("text").cast("binary")))
       .groupBy("shard")
@@ -117,7 +121,9 @@ object Writers {
     manifest.repartition(1).write.mode(SaveMode.Overwrite)
       .parquet(new Path(tmp, "_manifest").toString)
     val (nShards, nDocs) = {
-      val r = manifest.agg(count(lit(1)), sum("n_docs")).head()
+      // coalesce: sum over an empty manifest is NULL, not 0
+      val r = manifest.agg(count(lit(1)),
+        coalesce(sum("n_docs"), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
     fs.delete(prev, true)

@@ -32,19 +32,10 @@ import org.apache.spark.sql.functions._
 object StreamBench {
 
   /** Local iteration entry (`runMain graft.streaming.StreamBench`):
-    * the stream lines without the 245-query suite around them. */
+    * the stream lines without the 245-query suite around them — same
+    * session + env bootstrap as the suite ([[graft.Bench.session]]). */
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val (spark, sfDir) = graft.Bench.session()
     val lines = run(spark, sfDir)
     println(lines.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}"))

@@ -597,6 +597,28 @@ class DedupSpec extends AnyFunSuite {
       s"missing=${want.diff(got).take(5)} extra=${got.diff(want).take(5)}")
     assert(want.exists(_._3 == 0) && want.exists(_._3 == 2) &&
       want.exists(_._3 == 3) && !want.exists(_._3 > 3))
+    // the review-found hazards: one id carrying TWO different sigs
+    // (a min-id rep would collide and drop the cross-class pair),
+    // duplicate (id, sig) rows (must not multiply output), and the
+    // id-in-both-classes self-pair
+    val tricky = Seq(
+      (1L, base), (1L, flip(base, 7, 13)), // id 1 in two classes, h=2
+      (2L, base), (2L, base),              // duplicate rows
+      (3L, flip(base, 7, 13))
+    ).toDF("vid", "sig")
+    val wantT = SimHash.nearDupPairsBlocked(tricky, "vid", "sig", 6, 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val gotT = SimHash.nearDupPairsCollapsed(tricky, "vid", "sig", 6, 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gotT == wantT,
+      s"tricky: missing=${wantT.diff(gotT).take(5)} extra=${gotT.diff(wantT).take(5)}")
+    // the cross-class pair a min-id rep would have dropped
+    assert(gotT.contains((1L, 2L, 2L)) || gotT.contains((1L, 3L, 0L)),
+      s"cross-class pairs missing: $gotT")
+    // output arrives as a SET (no duplicate rows): collect as list too
+    val gotList = SimHash.nearDupPairsCollapsed(tricky, "vid", "sig", 6, 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(gotList.size == gotList.toSet.size, s"duplicate rows: $gotList")
     // and on the real m04 feed (two wire-format variants per doc)
     val feed = LlmQueries.rasterFrame(spark, TestSpark.Sf)
       .select(col("doc_id"), col("sig_p5"), col("sig_p2"))

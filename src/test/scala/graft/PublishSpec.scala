@@ -62,6 +62,36 @@ class PublishSpec extends AnyFunSuite {
     assert(fromLedger == fromSheet, "ledger savings diverge from the datasheet")
   }
 
+  test("writeShards publishes an EMPTY plan as an empty-but-readable artifact (no abort after siblings swapped)") {
+    // the review-found hazard: a small corpus can hash no cluster root
+    // into a split's bucket; the export of that split must land a
+    // readable artifact with an empty manifest, not throw on the
+    // schema-less read-back
+    val out = tmp("graft-pub-empty") + "/corpus"
+    val empty = Seq.empty[(Long, Long, Long, String, Long, String)]
+      .toDF("shard", "seq", "doc_id", "source", "n_tok", "text")
+    val (nShards, nDocs) = sources.Writers.writeShards(empty, out)
+    assert(nShards == 0L && nDocs == 0L)
+    val manifest = spark.read.parquet(s"$out/_manifest")
+    assert(manifest.count() == 0L &&
+      manifest.columns.toSet == Set("shard", "n_docs", "n_tokens", "content_md5"))
+  }
+
+  test("publish flagship: the shard budget is part of the plan's stage identity") {
+    // a warm stage root re-run at a DIFFERENT budget must rebuild the
+    // cut, never serve the stale plan
+    val root = tmp("graft-pub-budget")
+    val p512 = PublishCorpus.planFrame(spark, TestSpark.Sf, root, 512L)
+    val p2048 = PublishCorpus.planFrame(spark, TestSpark.Sf, root, 2048L)
+    val max512 = p512.agg(max("shard")).as[Long].head()
+    val max2048 = p2048.agg(max("shard")).as[Long].head()
+    assert(max512 > max2048,
+      s"512-token cut ($max512 shards) must be finer than 2048 ($max2048)")
+    // and both honour their own greedy rule
+    assert(p512.filter(expr("(cum_tok - n_tok) div 512 != shard")).count() == 0L)
+    assert(p2048.filter(expr("(cum_tok - n_tok) div 2048 != shard")).count() == 0L)
+  }
+
   test("publish flagship: kill mid-stage, resume serves the committed prefix and matches from-scratch") {
     // from-scratch reference run
     val rootA = tmp("graft-pub-rootA"); val outA = tmp("graft-pub-outA") + "/corpus"
