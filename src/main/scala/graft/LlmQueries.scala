@@ -715,7 +715,7 @@ object LlmQueries {
       .withColumn("retention_ppm", expr(
         "case when tokens_in = 0 then 0 " +
           "else (cast(tokens_out as decimal(38,0)) * 2000000 + tokens_in) " +
-          "div (2 * tokens_in) end").cast(org.apache.spark.sql.types.LongType))
+          "div (2 * tokens_in) end").cast("long"))
       .orderBy("source")
   }
 
@@ -3313,6 +3313,136 @@ object LlmQueries {
         posexplode(graft.functions.QuantizeInt8.quantizeInt8(col("embedding"))))
       .toDF("vec_id", "dim", "qv"))
 
+  /** #319 (s26): hubness audit — the SECOND ANN geometry pathology
+    * made a first-class report (s24 prices isotropy; this prices hub
+    * concentration, Radovanović et al. JMLR'10): in high dimensions
+    * some vectors become "hubs" that appear in a disproportionate
+    * share of OTHER points' k-NN lists, which silently skews
+    * retrieval diversity, kNN-graph community structure (d20/d18
+    * consume s10's graph), and hard-negative mining (a hub is mined
+    * as everyone's negative). The report is the k-occurrence census
+    * over the EXACT k-NN graph: per in-degree value N_k the number of
+    * docs carrying it, plus corpus-level evidence — max in-degree,
+    * the never-retrieved count (N_k = 0: the "anti-hub" mass that is
+    * invisible to retrieval), ΣN_k², and the integer-exact variance
+    * var_e6 = (n·ΣN² − (ΣN)²)·10⁶ div n² (≥ 0 by Cauchy–Schwarz, so
+    * floor-div agrees across engines; a uniform graph has ΣN = n·k
+    * and var → 0, hubs push it up). One |graph|-linear in-degree
+    * aggregate + a histogram-scale rollup on top of the s10 kernel;
+    * fully oracled (DuckDB recomputes the same graph and census —
+    * the second fully-oracled s-family geometry tool). */
+  def s26Hubness: Q = (spark, dir) => {
+    import graft.functions.VectorFunctions.norm
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
+    val live = e.filter(norm(col("vec")) > 0).select("id")
+    hubnessReport(live, Ann.knnGraphExact(e, k = 5))
+  }
+
+  /** The s26 kernel over a prepared live-id frame and k-NN graph —
+    * factored so the spec can drive a planted hub graph through the
+    * SAME census arithmetic. `liveIds`: (id); `knn`: (id, rank,
+    * neighbor_id). */
+  private[graft] def hubnessReport(liveIds: DataFrame,
+                                   knn: DataFrame): DataFrame = {
+    val indeg = liveIds
+      .join(knn.groupBy("neighbor_id").agg(count(lit(1)).as("n_k"))
+          .withColumnRenamed("neighbor_id", "id"),
+        Seq("id"), "left")
+      .select(coalesce(col("n_k"), lit(0L)).as("n_k"))
+    val hist = indeg.groupBy("n_k").agg(count(lit(1)).as("n_docs"))
+    val summary = indeg.agg(
+        count(lit(1)).as("n"), max("n_k").as("nk_max"),
+        sum(when(col("n_k") === 0, 1L).otherwise(0L)).as("n_zero"),
+        sum(col("n_k") * col("n_k")).as("s2"),
+        sum("n_k").as("sn"))
+      .select(col("nk_max"), col("n_zero"), col("s2"),
+        expr("((cast(n as decimal(38,0)) * s2 - cast(sn as decimal(38,0)) * sn)" +
+            " * 1000000) div (cast(n as decimal(38,0)) * n)")
+          .cast("long").as("var_e6"))
+    hist.crossJoin(broadcast(summary))
+      .select("n_k", "n_docs", "nk_max", "n_zero", "s2", "var_e6")
+      .orderBy("n_k")
+  }
+
+  val s26Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |           WHERE len(list_filter(embedding, x -> x <> 0)) > 0),
+      |q AS (SELECT vec_id AS id, v AS qv FROM e),
+      |scored AS (
+      |  SELECT id, vec_id AS neighbor_id,
+      |         ROW_NUMBER() OVER (PARTITION BY id
+      |                            ORDER BY list_cosine_similarity(qv, v) DESC, vec_id) AS rank
+      |  FROM q CROSS JOIN e WHERE vec_id <> id),
+      |g AS (SELECT id, neighbor_id FROM scored WHERE rank <= 5),
+      |ind AS (
+      |  SELECT e.vec_id, CAST(COALESCE(c.nk, 0) AS BIGINT) AS n_k
+      |  FROM e LEFT JOIN (SELECT neighbor_id, COUNT(*) AS nk FROM g GROUP BY 1) c
+      |    ON e.vec_id = c.neighbor_id),
+      |h AS (SELECT n_k, CAST(COUNT(*) AS BIGINT) AS n_docs FROM ind GROUP BY 1),
+      |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |             CAST(MAX(n_k) AS BIGINT) AS nk_max,
+      |             CAST(COUNT(*) FILTER (n_k = 0) AS BIGINT) AS n_zero,
+      |             CAST(SUM(CAST(n_k AS HUGEINT) * n_k) AS BIGINT) AS s2,
+      |             CAST(SUM(n_k) AS BIGINT) AS sn
+      |      FROM ind)
+      |SELECT h.n_k, h.n_docs, s.nk_max, s.n_zero, s.s2,
+      |       CAST(((CAST(s.n AS HUGEINT) * s.s2 - CAST(s.sn AS HUGEINT) * s.sn)
+      |             * 1000000) // (CAST(s.n AS HUGEINT) * s.n) AS BIGINT) AS var_e6
+      |FROM h, s ORDER BY h.n_k""".stripMargin
+
+  /** #320 (s25): matryoshka truncation audit (Kusupati et al.,
+    * NeurIPS'22) — the embedding-WIDTH cost lever priced before
+    * anyone deploys it: MRL-style encoders pack coarse structure
+    * into the leading dimensions so a serving fleet can store/score
+    * d/4-wide prefixes at a quarter of the memory and FLOPs; whether
+    * THIS corpus's embeddings actually permit that is a measurement,
+    * not a hope. Per truncation width d' ∈ {d/4, d/2, d}: exact top-k
+    * retrieval over the d'-prefix for a deterministic ABSOLUTE-budget
+    * query sample ([[graft.sim.Ann.auditSampleMod]] — the s14/s17
+    * audit economics), recall@k vs the full-width exact truth, and
+    * the candidate dims. The full-width row is the built-in sanity
+    * anchor (recall ≡ 10⁶ — auditing a truth against itself). Recall
+    * is computed DISTRIBUTED (truth ⋈ got → 1-row count; the driver
+    * holds ppm scalars only). Rows-only (float cosine path); AnnSpec
+    * pins the full-width anchor, monotonicity on an MRL-shaped
+    * planted fixture (leading-dim structure ⇒ high prefix recall)
+    * and the discriminating direction (tail-dim structure ⇒ low
+    * prefix recall). */
+  def s25MatryoshkaAudit: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
+    matryoshkaAudit(e, k = 5)
+  }
+
+  /** The s25 kernel — factored for the planted-geometry specs. */
+  private[graft] def matryoshkaAudit(e: DataFrame, k: Int): DataFrame = {
+    import e.sparkSession.implicits._
+    val dim = e.select(size(col("vec"))).head().getInt(0)
+    val n = e.count()
+    val mod = Ann.auditSampleMod(n)
+    val sample = e.filter(pmod(col("id"), lit(mod)) === 0)
+    val truth = Ann.bruteForceTopK(e, sample, k)
+      .select(col("qid"), col("neighbor_id")).localCheckpoint(true)
+    val nTrue = truth.count()
+    val widths = Seq(dim / 4, dim / 2, dim).distinct.filter(_ >= 1).sorted
+    val rows = widths.map { w =>
+      val ew = e.select(col("id"), slice(col("vec"), 1, w).as("vec"))
+      val got = Ann.bruteForceTopK(ew,
+          sample.select(col("id"), slice(col("vec"), 1, w).as("vec")), k)
+        .select(col("qid"), col("neighbor_id")).withColumn("hit", lit(1L))
+      val recallPpm =
+        if (nTrue == 0) 1000000L
+        else {
+          val hits = truth.join(got, Seq("qid", "neighbor_id"), "left")
+            .agg(sum(coalesce(col("hit"), lit(0L))).as("h")).as[Long].head()
+          hits * 1000000L / nTrue
+        }
+      (w.toLong, recallPpm, nTrue)
+    }
+    rows.toDF("dims", "recall_ppm", "n_truth_pairs").orderBy("dims")
+  }
+
   /** The s24 kernel over a (vec_id, dim, qv) quantized frame —
     * factored so the spec can drive planted geometries (all-aligned
     * ⇒ rbar2 = 10⁶ and every pair in the top bin; a canceling
@@ -3411,6 +3541,8 @@ object LlmQueries {
 
   val queries: Seq[(String, Q)] = Seq(
     "s24_isotropy_audit" -> s24IsotropyAudit,
+    "s25_matryoshka_audit" -> s25MatryoshkaAudit,
+    "s26_hubness" -> s26Hubness,
     "d42_lsh_design" -> d42LshDesign,
     "d14_pagerank" -> d14Pagerank,
     "d18_kcore" -> d18Kcore,
@@ -3490,6 +3622,9 @@ object LlmQueries {
     * carries a quantified recall spec instead). */
   val oracles: Seq[(String, String)] = Seq(
     "s24_isotropy_audit" -> s24Sql,
+    // s25 intentionally absent (rows-only: float cosine path; AnnSpec
+    // pins the full-width anchor + planted-geometry directions)
+    "s26_hubness" -> s26Sql,
     "d42_lsh_design" -> d42Sql,
     "d14_pagerank" -> d14Sql,
     "d18_kcore" -> d18Sql,

@@ -1254,4 +1254,75 @@ class AnnSpec extends AnyFunSuite {
     assert(got.map(_._2).sum == hist.values.sum, "pair mass conserved")
     info(s"corpus rbar2_ppm = $wantRbar2 (isotropy: ~0 = isotropic)")
   }
+
+  test("s26 hubness: census matches a local in-degree recompute; planted hub graph exact") {
+    // planted graph through the factored kernel: ids 1-5, everyone's
+    // lists point at the hub (id 1); id 5 is never retrieved
+    val ids = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val knn = Seq(
+      (2L, 1L, 1L), (3L, 1L, 1L), (4L, 1L, 1L), (5L, 1L, 1L), // hub in-deg 4
+      (1L, 1L, 2L), (3L, 2L, 2L),                              // id 2 in-deg 2
+      (1L, 2L, 3L), (2L, 2L, 4L)                               // 3, 4 in-deg 1
+    ).toDF("id", "rank", "neighbor_id")
+    val got = LlmQueries.hubnessReport(ids, knn)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // in-degrees: 4,2,1,1,0 → hist {0:1, 1:2, 2:1, 4:1}; n=5, sn=8,
+    // s2=16+4+1+1=22; var_e6 = (5·22−64)·1e6 div 25 = 46·1e6/25
+    val wantVar = 46L * 1000000L / 25L
+    val wantHist = Map(0L -> 1L, 1L -> 2L, 2L -> 1L, 4L -> 1L)
+    assert(got.map(r => r._1 -> r._2).toMap == wantHist, got.toString)
+    got.foreach { case (_, _, nkMax, nZero, s2, varE6) =>
+      assert(nkMax == 4L && nZero == 1L && s2 == 22L && varE6 == wantVar)
+    }
+    // corpus query: census conserves mass (Σ n_k·docs = |graph|) and
+    // matches a local recompute of the exact graph's in-degrees
+    val corpus = LlmQueries.s26Hubness(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val graph = Ann.knnGraphExact(emb, k = 5)
+      .select("neighbor_id").as[Long].collect()
+    val indeg = graph.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nLive = emb.filter(
+      expr("aggregate(vec, 0.0D, (a, x) -> a + x * x)") > 0).count()
+    val localHist = (indeg.values.toSeq ++
+        Seq.fill((nLive - indeg.size).toInt)(0L))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(corpus.map(r => r._1 -> r._2).toMap == localHist)
+    assert(corpus.map(r => r._1 * r._2).sum == graph.length.toLong,
+      "in-degree mass must equal the graph's row count")
+  }
+
+  test("s25 matryoshka audit: full-width anchor exact; planted geometries discriminate") {
+    // corpus query: the full-width row audits the truth against
+    // itself — recall ≡ 1e6 — and every row carries the same budget
+    val rows = LlmQueries.s25MatryoshkaAudit(spark, TestSpark.Sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty && rows.last._1 == 64L && rows.last._2 == 1000000L,
+      rows.toString)
+    assert(rows.map(_._3).distinct.size == 1, "one truth budget")
+    // MRL-shaped fixture: 8-dim vectors whose LEADING 2 dims carry
+    // the cluster structure (two tight cones), tail dims tiny noise —
+    // the d/4 = 2-dim prefix must already retrieve the full-width
+    // neighbors (recall 1e6); the ANTI fixture puts the structure in
+    // the TAIL dims, so the 2-dim prefix sees only noise and recall
+    // collapses. Deterministic small doubles, no RNG.
+    def mk(rows: Seq[(Long, Seq[Double])]) = rows.toDF("id", "vec")
+    val lead = mk((0 until 12).map { i =>
+      val c = if (i % 2 == 0) Seq(1.0, 0.1) else Seq(-0.1, 1.0)
+      (i.toLong, c.map(_ + 0.001 * i) ++ Seq.fill(6)(0.0001 * (i + 1)))
+    })
+    val leadAudit = LlmQueries.matryoshkaAudit(lead, k = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(leadAudit(8L) == 1000000L)
+    assert(leadAudit(2L) >= 900000L,
+      s"leading-dim structure must survive the d/4 prefix: $leadAudit")
+    val tail = mk((0 until 12).map { i =>
+      val c = if (i % 2 == 0) Seq(1.0, 0.1) else Seq(-0.1, 1.0)
+      (i.toLong, Seq.fill(6)(0.0001 * (i + 1)) ++ c.map(_ + 0.001 * i))
+    })
+    val tailAudit = LlmQueries.matryoshkaAudit(tail, k = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(tailAudit(8L) == 1000000L)
+    assert(tailAudit(2L) < leadAudit(2L),
+      s"tail-dim structure must hurt the prefix: $tailAudit vs $leadAudit")
+  }
 }
