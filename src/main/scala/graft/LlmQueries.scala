@@ -3351,13 +3351,19 @@ object LlmQueries {
         Seq("id"), "left")
       .select(coalesce(col("n_k"), lit(0L)).as("n_k"))
     val hist = indeg.groupBy("n_k").agg(count(lit(1)).as("n_docs"))
+    // ΣN² accumulates in decimal(38): a hub of in-degree > ~3e9 would
+    // silently wrap a Long product (the round's overflow class); the
+    // emitted s2 column stays BIGINT — the report surface's domain —
+    // and past 2⁶³ Spark nulls it while DuckDB's HUGEINT→BIGINT cast
+    // errors, both loud, while var_e6 computes from the exact decimal
     val summary = indeg.agg(
         count(lit(1)).as("n"), max("n_k").as("nk_max"),
         sum(when(col("n_k") === 0, 1L).otherwise(0L)).as("n_zero"),
-        sum(col("n_k") * col("n_k")).as("s2"),
+        sum(col("n_k").cast("decimal(38,0)") * col("n_k")).as("s2d"),
         sum("n_k").as("sn"))
-      .select(col("nk_max"), col("n_zero"), col("s2"),
-        expr("((cast(n as decimal(38,0)) * s2 - cast(sn as decimal(38,0)) * sn)" +
+      .select(col("nk_max"), col("n_zero"),
+        col("s2d").cast("long").as("s2"),
+        expr("((cast(n as decimal(38,0)) * s2d - cast(sn as decimal(38,0)) * sn)" +
             " * 1000000) div (cast(n as decimal(38,0)) * n)")
           .cast("long").as("var_e6"))
     hist.crossJoin(broadcast(summary))

@@ -192,6 +192,10 @@ object SimHash {
     // distinct() would collapse
     val groups = sigs
       .select(col(idCol).as("vid"), col(sigCol).as("sig"))
+      // a NULL sig never joins in the blocked kernel (null block keys
+      // fail the equi-join) — grouping it here would mint hamming-0
+      // pairs among failed-signature rows the kernel never emits
+      .filter(col("sig").isNotNull)
       .groupBy("sig")
       .agg(array_distinct(sort_array(collect_list("vid"))).as("vids"))
     val repPairs = nearDupPairsBlocked(
@@ -211,12 +215,15 @@ object SimHash {
       // triple when ids span classes — the blocked kernel distinct()s
       .distinct()
     // vids is sorted+distinct, so x > v1 enumerates each unordered
-    // pair once
+    // pair once PER CLASS — two ids sharing TWO identical-sig classes
+    // would still emit their hamming-0 row twice without the distinct
+    // (the blocked kernel distinct()s the triple)
     val within = groups
       .select(explode(col("vids")).as("v1"), col("vids"))
       .select(col("v1").as("id1"),
         explode(expr("filter(vids, x -> x > v1)")).as("id2"))
       .withColumn("hamming", lit(0L))
+      .distinct()
     cross.unionByName(within)
   }
 }

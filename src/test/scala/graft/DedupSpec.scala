@@ -619,6 +619,24 @@ class DedupSpec extends AnyFunSuite {
     val gotList = SimHash.nearDupPairsCollapsed(tricky, "vid", "sig", 6, 3)
       .as[(Long, Long, Long)].collect().toSeq
     assert(gotList.size == gotList.toSet.size, s"duplicate rows: $gotList")
+    // two ids sharing TWO identical-sig classes emit their hamming-0
+    // row once (the blocked kernel's triple-distinct), and NULL sigs
+    // never pair (null block keys never join)
+    val twoClasses = Seq(
+      (Some(1L), Some(base)), (Some(2L), Some(base)),
+      (Some(1L), Some(flip(base, 60))), (Some(2L), Some(flip(base, 60))),
+      (Some(8L), None), (Some(9L), None)
+    ).map { case (v, s) => (v.get, s) }.toDF("vid", "sig")
+    val wantTwo = SimHash.nearDupPairsBlocked(twoClasses, "vid", "sig", 6, 3)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val gotTwo = SimHash.nearDupPairsCollapsed(twoClasses, "vid", "sig", 6, 3)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(gotTwo == wantTwo,
+      s"two-class/null parity: got=$gotTwo want=$wantTwo")
+    assert(gotTwo.count(r => r._1 == 1L && r._2 == 2L && r._3 == 0L) == 1,
+      s"shared hamming-0 row must appear once: $gotTwo")
+    assert(!gotTwo.exists(r => r._1 == 8L || r._2 == 9L),
+      s"null sigs must never pair: $gotTwo")
     // and on the real m04 feed (two wire-format variants per doc)
     val feed = LlmQueries.rasterFrame(spark, TestSpark.Sf)
       .select(col("doc_id"), col("sig_p5"), col("sig_p2"))

@@ -106,7 +106,11 @@ class PublishSpec extends AnyFunSuite {
     val rootB = tmp("graft-pub-rootB"); val outB = tmp("graft-pub-outB") + "/corpus"
     PublishCorpus.splitFrame(spark, TestSpark.Sf, rootB)
     PublishCorpus.keptFrame(spark, TestSpark.Sf, rootB)
-    val debris = new java.io.File(s"$rootB/.pub_plan.inprogress-deadbeef")
+    // the plan stage's name carries the budget (pub_plan_b512 at this
+    // test's 512-token cut) — the debris must land in THAT stage's
+    // namespace or the torn-dir scenario silently degenerates to
+    // "stage absent"
+    val debris = new java.io.File(s"$rootB/.pub_plan_b512.inprogress-deadbeef")
     assert(debris.mkdirs())
     java.nio.file.Files.write(debris.toPath.resolve("part-00000.parquet"),
       "torn".getBytes("UTF-8"))
