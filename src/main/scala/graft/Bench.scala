@@ -54,20 +54,38 @@ object Bench {
     // wall-clock budget: if earlier passes ran long (cold host, loaded
     // machine), skip the remaining passes instead of risking an
     // external timeout truncating the artifact — one COMPLETE pass
-    // beats half of two
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "420").toLong
+    // beats half of two. Default sized so the grown suite fits two
+    // full query passes (the r13 lesson: pass 1 ran ~515 s against a
+    // 420 s budget, pass 2 was skipped, and the published artifact
+    // carried unfiltered cold-pass position noise — every unchanged
+    // query "regressed" 10-20× vs its steady-state SCALECHECK value).
+    // Two levers restore comparability: (a) this budget fits pass 1 +
+    // one warm query pass; (b) stage:/stream: lines run on pass 1
+    // ONLY — they are artifact builds/stream folds whose cost is
+    // dominated by data volume, not cache position (min-of-passes
+    // buys them nothing), so later passes spend their budget where
+    // the min actually filters noise: the query lines.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1500").toLong
     val t0All = System.nanoTime()
     def elapsedSec: Long = (System.nanoTime() - t0All) / 1000000000L
+    var budgetTruncated = false
     val timings = (1 to passes).flatMap { pass =>
       if (pass > 1 && elapsedSec > budgetSec) {
+        budgetTruncated = true
         System.err.println(
           s"[bench] skipping pass $pass (${elapsedSec}s elapsed > ${budgetSec}s budget)")
         None
       } else Some {
-        // fresh stage root: a pass must rebuild shared staged artifacts
-        // (pair graph, cluster table) instead of reporting the previous
-        // pass's parquet read as the operator's cost
-        StageRoots.reset()
+        // fresh stage root on pass 1: a run must rebuild shared staged
+        // artifacts (pair graph, cluster table) instead of serving a
+        // previous process's debris. Later passes keep pass 1's root —
+        // the stage: lines only run on pass 1, so a reset would make
+        // every consumer query PAY the stage build inside its own
+        // pass-2 timing (inflating it above pass 1 and wasting the
+        // budget); serving the committed artifacts gives pass-2
+        // consumers exactly the staged-read + compute cost pass-1
+        // consumers paid after their stage lines built.
+        if (pass == 1) StageRoots.reset()
         // shared-stage builds timed as their OWN ledger lines: without
         // this the whole build cost lands on the alphabetically-first
         // consumer (d04 read as 5.2 s when the PPJoin itself is ~1 s;
@@ -80,8 +98,13 @@ object Bench {
         // price one stage without the 245-query suite); an unnamed
         // stage is skipped and its consumers pay the build — the old
         // local-iteration behavior.
+        // pass 1 only (see the budget note above): these lines price
+        // whole-artifact turnaround, where run-to-run variance is data
+        // volume, not the codegen-cache position noise min-of-passes
+        // exists to absorb
         val stageTimes: Map[String, Double] =
-          Seq[(String, () => org.apache.spark.sql.DataFrame)](
+          if (pass > 1) Map.empty
+          else Seq[(String, () => org.apache.spark.sql.DataFrame)](
             "stage:neardup_pairs" -> (() => LlmQueries.pairGraph(spark, sfDir)),
             "stage:dedup_clusters" -> (() => LlmQueries.clusters(spark, sfDir)),
             "stage:dup_spans" -> (() => LlmQueries.dupSpanFrame(spark, sfDir)),
@@ -90,13 +113,28 @@ object Bench {
             // one line prices the whole gate-corpus artifact chain
             "stage:gate_corpus" -> (() => LlmQueries.gateCorpusPostings(spark, sfDir)),
             "stage:rasters" -> (() => LlmQueries.rasterFrame(spark, sfDir)),
-            // the publish flagship end to end: staged split/kept/plan,
-            // per-split shard export with manifests, datasheet, ledger
-            // (out dir under the per-JVM stage root — fresh per pass).
-            // Shard budget 32k tokens: the bench prices the pipeline's
-            // data-volume cost, not a pathological hundreds-of-tiny-
-            // shards layout the oracle-scale 1024 constant would force
-            // (a real deployment budgets ~100M tokens/shard)
+            // the publish flagship, attributed per stage (r13 verdict
+            // task 5: the sf1 cost decomposition must be measured, not
+            // asserted). The four pub_* lines build and commit their
+            // _SUCCESS-gated stage dirs in dependency order, so each
+            // line prices EXACTLY its own stage's build (the staging
+            // contract serves the committed prefix); the publish_corpus
+            // line then prices what remains of the end-to-end run —
+            // shard export + manifests + savings ledger + the manifest
+            // read-back — on top of the served prefix. Sum of the five
+            // = the r13 single-line end-to-end cost. Shard budget 32k
+            // tokens: the bench prices the pipeline's data-volume cost,
+            // not a pathological hundreds-of-tiny-shards layout the
+            // oracle-scale 1024 constant would force (a real deployment
+            // budgets ~100M tokens/shard)
+            "stage:pub_split" -> (() => PublishCorpus.splitFrame(spark, sfDir,
+              StageRoots.rootFor(sfDir) + "/publish")),
+            "stage:pub_kept" -> (() => PublishCorpus.keptFrame(spark, sfDir,
+              StageRoots.rootFor(sfDir) + "/publish")),
+            "stage:pub_plan" -> (() => PublishCorpus.planFrame(spark, sfDir,
+              StageRoots.rootFor(sfDir) + "/publish", tokenBudget = 32768L)),
+            "stage:pub_datasheet" -> (() => PublishCorpus.datasheetFrame(spark,
+              sfDir, StageRoots.rootFor(sfDir) + "/publish")),
             "stage:publish_corpus" -> (() => PublishCorpus.run(spark, sfDir,
               StageRoots.rootFor(sfDir) + "/publish_out",
               StageRoots.rootFor(sfDir) + "/publish",
@@ -111,19 +149,22 @@ object Bench {
               }
             name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
           }.toMap
-        // streaming monitor throughput (r13): three representative
-        // foreachBatch monitors driven over deterministic micro-batch
-        // slices — priced like stage lines; under a name filter only
-        // explicitly named stream: lines run
+        // streaming monitor throughput (r13): representative stateful
+        // monitors driven over deterministic micro-batch slices —
+        // priced like stage lines (pass 1 only; a stream fold's cost
+        // is state turnover, not cache position); under a name filter
+        // only explicitly named stream: lines run
         val streamTimes: Map[String, Double] =
-          if (args.nonEmpty && !args.exists(_.startsWith("stream:"))) Map.empty
+          if (pass > 1 ||
+              (args.nonEmpty && !args.exists(_.startsWith("stream:")))) Map.empty
           else try streaming.StreamBench.run(spark, sfDir,
             if (args.isEmpty) Set.empty else args.filter(_.startsWith("stream:")).toSet)
           catch { case e: Throwable =>
             System.err.println(s"[bench] stream lines failed (pass $pass): ${e.getMessage}")
             Map.empty
           }
-        stageTimes ++ streamTimes ++ selected.map { case (name, fn) =>
+        val tPass0 = System.nanoTime()
+        val queryTimes = selected.map { case (name, fn) =>
           val t0 = System.nanoTime()
           val ok =
             try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
@@ -132,6 +173,9 @@ object Bench {
             }
           name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
         }.toMap
+        System.err.println(f"[bench] pass $pass queries: " +
+          f"${(System.nanoTime() - tPass0) / 1e9}%.1f s")
+        stageTimes ++ streamTimes ++ queryTimes
       }
     }
     // stage:* then stream:* lines first, then the query keys, all
@@ -148,7 +192,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // pass diagnostics (r13 verdict tasks 1+8): the artifact itself
+    // must say whether each query line is a min-of-N or a single cold
+    // pass, so a future budget truncation reads as the harness event
+    // it is instead of a 10-20× "regression" of unchanged queries.
+    // query_passes = passes every QUERY line ran (stage:/stream: lines
+    // are pass-1-only by design); pass_sec = per-pass wall totals.
+    val passSec = timings.map(m => m.values.filter(_ >= 0).sum)
+    val diag = s""""passes_requested":$passes,"query_passes":${timings.length},""" +
+      s""""budget_truncated":$budgetTruncated,""" +
+      s""""pass_sec":${passSec.map(s => f"$s%.1f").mkString("[", ",", "]")}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",$diag,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // the driver captures only a stdout tail (BENCH_r04/r05 lost ~1/3 of
     // per-query timings to truncation) — persist the complete artifact

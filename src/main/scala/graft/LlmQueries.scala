@@ -3397,6 +3397,32 @@ object LlmQueries {
       |             * 1000000) // (CAST(s.n AS HUGEINT) * s.n) AS BIGINT) AS var_e6
       |FROM h, s ORDER BY h.n_k""".stripMargin
 
+  /** #321 (s27): hubness census on the SCALE graph — s26's audit run
+    * over [[graft.sim.Ann.knnGraph]]'s calibrated IVF cell self-join
+    * instead of the definitionally-O(n²) exact graph (the r13 verdict
+    * task 3: unlike s25, an in-degree census needs EVERY query's k-NN
+    * list, so the exact kernel cannot hide behind the absolute audit
+    * budget — the geometry tool itself needs an exact↔scale pairing,
+    * the same s01↔s02/s03 shape as retrieval). [[hubnessReport]] is
+    * graph-agnostic, so this is the one-line composition; the IVF
+    * graph's candidate volume is nProbe·n/nCells per doc (n^1.5-ish
+    * total at the auto sizing), never all-pairs. The census over an
+    * approximate graph is itself approximate — a missed true neighbor
+    * moves one unit of in-degree mass — but TOTAL mass conservation
+    * (Σ N_k = |graph rows|) holds by construction at any recall, and
+    * AnnSpec pins hub identification + variance direction against the
+    * exact census on a planted-hub fixture. Rows-only (the iterative
+    * float k-means quantizer has no SQL oracle; s26 stays the
+    * fully-oracled exact twin). */
+  def s27HubnessIvf: Q = (spark, dir) => {
+    import graft.functions.VectorFunctions.norm
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
+    val live = e.filter(norm(col("vec")) > 0).select("id")
+    hubnessReport(live, Ann.knnGraph(e, k = 5, seed = 42L,
+      cacheKey = Some(s"s27|$dir")))
+  }
+
   /** #320 (s25): matryoshka truncation audit (Kusupati et al.,
     * NeurIPS'22) — the embedding-WIDTH cost lever priced before
     * anyone deploys it: MRL-style encoders pack coarse structure
@@ -3549,6 +3575,7 @@ object LlmQueries {
     "s24_isotropy_audit" -> s24IsotropyAudit,
     "s25_matryoshka_audit" -> s25MatryoshkaAudit,
     "s26_hubness" -> s26Hubness,
+    "s27_hubness_ivf" -> s27HubnessIvf,
     "d42_lsh_design" -> d42LshDesign,
     "d14_pagerank" -> d14Pagerank,
     "d18_kcore" -> d18Kcore,

@@ -2565,7 +2565,11 @@ object TrainingDataQueries {
     * at V = 10⁹), perturbing one scoring heuristic's ppm gap by one
     * feature: acceptable for a selection weight, and the DuckDB
     * oracle (which groups by the string) certifies the digest path
-    * exactly at test scale. ONE groupBy(digest) with a conditional
+    * exactly at test scale. For a corpus whose weights feed
+    * IRREVERSIBLE selection, run [[bigramCollisionAudit]] once at
+    * that corpus's scale — distinct(bg) = distinct(digest) certifies
+    * the digest keying collision-free for that exact vocabulary (one
+    * extra string-keyed distinct, paid once, not per weight run). ONE groupBy(digest) with a conditional
     * target-count (no second pass); the two corpus totals are a 1-row
     * broadcast; ppms by floor division in decimal(38) (a dominant
     * bigram's 10⁶·count can pass 2⁶³ at extreme SF); doc-profile ⋈
@@ -2588,6 +2592,21 @@ object TrainingDataQueries {
         explode(expr("transform(sequence(1, size(w) - 1), " +
           "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
           .as("bg"))
+
+  /** One-off collision certification for t50's digest keying (the
+    * ADVICE r13 recipe): distinct bigram STRINGS vs distinct 64-bit
+    * digests over the corpus. Equal counts ⇒ the digest keying is
+    * injective on this vocabulary and every t50 weight is exact, not
+    * just collision-unlikely. This pays the string-keyed distinct the
+    * production path avoids — run it once per corpus before weights
+    * feed irreversible selection, not per scoring run. Output: one
+    * row (n_bigrams, n_digests, collisions). */
+  private[graft] def bigramCollisionAudit(docs: DataFrame): DataFrame =
+    docBigrams(docs)
+      .agg(countDistinct(col("bg")).as("n_bigrams"),
+        countDistinct(xxhash64(col("bg"))).as("n_digests"))
+      .select(col("n_bigrams"), col("n_digests"),
+        (col("n_bigrams") - col("n_digests")).as("collisions"))
 
   def t50DsirWeights: Q = (spark, dir) => {
     val docs = Tables.documents(spark, dir)

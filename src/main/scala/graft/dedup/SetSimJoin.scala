@@ -180,14 +180,21 @@ object SetSimJoin {
     * pass to build and is read-only thereafter, so the per-batch gate
     * never recomputes corpus-wide token stats (the r12 d24 finding —
     * at 100 TB a nightly gate re-deriving the union df order pays
-    * O(corpus) per batch). Output: (id_b, sz_b, tok, pos_b). */
+    * O(corpus) per batch). A corpus token ABSENT from `dfFrame` ranks
+    * at df = 0 (same convention as the batch side in
+    * [[containmentCandidatesAgainst]]) instead of silently dropping
+    * its posting — an inner join here would void the lossless-prefix
+    * contract whenever the df artifact lags the corpus (d24 builds
+    * both from the same staged sets, but the contract must not depend
+    * on that). Output: (id_b, sz_b, tok, pos_b). */
   def containmentPostings(corpus: DataFrame, idCol: String, setCol: String,
                           dfFrame: DataFrame): DataFrame = {
     val sets = corpus.select(col(idCol).as("id_b"), col(setCol).as("s"))
       .withColumn("sz_b", size(col("s")).cast(LongType))
     val toks = sets.select(col("id_b"), col("sz_b"), explode(col("s")).as("tok"))
     val byRarity = Window.partitionBy("id_b").orderBy(col("df").asc, col("tok").asc)
-    toks.join(dfFrame.select(col("tok"), col("df")), Seq("tok"))
+    toks.join(dfFrame.select(col("tok"), col("df")), Seq("tok"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
       .withColumn("pos_b", row_number().over(byRarity).cast(LongType))
       .select("id_b", "sz_b", "tok", "pos_b")
   }

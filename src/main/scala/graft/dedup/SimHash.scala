@@ -175,37 +175,65 @@ object SimHash {
     * renders collide across docs too) most candidate pairs are
     * re-derivations of "these sigs are equal". Here the join runs on
     * ONE representative per distinct sig value; identical-class pairs
-    * (hamming 0) are emitted combinatorially (output-sized — they are
-    * part of the operator's contract either way), and each rep-level
-    * pair expands to its classes' cross product with the rep pair's
-    * hamming (equal values ⇒ equal distances). Output is EXACTLY
+    * (hamming 0) are emitted combinatorially for classes up to
+    * `maxClassSize`, and each rep-level pair expands to its classes'
+    * cross product with the rep pair's hamming (equal values ⇒ equal
+    * distances). For those inputs the output is EXACTLY
     * [[nearDupPairsBlocked]]'s — same rows, any sig configuration —
     * pinned set-equal by DedupSpec on planted identical/near/far
-    * classes and on the m04 corpus feed. */
+    * classes and on the m04 corpus feed.
+    *
+    * DEGENERATE-CLASS BOUND (r13 verdict task 2): a web-scale
+    * boilerplate class (every copy of a template page hashes
+    * identical) can reach 10⁷–10⁸ members; holding it as one
+    * `collect_list` row is a task OOM and its C(n,2) within-class
+    * emission is combinatorial output no consumer can hold either.
+    * Classes LARGER than `maxClassSize` therefore switch to a STAR
+    * representation: the class's min-id member is its representative,
+    * within-class pairs are the n−1 (rep → member, hamming 0) star
+    * edges, and cross-class pairs substitute the rep for the whole
+    * class. No array row ever exceeds `maxClassSize` elements and the
+    * class's output is linear in its size. Connected components are
+    * IDENTICAL to the exact contract's (every member reaches the rep
+    * at distance 0; the rep carries the class's external edges), so
+    * cluster/dedup consumers (d06's CC, canonical pick) are
+    * unaffected; only the explicit pair multiset thins — exactly the
+    * `etl.CoOccur.pairs` per-basket truncation idiom, pinned by
+    * DedupSpec's planted 10⁴-member class. */
   def nearDupPairsCollapsed(sigs: DataFrame, idCol: String, sigCol: String,
-                            nBlocks: Int = 6, maxHamming: Int = 3): DataFrame = {
+                            nBlocks: Int = 6, maxHamming: Int = 3,
+                            maxClassSize: Int = 4096): DataFrame = {
+    require(maxClassSize >= 1, s"maxClassSize must be >= 1, got $maxClassSize")
     // the SIG VALUE is the rep key (unique per class by construction
     // — a min-id rep would collide when one id carries two different
     // sigs and the rep join's id1 < id2 would silently drop the
-    // cross-class pair); member lists are deduped so repeated
-    // (id, sig) rows cannot multiply output rows the blocked kernel's
-    // distinct() would collapse
-    val groups = sigs
+    // cross-class pair); (vid, sig) rows are deduped up front so
+    // repeated input rows cannot multiply output rows the blocked
+    // kernel's distinct() would collapse, and so class sizes count
+    // MEMBERS, not occurrences
+    val members = sigs
       .select(col(idCol).as("vid"), col(sigCol).as("sig"))
       // a NULL sig never joins in the blocked kernel (null block keys
       // fail the equi-join) — grouping it here would mint hamming-0
       // pairs among failed-signature rows the kernel never emits
       .filter(col("sig").isNotNull)
-      .groupBy("sig")
-      .agg(array_distinct(sort_array(collect_list("vid"))).as("vids"))
+      .distinct()
+    val stats = members.groupBy("sig")
+      .agg(count(lit(1)).as("csz"), min("vid").as("rep"))
+    // one row per distinct sig — the rep-level join's input either way
     val repPairs = nearDupPairsBlocked(
-      groups.select(col("sig").as("rid"), col("sig")),
+      stats.select(col("sig").as("rid"), col("sig")),
       "rid", "sig", nBlocks, maxHamming)
+    // expansion side: a small class expands a rep pair to all its
+    // members; an over-cap class contributes its rep ONLY (the star
+    // contract) — so the expansion join never multiplies by a
+    // degenerate class's size
+    val expand = members.join(stats, "sig")
+      .filter(col("csz") <= maxClassSize || col("vid") === col("rep"))
+      .select(col("sig"), col("vid"))
     val cross = repPairs
-      .join(groups.select(col("sig").as("id1"), col("vids").as("vids1")), "id1")
-      .join(groups.select(col("sig").as("id2"), col("vids").as("vids2")), "id2")
-      .select(explode(col("vids1")).as("v1"), col("vids2"), col("hamming"))
-      .select(col("v1"), explode(col("vids2")).as("v2"), col("hamming"))
+      .join(expand.select(col("sig").as("id1"), col("vid").as("v1")), "id1")
+      .join(expand.select(col("sig").as("id2"), col("vid").as("v2")), "id2")
       // an id appearing in BOTH classes would mint a self-pair the
       // blocked kernel's id1 < id2 predicate never emits
       .filter(col("v1") =!= col("v2"))
@@ -214,16 +242,30 @@ object SimHash {
       // two class pairs can expand to the same (id1, id2, hamming)
       // triple when ids span classes — the blocked kernel distinct()s
       .distinct()
-    // vids is sorted+distinct, so x > v1 enumerates each unordered
-    // pair once PER CLASS — two ids sharing TWO identical-sig classes
-    // would still emit their hamming-0 row twice without the distinct
-    // (the blocked kernel distinct()s the triple)
-    val within = groups
+    // within-class pairs, small classes: the exact C(n,2) contract.
+    // vids is sorted+distinct and bounded by maxClassSize, so x > v1
+    // enumerates each unordered pair once PER CLASS — two ids sharing
+    // TWO identical-sig classes would still emit their hamming-0 row
+    // twice without the distinct (the blocked kernel distinct()s the
+    // triple)
+    val withinSmall = members.join(stats.filter(col("csz") <= maxClassSize)
+        .select("sig"), "sig")
+      .groupBy("sig")
+      .agg(sort_array(collect_list("vid")).as("vids"))
       .select(explode(col("vids")).as("v1"), col("vids"))
       .select(col("v1").as("id1"),
         explode(expr("filter(vids, x -> x > v1)")).as("id2"))
       .withColumn("hamming", lit(0L))
       .distinct()
-    cross.unionByName(within)
+    // within-class, over-cap classes: n−1 star edges to the min-id
+    // rep (rep < member by construction, so (id1, id2) is ordered);
+    // distinct for the same shared-two-classes reason as above
+    val withinBig = members.join(stats.filter(col("csz") > maxClassSize)
+        .select(col("sig"), col("rep")), "sig")
+      .filter(col("vid") =!= col("rep"))
+      .select(col("rep").as("id1"), col("vid").as("id2"),
+        lit(0L).as("hamming"))
+      .distinct()
+    cross.unionByName(withinSmall).unionByName(withinBig)
   }
 }

@@ -389,7 +389,8 @@ object AnnIndex {
   def maintain(spark: SparkSession, dir: String, k: Int = 10,
                sampleMod: Int = 25, seed: Long = 42L,
                floorPpm: Long = -1L, nCells: Int = 0,
-               sampleBudget: Long = 2048L): (Long, Boolean) = {
+               sampleBudget: Long = 2048L,
+               hotCellMultiple: Long = 4L): (Long, Boolean) = {
     import spark.implicits._
     // the rebuild must carry the metadata columns back through build
     // (probeFiltered prunes on them) — only nrm/cell are derived;
@@ -414,6 +415,20 @@ object AnnIndex {
       if (floorPpm >= 0) floorPpm
       else math.round(meta.getDouble(0) * 1000000L)
     val rebuild = recallPpm < floor
+    // the capacity signal RECALL cannot see (r13 GEOCHECK finding):
+    // probe cost is proportional to probed cell MASS, so a clustered
+    // corpus can keep recall green while one ballooning cell makes
+    // every probe that touches it pay the blob — s22's clustered sf1
+    // wall was 2.9× isotropic at the SAME probe budget and the same
+    // recall spec. Surface it loudly here, where the rebuild decision
+    // is made, not only in the passive stats panel.
+    val hot = hotCellSignal(spark, dir, hotCellMultiple)
+    if (hot.hot) System.err.println(
+      s"[graft.AnnIndex] HOT CELL at $dir: max cell population " +
+        s"${hot.maxCell} > $hotCellMultiple x occupancy target " +
+        s"${hot.target} — probe wall is cell-mass-bound regardless of " +
+        s"recall; rebuild with nCells >= ${hot.suggestedNCells} (or " +
+        s"split the hot cell) to restore the calibrated probe cost")
     if (rebuild) {
       val staged = full.localCheckpoint(true)
       val cells =
@@ -422,6 +437,43 @@ object AnnIndex {
       build(staged, cells, seed, dir, recall = meta.getDouble(0))
     }
     (recallPpm, rebuild)
+  }
+
+  /** The hot-cell capacity signal behind [[maintain]]'s warning,
+    * factored so operators (and AnnSpec's clustered fixture) can gate
+    * on it directly. `hot` fires when the max live-cell population
+    * exceeds `maxMultiple` × the occupancy target ⌈nVec / nCells⌉ —
+    * the geometry regime GEOCHECK measured (r13): probed-cell MASS,
+    * not count, drives the probe wall, and recall audits are blind to
+    * it because the hot cell's vectors are genuinely each other's
+    * neighbors. `suggestedNCells` scales the cell count so the hot
+    * cell's mass would meet the budget if the quantizer splits it
+    * proportionally — a SUGGESTION: a near-identical blob may refuse
+    * to split (the AnnSpec blob-floor case), in which case the honest
+    * remedies are a dedicated hot-cell shard or admission-side dedup
+    * (d13/d05), not more cells. Metadata-only, the [[stats]] census
+    * shape: per-cell counts off the `cell` partition column, vectors
+    * never read; the per-cell collect is nCells ≈ √n rows, bounded. */
+  case class HotCell(maxCell: Long, target: Long, hot: Boolean,
+                     suggestedNCells: Int)
+  def hotCellSignal(spark: SparkSession, dir: String,
+                    maxMultiple: Long = 4L): HotCell = {
+    val spark2 = spark
+    import spark2.implicits._
+    val nCells = spark.read.parquet(s"$dir/centroids").count()
+    val pops = liveCells(spark, dir).groupBy("cell")
+      .agg(count(lit(1)).as("n")).select("n").as[Long].collect()
+    val nVec = pops.sum
+    val maxCell = if (pops.isEmpty) 0L else pops.max
+    val target = if (nCells == 0) 0L else (nVec + nCells - 1) / nCells
+    val hot = target > 0 && maxCell > maxMultiple * target
+    val suggested = math.max(math.max(2L,
+        math.ceil(math.sqrt(nVec.toDouble)).toLong),
+      if (target > 0 && maxMultiple * target > 0)
+        nCells * ((maxCell + maxMultiple * target - 1) / (maxMultiple * target))
+      else nCells)
+    HotCell(maxCell, target, hot,
+      math.min(suggested, Int.MaxValue.toLong).toInt)
   }
 
   /** Index HEALTH panel: one row — true cell count (from the

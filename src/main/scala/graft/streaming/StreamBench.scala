@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * have a 249-entry scale ledger, but the 40+ streaming twins were
   * parity-pinned with ZERO performance evidence — a monitor that is
   * bit-identical to its batch query and 100× slower per batch would
-  * have passed every gate. These lines price three REPRESENTATIVE
+  * have passed every gate. These lines price five REPRESENTATIVE
   * monitor shapes end to end at bench scale, one per state regime:
   *
   *  - `stream:control_chart` — a [[MonitorState]] driver-fold monitor
@@ -16,7 +16,11 @@ import org.apache.spark.sql.functions._
   *    lives day-partitioned on disk with a durable batch stamp; the
   *    per-batch cost is merge + overwrite of touched partitions);
   *  - `stream:neardup_gate` — a stateless foreachBatch ingest gate
-  *    (batch joins against static corpus band/sig tables).
+  *    (batch joins against static corpus band/sig tables);
+  *  - `stream:bloom_dedup` (r14) — the flatMapGroupsWithState regime
+  *    (#91's bounded-state bloom dedup as a real streaming query);
+  *  - `stream:tws` (r14) — the state API v2 regime (#309's
+  *    transformWithState running-agg on the RocksDB provider).
   *
   * Protocol: the input table is split into `nBatches` deterministic
   * micro-batches (pmod of a row-key digest — a partition of the
@@ -107,6 +111,72 @@ object StreamBench {
       }
     }
 
+    // r14 (verdict task 6): the two state regimes the r13 lines left
+    // unpriced — flatMapGroupsWithState (streaming bloom dedup #91)
+    // and the state API v2 transformWithState (#309, RocksDB
+    // provider). These ARE stream operators (no foreachBatch closure
+    // to fold), so they run as REAL Structured Streaming queries over
+    // MemoryStream micro-batches; seconds include the per-batch state
+    // store turnover — exactly the "bit-identical but 100× slower"
+    // exposure the parity specs cannot see. MemoryStream feeds from
+    // the driver by design; the fed columns are 8-16 bytes/event
+    // (digest / (user_id, value)), so the driver-side slice is MBs at
+    // bench scale, not a corpus copy.
+    val bloomDedup = if (!wanted("stream:bloom_dedup")) None else Some {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val keys = facts.select(xxhash64(col("event_id"))).as[Long].collect()
+      val slices = keys.zipWithIndex.groupBy(_._2 % nBatches)
+        .view.mapValues(_.map(_._1).toSeq).toMap
+      val input = MemoryStream[Long]
+      val q = EventStream.bloomDedupStream[Long](input.toDS(), identity)
+        .writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", tmpDir("graft-bench-bloom"))
+        .start()
+      // +1 batch: replay batch 0 — the unbounded-history regime the
+      // operator exists for (every key already in the bloom)
+      try timed("stream:bloom_dedup",
+          keys.length.toLong + slices(0).length, nBatches + 1) {
+        (0 until nBatches).foreach { i =>
+          input.addData(slices(i)); q.processAllAvailable()
+        }
+        input.addData(slices(0)); q.processAllAvailable()
+      } finally q.stop()
+    }
+
+    val tws = if (!wanted("stream:tws")) None else Some {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val pairs = graft.Tables.events(spark, sfDir)
+        .select(col("user_id"), col("value")).as[(Long, Double)].collect()
+      val slices = pairs.zipWithIndex.groupBy(_._2 % nBatches)
+        .view.mapValues(_.map(_._1).toSeq).toMap
+      // the v2 operator requires the RocksDB state store provider
+      // (the BucketingSpec parity test's setup, restored after)
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(provKey)
+      spark.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val input = MemoryStream[(Long, Double)]
+        val q = EventStream.runningUserAggV2(
+            input.toDF().toDF("user_id", "value"))
+          .writeStream.format("noop").outputMode("append")
+          .option("checkpointLocation", tmpDir("graft-bench-tws"))
+          .start()
+        try timed("stream:tws", pairs.length.toLong, nBatches) {
+          (0 until nBatches).foreach { i =>
+            input.addData(slices(i)); q.processAllAvailable()
+          }
+        } finally q.stop()
+      } finally prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+
     val nearDupGate = if (!wanted("stream:neardup_gate")) None else Some {
       // corpus side (even doc_ids) is a PERSISTED index — built once,
       // outside the timed region (the gate's staged-artifact contract)
@@ -128,6 +198,7 @@ object StreamBench {
       }
     }
 
-    (controlChart.toSeq ++ histArtifact.toSeq ++ nearDupGate.toSeq).toMap
+    (controlChart.toSeq ++ histArtifact.toSeq ++ bloomDedup.toSeq ++
+      tws.toSeq ++ nearDupGate.toSeq).toMap
   }
 }

@@ -1291,6 +1291,91 @@ class AnnSpec extends AnyFunSuite {
       "in-degree mass must equal the graph's row count")
   }
 
+  test("s27 hubness IVF twin: mass conserved; planted hub and variance direction match the exact census") {
+    // corpus: total in-degree mass equals the IVF graph's row count
+    // at ANY recall (conservation holds by construction), and the
+    // histogram covers every live vector
+    val corpus = LlmQueries.s27HubnessIvf(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val graphRows = Ann.knnGraph(emb, k = 5, seed = 42L).count()
+    assert(corpus.map(r => r._1 * r._2).sum == graphRows,
+      "in-degree mass must equal the IVF graph's row count")
+    val nLive = emb.filter(
+      expr("aggregate(vec, 0.0D, (a, x) -> a + x * x)") > 0).count()
+    assert(corpus.map(_._2).sum == nLive, "histogram must cover every live id")
+    // exact↔scale pairing on planted geometries (the s01↔s02/s03
+    // shape): a HUB fixture — one anchor direction everyone is
+    // moderately close to (sim 0.6), members mutually orthogonal-ish
+    // (sim 0.36) — and a UNIFORM fixture (even circle, each point's
+    // neighbors are its arc neighbors). Both censuses must identify
+    // the planted hub as the max in-degree vector and must order the
+    // two fixtures' variances the same way (hub ≫ uniform).
+    val dim = 34
+    val hubFix = ((0L, Seq(1.0) ++ Seq.fill(dim - 1)(0.0)) +:
+      (1 to 32).map(i => (i.toLong,
+        Seq(0.6) ++ Seq.tabulate(dim - 1)(j => if (j == i - 1) 0.8 else 0.0))))
+      .toDF("id", "vec")
+    val circleFix = (0 until 32).map { i =>
+      val th = 2 * math.Pi * i / 32
+      (i.toLong, Seq(math.cos(th), math.sin(th)))
+    }.toDF("id", "vec")
+    def census(fix: org.apache.spark.sql.DataFrame, exact: Boolean) = {
+      val ids = fix.select("id")
+      val g = if (exact) Ann.knnGraphExact(fix, k = 3)
+        else Ann.knnGraph(fix, k = 3, seed = 42L, recallTarget = Some(0.95))
+      LlmQueries.hubnessReport(ids, g)
+        .select("nk_max", "var_e6").distinct()
+        .as[(Long, Long)].head()
+    }
+    val (hubExact, hubIvf) = (census(hubFix, true), census(hubFix, false))
+    val (cirExact, cirIvf) = (census(circleFix, true), census(circleFix, false))
+    // the hub (id 0) is everyone's rank-1 neighbor: in-degree 32 in
+    // the exact census; the calibrated IVF census must still see a
+    // dominant hub (≥ 90% of queries retrieve it at recall 0.95)
+    assert(hubExact._1 == 32L, s"exact hub in-degree ${hubExact._1}")
+    assert(hubIvf._1 >= 29L, s"IVF hub in-degree ${hubIvf._1}")
+    // variance direction: hubbed ≫ uniform through BOTH kernels
+    assert(hubExact._2 > 4L * cirExact._2,
+      s"exact variances: hub ${hubExact._2} vs circle ${cirExact._2}")
+    assert(hubIvf._2 > 4L * cirIvf._2,
+      s"IVF variances: hub ${hubIvf._2} vs circle ${cirIvf._2}")
+  }
+
+  test("hot-cell capacity signal fires on a planted blob and stays quiet on balanced cells") {
+    import graft.sim.AnnIndex
+    // 180 IDENTICAL vectors (a boilerplate blob no quantizer can
+    // split — every copy lands in one cell) + 20 spread points;
+    // 10 cells → occupancy target 20, hot threshold 4×20 = 80
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    val blob = Seq.tabulate(dim)(j => if (j == 0) 1.0 else 0.01 * j)
+    val rows = (0 until 180).map(i => (i.toLong, blob)) ++
+      (180 until 200).map(i =>
+        (i.toLong, IndexedSeq.fill(dim)(rnd.nextGaussian()).toSeq))
+    val dir = java.nio.file.Files.createTempDirectory("ann_hot").toString
+    AnnIndex.build(rows.toDF("id", "vec"), nCells = 10, seed = 42L, dir = dir)
+    val sig = AnnIndex.hotCellSignal(spark, dir)
+    assert(sig.hot, s"expected hot: $sig")
+    assert(sig.maxCell >= 180L && sig.target == 20L, sig.toString)
+    assert(sig.suggestedNCells > 10, s"suggestion must bump cells: $sig")
+    // maintain surfaces the same signal (stderr) without letting it
+    // corrupt the recall decision: a healthy-recall hot index is
+    // warned about, not rebuilt behind the operator's back
+    val (_, rebuilt) = AnnIndex.maintain(spark, dir, floorPpm = 0L)
+    assert(!rebuilt, "hot-cell warning must not force a rebuild by itself")
+    // balanced: four well-separated tight clusters of 25 at 4 cells —
+    // every cell at exactly the occupancy target
+    val bal = (0 until 100).map { i =>
+      val c = i % 4
+      (i.toLong, Seq.tabulate(dim)(j =>
+        (if (j == c) 1.0 else 0.0) + 0.001 * (i / 4)))
+    }.toDF("id", "vec")
+    val dir2 = java.nio.file.Files.createTempDirectory("ann_bal").toString
+    AnnIndex.build(bal, nCells = 4, seed = 42L, dir = dir2)
+    val sig2 = AnnIndex.hotCellSignal(spark, dir2)
+    assert(!sig2.hot, s"balanced corpus flagged hot: $sig2")
+  }
+
   test("s25 matryoshka audit: full-width anchor exact; planted geometries discriminate") {
     // corpus query: the full-width row audits the truth against
     // itself — recall ≡ 1e6 — and every row carries the same budget

@@ -654,6 +654,50 @@ class DedupSpec extends AnyFunSuite {
         s"extra=${gotCorpus.diff(wantCorpus).take(3)}")
   }
 
+  test("collapsed pairing bounds a degenerate 10^4 identical class (star contract)") {
+    // the r13 verdict's weak row: a web-scale boilerplate class held
+    // as ONE collect_list row is a task OOM and its C(n,2) emission
+    // is combinatorial. Plant a 10^4-member identical class (the
+    // EtlSpec CoOccur adversarial-basket template) beside a near
+    // class and a far class; the default maxClassSize (4096) must
+    // switch the big class to the star contract while every small
+    // class keeps the exact blocked-kernel pairs.
+    val base = 0x0123456789abcdefL
+    val bigN = 10000L
+    val big = (0L until bigN).map(i => (100L + i, base))
+    val near = Seq((50000L, base ^ 3L), (50001L, base ^ 3L)) // hamming 2
+    val far = Seq((60000L, 0x7edcba9876543210L), (60001L, 0x7edcba9876543210L))
+    val rows = (big ++ near ++ far).toDF("vid", "sig")
+      .repartition(8)
+    val got = SimHash.nearDupPairsCollapsed(rows, "vid", "sig", 6, 3)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == got.toSet.size, "no duplicate rows")
+    val pairs = got.toSet
+    // star contract: exactly n-1 within edges, every one rooted at
+    // the class's min id — LINEAR in class size, not C(n,2)
+    val withinBig = pairs.filter(p => p._3 == 0L && p._2 >= 100L && p._2 < 50000L)
+    assert(withinBig.size == (bigN - 1).toInt, s"star edge count ${withinBig.size}")
+    assert(withinBig.forall(_._1 == 100L), "every star edge roots at the min-id rep")
+    assert(withinBig.map(_._2) == (101L until 100L + bigN).toSet)
+    // cross edges: the big class participates through its rep ONLY;
+    // the small near class expands fully (both members reach the rep)
+    val cross = pairs.filter(p => p._2 >= 50000L && p._2 < 60000L && p._3 > 0L)
+    assert(cross == Set((100L, 50000L, 2L), (100L, 50001L, 2L)), s"cross: $cross")
+    // small classes keep the exact contract
+    assert(pairs.contains((50000L, 50001L, 0L)) && pairs.contains((60000L, 60001L, 0L)))
+    // and nothing else: components are exactly {big ∪ near} and {far}
+    assert(pairs.size == (bigN - 1 + 2 + 1 + 1).toInt, s"total ${pairs.size}")
+    // raising the cap above the class size restores the exact
+    // contract's shape on a SMALLER planted class (don't materialize
+    // C(10^4, 2) in a test): 100 members, cap 99 stars / cap 100 exact
+    val c100 = (0L until 100L).map(i => (i, base)).toDF("vid", "sig")
+    val star = SimHash.nearDupPairsCollapsed(c100, "vid", "sig", 6, 3,
+      maxClassSize = 99).count()
+    val exact = SimHash.nearDupPairsCollapsed(c100, "vid", "sig", 6, 3,
+      maxClassSize = 100).count()
+    assert(star == 99L && exact == 100L * 99L / 2L, s"star=$star exact=$exact")
+  }
+
   test("t20 novelty: a gram is novel only for its smallest-doc_id owner") {
     // Same corpus as the d19 test: docs 1 and 2 share two 8-grams.
     // Doc 1 (smaller id) owns them — all 4 of its grams are novel;

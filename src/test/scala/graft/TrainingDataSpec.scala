@@ -763,6 +763,18 @@ class TrainingDataSpec extends AnyFunSuite {
       s"target-domain docs must score higher: en $meanEn vs other $meanOther")
   }
 
+  test("t50 bigram collision audit certifies the digest keying injective") {
+    // the ADVICE r13 recipe run at audit scale: distinct(bg) vs
+    // distinct(xxhash64(bg)) over the corpus — equal ⇒ every t50
+    // weight is exact, not merely collision-unlikely
+    val (nBg, nDig, coll) = TrainingDataQueries
+      .bigramCollisionAudit(Tables.documents(spark, TestSpark.Sf))
+      .as[(Long, Long, Long)].head()
+    assert(nBg > 0, "fixture must carry bigrams")
+    assert(coll == 0L && nBg == nDig,
+      s"xxhash64 collided on this vocabulary: $nBg bigrams, $nDig digests")
+  }
+
   test("t52 TTR matches a local split/distinct recomputation; ratios bounded") {
     val got = TrainingDataQueries.t52Ttr(spark, TestSpark.Sf)
       .as[(Long, Long, Long, Long, Long, Long, Long)].collect()

@@ -30,6 +30,10 @@ import pyarrow.parquet as pq
 
 
 def main() -> int:
+    if len(sys.argv) < 3:
+        print("usage: make_clustered_dir.py <src_dir> <dst_dir> "
+              "[n_per_cluster=50]", file=sys.stderr)
+        return 2
     src, dst = sys.argv[1], sys.argv[2]
     per_cluster = int(sys.argv[3]) if len(sys.argv) > 3 else 50
     os.makedirs(dst, exist_ok=True)
@@ -38,9 +42,21 @@ def main() -> int:
             shutil.copyfile(os.path.join(src, f), os.path.join(dst, f))
 
     t = pq.read_table(os.path.join(src, "embeddings.parquet"))
+    missing = {"vec_id", "label", "embedding"} - set(t.column_names)
+    if missing:
+        print(f"[make_clustered_dir] embeddings.parquet lacks expected "
+              f"column(s) {sorted(missing)} (have {t.column_names}); "
+              f"this tool only understands the driver testdata layout",
+              file=sys.stderr)
+        return 2
     vec_ids = t.column("vec_id").to_numpy()
     labels = t.column("label").to_numpy()
-    dim = len(t.column("embedding")[0])
+    first = t.column("embedding")[0].as_py()
+    if not isinstance(first, list) or not first:
+        print("[make_clustered_dir] 'embedding' is not a non-empty "
+              "list column; expected list<float32>", file=sys.stderr)
+        return 2
+    dim = len(first)
     n = len(vec_ids)
     n_clusters = max(8, n // per_cluster)
 
