@@ -113,6 +113,11 @@ object Bench {
             // one line prices the whole gate-corpus artifact chain
             "stage:gate_corpus" -> (() => LlmQueries.gateCorpusPostings(spark, sfDir)),
             "stage:rasters" -> (() => LlmQueries.rasterFrame(spark, sfDir)),
+            // the IVF k-NN graph: the similarity stack's dominant
+            // build, staged once for its consumers (s27 census; the
+            // SemDeDup/community families consume the exact s10 twin
+            // at oracle scale) — n^1.5 cell self-join by design
+            "stage:knn_graph" -> (() => LlmQueries.knnGraphFrame(spark, sfDir)),
             // the publish flagship, attributed per stage (r13 verdict
             // task 5: the sf1 cost decomposition must be measured, not
             // asserted). The four pub_* lines build and commit their
@@ -122,11 +127,14 @@ object Bench {
             // line then prices what remains of the end-to-end run —
             // shard export + manifests + savings ledger + the manifest
             // read-back — on top of the served prefix. Sum of the five
-            // = the r13 single-line end-to-end cost. Shard budget 32k
-            // tokens: the bench prices the pipeline's data-volume cost,
-            // not a pathological hundreds-of-tiny-shards layout the
-            // oracle-scale 1024 constant would force (a real deployment
-            // budgets ~100M tokens/shard)
+            // = r13's single `stage:publish_corpus` end-to-end line
+            // (that name is retired: its ledger chain measured the
+            // whole pipeline and must not continue with export-only
+            // numbers). Shard budget 32k tokens: the bench prices the
+            // pipeline's data-volume cost, not a pathological
+            // hundreds-of-tiny-shards layout the oracle-scale 1024
+            // constant would force (a real deployment budgets ~100M
+            // tokens/shard)
             "stage:pub_split" -> (() => PublishCorpus.splitFrame(spark, sfDir,
               StageRoots.rootFor(sfDir) + "/publish")),
             "stage:pub_kept" -> (() => PublishCorpus.keptFrame(spark, sfDir,
@@ -135,7 +143,7 @@ object Bench {
               StageRoots.rootFor(sfDir) + "/publish", tokenBudget = 32768L)),
             "stage:pub_datasheet" -> (() => PublishCorpus.datasheetFrame(spark,
               sfDir, StageRoots.rootFor(sfDir) + "/publish")),
-            "stage:publish_corpus" -> (() => PublishCorpus.run(spark, sfDir,
+            "stage:pub_export" -> (() => PublishCorpus.run(spark, sfDir,
               StageRoots.rootFor(sfDir) + "/publish_out",
               StageRoots.rootFor(sfDir) + "/publish",
               tokenBudget = 32768L))
