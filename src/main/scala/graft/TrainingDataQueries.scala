@@ -2807,7 +2807,88 @@ object TrainingDataQueries {
       |            END AS BIGINT) AS bigram_ttr_ppm
       |FROM b ORDER BY doc_id""".stripMargin
 
+  /** #322 (t53): quality-signal agreement / threshold operating curve
+    * — the calibration table between the CONTINUOUS quality heuristic
+    * (t02's score_milli) and the RULE battery (t29's gopher_pass),
+    * the reliability-diagram idea with every banned-float part
+    * replaced by exact integer ppm (Murphy-style calibration, Brier
+    * lineage): per 100-milli score bucket, the doc count and the
+    * rule-pass count + ppm, and the cumulative operating point "keep
+    * every doc scoring ≥ this bucket" — kept volume and kept-set
+    * rule-pass purity. This is the table a curator reads to CHOOSE
+    * the t02 threshold: where pass_ppm jumps is where the two
+    * independently-built signals agree the quality boundary sits,
+    * and a bucket where they diverge is a review queue, not a silent
+    * cutoff. Shape: two map-only scans join on doc_id, ONE
+    * histogram-scale groupBy (score domain ≤ 16 buckets by
+    * construction — max score_milli = 100·10 + 100·5 = 1500), then
+    * the cumulative window over the BUCKET table only (the q23
+    * aggregate-first convention: the single-partition window sees
+    * ≤ 16 rows at any corpus size). Fully oracled. */
+  def t53QualityAgreement: Q = (spark, dir) => {
+    val score = LlmQueries.t02QualityScore(spark, dir)
+      .select(col("doc_id"), expr("score_milli div 100").as("bucket"))
+    val pass = t29GopherRules(spark, dir)
+      .select(col("doc_id"), col("gopher_pass"))
+    val per = score.join(pass, "doc_id")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("gopher_pass").as("n_pass"))
+    val w = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .withColumn("kept_docs", sum("n_docs").over(w))
+      .withColumn("kept_pass", sum("n_pass").over(w))
+      .select(col("bucket"), col("n_docs"), col("n_pass"),
+        expr("(1000000 * n_pass) div n_docs").as("pass_ppm"),
+        col("kept_docs"), col("kept_pass"),
+        expr("(1000000 * kept_pass) div kept_docs").as("kept_pass_ppm"))
+      .orderBy("bucket")
+  }
+
+  val t53Sql: String = {
+    val stopSum = Seq("the", "a", "of", "in")
+      .map(w => s"CASE WHEN len(regexp_extract_all(lower(text), '\\b$w\\b')) > 0 THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    """WITH n AS (
+      |  SELECT doc_id, text,
+      |         regexp_replace(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]*(feat\.|featuring|ft\.|&|and)[ \t\n\x0b\f\r]*', ';', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g') AS text_norm
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |         CAST(LEAST(100, len(regexp_extract_all(text_norm, '[a-z0-9]+'))) * 10
+      |            + LEAST(100, len(regexp_extract_all(text_norm, '\b(the|a|of|in)\b'))) * 5 AS BIGINT) AS score_milli,
+      |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_words,
+      |         CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT) AS n_word_chars,
+      |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]*[a-z][a-z0-9]*')) AS BIGINT) AS n_alpha_words,
+      |         CAST(len(regexp_extract_all(text, '[#@%&$*]|\.\.\.')) AS BIGINT) AS n_symbols,
+      |         CAST(STOPSUM AS BIGINT) AS n_stop_types
+      |  FROM n),
+      |g AS (
+      |  SELECT score_milli // 100 AS bucket,
+      |         CASE WHEN n_words >= 50 AND n_words <= 100000
+      |                   AND n_word_chars >= n_words * 3 AND n_word_chars <= n_words * 10
+      |                   AND n_symbols * 10 <= n_words
+      |                   AND n_alpha_words * 5 >= n_words * 4
+      |                   AND n_stop_types >= 2 THEN 1 ELSE 0 END AS gopher_pass
+      |  FROM s),
+      |per AS (
+      |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST(SUM(gopher_pass) AS BIGINT) AS n_pass
+      |  FROM g GROUP BY 1),
+      |cum AS (
+      |  SELECT *,
+      |         CAST(SUM(n_docs) OVER (ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS kept_docs,
+      |         CAST(SUM(n_pass) OVER (ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS kept_pass
+      |  FROM per)
+      |SELECT bucket, n_docs, n_pass,
+      |       CAST((1000000 * n_pass) // n_docs AS BIGINT) AS pass_ppm,
+      |       kept_docs, kept_pass,
+      |       CAST((1000000 * kept_pass) // kept_docs AS BIGINT) AS kept_pass_ppm
+      |FROM cum ORDER BY bucket""".stripMargin.replace("STOPSUM", stopSum)
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "t53_quality_agreement" -> t53QualityAgreement,
     "t52_ttr" -> t52Ttr,
     "t51_lz_complexity" -> t51LzComplexity,
     "t50_dsir_weights" -> t50DsirWeights,
@@ -2858,6 +2939,7 @@ object TrainingDataQueries {
     "d11_corpus_pipeline" -> d11CorpusPipeline)
 
   val oracles: Seq[(String, String)] = Seq(
+    "t53_quality_agreement" -> t53Sql,
     "t52_ttr" -> t52Sql,
     "t50_dsir_weights" -> t50Sql,
     "t49_shard_invalidation" -> t49Sql,

@@ -454,7 +454,7 @@ object AnnIndex {
     * (d13/d05), not more cells. Metadata-only, the [[stats]] census
     * shape: per-cell counts off the `cell` partition column, vectors
     * never read; the per-cell collect is nCells ≈ √n rows, bounded. */
-  case class HotCell(maxCell: Long, target: Long, hot: Boolean,
+  case class HotCell(nVec: Long, maxCell: Long, target: Long, hot: Boolean,
                      suggestedNCells: Int)
   def hotCellSignal(spark: SparkSession, dir: String,
                     maxMultiple: Long = 4L): HotCell = {
@@ -472,7 +472,7 @@ object AnnIndex {
       if (target > 0 && maxMultiple * target > 0)
         nCells * ((maxCell + maxMultiple * target - 1) / (maxMultiple * target))
       else nCells)
-    HotCell(maxCell, target, hot,
+    HotCell(nVec, maxCell, target, hot,
       math.min(suggested, Int.MaxValue.toLong).toInt)
   }
 

@@ -1488,6 +1488,49 @@ object EventStream {
     }
   }
 
+  /** Streaming index-health monitor (#323) — the r14 hot-cell gate
+    * deployed the way an index owner actually runs it: each arriving
+    * embedding batch is appended to the persisted IVF index
+    * ([[graft.sim.AnnIndex.append]]) and the hot-cell capacity signal
+    * ([[graft.sim.AnnIndex.hotCellSignal]]) is evaluated and emitted
+    * PER BATCH, so the geometry drift recall audits cannot see (probe
+    * cost ∝ probed cell MASS — the GEOCHECK r13 finding) surfaces
+    * while it grows, not at the next maintenance window. Append is
+    * not replay-idempotent (a replayed batch would double its
+    * vectors), so the index dir carries the same durable batch stamp
+    * as the artifact maintainers: replayed ids SKIP the append but
+    * still emit the health row (idempotent from current state), and
+    * the stamp's one narrow at-least-once window (crash between
+    * append and stamp) re-appends exactly one batch — duplicate
+    * (id, vec) rows score identically, so a top-k list can carry a
+    * duplicate id until the next rebuild/compaction purges it; the
+    * window is the histogramArtifactForeachBatch contract, documented
+    * there. Batch schema: (id, vec) + the index's metadata columns.
+    * Health row: (batch_id, n_vectors, max_cell, occupancy_target,
+    * hot, suggested_n_cells) — the signal's metadata-only census, no
+    * vector reads. */
+  def indexHealthForeachBatch(dir: String, maxMultiple: Long = 4L)(
+      onReport: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    var lastBatch = -1L
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      if (lastBatch < 0) lastBatch = recoverBatchStamp(spark, dir, batchId)
+      if (batchId > lastBatch) {
+        if (!batch.isEmpty) {
+          graft.sim.AnnIndex.append(batch, dir)
+          writeBatchStamp(spark, dir, batchId)
+        } else stampNoOpBatch(spark, dir, batchId)
+        lastBatch = batchId
+      }
+      val sig = graft.sim.AnnIndex.hotCellSignal(spark, dir, maxMultiple)
+      import spark.implicits._
+      onReport(Seq((batchId, sig.nVec, sig.maxCell, sig.target,
+          if (sig.hot) 1L else 0L, sig.suggestedNCells.toLong))
+        .toDF("batch_id", "n_vectors", "max_cell", "occupancy_target",
+          "hot", "suggested_n_cells"), batchId)
+    }
+  }
+
   /** Streaming KS drift monitor (#292) — q111/q112's streaming twin,
     * built as a COMPOSITION of two already-verified pieces rather
     * than a new driver-held state family: each batch folds into the

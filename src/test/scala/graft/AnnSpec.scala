@@ -1376,6 +1376,40 @@ class AnnSpec extends AnyFunSuite {
     assert(!sig2.hot, s"balanced corpus flagged hot: $sig2")
   }
 
+  test("streaming index-health monitor appends, stamps, and fires the hot-cell signal") {
+    import graft.sim.AnnIndex
+    val dim = 16
+    val rnd = new scala.util.Random(11)
+    def spread(n: Int, from: Int) = (from until from + n).map(i =>
+      (i.toLong, IndexedSeq.fill(dim)(rnd.nextGaussian()).toSeq))
+    val dir = java.nio.file.Files.createTempDirectory("ann_health").toString
+    AnnIndex.build(spread(100, 0).toDF("id", "vec"), nCells = 10,
+      seed = 42L, dir = dir)
+    val reports =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Long)]
+    def monitor() = graft.streaming.EventStream.indexHealthForeachBatch(dir)(
+      (r, _) => reports += r.as[(Long, Long, Long, Long, Long, Long)].head())
+    val mon = monitor()
+    // batch 0: 20 more spread vectors — healthy occupancy, quiet
+    mon(spread(20, 100).toDF("id", "vec"), 0L)
+    // batch 1: a 150-copy identical blob (boilerplate ingest) — one
+    // cell swallows it and the capacity signal must fire
+    val blob = Seq.tabulate(dim)(j => if (j == 0) 1.0 else 0.01 * j)
+    mon((200 until 350).map(i => (i.toLong, blob)).toDF("id", "vec"), 1L)
+    assert(reports.size == 2, reports.toString)
+    val (b0, b1) = (reports(0), reports(1))
+    assert(b0._1 == 0L && b0._2 == 120L && b0._5 == 0L, s"batch 0 quiet: $b0")
+    assert(b1._1 == 1L && b1._2 == 270L && b1._5 == 1L, s"batch 1 hot: $b1")
+    assert(b1._3 >= 150L && b1._6 > 10L, s"blob cell + bumped suggestion: $b1")
+    // replay protection ACROSS closures (crash/restart): a fresh
+    // monitor recovering the stamp skips the redelivered append but
+    // still emits the health row idempotently
+    monitor()((200 until 350).map(i => (i.toLong, blob)).toDF("id", "vec"), 1L)
+    assert(reports.size == 3)
+    assert(reports(2)._2 == 270L && reports(2)._5 == 1L,
+      s"replayed batch must not double-append: ${reports(2)}")
+  }
+
   test("s25 matryoshka audit: full-width anchor exact; planted geometries discriminate") {
     // corpus query: the full-width row audits the truth against
     // itself — recall ≡ 1e6 — and every row carries the same budget

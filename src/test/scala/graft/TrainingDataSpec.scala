@@ -775,6 +775,32 @@ class TrainingDataSpec extends AnyFunSuite {
       s"xxhash64 collided on this vocabulary: $nBg bigrams, $nDig digests")
   }
 
+  test("t53 quality agreement matches a local recompute of the t02 x t29 operating curve") {
+    val got = TrainingDataQueries.t53QualityAgreement(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val score = LlmQueries.t02QualityScore(spark, TestSpark.Sf)
+      .select(col("doc_id"), col("score_milli"))
+      .as[(Long, Long)].collect().toMap
+    val pass = TrainingDataQueries.t29GopherRules(spark, TestSpark.Sf)
+      .select(col("doc_id"), col("gopher_pass"))
+      .as[(Long, Long)].collect().toMap
+    assert(score.keySet == pass.keySet, "both signals cover every doc")
+    val per = score.toSeq.map { case (id, s) => (s / 100, pass(id)) }
+      .groupBy(_._1).view
+      .mapValues(v => (v.size.toLong, v.map(_._2).sum)).toMap
+    var keptD = 0L
+    var keptP = 0L
+    val want = per.keys.toSeq.sorted.reverse.map { b =>
+      val (n, p) = per(b); keptD += n; keptP += p
+      (b, n, p, 1000000L * p / n, keptD, keptP, 1000000L * keptP / keptD)
+    }.reverse
+    assert(got == want, s"first diff: ${got.zip(want).find(x => x._1 != x._2)}")
+    // operating-curve shape: kept volume shrinks as the threshold
+    // rises, and the fixture must exercise both verdicts
+    assert(got.map(_._5) == got.map(_._5).sorted.reverse)
+    assert(keptP > 0 && keptP < keptD, "fixture needs passes AND failures")
+  }
+
   test("t52 TTR matches a local split/distinct recomputation; ratios bounded") {
     val got = TrainingDataQueries.t52Ttr(spark, TestSpark.Sf)
       .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
