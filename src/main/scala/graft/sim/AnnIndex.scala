@@ -390,7 +390,7 @@ object AnnIndex {
                sampleMod: Int = 25, seed: Long = 42L,
                floorPpm: Long = -1L, nCells: Int = 0,
                sampleBudget: Long = 2048L,
-               hotCellMultiple: Long = 4L): (Long, Boolean) = {
+               hotCellMultiple: Long = 3L): (Long, Boolean) = {
     import spark.implicits._
     // the rebuild must carry the metadata columns back through build
     // (probeFiltered prunes on them) — only nrm/cell are derived;
@@ -457,7 +457,7 @@ object AnnIndex {
   case class HotCell(nVec: Long, maxCell: Long, target: Long, hot: Boolean,
                      suggestedNCells: Int)
   def hotCellSignal(spark: SparkSession, dir: String,
-                    maxMultiple: Long = 4L): HotCell = {
+                    maxMultiple: Long = 3L): HotCell = {
     val spark2 = spark
     import spark2.implicits._
     val nCells = spark.read.parquet(s"$dir/centroids").count()

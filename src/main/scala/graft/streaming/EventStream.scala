@@ -1509,7 +1509,7 @@ object EventStream {
     * Health row: (batch_id, n_vectors, max_cell, occupancy_target,
     * hot, suggested_n_cells) — the signal's metadata-only census, no
     * vector reads. */
-  def indexHealthForeachBatch(dir: String, maxMultiple: Long = 4L)(
+  def indexHealthForeachBatch(dir: String, maxMultiple: Long = 3L)(
       onReport: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
     var lastBatch = -1L
     (batch: DataFrame, batchId: Long) => {

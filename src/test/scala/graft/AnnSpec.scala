@@ -1345,7 +1345,12 @@ class AnnSpec extends AnyFunSuite {
     import graft.sim.AnnIndex
     // 180 IDENTICAL vectors (a boilerplate blob no quantizer can
     // split — every copy lands in one cell) + 20 spread points;
-    // 10 cells → occupancy target 20, hot threshold 4×20 = 80
+    // 10 cells → occupancy target 20, hot threshold 3×20 = 60 (the
+    // default multiple is CALIBRATED from the r14 corpus-scale
+    // measurement: the clustered sf1 twin — the geometry that costs
+    // s22 a 2.9× probe wall — reads maxCell/target 3.5×, while the
+    // isotropic corpus reads 1.3×; 3× separates them, 4× missed the
+    // damaging regime)
     val dim = 16
     val rnd = new scala.util.Random(7)
     val blob = Seq.tabulate(dim)(j => if (j == 0) 1.0 else 0.01 * j)
@@ -1379,9 +1384,13 @@ class AnnSpec extends AnyFunSuite {
   test("streaming index-health monitor appends, stamps, and fires the hot-cell signal") {
     import graft.sim.AnnIndex
     val dim = 16
-    val rnd = new scala.util.Random(11)
-    def spread(n: Int, from: Int) = (from until from + n).map(i =>
-      (i.toLong, IndexedSeq.fill(dim)(rnd.nextGaussian()).toSeq))
+    // deterministic geometry: 10 well-separated tight clusters of 10
+    // → cells track clusters, every cell at the occupancy target
+    def spread(n: Int, from: Int) = (from until from + n).map { i =>
+      val c = i % 10
+      (i.toLong, Seq.tabulate(dim)(j =>
+        (if (j == c) 1.0 else 0.0) + 0.001 * (i / 10)))
+    }
     val dir = java.nio.file.Files.createTempDirectory("ann_health").toString
     AnnIndex.build(spread(100, 0).toDF("id", "vec"), nCells = 10,
       seed = 42L, dir = dir)
