@@ -1881,6 +1881,102 @@ object LlmQueries {
       |FROM s ORDER BY rrf_nano DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  /** #324 (s28): lexical↔dense retrieval agreement audit — the
+    * diagnostic a hybrid-stack owner reads BEFORE choosing between
+    * s09's rerank and s23's RRF (and the measurement behind "why does
+    * RRF help": fusion only buys anything where the two retrievers
+    * DISAGREE). Per cutoff k ∈ {5, 10, 20}: the exact top-k set
+    * intersection of the s08 lexical list and the dense cosine list
+    * (both anchored on the query doc 0, both self-hit-filtered — the
+    * s09/s23 conventions), the one-sided counts, overlap ppm against
+    * the prefix budget k (floor div — a list shorter than k honestly
+    * reads as missing mass, not renormalized away), and the
+    * cross-list anchor ranks: where the dense top-1 sits in the
+    * lexical list and vice versa (0 = absent — the integer
+    * reciprocal-rank convention with the division left to the
+    * reader, so the report carries ranks, not lossy ratios). Scale
+    * shape: both lists are k-row TakeOrderedAndProject results; the
+    * audit is arithmetic over a ≤40-row full join crossed with 3
+    * cutoffs — driver-scale by construction, the corpus is touched
+    * only by the two retrievals. Fully oracled. */
+  def s28RetrievalAgreement: Q = (spark, dir) => {
+    val spark2 = spark
+    import spark2.implicits._
+    val lex = s08Bm25(spark, dir)
+      .filter(col("doc_id") =!= 0)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(col("score_milli").desc,
+          col("doc_id").asc)).cast("long").as("lex_rank"))
+    val (emb, qv) = embAndQuery0(spark, dir)
+    val dense = emb.crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("sim",
+        cosinePrenormed(dot(col("qvec"), col("vec")), col("qnrm"), col("nrm")))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(20)
+      .select(col("vec_id").as("doc_id"),
+        row_number().over(Window.orderBy(col("sim").desc,
+          col("vec_id").asc)).cast("long").as("dense_rank"))
+    val f = lex.join(dense, Seq("doc_id"), "full")
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("dense_rank"), lit(0L)).as("dense_rank"))
+    val anchors = f.agg(
+      max(when(col("dense_rank") === 1, col("lex_rank")).otherwise(0L))
+        .as("lex_rank_of_dense_top1"),
+      max(when(col("lex_rank") === 1, col("dense_rank")).otherwise(0L))
+        .as("dense_rank_of_lex_top1"))
+    val inLex = col("lex_rank") > 0 && col("lex_rank") <= col("k")
+    val inDense = col("dense_rank") > 0 && col("dense_rank") <= col("k")
+    Seq(5L, 10L, 20L).toDF("k").crossJoin(f)
+      .groupBy("k")
+      .agg(
+        sum(when(inLex && inDense, 1L).otherwise(0L)).as("n_both"),
+        sum(when(inLex && !inDense, 1L).otherwise(0L)).as("n_lex_only"),
+        sum(when(inDense && !inLex, 1L).otherwise(0L)).as("n_dense_only"))
+      .crossJoin(broadcast(anchors))
+      .select(col("k"), col("n_both"), col("n_lex_only"), col("n_dense_only"),
+        expr("(1000000 * n_both) div k").as("overlap_ppm"),
+        col("lex_rank_of_dense_top1"), col("dense_rank_of_lex_top1"))
+      .orderBy("k")
+  }
+
+  val s28Sql: String = {
+    "WITH cands AS (" + s08CandsSql + """,
+      |lex AS (
+      |  SELECT doc_id,
+      |         CAST(row_number() OVER (ORDER BY score_milli DESC, doc_id)
+      |              AS BIGINT) AS lex_rank
+      |  FROM cands WHERE doc_id <> 0),
+      |""".stripMargin + embQvSql + """,
+      |dtop AS (
+      |  SELECT vec_id AS doc_id,
+      |         CAST(row_number() OVER (ORDER BY list_cosine_similarity(qvec, v) DESC,
+      |                                 vec_id) AS BIGINT) AS dense_rank
+      |  FROM emb CROSS JOIN qv WHERE vec_id <> 0
+      |  QUALIFY dense_rank <= 20),
+      |f AS (
+      |  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+      |         CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+      |         CAST(COALESCE(d.dense_rank, 0) AS BIGINT) AS dense_rank
+      |  FROM lex l FULL JOIN dtop d ON l.doc_id = d.doc_id),
+      |a AS (
+      |  SELECT CAST(MAX(CASE WHEN dense_rank = 1 THEN lex_rank ELSE 0 END) AS BIGINT) AS lex_rank_of_dense_top1,
+      |         CAST(MAX(CASE WHEN lex_rank = 1 THEN dense_rank ELSE 0 END) AS BIGINT) AS dense_rank_of_lex_top1
+      |  FROM f),
+      |ks AS (SELECT CAST(unnest([5, 10, 20]) AS BIGINT) AS k),
+      |per AS (
+      |  SELECT k,
+      |         CAST(SUM(CASE WHEN lex_rank BETWEEN 1 AND k AND dense_rank BETWEEN 1 AND k THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+      |         CAST(SUM(CASE WHEN lex_rank BETWEEN 1 AND k AND NOT (dense_rank BETWEEN 1 AND k) THEN 1 ELSE 0 END) AS BIGINT) AS n_lex_only,
+      |         CAST(SUM(CASE WHEN dense_rank BETWEEN 1 AND k AND NOT (lex_rank BETWEEN 1 AND k) THEN 1 ELSE 0 END) AS BIGINT) AS n_dense_only
+      |  FROM ks CROSS JOIN f GROUP BY k)
+      |SELECT per.k, per.n_both, per.n_lex_only, per.n_dense_only,
+      |       CAST((1000000 * per.n_both) // per.k AS BIGINT) AS overlap_ppm,
+      |       a.lex_rank_of_dense_top1, a.dense_rank_of_lex_top1
+      |FROM per CROSS JOIN a ORDER BY per.k""".stripMargin
+  }
+
   /** #130 (s10): all-corpus k-NN graph — every embedding's 5 nearest
     * cosine neighbors, EXACT ([[graft.sim.Ann.knnGraphExact]], ties
     * on neighbor id): the input structure for SemDeDup clustering,
@@ -3623,6 +3719,7 @@ object LlmQueries {
     "s25_matryoshka_audit" -> s25MatryoshkaAudit,
     "s26_hubness" -> s26Hubness,
     "s27_hubness_ivf" -> s27HubnessIvf,
+    "s28_retrieval_agreement" -> s28RetrievalAgreement,
     "d42_lsh_design" -> d42LshDesign,
     "d14_pagerank" -> d14Pagerank,
     "d18_kcore" -> d18Kcore,
@@ -3705,6 +3802,10 @@ object LlmQueries {
     // s25 intentionally absent (rows-only: float cosine path; AnnSpec
     // pins the full-width anchor + planted-geometry directions)
     "s26_hubness" -> s26Sql,
+    // s27 intentionally absent (rows-only: the IVF graph's iterative
+    // float k-means quantizer; AnnSpec pins mass conservation + the
+    // planted exact↔scale pairing)
+    "s28_retrieval_agreement" -> s28Sql,
     "d42_lsh_design" -> d42Sql,
     "d14_pagerank" -> d14Sql,
     "d18_kcore" -> d18Sql,

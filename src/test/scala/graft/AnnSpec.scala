@@ -1381,6 +1381,45 @@ class AnnSpec extends AnyFunSuite {
     assert(!sig2.hot, s"balanced corpus flagged hot: $sig2")
   }
 
+  test("s28 retrieval agreement matches a local recompute of the two top-20 lists") {
+    val got = LlmQueries.s28RetrievalAgreement(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // lexical ranks from the registered s08 list (ordered output)
+    val lexRank = LlmQueries.s08Bm25(spark, TestSpark.Sf)
+      .as[(Long, Long)].collect().toSeq.map(_._1).filter(_ != 0L)
+      .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    // dense ranks recomputed locally with the engines' arithmetic
+    // order (index-order dot, then d / (qn * vn))
+    val vecs = emb.as[(Long, Seq[Double])].collect()
+    def nrm(v: Seq[Double]) = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+    val q = vecs.find(_._1 == 0L).get._2
+    val qn = nrm(q)
+    val denseRank = vecs
+      .filter { case (id, v) => id != 0L && nrm(v) > 0 }
+      .map { case (id, v) =>
+        val d = q.zip(v).foldLeft(0.0)((a, p) => a + p._1 * p._2)
+        (id, d / (qn * nrm(v)))
+      }
+      .sortBy { case (id, s) => (-s, id) }.take(20).map(_._1)
+      .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    val ids = (lexRank.keySet ++ denseRank.keySet).toSeq
+    def inK(r: Option[Long], k: Long) = r.exists(x => x >= 1 && x <= k)
+    val want = Seq(5L, 10L, 20L).map { k =>
+      val both = ids.count(i => inK(lexRank.get(i), k) && inK(denseRank.get(i), k)).toLong
+      val lexOnly = ids.count(i => inK(lexRank.get(i), k) && !inK(denseRank.get(i), k)).toLong
+      val denseOnly = ids.count(i => inK(denseRank.get(i), k) && !inK(lexRank.get(i), k)).toLong
+      val dTop1 = denseRank.find(_._2 == 1L).map(_._1)
+      val lTop1 = lexRank.find(_._2 == 1L).map(_._1)
+      (k, both, lexOnly, denseOnly, 1000000L * both / k,
+        dTop1.flatMap(lexRank.get).getOrElse(0L),
+        lTop1.flatMap(denseRank.get).getOrElse(0L))
+    }
+    assert(got == want, s"got=$got want=$want")
+    // shape invariants: overlap grows with k; counts bounded by k
+    assert(got.map(_._2) == got.map(_._2).sorted)
+    got.foreach { r => assert(r._2 + r._3 <= r._1 && r._2 + r._4 <= r._1, r.toString) }
+  }
+
   test("streaming index-health monitor appends, stamps, and fires the hot-cell signal") {
     import graft.sim.AnnIndex
     val dim = 16
