@@ -990,10 +990,20 @@ object Ann {
       }
       (cs, p)
     }
+    // the corpus side SPREADS before the join: its upstream is a
+    // parquet scan whose split count is byte-derived (a compact
+    // embeddings file reads as 1-2 splits), and with the exploded
+    // query side BROADCAST the join output inherits the STREAM side's
+    // partitioning — so without this shuffle the nProbe·n²/nCells
+    // candidate rows and the window's partial top-k sort land in 1-2
+    // TASKS (measured r14 at n=20k: 71 of 93 s single-threaded in the
+    // map-side sort; the cell repartition costs one n-row shuffle and
+    // returned the whole build to 18 s with the identical plan above)
     val c = live.select(col("id").as("neighbor_id"), col("vec").as("cvec"),
         col("nrm0").as("cnrm"))
       .withColumn("cell",
         element_at(centroidCells(col("cvec"), col("cnrm"), centroids, 1), 1))
+      .repartition(col("cell"))
     val q = live.select(col("id").as("qid"), col("vec").as("qvec"),
         col("nrm0").as("qnrm"))
       .withColumn("cell",
