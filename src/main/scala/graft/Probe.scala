@@ -31,6 +31,23 @@ object Probe {
         println(s"[probe] hotcell $dir nCells=$cells " +
           s"nVec=${sig.nVec} maxCell=${sig.maxCell} target=${sig.target} " +
           s"hot=${sig.hot} suggested=${sig.suggestedNCells}")
+        // r15: the automated remedy, measured at the same corpus scale
+        // — run the split loop to its fixpoint and report the restored
+        // signal (GEOCHECK hot_cell_gate post-split entry)
+        if (sig.hot) {
+          val t0 = System.nanoTime()
+          val reps = Iterator.continually(sim.AnnIndex.splitHotCells(spark, idx))
+            .take(5).takeWhile(_.splitCells > 0).toVector
+          val sec = (System.nanoTime() - t0) / 1e9
+          val post = sim.AnnIndex.hotCellSignal(spark, idx)
+          println(f"[probe] hotcell-split $dir passes=${reps.size} " +
+            f"split=${reps.map(_.splitCells).sum} " +
+            f"newCells=${reps.map(_.newCells).sum} " +
+            f"refused=${reps.map(_.refused).sum} sec=$sec%.1f " +
+            s"postMaxCell=${post.maxCell} postTarget=${post.target} " +
+            s"postNCells=${spark.read.parquet(s"$idx/centroids").count()} " +
+            s"postHot=${post.hot}")
+        }
       case Some("knngraph") =>
         // attribute the IVF graph build's cost: quantizer fit vs the
         // cell self-join + window (usage: Probe knngraph <sfDir>)
@@ -45,7 +62,7 @@ object Probe {
         val n = live.count()
         val nCells = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
         val t0 = System.nanoTime()
-        sim.Ann.fitCentroids(live, n, nCells, 42L, 100000L)
+        val cs = sim.Ann.fitCentroids(live, n, nCells, 42L, 100000L)
         val tFit = (System.nanoTime() - t0) / 1e9
         val t1 = System.nanoTime()
         sim.Ann.knnGraph(e, k = 5, seed = 42L)
@@ -53,9 +70,11 @@ object Probe {
         val tAll = (System.nanoTime() - t1) / 1e9
         println(f"[probe] knngraph $dir n=$n nCells=$nCells " +
           f"fit=$tFit%.1f s total=$tAll%.1f s join+window=${tAll - tFit}%.1f s")
-        // candidate volume + cell-population skew of the same build
+        // candidate volume + cell-population skew of the same build —
+        // served from the timed fit above (refitting here doubled the
+        // probe's own wall time on large dirs; the fit is seeded, so
+        // the reused centroids are the ones knnGraph derives anyway)
         import graft.functions.CentroidCells.centroidCells
-        val cs = sim.Ann.fitCentroids(live, n, nCells, 42L, 100000L)
         val nProbe = math.max(3, math.ceil(math.sqrt(nCells.toDouble)).toInt)
         val cells = live.withColumn("cell",
           element_at(centroidCells(col("vec"), col("nrm0"), cs, 1), 1))

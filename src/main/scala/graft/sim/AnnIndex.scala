@@ -344,6 +344,7 @@ object AnnIndex {
     val tomb = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
     val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
     healInterruptedPurge(fs, dir)
+    healInterruptedSplit(spark, dir)
     val cells = spark.read.parquet(s"$dir/cells")
     val files =
       if (fs.exists(tomb)) tombstoneFiles(fs, tomb)
@@ -390,7 +391,8 @@ object AnnIndex {
                sampleMod: Int = 25, seed: Long = 42L,
                floorPpm: Long = -1L, nCells: Int = 0,
                sampleBudget: Long = 2048L,
-               hotCellMultiple: Long = 3L): (Long, Boolean) = {
+               hotCellMultiple: Long = 3L,
+               autoSplit: Boolean = false): (Long, Boolean) = {
     import spark.implicits._
     // the rebuild must carry the metadata columns back through build
     // (probeFiltered prunes on them) — only nrm/cell are derived;
@@ -428,7 +430,17 @@ object AnnIndex {
         s"${hot.maxCell} > $hotCellMultiple x occupancy target " +
         s"${hot.target} — probe wall is cell-mass-bound regardless of " +
         s"recall; rebuild with nCells >= ${hot.suggestedNCells} (or " +
-        s"split the hot cell) to restore the calibrated probe cost")
+        s"run splitHotCells) to restore the calibrated probe cost")
+    // the automated remedy (r15): split in place when the gate fires
+    // and no rebuild is about to refit everything anyway — O(hot-cell
+    // mass), not O(corpus)
+    if (autoSplit && hot.hot && !rebuild) {
+      val rep = splitHotCells(spark, dir, hotCellMultiple, seed)
+      System.err.println(
+        s"[graft.AnnIndex] splitHotCells at $dir: split=${rep.splitCells} " +
+          s"newCells=${rep.newCells} refused=${rep.refused} " +
+          s"maxCell ${rep.maxCellBefore} -> ${rep.maxCellAfter}")
+    }
     if (rebuild) {
       val staged = full.localCheckpoint(true)
       val cells =
@@ -474,6 +486,234 @@ object AnnIndex {
       else nCells)
     HotCell(nVec, maxCell, target, hot,
       math.min(suggested, Int.MaxValue.toLong).toInt)
+  }
+
+  /** One [[splitHotCells]] pass, summarized: cells split, NEW cell
+    * ids minted (k−1 per split — sub-cell 0 reuses the split cell's
+    * id), splits REFUSED (the identical-blob floor: the local
+    * quantizer put every vector in one sub-cell, so splitting would
+    * only mint dead centroids — re-running can never loop on such a
+    * cell), and the max live-cell population before/after. */
+  case class SplitReport(splitCells: Int, newCells: Int, refused: Int,
+                         maxCellBefore: Long, maxCellAfter: Long)
+
+  private val SplitMarker = "_graft_split_pending"
+  private val SplitTmp = ".split-inprogress"
+
+  /** Split every HOT cell — population > `maxMultiple` × the
+    * occupancy target ⌈nVec/nCells⌉, [[hotCellSignal]]'s gate — into
+    * k = ⌈pop/target⌉ sub-cells via a LOCAL k-means over that one
+    * cell's vectors: the automated remedy the r14 gate could only
+    * suggest. Work is O(Σ hot-cell mass) — the quantizer fit and the
+    * reassignment read exactly the hot partitions (partition-pruned
+    * scans), never the corpus — and the rewrite touches only those
+    * partitions, so on a 100 TB index a split prices like an append
+    * of the hot cells, not a rebuild. Probe parity: sub-cell 0 reuses
+    * the hot cell's id and ids `nCells..` append, preserving the
+    * "centroid table position = cell id" contiguity every probe path
+    * assumes; the sub-centroids tile the old cell's region, so a
+    * probe that would have paid the whole blob now ranks its
+    * sub-cells individually and reads only the mass it needs
+    * (recall preservation spec-pinned on the clustered fixture).
+    * The calibrated `meta.n_probe` operating point is kept — after a
+    * split each probed unit is smaller, so probe cost only drops.
+    *
+    * Crash safety is the stage-then-commit shape of [[purge]] /
+    * [[graft.sources.Writers.compactSmallFiles]]: ALL reassigned
+    * rows, the updated centroid table and meta are fully staged under
+    * a hidden sibling dir first; a root-level pending marker listing
+    * the retired source files is the COMMIT POINT; apply then moves
+    * staged files in, deletes the originals, and swaps
+    * centroids/meta. Every reader heals through the marker
+    * ([[healInterruptedSplit]] on the [[liveCells]] path): a crash
+    * before the marker leaves an invisible staging dir (swept by the
+    * next split); a crash after it rolls FORWARD idempotently —
+    * renames skip files already moved, deletes skip files already
+    * gone. Like compact/purge, a probe racing the apply window can
+    * transiently see a vector twice; schedule splits in the same
+    * maintenance window. Single maintenance writer assumed (the
+    * compact/purge contract).
+    *
+    * A hot cell whose local k-means refuses to separate it (all mass
+    * in one sub-cell — a near-identical blob) is SKIPPED and counted
+    * in `refused`: re-running therefore terminates — it never mints
+    * empty centroids for an unsplittable blob, and once nothing is
+    * hot the pass is a no-op (idempotence spec-pinned). For blobs the
+    * honest remedies remain admission-side dedup (d13/d05) or a
+    * dedicated shard, per [[hotCellSignal]]'s scaladoc. */
+  def splitHotCells(spark: SparkSession, dir: String,
+                    maxMultiple: Long = 3L, seed: Long = 42L,
+                    maxSubCells: Int = 256): SplitReport = {
+    import spark.implicits._
+    val st = stageSplit(spark, dir, maxMultiple, seed, maxSubCells)
+    if (!st.committed)
+      return SplitReport(0, 0, st.refused, st.maxBefore, st.maxBefore)
+    applySplit(spark, dir, st.originals)
+    val popsAfter = liveCells(spark, dir).groupBy("cell")
+      .agg(count(lit(1)).as("n")).select("n").as[Long].collect()
+    SplitReport(st.split, st.newCells, st.refused, st.maxBefore,
+      if (popsAfter.isEmpty) 0L else popsAfter.max)
+  }
+
+  /** Staged-and-COMMITTED half of [[splitHotCells]] (everything up to
+    * and including the marker write), factored so AnnSpec can pin the
+    * crash window between commit and apply: after this returns with
+    * `committed = true`, the split is durable — any reader heals it
+    * forward. `committed = false` means nothing was staged (no hot
+    * cells, or every hot cell refused to split). */
+  private[graft] case class StagedSplit(originals: Seq[String], split: Int,
+                                        newCells: Int, refused: Int,
+                                        maxBefore: Long, committed: Boolean)
+  private[graft] def stageSplit(spark: SparkSession, dir: String,
+                                maxMultiple: Long, seed: Long,
+                                maxSubCells: Int): StagedSplit = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healInterruptedPurge(fs, dir)
+    healInterruptedSplit(spark, dir)
+    // uncommitted staging from a crashed predecessor is invisible to
+    // readers and safe to sweep HERE (single maintenance writer) —
+    // a reader's healer must never touch it (see healInterruptedSplit)
+    val tmp = new org.apache.hadoop.fs.Path(dir, SplitTmp)
+    fs.delete(tmp, true)
+    val nCells0 = spark.read.parquet(s"$dir/centroids").count().toInt
+    val pops = liveCells(spark, dir).groupBy("cell")
+      .agg(count(lit(1)).as("n")).as[(Int, Long)].collect()
+    val nVec = pops.map(_._2).sum
+    val target = if (nCells0 == 0) 0L else (nVec + nCells0 - 1) / nCells0
+    val maxBefore = if (pops.isEmpty) 0L else pops.map(_._2).max
+    val hot = pops.filter(_._2 > maxMultiple * target).sortBy(_._1)
+    if (target == 0 || hot.isEmpty)
+      return StagedSplit(Nil, 0, 0, 0, maxBefore, committed = false)
+    val updated = scala.collection.mutable.ArrayBuffer(
+      readCentroids(spark, dir): _*)
+    var base = nCells0
+    var refused = 0
+    var split = 0
+    val originals = scala.collection.mutable.ArrayBuffer.empty[String]
+    hot.foreach { case (h, pop) =>
+      val k = math.min(maxSubCells.toLong,
+        math.max(2L, (pop + target - 1) / target)).toInt
+      val cellRows = liveCells(spark, dir)
+        .filter(col("cell") === h).drop("cell")
+      // O(cell) local fit: the frame IS one partition's (pruned) rows.
+      // kEff, not k, drives the id arithmetic — a duplicate-heavy cell
+      // can yield fewer distinct centers than requested
+      val subCents = Ann.fitCentroids(
+        cellRows.select("id", "vec"), pop, k, seed + h, 100000L)
+      val kEff = subCents.length
+      val assigned = cellRows.withColumn("__sub",
+        element_at(centroidCells(col("vec"), col("nrm"), subCents, 1), 1))
+      val maxSub = assigned.groupBy("__sub").agg(count(lit(1)).as("n"))
+        .agg(max("n")).as[Long].head()
+      if (maxSub >= pop || kEff < 2) refused += 1
+      else {
+        assigned
+          .withColumn("cell", when(col("__sub") === 0, lit(h))
+            .otherwise(col("__sub") + lit(base - 1)))
+          .drop("__sub")
+          .write.mode("append").partitionBy("cell")
+          .parquet(s"${tmp.toString}/cells")
+        updated(h) = subCents.head
+        subCents.tail.foreach(c => updated += c)
+        val cdir = new org.apache.hadoop.fs.Path(s"$dir/cells/cell=$h")
+        fs.listStatus(cdir).foreach { st =>
+          val nm = st.getPath.getName
+          if (st.isFile && !nm.startsWith("_") && !nm.startsWith("."))
+            originals += s"cell=$h/$nm"
+        }
+        base += kEff - 1
+        split += 1
+      }
+    }
+    if (split == 0) { fs.delete(tmp, true)
+      return StagedSplit(Nil, 0, 0, refused, maxBefore, committed = false) }
+    updated.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cell", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"${tmp.toString}/centroids")
+    // meta rides along so n_cells stays truthful; the calibrated
+    // n_probe operating point is preserved (see scaladoc)
+    scala.util.Try(spark.read.parquet(s"$dir/meta").head()).foreach { m =>
+      Seq((m.getDouble(0), m.getInt(1), m.getLong(2), updated.length))
+        .toDF("recall_target", "n_probe", "n", "n_cells")
+        .repartition(1).write.mode("overwrite").parquet(s"${tmp.toString}/meta")
+    }
+    // COMMIT: from here every reader rolls the split forward
+    val marker = new org.apache.hadoop.fs.Path(dir, SplitMarker)
+    val out = fs.create(marker, true)
+    out.write((s"tmp=$SplitTmp" +: originals.toSeq).mkString("\n")
+      .getBytes("UTF-8"))
+    out.close()
+    StagedSplit(originals.toSeq, split, base - nCells0, refused, maxBefore,
+      committed = true)
+  }
+
+  /** Apply (or re-apply) a COMMITTED split: move staged partition
+    * files in, retire the listed originals, swap centroids + meta,
+    * clear the marker. Every step is idempotent and
+    * concurrent-tolerant — a rename that loses a race to a healer is
+    * accepted when the destination exists; a swap whose staged side
+    * is already gone is complete. */
+  private def applySplit(spark: SparkSession, dir: String,
+                         originals: Seq[String]): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dir, SplitTmp)
+    val tmpCells = new org.apache.hadoop.fs.Path(tmp, "cells")
+    if (fs.exists(tmpCells)) {
+      fs.listStatus(tmpCells)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+        .foreach { pd =>
+          val dest = new org.apache.hadoop.fs.Path(
+            s"$dir/cells/${pd.getPath.getName}")
+          fs.mkdirs(dest)
+          fs.listStatus(pd.getPath).foreach { st =>
+            val nm = st.getPath.getName
+            if (st.isFile && !nm.startsWith("_") && !nm.startsWith(".")) {
+              val to = new org.apache.hadoop.fs.Path(dest, nm)
+              if (!fs.exists(to) && !fs.rename(st.getPath, to) &&
+                  !fs.exists(to))
+                throw new java.io.IOException(
+                  s"splitHotCells: rename ${st.getPath} -> $to failed")
+            }
+          }
+        }
+    }
+    originals.foreach { rel =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/cells/$rel")
+      if (fs.exists(p)) fs.delete(p, false)
+    }
+    Seq("centroids", "meta").foreach { t =>
+      val staged = new org.apache.hadoop.fs.Path(tmp, t)
+      if (fs.exists(staged)) {
+        val live = new org.apache.hadoop.fs.Path(s"$dir/$t")
+        fs.delete(live, true)
+        if (!fs.rename(staged, live) && !fs.exists(live))
+          throw new java.io.IOException(
+            s"splitHotCells: swap $staged -> $live failed")
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(dir, SplitMarker), false)
+    fs.delete(tmp, true)
+  }
+
+  /** Roll a COMMITTED-but-interrupted [[splitHotCells]] forward — the
+    * read-path healer, sibling of [[healInterruptedPurge]]. Acts only
+    * when the commit marker exists; an UNcommitted staging dir (no
+    * marker) belongs to a possibly-live splitter and is left alone —
+    * the next [[splitHotCells]] sweeps it. One `exists` probe on the
+    * no-marker fast path. */
+  private[graft] def healInterruptedSplit(spark: SparkSession,
+                                          dir: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(dir, SplitMarker)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) return
+    val in = fs.open(marker)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    applySplit(spark, dir, lines.filter(l => l.nonEmpty && !l.startsWith("tmp=")))
   }
 
   /** Index HEALTH panel: one row — true cell count (from the

@@ -1381,6 +1381,134 @@ class AnnSpec extends AnyFunSuite {
     assert(!sig2.hot, s"balanced corpus flagged hot: $sig2")
   }
 
+  test("splitHotCells resolves an append-drifted hot cell, preserves recall, reaches a stable fixpoint") {
+    import graft.sim.AnnIndex
+    val dim = 16
+    val rnd = new scala.util.Random(11)
+    // base corpus: 400 scattered points → 20 roughly balanced cells
+    val base = (1000 until 1400).map(i =>
+      (i.toLong, IndexedSeq.fill(dim)(rnd.nextGaussian()).toSeq))
+    val dir = java.nio.file.Files.createTempDirectory("ann_split").toString
+    AnnIndex.build(base.toDF("id", "vec"), nCells = 20, seed = 42L, dir = dir)
+    // append drift: a narrow cone of 12 sub-blobs × 30 identical
+    // copies — append assigns against the PERSISTED centroids (no
+    // refit), so the cone concentrates into the one or two cells
+    // nearest its axis: the capacity regime GEOCHECK measured at
+    // corpus scale, reproduced deterministically. The sub-blob
+    // structure is what a LOCAL quantizer can separate.
+    val cone = (0 until 360).map { i =>
+      val j = i % 12
+      (i.toLong, Seq.tabulate(dim)(d =>
+        if (d == 0) 1.0 else if (d == j + 1) 0.2 else 0.0))
+    }
+    AnnIndex.append(cone.toDF("id", "vec"), dir)
+    val sig0 = AnnIndex.hotCellSignal(spark, dir)
+    assert(sig0.hot, s"fixture must start hot: $sig0")
+    val all = base ++ cone
+    val qdf = all.filter(_._1 % 60 == 0).toDF("id", "vec")
+    def recallPpm(): Long = {
+      val truth = Ann.bruteForceTopK(all.toDF("id", "vec"), qdf, 5)
+        .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+      val got = AnnIndex.probe(spark, dir, qdf, 5)
+        .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+      if (truth.isEmpty) 1000000L else truth.count(got) * 1000000L / truth.size
+    }
+    val before = recallPpm()
+    // the occupancy target tightens as cells are added (target =
+    // ⌈n/nCells⌉), so convergence may take a couple of passes; the
+    // contract is progress every pass and a stable quiet fixpoint
+    val reports = Iterator.continually(AnnIndex.splitHotCells(spark, dir))
+      .take(5).takeWhile(_.splitCells > 0).toVector
+    assert(reports.nonEmpty && reports.head.splitCells >= 1,
+      s"nothing split: $reports")
+    assert(reports.size < 5, s"split did not converge: $reports")
+    assert(reports.head.maxCellAfter < reports.head.maxCellBefore,
+      reports.toString)
+    val sig1 = AnnIndex.hotCellSignal(spark, dir)
+    assert(!sig1.hot, s"still hot after split: $sig1 / $reports")
+    // no rows lost or duplicated; centroid ids stay contiguous (the
+    // "centroid position = cell id" invariant every probe assumes)
+    val nv = AnnIndex.stats(spark, dir).select("n_vectors").as[Long].head()
+    assert(nv == all.length.toLong, s"row count changed: $nv")
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select("cell").as[Int].collect().sorted.toSeq
+    assert(cents == (0 until cents.length), "centroid ids must stay contiguous")
+    // probe recall at the SAME calibrated operating point is preserved
+    val after = recallPpm()
+    assert(after >= before - 50000L, s"recall regressed: $before -> $after")
+    // fixpoint is stable: one more call is a clean no-op
+    val again = AnnIndex.splitHotCells(spark, dir)
+    assert(again.splitCells == 0 && again.newCells == 0, again.toString)
+  }
+
+  test("splitHotCells refuses an unsplittable identical blob and terminates") {
+    import graft.sim.AnnIndex
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    val blob = Seq.tabulate(dim)(j => if (j == 0) 1.0 else 0.01 * j)
+    val rows = (0 until 180).map(i => (i.toLong, blob)) ++
+      (180 until 200).map(i =>
+        (i.toLong, IndexedSeq.fill(dim)(rnd.nextGaussian()).toSeq))
+    val dir = java.nio.file.Files.createTempDirectory("ann_refuse").toString
+    AnnIndex.build(rows.toDF("id", "vec"), nCells = 10, seed = 42L, dir = dir)
+    assert(AnnIndex.hotCellSignal(spark, dir).hot)
+    // first call may legitimately peel scattered strays out of the
+    // blob's cell; by the second call the cell is pure blob and must
+    // REFUSE (no dead centroids) rather than loop
+    AnnIndex.splitHotCells(spark, dir)
+    val r2 = AnnIndex.splitHotCells(spark, dir)
+    assert(r2.splitCells == 0 && r2.refused >= 1, r2.toString)
+    val nCents = spark.read.parquet(s"$dir/centroids").count()
+    val r3 = AnnIndex.splitHotCells(spark, dir)
+    assert(r3.splitCells == 0 && r3.refused >= 1, r3.toString)
+    assert(spark.read.parquet(s"$dir/centroids").count() == nCents,
+      "a refused split must not mint centroids")
+    assert(AnnIndex.hotCellSignal(spark, dir).hot,
+      "an identical blob is irreducibly hot — the honest remedies are dedup or a shard")
+  }
+
+  test("a committed split heals forward on the read path; double-heal is a no-op") {
+    import graft.sim.AnnIndex
+    val dim = 16
+    val rnd = new scala.util.Random(13)
+    val base = (1000 until 1200).map(i =>
+      (i.toLong, IndexedSeq.fill(dim)(rnd.nextGaussian()).toSeq))
+    val dir = java.nio.file.Files.createTempDirectory("ann_heal").toString
+    AnnIndex.build(base.toDF("id", "vec"), nCells = 10, seed = 42L, dir = dir)
+    val cone = (0 until 120).map { i =>
+      val j = i % 6
+      (i.toLong, Seq.tabulate(dim)(d =>
+        if (d == 0) 1.0 else if (d == j + 1) 0.2 else 0.0))
+    }
+    AnnIndex.append(cone.toDF("id", "vec"), dir)
+    val nvBefore = AnnIndex.stats(spark, dir)
+      .select("n_vectors").as[Long].head()
+    // commit WITHOUT applying — exactly the crash window between the
+    // marker write and the apply
+    val st = AnnIndex.stageSplit(spark, dir, 3L, 42L, 256)
+    assert(st.committed && st.split >= 1, st.toString)
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_graft_split_pending")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(marker), "commit marker must exist in the crash window")
+    // the first reader rolls the split forward: counts exact (no row
+    // lost to the retired originals, none duplicated from the staged
+    // files), marker and staging dir cleared, centroids contiguous
+    val nvAfter = AnnIndex.stats(spark, dir)
+      .select("n_vectors").as[Long].head()
+    assert(nvAfter == nvBefore, s"heal changed row count: $nvBefore -> $nvAfter")
+    assert(!fs.exists(marker), "heal must clear the marker")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/.split-inprogress")),
+      "heal must clear the staging dir")
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select("cell").as[Int].collect().sorted.toSeq
+    assert(cents == (0 until cents.length), "centroid ids must stay contiguous")
+    // healing again (explicitly and via a read) is a no-op
+    AnnIndex.healInterruptedSplit(spark, dir)
+    val nvAgain = AnnIndex.stats(spark, dir)
+      .select("n_vectors").as[Long].head()
+    assert(nvAgain == nvBefore)
+  }
+
   test("s28 retrieval agreement matches a local recompute of the two top-20 lists") {
     val got = LlmQueries.s28RetrievalAgreement(spark, TestSpark.Sf)
       .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
