@@ -2440,8 +2440,15 @@ object LlmQueries {
     // identical-sig collapse (r13): the two wire-format variants of a
     // doc carry EQUAL pixel hashes by construction, and similar
     // renders collide across docs — pairing on distinct sig values
-    // cuts the blocked join's quadratic identical-class mass while
-    // emitting the exact same pair set (SimHash scaladoc, spec-pinned)
+    // cuts the blocked join's quadratic identical-class mass. Pair set
+    // equals the blocked join's EXCEPT for identical-sig classes
+    // larger than the r14 maxClassSize=4096 cap, which thin to the
+    // star contract (n−1 rep edges, same connected components —
+    // SimHash scaladoc, spec-pinned). At m04's class sizes (2 wire
+    // variants + near-render collisions per doc) the cap is
+    // unreachable, so the emitted rows are in practice the exact set;
+    // a degenerate corpus (thousands of identical renders) would
+    // thin pairs but keep every component intact.
     SimHash.nearDupPairsCollapsed(sigs, "vid", "sig",
         nBlocks = 6, maxHamming = 3)
       .select(
@@ -3579,41 +3586,65 @@ object LlmQueries {
   }
 
   /** The s25 kernel — factored for the planted-geometry specs.
-    * Query budget 256, tighter than the s14/s17 default 2048: this
-    * audit pays FOUR brute-force passes per query (full-width truth +
-    * three prefix widths), so the default budget's bind point
-    * (floorMod·2048 ≈ 51k vectors) leaves the 1/25-slice quadratic
-    * regime in force through every audit-scale corpus — the r14
-    * ledger read 8.6/36/105 s at sf0.3/0.6/1.0 (exponent ~2.1) under
-    * the default, exactly the pre-cap Θ(n²) the absolute-budget
-    * economics exist to prevent. 256 queries × k=5 = 1280 graded
-    * neighbor slots per width — ±2-3% on a 3-row report whose
-    * decision gaps are tens of points; the audit-scale sample
-    * (n ≤ 6400 → the classic 1/25 slice) is unchanged, so oracle-
-    * scale outputs and the planted-fixture specs are untouched. */
+    * Query budget 256, tighter than the s14/s17 default 2048 (256
+    * queries × k=5 = 1280 graded neighbor slots per width — ±2-3% on
+    * a 3-row report whose decision gaps are tens of points).
+    *
+    * ONE corpus pass scores every truncation width (r15): the
+    * d'-prefix dot is a checkpoint of the same left-to-right
+    * accumulation the full-width truth runs, so each (query, corpus)
+    * pair emits ALL its partial dots from one codegen'd array scan
+    * ([[graft.functions.PrefixDots]]) instead of the r14 shape's four
+    * separate brute-force passes (truth + three sliced re-scores —
+    * the ledger's highest non-flagged exponent, ~1.1 at sf1, was
+    * that 4× re-scan). The full-width slot doubles as the truth
+    * (got@dim ≡ truth by construction, keeping the recall ≡ 10⁶
+    * anchor); per-width prefix NORMS are computed once per side
+    * BEFORE the pair join (n + sample rows, not per pair). Zero-norm
+    * guard per width, matching bruteForceTopK's both-sides exclusion
+    * on the sliced vectors. The window ranks (width, qid) groups —
+    * one skinny shuffle of widths·|pairs| rows replaces four
+    * vector-carrying ones. */
   private[graft] def matryoshkaAudit(e: DataFrame, k: Int): DataFrame = {
     import e.sparkSession.implicits._
+    import graft.functions.PrefixDots.prefixDots
     val dim = e.select(size(col("vec"))).head().getInt(0)
     val n = e.count()
     val mod = Ann.auditSampleMod(n, budget = 256L)
-    val sample = e.filter(pmod(col("id"), lit(mod)) === 0)
-    val truth = Ann.bruteForceTopK(e, sample, k)
-      .select(col("qid"), col("neighbor_id")).localCheckpoint(true)
-    val nTrue = truth.count()
     val widths = Seq(dim / 4, dim / 2, dim).distinct.filter(_ >= 1).sorted
-    val rows = widths.map { w =>
-      val ew = e.select(col("id"), slice(col("vec"), 1, w).as("vec"))
-      val got = Ann.bruteForceTopK(ew,
-          sample.select(col("id"), slice(col("vec"), 1, w).as("vec")), k)
-        .select(col("qid"), col("neighbor_id")).withColumn("hit", lit(1L))
+    val c = e.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
+      .withColumn("cn2", prefixDots(col("cvec"), col("cvec"), widths))
+    val q = e.filter(pmod(col("id"), lit(mod)) === 0)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+      .withColumn("qn2", prefixDots(col("qvec"), col("qvec"), widths))
+    val exploded = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("qid"))
+      .select(col("qid"), col("neighbor_id"), col("qn2"), col("cn2"),
+        posexplode(prefixDots(col("qvec"), col("cvec"), widths))
+          .as(Seq("wi", "dotw")))
+      .withColumn("qn2w", element_at(col("qn2"), col("wi") + 1))
+      .withColumn("cn2w", element_at(col("cn2"), col("wi") + 1))
+      .filter(col("qn2w") > 0 && col("cn2w") > 0)
+      .withColumn("sim", cosinePrenormed(col("dotw"),
+        sqrt(col("qn2w")), sqrt(col("cn2w"))))
+    val w = Window.partitionBy("wi", "qid")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    val topk = exploded.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("wi"), col("qid"), col("neighbor_id"))
+      .localCheckpoint(true)
+    val fullWi = widths.length - 1
+    val truth = topk.filter(col("wi") === fullWi)
+      .select(col("qid"), col("neighbor_id"))
+    val nTrue = truth.count()
+    val hits: Map[Int, Long] = topk.join(truth, Seq("qid", "neighbor_id"))
+      .groupBy("wi").agg(count(lit(1)).as("h"))
+      .as[(Int, Long)].collect().toMap
+    val rows = widths.zipWithIndex.map { case (wd, i) =>
       val recallPpm =
         if (nTrue == 0) 1000000L
-        else {
-          val hits = truth.join(got, Seq("qid", "neighbor_id"), "left")
-            .agg(sum(coalesce(col("hit"), lit(0L))).as("h")).as[Long].head()
-          hits * 1000000L / nTrue
-        }
-      (w.toLong, recallPpm, nTrue)
+        else hits.getOrElse(i, 0L) * 1000000L / nTrue
+      (wd.toLong, recallPpm, nTrue)
     }
     rows.toDF("dims", "recall_ppm", "n_truth_pairs").orderBy("dims")
   }
