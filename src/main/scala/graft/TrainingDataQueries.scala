@@ -2845,36 +2845,19 @@ object TrainingDataQueries {
       .orderBy("bucket")
   }
 
-  val t53Sql: String = {
-    val stopSum = Seq("the", "a", "of", "in")
-      .map(w => s"CASE WHEN len(regexp_extract_all(lower(text), '\\b$w\\b')) > 0 THEN 1 ELSE 0 END")
-      .mkString(" + ")
-    """WITH n AS (
-      |  SELECT doc_id, text,
-      |         regexp_replace(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]*(feat\.|featuring|ft\.|&|and)[ \t\n\x0b\f\r]*', ';', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g') AS text_norm
-      |  FROM documents),
-      |s AS (
-      |  SELECT doc_id,
-      |         CAST(LEAST(100, len(regexp_extract_all(text_norm, '[a-z0-9]+'))) * 10
-      |            + LEAST(100, len(regexp_extract_all(text_norm, '\b(the|a|of|in)\b'))) * 5 AS BIGINT) AS score_milli,
-      |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_words,
-      |         CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT) AS n_word_chars,
-      |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]*[a-z][a-z0-9]*')) AS BIGINT) AS n_alpha_words,
-      |         CAST(len(regexp_extract_all(text, '[#@%&$*]|\.\.\.')) AS BIGINT) AS n_symbols,
-      |         CAST(STOPSUM AS BIGINT) AS n_stop_types
-      |  FROM n),
-      |g AS (
-      |  SELECT score_milli // 100 AS bucket,
-      |         CASE WHEN n_words >= 50 AND n_words <= 100000
-      |                   AND n_word_chars >= n_words * 3 AND n_word_chars <= n_words * 10
-      |                   AND n_symbols * 10 <= n_words
-      |                   AND n_alpha_words * 5 >= n_words * 4
-      |                   AND n_stop_types >= 2 THEN 1 ELSE 0 END AS gopher_pass
-      |  FROM s),
+  // lazy: composes the t02 and t29 oracle statements verbatim (the
+  // s08CandsSql convention) — a future change to either signal's SQL
+  // flows into this oracle instead of surfacing as a t53 mismatch
+  lazy val t53Sql: String =
+    s"""WITH s AS MATERIALIZED (${LlmQueries.t02Sql}),
+      |g AS MATERIALIZED ($t29Sql),
+      |j AS (
+      |  SELECT s.score_milli // 100 AS bucket, g.gopher_pass
+      |  FROM s JOIN g USING (doc_id)),
       |per AS (
       |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
       |         CAST(SUM(gopher_pass) AS BIGINT) AS n_pass
-      |  FROM g GROUP BY 1),
+      |  FROM j GROUP BY 1),
       |cum AS (
       |  SELECT *,
       |         CAST(SUM(n_docs) OVER (ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS kept_docs,
@@ -2884,10 +2867,105 @@ object TrainingDataQueries {
       |       CAST((1000000 * n_pass) // n_docs AS BIGINT) AS pass_ppm,
       |       kept_docs, kept_pass,
       |       CAST((1000000 * kept_pass) // kept_docs AS BIGINT) AS kept_pass_ppm
-      |FROM cum ORDER BY bucket""".stripMargin.replace("STOPSUM", stopSum)
+      |FROM cum ORDER BY bucket""".stripMargin
+
+  /** #325 (t54): URL canonicalization + registrable-domain dedup
+    * census — the curation primitive every web-scale pipeline (CCNet,
+    * RefinedWeb, Dolma) runs BEFORE text dedup: collapse the URL-key
+    * variants (case, `www.`, default ports, trailing slashes,
+    * tracker params, param order, fragments) so URL-keyed dedup,
+    * per-domain crawl budgets and provenance share one key, then
+    * census the corpus per registrable domain ([[graft.text.Url]]).
+    * The driver corpus carries no URL column, so the query SYNTHESIZES
+    * a deterministic messy-URL fixture per doc (scheme/case/port/
+    * slash/param permutations keyed on doc_id — identically derived
+    * in the oracle SQL); the OPERATOR under test is the canonicalizer
+    * + domain extraction + census, all regexp/aggregate column
+    * arithmetic. Per domain: docs, distinct hosts, distinct CANONICAL
+    * urls (< n_docs ⇔ the canonicalizer collapsed variants),
+    * whitespace tokens, and exact-dup incidence (docs minus distinct
+    * text digests — the d01 key, counted per domain). Linear scan +
+    * one domain-keyed groupBy: the 100 TB shape is a map-side-heavy
+    * aggregation onto a ~|domains| frame. */
+  def t54UrlCensus: Q = (spark, dir) => {
+    import graft.text.Url._
+    val d = col("doc_id")
+    val url = concat(
+      when(d % 2 === 0, lit("HTTP://")).otherwise(lit("https://")),
+      when(d % 3 === 0, lit("WWW.")).otherwise(lit("")),
+      when(d % 5 === 0, upper(col("source"))).otherwise(col("source")),
+      element_at(array(lit(".com"), lit(".co.uk"), lit(".org"), lit(".io")),
+        (d % 4).cast("int") + 1),
+      when(d % 6 === 0, lit(":80")).otherwise(lit("")),
+      lit("/docs/"), (d % 50).cast("string"),
+      when(d % 3 === 1, lit("/")).otherwise(lit("")),
+      when(d % 2 === 1, concat(lit("?utm_source=feed&b="),
+        (d % 5).cast("string"), lit("&a="), (d % 3).cast("string")))
+        .otherwise(lit("")),
+      when(d % 9 === 0, lit("#frag")).otherwise(lit("")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), url.as("url"))
+      .select(col("doc_id"), col("text"),
+        canonicalizeUrl(col("url")).as("canon"),
+        urlHost(col("url")).as("host"))
+      .withColumn("domain", registrableDomain(col("host")))
+      .groupBy("domain")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("host")).as("n_hosts"),
+        countDistinct(col("canon")).as("n_urls"),
+        sum(size(split(col("text"), " ")).cast(LongType)).as("n_tokens"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dup_docs"))
+      .orderBy("domain")
   }
 
+  val t54Sql: String =
+    """WITH u AS (
+      |  SELECT doc_id, text,
+      |         CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END ||
+      |         CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+      |         CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END ||
+      |         (['.com','.co.uk','.org','.io'])[CAST(doc_id % 4 AS INTEGER) + 1] ||
+      |         CASE WHEN doc_id % 6 = 0 THEN ':80' ELSE '' END ||
+      |         '/docs/' || CAST(doc_id % 50 AS VARCHAR) ||
+      |         CASE WHEN doc_id % 3 = 1 THEN '/' ELSE '' END ||
+      |         CASE WHEN doc_id % 2 = 1
+      |              THEN '?utm_source=feed&b=' || CAST(doc_id % 5 AS VARCHAR)
+      |                   || '&a=' || CAST(doc_id % 3 AS VARCHAR)
+      |              ELSE '' END ||
+      |         CASE WHEN doc_id % 9 = 0 THEN '#frag' ELSE '' END AS url
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, text,
+      |         regexp_replace(regexp_replace(
+      |           lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+      |           ':(80|443)$', ''), '^www\.', '') AS host,
+      |         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |         regexp_replace(
+      |           regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+      |           '/+$', '') AS path,
+      |         array_to_string(list_sort(list_filter(
+      |           string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+      |           x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid)='))),
+      |           '&') AS params
+      |  FROM u),
+      |k AS (
+      |  SELECT doc_id, text, host,
+      |         regexp_extract(host,
+      |           '([^.]+\.(?:co|com|org|net|ac|gov)\.[a-z]{2}|[^.]+\.[^.]+)$', 1) AS domain,
+      |         scheme || '://' || host || path ||
+      |           CASE WHEN params <> '' THEN '?' || params ELSE '' END AS canon
+      |  FROM c)
+      |SELECT domain,
+      |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+      |       CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_urls,
+      |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |       CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dup_docs
+      |FROM k GROUP BY domain ORDER BY domain""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "t54_url_census" -> t54UrlCensus,
     "t53_quality_agreement" -> t53QualityAgreement,
     "t52_ttr" -> t52Ttr,
     "t51_lz_complexity" -> t51LzComplexity,
@@ -2939,6 +3017,7 @@ object TrainingDataQueries {
     "d11_corpus_pipeline" -> d11CorpusPipeline)
 
   val oracles: Seq[(String, String)] = Seq(
+    "t54_url_census" -> t54Sql,
     "t53_quality_agreement" -> t53Sql,
     "t52_ttr" -> t52Sql,
     "t50_dsir_weights" -> t50Sql,

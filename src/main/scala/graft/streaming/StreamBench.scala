@@ -127,8 +127,13 @@ object StreamBench {
       import spark.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       val keys = facts.select(xxhash64(col("event_id"))).as[Long].collect()
+      // groupBy drops residues with no rows when the input is smaller
+      // than nBatches — total-default so a tiny sf dir degrades to
+      // empty batches instead of NoSuchElementException voiding every
+      // stream line (the replay slice below reads slices(0) too)
       val slices = keys.zipWithIndex.groupBy(_._2 % nBatches)
         .view.mapValues(_.map(_._1).toSeq).toMap
+        .withDefaultValue(Seq.empty[Long])
       val input = MemoryStream[Long]
       val q = EventStream.bloomDedupStream[Long](input.toDS(), identity)
         .writeStream.format("noop").outputMode("append")
@@ -153,6 +158,7 @@ object StreamBench {
         .select(col("user_id"), col("value")).as[(Long, Double)].collect()
       val slices = pairs.zipWithIndex.groupBy(_._2 % nBatches)
         .view.mapValues(_.map(_._1).toSeq).toMap
+        .withDefaultValue(Seq.empty[(Long, Double)])
       // the v2 operator requires the RocksDB state store provider
       // (the BucketingSpec parity test's setup, restored after)
       val provKey = "spark.sql.streaming.stateStore.providerClass"

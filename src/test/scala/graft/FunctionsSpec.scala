@@ -950,4 +950,55 @@ class FunctionsSpec extends AnyFunSuite {
     val (_, _, hu, eu) = hhiOf(Seq.fill(8)(12345L))
     assert(hu == 125000L && eu == 800L, s"uniform fixture ($hu, $eu)")
   }
+
+  test("prefix_dots checkpoints one accumulation; last element is bit-identical to dot_product") {
+    import graft.functions.PrefixDots.prefixDots
+    val df = Seq((Seq(1.0, 2.0, 3.0, 4.0), Seq(10.0, 20.0, 30.0, 40.0)))
+      .toDF("a", "b")
+    val got = df.select(prefixDots(col("a"), col("b"), Seq(1, 2, 4)).as("pd"),
+        dot(col("a"), col("b")).as("d"))
+      .as[(Seq[Double], Double)].head()
+    assert(got._1 == Seq(10.0, 50.0, 300.0), got.toString)
+    assert(got._1.last == got._2, "full-width checkpoint must equal dot_product")
+    // strict-order float accumulation parity on a non-associative case
+    val tricky = Seq((Seq(1e16, 1.0, -1e16, 2.0), Seq(1.0, 1.0, 1.0, 1.0)))
+      .toDF("a", "b")
+    val t = tricky.select(prefixDots(col("a"), col("b"), Seq(4)).as("pd"),
+        dot(col("a"), col("b")).as("d"))
+      .as[(Seq[Double], Double)].head()
+    assert(t._1.head == t._2, s"accumulation order diverged: $t")
+    // loud failures: mismatched lengths and widths past the vector end
+    val bad = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
+    val e1 = intercept[Exception](
+      bad.select(prefixDots(col("a"), col("b"), Seq(1))).collect())
+    assert(e1.getMessage != null)
+    val e2 = intercept[Exception](
+      df.select(prefixDots(col("a"), col("b"), Seq(2, 9))).collect())
+    assert(e2.getMessage != null)
+  }
+
+  test("URL canonicalization collapses case/www/ports/slashes/trackers/param-order; domain extraction honors two-part suffixes") {
+    import graft.text.Url._
+    val urls = Seq(
+      "HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag",
+      "http://example.com/a/b?a=1&b=2",
+      "https://Sub.Example.co.uk:443/x//",
+      "https://example.io",
+      "https://example.io/?fbclid=abc",
+      "not a url").toDF("u")
+    val got = urls.select(canonicalizeUrl(col("u")).as("c"),
+        urlHost(col("u")).as("h"),
+        registrableDomain(urlHost(col("u"))).as("d"))
+      .as[(String, String, String)].collect().toSeq
+    assert(got(0)._1 == "http://example.com/a/b?a=1&b=2", got(0).toString)
+    // two spellings of the same page share one canonical key
+    assert(got(0)._1 == got(1)._1)
+    assert(got(2) == ("https://sub.example.co.uk/x", "sub.example.co.uk",
+      "example.co.uk"), got(2).toString)
+    assert(got(3)._1 == "https://example.io" && got(3)._3 == "example.io")
+    // tracker-only query collapses to the bare root
+    assert(got(4)._1 == "https://example.io")
+    // non-URL input degrades to emptiness, never throws
+    assert(got(5) == ("://", "", ""), got(5).toString)
+  }
 }
