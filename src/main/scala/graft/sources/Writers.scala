@@ -201,17 +201,22 @@ object Writers {
     * here):
     *   1. merged output of the small files is fully materialized into
     *      a hidden sibling dir;
-    *   2. a `_graft_compaction_pending` marker listing the doomed
-    *      originals is written into the live dir (underscore-prefixed
-    *      → invisible to readers);
+    *   2. a `_graft_compaction_pending` marker naming the staging dir
+    *      (`tmp=` line) and listing the doomed originals is written
+    *      into the live dir (underscore-prefixed → invisible to
+    *      readers);
     *   3. merged files move in (rename; part-file names are
     *      job-unique);
-    *   4. originals are deleted, then the marker.
-    * A crash never loses rows: before step 3 the originals are
-    * intact (tmp dir is garbage); between 3 and 4 the rows exist
-    * twice and the marker records exactly which originals are
-    * redundant — the next `compactSmallFiles` run (or
-    * [[finishPendingCompaction]]) completes the deletion first.
+    *   4. originals are deleted, then the marker, then the staging
+    *      dir.
+    * A crash never loses rows: before step 2 the originals are intact
+    * (tmp dir is garbage); from step 2 on, recovery FIRST completes
+    * step 3 from the named staging dir (renames skip files already
+    * moved — the r15 fix: deleting the listed originals while their
+    * replacements still sat in the hidden staging dir was a
+    * loss window) and only then deletes the redundant originals —
+    * the next `compactSmallFiles` run (or
+    * [[finishPendingCompaction]]) does both in that order.
     * Readers racing step 3–4 can transiently see duplicated rows
     * (bounded by the small tail); strict readers should snapshot via
     * [[publish]] or schedule compaction in a maintenance window —
@@ -258,7 +263,8 @@ object Writers {
         }
         val marker = new Path(dir, "_graft_compaction_pending")
         val out = fs.create(marker, true)
-        out.write(smalls.map(_.getPath.getName).mkString("\n").getBytes("UTF-8"))
+        out.write((s"tmp=${tmp.getName}" +: smalls.map(_.getPath.getName))
+          .mkString("\n").getBytes("UTF-8"))
         out.close()
         merged.foreach { st =>
           if (!fs.rename(st.getPath, new Path(dir, st.getPath.getName)))
@@ -275,11 +281,17 @@ object Writers {
     (rewritten, created)
   }
 
-  /** Complete any compaction swap interrupted between its merge-in
-    * and delete-originals steps: for every `_graft_compaction_pending`
-    * marker under `path`, delete the listed originals that still
-    * exist, then the marker. Idempotent; called automatically at the
-    * start of [[compactSmallFiles]]. */
+  /** Complete any compaction swap interrupted after its commit
+    * marker: for every `_graft_compaction_pending` marker under
+    * `path`, FIRST move any still-staged merged files in from the
+    * marker's named staging dir (renames skip files already moved —
+    * without this, deleting the originals while their replacements
+    * sat in the hidden staging dir silently lost the small tail's
+    * rows in the marker→merge-in crash window), then delete the
+    * listed originals that still exist, then the marker and staging
+    * dir. Idempotent; called automatically at the start of
+    * [[compactSmallFiles]]. Markers from pre-`tmp=` versions (no
+    * staging line) behave as before. */
   def finishPendingCompaction(spark: SparkSession, path: String): Int = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -296,13 +308,28 @@ object Writers {
     }
     markers.foreach { m =>
       val in = fs.open(m)
-      val names = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
                   finally in.close()
-      names.filter(_.nonEmpty).foreach { n =>
-        val doomed = new Path(m.getParent, n)
+      val dir = m.getParent
+      val tmp = lines.find(_.startsWith("tmp="))
+        .map(l => new Path(dir.getParent, l.stripPrefix("tmp=")))
+      tmp.filter(fs.exists).foreach { t =>
+        fs.listStatus(t).foreach { st =>
+          val n = st.getPath.getName
+          if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) {
+            val to = new Path(dir, n)
+            if (!fs.exists(to) && !fs.rename(st.getPath, to) && !fs.exists(to))
+              throw new java.io.IOException(
+                s"finishPendingCompaction: rename ${st.getPath} -> $to failed")
+          }
+        }
+      }
+      lines.filter(l => l.nonEmpty && !l.startsWith("tmp=")).foreach { n =>
+        val doomed = new Path(dir, n)
         if (fs.exists(doomed)) fs.delete(doomed, false)
       }
       fs.delete(m, false)
+      tmp.foreach(t => fs.delete(t, true))
     }
     markers.size
   }

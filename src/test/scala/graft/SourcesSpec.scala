@@ -147,6 +147,41 @@ class SourcesSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/t").count() == 2)
   }
 
+  test("finishPendingCompaction restores staged merged files BEFORE deleting originals") {
+    // the r15 no-loss window: a crash between the marker write and the
+    // merge-in renames leaves the merged replacements in the hidden
+    // staging dir — recovery must move them in first, or deleting the
+    // listed originals destroys the small tail's rows
+    val dir = Files.createTempDirectory("graft_compact_win").toString
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+    df.repartition(3).write.parquet(s"$dir/t")
+    val tdir = new java.io.File(s"$dir/t")
+    val victims = tdir.listFiles
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).take(2)
+    // stage the merged output of the two victims (what step 1 built)
+    val tmpName = ".t.compact-small-inprogress"
+    spark.read.parquet(victims.map(_.getPath).toIndexedSeq: _*)
+      .coalesce(1).write.parquet(s"$dir/$tmpName")
+    // commit marker naming the staging dir + the doomed originals —
+    // then "crash" before any merge-in rename
+    val marker = new java.io.File(s"$dir/t/_graft_compaction_pending")
+    java.nio.file.Files.write(marker.toPath,
+      (s"tmp=$tmpName" +: victims.map(_.getName).toIndexedSeq)
+        .mkString("\n").getBytes("UTF-8"))
+    val n = Writers.finishPendingCompaction(spark, s"$dir/t")
+    assert(n == 1)
+    // every row survives: the merged file moved in, originals retired
+    assert(spark.read.parquet(s"$dir/t").orderBy("id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(victims.forall(!_.exists), "originals must be retired")
+    assert(!marker.exists, "marker must be cleared")
+    assert(!new java.io.File(s"$dir/$tmpName").exists, "staging dir must be swept")
+    // double-recovery is a no-op
+    assert(Writers.finishPendingCompaction(spark, s"$dir/t") == 0)
+    assert(spark.read.parquet(s"$dir/t").count() == 3)
+  }
+
   test("orc round-trip preserves values and pushes filters to the scan") {
     val dir = Files.createTempDirectory("graft_orc").toString
     val df = Seq((1L, "x", 1.5), (2L, "y", 2.5), (3L, "z", 3.5)).toDF("id", "s", "v")
@@ -183,6 +218,53 @@ class SourcesSpec extends AnyFunSuite {
       .select("id", "s").as[(Option[Long], Option[String])].collect().toSeq
     assert(mixed.contains((Some(7L), Some("ok"))))
     assert(mixed.exists(_._1.isEmpty), "malformed record should coerce to null id")
+  }
+
+  test("avro round-trip with explicit schema; malformed container coerces via _corrupt_record") {
+    import graft.sources.Avro
+    val dir = Files.createTempDirectory("graft_avro").toString
+    // mixed types incl. nullable string, binary, and an embeddings-
+    // shaped float array — the supported surface, exercised end-to-end
+    val df = Seq(
+        (1L, Option("alpha"), 1.5, Array[Byte](1, 2), Seq(0.25f, -1.0f)),
+        (2L, None, 2.5, Array[Byte](3), Seq(0.5f)),
+        (3L, Option("gamma"), 3.5, Array.empty[Byte], Seq.empty[Float]))
+      .toDF("id", "s", "v", "b", "emb")
+      .repartition(2)
+    Avro.write(df, s"$dir/out")
+    val schema = df.schema
+    val back = Avro.read(spark, s"$dir/out", schema)
+      .orderBy("id")
+      .as[(Long, Option[String], Double, Array[Byte], Seq[Float])]
+      .collect().toSeq
+      .map(t => (t._1, t._2, t._3, t._4.toSeq, t._5))
+    assert(back == Seq(
+      (1L, Some("alpha"), 1.5, Seq[Byte](1, 2), Seq(0.25f, -1.0f)),
+      (2L, None, 2.5, Seq[Byte](3), Seq(0.5f)),
+      (3L, Some("gamma"), 3.5, Seq.empty[Byte], Seq.empty[Float])))
+    // field-by-NAME mapping: a narrower read schema projects, an
+    // extra requested column reads null (the schema-evolution posture)
+    val proj = Avro.read(spark, s"$dir/out", StructType(Seq(
+        StructField("v", DoubleType), StructField("id", LongType),
+        StructField("later_added", StringType))))
+      .orderBy("id").as[(Double, Long, Option[String])].collect().toSeq
+    assert(proj == Seq((1.5, 1L, None), (2.5, 2L, None), (3.5, 3L, None)))
+    // PERMISSIVE: a planted non-Avro file coerces to one all-null row
+    // carrying its path in _corrupt_record instead of failing the job
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "out", "junk.avro"),
+      "this is not an avro container".getBytes("UTF-8"))
+    val permissive = StructType(schema.fields.toSeq :+
+      StructField("_corrupt_record", StringType))
+    val mixed = Avro.read(spark, s"$dir/out", permissive)
+    assert(mixed.count() == 4L)
+    val bad = mixed.filter(col("_corrupt_record").isNotNull)
+      .select("_corrupt_record", "id").as[(String, Option[Long])].collect().toSeq
+    assert(bad.length == 1 && bad.head._1.endsWith("junk.avro") &&
+      bad.head._2.isEmpty, bad.toString)
+    // strict read (no _corrupt_record column) fails loudly on the junk
+    val err = intercept[Exception](Avro.read(spark, s"$dir/out", schema).count())
+    assert(err.getMessage != null)
   }
 
   test("binaryFile ingestion yields (path, length, content) rows, glob-pruned at listing") {
