@@ -48,6 +48,147 @@ object Probe {
             s"postNCells=${spark.read.parquet(s"$idx/centroids").count()} " +
             s"postHot=${post.hot}")
         }
+      case Some("s25") =>
+        // attribute the one-pass matryoshka audit (usage: Probe s25 <sfDir>)
+        import org.apache.spark.sql.functions._
+        val dir = args(1)
+        val e = graft.Tables.embeddings(spark, dir)
+          .select(col("vec_id").as("id"),
+            graft.functions.VectorFunctions.toDouble(col("embedding")).as("vec"))
+        val t0 = System.nanoTime()
+        val out = LlmQueries.matryoshkaAudit(e, k = 5)
+        out.write.mode("overwrite").format("noop").save()
+        println(f"[probe] s25 $dir total=${(System.nanoTime() - t0) / 1e9}%.1f s")
+        // inner pipeline replica for plan/timing attribution
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.PrefixDots.prefixDots
+        import graft.functions.VectorFunctions.cosinePrenormed
+        val dim = e.select(size(col("vec"))).head().getInt(0)
+        val n = e.count()
+        val mod = graft.sim.Ann.auditSampleMod(n, 25L, 256L)
+        val widths = Seq(dim / 4, dim / 2, dim).distinct.filter(_ >= 1).sorted
+        val c = graft.sim.Ann.spreadCorpus(e)
+          .select(col("id").as("neighbor_id"), col("vec").as("cvec"))
+          .withColumn("cn2", prefixDots(col("cvec"), col("cvec"), widths))
+        val q = e.filter(pmod(col("id"), lit(mod)) === 0)
+          .select(col("id").as("qid"), col("vec").as("qvec"))
+          .withColumn("qn2", prefixDots(col("qvec"), col("qvec"), widths))
+        val exploded = c.crossJoin(broadcast(q))
+          .filter(col("neighbor_id") =!= col("qid"))
+          .select(col("qid"), col("neighbor_id"), col("qn2"), col("cn2"),
+            posexplode(prefixDots(col("qvec"), col("cvec"), widths))
+              .as(Seq("wi", "dotw")))
+          .withColumn("qn2w", element_at(col("qn2"), col("wi") + 1))
+          .withColumn("cn2w", element_at(col("cn2"), col("wi") + 1))
+          .filter(col("qn2w") > 0 && col("cn2w") > 0)
+          .withColumn("sim", cosinePrenormed(col("dotw"),
+            sqrt(col("qn2w")), sqrt(col("cn2w"))))
+        val t1 = System.nanoTime()
+        val s = exploded.agg(sum("sim")).head().getDouble(0)
+        println(f"[probe] s25 join+explode only: ${(System.nanoTime() - t1) / 1e9}%.1f s (simsum=$s%.1f)")
+        val w = Window.partitionBy("wi", "qid")
+          .orderBy(col("sim").desc, col("neighbor_id").asc)
+        val topk = exploded.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("wi"), col("qid"), col("neighbor_id"))
+        val t2 = System.nanoTime()
+        topk.write.mode("overwrite").format("noop").save()
+        println(f"[probe] s25 join+explode+window: ${(System.nanoTime() - t2) / 1e9}%.1f s")
+        val plan = topk.queryExecution.executedPlan.toString
+        println(s"[probe] s25 WindowGroupLimit in topk plan: " +
+          plan.contains("WindowGroupLimit"))
+        println(plan.split('\n').take(40).mkString("[probe-plan] ",
+          "\n[probe-plan] ", ""))
+      case Some("s14") =>
+        // attribute the recall audit: exact brute-force side vs the
+        // calibrated IVF side vs the grading join
+        // (usage: Probe s14 <sfDir>)
+        import org.apache.spark.sql.functions._
+        import graft.functions.VectorFunctions.toDouble
+        val dir = args(1)
+        val e = graft.Tables.embeddings(spark, dir)
+          .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
+        val n = e.count()
+        val mod = sim.Ann.auditSampleMod(n)
+        val sample = e.filter(pmod(col("id"), lit(mod)) === 0)
+        println(s"[probe] s14 $dir n=$n mod=$mod sample=${sample.count()}")
+        val t0 = System.nanoTime()
+        sim.Ann.bruteForceTopK(e, sample, k = 10)
+          .write.mode("overwrite").format("noop").save()
+        println(f"[probe] s14 exact side: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        val t1 = System.nanoTime()
+        sim.Ann.ivfTopKAuto(e, sample, k = 10, seed = 42L)
+          .write.mode("overwrite").format("noop").save()
+        println(f"[probe] s14 ivf side: ${(System.nanoTime() - t1) / 1e9}%.1f s")
+        val t2 = System.nanoTime()
+        LlmQueries.s14AnnRecallAudit(spark, dir)
+          .write.mode("overwrite").format("noop").save()
+        println(f"[probe] s14 full query: ${(System.nanoTime() - t2) / 1e9}%.1f s")
+      case Some("d13") =>
+        // attribute SemDeDup: driver fit vs assignment vs pair stage
+        // (usage: Probe d13 <sfDir>)
+        import org.apache.spark.sql.functions._
+        import graft.functions.VectorFunctions.toDouble
+        val dir = args(1)
+        val e = graft.Tables.embeddings(spark, dir)
+          .select(col("vec_id").as("id"), toDouble(col("embedding")).as("v"))
+        val live = e.withColumn("nrm",
+            expr("sqrt(aggregate(v, 0d, (a, x) -> a + x * x))"))
+          .filter(col("nrm") > 0)
+        val n = live.count()
+        val nCells = math.min(1024, math.max(8, (n / 32L).toInt))
+        val cap = math.max(8192L, nCells.toLong * 8)
+        val sampled = if (n <= cap) live
+          else live.filter(pmod(xxhash64(col("id")), lit(n / cap + 1)) === 0)
+        val t0 = System.nanoTime()
+        val samples = sampled.orderBy("id").select(col("v"), col("nrm")).collect()
+          .map { r => val v = r.getSeq[Double](0); val nr = r.getDouble(1)
+            v.map(_ / nr).toArray }
+        val tCollect = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val books = (0 until 4).map { t =>
+          graft.functions.ProductQuantizer.fit(samples, m = 1, ksub = nCells,
+            0xd13L + 1000003L * t)
+        }
+        val tFit = (System.nanoTime() - t1) / 1e9
+        println(f"[probe] d13 $dir n=$n nCells=$nCells samples=${samples.length} " +
+          f"collect=$tCollect%.1f s fit=$tFit%.1f s")
+        val assigned = live
+          .withColumn("cells", array(books.map { cb =>
+            element_at(graft.functions.ProductQuantizer
+              .pqEncode(col("v"), col("nrm"), cb), 1).cast("long")
+          }: _*))
+          .repartition(col("id"))
+        val t2 = System.nanoTime()
+        assigned.write.mode("overwrite").format("noop").save()
+        println(f"[probe] d13 assign: ${(System.nanoTime() - t2) / 1e9}%.1f s")
+        val t3 = System.nanoTime()
+        LlmQueries.d13SemDedup(spark, dir)
+          .write.mode("overwrite").format("noop").save()
+        println(f"[probe] d13 full query: ${(System.nanoTime() - t3) / 1e9}%.1f s")
+      case Some("d07") =>
+        // attribute the LSH near-dup pipeline: bucket signatures vs
+        // candidate self-join vs prefilter vs exact verify
+        // (usage: Probe d07 <sfDir>)
+        import org.apache.spark.sql.functions._
+        import graft.functions.VectorFunctions.toDouble
+        val dir = args(1)
+        val e = graft.Tables.embeddings(spark, dir)
+          .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
+        val n = e.count()
+        val nBits = sim.Ann.bitsForOccupancy(n, 32L)
+        val nTables = sim.Ann.tablesForRecall(0.44, nBits, 0.95)
+        println(s"[probe] d07 $dir n=$n nBits=$nBits nTables=$nTables")
+        val v = e.select(col("id"), col("vec").as("v"))
+          .withColumn("nrm", expr("sqrt(aggregate(v, 0d, (a, x) -> a + x * x))"))
+          .filter(col("nrm") > 0).repartition(col("id"))
+        val t0 = System.nanoTime()
+        val nc = sim.Ann.lshCandidates(v, nBits, nTables, 64, 0xd07L).count()
+        println(f"[probe] d07 candidates=$nc in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        val t1 = System.nanoTime()
+        LlmQueries.d07EmbedNearDupLsh(spark, dir)
+          .write.mode("overwrite").format("noop").save()
+        println(f"[probe] d07 full query: ${(System.nanoTime() - t1) / 1e9}%.1f s")
       case Some("knngraph") =>
         // attribute the IVF graph build's cost: quantizer fit vs the
         // cell self-join + window (usage: Probe knngraph <sfDir>)

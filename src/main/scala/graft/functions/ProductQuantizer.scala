@@ -55,20 +55,38 @@ object ProductQuantizer {
       var cs = init ++ Array.fill(ksub - init.length)(init.head.clone())
       var it = 0
       while (it < iters) {
-        val sums = Array.fill(cs.length)(new Array[Double](dsub))
-        val cnts = new Array[Long](cs.length)
-        pts.foreach { p =>
+        // assignment parallelized across driver cores (r15: the
+        // sample·ksub·dsub argmin scan is ~95% of the fit — 4 books ×
+        // 10 iters × 8192 samples × 625 cells × 64 dims at d13's sf1
+        // operating point ran ~18 s single-threaded). DETERMINISM
+        // UNCHANGED: each point's argmin is a pure function written
+        // to its own slot; the float ACCUMULATION below stays
+        // sequential in point order, so sums/centroids — and every
+        // spec-pinned recall derived from them — are bit-identical
+        // to the serial fit.
+        val csf = cs
+        val bests = new Array[Int](pts.length)
+        java.util.stream.IntStream.range(0, pts.length).parallel().forEach { pi =>
+          val p = pts(pi)
           var best = 0; var bestD = Double.MaxValue
           var c = 0
-          while (c < cs.length) {
+          while (c < csf.length) {
             var d = 0.0; var i = 0
-            while (i < dsub) { val t = p(i) - cs(c)(i); d += t * t; i += 1 }
+            while (i < dsub) { val t = p(i) - csf(c)(i); d += t * t; i += 1 }
             if (d < bestD) { bestD = d; best = c }
             c += 1
           }
+          bests(pi) = best
+        }
+        val sums = Array.fill(cs.length)(new Array[Double](dsub))
+        val cnts = new Array[Long](cs.length)
+        var pi = 0
+        while (pi < pts.length) {
+          val p = pts(pi); val best = bests(pi)
           var i = 0
           while (i < dsub) { sums(best)(i) += p(i); i += 1 }
           cnts(best) += 1
+          pi += 1
         }
         cs = cs.zipWithIndex.map { case (old, c) =>
           if (cnts(c) == 0) old // empty cell keeps its centroid (stable)

@@ -30,7 +30,18 @@ object Ann {
     // their cosine is 0/0 = NaN, and Spark's NaN orders ABOVE every
     // real value, which would rank them as the #1 neighbor everywhere
     // — exclude them on both sides (same guard in all ANN variants)
-    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
+    //
+    // spreadCorpus (r15): a small-footprint corpus parquet reads as
+    // 1-2 byte-derived splits, and the broadcast cross join + the
+    // window's PARTIAL top-k sort inherit that — |corpus|x|queries|
+    // scored rows sorted in 1-2 TASKS (the r14 stage:knn_graph
+    // diagnosis, measured again on s25's one-pass audit: 2.9 s of
+    // join+dot vs ~32 s of single-task sort at sf1). One corpus-row
+    // round-robin shuffle (n rows, vectors only) spreads the scoring
+    // and the partial sort across the executor; results are
+    // bit-identical (exact arithmetic, ties broken on neighbor_id).
+    val c = spreadCorpus(corpus)
+      .select(col("id").as("neighbor_id"), col("vec").as("cvec"))
       .withColumn("cnrm", norm(col("cvec")))
       .filter(col("cnrm") > 0)
     val q = queries.select(col("id").as("qid"), col("vec").as("qvec"))
@@ -45,6 +56,27 @@ object Ann {
       .select(col("qid"), col("rank").cast("long").as("rank"), col("neighbor_id"))
   }
 
+  /** Round-robin spread of a corpus frame across the session's
+    * shuffle parallelism — the brute-force kernels' sort-parallelism
+    * guard (see [[bruteForceTopK]]). Costs one n-row shuffle of the
+    * corpus vectors; skipped when the optimizer's size estimate says
+    * the frame already spans ≥ target max-split-sized partitions (a
+    * real cluster-scale scan reads wide on its own, and an inflated
+    * post-join estimate errs toward skipping — the safe side).
+    *
+    * Deliberately NOT `corpus.rdd.getNumPartitions`: under AQE,
+    * `.rdd` on a frame containing joins/aggregates EXECUTES its
+    * shuffle stages eagerly just to answer the partition count, so an
+    * index path with a live tombstone mask ([[AnnIndex]]) would run
+    * its anti-join twice per probe. Logical stats cost nothing. */
+  private[graft] def spreadCorpus(corpus: DataFrame): DataFrame = {
+    val conf = corpus.sparkSession.sessionState.conf
+    val target = conf.numShufflePartitions
+    val wide = BigInt(conf.filesMaxPartitionBytes) * target
+    if (corpus.queryExecution.optimizedPlan.stats.sizeInBytes >= wide) corpus
+    else corpus.repartition(target)
+  }
+
   /** Exact top-k by INNER PRODUCT (MIPS — the recommendation-retrieval
     * scoring where magnitude IS signal: a strongly-preferred item
     * vector legitimately outranks a unit one, so cosine's
@@ -53,7 +85,8 @@ object Ann {
     * zero-norm guard needed (dot is total — a zero vector just scores
     * 0 everywhere instead of NaN-poisoning the ordering). */
   def bruteForceMipsTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
+    val c = spreadCorpus(corpus)
+      .select(col("id").as("neighbor_id"), col("vec").as("cvec"))
     val q = queries.select(col("id").as("qid"), col("vec").as("qvec"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("qid"))
@@ -62,6 +95,36 @@ object Ann {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+  }
+
+  /** Exact top-k by HAMMING distance over sign-packed vectors (s29,
+    * SURVEY §2 #328) — binary quantization, the memory tier BELOW
+    * int8 (Qdrant/Weaviate "BQ"): one bit per dimension, 32× smaller
+    * than float. Unlike every float kernel here the whole scoring
+    * path is INTEGER arithmetic ([[graft.functions.QuantizeInt8
+    * .SignPack]] words, XOR+popcount distance), so the ranking —
+    * ties broken on neighbor id — is engine-exact and fully
+    * DuckDB-oracleable: this is the s-family's integer-exact anchor
+    * the way s12 is for clustering. Serving composition: BQ is the
+    * coarse filter; rerank survivors through the int8 (s05) or float
+    * (s01) tier — the [[int8RerankTopK]] candMult pattern applies
+    * unchanged. Zero vectors pack to all-zero words and rank by
+    * popcount of the other side — total, no NaN guard needed. */
+  def bruteForceHammingTopK(corpus: DataFrame, queries: DataFrame,
+                            k: Int): DataFrame = {
+    import graft.functions.QuantizeInt8.{hammingPacked, signPack}
+    val c = spreadCorpus(corpus)
+      .select(col("id").as("neighbor_id"), signPack(col("vec")).as("cb"))
+    val q = queries.select(col("id").as("qid"), signPack(col("vec")).as("qb"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("qid"))
+      .withColumn("hamming", hammingPacked(col("cb"), col("qb")))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("hamming"))
   }
 
   /** Deterministic random hyperplanes: `nBits` × `dim`, seeded. */
@@ -110,6 +173,14 @@ object Ann {
     val sampled =
       if (n <= fitSampleCap) live
       else live.filter(pmod(xxhash64(col("id")), lit(n / fitSampleCap + 1)) === 0)
+    // NOT spread ([[spreadCorpus]]): k-means|| init samples
+    // PER-PARTITION, so repartitioning the fit input moves the
+    // centroids, not just the task layout — an r15 experiment spread
+    // it and two pinned recall fixtures shifted (fixed-probe recall
+    // 0.85 → 0.70; a healthy index audited at 0.885 and tripped its
+    // rebuild floor). The fit's wall cost is a bounded calibration
+    // constant (≤ fitSampleCap rows, memoized by the Auto callers);
+    // the scoring joins downstream are where parallelism pays.
     val featured = new org.apache.spark.ml.feature.Normalizer()
       .setInputCol("f0").setOutputCol("features").setP(2.0)
       .transform(sampled.withColumn("f0", array_to_vector(col("vec"))))
@@ -151,7 +222,13 @@ object Ann {
     // corpus side takes element 1 (the argmin cell), the query side
     // explodes the nProbe nearest.
     import graft.functions.CentroidCells.centroidCells
-    val c = live.select(col("id").as("neighbor_id"), col("vec").as("cvec"),
+    // spreadCorpus: with the query side BROADCAST the candidate rows
+    // and the window's partial top-k sort inherit the corpus scan's
+    // 1-2 byte-derived parquet splits — at an 800-query audit sample
+    // the probe ran 1-2 tasks for ~11M candidate rows (r15 `Probe
+    // s14`: ivf side 32.7 s at n=20k, 3.3 s spread)
+    val c = spreadCorpus(live)
+      .select(col("id").as("neighbor_id"), col("vec").as("cvec"),
         col("nrm0").as("cnrm"))
       .withColumn("cell",
         element_at(centroidCells(col("cvec"), col("cnrm"), centroids, 1), 1))
@@ -457,7 +534,7 @@ object Ann {
       (cSeq, cb, p, b)
     }
 
-    val c = live
+    val c = spreadCorpus(live) // sort-parallelism guard, see ivfProbe
       .withColumn("cell",
         element_at(CentroidCells.centroidCells(col("vec"), col("nrm"), coarseSeq, 1), 1))
       .select(col("id").as("neighbor_id"), col("cell"),
@@ -586,7 +663,7 @@ object Ann {
           quantizeInt8(col("vec")).as(s"${pre}q"),
           (absMax(col("vec")) / 127.0).as(s"${pre}s"),
           col("nrm0").as(s"${pre}nrm"))
-    val c = store(corpus, "neighbor_id", "c")
+    val c = store(spreadCorpus(corpus), "neighbor_id", "c") // see ivfProbe
     val q = store(queries, "qid", "q")
     val approx = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("qid"))
@@ -633,8 +710,9 @@ object Ann {
         v.map(_ / nr).toArray
       }
     val cb = fit(samples, m, ksub, seed)
-    val c = live.select(col("id").as("neighbor_id"),
-      pqEncode(col("vec"), col("nrm"), cb).as("codes"))
+    val c = spreadCorpus(live) // sort-parallelism guard, see ivfProbe
+      .select(col("id").as("neighbor_id"),
+        pqEncode(col("vec"), col("nrm"), cb).as("codes"))
     val q = queries.withColumn("qnrm", norm(col("vec")))
       .filter(col("qnrm") > 0)
       .select(col("id").as("qid"), pqLut(col("vec"), col("qnrm"), cb).as("lut"))
@@ -660,14 +738,83 @@ object Ann {
     * Prefer [[lshNearDupPairsAuto]], which sizes both parameters from
     * the corpus instead of shipping fixed ones.
     */
+  /** int8 code columns (`q`, `s`, `l1q`) for the sound candidate
+    * prefilter ([[bucketPrefilteredPairs]]): symmetric quantization
+    * q = round(v/s) at s = absMax/127, plus the L1 mass of the
+    * DEQUANTIZED vector (s·Σ|qᵢ| — the exact term the error bound
+    * needs, not an approximation of ‖v‖₁). Expects (id, v, nrm). */
+  private[graft] def int8CodeCols(v: DataFrame): DataFrame = {
+    import graft.functions.QuantizeInt8.{absMax, quantizeInt8, sumAbsInt}
+    v.withColumn("q", quantizeInt8(col("v")))
+      .withColumn("s", absMax(col("v")) / 127.0)
+      // codegen'd Σ|qᵢ| — a functions.aggregate lambda here would put
+      // an interpreted lambdafunction in every candidate-stage plan
+      .withColumn("l1q", col("s") * sumAbsInt(col("q")).cast("double"))
+  }
+
+  /** Bucket-grouped generate-and-score candidate stage shared by the
+    * sign-LSH and SemDeDup near-dup paths (r15): `bkts` rows are
+    * (c: struct(id, q, s, nrm, l1q), tbl, bkt) — one per (vector,
+    * table). Members collect per (tbl, bkt) — occupancy-BOUNDED by
+    * the callers' parameter derivations — pairs generate and score
+    * INSIDE the bucket row with whole-stage codegen, and only
+    * prefilter survivors reach a shuffle. Replaces the previous
+    * bucket SELF-JOIN → all-pair distinct → per-pair vector joins,
+    * which at d07's n=20k/T=239 spent ~47 of 92 s before any scoring
+    * (the restructure measured 92 → 7.4 s end-to-end).
+    *
+    * The prefilter is SOUND, not approximate: with q = round(v/s),
+    * every |vᵢ − qᵢs| ≤ s/2, so
+    *   |v₁·v₂ − ŝ| ≤ s₂/2·Σ|q₁ᵢs₁| + s₁/2·Σ|q₂ᵢs₂| + d·s₁s₂/4
+    * (ŝ = the int8 dot rescaled; the terms are the e₂, e₁ and e₁e₂
+    * masses of (q₁s₁+e₁)·(q₂s₂+e₂)). A pair is pruned only when even
+    * ŝ + bound < τ·‖v₁‖‖v₂‖ — no true pair can be lost; callers
+    * exact-verify survivors, so output sets are unchanged
+    * (DedupSpec/AnnSpec pin them against exact blocked recomputes).
+    *
+    * Degenerate-class hazard (same class as SimHash's identical-sig
+    * blobs): bucket arrays are occupancy-sized in EXPECTATION; an
+    * identical-vector blob concentrates in one bucket per table and
+    * pays m² scoring there, as every all-pairs-at-τ contract must —
+    * run exact dedup (d01) upstream, where pipelines remove equality
+    * classes anyway. */
+  private[graft] def bucketPrefilteredPairs(bkts: DataFrame, tau: Double,
+                                            dim: Int): DataFrame = {
+    import graft.functions.DotProductInt.dotInt
+    bkts.groupBy("tbl", "bkt")
+      .agg(collect_list(col("c")).as("cs"))
+      .filter(size(col("cs")) > 1)
+      .select(col("cs"), posexplode(col("cs")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(slice(col("cs"), col("i") + lit(2), size(col("cs")))).as("b"))
+      .withColumn("adot",
+        dotInt(col("a.q"), col("b.q")) * col("a.s") * col("b.s"))
+      .withColumn("abound",
+        col("b.s") * col("a.l1q") / 2 + col("a.s") * col("b.l1q") / 2 +
+          lit(dim / 4.0) * col("a.s") * col("b.s"))
+      .filter(col("adot") + col("abound") >= lit(tau) * col("a.nrm") * col("b.nrm"))
+      .select(least(col("a.id"), col("b.id")).as("id1"),
+        greatest(col("a.id"), col("b.id")).as("id2"))
+      .distinct()
+  }
+
   def lshNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
                       tau: Double, nBits: Int, nTables: Int, dim: Int,
                       seed: Long): DataFrame = {
     val v = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
       .filter(col("nrm") > 0) // zero-norm → NaN cosine → NaN ≥ τ is TRUE in Spark
-      .repartition(col("id")) // barrier → one materialization, reused 3×
-    lshCandidates(v, nBits, nTables, dim, seed)
+      .repartition(col("id")) // barrier → one materialization, reused 2×
+    // candidate stage = the shared bucket-grouped generate-and-score
+    // kernel ([[bucketPrefilteredPairs]] — the r15 restructure that
+    // took d07 from 92 to 7.4 s at n=20k, T=239); survivors are
+    // exact-verified below, so the emitted pair set is unchanged
+    val planes = tablePlanes(nBits, nTables, dim, seed)
+    val bkts = int8CodeCols(v).select(
+      struct(col("id"), col("q"), col("s"), col("nrm"), col("l1q")).as("c"),
+      posexplode(graft.functions.SignBuckets.signBuckets(col("v"), planes))
+        .as(Seq("tbl", "bkt")))
+    bucketPrefilteredPairs(bkts, tau, dim)
       .join(v.select(col("id").as("id1"), col("v").as("v1"), col("nrm").as("nrm1")), "id1")
       .join(v.select(col("id").as("id2"), col("v").as("v2"), col("nrm").as("nrm2")), "id2")
       .filter(cosinePrenormed(dot(col("v1"), col("v2")), col("nrm1"), col("nrm2")) >= tau)
@@ -808,7 +955,8 @@ object Ann {
     require(k <= fetchK, s"k=$k must be <= fetchK=$fetchK")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val c = corpus.withColumn("cnrm", norm(col("vec"))).filter(col("cnrm") > 0)
+    val c = spreadCorpus(corpus) // sort-parallelism guard, see ivfProbe
+      .withColumn("cnrm", norm(col("vec"))).filter(col("cnrm") > 0)
       .select(col("id").as("neighbor_id"), col("vec").as("nvec"), col("cnrm"))
     val q = queries.select(col("id").as("qid"), col("vec").as("qvec"))
       .withColumn("qnrm", norm(col("qvec"))).filter(col("qnrm") > 0)
@@ -886,7 +1034,8 @@ object Ann {
     * at the λ = 1 plain-top-k row. */
   def mmrSweep(corpus: DataFrame, queries: DataFrame, k: Int, fetchK: Int,
                lambdas: Seq[Double] = Seq(1.0, 0.7, 0.5, 0.3)): DataFrame = {
-    val c = corpus.withColumn("cnrm", norm(col("vec"))).filter(col("cnrm") > 0)
+    val c = spreadCorpus(corpus) // sort-parallelism guard, see ivfProbe
+      .withColumn("cnrm", norm(col("vec"))).filter(col("cnrm") > 0)
       .select(col("id").as("neighbor_id"), col("vec").as("nvec"), col("cnrm"))
     val q = queries.select(col("id").as("qid"), col("vec").as("qvec"))
       .withColumn("qnrm", norm(col("qvec"))).filter(col("qnrm") > 0)

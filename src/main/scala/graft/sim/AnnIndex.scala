@@ -836,7 +836,8 @@ object AnnIndex {
       // survivor-free cells contribute no candidates — skip their scan
       .filter(col("__graft_kept").isNotNull)
       .select("qid", "qvec", "qnrm", "cell")
-    val scored = kept.join(broadcast(probes), Seq("cell"))
+    val scored = Ann.spreadCorpus(kept) // sort-parallelism guard (Ann.ivfProbe)
+      .join(broadcast(probes), Seq("cell"))
       .filter(col("id") =!= col("qid"))
       .withColumn("sim",
         cosinePrenormed(dot(col("qvec"), col("vec")), col("qnrm"), col("nrm")))
@@ -1035,7 +1036,8 @@ object AnnIndex {
       .filter(col("qnrm") > 0)
       .withColumn("cell",
         explode(centroidCells(col("qvec"), col("qnrm"), centroids, probes)))
-    val scored = cells.join(broadcast(q), Seq("cell"))
+    val scored = Ann.spreadCorpus(cells) // sort-parallelism guard (Ann.ivfProbe)
+      .join(broadcast(q), Seq("cell"))
       .filter(col("id") =!= col("qid"))
       .withColumn("sim", cosinePrenormed(dot(col("qvec"), col("vec")), col("qnrm"), col("nrm")))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id").asc)
@@ -1053,7 +1055,8 @@ object AnnIndex {
       .filter(col("qnrm") > 0)
       .withColumn("cell",
         explode(centroidCells(col("qvec"), col("qnrm"), centroids, probes)))
-    val scored = cells.join(broadcast(q), Seq("cell"))
+    val scored = Ann.spreadCorpus(cells) // sort-parallelism guard (Ann.ivfProbe)
+      .join(broadcast(q), Seq("cell"))
       .filter(col("id") =!= col("qid"))
       .withColumn("sim", cosinePrenormed(dot(col("qvec"), col("vec")), col("qnrm"), col("nrm")))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id").asc)
