@@ -1246,6 +1246,43 @@ object LlmQueries {
       |SELECT qid, rank, neighbor_id FROM scored WHERE rank <= 10
       |ORDER BY qid, rank""".stripMargin
 
+  /** #328 (s29): binary-quantization ANN — top-k by HAMMING distance
+    * over sign-packed bits ([[graft.sim.Ann.bruteForceHammingTopK]]).
+    * The memory tier below s04/s05's int8: 1 bit/dim, XOR+popcount
+    * scoring. Fully oracled (integer arithmetic end to end — the
+    * s-family's exact anchor for the quantized tiers); AnnSpec
+    * quantifies recall@10 vs the s01 float truth and pins the planted
+    * duplicate-at-rank-1 contract. */
+  def s29AnnHamming: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
+    Ann.bruteForceHammingTopK(e, e.filter(col("id") < 8), k = 10)
+      .orderBy("qid", "rank")
+  }
+
+  /** DuckDB twin: 32-bit MSB-first words via shifted adds (BIGINT-safe
+    * shifts), XOR+bit_count distance — the SignPack/HammingPacked
+    * fold restated in SQL over the fixed 64-dim driver corpus. */
+  val s29Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |b AS (SELECT vec_id,
+      |        CAST(list_sum(list_transform(range(0, 32),
+      |          i -> CASE WHEN v[i + 1] > 0 THEN (1::BIGINT << (31 - i)) ELSE 0 END)) AS BIGINT) AS b0,
+      |        CAST(list_sum(list_transform(range(32, 64),
+      |          i -> CASE WHEN v[i + 1] > 0 THEN (1::BIGINT << (63 - i)) ELSE 0 END)) AS BIGINT) AS b1
+      |      FROM e),
+      |q AS (SELECT vec_id AS qid, b0 AS q0, b1 AS q1 FROM b WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT qid, vec_id AS neighbor_id,
+      |         CAST(bit_count(xor(b0, q0)) + bit_count(xor(b1, q1)) AS BIGINT) AS hamming
+      |  FROM q CROSS JOIN b WHERE vec_id <> qid),
+      |r AS (SELECT qid, neighbor_id, hamming,
+      |        ROW_NUMBER() OVER (PARTITION BY qid
+      |                           ORDER BY hamming, neighbor_id) AS rank
+      |      FROM scored)
+      |SELECT qid, CAST(rank AS BIGINT) AS rank, neighbor_id, hamming
+      |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
   /** #140 (s11): exact MIPS retrieval — top-k by INNER PRODUCT, the
     * recommendation-retrieval scoring where magnitude is signal (see
     * [[graft.sim.Ann.bruteForceMipsTopK]]). Exact baseline the way
@@ -3612,7 +3649,12 @@ object LlmQueries {
     val n = e.count()
     val mod = Ann.auditSampleMod(n, budget = 256L)
     val widths = Seq(dim / 4, dim / 2, dim).distinct.filter(_ >= 1).sorted
-    val c = e.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
+    // spread the corpus side before the join: the byte-derived 1-2
+    // parquet splits otherwise serialize the window's partial top-k
+    // sort into 1-2 tasks (the bruteForceTopK spreadCorpus note;
+    // measured here at sf1: 2.9 s join+dot vs ~32 s single-task sort)
+    val c = Ann.spreadCorpus(e)
+      .select(col("id").as("neighbor_id"), col("vec").as("cvec"))
       .withColumn("cn2", prefixDots(col("cvec"), col("cvec"), widths))
     val q = e.filter(pmod(col("id"), lit(mod)) === 0)
       .select(col("id").as("qid"), col("vec").as("qvec"))
@@ -3793,6 +3835,7 @@ object LlmQueries {
     "d13_semdedup" -> d13SemDedup,
     "s01_ann_bruteforce" -> s01AnnBruteForce,
     "s11_mips" -> s11Mips,
+    "s29_ann_hamming" -> s29AnnHamming,
     "s12_kmeans" -> s12Kmeans,
     "s13_cluster_cap" -> s13ClusterCap,
     "s02_ann_lsh" -> s02AnnLsh,
@@ -3879,6 +3922,7 @@ object LlmQueries {
     "d26_incremental_clusters" -> d06Sql,
     "s01_ann_bruteforce" -> s01Sql,
     "s11_mips" -> s11Sql,
+    "s29_ann_hamming" -> s29Sql,
     "s12_kmeans" -> s12Sql,
     "s13_cluster_cap" -> s13Sql,
     "t01_lang_id" -> t01Sql,

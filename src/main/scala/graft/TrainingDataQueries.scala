@@ -2887,12 +2887,19 @@ object TrainingDataQueries {
     * text digests — the d01 key, counted per domain). Linear scan +
     * one domain-keyed groupBy: the 100 TB shape is a map-side-heavy
     * aggregation onto a ~|domains| frame. */
-  def t54UrlCensus: Q = (spark, dir) => {
-    import graft.text.Url._
+  /** The deterministic messy-URL fixture shared by t54/t55 (the
+    * driver corpus has no URL column): scheme/case/port/slash/param
+    * permutations keyed on doc_id, identically derived in the oracle
+    * SQL ([[syntheticUrlSqlFragment]]). `sub` is an optional
+    * subdomain column inserted after the `www.` segment (t55 plants
+    * `cdn.` hosts with it to exercise registrable-domain matching on
+    * real subdomains; t54 passes an empty literal). */
+  private def syntheticUrl(sub: Column): Column = {
     val d = col("doc_id")
-    val url = concat(
+    concat(
       when(d % 2 === 0, lit("HTTP://")).otherwise(lit("https://")),
       when(d % 3 === 0, lit("WWW.")).otherwise(lit("")),
+      sub,
       when(d % 5 === 0, upper(col("source"))).otherwise(col("source")),
       element_at(array(lit(".com"), lit(".co.uk"), lit(".org"), lit(".io")),
         (d % 4).cast("int") + 1),
@@ -2903,6 +2910,29 @@ object TrainingDataQueries {
         (d % 5).cast("string"), lit("&a="), (d % 3).cast("string")))
         .otherwise(lit("")),
       when(d % 9 === 0, lit("#frag")).otherwise(lit("")))
+  }
+
+  /** SQL twin of [[syntheticUrl]]; `sub` is a SQL expression string
+    * (the t53Sql composed-fragment precedent — one source of truth
+    * per engine, parameterized rather than duplicated). */
+  private def syntheticUrlSqlFragment(sub: String): String =
+    s"""CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END ||
+      |         CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+      |         $sub ||
+      |         CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END ||
+      |         (['.com','.co.uk','.org','.io'])[CAST(doc_id % 4 AS INTEGER) + 1] ||
+      |         CASE WHEN doc_id % 6 = 0 THEN ':80' ELSE '' END ||
+      |         '/docs/' || CAST(doc_id % 50 AS VARCHAR) ||
+      |         CASE WHEN doc_id % 3 = 1 THEN '/' ELSE '' END ||
+      |         CASE WHEN doc_id % 2 = 1
+      |              THEN '?utm_source=feed&b=' || CAST(doc_id % 5 AS VARCHAR) ||
+      |                   '&a=' || CAST(doc_id % 3 AS VARCHAR)
+      |              ELSE '' END ||
+      |         CASE WHEN doc_id % 9 = 0 THEN '#frag' ELSE '' END""".stripMargin
+
+  def t54UrlCensus: Q = (spark, dir) => {
+    import graft.text.Url._
+    val url = syntheticUrl(lit(""))
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), url.as("url"))
       .select(col("doc_id"), col("text"),
@@ -2919,23 +2949,13 @@ object TrainingDataQueries {
       .orderBy("domain")
   }
 
-  val t54Sql: String =
-    """WITH u AS (
-      |  SELECT doc_id, text,
-      |         CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END ||
-      |         CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
-      |         CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END ||
-      |         (['.com','.co.uk','.org','.io'])[CAST(doc_id % 4 AS INTEGER) + 1] ||
-      |         CASE WHEN doc_id % 6 = 0 THEN ':80' ELSE '' END ||
-      |         '/docs/' || CAST(doc_id % 50 AS VARCHAR) ||
-      |         CASE WHEN doc_id % 3 = 1 THEN '/' ELSE '' END ||
-      |         CASE WHEN doc_id % 2 = 1
-      |              THEN '?utm_source=feed&b=' || CAST(doc_id % 5 AS VARCHAR)
-      |                   || '&a=' || CAST(doc_id % 3 AS VARCHAR)
-      |              ELSE '' END ||
-      |         CASE WHEN doc_id % 9 = 0 THEN '#frag' ELSE '' END AS url
-      |  FROM documents),
-      |c AS (
+  /** Shared derive chain: `urlDeriveSqlFragment` restates
+    * [[graft.text.Url]]'s host/scheme/path/params/domain/canon
+    * arithmetic over a CTE named `u` exposing (doc_id, text, url) —
+    * composed by t54Sql and t55Sql (the t53Sql precedent: shared SQL
+    * built from fragments, never duplicated). */
+  private val urlDeriveSqlFragment: String =
+    """c AS (
       |  SELECT doc_id, text,
       |         regexp_replace(regexp_replace(
       |           lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
@@ -2955,7 +2975,14 @@ object TrainingDataQueries {
       |           '([^.]+\.(?:co|com|org|net|ac|gov)\.[a-z]{2}|[^.]+\.[^.]+)$', 1) AS domain,
       |         scheme || '://' || host || path ||
       |           CASE WHEN params <> '' THEN '?' || params ELSE '' END AS canon
-      |  FROM c)
+      |  FROM c)""".stripMargin
+
+  val t54Sql: String =
+    s"""WITH u AS (
+      |  SELECT doc_id, text,
+      |         ${syntheticUrlSqlFragment("''")} AS url
+      |  FROM documents),
+      |$urlDeriveSqlFragment
       |SELECT domain,
       |       CAST(COUNT(*) AS BIGINT) AS n_docs,
       |       CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
@@ -2964,7 +2991,58 @@ object TrainingDataQueries {
       |       CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dup_docs
       |FROM k GROUP BY domain ORDER BY domain""".stripMargin
 
+  /** #329 (t55): domain blocklist / opt-out enforcement — the legal
+    * gate every web-corpus pipeline runs after URL canonicalization
+    * (robots/opt-out deny lists, publisher takedowns): match each
+    * doc's REGISTRABLE domain ([[graft.text.Url.registrableDomain]],
+    * so `cdn.src1.com` is covered by a `src1.com` entry — the fixture
+    * plants `cdn.` subdomains on doc_id % 7 to exercise exactly that)
+    * against a blocklist and split the census by enforcement outcome.
+    * The blocklist is joined as a BROADCAST frame, not an `isin`
+    * literal: a production deny list is millions of domains — still
+    * broadcastable at ~tens of MB — and the plan shape (map-side
+    * hash probe, no corpus shuffle before the domain groupBy) is the
+    * 100 TB shape. Fully oracled (string/integer arithmetic). */
+  def t55DomainBlocklist: Q = (spark, dir) => {
+    import graft.text.Url._
+    import spark.implicits._
+    val bl = Seq("src1.com", "src2.co.uk", "src3.org")
+      .toDF("domain").withColumn("blocked0", lit(1L))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        syntheticUrl(when(col("doc_id") % 7 === 0, lit("cdn."))
+          .otherwise(lit(""))).as("url"))
+      .withColumn("host", urlHost(col("url")))
+      .withColumn("domain", registrableDomain(col("host")))
+      .join(broadcast(bl), Seq("domain"), "left")
+      .withColumn("blocked", coalesce(col("blocked0"), lit(0L)))
+      .groupBy("domain", "blocked")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("host")).as("n_hosts"),
+        sum(size(split(col("text"), " ")).cast(LongType)).as("n_tokens"))
+      .orderBy("domain", "blocked")
+  }
+
+  val t55Sql: String =
+    s"""WITH u AS (
+      |  SELECT doc_id, text,
+      |         ${syntheticUrlSqlFragment("CASE WHEN doc_id % 7 = 0 THEN 'cdn.' ELSE '' END")} AS url
+      |  FROM documents),
+      |$urlDeriveSqlFragment,
+      |b AS (
+      |  SELECT k.domain, k.host, k.text,
+      |         CASE WHEN bl.bdomain IS NULL THEN 0 ELSE 1 END AS blocked
+      |  FROM k LEFT JOIN (VALUES ('src1.com'), ('src2.co.uk'), ('src3.org'))
+      |         AS bl(bdomain) ON k.domain = bl.bdomain)
+      |SELECT domain,
+      |       CAST(blocked AS BIGINT) AS blocked,
+      |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+      |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |FROM b GROUP BY domain, blocked ORDER BY domain, blocked""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "t55_domain_blocklist" -> t55DomainBlocklist,
     "t54_url_census" -> t54UrlCensus,
     "t53_quality_agreement" -> t53QualityAgreement,
     "t52_ttr" -> t52Ttr,
@@ -3017,6 +3095,7 @@ object TrainingDataQueries {
     "d11_corpus_pipeline" -> d11CorpusPipeline)
 
   val oracles: Seq[(String, String)] = Seq(
+    "t55_domain_blocklist" -> t55Sql,
     "t54_url_census" -> t54Sql,
     "t53_quality_agreement" -> t53Sql,
     "t52_ttr" -> t52Sql,

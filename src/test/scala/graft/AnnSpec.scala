@@ -546,6 +546,35 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"co-cluster recall $recall (measured 0.7 r10)")
   }
 
+  test("s29 hamming ANN: planted duplicate at rank 1, hamming non-decreasing, recall vs s01 quantified") {
+    // a planted exact duplicate shares every sign bit -> hamming 0 ->
+    // rank 1 under the (hamming, neighbor_id) ordering
+    val dupVec = emb.filter(col("id") === 0).select("vec").as[Seq[Double]].head()
+    val planted = emb.union(Seq((100000L, dupVec)).toDF("id", "vec"))
+    val top = Ann.bruteForceHammingTopK(planted, planted.filter(col("id") === 0), k = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(top.head._3 == 100000L && top.head._4 == 0L, top.toSeq.toString)
+    // per query, hamming is non-decreasing in rank (the ordering contract)
+    val all = Ann.bruteForceHammingTopK(emb, emb.filter(col("id") < 8), k = 10)
+      .as[(Long, Long, Long, Long)].collect()
+    for ((_, rows) <- all.groupBy(_._1)) {
+      val byRank = rows.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b }, rows.toSeq.toString)
+    }
+    // 1 bit/dim keeps usable neighborhood signal vs the float truth --
+    // quantified, floor set loosely (BQ is a coarse filter tier whose
+    // serving shape is rerank-through-int8/float, not a final ranking)
+    val brute = LlmQueries.s01AnnBruteForce(spark, TestSpark.Sf)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ham = all.map(t => (t._1, t._3)).toSet
+    val recall = brute.count(ham).toDouble / brute.size
+    info(s"s29 hamming recall@10 vs s01 = $recall")
+    // measured 0.25 on the isotropic-gaussian driver corpus -- the
+    // WORST case for 1-bit signs (real embedding clusters concentrate
+    // mass and recall rises); floor at random-chance-clearing 0.15
+    assert(recall >= 0.15, s"s29 recall $recall collapsed below the coarse-filter floor")
+  }
+
   test("auto-parameterized s02/s03 query paths keep quantified recall vs s01") {
     val brute = LlmQueries.s01AnnBruteForce(spark, TestSpark.Sf)
       .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet

@@ -977,6 +977,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(e2.getMessage != null)
   }
 
+  test("sign_pack words and packed hamming match a local bit recomputation") {
+    import graft.functions.QuantizeInt8.{hammingPacked, signPack}
+    // MSB-first within each 32-bit word; strict > 0 (zeros and -0.0
+    // pack as 0); a 33-dim vector spills into a 2-word array
+    val v33 = (Seq(1.0, -1.0, 0.0, -0.0) ++ Seq.fill(28)(2.0)) :+ 5.0
+    val df = Seq((1L, v33)).toDF("id", "vec")
+    val words = df.select(signPack(col("vec"))).as[Seq[Long]].head()
+    def pack(bits: Seq[Boolean]): Long = bits.foldLeft(0L)((a, b) => a * 2 + (if (b) 1L else 0L))
+    val expect = Seq(pack(v33.take(32).map(_ > 0)), pack(v33.drop(32).map(_ > 0)))
+    assert(words == expect, s"$words vs $expect")
+    // hamming = popcount of the XOR, summed across words
+    val pair = Seq((v33, v33.updated(0, -9.0).updated(32, -9.0)))
+      .toDF("a", "b")
+    val h = pair.select(
+      hammingPacked(signPack(col("a")), signPack(col("b")))).as[Long].head()
+    assert(h == 2L, s"hamming $h")
+    // identical vectors are at distance 0
+    val h0 = pair.select(
+      hammingPacked(signPack(col("a")), signPack(col("a")))).as[Long].head()
+    assert(h0 == 0L)
+  }
+
   test("URL canonicalization collapses case/www/ports/slashes/trackers/param-order; domain extraction honors two-part suffixes") {
     import graft.text.Url._
     val urls = Seq(

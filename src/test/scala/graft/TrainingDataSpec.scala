@@ -845,4 +845,28 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(planted(1L) * 2 < planted(2L),
       s"spam ppm ${planted(1L)} must sit far below diverse ppm ${planted(2L)}")
   }
+
+  test("t55 blocklist enforcement partitions the census; cdn. subdomains fall under their registrable domain") {
+    import spark.implicits._
+    val rows = TrainingDataQueries.t55DomainBlocklist(spark, TestSpark.Sf)
+      .select("domain", "blocked", "n_docs")
+      .as[(String, Long, Long)].collect()
+    // enforcement SPLITS the census: every doc lands in exactly one
+    // (domain, blocked) cell, so doc mass is conserved
+    val total = Tables.documents(spark, TestSpark.Sf).count()
+    assert(rows.map(_._3).sum == total, rows.toSeq.toString)
+    // a domain is either wholly blocked or wholly kept (matching is on
+    // the registrable domain, which IS the grouping key)
+    assert(rows.groupBy(_._1).forall(_._2.map(_._2).distinct.length == 1))
+    val blocked = rows.filter(_._2 == 1L).map(_._1).toSet
+    val present = rows.map(_._1).toSet
+    val expected = Set("src1.com", "src2.co.uk", "src3.org").intersect(present)
+    assert(blocked == expected, s"blocked $blocked vs expected $expected")
+    // the cdn. planting exercises subdomain coverage: hosts under a
+    // blocked registrable domain are blocked regardless of subdomain
+    val census = TrainingDataQueries.t54UrlCensus(spark, TestSpark.Sf)
+      .select("domain").as[String].collect().toSet
+    assert(present == census,
+      "t54/t55 must census the same registrable-domain universe")
+  }
 }
