@@ -1002,21 +1002,74 @@ object AnnIndex {
     val exact = Ann.bruteForceTopK(corpus, sample, k)
       .select("qid", "neighbor_id").localCheckpoint(true)
     val nTrue = exact.count()
-    val rows = points.map { p =>
-      val recallPpm =
-        if (nTrue == 0) 1000000L
-        else {
-          val got = probe(spark, dir, sample, k, nProbe = p)
-            .select(col("qid"), col("neighbor_id"))
-            .withColumn("hit", lit(1L))
-          val nHit = exact.join(got, Seq("qid", "neighbor_id"), "left")
-            .agg(sum(coalesce(col("hit"), lit(0L))).as("h"))
-            .as[Long].head()
-          nHit * 1000000L / nTrue
-        }
-      (p.toLong, recallPpm, nCells.toLong)
+    if (nTrue == 0)
+      return points.map(p => (p.toLong, 1000000L, nCells.toLong))
+        .toDF("n_probe", "recall_ppm", "n_cells").orderBy("n_probe")
+    // ONE scored pass serves every operating point (r15): the old
+    // shape re-ran the whole probe pipeline per point — 5× the
+    // liveCells scan, corpus cell assignment and window, with the
+    // full-probe anchor alone costing a brute-force-sized scan
+    // (sweep was the s-family's most expensive steady-state line,
+    // 8.9 s at sf0.1 / 16.9 s at sf1). Candidates at budget p are a
+    // PREFIX of the full-probe candidates under the query's
+    // nearest-cell order, so: score once with the cell's probe rank
+    // attached, then one shared-sort (sim desc, id asc) pass computes
+    // each point's filtered running count rnk_p — row_number among
+    // candidates with crank ≤ p — and a row is a point-p hit iff
+    // crank ≤ p ∧ rnk_p ≤ k ∧ it's in the exact truth. One exchange,
+    // the per-point windows reuse the same sort, no candidate-frame
+    // materialization (scale-clean: nothing beyond the one shuffle).
+    val centroids = readCentroids(spark, dir)
+    val cells = liveCells(spark, dir)
+    val c = Ann.spreadCorpus(cells) // sort-parallelism guard (Ann.ivfProbe)
+      .select(col("id").as("neighbor_id"), col("vec").as("cvec"),
+        col("nrm").as("cnrm"), col("cell"))
+    val q = sample.select(col("id").as("qid"), col("vec").as("qvec"))
+      .withColumn("qnrm", norm(col("qvec")))
+      .filter(col("qnrm") > 0)
+      .select(col("qid"), col("qvec"), col("qnrm"),
+        posexplode(centroidCells(col("qvec"), col("qnrm"), centroids, nCells))
+          .as(Seq("crank0", "cell")))
+    val scoredAll = c.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("qid"))
+      .withColumn("sim",
+        cosinePrenormed(dot(col("qvec"), col("cvec")), col("qnrm"), col("cnrm")))
+      .select(col("qid"), col("cell"), col("neighbor_id"), col("sim"),
+        (col("crank0") + 1).as("crank"))
+    // SOUND per-(query, cell) top-k pre-prune: a candidate outside its
+    // own cell's k best can never enter ANY operating point's top-k
+    // (every candidate set containing it already holds k better rows
+    // from that same cell). This window carries a rank-≤-k filter, so
+    // it plans as WindowGroupLimit — map-side partial top-k, near-zero
+    // exchange — and shrinks the running-count stage's full sort from
+    // budget·n candidate rows to ≤ budget·nCells·k (≈ budget·k·√n):
+    // without it the one-pass shape lost the old per-point plans'
+    // WindowGroupLimit and re-measured SLOWER at corpus scale (19.3
+    // vs 14.5 s at sf1; the prune restores par — the remaining floor
+    // is the DEFINITIONAL budget·n scoring volume of the exact side
+    // plus the full-probe anchor, paid once each).
+    val wCell = Window.partitionBy("qid", "cell")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    val scored = scoredAll
+      .withColumn("__cellrank", row_number().over(wCell))
+      .filter(col("__cellrank") <= k)
+      .drop("__cellrank", "cell")
+      .join(broadcast(exact.withColumn("hit", lit(1L))),
+        Seq("qid", "neighbor_id"), "left")
+    val w = Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = points.foldLeft(scored) { (df, p) =>
+      df.withColumn(s"__rnk_$p",
+        sum(when(col("crank") <= p, 1L).otherwise(0L)).over(w))
     }
-    rows.toDF("n_probe", "recall_ppm", "n_cells").orderBy("n_probe")
+    val hitCols = points.map(p =>
+      sum(when(col("crank") <= p && col(s"__rnk_$p") <= k,
+        coalesce(col("hit"), lit(0L))).otherwise(0L)).as(s"__h_$p"))
+    val hits = ranked.agg(hitCols.head, hitCols.tail: _*).head()
+    points.zipWithIndex.map { case (p, i) =>
+      (p.toLong, hits.getLong(i) * 1000000L / nTrue, nCells.toLong)
+    }.toDF("n_probe", "recall_ppm", "n_cells").orderBy("n_probe")
   }
 
   private def probeScored(spark: SparkSession, dir: String,
