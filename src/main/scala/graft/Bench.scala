@@ -107,6 +107,10 @@ object Bench {
           else Seq[(String, () => org.apache.spark.sql.DataFrame)](
             "stage:neardup_pairs" -> (() => LlmQueries.pairGraph(spark, sfDir)),
             "stage:dedup_clusters" -> (() => LlmQueries.clusters(spark, sfDir)),
+            // r15: the co-purchase edge list (d18/d20's shared input)
+            // joined the staged-artifact convention — its build is
+            // priced here, not on the alphabetically-first consumer
+            "stage:copurchase" -> (() => LlmQueries.coPurchaseEdges(spark, sfDir)),
             "stage:dup_spans" -> (() => LlmQueries.dupSpanFrame(spark, sfDir)),
             "stage:ks_hists" -> (() => AnalyticsQueries.ksHistArtifact(spark, sfDir)),
             // building postings stages sets + df transitively, so this

@@ -1479,7 +1479,8 @@ object LlmQueries {
     val idx = StageRoots.rootFor(dir) + "/ann_index_sweep"
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
-    graft.sim.AnnIndex.build(e, nCells = 23, seed = 42L, idx)
+    graft.sim.AnnIndex.build(e, nCells = 23, seed = 42L, idx,
+      cacheKey = Some(dir))
     graft.sim.AnnIndex.probeSweep(spark, idx, k = 10, sampleMod = 25)
       .orderBy("n_probe")
   }
@@ -1512,7 +1513,8 @@ object LlmQueries {
     val idx = StageRoots.rootFor(dir) + "/ann_index_del"
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), toDouble(col("embedding")).as("vec"))
-    graft.sim.AnnIndex.build(e, nCells = 23, seed = 42L, idx)
+    graft.sim.AnnIndex.build(e, nCells = 23, seed = 42L, idx,
+      cacheKey = Some(dir))
     graft.sim.AnnIndex.delete(e.filter(col("id") % 13 === 0).select("id"), idx)
     graft.sim.AnnIndex.probe(spark, idx, e.filter(col("id") < 8), k = 10)
       .orderBy("qid", "rank")
@@ -2651,17 +2653,24 @@ object LlmQueries {
     * (support ≥ 2 prunes chance co-occurrence). The per-order
     * self-join is bounded by basket size (q53's argument) and the
     * support filter partial-aggregates before an edge is emitted. */
-  private def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
-    val ed = Tables.lineitem(spark, dir)
-      .select("l_orderkey", "l_partkey").distinct()
-    ed.as("x").join(ed.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-      .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2)
-      .select("a", "b")
-  }
+  /** The co-purchase graph as a shared staged artifact (the pairGraph
+    * convention): d18's k-core and d20's label propagation both start
+    * from this edge list — un-staged, each consumer re-paid the
+    * |lineitem| distinct + within-order self-join + count filter
+    * (≥ 1 s per consumer at sf0.1, the whole lineitem pass at 100 TB).
+    * Bench prices the build as its own `stage:copurchase` line. */
+  private[graft] def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    sharedStage(spark, dir, "copurchase_edges") {
+      val ed = Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_partkey").distinct()
+      ed.as("x").join(ed.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+        .select("a", "b")
+    }
 
   private val coPurchaseSqlCtes: String =
     """ed AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -3017,6 +3026,11 @@ object LlmQueries {
       // count exceeds its within-doc count. Two count windows (never a
       // collect_set a boilerplate gram would balloon); within-doc
       // repetition alone — T == C — correctly does NOT mark.
+      // (r15 measured the tempting aggregate+semi-join rewrite of
+      // these windows 1.8× SLOWER at sf1 — 8-gram digests are nearly
+      // all DISTINCT, so partial aggregation reduces nothing and the
+      // rewrite just adds two more full-stream exchanges. d19's
+      // comment makes the same point; keep the windows.)
       val dupStarts = grams
         .withColumn("t", count(lit(1)).over(Window.partitionBy("gh")))
         .withColumn("c", count(lit(1)).over(Window.partitionBy("doc_id", "gh")))

@@ -248,6 +248,123 @@ object Probe {
           plan.contains("WindowGroupLimit"))
         println(plan.split('\n').take(40).mkString("[probe-plan] ",
           "\n[probe-plan] ", ""))
+      case Some("annidx") =>
+        // attribute the s17/s19 index-lifecycle queries: quantizer fit
+        // vs index write vs sweep/delete/probe (usage: Probe annidx <sfDir>)
+        import org.apache.spark.sql.functions._
+        val dir = args(1)
+        val e = graft.Tables.embeddings(spark, dir)
+          .select(col("vec_id").as("id"),
+            graft.functions.VectorFunctions.toDouble(col("embedding")).as("vec"))
+        def t[A](name: String)(body: => A): A = {
+          val t0 = System.nanoTime()
+          val r = body
+          println(f"[probe] annidx $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          r
+        }
+        val live = e.withColumn("nrm",
+            graft.functions.VectorFunctions.norm(col("vec")))
+          .filter(col("nrm") > 0)
+        val n = t("count")(live.count())
+        t("fit")(sim.Ann.fitCentroids(live, n, 23, 42L, 100000L))
+        val idx = java.nio.file.Files.createTempDirectory("probe_annidx").toString + "/i"
+        t("build (fit+calibrate+write)")(sim.AnnIndex.build(e, 23, 42L, idx))
+        t("probeSweep")(sim.AnnIndex.probeSweep(spark, idx, k = 10, sampleMod = 25)
+          .write.mode("overwrite").format("noop").save())
+        val idx2 = java.nio.file.Files.createTempDirectory("probe_annidx2").toString + "/i"
+        t("build2")(sim.AnnIndex.build(e, 23, 42L, idx2))
+        t("delete")(sim.AnnIndex.delete(
+          e.filter(col("id") % 13 === 0).select("id"), idx2))
+        t("probe")(sim.AnnIndex.probe(spark, idx2, e.filter(col("id") < 8), k = 10)
+          .write.mode("overwrite").format("noop").save())
+        val nFiles = {
+          val p = new org.apache.hadoop.fs.Path(s"$idx/cells")
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.listFiles(p, true)
+          var c = 0
+          val it = fs.listFiles(p, true)
+          while (it.hasNext) { it.next(); c += 1 }
+          c
+        }
+        println(s"[probe] annidx cells files: $nFiles")
+      case Some("ssj") =>
+        // attribute the jaccard self-join stages (usage: Probe ssj <sfDir>)
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val dir = args(1)
+        def t[A](name: String)(body: => A): A = {
+          val t0 = System.nanoTime()
+          val r = body
+          println(f"[probe] ssj $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          r
+        }
+        val sets0 = t("shingleSets build+count") {
+          val s = LlmQueries.shingleSets(spark, dir).localCheckpoint(true)
+          println(s"[probe] ssj sets rows: ${s.count()}")
+          s
+        }
+        val sets = sets0.select(col("doc_id").as("sid"), col("s"))
+          .withColumn("sz", size(col("s")).cast("long"))
+        val toks = sets.select(col("sid"), col("sz"), explode(col("s")).as("tok"))
+        val freq = t("freq")(toks.groupBy("tok").agg(count(lit(1)).as("df"))
+          .localCheckpoint(true))
+        println(s"[probe] ssj distinct toks: ${freq.count()}")
+        val byRarity = Window.partitionBy("sid").orderBy(col("df").asc, col("tok").asc)
+        val prefixLen = col("sz") - floor((col("sz") * 1 + 2 - 1) / 2).cast("long") + 1
+        val prefixes = t("prefixes (join+window)") {
+          toks.join(freq, "tok")
+            .withColumn("pos", row_number().over(byRarity))
+            .filter(col("pos") <= prefixLen)
+            .select(col("sid"), col("sz"), col("tok"), col("pos"))
+            .localCheckpoint(true)
+        }
+        println(s"[probe] ssj prefix rows: ${prefixes.count()}")
+        val a = prefixes.toDF("id1", "sz1", "tok", "pos1")
+        val b = prefixes.toDF("id2", "sz2", "tok", "pos2")
+        val cand = t("cand join+distinct") {
+          a.join(b,
+              a("tok") === b("tok") && col("id1") < col("id2") &&
+              greatest(col("sz1"), col("sz2")) * 1 <=
+                least(col("sz1"), col("sz2")) * 2 &&
+              (lit(1) + least(col("sz1") - col("pos1"), col("sz2") - col("pos2"))) *
+                (2 + 1) >= (col("sz1") + col("sz2")) * 1)
+            .select("id1", "id2").distinct().localCheckpoint(true)
+        }
+        println(s"[probe] ssj cand rows: ${cand.count()}")
+        t("verify") {
+          val s1 = sets.select(col("sid").as("id1"), col("s").as("s1"))
+          val s2 = sets.select(col("sid").as("id2"), col("s").as("s2"))
+          cand.join(s1, "id1").join(s2, "id2")
+            .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+            .withColumn("uni", (size(col("s1")) + size(col("s2"))).cast("long") - col("inter"))
+            .filter(col("inter") > 0 && col("inter") * 3 >= (col("uni") + col("inter")) * 1)
+            .write.mode("overwrite").format("noop").save()
+        }
+        t("whole pairGraph (fresh stage)") {
+          LlmQueries.pairGraph(spark, dir)
+            .write.mode("overwrite").format("noop").save()
+        }
+      case Some("explain") =>
+        // dump .explain("formatted") per named query for the plan
+        // ledger (usage: Probe explain <sfDir> <outDir> <name...>;
+        // name "stage:x"/"all" unsupported — query keys only)
+        val dir = args(1)
+        val outDir = java.nio.file.Paths.get(args(2))
+        java.nio.file.Files.createDirectories(outDir)
+        val names =
+          if (args.length > 3) args.drop(3).toSeq
+          else SparkEntry.queries.keys.toSeq.sorted
+        names.foreach { name =>
+          SparkEntry.queries.get(name) match {
+            case Some(fn) =>
+              val plan = fn(spark, dir).queryExecution
+                .explainString(org.apache.spark.sql.execution.FormattedMode)
+              java.nio.file.Files.write(outDir.resolve(s"$name.txt"),
+                plan.getBytes("UTF-8"))
+              println(s"[probe] explained $name -> $outDir/$name.txt")
+            case None => System.err.println(s"[probe] no such query: $name")
+          }
+        }
       case _ =>
         // driver-contract smoke: entry() must return rows on sf0.001
         val n = SparkEntry.entry(spark).count()

@@ -49,7 +49,13 @@ object SetSimJoin {
   def jaccardSelfJoin(df: DataFrame, idCol: String, setCol: String,
                       tauNum: Int, tauDen: Int,
                       touching: Option[DataFrame] = None): DataFrame = {
-    val sets = df.select(col(idCol).as("sid"), col(setCol).as("s"))
+    // sort once per SET (|s| log |s|, set-linear) so exact verification
+    // runs the zero-allocation merge kernel per PAIR
+    // ([[graft.functions.SortedIntersectCount]] — candidate volume is
+    // the dominant stage; the boxed hash set array_intersect builds
+    // per pair was ~60% of the stage's wall at bench scale)
+    val sets = df.select(col(idCol).as("sid"),
+      sort_array(col(setCol)).as("s"))
     val cand = jaccardCandidates(df, idCol, setCol, tauNum, tauDen)
       .transform { c =>
         touching match {
@@ -66,7 +72,9 @@ object SetSimJoin {
     val s1 = sets.select(col("sid").as("id1"), col("s").as("s1"))
     val s2 = sets.select(col("sid").as("id2"), col("s").as("s2"))
     cand.join(s1, "id1").join(s2, "id2")
-      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast(LongType))
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount.sortedIntersectCount(
+          col("s1"), col("s2")))
       .withColumn("uni", (size(col("s1")) + size(col("s2"))).cast(LongType) - col("inter"))
       .filter(col("inter") > 0 && col("inter") * (tauDen + tauNum) >= (col("uni") + col("inter")) * tauNum)
       .select("id1", "id2", "inter", "uni")
@@ -142,7 +150,11 @@ object SetSimJoin {
     * PPJoin argument). */
   def containmentJoin(df: DataFrame, idCol: String, setCol: String,
                       tauNum: Int, tauDen: Int): DataFrame = {
-    val sets = df.select(col(idCol).as("sid"), col(setCol).as("s"))
+    // sorted once per set for the merge-kernel verify (see
+    // [[jaccardSelfJoin]]); explode/df-rank downstream are
+    // order-insensitive
+    val sets = df.select(col(idCol).as("sid"),
+      sort_array(col(setCol)).as("s"))
       .withColumn("sz", size(col("s")).cast(LongType))
     val toks = sets.select(col("sid"), col("sz"), explode(col("s")).as("tok"))
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -168,7 +180,9 @@ object SetSimJoin {
       col("sz").as("sz_a"))
     val s2 = sets.select(col("sid").as("id_b"), col("s").as("s2"))
     cand.join(s1, "id_a").join(s2, "id_b")
-      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast(LongType))
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount.sortedIntersectCount(
+          col("s1"), col("s2")))
       .filter(col("inter") * tauDen >= col("sz_a") * tauNum)
       .select("id_a", "id_b", "inter", "sz_a")
   }
@@ -231,11 +245,18 @@ object SetSimJoin {
       .withColumn("sz_a", size(col("s")).cast(LongType))
     val cand = containmentCandidatesAgainst(batch, idCol, setCol,
       corpusPostings, dfFrame, tauNum, tauDen)
-    val s1 = sets.select(col("id_a"), col("s").as("s1"), col("sz_a"))
+    // sort_array sits in the join INPUT projections: one sort per set
+    // row (batch side) / corpus row (staged side, whose artifact makes
+    // no ordering promise), then the per-PAIR merge kernel — see
+    // [[jaccardSelfJoin]]
+    val s1 = sets.select(col("id_a"), sort_array(col("s")).as("s1"),
+      col("sz_a"))
     val s2 = corpusSets.select(col(corpusSets.columns.head).as("id_b"),
-      col(corpusSets.columns(1)).as("s2"))
+      sort_array(col(corpusSets.columns(1))).as("s2"))
     cand.join(s1, "id_a").join(s2, "id_b")
-      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast(LongType))
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount.sortedIntersectCount(
+          col("s1"), col("s2")))
       .filter(col("inter") * tauDen >= col("sz_a") * tauNum)
       .select("id_a", "id_b", "inter", "sz_a")
   }

@@ -313,7 +313,7 @@ object Ann {
   private val opCache =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
   private[graft] def clearOpCache(): Unit = opCache.clear()
-  private def memo[T <: AnyRef](key: Option[String])(build: => T): T =
+  private[sim] def memo[T <: AnyRef](key: Option[String])(build: => T): T =
     key match {
       case Some(k) => opCache.computeIfAbsent(k, _ => build).asInstanceOf[T]
       case None    => build
