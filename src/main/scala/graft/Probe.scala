@@ -344,6 +344,45 @@ object Probe {
           LlmQueries.pairGraph(spark, dir)
             .write.mode("overwrite").format("noop").save()
         }
+      case Some("explainbuild") =>
+        // the staged-artifact BUILD plans (a stage serves parquet, so
+        // the interesting plan hides behind the staging boundary) —
+        // usage: Probe explainbuild <sfDir> <outDir>
+        import org.apache.spark.sql.functions._
+        val dir = args(1)
+        val outDir = java.nio.file.Paths.get(args(2))
+        java.nio.file.Files.createDirectories(outDir)
+        def dump(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+          val plan = df.queryExecution
+            .explainString(org.apache.spark.sql.execution.FormattedMode)
+          java.nio.file.Files.write(outDir.resolve(s"$name.txt"),
+            plan.getBytes("UTF-8"))
+          println(s"[probe] explained $name")
+        }
+        dump("stage_neardup_pairs_build",
+          graft.dedup.SetSimJoin.jaccardSelfJoin(
+            LlmQueries.shingleSets(spark, dir), "doc_id", "s",
+            tauNum = 1, tauDen = 2))
+        dump("stage_pub_plan_build", {
+          // planFrame's inner build, pre-staging (mirrors
+          // PublishCorpus.planFrame on THIS tree)
+          import org.apache.spark.sql.types.{BinaryType, LongType}
+          val root = java.nio.file.Files
+            .createTempDirectory("probe_pub").toString
+          val kept = PublishCorpus.keptFrame(spark, dir, root)
+            .join(PublishCorpus.splitFrame(spark, dir, root)
+              .select("doc_id", "split"), "doc_id")
+            .withColumn("hk",
+              conv(substring(md5(concat_ws(":", col("doc_id"), lit(0))
+                .cast(BinaryType)), 1, 15), 16, 10).cast(LongType))
+          etl.GlobalOrder.withGlobalSeq(kept,
+              "hk", Seq("doc_id"), valueCol = Some("n_tok"),
+              seqCol = "seq", runCol = "cum_tok",
+              partitionCols = Seq("split"))
+            .withColumn("shard", expr("(cum_tok - n_tok) div 1024"))
+            .select("split", "shard", "seq", "doc_id", "source", "n_tok",
+              "cum_tok", "text")
+        })
       case Some("explain") =>
         // dump .explain("formatted") per named query for the plan
         // ledger (usage: Probe explain <sfDir> <outDir> <name...>;

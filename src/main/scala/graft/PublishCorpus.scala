@@ -100,13 +100,15 @@ object PublishCorpus {
         .withColumn("hk",
           conv(substring(md5(concat_ws(":", col("doc_id"), lit(0))
             .cast(BinaryType)), 1, 15), 16, 10).cast(LongType))
-      Splits.map { s =>
-        etl.GlobalOrder.withGlobalSeq(kept.filter(col("split") === s),
-            "hk", Seq("doc_id"), valueCol = Some("n_tok"),
-            seqCol = "seq", runCol = "cum_tok")
-          .withColumn("shard",
-            expr(s"(cum_tok - n_tok) div $tokenBudget"))
-      }.reduce(_ unionByName _)
+      // one split-partitioned prefix-sum pass (r15): the per-split
+      // filter+union form read the kept corpus once per split — same
+      // rows, 3 corpus passes → 1
+      etl.GlobalOrder.withGlobalSeq(kept,
+          "hk", Seq("doc_id"), valueCol = Some("n_tok"),
+          seqCol = "seq", runCol = "cum_tok",
+          partitionCols = Seq("split"))
+        .withColumn("shard",
+          expr(s"(cum_tok - n_tok) div $tokenBudget"))
         .select("split", "shard", "seq", "doc_id", "source", "n_tok",
           "cum_tok", "text")
     }

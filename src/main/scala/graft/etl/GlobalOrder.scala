@@ -48,37 +48,51 @@ object GlobalOrder {
 
   /** Adds `seqCol` — the 1-based global row number in (key, ties)
     * order — and, when `valueCol` is set, `runCol` — the inclusive
-    * global running total of `valueCol` in that same order. */
+    * global running total of `valueCol` in that same order.
+    *
+    * `partitionCols` (r15): an INDEPENDENT sequence per partition
+    * group in one pass — what a per-group caller otherwise gets by
+    * filtering and calling this once per value (the publish shard
+    * plan ran 3 split-filtered passes over the kept corpus; one
+    * partitioned pass reads it once). The offset window stays bounded:
+    * ≤ `buckets` rows per group, partitioned on the group key. */
   def withGlobalSeq(df: DataFrame, key: String, ties: Seq[String],
                     valueCol: Option[String] = None,
                     seqCol: String = "seq", runCol: String = "run",
-                    buckets: Int = 0): DataFrame = {
+                    buckets: Int = 0,
+                    partitionCols: Seq[String] = Nil): DataFrame = {
     val nb =
       if (buckets > 0) buckets
       else df.sparkSession.sessionState.conf.numShufflePartitions * 8
+    val grp = partitionCols.map(col)
     val bounds = df.agg(
       min(col(key).cast(LongType)).as("_go_lo"),
       max(col(key).cast(LongType)).as("_go_hi"))
     // bucket width ≥ 1 and ≈ domain/nb ⇒ bucket ids land in [0, nb]
+    // (bounds stay GLOBAL under partitionCols: bucket ids only need to
+    // be order-aligned within each group, and one tiny global agg
+    // beats |groups| of them)
     val withB = df.crossJoin(broadcast(bounds))
       .withColumn("_go_b",
         (col(key).cast(LongType) - col("_go_lo")) /
           ((col("_go_hi") - col("_go_lo")) / nb + lit(1L)))
       .withColumn("_go_b", col("_go_b").cast(LongType))
       .drop("_go_lo", "_go_hi")
-    val partials = withB.groupBy("_go_b").agg(
+    val partials = withB.groupBy(grp :+ col("_go_b"): _*).agg(
       count(lit(1)).as("_go_cnt"),
       valueCol.map(v => sum(col(v)).as("_go_sum"))
         .getOrElse(lit(0L).as("_go_sum")))
-    val wOff = Window.orderBy("_go_b")
+    val wOff = (if (grp.isEmpty) Window.orderBy("_go_b")
+                else Window.partitionBy(grp: _*).orderBy("_go_b"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = partials.select(
-      col("_go_b"),
-      coalesce(sum("_go_cnt").over(wOff), lit(0L)).as("_go_coff"),
-      coalesce(sum("_go_sum").over(wOff), lit(0L)).as("_go_soff"))
-    val wB = Window.partitionBy("_go_b")
+      grp ++ Seq(
+        col("_go_b"),
+        coalesce(sum("_go_cnt").over(wOff), lit(0L)).as("_go_coff"),
+        coalesce(sum("_go_sum").over(wOff), lit(0L)).as("_go_soff")): _*)
+    val wB = Window.partitionBy(grp :+ col("_go_b"): _*)
       .orderBy((key +: ties).map(col): _*)
-    val seqd = withB.join(broadcast(offsets), Seq("_go_b"))
+    val seqd = withB.join(broadcast(offsets), partitionCols :+ "_go_b")
       .withColumn(seqCol,
         col("_go_coff") + row_number().over(wB).cast(LongType))
     val out = valueCol match {
