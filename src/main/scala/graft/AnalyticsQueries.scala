@@ -391,21 +391,34 @@ object AnalyticsQueries {
     // splittable.
     import graft.functions.ExactPercentile, ExactPercentile.Pct
     val li = Tables.lineitem(spark, dir)
-    val price = ExactPercentile.quantiles(li, Seq("l_returnflag"),
-      col("l_extendedprice"), valPow = 2, outPow = 3,
-      Seq(Pct("p50_price_milli", 50, 100), Pct("p90_price_milli", 90, 100)))
-    val qty = ExactPercentile.quantiles(li, Seq("l_returnflag"),
-      col("l_quantity"), valPow = 2, outPow = 3,
-      Seq(Pct("p50_qty_milli", 50, 100)))
-    // Left-join both quantile frames onto the distinct-group spine:
-    // ExactPercentile drops a group whose measure is ALL NULL, but
-    // quantile_cont keeps it with a NULL quantile — an inner join here
-    // would make such a group vanish entirely. No-op on TPC-H (no
-    // NULLs); the spine costs one partial-agg distinct over 3 groups.
+    // r15: both measures through ONE melted histogram pass — the
+    // two-call form scanned lineitem once per measure and ran two
+    // full count-window-agg pipelines; posexplode melts (measure id,
+    // scaled value) so one groupBy histograms both, and the per-group
+    // quantile arithmetic runs once keyed by (group, measure). The
+    // conditional-min pivot at the end is over the 3×2-row result.
+    // Output identical (same exact integer arithmetic per measure).
+    val melted = li.select(col("l_returnflag"),
+        posexplode(array(
+          Exact.e(col("l_extendedprice"), 2),
+          Exact.e(col("l_quantity"), 2))).as(Seq("m", "v")))
+      .filter(col("v").isNotNull)
+    val counts = melted.groupBy("l_returnflag", "m", "v")
+      .agg(count(lit(1)).as("cnt"))
+    val qq = ExactPercentile.quantilesOfCounts(counts,
+      Seq("l_returnflag", "m"), valPow = 2, outPow = 3,
+      Seq(Pct("p50", 50, 100), Pct("p90", 90, 100)))
+    val both = qq.groupBy("l_returnflag")
+      .agg(min(when(col("m") === 0, col("p50"))).as("p50_price_milli"),
+        min(when(col("m") === 0, col("p90"))).as("p90_price_milli"),
+        min(when(col("m") === 1, col("p50"))).as("p50_qty_milli"))
+    // Left-join onto the distinct-group spine: the histogram drops a
+    // group whose measures are ALL NULL, but quantile_cont keeps it
+    // with a NULL quantile — an inner join would make it vanish.
+    // No-op on TPC-H (no NULLs); the spine is one partial-agg distinct.
     val groups = li.select("l_returnflag").distinct()
     groups
-      .join(price, Seq("l_returnflag"), "left")
-      .join(qty, Seq("l_returnflag"), "left")
+      .join(both, Seq("l_returnflag"), "left")
       .orderBy("l_returnflag")
   }
 
