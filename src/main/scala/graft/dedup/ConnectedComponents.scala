@@ -50,6 +50,54 @@ object ConnectedComponents {
     // edge generation (e.g. d04's whole similarity pipeline) is far
     // too expensive to re-run per consumer
     val raw = cut(edges.select(col(idCols._1).as("a"), col(idCols._2).as("b")))
+
+    // Size-adaptive small-graph path (r15, the broadcast-join
+    // principle: pick the execution strategy from the MEASURED input
+    // size). Each alternating round costs ~5 shuffles plus a digest
+    // job, so a pair graph of a few thousand edges pays seconds of
+    // pure round overhead for microseconds of actual work — the
+    // bench's cluster stage measured ~3.2 s FLAT from sf0.001 to sf1
+    // (near-dup pair graphs are sparse at every tested scale). Below
+    // `driverMaxEdges` RAW rows (so node count ≤ 2× the bound even
+    // when the input is mostly self-loops, as with d26's surrogate
+    // edges), collect the edge list and solve with a min-root
+    // union-find on the driver: the output — (id, min reachable id) —
+    // is a pure function of the edge SET, identical to the fixpoint
+    // of the star rounds, and the driver holds ≤ ~MBs. Long-typed ids
+    // only (every library caller); anything else, or any larger
+    // graph, takes the distributed rounds below unchanged.
+    val driverMaxEdges =
+      sys.props.get("graft.cc.driverMaxEdges").map(_.toLong).getOrElse(65536L)
+    val longIds = raw.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && raw.count() <= driverMaxEdges) {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      // union-by-min: the larger root attaches under the smaller, so
+      // every root IS its component's min id — order-independent
+      def union(x: Long, y: Long): Unit = {
+        val (rx, ry) = (find(x), find(y))
+        if (rx < ry) parent(ry) = rx
+        else if (ry < rx) parent(rx) = ry
+      }
+      val nodes = scala.collection.mutable.LongMap.empty[Boolean]
+      raw.collect().foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        nodes(a) = true; nodes(b) = true
+        if (a != b) union(a, b)
+      }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return nodes.keys.toSeq.sorted
+        .map(id => (id, find(id))).toDF("id", "comp")
+    }
+
     val ids = cut(raw.select(col("a").as("id"))
       .union(raw.select(col("b").as("id")))
       .distinct())
